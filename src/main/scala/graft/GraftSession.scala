@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * Mirrors the reference's `MR_Run` setup phase (reference job.c:157-293):
+  * thread counts → master/shuffle partitions, metrics → Spark UI/listeners.
+  * AQE is on so skewed shuffles re-plan at runtime (the reference could only
+  * *report* skew, metrics.c:365-421; AQE fixes it).
+  */
+object GraftSession {
+
+  /** `local[32]` in this harness; on a real cluster these settings come from
+    * spark-submit and only the SQL confs below matter. */
+  def create(appName: String = "graft",
+             master: Option[String] = None,
+             shufflePartitions: Int = 32): SparkSession = {
+    val b = SparkSession.builder().appName(appName)
+    master.foreach(b.master)
+    val spark = b
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS); Spark 4 reads it as long
+      // under this flag and Tables.events converts back to micros.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational extension surface (SURVEY.md §2.11 Q5-Q14): projections,
+  * predicates, multi-aggregate groupBy, equi/semi/anti joins, windows,
+  * sort+limit, set ops, rollup, time bucketing. All built-ins — Catalyst
+  * owns pushdown, join selection and AQE re-planning; no custom nodes.
+  *
+  * Scale notes (local[32] tests, 1000-executor design):
+  *  - dimension joins (region 5, nation 25, customer ~SF*150k) are marked
+  *    `broadcast(...)` where the small side is bounded, so the 100 TB fact
+  *    scan never shuffles for them;
+  *  - fact-fact joins (orders⋈customer at equal SF) are left to sort-merge +
+  *    AQE, which co-partitions on the join key — the one unavoidable shuffle;
+  *  - every aggregate is partial→final (map-side combine) automatically.
+  */
+object RelationalQueries {
+
+  /** Q5: filtered revenue sum (TPC-H Q6 shape). Both predicates and the
+    * two-column projection push into the parquet scan. */
+  def q5FilterAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+             col("l_discount").between(0.05, 0.07))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+
+  /** Q6: multi-aggregate groupBy (TPC-H Q1 shape). */
+  def q6GroupByAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q7: inner equi-join + agg. customer is the SF-bounded side of an
+    * orders fact join → broadcast it; orders aggregates map-side first. */
+  def q7JoinAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(round(sum("o_totalprice"), 2).as("total_revenue"),
+           count(lit(1)).as("order_cnt"))
+      .orderBy("c_mktsegment")
+
+  /** Q8: 3+ table join (TPC-H Q5 shape): revenue per nation name.
+    * nation and region are tiny -> broadcast; customer joins orders on
+    * custkey (the real shuffle), then dim lookups stay map-side. */
+  def q8MultiJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("n_name")
+
+  /** Q9a: left-semi join — customers with at least one order, count/nation.
+    * The semi join needs only o_custkey from orders: Spark prunes the scan
+    * to one column and aggregates it to distinct keys before the join. */
+  def q9Semi(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("customers_with_orders"))
+      .orderBy("c_nationkey")
+
+  /** Q9b: left-anti join — customers with no orders, count per nation. */
+  def q9Anti(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("customers_without_orders"))
+      .orderBy("c_nationkey")
+
+  /** Q10: window ranking — each customer's single biggest order.
+    * One shuffle on o_custkey; ties broken by o_orderkey so the row is
+    * deterministic. */
+  def q10WindowTopOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey")
+  }
+
+  /** Q11: global sort + limit → TakeOrderedAndProject (no full sort). */
+  def q11TopOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(20)
+
+  /** Q12a: INTERSECT — custkeys present in both orders and customer. */
+  def q12Intersect(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir).select(col("o_custkey").as("custkey"))
+      .intersect(
+        Tables.customer(spark, sfDir).select(col("c_custkey").as("custkey")))
+      .orderBy("custkey")
+
+  /** Q12b: EXCEPT — customer custkeys with no orders (anti, set form). */
+  def q12Except(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(col("c_custkey").as("custkey"))
+      .except(
+        Tables.orders(spark, sfDir).select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+
+  /** Q13: rollup revenue by (o_orderpriority, o_orderstatus) with explicit
+    * grouping-level flags so the oracle compare is unambiguous on NULLs. */
+  def q13Rollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .rollup("o_orderpriority", "o_orderstatus")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"),
+           count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("revenue"), col("cnt"))
+      .orderBy("priority", "status")
+
+  /** Q14: batch tumbling window — hourly event buckets. The hour is emitted
+    * as a string so Spark/DuckDB timestamp renderings can't diverge. */
+  def q14TimeBucket(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("hour", "event_type")
+}

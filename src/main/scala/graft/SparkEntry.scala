@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{ReferenceQueries, RelationalQueries}
+import graft.operators.{DedupQueries, MultimodalPipeline, ReferenceQueries,
+  RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,6 +37,19 @@ object SparkEntry {
     "q12_except"        -> (RelationalQueries.q12Except _),
     "q13_rollup"        -> (RelationalQueries.q13Rollup _),
     "q14_time_bucket"   -> (RelationalQueries.q14TimeBucket _),
+    "q15_exact_dedup"   -> (DedupQueries.q15ExactDedup _),
+    "q16_text_stats"    -> (TextQueries.q16TextStats _),
+    "q17_ann_brute"     -> (SimilarityQueries.q17AnnBrute _),
+    "q18_minhash_lsh"   -> (DedupQueries.q18MinhashLsh _),
+    "q19_ngram_jaccard" -> (DedupQueries.q19NgramJaccard _),
+    "q20_simhash"       -> (DedupQueries.q20Simhash _),
+    "q21_embedding_neardup" -> (SimilarityQueries.q21EmbeddingNearDup _),
+    "q22_ann_lsh"       -> (SimilarityQueries.q22AnnLsh _),
+    "q23_lang_id"       -> (TextQueries.q23LangId _),
+    "q24_quality_score" -> (TextQueries.q24QualityScore _),
+    "q25_token_stats"   -> (TextQueries.q25TokenStats _),
+    "q26_fingerprint"   -> (TextQueries.q26Fingerprint _),
+    "q27_multimodal_meta" -> (MultimodalPipeline.q27MultimodalMeta _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -47,6 +61,18 @@ object SparkEntry {
       |           source
       |    FROM documents) raw
       |  WHERE length(w) > 0
+      |)""".stripMargin
+
+  /** Token-LIST twin of [[tokCte]]: one row per doc with its token array —
+    * mirrors graft.functions.Text.tokens exactly (lower → split on
+    * [^a-z0-9]+ → 255-char cap → drop empties). */
+  private val tokListCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, text,
+      |         list_filter(list_transform(
+      |           string_split_regex(lower(text), '[^a-z0-9]+'),
+      |           x -> substr(x, 1, 255)), x -> length(x) > 0) AS t
+      |  FROM documents
       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -134,5 +160,189 @@ object SparkEntry {
         |       event_type, count(*) AS cnt,
         |       round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q15_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt
+        |FROM (SELECT doc_id,
+        |             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+        |      FROM documents) d
+        |GROUP BY norm ORDER BY keep_id""".stripMargin,
+    "q16_text_stats" ->
+      s"""$tokListCte,
+         |a AS (SELECT lang, count(*) AS doc_cnt,
+         |             round(avg(len(t)), 2) AS avg_tokens
+         |      FROM toks GROUP BY lang),
+         |b AS (SELECT lang, count(DISTINCT w) AS distinct_tokens
+         |      FROM (SELECT lang, unnest(t) AS w FROM toks) u GROUP BY lang)
+         |SELECT a.lang AS lang, doc_cnt, avg_tokens, distinct_tokens
+         |FROM a JOIN b ON a.lang = b.lang ORDER BY lang""".stripMargin,
+    "q17_ann_brute" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |             round(list_cosine_similarity(q.v, x.v), 4) AS sim
+        |      FROM e q JOIN e x ON x.vec_id <> q.vec_id WHERE q.vec_id < 10),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |             row_number() OVER (PARTITION BY query_id
+        |               ORDER BY sim DESC, neighbor_id) AS "rank"
+        |      FROM p)
+        |SELECT query_id, neighbor_id, sim, "rank" FROM r
+        |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+    "q18_minhash_lsh" ->
+      s"""$tokListCte,
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |         [array_to_string(t[i:least(i+2, len(t))], ' ')
+         |          for i in range(1, greatest(len(t)-2, 1)+1)])) AS s
+         |       FROM toks),
+         |sig AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS mh
+         |        FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS i) seeds
+         |        GROUP BY doc_id, i),
+         |sigarr AS (SELECT doc_id, list(mh ORDER BY i) AS sig
+         |           FROM sig GROUP BY doc_id),
+         |bands AS (SELECT doc_id, j,
+         |                 md5(array_to_string(sig[j*2+1:j*2+2], ',')) AS bh
+         |          FROM sigarr CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+         |         FROM bands a JOIN bands b
+         |           ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT doc_id_1, doc_id_2,
+         |       round(sum(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) / 16.0, 4)
+         |         AS est_jaccard
+         |FROM cand
+         |JOIN sig s1 ON s1.doc_id = doc_id_1
+         |JOIN sig s2 ON s2.doc_id = doc_id_2 AND s2.i = s1.i
+         |GROUP BY doc_id_1, doc_id_2 ORDER BY doc_id_1, doc_id_2""".stripMargin,
+    "q19_ngram_jaccard" ->
+      s"""$tokListCte,
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |         [array_to_string(t[i:least(i+2, len(t))], ' ')
+         |          for i in range(1, greatest(len(t)-2, 1)+1)])) AS s
+         |       FROM toks),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         |                 count(*) AS i
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |j AS (SELECT doc_id_1, doc_id_2,
+         |             round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+         |      FROM inter
+         |      JOIN sz sa ON sa.doc_id = doc_id_1
+         |      JOIN sz sb ON sb.doc_id = doc_id_2)
+         |SELECT doc_id_1, doc_id_2, jaccard FROM j
+         |WHERE jaccard >= 0.35 ORDER BY doc_id_1, doc_id_2""".stripMargin,
+    "q20_simhash" ->
+      s"""$tokListCte,
+         |tok AS (SELECT doc_id, w, count(*) AS cnt
+         |        FROM (SELECT doc_id, unnest(t) AS w FROM toks) u
+         |        GROUP BY doc_id, w),
+         |bits AS (SELECT doc_id, b,
+         |           sum(CASE WHEN ((('0x' || substr(md5(w), 1, 8))::BIGINT >> b)
+         |                          & 1) = 1
+         |               THEN cnt ELSE -cnt END) AS s
+         |         FROM tok CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bs
+         |         GROUP BY doc_id, b)
+         |SELECT doc_id,
+         |       sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)
+         |         AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q21_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+        |             round(list_cosine_similarity(a.v, b.v), 4) AS sim
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT vec_id_1, vec_id_2, sim FROM p
+        |WHERE sim >= 0.4 ORDER BY vec_id_1, vec_id_2""".stripMargin,
+    "q22_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |planes AS (SELECT p,
+        |             [CASE WHEN (('0x' || substr(md5(p::VARCHAR || '_'
+        |                          || d::VARCHAR), 1, 8))::BIGINT % 2) = 1
+        |                   THEN 1.0 ELSE -1.0 END
+        |              for d in range(0, 64)] AS wv
+        |           FROM (SELECT unnest(range(0, 8)) AS p) ps),
+        |bits AS (SELECT vec_id, p, list_dot_product(v, wv) > 0 AS bit
+        |         FROM e CROSS JOIN planes),
+        |bk AS (SELECT vec_id,
+        |              sum(CASE WHEN bit THEN (1::BIGINT << p)
+        |                  ELSE 0::BIGINT END) AS bucket
+        |       FROM bits GROUP BY vec_id),
+        |cand AS (SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2
+        |         FROM bk a JOIN bk b
+        |           ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT vec_id_1, vec_id_2,
+        |       round(list_cosine_similarity(ea.v, eb.v), 4) AS sim
+        |FROM cand
+        |JOIN e ea ON ea.vec_id = vec_id_1
+        |JOIN e eb ON eb.vec_id = vec_id_2
+        |ORDER BY sim DESC, vec_id_1, vec_id_2 LIMIT 10""".stripMargin,
+    "q23_lang_id" ->
+      s"""$tokListCte,
+         |scored AS (SELECT lang,
+         |  len(list_filter(t, x -> list_contains(
+         |    ['the','a','of','and','to','in','is','it','that','for'], x))) AS s_en,
+         |  len(list_filter(t, x -> list_contains(
+         |    ['el','la','de','que','y','en','un','una','los','del'], x))) AS s_es,
+         |  len(list_filter(t, x -> list_contains(
+         |    ['der','die','das','und','ist','von','mit','den','im','ein'], x))) AS s_de,
+         |  len(list_filter(t, x -> list_contains(
+         |    ['le','les','des','et','une','du','est','dans','pour','sur'], x))) AS s_fr,
+         |  len(list_filter(t, x -> list_contains(
+         |    ['de','shi','le','wo','ni','ta','men','zai','you','he'], x))) AS s_zh
+         |  FROM toks),
+         |g AS (SELECT lang,
+         |  CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+         |       WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+         |       WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+         |       WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+         |       WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+         |       WHEN s_zh = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'zh'
+         |       ELSE 'und' END AS guess
+         |  FROM scored)
+         |SELECT lang, guess, count(*) AS doc_cnt FROM g
+         |GROUP BY lang, guess ORDER BY lang, guess""".stripMargin,
+    "q24_quality_score" ->
+      s"""$tokListCte,
+         |m AS (SELECT doc_id, len(t) AS token_cnt,
+         |  length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+         |        / greatest(length(text), 1) AS alnum_ratio,
+         |  length(array_to_string(t, '')) / greatest(len(t), 1)
+         |    AS avg_token_len,
+         |  len(list_filter(t, x -> list_contains(
+         |          ['the','a','of','and','to','in','is','it','that','for'], x)))
+         |        / greatest(len(t), 1) AS stopword_ratio
+         |  FROM toks)
+         |SELECT doc_id, token_cnt, alnum_ratio, avg_token_len, stopword_ratio,
+         |       least(token_cnt / 100.0, 1.0) * 0.4 + alnum_ratio * 0.4
+         |             + stopword_ratio * 0.2 AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "q25_token_stats" ->
+      s"""$tokListCte
+         |SELECT doc_id,
+         |  len(list_filter(string_split_regex(text, '\\s+'),
+         |      x -> length(x) > 0)) AS ws_tokens,
+         |  len(t) AS norm_tokens,
+         |  coalesce(list_sum(list_transform(t, x -> ceil(length(x) / 4.0))),
+         |           0)::BIGINT AS bpe_ish_tokens,
+         |  length(text) AS chars
+         |FROM toks ORDER BY doc_id""".stripMargin,
+    "q26_fingerprint" ->
+      """WITH n AS (SELECT doc_id,
+        |             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+        |               AS norm
+        |           FROM documents),
+        |h AS (SELECT doc_id,
+        |        [('0x' || substr(md5(substr(norm, i, 8)), 1, 15))::BIGINT
+        |         for i in range(1, greatest(length(norm)-7, 1)+1)] AS hs
+        |      FROM n),
+        |w AS (SELECT doc_id, list_distinct(
+        |        [list_aggregate(hs[j:least(j+3, len(hs))], 'min')
+        |         for j in range(1, greatest(len(hs)-3, 1)+1)]) AS fps
+        |      FROM h)
+        |SELECT doc_id, len(fps) AS fp_cnt, list_aggregate(fps, 'min') AS fp_min
+        |FROM w ORDER BY doc_id""".stripMargin,
+    "q27_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |       octet_length(encode(text)) % 320 + 1 AS width,
+        |       (octet_length(encode(text)) * 7) % 240 + 1 AS height,
+        |       3 AS channels, md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+
+/** Deduplication surface for LLM training-data pipelines, over the
+  * `documents` table. Four escalating strategies:
+  *
+  *  - Q15 exact dedup: hash-group on normalized text. One shuffle on the
+  *    normalized string; at 100 TB you'd group on `xxhash64(norm)` +
+  *    verify to keep shuffle rows narrow — semantics identical.
+  *  - Q18 MinHash + LSH: per-doc signatures computed entirely map-side
+  *    (array expressions, zero shuffle), then an LSH band self-join so
+  *    candidate generation is O(candidates), never O(n²).
+  *  - Q19 n-gram Jaccard: exact pairwise Jaccard via an inverted
+  *    shingle→doc join — the classic "similarity join by inverted index"
+  *    that only pairs documents actually sharing a shingle.
+  *  - Q20 SimHash: 32-bit fingerprints as integers; near-dup = small
+  *    hamming distance (pairing left to the caller / Q18-style banding).
+  *
+  * The reference engine has no dedup operator; its closest semantics is the
+  * combiner's per-key value dedup (reference main.c:62-81), which Q15
+  * generalizes from value lists to whole documents.
+  *
+  * All hash material is md5 (hex string) so the DuckDB oracle reproduces
+  * signatures byte-for-byte; ranking/thresholds use rounded doubles only.
+  */
+object DedupQueries {
+
+  /** Q15: exact dedup on normalized text; keep the smallest doc_id per
+    * group (deterministic representative). */
+  def q15ExactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(Text.normalized(col("text")).as("norm"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
+      .select("keep_id", "dup_cnt")
+      .orderBy("keep_id")
+
+  /** MinHash parameters: 16 permutations, 8 bands × 2 rows.
+    * Band threshold ≈ (1/8)^(1/2) ≈ 0.35 — tuned to the corpus, where
+    * max observed Jaccard ≈ 0.5. */
+  val NumHashes = 16
+  val NumBands  = 8
+  val RowsPerBand: Int = NumHashes / NumBands
+
+  /** Per-doc MinHash signature (array of 16 min-md5 hex strings over word
+    * 3-shingles). Pure map-side: no shuffle until LSH banding. */
+  private def signatures(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Text.wordShingles(col("text"), 3).as("sh"))
+      .select(
+        col("doc_id"),
+        transform(sequence(lit(0), lit(NumHashes - 1)),
+          i => array_min(transform(col("sh"),
+            s => md5(concat(i.cast("string"), lit(":"), s))))).as("sig"))
+
+  /** Q18: MinHash LSH candidate pairs with estimated Jaccard.
+    * Shuffles: one on (band_idx, band_hash) for bucketing, one to dedup
+    * pairs — both proportional to candidates, not n². */
+  def q18MinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = signatures(spark, sfDir)
+    val bands = sig.select(
+      col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
+        j => md5(concat_ws(",",
+          slice(col("sig"), j * lit(RowsPerBand) + lit(1), lit(RowsPerBand)))))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+    val a = bands.select(col("doc_id").as("doc_id_1"), col("sig").as("sig1"),
+      col("band_idx"), col("band_hash"))
+    val b = bands.select(col("doc_id").as("doc_id_2"), col("sig").as("sig2"),
+      col("band_idx"), col("band_hash"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .where(col("doc_id_1") < col("doc_id_2"))
+      .select(col("doc_id_1"), col("doc_id_2"),
+        round(size(filter(zip_with(col("sig1"), col("sig2"),
+          (x, y) => x === y), m => m)) / lit(NumHashes.toDouble), 4)
+          .as("est_jaccard"))
+      .distinct()
+      .orderBy("doc_id_1", "doc_id_2")
+  }
+
+  /** Q19: exact n-gram (word 3-shingle) Jaccard ≥ 0.35 via inverted-index
+    * self-join: explode shingles → join on shingle → count common → Jaccard
+    * from per-doc set sizes. Only co-shingled pairs are ever materialized. */
+  def q19NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(Text.wordShingles(col("text"), 3)).as("s"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("doc_id_1"), col("s"))
+      .join(sh.select(col("doc_id").as("doc_id_2"), col("s")), Seq("s"))
+      .where(col("doc_id_1") < col("doc_id_2"))
+      .groupBy("doc_id_1", "doc_id_2").agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_id_1"), col("n").as("n1")), "doc_id_1")
+      .join(sz.select(col("doc_id").as("doc_id_2"), col("n").as("n2")), "doc_id_2")
+      .select(col("doc_id_1"), col("doc_id_2"),
+        round(col("i").cast("double") / (col("n1") + col("n2") - col("i")), 4)
+          .as("jaccard"))
+      .where(col("jaccard") >= 0.35)
+      .orderBy("doc_id_1", "doc_id_2")
+  }
+
+  /** Q20: 32-bit SimHash fingerprint per document, weighted by per-doc
+    * token frequency. Bit b of md5(token) contributes +cnt/-cnt; fingerprint
+    * sets bit b iff the sum is positive. Integer output → exact compare. */
+  def q20Simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      // first 8 md5 hex chars → 32-bit non-negative int
+      .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
+    tok
+      .select(col("doc_id"), col("cnt"),
+        posexplode(transform(sequence(lit(0), lit(31)),
+          b => (col("h") / pow(lit(2.0), b)).cast("long") % 2)))
+      .withColumnRenamed("pos", "b").withColumnRenamed("col", "bit")
+      .groupBy("doc_id", "b")
+      .agg(sum(when(col("bit") === 1, col("cnt")).otherwise(-col("cnt"))).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0,
+        pow(lit(2.0), col("b")).cast("long")).otherwise(0L)).as("simhash"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Vectors
+
+/** Similarity search over the `embeddings` table (`array<float>` ×64).
+  *
+  *  - Q17: brute-force cosine top-k for a fixed query set — the exactness
+  *    baseline. The query side is tiny and broadcast, so the big side
+  *    streams through one scan; cost is O(|queries| × n), never n².
+  *  - Q21: cosine near-duplicate pair join (threshold). Quadratic by
+  *    definition — kept as the exact reference; the scale path is Q22.
+  *  - Q22: SRP-LSH (signed random projections): 8 deterministic
+  *    pseudo-random hyperplanes → 8-bit bucket per vector → exact cosine
+  *    only within buckets. Candidate generation is a hash-partitioned
+  *    equi-join on the bucket id, so at 100 TB it shuffles each vector
+  *    once instead of pairing all of them.
+  *
+  * The reference engine has no vector surface (its only type is the C
+  * string, reference mapreduce.h:30-33); this is north-star extension
+  * surface. Hyperplane weights derive from md5 parity so the DuckDB oracle
+  * rebuilds the exact same planes.
+  */
+object SimilarityQueries {
+
+  private def vecs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+
+  /** Q17: for each query vector (vec_id < 10), the top-10 neighbors by
+    * cosine, rank-ordered. Ranking uses the *rounded* similarity with
+    * neighbor-id tie-break so the result is hash-deterministic. */
+  def q17AnnBrute(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    broadcast(q).join(e, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Vectors.cosineRounded(col("qv"), col("v")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Q21: all near-duplicate pairs with cosine ≥ 0.4 (corpus max ≈ 0.5).
+    * Exact quadratic join — the correctness oracle for Q22's LSH path. */
+  def q21EmbeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = vecs(spark, sfDir)
+      .select(col("vec_id").as("vec_id_1"), col("v").as("v1"))
+    val b = vecs(spark, sfDir)
+      .select(col("vec_id").as("vec_id_2"), col("v").as("v2"))
+    a.join(b, col("vec_id_1") < col("vec_id_2"))
+      .select(col("vec_id_1"), col("vec_id_2"),
+        Vectors.cosineRounded(col("v1"), col("v2")).as("sim"))
+      .where(col("sim") >= 0.4)
+      .orderBy("vec_id_1", "vec_id_2")
+  }
+
+  val NumPlanes = 8
+  val Dims      = 64
+
+  /** Deterministic ±1 hyperplanes: weight(p,d) = +1 iff md5("p_d") has an
+    * odd low hex word. 8 rows of 64 weights — broadcast to every task. */
+  private def planes(spark: SparkSession): DataFrame =
+    spark.range(NumPlanes).select(col("id").as("p"))
+      .crossJoin(spark.range(Dims).select(col("id").as("d")))
+      .select(col("p"), col("d"),
+        when(conv(substring(md5(concat(col("p").cast("string"), lit("_"),
+          col("d").cast("string"))), 1, 8), 16, 10).cast("long") % 2 === 1,
+          lit(1.0)).otherwise(lit(-1.0)).as("w"))
+      .groupBy("p")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("w")))),
+        x => x("w")).as("wv"))
+
+  /** Bucket assignment: bit p = sign of ⟨v, plane_p⟩; bucket = 8-bit int. */
+  def buckets(spark: SparkSession, sfDir: String): DataFrame =
+    vecs(spark, sfDir).crossJoin(broadcast(planes(spark)))
+      .select(col("vec_id"), col("v"), col("p"),
+        (Vectors.dot(col("v"), col("wv")) > 0).as("bit"))
+      .groupBy("vec_id")
+      .agg(
+        sum(when(col("bit"), pow(lit(2.0), col("p")).cast("long"))
+          .otherwise(0L)).as("bucket"),
+        first(col("v")).as("v"))
+
+  /** Q22: approximate near-neighbor pairs — exact cosine evaluated only
+    * for bucket-mates, global top-10 by (rounded sim, ids). */
+  def q22AnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val bk = buckets(spark, sfDir)
+    val a = bk.select(col("bucket"), col("vec_id").as("vec_id_1"),
+      col("v").as("v1"))
+    val b = bk.select(col("bucket"), col("vec_id").as("vec_id_2"),
+      col("v").as("v2"))
+    a.join(b, Seq("bucket"))
+      .where(col("vec_id_1") < col("vec_id_2"))
+      .select(col("vec_id_1"), col("vec_id_2"),
+        Vectors.cosineRounded(col("v1"), col("v2")).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id_1"), asc("vec_id_2"))
+      .limit(10)
+  }
+}

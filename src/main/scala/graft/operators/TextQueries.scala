@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+
+/** Text-analysis surface for LLM training-data pipelines, over the
+  * `documents` table: corpus statistics, heuristic language ID, quality
+  * scoring, token counting, and rolling-hash fingerprinting (winnowing).
+  *
+  * Everything is per-document array-expression work (map-side, codegen'd);
+  * the only shuffles are the final per-lang / per-doc aggregations — the
+  * same shape the reference's tokenizer+combiner pipeline had
+  * (reference main.c:37-81), so this scales like a word count.
+  */
+object TextQueries {
+
+  /** Q16: per-language corpus stats: doc count, avg tokens/doc, distinct
+    * token count. Two aggregations (per-doc sizes need no explode; the
+    * distinct count does) joined on lang. */
+  def q16TextStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"), Text.tokens(col("text")).as("toks"))
+    val perLang = docs.groupBy("lang").agg(
+      count(lit(1)).as("doc_cnt"),
+      round(avg(size(col("toks"))), 2).as("avg_tokens"))
+    val distinctTok = docs
+      .select(col("lang"), explode(col("toks")).as("w"))
+      .groupBy("lang").agg(count_distinct(col("w")).as("distinct_tokens"))
+    perLang.join(distinctTok, "lang").orderBy("lang")
+  }
+
+  /** Marker lexicons for heuristic language ID (tiny, public stopword
+    * lists; ASCII because the tokenizer is ASCII — SURVEY.md §7). */
+  val Lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "del"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "du", "est", "dans", "pour", "sur"),
+    "zh" -> Seq("de", "shi", "le", "wo", "ni", "ta", "men", "zai", "you", "he"))
+
+  /** Count of token instances hitting a marker lexicon. */
+  private def hits(toks: Column, lex: Seq[String]): Column =
+    size(filter(toks, t => array_contains(lit(lex.toArray), t)))
+
+  /** Q23: heuristic language ID — the lexicon with the most token hits wins
+    * (fixed precedence en>es>de>fr>zh on ties, "und" when no hits at all);
+    * reported as a (true lang × guess) confusion matrix. */
+  def q23LangId(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"), Text.tokens(col("text")).as("toks"))
+    val scored = Lexicons.foldLeft(docs) { case (df, (l, lex)) =>
+      df.withColumn(s"s_$l", hits(col("toks"), lex))
+    }
+    val langs = Lexicons.map(_._1)
+    val maxScore = greatest(langs.map(l => col(s"s_$l")): _*)
+    val guess = langs.foldRight(lit("und"): Column) { (l, rest) =>
+      when(col(s"s_$l") === maxScore, lit(l)).otherwise(rest)
+    }
+    scored
+      .withColumn("guess", when(maxScore === 0, lit("und")).otherwise(guess))
+      .groupBy("lang", "guess").agg(count(lit(1)).as("doc_cnt"))
+      .orderBy("lang", "guess")
+  }
+
+  /** Q24: per-doc quality score from length/alnum/stopword signals:
+    * 0.4·min(tokens/100,1) + 0.4·alnum_ratio + 0.2·stopword_ratio.
+    * Deliberately UNROUNDED: every component is an int/int division or a
+    * fixed-order double expression, so both engines produce bit-identical
+    * IEEE doubles — rounding would only reintroduce half-way ties (e.g.
+    * 189/40 = 4.725 rounds differently from its binary value 4.72499…96). */
+  def q24QualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val en = Lexicons.head._2
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("token_cnt"),
+        (length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+          / greatest(length(col("text")), lit(1))).as("alnum_ratio"),
+        (length(array_join(col("toks"), ""))
+          / greatest(size(col("toks")), lit(1))).as("avg_token_len"),
+        (hits(col("toks"), en)
+          / greatest(size(col("toks")), lit(1))).as("stopword_ratio"))
+      .withColumn("quality",
+        least(col("token_cnt") / lit(100.0), lit(1.0)) * 0.4
+          + col("alnum_ratio") * 0.4 + col("stopword_ratio") * 0.2)
+      .orderBy("doc_id")
+  }
+
+  /** Q25: token counting three ways — whitespace tokens, normalized
+    * tokens, and a BPE-ish subword count (⌈len/4⌉ pieces per token, a
+    * stand-in for a real merges table at identical plan shape). */
+  def q25TokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+          .as("ws_tokens"),
+        size(col("toks")).as("norm_tokens"),
+        aggregate(col("toks"), lit(0L),
+          (acc, t) => acc + ceil(length(t) / lit(4.0))).as("bpe_ish_tokens"),
+        length(col("text")).as("chars"))
+      .orderBy("doc_id")
+
+  /** Q26: winnowing fingerprint — 8-char shingles of the normalized text,
+    * hashed to 60-bit ints (md5 prefix), min-hash per sliding window of 4;
+    * a doc's fingerprint set is the distinct window minima (Schleimer et
+    * al., SIGMOD'03). Reported as (count, min) per doc — integer-exact. */
+  def q26Fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = Text.normalized(col("text"))
+    val hashes = transform(
+      sequence(lit(1), greatest(length(norm) - 7, lit(1))),
+      i => conv(substring(md5(norm.substr(i, lit(8))), 1, 15), 16, 10)
+        .cast("long"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), hashes.as("hs"))
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(1), greatest(size(col("hs")) - 3, lit(1))),
+        j => array_min(slice(col("hs"), j, lit(4))))).as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("fp_cnt"),
+        array_min(col("fps")).as("fp_min"))
+      .orderBy("doc_id")
+  }
+}

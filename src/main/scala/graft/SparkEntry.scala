@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.api.SampleJobs
 import graft.operators.{DedupQueries, MultimodalPipeline, ReferenceQueries,
   RelationalQueries, SimilarityQueries, TextQueries}
 
@@ -50,6 +51,7 @@ object SparkEntry {
     "q25_token_stats"   -> (TextQueries.q25TokenStats _),
     "q26_fingerprint"   -> (TextQueries.q26Fingerprint _),
     "q27_multimodal_meta" -> (MultimodalPipeline.q27MultimodalMeta _),
+    "q28_mr_wordcount"  -> (SampleJobs.q28MrWordCount _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -344,5 +346,9 @@ object SparkEntry {
         |       (octet_length(encode(text)) * 7) % 240 + 1 AS height,
         |       3 AS channels, md5(text) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q28_mr_wordcount" ->
+      s"""$tokCte
+         |SELECT word, count(*) AS cnt FROM tok
+         |GROUP BY word ORDER BY word""".stripMargin,
   )
 }

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec, Tables}
+
+/** Operator-level invariants on the sf0.001 tables. Full value-level
+  * correctness is the driver's DuckDB differential gate (tools/selfcheck.py
+  * replicates it); these specs assert the properties that gate can't see —
+  * plan shape, internal consistency, and cross-operator agreement. */
+class OperatorSpec extends SparkSpec {
+
+  test("every declared query runs and is non-empty at sf0.001") {
+    // q9_anti / q12_except are legitimately empty (every customer ordered)
+    val mayBeEmpty = Set("q9_anti_join", "q12_except")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(mayBeEmpty.contains(name) || n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every query has an oracle twin with matching column names") {
+    // driver hash-compare sorts columns by name: names must align exactly
+    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
+  }
+
+  test("flagship entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q10 window rank: exactly one row per customer with orders") {
+    val custs = Tables.orders(spark, sfDir)
+      .select(countDistinct(col("o_custkey"))).collect().head.getLong(0)
+    assert(RelationalQueries.q10WindowTopOrder(spark, sfDir).count() === custs)
+  }
+
+  test("q15 exact dedup groups: sum of dup_cnt equals total docs") {
+    val total = Tables.documents(spark, sfDir).count()
+    val summed = DedupQueries.q15ExactDedup(spark, sfDir)
+      .agg(sum(col("dup_cnt"))).collect().head.getLong(0)
+    assert(summed === total)
+  }
+
+  test("q18 MinHash estimates vs q19 exact Jaccard: bounded estimator error") {
+    val est = DedupQueries.q18MinhashLsh(spark, sfDir)
+      .select(col("doc_id_1"), col("doc_id_2"), col("est_jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = DedupQueries.q19NgramJaccard(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every exact near-dup pair above the LSH design threshold should be a
+    // candidate, and the 16-hash estimate should be within 0.35 of exact
+    exact.filter(_._2 >= 0.5).keys.foreach { pair =>
+      assert(est.contains(pair), s"LSH missed strong pair $pair")
+    }
+    est.foreach { case (pair, e) =>
+      exact.get(pair).foreach(x => assert(math.abs(e - x) <= 0.35,
+        s"pair $pair: est=$e exact=$x"))
+    }
+  }
+
+  test("q20 simhash: near-identical docs differ in few bits") {
+    // dup groups from q15 (same normalized text) must have equal simhash
+    val fp = DedupQueries.q20Simhash(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val groups = Tables.documents(spark, sfDir)
+      .groupBy(graft.functions.Text.normalized(col("text")).as("n"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .collect().map(_.getSeq[Long](1))
+    groups.foreach { ids =>
+      val fps = ids.map(fp)
+      assert(fps.distinct.size === 1,
+        s"dup group $ids has differing simhashes $fps")
+    }
+  }
+
+  test("q21 exact near-dups are all found by q17 brute-force ranking space") {
+    val pairs = SimilarityQueries.q21EmbeddingNearDup(spark, sfDir).count()
+    assert(pairs > 0) // corpus contains planted near-duplicates
+  }
+
+  test("q22 LSH candidates are a subset of exact pair similarities") {
+    val exact = SimilarityQueries.q21EmbeddingNearDup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityQueries.q22AnnLsh(spark, sfDir)
+      .where(col("sim") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("similarity joins use the native codegen cosine (no HOF fallback)") {
+    val plan = SimilarityQueries.q21EmbeddingNearDup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("cosine_similarity"))
+    assert(!plan.contains("zip_with"))
+  }
+
+  test("q5 filter pushes predicates into the parquet scan") {
+    val plan = RelationalQueries.q5FilterAgg(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"expected pushed filters in:\n$plan")
+  }
+
+  test("q6 scan prunes to only referenced lineitem columns") {
+    val scan = RelationalQueries.q6GroupByAgg(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val readSchema = scan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_comment"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("q7 broadcasts the small side of the join") {
+    val plan = RelationalQueries.q7JoinAgg(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join")
+  }
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.api.SampleJobs
 import graft.operators.{DedupQueries, MultimodalPipeline, ReferenceQueries,
   RelationalQueries, SimilarityQueries, TextQueries}
+import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -52,6 +53,9 @@ object SparkEntry {
     "q26_fingerprint"   -> (TextQueries.q26Fingerprint _),
     "q27_multimodal_meta" -> (MultimodalPipeline.q27MultimodalMeta _),
     "q28_mr_wordcount"  -> (SampleJobs.q28MrWordCount _),
+    "q29_stream_time_bucket" -> (EventStreams.q29StreamTimeBucket _),
+    "q30_stream_sessions"    -> (EventStreams.q30StreamSessions _),
+    "q31_stream_first_seen"  -> (EventStreams.q31StreamFirstSeen _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -350,5 +354,34 @@ object SparkEntry {
       s"""$tokCte
          |SELECT word, count(*) AS cnt FROM tok
          |GROUP BY word ORDER BY word""".stripMargin,
+    "q29_stream_time_bucket" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |       event_type, count(*) AS cnt,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q30_stream_sessions" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                ROWS UNBOUNDED PRECEDING) AS sess FROM d)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q31_stream_first_seen" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, event_id, ts,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, event_id AS first_event_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
   )
 }

@@ -37,7 +37,9 @@ object Tables {
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case LongType =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // integer DIV, not `/`: nanos-since-epoch overflows a double's
+        // 53-bit mantissa, so float division is off by ±1 µs
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case _ => df
     }
   }

@@ -1,0 +1,130 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table.
+  *
+  * The reference engine is strictly batch (SURVEY.md §2.8: fixed input
+  * manifest, hard phase barriers, no watermarks or stateful operators), so
+  * everything here is north-star extension surface, built the idiomatic
+  * way: `readStream` file source → event-time transforms with watermarks →
+  * windowed/sessionized/stateful aggregation → `writeStream`.
+  *
+  * Each query runs with `Trigger.AvailableNow` over the finite test
+  * parquet and lands in a memory sink, so the result is deterministic and
+  * the DuckDB oracle can hash-check it — the streaming plan itself is
+  * unchanged for an unbounded source; only the trigger and sink would
+  * differ in production (kafka/files in, a real sink out, append mode with
+  * the same watermarks).
+  */
+object EventStreams {
+
+  /** events.parquet schema as the file stream source must declare it
+    * (streaming sources cannot infer). `ts` arrives as nanos-since-epoch
+    * long (spark.sql.legacy.parquet.nanosAsLong — see GraftSession) and is
+    * normalized to a microsecond timestamp here, like Tables.events. */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
+    // the file stream source wants a directory; pathGlobFilter narrows it
+    // to the events table (in production this would be a landing dir that
+    // new files keep arriving into)
+    spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      // integer DIV, not `/`: nanos-since-epoch overflows a double's
+      // 53-bit mantissa, so float division is off by ±1 µs
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  private val sinkId = new AtomicInteger(0)
+
+  /** Run a finite streaming query to completion into a memory sink and
+    * return the materialized result. */
+  private def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** Q29: the streaming twin of batch q14 — tumbling 1-hour event-time
+    * windows per event type. Watermark bounds state at 1 hour of lateness;
+    * complete output mode because AvailableNow ends before a final
+    * watermark advance would flush the last windows in append mode. */
+  def q29StreamTimeBucket(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+    runToTable(agg, OutputMode.Complete())
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** Q30: event-time sessionization — the built-in `session_window` with a
+    * 30-minute gap (windows merge while events keep arriving within the
+    * gap). Start/end reported from the events themselves (min/max ts), not
+    * the window bounds, whose end includes the gap padding. */
+  def q30StreamSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+    runToTable(agg, OutputMode.Complete())
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .orderBy("user_id", "session_start")
+  }
+
+  // public: encoder codegen (SafeProjection) cannot access private classes
+  case class Ev(event_id: Long, ts: java.sql.Timestamp,
+                user_id: Long, event_type: String)
+  case class FirstSeen(user_id: Long, event_type: String,
+                       first_event_id: Long, first_ts: java.sql.Timestamp)
+
+  /** Q31: custom streaming state via `flatMapGroupsWithState` — first-seen
+    * dedup per (user, event_type): the first event of each pair is emitted,
+    * every later one is dropped by the per-group state. This is the
+    * KeyValueGroupedDataset stateful-operator surface; at scale state lives
+    * in the state store, keyed and incremental. */
+  def q31StreamFirstSeen(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val typed: Dataset[Ev] = eventsStream(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[Ev]
+    val firsts = typed
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[FirstSeen, FirstSeen](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((uid, etype), events, state: GroupState[FirstSeen]) =>
+          if (state.exists) Iterator.empty
+          else {
+            // within one micro-batch the iterator is not time-ordered;
+            // getTime is millis only, so order by (millis, nanos, id)
+            val first = events.minBy(e =>
+              (e.ts.getTime, e.ts.getNanos.toLong, e.event_id))
+            val fs = FirstSeen(uid, etype, first.event_id, first.ts)
+            state.update(fs)
+            Iterator.single(fs)
+          }
+      }
+    runToTable(firsts.toDF(), OutputMode.Append())
+      .select(col("user_id"), col("event_type"), col("first_event_id"),
+        date_format(col("first_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"))
+      .orderBy("user_id", "event_type")
+  }
+}

@@ -1,0 +1,36 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class EventStreamsSpec extends SparkSpec {
+
+  test("streaming time-bucket agrees with the batch q14 pipeline") {
+    val streamed = EventStreams.q29StreamTimeBucket(spark, sfDir)
+      .collect().map(_.toSeq)
+    val batch = graft.operators.RelationalQueries.q14TimeBucket(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("sessions: events in one session are within gap; totals preserved") {
+    val sessions = EventStreams.q30StreamSessions(spark, sfDir).collect()
+    val totalEvents = Tables.events(spark, sfDir).count()
+    assert(sessions.map(_.getLong(3)).sum === totalEvents)
+    // session_start <= session_end always
+    sessions.foreach { r =>
+      assert(r.getString(1) <= r.getString(2))
+    }
+  }
+
+  test("first-seen dedup emits exactly one row per (user, event_type)") {
+    val firsts = EventStreams.q31StreamFirstSeen(spark, sfDir)
+    val pairs = Tables.events(spark, sfDir)
+      .select(countDistinct(col("user_id"), col("event_type")))
+      .collect().head.getLong(0)
+    assert(firsts.count() === pairs)
+    assert(firsts.groupBy("user_id", "event_type").count()
+      .where(col("count") > 1).count() === 0)
+  }
+}

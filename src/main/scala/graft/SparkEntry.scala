@@ -198,13 +198,15 @@ object SparkEntry {
          |         [array_to_string(t[i:least(i+2, len(t))], ' ')
          |          for i in range(1, greatest(len(t)-2, 1)+1)])) AS s
          |       FROM toks),
-         |sig AS (SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS mh
+         |sig AS (SELECT doc_id, i,
+         |               min(('0x' || substr(md5((i // 4)::VARCHAR || ':' || s),
+         |                                   (i % 4) * 8 + 1, 8))::BIGINT) AS mh
          |        FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS i) seeds
          |        GROUP BY doc_id, i),
          |sigarr AS (SELECT doc_id, list(mh ORDER BY i) AS sig
          |           FROM sig GROUP BY doc_id),
          |bands AS (SELECT doc_id, j,
-         |                 md5(array_to_string(sig[j*2+1:j*2+2], ',')) AS bh
+         |                 array_to_string(sig[j*2+1:j*2+2], ',') AS bh
          |          FROM sigarr CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
          |         FROM bands a JOIN bands b

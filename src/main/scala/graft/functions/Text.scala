@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text primitives re-expressing the reference's tokenizer semantics
@@ -44,11 +45,45 @@ object Text {
         i => norm.substr(i, lit(n))))
   }
 
-  /** Word n-gram shingles (n consecutive tokens joined by a space). */
+  /** Word n-gram shingles (n consecutive tokens joined by a space).
+    *
+    * NOTE — interpreted-HOF pitfall: the lambda body captures the whole
+    * `toks` subtree, and higher-order functions re-evaluate their body per
+    * element interpreted, so this costs O(tokens · doc_length) per doc.
+    * Fine for small arrays / one-off use; every hot path should use
+    * [[shingleRows]] instead. */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
     array_distinct(
       transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
         i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+
+  /** Distinct word n-gram shingles as ROWS: (idCol, "s") — the scalable
+    * formulation for dedup/similarity pipelines. Tokenizes each document
+    * exactly once (posexplode), forms n-grams with `lead` windows (all
+    * codegen'd), and dedups with a distinct — versus [[wordShingles]],
+    * whose per-element lambda re-evaluates the tokenizer O(n) times per
+    * document (measured 15× marginal cost at sf0.1).
+    *
+    * Edge parity with the array formulation / DuckDB oracle: a document
+    * shorter than n tokens yields its whole text as one shingle; a
+    * document with no tokens yields the empty-string shingle.
+    */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val byDoc = Window.partitionBy(idCol).orderBy("pos")
+    val toks = docs.select(col(idCol), posexplode(tokens(col(textCol))))
+    val grams = toks
+      .select(col(idCol), col("pos"),
+        concat_ws(" ", (0 until n).map(k =>
+          if (k == 0) col("col") else lead(col("col"), k).over(byDoc)): _*)
+          .as("s"),
+        count(lit(1)).over(Window.partitionBy(idCol)).as("n_toks"))
+      .where(col("pos") <= greatest(col("n_toks") - n, lit(0)))
+      .select(col(idCol), col("s"))
+    val empties = docs
+      .where(size(tokens(col(textCol))) === 0)
+      .select(col(idCol), lit("").as("s"))
+    grams.union(empties).distinct()
   }
 }

@@ -46,36 +46,53 @@ object DedupQueries {
   val NumBands  = 8
   val RowsPerBand: Int = NumHashes / NumBands
 
-  /** Per-doc MinHash signature (array of 16 min-md5 hex strings over word
-    * 3-shingles), computed as explode → groupBy with 16 flat `min`
-    * aggregates. Two reasons this shape, not nested `transform`s:
-    * (a) flat min-aggs run codegen'd with map-side partial aggregation,
-    * while nested HOFs evaluate interpreted; (b) the Aggregate is a
-    * materialization barrier, so downstream banding/join projections bind
-    * to the computed `sig` attribute instead of Catalyst's CollapseProject
-    * inlining (and re-evaluating) the whole tokenize→shingle→hash lineage
-    * per band row and per joined pair (measured 74 s → sub-second on 50
-    * docs). */
+  /** Per-doc MinHash signature (array of 16 long minhashes over word
+    * 3-shingles), computed as shingle rows → groupBy with 16 flat `min`
+    * aggregates. The 16 hash functions are the four 32-bit chunks of four
+    * salted md5s — md5 (the expensive part) runs 4× per shingle, not 16×,
+    * and the chunks are independent bits of a cryptographic hash, so each
+    * behaves as an independent permutation.
+    *
+    * (A cheaper affine family h_i = h1 + i·h2 WITHOUT modular mixing is
+    * statistically broken — as i grows the argmin collapses to the
+    * h2-minimum, so one doc-exclusive shingle with a small h2 wrecks the
+    * whole signature; caught by the estimator-error spec, est 0.125 vs
+    * exact 0.988.)
+    *
+    * Why this shape, not nested `transform`s: (a) flat min-aggs run
+    * codegen'd with map-side partial aggregation, while nested HOFs
+    * evaluate interpreted; (b) the Aggregate is a materialization barrier,
+    * so downstream banding/join projections bind to the computed `sig`
+    * attribute instead of Catalyst's CollapseProject inlining (and
+    * re-evaluating) the whole tokenize→shingle→hash lineage per band row
+    * and per joined pair (measured 74 s → sub-second on 50 docs). */
   private def signatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(Text.wordShingles(col("text"), 3)).as("s"))
-    val minAggs = (0 until NumHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
+    val sh = Text.shingleRows(Tables.documents(spark, sfDir), "doc_id", "text", 3)
+      .select(Seq(col("doc_id")) ++ (0 until NumHashes / 4).map(a =>
+        md5(concat(lit(s"$a:"), col("s"))).as(s"m$a")): _*)
+    val minAggs = (0 until NumHashes).map { i =>
+      val (a, b) = (i / 4, i % 4)
+      min(conv(substring(col(s"m$a"), b * 8 + 1, 8), 16, 10).cast("long"))
+        .as(s"h$i")
+    }
     sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc_id"),
         array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
   /** Q18: MinHash LSH candidate pairs with estimated Jaccard.
-    * Shuffles: one on (band_idx, band_hash) for bucketing, one to dedup
-    * pairs — both proportional to candidates, not n². */
+    * Shuffles: one on (band_idx, band_key) for bucketing, one to dedup
+    * pairs — both proportional to candidates, not n². The band key is the
+    * plain concatenation of the band's minhashes (no extra hashing — it IS
+    * already a hash). */
   def q18MinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val sig = signatures(spark, sfDir)
     val bands = sig.select(
       col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
-        j => md5(concat_ws(",",
-          slice(col("sig"), j * lit(RowsPerBand) + lit(1), lit(RowsPerBand)))))))
+        j => concat_ws(",",
+          transform(slice(col("sig"), j * lit(RowsPerBand) + lit(1),
+            lit(RowsPerBand)), h => h.cast("string"))))))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
     val a = bands.select(col("doc_id").as("doc_id_1"), col("sig").as("sig1"),
@@ -94,14 +111,20 @@ object DedupQueries {
 
   /** Q19: exact n-gram (word 3-shingle) Jaccard ≥ 0.35 via inverted-index
     * self-join: explode shingles → join on shingle → count common → Jaccard
-    * from per-doc set sizes. Only co-shingled pairs are ever materialized. */
+    * from per-doc set sizes. Only co-shingled pairs are ever materialized,
+    * and shingles appearing in a single document are pruned before the
+    * join — they cannot contribute a pair, and in a mostly-unique corpus
+    * they are the overwhelming majority of rows (the standard similarity-
+    * join prune; sf0.1: 16.7 s → the pair join sees only shared shingles).
+    * Set sizes for the denominator come from the unpruned side. */
   def q19NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        explode(Text.wordShingles(col("text"), 3)).as("s"))
+    val sh = Text.shingleRows(Tables.documents(spark, sfDir), "doc_id", "text", 3)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("doc_id_1"), col("s"))
-      .join(sh.select(col("doc_id").as("doc_id_2"), col("s")), Seq("s"))
+    val shared = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df") > 1).select("s")
+    val shHot = sh.join(shared, Seq("s"))
+    val inter = shHot.select(col("doc_id").as("doc_id_1"), col("s"))
+      .join(shHot.select(col("doc_id").as("doc_id_2"), col("s")), Seq("s"))
       .where(col("doc_id_1") < col("doc_id_2"))
       .groupBy("doc_id_1", "doc_id_2").agg(count(lit(1)).as("i"))
     inter

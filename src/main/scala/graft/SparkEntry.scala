@@ -56,6 +56,11 @@ object SparkEntry {
     "q29_stream_time_bucket" -> (EventStreams.q29StreamTimeBucket _),
     "q30_stream_sessions"    -> (EventStreams.q30StreamSessions _),
     "q31_stream_first_seen"  -> (EventStreams.q31StreamFirstSeen _),
+    "q32_json_extract"  -> (RelationalQueries.q32JsonExtract _),
+    "q33_cube"          -> (RelationalQueries.q33Cube _),
+    // q34 is approximate (HLL++): no SQL oracle — rows-only driver check;
+    // the <5% error bound vs exact is asserted in OperatorSpec.
+    "q34_approx_distinct" -> (RelationalQueries.q34ApproxDistinct _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -385,5 +390,17 @@ object SparkEntry {
         |SELECT user_id, event_type, event_id AS first_event_id,
         |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q32_json_extract" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+        |       min(json_extract(props, '$.k')::BIGINT) AS min_k,
+        |       max(json_extract(props, '$.k')::BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q33_cube" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        |       coalesce(o_orderstatus, 'ALL') AS status,
+        |       round(sum(o_totalprice), 2) AS revenue, count(*) AS cnt
+        |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY priority, status""".stripMargin,
   )
 }

@@ -144,4 +144,42 @@ object RelationalQueries {
         col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
       .orderBy("hour", "event_type")
+
+  /** Q32: JSON scalar extraction over events.props (`{"k": <int>}`):
+    * per event_type, stats of the extracted integer. get_json_object is
+    * the codegen'd path-extraction built-in (SURVEY.md §2.10). */
+  def q32JsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** Q33: CUBE over (priority, status) — all four grouping combinations
+    * in one pass (partial aggregates expanded once, not four scans). */
+  def q33Cube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"),
+           count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("revenue"), col("cnt"))
+      .orderBy("priority", "status")
+
+  /** Q34: HyperLogLog++ distinct-count sketch per nation (the sketch the
+    * reference could never afford to build exactly at 100 TB: constant
+    * memory, one pass, mergeable across partitions). Approximate by
+    * nature → no SQL oracle; the spec asserts <5% error vs exact. */
+  def q34ApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
+           count(lit(1)).as("order_cnt"))
+      .orderBy("c_nationkey")
 }

@@ -19,9 +19,13 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
-  test("every query has an oracle twin with matching column names") {
-    // driver hash-compare sorts columns by name: names must align exactly
-    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
+  test("every query has an oracle twin (approximate sketches excepted)") {
+    // driver hash-compare sorts columns by name: names must align exactly.
+    // q34 is HLL++ — approximate by design, rows-only driver check.
+    val approximate = Set("q34_approx_distinct")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+      === approximate)
   }
 
   test("flagship entry returns rows (driver smoke contract)") {
@@ -93,6 +97,22 @@ class OperatorSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("cosine_similarity"))
     assert(!plan.contains("zip_with"))
+  }
+
+  test("q34 HLL approx distinct is within 5% of exact per group") {
+    val approx = RelationalQueries.q34ApproxDistinct(spark, sfDir)
+      .collect().map(r => r.get(0).toString.toLong -> r.getLong(1)).toMap
+    val exact = Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(countDistinct(col("o_custkey")).as("d"))
+      .collect().map(r => r.get(0).toString.toLong -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e) <= math.max(1L, (e * 0.05).toLong),
+        s"nation $k: approx=${approx(k)} exact=$e")
+    }
   }
 
   test("q5 filter pushes predicates into the parquet scan") {

@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.api.SampleJobs
-import graft.operators.{DedupQueries, MultimodalPipeline, ReferenceQueries,
-  RelationalQueries, SimilarityQueries, TextQueries}
+import graft.operators.{AsofJoin, DedupQueries, MultimodalPipeline,
+  ReferenceQueries, RelationalQueries, SimilarityQueries, TextQueries}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -61,6 +61,12 @@ object SparkEntry {
     // q34 is approximate (HLL++): no SQL oracle — rows-only driver check;
     // the <5% error bound vs exact is asserted in OperatorSpec.
     "q34_approx_distinct" -> (RelationalQueries.q34ApproxDistinct _),
+    "q35_window_analytics" -> (RelationalQueries.q35WindowAnalytics _),
+    "q36_asof_join"     -> (AsofJoin.q36AsofJoin _),
+    "q37_frame_sample"  -> (MultimodalPipeline.q37FrameSample _),
+    // q38's float feature math isn't portably SQL-expressible: rows-only
+    // driver check; unit-norm and determinism asserted in OperatorSpec.
+    "q38_embed_stub"    -> (MultimodalPipeline.q38EmbedStub _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -402,5 +408,40 @@ object SparkEntry {
         |       round(sum(o_totalprice), 2) AS revenue, count(*) AS cnt
         |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
         |ORDER BY priority, status""".stripMargin,
+    "q35_window_analytics" ->
+      """SELECT user_id, event_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |       epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS micros_since_prev,
+        |       lead(event_id, 1) OVER w AS next_event_id,
+        |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS UNBOUNDED PRECEDING), 2) AS running_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q36_asof_join" ->
+      """WITH clicks AS (SELECT user_id, ts, event_id, value FROM events
+        |               WHERE event_type = 'click'),
+        |v AS (SELECT user_id, ts, event_id AS view_event_id,
+        |             value AS view_value
+        |      FROM events WHERE event_type = 'view')
+        |SELECT c.user_id,
+        |       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |       c.event_id, view_event_id, view_value
+        |FROM clicks c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND v.ts <= c.ts
+        |ORDER BY c.user_id, ts, c.event_id""".stripMargin,
+    "q37_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, least(8, greatest(1, length(text) // 64))))
+        |           AS frame_idx
+        |  FROM documents),
+        |s AS (SELECT doc_id, frame_idx::INT AS frame_idx,
+        |             (frame_idx * 64)::INT AS byte_offset,
+        |             substr(text, frame_idx * 64 + 1, 64) AS frame
+        |      FROM f)
+        |SELECT doc_id, frame_idx, byte_offset,
+        |       length(frame)::INT AS frame_len, md5(frame) AS frame_md5
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

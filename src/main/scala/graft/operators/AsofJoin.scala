@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** As-of (most-recent-at-or-before) join — an operator Spark lacks as a
+  * built-in (SURVEY.md custom-operator guidance: compose existing ops when
+  * semantics allow, and they do here).
+  *
+  * Implementation is the union-and-carry-forward composition, NOT a range
+  * join: tag both inputs, union them, and within each key carry the latest
+  * right-side row forward with `last(ignoreNulls) over (rows unbounded
+  * preceding)`. One shuffle on the key, one sort — O(n log n) per key
+  * group — where the naive `left.ts >= right.ts` range join materializes
+  * O(n·m) pairs per key before aggregation. At 100 TB the range join is a
+  * non-starter; this shape is how kdb/Flink/QuestDB implement asof.
+  *
+  * Tie rule: a right row at exactly left.ts matches (at-or-before); among
+  * right rows with equal ts the one with the larger tiebreak column wins
+  * (deterministic; DuckDB's ASOF JOIN keys on ts only, so the test oracle
+  * uses a unique-ts right side).
+  */
+object AsofJoin {
+
+  /** Left rows get the most recent right row (per `key`) with
+    * right.`ts` <= left.`ts`. Right value columns come back null when no
+    * right row precedes the left row. */
+  def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
+           rightCols: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    def nullOfType(df: DataFrame, c: String): Column =
+      lit(null).cast(df.schema(c).dataType)
+    // tag and align schemas: left rows sort after right rows at equal ts
+    val l = left.select(
+      Seq(col(key), col(ts), lit(1).as("__side")) ++
+        lCols.filterNot(Set(key, ts)).map(col) ++
+        rightCols.map(c => nullOfType(right, c).as(s"__r_$c")): _*)
+    val r = right.select(
+      Seq(col(key), col(ts), lit(0).as("__side")) ++
+        lCols.filterNot(Set(key, ts)).map(c => nullOfType(left, c).as(c)) ++
+        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+    // right rows sort before left rows at equal ts (at-or-before matches);
+    // among right rows with equal ts, the first right column breaks the
+    // tie so the carried value is deterministic
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("__side").asc,
+        col(s"__r_${rightCols.head}").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"__c_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.where(col("__side") === 1)
+      .select(lCols.map(col) ++
+        rightCols.map(c => col(s"__c_$c").as(c)): _*)
+  }
+
+  /** Q36: each click event joined to the user's most recent view event at
+    * or before it (classic attribution). */
+  def q36AsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("view_event_id"),
+        col("value").as("view_value"))
+    asof(clicks, views, "user_id", "ts",
+      Seq("view_event_id", "view_value"))
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("event_id"), col("view_event_id"), col("view_value"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+}

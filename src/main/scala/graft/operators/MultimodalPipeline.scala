@@ -2,7 +2,7 @@ package graft.operators
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -60,6 +60,65 @@ object MultimodalPipeline {
     mediaTable(spark, sfDir).as[MediaRecord]
       .mapPartitions(batch => batch.map(decodeStub))
       .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** One sampled frame: parent doc, frame index, byte offset, and the
+    * frame's own payload slice (what a video pipeline hands to the
+    * per-frame model). */
+  final case class Frame(doc_id: Long, frame_idx: Int, byte_offset: Int,
+                         frame_bytes: Array[Byte])
+
+  /** Frames every `stride` bytes, up to `maxFrames` — the frame-sampling
+    * plumbing of a video pipeline (seek table stands in for real codec
+    * keyframe offsets). Emission is a per-partition iterator: one input
+    * record fans out to ≤ maxFrames rows without materializing the whole
+    * partition. */
+  def sampleFrames(spark: SparkSession, sfDir: String,
+                   stride: Int = 64, maxFrames: Int = 8): Dataset[Frame] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        val n = math.min(maxFrames, math.max(1, r.payload.length / stride))
+        (0 until n).iterator.map { i =>
+          val off = i * stride
+          val end = math.min(off + stride, r.payload.length)
+          Frame(r.doc_id, i, off, r.payload.slice(off, end))
+        }
+      })
+  }
+
+  /** Q37: frame sampling + per-frame feature extraction (stub: frame
+    * length and md5 of the slice). The real pipeline swaps the md5 for a
+    * JNI decoder + model call; plan shape (scan → narrow fan-out →
+    * columnar features → relational ops downstream) is identical. */
+  def q37FrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    sampleFrames(spark, sfDir)
+      .map { f =>
+        val md = MessageDigest.getInstance("MD5")
+        (f.doc_id, f.frame_idx, f.byte_offset, f.frame_bytes.length,
+          md.digest(f.frame_bytes).map("%02x".format(_)).mkString)
+      }
+      .toDF("doc_id", "frame_idx", "byte_offset", "frame_len", "frame_md5")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Embedding-extraction stub: payload → deterministic feature vector
+    * (byte histogram over 16 buckets, L2-normalized) as `array<float>` —
+    * the column type the similarity operators (q17/q21/q22) consume. The
+    * production version replaces the histogram with a model forward pass;
+    * everything downstream (schema, joins, ANN) is unchanged. */
+  def q38EmbedStub(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).as[MediaRecord]
+      .map { r =>
+        val hist = new Array[Float](16)
+        r.payload.foreach(b => hist((b & 0xff) / 16) += 1f)
+        val norm = math.sqrt(hist.map(x => x.toDouble * x).sum).max(1e-9)
+        (r.doc_id, hist.map(x => (x / norm).toFloat))
+      }
+      .toDF("doc_id", "embedding")
       .orderBy("doc_id")
   }
 }

@@ -182,4 +182,22 @@ object RelationalQueries {
       .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
            count(lit(1)).as("order_cnt"))
       .orderBy("c_nationkey")
+
+  /** Q35: analytic windows — per user ordered by time: previous/next event
+    * gap and running value sum. One shuffle on user_id serves all three
+    * window functions (same partitioning+ordering → one Window exec). */
+  def q35WindowAnalytics(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .select(
+        col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        (unix_micros(col("ts"))
+          - lag(unix_micros(col("ts")), 1).over(w)).as("micros_since_prev"),
+        lead(col("event_id"), 1).over(w).as("next_event_id"),
+        round(sum(col("value")).over(run), 2).as("running_value"))
+      .orderBy("user_id", "ts", "event_id")
+  }
 }

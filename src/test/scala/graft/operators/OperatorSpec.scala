@@ -19,13 +19,51 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
-  test("every query has an oracle twin (approximate sketches excepted)") {
+  test("every query has an oracle twin (non-SQL-expressible ops excepted)") {
     // driver hash-compare sorts columns by name: names must align exactly.
-    // q34 is HLL++ — approximate by design, rows-only driver check.
-    val approximate = Set("q34_approx_distinct")
+    // q34 is approximate (HLL++); q38 is float feature math — both get the
+    // weaker rows-only driver check and dedicated specs here instead.
+    val rowsOnly = Set("q34_approx_distinct", "q38_embed_stub")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-      === approximate)
+      === rowsOnly)
+  }
+
+  test("q36 asof join: every match is the latest view at or before the click") {
+    import spark.implicits._
+    val got = AsofJoin.q36AsofJoin(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.where(col("event_type") === "click").count()
+    assert(got.count() === clicks) // left join: one row per click
+    // spot-verify semantics on one user via a collect
+    val u = got.where(col("view_event_id").isNotNull)
+      .select("user_id").as[Long].head()
+    val views = ev.where(col("event_type") === "view" && col("user_id") === u)
+      .select(col("ts"), col("event_id")).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+    got.where(col("user_id") === u && col("view_event_id").isNotNull)
+      .collect().foreach { r =>
+        val clickTs = java.sql.Timestamp.valueOf(r.getString(1)).getTime
+        val matched = r.getLong(3)
+        val best = views.filter(_._1 <= clickTs).maxBy(v => (v._1, v._2))
+        assert(matched === best._2,
+          s"user $u click@$clickTs matched $matched, expected ${best._2}")
+      }
+  }
+
+  test("q38 embeddings are unit-norm, deterministic, similarity-ready") {
+    val a = MultimodalPipeline.q38EmbedStub(spark, sfDir).collect()
+    val b = MultimodalPipeline.q38EmbedStub(spark, sfDir).collect()
+    assert(a.map(_.getLong(0)).toSeq === b.map(_.getLong(0)).toSeq)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getSeq[Float](1) === y.getSeq[Float](1))
+    }
+    a.foreach { r =>
+      val v = r.getSeq[Float](1)
+      assert(v.length === 16)
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-3, s"norm=$norm")
+    }
   }
 
   test("flagship entry returns rows (driver smoke contract)") {

@@ -19,6 +19,9 @@ object GraftSession {
     val b = SparkSession.builder().appName(appName)
     master.foreach(b.master)
     val spark = b
+      // static conf: bucketed-table warehouse outside the repo tree
+      .config("spark.sql.warehouse.dir",
+        sys.props("java.io.tmpdir") + "/graft-warehouse")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

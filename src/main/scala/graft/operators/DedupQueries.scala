@@ -120,9 +120,13 @@ object DedupQueries {
   def q19NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = Text.shingleRows(Tables.documents(spark, sfDir), "doc_id", "text", 3)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shared = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      .where(col("df") > 1).select("s")
-    val shHot = sh.join(shared, Seq("s"))
+    // document-frequency prune via count-over-window, not groupBy+join:
+    // the window shuffles sh on s exactly once, and both sides of the
+    // self-join below descend from that same exchange (ReuseExchange) —
+    // the groupBy+semi-join formulation costs two extra shuffles
+    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    val shHot = sh.withColumn("df", count(lit(1)).over(byShingle))
+      .where(col("df") > 1).select("doc_id", "s")
     val inter = shHot.select(col("doc_id").as("doc_id_1"), col("s"))
       .join(shHot.select(col("doc_id").as("doc_id_2"), col("s")), Seq("s"))
       .where(col("doc_id_1") < col("doc_id_2"))

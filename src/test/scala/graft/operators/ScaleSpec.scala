@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Scale-technique demonstrations: salting for skew, bucketing for
+  * co-located (shuffle-free) joins, exchange reuse in self-joins. */
+class ScaleSpec extends SparkSpec {
+
+  test("salted join returns exactly the plain join's rows") {
+    val orders = Tables.orders(spark, sfDir)
+    val customer = Tables.customer(spark, sfDir)
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(customer, Seq("o_custkey"))
+      .groupBy("c_mktsegment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = SkewJoin.saltedJoin(
+      orders, customer, "o_custkey",
+      buckets = 8, bigSalt = SkewJoin.salt(8, col("o_orderkey")))
+      .groupBy("c_mktsegment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+  }
+
+  test("salt is deterministic and spread over all buckets") {
+    val s = Tables.orders(spark, sfDir)
+      .select(SkewJoin.salt(8, col("o_orderkey")).as("salt"))
+    val a = s.groupBy("salt").count().collect()
+      .map(r => r.get(0).toString.toInt -> r.getLong(1)).toMap
+    assert(a.keySet === (0 until 8).toSet) // every bucket hit
+    val b = s.groupBy("salt").count().collect()
+      .map(r => r.get(0).toString.toInt -> r.getLong(1)).toMap
+    assert(a === b) // stable across re-execution (retry safety)
+  }
+
+  test("bucketed tables co-locate the join: no exchange in the plan") {
+    // the in-memory catalog resets per JVM but the warehouse dir persists:
+    // clear both so saveAsTable never sees a stale location
+    Seq("orders_b", "customer_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir") + s"/graft-warehouse/$t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      if (dir.exists) rm(dir)
+    }
+    Tables.orders(spark, sfDir)
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("orders_b")
+    Tables.customer(spark, sfDir)
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("customer_b")
+    val joined = spark.table("orders_b")
+      .join(spark.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+    // bucket-pruned scan: the join itself introduces no shuffle
+    val upToAgg = joined.queryExecution.executedPlan.toString
+    val joinSection = upToAgg.split("HashAggregate").last
+    assert(!joinSection.contains("Exchange hashpartitioning"),
+      s"expected shuffle-free bucketed join:\n$upToAgg")
+    // and it returns the same result as the plain join
+    val plain = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(joined.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      === plain)
+  }
+
+  test("q19 self-join reuses one exchange for both sides") {
+    val df = DedupQueries.q19NgramJaccard(spark, sfDir)
+    df.collect() // AQE materializes stages; reuse shows post-execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"expected ReusedExchange in q19 plan:\n${plan.take(4000)}")
+  }
+}

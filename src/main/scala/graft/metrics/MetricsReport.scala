@@ -80,6 +80,10 @@ final class MetricsReport extends SparkListener {
   /** Tasks observed so far (listener bus is async — poll before report). */
   def tasksSeen: Long = tasks.get()
 
+  /** Shuffle records written so far — the reference's emitted-pairs
+    * counter (its combiner experiment compares exactly this). */
+  def shuffleWriteRecordsSeen: Long = shuffleWriteRecords.sum()
+
   /** Stable-ordered text report (the metrics_report.txt analog). */
   def report(): String = {
     val sb = new StringBuilder

@@ -17,6 +17,7 @@ object GraftSession {
              master: Option[String] = None,
              shufflePartitions: Int = 32): SparkSession = {
     val b = SparkSession.builder().appName(appName)
+      .withExtensions(new GraftExtensions)
     master.foreach(b.master)
     val spark = b
       // static conf: bucketed-table warehouse outside the repo tree

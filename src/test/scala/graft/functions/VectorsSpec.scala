@@ -60,6 +60,15 @@ class VectorsSpec extends SparkSpec {
     assert(math.abs(interp - runPair(a, b, Vectors.cosine)) < 1e-15)
   }
 
+  test("SQL front-end resolves the registered native functions") {
+    val r = spark.sql(
+      """SELECT vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c
+        |""".stripMargin).collect().head
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getDouble(1) === 1.0)
+  }
+
   test("float->double cast is exact before arithmetic") {
     val df = Seq(Seq(0.1f, 0.2f)).toDF("v")
       .select(Vectors.asDouble(col("v")).as("d"))

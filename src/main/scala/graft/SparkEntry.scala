@@ -67,6 +67,7 @@ object SparkEntry {
     // q38's float feature math isn't portably SQL-expressible: rows-only
     // driver check; unit-norm and determinism asserted in OperatorSpec.
     "q38_embed_stub"    -> (MultimodalPipeline.q38EmbedStub _),
+    "q39_ann_ivf"       -> (SimilarityQueries.q39AnnIvf _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -430,6 +431,31 @@ object SparkEntry {
         |FROM clicks c ASOF LEFT JOIN v
         |  ON c.user_id = v.user_id AND v.ts <= c.ts
         |ORDER BY c.user_id, ts, c.event_id""".stripMargin,
+    "q39_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+        |asg AS (SELECT vec_id, v, cell FROM (
+        |   SELECT e.vec_id, e.v, c.cell,
+        |          row_number() OVER (PARTITION BY e.vec_id
+        |            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell)
+        |            AS rk
+        |   FROM e CROSS JOIN cents c) t WHERE rk = 1),
+        |probes AS (SELECT query_id, qv, cell FROM (
+        |   SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+        |          row_number() OVER (PARTITION BY q.vec_id
+        |            ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cell)
+        |            AS rk
+        |   FROM e q CROSS JOIN cents c WHERE q.vec_id < 10) t WHERE rk <= 2),
+        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+        |                round(list_cosine_similarity(p.qv, a.v), 4) AS sim
+        |         FROM probes p JOIN asg a ON a.cell = p.cell
+        |         WHERE a.vec_id <> p.query_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |             row_number() OVER (PARTITION BY query_id
+        |               ORDER BY sim DESC, neighbor_id) AS "rank"
+        |      FROM cand)
+        |SELECT query_id, neighbor_id, sim, "rank" FROM r WHERE "rank" <= 10
+        |ORDER BY query_id, "rank"""".stripMargin,
     "q37_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, text,

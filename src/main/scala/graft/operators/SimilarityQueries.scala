@@ -89,6 +89,55 @@ object SimilarityQueries {
           .otherwise(0L)).as("bucket"),
         first(col("v")).as("v"))
 
+  val NumCells = 16
+  val NProbe   = 2
+
+  /** IVF (inverted-file) coarse quantizer: the first NumCells vectors act
+    * as fixed centroids (deterministic — a production build would run
+    * k-means once and broadcast the codebook; the index structure and the
+    * query path are identical). Every vector lands in the cell of its
+    * most-similar centroid. */
+  private def cells(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val cents = e.where(col("vec_id") < NumCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cell"),
+        Vectors.cosine(col("v"), col("cv")).as("csim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cell"))))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("cell"))
+  }
+
+  /** Q39: ANN via IVF — queries probe their NProbe nearest cells and rank
+    * exact cosine only within those cells. The cell join is a
+    * hash-partitioned equi-join on the cell id: each indexed vector
+    * shuffles once, queries replicate NProbe times — at 100 TB the scan
+    * per query touches NProbe/NumCells of the index instead of all of it. */
+  def q39AnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val cents = e.where(col("vec_id") < NumCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    val probes = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("cell"),
+        Vectors.cosine(col("qv"), col("cv")).as("csim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("csim"), asc("cell"))))
+      .where(col("rk") <= NProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    probes.join(cells(spark, sfDir), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Vectors.cosineRounded(col("qv"), col("v")).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))))
+      .where(col("rank") <= 10)
+      .orderBy("query_id", "rank")
+  }
+
   /** Q22: approximate near-neighbor pairs — exact cosine evaluated only
     * for bucket-mates, global top-10 by (rounded sim, ids). */
   def q22AnnLsh(spark: SparkSession, sfDir: String): DataFrame = {

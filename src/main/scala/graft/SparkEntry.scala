@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.api.SampleJobs
 import graft.operators.{AsofJoin, DedupQueries, MultimodalPipeline,
-  ReferenceQueries, RelationalQueries, SimilarityQueries, TextQueries}
+  RangeJoin, ReferenceQueries, RelationalQueries, SimilarityQueries,
+  TextQueries}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -68,6 +69,7 @@ object SparkEntry {
     // driver check; unit-norm and determinism asserted in OperatorSpec.
     "q38_embed_stub"    -> (MultimodalPipeline.q38EmbedStub _),
     "q39_ann_ivf"       -> (SimilarityQueries.q39AnnIvf _),
+    "q40_range_join"    -> (RangeJoin.q40RangeJoin _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -456,6 +458,17 @@ object SparkEntry {
         |      FROM cand)
         |SELECT query_id, neighbor_id, sim, "rank" FROM r WHERE "rank" <= 10
         |ORDER BY query_id, "rank"""".stripMargin,
+    "q40_range_join" ->
+      """WITH e AS (SELECT event_id, ts FROM events
+        |           WHERE event_type = 'error'),
+        |c AS (SELECT ts AS click_ts, value AS click_value FROM events
+        |      WHERE event_type = 'click')
+        |SELECT e.event_id,
+        |       count(c.click_ts) AS clicks_before,
+        |       round(coalesce(sum(c.click_value), 0), 2) AS click_value_sum
+        |FROM e LEFT JOIN c
+        |  ON c.click_ts > e.ts - INTERVAL 1 MINUTE AND c.click_ts <= e.ts
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
     "q37_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, text,

@@ -73,6 +73,14 @@ class ScaleSpec extends SparkSpec {
       === plain)
   }
 
+  test("bucketized range join plans as a hash join, not nested-loop") {
+    val plan = RangeJoin.q40RangeJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to nested loop:\n${plan.take(3000)}")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
+  }
+
   test("q19 self-join reuses one exchange for both sides") {
     val df = DedupQueries.q19NgramJaccard(spark, sfDir)
     df.collect() // AQE materializes stages; reuse shows post-execution

@@ -70,6 +70,8 @@ object SparkEntry {
     "q38_embed_stub"    -> (MultimodalPipeline.q38EmbedStub _),
     "q39_ann_ivf"       -> (SimilarityQueries.q39AnnIvf _),
     "q40_range_join"    -> (RangeJoin.q40RangeJoin _),
+    "q41_resize"        -> ((s: SparkSession, d: String) =>
+      MultimodalPipeline.q41Resize(s, d)),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -469,6 +471,19 @@ object SparkEntry {
         |FROM e LEFT JOIN c
         |  ON c.click_ts > e.ts - INTERVAL 1 MINUTE AND c.click_ts <= e.ts
         |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
+    "q41_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |             octet_length(encode(text)) % 320 + 1 AS width,
+        |             (octet_length(encode(text)) * 7) % 240 + 1 AS height
+        |           FROM documents),
+        |s AS (SELECT doc_id, width, height,
+        |        least(1000, least(64 * 1000 // width, 64 * 1000 // height))
+        |          AS scale_milli
+        |      FROM m)
+        |SELECT doc_id, width, height, scale_milli,
+        |       greatest(1, width * scale_milli // 1000) AS out_width,
+        |       greatest(1, height * scale_milli // 1000) AS out_height
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q37_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, text,

@@ -104,6 +104,28 @@ object MultimodalPipeline {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Resize stub: scale the decoded dimensions to fit a bounding box,
+    * preserving aspect ratio (integer arithmetic only, so the DuckDB
+    * oracle reproduces it exactly). A real pipeline would transform the
+    * pixel buffer here; the metadata contract downstream is identical. */
+  def q41Resize(spark: SparkSession, sfDir: String,
+                maxW: Int = 64, maxH: Int = 64): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val m = decodeStub(r)
+        // scale = min(maxW/w, maxH/h) in 1/1000ths, capped at 1000 (never
+        // upscale); integer math keeps both engines bit-identical
+        val scaleMilli = math.min(1000L,
+          math.min(maxW * 1000L / m.width, maxH * 1000L / m.height))
+        val outW = math.max(1L, m.width * scaleMilli / 1000L)
+        val outH = math.max(1L, m.height * scaleMilli / 1000L)
+        (m.doc_id, m.width, m.height, scaleMilli, outW, outH)
+      })
+      .toDF("doc_id", "width", "height", "scale_milli", "out_width", "out_height")
+      .orderBy("doc_id")
+  }
+
   /** Embedding-extraction stub: payload → deterministic feature vector
     * (byte histogram over 16 buckets, L2-normalized) as `array<float>` —
     * the column type the similarity operators (q17/q21/q22) consume. The

@@ -111,24 +111,21 @@ object DedupQueries {
 
   /** Q19: exact n-gram (word 3-shingle) Jaccard ≥ 0.35 via inverted-index
     * self-join: explode shingles → join on shingle → count common → Jaccard
-    * from per-doc set sizes. Only co-shingled pairs are ever materialized,
-    * and shingles appearing in a single document are pruned before the
-    * join — they cannot contribute a pair, and in a mostly-unique corpus
-    * they are the overwhelming majority of rows (the standard similarity-
-    * join prune; sf0.1: 16.7 s → the pair join sees only shared shingles).
-    * Set sizes for the denominator come from the unpruned side. */
+    * from per-doc set sizes. Only co-shingled pairs are ever materialized.
+    *
+    * Measured and rejected: pruning single-document shingles before the
+    * join (the standard similarity-join optimization for mostly-unique
+    * corpora). This corpus has a ~31-word vocabulary, so virtually every
+    * shingle is shared — the prune removed almost nothing and its extra
+    * shuffle (or window sort) cost 1.5-7× (A/B at sf0.1: no-prune 3.2 s
+    * stable; window-prune 5.8-10.9 s; groupBy-prune 4.7-23.8 s). On a
+    * sparse real-world corpus add the `df > 1` filter back — the pair
+    * join's input, not this operator's shape, is what explodes. */
   def q19NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = Text.shingleRows(Tables.documents(spark, sfDir), "doc_id", "text", 3)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // document-frequency prune via count-over-window, not groupBy+join:
-    // the window shuffles sh on s exactly once, and both sides of the
-    // self-join below descend from that same exchange (ReuseExchange) —
-    // the groupBy+semi-join formulation costs two extra shuffles
-    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy("s")
-    val shHot = sh.withColumn("df", count(lit(1)).over(byShingle))
-      .where(col("df") > 1).select("doc_id", "s")
-    val inter = shHot.select(col("doc_id").as("doc_id_1"), col("s"))
-      .join(shHot.select(col("doc_id").as("doc_id_2"), col("s")), Seq("s"))
+    val inter = sh.select(col("doc_id").as("doc_id_1"), col("s"))
+      .join(sh.select(col("doc_id").as("doc_id_2"), col("s")), Seq("s"))
       .where(col("doc_id_1") < col("doc_id_2"))
       .groupBy("doc_id_1", "doc_id_2").agg(count(lit(1)).as("i"))
     inter

@@ -81,7 +81,7 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
   }
 
-  test("q19 self-join reuses one exchange for both sides") {
+  test("q19 self-join reuses exchanges between its identical sides") {
     val df = DedupQueries.q19NgramJaccard(spark, sfDir)
     df.collect() // AQE materializes stages; reuse shows post-execution
     val plan = df.queryExecution.executedPlan.toString

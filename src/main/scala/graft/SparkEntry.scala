@@ -72,6 +72,9 @@ object SparkEntry {
     "q40_range_join"    -> (RangeJoin.q40RangeJoin _),
     "q41_resize"        -> ((s: SparkSession, d: String) =>
       MultimodalPipeline.q41Resize(s, d)),
+    // q42 is iterative label propagation: no single-statement SQL oracle —
+    // rows-only driver check; a JVM union-find differential spec covers it.
+    "q42_dup_clusters"  -> (DedupQueries.q42DupClusters _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:

@@ -162,4 +162,57 @@ object DedupQueries {
           .reduce(_ + _).as("simhash"))
       .orderBy("doc_id")
   }
+
+  /** Q42: duplicate CLUSTERS — connected components over the near-dup
+    * edge set (exact-dup edges ∪ MinHash pairs with est ≥ 0.5), by
+    * iterative min-label propagation: every doc starts labeled with its
+    * own id; each round every node takes the min label in its closed
+    * neighborhood; fixed point = each component labeled by its smallest
+    * doc_id. Each round is one join + one aggregate (all shuffles on
+    * doc_id); rounds needed = graph diameter, checked by a driver-side
+    * convergence loop — the same frontier pattern GraphX/GraphFrames CC
+    * uses. Dup groups are tiny cliques (diameter ≤ 2 here), so this
+    * converges in 2-3 rounds; the cap bounds adversarial chains.
+    *
+    * Output: one row per document in a non-singleton cluster:
+    * (doc_id, cluster = min doc_id of its component). */
+  def q42DupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val near = q18MinhashLsh(spark, sfDir)
+      .where(col("est_jaccard") >= 0.5)
+      .select(col("doc_id_1"), col("doc_id_2"))
+    val exact = Tables.documents(spark, sfDir)
+      .groupBy(Text.normalized(col("text")).as("norm"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("doc_id_1"),
+        array_min(col("ids")).as("doc_id_2"))
+      .where(col("doc_id_1") =!= col("doc_id_2"))
+    val edges = near.union(exact)
+      .union(near.select(col("doc_id_2").as("doc_id_1"),
+        col("doc_id_1").as("doc_id_2")))
+      .union(exact.select(col("doc_id_2").as("doc_id_1"),
+        col("doc_id_1").as("doc_id_2")))
+      .distinct()
+      .localCheckpoint() // sever lineage: edges feed every iteration
+    var labels = edges.select(col("doc_id_1").as("doc_id"))
+      .distinct().withColumn("label", col("doc_id"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 10) {
+      val next = labels
+        .join(edges, col("doc_id") === col("doc_id_1"), "left")
+        .join(labels.select(col("doc_id").as("doc_id_2"),
+          col("label").as("nbr_label")), Seq("doc_id_2"), "left")
+        .groupBy("doc_id")
+        .agg(least(min(col("label")), coalesce(min(col("nbr_label")),
+          min(col("label")))).as("label"))
+        .localCheckpoint() // iterative: keep the plan from growing
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .where(col("label") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster"))
+      .orderBy("doc_id")
+  }
 }

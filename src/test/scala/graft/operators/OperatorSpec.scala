@@ -23,7 +23,8 @@ class OperatorSpec extends SparkSpec {
     // driver hash-compare sorts columns by name: names must align exactly.
     // q34 is approximate (HLL++); q38 is float feature math — both get the
     // weaker rows-only driver check and dedicated specs here instead.
-    val rowsOnly = Set("q34_approx_distinct", "q38_embed_stub")
+    val rowsOnly = Set("q34_approx_distinct", "q38_embed_stub",
+      "q42_dup_clusters")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
       === rowsOnly)
@@ -135,6 +136,34 @@ class OperatorSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("cosine_similarity"))
     assert(!plan.contains("zip_with"))
+  }
+
+  test("q42 clusters match a union-find over the same edge set") {
+    // rebuild the edge set exactly as q42 does, then union-find locally
+    val near = DedupQueries.q18MinhashLsh(spark, sfDir)
+      .where(col("est_jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exactGroups = Tables.documents(spark, sfDir)
+      .groupBy(graft.functions.Text.normalized(col("text")).as("n"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .collect().map(_.getSeq[Long](1))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      ()
+    }
+    near.foreach { case (a, b) => union(a, b) }
+    exactGroups.foreach(ids => ids.tail.foreach(union(ids.head, _)))
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    val got = DedupQueries.q42DupClusters(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
   }
 
   test("q34 HLL approx distinct is within 5% of exact per group") {

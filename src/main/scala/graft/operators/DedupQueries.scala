@@ -25,8 +25,9 @@ import graft.functions.Text
   * combiner's per-key value dedup (reference main.c:62-81), which Q15
   * generalizes from value lists to whole documents.
   *
-  * All hash material is md5 (hex string) so the DuckDB oracle reproduces
-  * signatures byte-for-byte; ranking/thresholds use rounded doubles only.
+  * All hash material derives from md5 (hex prefixes / 32-bit chunks cast
+  * to long) so the DuckDB oracle reproduces every signature bit-for-bit;
+  * ranking/thresholds use rounded doubles only.
   */
 object DedupQueries {
 
@@ -86,6 +87,9 @@ object DedupQueries {
     * plain concatenation of the band's minhashes (no extra hashing — it IS
     * already a hash). */
   def q18MinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    // no explicit materialization: AQE's ReuseExchange already shares the
+    // signature aggregate between both self-join sides (a localCheckpoint
+    // here measured identical warm and slower cold)
     val sig = signatures(spark, sfDir)
     val bands = sig.select(
       col("doc_id"), col("sig"),

@@ -80,6 +80,24 @@ class MRJobSpec extends SparkSpec {
     assert(MRJob.run(spark, job, input).collect() === Array(("k", "a b  c")))
   }
 
+  test("runToText writes part files in the reference's key\\tvalue shape") {
+    val out = java.nio.file.Files.createTempDirectory("mrout").toString + "/wc"
+    MRJob.runToText(spark, SampleJobs.wordCount, corpus, out)
+    val partFiles = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(partFiles.nonEmpty)
+    val lines = partFiles.flatMap(f =>
+      scala.io.Source.fromFile(f).getLines().toSeq)
+    assert(lines.toSet.contains("the\t4"))
+    assert(lines.length === 7) // one line per distinct word
+    // overwrite mode: running again replaces, not appends
+    MRJob.runToText(spark, SampleJobs.wordCount, corpus, out)
+    val again = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+    assert(again.length === 7)
+  }
+
   test("textInput exposes real filenames to the map callback") {
     val dir = java.nio.file.Files.createTempDirectory("mrjob").toFile
     java.nio.file.Files.writeString(

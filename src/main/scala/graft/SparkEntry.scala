@@ -75,6 +75,7 @@ object SparkEntry {
     // q42 is iterative label propagation: no single-statement SQL oracle —
     // rows-only driver check; a JVM union-find differential spec covers it.
     "q42_dup_clusters"  -> (DedupQueries.q42DupClusters _),
+    "q43_stream_interval_join" -> (EventStreams.q43StreamIntervalJoin _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -404,6 +405,19 @@ object SparkEntry {
         |SELECT user_id, event_type, event_id AS first_event_id,
         |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q43_stream_interval_join" ->
+      """WITH c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id AS v_user_id, ts AS view_ts,
+        |             event_id AS view_id
+        |      FROM events WHERE event_type = 'view')
+        |SELECT c.user_id, click_id, view_id,
+        |       strftime(click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |       strftime(view_ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
+        |FROM c JOIN v ON c.user_id = v_user_id
+        |  AND view_ts <= click_ts
+        |  AND view_ts >= click_ts - INTERVAL 1 HOUR
+        |ORDER BY user_id, click_id, view_id""".stripMargin,
     "q32_json_extract" ->
       """SELECT event_type, count(*) AS cnt,
         |       sum(json_extract(props, '$.k')::BIGINT) AS sum_k,

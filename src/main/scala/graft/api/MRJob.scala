@@ -40,7 +40,11 @@ final case class MRJob(
     partitionExpr: Option[Column] = None,
     /** Map-side buffer flush threshold, in buffered values — the
       * reference's FLUSH_THRESHOLD (mapreduce_internal.h:85). */
-    flushThreshold: Int = 50000)
+    flushThreshold: Int = 50000) {
+  // config validation, the MR_Run contract (reference job.c:53-92)
+  require(numPartitions > 0, s"numPartitions must be positive: $numPartitions")
+  require(flushThreshold > 0, s"flushThreshold must be positive: $flushThreshold")
+}
 
 object MRJob {
 

@@ -44,6 +44,33 @@ object EventStreams {
       // 53-bit mantissa, so float division is off by ±1 µs
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
+  /** Q43: stream-stream interval join — clicks joined to the same user's
+    * view events from the preceding hour. Both sides are unbounded; the
+    * event-time constraint plus watermarks bound the join state (each
+    * side's rows are dropped once no future match can exist — the
+    * mechanism that makes stream-stream joins feasible at all). Inner
+    * join, append output. */
+  def q43StreamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = eventsStream(spark, sfDir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val joined = clicks.join(views,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
+    runToTable(joined, OutputMode.Append())
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("view_ts"))
+      .orderBy("user_id", "click_id", "view_id")
+  }
+
   private val sinkId = new AtomicInteger(0)
 
   /** Run a finite streaming query to completion into a memory sink and

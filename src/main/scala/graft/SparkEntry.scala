@@ -76,6 +76,8 @@ object SparkEntry {
     // rows-only driver check; a JVM union-find differential spec covers it.
     "q42_dup_clusters"  -> (DedupQueries.q42DupClusters _),
     "q43_stream_interval_join" -> (EventStreams.q43StreamIntervalJoin _),
+    "q44_tfidf"         -> (TextQueries.q44Tfidf _),
+    "q45_pivot"         -> (RelationalQueries.q45Pivot _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -405,6 +407,30 @@ object SparkEntry {
         |SELECT user_id, event_type, event_id AS first_event_id,
         |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q44_tfidf" ->
+      s"""$tokListCte,
+         |tf AS (SELECT doc_id, w, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(t) AS w FROM toks) u
+         |       GROUP BY doc_id, w),
+         |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |scored AS (SELECT doc_id, w AS term,
+         |                  tf * ln((SELECT n FROM n) / df) AS tfidf
+         |           FROM tf JOIN df USING (w)),
+         |r AS (SELECT doc_id, term, tfidf,
+         |             row_number() OVER (PARTITION BY doc_id
+         |               ORDER BY tfidf DESC, term ASC) AS rk
+         |      FROM scored)
+         |SELECT doc_id, term, round(tfidf, 4) AS tfidf, rk FROM r
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q45_pivot" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q43_stream_interval_join" ->
       """WITH c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
         |           FROM events WHERE event_type = 'click'),

@@ -200,4 +200,16 @@ object RelationalQueries {
         round(sum(col("value")).over(run), 2).as("running_value"))
       .orderBy("user_id", "ts", "event_id")
   }
+
+  /** Q45: pivot — event counts per user with one column per event type.
+    * Spark's `pivot` with explicit values compiles to a single pass of
+    * conditional aggregates (no per-value scans); explicit value list
+    * keeps the schema static and skips the distinct-values pre-query. */
+  def q45Pivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
 }

@@ -125,4 +125,30 @@ object TextQueries {
         array_min(col("fps")).as("fp_min"))
       .orderBy("doc_id")
   }
+
+  /** Q44: TF-IDF — the classic corpus-weighting operator. tf = term count
+    * in doc; idf = ln(N / df) with df = docs containing the term. Emits
+    * each document's top-3 terms by (tfidf desc, term asc). One explode,
+    * two aggregates (term-level df joins back to doc-term tf), one window
+    * for the per-doc top-k — every stage map-side-combined and codegen'd.
+    * ln() on exact integer ratios is bit-identical across engines.
+    */
+  def q44Tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count() // corpus size: one scalar, computed once
+    val tf = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("tfidf"), asc("w"))
+    tf.join(df, "w")
+      .select(col("doc_id"), col("w"),
+        (col("tf") * log(lit(n.toDouble) / col("df"))).as("tfidf"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("doc_id"), col("w").as("term"),
+        round(col("tfidf"), 4).as("tfidf"), col("rk"))
+      .orderBy("doc_id", "rk")
+  }
 }

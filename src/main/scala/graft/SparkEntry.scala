@@ -78,6 +78,8 @@ object SparkEntry {
     "q43_stream_interval_join" -> (EventStreams.q43StreamIntervalJoin _),
     "q44_tfidf"         -> (TextQueries.q44Tfidf _),
     "q45_pivot"         -> (RelationalQueries.q45Pivot _),
+    "q46_percentiles"   -> (RelationalQueries.q46Percentiles _),
+    "q47_edit_distance" -> (DedupQueries.q47EditDistance _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -102,6 +104,34 @@ object SparkEntry {
       |           x -> substr(x, 1, 255)), x -> length(x) > 0) AS t
       |  FROM documents
       |)""".stripMargin
+
+  /** Q18's oracle, shared: q47 nests it as its candidate generator. */
+  private val q18Sql: String =
+    s"""$tokListCte,
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |         [array_to_string(t[i:least(i+2, len(t))], ' ')
+         |          for i in range(1, greatest(len(t)-2, 1)+1)])) AS s
+         |       FROM toks),
+         |sig AS (SELECT doc_id, i,
+         |               min(('0x' || substr(md5((i // 4)::VARCHAR || ':' || s),
+         |                                   (i % 4) * 8 + 1, 8))::BIGINT) AS mh
+         |        FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS i) seeds
+         |        GROUP BY doc_id, i),
+         |sigarr AS (SELECT doc_id, list(mh ORDER BY i) AS sig
+         |           FROM sig GROUP BY doc_id),
+         |bands AS (SELECT doc_id, j,
+         |                 array_to_string(sig[j*2+1:j*2+2], ',') AS bh
+         |          FROM sigarr CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+         |         FROM bands a JOIN bands b
+         |           ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT doc_id_1, doc_id_2,
+         |       round(sum(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) / 16.0, 4)
+         |         AS est_jaccard
+         |FROM cand
+         |JOIN sig s1 ON s1.doc_id = doc_id_1
+         |JOIN sig s2 ON s2.doc_id = doc_id_2 AND s2.i = s1.i
+         |GROUP BY doc_id_1, doc_id_2 ORDER BY doc_id_1, doc_id_2""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_wordcount" ->
@@ -214,32 +244,7 @@ object SparkEntry {
         |      FROM p)
         |SELECT query_id, neighbor_id, sim, "rank" FROM r
         |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
-    "q18_minhash_lsh" ->
-      s"""$tokListCte,
-         |sh AS (SELECT doc_id, unnest(list_distinct(
-         |         [array_to_string(t[i:least(i+2, len(t))], ' ')
-         |          for i in range(1, greatest(len(t)-2, 1)+1)])) AS s
-         |       FROM toks),
-         |sig AS (SELECT doc_id, i,
-         |               min(('0x' || substr(md5((i // 4)::VARCHAR || ':' || s),
-         |                                   (i % 4) * 8 + 1, 8))::BIGINT) AS mh
-         |        FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS i) seeds
-         |        GROUP BY doc_id, i),
-         |sigarr AS (SELECT doc_id, list(mh ORDER BY i) AS sig
-         |           FROM sig GROUP BY doc_id),
-         |bands AS (SELECT doc_id, j,
-         |                 array_to_string(sig[j*2+1:j*2+2], ',') AS bh
-         |          FROM sigarr CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
-         |         FROM bands a JOIN bands b
-         |           ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id)
-         |SELECT doc_id_1, doc_id_2,
-         |       round(sum(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) / 16.0, 4)
-         |         AS est_jaccard
-         |FROM cand
-         |JOIN sig s1 ON s1.doc_id = doc_id_1
-         |JOIN sig s2 ON s2.doc_id = doc_id_2 AND s2.i = s1.i
-         |GROUP BY doc_id_1, doc_id_2 ORDER BY doc_id_1, doc_id_2""".stripMargin,
+    "q18_minhash_lsh" -> q18Sql,
     "q19_ngram_jaccard" ->
       s"""$tokListCte,
          |sh AS (SELECT doc_id, unnest(list_distinct(
@@ -407,6 +412,25 @@ object SparkEntry {
         |SELECT user_id, event_type, event_id AS first_event_id,
         |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q46_percentiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.95), 4) AS p95,
+        |       round(min(value), 4) AS min_v,
+        |       round(max(value), 4) AS max_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q47_edit_distance" ->
+      s"""WITH pairs AS ($q18Sql),
+         |np AS (SELECT doc_id,
+         |         substr(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+         |                     'g')), 1, 80) AS prefix
+         |       FROM documents)
+         |SELECT p.doc_id_1, p.doc_id_2,
+         |       levenshtein(a.prefix, b.prefix) AS edit_dist
+         |FROM pairs p
+         |JOIN np a ON a.doc_id = p.doc_id_1
+         |JOIN np b ON b.doc_id = p.doc_id_2
+         |ORDER BY doc_id_1, doc_id_2""".stripMargin,
     "q44_tfidf" ->
       s"""$tokListCte,
          |tf AS (SELECT doc_id, w, count(*) AS tf

@@ -219,4 +219,24 @@ object DedupQueries {
     labels.select(col("doc_id"), col("label").as("cluster"))
       .orderBy("doc_id")
   }
+
+  /** Q47: edit-distance verification of LSH candidates — the "verify"
+    * half of a candidate-verify dedup pipeline: MinHash proposes pairs
+    * (cheap, probabilistic), levenshtein on the normalized-text prefix
+    * confirms (exact, but only on O(candidates) pairs, never n²).
+    * Distance on the first 80 chars bounds the quadratic DP cost. */
+  def q47EditDistance(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        substring(Text.normalized(col("text")), 1, 80).as("prefix"))
+    q18MinhashLsh(spark, sfDir)
+      .select(col("doc_id_1"), col("doc_id_2"))
+      .join(norm.select(col("doc_id").as("doc_id_1"),
+        col("prefix").as("p1")), "doc_id_1")
+      .join(norm.select(col("doc_id").as("doc_id_2"),
+        col("prefix").as("p2")), "doc_id_2")
+      .select(col("doc_id_1"), col("doc_id_2"),
+        levenshtein(col("p1"), col("p2")).as("edit_dist"))
+      .orderBy("doc_id_1", "doc_id_2")
+  }
 }

@@ -212,4 +212,18 @@ object RelationalQueries {
       .agg(count(lit(1)))
       .na.fill(0L)
       .orderBy("user_id")
+
+  /** Q46: exact interpolated percentiles per group. `percentile` sorts
+    * within each group — exact, unlike the approx_percentile sketch
+    * (q34's HLL cousin); both engines use the same linear-interpolation
+    * definition, so results are bit-comparable. */
+  def q46Percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(min("value"), 4).as("min_v"),
+        round(max("value"), 4).as("max_v"))
+      .orderBy("event_type")
 }

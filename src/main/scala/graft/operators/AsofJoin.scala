@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,34 +27,39 @@ object AsofJoin {
 
   /** Left rows get the most recent right row (per `key`) with
     * right.`ts` <= left.`ts`. Right value columns come back null when no
-    * right row precedes the left row. */
+    * right row precedes the left row.
+    *
+    * The right columns travel as ONE nullable struct, carried by a single
+    * `last(ignoreNulls)` — carrying each column independently would mix
+    * fields from different right rows whenever a right column is
+    * legitimately null (lastA could come from row 7, lastB from row 5). */
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
            rightCols: Seq[String]): DataFrame = {
     val lCols = left.columns.toSeq
-    def nullOfType(df: DataFrame, c: String): Column =
-      lit(null).cast(df.schema(c).dataType)
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c).copy(name = c)))
     // tag and align schemas: left rows sort after right rows at equal ts
     val l = left.select(
       Seq(col(key), col(ts), lit(1).as("__side")) ++
-        lCols.filterNot(Set(key, ts)).map(col) ++
-        rightCols.map(c => nullOfType(right, c).as(s"__r_$c")): _*)
+        lCols.filterNot(Set(key, ts)).map(col) :+
+        lit(null).cast(rStructType).as("__r"): _*)
     val r = right.select(
       Seq(col(key), col(ts), lit(0).as("__side")) ++
-        lCols.filterNot(Set(key, ts)).map(c => nullOfType(left, c).as(c)) ++
-        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+        lCols.filterNot(Set(key, ts)).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightCols.map(col): _*).as("__r"): _*)
     // right rows sort before left rows at equal ts (at-or-before matches);
     // among right rows with equal ts, the first right column breaks the
-    // tie so the carried value is deterministic
+    // tie so the carried row is deterministic (largest wins via last())
     val w = Window.partitionBy(key)
       .orderBy(col(ts).asc, col("__side").asc,
-        col(s"__r_${rightCols.head}").asc_nulls_first)
+        col(s"__r.${rightCols.head}").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"__c_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    carried.where(col("__side") === 1)
+    l.unionByName(r)
+      .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
       .select(lCols.map(col) ++
-        rightCols.map(c => col(s"__c_$c").as(c)): _*)
+        rightCols.map(c => col(s"__c.$c").as(c)): _*)
   }
 
   /** Q36: each click event joined to the user's most recent view event at

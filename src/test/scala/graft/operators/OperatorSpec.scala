@@ -166,6 +166,22 @@ class OperatorSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("asof join carries whole right rows, never mixes fields across rows") {
+    import spark.implicits._
+    // right row at t=2 has a NULL payload; the t=3 left row must get the
+    // (id=20, null) ROW — not id=20 with the stale payload from t=1
+    val left = Seq((1L, 3L, "probe")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 1L, Some(10L), Some("old")),
+                    (1L, 2L, Some(20L), Option.empty[String]))
+      .toDF("k", "ts", "rid", "payload")
+    val got = AsofJoin.asof(left, right, "k", "ts", Seq("rid", "payload"))
+      .collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(3) === 20L) // rid from the t=2 row
+    assert(got.head.isNullAt(4), // payload must be that row's null,
+      s"mixed-row carry: ${got.head}") // not t=1's "old"
+  }
+
   test("q34 HLL approx distinct is within 5% of exact per group") {
     val approx = RelationalQueries.q34ApproxDistinct(spark, sfDir)
       .collect().map(r => r.get(0).toString.toLong -> r.getLong(1)).toMap

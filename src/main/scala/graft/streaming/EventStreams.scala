@@ -127,18 +127,24 @@ object EventStreams {
     * dedup per (user, event_type): the first event of each pair is emitted,
     * every later one is dropped by the per-group state. This is the
     * KeyValueGroupedDataset stateful-operator surface; at scale state lives
-    * in the state store, keyed and incremental. */
+    * in the state store, keyed and incremental — and is BOUNDED by an
+    * event-time timeout: once the watermark passes first_ts + 24 h the
+    * entry expires (dedup horizon = 24 h). Unbounded `NoTimeout` state is
+    * how streaming dedup jobs die at 100 TB. */
   def q31StreamFirstSeen(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val typed: Dataset[Ev] = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .as[Ev]
     val firsts = typed
       .groupByKey(e => (e.user_id, e.event_type))
       .flatMapGroupsWithState[FirstSeen, FirstSeen](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case ((uid, etype), events, state: GroupState[FirstSeen]) =>
-          if (state.exists) Iterator.empty
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty
+          else if (events.isEmpty) Iterator.empty
           else {
             // within one micro-batch the iterator is not time-ordered;
             // getTime is millis only, so order by (millis, nanos, id)
@@ -146,6 +152,7 @@ object EventStreams {
               (e.ts.getTime, e.ts.getNanos.toLong, e.event_id))
             val fs = FirstSeen(uid, etype, first.event_id, first.ts)
             state.update(fs)
+            state.setTimeoutTimestamp(first.ts.getTime + 24L * 3600 * 1000)
             Iterator.single(fs)
           }
       }

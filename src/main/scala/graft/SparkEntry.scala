@@ -80,6 +80,7 @@ object SparkEntry {
     "q45_pivot"         -> (RelationalQueries.q45Pivot _),
     "q46_percentiles"   -> (RelationalQueries.q46Percentiles _),
     "q47_edit_distance" -> (DedupQueries.q47EditDistance _),
+    "q48_simhash_pairs" -> (DedupQueries.q48SimhashPairs _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -412,6 +413,35 @@ object SparkEntry {
         |SELECT user_id, event_type, event_id AS first_event_id,
         |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q48_simhash_pairs" ->
+      s"""$tokListCte,
+         |tok AS (SELECT doc_id, w, count(*) AS cnt
+         |        FROM (SELECT doc_id, unnest(t) AS w FROM toks) u
+         |        GROUP BY doc_id, w),
+         |h AS (SELECT doc_id, w, cnt,
+         |             ('0x' || substr(md5(w), 1, 8))::BIGINT AS h
+         |      FROM tok),
+         |bits AS (SELECT doc_id, b,
+         |           sum(CASE WHEN ((h >> b) & 1) = 1 THEN cnt
+         |               ELSE -cnt END) AS s
+         |         FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bs
+         |         GROUP BY doc_id, b),
+         |fp AS (SELECT doc_id,
+         |         sum(CASE WHEN s > 0 THEN (1::BIGINT << b)
+         |             ELSE 0::BIGINT END) AS simhash
+         |       FROM bits GROUP BY doc_id),
+         |banded AS (SELECT doc_id, simhash, j,
+         |                  (simhash >> (j * 8)) % 256 AS bv
+         |           FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_id_1,
+         |                b.doc_id AS doc_id_2,
+         |                a.simhash AS f1, b.simhash AS f2
+         |         FROM banded a JOIN banded b
+         |           ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT doc_id_1, doc_id_2,
+         |       bit_count(xor(f1, f2)) AS hamming
+         |FROM cand WHERE bit_count(xor(f1, f2)) <= 3
+         |ORDER BY doc_id_1, doc_id_2""".stripMargin,
     "q46_percentiles" ->
       """SELECT event_type,
         |       round(quantile_cont(value, 0.5), 4) AS p50,

@@ -239,4 +239,33 @@ object DedupQueries {
         levenshtein(col("p1"), col("p2")).as("edit_dist"))
       .orderBy("doc_id_1", "doc_id_2")
   }
+
+  /** Q48: SimHash near-dup pairing — the banded hamming join that makes
+    * q20's fingerprints a dedup operator. Pigeonhole: two 32-bit
+    * fingerprints within hamming distance 3 must agree on at least one of
+    * their four bytes, so candidates come from an equi-join on
+    * (byte_index, byte_value) — O(collisions), never n² — and the exact
+    * `bit_count(xor)` filter keeps true near-dups. Same
+    * candidate-then-verify shape as MinHash-LSH (q18) and edit-distance
+    * verify (q47). */
+  def q48SimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = q20Simhash(spark, sfDir)
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("band"),
+          (shiftright(col("simhash"), j * 8) % 256).as("bv"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+    val a = banded.select(col("doc_id").as("doc_id_1"),
+      col("simhash").as("f1"), col("band"), col("bv"))
+    val b = banded.select(col("doc_id").as("doc_id_2"),
+      col("simhash").as("f2"), col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .where(col("doc_id_1") < col("doc_id_2"))
+      .select(col("doc_id_1"), col("doc_id_2"),
+        bit_count(col("f1").bitwiseXOR(col("f2"))).as("hamming"))
+      .where(col("hamming") <= 3)
+      .distinct()
+      .orderBy("doc_id_1", "doc_id_2")
+  }
 }

@@ -23,7 +23,11 @@ import graft.functions.Text
   *
   * The reference engine has no dedup operator; its closest semantics is the
   * combiner's per-key value dedup (reference main.c:62-81), which Q15
-  * generalizes from value lists to whole documents.
+  * generalizes from value lists to whole documents. Sketch algorithms are
+  * the published ones: MinHash resemblance (Broder, "On the resemblance
+  * and containment of documents", 1997), LSH banding (Indyk–Motwani 1998 /
+  * Leskovec-Rajaraman-Ullman MMDS ch.3), SimHash (Charikar, "Similarity
+  * estimation techniques from rounding algorithms", STOC 2002).
   *
   * All hash material derives from md5 (hex prefixes / 32-bit chunks cast
   * to long) so the DuckDB oracle reproduces every signature bit-for-bit;

@@ -23,7 +23,10 @@ import graft.functions.Vectors
   * The reference engine has no vector surface (its only type is the C
   * string, reference mapreduce.h:30-33); this is north-star extension
   * surface. Hyperplane weights derive from md5 parity so the DuckDB oracle
-  * rebuilds the exact same planes.
+  * rebuilds the exact same planes. SRP-LSH follows Charikar (STOC 2002);
+  * the IVF coarse-quantizer layout follows Jégou-Douze-Schmid ("Product
+  * quantization for nearest neighbor search", TPAMI 2011) minus the PQ
+  * residual codes.
   */
 object SimilarityQueries {
 

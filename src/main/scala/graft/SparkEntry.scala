@@ -81,6 +81,7 @@ object SparkEntry {
     "q46_percentiles"   -> (RelationalQueries.q46Percentiles _),
     "q47_edit_distance" -> (DedupQueries.q47EditDistance _),
     "q48_simhash_pairs" -> (DedupQueries.q48SimhashPairs _),
+    "q49_sliding_window" -> (RelationalQueries.q49SlidingWindow _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -413,6 +414,17 @@ object SparkEntry {
         |SELECT user_id, event_type, event_id AS first_event_id,
         |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q49_sliding_window" ->
+      """WITH ex AS (
+        |  SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
+        |                        - k * 900000000) AS w_start,
+        |         event_type, value, ts
+        |  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks),
+        |w AS (SELECT * FROM ex
+        |      WHERE ts >= w_start AND ts < w_start + INTERVAL 1 HOUR)
+        |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+        |       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
     "q48_simhash_pairs" ->
       s"""$tokListCte,
          |tok AS (SELECT doc_id, w, count(*) AS cnt

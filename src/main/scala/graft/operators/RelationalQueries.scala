@@ -226,4 +226,18 @@ object RelationalQueries {
         round(min("value"), 4).as("min_v"),
         round(max("value"), 4).as("max_v"))
       .orderBy("event_type")
+
+  /** Q49: sliding event-time windows (1 h size, 15 min slide): each event
+    * lands in 4 overlapping windows. `window()` expands rows map-side —
+    * the batch twin of the streaming sliding window; at 100 TB the ×4 row
+    * amplification happens before the partial aggregate, so the shuffle
+    * carries only per-(window, type) partials. */
+  def q49SlidingWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy("w_start", "event_type")
 }

@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.api.SampleJobs
-import graft.operators.{AsofJoin, DedupQueries, MultimodalPipeline,
-  RangeJoin, ReferenceQueries, RelationalQueries, SimilarityQueries,
-  TextQueries}
+import graft.operators.{AsofJoin, CurationPipeline, DedupQueries,
+  MultimodalPipeline, RangeJoin, ReferenceQueries, RelationalQueries,
+  SimilarityQueries, TextQueries}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -82,6 +82,7 @@ object SparkEntry {
     "q47_edit_distance" -> (DedupQueries.q47EditDistance _),
     "q48_simhash_pairs" -> (DedupQueries.q48SimhashPairs _),
     "q49_sliding_window" -> (RelationalQueries.q49SlidingWindow _),
+    "q50_corpus_curation" -> (CurationPipeline.q50CorpusCuration _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -414,6 +415,34 @@ object SparkEntry {
         |SELECT user_id, event_type, event_id AS first_event_id,
         |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q50_corpus_curation" ->
+      s"""WITH pairs AS ($q18Sql),
+         |t2 AS (SELECT doc_id, text,
+         |         list_filter(list_transform(
+         |           string_split_regex(lower(text), '[^a-z0-9]+'),
+         |           x -> substr(x, 1, 255)), x -> length(x) > 0) AS t
+         |       FROM documents),
+         |m AS (SELECT doc_id,
+         |        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+         |          AS norm,
+         |        len(t) AS token_cnt,
+         |        least(len(t) / 100.0, 1.0) * 0.4
+         |        + (length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+         |           / greatest(length(text), 1)) * 0.4
+         |        + (len(list_filter(t, x -> list_contains(
+         |             ['the','a','of','and','to','in','is','it','that','for'],
+         |             x))) / greatest(len(t), 1)) * 0.2 AS quality
+         |      FROM t2),
+         |reps AS (SELECT doc_id, token_cnt, quality FROM (
+         |           SELECT *, min(doc_id) OVER (PARTITION BY norm) AS keep
+         |           FROM m WHERE quality >= 0.5) x
+         |         WHERE doc_id = keep),
+         |dropped AS (SELECT p.doc_id_2 AS doc_id
+         |            FROM pairs p JOIN reps r ON r.doc_id = p.doc_id_1
+         |            WHERE p.est_jaccard >= 0.5)
+         |SELECT doc_id, token_cnt, quality FROM reps
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
     "q49_sliding_window" ->
       """WITH ex AS (
         |  SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000

@@ -83,6 +83,7 @@ object SparkEntry {
     "q48_simhash_pairs" -> (DedupQueries.q48SimhashPairs _),
     "q49_sliding_window" -> (RelationalQueries.q49SlidingWindow _),
     "q50_corpus_curation" -> (CurationPipeline.q50CorpusCuration _),
+    "q51_group_stats"   -> (RelationalQueries.q51GroupStats _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -415,6 +416,16 @@ object SparkEntry {
         |SELECT user_id, event_type, event_id AS first_event_id,
         |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q51_group_stats" ->
+      """SELECT l_returnflag,
+        |       round(corr(l_quantity, l_extendedprice), 3) + 0.0
+        |         AS corr_qty_price,
+        |       round(covar_samp(l_quantity, l_extendedprice), 1) + 0.0
+        |         AS covar_qty_price,
+        |       round(stddev_samp(l_discount), 4) + 0.0 AS stddev_disc,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q50_corpus_curation" ->
       s"""WITH pairs AS ($q18Sql),
          |t2 AS (SELECT doc_id, text,

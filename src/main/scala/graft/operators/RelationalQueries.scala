@@ -240,4 +240,18 @@ object RelationalQueries {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
         col("event_type"), col("cnt"), col("sum_value"))
       .orderBy("w_start", "event_type")
+
+  /** Q51: statistical aggregates — correlation, sample covariance and
+    * stddev per return flag. `+ 0.0` after rounding normalizes IEEE
+    * negative zero (corr of an uncorrelated group can round to -0.0,
+    * which would hash-differ from +0.0). */
+  def q51GroupStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        (round(corr("l_quantity", "l_extendedprice"), 3) + 0.0).as("corr_qty_price"),
+        (round(covar_samp("l_quantity", "l_extendedprice"), 1) + 0.0).as("covar_qty_price"),
+        (round(stddev_samp("l_discount"), 4) + 0.0).as("stddev_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
 }

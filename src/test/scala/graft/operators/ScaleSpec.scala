@@ -73,6 +73,26 @@ class ScaleSpec extends SparkSpec {
       === plain)
   }
 
+  test("date-partitioned writes let the scan prune partitions") {
+    val out = java.nio.file.Files.createTempDirectory("part").toString + "/ev"
+    Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").mode("overwrite").parquet(out)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("day=")).map(_.getName).sorted
+    assert(dirs.length > 1, s"expected multiple day partitions, got $dirs")
+    val firstDay = dirs.head.stripPrefix("day=")
+    val pruned = spark.read.parquet(out).where(col("day") === lit(firstDay))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*day[^\\]]*\\].*"),
+      s"partition filter not pushed:\n${plan.take(1500)}")
+    // pruned read returns exactly that day's rows
+    val expected = Tables.events(spark, sfDir)
+      .where(to_date(col("ts")) === lit(firstDay)).count()
+    assert(pruned.count() === expected)
+  }
+
   test("bucketized range join plans as a hash join, not nested-loop") {
     val plan = RangeJoin.q40RangeJoin(spark, sfDir)
       .queryExecution.executedPlan.toString

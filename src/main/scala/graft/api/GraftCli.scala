@@ -55,7 +55,17 @@ object GraftCli {
       combine = if (a.combiner) base.combine else None)
     val m = a.metrics.map(_ => MetricsReport.install(spark))
     MRJob.runToText(spark, job, MRJob.textInput(spark, a.inputs), a.output)
-    for (path <- a.metrics; rep <- m) rep.write(path)
+    for (path <- a.metrics; rep <- m) {
+      // the listener bus is async: wait for the counters to quiesce or
+      // the report can legitimately say "tasks: 0"
+      var last = -1L
+      var cur = rep.tasksSeen
+      val deadline = System.nanoTime() + 15000000000L
+      while (cur != last && System.nanoTime() < deadline) {
+        last = cur; Thread.sleep(200); cur = rep.tasksSeen
+      }
+      rep.write(path)
+    }
   }
 
   def main(argv: Array[String]): Unit =

@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   *    arrive in ascending order within a partition, the reference's
   *    documented guarantee (mapreduce.h:105, sorting.c:29-33).
   *  - `partitionExpr` — the pluggable deterministic partitioner
-  *    (mapreduce.h:139-161); defaults to Spark's hash partitioning. The
-  *    reference's djb2 is deliberately NOT reproduced: partition placement
-  *    affects only which output file a key lands in, never results
-  *    (SURVEY.md §2.4).
+  *    (mapreduce.h:139-161), as a CO-LOCATION contract: rows with equal
+  *    expression values land in the same partition (routed by the hash of
+  *    the expression, Spark's idiom), not at the literal index the
+  *    expression evaluates to. The reference's djb2 index placement is
+  *    deliberately not reproduced: placement affects only which output
+  *    file a key lands in, never results (SURVEY.md §2.4).
   *
   * Execution shape: flatMap → optional map-side combine (mapPartitions
   * with a bounded hash buffer) → repartition(n, key-expr) →

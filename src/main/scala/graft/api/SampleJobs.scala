@@ -29,7 +29,10 @@ object SampleJobs {
       else {
         var j = i
         while (j < cs.length && isAlnum(cs(j))) j += 1
-        Some((new String(cs, i, math.min(j - i, 255)).toLowerCase, j))
+        // Locale.ROOT: default-locale toLowerCase turns 'I' into dotless
+        // ı under tr_TR, silently breaking oracle parity per machine
+        Some((new String(cs, i, math.min(j - i, 255))
+          .toLowerCase(java.util.Locale.ROOT), j))
       }
     }
   }

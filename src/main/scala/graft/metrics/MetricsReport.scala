@@ -40,9 +40,13 @@ final class MetricsReport extends SparkListener {
   private val inputBytes = new LongAdder
   private val inputRecords = new LongAdder
   private val outputRecords = new LongAdder
-  /** stage id → (name, numTasks, runtimeMs, maxTaskMs) — skew per stage. */
+  /** stage id → (name, numTasks, runtimeMs) per completed stage. */
   private val stages =
-    new ConcurrentHashMap[Int, (String, Int, Long, Long)]()
+    new ConcurrentHashMap[Int, (String, Int, Long)]()
+  /** stage id → max single-task runtime ms (fed by onTaskEnd): the skew
+    * signal — a stage whose max task dwarfs its mean has a hot partition
+    * (the reference's per-partition σ, metrics.c:365-421). */
+  private val stageMaxTaskMs = new ConcurrentHashMap[Int, Long]()
   private val t0 = System.nanoTime()
 
   override def onJobStart(e: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
@@ -53,6 +57,7 @@ final class MetricsReport extends SparkListener {
     if (e.reason.toString != "Success") { failedTasks.incrementAndGet(); () }
     val m = e.taskMetrics
     if (m != null) {
+      stageMaxTaskMs.merge(e.stageId, m.executorRunTime, math.max(_, _))
       cpuTimeNs.add(m.executorCpuTime)
       runTimeMs.add(m.executorRunTime)
       gcTimeMs.add(m.jvmGCTime)
@@ -71,9 +76,7 @@ final class MetricsReport extends SparkListener {
     val info = e.stageInfo
     val name = info.name.takeWhile(_ != '\n')
     stages.put(info.stageId,
-      (name, info.numTasks,
-        info.taskMetrics.executorRunTime,
-        0L))
+      (name, info.numTasks, info.taskMetrics.executorRunTime))
     ()
   }
 
@@ -104,10 +107,13 @@ final class MetricsReport extends SparkListener {
     sb ++= f"spill: ${spillBytes.sum()}%d bytes\n"
     sec("Top 10 stages by task runtime (skew diagnostics)")
     stages.asScala.toSeq
-      .sortBy { case (id, (_, _, rt, _)) => (-rt, id) }
+      .sortBy { case (id, (_, _, rt)) => (-rt, id) }
       .take(10)
-      .foreach { case (id, (name, n, rt, _)) =>
-        sb ++= f"stage $id%5d  tasks=$n%4d  runtime=$rt%8d ms  $name%s\n"
+      .foreach { case (id, (name, n, rt)) =>
+        val maxMs = stageMaxTaskMs.getOrDefault(id, 0L)
+        val mean = if (n > 0) rt / n else 0L
+        sb ++= f"stage $id%5d  tasks=$n%4d  runtime=$rt%8d ms  " +
+          f"max-task=$maxMs%6d ms  mean=$mean%6d ms  $name%s\n"
       }
     sb.result()
   }

@@ -27,18 +27,12 @@ object CurationPipeline {
 
   /** Q50: the surviving corpus with its quality metadata. */
   def q50CorpusCuration(spark: SparkSession, sfDir: String): DataFrame = {
-    val en = TextQueries.Lexicons.head._2
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         Text.normalized(col("text")).as("norm"),
         size(col("toks")).as("token_cnt"),
-        (least(size(col("toks")) / lit(100.0), lit(1.0)) * 0.4
-          + (length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
-            / greatest(length(col("text")), lit(1))) * 0.4
-          + (size(filter(col("toks"),
-              t => array_contains(lit(en.toArray), t)))
-            / greatest(size(col("toks")), lit(1))) * 0.2).as("quality"))
+        TextQueries.qualityScore(col("text"), col("toks")).as("quality"))
     // stage 1+2: quality gate, then the exact-dup representative
     val reps = docs
       .where(col("quality") >= 0.5)

@@ -206,7 +206,7 @@ object DedupQueries {
       .distinct().withColumn("label", col("doc_id"))
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 10) {
+    while (changed > 0 && rounds < 20) {
       val next = labels
         .join(edges, col("doc_id") === col("doc_id_1"), "left")
         .join(labels.select(col("doc_id").as("doc_id_2"),
@@ -220,6 +220,10 @@ object DedupQueries {
       labels = next
       rounds += 1
     }
+    // a silent non-converged result would keep duplicate representatives
+    if (changed > 0)
+      System.err.println(
+        s"[q42] WARNING: label propagation not converged after $rounds rounds")
     labels.select(col("doc_id"), col("label").as("cluster"))
       .orderBy("doc_id")
   }

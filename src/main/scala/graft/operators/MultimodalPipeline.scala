@@ -91,7 +91,13 @@ object MultimodalPipeline {
   /** Q37: frame sampling + per-frame feature extraction (stub: frame
     * length and md5 of the slice). The real pipeline swaps the md5 for a
     * JNI decoder + model call; plan shape (scan → narrow fan-out →
-    * columnar features → relational ops downstream) is identical. */
+    * columnar features → relational ops downstream) is identical.
+    *
+    * Oracle precondition: frames are BYTE slices of the payload, but
+    * DuckDB cannot slice BLOBs, so the SQL twin slices characters — valid
+    * only because the test corpus is verified pure-ASCII at every SF
+    * (chars == bytes). A non-ASCII corpus would hash-mismatch the oracle
+    * immediately, which is the gate doing its job. */
   def q37FrameSample(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     sampleFrames(spark, sfDir)

@@ -45,6 +45,16 @@ object TextQueries {
   private def hits(toks: Column, lex: Seq[String]): Column =
     size(filter(toks, t => array_contains(lit(lex.toArray), t)))
 
+  /** The quality score shared by q24 and the curation pipeline (q50):
+    * 0.4·min(tokens/100, 1) + 0.4·alnum_ratio + 0.2·stopword_ratio, over
+    * a raw `text` column and its token array. Single definition so the
+    * operators (and their oracles) cannot drift apart. */
+  def qualityScore(text: Column, toks: Column): Column =
+    least(size(toks) / lit(100.0), lit(1.0)) * 0.4 +
+      (length(regexp_replace(lower(text), "[^a-z0-9]", ""))
+        / greatest(length(text), lit(1))) * 0.4 +
+      (hits(toks, Lexicons.head._2) / greatest(size(toks), lit(1))) * 0.2
+
   /** Q23: heuristic language ID — the lexicon with the most token hits wins
     * (fixed precedence en>es>de>fr>zh on ties, "und" when no hits at all);
     * reported as a (true lang × guess) confusion matrix. */
@@ -89,6 +99,9 @@ object TextQueries {
           + col("alnum_ratio") * 0.4 + col("stopword_ratio") * 0.2)
       .orderBy("doc_id")
   }
+  // NOTE: q24 keeps its component columns (alnum_ratio etc.) as outputs,
+  // so it combines them directly; qualityScore() is the same arithmetic
+  // over the same subexpressions and OperatorSpec asserts the equality.
 
   /** Q25: token counting three ways — whitespace tokens, normalized
     * tokens, and a BPE-ish subword count (⌈len/4⌉ pieces per token, a

@@ -39,16 +39,34 @@ class OperatorSpec extends SparkSpec {
     // spot-verify semantics on one user via a collect
     val u = got.where(col("view_event_id").isNotNull)
       .select("user_id").as[Long].head()
+    // compare at MICROsecond precision: getTime alone is millis and a
+    // view within the same millisecond after the click would slip through
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
     val views = ev.where(col("event_type") === "view" && col("user_id") === u)
       .select(col("ts"), col("event_id")).collect()
-      .map(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+      .map(r => (micros(r.getTimestamp(0)), r.getLong(1)))
     got.where(col("user_id") === u && col("view_event_id").isNotNull)
       .collect().foreach { r =>
-        val clickTs = java.sql.Timestamp.valueOf(r.getString(1)).getTime
+        val clickTs = micros(java.sql.Timestamp.valueOf(r.getString(1)))
         val matched = r.getLong(3)
         val best = views.filter(_._1 <= clickTs).maxBy(v => (v._1, v._2))
         assert(matched === best._2,
           s"user $u click@$clickTs matched $matched, expected ${best._2}")
+      }
+  }
+
+  test("q24's combined quality equals the shared qualityScore builder") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        graft.functions.Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        TextQueries.qualityScore(col("text"), col("toks")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    TextQueries.q24QualityScore(spark, sfDir)
+      .select(col("doc_id"), col("quality")).collect().foreach { r =>
+        assert(docs(r.getLong(0)) === r.getDouble(1),
+          s"doc ${r.getLong(0)}: builder=${docs(r.getLong(0))} q24=${r.getDouble(1)}")
       }
   }
 

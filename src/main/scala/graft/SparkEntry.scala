@@ -65,8 +65,9 @@ object SparkEntry {
     "q35_window_analytics" -> (RelationalQueries.q35WindowAnalytics _),
     "q36_asof_join"     -> (AsofJoin.q36AsofJoin _),
     "q37_frame_sample"  -> (MultimodalPipeline.q37FrameSample _),
-    // q38's float feature math isn't portably SQL-expressible: rows-only
-    // driver check; unit-norm and determinism asserted in OperatorSpec.
+    // q38 emits an integer projection of the float vectors (norm_milli +
+    // comp-micro csv) so the DuckDB oracle can hash-verify it; the raw
+    // array<float> stays internal (embedVectors) for specs and ANN.
     "q38_embed_stub"    -> (MultimodalPipeline.q38EmbedStub _),
     "q39_ann_ivf"       -> (SimilarityQueries.q39AnnIvf _),
     "q40_range_join"    -> (RangeJoin.q40RangeJoin _),
@@ -280,7 +281,7 @@ object SparkEntry {
          |         GROUP BY doc_id, b)
          |SELECT doc_id,
          |       sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)
-         |         AS simhash
+         |         ::BIGINT AS simhash
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q21_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -552,7 +553,7 @@ object SparkEntry {
         |ORDER BY user_id, click_id, view_id""".stripMargin,
     "q32_json_extract" ->
       """SELECT event_type, count(*) AS cnt,
-        |       sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+        |       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
         |       min(json_extract(props, '$.k')::BIGINT) AS min_k,
         |       max(json_extract(props, '$.k')::BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -646,5 +647,68 @@ object SparkEntry {
         |SELECT doc_id, frame_idx, byte_offset,
         |       length(frame)::INT AS frame_len, md5(frame) AS frame_md5
         |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
+    // Every arithmetic step of q38's projection (integer byte-histogram,
+    // exact < 2^53 double sums, IEEE sqrt/divide, float32 round-to-nearest
+    // cast, floor) is bit-reproducible across IEEE-754 engines, so the
+    // oracle reproduces Spark's longs exactly. ASCII-only corpus (verified
+    // for q37) makes chars == payload bytes.
+    "q38_embed_stub" ->
+      """WITH pos AS (SELECT doc_id, text,
+        |               unnest(range(1, length(text) + 1)) AS i
+        |             FROM documents),
+        |cnts AS (SELECT doc_id, ascii(substr(text, i::INT, 1)) // 16 AS bucket,
+        |                count(*) AS cnt
+        |         FROM pos GROUP BY 1, 2),
+        |norms AS (SELECT doc_id,
+        |                 greatest(sqrt(sum(cnt * cnt)::DOUBLE), 1e-9) AS norm
+        |          FROM cnts GROUP BY 1),
+        |grid AS (SELECT d.doc_id, b.bucket
+        |         FROM (SELECT doc_id FROM documents) d
+        |         CROSS JOIN (SELECT unnest(range(0, 16)) AS bucket) b),
+        |comps AS (SELECT g.doc_id, g.bucket,
+        |                 floor(((coalesce(c.cnt, 0) / n.norm)::FLOAT)::DOUBLE
+        |                       * 1e6)::BIGINT AS comp_micro
+        |          FROM grid g
+        |          JOIN norms n ON n.doc_id = g.doc_id
+        |          LEFT JOIN cnts c ON c.doc_id = g.doc_id
+        |                          AND c.bucket = g.bucket)
+        |SELECT c.doc_id AS doc_id, 16::INT AS dim,
+        |       floor(n.norm * 1000)::BIGINT AS norm_milli,
+        |       string_agg(comp_micro::VARCHAR, ',' ORDER BY c.bucket)
+        |         AS embedding_csv
+        |FROM comps c JOIN norms n ON n.doc_id = c.doc_id
+        |GROUP BY c.doc_id, n.norm
+        |ORDER BY c.doc_id""".stripMargin,
+    // Independent connected-components twin: same edge set as the Spark
+    // side (exact-dup edges ∪ MinHash pairs est ≥ 0.5), but solved by a
+    // recursive label walk instead of iterative propagation — a true
+    // differential in the reference's SimpleInvertedIndex spirit
+    // (reference SimpleInvertedIndex/inverted_index.c:1-2).
+    "q42_dup_clusters" ->
+      s"""WITH RECURSIVE near AS (
+         |  SELECT doc_id_1, doc_id_2 FROM ($q18Sql) q
+         |  WHERE est_jaccard >= 0.5),
+         |exact AS (
+         |  SELECT doc_id AS doc_id_1, mn AS doc_id_2
+         |  FROM (SELECT doc_id,
+         |               min(doc_id) OVER (PARTITION BY norm) AS mn,
+         |               count(*) OVER (PARTITION BY norm) AS c
+         |        FROM (SELECT doc_id,
+         |                     trim(regexp_replace(lower(text), '[^a-z0-9]+',
+         |                          ' ', 'g')) AS norm
+         |              FROM documents) d) g
+         |  WHERE c > 1 AND doc_id <> mn),
+         |edges AS (SELECT doc_id_1, doc_id_2 FROM near
+         |          UNION SELECT doc_id_2, doc_id_1 FROM near
+         |          UNION SELECT doc_id_1, doc_id_2 FROM exact
+         |          UNION SELECT doc_id_2, doc_id_1 FROM exact),
+         |nodes AS (SELECT DISTINCT doc_id_1 AS doc_id FROM edges),
+         |walk(doc_id, label) AS (
+         |  SELECT doc_id, doc_id FROM nodes
+         |  UNION
+         |  SELECT e.doc_id_1, w.label
+         |  FROM walk w JOIN edges e ON e.doc_id_2 = w.doc_id)
+         |SELECT doc_id, min(label) AS cluster
+         |FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

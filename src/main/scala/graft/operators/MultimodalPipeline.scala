@@ -136,17 +136,39 @@ object MultimodalPipeline {
     * (byte histogram over 16 buckets, L2-normalized) as `array<float>` —
     * the column type the similarity operators (q17/q21/q22) consume. The
     * production version replaces the histogram with a model forward pass;
-    * everything downstream (schema, joins, ANN) is unchanged. */
-  def q38EmbedStub(spark: SparkSession, sfDir: String): DataFrame = {
+    * everything downstream (schema, joins, ANN) is unchanged.
+    *
+    * Emits both the raw vector (for in-JVM consumers and the unit-norm
+    * spec) and an integer projection of it: `norm_milli = floor(norm*1e3)`
+    * and `embedding_csv` = comma-joined `floor(f32_component * 1e6)`.
+    * Every step of that projection (integer counts, exact double sums
+    * < 2^53, IEEE sqrt/divide, round-to-nearest float32 cast, floor) is
+    * bit-reproducible in any IEEE-754 engine, so the DuckDB oracle can
+    * hash-verify it — and the projection is plain longs/strings, which
+    * keeps the driver's pandas sort path happy (raw float arrays are not
+    * sortable there). */
+  private def embedAll(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, sfDir).as[MediaRecord]
       .map { r =>
         val hist = new Array[Float](16)
         r.payload.foreach(b => hist((b & 0xff) / 16) += 1f)
         val norm = math.sqrt(hist.map(x => x.toDouble * x).sum).max(1e-9)
-        (r.doc_id, hist.map(x => (x / norm).toFloat))
+        val emb = hist.map(x => (x / norm).toFloat)
+        (r.doc_id, emb, emb.length,
+          math.floor(norm * 1000d).toLong,
+          emb.map(f => math.floor(f.toDouble * 1e6).toLong).mkString(","))
       }
-      .toDF("doc_id", "embedding")
-      .orderBy("doc_id")
+      .toDF("doc_id", "embedding", "dim", "norm_milli", "embedding_csv")
   }
+
+  /** The `array<float>` embedding column for JVM consumers (specs, ANN). */
+  def embedVectors(spark: SparkSession, sfDir: String): DataFrame =
+    embedAll(spark, sfDir).select("doc_id", "embedding")
+
+  /** Q38: the driver-facing, oracle-checkable projection (see embedAll). */
+  def q38EmbedStub(spark: SparkSession, sfDir: String): DataFrame =
+    embedAll(spark, sfDir)
+      .select("doc_id", "dim", "norm_milli", "embedding_csv")
+      .orderBy("doc_id")
 }

@@ -21,10 +21,9 @@ class OperatorSpec extends SparkSpec {
 
   test("every query has an oracle twin (non-SQL-expressible ops excepted)") {
     // driver hash-compare sorts columns by name: names must align exactly.
-    // q34 is approximate (HLL++); q38 is float feature math — both get the
-    // weaker rows-only driver check and dedicated specs here instead.
-    val rowsOnly = Set("q34_approx_distinct", "q38_embed_stub",
-      "q42_dup_clusters")
+    // q34 is approximate (HLL++) — it gets the weaker rows-only driver
+    // check and a dedicated error-bound spec here instead.
+    val rowsOnly = Set("q34_approx_distinct")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
       === rowsOnly)
@@ -71,8 +70,9 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("q38 embeddings are unit-norm, deterministic, similarity-ready") {
-    val a = MultimodalPipeline.q38EmbedStub(spark, sfDir).collect()
-    val b = MultimodalPipeline.q38EmbedStub(spark, sfDir).collect()
+    def vecs = MultimodalPipeline.embedVectors(spark, sfDir).orderBy("doc_id")
+    val a = vecs.collect()
+    val b = vecs.collect()
     assert(a.map(_.getLong(0)).toSeq === b.map(_.getLong(0)).toSeq)
     a.zip(b).foreach { case (x, y) =>
       assert(x.getSeq[Float](1) === y.getSeq[Float](1))

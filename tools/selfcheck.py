@@ -6,21 +6,31 @@ Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
 Reads each <outDir>/<name> parquet (written by graft.Verify), runs the matching
 oracle SQL from <outDir>/oracle_sql.json in DuckDB over the same sf tables,
 sorts columns by name, normalizes values, and hash-compares.
+
+Both sides deliberately go through PANDAS — spark via pyarrow.to_pandas(),
+DuckDB via cursor.df() — because that is the driver's path. It is lossy in
+ways fetchall() is not, and those losses are exactly the bug class this tool
+must catch locally: DuckDB HUGEINT (e.g. sum(BIGINT)) becomes float64
+("99111.000000" vs spark's "99111"), and array columns become numpy.ndarray,
+which crashes the driver's row sort_values ("unhashable type"). Round 2
+shipped q20/q32/q38 locally-green for precisely this reason.
 """
 import sys, json, glob, os, hashlib
 import duckdb
+import numpy as np
+import pandas as pd
 import pyarrow.parquet as pq
 
 def normalize(v):
-    if v is None:
+    if isinstance(v, (list, np.ndarray)):
+        return "[" + ",".join(normalize(x) for x in v) + "]"
+    if v is None or (isinstance(v, float) and v != v):
         return "NULL"
     if isinstance(v, float):
         # round-trip through repr with a small epsilon guard
         return f"{v:.6f}"
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
-        return "[" + ",".join(normalize(x) for x in v) + "]"
     return str(v)
 
 def table_hash(cols, rows):
@@ -29,6 +39,14 @@ def table_hash(cols, rows):
     for row in rows:
         h.update(("|".join(normalize(row[i]) for i in order) + "\n").encode())
     return h.hexdigest()
+
+def sorted_rows(df):
+    """Driver-style: project to name-sorted columns, sort rows by all of
+    them (raises on unsortable cell types — that's the point), return
+    tuples."""
+    cols = sorted(df.columns)
+    df = df[cols].sort_values(cols).reset_index(drop=True)
+    return cols, [tuple(r) for r in df.itertuples(index=False, name=None)]
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -44,17 +62,16 @@ def main(sf_dir, out_dir):
         files = glob.glob(f"{res_dir}/*.parquet")
         if not files:
             print(f"MISSING  {name}: no spark result"); n_fail += 1; continue
-        t = pq.read_table(files[0])
-        spark_cols = t.column_names
-        spark_rows = [tuple(r[c] for c in spark_cols) for r in t.to_pylist()]
         try:
-            cur = con.execute(oracles[name])
-            duck_cols = [d[0] for d in cur.description]
-            duck_rows = cur.fetchall()
+            spark_cols, spark_rows = sorted_rows(pq.read_table(files[0]).to_pandas())
         except Exception as e:
-            print(f"ORAERR   {name}: {e}"); n_fail += 1; continue
-        if sorted(spark_cols) != sorted(duck_cols):
-            print(f"SCHEMA   {name}: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+            print(f"SPARKERR {name}: {type(e).__name__}: {e}"); n_fail += 1; continue
+        try:
+            duck_cols, duck_rows = sorted_rows(con.execute(oracles[name]).df())
+        except Exception as e:
+            print(f"ORAERR   {name}: {type(e).__name__}: {e}"); n_fail += 1; continue
+        if spark_cols != duck_cols:
+            print(f"SCHEMA   {name}: spark={spark_cols} duck={duck_cols}")
             n_fail += 1; continue
         if len(spark_rows) != len(duck_rows):
             print(f"ROWS     {name}: spark={len(spark_rows)} duck={len(duck_rows)}")
@@ -63,12 +80,10 @@ def main(sf_dir, out_dir):
         hd = table_hash(duck_cols, duck_rows)
         if hs != hd:
             print(f"HASH     {name}: mismatch ({len(spark_rows)} rows)")
-            # show first differing row for debugging
-            order_s = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
-            order_d = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+            # show first differing row for debugging (columns already sorted)
             for i, (rs, rd) in enumerate(zip(spark_rows, duck_rows)):
-                vs = [normalize(rs[j]) for j in order_s]
-                vd = [normalize(rd[j]) for j in order_d]
+                vs = [normalize(v) for v in rs]
+                vd = [normalize(v) for v in rd]
                 if vs != vd:
                     print(f"  row {i}: spark={vs}\n  row {i}:  duck={vd}")
                     break

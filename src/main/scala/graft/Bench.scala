@@ -34,7 +34,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // box-load context: this machine is shared and load spikes inflate
+    // samples 2-7x; the 1/5/15-min loadavg lets a reader separate real
+    // regressions from noise
+    val loadavg = scala.util.Try(
+      scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString("[", ",", "]")).getOrElse("[]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$loadavg,"runs_per_query":2}""")
     spark.stop()
   }
 }

@@ -10,26 +10,34 @@ import graft.metrics.MetricsReport
   * positional args, usage message when none given; README.md:258 usage):
   *
   *   runMain graft.api.GraftCli --job wordcount|inverted --output DIR
-  *       [--partitions N] [--no-combiner] [--threads N]
+  *       [--partitions N] [--no-combiner] [-v|--verbose] [--threads N]
   *       [--metrics FILE] input files/dirs...
   *
   * Thread-count flags map to their Spark equivalents: mappers/readers →
   * local[N] parallelism (on a cluster: executor count via spark-submit),
-  * reducers → shuffle partitions. `--no-combiner` is the
-  * MR_DISABLE_COMBINER kill-switch (job.c:209-217); `--metrics` writes the
-  * metrics report file the reference always produced.
+  * reducers → shuffle partitions. `--no-combiner` is the CLI combiner
+  * kill-switch; the `MR_DISABLE_COMBINER=1` ENVIRONMENT variable is also
+  * honored on any job without CLI changes, exactly the reference's
+  * documented contract (job.c:209-217, value compared against "1").
+  * `-v/--verbose` (job.c:112-113) prints the job configuration before the
+  * run and the performance summary after it (job.c:186-192, :272-284), to
+  * stderr like the reference. `--metrics` writes the metrics report file
+  * the reference always produced.
   */
 object GraftCli {
 
   case class Args(job: String = "inverted", output: String = "",
                   partitions: Int = 32, combiner: Boolean = true,
                   threads: Int = 32, metrics: Option[String] = None,
+                  verbose: Boolean = false,
                   inputs: Vector[String] = Vector.empty)
 
   private val usage =
     """usage: GraftCli --job wordcount|inverted --output DIR
-      |       [--partitions N] [--no-combiner] [--threads N]
-      |       [--metrics FILE] input files/dirs...""".stripMargin
+      |       [--partitions N] [--no-combiner] [-v|--verbose] [--threads N]
+      |       [--metrics FILE] input files/dirs...
+      |environment:
+      |  MR_DISABLE_COMBINER=1    disable the combiner on any job""".stripMargin
 
   @annotation.tailrec
   def parse(rest: List[String], acc: Args = Args()): Either[String, Args] =
@@ -41,20 +49,53 @@ object GraftCli {
       case "--threads" :: v :: t    => parse(t, acc.copy(threads = v.toInt))
       case "--no-combiner" :: t     => parse(t, acc.copy(combiner = false))
       case "--metrics" :: v :: t    => parse(t, acc.copy(metrics = Some(v)))
+      case ("-v" | "--verbose") :: t => parse(t, acc.copy(verbose = true))
       case flag :: _ if flag.startsWith("--") => Left(s"unknown flag $flag")
       case path :: t => parse(t, acc.copy(inputs = acc.inputs :+ path))
     }
 
-  def run(spark: SparkSession, a: Args): Unit = {
+  /** `env` and `err` are injectable for tests; production uses the real
+    * process environment and stderr (where the reference prints too). */
+  def run(spark: SparkSession, a: Args,
+          env: Map[String, String] = sys.env,
+          err: java.io.PrintStream = System.err): Unit = {
     val base = a.job match {
       case "wordcount" => SampleJobs.wordCount
       case "inverted"  => SampleJobs.invertedIndex
       case other => throw new IllegalArgumentException(s"unknown job $other")
     }
+    // reference job.c:209-217: getenv("MR_DISABLE_COMBINER"), strcmp "1"
+    val envDisabled = env.get("MR_DISABLE_COMBINER").contains("1")
+    val combinerOn = a.combiner && !envDisabled && base.combine.nonEmpty
     val job = base.copy(numPartitions = a.partitions,
-      combine = if (a.combiner) base.combine else None)
+      combine = if (combinerOn) base.combine else None)
+    if (a.verbose) {
+      // mirrors the reference's config block (job.c:186-192)
+      err.println("MapReduce Job Configuration:")
+      err.println(s"  Threads:   ${a.threads}")
+      err.println(s"  Reducers:  ${a.partitions}")
+      err.println(s"  Files:     ${a.inputs.size}")
+      err.println(s"  Output:    ${a.output}/")
+      err.println(s"  Combiner:  ${if (combinerOn) "Enabled" else "Disabled"}")
+      if (envDisabled)
+        err.println("  Note: Combiner disabled via MR_DISABLE_COMBINER=1")
+      err.println("\nStarting MapReduce execution...")
+    }
+    val t0 = System.nanoTime()
     val m = a.metrics.map(_ => MetricsReport.install(spark))
     MRJob.runToText(spark, job, MRJob.textInput(spark, a.inputs), a.output)
+    if (a.verbose) {
+      // the reference's performance summary (job.c:272-284); CPU rusage
+      // has no per-job JVM equivalent, so wall time is the shared line
+      val wall = (System.nanoTime() - t0) / 1e9
+      err.println("\n===== MapReduce Performance =====")
+      err.println(s"Threads     : ${a.threads}")
+      err.println(s"Reducers    : ${a.partitions}")
+      err.println(s"Files       : ${a.inputs.size}")
+      err.println(f"Wall time   : $wall%.3f sec")
+      err.println(s"\nOutput: ${a.output}/part-* (${a.partitions} files)")
+      err.println("====================================")
+    }
     for (path <- a.metrics; rep <- m) {
       // the listener bus is async: wait for the counters to quiesce or
       // the report can legitimately say "tasks: 0"

@@ -85,6 +85,10 @@ object SparkEntry {
     "q49_sliding_window" -> (RelationalQueries.q49SlidingWindow _),
     "q50_corpus_curation" -> (CurationPipeline.q50CorpusCuration _),
     "q51_group_stats"   -> (RelationalQueries.q51GroupStats _),
+    "q52_decontaminate" -> (DedupQueries.q52Decontaminate _),
+    "q53_hash_sample"   -> (TextQueries.q53HashSample _),
+    "q54_pii_scrub"     -> (TextQueries.q54PiiScrub _),
+    "q55_repetition"    -> (TextQueries.q55Repetition _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -710,5 +714,57 @@ object SparkEntry {
          |  FROM walk w JOIN edges e ON e.doc_id_2 = w.doc_id)
          |SELECT doc_id, min(label) AS cluster
          |FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q52_decontaminate" ->
+      s"""$tokListCte,
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |         [array_to_string(t[i:least(i+2, len(t))], ' ')
+         |          for i in range(1, greatest(len(t)-2, 1)+1)])) AS s
+         |       FROM toks),
+         |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0),
+         |ben AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0)
+         |SELECT c.doc_id AS doc_id, count(*) AS contaminated_shingles
+         |FROM corp c JOIN ben b ON c.s = b.s
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "q53_hash_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |             ('0x' || substr(md5(lang || ':' || doc_id::VARCHAR),
+        |                             1, 8))::BIGINT % 100 AS bucket
+        |           FROM documents)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+        |ORDER BY doc_id""".stripMargin,
+    "q54_pii_scrub" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+'))::INT AS n_emails,
+        |  len(regexp_extract_all(text, 'https?://[^ ]+'))::INT AS n_urls,
+        |  len(regexp_extract_all(text, '[0-9][0-9][0-9]+'))::INT AS n_nums,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g'),
+        |      'https?://[^ ]+', '<URL>', 'g'),
+        |      '[0-9][0-9][0-9]+', '<NUM>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q55_repetition" ->
+      s"""$tokListCte,
+         |u AS (SELECT doc_id, w, count(*) AS c
+         |      FROM (SELECT doc_id, unnest(t) AS w FROM toks) q
+         |      GROUP BY 1, 2),
+         |uni AS (SELECT doc_id, max(c) AS top_tok_cnt,
+         |               sum(c)::BIGINT AS n_toks
+         |        FROM u GROUP BY 1),
+         |bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+         |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+         |             FROM toks) q),
+         |big AS (SELECT doc_id, count(*) AS bigrams,
+         |               count(DISTINCT g) AS distinct_bigrams
+         |        FROM bg GROUP BY 1)
+         |SELECT d.doc_id AS doc_id,
+         |       coalesce(n_toks, 0) AS n_toks,
+         |       coalesce(top_tok_cnt, 0) AS top_tok_cnt,
+         |       coalesce(bigrams, 0) AS bigrams,
+         |       coalesce(distinct_bigrams, 0) AS distinct_bigrams
+         |FROM documents d
+         |LEFT JOIN uni USING (doc_id) LEFT JOIN big USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
   )
 }

@@ -228,6 +228,32 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Q52: test-set DECONTAMINATION — the n-gram overlap check an LLM
+    * training pipeline runs before training (GPT-3 appendix C / Gopher
+    * appendix: drop training docs sharing n-grams with the eval set).
+    * Benchmark set = every 20th doc_id, standing in for an external eval
+    * corpus at identical plan shape; flagged output = corpus docs with
+    * the count of distinct word 3-shingles they share with it.
+    *
+    * Scale shape: the benchmark side is small by construction (eval sets
+    * are thousands of docs, not billions), so its distinct shingle set is
+    * BROADCAST — the corpus never shuffles for the join; contamination
+    * detection is a map-side hash join + one aggregate on doc_id. At
+    * 100 TB this is the only shape that works: shuffling corpus shingles
+    * on `s` would move the whole tokenized corpus. */
+  def q52Decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val corpusSh = Text.shingleRows(
+      docs.where(col("doc_id") % 20 =!= 0), "doc_id", "text", 3)
+    val benchSh = Text.shingleRows(
+      docs.where(col("doc_id") % 20 === 0), "doc_id", "text", 3)
+      .select("s").distinct()
+    corpusSh.join(broadcast(benchSh), Seq("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("contaminated_shingles"))
+      .orderBy("doc_id")
+  }
+
   /** Q47: edit-distance verification of LSH candidates — the "verify"
     * half of a candidate-verify dedup pipeline: MinHash proposes pairs
     * (cheap, probabilistic), levenshtein on the normalized-text prefix

@@ -139,6 +139,86 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Q53: deterministic stratified HASH-SAMPLING — the reproducible
+    * alternative to random sampling every curation pipeline needs:
+    * keep a document iff a uniform hash of (lang, doc_id) falls under its
+    * stratum's rate (en 50%, everything else 20% — a rebalancing step).
+    * Pure map-side filter, zero shuffle at any scale; re-running (or
+    * re-sharding) the corpus reproduces the same sample because the hash
+    * depends only on content keys — never on partition or row order.
+    * The md5-derived bucket keeps the oracle bit-exact. */
+  def q53HashSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = conv(substring(
+      md5(concat(col("lang"), lit(":"), col("doc_id"))), 1, 8), 16, 10)
+      .cast("long") % 100
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .where(col("bucket") <
+        when(col("lang") === "en", lit(50)).otherwise(lit(20)))
+      .orderBy("doc_id")
+  }
+
+  /** Q54: PII-style SCRUBBING — regex redaction of emails, URLs, and
+    * digit runs (≥3, so token counts survive), plus redaction counts per
+    * doc. Per-row regexp work is map-side and codegen'd — zero shuffle;
+    * at 100 TB this is a pure pass-through transform. Patterns use only
+    * explicit character classes, which Java regex (Spark) and RE2-style
+    * DuckDB interpret identically — no \\d/\\w shorthand, whose Unicode
+    * semantics differ across engines. */
+  def q54PiiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+    val url = "https?://[^ ]+"
+    val num = "[0-9][0-9][0-9]+"
+    val t = col("text")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(t, lit(email), lit(0))).as("n_emails"),
+        size(regexp_extract_all(t, lit(url), lit(0))).as("n_urls"),
+        size(regexp_extract_all(t, lit(num), lit(0))).as("n_nums"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, email, "<EMAIL>"),
+            url, "<URL>"),
+          num, "<NUM>").as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  /** Q55: REPETITION stats — the Gopher-style repetitiousness signals
+    * (Rae et al. 2021, table A1: top-n-gram fraction, duplicate-n-gram
+    * fraction) as exact integer counts per doc: total/top-unigram counts
+    * and total/distinct bigram counts. Integer outputs keep the oracle
+    * exact; the consumer forms ratios downstream. One explode, two
+    * aggregates, bigrams via a lead window — all map-side-combined and
+    * codegen'd, shuffling only (doc_id)-keyed rows. */
+  def q55Repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"),
+      posexplode(Text.tokens(col("text"))))
+    val uni = toks.groupBy("doc_id", "col").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("top_tok_cnt"), sum(col("c")).as("n_toks"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val perDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val big = toks
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("col"), lead(col("col"), 1).over(byDoc)).as("g"),
+        count(lit(1)).over(perDoc).as("n"))
+      .where(col("pos") <= col("n") - 2)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("bigrams"),
+        count_distinct(col("g")).as("distinct_bigrams"))
+    docs.select("doc_id")
+      .join(uni, Seq("doc_id"), "left")
+      .join(big, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("top_tok_cnt"), lit(0L)).as("top_tok_cnt"),
+        coalesce(col("bigrams"), lit(0L)).as("bigrams"),
+        coalesce(col("distinct_bigrams"), lit(0L)).as("distinct_bigrams"))
+      .orderBy("doc_id")
+  }
+
   /** Q44: TF-IDF — the classic corpus-weighting operator. tf = term count
     * in doc; idf = ln(N / df) with df = docs containing the term. Emits
     * each document's top-3 terms by (tfidf desc, term asc). One explode,

@@ -216,6 +216,46 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q52 decontamination broadcasts the benchmark shingle set") {
+    // the corpus side must never shuffle on the shingle key: the join has
+    // to be a broadcast hash join with the (small) benchmark set built
+    val plan = DedupQueries.q52Decontaminate(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast contamination join in:\n$plan")
+  }
+
+  test("q53 hash sample is deterministic and respects stratum rates") {
+    val docs = Tables.documents(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sample = TextQueries.q53HashSample(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // identical on re-run (content-keyed hash, not row/partition order)
+    val again = TextQueries.q53HashSample(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sample === again)
+    // each stratum's observed rate is within ±20pp of its target — the
+    // md5 bucket is uniform, strata at sf0.001 are ~100 docs
+    sample.foreach { case (lang, n) =>
+      val target = if (lang == "en") 0.5 else 0.2
+      val rate = n.toDouble / docs(lang)
+      assert(math.abs(rate - target) < 0.2, s"$lang rate=$rate target=$target")
+    }
+  }
+
+  test("q55 repetition counts are internally consistent") {
+    TextQueries.q55Repetition(spark, sfDir).collect().foreach { r =>
+      val (n, top, big, dbig) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(big === math.max(n - 1, 0), s"doc ${r.getLong(0)}: $n toks, $big bigrams")
+      assert(top <= n && dbig <= big)
+      assert(n == 0 || top >= 1)
+    }
+  }
+
   test("q5 filter pushes predicates into the parquet scan") {
     val plan = RelationalQueries.q5FilterAgg(spark, sfDir)
       .queryExecution.executedPlan.toString

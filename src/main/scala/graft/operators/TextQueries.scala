@@ -188,10 +188,22 @@ object TextQueries {
     * fraction) as exact integer counts per doc: total/top-unigram counts
     * and total/distinct bigram counts. Integer outputs keep the oracle
     * exact; the consumer forms ratios downstream. One explode, two
-    * aggregates, bigrams via a lead window — all map-side-combined and
-    * codegen'd, shuffling only (doc_id)-keyed rows. */
+    * aggregates, bigrams via a lead window.
+    *
+    * ONE logical shuffle: the raw docs are repartitioned on doc_id up
+    * front, and hash(doc_id) satisfies every downstream distribution —
+    * the (doc_id, token) and (doc_id) aggregates (partitioning on a
+    * subset of the grouping keys is clustered enough), the per-doc lead
+    * window, and the doc_id equi-joins. The naive formulation instead
+    * shuffles token-level rows on three different keys — including the
+    * full exploded token stream for the window — roughly 2× the corpus
+    * bytes vs 1× here. A/B at sf0.1 is a wash (0.42 s vs 0.48 s: toy
+    * scale, broadcasts mask the exchanges); the win is the shuffle-volume
+    * shape at corpus scale. No ENSURE_REQUIREMENTS hash exchange may
+    * appear in this plan (spec-asserted). */
   def q55Repetition(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").repartition(col("doc_id"))
     val toks = docs.select(col("doc_id"),
       posexplode(Text.tokens(col("text"))))
     val uni = toks.groupBy("doc_id", "col").agg(count(lit(1)).as("c"))

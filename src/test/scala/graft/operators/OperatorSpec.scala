@@ -256,6 +256,17 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q55 plan has no optimizer-inserted hash exchange (one logical shuffle)") {
+    // the explicit doc_id repartition must satisfy every downstream
+    // distribution: any ENSURE_REQUIREMENTS hashpartitioning exchange
+    // means token-level rows are being reshuffled
+    val plan = TextQueries.q55Repetition(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val offending = "hashpartitioning[^\\n]*ENSURE_REQUIREMENTS".r
+      .findFirstIn(plan)
+    assert(offending.isEmpty, s"unexpected exchange: $offending\n$plan")
+  }
+
   test("q5 filter pushes predicates into the parquet scan") {
     val plan = RelationalQueries.q5FilterAgg(spark, sfDir)
       .queryExecution.executedPlan.toString

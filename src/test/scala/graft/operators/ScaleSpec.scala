@@ -108,4 +108,20 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("ReusedExchange"),
       s"expected ReusedExchange in q19 plan:\n${plan.take(4000)}")
   }
+
+  test("q18 self-join reuses the signature pipeline between its sides") {
+    // The optimizer-inserted exchanges inside shingleRows/signatures are
+    // REUSE POINTS, not waste: a rewrite that eliminated them (repartition
+    // raw docs up front so hash(doc_id) satisfies every distribution)
+    // left the doc-level exchange as the only shared node, so the whole
+    // shingle+signature subtree executed once per join side and q18's
+    // wall time DOUBLED (2.9 s -> 6.0 s at sf0.1, measured round 3).
+    // Fewer shuffles is not automatically better when the subtree above
+    // the removed shuffle has multiple consumers.
+    val df = DedupQueries.q18MinhashLsh(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"expected ReusedExchange in q18 plan:\n${plan.take(4000)}")
+  }
 }

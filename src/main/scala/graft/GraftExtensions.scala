@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{CosineSimilarity, DotProduct, Text}
 
 /** Session extension registering graft's native Catalyst expressions with
   * the SQL function registry, so the SQL front-end can call them directly:
@@ -34,5 +34,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "cosine_similarity(a, b) - cosine similarity of two double arrays",
         ""),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    // The text primitives compose built-in expressions, so SQL gets the
+    // same tokenizer semantics as the Scala API. The builders return RAW
+    // Catalyst trees (Text.tokensExpr etc.): a function-registry builder's
+    // output must be analyzable, and a Column-API tree comes back as a
+    // lazy column-node wrapper the analyzer never resolves. Parity with
+    // the Column definitions is spec-pinned (VectorsSpec).
+    ext.injectFunction((
+      FunctionIdentifier("graft_tokens"),
+      new ExpressionInfo(Text.getClass.getName, null, "graft_tokens",
+        "graft_tokens(text) - reference-tokenizer token array: lowercase, " +
+          "split on [^a-z0-9]+, drop empties, 255-char cap", ""),
+      (children: Seq[Expression]) => Text.tokensExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(Text.getClass.getName, null, "graft_normalize",
+        "graft_normalize(text) - dedup normalization: lowercase, collapse " +
+          "non-alphanumeric runs to single spaces, trim", ""),
+      (children: Seq[Expression]) => Text.normalizedExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_quality"),
+      new ExpressionInfo(
+        graft.operators.TextQueries.getClass.getName, null,
+        "graft_quality",
+        "graft_quality(text) - q24 quality score from length/alnum/" +
+          "stopword signals", ""),
+      (children: Seq[Expression]) =>
+        graft.operators.TextQueries.qualityExpr(children.head)))
   }
 }

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,6 +20,36 @@ object Text {
 
   /** Maximum token length, matching MAX_WORD_LEN-1 (reference main.c:42-44). */
   val MaxTokenLen = 255
+
+  /** Catalyst-tree twins of [[tokens]] / [[normalized]] for SQL function
+    * registration (GraftExtensions): a function-registry builder must
+    * return a raw Catalyst expression — a Column-API tree comes back as a
+    * lazy column-node wrapper the analyzer never resolves. Semantics
+    * parity with the Column versions is pinned by VectorsSpec's SQL test.
+    * Unresolved lambda variables and lenient types are fine here: builder
+    * output goes through full analysis (lambda binding, type coercion). */
+  private[graft] def lam(
+      f: catalyst.expressions.NamedExpression => catalyst.expressions.Expression)
+      : catalyst.expressions.LambdaFunction = {
+    val v = catalyst.expressions.UnresolvedNamedLambdaVariable(Seq("t"))
+    catalyst.expressions.LambdaFunction(f(v), Seq(v))
+  }
+
+  def tokensExpr(text: catalyst.expressions.Expression)
+      : catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    ArrayFilter(
+      ArrayTransform(
+        StringSplit(Lower(text), Literal("[^a-z0-9]+"), Literal(-1)),
+        lam(t => Substring(t, Literal(1), Literal(MaxTokenLen)))),
+      lam(t => GreaterThan(Length(t), Literal(0))))
+  }
+
+  def normalizedExpr(text: catalyst.expressions.Expression)
+      : catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    StringTrim(RegExpReplace(Lower(text), Literal("[^a-z0-9]+"), Literal(" ")))
+  }
 
   /** Array of normalized tokens for a text column. Stays inside whole-stage
     * codegen: lower/split/filter/transform are all native expressions. */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -54,6 +55,32 @@ object TextQueries {
       (length(regexp_replace(lower(text), "[^a-z0-9]", ""))
         / greatest(length(text), lit(1))) * 0.4 +
       (hits(toks, Lexicons.head._2) / greatest(size(toks), lit(1))) * 0.2
+
+  /** Catalyst-tree twin of [[qualityScore]] for SQL registration as
+    * `graft_quality(text)` (see Text.tokensExpr for why raw trees).
+    * Same subexpressions in the same order, so the analyzer's coercions
+    * produce bit-identical doubles — pinned by VectorsSpec's SQL test. */
+  def qualityExpr(text: catalyst.expressions.Expression)
+      : catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val toks = Text.tokensExpr(text)
+    val enLex = Literal.create(Lexicons.head._2, ArrayType(StringType))
+    val lengthGate = Multiply(
+      Least(Seq(Divide(Size(toks), Literal(100.0)), Literal(1.0))),
+      Literal(0.4))
+    val alnumRatio = Multiply(
+      Divide(
+        Length(RegExpReplace(Lower(text), Literal("[^a-z0-9]"), Literal(""))),
+        Greatest(Seq(Length(text), Literal(1)))),
+      Literal(0.4))
+    val stopwordRatio = Multiply(
+      Divide(
+        Size(ArrayFilter(toks, Text.lam(t => ArrayContains(enLex, t)))),
+        Greatest(Seq(Size(toks), Literal(1)))),
+      Literal(0.2))
+    Add(Add(lengthGate, alnumRatio), stopwordRatio)
+  }
 
   /** Q23: heuristic language ID — the lexicon with the most token hits wins
     * (fixed precedence en>es>de>fr>zh on ties, "und" when no hits at all);

@@ -69,6 +69,22 @@ class VectorsSpec extends SparkSpec {
     assert(r.getDouble(1) === 1.0)
   }
 
+  test("SQL front-end resolves the registered text primitives") {
+    val r = spark.sql(
+      """SELECT graft_tokens('Hello, World! 42x') AS t,
+        |       graft_normalize('  Foo--BAR  baz ') AS n,
+        |       graft_quality('the cat sat') AS q
+        |""".stripMargin).collect().head
+    assert(r.getSeq[String](0) === Seq("hello", "world", "42x"))
+    assert(r.getString(1) === "foo bar baz")
+    // same arithmetic as the column API (single definition, no drift)
+    val viaApi = Seq("the cat sat").toDF("text")
+      .select(graft.operators.TextQueries.qualityScore(col("text"),
+        graft.functions.Text.tokens(col("text"))).as("q"))
+      .collect().head.getDouble(0)
+    assert(r.getDouble(2) === viaApi)
+  }
+
   test("float->double cast is exact before arithmetic") {
     val df = Seq(Seq(0.1f, 0.2f)).toDF("v")
       .select(Vectors.asDouble(col("v")).as("d"))

@@ -1,8 +1,5 @@
 package graft
 
-import org.apache.spark.sql.functions._
-
-import graft.functions.Text
 import graft.operators.DedupQueries
 
 /** Candidate-density sweep for the dedup pipelines (dev tool, mirrors the
@@ -32,30 +29,11 @@ object CandidateScaling {
       val n = docs.count()
       val possible = n * (n - 1) / 2
 
-      // q18: LSH band-collision pairs == its full output (no threshold)
+      // each count calls the OPERATOR's own candidate-space builder, so
+      // the sweep cannot drift from the shipped join shapes
       val q18 = DedupQueries.q18MinhashLsh(spark, dir).count()
-
-      // q19's candidate space: distinct co-shingled pairs (the join's
-      // output before the Jaccard threshold)
-      val sh = Text.shingleRows(docs, "doc_id", "text", 3)
-      val q19 = sh.select(col("doc_id").as("a"), col("s"))
-        .join(sh.select(col("doc_id").as("b"), col("s")), Seq("s"))
-        .where(col("a") < col("b"))
-        .select("a", "b").distinct().count()
-
-      // q48's candidate space: distinct byte-band collision pairs (before
-      // the hamming<=3 verify)
-      val fp = DedupQueries.q20Simhash(spark, dir)
-      val banded = fp.select(col("doc_id"),
-        explode(array((0 until 4).map(j =>
-          struct(lit(j).as("band"),
-            (shiftright(col("simhash"), j * 8) % 256).as("bv"))): _*)).as("x"))
-        .select(col("doc_id"), col("x.band").as("band"), col("x.bv").as("bv"))
-      val q48 = banded.select(col("doc_id").as("a"), col("band"), col("bv"))
-        .join(banded.select(col("doc_id").as("b"), col("band"), col("bv")),
-          Seq("band", "bv"))
-        .where(col("a") < col("b"))
-        .select("a", "b").distinct().count()
+      val q19 = DedupQueries.shingleIntersections(spark, dir).count()
+      val q48 = DedupQueries.simhashCandidates(spark, dir).count()
 
       println(s"| $dir | $n | $possible | $q18 | $q19 | $q48 |")
     }

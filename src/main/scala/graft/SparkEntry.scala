@@ -114,13 +114,20 @@ object SparkEntry {
       |  FROM documents
       |)""".stripMargin
 
+  /** Word-3-shingle CTE over [[tokListCte]] — ONE definition of the
+    * shingle edge semantics (short doc → whole text; tokenless doc → ""
+    * shingle), shared by the q18/q42/q47 pipeline, q19, and q52 oracles
+    * so they can never drift apart. */
+  private val shingleCte: String =
+    s"""$tokListCte,
+       |sh AS (SELECT doc_id, unnest(list_distinct(
+       |         [array_to_string(t[i:least(i+2, len(t))], ' ')
+       |          for i in range(1, greatest(len(t)-2, 1)+1)])) AS s
+       |       FROM toks)""".stripMargin
+
   /** Q18's oracle, shared: q47 nests it as its candidate generator. */
   private val q18Sql: String =
-    s"""$tokListCte,
-         |sh AS (SELECT doc_id, unnest(list_distinct(
-         |         [array_to_string(t[i:least(i+2, len(t))], ' ')
-         |          for i in range(1, greatest(len(t)-2, 1)+1)])) AS s
-         |       FROM toks),
+    s"""$shingleCte,
          |sig AS (SELECT doc_id, i,
          |               min(('0x' || substr(md5((i // 4)::VARCHAR || ':' || s),
          |                                   (i % 4) * 8 + 1, 8))::BIGINT) AS mh
@@ -255,11 +262,7 @@ object SparkEntry {
         |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
     "q18_minhash_lsh" -> q18Sql,
     "q19_ngram_jaccard" ->
-      s"""$tokListCte,
-         |sh AS (SELECT doc_id, unnest(list_distinct(
-         |         [array_to_string(t[i:least(i+2, len(t))], ' ')
-         |          for i in range(1, greatest(len(t)-2, 1)+1)])) AS s
-         |       FROM toks),
+      s"""$shingleCte,
          |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
          |                 count(*) AS i
@@ -663,9 +666,12 @@ object SparkEntry {
         |cnts AS (SELECT doc_id, ascii(substr(text, i::INT, 1)) // 16 AS bucket,
         |                count(*) AS cnt
         |         FROM pos GROUP BY 1, 2),
-        |norms AS (SELECT doc_id,
-        |                 greatest(sqrt(sum(cnt * cnt)::DOUBLE), 1e-9) AS norm
-        |          FROM cnts GROUP BY 1),
+        |norms AS (SELECT d.doc_id AS doc_id,
+        |                 greatest(sqrt(coalesce(sum(cnt * cnt), 0)::DOUBLE),
+        |                          1e-9) AS norm
+        |          FROM documents d
+        |          LEFT JOIN cnts c ON c.doc_id = d.doc_id
+        |          GROUP BY 1),
         |grid AS (SELECT d.doc_id, b.bucket
         |         FROM (SELECT doc_id FROM documents) d
         |         CROSS JOIN (SELECT unnest(range(0, 16)) AS bucket) b),
@@ -715,11 +721,7 @@ object SparkEntry {
          |SELECT doc_id, min(label) AS cluster
          |FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q52_decontaminate" ->
-      s"""$tokListCte,
-         |sh AS (SELECT doc_id, unnest(list_distinct(
-         |         [array_to_string(t[i:least(i+2, len(t))], ' ')
-         |          for i in range(1, greatest(len(t)-2, 1)+1)])) AS s
-         |       FROM toks),
+      s"""$shingleCte,
          |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0),
          |ben AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0)
          |SELECT c.doc_id AS doc_id, count(*) AS contaminated_shingles

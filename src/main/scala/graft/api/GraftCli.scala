@@ -50,7 +50,9 @@ object GraftCli {
       case "--no-combiner" :: t     => parse(t, acc.copy(combiner = false))
       case "--metrics" :: v :: t    => parse(t, acc.copy(metrics = Some(v)))
       case ("-v" | "--verbose") :: t => parse(t, acc.copy(verbose = true))
-      case flag :: _ if flag.startsWith("--") => Left(s"unknown flag $flag")
+      // any other dash-prefixed token is a flag typo, not an input path —
+      // without this, "-verbose" would silently become an input file
+      case flag :: _ if flag.startsWith("-") => Left(s"unknown flag $flag")
       case path :: t => parse(t, acc.copy(inputs = acc.inputs :+ path))
     }
 

@@ -129,14 +129,22 @@ object DedupQueries {
     * stable; window-prune 5.8-10.9 s; groupBy-prune 4.7-23.8 s). On a
     * sparse real-world corpus add the `df > 1` filter back — the pair
     * join's input, not this operator's shape, is what explodes. */
-  def q19NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Distinct co-shingled pairs with their common-shingle counts — q19's
+    * exact candidate space. Public so the CandidateScaling sweep measures
+    * the SAME join the operator ships (no drift between the scaling
+    * evidence and the pipeline). */
+  def shingleIntersections(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = Text.shingleRows(Tables.documents(spark, sfDir), "doc_id", "text", 3)
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("doc_id_1"), col("s"))
+    sh.select(col("doc_id").as("doc_id_1"), col("s"))
       .join(sh.select(col("doc_id").as("doc_id_2"), col("s")), Seq("s"))
       .where(col("doc_id_1") < col("doc_id_2"))
       .groupBy("doc_id_1", "doc_id_2").agg(count(lit(1)).as("i"))
-    inter
+  }
+
+  def q19NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Text.shingleRows(Tables.documents(spark, sfDir), "doc_id", "text", 3)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    shingleIntersections(spark, sfDir)
       .join(sz.select(col("doc_id").as("doc_id_1"), col("n").as("n1")), "doc_id_1")
       .join(sz.select(col("doc_id").as("doc_id_2"), col("n").as("n2")), "doc_id_2")
       .select(col("doc_id_1"), col("doc_id_2"),
@@ -274,6 +282,31 @@ object DedupQueries {
       .orderBy("doc_id_1", "doc_id_2")
   }
 
+  /** Byte-banded projection of q20 fingerprints: one row per (doc, band,
+    * byte value) — q48's candidate key. */
+  def simhashBanded(fp: DataFrame): DataFrame =
+    fp.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("band"),
+          (shiftright(col("simhash"), j * 8) % 256).as("bv"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+
+  /** Distinct byte-band collision pairs with both fingerprints — q48's
+    * candidate space before the hamming verify. Public so the
+    * CandidateScaling sweep measures the shipped shape. */
+  def simhashCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    val banded = simhashBanded(q20Simhash(spark, sfDir))
+    val a = banded.select(col("doc_id").as("doc_id_1"),
+      col("simhash").as("f1"), col("band"), col("bv"))
+    val b = banded.select(col("doc_id").as("doc_id_2"),
+      col("simhash").as("f2"), col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .where(col("doc_id_1") < col("doc_id_2"))
+      .select("doc_id_1", "doc_id_2", "f1", "f2")
+      .distinct()
+  }
+
   /** Q48: SimHash near-dup pairing — the banded hamming join that makes
     * q20's fingerprints a dedup operator. Pigeonhole: two 32-bit
     * fingerprints within hamming distance 3 must agree on at least one of
@@ -282,24 +315,10 @@ object DedupQueries {
     * `bit_count(xor)` filter keeps true near-dups. Same
     * candidate-then-verify shape as MinHash-LSH (q18) and edit-distance
     * verify (q47). */
-  def q48SimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val fp = q20Simhash(spark, sfDir)
-    val banded = fp.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(j =>
-        struct(lit(j).as("band"),
-          (shiftright(col("simhash"), j * 8) % 256).as("bv"))): _*)).as("b"))
-      .select(col("doc_id"), col("simhash"),
-        col("b.band").as("band"), col("b.bv").as("bv"))
-    val a = banded.select(col("doc_id").as("doc_id_1"),
-      col("simhash").as("f1"), col("band"), col("bv"))
-    val b = banded.select(col("doc_id").as("doc_id_2"),
-      col("simhash").as("f2"), col("band"), col("bv"))
-    a.join(b, Seq("band", "bv"))
-      .where(col("doc_id_1") < col("doc_id_2"))
+  def q48SimhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    simhashCandidates(spark, sfDir)
       .select(col("doc_id_1"), col("doc_id_2"),
         bit_count(col("f1").bitwiseXOR(col("f2"))).as("hamming"))
       .where(col("hamming") <= 3)
-      .distinct()
       .orderBy("doc_id_1", "doc_id_2")
-  }
 }

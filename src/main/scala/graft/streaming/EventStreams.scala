@@ -86,19 +86,24 @@ object EventStreams {
   /** Run a finite streaming query to completion into a memory sink and
     * return the materialized result. The narrowed shuffle width applies
     * only while the stream is planned/started; the session's batch
-    * setting is restored after. */
-  private def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
-    val spark = df.sparkSession
-    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
-    try {
-      val q = df.writeStream.format("memory").queryName(name)
-        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(name)
-  }
+    * setting is restored after. The save/set/restore of the session-global
+    * conf is not reentrant, so the whole window is serialized — two
+    * interleaved calls could otherwise both read the narrowed value as
+    * "previous" and leave the shared session permanently at 8. (These are
+    * finite demo streams; a production job sets the conf once at submit.) */
+  private def runToTable(df: DataFrame, mode: OutputMode): DataFrame =
+    synchronized {
+      val spark = df.sparkSession
+      val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+      try {
+        val q = df.writeStream.format("memory").queryName(name)
+          .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.table(name)
+    }
 
   /** Q29: the streaming twin of batch q14 — tumbling 1-hour event-time
     * windows per event type. Watermark bounds state at 1 hour of lateness;

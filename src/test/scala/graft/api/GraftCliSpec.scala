@@ -10,6 +10,7 @@ class GraftCliSpec extends SparkSpec {
     assert(ok === Right(GraftCli.Args(job = "wordcount", output = "/tmp/o",
       partitions = 4, combiner = false, inputs = Vector("a.txt", "b.txt"))))
     assert(GraftCli.parse(List("--bogus")).isLeft)
+    assert(GraftCli.parse(List("-verbose")).isLeft) // single-dash typos too
     // -v / --verbose (reference job.c:112-113)
     assert(GraftCli.parse(List("-v", "a.txt"))
       === Right(GraftCli.Args(verbose = true, inputs = Vector("a.txt"))))

@@ -89,6 +89,7 @@ object SparkEntry {
     "q53_hash_sample"   -> (TextQueries.q53HashSample _),
     "q54_pii_scrub"     -> (TextQueries.q54PiiScrub _),
     "q55_repetition"    -> (TextQueries.q55Repetition _),
+    "q56_lm_score"      -> (TextQueries.q56UnigramLogprob _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -767,6 +768,23 @@ object SparkEntry {
          |       coalesce(distinct_bigrams, 0) AS distinct_bigrams
          |FROM documents d
          |LEFT JOIN uni USING (doc_id) LEFT JOIN big USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "q56_lm_score" ->
+      s"""$tokListCte,
+         |tr AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         |tf AS (SELECT w, count(*) AS cnt FROM tr GROUP BY w),
+         |tot AS (SELECT sum(cnt)::DOUBLE AS total FROM tf),
+         |lp AS (SELECT doc_id,
+         |         floor(ln((SELECT total FROM tot) / cnt) * 1e6)::BIGINT
+         |           AS lpm
+         |       FROM tr JOIN tf USING (w)),
+         |agg AS (SELECT doc_id, sum(lpm)::BIGINT AS sum_logp_micro,
+         |               count(*) AS n_toks
+         |        FROM lp GROUP BY doc_id)
+         |SELECT d.doc_id AS doc_id,
+         |       coalesce(sum_logp_micro, 0) AS sum_logp_micro,
+         |       coalesce(n_toks, 0) AS n_toks
+         |FROM documents d LEFT JOIN agg USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
   )
 }

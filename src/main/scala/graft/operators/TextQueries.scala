@@ -258,6 +258,39 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Q56: corpus-LM scoring (the CCNet-style quality signal): score each
+    * doc by its tokens' negative log-probability under the corpus's own
+    * unigram distribution — low = fluent/common text, high = rare-token
+    * noise. The cross-corpus twin of q24's per-doc signals.
+    *
+    * Numerics: per-token -ln p is floored to integer MICRO-nats, so the
+    * per-doc sum is an integer — order-independent across partitions
+    * (a raw double sum would vary run to run) and exactly reproducible
+    * by the oracle. floor (not round) avoids half-tie semantics; the
+    * gate would surface any 1-ulp ln() divergence between engines.
+    *
+    * Scale shape: one explode feeding a token-count aggregate; the
+    * vocabulary (small by Heaps' law) is BROADCAST back onto the token
+    * stream, so the only doc-keyed shuffle is the per-doc sum. The
+    * vocabulary-total is a scalar driver action over the tf aggregate. */
+  def q56UnigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"),
+      explode(Text.tokens(col("text"))).as("w"))
+    val tf = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = tf.agg(sum(col("cnt"))).head.getLong(0)
+    val scored = toks.join(broadcast(tf), "w")
+      .select(col("doc_id"),
+        floor(log(lit(total.toDouble) / col("cnt")) * 1e6).as("lpm"))
+      .groupBy("doc_id")
+      .agg(sum(col("lpm")).as("sum_logp_micro"), count(lit(1)).as("n_toks"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("sum_logp_micro"), lit(0L)).as("sum_logp_micro"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"))
+      .orderBy("doc_id")
+  }
+
   /** Q44: TF-IDF — the classic corpus-weighting operator. tf = term count
     * in doc; idf = ln(N / df) with df = docs containing the term. Emits
     * each document's top-3 terms by (tfidf desc, term asc). One explode,

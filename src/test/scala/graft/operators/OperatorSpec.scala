@@ -267,6 +267,24 @@ class OperatorSpec extends SparkSpec {
     assert(offending.isEmpty, s"unexpected exchange: $offending\n$plan")
   }
 
+  test("q56 LM scores are consistent with the corpus unigram distribution") {
+    val tf = Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = tf.values.sum.toDouble
+    val perTok = tf.values.map(c => math.floor(math.log(total / c) * 1e6).toLong)
+    val (minLp, maxLp) = (perTok.min, perTok.max)
+    TextQueries.q56UnigramLogprob(spark, sfDir).collect().foreach { r =>
+      val (n, s) = (r.getLong(2), r.getLong(1))
+      // every token's micro-logprob lies in [minLp, maxLp], so the sum
+      // must land in [n*minLp, n*maxLp]; zero-token docs score 0
+      assert(s >= n * minLp && s <= n * maxLp,
+        s"doc ${r.getLong(0)}: sum=$s outside [$n*$minLp, $n*$maxLp]")
+      assert(n > 0 || s === 0L)
+    }
+  }
+
   test("q5 filter pushes predicates into the parquet scan") {
     val plan = RelationalQueries.q5FilterAgg(spark, sfDir)
       .queryExecution.executedPlan.toString

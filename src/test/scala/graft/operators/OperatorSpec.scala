@@ -225,6 +225,16 @@ class OperatorSpec extends SparkSpec {
       s"expected broadcast contamination join in:\n$plan")
   }
 
+  test("q53 scan never reads the text column (metadata-only sampling)") {
+    // at corpus scale this is the difference between scanning the
+    // (doc_id, lang) columns and scanning 100 TB of text
+    val readSchema = TextQueries.q53HashSample(spark, sfDir)
+      .queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.nonEmpty && !readSchema.contains("text"),
+      s"column pruning failed: $readSchema")
+  }
+
   test("q53 hash sample is deterministic and respects stratum rates") {
     val docs = Tables.documents(spark, sfDir)
       .groupBy("lang").count().collect()

@@ -282,21 +282,34 @@ object DedupQueries {
       .orderBy("doc_id_1", "doc_id_2")
   }
 
-  /** Byte-banded projection of q20 fingerprints: one row per (doc, band,
-    * byte value) — q48's candidate key. */
-  def simhashBanded(fp: DataFrame): DataFrame =
+  /** Banded projection of q20 fingerprints: one row per (doc, band,
+    * band value) — q48's candidate key. `bands` is THE scale knob:
+    * splitting the 32-bit fingerprint into k bands of 32/k bits
+    * pigeonhole-guarantees every pair within hamming distance k-1
+    * collides on some band, while the bucket count per band (2^(32/k))
+    * sets the false-collision rate. Fewer bands → wider buckets → fewer
+    * candidates but a tighter detectable distance; at corpus scale you
+    * widen the fingerprint (64-bit) and keep ~16-bit bands. Spec-pinned:
+    * bands=2 candidates ⊇ all hamming≤1 pairs and ⊆ the bands=4 space
+    * in expectation. */
+  def simhashBanded(fp: DataFrame, bands: Int = 4): DataFrame = {
+    require(32 % bands == 0, s"bands must divide 32: $bands")
+    val width = 32 / bands
     fp.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(j =>
+      explode(array((0 until bands).map(j =>
         struct(lit(j).as("band"),
-          (shiftright(col("simhash"), j * 8) % 256).as("bv"))): _*)).as("b"))
+          (shiftright(col("simhash"), j * width) % (1L << width)).as("bv"))): _*))
+        .as("b"))
       .select(col("doc_id"), col("simhash"),
         col("b.band").as("band"), col("b.bv").as("bv"))
+  }
 
-  /** Distinct byte-band collision pairs with both fingerprints — q48's
+  /** Distinct band-collision pairs with both fingerprints — q48's
     * candidate space before the hamming verify. Public so the
     * CandidateScaling sweep measures the shipped shape. */
-  def simhashCandidates(spark: SparkSession, sfDir: String): DataFrame = {
-    val banded = simhashBanded(q20Simhash(spark, sfDir))
+  def simhashCandidates(spark: SparkSession, sfDir: String,
+                        bands: Int = 4): DataFrame = {
+    val banded = simhashBanded(q20Simhash(spark, sfDir), bands)
     val a = banded.select(col("doc_id").as("doc_id_1"),
       col("simhash").as("f1"), col("band"), col("bv"))
     val b = banded.select(col("doc_id").as("doc_id_2"),

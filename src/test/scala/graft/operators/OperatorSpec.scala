@@ -216,6 +216,24 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q48's band width is the candidate/recall knob (pigeonhole holds)") {
+    // 2 bands of 16 bits: pigeonhole guarantees every hamming<=1 pair
+    // collides on one half-word, and the 65536-bucket bands collide far
+    // less than the default 256-bucket ones
+    val c2 = DedupQueries.simhashCandidates(spark, sfDir, bands = 2).count()
+    val c4 = DedupQueries.simhashCandidates(spark, sfDir).count()
+    assert(c2 < c4, s"expected fewer wide-band collisions: c2=$c2 c4=$c4")
+    val fp = DedupQueries.q20Simhash(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = DedupQueries.simhashCandidates(spark, sfDir, bands = 2)
+      .select("doc_id_1", "doc_id_2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for {
+      (i, f1) <- fp; (j, f2) <- fp
+      if i < j && java.lang.Long.bitCount(f1 ^ f2) <= 1
+    } assert(got.contains((i, j)), s"pigeonhole missed hamming<=1 pair ($i,$j)")
+  }
+
   test("q52 decontamination broadcasts the benchmark shingle set") {
     // the corpus side must never shuffle on the shingle key: the join has
     // to be a broadcast hash join with the (small) benchmark set built

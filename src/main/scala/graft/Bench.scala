@@ -40,7 +40,16 @@ object Bench {
     val loadavg = scala.util.Try(
       scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split("\\s+").take(3).mkString("[", ",", "]")).getOrElse("[]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$loadavg,"runs_per_query":2}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$loadavg,"runs_per_query":2}"""
+    println(json)
+    // also land the line in a file: sbt interleaves its own log lines with
+    // stdout, so a driver grepping the tail can mis-parse — a dedicated
+    // file is unambiguous
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    scala.util.Try(java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     spark.stop()
   }
 }

@@ -70,6 +70,7 @@ object SparkEntry {
     // array<float> stays internal (embedVectors) for specs and ANN.
     "q38_embed_stub"    -> (MultimodalPipeline.q38EmbedStub _),
     "q39_ann_ivf"       -> (SimilarityQueries.q39AnnIvf _),
+    "q57_ann_ivf_kmeans" -> (SimilarityQueries.q57AnnIvfKmeans _),
     "q40_range_join"    -> (RangeJoin.q40RangeJoin _),
     "q41_resize"        -> ((s: SparkSession, d: String) =>
       MultimodalPipeline.q41Resize(s, d)),
@@ -618,6 +619,55 @@ object SparkEntry {
         |      FROM cand)
         |SELECT query_id, neighbor_id, sim, "rank" FROM r WHERE "rank" <= 10
         |ORDER BY query_id, "rank"""".stripMargin,
+    // q57 reproduces the 2 Lloyd iterations: assignment by (cosine DESC,
+    // cell ASC) argmax, centroid update as exact integer-micro component
+    // sums (floor(v*1e6) — order-independent, so both engines build
+    // bit-identical codebooks), empty cells keep the previous centroid.
+    "q57_ann_ivf_kmeans" -> {
+      def lloyd(i: Int): String = {
+        val prev = s"c${i - 1}"
+        s"""a$i AS (SELECT vec_id, v, cell FROM (
+           |   SELECT e.vec_id, e.v, c.cell,
+           |          row_number() OVER (PARTITION BY e.vec_id
+           |            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell)
+           |            AS rk
+           |   FROM e CROSS JOIN $prev c) t WHERE rk = 1),
+           |u$i AS (SELECT cell, d, sum(floor(v[d] * 1e6)) AS s, count(*) AS n
+           |        FROM a$i CROSS JOIN (SELECT unnest(range(1, 65)) AS d) ds
+           |        GROUP BY cell, d),
+           |c$i AS (SELECT p.cell AS cell,
+           |               CASE WHEN count(u.d) = 0 THEN any_value(p.cv)
+           |                    ELSE list(u.s / u.n / 1e6 ORDER BY u.d) END AS cv
+           |        FROM $prev p LEFT JOIN u$i u ON u.cell = p.cell
+           |        GROUP BY p.cell)""".stripMargin
+      }
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+         |${lloyd(1)},
+         |${lloyd(2)},
+         |asg AS (SELECT vec_id, v, cell FROM (
+         |   SELECT e.vec_id, e.v, c.cell,
+         |          row_number() OVER (PARTITION BY e.vec_id
+         |            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell)
+         |            AS rk
+         |   FROM e CROSS JOIN c2 c) t WHERE rk = 1),
+         |probes AS (SELECT query_id, qv, cell FROM (
+         |   SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+         |          row_number() OVER (PARTITION BY q.vec_id
+         |            ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cell)
+         |            AS rk
+         |   FROM e q CROSS JOIN c2 c WHERE q.vec_id < 10) t WHERE rk <= 2),
+         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |                round(list_cosine_similarity(p.qv, a.v), 4) AS sim
+         |         FROM probes p JOIN asg a ON a.cell = p.cell
+         |         WHERE a.vec_id <> p.query_id),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY sim DESC, neighbor_id) AS "rank"
+         |      FROM cand)
+         |SELECT query_id, neighbor_id, sim, "rank" FROM r WHERE "rank" <= 10
+         |ORDER BY query_id, "rank"""".stripMargin
+    },
     "q40_range_join" ->
       """WITH e AS (SELECT event_id, ts FROM events
         |           WHERE event_type = 'error'),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -95,43 +95,80 @@ object SimilarityQueries {
   val NumCells = 16
   val NProbe   = 2
 
-  /** IVF (inverted-file) coarse quantizer: the first NumCells vectors act
-    * as fixed centroids (deterministic — a production build would run
-    * k-means once and broadcast the codebook; the index structure and the
-    * query path are identical). Every vector lands in the cell of its
-    * most-similar centroid. */
-  private def cells(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = vecs(spark, sfDir)
-    val cents = e.where(col("vec_id") < NumCells)
-      .select(col("vec_id").as("cell"), col("v").as("cv"))
-    e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cell"),
-        Vectors.cosine(col("v"), col("cv")).as("csim"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cell"))))
-      .where(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("cell"))
+  /** IVF codebook collected to the driver — NumCells rows, bounded by the
+    * codebook size, never by data size. In FAISS terms the coarse
+    * quantizer always ships whole to every worker; embedding it as column
+    * literals IS that broadcast (and keeps the assignment codegen'd). */
+  private def codebook(spark: SparkSession,
+                       sfDir: String): Seq[(Long, Seq[Double])] =
+    vecs(spark, sfDir).where(col("vec_id") < NumCells).orderBy("vec_id")
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+  /** Map-side argmax cell assignment: all NumCells cosine similarities in
+    * ONE projection against literal centroids; the best cell is a
+    * when-fold in ascending cell order, so ties go to the smallest cell
+    * id — identical semantics to a (csim DESC, cell ASC) row_number
+    * window, with ZERO shuffle. The round-3 formulation cross-joined
+    * every vector with the 16 centroids and picked the argmax with a
+    * row_number window — a hash exchange of 16 rows per vector, each
+    * carrying the full 64-dim array (~16× the index volume through the
+    * wire), for a purely per-row decision. */
+  def assignCells(df: DataFrame, cents: Seq[(Long, Seq[Double])],
+                  vcol: String = "v"): DataFrame = {
+    val simd = df.select(col("*") +: cents.map { case (c, cv) =>
+      Vectors.cosine(col(vcol), typedlit(cv)).as(s"csim_$c") }: _*)
+    val best = greatest(cents.map { case (c, _) => col(s"csim_$c") }: _*)
+    val argmax = cents.map(_._1).sorted.foldRight(lit(-1L): Column) {
+      (c, rest) => when(col(s"csim_$c") === best, lit(c)).otherwise(rest) }
+    simd.withColumn("cell", argmax)
+      .drop(cents.map { case (c, _) => s"csim_$c" }: _*)
   }
 
-  /** Q39: ANN via IVF — queries probe their NProbe nearest cells and rank
-    * exact cosine only within those cells. The cell join is a
-    * hash-partitioned equi-join on the cell id: each indexed vector
-    * shuffles once, queries replicate NProbe times — at 100 TB the scan
-    * per query touches NProbe/NumCells of the index instead of all of it. */
-  def q39AnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The full index-side assignment for a scale dir — public so the spec
+    * can pin its plan shape (no exchange anywhere). */
+  def cellAssignments(spark: SparkSession, sfDir: String): DataFrame =
+    assignCells(vecs(spark, sfDir), codebook(spark, sfDir))
+
+  /** Map-side top-NProbe probe cells per query, from the same literal-
+    * centroid projection: second-best = argmax over the remaining cells,
+    * then the probe cells explode into rows (a Generate — still no
+    * exchange). Tie-break matches a (csim DESC, cell ASC) rk ≤ 2 window:
+    * rank 2 is the next (sim, cell) pair after the winner. */
+  def probeCells(df: DataFrame, cents: Seq[(Long, Seq[Double])],
+                 vcol: String): DataFrame = {
+    require(NProbe == 2, s"probeCells hand-unrolls NProbe=2, got $NProbe")
+    val cellIds = cents.map(_._1).sorted
+    val simd = df.select(col("*") +: cents.map { case (c, cv) =>
+      Vectors.cosine(col(vcol), typedlit(cv)).as(s"csim_$c") }: _*)
+    val best = greatest(cellIds.map(c => col(s"csim_$c")): _*)
+    val cell1 = cellIds.foldRight(lit(-1L): Column) { (c, rest) =>
+      when(col(s"csim_$c") === best, lit(c)).otherwise(rest) }
+    val with1 = simd.withColumn("cell1", cell1)
+    // mask the winner out (cosine ≥ -1 > the -2 sentinel), then argmax again
+    val best2 = greatest(cellIds.map(c =>
+      when(lit(c) === col("cell1"), lit(-2.0)).otherwise(col(s"csim_$c"))): _*)
+    val cell2 = cellIds.foldRight(lit(-1L): Column) { (c, rest) =>
+      when(col(s"csim_$c") === best2 && lit(c) =!= col("cell1"), lit(c))
+        .otherwise(rest) }
+    with1.withColumn("cell2", cell2)
+      .select(col("*"), explode(array(col("cell1"), col("cell2"))).as("cell"))
+      .drop(cellIds.map(c => s"csim_$c") ++ Seq("cell1", "cell2"): _*)
+  }
+
+  /** Candidate ranking shared by q39/q57: probe the index on the cell id
+    * and keep each query's exact top-10. The cell equi-join is the ONLY
+    * data-sized stage: the tiny probe side broadcasts, so the index
+    * stream never shuffles for it; the final window sees candidate rows
+    * only (NProbe/NumCells of the index per query). */
+  private def ivfTopK(spark: SparkSession, sfDir: String,
+                      cents: Seq[(Long, Seq[Double])]): DataFrame = {
     val e = vecs(spark, sfDir)
-    val cents = e.where(col("vec_id") < NumCells)
-      .select(col("vec_id").as("cell"), col("v").as("cv"))
-    val probes = e.where(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      .crossJoin(broadcast(cents))
-      .select(col("query_id"), col("qv"), col("cell"),
-        Vectors.cosine(col("qv"), col("cv")).as("csim"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("csim"), asc("cell"))))
-      .where(col("rk") <= NProbe)
-      .select(col("query_id"), col("qv"), col("cell"))
-    probes.join(cells(spark, sfDir), Seq("cell"))
+    val asg = assignCells(e, cents)
+    val probes = probeCells(
+      e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")),
+      cents, "qv")
+    broadcast(probes).join(asg, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         Vectors.cosineRounded(col("qv"), col("v")).as("sim"))
@@ -139,6 +176,58 @@ object SimilarityQueries {
         Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))))
       .where(col("rank") <= 10)
       .orderBy("query_id", "rank")
+  }
+
+  /** Q39: ANN via IVF with the fixed first-NumCells codebook (q57 runs the
+    * k-means-refined one). Queries probe their NProbe nearest cells and
+    * rank exact cosine only within those cells — at 100 TB the scan per
+    * query touches NProbe/NumCells of the index instead of all of it. */
+  def q39AnnIvf(spark: SparkSession, sfDir: String): DataFrame =
+    ivfTopK(spark, sfDir, codebook(spark, sfDir))
+
+  val KmeansIters = 2
+
+  /** One Lloyd step: a map-side assignment pass, then ONE aggregate
+    * (cell → count + 64 per-dimension sums), the NumCells result rows
+    * collected back as the next codebook. Components accumulate as
+    * floor(v·1e6) — integers below 2^53, so the sums are EXACT and
+    * order-independent across partitions, and the DuckDB oracle
+    * reproduces every centroid double bit-for-bit (a raw double sum
+    * would vary with partition order and break the hash gate). Empty
+    * cells keep their previous centroid. */
+  private def lloydStep(e: DataFrame,
+                        cents: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] = {
+    val sums = (0 until Dims).map(d =>
+      sum(floor(element_at(col("v"), d + 1) * 1e6)).as(s"s$d"))
+    val upd = assignCells(e, cents)
+      .groupBy("cell").agg(count(lit(1)).as("n"), sums: _*)
+      .collect().map { r =>
+        val n = r.getLong(1).toDouble
+        r.getLong(0) -> (0 until Dims).map(d => r.getLong(d + 2) / n / 1e6)
+      }.toMap
+    cents.map { case (c, cv) => c -> upd.getOrElse(c, cv) }
+  }
+
+  /** Q57: ANN via a REAL IVF index — the q39 query path over a codebook
+    * refined by KmeansIters deterministic Lloyd iterations (spherical
+    * k-means: cosine assignment, arithmetic-mean update, init = first
+    * NumCells vectors). Fixed iteration count + exact-integer component
+    * sums keep the whole build oracle-expressible; per round the corpus
+    * cost is one map-side pass + one 16-row aggregate with the codebook
+    * broadcast back — the q42 iterative pattern applied to index
+    * construction. */
+  def q57AnnIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    var cents = codebook(spark, sfDir)
+    (1 to KmeansIters).foreach(_ => cents = lloydStep(e, cents))
+    ivfTopK(spark, sfDir, cents)
+  }
+
+  /** The k-means codebook after KmeansIters rounds — public for the spec
+    * (centroids must move from init and stay deterministic). */
+  def kmeansCodebook(spark: SparkSession, sfDir: String): Seq[(Long, Seq[Double])] = {
+    val e = vecs(spark, sfDir)
+    (1 to KmeansIters).foldLeft(codebook(spark, sfDir))((c, _) => lloydStep(e, c))
   }
 
   /** Q22: approximate near-neighbor pairs — exact cosine evaluated only

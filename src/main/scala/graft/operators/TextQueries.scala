@@ -272,12 +272,20 @@ object TextQueries {
     * Scale shape: one explode feeding a token-count aggregate; the
     * vocabulary (small by Heaps' law) is BROADCAST back onto the token
     * stream, so the only doc-keyed shuffle is the per-doc sum. The
-    * vocabulary-total is a scalar driver action over the tf aggregate. */
+    * vocabulary-total is a scalar driver action over the tf aggregate.
+    *
+    * The corpus is tokenized ONCE: the vocabulary aggregate is
+    * materialized eagerly (localCheckpoint — tiny by Heaps' law), so the
+    * `total` scalar and the broadcast side both read the materialized tf
+    * instead of re-exploding the corpus (the r3 shape ran the full
+    * tokenize three times — once per consumer; at 100 TB each pass is a
+    * whole-corpus explode). The scoring join's explode is then the only
+    * Generate in the final plan — spec-pinned. */
   def q56UnigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val toks = docs.select(col("doc_id"),
       explode(Text.tokens(col("text"))).as("w"))
-    val tf = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val tf = toks.groupBy("w").agg(count(lit(1)).as("cnt")).localCheckpoint()
     val total = tf.agg(sum(col("cnt"))).head.getLong(0)
     val scored = toks.join(broadcast(tf), "w")
       .select(col("doc_id"),

@@ -313,6 +313,16 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q56 tokenizes the corpus once: a single Generate in the plan") {
+    // tf is materialized (localCheckpoint), so the vocabulary side and
+    // the total scalar must NOT re-explode the corpus — the scoring
+    // join's explode is the plan's only Generate
+    val plan = TextQueries.q56UnigramLogprob(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val generates = "(?m)^\\s*[+:*-]*\\s*Generate\\b".r.findAllIn(plan).size
+    assert(generates === 1, s"expected exactly one Generate, got $generates:\n$plan")
+  }
+
   test("q5 filter pushes predicates into the parquet scan") {
     val plan = RelationalQueries.q5FilterAgg(spark, sfDir)
       .queryExecution.executedPlan.toString
@@ -333,5 +343,32 @@ class OperatorSpec extends SparkSpec {
     val plan = RelationalQueries.q7JoinAgg(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join")
+  }
+
+  test("q57 k-means refines the codebook deterministically") {
+    val refined = SimilarityQueries.kmeansCodebook(spark, sfDir)
+    // exact-integer component sums → bit-identical codebook on re-run
+    assert(refined === SimilarityQueries.kmeansCodebook(spark, sfDir))
+    val init = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") < SimilarityQueries.NumCells)
+      .select(col("vec_id"),
+        graft.functions.Vectors.asDouble(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // Lloyd must actually move centroids off the init vectors
+    val moved = refined.count { case (c, cv) => cv != init(c) }
+    assert(moved > 0, "k-means left every centroid at its init vector")
+  }
+
+  test("q57 output is a valid per-query ranking") {
+    val rows = SimilarityQueries.q57AnnIvfKmeans(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq === (1 to rs.length),
+        s"query $q ranks not contiguous")
+      assert(byRank.map(_._2).sliding(2).forall(p => p.head >= p.last),
+        s"query $q sims not descending")
+    }
   }
 }

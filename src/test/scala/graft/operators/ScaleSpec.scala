@@ -124,4 +124,16 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("ReusedExchange"),
       s"expected ReusedExchange in q18 plan:\n${plan.take(4000)}")
   }
+
+  test("IVF cell assignment is map-side: no exchange anywhere in its plan") {
+    // the r3 formulation shuffled 16 rows per vector (each with the full
+    // 64-dim array) through a row_number window just to pick the argmax
+    // cell; the literal-codebook projection decides per-row, so the
+    // assignment subtree feeding q39/q57's cell join has NO exchange
+    val df = SimilarityQueries.cellAssignments(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"cell assignment must not shuffle:\n${plan.take(4000)}")
+  }
 }

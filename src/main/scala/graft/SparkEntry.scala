@@ -6,6 +6,7 @@ import graft.api.SampleJobs
 import graft.operators.{AsofJoin, CurationPipeline, DedupQueries,
   MultimodalPipeline, RangeJoin, ReferenceQueries, RelationalQueries,
   SimilarityQueries, TextQueries}
+import graft.sources.DelimitedSources
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -57,6 +58,7 @@ object SparkEntry {
     "q29_stream_time_bucket" -> (EventStreams.q29StreamTimeBucket _),
     "q30_stream_sessions"    -> (EventStreams.q30StreamSessions _),
     "q31_stream_first_seen"  -> (EventStreams.q31StreamFirstSeen _),
+    "q60_stream_append" -> (EventStreams.q60StreamAppendWindows _),
     "q32_json_extract"  -> (RelationalQueries.q32JsonExtract _),
     "q33_cube"          -> (RelationalQueries.q33Cube _),
     // q34 is approximate (HLL++): no SQL oracle — rows-only driver check;
@@ -91,6 +93,11 @@ object SparkEntry {
     "q54_pii_scrub"     -> (TextQueries.q54PiiScrub _),
     "q55_repetition"    -> (TextQueries.q55Repetition _),
     "q56_lm_score"      -> (TextQueries.q56UnigramLogprob _),
+    // q58/q59 stage the parquet table out as CSV/JSON and read it back
+    // with an explicit schema; the oracle aggregates the ORIGINAL parquet,
+    // so any round-trip loss breaks the hash.
+    "q58_csv_source"    -> (DelimitedSources.q58CsvSource _),
+    "q59_json_source"   -> (DelimitedSources.q59JsonSource _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -426,6 +433,13 @@ object SparkEntry {
         |SELECT user_id, event_type, event_id AS first_event_id,
         |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    // q60 must equal q29/q14: append mode changes WHEN windows are
+    // emitted, never their contents
+    "q60_stream_append" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |       event_type, count(*) AS cnt,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q51_group_stats" ->
       """SELECT l_returnflag,
         |       round(corr(l_quantity, l_extendedprice), 3) + 0.0
@@ -668,6 +682,13 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, sim, "rank" FROM r WHERE "rank" <= 10
          |ORDER BY query_id, "rank"""".stripMargin
     },
+    "q58_csv_source" ->
+      """SELECT n_regionkey, count(*) AS nations, min(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q59_json_source" ->
+      """SELECT s_nationkey, count(*) AS suppliers,
+        |       round(sum(s_acctbal), 2) AS total_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q40_range_join" ->
       """WITH e AS (SELECT event_id, ts FROM events
         |           WHERE event_type = 'error'),

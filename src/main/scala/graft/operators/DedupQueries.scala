@@ -71,7 +71,7 @@ object DedupQueries {
     * attribute instead of Catalyst's CollapseProject inlining (and
     * re-evaluating) the whole tokenize→shingle→hash lineage per band row
     * and per joined pair (measured 74 s → sub-second on 50 docs). */
-  private def signatures(spark: SparkSession, sfDir: String): DataFrame = {
+  private def computeSignatures(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = Text.shingleRows(Tables.documents(spark, sfDir), "doc_id", "text", 3)
       .select(Seq(col("doc_id")) ++ (0 until NumHashes / 4).map(a =>
         md5(concat(lit(s"$a:"), col("s"))).as(s"m$a")): _*)
@@ -85,15 +85,53 @@ object DedupQueries {
         array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** One materialized-signature table per (session, scale dir). */
+  private val sigTables =
+    scala.collection.mutable.Map.empty[(SparkSession, String), String]
+
+  /** The MinHash signature ARTIFACT: [[computeSignatures]] run ONCE per
+    * (session, scale dir) and written as a bucketed table, which every
+    * consumer (q18 banding, q42 clustering, q47 verify, q50 curation)
+    * then reads. Round 3 measured those four queries each recomputing
+    * the tokenize→shingle→4×md5→16-min-agg subtree from scratch — four
+    * full corpus passes (~12 s of the 37.5 s bench) where a production
+    * pipeline runs one: at 100 TB signatures are a first-class artifact
+    * written by one job and consumed by every dedup stage. Bucketed +
+    * sorted on doc_id so doc_id-keyed consumers can join without an
+    * exchange (the ScaleSpec bucketed-join pattern). */
+  def signatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "graft_signatures_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    sigTables.synchronized {
+      if (!sigTables.contains((spark, name))) {
+        // the in-memory catalog resets per JVM but the warehouse dir
+        // persists: clear both so saveAsTable never sees a stale location
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        val dir = new java.io.File(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+          name)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        if (dir.exists) rm(dir)
+        computeSignatures(spark, sfDir)
+          .write.bucketBy(8, "doc_id").sortBy("doc_id")
+          .mode("overwrite").saveAsTable(name)
+        sigTables.put((spark, name), name)
+        ()
+      }
+    }
+    spark.table(name)
+  }
+
   /** Q18: MinHash LSH candidate pairs with estimated Jaccard.
     * Shuffles: one on (band_idx, band_key) for bucketing, one to dedup
     * pairs — both proportional to candidates, not n². The band key is the
     * plain concatenation of the band's minhashes (no extra hashing — it IS
     * already a hash). */
   def q18MinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    // no explicit materialization: AQE's ReuseExchange already shares the
-    // signature aggregate between both self-join sides (a localCheckpoint
-    // here measured identical warm and slower cold)
+    // both self-join sides read the materialized signature table; the
+    // md5/min-agg pipeline runs once per (session, sfDir), not per query
     val sig = signatures(spark, sfDir)
     val bands = sig.select(
       col("doc_id"), col("sig"),
@@ -162,18 +200,35 @@ object DedupQueries {
     * rows — one shuffle, all codegen, md5 computed once per row (the
     * earlier posexplode-by-bit version re-evaluated the hash 32× per token
     * and tripled the shuffles). */
-  def q20Simhash(spark: SparkSession, sfDir: String): DataFrame = {
+  def q20Simhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashFingerprints(spark, sfDir, bits = 32)
+
+  /** Q20's fingerprint pipeline parameterized by WIDTH — the scale knob
+    * SCALING.md motivates: on this dense corpus the 32-bit/8-bit-band
+    * layout collides ~20% of all pairs, and the published fix (Manku et
+    * al., WWW'07 run 64-bit fingerprints) is a wider fingerprint with
+    * wider bands, which shrinks false collisions exponentially while the
+    * pigeonhole recall guarantee is unchanged. `bits` ≤ 60 keeps the
+    * bit-weight sum inside a signed long (hex-nibble granularity; 60 bits
+    * is the engine's "64-bit-class" setting, 15-bit bands × 4). Plan
+    * shape is width-independent: one shuffle, `bits` flat conditional
+    * sums, all codegen. */
+  def simhashFingerprints(spark: SparkSession, sfDir: String,
+                          bits: Int): DataFrame = {
+    require(bits % 4 == 0 && bits > 0 && bits <= 60,
+      s"bits must be a positive multiple of 4 ≤ 60: $bits")
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-      // first 8 md5 hex chars → 32-bit non-negative int
-      .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
-    val bitAggs = (0 until 32).map(b =>
+      // first bits/4 md5 hex chars → `bits`-wide non-negative long
+      .withColumn("h",
+        conv(substring(md5(col("w")), 1, bits / 4), 16, 10).cast("long"))
+    val bitAggs = (0 until bits).map(b =>
       sum(when(shiftright(col("h"), b) % 2 === 1, col("cnt"))
         .otherwise(-col("cnt"))).as(s"s$b"))
     tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
       .select(col("doc_id"),
-        (0 until 32).map(b =>
+        (0 until bits).map(b =>
           when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
       .orderBy("doc_id")
@@ -292,9 +347,10 @@ object DedupQueries {
     * widen the fingerprint (64-bit) and keep ~16-bit bands. Spec-pinned:
     * bands=2 candidates ⊇ all hamming≤1 pairs and ⊆ the bands=4 space
     * in expectation. */
-  def simhashBanded(fp: DataFrame, bands: Int = 4): DataFrame = {
-    require(32 % bands == 0, s"bands must divide 32: $bands")
-    val width = 32 / bands
+  def simhashBanded(fp: DataFrame, bands: Int = 4,
+                    fpBits: Int = 32): DataFrame = {
+    require(fpBits % bands == 0, s"bands must divide $fpBits: $bands")
+    val width = fpBits / bands
     fp.select(col("doc_id"), col("simhash"),
       explode(array((0 until bands).map(j =>
         struct(lit(j).as("band"),
@@ -308,8 +364,9 @@ object DedupQueries {
     * candidate space before the hamming verify. Public so the
     * CandidateScaling sweep measures the shipped shape. */
   def simhashCandidates(spark: SparkSession, sfDir: String,
-                        bands: Int = 4): DataFrame = {
-    val banded = simhashBanded(q20Simhash(spark, sfDir), bands)
+                        bands: Int = 4, fpBits: Int = 32): DataFrame = {
+    val banded = simhashBanded(
+      simhashFingerprints(spark, sfDir, fpBits), bands, fpBits)
     val a = banded.select(col("doc_id").as("doc_id_1"),
       col("simhash").as("f1"), col("band"), col("bv"))
     val b = banded.select(col("doc_id").as("doc_id_2"),

@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.Tables
+
+/** CSV / JSON source support (S7 breadth — the reference reads only
+  * newline-delimited text, reference job.c:103-156; a Spark user's first
+  * act is `spark.read.csv`).
+  *
+  * Both readers take an EXPLICIT schema: schema inference is a full extra
+  * pass over the data plus a type guess — at 100 TB neither is acceptable,
+  * so production reads always declare. The q58/q59 queries prove the
+  * round-trip: parquet table → formatted files → schema'd read →
+  * aggregate, hash-checked by the DuckDB oracle against the original
+  * parquet (any write- or parse-side loss breaks the hash).
+  */
+object DelimitedSources {
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Render a test table into tmp as csv/json (small dims — one file). */
+  private def stage(spark: SparkSession, sfDir: String,
+                    table: String, fmt: String): String = {
+    val out = sys.props("java.io.tmpdir") + "/graft-sources/" +
+      s"${fmt}_${table}_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val w = Tables.load(spark, sfDir, table).coalesce(1)
+      .write.mode("overwrite")
+    fmt match {
+      case "csv"  => w.option("header", "true").csv(out)
+      case "json" => w.json(out)
+    }
+    out
+  }
+
+  /** Q58: CSV round-trip — nation rendered to CSV, read back with the
+    * parquet schema, aggregated per region. */
+  def q58CsvSource(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = Tables.nation(spark, sfDir).schema
+    readCsv(spark, stage(spark, sfDir, "nation", "csv"), schema)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("nations"), min(col("n_name")).as("first_name"))
+      .orderBy("n_regionkey")
+  }
+
+  /** Q59: JSON round-trip — supplier rendered to JSON lines, read back
+    * with the parquet schema, aggregated per nation (the double-typed
+    * s_acctbal survives the text round-trip because Spark writes the
+    * shortest exact decimal repr). */
+  def q59JsonSource(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = Tables.supplier(spark, sfDir).schema
+    readJson(spark, stage(spark, sfDir, "supplier", "json"), schema)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("suppliers"),
+        round(sum(col("s_acctbal")), 2).as("total_bal"))
+      .orderBy("s_nationkey")
+  }
+}

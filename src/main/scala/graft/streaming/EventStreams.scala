@@ -121,6 +121,47 @@ object EventStreams {
       .orderBy("hour", "event_type")
   }
 
+  /** Q60: the APPEND-mode twin of q29 — the production default for
+    * windowed streaming output (complete mode re-emits the whole result
+    * every micro-batch; append emits each window exactly once, when the
+    * watermark passes its end — the only mode file/kafka sinks accept).
+    *
+    * A finite AvailableNow run never advances the watermark past the
+    * last windows on its own (the watermark trails max-seen event time
+    * by the delay), so the stream carries ONE synthetic far-future flush
+    * event that pushes the watermark past every real window — the
+    * standard final-watermark-flush pattern for draining a bounded
+    * backfill through an append-mode plan. The flush row is NOT filtered
+    * before the aggregate: a pre-aggregate filter on a non-event-time
+    * column gets pushed BELOW the EventTimeWatermark node (measured: the
+    * last two windows stay stuck in state because the watermark never
+    * sees the flush row). Instead the flush lands in its own far-future
+    * window, which append mode never emits — its end is past the final
+    * watermark — and is dropped from the sink output defensively. The
+    * result is exactly q29's (and the oracle is the same SQL). */
+  def q60StreamAppendWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    // anchor row for the flush event: any single known event id (batch
+    // metadata lookup at plan build, one scalar)
+    val anchorId = graft.Tables.events(spark, sfDir)
+      .agg(min(col("event_id"))).head.getLong(0)
+    val ev = eventsStream(spark, sfDir)
+      .select(col("ts"), col("event_type"), col("value"))
+    val flush = eventsStream(spark, sfDir)
+      .where(col("event_id") === anchorId)
+      .select((col("ts") + expr("INTERVAL 36500 DAYS")).as("ts"),
+        lit("__flush__").as("event_type"), lit(0.0).as("value"))
+    val agg = ev.unionByName(flush)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+    runToTable(agg, OutputMode.Append())
+      .where(col("event_type") =!= "__flush__")
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
   /** Q30: event-time sessionization — the built-in `session_window` with a
     * 30-minute gap (windows merge while events keep arriving within the
     * gap). Start/end reported from the events themselves (min/max ts), not

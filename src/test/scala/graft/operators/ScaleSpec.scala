@@ -109,20 +109,26 @@ class ScaleSpec extends SparkSpec {
       s"expected ReusedExchange in q19 plan:\n${plan.take(4000)}")
   }
 
-  test("q18 self-join reuses the signature pipeline between its sides") {
-    // The optimizer-inserted exchanges inside shingleRows/signatures are
-    // REUSE POINTS, not waste: a rewrite that eliminated them (repartition
-    // raw docs up front so hash(doc_id) satisfies every distribution)
-    // left the doc-level exchange as the only shared node, so the whole
-    // shingle+signature subtree executed once per join side and q18's
-    // wall time DOUBLED (2.9 s -> 6.0 s at sf0.1, measured round 3).
-    // Fewer shuffles is not automatically better when the subtree above
-    // the removed shuffle has multiple consumers.
-    val df = DedupQueries.q18MinhashLsh(spark, sfDir)
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange"),
-      s"expected ReusedExchange in q18 plan:\n${plan.take(4000)}")
+  test("q18/q47/q50 consume the signature artifact: no md5 in their plans") {
+    // Rounds 1-3 history: the optimizer-inserted exchanges inside the
+    // signature subtree were the ReuseExchange sharing points WITHIN one
+    // q18 plan (removing them doubled q18, 2.9 s -> 6.0 s at sf0.1), but
+    // every consumer query still recomputed the whole subtree. Round 4
+    // materializes signatures once per (session, sfDir) as a bucketed
+    // table, so the md5/min-agg pipeline must not appear in ANY consumer
+    // plan — it ran at artifact-build time.
+    Seq(
+      "q18" -> DedupQueries.q18MinhashLsh(spark, sfDir),
+      "q47" -> DedupQueries.q47EditDistance(spark, sfDir),
+      "q50" -> CurationPipeline.q50CorpusCuration(spark, sfDir)
+    ).foreach { case (name, df) =>
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_signatures"),
+        s"$name should scan the signature table:\n${plan.take(4000)}")
+      assert(!plan.contains("md5"),
+        s"$name must not recompute signatures (md5 found):\n${plan.take(4000)}")
+    }
   }
 
   test("IVF cell assignment is map-side: no exchange anywhere in its plan") {

@@ -14,6 +14,16 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("append-mode windows flush completely and agree with batch q14") {
+    // the far-future flush event must push the watermark past every real
+    // window (no rows stuck in state) and stay out of the aggregates
+    val streamed = EventStreams.q60StreamAppendWindows(spark, sfDir)
+      .collect().map(_.toSeq)
+    val batch = graft.operators.RelationalQueries.q14TimeBucket(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("sessions: events in one session are within gap; totals preserved") {
     val sessions = EventStreams.q30StreamSessions(spark, sfDir).collect()
     val totalEvents = Tables.events(spark, sfDir).count()

@@ -22,8 +22,8 @@ object CandidateScaling {
         "/root/testdata/sf0.1")
     val spark = GraftSession.create("graft-candidate-scaling",
       Some("local[32]"))
-    println("| sf dir | docs | possible pairs | q18 LSH cand | q19 co-shingled | q48 byte-band cand |")
-    println("|---|---|---|---|---|---|")
+    println("| sf dir | docs | possible pairs | q18 LSH cand | q19 co-shingled | q48 byte-band cand | q48 60-bit cand |")
+    println("|---|---|---|---|---|---|---|")
     dirs.foreach { dir =>
       val docs = Tables.documents(spark, dir)
       val n = docs.count()
@@ -34,8 +34,9 @@ object CandidateScaling {
       val q18 = DedupQueries.q18MinhashLsh(spark, dir).count()
       val q19 = DedupQueries.shingleIntersections(spark, dir).count()
       val q48 = DedupQueries.simhashCandidates(spark, dir).count()
+      val q48w = DedupQueries.simhashCandidates(spark, dir, fpBits = 60).count()
 
-      println(s"| $dir | $n | $possible | $q18 | $q19 | $q48 |")
+      println(s"| $dir | $n | $possible | $q18 | $q19 | $q48 | $q48w |")
     }
     spark.stop()
   }

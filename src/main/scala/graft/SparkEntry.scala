@@ -98,6 +98,8 @@ object SparkEntry {
     // so any round-trip loss breaks the hash.
     "q58_csv_source"    -> (DelimitedSources.q58CsvSource _),
     "q59_json_source"   -> (DelimitedSources.q59JsonSource _),
+    "q61_audio_windows" -> ((s: SparkSession, d: String) =>
+      MultimodalPipeline.q61AudioWindows(s, d)),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -689,6 +691,25 @@ object SparkEntry {
       """SELECT s_nationkey, count(*) AS suppliers,
         |       round(sum(s_acctbal), 2) AS total_bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    // q61's windows are BYTE slices; DuckDB slices characters — valid only
+    // because the corpus is verified pure-ASCII (same precondition as q37).
+    "q61_audio_windows" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, least(16, greatest(1, length(text) // 128))))
+        |           AS win_idx
+        |  FROM documents),
+        |s AS (SELECT doc_id, win_idx::INT AS win_idx,
+        |             (win_idx * 128)::INT AS sample_offset,
+        |             substr(text, (win_idx * 128 + 1)::INT, 256) AS seg
+        |      FROM w)
+        |SELECT doc_id, win_idx, sample_offset,
+        |       length(seg)::INT AS n_samples,
+        |       coalesce(list_sum(
+        |         [(ascii(substr(seg, i, 1)) - 128)
+        |          * (ascii(substr(seg, i, 1)) - 128)
+        |          for i in range(1, length(seg) + 1)]), 0)::BIGINT AS energy
+        |FROM s ORDER BY doc_id, win_idx""".stripMargin,
     "q40_range_join" ->
       """WITH e AS (SELECT event_id, ts FROM events
         |           WHERE event_type = 'error'),

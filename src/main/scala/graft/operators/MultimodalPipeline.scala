@@ -132,6 +132,44 @@ object MultimodalPipeline {
       .orderBy("doc_id")
   }
 
+  /** One audio analysis window: parent doc, window index, sample offset,
+    * window payload. */
+  final case class AudioWindow(doc_id: Long, win_idx: Int,
+                               sample_offset: Int, samples: Array[Byte])
+
+  /** Q61: audio-style OVERLAPPING window framing + per-window features —
+    * the audio twin of q37's video frame sampling. What makes audio
+    * different from video frames is hop < window (here 50% overlap:
+    * window 256, hop 128), the frame/hop layout every STFT/fbank
+    * front-end uses; payload bytes stand in for 8-bit PCM samples. The
+    * per-window feature is signal energy Σ(sample−128)² — an exact
+    * integer, so the DuckDB oracle reproduces it bit-for-bit (a real
+    * pipeline swaps in an FFT/filterbank at the same mapPartitions seam).
+    * Window count capped at 16 per doc, mirroring q37's maxFrames. */
+  def q61AudioWindows(spark: SparkSession, sfDir: String,
+                      window: Int = 256, hop: Int = 128,
+                      maxWindows: Int = 16): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        val n = r.payload.length
+        val nWin = math.min(maxWindows, math.max(1, n / hop))
+        (0 until nWin).iterator.map { i =>
+          val off = i * hop
+          val end = math.min(off + window, n)
+          AudioWindow(r.doc_id, i, off, r.payload.slice(off, end))
+        }
+      })
+      .map { w =>
+        val energy = w.samples.foldLeft(0L) { (acc, b) =>
+          val s = (b & 0xff) - 128L; acc + s * s
+        }
+        (w.doc_id, w.win_idx, w.sample_offset, w.samples.length, energy)
+      }
+      .toDF("doc_id", "win_idx", "sample_offset", "n_samples", "energy")
+      .orderBy("doc_id", "win_idx")
+  }
+
   /** Embedding-extraction stub: payload → deterministic feature vector
     * (byte histogram over 16 buckets, L2-normalized) as `array<float>` —
     * the column type the similarity operators (q17/q21/q22) consume. The

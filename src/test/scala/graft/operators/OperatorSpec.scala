@@ -334,6 +334,23 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q61 audio windows advance by hop and overlap 50%") {
+    val rows = MultimodalPipeline.q61AudioWindows(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (doc, ws) =>
+      val sorted = ws.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === sorted.indices.toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 - a._3 === 128, s"doc $doc: offsets must advance by hop")
+          // full-width windows must overlap their successor by window-hop
+          if (a._4 == 256) assert(a._3 + a._4 > b._3, s"doc $doc: no overlap")
+        case _ => ()
+      }
+    }
+  }
+
   test("q56 tokenizes the corpus once: a single Generate in the plan") {
     // tf is materialized (localCheckpoint), so the vocabulary side and
     // the total scalar must NOT re-explode the corpus — the scoring

@@ -50,6 +50,8 @@ object Bench {
     scala.util.Try(java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      .failed.foreach(e =>
+        System.err.println(s"[bench] could not write $outFile: $e"))
     spark.stop()
   }
 }

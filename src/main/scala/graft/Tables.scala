@@ -18,6 +18,15 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** A scale dir rendered as a safe identifier fragment for artifact
+    * names (signature tables, staged source dirs). Sanitization alone can
+    * alias two dirs that differ only in punctuation (sf0.1 vs sf0_1), so
+    * a hash of the RAW path is appended — distinct dirs can never share
+    * an artifact. */
+  def dirKey(sfDir: String): String =
+    sfDir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sfDir))
+
   /** Register every table as a temp view so `spark.sql` mirrors the oracle. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))

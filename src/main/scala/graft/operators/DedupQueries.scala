@@ -100,7 +100,10 @@ object DedupQueries {
     * sorted on doc_id so doc_id-keyed consumers can join without an
     * exchange (the ScaleSpec bucketed-join pattern). */
   def signatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val name = "graft_signatures_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    // assumes one active session per JVM (true for Verify/Bench/tests): a
+    // second concurrent session rebuilding the same table would delete
+    // files the first session's plans still reference
+    val name = "graft_signatures_" + Tables.dirKey(sfDir)
     sigTables.synchronized {
       if (!sigTables.contains((spark, name))) {
         // the in-memory catalog resets per JVM but the warehouse dir

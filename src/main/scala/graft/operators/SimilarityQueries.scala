@@ -124,14 +124,27 @@ object SimilarityQueries {
     * wire), for a purely per-row decision. */
   def assignCells(df: DataFrame, cents: Seq[(Long, Seq[Double])],
                   vcol: String = "v"): DataFrame = {
-    val simd = df.select(col("*") +: cents.map { case (c, cv) =>
-      Vectors.cosine(col(vcol), typedlit(cv)).as(s"csim_$c") }: _*)
-    val best = greatest(cents.map { case (c, _) => col(s"csim_$c") }: _*)
-    val argmax = cents.map(_._1).sorted.foldRight(lit(-1L): Column) {
-      (c, rest) => when(col(s"csim_$c") === best, lit(c)).otherwise(rest) }
-    simd.withColumn("cell", argmax)
-      .drop(cents.map { case (c, _) => s"csim_$c" }: _*)
+    val simd = withSims(df, cents, vcol)
+    val cellIds = cents.map(_._1).sorted
+    simd.withColumn("cell",
+        argmaxCell(cellIds, greatest(cellIds.map(c => col(s"csim_$c")): _*)))
+      .drop(cellIds.map(c => s"csim_$c"): _*)
   }
+
+  /** ONE projection adding `csim_<cell>` per centroid — shared by the
+    * index-side assignment and the probe side so their tie-break and
+    * NaN semantics can never diverge. */
+  private def withSims(df: DataFrame, cents: Seq[(Long, Seq[Double])],
+                       vcol: String): DataFrame =
+    df.select(col("*") +: cents.map { case (c, cv) =>
+      Vectors.cosine(col(vcol), typedlit(cv)).as(s"csim_$c") }: _*)
+
+  /** Argmax fold in ascending cell order (ties → smallest id): the first
+    * cell whose similarity equals `best` and passes `ok`. */
+  private def argmaxCell(cellIds: Seq[Long], best: Column,
+                         ok: Long => Column = _ => lit(true)): Column =
+    cellIds.foldRight(lit(-1L): Column) { (c, rest) =>
+      when(col(s"csim_$c") === best && ok(c), lit(c)).otherwise(rest) }
 
   /** The full index-side assignment for a scale dir — public so the spec
     * can pin its plan shape (no exchange anywhere). */
@@ -147,19 +160,15 @@ object SimilarityQueries {
                  vcol: String): DataFrame = {
     require(NProbe == 2, s"probeCells hand-unrolls NProbe=2, got $NProbe")
     val cellIds = cents.map(_._1).sorted
-    val simd = df.select(col("*") +: cents.map { case (c, cv) =>
-      Vectors.cosine(col(vcol), typedlit(cv)).as(s"csim_$c") }: _*)
-    val best = greatest(cellIds.map(c => col(s"csim_$c")): _*)
-    val cell1 = cellIds.foldRight(lit(-1L): Column) { (c, rest) =>
-      when(col(s"csim_$c") === best, lit(c)).otherwise(rest) }
-    val with1 = simd.withColumn("cell1", cell1)
+    val simd = withSims(df, cents, vcol)
+    val with1 = simd.withColumn("cell1",
+      argmaxCell(cellIds, greatest(cellIds.map(c => col(s"csim_$c")): _*)))
     // mask the winner out (cosine ≥ -1 > the -2 sentinel), then argmax again
     val best2 = greatest(cellIds.map(c =>
       when(lit(c) === col("cell1"), lit(-2.0)).otherwise(col(s"csim_$c"))): _*)
-    val cell2 = cellIds.foldRight(lit(-1L): Column) { (c, rest) =>
-      when(col(s"csim_$c") === best2 && lit(c) =!= col("cell1"), lit(c))
-        .otherwise(rest) }
-    with1.withColumn("cell2", cell2)
+    val with2 = with1.withColumn("cell2",
+      argmaxCell(cellIds, best2, c => lit(c) =!= col("cell1")))
+    with2
       .select(col("*"), explode(array(col("cell1"), col("cell2"))).as("cell"))
       .drop(cellIds.map(c => s"csim_$c") ++ Seq("cell1", "cell2"): _*)
   }

@@ -29,7 +29,7 @@ object DelimitedSources {
   private def stage(spark: SparkSession, sfDir: String,
                     table: String, fmt: String): String = {
     val out = sys.props("java.io.tmpdir") + "/graft-sources/" +
-      s"${fmt}_${table}_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      s"${fmt}_${table}_" + Tables.dirKey(sfDir)
     val w = Tables.load(spark, sfDir, table).coalesce(1)
       .write.mode("overwrite")
     fmt match {

@@ -357,7 +357,10 @@ class OperatorSpec extends SparkSpec {
     // join's explode is the plan's only Generate
     val plan = TextQueries.q56UnigramLogprob(spark, sfDir)
       .queryExecution.executedPlan.toString
-    val generates = "(?m)^\\s*[+:*-]*\\s*Generate\\b".r.findAllIn(plan).size
+    // word-boundary match: counts every Generate operator line regardless
+    // of tree-prefix (:, +-) or codegen-star decoration, and does not
+    // match identifiers like GenerateExec/Generated
+    val generates = "\\bGenerate\\b".r.findAllIn(plan).size
     assert(generates === 1, s"expected exactly one Generate, got $generates:\n$plan")
   }
 

@@ -151,26 +151,31 @@ object SimilarityQueries {
   def cellAssignments(spark: SparkSession, sfDir: String): DataFrame =
     assignCells(vecs(spark, sfDir), codebook(spark, sfDir))
 
-  /** Map-side top-NProbe probe cells per query, from the same literal-
-    * centroid projection: second-best = argmax over the remaining cells,
-    * then the probe cells explode into rows (a Generate — still no
-    * exchange). Tie-break matches a (csim DESC, cell ASC) rk ≤ 2 window:
-    * rank 2 is the next (sim, cell) pair after the winner. */
+  /** Map-side top-`nProbe` probe cells per query, from the same literal-
+    * centroid projection: probe i = argmax over the cells not already
+    * chosen (masked to the -2 sentinel, below cosine's -1 floor), then
+    * the probe cells explode into rows (a Generate — still no exchange).
+    * Tie-break matches a (csim DESC, cell ASC) rk ≤ nProbe window: probe
+    * i is exactly the i-th (sim, cell) pair in that order. */
   def probeCells(df: DataFrame, cents: Seq[(Long, Seq[Double])],
-                 vcol: String): DataFrame = {
-    require(NProbe == 2, s"probeCells hand-unrolls NProbe=2, got $NProbe")
+                 vcol: String, nProbe: Int = NProbe): DataFrame = {
+    require(nProbe >= 1 && nProbe <= cents.size,
+      s"nProbe must be in [1, ${cents.size}]: $nProbe")
     val cellIds = cents.map(_._1).sorted
-    val simd = withSims(df, cents, vcol)
-    val with1 = simd.withColumn("cell1",
-      argmaxCell(cellIds, greatest(cellIds.map(c => col(s"csim_$c")): _*)))
-    // mask the winner out (cosine ≥ -1 > the -2 sentinel), then argmax again
-    val best2 = greatest(cellIds.map(c =>
-      when(lit(c) === col("cell1"), lit(-2.0)).otherwise(col(s"csim_$c"))): _*)
-    val with2 = with1.withColumn("cell2",
-      argmaxCell(cellIds, best2, c => lit(c) =!= col("cell1")))
-    with2
-      .select(col("*"), explode(array(col("cell1"), col("cell2"))).as("cell"))
-      .drop(cellIds.map(c => s"csim_$c") ++ Seq("cell1", "cell2"): _*)
+    val probeCols = (1 to nProbe).map(i => s"probe_$i")
+    val withChosen = (1 to nProbe).foldLeft(withSims(df, cents, vcol)) {
+      (d, i) =>
+        val chosen = (1 until i).map(j => col(s"probe_$j"))
+        val masked = (c: Long) => chosen.foldLeft(col(s"csim_$c")) {
+          (s, prev) => when(lit(c) === prev, lit(-2.0)).otherwise(s) }
+        val notChosen = (c: Long) => chosen.foldLeft(lit(true): Column) {
+          (b, prev) => b && lit(c) =!= prev }
+        d.withColumn(s"probe_$i",
+          argmaxCell(cellIds, greatest(cellIds.map(masked): _*), notChosen))
+    }
+    withChosen
+      .select(col("*"), explode(array(probeCols.map(col): _*)).as("cell"))
+      .drop(cellIds.map(c => s"csim_$c") ++ probeCols: _*)
   }
 
   /** Candidate ranking shared by q39/q57: probe the index on the cell id

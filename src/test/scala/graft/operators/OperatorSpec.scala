@@ -400,6 +400,21 @@ class OperatorSpec extends SparkSpec {
     assert(moved > 0, "k-means left every centroid at its init vector")
   }
 
+  test("probeCells' nProbe is a real knob: nested probe sets per query") {
+    val cents = SimilarityQueries.kmeansCodebook(spark, sfDir)
+    val q = Tables.embeddings(spark, sfDir).where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        graft.functions.Vectors.asDouble(col("embedding")).as("qv"))
+    def probes(n: Int) = SimilarityQueries.probeCells(q, cents, "qv", n)
+      .select("query_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (p2, p3) = (probes(2), probes(3))
+    // rank order: widening nProbe only ADDS cells, never swaps them
+    assert(p2.subsetOf(p3), "nProbe=2 probes must be a prefix of nProbe=3")
+    assert(p2.size === 20 && p3.size === 30) // 10 queries × n distinct cells
+    assert(probes(cents.size).size === 10 * cents.size) // all cells probed
+  }
+
   test("q57 output is a valid per-query ranking") {
     val rows = SimilarityQueries.q57AnnIvfKmeans(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))

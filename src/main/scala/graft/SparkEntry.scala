@@ -100,6 +100,7 @@ object SparkEntry {
     "q59_json_source"   -> (DelimitedSources.q59JsonSource _),
     "q61_audio_windows" -> ((s: SparkSession, d: String) =>
       MultimodalPipeline.q61AudioWindows(s, d)),
+    "q62_topk_agg"      -> (RelationalQueries.q62TopkAgg _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -442,6 +443,14 @@ object SparkEntry {
         |       event_type, count(*) AS cnt,
         |       round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // q62's native heap aggregate must equal the window formulation
+    "q62_topk_agg" ->
+      """SELECT o_custkey, rk, o_totalprice, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
     "q51_group_stats" ->
       """SELECT l_returnflag,
         |       round(corr(l_quantity, l_extendedprice), 3) + 0.0

@@ -1,0 +1,142 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Native top-k AGGREGATE: keeps each group's k largest struct values in a
+  * bounded min-heap and returns them as an array, largest first.
+  *
+  * Why this exists: the window formulation of per-group top-k
+  * (`row_number() over (partition by g order by ...) <= k`, q10/q44)
+  * shuffles EVERY row to its group's partition and sorts it, because a
+  * window function cannot pre-aggregate. A bounded-heap aggregate gets
+  * map-side partial aggregation for free — each map task sends at most k
+  * rows per group over the wire — which at 100 TB is the difference
+  * between shuffling the fact table and shuffling k·|groups| rows. This is
+  * the same partial-combine idea as the reference's combiner
+  * (reference main.c:62-81) applied to ranking instead of counting.
+  *
+  * Interface: the child is a STRUCT; rows are compared field-by-field
+  * left to right (numeric/string fields, no nulls — the caller encodes
+  * direction, e.g. negate a numeric to rank ascending). Output order is
+  * descending, so element i is rank i+1. Buffers serialize as length-
+  * prefixed UnsafeRow bytes for partial/final exchange.
+  */
+case class TopKAgg(child: Expression, k: Int,
+                   mutableAggBufferOffset: Int = 0,
+                   inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.PriorityQueue[UnsafeRow]]
+    with UnaryLike[Expression] {
+
+  require(k > 0, s"k must be positive: $k")
+
+  private lazy val childSchema = child.dataType.asInstanceOf[StructType]
+  private lazy val fieldTypes = childSchema.fields.map(_.dataType)
+  private lazy val proj = UnsafeProjection.create(fieldTypes)
+
+  /** Field-by-field comparison, no nulls (caller contract). */
+  private lazy val ord: Ordering[InternalRow] = new Ordering[InternalRow] {
+    def compare(a: InternalRow, b: InternalRow): Int = {
+      var i = 0
+      while (i < fieldTypes.length) {
+        val c = fieldTypes(i) match {
+          case LongType    => java.lang.Long.compare(a.getLong(i), b.getLong(i))
+          case IntegerType => Integer.compare(a.getInt(i), b.getInt(i))
+          case DoubleType  => java.lang.Double.compare(a.getDouble(i), b.getDouble(i))
+          case FloatType   => java.lang.Float.compare(a.getFloat(i), b.getFloat(i))
+          case StringType  => a.getUTF8String(i).compareTo(b.getUTF8String(i))
+          case dt => throw new UnsupportedOperationException(
+            s"topk struct field type not orderable here: $dt")
+        }
+        if (c != 0) return c
+        i += 1
+      }
+      0
+    }
+  }
+
+  override def dataType: DataType = ArrayType(childSchema, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk"
+
+  // min-heap: head/dequeue yield the SMALLEST kept row, the eviction victim
+  override def createAggregationBuffer(): mutable.PriorityQueue[UnsafeRow] =
+    mutable.PriorityQueue.empty[UnsafeRow](ord.reverse.on[UnsafeRow](r => r))
+
+  private def offer(heap: mutable.PriorityQueue[UnsafeRow],
+                    row: UnsafeRow): Unit = {
+    if (heap.size < k) { heap.enqueue(row); () }
+    else if (ord.compare(row, heap.head) > 0) {
+      heap.dequeue(); heap.enqueue(row); ()
+    }
+  }
+
+  override def update(heap: mutable.PriorityQueue[UnsafeRow],
+                      input: InternalRow): mutable.PriorityQueue[UnsafeRow] = {
+    val v = child.eval(input)
+    if (v != null) offer(heap, proj(v.asInstanceOf[InternalRow]).copy())
+    heap
+  }
+
+  override def merge(a: mutable.PriorityQueue[UnsafeRow],
+                     b: mutable.PriorityQueue[UnsafeRow]): mutable.PriorityQueue[UnsafeRow] = {
+    b.foreach(offer(a, _))
+    a
+  }
+
+  override def eval(heap: mutable.PriorityQueue[UnsafeRow]): Any =
+    new GenericArrayData(
+      heap.toArray.sorted(ord.reverse).asInstanceOf[Array[Any]])
+
+  override def serialize(heap: mutable.PriorityQueue[UnsafeRow]): Array[Byte] = {
+    val rows = heap.toArray
+    val total = 4 + rows.map(4 + _.getSizeInBytes).sum
+    val buf = ByteBuffer.allocate(total)
+    buf.putInt(rows.length)
+    rows.foreach { r =>
+      buf.putInt(r.getSizeInBytes)
+      buf.put(r.getBytes)
+    }
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[UnsafeRow] = {
+    val buf = ByteBuffer.wrap(bytes)
+    val heap = createAggregationBuffer()
+    val n = buf.getInt
+    (0 until n).foreach { _ =>
+      val len = buf.getInt
+      val rowBytes = new Array[Byte](len)
+      buf.get(rowBytes)
+      val row = new UnsafeRow(fieldTypes.length)
+      row.pointTo(rowBytes, len)
+      heap.enqueue(row)
+    }
+    heap
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): TopKAgg =
+    copy(child = newChild)
+}
+
+/** Column-API entry points for the native aggregates. */
+object Aggregates {
+  /** Top-k struct values per group, largest first (see [[TopKAgg]]). */
+  def topK(structCol: Column, k: Int): Column =
+    Bridge.column(
+      TopKAgg(Bridge.expression(structCol), k).toAggregateExpression())
+}

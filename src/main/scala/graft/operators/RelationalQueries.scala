@@ -254,4 +254,26 @@ object RelationalQueries {
         (round(stddev_samp("l_discount"), 4) + 0.0).as("stddev_disc"),
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag")
+
+  /** Q62: per-group top-k via the native bounded-heap AGGREGATE
+    * ([[graft.functions.TopKAgg]]) instead of a row_number window — each
+    * customer's top-3 orders by (totalprice desc, orderkey asc). The
+    * window formulation (q10's shape) must shuffle and sort EVERY order
+    * row because a window cannot pre-aggregate; the heap aggregate gets
+    * map-side partial aggregation, so each map task ships at most k rows
+    * per customer — at 100 TB that is shuffling k·|groups| rows instead
+    * of the fact table. Direction is encoded in the struct: the negated
+    * orderkey ranks ties ascending. Same answer, spec-checked against
+    * the window plan and hash-checked against a row_number oracle. */
+  def q62TopkAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        struct(col("o_totalprice"), (-col("o_orderkey")).as("neg_key")).as("s"))
+      .groupBy("o_custkey")
+      .agg(graft.functions.Aggregates.topK(col("s"), 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.o_totalprice").as("o_totalprice"),
+        (-col("col.neg_key")).as("o_orderkey"))
+      .orderBy("o_custkey", "rk")
 }

@@ -334,6 +334,27 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q62 heap top-k equals the window top-k and pre-aggregates map-side") {
+    val agg = RelationalQueries.q62TopkAgg(spark, sfDir)
+    val windowed = Tables.orders(spark, sfDir)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("o_custkey")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))).cast("long"))
+      .where(col("rk") <= 3)
+      .select("o_custkey", "rk", "o_totalprice", "o_orderkey")
+      .orderBy("o_custkey", "rk")
+    assert(agg.collect().map(_.toSeq).toSeq
+      === windowed.collect().map(_.toSeq).toSeq)
+    // the whole point: a typed imperative aggregate runs partial->final
+    // (ObjectHashAggregate), so each map task ships <= k rows per group —
+    // the window version must shuffle and sort every row
+    val plan = agg.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final ObjectHashAggregate:\n${plan.take(3000)}")
+    assert(plan.contains("partial_topk"),
+      s"expected a partial topk phase:\n${plan.take(3000)}")
+  }
+
   test("q61 audio windows advance by hop and overlap 50%") {
     val rows = MultimodalPipeline.q61AudioWindows(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))

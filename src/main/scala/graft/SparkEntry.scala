@@ -101,6 +101,7 @@ object SparkEntry {
     "q61_audio_windows" -> ((s: SparkSession, d: String) =>
       MultimodalPipeline.q61AudioWindows(s, d)),
     "q62_topk_agg"      -> (RelationalQueries.q62TopkAgg _),
+    "q63_kmv_distinct"  -> (RelationalQueries.q63KmvDistinct _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -451,6 +452,26 @@ object SparkEntry {
         |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         |  FROM orders) t
         |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    // q63's KMV sketch is deterministic (bottom-k md5 values), so unlike
+    // HLL the ESTIMATE itself is hash-checked; 63·2^60 is exact in a
+    // double, so the division is bit-identical across engines.
+    "q63_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |             ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+        |               AS h
+        |           FROM events),
+        |r AS (SELECT event_type, h,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY h)
+        |               AS rn,
+        |             count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM h)
+        |SELECT event_type,
+        |       least(n, 64)::BIGINT AS sketch_size,
+        |       CASE WHEN n < 64 THEN n
+        |            ELSE floor(63 * 1152921504606846976.0 / h)::BIGINT
+        |       END AS est_distinct
+        |FROM r WHERE rn = least(n, 64)
+        |ORDER BY event_type""".stripMargin,
     "q51_group_stats" ->
       """SELECT l_returnflag,
         |       round(corr(l_quantity, l_extendedprice), 3) + 0.0

@@ -33,6 +33,7 @@ import org.apache.spark.sql.types._
   * prefixed UnsafeRow bytes for partial/final exchange.
   */
 case class TopKAgg(child: Expression, k: Int,
+                   dedup: Boolean = false,
                    mutableAggBufferOffset: Int = 0,
                    inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[mutable.PriorityQueue[UnsafeRow]]
@@ -75,6 +76,9 @@ case class TopKAgg(child: Expression, k: Int,
 
   private def offer(heap: mutable.PriorityQueue[UnsafeRow],
                     row: UnsafeRow): Unit = {
+    // dedup mode (KMV contract): a value already in the sketch must not
+    // occupy a second slot — O(k) membership scan, k is small by design
+    if (dedup && heap.exists(ord.compare(_, row) == 0)) return
     if (heap.size < k) { heap.enqueue(row); () }
     else if (ord.compare(row, heap.head) > 0) {
       heap.dequeue(); heap.enqueue(row); ()
@@ -139,4 +143,11 @@ object Aggregates {
   def topK(structCol: Column, k: Int): Column =
     Bridge.column(
       TopKAgg(Bridge.expression(structCol), k).toAggregateExpression())
+
+  /** Top-k DISTINCT struct values per group — the KMV sketch primitive:
+    * duplicates never occupy a second sketch slot. */
+  def topKDistinct(structCol: Column, k: Int): Column =
+    Bridge.column(
+      TopKAgg(Bridge.expression(structCol), k, dedup = true)
+        .toAggregateExpression())
 }

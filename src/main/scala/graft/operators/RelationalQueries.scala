@@ -276,4 +276,39 @@ object RelationalQueries {
         col("col.o_totalprice").as("o_totalprice"),
         (-col("col.neg_key")).as("o_orderkey"))
       .orderBy("o_custkey", "rk")
+
+  val KmvK = 64
+
+  /** Q63: KMV (k-minimum-values) DISTINCT-COUNT sketch — the
+    * deterministic alternative to HLL (q34). Keep each group's k
+    * smallest DISTINCT uniform-hash values (TopKAgg in dedup mode over
+    * the negated hash); with h_k the k-th smallest of a uniform 60-bit
+    * hash, d̂ = (k−1)·2⁶⁰ / h_k (Bar-Yossef et al. 2002; Beyer et al.,
+    * SIGMOD'07). Groups holding fewer than k distinct values report
+    * their exact count (the standard small-range rule). Because the
+    * sketch is the deterministic bottom-k of md5 values, the DuckDB
+    * oracle reproduces the ESTIMATE bit-for-bit — a cardinality sketch
+    * with a hash-green gate, where HLL gets only a rows-only check.
+    * Scale shape: one ObjectHashAggregate, partial→final, ≤ k values
+    * per group per task over the wire. */
+  def q63KmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), h.as("h"))
+      .groupBy("event_type")
+      .agg(graft.functions.Aggregates
+        .topKDistinct(struct((-col("h")).as("nh")), KmvK).as("mins"))
+      .select(col("event_type"), size(col("mins")).as("sz"),
+        // kept set = k smallest h (as largest -h, sorted desc); its LAST
+        // element is the k-th smallest h, the KMV threshold
+        (-element_at(col("mins"), size(col("mins"))).getField("nh")).as("hk"))
+      .select(col("event_type"),
+        col("sz").cast("long").as("sketch_size"),
+        when(col("sz") < KmvK, col("sz").cast("long"))
+          .otherwise(floor(lit((KmvK - 1).toDouble) *
+            lit(1152921504606846976.0) / col("hk")).cast("long"))
+          .as("est_distinct"))
+      .orderBy("event_type")
+  }
 }

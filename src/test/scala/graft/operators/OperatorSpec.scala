@@ -355,6 +355,20 @@ class OperatorSpec extends SparkSpec {
       s"expected a partial topk phase:\n${plan.take(3000)}")
   }
 
+  test("q63 KMV estimate lands near the exact distinct count") {
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(count_distinct(col("user_id")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    RelationalQueries.q63KmvDistinct(spark, sfDir).collect().foreach { r =>
+      val (et, sz, est) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val d = exact(et)
+      if (sz < RelationalQueries.KmvK) assert(est === d,
+        s"$et: small-range rule must be exact ($est vs $d)")
+      else assert(math.abs(est - d) <= d * 0.5,
+        s"$et: KMV est $est too far from exact $d") // k=64 → ~12.5% stderr
+    }
+  }
+
   test("q61 audio windows advance by hop and overlap 50%") {
     val rows = MultimodalPipeline.q61AudioWindows(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))

@@ -102,6 +102,7 @@ object SparkEntry {
       MultimodalPipeline.q61AudioWindows(s, d)),
     "q62_topk_agg"      -> (RelationalQueries.q62TopkAgg _),
     "q63_kmv_distinct"  -> (RelationalQueries.q63KmvDistinct _),
+    "q64_curation_v2"   -> (CurationPipeline.q64CurationV2 _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -452,6 +453,57 @@ object SparkEntry {
         |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         |  FROM orders) t
         |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    // q64 composes the q50/q52/q53/q54 oracle pieces in the same stage
+    // order as the Spark pipeline; the PII tail is a plain (non-
+    // interpolated) literal so its regex backslashes survive.
+    "q64_curation_v2" -> {
+      val piiTail =
+        """SELECT doc_id, lang, token_cnt, quality,
+          |       (len(regexp_extract_all(text,
+          |          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+'))
+          |        + len(regexp_extract_all(text, 'https?://[^ ]+'))
+          |        + len(regexp_extract_all(text, '[0-9][0-9][0-9]+')))::INT
+          |         AS n_redactions
+          |FROM surv ORDER BY doc_id""".stripMargin
+      s"""WITH pairs AS ($q18Sql),
+         |cont AS (SELECT doc_id FROM (
+         |  $shingleCte
+         |  SELECT c.doc_id AS doc_id
+         |  FROM sh c JOIN (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0) b
+         |    ON c.s = b.s
+         |  WHERE c.doc_id % 20 <> 0
+         |  GROUP BY c.doc_id HAVING count(*) >= 3) q),
+         |t2 AS (SELECT doc_id, lang, text,
+         |         list_filter(list_transform(
+         |           string_split_regex(lower(text), '[^a-z0-9]+'),
+         |           x -> substr(x, 1, 255)), x -> length(x) > 0) AS t
+         |       FROM documents WHERE doc_id % 20 <> 0),
+         |m AS (SELECT doc_id, lang, text,
+         |        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+         |          AS norm,
+         |        len(t) AS token_cnt,
+         |        least(len(t) / 100.0, 1.0) * 0.4
+         |        + (length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+         |           / greatest(length(text), 1)) * 0.4
+         |        + (len(list_filter(t, x -> list_contains(
+         |             ['the','a','of','and','to','in','is','it','that','for'],
+         |             x))) / greatest(len(t), 1)) * 0.2 AS quality
+         |      FROM t2),
+         |reps AS (SELECT doc_id, lang, text, token_cnt, quality FROM (
+         |           SELECT *, min(doc_id) OVER (PARTITION BY norm) AS keep
+         |           FROM m WHERE quality >= 0.5) x
+         |         WHERE doc_id = keep),
+         |near_dropped AS (SELECT p.doc_id_2 AS doc_id
+         |                 FROM pairs p JOIN reps r ON r.doc_id = p.doc_id_1
+         |                 WHERE p.est_jaccard >= 0.5),
+         |surv AS (SELECT * FROM reps
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM near_dropped)
+         |           AND doc_id NOT IN (SELECT doc_id FROM cont)
+         |           AND ('0x' || substr(md5(lang || ':' || doc_id::VARCHAR),
+         |                               1, 8))::BIGINT % 100
+         |               < CASE WHEN lang = 'en' THEN 50 ELSE 20 END)
+         |$piiTail""".stripMargin
+    },
     // q63's KMV sketch is deterministic (bottom-k md5 values), so unlike
     // HLL the ESTIMATE itself is hash-checked; 63·2^60 is exact in a
     // double, so the division is bit-identical across engines.

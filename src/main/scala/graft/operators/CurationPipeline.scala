@@ -50,4 +50,64 @@ object CurationPipeline {
     reps.join(dropped, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
+
+  /** Q64: the FULL training-data curation pipeline — every published
+    * curation stage, in the order production stacks run them, each one a
+    * primitive this engine has already verified in isolation:
+    *
+    *  1. corpus split: benchmark docs (doc_id % 20 = 0, q52's convention)
+    *     are the eval set, never training data;
+    *  2. quality gate (q24's score ≥ 0.5);
+    *  3. exact-dedup representative (q15's min-doc_id rule);
+    *  4. near-dedup against the MinHash signature ARTIFACT (q18 pairs,
+    *     est ≥ 0.5 — the bucketed table is computed once, not per stage);
+    *  5. decontamination: drop docs sharing ≥ 3 word 3-shingles with the
+    *     benchmark set (q52's broadcast join);
+    *  6. deterministic stratified sampling (q53's hash rule: en 50%,
+    *     others 20%);
+    *  7. PII accounting on the survivors (q54's patterns).
+    *
+    * One Catalyst plan end-to-end: the corpus is scanned once per
+    * distinct subtree, the benchmark shingle set broadcasts, and the only
+    * wide shuffles are the ones the primitives already need (norm window,
+    * signature banding, shingle aggregate). Output: the curated corpus
+    * with its bookkeeping, ordered by doc_id. */
+  def q64CurationV2(spark: SparkSession, sfDir: String): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+    val url = "https?://[^ ]+"
+    val num = "[0-9][0-9][0-9]+"
+    val docs = Tables.documents(spark, sfDir)
+      .where(col("doc_id") % 20 =!= 0) // stage 1: benchmark never trains
+      .select(col("doc_id"), col("lang"), col("text"),
+        Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        Text.normalized(col("text")).as("norm"),
+        size(col("toks")).as("token_cnt"),
+        TextQueries.qualityScore(col("text"), col("toks")).as("quality"))
+    val reps = docs // stages 2+3
+      .where(col("quality") >= 0.5)
+      .withColumn("keep_id", min("doc_id")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("norm")))
+      .where(col("doc_id") === col("keep_id"))
+    val nearDropped = DedupQueries.q18MinhashLsh(spark, sfDir) // stage 4
+      .where(col("est_jaccard") >= 0.5)
+      .join(reps.select(col("doc_id").as("doc_id_1")), "doc_id_1")
+      .select(col("doc_id_2").as("doc_id"))
+    val contaminated = DedupQueries.q52Decontaminate(spark, sfDir) // stage 5
+      .where(col("contaminated_shingles") >= 3)
+      .select("doc_id")
+    val bucket = conv(substring( // stage 6: q53's reproducible hash rule
+      md5(concat(col("lang"), lit(":"), col("doc_id"))), 1, 8), 16, 10)
+      .cast("long") % 100
+    reps
+      .join(nearDropped, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .where(bucket < when(col("lang") === "en", lit(50)).otherwise(lit(20)))
+      .select(col("doc_id"), col("lang"), col("token_cnt"), col("quality"),
+        (size(regexp_extract_all(col("text"), lit(email), lit(0))) + // stage 7
+          size(regexp_extract_all(col("text"), lit(url), lit(0))) +
+          size(regexp_extract_all(col("text"), lit(num), lit(0))))
+          .as("n_redactions"))
+      .orderBy("doc_id")
+  }
 }

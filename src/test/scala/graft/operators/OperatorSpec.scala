@@ -355,6 +355,13 @@ class OperatorSpec extends SparkSpec {
       s"expected a partial topk phase:\n${plan.take(3000)}")
   }
 
+  test("q64 curation v2 keeps only corpus-side survivors") {
+    val rows = CurationPipeline.q64CurationV2(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) % 20 != 0),
+      "benchmark docs (doc_id % 20 = 0) must never survive curation")
+  }
+
   test("q63 KMV estimate lands near the exact distinct count") {
     val exact = Tables.events(spark, sfDir)
       .groupBy("event_type").agg(count_distinct(col("user_id")).as("d"))

@@ -6,6 +6,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -41,6 +42,25 @@ case class TopKAgg(child: Expression, k: Int,
 
   require(k > 0, s"k must be positive: $k")
 
+  /** Orderable field types [[ord]] supports. */
+  private val orderableTypes: Set[DataType] =
+    Set(LongType, IntegerType, DoubleType, FloatType, StringType)
+
+  /** Fail at ANALYSIS time, not mid-job on an executor: the child must be
+    * a struct of orderable fields. (Null FIELD values remain caller
+    * contract — UnsafeRow reads them as zero/empty.) */
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case s: StructType =>
+      val bad = s.fields.filterNot(f => orderableTypes.contains(f.dataType))
+      if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"topk struct fields must be long/int/double/float/string; got " +
+          bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"topk input must be a struct, got ${other.simpleString}")
+  }
+
   private lazy val childSchema = child.dataType.asInstanceOf[StructType]
   private lazy val fieldTypes = childSchema.fields.map(_.dataType)
   private lazy val proj = UnsafeProjection.create(fieldTypes)
@@ -74,27 +94,34 @@ case class TopKAgg(child: Expression, k: Int,
   override def createAggregationBuffer(): mutable.PriorityQueue[UnsafeRow] =
     mutable.PriorityQueue.empty[UnsafeRow](ord.reverse.on[UnsafeRow](r => r))
 
+  /** Admission test + insert, cheapest check first: once the heap is
+    * full, most rows fail the O(1) threshold compare against the heap
+    * minimum — a row below the minimum also cannot be a dedup-mode
+    * duplicate (every kept row ≥ head > row), so the O(k) membership
+    * scan runs only for rows that pass, and the defensive byte copy
+    * (`owned = false` = the caller's buffer is reused per input row)
+    * happens only on actual admission. Steady state: one comparison per
+    * rejected row, zero allocation. */
   private def offer(heap: mutable.PriorityQueue[UnsafeRow],
-                    row: UnsafeRow): Unit = {
-    // dedup mode (KMV contract): a value already in the sketch must not
-    // occupy a second slot — O(k) membership scan, k is small by design
+                    row: UnsafeRow, owned: Boolean): Unit = {
+    val full = heap.size >= k
+    if (full && ord.compare(row, heap.head) <= 0) return
     if (dedup && heap.exists(ord.compare(_, row) == 0)) return
-    if (heap.size < k) { heap.enqueue(row); () }
-    else if (ord.compare(row, heap.head) > 0) {
-      heap.dequeue(); heap.enqueue(row); ()
-    }
+    if (full) heap.dequeue()
+    heap.enqueue(if (owned) row else row.copy())
+    ()
   }
 
   override def update(heap: mutable.PriorityQueue[UnsafeRow],
                       input: InternalRow): mutable.PriorityQueue[UnsafeRow] = {
     val v = child.eval(input)
-    if (v != null) offer(heap, proj(v.asInstanceOf[InternalRow]).copy())
+    if (v != null) offer(heap, proj(v.asInstanceOf[InternalRow]), owned = false)
     heap
   }
 
   override def merge(a: mutable.PriorityQueue[UnsafeRow],
                      b: mutable.PriorityQueue[UnsafeRow]): mutable.PriorityQueue[UnsafeRow] = {
-    b.foreach(offer(a, _))
+    b.foreach(offer(a, _, owned = true)) // deserialized rows are ours
     a
   }
 

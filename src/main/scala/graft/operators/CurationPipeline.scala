@@ -25,29 +25,39 @@ import graft.functions.Text
   */
 object CurationPipeline {
 
-  /** Q50: the surviving corpus with its quality metadata. */
-  def q50CorpusCuration(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
+  /** Quality gate + exact-dup representative — ONE definition of the
+    * shared front of q50 and q64 (q24's score ≥ 0.5, then q15's
+    * min-doc_id-per-norm rule), so the two pipelines cannot drift.
+    * Carries lang/text through for q64's later stages; consumers that
+    * don't select them get them pruned from the scan for free. */
+  private def qualityReps(raw: DataFrame): DataFrame =
+    raw
+      .select(col("doc_id"), col("lang"), col("text"),
+        Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), col("text"),
         Text.normalized(col("text")).as("norm"),
         size(col("toks")).as("token_cnt"),
         TextQueries.qualityScore(col("text"), col("toks")).as("quality"))
-    // stage 1+2: quality gate, then the exact-dup representative
-    val reps = docs
       .where(col("quality") >= 0.5)
       .withColumn("keep_id", min("doc_id")
         .over(org.apache.spark.sql.expressions.Window.partitionBy("norm")))
       .where(col("doc_id") === col("keep_id"))
-      .select("doc_id", "token_cnt", "quality")
-    // stage 3: greedy near-dedup — drop a survivor with a lower-id
-    // near-duplicate survivor (left-anti against the candidate pairs)
-    val nearPairs = DedupQueries.q18MinhashLsh(spark, sfDir)
+
+  /** Greedy near-dedup drop list: survivors with a lower-id near-dup
+    * survivor (q18 candidate pairs at est ≥ 0.5) — stage 3 of q50,
+    * stage 4 of q64. */
+  private def nearDropped(spark: SparkSession, sfDir: String,
+                          reps: DataFrame): DataFrame =
+    DedupQueries.q18MinhashLsh(spark, sfDir)
       .where(col("est_jaccard") >= 0.5)
-    val dropped = nearPairs
       .join(reps.select(col("doc_id").as("doc_id_1")), "doc_id_1")
       .select(col("doc_id_2").as("doc_id"))
-    reps.join(dropped, Seq("doc_id"), "left_anti")
+
+  /** Q50: the surviving corpus with its quality metadata. */
+  def q50CorpusCuration(spark: SparkSession, sfDir: String): DataFrame = {
+    val reps = qualityReps(Tables.documents(spark, sfDir))
+      .select("doc_id", "token_cnt", "quality")
+    reps.join(nearDropped(spark, sfDir, reps), Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
 
@@ -73,40 +83,20 @@ object CurationPipeline {
     * signature banding, shingle aggregate). Output: the curated corpus
     * with its bookkeeping, ordered by doc_id. */
   def q64CurationV2(spark: SparkSession, sfDir: String): DataFrame = {
-    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
-    val url = "https?://[^ ]+"
-    val num = "[0-9][0-9][0-9]+"
-    val docs = Tables.documents(spark, sfDir)
-      .where(col("doc_id") % 20 =!= 0) // stage 1: benchmark never trains
-      .select(col("doc_id"), col("lang"), col("text"),
-        Text.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("lang"), col("text"),
-        Text.normalized(col("text")).as("norm"),
-        size(col("toks")).as("token_cnt"),
-        TextQueries.qualityScore(col("text"), col("toks")).as("quality"))
-    val reps = docs // stages 2+3
-      .where(col("quality") >= 0.5)
-      .withColumn("keep_id", min("doc_id")
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("norm")))
-      .where(col("doc_id") === col("keep_id"))
-    val nearDropped = DedupQueries.q18MinhashLsh(spark, sfDir) // stage 4
-      .where(col("est_jaccard") >= 0.5)
-      .join(reps.select(col("doc_id").as("doc_id_1")), "doc_id_1")
-      .select(col("doc_id_2").as("doc_id"))
+    val reps = qualityReps( // stages 1-3: corpus split, quality, exact dedup
+      Tables.documents(spark, sfDir).where(col("doc_id") % 20 =!= 0))
     val contaminated = DedupQueries.q52Decontaminate(spark, sfDir) // stage 5
       .where(col("contaminated_shingles") >= 3)
       .select("doc_id")
-    val bucket = conv(substring( // stage 6: q53's reproducible hash rule
-      md5(concat(col("lang"), lit(":"), col("doc_id"))), 1, 8), 16, 10)
-      .cast("long") % 100
     reps
-      .join(nearDropped, Seq("doc_id"), "left_anti")
+      .join(nearDropped(spark, sfDir, reps), Seq("doc_id"), "left_anti") // 4
       .join(contaminated, Seq("doc_id"), "left_anti")
-      .where(bucket < when(col("lang") === "en", lit(50)).otherwise(lit(20)))
+      .where(TextQueries.stratifiedBucket(col("lang"), col("doc_id")) // 6
+        < when(col("lang") === "en", lit(50)).otherwise(lit(20)))
       .select(col("doc_id"), col("lang"), col("token_cnt"), col("quality"),
-        (size(regexp_extract_all(col("text"), lit(email), lit(0))) + // stage 7
-          size(regexp_extract_all(col("text"), lit(url), lit(0))) +
-          size(regexp_extract_all(col("text"), lit(num), lit(0))))
+        (size(regexp_extract_all(col("text"), lit(TextQueries.PiiEmail), lit(0))) + // 7
+          size(regexp_extract_all(col("text"), lit(TextQueries.PiiUrl), lit(0))) +
+          size(regexp_extract_all(col("text"), lit(TextQueries.PiiNum), lit(0))))
           .as("n_redactions"))
       .orderBy("doc_id")
   }

@@ -174,16 +174,21 @@ object TextQueries {
     * re-sharding) the corpus reproduces the same sample because the hash
     * depends only on content keys — never on partition or row order.
     * The md5-derived bucket keeps the oracle bit-exact. */
-  def q53HashSample(spark: SparkSession, sfDir: String): DataFrame = {
-    val bucket = conv(substring(
-      md5(concat(col("lang"), lit(":"), col("doc_id"))), 1, 8), 16, 10)
+  /** q53's deterministic stratum bucket — ONE definition, also stage 6 of
+    * q64's curation pipeline. Depends only on content keys, never on
+    * partition or row order, so re-running or re-sharding reproduces the
+    * same sample. */
+  def stratifiedBucket(lang: Column, docId: Column): Column =
+    conv(substring(md5(concat(lang, lit(":"), docId)), 1, 8), 16, 10)
       .cast("long") % 100
+
+  def q53HashSample(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .select(col("doc_id"), col("lang"),
+        stratifiedBucket(col("lang"), col("doc_id")).as("bucket"))
       .where(col("bucket") <
         when(col("lang") === "en", lit(50)).otherwise(lit(20)))
       .orderBy("doc_id")
-  }
 
   /** Q54: PII-style SCRUBBING — regex redaction of emails, URLs, and
     * digit runs (≥3, so token counts survive), plus redaction counts per
@@ -192,10 +197,14 @@ object TextQueries {
     * explicit character classes, which Java regex (Spark) and RE2-style
     * DuckDB interpret identically — no \\d/\\w shorthand, whose Unicode
     * semantics differ across engines. */
+  /** PII redaction patterns — ONE definition shared by q54 and q64's
+    * accounting stage (explicit char classes: Java regex ≡ RE2). */
+  val PiiEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+  val PiiUrl   = "https?://[^ ]+"
+  val PiiNum   = "[0-9][0-9][0-9]+"
+
   def q54PiiScrub(spark: SparkSession, sfDir: String): DataFrame = {
-    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
-    val url = "https?://[^ ]+"
-    val num = "[0-9][0-9][0-9]+"
+    val (email, url, num) = (PiiEmail, PiiUrl, PiiNum)
     val t = col("text")
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),

@@ -103,6 +103,11 @@ object SparkEntry {
     "q62_topk_agg"      -> (RelationalQueries.q62TopkAgg _),
     "q63_kmv_distinct"  -> (RelationalQueries.q63KmvDistinct _),
     "q64_curation_v2"   -> (CurationPipeline.q64CurationV2 _),
+    "q65_seq_pack"      -> (TextQueries.q65SequencePack _),
+    // q66 must equal q52 exactly: the bloom is a prefilter, the verify
+    // join removes its false positives — so it shares q52's oracle.
+    "q66_bloom_decontaminate" -> (DedupQueries.q66BloomDecontaminate _),
+    "q67_source_report" -> (CurationPipeline.q67SourceReport _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -162,6 +167,16 @@ object SparkEntry {
          |JOIN sig s1 ON s1.doc_id = doc_id_1
          |JOIN sig s2 ON s2.doc_id = doc_id_2 AND s2.i = s1.i
          |GROUP BY doc_id_1, doc_id_2 ORDER BY doc_id_1, doc_id_2""".stripMargin
+
+  /** Q52's oracle, shared: q66 (bloom prefilter + exact verify) must
+    * produce the identical decontamination result. */
+  private val q52Sql: String =
+    s"""$shingleCte,
+       |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0),
+       |ben AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0)
+       |SELECT c.doc_id AS doc_id, count(*) AS contaminated_shingles
+       |FROM corp c JOIN ben b ON c.s = b.s
+       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_wordcount" ->
@@ -504,6 +519,64 @@ object SparkEntry {
          |               < CASE WHEN lang = 'en' THEN 50 ELSE 20 END)
          |$piiTail""".stripMargin
     },
+    // q65: the window sum is ::BIGINT-cast (DuckDB widens window sums to
+    // HUGEINT); integer // and % after that match Spark's floor()/%.
+    "q65_seq_pack" ->
+      s"""$tokListCte,
+         |cnt AS (SELECT doc_id, doc_id % ${TextQueries.PackShards} AS shard,
+         |               len(t) AS token_cnt
+         |        FROM toks WHERE len(t) > 0),
+         |cum AS (SELECT doc_id, shard, token_cnt,
+         |               (sum(token_cnt) OVER (PARTITION BY shard
+         |                  ORDER BY doc_id))::BIGINT - token_cnt AS start_off
+         |        FROM cnt)
+         |SELECT doc_id, shard, token_cnt,
+         |       start_off // ${TextQueries.PackSeqLen} AS seq_first,
+         |       start_off % ${TextQueries.PackSeqLen} AS seq_offset,
+         |       (start_off + token_cnt - 1) // ${TextQueries.PackSeqLen}
+         |         - start_off // ${TextQueries.PackSeqLen} + 1 AS seqs_spanned
+         |FROM cum ORDER BY doc_id""".stripMargin,
+    // q67: integer counts only (no averaged doubles), ::BIGINT on the
+    // sums (DuckDB widens sum(BIGINT) to HUGEINT); the quality CTE is
+    // the same expression order as q64's so the >= 0.5 gate agrees.
+    "q67_source_report" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, text,
+         |         list_filter(list_transform(
+         |           string_split_regex(lower(text), '[^a-z0-9]+'),
+         |           x -> substr(x, 1, 255)), x -> length(x) > 0) AS t
+         |  FROM documents),
+         |m AS (SELECT doc_id, source,
+         |        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+         |          AS norm,
+         |        len(t) AS token_cnt,
+         |        least(len(t) / 100.0, 1.0) * 0.4
+         |        + (length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+         |           / greatest(length(text), 1)) * 0.4
+         |        + (len(list_filter(t, x -> list_contains(
+         |             ['the','a','of','and','to','in','is','it','that','for'],
+         |             x))) / greatest(len(t), 1)) * 0.2 AS quality
+         |      FROM d),
+         |k AS (SELECT *, min(doc_id) OVER (PARTITION BY norm) AS keep
+         |      FROM m),
+         |cont AS (SELECT doc_id, 1 AS ic FROM (
+         |  $shingleCte
+         |  SELECT c.doc_id AS doc_id
+         |  FROM sh c JOIN (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0) b
+         |    ON c.s = b.s
+         |  WHERE c.doc_id % 20 <> 0
+         |  GROUP BY c.doc_id HAVING count(*) >= 3) q)
+         |SELECT source,
+         |       count(*) AS doc_cnt,
+         |       sum(token_cnt)::BIGINT AS total_tokens,
+         |       sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END)::BIGINT
+         |         AS quality_pass,
+         |       sum(CASE WHEN doc_id <> keep THEN 1 ELSE 0 END)::BIGINT
+         |         AS exact_dups,
+         |       sum(CASE WHEN ic = 1 THEN 1 ELSE 0 END)::BIGINT
+         |         AS contaminated
+         |FROM k LEFT JOIN cont USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin,
     // q63's KMV sketch is deterministic (bottom-k md5 values), so unlike
     // HLL the ESTIMATE itself is hash-checked; 63·2^60 is exact in a
     // double, so the division is bit-identical across engines.
@@ -895,13 +968,10 @@ object SparkEntry {
          |  FROM walk w JOIN edges e ON e.doc_id_2 = w.doc_id)
          |SELECT doc_id, min(label) AS cluster
          |FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q52_decontaminate" ->
-      s"""$shingleCte,
-         |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0),
-         |ben AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0)
-         |SELECT c.doc_id AS doc_id, count(*) AS contaminated_shingles
-         |FROM corp c JOIN ben b ON c.s = b.s
-         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "q52_decontaminate" -> q52Sql,
+    // q66's bloom prefilter is semantics-free (exact verify drops every
+    // false positive), so its oracle IS q52's.
+    "q66_bloom_decontaminate" -> q52Sql,
     "q53_hash_sample" ->
       """WITH b AS (SELECT doc_id, lang,
         |             ('0x' || substr(md5(lang || ':' || doc_id::VARCHAR),

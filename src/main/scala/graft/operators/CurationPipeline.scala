@@ -100,4 +100,44 @@ object CurationPipeline {
           .as("n_redactions"))
       .orderBy("doc_id")
   }
+
+  /** Q67: per-SOURCE curation report — the observability face of the
+    * pipeline: for every ingest source, how many documents it
+    * contributed, how many tokens, and how much of it the curation
+    * stages would cut (quality gate, exact-dup rule, decontamination).
+    * This is the dashboard a data-pipeline owner reads to decide which
+    * source to drop or re-crawl.
+    *
+    * Everything is an integer COUNT (never an averaged double), so the
+    * per-source sums are order-independent and the oracle exact. The
+    * dup rule is corpus-wide (a doc is a dup if it is not its norm
+    * group's min-doc_id, q15's rule — even when the group spans
+    * sources); contamination is q52's corpus-side flag at q64's ≥ 3
+    * threshold, so benchmark docs themselves count 0. One corpus scan,
+    * one norm window, one broadcast-ish join with the tiny contamination
+    * list, one final per-source aggregate. */
+  def q67SourceReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"),
+        Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        Text.normalized(col("text")).as("norm"),
+        size(col("toks")).as("token_cnt"),
+        TextQueries.qualityScore(col("text"), col("toks")).as("quality"))
+      .withColumn("keep_id", min("doc_id")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("norm")))
+    val contaminated = DedupQueries.q52Decontaminate(spark, sfDir)
+      .where(col("contaminated_shingles") >= 3)
+      .select(col("doc_id"), lit(1L).as("is_contam"))
+    docs.join(contaminated, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("doc_cnt"),
+        sum(col("token_cnt")).as("total_tokens"),
+        sum(when(col("quality") >= 0.5, 1L).otherwise(0L)).as("quality_pass"),
+        sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+          .as("exact_dups"),
+        sum(coalesce(col("is_contam"), lit(0L))).as("contaminated"))
+      .orderBy("source")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -394,4 +394,80 @@ object DedupQueries {
         bit_count(col("f1").bitwiseXOR(col("f2"))).as("hamming"))
       .where(col("hamming") <= 3)
       .orderBy("doc_id_1", "doc_id_2")
+
+  /** Bloom filter size for q66 in bits (2^16 bits = 1024 longs = 8 KB);
+    * two md5-derived hash positions per key. FP rate at n keys ≈
+    * (1 - e^(-2n/m))^2 — ~2% at n = 5k. Fixed size keeps the filter
+    * deterministic; production sizes m from the observed key count. */
+  val BloomBits = 1 << 16
+  private val BloomWords = BloomBits / 64
+
+  /** The two bloom bit positions of a key: independent 32-bit chunks of
+    * one md5, reduced mod [[BloomBits]] — one hash evaluation per key,
+    * same trick as the MinHash family, and bit-reproducible by any
+    * engine with md5. */
+  private def bloomPositions(s: Column): Seq[Column] = Seq(1, 9).map(off =>
+    conv(substring(md5(s), off, 8), 16, 10).cast("long") % BloomBits)
+
+  /** Q66: BLOOM-PREFILTERED decontamination — q52 rebuilt for the regime
+    * where the eval-set shingle table is too big to hash-join cheaply
+    * against every corpus shingle. A Bloom filter over the benchmark
+    * shingles (built distributed: bit positions → bit_or per 64-bit
+    * word, then collected — bounded at [[BloomWords]] rows, the
+    * IVF-codebook pattern) is shipped to the scan as a LITERAL array, so
+    * corpus shingles are tested map-side with two bit probes and only
+    * the survivors reach the exact verification join that removes false
+    * positives. This is Spark's own runtime-filter strategy
+    * (InjectRuntimeFilter/BloomFilterAggregate) made explicit: at 100 TB
+    * the 8 KB filter replaces a multi-GB broadcast at the scan, and the
+    * verify join — left to Catalyst to pick broadcast or shuffle —
+    * processes only the prefiltered trickle, not the whole tokenized
+    * corpus. Output is IDENTICAL to q52 (the verify join removes every
+    * false positive), so the oracle is q52's. */
+  def q66BloomDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val corpusSh = Text.shingleRows(
+      docs.where(col("doc_id") % 20 =!= 0), "doc_id", "text", 3)
+    val benchSh = Text.shingleRows(
+      docs.where(col("doc_id") % 20 === 0), "doc_id", "text", 3)
+      .select("s").distinct()
+    val bloom = typedlit(buildBloom(benchSh))
+    // SQL-string probe: the DSL's shiftleft only takes a constant shift
+    def hit(p: String) = expr(
+      s"(element_at(bloom, int($p div 64) + 1) & shiftleft(1L, int($p % 64))) != 0L")
+    val positions = bloomPositions(col("s"))
+    corpusSh
+      .withColumn("bloom", bloom)
+      .withColumn("p1", positions.head).withColumn("p2", positions(1))
+      .where(hit("p1") && hit("p2"))
+      .drop("bloom", "p1", "p2")
+      .join(benchSh, Seq("s"), "left_semi") // exact verify: drops bloom FPs
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("contaminated_shingles"))
+      .orderBy("doc_id")
+  }
+
+  /** Build the bloom word array from a key column: explode each key's bit
+    * positions, OR the masks per word DISTRIBUTED (one tiny aggregate),
+    * collect ≤ [[BloomWords]] rows. Public for the FP-rate spec. */
+  def buildBloom(keys: DataFrame): Seq[Long] = {
+    val byWord = keys
+      .select(explode(array(bloomPositions(col("s")): _*)).as("p"))
+      .groupBy((col("p") / 64).cast("int").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, int(p % 64)))").as("bits"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    Seq.tabulate(BloomWords)(i => byWord.getOrElse(i, 0L))
+  }
+
+  /** Membership probe against a driver-held bloom array — the spec-side
+    * twin of the column expression in [[q66BloomDecontaminate]]. */
+  def bloomMightContain(words: Seq[Long], key: String): Boolean = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Seq(0, 8).forall { off =>
+      val p = (java.lang.Long.parseLong(hex.substring(off, off + 8), 16)
+        % BloomBits).toInt
+      (words(p / 64) & (1L << (p % 64))) != 0
+    }
+  }
 }

@@ -308,6 +308,44 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Q65 packing knobs: training sequence length (tokens) and shard
+    * count. Shards here come from doc_id so the oracle reproduces them;
+    * production uses the input file/partition id. */
+  val PackSeqLen = 512
+  val PackShards = 8
+
+  /** Q65: SEQUENCE PACKING — the training-data step that lays documents
+    * end-to-end and cuts the stream every [[PackSeqLen]] tokens
+    * (GPT-style packing; documents may straddle sequence boundaries).
+    * Output is the placement map a packing job materializes: for each
+    * document, the sequence index its first token lands in, the offset
+    * within that sequence, and how many sequences it spans.
+    *
+    * Scale shape: packing is SHARD-LOCAL. A single global token stream
+    * would need a one-partition running sum — the classic scale killer —
+    * so the corpus is split into independent shards and the running
+    * offset is a window sum per shard: every shard sorts and scans
+    * locally, shard count scales with the cluster, and no global sort or
+    * single-partition exchange exists anywhere in the plan
+    * (spec-asserted). All outputs are integers, so the oracle is exact;
+    * `floor` on the int/int double division is exact below 2^53. */
+  def q65SequencePack(spark: SparkSession, sfDir: String): DataFrame = {
+    val byShard = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (col("doc_id") % PackShards).as("shard"),
+        size(Text.tokens(col("text"))).as("token_cnt"))
+      .where(col("token_cnt") > 0) // an empty doc occupies no tokens
+      .withColumn("start_off",
+        sum(col("token_cnt")).over(byShard) - col("token_cnt"))
+      .select(col("doc_id"), col("shard"), col("token_cnt"),
+        floor(col("start_off") / PackSeqLen).as("seq_first"),
+        (col("start_off") % PackSeqLen).as("seq_offset"),
+        (floor((col("start_off") + col("token_cnt") - 1) / PackSeqLen)
+          - floor(col("start_off") / PackSeqLen) + 1).as("seqs_spanned"))
+      .orderBy("doc_id")
+  }
+
   /** Q44: TF-IDF — the classic corpus-weighting operator. tf = term count
     * in doc; idf = ln(N / df) with df = docs containing the term. Emits
     * each document's top-3 terms by (tfidf desc, term asc). One explode,

@@ -457,6 +457,88 @@ class OperatorSpec extends SparkSpec {
     assert(probes(cents.size).size === 10 * cents.size) // all cells probed
   }
 
+  test("q65 packing is shard-contiguous: no gaps, no overlaps, exact spans") {
+    val rows = TextQueries.q65SequencePack(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getInt(2), // shard, token_cnt
+        r.getLong(3) * TextQueries.PackSeqLen + r.getLong(4))) // abs start
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      // documents tile the shard's token stream exactly: offsets sorted,
+      // each doc starts where the previous one ended, first starts at 0
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.head._3 === 0L, s"shard $shard starts at ${sorted.head._3}")
+      sorted.sliding(2).foreach {
+        case Array((_, cnt, off), (_, _, off2)) =>
+          assert(off + cnt === off2, s"shard $shard: gap/overlap at $off")
+        case _ =>
+      }
+    }
+    // span accounting: seqs_spanned == number of SeqLen windows the
+    // document's [start, start+cnt) token range intersects
+    TextQueries.q65SequencePack(spark, sfDir).collect().foreach { r =>
+      val (cnt, first, off, spans) =
+        (r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val expected = (off + cnt - 1) / TextQueries.PackSeqLen + 1
+      assert(spans === expected && first >= 0 && off < TextQueries.PackSeqLen,
+        s"doc ${r.getLong(0)}: spans=$spans expected=$expected")
+    }
+  }
+
+  test("q65 plan has no single-partition window (packing is shard-local)") {
+    // a global running sum would plan as Exchange SinglePartition — the
+    // scale killer the shard split exists to avoid
+    val plan = TextQueries.q65SequencePack(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the final presentation orderBy is allowed to range-partition; no
+    // stage may collapse to a single partition
+    assert(!plan.contains("SinglePartition"),
+      s"packing collapsed to one partition:\n${plan.take(3000)}")
+  }
+
+  test("q66 bloom prefilter changes nothing: output equals q52 exactly") {
+    val exact = DedupQueries.q52Decontaminate(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bloom = DedupQueries.q66BloomDecontaminate(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bloom === exact)
+  }
+
+  test("q66 bloom has no false negatives and a low measured FP rate") {
+    import spark.implicits._
+    val bench = graft.functions.Text.shingleRows(
+      Tables.documents(spark, sfDir).where(col("doc_id") % 20 === 0),
+      "doc_id", "text", 3).select("s").distinct()
+    val words = DedupQueries.buildBloom(bench)
+    // no false negatives: every member key must probe positive
+    bench.as[String].collect().foreach { s =>
+      assert(DedupQueries.bloomMightContain(words, s), s"false negative: $s")
+    }
+    // false-positive rate on known-absent keys (tokenizer never emits
+    // '_', so these cannot collide with real shingles) stays near the
+    // analytic (1 - e^(-2n/m))^2 — assert a generous 4x bound
+    val n = bench.count().toDouble
+    val analytic = math.pow(1 - math.exp(-2 * n / DedupQueries.BloomBits), 2)
+    val probes = 20000
+    val fps = (0 until probes)
+      .count(i => DedupQueries.bloomMightContain(words, s"_absent_$i"))
+    assert(fps.toDouble / probes <= analytic * 4 + 0.001,
+      s"fp rate ${fps.toDouble / probes} vs analytic $analytic")
+  }
+
+  test("q67 per-source counts reconcile with the corpus-wide primitives") {
+    val rep = CurationPipeline.q67SourceReport(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+    // doc counts partition the corpus
+    assert(rep.map(_.getLong(1)).sum === docs.count())
+    // exact_dups summed over sources == corpus-wide non-representatives
+    val dupTotal = DedupQueries.q15ExactDedup(spark, sfDir)
+      .agg(sum(col("dup_cnt") - 1)).head.getLong(0)
+    assert(rep.map(_.getLong(4)).sum === dupTotal)
+    // contaminated summed over sources == q52 docs at the >= 3 threshold
+    val contamTotal = DedupQueries.q52Decontaminate(spark, sfDir)
+      .where(col("contaminated_shingles") >= 3).count()
+    assert(rep.map(_.getLong(5)).sum === contamTotal)
+  }
+
   test("q57 output is a valid per-query ranking") {
     val rows = SimilarityQueries.q57AnnIvfKmeans(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))

@@ -131,6 +131,27 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("q19/q52/q66 consume the shingle artifact: no re-tokenize in plans") {
+    // same story as the signature artifact, one level down: the
+    // tokenize→posexplode→lead-window→distinct shingle pass is THE shared
+    // input of every n-gram stage (signatures, inverted-index Jaccard,
+    // decontamination, bloom prefilter) and must run once per
+    // (session, sfDir) at artifact-build time — never inside a consumer.
+    // At 100 TB each recompute is a full corpus scan.
+    Seq(
+      "q19" -> DedupQueries.q19NgramJaccard(spark, sfDir),
+      "q52" -> DedupQueries.q52Decontaminate(spark, sfDir),
+      "q66" -> DedupQueries.q66BloomDecontaminate(spark, sfDir)
+    ).foreach { case (name, df) =>
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_shingles"),
+        s"$name should scan the shingle table:\n${plan.take(4000)}")
+      assert(!plan.contains("posexplode"),
+        s"$name must not re-shingle (posexplode found):\n${plan.take(4000)}")
+    }
+  }
+
   test("IVF cell assignment is map-side: no exchange anywhere in its plan") {
     // the r3 formulation shuffled 16 rows per vector (each with the full
     // 64-dim array) through a row_number window just to pick the argmax

@@ -108,6 +108,9 @@ object SparkEntry {
     // join removes its false positives — so it shares q52's oracle.
     "q66_bloom_decontaminate" -> (DedupQueries.q66BloomDecontaminate _),
     "q67_source_report" -> (CurationPipeline.q67SourceReport _),
+    "q68_chunk"         -> (TextQueries.q68Chunk _),
+    "q69_balanced_cap"  -> (TextQueries.q69BalancedCap _),
+    "q70_length_outliers" -> (TextQueries.q70LengthOutliers _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -577,6 +580,53 @@ object SparkEntry {
          |         AS contaminated
          |FROM k LEFT JOIN cont USING (doc_id)
          |GROUP BY source ORDER BY source""".stripMargin,
+    // q68: chunk_len is ::INT to match Spark's length(); unnest of the
+    // list-returning generate_series is the lateral DuckDB supports.
+    "q68_chunk" -> {
+      val (w, st) = (TextQueries.ChunkSize, TextQueries.ChunkStride)
+      s"""WITH c AS (
+         |  SELECT doc_id, text,
+         |         unnest(generate_series(0,
+         |           CAST(floor((length(text)-1)/$st) AS BIGINT))) AS chunk_idx
+         |  FROM documents WHERE length(text) > 0)
+         |SELECT doc_id, chunk_idx, chunk_idx*$st+1 AS chunk_start,
+         |       length(substr(text, CAST(chunk_idx*$st+1 AS INT), $w))::INT
+         |         AS chunk_len,
+         |       md5(substr(text, CAST(chunk_idx*$st+1 AS INT), $w))
+         |         AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+    },
+    // q69: the oracle ranks by the same deterministic hash with a
+    // row_number window — fine at oracle scale; the Spark side uses the
+    // bounded-heap aggregate precisely because the window doesn't scale.
+    "q69_balanced_cap" ->
+      s"""WITH h AS (SELECT lang, doc_id,
+         |             ('0x' || substr(md5(lang || ':' || doc_id::VARCHAR),
+         |                             1, 15))::BIGINT AS h
+         |           FROM documents),
+         |r AS (SELECT lang, doc_id, h,
+         |             row_number() OVER (PARTITION BY lang
+         |               ORDER BY h, doc_id) AS rk
+         |      FROM h)
+         |SELECT lang, rk, doc_id, h FROM r
+         |WHERE rk <= ${TextQueries.CapPerLang}
+         |ORDER BY lang, rk""".stripMargin,
+    // q70: DuckDB sum(BIGINT) is already HUGEINT, so the products are
+    // exact at any scale — the twin of Spark's DECIMAL(38,0) casts.
+    "q70_length_outliers" ->
+      s"""$tokListCte,
+         |cnt AS (SELECT doc_id, lang, len(t)::BIGINT AS token_cnt
+         |        FROM toks),
+         |g AS (SELECT lang, count(*) AS n, sum(token_cnt) AS s,
+         |             sum(token_cnt*token_cnt) AS q
+         |      FROM cnt GROUP BY lang)
+         |SELECT doc_id, cnt.lang AS lang, token_cnt,
+         |       (CASE WHEN (n::HUGEINT*token_cnt - s)
+         |                  * (n::HUGEINT*token_cnt - s) * (n - 1)
+         |               > 4 * n::HUGEINT * (n*q - s*s)
+         |             THEN 1 ELSE 0 END)::BIGINT AS is_outlier
+         |FROM cnt JOIN g ON cnt.lang = g.lang
+         |ORDER BY doc_id""".stripMargin,
     // q63's KMV sketch is deterministic (bottom-k md5 values), so unlike
     // HLL the ESTIMATE itself is hash-checked; 63·2^60 is exact in a
     // double, so the division is bit-identical across engines.

@@ -346,6 +346,105 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Q68 chunking knobs: window and stride in characters. stride <
+    * window ⇒ adjacent chunks overlap by window−stride chars — the
+    * standard retrieval/embedding-context layout. */
+  val ChunkSize = 200
+  val ChunkStride = 150
+
+  /** Q68: DOCUMENT CHUNKING — split every document into fixed-size
+    * overlapping character windows, the prep step every RAG/embedding
+    * pipeline runs before vectorizing: a chunk starts every
+    * [[ChunkStride]] chars while text remains and covers up to
+    * [[ChunkSize]] chars. Each chunk carries its provenance (start
+    * offset, length) and a content hash — the key chunk-level dedup and
+    * ANN indexes use downstream.
+    *
+    * Scale shape: one Generate (sequence→explode) plus per-row substring
+    * and hash work — entirely map-side, codegen'd, ZERO shuffle
+    * (spec-asserted); the chunk count derives from the row itself, so no
+    * global state exists and the operator is a pure pass-through at any
+    * corpus size. The length>0 guard is semantic, not defensive:
+    * Spark's sequence(0, stop) DESCENDS when stop < 0, so an empty doc
+    * would emit phantom chunks where the oracle emits none. */
+  def q68Chunk(spark: SparkSession, sfDir: String): DataFrame = {
+    val lastIdx = floor((length(col("text")) - 1) / ChunkStride)
+    val chunk = col("text").substr(
+      (col("chunk_idx") * ChunkStride + 1).cast("int"), lit(ChunkSize))
+    Tables.documents(spark, sfDir)
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), lastIdx)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * ChunkStride + 1).as("chunk_start"),
+        length(chunk).as("chunk_len"),
+        md5(chunk).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Q69 cap: max documents kept per language. */
+  val CapPerLang = 50
+
+  /** Q69: BALANCED CAPPING — keep at most [[CapPerLang]] documents per
+    * language, chosen by a deterministic content hash (q53's key
+    * discipline: depends only on (lang, doc_id), so re-running or
+    * re-sharding the corpus reproduces the same selection). This is the
+    * class-rebalancing step that stops one dominant language from
+    * swamping a training mix, phrased the only way that survives skew:
+    * a row_number window over lang would hash the WHOLE corpus into
+    * |langs| partitions — five reducers sorting 100 TB — while the
+    * bounded-heap aggregate ([[graft.functions.TopKAgg]]) ships at most
+    * cap rows per language per map task and never sorts a partition.
+    * Negations encode direction (largest −h = smallest h), exactly
+    * q62/q63's convention. */
+  def q69BalancedCap(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = conv(substring(md5(concat(col("lang"), lit(":"),
+      col("doc_id"))), 1, 15), 16, 10).cast("long")
+    Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        struct((-h).as("nh"), (-col("doc_id")).as("nid")).as("s"))
+      .groupBy("lang")
+      .agg(graft.functions.Aggregates.topK(col("s"), CapPerLang).as("kept"))
+      .select(col("lang"), posexplode(col("kept")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+        (-col("col.nid")).as("doc_id"), (-col("col.nh")).as("h"))
+      .orderBy("lang", "rk")
+  }
+
+  /** Q70: LENGTH-OUTLIER detection — flag documents whose token count
+    * sits more than 2 sample standard deviations from their language's
+    * mean: the heuristic cut that drops truncated fragments and
+    * concatenation artifacts from a corpus. The test is ONE exact
+    * integer inequality — z² > 4 ⟺ (n·x − s)²·(n−1) > 4·n·(n·q − s²)
+    * with s = Σx, q = Σx² — no division, no floats: a float stddev
+    * differs between engines in the last ulp AND is partition-order
+    * dependent, so the flag would flap; the integer form is
+    * bit-reproducible and the oracle exact. Products run in
+    * DECIMAL(38,0) (DuckDB HUGEINT): 64-bit intermediates overflow the
+    * squared term once n·x passes ~3·10⁹, a magnitude a real corpus
+    * reaches.
+    *
+    * Scale shape: one per-lang aggregate (|langs| rows) BROADCAST back
+    * onto the corpus — the flag itself is then map-side; the window
+    * formulation would hash the whole corpus into |langs| skewed
+    * partitions. */
+  def q70LengthOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(Text.tokens(col("text"))).cast("long").as("token_cnt"))
+    val stats = docs.groupBy("lang").agg(
+      count(lit(1)).as("n"), sum("token_cnt").as("s"),
+      sum(col("token_cnt") * col("token_cnt")).as("q"))
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val dev = d(col("n")) * d(col("token_cnt")) - d(col("s"))
+    docs.join(broadcast(stats), "lang")
+      .select(col("doc_id"), col("lang"), col("token_cnt"),
+        when(dev * dev * (d(col("n")) - 1) >
+          d(lit(4)) * d(col("n")) * (d(col("n")) * d(col("q")) - d(col("s")) * d(col("s"))),
+          1L).otherwise(0L).as("is_outlier"))
+      .orderBy("doc_id")
+  }
+
   /** Q44: TF-IDF — the classic corpus-weighting operator. tf = term count
     * in doc; idf = ln(N / df) with df = docs containing the term. Emits
     * each document's top-3 terms by (tfidf desc, term asc). One explode,

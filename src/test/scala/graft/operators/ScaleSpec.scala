@@ -152,6 +152,72 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("q68 chunking is pure map-side: no hash exchange in the plan") {
+    // chunk derivation is per-row (sequence→explode→substr→md5): the only
+    // exchange allowed is the presentation orderBy's range partitioning.
+    // A hash exchange would mean the operator invented a key to shuffle
+    // on — at 100 TB chunking must be a pass-through transform.
+    val df = TextQueries.q68Chunk(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q68 must not hash-shuffle:\n${plan.take(4000)}")
+  }
+
+  test("q69 balanced cap: bounded-heap aggregate, no window sort") {
+    // the row_number-over-lang formulation hashes the whole corpus into
+    // |langs| partitions; the TopKAgg formulation ships ≤ cap rows per
+    // lang per map task (partial ObjectHashAggregate) — spec pins that
+    // the plan is the aggregate one and agrees with the window one.
+    val df = TextQueries.q69BalancedCap(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(plan.split("ObjectHashAggregate").length >= 3, // partial+final
+      s"expected partial+final aggregate:\n${plan.take(3000)}")
+
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(concat(col("lang"), lit(":"),
+      col("doc_id"))), 1, 15), 16, 10).cast("long")
+    val windowed = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), h.as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))))
+      .where(col("rk") <= TextQueries.CapPerLang)
+      .select(col("lang"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("h"))
+    assert(df.collect().toSeq === windowed.orderBy("lang", "rk").collect().toSeq)
+  }
+
+  test("q70 outliers: stats broadcast back, no window over the corpus") {
+    val df = TextQueries.q70LengthOutliers(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
+  test("q70's integer inequality agrees with the float z-score") {
+    // the exact integer form exists to dodge float nondeterminism, not to
+    // change the semantics: cross-check every flag against the naive
+    // sample z-score (safe here: no value sits near the boundary).
+    val rows = TextQueries.q70LengthOutliers(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    val byLang = rows.groupBy(_._2)
+    byLang.foreach { case (_, rs) =>
+      val n = rs.length.toDouble
+      val xs = rs.map(_._3.toDouble)
+      val mean = xs.sum / n
+      val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (n - 1))
+      rs.foreach { case (id, lang, x, flag) =>
+        val z = math.abs(x - mean) / sd
+        assert((flag == 1L) === (z > 2.0),
+          s"doc $id lang $lang x=$x z=$z flag=$flag")
+      }
+    }
+  }
+
   test("IVF cell assignment is map-side: no exchange anywhere in its plan") {
     // the r3 formulation shuffled 16 rows per vector (each with the full
     // 64-dim array) through a row_number window just to pick the argmax

@@ -111,6 +111,7 @@ object SparkEntry {
     "q68_chunk"         -> (TextQueries.q68Chunk _),
     "q69_balanced_cap"  -> (TextQueries.q69BalancedCap _),
     "q70_length_outliers" -> (TextQueries.q70LengthOutliers _),
+    "q71_leakage_split" -> (CurationPipeline.q71LeakageSplit _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -170,6 +171,39 @@ object SparkEntry {
          |JOIN sig s1 ON s1.doc_id = doc_id_1
          |JOIN sig s2 ON s2.doc_id = doc_id_2 AND s2.i = s1.i
          |GROUP BY doc_id_1, doc_id_2 ORDER BY doc_id_1, doc_id_2""".stripMargin
+
+  /** Q42's oracle, shared with q71 (leakage-free splits group by q42's
+    * cluster label). Independent connected-components twin: same edge set
+    * as the Spark side (exact-dup edges ∪ MinHash pairs est ≥ 0.5), but
+    * solved by a recursive label walk instead of iterative propagation —
+    * a true differential in the reference's SimpleInvertedIndex spirit
+    * (reference SimpleInvertedIndex/inverted_index.c:1-2). */
+  private val q42Sql: String =
+    s"""WITH RECURSIVE near AS (
+       |  SELECT doc_id_1, doc_id_2 FROM ($q18Sql) q
+       |  WHERE est_jaccard >= 0.5),
+       |exact AS (
+       |  SELECT doc_id AS doc_id_1, mn AS doc_id_2
+       |  FROM (SELECT doc_id,
+       |               min(doc_id) OVER (PARTITION BY norm) AS mn,
+       |               count(*) OVER (PARTITION BY norm) AS c
+       |        FROM (SELECT doc_id,
+       |                     trim(regexp_replace(lower(text), '[^a-z0-9]+',
+       |                          ' ', 'g')) AS norm
+       |              FROM documents) d) g
+       |  WHERE c > 1 AND doc_id <> mn),
+       |edges AS (SELECT doc_id_1, doc_id_2 FROM near
+       |          UNION SELECT doc_id_2, doc_id_1 FROM near
+       |          UNION SELECT doc_id_1, doc_id_2 FROM exact
+       |          UNION SELECT doc_id_2, doc_id_1 FROM exact),
+       |nodes AS (SELECT DISTINCT doc_id_1 AS doc_id FROM edges),
+       |walk(doc_id, label) AS (
+       |  SELECT doc_id, doc_id FROM nodes
+       |  UNION
+       |  SELECT e.doc_id_1, w.label
+       |  FROM walk w JOIN edges e ON e.doc_id_2 = w.doc_id)
+       |SELECT doc_id, min(label) AS cluster
+       |FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Q52's oracle, shared: q66 (bloom prefilter + exact verify) must
     * produce the identical decontamination result. */
@@ -987,37 +1021,24 @@ object SparkEntry {
         |FROM comps c JOIN norms n ON n.doc_id = c.doc_id
         |GROUP BY c.doc_id, n.norm
         |ORDER BY c.doc_id""".stripMargin,
-    // Independent connected-components twin: same edge set as the Spark
-    // side (exact-dup edges ∪ MinHash pairs est ≥ 0.5), but solved by a
-    // recursive label walk instead of iterative propagation — a true
-    // differential in the reference's SimpleInvertedIndex spirit
-    // (reference SimpleInvertedIndex/inverted_index.c:1-2).
-    "q42_dup_clusters" ->
-      s"""WITH RECURSIVE near AS (
-         |  SELECT doc_id_1, doc_id_2 FROM ($q18Sql) q
-         |  WHERE est_jaccard >= 0.5),
-         |exact AS (
-         |  SELECT doc_id AS doc_id_1, mn AS doc_id_2
-         |  FROM (SELECT doc_id,
-         |               min(doc_id) OVER (PARTITION BY norm) AS mn,
-         |               count(*) OVER (PARTITION BY norm) AS c
-         |        FROM (SELECT doc_id,
-         |                     trim(regexp_replace(lower(text), '[^a-z0-9]+',
-         |                          ' ', 'g')) AS norm
-         |              FROM documents) d) g
-         |  WHERE c > 1 AND doc_id <> mn),
-         |edges AS (SELECT doc_id_1, doc_id_2 FROM near
-         |          UNION SELECT doc_id_2, doc_id_1 FROM near
-         |          UNION SELECT doc_id_1, doc_id_2 FROM exact
-         |          UNION SELECT doc_id_2, doc_id_1 FROM exact),
-         |nodes AS (SELECT DISTINCT doc_id_1 AS doc_id FROM edges),
-         |walk(doc_id, label) AS (
-         |  SELECT doc_id, doc_id FROM nodes
-         |  UNION
-         |  SELECT e.doc_id_1, w.label
-         |  FROM walk w JOIN edges e ON e.doc_id_2 = w.doc_id)
-         |SELECT doc_id, min(label) AS cluster
-         |FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q42_dup_clusters" -> q42Sql,
+    // q71 composes q42's recursive-CTE oracle: group = cluster label (or
+    // self), md5 bucket on the GROUP key, 80/10/10 cut — the leakage
+    // property (same cluster ⇒ same split) holds by construction in both
+    // engines, so the hash gate checks the whole assignment.
+    "q71_leakage_split" ->
+      s"""WITH cc AS (SELECT * FROM ($q42Sql) t),
+         |b AS (SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS grp
+         |      FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+         |s AS (SELECT doc_id, grp,
+         |             ('0x' || substr(md5('split:' || grp::VARCHAR),
+         |                             1, 8))::BIGINT % 100 AS bucket
+         |      FROM b)
+         |SELECT doc_id, grp, bucket,
+         |       CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'validation'
+         |            ELSE 'test' END AS split
+         |FROM s ORDER BY doc_id""".stripMargin,
     "q52_decontaminate" -> q52Sql,
     // q66's bloom prefilter is semantics-free (exact verify drops every
     // false positive), so its oracle IS q52's.

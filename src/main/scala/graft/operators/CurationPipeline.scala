@@ -116,6 +116,36 @@ object CurationPipeline {
     * threshold, so benchmark docs themselves count 0. One corpus scan,
     * one norm window, one broadcast-ish join with the tiny contamination
     * list, one final per-source aggregate. */
+  /** Q71: LEAKAGE-FREE train/validation/test SPLIT — the assignment step
+    * run after dedup so near-duplicate documents can never straddle the
+    * train/eval boundary (the classic contamination bug: a paraphrase of
+    * a validation doc in the training set). Every document's split GROUP
+    * is its near-dup cluster representative (q42's connected-component
+    * label) when it has one, else itself; the group key — never the
+    * doc_id — is hashed into 100 deterministic buckets (q53's md5
+    * discipline) and cut 80/10/10. Same group ⇒ same bucket ⇒ same
+    * split, by construction; spec-asserted over every q42 cluster.
+    *
+    * Scale shape: the cluster table is the DUPLICATES-ONLY subset — tiny
+    * relative to the corpus — so it broadcasts onto the corpus scan and
+    * the bucket/split derivation is map-side; nothing re-shuffles the
+    * corpus. */
+  def q71LeakageSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val clusters = DedupQueries.q42DupClusters(spark, sfDir)
+    val bucket = conv(substring(md5(concat(lit("split:"), col("grp"))),
+      1, 8), 16, 10).cast("long") % 100
+    Tables.documents(spark, sfDir).select("doc_id")
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("grp"))
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+      .orderBy("doc_id")
+  }
+
   def q67SourceReport(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"),

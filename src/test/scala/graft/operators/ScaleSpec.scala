@@ -218,6 +218,33 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("q71 splits never separate a near-dup cluster; clusters broadcast") {
+    val splits = CurationPipeline.q71LeakageSplit(spark, sfDir)
+    val plan = splits.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+
+    // the leakage property itself: every q42 cluster maps to exactly one
+    // split — a near-dup of a validation doc can never be training data
+    val bySplit = splits.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clusters = DedupQueries.q42DupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(clusters.nonEmpty) // the property must actually be exercised
+    clusters.groupBy(_._2).foreach { case (c, members) =>
+      val ss = members.map(m => bySplit(m._1)).distinct
+      assert(ss.length === 1, s"cluster $c straddles splits: $ss")
+    }
+
+    // the cut is roughly 80/10/10 (deterministic, so exact counts are
+    // stable; just pin that all three splits are non-trivially populated)
+    val counts = splits.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    assert(counts("train") / n > 0.6, counts.toString)
+    assert(counts.getOrElse("validation", 0L) > 0, counts.toString)
+    assert(counts.getOrElse("test", 0L) > 0, counts.toString)
+  }
+
   test("IVF cell assignment is map-side: no exchange anywhere in its plan") {
     // the r3 formulation shuffled 16 rows per vector (each with the full
     // 64-dim array) through a row_number window just to pick the argmax

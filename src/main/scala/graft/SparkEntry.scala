@@ -112,6 +112,8 @@ object SparkEntry {
     "q69_balanced_cap"  -> (TextQueries.q69BalancedCap _),
     "q70_length_outliers" -> (TextQueries.q70LengthOutliers _),
     "q71_leakage_split" -> (CurationPipeline.q71LeakageSplit _),
+    "q72_global_index"  -> (CurationPipeline.q72GlobalIndex _),
+    "q73_epoch_mix"     -> (CurationPipeline.q73EpochMix _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -1043,6 +1045,39 @@ object SparkEntry {
     // q66's bloom prefilter is semantics-free (exact verify drops every
     // false positive), so its oracle IS q52's.
     "q66_bloom_decontaminate" -> q52Sql,
+    // q72: the two-phase zipWithIndex must equal the naive global
+    // row_number — dense, contiguous, doc_id-ordered, 0-based.
+    "q72_global_index" ->
+      s"""$tokListCte,
+         |q AS (SELECT doc_id,
+         |        least(len(t) / 100.0, 1.0) * 0.4
+         |        + (length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+         |           / greatest(length(text), 1)) * 0.4
+         |        + (len(list_filter(t, x -> list_contains(
+         |             ['the','a','of','and','to','in','is','it','that','for'],
+         |             x))) / greatest(len(t), 1)) * 0.2 AS quality
+         |      FROM toks)
+         |SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS seq
+         |FROM q WHERE quality >= 0.5 ORDER BY doc_id""".stripMargin,
+    "q73_epoch_mix" ->
+      s"""WITH w AS (SELECT doc_id, lang,
+         |             CASE lang WHEN 'en' THEN 225 WHEN 'es' THEN 100
+         |                       WHEN 'de' THEN 50 WHEN 'fr' THEN 25
+         |                       WHEN 'zh' THEN 150 ELSE 100 END AS pct,
+         |             ('0x' || substr(md5('mix:' || lang || ':'
+         |                                 || doc_id::VARCHAR),
+         |                             1, 8))::BIGINT % 100 AS bucket
+         |           FROM documents),
+         |c AS (SELECT doc_id, lang,
+         |             pct // 100
+         |             + CASE WHEN bucket < pct % 100 THEN 1 ELSE 0 END
+         |               AS copies
+         |      FROM w)
+         |SELECT doc_id, lang, epoch::BIGINT AS epoch FROM (
+         |  SELECT doc_id, lang,
+         |         unnest(generate_series(0, copies - 1)) AS epoch
+         |  FROM c WHERE copies > 0) e
+         |ORDER BY doc_id, epoch""".stripMargin,
     "q53_hash_sample" ->
       """WITH b AS (SELECT doc_id, lang,
         |             ('0x' || substr(md5(lang || ':' || doc_id::VARCHAR),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -144,6 +144,71 @@ object CurationPipeline {
           .when(col("bucket") < 90, "validation")
           .otherwise("test"))
       .orderBy("doc_id")
+  }
+
+  /** Q72: GLOBAL DENSE INDEXING — assign the curated corpus (q24 quality
+    * ≥ 0.5) contiguous sample numbers 0..N−1 in doc_id order, the id an
+    * export/packing job stamps on every training sample. The naive
+    * formulation — `row_number() OVER (ORDER BY doc_id)` — collapses the
+    * whole corpus into ONE partition to sort (the canonical scale
+    * killer). The scalable shape is two-phase: range-partition on the
+    * key, sort within partitions, count per partition (a tiny job), and
+    * offset each partition's local index by the counts before it —
+    * `RDD.zipWithIndex`, the one genuinely per-partition-imperative
+    * operator in this engine (the brief's mapPartitions-as-last-resort
+    * tier: a dense global index has no Catalyst equivalent —
+    * monotonically_increasing_id is non-contiguous by design).
+    * Deterministic regardless of sampled range boundaries: partitions
+    * are ordered and sorted within, so the global sequence is the total
+    * doc_id order whatever the split points. */
+  def q72GlobalIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val kept = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        Text.tokens(col("text")).as("toks"))
+      .where(TextQueries.qualityScore(col("text"), col("toks")) >= 0.5)
+      .select(col("doc_id"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+    kept.as[Long].rdd.zipWithIndex()
+      .toDF("doc_id", "seq")
+      .orderBy("doc_id")
+  }
+
+  /** Q73 mixture recipe: per-language epoch weights in integer PERCENT
+    * (225 = 2.25 epochs), so the fractional-epoch cut is an exact
+    * integer comparison. */
+  val MixWeightsPct: Map[String, Int] =
+    Map("en" -> 225, "es" -> 100, "de" -> 50, "fr" -> 25, "zh" -> 150)
+
+  /** Q73: EPOCH-WEIGHTED MIXTURE — materialize a training mix where each
+    * stratum repeats by a fractional epoch count (the published data
+    * recipes: some sources run >1 epoch, others are subsampled). A doc
+    * with weight w gets ⌊w⌋ whole copies plus one more iff its
+    * deterministic hash bucket falls under frac(w) — q53's sampling
+    * discipline, so re-running reproduces the mix row for row. Output is
+    * one row per (doc, epoch).
+    *
+    * Scale shape: weights are a literal lookup and the copy count
+    * derives from the row, so the whole operator is map-side generate —
+    * ZERO shuffle (spec-asserted). The copies>0 filter precedes the
+    * explode because Spark's sequence(0, −1) DESCENDS (q68's hazard). */
+  def q73EpochMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val pct = MixWeightsPct.foldLeft(lit(100): Column) {
+      case (e, (l, w)) => when(col("lang") === l, lit(w)).otherwise(e)
+    }
+    val bucket = conv(substring(md5(concat(lit("mix:"), col("lang"),
+      lit(":"), col("doc_id"))), 1, 8), 16, 10).cast("long") % 100
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("pct", pct)
+      .withColumn("copies",
+        floor(col("pct") / 100) +
+          when(bucket < col("pct") % 100, 1L).otherwise(0L))
+      .where(col("copies") > 0)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(0L), col("copies") - 1)).as("epoch"))
+      .orderBy("doc_id", "epoch")
   }
 
   def q67SourceReport(spark: SparkSession, sfDir: String): DataFrame = {

@@ -245,6 +245,46 @@ class ScaleSpec extends SparkSpec {
     assert(counts.getOrElse("test", 0L) > 0, counts.toString)
   }
 
+  test("q72 global index: no single-partition sort; equals the naive window") {
+    // the naive row_number() OVER (ORDER BY doc_id) funnels the corpus
+    // into one partition; q72's zipWithIndex shape keeps the sort
+    // distributed. Both must produce the identical dense sequence.
+    val twoPhase = CurationPipeline.q72GlobalIndex(spark, sfDir)
+    assert(!twoPhase.queryExecution.executedPlan.toString
+      .contains("SinglePartition"))
+
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        graft.functions.Text.tokens(col("text")).as("toks"))
+      .where(TextQueries.qualityScore(col("text"), col("toks")) >= 0.5)
+    val naive = docs
+      .select(col("doc_id"),
+        (row_number().over(Window.orderBy("doc_id")) - 1)
+          .cast("long").as("seq"))
+    assert(naive.queryExecution.executedPlan.toString
+      .contains("SinglePartition")) // the shape q72 exists to avoid
+    assert(twoPhase.collect().toSeq === naive.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("q73 epoch mix is map-side generate: no exchange, weights honored") {
+    val df = CurationPipeline.q73EpochMix(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q73 must not hash-shuffle:\n${plan.take(3000)}")
+    val copies = df.groupBy("doc_id", "lang").count().collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    // integer epochs are guaranteed; the fractional epoch adds at most 1
+    copies.foreach { case (lang, c) =>
+      val pct = CurationPipeline.MixWeightsPct(lang)
+      assert(c >= pct / 100 && c <= pct / 100 + 1, s"$lang: $c copies")
+    }
+    // the fractional cut actually fires both ways somewhere
+    val en = copies.filter(_._1 == "en").map(_._2)
+    assert(en.contains(2L) && en.contains(3L), "en should mix 2 and 3 copies")
+  }
+
   test("IVF cell assignment is map-side: no exchange anywhere in its plan") {
     // the r3 formulation shuffled 16 rows per vector (each with the full
     // 64-dim array) through a row_number window just to pick the argmax

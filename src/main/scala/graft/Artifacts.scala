@@ -23,30 +23,48 @@ object Artifacts {
   private val built =
     scala.collection.mutable.Map.empty[(SparkSession, String), Unit]
 
+  /** The session that last built each table name — the enforcement half
+    * of the single-active-session assumption: a SECOND live session
+    * rebuilding the same name would delete warehouse files the first
+    * session's live plans still reference, so that is an error, not a
+    * silent rebuild. A stopped builder releases its claim. */
+  private val builders =
+    scala.collection.mutable.Map.empty[String, SparkSession]
+
   /** Run `build` once per (session, name), persist it bucketed on
-    * `bucketCol`, and return the table. Assumes one active session per
-    * JVM (true for Verify/Bench/tests): a second concurrent session
-    * rebuilding the same table would delete files the first session's
-    * plans still reference. Reentrant: a build may itself materialize
-    * another artifact (signatures build reads the shingle artifact). */
+    * `bucketCol`, and return the table. Reentrant: a build may itself
+    * materialize another artifact (signatures build reads the shingle
+    * artifact). Only one LIVE session may own a table name at a time
+    * (asserted); per-(session, name) rebuilds never happen, so a cached
+    * entry can also go stale if the files under the input dir are
+    * rewritten mid-session — same contract as the IVF codebook cache
+    * (SimilarityQueries), acceptable for batch jobs reading immutable
+    * snapshot dirs. */
   def materialize(spark: SparkSession, name: String, bucketCol: String,
                   buckets: Int = 8)(build: => DataFrame): DataFrame = {
     built.synchronized {
       if (!built.contains((spark, name))) {
-        // the in-memory catalog resets per JVM but the warehouse dir
-        // persists: clear both so saveAsTable never sees a stale location
-        spark.sql(s"DROP TABLE IF EXISTS $name")
-        val dir = new java.io.File(
-          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-          name)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(); ()
+        builders.get(name).foreach { prev =>
+          if (prev != spark && !prev.sparkContext.isStopped)
+            throw new IllegalStateException(
+              s"artifact table $name is owned by another live session; " +
+                "two active sessions sharing one warehouse would delete " +
+                "each other's files")
         }
-        if (dir.exists) rm(dir)
+        // the in-memory catalog resets per JVM but the warehouse dir
+        // persists: clear both so saveAsTable never sees a stale
+        // location. Resolution goes through the Hadoop FileSystem API so
+        // non-local warehouse URIs (hdfs://, s3a://) delete correctly —
+        // a java.io.File of a stripped URI silently no-ops on them.
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        val warehouse = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), name)
+        val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(warehouse)) fs.delete(warehouse, true)
         build.write.bucketBy(buckets, bucketCol).sortBy(bucketCol)
           .mode("overwrite").saveAsTable(name)
         built.put((spark, name), ())
+        builders.put(name, spark)
         ()
       }
     }

@@ -29,18 +29,29 @@ object Bench {
     val artifactsSec = scala.util.Try {
       operators.DedupQueries.shingles(spark, sfDir).count()
       operators.DedupQueries.signatures(spark, sfDir).count()
+      operators.DedupQueries.contamination(spark, sfDir).count()
+      operators.DedupQueries.clusterLabels(spark, sfDir).count()
       (System.nanoTime() - tArt) / 1e9
     }.getOrElse(-1.0)
-    // min of two timed runs per query: this box is shared and load
-    // spikes inflate single samples 2-7x; the min approximates the
-    // uncontended cost the plan actually has
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    // min across INTERLEAVED full-suite passes: this box is shared and
+    // load spikes inflate single samples 2-7x. Back-to-back repeats of
+    // one query land both samples inside the same spike (round 4 showed
+    // 4-6x phantom "regressions" on unchanged sub-second queries);
+    // running the whole suite N times and taking the per-query min
+    // across passes separates each query's samples by a full suite
+    // (~30 s), so a spike can inflate at most one of them.
+    val passes = 3
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = (1 to passes).map { _ =>
+      names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         // a failed query must read as -1, not as a suspiciously fast run
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       }
+    }
+    val results = names.zipWithIndex.map { case ((name, _), i) =>
+      val times = samples.map(_(i))
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -53,7 +64,7 @@ object Bench {
       scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split("\\s+").take(3).mkString("[", ",", "]")).getOrElse("[]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"artifacts_sec":$artifactsSec,"sf":"$sfDir","loadavg":$loadavg,"runs_per_query":2}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"artifacts_sec":$artifactsSec,"sf":"$sfDir","loadavg":$loadavg,"runs_per_query":$passes,"interleaved":true}"""
     println(json)
     // also land the line in a file: sbt interleaves its own log lines with
     // stdout, so a driver grepping the tail can mis-parse — a dedicated

@@ -233,20 +233,40 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  /** Q42: duplicate CLUSTERS — connected components over the near-dup
-    * edge set (exact-dup edges ∪ MinHash pairs with est ≥ 0.5), by
-    * iterative min-label propagation: every doc starts labeled with its
-    * own id; each round every node takes the min label in its closed
-    * neighborhood; fixed point = each component labeled by its smallest
-    * doc_id. Each round is one join + one aggregate (all shuffles on
-    * doc_id); rounds needed = graph diameter, checked by a driver-side
-    * convergence loop — the same frontier pattern GraphX/GraphFrames CC
-    * uses. Dup groups are tiny cliques (diameter ≤ 2 here), so this
-    * converges in 2-3 rounds; the cap bounds adversarial chains.
-    *
-    * Output: one row per document in a non-singleton cluster:
-    * (doc_id, cluster = min doc_id of its component). */
-  def q42DupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The duplicate-CLUSTER-label ARTIFACT: [[computeClusters]]'s
+    * connected-components output — (doc_id, cluster) for every document
+    * in a non-singleton near-dup cluster — materialized ONCE per
+    * (session, scale dir) as a bucketed table. The cluster build is the
+    * single most expensive job in the curation pipeline (an iterative
+    * driver loop of join/agg rounds with per-round localCheckpoints);
+    * round 4 measured q71 re-running the whole build inline just to look
+    * labels up (4.54 s, the slowest bench entry, ~2.3 s of it the
+    * rebuild). At 100 TB dup clusters are computed once per corpus
+    * snapshot and read by every split/dedup/reporting job — this table
+    * is that snapshot, and q42/q71 both read it. */
+  def clusterLabels(spark: SparkSession, sfDir: String): DataFrame =
+    Artifacts.materialize(spark, "graft_clusters_" + Tables.dirKey(sfDir),
+      "doc_id") {
+      computeClusters(spark, sfDir)
+    }
+
+  /** Q42: duplicate CLUSTERS — the [[clusterLabels]] artifact, ordered.
+    * (doc_id, cluster = min doc_id of its component), one row per
+    * document in a non-singleton cluster. */
+  def q42DupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    clusterLabels(spark, sfDir).orderBy("doc_id")
+
+  /** Connected components over the near-dup edge set (exact-dup edges ∪
+    * MinHash pairs with est ≥ 0.5), by iterative min-label propagation:
+    * every doc starts labeled with its own id; each round every node
+    * takes the min label in its closed neighborhood; fixed point = each
+    * component labeled by its smallest doc_id. Each round is one join +
+    * one aggregate (all shuffles on doc_id); rounds needed = graph
+    * diameter, checked by a driver-side convergence loop — the same
+    * frontier pattern GraphX/GraphFrames CC uses. Dup groups are tiny
+    * cliques (diameter ≤ 2 here), so this converges in 2-3 rounds; the
+    * cap bounds adversarial chains. */
+  private def computeClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val near = q18MinhashLsh(spark, sfDir)
       .where(col("est_jaccard") >= 0.5)
       .select(col("doc_id_1"), col("doc_id_2"))
@@ -287,7 +307,6 @@ object DedupQueries {
       System.err.println(
         s"[q42] WARNING: label propagation not converged after $rounds rounds")
     labels.select(col("doc_id"), col("label").as("cluster"))
-      .orderBy("doc_id")
   }
 
   /** Q52: test-set DECONTAMINATION — the n-gram overlap check an LLM
@@ -303,7 +322,27 @@ object DedupQueries {
     * detection is a map-side hash join + one aggregate on doc_id. At
     * 100 TB this is the only shape that works: shuffling corpus shingles
     * on `s` would move the whole tokenized corpus. */
-  def q52Decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+  def q52Decontaminate(spark: SparkSession, sfDir: String): DataFrame =
+    contamination(spark, sfDir).orderBy("doc_id")
+
+  /** The CONTAMINATION artifact: q52's per-doc shared-shingle counts,
+    * materialized once per (session, scale dir). Three consumers (q52's
+    * report, q64's curation drop stage, q67's per-source accounting)
+    * each re-ran the broadcast join + aggregate before this table
+    * existed — cheap per run only because the shingle artifact feeds it,
+    * but still one corpus-shingle pass per consumer at 100 TB. q66
+    * deliberately does NOT read it: the bloom prefilter is the
+    * independent path that must reproduce this table's contents. */
+  def contamination(spark: SparkSession, sfDir: String): DataFrame =
+    Artifacts.materialize(spark, "graft_contam_" + Tables.dirKey(sfDir),
+      "doc_id") {
+      computeContamination(spark, sfDir)
+    }
+
+  /** The contamination BUILD plan — public so the spec can pin its
+    * broadcast shape (the benchmark shingle set must broadcast; the
+    * corpus side must never shuffle for the join). */
+  def computeContamination(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingles(spark, sfDir)
     val corpusSh = sh.where(col("doc_id") % 20 =!= 0)
     val benchSh = sh.where(col("doc_id") % 20 === 0)
@@ -311,7 +350,6 @@ object DedupQueries {
     corpusSh.join(broadcast(benchSh), Seq("s"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("contaminated_shingles"))
-      .orderBy("doc_id")
   }
 
   /** Q47: edit-distance verification of LSH candidates — the "verify"

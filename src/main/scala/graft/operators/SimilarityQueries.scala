@@ -97,9 +97,28 @@ object SimilarityQueries {
 
   /** Codebooks are index ARTIFACTS: built once per (session, scale dir),
     * then reused by every query — the same build-once/consume-many story
-    * as the MinHash signature table, at codebook (not data) size. */
-  private val codebooks = scala.collection.mutable.Map
-    .empty[(SparkSession, String, String), Seq[(Long, Seq[Double])]]
+    * as the MinHash signature table, at codebook (not data) size.
+    *
+    * WEAK-keyed by session so a stopped/discarded session's entries are
+    * collectable instead of pinning the SparkSession for the JVM's life.
+    * Staleness contract (same as the Artifacts registry): entries are
+    * never invalidated within a session, so rewriting the files under a
+    * cached sfDir mid-session serves the old codebook — acceptable for
+    * batch jobs reading immutable snapshot dirs. */
+  private val codebooks = new java.util.WeakHashMap[
+    SparkSession,
+    scala.collection.mutable.Map[(String, String), Seq[(Long, Seq[Double])]]]
+
+  private def codebookCache(spark: SparkSession)
+      : scala.collection.mutable.Map[(String, String), Seq[(Long, Seq[Double])]] =
+    codebooks.synchronized {
+      var m = codebooks.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty
+        codebooks.put(spark, m)
+      }
+      m
+    }
 
   /** IVF codebook collected to the driver — NumCells rows, bounded by the
     * codebook size, never by data size. In FAISS terms the coarse
@@ -108,7 +127,7 @@ object SimilarityQueries {
   private def codebook(spark: SparkSession,
                        sfDir: String): Seq[(Long, Seq[Double])] =
     codebooks.synchronized {
-      codebooks.getOrElseUpdate((spark, sfDir, "init"),
+      codebookCache(spark).getOrElseUpdate((sfDir, "init"),
         vecs(spark, sfDir).where(col("vec_id") < NumCells).orderBy("vec_id")
           .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1))))
     }
@@ -248,7 +267,7 @@ object SimilarityQueries {
   def kmeansCodebook(spark: SparkSession,
                      sfDir: String): Seq[(Long, Seq[Double])] =
     codebooks.synchronized {
-      codebooks.getOrElseUpdate((spark, sfDir, "kmeans"), {
+      codebookCache(spark).getOrElseUpdate((sfDir, "kmeans"), {
         val e = vecs(spark, sfDir)
         (1 to KmeansIters).foldLeft(codebook(spark, sfDir))(
           (c, _) => lloydStep(e, c))

@@ -283,13 +283,14 @@ object TextQueries {
     * stream, so the only doc-keyed shuffle is the per-doc sum. The
     * vocabulary-total is a scalar driver action over the tf aggregate.
     *
-    * The corpus is tokenized ONCE: the vocabulary aggregate is
-    * materialized eagerly (localCheckpoint — tiny by Heaps' law), so the
-    * `total` scalar and the broadcast side both read the materialized tf
-    * instead of re-exploding the corpus (the r3 shape ran the full
-    * tokenize three times — once per consumer; at 100 TB each pass is a
-    * whole-corpus explode). The scoring join's explode is then the only
-    * Generate in the final plan — spec-pinned. */
+    * The tf/vocabulary side is tokenized ONCE: the vocabulary aggregate
+    * is materialized eagerly (localCheckpoint — tiny by Heaps' law), so
+    * the `total` scalar and the broadcast side both read the
+    * materialized tf instead of re-exploding the corpus. TWO corpus
+    * explode passes remain in total — the tf build and the scoring
+    * join's own explode (the r3 shape ran three). The scoring join's
+    * explode is the only Generate in the final plan — spec-pinned; the
+    * pin is on that plan, not on total work. */
   def q56UnigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val toks = docs.select(col("doc_id"),
@@ -429,13 +430,18 @@ object TextQueries {
     * formulation would hash the whole corpus into |langs| skewed
     * partitions. */
   def q70LengthOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    def d(c: Column): Column = c.cast("decimal(38,0)")
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"),
         size(Text.tokens(col("text"))).cast("long").as("token_cnt"))
+    // s and q accumulate in DECIMAL(38,0), not LongType: a long
+    // sum(x·x) wraps silently (non-ANSI mode) once Σx² passes 2^63 —
+    // reachable for one language's token counts at corpus scale — and a
+    // wrapped q flips outlier flags with no error. Matches the DuckDB
+    // twin, where sum(BIGINT) is HUGEINT.
     val stats = docs.groupBy("lang").agg(
-      count(lit(1)).as("n"), sum("token_cnt").as("s"),
-      sum(col("token_cnt") * col("token_cnt")).as("q"))
-    def d(c: Column): Column = c.cast("decimal(38,0)")
+      count(lit(1)).as("n"), sum(d(col("token_cnt"))).as("s"),
+      sum(d(col("token_cnt")) * d(col("token_cnt"))).as("q"))
     val dev = d(col("n")) * d(col("token_cnt")) - d(col("s"))
     docs.join(broadcast(stats), "lang")
       .select(col("doc_id"), col("lang"), col("token_cnt"),

@@ -19,8 +19,23 @@ import graft.Tables
   */
 object DelimitedSources {
 
-  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).option("header", "true").csv(path)
+  /** Schema'd CSV read. `multiLine` (default OFF) is the embedded-newline
+    * knob, and it is a genuine scale tradeoff, so the caller must choose:
+    * OFF, Spark splits files at line boundaries and a 100 TB input
+    * parallelizes per-block — but a quoted field containing a newline is
+    * CORRUPTED (split mid-record); ON, quoted newlines parse correctly
+    * but each file becomes one task (the parser must see the whole file),
+    * so inputs must arrive as many files. Quote and escape are set
+    * EXPLICITLY to the values Spark's CSV writer uses (`"` quote, `\`
+    * escape), so the q58 round-trip is parse-exact and a writer/reader
+    * dialect drift can't corrupt quoted fields silently. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              multiLine: Boolean = false): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("quote", "\"").option("escape", "\\")
+      .option("multiLine", multiLine)
+      .csv(path)
 
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)

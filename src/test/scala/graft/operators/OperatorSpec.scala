@@ -257,8 +257,11 @@ class OperatorSpec extends SparkSpec {
 
   test("q52 decontamination broadcasts the benchmark shingle set") {
     // the corpus side must never shuffle on the shingle key: the join has
-    // to be a broadcast hash join with the (small) benchmark set built
-    val plan = DedupQueries.q52Decontaminate(spark, sfDir)
+    // to be a broadcast hash join with the (small) benchmark set built.
+    // The join now runs at contamination-ARTIFACT build time (q52 itself
+    // reads the bucketed table — ScaleSpec pins that), so the shape pin
+    // applies to the build plan.
+    val plan = DedupQueries.computeContamination(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"expected broadcast contamination join in:\n$plan")

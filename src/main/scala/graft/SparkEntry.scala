@@ -114,6 +114,7 @@ object SparkEntry {
     "q71_leakage_split" -> (CurationPipeline.q71LeakageSplit _),
     "q72_global_index"  -> (CurationPipeline.q72GlobalIndex _),
     "q73_epoch_mix"     -> (CurationPipeline.q73EpochMix _),
+    "q74_bpe_tokens"    -> (TextQueries.q74BpeTokens _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -1119,6 +1120,37 @@ object SparkEntry {
          |FROM documents d
          |LEFT JOIN uni USING (doc_id) LEFT JOIN big USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // q74: the oracle reproduces the greedy longest-match walk with a
+    // recursive CTE over DISTINCT words: per (word, position) the longest
+    // matching vocab unit (LEFT JOIN + max, 1-char fallback), then a
+    // cursor walk anchored at position 1. The vocab list interpolates
+    // from TextQueries.BpeUnits so the two engines cannot drift.
+    "q74_bpe_tokens" -> {
+      val vocabList = TextQueries.BpeUnits.map(u => s"'$u'").mkString(", ")
+      s"""${tokListCte.replaceFirst("WITH toks", "WITH RECURSIVE toks")},
+         |tr AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         |words AS (SELECT DISTINCT w FROM tr),
+         |vocab AS (SELECT unnest([$vocabList]) AS v),
+         |pos AS (SELECT w, unnest(range(1, length(w)+1)) AS i FROM words),
+         |m AS (SELECT p.w AS w, p.i AS i, coalesce(max(length(v.v)), 1) AS ml
+         |      FROM pos p LEFT JOIN vocab v
+         |        ON substr(p.w, p.i::INT, length(v.v)) = v.v
+         |      GROUP BY p.w, p.i),
+         |walk(w, nxt, cnt) AS (
+         |  SELECT w, 1::BIGINT, 0::BIGINT FROM words
+         |  UNION ALL
+         |  SELECT m.w, s.nxt + m.ml, s.cnt + 1
+         |  FROM walk s JOIN m ON m.w = s.w AND m.i = s.nxt),
+         |pieces AS (SELECT w, max(cnt) AS pieces FROM walk GROUP BY w),
+         |agg AS (SELECT doc_id, count(*) AS norm_tokens,
+         |               sum(pieces)::BIGINT AS bpe_tokens
+         |        FROM tr JOIN pieces USING (w) GROUP BY doc_id)
+         |SELECT d.doc_id AS doc_id,
+         |       coalesce(norm_tokens, 0) AS norm_tokens,
+         |       coalesce(bpe_tokens, 0) AS bpe_tokens
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
     "q56_lm_score" ->
       s"""$tokListCte,
          |tr AS (SELECT doc_id, unnest(t) AS w FROM toks),

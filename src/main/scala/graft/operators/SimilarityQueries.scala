@@ -123,9 +123,11 @@ object SimilarityQueries {
   /** IVF codebook collected to the driver — NumCells rows, bounded by the
     * codebook size, never by data size. In FAISS terms the coarse
     * quantizer always ships whole to every worker; embedding it as column
-    * literals IS that broadcast (and keeps the assignment codegen'd). */
-  private def codebook(spark: SparkSession,
-                       sfDir: String): Seq[(Long, Seq[Double])] =
+    * literals IS that broadcast (and keeps the assignment codegen'd).
+    * Public (with [[kmeansCodebook]]) so the recall sweep tool and specs
+    * can compare the unrefined and refined quantizers. */
+  def codebook(spark: SparkSession,
+               sfDir: String): Seq[(Long, Seq[Double])] =
     codebooks.synchronized {
       codebookCache(spark).getOrElseUpdate((sfDir, "init"),
         vecs(spark, sfDir).where(col("vec_id") < NumCells).orderBy("vec_id")
@@ -170,6 +172,12 @@ object SimilarityQueries {
   def cellAssignments(spark: SparkSession, sfDir: String): DataFrame =
     assignCells(vecs(spark, sfDir), codebook(spark, sfDir))
 
+  /** Index-side assignment under an explicit codebook — the recall/
+    * balance sweep measures cell-size skew per quantizer with this. */
+  def cellAssignments(spark: SparkSession, sfDir: String,
+                      cents: Seq[(Long, Seq[Double])]): DataFrame =
+    assignCells(vecs(spark, sfDir), cents)
+
   /** Map-side top-`nProbe` probe cells per query, from the same literal-
     * centroid projection: probe i = argmax over the cells not already
     * chosen (masked to the -2 sentinel, below cosine's -1 floor), then
@@ -201,15 +209,18 @@ object SimilarityQueries {
     * and keep each query's exact top-10. The cell equi-join is the ONLY
     * data-sized stage: the tiny probe side broadcasts, so the index
     * stream never shuffles for it; the final window sees candidate rows
-    * only (NProbe/NumCells of the index per query). */
-  private def ivfTopK(spark: SparkSession, sfDir: String,
-                      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    * only (nProbe/NumCells of the index per query). Public with the
+    * nProbe knob so the recall sweep (tools.IvfRecall / the recall spec)
+    * measures the exact query path the operators ship. */
+  def ivfTopK(spark: SparkSession, sfDir: String,
+              cents: Seq[(Long, Seq[Double])],
+              nProbe: Int = NProbe): DataFrame = {
     val e = vecs(spark, sfDir)
     val asg = assignCells(e, cents)
     val probes = probeCells(
       e.where(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("v").as("qv")),
-      cents, "qv")
+      cents, "qv", nProbe)
     broadcast(probes).join(asg, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -257,7 +268,14 @@ object SimilarityQueries {
     * sums keep the whole build oracle-expressible; per round the corpus
     * cost is one map-side pass + one 16-row aggregate with the codebook
     * broadcast back — the q42 iterative pattern applied to index
-    * construction. */
+    * construction.
+    *
+    * Measured (tools.IvfRecall, table in SCALING.md): recall@10 vs q17's
+    * exact top-10 at sf0.1 is 0.94/0.96/0.98 at nProbe 1/2/4 (1.0 when
+    * all cells probe — spec-pinned); the Lloyd rounds buy cell BALANCE
+    * (max/mean skew 1.18 → 1.11 at sf0.1), i.e. bounded worst-case
+    * probe cost, at a few recall points on this synthetic near-uniform
+    * corpus. */
   def q57AnnIvfKmeans(spark: SparkSession, sfDir: String): DataFrame =
     ivfTopK(spark, sfDir, kmeansCodebook(spark, sfDir))
 

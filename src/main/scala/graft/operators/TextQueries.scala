@@ -132,7 +132,8 @@ object TextQueries {
 
   /** Q25: token counting three ways — whitespace tokens, normalized
     * tokens, and a BPE-ish subword count (⌈len/4⌉ pieces per token, a
-    * stand-in for a real merges table at identical plan shape). */
+    * stand-in kept for plan-shape comparison — q74 is the real
+    * vocabulary-driven count via [[BpeUnits]]). */
   def q25TokenStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("toks"))
@@ -145,6 +146,73 @@ object TextQueries {
           (acc, t) => acc + ceil(length(t) / lit(4.0))).as("bpe_ish_tokens"),
         length(col("text")).as("chars"))
       .orderBy("doc_id")
+
+  /** Subword vocabulary for q74 — learned OFFLINE by 25 rounds of
+    * byte-pair-encoding merges over the corpus word-frequency table
+    * (most-frequent adjacent pair merges, Sennrich et al., "Neural
+    * machine translation of rare words with subword units", ACL 2016)
+    * and committed here the way a production pipeline commits its
+    * tokenizer's vocab file. Inference is greedy longest-match (maximal
+    * munch — the WordPiece inference rule, Wu et al. 2016; Song et al.,
+    * "Fast WordPiece tokenization", EMNLP 2021); any position no unit
+    * matches consumes one character as one piece, so single characters
+    * never need vocab entries and the scan is total on [a-z0-9]+. */
+  val BpeUnits: Seq[String] = Seq(
+    "er", "in", "ow", "or", "st", "mer", "at", "lu", "pa", "par", "oin",
+    "join", "sh", "ha", "hash", "row", "ch", "bat", "batch", "sc", "sca",
+    "scan", "ust", "usto", "ustomer")
+
+  /** Greedy longest-match piece count of one word under [[BpeUnits]],
+    * as a single `aggregate` higher-order expression: fold position
+    * 1..len carrying (next-unconsumed-position, pieces); at each
+    * unconsumed position the longest matching unit (vocab checked
+    * longest-first) advances the cursor, else one char is consumed.
+    * Handles any word length with no unrolling bound. Interpreted (HOFs
+    * don't codegen) — which is why q74 evaluates it once per DISTINCT
+    * word, never per token instance. */
+  def bpePieceCount(w: Column): Column = {
+    val byLenDesc = BpeUnits.sortBy(u => (-u.length, u))
+    def matchLen(i: Column): Column =
+      byLenDesc.foldRight(lit(1): Column) { (u, rest) =>
+        when(w.substr(i, lit(u.length)) === lit(u), lit(u.length))
+          .otherwise(rest)
+      }
+    aggregate(
+      sequence(lit(1), length(w)),
+      struct(lit(1).as("nxt"), lit(0).as("cnt")),
+      (st, i) => when(i === st("nxt"),
+          struct((i + matchLen(i)).as("nxt"), (st("cnt") + lit(1)).as("cnt")))
+        .otherwise(st),
+      st => st("cnt"))
+  }
+
+  /** Q74: REAL subword token counting — the merges-table-driven upgrade
+    * of q25's ⌈len/4⌉ stand-in: token budgets, packing (q65), and
+    * mixture weights (q73) all key off subword counts in production, so
+    * the counts come from an actual learned vocabulary ([[BpeUnits]])
+    * applied by greedy longest-match.
+    *
+    * Scale shape (exactly q56's): the longest-match scan runs once per
+    * DISTINCT word — the vocabulary relation, small by Heaps' law —
+    * and is BROADCAST back onto the token stream; the corpus itself
+    * only pays an explode and a per-doc sum. Tokenizing per instance
+    * would put an interpreted higher-order expression on 100 TB of
+    * tokens; tokenizing per distinct word puts it on the vocabulary. */
+  def q74BpeTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"),
+      explode(Text.tokens(col("text"))).as("w"))
+    val words = toks.select("w").distinct()
+      .withColumn("pieces", bpePieceCount(col("w")))
+    val perDoc = toks.join(broadcast(words), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("norm_tokens"), sum("pieces").as("bpe_tokens"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("norm_tokens"), lit(0L)).as("norm_tokens"),
+        coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
+      .orderBy("doc_id")
+  }
 
   /** Q26: winnowing fingerprint — 8-char shingles of the normalized text,
     * hashed to 60-bit ints (md5 prefix), min-hash per sliding window of 4;

@@ -162,6 +162,47 @@ object EventStreams {
       .orderBy("hour", "event_type")
   }
 
+  /** RESTARTABLE windowed aggregation: the production layout of q29/q60
+    * — a file-stream LANDING DIR in, hourly event-time windows with a
+    * 1-hour watermark, append mode out to a parquet FILE SINK with a
+    * real checkpoint. Unlike the demo memory sinks (which vanish with
+    * the process), this surface survives a kill: offsets and window
+    * state live in the checkpoint, and the sink's `_spark_metadata`
+    * commit log makes file output exactly-once across restarts — a
+    * restarted query neither re-emits a window it already wrote nor
+    * loses the partial counts of windows that were open when the
+    * process died. RecoverySpec proves it: a run killed mid-stream and
+    * resumed from the same checkpoint produces byte-identical results
+    * to an uninterrupted run.
+    *
+    * One AvailableNow drain of whatever is in `landingDir` now; call
+    * again after more files land (or after a crash) with the SAME
+    * checkpoint/out dirs to resume. */
+  def runWindowedAppendToFiles(spark: SparkSession, landingDir: String,
+                               checkpointDir: String,
+                               outDir: String): Unit = synchronized {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    try {
+      val agg = spark.readStream.schema(rawSchema).parquet(landingDir)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("cnt"), col("sum_value"))
+      val q = agg.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Q30: event-time sessionization — the built-in `session_window` with a
     * 30-minute gap (windows merge while events keep arriving within the
     * gap). Start/end reported from the events themselves (min/max ts), not

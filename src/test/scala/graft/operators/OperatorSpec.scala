@@ -542,6 +542,71 @@ class OperatorSpec extends SparkSpec {
     assert(rep.map(_.getLong(5)).sum === contamTotal)
   }
 
+  test("q74 subword counts match a JVM longest-match reference") {
+    // independent reimplementation of both halves — tokenizer and greedy
+    // longest-match scan — in plain Scala, compared doc by doc (the
+    // DuckDB oracle is a third implementation via recursive CTE)
+    def toksOf(t: String): Seq[String] =
+      t.toLowerCase.split("[^a-z0-9]+").toSeq.map(_.take(255))
+        .filter(_.nonEmpty)
+    val units = TextQueries.BpeUnits.sortBy(u => (-u.length, u))
+    def pieces(w: String): Long = {
+      var i = 0; var c = 0L
+      while (i < w.length) {
+        i += units.find(u => w.regionMatches(i, u, 0, u.length))
+          .map(_.length).getOrElse(1)
+        c += 1
+      }
+      c
+    }
+    // the vocab must actually fire: whole-word and subword matches
+    assert(pieces("hash") === 1L)
+    assert(pieces("customer") === 2L) // c + ustomer
+    assert(pieces("xyzzy") === 5L)    // pure single-char fallback
+
+    val expected = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect().map { r =>
+        val ts = toksOf(r.getString(1))
+        r.getLong(0) -> (ts.length.toLong, ts.map(pieces).sum)
+      }.toMap
+    val got = TextQueries.q74BpeTokens(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected)
+    // subword counts sit strictly between word and char counts somewhere
+    assert(got.exists { case (id, (n, b)) => b > n })
+  }
+
+  test("IVF recall rises with nProbe; probing all cells IS brute force") {
+    // the recall sweep (tools.IvfRecall, table in SCALING.md) pinned to
+    // its two invariants: candidates only grow with nProbe (so recall@10
+    // against q17's exact top-10 is nondecreasing), and probing every
+    // cell makes the IVF path return exactly the brute-force result —
+    // same candidates, same rounded-sim ranking, same tie-break.
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exact = topSets(SimilarityQueries.q17AnnBrute(spark, sfDir))
+    def recall(ivf: Map[Long, Set[Long]]): Double = {
+      val per = exact.map { case (q, ex) =>
+        ivf.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size }
+      per.sum / per.size
+    }
+    Seq(
+      SimilarityQueries.codebook(spark, sfDir),
+      SimilarityQueries.kmeansCodebook(spark, sfDir)
+    ).foreach { cents =>
+      val sweep = Seq(1, 2, SimilarityQueries.NumCells).map { np =>
+        topSets(SimilarityQueries.ivfTopK(spark, sfDir, cents, np))
+      }
+      val recalls = sweep.map(recall)
+      assert(recalls.sliding(2).forall(p => p.head <= p.last),
+        s"recall not monotone in nProbe: $recalls")
+      assert(sweep.last === exact,
+        "nProbe = NumCells must reproduce the exact brute-force top-10")
+    }
+  }
+
   test("q57 output is a valid per-query ranking") {
     val rows = SimilarityQueries.q57AnnIvfKmeans(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Restart/recovery semantics of the checkpointed streaming surface —
+  * the property a real deployment depends on and the AvailableNow demo
+  * queries never exercise: a streaming job KILLED mid-stream and resumed
+  * from its checkpoint must produce exactly the result of an
+  * uninterrupted run. Offsets + window state come back from the
+  * checkpoint; the parquet sink's `_spark_metadata` log keeps emitted
+  * files exactly-once. */
+class RecoverySpec extends SparkSpec {
+
+  test("killed+resumed checkpointed stream equals the uninterrupted run") {
+    val base = Files.createTempDirectory("graft-recovery").toString
+    // raw events with ts still nanos-since-epoch LONG (the landing-file
+    // schema the stream source declares)
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val Seq(lo, hi) = raw.agg(min("ts"), max("ts")).head()
+      .toSeq.map(_.asInstanceOf[Long]).toSeq
+    val mid = lo + (hi - lo) / 2
+    val half1 = raw.where(col("ts") < mid)
+    val half2 = raw.where(col("ts") >= mid)
+    // final-watermark flush (q60's pattern): one far-future row pushes
+    // the watermark past every real window; its own window never closes,
+    // so it appears in no output
+    val flush = raw.limit(1)
+      .withColumn("ts", col("ts") + lit(36500L * 86400L * 1000000000L))
+      .withColumn("event_type", lit("__flush__"))
+
+    // uninterrupted twin: everything lands before the single run
+    half1.write.mode("append").parquet(s"$base/landingU")
+    half2.write.mode("append").parquet(s"$base/landingU")
+    flush.write.mode("append").parquet(s"$base/landingU")
+    EventStreams.runWindowedAppendToFiles(spark,
+      s"$base/landingU", s"$base/ckU", s"$base/outU")
+    val uninterrupted = spark.read.parquet(s"$base/outU")
+      .orderBy("hour", "event_type").collect().toSeq
+    assert(uninterrupted.nonEmpty)
+
+    // interrupted run, phase A: only the first half has landed when the
+    // process "dies" (the query object is discarded — recovery must come
+    // from the checkpoint alone)
+    half1.write.mode("append").parquet(s"$base/landingI")
+    EventStreams.runWindowedAppendToFiles(spark,
+      s"$base/landingI", s"$base/ckI", s"$base/outI")
+    val phaseA = spark.read.parquet(s"$base/outI").count()
+    // the kill is genuinely mid-stream: some windows already emitted,
+    // some still pending in state (incl. the window straddling the cut)
+    assert(phaseA > 0, "phase A emitted nothing - kill wasn't mid-stream")
+    assert(phaseA < uninterrupted.size,
+      "phase A emitted everything - nothing was pending at the kill")
+
+    // phase B: the rest of the data (and the flush) lands; a NEW query
+    // resumes from the same checkpoint and drains
+    half2.write.mode("append").parquet(s"$base/landingI")
+    flush.write.mode("append").parquet(s"$base/landingI")
+    EventStreams.runWindowedAppendToFiles(spark,
+      s"$base/landingI", s"$base/ckI", s"$base/outI")
+
+    val resumed = spark.read.parquet(s"$base/outI")
+      .orderBy("hour", "event_type").collect().toSeq
+    assert(resumed === uninterrupted)
+    // exactly-once across the restart: no window emitted twice
+    val dups = spark.read.parquet(s"$base/outI")
+      .groupBy("hour", "event_type").count().where(col("count") > 1).count()
+    assert(dups === 0L)
+  }
+}

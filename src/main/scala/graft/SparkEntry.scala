@@ -115,6 +115,7 @@ object SparkEntry {
     "q72_global_index"  -> (CurationPipeline.q72GlobalIndex _),
     "q73_epoch_mix"     -> (CurationPipeline.q73EpochMix _),
     "q74_bpe_tokens"    -> (TextQueries.q74BpeTokens _),
+    "q75_bucketed_handoff" -> (CurationPipeline.q75BucketedHandoff _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -207,6 +208,37 @@ object SparkEntry {
        |  FROM walk w JOIN edges e ON e.doc_id_2 = w.doc_id)
        |SELECT doc_id, min(label) AS cluster
        |FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Q50's oracle, shared: q75's handoff table is q50's curated corpus
+    * joined with q52's contamination counts. */
+  private val q50Sql: String =
+    s"""WITH pairs AS ($q18Sql),
+       |t2 AS (SELECT doc_id, text,
+       |         list_filter(list_transform(
+       |           string_split_regex(lower(text), '[^a-z0-9]+'),
+       |           x -> substr(x, 1, 255)), x -> length(x) > 0) AS t
+       |       FROM documents),
+       |m AS (SELECT doc_id,
+       |        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+       |          AS norm,
+       |        len(t) AS token_cnt,
+       |        least(len(t) / 100.0, 1.0) * 0.4
+       |        + (length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+       |           / greatest(length(text), 1)) * 0.4
+       |        + (len(list_filter(t, x -> list_contains(
+       |             ['the','a','of','and','to','in','is','it','that','for'],
+       |             x))) / greatest(len(t), 1)) * 0.2 AS quality
+       |      FROM t2),
+       |reps AS (SELECT doc_id, token_cnt, quality FROM (
+       |           SELECT *, min(doc_id) OVER (PARTITION BY norm) AS keep
+       |           FROM m WHERE quality >= 0.5) x
+       |         WHERE doc_id = keep),
+       |dropped AS (SELECT p.doc_id_2 AS doc_id
+       |            FROM pairs p JOIN reps r ON r.doc_id = p.doc_id_1
+       |            WHERE p.est_jaccard >= 0.5)
+       |SELECT doc_id, token_cnt, quality FROM reps
+       |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+       |ORDER BY doc_id""".stripMargin
 
   /** Q52's oracle, shared: q66 (bloom prefilter + exact verify) must
     * produce the identical decontamination result. */
@@ -694,34 +726,7 @@ object SparkEntry {
         |       count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
-    "q50_corpus_curation" ->
-      s"""WITH pairs AS ($q18Sql),
-         |t2 AS (SELECT doc_id, text,
-         |         list_filter(list_transform(
-         |           string_split_regex(lower(text), '[^a-z0-9]+'),
-         |           x -> substr(x, 1, 255)), x -> length(x) > 0) AS t
-         |       FROM documents),
-         |m AS (SELECT doc_id,
-         |        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
-         |          AS norm,
-         |        len(t) AS token_cnt,
-         |        least(len(t) / 100.0, 1.0) * 0.4
-         |        + (length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
-         |           / greatest(length(text), 1)) * 0.4
-         |        + (len(list_filter(t, x -> list_contains(
-         |             ['the','a','of','and','to','in','is','it','that','for'],
-         |             x))) / greatest(len(t), 1)) * 0.2 AS quality
-         |      FROM t2),
-         |reps AS (SELECT doc_id, token_cnt, quality FROM (
-         |           SELECT *, min(doc_id) OVER (PARTITION BY norm) AS keep
-         |           FROM m WHERE quality >= 0.5) x
-         |         WHERE doc_id = keep),
-         |dropped AS (SELECT p.doc_id_2 AS doc_id
-         |            FROM pairs p JOIN reps r ON r.doc_id = p.doc_id_1
-         |            WHERE p.est_jaccard >= 0.5)
-         |SELECT doc_id, token_cnt, quality FROM reps
-         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
-         |ORDER BY doc_id""".stripMargin,
+    "q50_corpus_curation" -> q50Sql,
     "q49_sliding_window" ->
       """WITH ex AS (
         |  SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
@@ -1043,6 +1048,15 @@ object SparkEntry {
          |            ELSE 'test' END AS split
          |FROM s ORDER BY doc_id""".stripMargin,
     "q52_decontaminate" -> q52Sql,
+    // q75: the handoff table IS q50's curated corpus; the bucketed write
+    // changes layout, never contents — so the oracle is q50's rows joined
+    // with q52's contamination counts (0 where uncontaminated).
+    "q75_bucketed_handoff" ->
+      s"""SELECT c.doc_id AS doc_id, c.token_cnt AS token_cnt,
+         |       c.quality AS quality,
+         |       coalesce(s.contaminated_shingles, 0) AS contaminated_shingles
+         |FROM ($q50Sql) c LEFT JOIN ($q52Sql) s USING (doc_id)
+         |ORDER BY c.doc_id""".stripMargin,
     // q66's bloom prefilter is semantics-free (exact verify drops every
     // false positive), so its oracle IS q52's.
     "q66_bloom_decontaminate" -> q52Sql,

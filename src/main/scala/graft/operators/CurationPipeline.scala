@@ -224,6 +224,32 @@ object CurationPipeline {
       .orderBy("doc_id", "epoch")
   }
 
+  /** Q75: BUCKETED HANDOFF SINK — the user-facing write side of the
+    * engine: the curated corpus (q50's survivors) is WRITTEN as a
+    * bucketed+sorted-on-doc_id table (the export a training pipeline
+    * hands to every downstream job), and the query then demonstrates
+    * what the layout buys — joining the handoff table to the
+    * contamination artifact (bucketed the same way) needs NO exchange
+    * on either side: Spark reads both tables' bucket spec as their
+    * output partitioning and co-locates the join (spec-pinned with
+    * broadcast disabled, mirroring the ScaleSpec bucketed-join
+    * demonstration). At 100 TB this is the difference between a
+    * downstream join shuffling the whole curated corpus and reading it
+    * in place; every doc_id-keyed consumer (split assignment, packing,
+    * indexing) gets the same free co-location. */
+  def q75BucketedHandoff(spark: SparkSession, sfDir: String): DataFrame = {
+    val curated = graft.Artifacts.materialize(spark,
+      "graft_curated_" + graft.Tables.dirKey(sfDir), "doc_id") {
+      q50CorpusCuration(spark, sfDir)
+    }
+    curated
+      .join(DedupQueries.contamination(spark, sfDir), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("token_cnt"), col("quality"),
+        coalesce(col("contaminated_shingles"), lit(0L))
+          .as("contaminated_shingles"))
+      .orderBy("doc_id")
+  }
+
   def q67SourceReport(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"),

@@ -197,6 +197,27 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("q75 handoff join of two bucketed tables: no hash exchange at all") {
+    // the handoff table and the contamination artifact are both bucketed
+    // + sorted on doc_id, so their join must co-locate on the bucket
+    // spec. Broadcast is disabled for the pin: with it on, a tiny side
+    // would hide whether the bucketing actually removed the shuffle.
+    CurationPipeline.q75BucketedHandoff(spark, sfDir).collect() // build tables
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = CurationPipeline.q75BucketedHandoff(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed handoff join must not shuffle:\n${plan.take(4000)}")
+      assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"),
+        s"expected a real join in:\n${plan.take(4000)}")
+      assert(plan.contains("graft_curated") && plan.contains("graft_contam"),
+        plan.take(4000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q68 chunking is pure map-side: no hash exchange in the plan") {
     // chunk derivation is per-row (sequence→explode→substr→md5): the only
     // exchange allowed is the presentation orderBy's range partitioning.

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.api.SampleJobs
 import graft.operators.{AsofJoin, CurationPipeline, DedupQueries,
-  MultimodalPipeline, RangeJoin, ReferenceQueries, RelationalQueries,
-  SimilarityQueries, TextQueries}
+  MultimodalPipeline, ProductQuantization, RangeJoin, ReferenceQueries,
+  RelationalQueries, SimilarityQueries, TextQueries}
 import graft.sources.DelimitedSources
 import graft.streaming.EventStreams
 
@@ -116,6 +116,9 @@ object SparkEntry {
     "q73_epoch_mix"     -> (CurationPipeline.q73EpochMix _),
     "q74_bpe_tokens"    -> (TextQueries.q74BpeTokens _),
     "q75_bucketed_handoff" -> (CurationPipeline.q75BucketedHandoff _),
+    "q76_pq_codes"      -> (ProductQuantization.q76PqCodes _),
+    "q77_ann_ivf_pq"    -> (ProductQuantization.q77AnnIvfPq _),
+    "q78_ann_pq_rerank" -> (ProductQuantization.q78AnnPqRerank _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -249,6 +252,125 @@ object SparkEntry {
        |SELECT c.doc_id AS doc_id, count(*) AS contaminated_shingles
        |FROM corp c JOIN ben b ON c.s = b.s
        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
+  /** Shared IVF k-means CTE chain (q57/q76/q77): embeddings `e` → init
+    * codebook `c0` → two Lloyd rounds (`c1`, `c2`, integer-micro
+    * component sums) → final assignment `asg`. CTE text without the
+    * leading WITH. */
+  private val ivfKmeansCte: String = {
+    def lloyd(i: Int): String = {
+      val prev = s"c${i - 1}"
+      s"""a$i AS (SELECT vec_id, v, cell FROM (
+         |   SELECT e.vec_id, e.v, c.cell,
+         |          row_number() OVER (PARTITION BY e.vec_id
+         |            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell)
+         |            AS rk
+         |   FROM e CROSS JOIN $prev c) t WHERE rk = 1),
+         |u$i AS (SELECT cell, d, sum(floor(v[d] * 1e6)) AS s, count(*) AS n
+         |        FROM a$i CROSS JOIN (SELECT unnest(range(1, 65)) AS d) ds
+         |        GROUP BY cell, d),
+         |c$i AS (SELECT p.cell AS cell,
+         |               CASE WHEN count(u.d) = 0 THEN any_value(p.cv)
+         |                    ELSE list(u.s / u.n / 1e6 ORDER BY u.d) END AS cv
+         |        FROM $prev p LEFT JOIN u$i u ON u.cell = p.cell
+         |        GROUP BY p.cell)""".stripMargin
+    }
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+       |${lloyd(1)},
+       |${lloyd(2)},
+       |asg AS (SELECT vec_id, v, cell FROM (
+       |   SELECT e.vec_id, e.v, c.cell,
+       |          row_number() OVER (PARTITION BY e.vec_id
+       |            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell)
+       |            AS rk
+       |   FROM e CROSS JOIN c2 c) t WHERE rk = 1)""".stripMargin
+  }
+
+  /** PQ model CTE chain (q76/q77), appended after [[ivfKmeansCte]]:
+    * integer-micro coarse centroids `cmm` → residuals `rres` →
+    * subvectors `rsub` → init sub-codebooks from vectors 0..3 → one
+    * Lloyd round (integer argmin `a0`, floor-mean update `cent`) →
+    * final codes + distances `fc`. Mirrors
+    * operators.ProductQuantization.pqModel exactly (K interpolated from
+    * the same constant so the engines cannot drift). */
+  private val pqModelCte: String = {
+    val (m, sd, k) = (ProductQuantization.M, ProductQuantization.SubDim,
+      ProductQuantization.K)
+    s"""cmm AS (SELECT cell,
+      |               [floor(cv[d] * 1e6)::BIGINT for d in range(1, 65)] AS cm
+      |        FROM c2),
+      |rres AS (SELECT a.vec_id, a.cell,
+      |                [floor(a.v[d] * 1e6)::BIGINT - cm.cm[d]
+      |                 for d in range(1, 65)] AS r
+      |         FROM asg a JOIN cmm cm ON cm.cell = a.cell),
+      |rsub AS (SELECT vec_id, mm.m, r[(mm.m*$sd+1):(mm.m*$sd+$sd)] AS sub
+      |         FROM rres CROSS JOIN (SELECT unnest(range(0, $m)) AS m) mm),
+      |init AS (SELECT m, vec_id::INT AS k, sub AS cv
+      |         FROM rsub WHERE vec_id < $k),
+      |d0 AS (SELECT r.vec_id, r.m, i.k,
+      |              list_sum([(r.sub[j] - i.cv[j]) * (r.sub[j] - i.cv[j])
+      |                        for j in range(1, ${sd + 1})])::BIGINT AS dist
+      |       FROM rsub r JOIN init i ON i.m = r.m),
+      |a0 AS (SELECT vec_id, m, k AS code FROM (
+      |         SELECT vec_id, m, k,
+      |                row_number() OVER (PARTITION BY vec_id, m
+      |                  ORDER BY dist, k) AS rk
+      |         FROM d0) t WHERE rk = 1),
+      |u0 AS (SELECT a.m, a.code, j, sum(r.sub[j]) AS s, count(*) AS n
+      |       FROM a0 a
+      |       JOIN rsub r ON r.vec_id = a.vec_id AND r.m = a.m
+      |       CROSS JOIN (SELECT unnest(range(1, ${sd + 1})) AS j) js
+      |       GROUP BY a.m, a.code, j),
+      |centu AS (SELECT m, code, list(floor(s / n)::BIGINT ORDER BY j) AS cv
+      |          FROM u0 GROUP BY m, code),
+      |cent AS (SELECT i.m, i.k AS code, coalesce(cu.cv, i.cv) AS cv
+      |         FROM init i LEFT JOIN centu cu
+      |           ON cu.m = i.m AND cu.code = i.k),
+      |dfin AS (SELECT r.vec_id, r.m, c.code,
+      |                list_sum([(r.sub[j] - c.cv[j]) * (r.sub[j] - c.cv[j])
+      |                          for j in range(1, ${sd + 1})])::BIGINT AS dist
+      |         FROM rsub r JOIN cent c ON c.m = r.m),
+      |fc AS (SELECT vec_id, m, code, dist FROM (
+      |         SELECT vec_id, m, code, dist,
+      |                row_number() OVER (PARTITION BY vec_id, m
+      |                  ORDER BY dist, code) AS rk
+      |         FROM dfin) t WHERE rk = 1)""".stripMargin
+  }
+
+  /** ADC candidate-ranking CTE chain (q77/q78), appended after
+    * [[pqModelCte]]: probes → per-cell integer query residual →
+    * asymmetric distances against stored codes → per-query rank `r`. */
+  private val pqAdcCte: String = {
+    val (m, sd) = (ProductQuantization.M, ProductQuantization.SubDim)
+    s"""probes AS (SELECT query_id, qv, cell FROM (
+       |   SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+       |          row_number() OVER (PARTITION BY q.vec_id
+       |            ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cell)
+       |            AS rk
+       |   FROM e q CROSS JOIN c2 c WHERE q.vec_id < 10) t WHERE rk <= 2),
+       |qres AS (SELECT p.query_id, p.cell,
+       |                [floor(p.qv[d] * 1e6)::BIGINT - cm.cm[d]
+       |                 for d in range(1, 65)] AS rq
+       |         FROM probes p JOIN cmm cm ON cm.cell = p.cell),
+       |qsub AS (SELECT query_id, cell, mm.m,
+       |                rq[(mm.m*$sd+1):(mm.m*$sd+$sd)] AS sub
+       |         FROM qres CROSS JOIN (SELECT unnest(range(0, $m)) AS m) mm),
+       |cd AS (SELECT q.query_id, v.vec_id AS neighbor_id, q.m,
+       |              list_sum([(q.sub[j] - c.cv[j]) * (q.sub[j] - c.cv[j])
+       |                        for j in range(1, ${sd + 1})])::BIGINT AS dm
+       |       FROM qsub q
+       |       JOIN rres v ON v.cell = q.cell
+       |       JOIN fc f ON f.vec_id = v.vec_id AND f.m = q.m
+       |       JOIN cent c ON c.m = f.m AND c.code = f.code
+       |       WHERE v.vec_id <> q.query_id),
+       |adct AS (SELECT query_id, neighbor_id, sum(dm)::BIGINT AS adc
+       |         FROM cd GROUP BY query_id, neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, adc,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY adc, neighbor_id) AS "rank"
+       |      FROM adct)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_wordcount" ->
@@ -886,34 +1008,8 @@ object SparkEntry {
     // cell ASC) argmax, centroid update as exact integer-micro component
     // sums (floor(v*1e6) — order-independent, so both engines build
     // bit-identical codebooks), empty cells keep the previous centroid.
-    "q57_ann_ivf_kmeans" -> {
-      def lloyd(i: Int): String = {
-        val prev = s"c${i - 1}"
-        s"""a$i AS (SELECT vec_id, v, cell FROM (
-           |   SELECT e.vec_id, e.v, c.cell,
-           |          row_number() OVER (PARTITION BY e.vec_id
-           |            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell)
-           |            AS rk
-           |   FROM e CROSS JOIN $prev c) t WHERE rk = 1),
-           |u$i AS (SELECT cell, d, sum(floor(v[d] * 1e6)) AS s, count(*) AS n
-           |        FROM a$i CROSS JOIN (SELECT unnest(range(1, 65)) AS d) ds
-           |        GROUP BY cell, d),
-           |c$i AS (SELECT p.cell AS cell,
-           |               CASE WHEN count(u.d) = 0 THEN any_value(p.cv)
-           |                    ELSE list(u.s / u.n / 1e6 ORDER BY u.d) END AS cv
-           |        FROM $prev p LEFT JOIN u$i u ON u.cell = p.cell
-           |        GROUP BY p.cell)""".stripMargin
-      }
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
-         |${lloyd(1)},
-         |${lloyd(2)},
-         |asg AS (SELECT vec_id, v, cell FROM (
-         |   SELECT e.vec_id, e.v, c.cell,
-         |          row_number() OVER (PARTITION BY e.vec_id
-         |            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell)
-         |            AS rk
-         |   FROM e CROSS JOIN c2 c) t WHERE rk = 1),
+    "q57_ann_ivf_kmeans" ->
+      s"""WITH $ivfKmeansCte,
          |probes AS (SELECT query_id, qv, cell FROM (
          |   SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
          |          row_number() OVER (PARTITION BY q.vec_id
@@ -929,8 +1025,46 @@ object SparkEntry {
          |               ORDER BY sim DESC, neighbor_id) AS "rank"
          |      FROM cand)
          |SELECT query_id, neighbor_id, sim, "rank" FROM r WHERE "rank" <= 10
-         |ORDER BY query_id, "rank"""".stripMargin
-    },
+         |ORDER BY query_id, "rank"""".stripMargin,
+    // q76/q77: the PQ oracle replays the ENTIRE model build — coarse
+    // Lloyd rounds (shared CTE), integer-micro residuals, sub-codebook
+    // init from vectors 0..K-1, one Lloyd round per subspace with
+    // floor(mean) updates, final integer-argmin codes — then q77 ranks
+    // by the same integer asymmetric distances the Spark side computes.
+    "q76_pq_codes" ->
+      s"""WITH $ivfKmeansCte,
+         |$pqModelCte
+         |SELECT v.vec_id AS vec_id, v.cell AS cell,
+         |       array_to_string(list(f.code ORDER BY f.m), ',') AS codes,
+         |       sum(f.dist)::BIGINT AS qerr
+         |FROM rres v JOIN fc f ON f.vec_id = v.vec_id
+         |GROUP BY v.vec_id, v.cell
+         |ORDER BY v.vec_id""".stripMargin,
+    "q77_ann_ivf_pq" ->
+      s"""WITH $ivfKmeansCte,
+         |$pqModelCte,
+         |$pqAdcCte
+         |SELECT query_id, neighbor_id, adc, "rank" FROM r WHERE "rank" <= 10
+         |ORDER BY query_id, "rank"""".stripMargin,
+    // q78: q77's ADC ranking truncated at the shortlist depth, then the
+    // shortlist's RAW vectors re-ranked by exact cosine (IVFADC+R).
+    "q78_ann_pq_rerank" ->
+      s"""WITH $ivfKmeansCte,
+         |$pqModelCte,
+         |$pqAdcCte,
+         |sl AS (SELECT query_id, neighbor_id FROM r
+         |       WHERE "rank" <= ${ProductQuantization.RerankDepth}),
+         |rr AS (SELECT s.query_id, s.neighbor_id,
+         |              round(list_cosine_similarity(q.v, n.v), 4) AS sim
+         |       FROM sl s
+         |       JOIN e q ON q.vec_id = s.query_id
+         |       JOIN e n ON n.vec_id = s.neighbor_id),
+         |r2 AS (SELECT query_id, neighbor_id, sim,
+         |              row_number() OVER (PARTITION BY query_id
+         |                ORDER BY sim DESC, neighbor_id) AS "rank"
+         |       FROM rr)
+         |SELECT query_id, neighbor_id, sim, "rank" FROM r2 WHERE "rank" <= 10
+         |ORDER BY query_id, "rank"""".stripMargin,
     "q58_csv_source" ->
       """SELECT n_regionkey, count(*) AS nations, min(n_name) AS first_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,

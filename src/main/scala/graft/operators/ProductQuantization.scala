@@ -1,0 +1,259 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Vectors
+
+/** Product quantization on top of the IVF index — the rest of
+  * Jégou-Douze-Schmid, "Product quantization for nearest neighbor
+  * search" (TPAMI 2011): q57 built the coarse quantizer (§II, k-means
+  * cells); this file adds the RESIDUAL codes (§III) and asymmetric
+  * distance search (§IV).
+  *
+  *  - Q76: per-vector PQ CODES. Each vector's residual against its
+  *    coarse centroid is split into [[M]] subvectors of [[SubDim]] dims;
+  *    each subvector is quantized to its subspace codebook ([[K]]
+  *    entries, trained by one deterministic Lloyd round on the corpus
+  *    residuals). A 64-dim float vector becomes M 4-bit codes — a
+  *    64-bit compressed representation whose size, not the raw
+  *    vectors', is what a 100 TB ANN index actually stores.
+  *  - Q77: ADC top-k — queries probe their NProbe coarse cells (q57's
+  *    probe path), compute their own residual per probed cell, and rank
+  *    candidates by the sum of per-subspace distances to each
+  *    candidate's CODE centroids (asymmetric: query exact, index
+  *    quantized). Scan cost per query: NProbe/NumCells of the index,
+  *    reading codes instead of vectors.
+  *
+  * Every distance is computed in integer MICRO units (vectors and
+  * centroids floored to 1e-6): sums of integer squares are exact and
+  * order-independent, so codes, quantization errors, and ADC ranks are
+  * bit-reproducible and the DuckDB oracle hash-checks the whole model —
+  * training included — the same way q57's oracle replays the Lloyd
+  * rounds.
+  */
+object ProductQuantization {
+
+  /** Subspaces × dims per subspace = [[SimilarityQueries.Dims]]. */
+  val M = 16
+  val SubDim: Int = SimilarityQueries.Dims / M
+  /** Sub-codebook size (codes per subspace). M=16 × log2(16) bits = a
+    * 64-bit code per vector — the canonical PQ operating point (Jégou
+    * §V evaluates m=16, 64-bit codes; production also commonly runs
+    * K=256 one-byte codes). Code width is THE recall knob on this
+    * near-uniform synthetic corpus: 16-bit codes (M=8, K=4) measured
+    * ADC recall@10 0.19 at sf0.1, 32-bit (M=8, K=16) 0.30, 64-bit
+    * (this setting) 0.36 — the quantization error has to drop below
+    * the corpus's tiny inter-neighbor distance gaps before ADC can
+    * rank them, which is q78's re-rank job. */
+  val K = 16
+
+  private def vecs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+
+  private def micros(cv: Seq[Double]): Seq[Long] =
+    cv.map(x => math.floor(x * 1e6).toLong)
+
+  /** Residuals in integer micros: r_d = floor(v_d·1e6) − floor(c_d·1e6)
+    * for the vector's assigned coarse cell (q57's assignment semantics,
+    * map-side argmax — adds `cell` and `r` columns). */
+  private def residuals(df: DataFrame,
+                        coarse: Seq[(Long, Seq[Double])]): DataFrame = {
+    val asg = SimilarityQueries.assignCells(df, coarse)
+    val cmArr = coarse.sortBy(_._1)
+      .foldRight(typedlit(Seq.empty[Long]): Column) { case ((c, cv), rest) =>
+        when(col("cell") === c, typedlit(micros(cv))).otherwise(rest)
+      }
+    asg.withColumn("r",
+      zip_with(transform(col("v"), x => floor(x * lit(1e6))), cmArr,
+        (a, b) => a - b))
+  }
+
+  /** Integer squared distance between subvector m of residual column
+    * `r` and a literal centroid. */
+  private def subDist(r: Column, m: Int, cv: Seq[Long]): Column =
+    (0 until SubDim).map { j =>
+      val t = element_at(r, m * SubDim + j + 1) - lit(cv(j))
+      t * t
+    }.reduce(_ + _)
+
+  /** Adds `code_m` (argmin centroid, ties → smallest code) and `dist_m`
+    * (that minimum) for every subspace m. */
+  private def withCodes(df: DataFrame,
+                        cents: Seq[Seq[Seq[Long]]]): DataFrame = {
+    val withD = (0 until M).foldLeft(df) { (d, m) =>
+      (0 until K).foldLeft(d) { (d2, k) =>
+        d2.withColumn(s"d_${m}_$k", subDist(col("r"), m, cents(m)(k)))
+      }
+    }
+    val coded = (0 until M).foldLeft(withD) { (d, m) =>
+      val best = least((0 until K).map(k => col(s"d_${m}_$k")): _*)
+      val code = (0 until K).foldRight(lit(-1): Column) { (k, rest) =>
+        when(col(s"d_${m}_$k") === best, lit(k)).otherwise(rest)
+      }
+      d.withColumn(s"code_$m", code).withColumn(s"dist_$m", best)
+    }
+    coded.drop(
+      (for (m <- 0 until M; k <- 0 until K) yield s"d_${m}_$k"): _*)
+  }
+
+  /** Model cache — same session-scoped, weak-keyed contract as the IVF
+    * codebook cache (SimilarityQueries.codebooks). */
+  private val models = new java.util.WeakHashMap[
+    SparkSession,
+    scala.collection.mutable.Map[String,
+      (Seq[(Long, Seq[Double])], Seq[Seq[Seq[Long]]])]]
+
+  /** The trained PQ model: (coarse codebook, sub-codebooks[m][k][j] in
+    * micros). Training is ONE deterministic Lloyd round per subspace on
+    * the corpus residuals: init = residual subvectors of vectors 0..K−1;
+    * assignment = integer argmin; update = floor(mean) per component
+    * (empty codes keep their init) — the q57 build recipe applied per
+    * subspace, all driver-held state bounded by M·K·SubDim, never by
+    * data size. Public for the spec. */
+  def pqModel(spark: SparkSession, sfDir: String)
+      : (Seq[(Long, Seq[Double])], Seq[Seq[Seq[Long]]]) =
+    models.synchronized {
+      var cache = models.get(spark)
+      if (cache == null) {
+        cache = scala.collection.mutable.Map.empty
+        models.put(spark, cache)
+      }
+      cache.getOrElseUpdate(sfDir, {
+        val coarse = SimilarityQueries.kmeansCodebook(spark, sfDir)
+        val res = residuals(vecs(spark, sfDir), coarse)
+          .select("vec_id", "r")
+        val init: Seq[Seq[Seq[Long]]] = {
+          val first = res.where(col("vec_id") < K).orderBy("vec_id")
+            .collect().map(_.getSeq[Long](1).toIndexedSeq)
+          (0 until M).map(m => (0 until K).map(k =>
+            first(k).slice(m * SubDim, (m + 1) * SubDim).toSeq))
+        }
+        val sums = withCodes(res, init)
+          .select(explode(array((0 until M).map { m =>
+            struct(lit(m).as("m"), col(s"code_$m").as("code"),
+              slice(col("r"), m * SubDim + 1, SubDim).as("sub"))
+          }: _*)).as("s"))
+          .select(col("s.m").as("m"), col("s.code").as("code"),
+            col("s.sub").as("sub"))
+          .groupBy("m", "code")
+          .agg(count(lit(1)).as("n"),
+            (0 until SubDim).map(j =>
+              sum(element_at(col("sub"), j + 1)).as(s"s$j")): _*)
+          .collect()
+        val upd = sums.map { row =>
+          val n = row.getLong(2).toDouble
+          (row.getInt(0), row.getInt(1)) ->
+            (0 until SubDim).map(j =>
+              math.floor(row.getLong(j + 3) / n).toLong)
+        }.toMap
+        val cents = (0 until M).map(m => (0 until K).map(k =>
+          upd.getOrElse((m, k), init(m)(k)).toSeq))
+        (coarse, cents)
+      })
+    }
+
+  /** Q76: the PQ-coded index — one row per vector: coarse cell, the M
+    * codes as a csv string, and the exact integer quantization error
+    * (Σ per-subspace min distances). Everything downstream of the
+    * driver-held model literals is map-side; the only wide stage is the
+    * training aggregate, run once per (session, scale dir). */
+  def q76PqCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val (coarse, cents) = pqModel(spark, sfDir)
+    withCodes(residuals(vecs(spark, sfDir), coarse), cents)
+      .select(col("vec_id"), col("cell"),
+        concat_ws(",",
+          (0 until M).map(m => col(s"code_$m").cast("string")): _*)
+          .as("codes"),
+        (0 until M).map(m => col(s"dist_$m")).reduce(_ + _).as("qerr"))
+      .orderBy("vec_id")
+  }
+
+  /** The ADC-ranked candidate stream shared by q77/q78: probes (q57's
+    * path) → per-cell query residual → candidates scored by asymmetric
+    * distance over their stored codes → dense rank per query by
+    * (adc asc, neighbor asc). */
+  private def adcRanked(spark: SparkSession, sfDir: String): DataFrame = {
+    val (coarse, cents) = pqModel(spark, sfDir)
+    val e = vecs(spark, sfDir)
+    val index = withCodes(residuals(e, coarse), cents)
+      .select(Seq(col("vec_id").as("neighbor_id"), col("cell")) ++
+        (0 until M).map(m => col(s"code_$m")): _*)
+    val cmArr = coarse.sortBy(_._1)
+      .foldRight(typedlit(Seq.empty[Long]): Column) { case ((c, cv), rest) =>
+        when(col("cell") === c, typedlit(micros(cv))).otherwise(rest)
+      }
+    val probes = SimilarityQueries.probeCells(
+      e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")),
+      coarse, "qv")
+      .withColumn("rq",
+        zip_with(transform(col("qv"), x => floor(x * lit(1e6))), cmArr,
+          (a, b) => a - b))
+      .select("query_id", "cell", "rq")
+    val adc = (0 until M).map { m =>
+      (0 until K).foldRight(lit(Long.MaxValue): Column) { (k, rest) =>
+        when(col(s"code_$m") === k, subDist(col("rq"), m, cents(m)(k)))
+          .otherwise(rest)
+      }
+    }.reduce(_ + _)
+    broadcast(probes).join(index, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("adc"), asc("neighbor_id"))))
+  }
+
+  /** Q77: IVF-PQ ANN — the q57 probe path ranked by ASYMMETRIC distance
+    * (Jégou §IV): each query computes its own residual per probed cell
+    * and candidates are scored by Σ_m ‖query_sub_m − centroid(code_m)‖²
+    * over their stored codes — the index contributes CODES only, so at
+    * scale the scan reads M small codes per vector instead of the
+    * vector. Top-10 per query by (adc asc, neighbor asc).
+    *
+    * Measured (tools.IvfRecall): pure-ADC recall@10 at sf0.1 is 0.19 /
+    * 0.30 / 0.36 for 16- / 32- / 64-bit codes — on this UNIFORM
+    * synthetic corpus the inter-neighbor distance gaps are tiny, so the
+    * quantization error dominates the ranking; q78's re-rank stage is
+    * the production answer. */
+  def q77AnnIvfPq(spark: SparkSession, sfDir: String): DataFrame =
+    adcRanked(spark, sfDir)
+      .where(col("rank") <= 10)
+      .orderBy("query_id", "rank")
+
+  /** ADC shortlist depth for q78 — the L of IVFADC+R (Jégou §VII). */
+  val RerankDepth = 100
+
+  /** Q78: IVF-PQ with RE-RANKING (IVFADC+R) — the production operating
+    * point: the PQ codes cheaply SELECT an ADC shortlist of
+    * [[RerankDepth]] per query, then the shortlist's RAW vectors are
+    * fetched and re-ranked by exact cosine for the final top-10. At
+    * scale the expensive exact math touches L vectors per query instead
+    * of a cell's worth, and the code scan that produced the shortlist
+    * never read a raw vector at all. Measured (tools.IvfRecall, sf0.1):
+    * recall@10 recovers to 0.94 — against the 0.96 IVF-exact ceiling
+    * and 0.36 pure-ADC (0.84 at L=50) — because the true neighbors only
+    * need to survive INTO the shortlist, not win the quantized
+    * ranking. */
+  def q78AnnPqRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val shortlist = adcRanked(spark, sfDir)
+      .where(col("rank") <= RerankDepth)
+      .select("query_id", "neighbor_id")
+    shortlist
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v")),
+        Seq("neighbor_id"))
+      .join(broadcast(e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosineRounded(col("qv"), col("v")).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))))
+      .where(col("rank") <= 10)
+      .orderBy("query_id", "rank")
+  }
+}

@@ -58,6 +58,18 @@ object IvfRecall {
         SimilarityQueries.ivfTopK(spark, sfDir, cents, np)))
       println(f"| $name%s | $np%d | $r%.3f |")
     }
+    // the IVF-PQ path (q77): kmeans coarse quantizer at the default
+    // NProbe, but candidates ranked by asymmetric distance over M·log2(K)
+    // bits of code instead of exact cosine over the raw vectors
+    val pq = recall(topSets(
+      graft.operators.ProductQuantization.q77AnnIvfPq(spark, sfDir)))
+    println(f"| kmeans+PQ (ADC, nProbe ${SimilarityQueries.NProbe}) | " +
+      f"${SimilarityQueries.NProbe} | $pq%.3f |")
+    val rr = recall(topSets(
+      graft.operators.ProductQuantization.q78AnnPqRerank(spark, sfDir)))
+    println(f"| kmeans+PQ+rerank (IVFADC+R, L=" +
+      f"${graft.operators.ProductQuantization.RerankDepth}) | " +
+      f"${SimilarityQueries.NProbe} | $rr%.3f |")
     spark.stop()
   }
 }

@@ -607,6 +607,72 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q76 PQ codes are well-formed and the quantizer is non-degenerate") {
+    val rows = ProductQuantization.q76PqCodes(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val codeLists = rows.map(_._2.split(",").map(_.toInt).toSeq)
+    // M codes per vector, each a valid sub-codebook index
+    assert(codeLists.forall(_.length === ProductQuantization.M))
+    assert(codeLists.flatten.forall(c =>
+      c >= 0 && c < ProductQuantization.K))
+    // quantization error is a sum of integer squares
+    assert(rows.forall(_._3 >= 0L))
+    // every subspace actually discriminates (≥ 2 codes in use — a
+    // single-code subspace would mean the Lloyd round collapsed)
+    (0 until ProductQuantization.M).foreach { m =>
+      assert(codeLists.map(_(m)).distinct.length >= 2,
+        s"subspace $m uses a single code")
+    }
+  }
+
+  test("q77 ADC ranking is valid and finds true neighbors") {
+    val rows = ProductQuantization.q77AnnIvfPq(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq === (1 to rs.length),
+        s"query $q ranks not contiguous")
+      assert(byRank.map(_._3).sliding(2).forall(p => p.head <= p.last),
+        s"query $q adc not ascending")
+    }
+    // the asymmetric-distance ranking over quantized codes must still
+    // recover a solid fraction of the exact top-10 (the compression
+    // trade: codes are M·log2(K) bits, not 64 floats)
+    val exact = SimilarityQueries.q17AnnBrute(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val got = rows.groupBy(_._1).map { case (q, rs) =>
+      q -> rs.map(_._2).toSet }
+    val recall = exact.map { case (q, ex) =>
+      got.getOrElse(q, Set.empty[Long]).intersect(ex).size.toDouble / ex.size
+    }.sum / exact.size
+    assert(recall >= 0.4, s"ADC recall@10 collapsed: $recall")
+  }
+
+  test("q78 rerank recovers recall the quantized ranking loses") {
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exact = topSets(SimilarityQueries.q17AnnBrute(spark, sfDir))
+    def recall(ivf: Map[Long, Set[Long]]): Double = {
+      val per = exact.map { case (q, ex) =>
+        ivf.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size }
+      per.sum / per.size
+    }
+    val adc = recall(topSets(ProductQuantization.q77AnnIvfPq(spark, sfDir)))
+    val rr = recall(topSets(ProductQuantization.q78AnnPqRerank(spark, sfDir)))
+    // exact re-ranking of the ADC shortlist can only help, and must land
+    // near the IVF ceiling (the true neighbors just have to make the
+    // shortlist, not win the quantized ranking)
+    assert(rr >= adc, s"rerank lost recall: adc=$adc rerank=$rr")
+    assert(rr >= 0.7, s"rerank recall collapsed: $rr")
+  }
+
   test("q57 output is a valid per-query ranking") {
     val rows = SimilarityQueries.q57AnnIvfKmeans(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))

@@ -31,6 +31,13 @@ object Bench {
       operators.DedupQueries.signatures(spark, sfDir).count()
       operators.DedupQueries.contamination(spark, sfDir).count()
       operators.DedupQueries.clusterLabels(spark, sfDir).count()
+      operators.CurationPipeline.curatedHandoff(spark, sfDir).count()
+      // driver-held index models (IVF codebooks, PQ sub-codebooks) and
+      // the PQ-coded index table — trained/written once per session;
+      // without the prebuild the first timed q57/q76-q78 pass would pay
+      // them and min-of-N would hide it
+      operators.SimilarityQueries.kmeansCodebook(spark, sfDir)
+      operators.ProductQuantization.pqIndex(spark, sfDir).count()
       (System.nanoTime() - tArt) / 1e9
     }.getOrElse(-1.0)
     // min across INTERLEAVED full-suite passes: this box is shared and

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{Artifacts, Tables}
 import graft.functions.Vectors
 
 /** Product quantization on top of the IVF index — the rest of
@@ -72,32 +72,37 @@ object ProductQuantization {
         (a, b) => a - b))
   }
 
-  /** Integer squared distance between subvector m of residual column
-    * `r` and a literal centroid. */
-  private def subDist(r: Column, m: Int, cv: Seq[Long]): Column =
-    (0 until SubDim).map { j =>
-      val t = element_at(r, m * SubDim + j + 1) - lit(cv(j))
-      t * t
-    }.reduce(_ + _)
+  /** Per-subspace distance TABLE: the K distances from subvector m of
+    * residual column `r` to the m-th sub-codebook, as one array
+    * expression over the codebook shipped as a 2-D literal — the FAISS
+    * lookup-table shape. (The first formulation unrolled K columns ×
+    * M subspaces of branch chains — 256 columns, >1000 branches — and
+    * Janino refused the generated method, so every invocation paid a
+    * failed multi-second codegen compile and then ran interpreted
+    * anyway: q77 benched 12.5 s for 2.5k candidate rows. The table
+    * formulation plans in milliseconds, and at production K=256 a
+    * literal table is the only viable shape regardless.) */
+  private def distTable(r: Column, m: Int,
+                        cents: Seq[Seq[Seq[Long]]]): Column =
+    transform(typedlit(cents(m)), cv =>
+      (0 until SubDim).map { j =>
+        val t = element_at(r, m * SubDim + j + 1) - element_at(cv, j + 1)
+        t * t
+      }.reduce(_ + _))
 
-  /** Adds `code_m` (argmin centroid, ties → smallest code) and `dist_m`
-    * (that minimum) for every subspace m. */
+  /** Adds `code_m` (argmin centroid, ties → smallest code via
+    * array_position's first-match rule) and `dist_m` (that minimum)
+    * for every subspace m. */
   private def withCodes(df: DataFrame,
                         cents: Seq[Seq[Seq[Long]]]): DataFrame = {
-    val withD = (0 until M).foldLeft(df) { (d, m) =>
-      (0 until K).foldLeft(d) { (d2, k) =>
-        d2.withColumn(s"d_${m}_$k", subDist(col("r"), m, cents(m)(k)))
-      }
+    val coded = (0 until M).foldLeft(df) { (d, m) =>
+      d.withColumn(s"dists_$m", distTable(col("r"), m, cents))
+        .withColumn(s"dist_$m", array_min(col(s"dists_$m")))
+        .withColumn(s"code_$m",
+          (array_position(col(s"dists_$m"), col(s"dist_$m")) - 1)
+            .cast("int"))
     }
-    val coded = (0 until M).foldLeft(withD) { (d, m) =>
-      val best = least((0 until K).map(k => col(s"d_${m}_$k")): _*)
-      val code = (0 until K).foldRight(lit(-1): Column) { (k, rest) =>
-        when(col(s"d_${m}_$k") === best, lit(k)).otherwise(rest)
-      }
-      d.withColumn(s"code_$m", code).withColumn(s"dist_$m", best)
-    }
-    coded.drop(
-      (for (m <- 0 until M; k <- 0 until K) yield s"d_${m}_$k"): _*)
+    coded.drop((0 until M).map(m => s"dists_$m"): _*)
   }
 
   /** Model cache — same session-scoped, weak-keyed contract as the IVF
@@ -156,21 +161,31 @@ object ProductQuantization {
       })
     }
 
-  /** Q76: the PQ-coded index — one row per vector: coarse cell, the M
-    * codes as a csv string, and the exact integer quantization error
-    * (Σ per-subspace min distances). Everything downstream of the
-    * driver-held model literals is map-side; the only wide stage is the
-    * training aggregate, run once per (session, scale dir). */
-  def q76PqCodes(spark: SparkSession, sfDir: String): DataFrame = {
-    val (coarse, cents) = pqModel(spark, sfDir)
-    withCodes(residuals(vecs(spark, sfDir), coarse), cents)
-      .select(col("vec_id"), col("cell"),
-        concat_ws(",",
-          (0 until M).map(m => col(s"code_$m").cast("string")): _*)
-          .as("codes"),
-        (0 until M).map(m => col(s"dist_$m")).reduce(_ + _).as("qerr"))
+  /** The PQ-coded INDEX as an artifact: one row per vector with its
+    * coarse cell, per-subspace codes, the csv rendering, and the exact
+    * integer quantization error — built once per (session, scale dir)
+    * and stored, because a PQ index IS a stored structure: at 100 TB
+    * the coding job writes the code table once and every search reads
+    * codes, never raw vectors. Coding itself is map-side over the
+    * embeddings scan (model shipped as literals — spec-pinned). */
+  def pqIndex(spark: SparkSession, sfDir: String): DataFrame =
+    Artifacts.materialize(spark, "graft_pqcodes_" + Tables.dirKey(sfDir),
+      "vec_id") {
+      val (coarse, cents) = pqModel(spark, sfDir)
+      withCodes(residuals(vecs(spark, sfDir), coarse), cents)
+        .select(Seq(col("vec_id"), col("cell"),
+          concat_ws(",",
+            (0 until M).map(m => col(s"code_$m").cast("string")): _*)
+            .as("codes"),
+          (0 until M).map(m => col(s"dist_$m")).reduce(_ + _).as("qerr"))
+          ++ (0 until M).map(m => col(s"code_$m")): _*)
+    }
+
+  /** Q76: the PQ-coded index, presented. */
+  def q76PqCodes(spark: SparkSession, sfDir: String): DataFrame =
+    pqIndex(spark, sfDir)
+      .select("vec_id", "cell", "codes", "qerr")
       .orderBy("vec_id")
-  }
 
   /** The ADC-ranked candidate stream shared by q77/q78: probes (q57's
     * path) → per-cell query residual → candidates scored by asymmetric
@@ -179,26 +194,32 @@ object ProductQuantization {
   private def adcRanked(spark: SparkSession, sfDir: String): DataFrame = {
     val (coarse, cents) = pqModel(spark, sfDir)
     val e = vecs(spark, sfDir)
-    val index = withCodes(residuals(e, coarse), cents)
+    val index = pqIndex(spark, sfDir)
       .select(Seq(col("vec_id").as("neighbor_id"), col("cell")) ++
         (0 until M).map(m => col(s"code_$m")): _*)
     val cmArr = coarse.sortBy(_._1)
       .foldRight(typedlit(Seq.empty[Long]): Column) { case ((c, cv), rest) =>
         when(col("cell") === c, typedlit(micros(cv))).otherwise(rest)
       }
-    val probes = SimilarityQueries.probeCells(
-      e.where(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("v").as("qv")),
-      coarse, "qv")
-      .withColumn("rq",
-        zip_with(transform(col("qv"), x => floor(x * lit(1e6))), cmArr,
-          (a, b) => a - b))
-      .select("query_id", "cell", "rq")
+    // the ADC LOOKUP TABLES (Jégou §IV) are computed on the PROBE side —
+    // one K-entry distance array per subspace per (query, probed cell),
+    // i.e. nProbe·M tiny arrays per query — and candidates are then
+    // scored by M table lookups each. Computing the table per CANDIDATE
+    // (the first formulation) re-evaluated the K distances 125× per
+    // cell for identical input.
+    val probes = (0 until M).foldLeft(
+      SimilarityQueries.probeCells(
+        e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("qv")),
+        coarse, "qv")
+        .withColumn("rq",
+          zip_with(transform(col("qv"), x => floor(x * lit(1e6))), cmArr,
+            (a, b) => a - b))) { (d, m) =>
+      d.withColumn(s"lut_$m", distTable(col("rq"), m, cents))
+    }.select(Seq(col("query_id"), col("cell")) ++
+      (0 until M).map(m => col(s"lut_$m")): _*)
     val adc = (0 until M).map { m =>
-      (0 until K).foldRight(lit(Long.MaxValue): Column) { (k, rest) =>
-        when(col(s"code_$m") === k, subDist(col("rq"), m, cents(m)(k)))
-          .otherwise(rest)
-      }
+      element_at(col(s"lut_$m"), col(s"code_$m") + 1)
     }.reduce(_ + _)
     broadcast(probes).join(index, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))

@@ -203,6 +203,67 @@ object EventStreams {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** RESTARTABLE first-seen dedup: q31's `flatMapGroupsWithState` over a
+    * landing dir, append mode to a parquet sink with a checkpoint. This
+    * is the sharper recovery surface: if the per-group state were lost
+    * at a restart, every (user, event_type) pair already emitted before
+    * the kill would emit AGAIN when its next event arrives — a visible
+    * duplicate — so RecoverySpec's equality against the uninterrupted
+    * run proves the state store itself (not just source offsets) came
+    * back from the checkpoint.
+    *
+    * The dedup horizon here is 365 DAYS (vs q31's 24 h), and that is a
+    * real operational rule this spec first caught by violating it: a
+    * horizon shorter than the backfill/replay window re-admits
+    * duplicates BY DESIGN — the watermark races past first_ts+24h
+    * between the two phases, the timeout removes the state, and the
+    * post-kill half re-emits every pair (measured: 149 rows vs 75).
+    * Deterministic catch-up requires horizon ≥ replay window. */
+  def runFirstSeenToFiles(spark: SparkSession, landingDir: String,
+                          checkpointDir: String,
+                          outDir: String): Unit = synchronized {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    try {
+      val typed: Dataset[Ev] = spark.readStream.schema(rawSchema)
+        .parquet(landingDir)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .withWatermark("ts", "1 hour")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .as[Ev]
+      val firsts = typed
+        .groupByKey(e => (e.user_id, e.event_type))
+        .flatMapGroupsWithState[FirstSeen, FirstSeen](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+          case ((uid, etype), events, state: GroupState[FirstSeen]) =>
+            if (state.hasTimedOut) { state.remove(); Iterator.empty }
+            else if (state.exists) Iterator.empty
+            else if (events.isEmpty) Iterator.empty
+            else {
+              val first = events.minBy(e =>
+                (e.ts.getTime, e.ts.getNanos.toLong, e.event_id))
+              val fs = FirstSeen(uid, etype, first.event_id, first.ts)
+              state.update(fs)
+              state.setTimeoutTimestamp(
+                first.ts.getTime + 365L * 24 * 3600 * 1000)
+              Iterator.single(fs)
+            }
+        }
+      val q = firsts.toDF()
+        .select(col("user_id"), col("event_type"), col("first_event_id"),
+          date_format(col("first_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("first_ts"))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Q30: event-time sessionization — the built-in `session_window` with a
     * 30-minute gap (windows merge while events keep arriving within the
     * gap). Start/end reported from the events themselves (min/max ts), not

@@ -351,6 +351,20 @@ class ScaleSpec extends SparkSpec {
     assert(en.contains(2L) && en.contains(3L), "en should mix 2 and 3 copies")
   }
 
+  test("q76 PQ coding is map-side: model is literals, no hash exchange") {
+    // the trained model (coarse centroids + sub-codebooks) is driver-held
+    // and embedded as literals, so coding the whole index is a pure
+    // projection over the embeddings scan — the only exchange allowed is
+    // the presentation orderBy's range partitioning. At 100 TB the code
+    // assignment must stream; a hash exchange would mean the quantizer
+    // invented a shuffle key.
+    val df = ProductQuantization.q76PqCodes(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q76 must not hash-shuffle:\n${plan.take(4000)}")
+  }
+
   test("IVF cell assignment is map-side: no exchange anywhere in its plan") {
     // the r3 formulation shuffled 16 rows per vector (each with the full
     // 64-dim array) through a row_number window just to pick the argmax

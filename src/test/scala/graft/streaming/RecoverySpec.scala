@@ -70,4 +70,57 @@ class RecoverySpec extends SparkSpec {
       .groupBy("hour", "event_type").count().where(col("count") > 1).count()
     assert(dups === 0L)
   }
+
+  test("flatMapGroupsWithState state survives the restart (no re-emits)") {
+    // the sharper proof: first-seen dedup state. If the state store did
+    // NOT come back from the checkpoint, every (user, event_type) pair
+    // first seen before the kill would emit AGAIN on its next event
+    // after the resume — a duplicate row the equality below would catch.
+    // The cut is by TIME, so a pair's true first event is always in the
+    // phase that first contains the pair.
+    val base = Files.createTempDirectory("graft-recovery-state").toString
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val Seq(lo, hi) = raw.agg(min("ts"), max("ts")).head()
+      .toSeq.map(_.asInstanceOf[Long]).toSeq
+    val mid = lo + (hi - lo) / 2
+    raw.where(col("ts") < mid).write.mode("append")
+      .parquet(s"$base/landingU")
+    raw.where(col("ts") >= mid).write.mode("append")
+      .parquet(s"$base/landingU")
+    EventStreams.runFirstSeenToFiles(spark,
+      s"$base/landingU", s"$base/ckU", s"$base/outU")
+    val uninterrupted = spark.read.parquet(s"$base/outU")
+      .orderBy("user_id", "event_type").collect().toSeq
+    assert(uninterrupted.nonEmpty)
+
+    raw.where(col("ts") < mid).write.mode("append")
+      .parquet(s"$base/landingI")
+    EventStreams.runFirstSeenToFiles(spark,
+      s"$base/landingI", s"$base/ckI", s"$base/outI")
+    val phaseA = spark.read.parquet(s"$base/outI")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(phaseA.nonEmpty, "phase A emitted nothing")
+    // the no-re-emit property must actually be exercised: the second
+    // half has to contain events for pairs ALREADY emitted in phase A —
+    // without recovered state, each would emit a duplicate in phase B
+    val half2Pairs = raw.where(col("ts") >= mid)
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert((phaseA & half2Pairs).nonEmpty,
+      "no already-seen pair has post-kill events; test exercises nothing")
+
+    raw.where(col("ts") >= mid).write.mode("append")
+      .parquet(s"$base/landingI")
+    EventStreams.runFirstSeenToFiles(spark,
+      s"$base/landingI", s"$base/ckI", s"$base/outI")
+    val resumed = spark.read.parquet(s"$base/outI")
+      .orderBy("user_id", "event_type").collect().toSeq
+    assert(resumed === uninterrupted)
+    // the duplicate-free property IS the state proof, stated directly
+    val dups = spark.read.parquet(s"$base/outI")
+      .groupBy("user_id", "event_type").count()
+      .where(col("count") > 1).count()
+    assert(dups === 0L)
+  }
 }

@@ -365,6 +365,17 @@ class ScaleSpec extends SparkSpec {
       s"q76 must not hash-shuffle:\n${plan.take(4000)}")
   }
 
+  test("q77 reads the stored PQ code table, never re-codes the index") {
+    // a PQ index is a stored structure: search reads codes. Re-coding
+    // would show the residual zip_with projection over the embeddings
+    // scan on the index side of the join.
+    val df = ProductQuantization.q77AnnIvfPq(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_pqcodes"),
+      s"q77 should scan the code table:\n${plan.take(4000)}")
+  }
+
   test("IVF cell assignment is map-side: no exchange anywhere in its plan") {
     // the r3 formulation shuffled 16 rows per vector (each with the full
     // 64-dim array) through a row_number window just to pick the argmax

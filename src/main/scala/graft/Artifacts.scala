@@ -19,17 +19,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * child's output partitioning).
   */
 object Artifacts {
-  /** Tables already materialized this JVM, keyed by (session, name). */
+  /** Tables already materialized this JVM, per session (weak-keyed so a
+    * discarded session's entries are collectable). */
   private val built =
-    scala.collection.mutable.Map.empty[(SparkSession, String), Unit]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Set[String]]
+
+  private def builtSet(spark: SparkSession)
+      : scala.collection.mutable.Set[String] = {
+    var s = built.get(spark)
+    if (s == null) {
+      s = scala.collection.mutable.Set.empty
+      built.put(spark, s)
+    }
+    s
+  }
 
   /** The session that last built each table name — the enforcement half
     * of the single-active-session assumption: a SECOND live session
     * rebuilding the same name would delete warehouse files the first
     * session's live plans still reference, so that is an error, not a
-    * silent rebuild. A stopped builder releases its claim. */
-  private val builders =
-    scala.collection.mutable.Map.empty[String, SparkSession]
+    * silent rebuild. A stopped (or garbage-collected — the reference is
+    * weak, so a dead session doesn't stay pinned for the JVM's life)
+    * builder releases its claim. */
+  private val builders = scala.collection.mutable.Map
+    .empty[String, java.lang.ref.WeakReference[SparkSession]]
 
   /** Run `build` once per (session, name), persist it bucketed on
     * `bucketCol`, and return the table. Reentrant: a build may itself
@@ -43,8 +57,8 @@ object Artifacts {
   def materialize(spark: SparkSession, name: String, bucketCol: String,
                   buckets: Int = 8)(build: => DataFrame): DataFrame = {
     built.synchronized {
-      if (!built.contains((spark, name))) {
-        builders.get(name).foreach { prev =>
+      if (!builtSet(spark).contains(name)) {
+        builders.get(name).flatMap(r => Option(r.get)).foreach { prev =>
           if (prev != spark && !prev.sparkContext.isStopped)
             throw new IllegalStateException(
               s"artifact table $name is owned by another live session; " +
@@ -63,8 +77,8 @@ object Artifacts {
         if (fs.exists(warehouse)) fs.delete(warehouse, true)
         build.write.bucketBy(buckets, bucketCol).sortBy(bucketCol)
           .mode("overwrite").saveAsTable(name)
-        built.put((spark, name), ())
-        builders.put(name, spark)
+        builtSet(spark).add(name)
+        builders.put(name, new java.lang.ref.WeakReference(spark))
         ()
       }
     }

@@ -289,7 +289,7 @@ object SparkEntry {
 
   /** PQ model CTE chain (q76/q77), appended after [[ivfKmeansCte]]:
     * integer-micro coarse centroids `cmm` → residuals `rres` →
-    * subvectors `rsub` → init sub-codebooks from vectors 0..3 → one
+    * subvectors `rsub` → init sub-codebooks from vectors 0..K−1 → one
     * Lloyd round (integer argmin `a0`, floor-mean update `cent`) →
     * final codes + distances `fc`. Mirrors
     * operators.ProductQuantization.pqModel exactly (K interpolated from

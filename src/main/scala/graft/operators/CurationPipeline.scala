@@ -224,19 +224,6 @@ object CurationPipeline {
       .orderBy("doc_id", "epoch")
   }
 
-  /** Q75: BUCKETED HANDOFF SINK — the user-facing write side of the
-    * engine: the curated corpus (q50's survivors) is WRITTEN as a
-    * bucketed+sorted-on-doc_id table (the export a training pipeline
-    * hands to every downstream job), and the query then demonstrates
-    * what the layout buys — joining the handoff table to the
-    * contamination artifact (bucketed the same way) needs NO exchange
-    * on either side: Spark reads both tables' bucket spec as their
-    * output partitioning and co-locates the join (spec-pinned with
-    * broadcast disabled, mirroring the ScaleSpec bucketed-join
-    * demonstration). At 100 TB this is the difference between a
-    * downstream join shuffling the whole curated corpus and reading it
-    * in place; every doc_id-keyed consumer (split assignment, packing,
-    * indexing) gets the same free co-location. */
   /** The curated-corpus HANDOFF artifact (q75's write side): q50's
     * survivors as a bucketed+sorted-on-doc_id table — built once per
     * (session, scale dir), prebuilt by Bench so its cost lands in
@@ -247,6 +234,19 @@ object CurationPipeline {
       q50CorpusCuration(spark, sfDir)
     }
 
+  /** Q75: BUCKETED HANDOFF SINK — the user-facing write side of the
+    * engine: the curated corpus (q50's survivors) is WRITTEN as a
+    * bucketed+sorted-on-doc_id table via [[curatedHandoff]] (the export
+    * a training pipeline hands to every downstream job), and the query
+    * then demonstrates what the layout buys — joining the handoff table
+    * to the contamination artifact (bucketed the same way) needs NO
+    * exchange on either side: Spark reads both tables' bucket spec as
+    * their output partitioning and co-locates the join (spec-pinned
+    * with broadcast disabled, mirroring the ScaleSpec bucketed-join
+    * demonstration). At 100 TB this is the difference between a
+    * downstream join shuffling the whole curated corpus and reading it
+    * in place; every doc_id-keyed consumer (split assignment, packing,
+    * indexing) gets the same free co-location. */
   def q75BucketedHandoff(spark: SparkSession, sfDir: String): DataFrame =
     curatedHandoff(spark, sfDir)
       .join(DedupQueries.contamination(spark, sfDir), Seq("doc_id"), "left")

@@ -171,15 +171,22 @@ object ProductQuantization {
   def pqIndex(spark: SparkSession, sfDir: String): DataFrame =
     Artifacts.materialize(spark, "graft_pqcodes_" + Tables.dirKey(sfDir),
       "vec_id") {
-      val (coarse, cents) = pqModel(spark, sfDir)
-      withCodes(residuals(vecs(spark, sfDir), coarse), cents)
-        .select(Seq(col("vec_id"), col("cell"),
-          concat_ws(",",
-            (0 until M).map(m => col(s"code_$m").cast("string")): _*)
-            .as("codes"),
-          (0 until M).map(m => col(s"dist_$m")).reduce(_ + _).as("qerr"))
-          ++ (0 until M).map(m => col(s"code_$m")): _*)
+      computePqCodes(spark, sfDir)
     }
+
+  /** The coding BUILD plan — public so the spec can pin its shape (the
+    * model is literals, so coding must be a pure projection over the
+    * embeddings scan: no hash exchange anywhere). */
+  def computePqCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val (coarse, cents) = pqModel(spark, sfDir)
+    withCodes(residuals(vecs(spark, sfDir), coarse), cents)
+      .select(Seq(col("vec_id"), col("cell"),
+        concat_ws(",",
+          (0 until M).map(m => col(s"code_$m").cast("string")): _*)
+          .as("codes"),
+        (0 until M).map(m => col(s"dist_$m")).reduce(_ + _).as("qerr"))
+        ++ (0 until M).map(m => col(s"code_$m")): _*)
+  }
 
   /** Q76: the PQ-coded index, presented. */
   def q76PqCodes(spark: SparkSession, sfDir: String): DataFrame =

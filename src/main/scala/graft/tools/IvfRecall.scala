@@ -19,22 +19,32 @@ import graft.operators.SimilarityQueries
   * Usage: runMain graft.tools.IvfRecall [sfDir] [nProbe,nProbe,...]
   */
 object IvfRecall {
+
+  /** Per-query neighbor sets of a (query_id, neighbor_id, ...) ranking —
+    * ONE definition shared by this tool and the OperatorSpec recall
+    * pins, so the spec can never silently measure a different metric
+    * than the SCALING.md table. */
+  def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+
+  /** Mean recall of `got` against the exact per-query sets. */
+  def recallVs(exact: Map[Long, Set[Long]],
+               got: Map[Long, Set[Long]]): Double = {
+    val per = exact.map { case (q, ex) =>
+      got.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size }
+    per.sum / per.size
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val probes =
       if (args.length > 1) args(1).split(",").toSeq.map(_.trim.toInt)
       else Seq(1, 2, 4, SimilarityQueries.NumCells)
     val spark = GraftSession.create("graft-ivf-recall", Some("local[32]"))
-    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
-      df.select("query_id", "neighbor_id").collect()
-        .map(r => r.getLong(0) -> r.getLong(1))
-        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
     val exact = topSets(SimilarityQueries.q17AnnBrute(spark, sfDir))
-    def recall(ivf: Map[Long, Set[Long]]): Double = {
-      val per = exact.map { case (q, ex) =>
-        ivf.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size }
-      per.sum / per.size
-    }
+    def recall(ivf: Map[Long, Set[Long]]): Double = recallVs(exact, ivf)
     println(s"[ivf-recall] sfDir=$sfDir k=10 queries=${exact.size} " +
       s"cells=${SimilarityQueries.NumCells}")
     // cell-balance per quantizer: max/mean cell size (a probe's cost is

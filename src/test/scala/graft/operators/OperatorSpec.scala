@@ -582,16 +582,11 @@ class OperatorSpec extends SparkSpec {
     // against q17's exact top-10 is nondecreasing), and probing every
     // cell makes the IVF path return exactly the brute-force result —
     // same candidates, same rounded-sim ranking, same tie-break.
-    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
-      df.select("query_id", "neighbor_id").collect()
-        .map(r => r.getLong(0) -> r.getLong(1))
-        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    // topSets/recallVs are the TOOL's own helpers, so the spec measures
+    // the exact metric the SCALING.md table reports.
+    import graft.tools.IvfRecall.{recallVs, topSets}
     val exact = topSets(SimilarityQueries.q17AnnBrute(spark, sfDir))
-    def recall(ivf: Map[Long, Set[Long]]): Double = {
-      val per = exact.map { case (q, ex) =>
-        ivf.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size }
-      per.sum / per.size
-    }
+    def recall(ivf: Map[Long, Set[Long]]): Double = recallVs(exact, ivf)
     Seq(
       SimilarityQueries.codebook(spark, sfDir),
       SimilarityQueries.kmeansCodebook(spark, sfDir)
@@ -641,29 +636,18 @@ class OperatorSpec extends SparkSpec {
     // the asymmetric-distance ranking over quantized codes must still
     // recover a solid fraction of the exact top-10 (the compression
     // trade: codes are M·log2(K) bits, not 64 floats)
-    val exact = SimilarityQueries.q17AnnBrute(spark, sfDir)
-      .select("query_id", "neighbor_id").collect()
-      .map(r => r.getLong(0) -> r.getLong(1))
-      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    import graft.tools.IvfRecall.{recallVs, topSets}
+    val exact = topSets(SimilarityQueries.q17AnnBrute(spark, sfDir))
     val got = rows.groupBy(_._1).map { case (q, rs) =>
       q -> rs.map(_._2).toSet }
-    val recall = exact.map { case (q, ex) =>
-      got.getOrElse(q, Set.empty[Long]).intersect(ex).size.toDouble / ex.size
-    }.sum / exact.size
+    val recall = recallVs(exact, got)
     assert(recall >= 0.4, s"ADC recall@10 collapsed: $recall")
   }
 
   test("q78 rerank recovers recall the quantized ranking loses") {
-    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
-      df.select("query_id", "neighbor_id").collect()
-        .map(r => r.getLong(0) -> r.getLong(1))
-        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    import graft.tools.IvfRecall.{recallVs, topSets}
     val exact = topSets(SimilarityQueries.q17AnnBrute(spark, sfDir))
-    def recall(ivf: Map[Long, Set[Long]]): Double = {
-      val per = exact.map { case (q, ex) =>
-        ivf.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size }
-      per.sum / per.size
-    }
+    def recall(ivf: Map[Long, Set[Long]]): Double = recallVs(exact, ivf)
     val adc = recall(topSets(ProductQuantization.q77AnnIvfPq(spark, sfDir)))
     val rr = recall(topSets(ProductQuantization.q78AnnPqRerank(spark, sfDir)))
     // exact re-ranking of the ADC shortlist can only help, and must land

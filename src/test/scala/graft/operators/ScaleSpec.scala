@@ -351,18 +351,19 @@ class ScaleSpec extends SparkSpec {
     assert(en.contains(2L) && en.contains(3L), "en should mix 2 and 3 copies")
   }
 
-  test("q76 PQ coding is map-side: model is literals, no hash exchange") {
+  test("PQ coding build plan is map-side: model is literals, no exchange") {
     // the trained model (coarse centroids + sub-codebooks) is driver-held
     // and embedded as literals, so coding the whole index is a pure
-    // projection over the embeddings scan — the only exchange allowed is
-    // the presentation orderBy's range partitioning. At 100 TB the code
-    // assignment must stream; a hash exchange would mean the quantizer
-    // invented a shuffle key.
-    val df = ProductQuantization.q76PqCodes(spark, sfDir)
+    // projection over the embeddings scan. The pin is on the BUILD plan
+    // (computePqCodes — what the artifact write executes), not on q76's
+    // presentation of the already-written table, which could never fail.
+    // At 100 TB the code assignment must stream; a hash exchange would
+    // mean the quantizer invented a shuffle key.
+    val df = ProductQuantization.computePqCodes(spark, sfDir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange hashpartitioning"),
-      s"q76 must not hash-shuffle:\n${plan.take(4000)}")
+    assert(!plan.contains("Exchange"),
+      s"PQ coding must not shuffle:\n${plan.take(4000)}")
   }
 
   test("q77 reads the stored PQ code table, never re-codes the index") {

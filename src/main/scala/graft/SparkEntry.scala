@@ -119,6 +119,7 @@ object SparkEntry {
     "q76_pq_codes"      -> (ProductQuantization.q76PqCodes _),
     "q77_ann_ivf_pq"    -> (ProductQuantization.q77AnnIvfPq _),
     "q78_ann_pq_rerank" -> (ProductQuantization.q78AnnPqRerank _),
+    "q79_snapshot_diff" -> (CurationPipeline.q79SnapshotDiff _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -1182,6 +1183,30 @@ object SparkEntry {
          |            ELSE 'test' END AS split
          |FROM s ORDER BY doc_id""".stripMargin,
     "q52_decontaminate" -> q52Sql,
+    // q79: snapshot B derives from the same rules, diff = full-outer
+    // join on content hashes, unchanged rows dropped.
+    "q79_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS old_md5 FROM documents),
+        |b AS (SELECT doc_id,
+        |             md5(CASE WHEN doc_id % 10 = 3
+        |                      THEN text || ' updated v2' ELSE text END)
+        |               AS new_md5
+        |      FROM documents WHERE doc_id % 10 <> 7
+        |      UNION ALL
+        |      SELECT doc_id + 1000000, md5(text) FROM documents
+        |      WHERE doc_id % 10 = 1),
+        |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |             old_md5, new_md5
+        |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id,
+        |       CASE WHEN new_md5 IS NULL THEN 'removed'
+        |            WHEN old_md5 IS NULL THEN 'added'
+        |            ELSE 'modified' END AS change,
+        |       coalesce(old_md5, '') AS old_md5,
+        |       coalesce(new_md5, '') AS new_md5
+        |FROM j
+        |WHERE old_md5 IS NULL OR new_md5 IS NULL OR old_md5 <> new_md5
+        |ORDER BY doc_id""".stripMargin,
     // q75: the handoff table IS q50's curated corpus; the bucketed write
     // changes layout, never contents — so the oracle is q50's rows joined
     // with q52's contamination counts (0 where uncontaminated).

@@ -255,6 +255,46 @@ object CurationPipeline {
           .as("contaminated_shingles"))
       .orderBy("doc_id")
 
+  /** Q79: SNAPSHOT DIFF — the incremental-ingestion step between two
+    * corpus snapshots (a recrawl): emit only the DELTA — added, removed,
+    * and modified documents by content hash — so every downstream job
+    * (shingle/signature/cluster artifacts, curation, indexing)
+    * reprocesses the delta instead of the corpus. Snapshot B is derived
+    * deterministically from the same table (every doc_id ending in 7
+    * deleted, ending in 3 edited, ending in 1 duplicated under a new id)
+    * so the oracle reproduces it exactly; in production A and B are two
+    * stored snapshots.
+    *
+    * Scale shape: content hashes are computed BEFORE the join (narrow,
+    * map-side — the join carries 32-byte hashes, never text), and the
+    * diff itself is one full-outer join on doc_id. Snapshots stored
+    * bucketed on doc_id (the q75 handoff layout) make even that join
+    * exchange-free; unchanged documents are filtered before the
+    * presentation sort, so the output is delta-sized. */
+  def q79SnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val a = docs.select(col("doc_id"), md5(col("text")).as("old_md5"))
+    val b = docs.where(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 10 === 3,
+          concat(col("text"), lit(" updated v2")))
+          .otherwise(col("text"))).as("new_md5"))
+      .unionByName(docs.where(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          md5(col("text")).as("new_md5")))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("change",
+        when(col("new_md5").isNull, "removed")
+          .when(col("old_md5").isNull, "added")
+          .otherwise("modified"))
+      .where(col("old_md5").isNull || col("new_md5").isNull ||
+        col("old_md5") =!= col("new_md5"))
+      .select(col("doc_id"), col("change"),
+        coalesce(col("old_md5"), lit("")).as("old_md5"),
+        coalesce(col("new_md5"), lit("")).as("new_md5"))
+      .orderBy("doc_id")
+  }
+
   def q67SourceReport(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"),

@@ -657,6 +657,24 @@ class OperatorSpec extends SparkSpec {
     assert(rr >= 0.7, s"rerank recall collapsed: $rr")
   }
 
+  test("q79 diff partitions exactly into the snapshot-B derivation rules") {
+    val docs = Tables.documents(spark, sfDir)
+    val byLast = (d: Long) => docs.where(col("doc_id") % 10 === d).count()
+    val rows = CurationPipeline.q79SnapshotDiff(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byChange = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    // every ...7 doc removed, every ...3 doc modified, every ...1 doc
+    // re-added under a new id — and NOTHING else appears in the delta
+    assert(byChange.getOrElse("removed", 0L) === byLast(7))
+    assert(byChange.getOrElse("modified", 0L) === byLast(3))
+    assert(byChange.getOrElse("added", 0L) === byLast(1))
+    assert(rows.length === byLast(7) + byLast(3) + byLast(1))
+    // added rows carry the synthetic-id namespace
+    rows.filter(_._2 == "added").foreach { case (id, _) =>
+      assert(id >= 1000000L, s"added doc $id outside the new-id range")
+    }
+  }
+
   test("q57 output is a valid per-query ranking") {
     val rows = SimilarityQueries.q57AnnIvfKmeans(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))

@@ -20,9 +20,17 @@ object GraftSession {
       .withExtensions(new GraftExtensions)
     master.foreach(b.master)
     val spark = b
-      // static conf: bucketed-table warehouse outside the repo tree
+      // static conf: bucketed-table warehouse outside the repo tree,
+      // PER-PROCESS: the artifact registry rebuilds per JVM anyway (its
+      // memo is in-memory), so a shared path buys zero reuse while a
+      // concurrently running second JVM (Verify + Bench overlapping)
+      // would drop/rewrite tables the first one's live plans still read
+      // — measured as 10 spurious test failures racing a bench run.
+      // In-JVM sharing is unaffected; Artifacts enforces its own
+      // in-JVM ownership guard.
       .config("spark.sql.warehouse.dir",
-        sys.props("java.io.tmpdir") + "/graft-warehouse")
+        sys.props("java.io.tmpdir") + "/graft-warehouse-" +
+          java.lang.ProcessHandle.current().pid())
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -35,12 +35,13 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("bucketed tables co-locate the join: no exchange in the plan") {
-    // the in-memory catalog resets per JVM but the warehouse dir persists:
-    // clear both so saveAsTable never sees a stale location
+    // clear catalog + warehouse so saveAsTable never sees a stale
+    // location (the warehouse is per-process now, so staleness can only
+    // come from an earlier test in this same JVM)
     Seq("orders_b", "customer_b").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val dir = new java.io.File(
-        sys.props("java.io.tmpdir") + s"/graft-warehouse/$t")
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
         f.delete(); ()

@@ -79,7 +79,9 @@ object EventStreams {
     * width — fixed at first checkpoint, from spark.sql.shuffle.partitions
     * — is a state-volume knob, not a parallelism knob: it should match
     * the state size, not the batch shuffle width. 8 vs the session's 32
-    * cuts q43 from 6.2 s to 2.6 s at sf0.1 (measured); at production
+    * cuts q43 from 6.2 s to 2.6 s at sf0.1 (measured); narrowing further
+    * to 4 measured a wash (r5: 2.2 vs 2.35 s — below 8 partitions the
+    * floor is the micro-batch count, not store commits). At production
     * state volumes this rises again, set per job at stream start. */
   private val StreamStatePartitions = 8
 

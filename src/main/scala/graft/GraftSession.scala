@@ -11,6 +11,22 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** This process's warehouse dir (see below) — deleted on JVM exit so
+    * per-pid isolation doesn't leak one artifact-table set per run into
+    * /tmp (often RAM-backed tmpfs). */
+  private lazy val warehouseDir: String = {
+    val dir = sys.props("java.io.tmpdir") + "/graft-warehouse-" +
+      java.lang.ProcessHandle.current().pid()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }))
+    dir
+  }
+
   /** `local[32]` in this harness; on a real cluster these settings come from
     * spark-submit and only the SQL confs below matter. */
   def create(appName: String = "graft",
@@ -27,10 +43,8 @@ object GraftSession {
       // would drop/rewrite tables the first one's live plans still read
       // — measured as 10 spurious test failures racing a bench run.
       // In-JVM sharing is unaffected; Artifacts enforces its own
-      // in-JVM ownership guard.
-      .config("spark.sql.warehouse.dir",
-        sys.props("java.io.tmpdir") + "/graft-warehouse-" +
-          java.lang.ProcessHandle.current().pid())
+      // in-JVM ownership guard; a shutdown hook removes the dir.
+      .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1193,7 +1193,7 @@ object SparkEntry {
         |               AS new_md5
         |      FROM documents WHERE doc_id % 10 <> 7
         |      UNION ALL
-        |      SELECT doc_id + 1000000, md5(text) FROM documents
+        |      SELECT -(doc_id + 1), md5(text) FROM documents
         |      WHERE doc_id % 10 = 1),
         |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
         |             old_md5, new_md5

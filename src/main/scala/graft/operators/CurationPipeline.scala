@@ -263,7 +263,12 @@ object CurationPipeline {
     * deterministically from the same table (every doc_id ending in 7
     * deleted, ending in 3 edited, ending in 1 duplicated under a new id)
     * so the oracle reproduces it exactly; in production A and B are two
-    * stored snapshots.
+    * stored snapshots. New ids live in the NEGATIVE namespace
+    * (−(doc_id+1)): real ids are non-negative, so the synthetic ids can
+    * never collide with a real document at ANY corpus size — an
+    * additive offset would collide once doc_ids pass it, and the
+    * resulting duplicate doc_id rows would make the sort
+    * engine-dependent.
     *
     * Scale shape: content hashes are computed BEFORE the join (narrow,
     * map-side — the join carries 32-byte hashes, never text), and the
@@ -280,7 +285,7 @@ object CurationPipeline {
           concat(col("text"), lit(" updated v2")))
           .otherwise(col("text"))).as("new_md5"))
       .unionByName(docs.where(col("doc_id") % 10 === 1)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((-(col("doc_id") + 1L)).as("doc_id"),
           md5(col("text")).as("new_md5")))
     a.join(b, Seq("doc_id"), "full_outer")
       .withColumn("change",

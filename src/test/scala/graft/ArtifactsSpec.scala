@@ -20,8 +20,26 @@ class ArtifactsSpec extends SparkSpec {
   }
 
   test("materialize is idempotent per session: one build, stable reads") {
+    // equal counts alone would also pass if every call silently REBUILT
+    // the table (the rebuild is deterministic); the real contract is
+    // build-once, so pin the physical files: same names, same mtimes
+    // across calls means the second call wrote nothing.
+    def listing(): Map[String, Long] = {
+      val name = "graft_shingles_" + Tables.dirKey(sfDir)
+      val dir = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        name)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(dir).map(f => f.getPath -> f.lastModified()).toMap
+    }
     val a = DedupQueries.shingles(spark, sfDir)
+    val first = listing()
+    assert(first.nonEmpty)
     val b = DedupQueries.shingles(spark, sfDir)
     assert(a.count() === b.count())
+    assert(listing() === first, "second materialize call rewrote files")
   }
 }

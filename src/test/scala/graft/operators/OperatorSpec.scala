@@ -669,9 +669,10 @@ class OperatorSpec extends SparkSpec {
     assert(byChange.getOrElse("modified", 0L) === byLast(3))
     assert(byChange.getOrElse("added", 0L) === byLast(1))
     assert(rows.length === byLast(7) + byLast(3) + byLast(1))
-    // added rows carry the synthetic-id namespace
+    // added rows carry the negative synthetic-id namespace (disjoint
+    // from real non-negative ids at any corpus size)
     rows.filter(_._2 == "added").foreach { case (id, _) =>
-      assert(id >= 1000000L, s"added doc $id outside the new-id range")
+      assert(id < 0L, s"added doc $id outside the synthetic-id namespace")
     }
   }
 

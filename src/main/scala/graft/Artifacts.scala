@@ -41,9 +41,25 @@ object Artifacts {
     * session's live plans still reference, so that is an error, not a
     * silent rebuild. A stopped (or garbage-collected — the reference is
     * weak, so a dead session doesn't stay pinned for the JVM's life)
-    * builder releases its claim. */
+    * builder releases its claim; a DISCARDED-but-uncollected child
+    * session (spark.newSession() shares the SparkContext, so it can
+    * never be "stopped" on its own) must release explicitly via
+    * [[release]] — otherwise every other session gets a
+    * GC-timing-dependent IllegalStateException for its table names. */
   private val builders = scala.collection.mutable.Map
     .empty[String, java.lang.ref.WeakReference[SparkSession]]
+
+  /** Explicitly release every table claim held by `spark` — the hook for
+    * short-lived child sessions (spark.newSession()), which share the
+    * SparkContext and therefore never read as stopped: call this when
+    * discarding one so its claims don't linger until an arbitrary GC.
+    * The warehouse tables themselves stay in place; the next session to
+    * materialize the same name takes ownership (and rebuilds). */
+  def release(spark: SparkSession): Unit = built.synchronized {
+    builders.filterInPlace((_, ref) => ref.get ne spark)
+    built.remove(spark)
+    ()
+  }
 
   /** Run `build` once per (session, name), persist it bucketed on
     * `bucketCol`, and return the table. Reentrant: a build may itself

@@ -13,17 +13,27 @@ object GraftSession {
 
   /** This process's warehouse dir (see below) — deleted on JVM exit so
     * per-pid isolation doesn't leak one artifact-table set per run into
-    * /tmp (often RAM-backed tmpfs). */
+    * /tmp (often RAM-backed tmpfs). The shutdown hook never runs on
+    * SIGKILL/OOM, so startup also sweeps sibling dirs whose owning pid is
+    * dead — crashed runs are reclaimed by the next one instead of
+    * accumulating a full artifact-table set each in tmpfs. */
   private lazy val warehouseDir: String = {
-    val dir = sys.props("java.io.tmpdir") + "/graft-warehouse-" +
-      java.lang.ProcessHandle.current().pid()
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val prefix = "graft-warehouse-"
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(prefix))
+      .foreach { f =>
+        val alive = f.getName.stripPrefix(prefix).toLongOption
+          .exists(pid => java.lang.ProcessHandle.of(pid).isPresent)
+        if (!alive) rm(f) // dead owner (or unparseable name): reclaim
       }
-      rm(new java.io.File(dir))
-    }))
+    val dir = tmp.getPath + "/" + prefix +
+      java.lang.ProcessHandle.current().pid()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rm(new java.io.File(dir))))
     dir
   }
 

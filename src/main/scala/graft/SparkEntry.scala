@@ -76,8 +76,8 @@ object SparkEntry {
     "q40_range_join"    -> (RangeJoin.q40RangeJoin _),
     "q41_resize"        -> ((s: SparkSession, d: String) =>
       MultimodalPipeline.q41Resize(s, d)),
-    // q42 is iterative label propagation: no single-statement SQL oracle —
-    // rows-only driver check; a JVM union-find differential spec covers it.
+    // q42's oracle is a recursive-CTE label walk (q42Sql) — fully
+    // hash-checked; a JVM union-find differential spec covers it too.
     "q42_dup_clusters"  -> (DedupQueries.q42DupClusters _),
     "q43_stream_interval_join" -> (EventStreams.q43StreamIntervalJoin _),
     "q44_tfidf"         -> (TextQueries.q44Tfidf _),

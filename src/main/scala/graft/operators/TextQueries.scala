@@ -528,7 +528,12 @@ object TextQueries {
     */
   def q44Tfidf(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val n = docs.count() // corpus size: one scalar, computed once
+    // corpus size N stays IN the plan (a 1-row count aggregate that
+    // broadcasts onto the term rows, the q70 stats shape): a driver-side
+    // docs.count() would cost one extra scan-only job per invocation and
+    // bake N in as a literal that silently goes stale if the table
+    // changes mid-session.
+    val n = docs.agg(count(lit(1)).as("n_docs"))
     val tf = docs
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
@@ -536,8 +541,9 @@ object TextQueries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(desc("tfidf"), asc("w"))
     tf.join(df, "w")
+      .crossJoin(broadcast(n))
       .select(col("doc_id"), col("w"),
-        (col("tf") * log(lit(n.toDouble) / col("df"))).as("tfidf"))
+        (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("tfidf"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= 3)
       .select(col("doc_id"), col("w").as("term"),

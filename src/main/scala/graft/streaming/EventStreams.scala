@@ -51,7 +51,7 @@ object EventStreams {
     * mechanism that makes stream-stream joins feasible at all). Inner
     * join, append output. */
   def q43StreamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = eventsStream(spark, sfDir)
+    val ev = eventsStream(stateSession(spark), sfDir)
     val clicks = ev.where(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -85,34 +85,39 @@ object EventStreams {
     * state volumes this rises again, set per job at stream start. */
   private val StreamStatePartitions = 8
 
+  /** A CLONED session with the stream-state width set: the override must
+    * not leak into the caller's session — mutating the shared conf for
+    * the duration of a drain silently re-plans any batch query submitted
+    * concurrently on the same session at the narrowed width. newSession()
+    * shares the SparkContext/warehouse but has its own SQLConf, so the
+    * stream plans at [[StreamStatePartitions]] and everyone else is
+    * untouched; no save/restore, no serialization of drains. */
+  private def stateSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions.toString)
+    s
+  }
+
   /** Run a finite streaming query to completion into a memory sink and
-    * return the materialized result. The narrowed shuffle width applies
-    * only while the stream is planned/started; the session's batch
-    * setting is restored after. The save/set/restore of the session-global
-    * conf is not reentrant, so the whole window is serialized — two
-    * interleaved calls could otherwise both read the narrowed value as
-    * "previous" and leave the shared session permanently at 8. (These are
-    * finite demo streams; a production job sets the conf once at submit.) */
-  private def runToTable(df: DataFrame, mode: OutputMode): DataFrame =
-    synchronized {
-      val spark = df.sparkSession
-      val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
-      try {
-        val q = df.writeStream.format("memory").queryName(name)
-          .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-      spark.table(name)
-    }
+    * return the materialized result. The caller builds `df` on a
+    * [[stateSession]] clone; the memory-sink view registers in that
+    * clone's catalog and the returned DataFrame carries the clone, so
+    * downstream reads resolve it. */
+  private def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
+    val spark = df.sparkSession
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
 
   /** Q29: the streaming twin of batch q14 — tumbling 1-hour event-time
     * windows per event type. Watermark bounds state at 1 hour of lateness;
     * complete output mode because AvailableNow ends before a final
     * watermark advance would flush the last windows in append mode. */
   def q29StreamTimeBucket(spark: SparkSession, sfDir: String): DataFrame = {
-    val agg = eventsStream(spark, sfDir)
+    val agg = eventsStream(stateSession(spark), sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
@@ -146,9 +151,10 @@ object EventStreams {
     // metadata lookup at plan build, one scalar)
     val anchorId = graft.Tables.events(spark, sfDir)
       .agg(min(col("event_id"))).head.getLong(0)
-    val ev = eventsStream(spark, sfDir)
+    val s = stateSession(spark)
+    val ev = eventsStream(s, sfDir)
       .select(col("ts"), col("event_type"), col("value"))
-    val flush = eventsStream(spark, sfDir)
+    val flush = eventsStream(s, sfDir)
       .where(col("event_id") === anchorId)
       .select((col("ts") + expr("INTERVAL 36500 DAYS")).as("ts"),
         lit("__flush__").as("event_type"), lit(0.0).as("value"))
@@ -182,27 +188,24 @@ object EventStreams {
     * checkpoint/out dirs to resume. */
   def runWindowedAppendToFiles(spark: SparkSession, landingDir: String,
                                checkpointDir: String,
-                               outDir: String): Unit = synchronized {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
-    try {
-      val agg = spark.readStream.schema(rawSchema).parquet(landingDir)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-        .withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"),
-          round(sum(col("value")), 2).as("sum_value"))
-        .select(
-          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-          col("event_type"), col("cnt"), col("sum_value"))
-      val q = agg.writeStream.format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", checkpointDir)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+                               outDir: String): Unit = {
+    val s = stateSession(spark)
+    val agg = s.readStream.schema(rawSchema).parquet(landingDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("cnt"), col("sum_value"))
+    val q = agg.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   /** RESTARTABLE first-seen dedup: q31's `flatMapGroupsWithState` over a
@@ -223,55 +226,65 @@ object EventStreams {
     * Deterministic catch-up requires horizon ≥ replay window. */
   def runFirstSeenToFiles(spark: SparkSession, landingDir: String,
                           checkpointDir: String,
-                          outDir: String): Unit = synchronized {
-    import spark.implicits._
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
-    try {
-      val typed: Dataset[Ev] = spark.readStream.schema(rawSchema)
-        .parquet(landingDir)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-        .withWatermark("ts", "1 hour")
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-        .as[Ev]
-      val firsts = typed
-        .groupByKey(e => (e.user_id, e.event_type))
-        .flatMapGroupsWithState[FirstSeen, FirstSeen](
-          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-          case ((uid, etype), events, state: GroupState[FirstSeen]) =>
-            if (state.hasTimedOut) { state.remove(); Iterator.empty }
-            else if (state.exists) Iterator.empty
-            else if (events.isEmpty) Iterator.empty
-            else {
-              val first = events.minBy(e =>
-                (e.ts.getTime, e.ts.getNanos.toLong, e.event_id))
-              val fs = FirstSeen(uid, etype, first.event_id, first.ts)
-              state.update(fs)
-              state.setTimeoutTimestamp(
-                first.ts.getTime + 365L * 24 * 3600 * 1000)
-              Iterator.single(fs)
-            }
-        }
-      val q = firsts.toDF()
-        .select(col("user_id"), col("event_type"), col("first_event_id"),
-          date_format(col("first_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
-            .as("first_ts"))
-        .writeStream.format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", checkpointDir)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+                          outDir: String): Unit = {
+    val s = stateSession(spark)
+    import s.implicits._
+    val typed: Dataset[Ev] = s.readStream.schema(rawSchema)
+      .parquet(landingDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[Ev]
+    val firsts = typed
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[FirstSeen, FirstSeen](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((uid, etype), events, state: GroupState[FirstSeen]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty
+          else if (events.isEmpty) Iterator.empty
+          else {
+            val first = events.minBy(e =>
+              (e.ts.getTime, e.ts.getNanos.toLong, e.event_id))
+            val fs = FirstSeen(uid, etype, first.event_id, first.ts)
+            state.update(fs)
+            state.setTimeoutTimestamp(expiryMs(state,
+              first.ts.getTime + 365L * 24 * 3600 * 1000))
+            Iterator.single(fs)
+          }
+      }
+    val q = firsts.toDF()
+      .select(col("user_id"), col("event_type"), col("first_event_id"),
+        date_format(col("first_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("first_ts"))
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
+
+  /** Clamp a desired event-time timeout above the current watermark:
+    * Spark rejects a timeout ≤ watermark (IllegalArgumentException,
+    * crashing the whole stream), and a group whose first event arrives
+    * more than the horizon behind the watermark — a deep backfill landing
+    * after fresher data — hits exactly that. Clamped, the entry expires
+    * at the next micro-batch instead: the correct semantics, since its
+    * horizon has already passed. */
+  private def expiryMs(state: GroupState[_], desiredMs: Long): Long =
+    state.getCurrentWatermarkMs() match {
+      case wm if wm >= desiredMs => wm + 1
+      case _ => desiredMs
+    }
 
   /** Q30: event-time sessionization — the built-in `session_window` with a
     * 30-minute gap (windows merge while events keep arriving within the
     * gap). Start/end reported from the events themselves (min/max ts), not
     * the window bounds, whose end includes the gap padding. */
   def q30StreamSessions(spark: SparkSession, sfDir: String): DataFrame = {
-    val agg = eventsStream(spark, sfDir)
+    val agg = eventsStream(stateSession(spark), sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(
@@ -300,7 +313,7 @@ object EventStreams {
     * how streaming dedup jobs die at 100 TB. */
   def q31StreamFirstSeen(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val typed: Dataset[Ev] = eventsStream(spark, sfDir)
+    val typed: Dataset[Ev] = eventsStream(stateSession(spark), sfDir)
       .withWatermark("ts", "1 hour")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .as[Ev]
@@ -319,7 +332,8 @@ object EventStreams {
               (e.ts.getTime, e.ts.getNanos.toLong, e.event_id))
             val fs = FirstSeen(uid, etype, first.event_id, first.ts)
             state.update(fs)
-            state.setTimeoutTimestamp(first.ts.getTime + 24L * 3600 * 1000)
+            state.setTimeoutTimestamp(expiryMs(state,
+              first.ts.getTime + 24L * 3600 * 1000))
             Iterator.single(fs)
           }
       }

@@ -19,6 +19,25 @@ class ArtifactsSpec extends SparkSpec {
     assert(e.getMessage.contains("another live session"))
   }
 
+  test("release frees a child session's claim for the next owner") {
+    // a newSession() child shares the SparkContext, so it can never be
+    // "stopped" on its own and its WeakReference stays uncleared for an
+    // arbitrary GC's lifetime — without the explicit release, every other
+    // session gets a nondeterministic IllegalStateException for the name.
+    val name = "graft_release_probe"
+    val child = spark.newSession()
+    Artifacts.materialize(child, name, "id") { child.range(5).toDF("id") }
+    val e = intercept[IllegalStateException] {
+      Artifacts.materialize(spark, name, "id") { spark.range(5).toDF("id") }
+    }
+    assert(e.getMessage.contains("another live session"))
+    Artifacts.release(child)
+    val df = Artifacts.materialize(spark, name, "id") {
+      spark.range(5).toDF("id")
+    }
+    assert(df.count() === 5)
+  }
+
   test("materialize is idempotent per session: one build, stable reads") {
     // equal counts alone would also pass if every call silently REBUILT
     // the table (the rebuild is deterministic); the real contract is

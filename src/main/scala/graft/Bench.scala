@@ -38,7 +38,24 @@ object Bench {
       // them and min-of-N would hide it
       operators.SimilarityQueries.kmeansCodebook(spark, sfDir)
       operators.ProductQuantization.pqIndex(spark, sfDir).count()
+      operators.CurationPipeline.refreshedShingles(spark, sfDir).count()
       (System.nanoTime() - tArt) / 1e9
+    }.getOrElse(-1.0)
+    // the incremental-refresh claim, measured: applying q79's delta to
+    // the base shingle artifact vs re-shingling snapshot B from scratch.
+    // Refresh cost must scale with the delta (~27% of docs under q79's
+    // rules), not the corpus — this pair of numbers is that evidence.
+    val refreshSec = scala.util.Try {
+      val t = System.nanoTime()
+      operators.CurationPipeline.computeRefreshedShingles(spark, sfDir).count()
+      (System.nanoTime() - t) / 1e9
+    }.getOrElse(-1.0)
+    val rebuildSec = scala.util.Try {
+      val t = System.nanoTime()
+      graft.functions.Text.shingleRows(
+        operators.CurationPipeline.snapshotB(Tables.documents(spark, sfDir)),
+        "doc_id", "text", 3).count()
+      (System.nanoTime() - t) / 1e9
     }.getOrElse(-1.0)
     // min across INTERLEAVED full-suite passes: this box is shared and
     // load spikes inflate single samples 2-7x. Back-to-back repeats of
@@ -71,7 +88,7 @@ object Bench {
       scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split("\\s+").take(3).mkString("[", ",", "]")).getOrElse("[]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"artifacts_sec":$artifactsSec,"sf":"$sfDir","loadavg":$loadavg,"runs_per_query":$passes,"interleaved":true}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"artifacts_sec":$artifactsSec,"refresh_sec":$refreshSec,"full_rebuild_sec":$rebuildSec,"sf":"$sfDir","loadavg":$loadavg,"runs_per_query":$passes,"interleaved":true}"""
     println(json)
     // also land the line in a file: sbt interleaves its own log lines with
     // stdout, so a driver grepping the tail can mis-parse — a dedicated

@@ -120,6 +120,11 @@ object SparkEntry {
     "q77_ann_ivf_pq"    -> (ProductQuantization.q77AnnIvfPq _),
     "q78_ann_pq_rerank" -> (ProductQuantization.q78AnnPqRerank _),
     "q79_snapshot_diff" -> (CurationPipeline.q79SnapshotDiff _),
+    // q80 reads the INCREMENTALLY refreshed shingle artifact (base table
+    // minus removed/modified rows, plus freshly shingled delta docs); the
+    // oracle shingles snapshot B from scratch — the hash gate IS the
+    // refresh ≡ full-rebuild equality.
+    "q80_incremental_refresh" -> (CurationPipeline.q80IncrementalRefresh _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -1207,6 +1212,25 @@ object SparkEntry {
         |FROM j
         |WHERE old_md5 IS NULL OR new_md5 IS NULL OR old_md5 <> new_md5
         |ORDER BY doc_id""".stripMargin,
+    // q80: the oracle shingles snapshot B FROM SCRATCH (bdocs = q79's B
+    // derivation piped through the shared shingle CTE), while the Spark
+    // side reads the incrementally refreshed artifact — equality proves
+    // the delta-applied table identical to a full rebuild.
+    "q80_incremental_refresh" -> {
+      val bdocs =
+        """WITH bdocs AS (
+          |  SELECT doc_id, lang,
+          |         CASE WHEN doc_id % 10 = 3 THEN text || ' updated v2'
+          |              ELSE text END AS text
+          |  FROM documents WHERE doc_id % 10 <> 7
+          |  UNION ALL
+          |  SELECT -(doc_id + 1), lang, text FROM documents
+          |  WHERE doc_id % 10 = 1),""".stripMargin
+      bdocs + "\n" +
+        shingleCte.stripPrefix("WITH").replace("FROM documents", "FROM bdocs") +
+        "\nSELECT doc_id, count(*) AS n_shingles FROM sh" +
+        "\nGROUP BY doc_id ORDER BY doc_id"
+    },
     // q75: the handoff table IS q50's curated corpus; the bucketed write
     // changes layout, never contents — so the oracle is q50's rows joined
     // with q52's contamination counts (0 where uncontaminated).

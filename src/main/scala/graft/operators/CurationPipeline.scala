@@ -276,17 +276,33 @@ object CurationPipeline {
     * bucketed on doc_id (the q75 handoff layout) make even that join
     * exchange-free; unchanged documents are filtered before the
     * presentation sort, so the output is delta-sized. */
-  def q79SnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Snapshot B of the recrawl scenario, derived deterministically from
+    * the same documents table (every doc_id ending in 7 deleted, ending
+    * in 3 edited, ending in 1 duplicated under a negative-namespace new
+    * id — q79's rules) — ONE definition shared by q79 (the diff) and q80
+    * (the incremental refresh that consumes it), so the two ends of the
+    * incremental story can never drift. In production A and B are two
+    * stored snapshots. */
+  def snapshotB(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") % 10 =!= 7)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 3,
+          concat(col("text"), lit(" updated v2")))
+          .otherwise(col("text")))
+      .unionByName(docs.where(col("doc_id") % 10 === 1)
+        .withColumn("doc_id", -(col("doc_id") + 1L)))
+
+  /** The (doc_id, change, old_md5, new_md5) delta between snapshots A
+    * and B, unordered — q79 presents it; [[refreshedShingles]] consumes
+    * it. Hashes are computed BEFORE the join (narrow, map-side — the
+    * join carries 32-byte digests, never text); the diff is one
+    * full-outer join on doc_id; unchanged documents are dropped, so the
+    * relation is delta-sized. */
+  private def snapshotDelta(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val a = docs.select(col("doc_id"), md5(col("text")).as("old_md5"))
-    val b = docs.where(col("doc_id") % 10 =!= 7)
-      .select(col("doc_id"),
-        md5(when(col("doc_id") % 10 === 3,
-          concat(col("text"), lit(" updated v2")))
-          .otherwise(col("text"))).as("new_md5"))
-      .unionByName(docs.where(col("doc_id") % 10 === 1)
-        .select((-(col("doc_id") + 1L)).as("doc_id"),
-          md5(col("text")).as("new_md5")))
+    val b = snapshotB(docs)
+      .select(col("doc_id"), md5(col("text")).as("new_md5"))
     a.join(b, Seq("doc_id"), "full_outer")
       .withColumn("change",
         when(col("new_md5").isNull, "removed")
@@ -297,8 +313,69 @@ object CurationPipeline {
       .select(col("doc_id"), col("change"),
         coalesce(col("old_md5"), lit("")).as("old_md5"),
         coalesce(col("new_md5"), lit("")).as("new_md5"))
-      .orderBy("doc_id")
   }
+
+  def q79SnapshotDiff(spark: SparkSession, sfDir: String): DataFrame =
+    snapshotDelta(spark, sfDir).orderBy("doc_id")
+
+  /** The INCREMENTAL REFRESH build plan (what [[refreshedShingles]]
+    * materializes): apply q79's delta to the snapshot-A shingle artifact
+    * instead of re-shingling the corpus —
+    *
+    *  1. rows of removed/modified doc_ids are dropped from the base
+    *     artifact (anti join on doc_id: the base side reads its bucket
+    *     layout in place, only the delta-sized id list moves);
+    *  2. added/modified documents — and ONLY those — run the
+    *     tokenize→window→distinct shingling pass;
+    *  3. the union is the refreshed table.
+    *
+    * The expensive stage (shingling) now scales with the delta (~27% of
+    * docs under q79's rules; a weekly recrawl at 100 TB is typically
+    * 1-10%), not the corpus — re-shingling the unchanged majority is the
+    * single largest recurring cost a full rebuild pays for nothing.
+    * Deliberately NO broadcast hints: at real scale the delta id list is
+    * billions of rows, so the joins must stay shuffle-on-doc_id (AQE
+    * broadcasts them at test scale on its own). Public so the spec can
+    * pin the build shape (base artifact scanned, never re-shingled). */
+  def computeRefreshedShingles(spark: SparkSession,
+                               sfDir: String): DataFrame = {
+    // delta feeds both the drop list and the fresh list: checkpoint so
+    // the double-scan hash diff runs once (it is delta-sized in memory)
+    val delta = snapshotDelta(spark, sfDir)
+      .select("doc_id", "change").localCheckpoint()
+    val stale = delta.where(col("change").isin("removed", "modified"))
+      .select("doc_id")
+    val freshIds = delta.where(col("change").isin("added", "modified"))
+      .select("doc_id")
+    val freshDocs = snapshotB(Tables.documents(spark, sfDir))
+      .join(freshIds, Seq("doc_id"))
+      .select("doc_id", "text")
+    DedupQueries.shingles(spark, sfDir)
+      .join(stale, Seq("doc_id"), "left_anti")
+      .unionByName(Text.shingleRows(freshDocs, "doc_id", "text", 3))
+  }
+
+  /** The refreshed (snapshot-B) shingle ARTIFACT — built once per
+    * (session, scale dir) by the incremental path above, bucketed on
+    * doc_id like every shingle consumer expects. OperatorSpec proves the
+    * incremental result row-identical to a from-scratch shingling of
+    * snapshot B; Bench times the two builds against each other. */
+  def refreshedShingles(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Artifacts.materialize(spark,
+      "graft_shingles_b_" + graft.Tables.dirKey(sfDir), "doc_id") {
+      computeRefreshedShingles(spark, sfDir)
+    }
+
+  /** Q80: INCREMENTAL ARTIFACT REFRESH — the consumer q79 existed for:
+    * per-document shingle counts read from the incrementally refreshed
+    * artifact. The oracle computes snapshot B's shingles FROM SCRATCH in
+    * DuckDB, so the hash gate is exactly the claim "refresh ≡ full
+    * rebuild": any row the incremental path dropped, kept stale, or
+    * duplicated breaks the hash. */
+  def q80IncrementalRefresh(spark: SparkSession, sfDir: String): DataFrame =
+    refreshedShingles(spark, sfDir)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .orderBy("doc_id")
 
   def q67SourceReport(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)

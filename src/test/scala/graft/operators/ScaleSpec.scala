@@ -219,6 +219,45 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q80 incremental refresh is row-identical to a from-scratch rebuild") {
+    // THE incremental-refresh contract: applying q79's delta to the
+    // snapshot-A artifact must yield exactly what shingling snapshot B
+    // from scratch yields — any stale row kept, fresh row missed, or
+    // duplicate introduced shows up as a set difference.
+    val refreshed = CurationPipeline.refreshedShingles(spark, sfDir)
+    val scratch = graft.functions.Text.shingleRows(
+      CurationPipeline.snapshotB(Tables.documents(spark, sfDir)),
+      "doc_id", "text", 3)
+    assert(refreshed.count() === scratch.count())
+    assert(refreshed.except(scratch).count() === 0L,
+      "refreshed table has rows a from-scratch rebuild would not")
+    assert(scratch.except(refreshed).count() === 0L,
+      "refreshed table is missing rows a from-scratch rebuild has")
+  }
+
+  test("q80 refresh build reads the base artifact; only the delta is shingled") {
+    // the refresh exists so the unchanged majority is NEVER re-tokenized:
+    // its rows come from the bucketed base table (scan visible in the
+    // build plan), and the expensive shingling subtree runs over the
+    // delta join only. A full re-shingle would have no base-table scan.
+    DedupQueries.shingles(spark, sfDir).count() // base must pre-exist
+    val df = CurationPipeline.computeRefreshedShingles(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_shingles_"),
+      s"refresh build must scan the base shingle artifact:\n${plan.take(4000)}")
+    // the fresh side re-shingles only added/modified docs: both delta
+    // classes are delta-sized by construction (q79's rules touch 3 of 10
+    // id endings); pin the actual row economics, not just the plan shape
+    val docs = Tables.documents(spark, sfDir).count()
+    val shingledDocs = CurationPipeline.snapshotB(Tables.documents(spark, sfDir))
+      .join(CurationPipeline.q79SnapshotDiff(spark, sfDir)
+        .where(col("change").isin("added", "modified")).select("doc_id"),
+        Seq("doc_id")).count()
+    assert(shingledDocs < docs * 0.35,
+      s"delta side should be a minority of the corpus: $shingledDocs of $docs")
+  }
+
   test("q68 chunking is pure map-side: no hash exchange in the plan") {
     // chunk derivation is per-row (sequence→explode→substr→md5): the only
     // exchange allowed is the presentation orderBy's range partitioning.

@@ -71,7 +71,24 @@ object Artifacts {
     * (SimilarityQueries), acceptable for batch jobs reading immutable
     * snapshot dirs. */
   def materialize(spark: SparkSession, name: String, bucketCol: String,
-                  buckets: Int = 8)(build: => DataFrame): DataFrame = {
+                  buckets: Int = 8)(build: => DataFrame): DataFrame =
+    materializeWith(spark, name)(
+      _.write.bucketBy(buckets, bucketCol).sortBy(bucketCol))(build)
+
+  /** [[materialize]]'s PARTITIONED twin: persist the build
+    * directory-partitioned on `partitionCol` instead of bucketed — the
+    * layout for predicate-pruned scans (a filter on the partition column
+    * never lists, let alone reads, the other partitions), where
+    * bucketing is the layout for exchange-free joins. Same
+    * once-per-(session, name) and ownership contract. */
+  def materializePartitioned(spark: SparkSession, name: String,
+                             partitionCol: String)
+                            (build: => DataFrame): DataFrame =
+    materializeWith(spark, name)(_.write.partitionBy(partitionCol))(build)
+
+  private def materializeWith(spark: SparkSession, name: String)
+      (writer: DataFrame => org.apache.spark.sql.DataFrameWriter[
+        org.apache.spark.sql.Row])(build: => DataFrame): DataFrame = {
     built.synchronized {
       if (!builtSet(spark).contains(name)) {
         builders.get(name).flatMap(r => Option(r.get)).foreach { prev =>
@@ -91,8 +108,7 @@ object Artifacts {
           spark.conf.get("spark.sql.warehouse.dir"), name)
         val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(warehouse)) fs.delete(warehouse, true)
-        build.write.bucketBy(buckets, bucketCol).sortBy(bucketCol)
-          .mode("overwrite").saveAsTable(name)
+        writer(build).mode("overwrite").saveAsTable(name)
         builtSet(spark).add(name)
         builders.put(name, new java.lang.ref.WeakReference(spark))
         ()

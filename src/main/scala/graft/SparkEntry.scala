@@ -5,8 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.api.SampleJobs
 import graft.operators.{AsofJoin, CurationPipeline, DedupQueries,
   MultimodalPipeline, ProductQuantization, RangeJoin, ReferenceQueries,
-  RelationalQueries, SimilarityQueries, TextQueries}
-import graft.sources.DelimitedSources
+  RelationalQueries, SimilarityQueries, SkewJoin, TextQueries}
+import graft.sources.{DelimitedSources, PartitionedSink}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -125,6 +125,15 @@ object SparkEntry {
     // oracle shingles snapshot B from scratch — the hash gate IS the
     // refresh ≡ full-rebuild equality.
     "q80_incremental_refresh" -> (CurationPipeline.q80IncrementalRefresh _),
+    // q81 runs SkewJoin.saltedJoin over a synthetically skewed orders
+    // table (one hot custkey ≈ 25% of rows); the oracle is a plain SQL
+    // join over the same deterministic derivation, so the hash gate
+    // proves salting changes the partitioning, never the result.
+    "q81_skew_join"     -> (SkewJoin.q81SkewJoin _),
+    // q82 reads the day-partitioned events table with a literal day
+    // predicate (chosen from SHOW PARTITIONS — catalog metadata, no data
+    // scan); the oracle filters the raw events to the same day.
+    "q82_partition_pruning" -> (PartitionedSink.q82PartitionPruning _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -1231,6 +1240,31 @@ object SparkEntry {
         "\nSELECT doc_id, count(*) AS n_shingles FROM sh" +
         "\nGROUP BY doc_id ORDER BY doc_id"
     },
+    // q81: plain join over the same deterministic skewed derivation —
+    // the salted join must produce identical aggregates.
+    "q81_skew_join" ->
+      """WITH hot AS (SELECT min(c_custkey) AS hot_key FROM customer),
+        |sk AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT -(o_orderkey + 1), (SELECT hot_key FROM hot), o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT c_mktsegment,
+        |       round(sum(o_totalprice), 2) AS total_revenue,
+        |       count(*) AS order_cnt
+        |FROM sk JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // q82: the partitioned table stores exactly the events rows (plus
+    // the derived day column), so filtering the raw table to the min
+    // day reproduces the pruned scan's input.
+    "q82_partition_pruning" ->
+      """WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        |                  event_type, value
+        |           FROM events)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, event_type,
+        |       count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM e WHERE d = (SELECT min(d) FROM e)
+        |GROUP BY d, event_type ORDER BY event_type""".stripMargin,
     // q75: the handoff table IS q50's curated corpus; the bucketed write
     // changes layout, never contents — so the oracle is q50's rows joined
     // with q52's contamination counts (0 where uncontaminated).

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.Tables
 
 /** Salted equi-join for skewed keys.
   *
@@ -46,4 +48,51 @@ object SkewJoin {
 
   private def spark_range_df(df: DataFrame, buckets: Int): DataFrame =
     df.sparkSession.range(buckets).select(col("id").cast("int").as("__rep"))
+
+  /** Salt width for [[q81SkewJoin]]. */
+  val SkewBuckets = 8
+
+  /** The synthetically SKEWED fact table q81 joins: orders, plus every
+    * third order re-pointed at one hot custkey (the smallest customer
+    * key, derived in-plan so the oracle reproduces it) — the hot key ends
+    * up ~25% of all rows, the "one tenant is 30% of the data" regime this
+    * operator exists for. Replica orderkeys live in the negative
+    * namespace (q79's trick) so they can never collide with a real order
+    * at any scale. Deterministic end to end: re-runs, retries, and the
+    * DuckDB twin all build the identical table. */
+  def skewedOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val hot = Tables.customer(spark, sfDir)
+      .agg(min("c_custkey").as("hot_key"))
+    orders.unionByName(
+      orders.where(col("o_orderkey") % 3 === 0)
+        .crossJoin(broadcast(hot))
+        .select((-(col("o_orderkey") + 1L)).as("o_orderkey"),
+          col("hot_key").as("o_custkey"), col("o_totalprice")))
+  }
+
+  /** Q81: the SALTED JOIN run against a genuinely skewed key — the
+    * verified-query face of [[saltedJoin]]: revenue per market segment
+    * over [[skewedOrders]] ⨝ customer, with the hot key spread across
+    * [[SkewBuckets]] reducers by an o_orderkey-derived salt. Without the
+    * salt one reducer receives ~25% of the fact table (the straggler
+    * that sets the stage's wall-clock at 100 TB); with it the hot key's
+    * rows land on [[SkewBuckets]] partitions. The spec pins the salt
+    * DISTRIBUTION (every bucket hit, no bucket above 2× fair share) and
+    * the shuffle-mode plan's per-partition spread — the physical plan at
+    * toy scale may broadcast the small side, but the salt key is what
+    * partitions the hot key once the small side outgrows the broadcast
+    * threshold. Oracle: the same aggregate over a plain SQL join. */
+  def q81SkewJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = Tables.customer(spark, sfDir)
+      .withColumnRenamed("c_custkey", "o_custkey")
+    saltedJoin(skewedOrders(spark, sfDir), customer, "o_custkey",
+      buckets = SkewBuckets,
+      bigSalt = salt(SkewBuckets, col("o_orderkey")))
+      .groupBy("c_mktsegment")
+      .agg(round(sum("o_totalprice"), 2).as("total_revenue"),
+        count(lit(1)).as("order_cnt"))
+      .orderBy("c_mktsegment")
+  }
 }

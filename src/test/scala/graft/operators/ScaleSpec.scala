@@ -34,6 +34,39 @@ class ScaleSpec extends SparkSpec {
     assert(a === b) // stable across re-execution (retry safety)
   }
 
+  test("q81 spreads the hot key over all salt buckets, none above 2x fair") {
+    // the skewed table puts ~25% of all rows on one custkey; unsalted,
+    // every one of them lands on a single reducer. The salt must spread
+    // them across all SkewBuckets values with no bucket holding more
+    // than 2x the fair share — the max-partition-rows bound that decides
+    // the stage's wall-clock at scale.
+    val skewed = SkewJoin.skewedOrders(spark, sfDir)
+    val hot = skewed.groupBy("o_custkey").count()
+      .orderBy(desc("count")).head.getLong(0)
+    val hotRows = skewed.where(col("o_custkey") === hot)
+    val total = hotRows.count()
+    assert(total > skewed.count() / 5, "hot key should dominate the table")
+    val perSalt = hotRows
+      .select(SkewJoin.salt(SkewJoin.SkewBuckets, col("o_orderkey")).as("s"))
+      .groupBy("s").count().collect()
+      .map(r => r.get(0).toString.toInt -> r.getLong(1)).toMap
+    assert(perSalt.keySet === (0 until SkewJoin.SkewBuckets).toSet,
+      s"hot key must hit every salt bucket: $perSalt")
+    assert(perSalt.values.max <= 2 * total / SkewJoin.SkewBuckets,
+      s"one salt bucket still holds a straggler share: $perSalt")
+    // and with the small side too big to broadcast, the join's shuffle
+    // runs on (salt, key): the hot key's post-shuffle partition is
+    // bucket-sized, not key-sized
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = SkewJoin.q81SkewJoin(spark, sfDir)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("__salt") || plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"), plan.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bucketed tables co-locate the join: no exchange in the plan") {
     // clear catalog + warehouse so saveAsTable never sees a stale
     // location (the warehouse is per-process now, so staleness can only
@@ -72,6 +105,29 @@ class ScaleSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(joined.collect().map(r => (r.getString(0), r.getLong(1))).toSet
       === plain)
+  }
+
+  test("q82 prunes to exactly one day partition of the daily table") {
+    import graft.sources.PartitionedSink
+    val df = PartitionedSink.q82PartitionPruning(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*day[^\\]]*\\].*"),
+      s"day predicate must reach the scan as a partition filter:\n${
+        plan.take(2000)}")
+    // inputFiles reflects the post-pruning listing: ONE day's directory
+    val t = PartitionedSink.eventsDaily(spark, sfDir)
+    val days = spark.sql(
+      s"SHOW PARTITIONS ${PartitionedSink.eventsDailyName(sfDir)}")
+      .collect().map(_.getString(0).stripPrefix("day=")).sorted
+    assert(days.length > 1, s"need multiple partitions to prove pruning: ${
+      days.toSeq}")
+    val pruned = t.where(col("day") === lit(java.sql.Date.valueOf(days.head)))
+    val files = pruned.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains(s"day=${days.head}")),
+      s"pruned scan lists other partitions: ${files.toSeq.take(5)}")
+    assert(t.inputFiles.exists(f => !f.contains(s"day=${days.head}")),
+      "full table should span more than the pruned day")
   }
 
   test("date-partitioned writes let the scan prune partitions") {

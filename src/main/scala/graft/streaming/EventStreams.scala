@@ -50,8 +50,10 @@ object EventStreams {
     * side's rows are dropped once no future match can exist — the
     * mechanism that makes stream-stream joins feasible at all). Inner
     * join, append output. */
-  def q43StreamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = eventsStream(stateSession(spark), sfDir)
+  /** q43's join plan over any streaming events frame — ONE definition
+    * shared by the memory-sink demo query and the checkpointed file-sink
+    * runner, so the recovery spec exercises exactly the shipped shape. */
+  private def clickViewIntervalJoin(ev: DataFrame): DataFrame = {
     val clicks = ev.where(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -60,15 +62,49 @@ object EventStreams {
       .select(col("user_id").as("v_user_id"), col("ts").as("view_ts"),
         col("event_id").as("view_id"))
       .withWatermark("view_ts", "1 hour")
-    val joined = clicks.join(views,
+    clicks.join(views,
       col("user_id") === col("v_user_id") &&
         col("view_ts") <= col("click_ts") &&
         col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
+  }
+
+  def q43StreamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val joined = clickViewIntervalJoin(eventsStream(stateSession(spark), sfDir))
     runToTable(joined, OutputMode.Append())
       .select(col("user_id"), col("click_id"), col("view_id"),
         date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
         date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("view_ts"))
       .orderBy("user_id", "click_id", "view_id")
+  }
+
+  /** RESTARTABLE stream-stream interval join: q43's shape over a landing
+    * dir, append mode to a parquet sink with a real checkpoint — the
+    * SUBTLEST recovery path of the three runners, because the state
+    * store buffers BOTH join sides: a click whose matching view arrives
+    * only after the kill can produce its pair iff the buffered click
+    * row itself came back from the checkpoint (the windowed-agg runner
+    * proves counters recover; the first-seen runner proves per-group
+    * state; this proves the two-sided join buffers). RecoverySpec's
+    * equality against an uninterrupted run covers it: any lost buffered
+    * row is a missing output pair, any re-read input a duplicate pair
+    * the sink's _spark_metadata log would otherwise admit. */
+  def runIntervalJoinToFiles(spark: SparkSession, landingDir: String,
+                             checkpointDir: String,
+                             outDir: String): Unit = {
+    val s = stateSession(spark)
+    val ev = s.readStream.schema(rawSchema).parquet(landingDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = clickViewIntervalJoin(ev)
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("view_ts"))
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   private val sinkId = new AtomicInteger(0)

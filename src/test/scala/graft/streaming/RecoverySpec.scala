@@ -71,6 +71,77 @@ class RecoverySpec extends SparkSpec {
     assert(dups === 0L)
   }
 
+  test("interval-join buffers on BOTH sides survive the restart") {
+    // the two-sided state store: a click buffered before the kill must
+    // pair with a view that only arrives after the resume (and vice
+    // versa). If either side's buffer were lost, the cross-cut pairs
+    // would be missing from the resumed output; if inputs were re-read,
+    // _spark_metadata-deduped file output would still catch re-emits as
+    // duplicate (click_id, view_id) rows.
+    val base = Files.createTempDirectory("graft-recovery-join").toString
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // an arbitrary midpoint may straddle no matched pair at the smallest
+    // SF; instead CUT INSIDE THE WIDEST MATCHED PAIR (batch twin of the
+    // join condition), so at least that pair's click is buffered at the
+    // kill and can only complete from recovered state
+    val clicks = raw.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"))
+    val views = raw.where(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts").as("vts"))
+    val mid = clicks.join(views,
+      col("user_id") === col("vu") &&
+        col("vts") < col("cts") &&
+        col("vts") >= col("cts") - lit(3600L * 1000000000L))
+      .select(expr("vts + (cts - vts) DIV 2").as("cut"),
+        (col("cts") - col("vts")).as("gap"))
+      .orderBy(desc("gap")).head.getLong(0)
+    val half1 = raw.where(col("ts") < mid)
+    val half2 = raw.where(col("ts") >= mid)
+
+    // uninterrupted twin
+    half1.write.mode("append").parquet(s"$base/landingU")
+    half2.write.mode("append").parquet(s"$base/landingU")
+    EventStreams.runIntervalJoinToFiles(spark,
+      s"$base/landingU", s"$base/ckU", s"$base/outU")
+    val uninterrupted = spark.read.parquet(s"$base/outU")
+      .orderBy("user_id", "click_id", "view_id").collect().toSeq
+    assert(uninterrupted.nonEmpty)
+    // the recovery property must actually be exercised: some pair's two
+    // sides must straddle the cut (one event before mid, one after) —
+    // those pairs can only form from recovered join buffers
+    // format the cut through the same date_format/UTC path the output
+    // columns use, so the string comparison is apples-to-apples
+    val midStr = spark.range(1).select(
+      date_format(timestamp_micros(lit(mid / 1000L)),
+        "yyyy-MM-dd HH:mm:ss.SSSSSS")).head.getString(0)
+    val crossCut = spark.read.parquet(s"$base/outU")
+      .where((col("click_ts") < lit(midStr)) =!=
+        (col("view_ts") < lit(midStr))).count()
+    assert(crossCut > 0,
+      "no pair straddles the kill point; the test would prove nothing")
+
+    // interrupted: phase A drains half, the query object is discarded
+    half1.write.mode("append").parquet(s"$base/landingI")
+    EventStreams.runIntervalJoinToFiles(spark,
+      s"$base/landingI", s"$base/ckI", s"$base/outI")
+    val phaseA = spark.read.parquet(s"$base/outI").count()
+    assert(phaseA > 0, "phase A emitted nothing - kill wasn't mid-stream")
+    assert(phaseA < uninterrupted.size,
+      "phase A emitted everything - nothing was buffered at the kill")
+
+    // phase B: rest lands, a NEW query resumes from the same checkpoint
+    half2.write.mode("append").parquet(s"$base/landingI")
+    EventStreams.runIntervalJoinToFiles(spark,
+      s"$base/landingI", s"$base/ckI", s"$base/outI")
+    val resumed = spark.read.parquet(s"$base/outI")
+      .orderBy("user_id", "click_id", "view_id").collect().toSeq
+    assert(resumed === uninterrupted)
+    val dups = spark.read.parquet(s"$base/outI")
+      .groupBy("user_id", "click_id", "view_id").count()
+      .where(col("count") > 1).count()
+    assert(dups === 0L)
+  }
+
   test("flatMapGroupsWithState state survives the restart (no re-emits)") {
     // the sharper proof: first-seen dedup state. If the state store did
     // NOT come back from the checkpoint, every (user, event_type) pair

@@ -67,11 +67,44 @@ object Bench {
     // (~30 s), so a spike can inflate at most one of them.
     val passes = 3
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    val samples = (1 to passes).map { _ =>
+    // per-query shuffle-write bytes, so a bench regression self-diagnoses
+    // from the JSON: a query whose TIME moved but whose SHUFFLE volume
+    // didn't (q57, round 5) is fixed-overhead/box noise, not a plan
+    // regression. Counted on the last pass only (caches warm, artifacts
+    // prebuilt); the listener bus is drained before each snapshot so the
+    // async task-end events can't smear across queries.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null)
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
+    val shuffleByQuery = scala.collection.mutable.Map.empty[String, Long]
+    val samples = (1 to passes).map { pass =>
       names.map { case (name, fn) =>
+        // on the counted pass, start from a drained bus so the previous
+        // query's in-flight events can't leak into this window
+        if (pass == passes)
+          org.apache.spark.graftbridge.SparkBridge
+            .drainListenerBus(spark.sparkContext)
         val t0 = System.nanoTime()
+        val before = shuffleBytes.get()
         // a failed query must read as -1, not as a suspiciously fast run
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try {
+          fn(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (pass == passes) {
+            org.apache.spark.graftbridge.SparkBridge
+              .drainListenerBus(spark.sparkContext)
+            shuffleByQuery(name) = shuffleBytes.get() - before
+          }
+          dt
+        }
         catch { case _: Throwable => -1.0 }
       }
     }
@@ -81,6 +114,10 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val sh = names.map { case (name, _) =>
+      val mb = shuffleByQuery.get(name).map(_ / 1e6).getOrElse(-1.0)
+      "\"" + name + "\":" + math.round(mb * 100) / 100.0
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // box-load context: this machine is shared and load spikes inflate
     // samples 2-7x; the 1/5/15-min loadavg lets a reader separate real
@@ -89,7 +126,7 @@ object Bench {
       scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split("\\s+").take(3).mkString("[", ",", "]")).getOrElse("[]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"artifacts_sec":$artifactsSec,"refresh_sec":$refreshSec,"full_rebuild_sec":$rebuildSec,"sf":"$sfDir","loadavg":$loadavg,"runs_per_query":$passes,"interleaved":true}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"artifacts_sec":$artifactsSec,"refresh_sec":$refreshSec,"full_rebuild_sec":$rebuildSec,"sf":"$sfDir","loadavg":$loadavg,"runs_per_query":$passes,"interleaved":true}"""
     println(json)
     // also land the line in a file: sbt interleaves its own log lines with
     // stdout, so a driver grepping the tail can mis-parse — a dedicated

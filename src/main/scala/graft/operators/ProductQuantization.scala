@@ -47,7 +47,11 @@ object ProductQuantization {
     * ADC recall@10 0.19 at sf0.1, 32-bit (M=8, K=16) 0.30, 64-bit
     * (this setting) 0.36 — the quantization error has to drop below
     * the corpus's tiny inter-neighbor distance gaps before ADC can
-    * rank them, which is q78's re-rank job. */
+    * rank them, which is q78's re-rank job. The FAISS-default M=8,
+    * K=256 one-byte-code point measures 0.41 ADC / 0.96 with re-rank
+    * at the same 64 bits ([[pqModelAt]] sweep, SCALING.md) — the
+    * production guidance; it stays unshipped only because its training
+    * init needs 256 corpus vectors and the smallest test dir has 60. */
   val K = 16
 
   private def vecs(spark: SparkSession, sfDir: String): DataFrame =
@@ -81,28 +85,30 @@ object ProductQuantization {
     * failed multi-second codegen compile and then ran interpreted
     * anyway: q77 benched 12.5 s for 2.5k candidate rows. The table
     * formulation plans in milliseconds, and at production K=256 a
-    * literal table is the only viable shape regardless.) */
-  private def distTable(r: Column, m: Int,
-                        cents: Seq[Seq[Seq[Long]]]): Column =
+    * literal table is the only viable shape regardless — the recall
+    * sweep runs it at K=256 unchanged.) */
+  private def distTable(r: Column, m: Int, cents: Seq[Seq[Seq[Long]]],
+                        sd: Int = SubDim): Column =
     transform(typedlit(cents(m)), cv =>
-      (0 until SubDim).map { j =>
-        val t = element_at(r, m * SubDim + j + 1) - element_at(cv, j + 1)
+      (0 until sd).map { j =>
+        val t = element_at(r, m * sd + j + 1) - element_at(cv, j + 1)
         t * t
       }.reduce(_ + _))
 
   /** Adds `code_m` (argmin centroid, ties → smallest code via
     * array_position's first-match rule) and `dist_m` (that minimum)
     * for every subspace m. */
-  private def withCodes(df: DataFrame,
-                        cents: Seq[Seq[Seq[Long]]]): DataFrame = {
-    val coded = (0 until M).foldLeft(df) { (d, m) =>
-      d.withColumn(s"dists_$m", distTable(col("r"), m, cents))
-        .withColumn(s"dist_$m", array_min(col(s"dists_$m")))
-        .withColumn(s"code_$m",
-          (array_position(col(s"dists_$m"), col(s"dist_$m")) - 1)
+  private def withCodes(df: DataFrame, cents: Seq[Seq[Seq[Long]]],
+                        m: Int = M): DataFrame = {
+    val sd = SimilarityQueries.Dims / m
+    val coded = (0 until m).foldLeft(df) { (d, mi) =>
+      d.withColumn(s"dists_$mi", distTable(col("r"), mi, cents, sd))
+        .withColumn(s"dist_$mi", array_min(col(s"dists_$mi")))
+        .withColumn(s"code_$mi",
+          (array_position(col(s"dists_$mi"), col(s"dist_$mi")) - 1)
             .cast("int"))
     }
-    coded.drop((0 until M).map(m => s"dists_$m"): _*)
+    coded.drop((0 until m).map(mi => s"dists_$mi"): _*)
   }
 
   /** Model cache — same session-scoped, weak-keyed contract as the IVF
@@ -121,42 +127,51 @@ object ProductQuantization {
     * data size. Public for the spec. */
   def pqModel(spark: SparkSession, sfDir: String)
       : (Seq[(Long, Seq[Double])], Seq[Seq[Seq[Long]]]) =
+    pqModelAt(spark, sfDir, M, K)
+
+  /** [[pqModel]] at an explicit (subspaces, codebook size) — the recall
+    * sweep trains the alternative operating points (K=256 one-byte
+    * codes, narrower widths) through exactly the shipped recipe; the
+    * shipped queries call it at ([[M]], [[K]]). */
+  def pqModelAt(spark: SparkSession, sfDir: String, m: Int, k: Int)
+      : (Seq[(Long, Seq[Double])], Seq[Seq[Seq[Long]]]) =
     models.synchronized {
       var cache = models.get(spark)
       if (cache == null) {
         cache = scala.collection.mutable.Map.empty
         models.put(spark, cache)
       }
-      cache.getOrElseUpdate(sfDir, {
+      cache.getOrElseUpdate(s"$sfDir:$m:$k", {
+        val sd = SimilarityQueries.Dims / m
         val coarse = SimilarityQueries.kmeansCodebook(spark, sfDir)
         val res = residuals(vecs(spark, sfDir), coarse)
           .select("vec_id", "r")
         val init: Seq[Seq[Seq[Long]]] = {
-          val first = res.where(col("vec_id") < K).orderBy("vec_id")
+          val first = res.where(col("vec_id") < k).orderBy("vec_id")
             .collect().map(_.getSeq[Long](1).toIndexedSeq)
-          (0 until M).map(m => (0 until K).map(k =>
-            first(k).slice(m * SubDim, (m + 1) * SubDim).toSeq))
+          (0 until m).map(mi => (0 until k).map(ki =>
+            first(ki).slice(mi * sd, (mi + 1) * sd).toSeq))
         }
-        val sums = withCodes(res, init)
-          .select(explode(array((0 until M).map { m =>
-            struct(lit(m).as("m"), col(s"code_$m").as("code"),
-              slice(col("r"), m * SubDim + 1, SubDim).as("sub"))
+        val sums = withCodes(res, init, m)
+          .select(explode(array((0 until m).map { mi =>
+            struct(lit(mi).as("m"), col(s"code_$mi").as("code"),
+              slice(col("r"), mi * sd + 1, sd).as("sub"))
           }: _*)).as("s"))
           .select(col("s.m").as("m"), col("s.code").as("code"),
             col("s.sub").as("sub"))
           .groupBy("m", "code")
           .agg(count(lit(1)).as("n"),
-            (0 until SubDim).map(j =>
+            (0 until sd).map(j =>
               sum(element_at(col("sub"), j + 1)).as(s"s$j")): _*)
           .collect()
         val upd = sums.map { row =>
           val n = row.getLong(2).toDouble
           (row.getInt(0), row.getInt(1)) ->
-            (0 until SubDim).map(j =>
+            (0 until sd).map(j =>
               math.floor(row.getLong(j + 3) / n).toLong)
         }.toMap
-        val cents = (0 until M).map(m => (0 until K).map(k =>
-          upd.getOrElse((m, k), init(m)(k)).toSeq))
+        val cents = (0 until m).map(mi => (0 until k).map(ki =>
+          upd.getOrElse((mi, ki), init(mi)(ki)).toSeq))
         (coarse, cents)
       })
     }
@@ -200,10 +215,33 @@ object ProductQuantization {
     * (adc asc, neighbor asc). */
   private def adcRanked(spark: SparkSession, sfDir: String): DataFrame = {
     val (coarse, cents) = pqModel(spark, sfDir)
-    val e = vecs(spark, sfDir)
     val index = pqIndex(spark, sfDir)
       .select(Seq(col("vec_id").as("neighbor_id"), col("cell")) ++
         (0 until M).map(m => col(s"code_$m")): _*)
+    adcRankedOver(spark, sfDir, index, coarse, cents, M)
+  }
+
+  /** The ADC ranking at an explicit (subspaces, codebook size) — the
+    * recall sweep's path: the model trains via [[pqModelAt]] and the
+    * codes are computed inline (the stored artifact belongs to the
+    * shipped setting), but the query shape is byte-for-byte
+    * [[adcRanked]]'s. */
+  def adcRankedAt(spark: SparkSession, sfDir: String,
+                  m: Int, k: Int): DataFrame = {
+    val (coarse, cents) = pqModelAt(spark, sfDir, m, k)
+    val index = withCodes(residuals(vecs(spark, sfDir), coarse), cents, m)
+      .select(Seq(col("vec_id").as("neighbor_id"), col("cell")) ++
+        (0 until m).map(mi => col(s"code_$mi")): _*)
+    adcRankedOver(spark, sfDir, index, coarse, cents, m)
+  }
+
+  private def adcRankedOver(spark: SparkSession, sfDir: String,
+                            index: DataFrame,
+                            coarse: Seq[(Long, Seq[Double])],
+                            cents: Seq[Seq[Seq[Long]]],
+                            m: Int): DataFrame = {
+    val sd = SimilarityQueries.Dims / m
+    val e = vecs(spark, sfDir)
     val cmArr = coarse.sortBy(_._1)
       .foldRight(typedlit(Seq.empty[Long]): Column) { case ((c, cv), rest) =>
         when(col("cell") === c, typedlit(micros(cv))).otherwise(rest)
@@ -214,19 +252,19 @@ object ProductQuantization {
     // scored by M table lookups each. Computing the table per CANDIDATE
     // (the first formulation) re-evaluated the K distances 125× per
     // cell for identical input.
-    val probes = (0 until M).foldLeft(
+    val probes = (0 until m).foldLeft(
       SimilarityQueries.probeCells(
         e.where(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("v").as("qv")),
         coarse, "qv")
         .withColumn("rq",
           zip_with(transform(col("qv"), x => floor(x * lit(1e6))), cmArr,
-            (a, b) => a - b))) { (d, m) =>
-      d.withColumn(s"lut_$m", distTable(col("rq"), m, cents))
+            (a, b) => a - b))) { (d, mi) =>
+      d.withColumn(s"lut_$mi", distTable(col("rq"), mi, cents, sd))
     }.select(Seq(col("query_id"), col("cell")) ++
-      (0 until M).map(m => col(s"lut_$m")): _*)
-    val adc = (0 until M).map { m =>
-      element_at(col(s"lut_$m"), col(s"code_$m") + 1)
+      (0 until m).map(mi => col(s"lut_$mi")): _*)
+    val adc = (0 until m).map { mi =>
+      element_at(col(s"lut_$mi"), col(s"code_$mi") + 1)
     }.reduce(_ + _)
     broadcast(probes).join(index, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
@@ -266,10 +304,20 @@ object ProductQuantization {
     * and 0.36 pure-ADC (0.84 at L=50) — because the true neighbors only
     * need to survive INTO the shortlist, not win the quantized
     * ranking. */
-  def q78AnnPqRerank(spark: SparkSession, sfDir: String): DataFrame = {
+  def q78AnnPqRerank(spark: SparkSession, sfDir: String): DataFrame =
+    rerankOver(spark, sfDir, adcRanked(spark, sfDir), RerankDepth)
+
+  /** q78's re-rank at an explicit (m, k) code setting — the sweep's
+    * IVFADC+R row per operating point. */
+  def rerankAt(spark: SparkSession, sfDir: String, m: Int, k: Int,
+               depth: Int = RerankDepth): DataFrame =
+    rerankOver(spark, sfDir, adcRankedAt(spark, sfDir, m, k), depth)
+
+  private def rerankOver(spark: SparkSession, sfDir: String,
+                         ranked: DataFrame, depth: Int): DataFrame = {
     val e = vecs(spark, sfDir)
-    val shortlist = adcRanked(spark, sfDir)
-      .where(col("rank") <= RerankDepth)
+    val shortlist = ranked
+      .where(col("rank") <= depth)
       .select("query_id", "neighbor_id")
     shortlist
       .join(e.select(col("vec_id").as("neighbor_id"), col("v")),

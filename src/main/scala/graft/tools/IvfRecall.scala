@@ -80,6 +80,22 @@ object IvfRecall {
     println(f"| kmeans+PQ+rerank (IVFADC+R, L=" +
       f"${graft.operators.ProductQuantization.RerankDepth}) | " +
       f"${SimilarityQueries.NProbe} | $rr%.3f |")
+    // the PQ code-width sweep: (subspaces M, codebook K) operating
+    // points through the SHIPPED training recipe and query shape
+    // (pqModelAt/adcRankedAt) — M·log2(K) bits per code. M=8,K=256 is
+    // the FAISS-default one-byte-code point; M=16,K=16 is the shipped
+    // 64-bit setting.
+    println("| PQ setting | bits/code | ADC recall@10 | +rerank L=100 |")
+    println("|---|---|---|---|")
+    for ((m, k) <- Seq((8, 4), (8, 16), (16, 16), (8, 256))) {
+      val bits = m * (math.log(k) / math.log(2)).round
+      val adc = recall(topSets(
+        graft.operators.ProductQuantization.adcRankedAt(spark, sfDir, m, k)
+          .where(org.apache.spark.sql.functions.col("rank") <= 10)))
+      val rer = recall(topSets(
+        graft.operators.ProductQuantization.rerankAt(spark, sfDir, m, k)))
+      println(f"| M=$m%d K=$k%d | $bits%d | $adc%.3f | $rer%.3f |")
+    }
     spark.stop()
   }
 }

@@ -39,6 +39,7 @@ object Bench {
       operators.SimilarityQueries.kmeansCodebook(spark, sfDir)
       operators.ProductQuantization.pqIndex(spark, sfDir).count()
       operators.CurationPipeline.refreshedShingles(spark, sfDir).count()
+      operators.CurationPipeline.refreshedSignatures(spark, sfDir).count()
       sources.PartitionedSink.eventsDaily(spark, sfDir).count()
       (System.nanoTime() - tArt) / 1e9
     }.getOrElse(-1.0)

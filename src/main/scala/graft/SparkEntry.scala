@@ -134,6 +134,10 @@ object SparkEntry {
     // predicate (chosen from SHOW PARTITIONS — catalog metadata, no data
     // scan); the oracle filters the raw events to the same day.
     "q82_partition_pruning" -> (PartitionedSink.q82PartitionPruning _),
+    // q83 chains the incremental refresh one artifact down: snapshot B's
+    // signatures from the base signature table + the refreshed-shingle
+    // delta; the oracle recomputes them from scratch.
+    "q83_signature_refresh" -> (CurationPipeline.q83SignatureRefresh _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -170,16 +174,41 @@ object SparkEntry {
        |          for i in range(1, greatest(len(t)-2, 1)+1)])) AS s
        |       FROM toks)""".stripMargin
 
+  /** The MinHash signature CTEs (sig: per-(doc, i) minhash; sigarr: the
+    * 16-long signature array) over a preceding `sh` shingle CTE — ONE
+    * definition shared by q18's oracle chain and q83's from-scratch
+    * snapshot-B signature oracle, so the two cannot drift. */
+  private val sigCtes: String =
+    """sig AS (SELECT doc_id, i,
+      |               min(('0x' || substr(md5((i // 4)::VARCHAR || ':' || s),
+      |                                   (i % 4) * 8 + 1, 8))::BIGINT) AS mh
+      |        FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS i) seeds
+      |        GROUP BY doc_id, i),
+      |sigarr AS (SELECT doc_id, list(mh ORDER BY i) AS sig
+      |           FROM sig GROUP BY doc_id)""".stripMargin
+
+  /** Snapshot B's documents (q79's derivation) as a CTE prefix, plus a
+    * rewrite of the shared shingle chain onto it — the oracle-side twin
+    * of CurationPipeline.snapshotB, shared by the q80/q83 refresh
+    * oracles (both must recompute snapshot B FROM SCRATCH). */
+  private val shingleCteB: String = {
+    val bdocs =
+      """WITH bdocs AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN doc_id % 10 = 3 THEN text || ' updated v2'
+        |              ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 7
+        |  UNION ALL
+        |  SELECT -(doc_id + 1), lang, text FROM documents
+        |  WHERE doc_id % 10 = 1),""".stripMargin
+    bdocs + "\n" +
+      shingleCte.stripPrefix("WITH").replace("FROM documents", "FROM bdocs")
+  }
+
   /** Q18's oracle, shared: q47 nests it as its candidate generator. */
   private val q18Sql: String =
     s"""$shingleCte,
-         |sig AS (SELECT doc_id, i,
-         |               min(('0x' || substr(md5((i // 4)::VARCHAR || ':' || s),
-         |                                   (i % 4) * 8 + 1, 8))::BIGINT) AS mh
-         |        FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS i) seeds
-         |        GROUP BY doc_id, i),
-         |sigarr AS (SELECT doc_id, list(mh ORDER BY i) AS sig
-         |           FROM sig GROUP BY doc_id),
+         |$sigCtes,
          |bands AS (SELECT doc_id, j,
          |                 array_to_string(sig[j*2+1:j*2+2], ',') AS bh
          |          FROM sigarr CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js),
@@ -1225,21 +1254,17 @@ object SparkEntry {
     // derivation piped through the shared shingle CTE), while the Spark
     // side reads the incrementally refreshed artifact — equality proves
     // the delta-applied table identical to a full rebuild.
-    "q80_incremental_refresh" -> {
-      val bdocs =
-        """WITH bdocs AS (
-          |  SELECT doc_id, lang,
-          |         CASE WHEN doc_id % 10 = 3 THEN text || ' updated v2'
-          |              ELSE text END AS text
-          |  FROM documents WHERE doc_id % 10 <> 7
-          |  UNION ALL
-          |  SELECT -(doc_id + 1), lang, text FROM documents
-          |  WHERE doc_id % 10 = 1),""".stripMargin
-      bdocs + "\n" +
-        shingleCte.stripPrefix("WITH").replace("FROM documents", "FROM bdocs") +
+    "q80_incremental_refresh" ->
+      (shingleCteB +
         "\nSELECT doc_id, count(*) AS n_shingles FROM sh" +
-        "\nGROUP BY doc_id ORDER BY doc_id"
-    },
+        "\nGROUP BY doc_id ORDER BY doc_id"),
+    // q83: snapshot B's signatures from scratch (the q18 signature CTEs
+    // over the B derivation) — the Spark side reads the CHAINED refresh
+    // (base signature table + refreshed-shingle delta recompute).
+    "q83_signature_refresh" ->
+      (shingleCteB + ",\n" + sigCtes + "\n" +
+        "SELECT doc_id, array_to_string(sig, ',') AS sig_csv FROM sigarr" +
+        "\nORDER BY doc_id"),
     // q81: plain join over the same deterministic skewed derivation —
     // the salted join must produce identical aggregates.
     "q81_skew_join" ->

@@ -377,6 +377,49 @@ object CurationPipeline {
       .groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
       .orderBy("doc_id")
 
+  /** q83's build plan: the incremental refresh CHAINED one artifact
+    * down — snapshot B's MinHash signatures derived from the base
+    * signature table plus the refreshed shingle artifact, with the
+    * expensive stage (4 md5s per shingle + 16 min-aggs) running over
+    * the DELTA docs' shingles only. Unchanged docs' signatures are
+    * unchanged by construction (a signature is a pure function of the
+    * doc's shingle set), so they copy from the base table; this is the
+    * "every downstream job reprocesses the delta" claim applied to the
+    * artifact CHAIN, not just its first link. Public for the spec. */
+  def computeRefreshedSignatures(spark: SparkSession,
+                                 sfDir: String): DataFrame = {
+    val delta = snapshotDelta(spark, sfDir)
+      .select("doc_id", "change").localCheckpoint()
+    val stale = delta.where(col("change").isin("removed", "modified"))
+      .select("doc_id")
+    val freshIds = delta.where(col("change").isin("added", "modified"))
+      .select("doc_id")
+    val freshSigs = DedupQueries.computeSignaturesFrom(
+      refreshedShingles(spark, sfDir).join(freshIds, Seq("doc_id")))
+    DedupQueries.signatures(spark, sfDir)
+      .join(stale, Seq("doc_id"), "left_anti")
+      .unionByName(freshSigs)
+  }
+
+  /** The refreshed (snapshot-B) signature ARTIFACT — q83's table. */
+  def refreshedSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Artifacts.materialize(spark,
+      "graft_signatures_b_" + graft.Tables.dirKey(sfDir), "doc_id") {
+      computeRefreshedSignatures(spark, sfDir)
+    }
+
+  /** Q83: the incrementally refreshed signature artifact, presented as
+    * (doc_id, csv of the 16 minhashes). The oracle recomputes snapshot
+    * B's signatures FROM SCRATCH (the q18 signature CTEs over the B
+    * derivation), so the hash gate proves the chained refresh equals a
+    * full rebuild — including that copied base rows were safe to copy. */
+  def q83SignatureRefresh(spark: SparkSession, sfDir: String): DataFrame =
+    refreshedSignatures(spark, sfDir)
+      .select(col("doc_id"),
+        concat_ws(",", transform(col("sig"), h => h.cast("string")))
+          .as("sig_csv"))
+      .orderBy("doc_id")
+
   def q67SourceReport(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"),

@@ -71,8 +71,15 @@ object DedupQueries {
     * attribute instead of Catalyst's CollapseProject inlining (and
     * re-evaluating) the whole tokenize→shingle→hash lineage per band row
     * and per joined pair (measured 74 s → sub-second on 50 docs). */
-  private def computeSignatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingles(spark, sfDir)
+  private def computeSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    computeSignaturesFrom(shingles(spark, sfDir))
+
+  /** The signature pipeline over an EXPLICIT (doc_id, s) shingle
+    * relation — shared by the full build (whole shingle artifact in)
+    * and q83's incremental refresh (delta docs' shingles in), so the
+    * two paths can never drift. */
+  def computeSignaturesFrom(shingleRows: DataFrame): DataFrame = {
+    val sh = shingleRows
       .select(Seq(col("doc_id")) ++ (0 until NumHashes / 4).map(a =>
         md5(concat(lit(s"$a:"), col("s"))).as(s"m$a")): _*)
     val minAggs = (0 until NumHashes).map { i =>

@@ -314,6 +314,38 @@ class ScaleSpec extends SparkSpec {
       s"delta side should be a minority of the corpus: $shingledDocs of $docs")
   }
 
+  test("q83 chained signature refresh is row-identical to a from-scratch build") {
+    // the chain claim: base signatures copied for unchanged docs + delta
+    // signatures recomputed from the refreshed shingles must equal the
+    // signature pipeline run over snapshot B's full shingle set.
+    val refreshed = CurationPipeline.refreshedSignatures(spark, sfDir)
+    val scratch = DedupQueries.computeSignaturesFrom(
+      graft.functions.Text.shingleRows(
+        CurationPipeline.snapshotB(Tables.documents(spark, sfDir)),
+        "doc_id", "text", 3))
+    assert(refreshed.count() === scratch.count())
+    assert(refreshed.except(scratch).count() === 0L)
+    assert(scratch.except(refreshed).count() === 0L)
+  }
+
+  test("q83 refresh build reads BOTH base artifacts, no corpus re-shingle") {
+    // unchanged docs' signatures come from the base signature table;
+    // delta docs' shingles come from the refreshed shingle artifact —
+    // nothing re-tokenizes the corpus (no posexplode anywhere: the
+    // only md5s run over delta shingle ROWS, not raw text).
+    DedupQueries.signatures(spark, sfDir).count()
+    CurationPipeline.refreshedShingles(spark, sfDir).count()
+    val df = CurationPipeline.computeRefreshedSignatures(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_signatures_"),
+      s"must scan the base signature table:\n${plan.take(4000)}")
+    assert(plan.contains("graft_shingles_b_"),
+      s"must scan the refreshed shingle artifact:\n${plan.take(4000)}")
+    assert(!plan.contains("posexplode"),
+      s"must not re-tokenize the corpus:\n${plan.take(4000)}")
+  }
+
   test("q68 chunking is pure map-side: no hash exchange in the plan") {
     // chunk derivation is per-row (sequence→explode→substr→md5): the only
     // exchange allowed is the presentation orderBy's range partitioning.

@@ -308,7 +308,11 @@ object EventStreams {
     * more than the horizon behind the watermark — a deep backfill landing
     * after fresher data — hits exactly that. Clamped, the entry expires
     * at the next micro-batch instead: the correct semantics, since its
-    * horizon has already passed. */
+    * horizon has already passed. (Spark 4.1.2 filters late rows before
+    * the state function under EventTimeTimeout, so such a row normally
+    * never reaches this code — spec-pinned in RecoverySpec; the clamp
+    * is defense-in-depth for the exact-boundary case and for Spark
+    * versions that deliver late rows to the function.) */
   private def expiryMs(state: GroupState[_], desiredMs: Long): Long =
     state.getCurrentWatermarkMs() match {
       case wm if wm >= desiredMs => wm + 1

@@ -142,6 +142,41 @@ class RecoverySpec extends SparkSpec {
     assert(dups === 0L)
   }
 
+  test("a deep backfill behind the watermark is dropped, never a crash") {
+    // the advisory crash mode: a group's first event arriving more than
+    // the dedup horizon behind the watermark would put its desired
+    // timeout (first_ts + horizon) BELOW the watermark, which
+    // setTimeoutTimestamp rejects — killing the whole stream. Pinned
+    // here: Spark 4.1.2 filters late rows before the state function
+    // under EventTimeTimeout, so the deep-backfill row is DROPPED by
+    // the watermark (the standard late-data rule), the drain completes,
+    // and no existing pair duplicates; the expiryMs clamp in
+    // EventStreams is defense-in-depth for the exact-boundary case and
+    // for Spark versions that deliver late rows to the function.
+    val base = Files.createTempDirectory("graft-backfill").toString
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // phase 1: current data advances the watermark to max(ts) - 1h
+    raw.write.mode("append").parquet(s"$base/landing")
+    EventStreams.runFirstSeenToFiles(spark,
+      s"$base/landing", s"$base/ck", s"$base/out")
+    val phase1 = spark.read.parquet(s"$base/out").count()
+    // phase 2: one NEW pair lands 400 days (> the 365-day horizon)
+    // in the past — deeper than the horizon behind the watermark
+    raw.limit(1)
+      .withColumn("ts", col("ts") - lit(400L * 86400L * 1000000000L))
+      .withColumn("event_type", lit("__backfill__"))
+      .write.mode("append").parquet(s"$base/landing")
+    EventStreams.runFirstSeenToFiles(spark, // must not throw
+      s"$base/landing", s"$base/ck", s"$base/out")
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.where(col("event_type") === "__backfill__").count() === 0L,
+      "a row behind the watermark is late data: dropped, not admitted")
+    assert(out.count() === phase1, "no pair may duplicate or vanish")
+    val dups = out.groupBy("user_id", "event_type").count()
+      .where(col("count") > 1).count()
+    assert(dups === 0L)
+  }
+
   test("flatMapGroupsWithState state survives the restart (no re-emits)") {
     // the sharper proof: first-seen dedup state. If the state store did
     // NOT come back from the checkpoint, every (user, event_type) pair

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Artifacts, Tables}
@@ -266,11 +265,23 @@ object ProductQuantization {
     val adc = (0 until m).map { mi =>
       element_at(col(s"lut_$mi"), col(s"code_$mi") + 1)
     }.reduce(_ + _)
+    // per-query top-RerankDepth by (adc ASC, neighbor ASC) via the
+    // bounded-heap aggregate (negate both keys inside the largest-first
+    // struct compare): map tasks ship ≤ RerankDepth rows per query
+    // instead of shuffling every candidate to a window sort — the
+    // shuffle-bounded form once the query batch grows. q77 keeps the
+    // first 10 ranks, q78 all RerankDepth.
     broadcast(probes).join(index, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(asc("adc"), asc("neighbor_id"))))
+      .groupBy("query_id")
+      .agg(graft.functions.Aggregates.topK(
+        struct((-col("adc")).as("na"), (-col("neighbor_id")).as("nn")),
+        RerankDepth).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (-col("col.nn")).as("neighbor_id"),
+        (-col("col.na")).as("adc"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Q77: IVF-PQ ANN — the q57 probe path ranked by ASYMMETRIC distance
@@ -319,17 +330,15 @@ object ProductQuantization {
     val shortlist = ranked
       .where(col("rank") <= depth)
       .select("query_id", "neighbor_id")
-    shortlist
-      .join(e.select(col("vec_id").as("neighbor_id"), col("v")),
-        Seq("neighbor_id"))
-      .join(broadcast(e.where(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))),
-        Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        Vectors.cosineRounded(col("qv"), col("v")).as("sim"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))))
-      .where(col("rank") <= 10)
+    SimilarityQueries.topKBySim(
+      shortlist
+        .join(e.select(col("vec_id").as("neighbor_id"), col("v")),
+          Seq("neighbor_id"))
+        .join(broadcast(e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))),
+          Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Vectors.cosineRounded(col("qv"), col("v")).as("sim")), 10)
       .orderBy("query_id", "rank")
   }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -34,6 +33,25 @@ object SimilarityQueries {
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
 
+  /** Per-query top-k by (sim DESC, neighbor ASC) via the native
+    * bounded-heap aggregate — the shuffle-bounded form of the ANN
+    * family's final ranking. The row_number window it replaces cannot
+    * pre-aggregate: EVERY candidate row shuffles to its query's
+    * partition and sorts there, so a large query batch moves the whole
+    * candidate stream. The heap aggregate ships ≤ k rows per query per
+    * map task (q69's TopKAgg pattern applied to ranking by similarity);
+    * element i of the heap output is rank i+1, identical to the
+    * window's (desc sim, asc neighbor) order — ids negate to rank
+    * ascending inside a largest-first struct compare. */
+  private[operators] def topKBySim(cands: DataFrame, k: Int): DataFrame =
+    cands
+      .groupBy("query_id")
+      .agg(graft.functions.Aggregates.topK(
+        struct(col("sim"), (-col("neighbor_id")).as("nn")), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (-col("col.nn")).as("neighbor_id"),
+        col("col.sim").as("sim"), (col("pos") + 1).cast("int").as("rank"))
+
   /** Q17: for each query vector (vec_id < 10), the top-10 neighbors by
     * cosine, rank-ordered. Ranking uses the *rounded* similarity with
     * neighbor-id tie-break so the result is hash-deterministic. */
@@ -41,13 +59,10 @@ object SimilarityQueries {
     val e = vecs(spark, sfDir)
     val q = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("sim"), asc("neighbor_id"))
-    broadcast(q).join(e, col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        Vectors.cosineRounded(col("qv"), col("v")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 10)
+    topKBySim(
+      broadcast(q).join(e, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          Vectors.cosineRounded(col("qv"), col("v")).as("sim")), 10)
       .orderBy("query_id", "rank")
   }
 
@@ -221,13 +236,11 @@ object SimilarityQueries {
       e.where(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("v").as("qv")),
       cents, "qv", nProbe)
-    broadcast(probes).join(asg, Seq("cell"))
-      .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        Vectors.cosineRounded(col("qv"), col("v")).as("sim"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))))
-      .where(col("rank") <= 10)
+    topKBySim(
+      broadcast(probes).join(asg, Seq("cell"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          Vectors.cosineRounded(col("qv"), col("v")).as("sim")), 10)
       .orderBy("query_id", "rank")
   }
 

@@ -505,6 +505,26 @@ class ScaleSpec extends SparkSpec {
       s"q77 should scan the code table:\n${plan.take(4000)}")
   }
 
+  test("ANN rankings use the bounded-heap aggregate, not a window sort") {
+    // the per-query top-k of every ANN query is a TopKAgg (partial
+    // ObjectHashAggregate: map tasks ship ≤ k rows per query) — the
+    // row_number window it replaced shuffles EVERY candidate row to its
+    // query's partition, which at a large query batch moves the whole
+    // candidate stream (q69's pin, applied to the ANN family).
+    Seq(
+      "q17" -> SimilarityQueries.q17AnnBrute(spark, sfDir),
+      "q57" -> SimilarityQueries.q57AnnIvfKmeans(spark, sfDir),
+      "q77" -> ProductQuantization.q77AnnIvfPq(spark, sfDir),
+      "q78" -> ProductQuantization.q78AnnPqRerank(spark, sfDir)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ObjectHashAggregate"),
+        s"$name should rank via TopKAgg:\n${plan.take(3000)}")
+      assert(!plan.contains("Window"),
+        s"$name must not window-sort candidates:\n${plan.take(3000)}")
+    }
+  }
+
   test("IVF cell assignment is map-side: no exchange anywhere in its plan") {
     // the r3 formulation shuffled 16 rows per vector (each with the full
     // 64-dim array) through a row_number window just to pick the argmax

@@ -28,13 +28,17 @@ import org.apache.spark.sql.types._
   * (reference main.c:62-81) applied to ranking instead of counting.
   *
   * Interface: the child is a STRUCT; rows are compared field-by-field
-  * left to right (numeric/string fields, no nulls — the caller encodes
-  * direction, e.g. negate a numeric to rank ascending). Output order is
-  * descending, so element i is rank i+1. Buffers serialize as length-
-  * prefixed UnsafeRow bytes for partial/final exchange.
+  * left to right (numeric/string fields, no nulls). Direction defaults
+  * to descending per field; a numeric tie-breaker can simply be negated
+  * (q62's shape), but a STRING tie-breaker cannot, so `asc` marks fields
+  * to rank ascending (q44 ranks by tfidf desc, term asc). Output order
+  * is best-first per the encoded directions, so element i is rank i+1.
+  * Buffers serialize as length-prefixed UnsafeRow bytes for
+  * partial/final exchange.
   */
 case class TopKAgg(child: Expression, k: Int,
                    dedup: Boolean = false,
+                   asc: Seq[Boolean] = Nil,
                    mutableAggBufferOffset: Int = 0,
                    inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[mutable.PriorityQueue[UnsafeRow]]
@@ -51,6 +55,9 @@ case class TopKAgg(child: Expression, k: Int,
     * contract — UnsafeRow reads them as zero/empty.) */
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case s: StructType =>
+      if (asc.nonEmpty && asc.length != s.fields.length)
+        return TypeCheckResult.TypeCheckFailure(
+          s"asc has ${asc.length} flags for ${s.fields.length} struct fields")
       val bad = s.fields.filterNot(f => orderableTypes.contains(f.dataType))
       if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
@@ -65,7 +72,13 @@ case class TopKAgg(child: Expression, k: Int,
   private lazy val fieldTypes = childSchema.fields.map(_.dataType)
   private lazy val proj = UnsafeProjection.create(fieldTypes)
 
-  /** Field-by-field comparison, no nulls (caller contract). */
+  /** +1 (descending, default) or -1 (ascending) per struct field. */
+  private lazy val fieldSign: Array[Int] =
+    fieldTypes.indices.map(i =>
+      if (asc.nonEmpty && asc(i)) -1 else 1).toArray
+
+  /** Field-by-field comparison, no nulls (caller contract); "greater"
+    * means "ranks earlier" per each field's direction. */
   private lazy val ord: Ordering[InternalRow] = new Ordering[InternalRow] {
     def compare(a: InternalRow, b: InternalRow): Int = {
       var i = 0
@@ -79,7 +92,7 @@ case class TopKAgg(child: Expression, k: Int,
           case dt => throw new UnsupportedOperationException(
             s"topk struct field type not orderable here: $dt")
         }
-        if (c != 0) return c
+        if (c != 0) return fieldSign(i) * c
         i += 1
       }
       0
@@ -170,6 +183,13 @@ object Aggregates {
   def topK(structCol: Column, k: Int): Column =
     Bridge.column(
       TopKAgg(Bridge.expression(structCol), k).toAggregateExpression())
+
+  /** Top-k with explicit per-field direction (false = desc, true = asc) —
+    * for tie-breakers that cannot be negated, e.g. ascending strings. */
+  def topK(structCol: Column, k: Int, asc: Seq[Boolean]): Column =
+    Bridge.column(
+      TopKAgg(Bridge.expression(structCol), k, asc = asc)
+        .toAggregateExpression())
 
   /** Top-k DISTINCT struct values per group — the KMV sketch primitive:
     * duplicates never occupy a second sketch slot. */

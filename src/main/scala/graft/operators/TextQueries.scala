@@ -522,9 +522,15 @@ object TextQueries {
   /** Q44: TF-IDF — the classic corpus-weighting operator. tf = term count
     * in doc; idf = ln(N / df) with df = docs containing the term. Emits
     * each document's top-3 terms by (tfidf desc, term asc). One explode,
-    * two aggregates (term-level df joins back to doc-term tf), one window
-    * for the per-doc top-k — every stage map-side-combined and codegen'd.
-    * ln() on exact integer ratios is bit-identical across engines.
+    * two aggregates (term-level df joins back to doc-term tf), then the
+    * per-doc top-k via the native bounded-heap aggregate
+    * ([[graft.functions.TopKAgg]]) — the row_number window it replaces
+    * re-shuffles every (doc, term, tfidf) row on doc_id after the tf
+    * aggregate already shuffled on (doc_id, w); the heap aggregate's
+    * map-side partial ships ≤ 3 rows per doc per task (q62's shape; the
+    * term tie-break is an ascending STRING, so direction rides the `asc`
+    * flags instead of a negation). ln() on exact integer ratios is
+    * bit-identical across engines.
     */
   def q44Tfidf(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
@@ -538,16 +544,18 @@ object TextQueries {
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(desc("tfidf"), asc("w"))
     tf.join(df, "w")
       .crossJoin(broadcast(n))
-      .select(col("doc_id"), col("w"),
-        (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("tfidf"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= 3)
-      .select(col("doc_id"), col("w").as("term"),
-        round(col("tfidf"), 4).as("tfidf"), col("rk"))
+      .select(col("doc_id"), struct(
+        (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("tfidf"),
+        col("w")).as("s"))
+      .groupBy("doc_id")
+      .agg(graft.functions.Aggregates
+        .topK(col("s"), 3, asc = Seq(false, true)).as("top"))
+      .select(col("doc_id"), posexplode(col("top")))
+      .select(col("doc_id"), col("col.w").as("term"),
+        round(col("col.tfidf"), 4).as("tfidf"),
+        (col("pos") + 1).cast("int").as("rk"))
       .orderBy("doc_id", "rk")
   }
 }

@@ -383,6 +383,38 @@ class ScaleSpec extends SparkSpec {
     assert(df.collect().toSeq === windowed.orderBy("lang", "rk").collect().toSeq)
   }
 
+  test("q44 tfidf: bounded-heap aggregate with asc string tie-break, no window") {
+    // the row_number formulation re-shuffles every (doc, term, tfidf) row
+    // on doc_id after the tf aggregate already shuffled on (doc_id, w);
+    // the TopKAgg form ships ≤ 3 rows per doc per map task. The term
+    // tie-break is an ascending STRING — not negatable like q62's
+    // orderkey — so direction rides TopKAgg's asc flags.
+    val df = TextQueries.q44Tfidf(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(3000))
+    assert(!plan.contains("Window"),
+      s"q44 must not window-sort term rows:\n${plan.take(3000)}")
+
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"),
+        explode(graft.functions.Text.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val windowed = tf.join(dfreq, "w").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("w"),
+        (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("tfidf"))
+      .withColumn("rk", row_number().over(Window
+        .partitionBy("doc_id").orderBy(desc("tfidf"), asc("w"))))
+      .where(col("rk") <= 3)
+      .select(col("doc_id"), col("w").as("term"),
+        round(col("tfidf"), 4).as("tfidf"), col("rk"))
+      .orderBy("doc_id", "rk")
+    assert(df.collect().toSeq === windowed.collect().toSeq)
+  }
+
   test("q70 outliers: stats broadcast back, no window over the corpus") {
     val df = TextQueries.q70LengthOutliers(spark, sfDir)
     df.collect()

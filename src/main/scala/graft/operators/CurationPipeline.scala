@@ -29,9 +29,20 @@ object CurationPipeline {
     * shared front of q50 and q64 (q24's score ≥ 0.5, then q15's
     * min-doc_id-per-norm rule), so the two pipelines cannot drift.
     * Carries lang/text through for q64's later stages; consumers that
-    * don't select them get them pruned from the scan for free. */
-  private def qualityReps(raw: DataFrame): DataFrame =
-    raw
+    * don't select them get them pruned from the scan for free.
+    *
+    * The dedup rule rides [[DedupQueries.dupGroups]]'s narrow-key
+    * metadata, not a min-over-norm window: the window formulation
+    * shuffled every surviving document row — lang, text and all — on the
+    * normalized-string key just to compute a min, which at 100 TB is the
+    * corpus moving through one exchange. Here the corpus-wide exchange
+    * carries (xxhash64(norm), partial count) and the survivors join two
+    * dup-sized checkpointed sides in place: a doc survives iff its hash
+    * is not multi (provably unique) or it is its norm group's exact
+    * keeper. Costs one extra narrow scan+tokenize pass; buys back the
+    * full-row shuffle. */
+  private def qualityReps(raw: DataFrame): DataFrame = {
+    val scored = raw
       .select(col("doc_id"), col("lang"), col("text"),
         Text.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("lang"), col("text"),
@@ -39,9 +50,16 @@ object CurationPipeline {
         size(col("toks")).as("token_cnt"),
         TextQueries.qualityScore(col("text"), col("toks")).as("quality"))
       .where(col("quality") >= 0.5)
-      .withColumn("keep_id", min("doc_id")
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("norm")))
-      .where(col("doc_id") === col("keep_id"))
+    val (multiH, keepers) =
+      DedupQueries.dupGroups(scored.select("doc_id", "norm"))
+    scored
+      .withColumn("h", DedupQueries.normHash(col("norm")))
+      .join(multiH.withColumn("in_multi", lit(1)), Seq("h"), "left")
+      .join(keepers.select(col("keep_id").as("doc_id"), lit(1).as("is_keep")),
+        Seq("doc_id"), "left")
+      .where(col("in_multi").isNull || col("is_keep").isNotNull)
+      .drop("h", "in_multi", "is_keep")
+  }
 
   /** Greedy near-dedup drop list: survivors with a lower-id near-dup
     * survivor (q18 candidate pairs at est ≥ 0.5) — stage 3 of q50,
@@ -79,9 +97,10 @@ object CurationPipeline {
     *
     * One Catalyst plan end-to-end: the corpus is scanned once per
     * distinct subtree, the benchmark shingle set broadcasts, and the only
-    * wide shuffles are the ones the primitives already need (norm window,
-    * signature banding, shingle aggregate). Output: the curated corpus
-    * with its bookkeeping, ordered by doc_id. */
+    * wide shuffles are the ones the primitives already need (narrow
+    * dedup-hash aggregate, signature banding, shingle aggregate).
+    * Output: the curated corpus with its bookkeeping, ordered by
+    * doc_id. */
   def q64CurationV2(spark: SparkSession, sfDir: String): DataFrame = {
     val reps = qualityReps( // stages 1-3: corpus split, quality, exact dedup
       Tables.documents(spark, sfDir).where(col("doc_id") % 20 =!= 0))
@@ -113,9 +132,10 @@ object CurationPipeline {
     * dup rule is corpus-wide (a doc is a dup if it is not its norm
     * group's min-doc_id, q15's rule — even when the group spans
     * sources); contamination is q52's corpus-side flag at q64's ≥ 3
-    * threshold, so benchmark docs themselves count 0. One corpus scan,
-    * one norm window, one broadcast-ish join with the tiny contamination
-    * list, one final per-source aggregate. */
+    * threshold, so benchmark docs themselves count 0. The dup bit comes
+    * from the narrow-key dedup metadata (the corpus exchanges 8-byte
+    * hashes, never norm strings), then one broadcast-ish join with the
+    * tiny contamination list and one final per-source aggregate. */
   /** Q71: LEAKAGE-FREE train/validation/test SPLIT — the assignment step
     * run after dedup so near-duplicate documents can never straddle the
     * train/eval boundary (the classic contamination bug: a paraphrase of
@@ -428,19 +448,29 @@ object CurationPipeline {
         Text.normalized(col("text")).as("norm"),
         size(col("toks")).as("token_cnt"),
         TextQueries.qualityScore(col("text"), col("toks")).as("quality"))
-      .withColumn("keep_id", min("doc_id")
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("norm")))
+    // dup flag from the narrow-key metadata (qualityReps' discipline,
+    // minus the quality filter — q67 reports dups corpus-wide): a doc is
+    // a dup iff its hash group is multi AND it is not the group's exact
+    // keeper. The old min-over-norm window shuffled every (source, norm,
+    // counts) row on the norm string to derive the same bit.
+    val (multiH, keepers) =
+      DedupQueries.dupGroups(docs.select("doc_id", "norm"))
     val contaminated = DedupQueries.contamination(spark, sfDir)
       .where(col("contaminated_shingles") >= 3)
       .select(col("doc_id"), lit(1L).as("is_contam"))
-    docs.join(contaminated, Seq("doc_id"), "left")
+    docs
+      .withColumn("h", DedupQueries.normHash(col("norm")))
+      .join(multiH.withColumn("in_multi", lit(1)), Seq("h"), "left")
+      .join(keepers.select(col("keep_id").as("doc_id"), lit(1).as("is_keep")),
+        Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
       .groupBy("source")
       .agg(
         count(lit(1)).as("doc_cnt"),
         sum(col("token_cnt")).as("total_tokens"),
         sum(when(col("quality") >= 0.5, 1L).otherwise(0L)).as("quality_pass"),
-        sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
-          .as("exact_dups"),
+        sum(when(col("in_multi").isNotNull && col("is_keep").isNull, 1L)
+          .otherwise(0L)).as("exact_dups"),
         sum(coalesce(col("is_contam"), lit(0L))).as("contaminated"))
       .orderBy("source")
   }

@@ -9,9 +9,10 @@ import graft.functions.Text
 /** Deduplication surface for LLM training-data pipelines, over the
   * `documents` table. Four escalating strategies:
   *
-  *  - Q15 exact dedup: hash-group on normalized text. One shuffle on the
-  *    normalized string; at 100 TB you'd group on `xxhash64(norm)` +
-  *    verify to keep shuffle rows narrow — semantics identical.
+  *  - Q15 exact dedup: group on `xxhash64(norm)` + exact verify
+  *    ([[dupGroups]]), so the corpus-wide exchange carries 8-byte keys,
+  *    never the normalized string — semantics identical to grouping on
+  *    the text itself.
   *  - Q18 MinHash + LSH: per-doc signatures computed entirely map-side
   *    (array expressions, zero shuffle), then an LSH band self-join so
   *    candidate generation is O(candidates), never O(n²).
@@ -35,14 +36,72 @@ import graft.functions.Text
   */
 object DedupQueries {
 
-  /** Q15: exact dedup on normalized text; keep the smallest doc_id per
-    * group (deterministic representative). */
-  def q15ExactDedup(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .groupBy(Text.normalized(col("text")).as("norm"))
+  /** 64-bit content key for the narrow-shuffle exact dedup: the corpus
+    * exchanges this instead of the normalized text. */
+  private[graft] def normHash(norm: Column): Column = xxhash64(norm)
+
+  /** The corpus-wide half of narrow-key exact dedup: hash values whose
+    * group holds MORE than one row (duplicates and, vanishingly rarely,
+    * 64-bit collisions). This is the only full-corpus exchange in the
+    * dedup family and it carries `(h, partial count)` — 8-byte keys with
+    * map-side combine, never documents; at 100 TB the wire cost is
+    * count-of-distinct-norms rows per task, not the corpus. */
+  private[graft] def multiHashes(idNorm: DataFrame): DataFrame =
+    idNorm.select(normHash(col("norm")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+      .select("h")
+
+  /** Narrow-key EXACT dedup metadata over a `(doc_id, norm)` relation:
+    *
+    *  - `multiH`: hashes with >1 member ([[multiHashes]] — the narrow
+    *    corpus-wide pass);
+    *  - `keepers`: `(keep_id, dup_cnt)` — the exact per-NORM-group
+    *    min-doc_id and size among multi-hash docs. This verify pass
+    *    re-groups ONLY those docs on the real normalized string, so a
+    *    64-bit collision can never merge two distinct texts (the two
+    *    colliding singletons each come back as their own keeper); it
+    *    shuffles norm strings, but its input is dup-sized, not
+    *    corpus-sized.
+    *
+    * Both are dup-group-sized and localCheckpoint'd: consumers join
+    * against them two or three times, and without the checkpoint each
+    * join subtree would re-run the corpus aggregate (the q79 delta
+    * discipline). A doc is its group's representative iff its hash is
+    * absent from `multiH` (provably unique — a collision needs two rows)
+    * or its doc_id appears in `keepers`. Joins against these sides are
+    * deliberately unhinted: they are dup-sized, so AQE broadcasts them
+    * at any realistic dup rate, and at the extreme (billions of dup
+    * groups) the planner falls back to a shuffle join on the 8-byte
+    * hash rather than OOM-ing the driver. */
+  private[graft] def dupGroups(idNorm: DataFrame): (DataFrame, DataFrame) = {
+    val multiH = multiHashes(idNorm).localCheckpoint()
+    val keepers = idNorm
+      .withColumn("h", normHash(col("norm")))
+      .join(multiH, Seq("h"))
+      .groupBy("norm")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
       .select("keep_id", "dup_cnt")
+      .localCheckpoint()
+    (multiH, keepers)
+  }
+
+  /** Q15: exact dedup on normalized text; keep the smallest doc_id per
+    * group (deterministic representative). Narrow-key form: docs whose
+    * hash is unique are their own group (no collision is possible with
+    * one row); multi-hash groups come from the exact verify pass. The
+    * oracle still groups on the normalized string itself — the hash
+    * never changes the answer, only what the exchange carries. */
+  def q15ExactDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val idNorm = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Text.normalized(col("text")).as("norm"))
+    val (multiH, keepers) = dupGroups(idNorm)
+    idNorm.select(col("doc_id"), normHash(col("norm")).as("h"))
+      .join(multiH, Seq("h"), "left_anti")
+      .select(col("doc_id").as("keep_id"), lit(1L).as("dup_cnt"))
+      .unionByName(keepers)
       .orderBy("keep_id")
+  }
 
   /** MinHash parameters: 16 permutations, 8 bands × 2 rows.
     * Band threshold ≈ (1/8)^(1/2) ≈ 0.35 — tuned to the corpus, where

@@ -383,6 +383,62 @@ class ScaleSpec extends SparkSpec {
     assert(df.collect().toSeq === windowed.orderBy("lang", "rk").collect().toSeq)
   }
 
+  /** Every shuffle exchange in an EXECUTED plan, descending through AQE
+    * stage boundaries (AdaptiveSparkPlanExec / QueryStageExec are
+    * leaf-like: plain collect stops at them). */
+  private def shuffleOutputs(
+      df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    def walk(p: SparkPlan): Seq[Seq[String]] = {
+      val here = p match {
+        case e: ShuffleExchangeLike => Seq(e.output.map(_.name))
+        case r: ReusedExchangeExec => Seq(r.output.map(_.name))
+        case _ => Nil
+      }
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ below.flatMap(walk)
+    }
+    df.collect() // finalize the adaptive plan before reading it
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("exact dedup: the corpus-wide exchange carries the 64-bit hash, not text") {
+    // the narrow-key dedup's one full-corpus exchange is the multi-hash
+    // count aggregate: (h, partial count), 8-byte keys with map-side
+    // combine. The norm STRING may only ever cross the wire in the
+    // dup-sized verify pass, and the raw text column in no exchange at
+    // all — the window formulation this replaced shuffled the full
+    // document row on the norm key.
+    val idNorm = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.Text.normalized(col("text")).as("norm"))
+    val multi = DedupQueries.multiHashes(idNorm)
+    val aggExchanges = shuffleOutputs(multi)
+    assert(aggExchanges.nonEmpty)
+    aggExchanges.foreach { names =>
+      assert(!names.exists(n => n.contains("text") || n.contains("norm")),
+        s"corpus-wide dedup exchange must carry only the hash: $names")
+    }
+    Seq(
+      "q15" -> DedupQueries.q15ExactDedup(spark, sfDir),
+      "q50" -> CurationPipeline.q50CorpusCuration(spark, sfDir),
+      "q67" -> CurationPipeline.q67SourceReport(spark, sfDir)
+    ).foreach { case (name, df) =>
+      assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+        s"$name must not derive the dedup min through a window")
+      shuffleOutputs(df).foreach { names =>
+        assert(!names.contains("text"),
+          s"$name shuffles the raw text column: $names")
+      }
+    }
+  }
+
   test("q44 tfidf: bounded-heap aggregate with asc string tie-break, no window") {
     // the row_number formulation re-shuffles every (doc, term, tfidf) row
     // on doc_id after the tf aggregate already shuffled on (doc_id, w);

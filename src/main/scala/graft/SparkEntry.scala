@@ -119,6 +119,8 @@ object SparkEntry {
     "q76_pq_codes"      -> (ProductQuantization.q76PqCodes _),
     "q77_ann_ivf_pq"    -> (ProductQuantization.q77AnnIvfPq _),
     "q78_ann_pq_rerank" -> (ProductQuantization.q78AnnPqRerank _),
+    "q84_ann_pq256"     -> (ProductQuantization.q84AnnPq256 _),
+    "q85_ann_pq256_rerank" -> (ProductQuantization.q85AnnPq256Rerank _),
     "q79_snapshot_diff" -> (CurationPipeline.q79SnapshotDiff _),
     // q80 reads the INCREMENTALLY refreshed shingle artifact (base table
     // minus removed/modified rows, plus freshly shingled delta docs); the
@@ -331,16 +333,17 @@ object SparkEntry {
        |   FROM e CROSS JOIN c2 c) t WHERE rk = 1)""".stripMargin
   }
 
-  /** PQ model CTE chain (q76/q77), appended after [[ivfKmeansCte]]:
-    * integer-micro coarse centroids `cmm` → residuals `rres` →
-    * subvectors `rsub` → init sub-codebooks from vectors 0..K−1 → one
-    * Lloyd round (integer argmin `a0`, floor-mean update `cent`) →
-    * final codes + distances `fc`. Mirrors
-    * operators.ProductQuantization.pqModel exactly (K interpolated from
-    * the same constant so the engines cannot drift). */
-  private val pqModelCte: String = {
-    val (m, sd, k) = (ProductQuantization.M, ProductQuantization.SubDim,
-      ProductQuantization.K)
+  /** PQ model CTE chain (q76/q77 at the shipped setting, q84/q85 at the
+    * production one), appended after [[ivfKmeansCte]]: integer-micro
+    * coarse centroids `cmm` → residuals `rres` → subvectors `rsub` →
+    * init sub-codebooks from the first K corpus vectors (modulo-wrapped
+    * when the corpus has fewer — identity otherwise, mirroring the
+    * Scala init exactly) → one Lloyd round (integer argmin `a0`,
+    * floor-mean update `cent`) → final codes + distances `fc`. Mirrors
+    * operators.ProductQuantization.pqModelAt exactly (m/k interpolated
+    * from the same constants so the engines cannot drift). */
+  private def pqModelCteAt(m: Int, k: Int): String = {
+    val sd = ProductQuantization.SubDim * ProductQuantization.M / m
     s"""cmm AS (SELECT cell,
       |               [floor(cv[d] * 1e6)::BIGINT for d in range(1, 65)] AS cm
       |        FROM c2),
@@ -350,8 +353,14 @@ object SparkEntry {
       |         FROM asg a JOIN cmm cm ON cm.cell = a.cell),
       |rsub AS (SELECT vec_id, mm.m, r[(mm.m*$sd+1):(mm.m*$sd+$sd)] AS sub
       |         FROM rres CROSS JOIN (SELECT unnest(range(0, $m)) AS m) mm),
-      |init AS (SELECT m, vec_id::INT AS k, sub AS cv
-      |         FROM rsub WHERE vec_id < $k),
+      |iord AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS idx
+      |         FROM (SELECT DISTINCT vec_id FROM rsub WHERE vec_id < $k)),
+      |icnt AS (SELECT count(*) AS n FROM iord),
+      |init AS (SELECT r.m, ks.k::INT AS k, r.sub AS cv
+      |         FROM (SELECT unnest(range(0, $k)) AS k) ks
+      |         CROSS JOIN icnt
+      |         JOIN iord o ON o.idx = ks.k % icnt.n
+      |         JOIN rsub r ON r.vec_id = o.vec_id),
       |d0 AS (SELECT r.vec_id, r.m, i.k,
       |              list_sum([(r.sub[j] - i.cv[j]) * (r.sub[j] - i.cv[j])
       |                        for j in range(1, ${sd + 1})])::BIGINT AS dist
@@ -382,11 +391,11 @@ object SparkEntry {
       |         FROM dfin) t WHERE rk = 1)""".stripMargin
   }
 
-  /** ADC candidate-ranking CTE chain (q77/q78), appended after
-    * [[pqModelCte]]: probes → per-cell integer query residual →
+  /** ADC candidate-ranking CTE chain (q77/q78, q84/q85), appended after
+    * [[pqModelCteAt]]: probes → per-cell integer query residual →
     * asymmetric distances against stored codes → per-query rank `r`. */
-  private val pqAdcCte: String = {
-    val (m, sd) = (ProductQuantization.M, ProductQuantization.SubDim)
+  private def pqAdcCteAt(m: Int): String = {
+    val sd = ProductQuantization.SubDim * ProductQuantization.M / m
     s"""probes AS (SELECT query_id, qv, cell FROM (
        |   SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
        |          row_number() OVER (PARTITION BY q.vec_id
@@ -1077,7 +1086,7 @@ object SparkEntry {
     // by the same integer asymmetric distances the Spark side computes.
     "q76_pq_codes" ->
       s"""WITH $ivfKmeansCte,
-         |$pqModelCte
+         |${pqModelCteAt(ProductQuantization.M, ProductQuantization.K)}
          |SELECT v.vec_id AS vec_id, v.cell AS cell,
          |       array_to_string(list(f.code ORDER BY f.m), ',') AS codes,
          |       sum(f.dist)::BIGINT AS qerr
@@ -1086,16 +1095,42 @@ object SparkEntry {
          |ORDER BY v.vec_id""".stripMargin,
     "q77_ann_ivf_pq" ->
       s"""WITH $ivfKmeansCte,
-         |$pqModelCte,
-         |$pqAdcCte
+         |${pqModelCteAt(ProductQuantization.M, ProductQuantization.K)},
+         |${pqAdcCteAt(ProductQuantization.M)}
          |SELECT query_id, neighbor_id, adc, "rank" FROM r WHERE "rank" <= 10
          |ORDER BY query_id, "rank"""".stripMargin,
     // q78: q77's ADC ranking truncated at the shortlist depth, then the
     // shortlist's RAW vectors re-ranked by exact cosine (IVFADC+R).
     "q78_ann_pq_rerank" ->
       s"""WITH $ivfKmeansCte,
-         |$pqModelCte,
-         |$pqAdcCte,
+         |${pqModelCteAt(ProductQuantization.M, ProductQuantization.K)},
+         |${pqAdcCteAt(ProductQuantization.M)},
+         |sl AS (SELECT query_id, neighbor_id FROM r
+         |       WHERE "rank" <= ${ProductQuantization.RerankDepth}),
+         |rr AS (SELECT s.query_id, s.neighbor_id,
+         |              round(list_cosine_similarity(q.v, n.v), 4) AS sim
+         |       FROM sl s
+         |       JOIN e q ON q.vec_id = s.query_id
+         |       JOIN e n ON n.vec_id = s.neighbor_id),
+         |r2 AS (SELECT query_id, neighbor_id, sim,
+         |              row_number() OVER (PARTITION BY query_id
+         |                ORDER BY sim DESC, neighbor_id) AS "rank"
+         |       FROM rr)
+         |SELECT query_id, neighbor_id, sim, "rank" FROM r2 WHERE "rank" <= 10
+         |ORDER BY query_id, "rank"""".stripMargin,
+    // q84/q85: the identical PQ replay at the PRODUCTION operating point
+    // (M=8 one-byte codes, K=256) — only the interpolated (m, k) differ
+    // from q77/q78, so the two operating points cannot drift apart.
+    "q84_ann_pq256" ->
+      s"""WITH $ivfKmeansCte,
+         |${pqModelCteAt(ProductQuantization.M256, ProductQuantization.K256)},
+         |${pqAdcCteAt(ProductQuantization.M256)}
+         |SELECT query_id, neighbor_id, adc, "rank" FROM r WHERE "rank" <= 10
+         |ORDER BY query_id, "rank"""".stripMargin,
+    "q85_ann_pq256_rerank" ->
+      s"""WITH $ivfKmeansCte,
+         |${pqModelCteAt(ProductQuantization.M256, ProductQuantization.K256)},
+         |${pqAdcCteAt(ProductQuantization.M256)},
          |sl AS (SELECT query_id, neighbor_id FROM r
          |       WHERE "rank" <= ${ProductQuantization.RerankDepth}),
          |rr AS (SELECT s.query_id, s.neighbor_id,

@@ -49,9 +49,14 @@ object ProductQuantization {
     * rank them, which is q78's re-rank job. The FAISS-default M=8,
     * K=256 one-byte-code point measures 0.41 ADC / 0.96 with re-rank
     * at the same 64 bits ([[pqModelAt]] sweep, SCALING.md) — the
-    * production guidance; it stays unshipped only because its training
-    * init needs 256 corpus vectors and the smallest test dir has 60. */
+    * production guidance, shipped as q84/q85 at ([[M256]], [[K256]]). */
   val K = 16
+
+  /** The FAISS-default production operating point (one-byte codes,
+    * 8 × 8 bits = the same 64-bit budget as ([[M]], [[K]])): q84/q85
+    * run the identical recipe here. */
+  val M256 = 8
+  val K256 = 256
 
   private def vecs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
@@ -148,8 +153,17 @@ object ProductQuantization {
         val init: Seq[Seq[Seq[Long]]] = {
           val first = res.where(col("vec_id") < k).orderBy("vec_id")
             .collect().map(_.getSeq[Long](1).toIndexedSeq)
+          require(first.nonEmpty,
+            s"K=$k init needs at least one seed vector; $sfDir has none " +
+              "with vec_id < " + k)
+          // modulo wrap: a corpus with n < k seed vectors reuses them
+          // cyclically. Duplicate init centroids are harmless — the
+          // argmin tie rule (array_position first match) routes every
+          // row to the smallest code, and untouched codes keep their
+          // init. For n >= k this is the identity, so the shipped
+          // (M, K) model is byte-identical to the unwrapped form.
           (0 until m).map(mi => (0 until k).map(ki =>
-            first(ki).slice(mi * sd, (mi + 1) * sd).toSeq))
+            first(ki % first.length).slice(mi * sd, (mi + 1) * sd).toSeq))
         }
         val sums = withCodes(res, init, m)
           .select(explode(array((0 until m).map { mi =>
@@ -221,24 +235,27 @@ object ProductQuantization {
   }
 
   /** The ADC ranking at an explicit (subspaces, codebook size) — the
-    * recall sweep's path: the model trains via [[pqModelAt]] and the
-    * codes are computed inline (the stored artifact belongs to the
-    * shipped setting), but the query shape is byte-for-byte
-    * [[adcRanked]]'s. */
-  def adcRankedAt(spark: SparkSession, sfDir: String,
-                  m: Int, k: Int): DataFrame = {
+    * recall sweep's and q84's path: the model trains via [[pqModelAt]]
+    * and the codes are computed inline (the stored artifact belongs to
+    * the shipped setting), but the query shape is byte-for-byte
+    * [[adcRanked]]'s. `depth` bounds the per-query heap — callers that
+    * re-rank deeper than [[RerankDepth]] must say so here, or the
+    * shortlist silently caps. */
+  def adcRankedAt(spark: SparkSession, sfDir: String, m: Int, k: Int,
+                  depth: Int = RerankDepth): DataFrame = {
     val (coarse, cents) = pqModelAt(spark, sfDir, m, k)
     val index = withCodes(residuals(vecs(spark, sfDir), coarse), cents, m)
       .select(Seq(col("vec_id").as("neighbor_id"), col("cell")) ++
         (0 until m).map(mi => col(s"code_$mi")): _*)
-    adcRankedOver(spark, sfDir, index, coarse, cents, m)
+    adcRankedOver(spark, sfDir, index, coarse, cents, m, depth)
   }
 
   private def adcRankedOver(spark: SparkSession, sfDir: String,
                             index: DataFrame,
                             coarse: Seq[(Long, Seq[Double])],
                             cents: Seq[Seq[Seq[Long]]],
-                            m: Int): DataFrame = {
+                            m: Int,
+                            depth: Int = RerankDepth): DataFrame = {
     val sd = SimilarityQueries.Dims / m
     val e = vecs(spark, sfDir)
     val cmArr = coarse.sortBy(_._1)
@@ -265,19 +282,19 @@ object ProductQuantization {
     val adc = (0 until m).map { mi =>
       element_at(col(s"lut_$mi"), col(s"code_$mi") + 1)
     }.reduce(_ + _)
-    // per-query top-RerankDepth by (adc ASC, neighbor ASC) via the
+    // per-query top-`depth` by (adc ASC, neighbor ASC) via the
     // bounded-heap aggregate (negate both keys inside the largest-first
-    // struct compare): map tasks ship ≤ RerankDepth rows per query
-    // instead of shuffling every candidate to a window sort — the
-    // shuffle-bounded form once the query batch grows. q77 keeps the
-    // first 10 ranks, q78 all RerankDepth.
+    // struct compare): map tasks ship ≤ depth rows per query instead of
+    // shuffling every candidate to a window sort — the shuffle-bounded
+    // form once the query batch grows. q77 keeps the first 10 ranks,
+    // q78 all RerankDepth.
     broadcast(probes).join(index, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
       .groupBy("query_id")
       .agg(graft.functions.Aggregates.topK(
         struct((-col("adc")).as("na"), (-col("neighbor_id")).as("nn")),
-        RerankDepth).as("tk"))
+        depth).as("tk"))
       .select(col("query_id"), posexplode(col("tk")))
       .select(col("query_id"), (-col("col.nn")).as("neighbor_id"),
         (-col("col.na")).as("adc"),
@@ -319,10 +336,31 @@ object ProductQuantization {
     rerankOver(spark, sfDir, adcRanked(spark, sfDir), RerankDepth)
 
   /** q78's re-rank at an explicit (m, k) code setting — the sweep's
-    * IVFADC+R row per operating point. */
+    * IVFADC+R row per operating point. The depth reaches the ADC heap
+    * too, so a deeper-than-[[RerankDepth]] shortlist is actually that
+    * deep (it used to cap silently at the default). */
   def rerankAt(spark: SparkSession, sfDir: String, m: Int, k: Int,
                depth: Int = RerankDepth): DataFrame =
-    rerankOver(spark, sfDir, adcRankedAt(spark, sfDir, m, k), depth)
+    rerankOver(spark, sfDir, adcRankedAt(spark, sfDir, m, k, depth), depth)
+
+  /** Q84: ADC search at the PRODUCTION operating point — (M=[[M256]],
+    * K=[[K256]]) one-byte codes, the FAISS default, same 64-bit budget
+    * as q77's ([[M]], [[K]]). Measured ADC recall@10 at sf0.1: 0.41 vs
+    * q77's 0.36 — fewer, bigger sub-codebooks quantize this corpus
+    * better at equal code width. Same query shape as q77; the model
+    * trains through the identical recipe at the explicit setting. */
+  def q84AnnPq256(spark: SparkSession, sfDir: String): DataFrame =
+    adcRankedAt(spark, sfDir, M256, K256)
+      .where(col("rank") <= 10)
+      .orderBy("query_id", "rank")
+
+  /** Q85: IVFADC+R at the production operating point — q84's one-byte
+    * ADC shortlist re-ranked exactly (q78's recipe at ([[M256]],
+    * [[K256]])). Measured recall@10 at sf0.1: 0.96, matching the
+    * IVF-exact ceiling — the production configuration this engine
+    * recommends for 100 TB ANN. */
+  def q85AnnPq256Rerank(spark: SparkSession, sfDir: String): DataFrame =
+    rerankAt(spark, sfDir, M256, K256)
 
   private def rerankOver(spark: SparkSession, sfDir: String,
                          ranked: DataFrame, depth: Int): DataFrame = {

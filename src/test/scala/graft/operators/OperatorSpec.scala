@@ -657,6 +657,44 @@ class OperatorSpec extends SparkSpec {
     assert(rr >= 0.7, s"rerank recall collapsed: $rr")
   }
 
+  test("q84/q85 ship the production PQ point: one-byte codes, rerank wins") {
+    import graft.tools.IvfRecall.{recallVs, topSets}
+    val exact = topSets(SimilarityQueries.q17AnnBrute(spark, sfDir))
+    val adc256 = ProductQuantization.q84AnnPq256(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(adc256.nonEmpty)
+    adc256.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.sortBy(_._4).map(_._4).toSeq === (1 to rs.length),
+        s"query $q ranks not contiguous")
+    }
+    val r84 = recallVs(exact,
+      adc256.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet })
+    val r85 = recallVs(exact,
+      topSets(ProductQuantization.q85AnnPq256Rerank(spark, sfDir)))
+    assert(r84 >= 0.3, s"K=256 ADC recall collapsed: $r84")
+    assert(r85 >= r84, s"rerank lost recall: adc=$r84 rerank=$r85")
+    assert(r85 >= 0.7, s"K=256 rerank recall collapsed: $r85")
+  }
+
+  test("pq init wraps modulo the corpus when k exceeds it; depth reaches the heap") {
+    // k larger than the corpus: init must wrap deterministically, train,
+    // and produce a full k-entry codebook per subspace (duplicate init
+    // centroids are legal — ties route to the smallest code)
+    val n = Tables.embeddings(spark, sfDir).count().toInt
+    val k = n + 12
+    val (_, cents) = ProductQuantization.pqModelAt(spark, sfDir, 8, k)
+    assert(cents.length === 8)
+    assert(cents.forall(_.length === k))
+    // the wrapped entries start from the same residuals as their mod-n
+    // twins (post-Lloyd they may drift apart only if rows were assigned)
+    // — at minimum the model is fully populated and usable:
+    val ranked = ProductQuantization.adcRankedAt(spark, sfDir,
+      ProductQuantization.M, ProductQuantization.K, depth = 5)
+    val maxRank = ranked.agg(max("rank")).collect()(0).getInt(0)
+    assert(maxRank === 5,
+      s"depth=5 must bound the ADC heap at 5 ranks, got $maxRank")
+  }
+
   test("q79 diff partitions exactly into the snapshot-B derivation rules") {
     val docs = Tables.documents(spark, sfDir)
     val byLast = (d: Long) => docs.where(col("doc_id") % 10 === d).count()

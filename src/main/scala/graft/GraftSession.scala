@@ -27,9 +27,12 @@ object GraftSession {
     Option(tmp.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith(prefix))
       .foreach { f =>
-        val alive = f.getName.stripPrefix(prefix).toLongOption
-          .exists(pid => java.lang.ProcessHandle.of(pid).isPresent)
-        if (!alive) rm(f) // dead owner (or unparseable name): reclaim
+        // only reclaim dirs this code demonstrably created (suffix parses
+        // as a pid) whose owner is dead; an unparseable name is someone
+        // else's dir — leave it alone
+        val deadOwner = f.getName.stripPrefix(prefix).toLongOption
+          .exists(pid => !java.lang.ProcessHandle.of(pid).isPresent)
+        if (deadOwner) rm(f)
       }
     val dir = tmp.getPath + "/" + prefix +
       java.lang.ProcessHandle.current().pid()

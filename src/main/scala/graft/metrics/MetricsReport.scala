@@ -54,7 +54,7 @@ final class MetricsReport extends SparkListener {
 
   override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
     tasks.incrementAndGet()
-    if (e.reason.toString != "Success") { failedTasks.incrementAndGet(); () }
+    if (e.reason != org.apache.spark.Success) { failedTasks.incrementAndGet(); () }
     val m = e.taskMetrics
     if (m != null) {
       stageMaxTaskMs.merge(e.stageId, m.executorRunTime, math.max(_, _))

@@ -350,11 +350,26 @@ object DedupQueries {
         col("doc_id_1").as("doc_id_2")))
       .distinct()
       .localCheckpoint() // sever lineage: edges feed every iteration
+    propagateMinLabels(edges, maxRounds = 20)
+      .select(col("doc_id"), col("label").as("cluster"))
+  }
+
+  /** Min-label propagation to a FIXED POINT over a symmetric
+    * `(doc_id_1, doc_id_2)` edge relation; rounds needed = graph
+    * diameter. Non-convergence within `maxRounds` is a hard error, not a
+    * warning: a partially-propagated labeling silently keeps duplicate
+    * representatives (two labels for one component), and every q42
+    * consumer — the q71 split assignment above all — would treat it as
+    * truth. A corpus whose dup graph has a 20+ diameter (adversarial
+    * near-dup chains) must raise the cap deliberately, not ship a wrong
+    * answer. */
+  private[graft] def propagateMinLabels(edges: DataFrame,
+                                        maxRounds: Int): DataFrame = {
     var labels = edges.select(col("doc_id_1").as("doc_id"))
       .distinct().withColumn("label", col("doc_id"))
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    while (changed > 0 && rounds < maxRounds) {
       val next = labels
         .join(edges, col("doc_id") === col("doc_id_1"), "left")
         .join(labels.select(col("doc_id").as("doc_id_2"),
@@ -368,11 +383,12 @@ object DedupQueries {
       labels = next
       rounds += 1
     }
-    // a silent non-converged result would keep duplicate representatives
     if (changed > 0)
-      System.err.println(
-        s"[q42] WARNING: label propagation not converged after $rounds rounds")
-    labels.select(col("doc_id"), col("label").as("cluster"))
+      throw new IllegalStateException(
+        s"label propagation not converged after $rounds rounds " +
+          s"($changed labels still moving): the dup graph has a component " +
+          s"with diameter > $maxRounds; raise the round cap to cover it")
+    labels
   }
 
   /** Q52: test-set DECONTAMINATION — the n-gram overlap check an LLM

@@ -26,6 +26,22 @@ class MetricsReportSpec extends SparkSpec {
     assert("tasks: (\\d+)".r.findFirstMatchIn(r).get.group(1).toInt > 0)
   }
 
+  test("failed tasks are detected by reason type, not string rendering") {
+    import org.apache.spark.scheduler.{SparkListenerTaskEnd, TaskInfo, TaskLocality}
+    val m = new MetricsReport
+    def event(reason: org.apache.spark.TaskEndReason): SparkListenerTaskEnd =
+      SparkListenerTaskEnd(0, 0, "ResultTask", reason,
+        new TaskInfo(0L, 0, 0, 0, 0L, "driver", "localhost",
+          TaskLocality.PROCESS_LOCAL, false),
+        null, null)
+    m.onTaskEnd(event(org.apache.spark.Success))
+    m.onTaskEnd(event(org.apache.spark.TaskKilled("synthetic", Seq.empty,
+      Seq.empty, Seq.empty)))
+    m.onTaskEnd(event(org.apache.spark.UnknownReason))
+    val r = m.report()
+    assert(r.contains("tasks: 3 (failed 2)"), s"report:\n$r")
+  }
+
   test("report writes to disk") {
     val m = MetricsReport.install(spark)
     Tables.nation(spark, sfDir).count()

@@ -156,6 +156,26 @@ class OperatorSpec extends SparkSpec {
     assert(!plan.contains("zip_with"))
   }
 
+  test("label propagation converges on a long chain; past the cap it THROWS") {
+    import spark.implicits._
+    // a path graph 0-1-2-...-11: diameter 11, min label needs ~11 rounds
+    // to walk the chain. Symmetric edge list, as computeClusters feeds it.
+    val chain = (0L until 11L).map(i => (i, i + 1))
+    val edges = (chain ++ chain.map(_.swap))
+      .toDF("doc_id_1", "doc_id_2").localCheckpoint()
+    val ok = DedupQueries.propagateMinLabels(edges, maxRounds = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ok.length === 12)
+    assert(ok.forall(_._2 === 0L), "one component, all labeled by the min id")
+    // an adversarial chain longer than the cap must be a hard error, not
+    // a silently-wrong labeling with duplicate representatives
+    val e = intercept[IllegalStateException] {
+      DedupQueries.propagateMinLabels(edges, maxRounds = 3)
+    }
+    assert(e.getMessage.contains("not converged"))
+    assert(e.getMessage.contains("diameter"))
+  }
+
   test("q42 clusters match a union-find over the same edge set") {
     // rebuild the edge set exactly as q42 does, then union-find locally
     val near = DedupQueries.q18MinhashLsh(spark, sfDir)

@@ -338,7 +338,10 @@ class ScaleSpec extends SparkSpec {
     val df = CurationPipeline.computeRefreshedSignatures(spark, sfDir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("graft_signatures_"),
+    // exact base-table name: the shared "graft_signatures_" prefix would
+    // also match the refreshed graft_signatures_b_* table, so a rewire
+    // that dropped the base scan could slip past a prefix assertion
+    assert(plan.contains("graft_signatures_" + graft.Tables.dirKey(sfDir)),
       s"must scan the base signature table:\n${plan.take(4000)}")
     assert(plan.contains("graft_shingles_b_"),
       s"must scan the refreshed shingle artifact:\n${plan.take(4000)}")

@@ -1151,24 +1151,29 @@ object SparkEntry {
       """SELECT s_nationkey, count(*) AS suppliers,
         |       round(sum(s_acctbal), 2) AS total_bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
-    // q61's windows are BYTE slices; DuckDB slices characters — valid only
-    // because the corpus is verified pure-ASCII (same precondition as q37).
+    // q61 runs over the WIDE media fixture: byte 2i = ascii(char i),
+    // byte 2i+1 = (7·ascii + 13) mod 256 (regularly > 0x7F). The oracle
+    // replays the per-position byte formula — offsets are BYTE offsets
+    // (hop/window even, so parity maps each byte to its char exactly),
+    // no chars==bytes assumption anywhere.
     "q61_audio_windows" ->
       """WITH w AS (
-        |  SELECT doc_id, text,
-        |         unnest(range(0, least(16, greatest(1, length(text) // 128))))
+        |  SELECT doc_id, text, 2 * length(text) AS nb,
+        |         unnest(range(0, least(16, greatest(1, (2 * length(text)) // 128))))
         |           AS win_idx
         |  FROM documents),
-        |s AS (SELECT doc_id, win_idx::INT AS win_idx,
+        |s AS (SELECT doc_id, text, win_idx::INT AS win_idx,
         |             (win_idx * 128)::INT AS sample_offset,
-        |             substr(text, (win_idx * 128 + 1)::INT, 256) AS seg
+        |             least(256, nb - win_idx * 128)::INT AS n_samples
         |      FROM w)
-        |SELECT doc_id, win_idx, sample_offset,
-        |       length(seg)::INT AS n_samples,
+        |SELECT doc_id, win_idx, sample_offset, n_samples,
         |       coalesce(list_sum(
-        |         [(ascii(substr(seg, i, 1)) - 128)
-        |          * (ascii(substr(seg, i, 1)) - 128)
-        |          for i in range(1, length(seg) + 1)]), 0)::BIGINT AS energy
+        |         [CASE WHEN (sample_offset + i) % 2 = 0
+        |               THEN (ascii(substr(text, (sample_offset + i) // 2 + 1, 1)) - 128)
+        |                    * (ascii(substr(text, (sample_offset + i) // 2 + 1, 1)) - 128)
+        |               ELSE ((ascii(substr(text, (sample_offset + i) // 2 + 1, 1)) * 7 + 13) % 256 - 128)
+        |                    * ((ascii(substr(text, (sample_offset + i) // 2 + 1, 1)) * 7 + 13) % 256 - 128)
+        |          END for i in range(0, n_samples)]), 0)::BIGINT AS energy
         |FROM s ORDER BY doc_id, win_idx""".stripMargin,
     "q40_range_join" ->
       """WITH e AS (SELECT event_id, ts FROM events
@@ -1194,18 +1199,25 @@ object SparkEntry {
         |       greatest(1, width * scale_milli // 1000) AS out_width,
         |       greatest(1, height * scale_milli // 1000) AS out_height
         |FROM s ORDER BY doc_id""".stripMargin,
+    // q37 runs over the WIDE media fixture (see q61): byte offsets and
+    // lengths are genuine byte semantics, and the fingerprint is md5 of
+    // the frame's lowercase-hex rendering (DuckDB 1.0 has no BLOB md5;
+    // hex is a bijection of the bytes, so every sliced byte is verified).
     "q37_frame_sample" ->
       """WITH f AS (
-        |  SELECT doc_id, text,
-        |         unnest(range(0, least(8, greatest(1, length(text) // 64))))
+        |  SELECT doc_id, text, 2 * length(text) AS nb,
+        |         unnest(range(0, least(8, greatest(1, (2 * length(text)) // 64))))
         |           AS frame_idx
         |  FROM documents),
-        |s AS (SELECT doc_id, frame_idx::INT AS frame_idx,
+        |s AS (SELECT doc_id, text, frame_idx::INT AS frame_idx,
         |             (frame_idx * 64)::INT AS byte_offset,
-        |             substr(text, frame_idx * 64 + 1, 64) AS frame
+        |             least(64, nb - frame_idx * 64)::INT AS frame_len
         |      FROM f)
-        |SELECT doc_id, frame_idx, byte_offset,
-        |       length(frame)::INT AS frame_len, md5(frame) AS frame_md5
+        |SELECT doc_id, frame_idx, byte_offset, frame_len,
+        |       md5(lower(list_aggregate(
+        |         [lpad(to_hex(ascii(substr(text, byte_offset // 2 + i + 1, 1))), 2, '0')
+        |          || lpad(to_hex((ascii(substr(text, byte_offset // 2 + i + 1, 1)) * 7 + 13) % 256), 2, '0')
+        |          for i in range(0, frame_len // 2)], 'string_agg', ''))) AS frame_md5
         |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
     // Every arithmetic step of q38's projection (integer byte-histogram,
     // exact < 2^53 double sums, IEEE sqrt/divide, float32 round-to-nearest

@@ -52,6 +52,32 @@ object MultimodalPipeline {
       .select(col("doc_id"), col("text").cast("binary").as("payload"),
         lit("bin/fake").as("fmt"))
 
+  /** The WIDE media fixture: payloads whose bytes regularly exceed 0x7F,
+    * so the byte-slicing operators (q37 frames, q61 audio windows) are
+    * exercised on genuine binary data, not on an ASCII corpus where
+    * chars == bytes hides offset bugs. Each text char expands to TWO
+    * bytes — the char itself and `(7·c + 13) mod 256` (a full-range
+    * mixed byte) — a deterministic formula the DuckDB oracle replays
+    * per byte position, so frame offsets/lengths/digests verify against
+    * real multi-range bytes without any chars==bytes precondition. */
+  def mediaTableWide(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = new Array[Byte](text.length * 2)
+        var i = 0
+        while (i < text.length) {
+          val c = text.charAt(i).toInt
+          bytes(2 * i) = c.toByte
+          bytes(2 * i + 1) = ((c * 7 + 13) % 256).toByte
+          i += 1
+        }
+        (id, bytes, "bin/wide")
+      }
+      .toDF("doc_id", "payload", "fmt")
+  }
+
   /** Q27: scan binary payloads, batch-decode per partition, return typed
     * metadata. The mapPartitions boundary is the only non-codegen stage —
     * by design, since that's where the native decoder lives. */
@@ -73,11 +99,12 @@ object MultimodalPipeline {
     * plumbing of a video pipeline (seek table stands in for real codec
     * keyframe offsets). Emission is a per-partition iterator: one input
     * record fans out to ≤ maxFrames rows without materializing the whole
-    * partition. */
+    * partition. Reads the [[mediaTableWide]] fixture: frame slicing is
+    * byte arithmetic, and it must be proven on bytes > 0x7F. */
   def sampleFrames(spark: SparkSession, sfDir: String,
                    stride: Int = 64, maxFrames: Int = 8): Dataset[Frame] = {
     import spark.implicits._
-    mediaTable(spark, sfDir).as[MediaRecord]
+    mediaTableWide(spark, sfDir).as[MediaRecord]
       .mapPartitions(_.flatMap { r =>
         val n = math.min(maxFrames, math.max(1, r.payload.length / stride))
         (0 until n).iterator.map { i =>
@@ -89,22 +116,25 @@ object MultimodalPipeline {
   }
 
   /** Q37: frame sampling + per-frame feature extraction (stub: frame
-    * length and md5 of the slice). The real pipeline swaps the md5 for a
-    * JNI decoder + model call; plan shape (scan → narrow fan-out →
-    * columnar features → relational ops downstream) is identical.
+    * length and a digest of the slice). The real pipeline swaps the
+    * digest for a JNI decoder + model call; plan shape (scan → narrow
+    * fan-out → columnar features → relational ops downstream) is
+    * identical.
     *
-    * Oracle precondition: frames are BYTE slices of the payload, but
-    * DuckDB cannot slice BLOBs, so the SQL twin slices characters — valid
-    * only because the test corpus is verified pure-ASCII at every SF
-    * (chars == bytes). A non-ASCII corpus would hash-mismatch the oracle
-    * immediately, which is the gate doing its job. */
+    * Over the [[mediaTableWide]] fixture, so offsets and lengths are
+    * byte semantics on real >0x7F bytes — no chars==bytes precondition.
+    * The fingerprint is md5 of the slice's lowercase-hex rendering (a
+    * bijection of the bytes): DuckDB 1.0 has no BLOB digests, and
+    * hashing the hex lets the oracle verify every sliced byte while the
+    * Spark side still slices genuine byte arrays. */
   def q37FrameSample(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     sampleFrames(spark, sfDir)
       .map { f =>
         val md = MessageDigest.getInstance("MD5")
+        val hex = f.frame_bytes.map("%02x".format(_)).mkString
         (f.doc_id, f.frame_idx, f.byte_offset, f.frame_bytes.length,
-          md.digest(f.frame_bytes).map("%02x".format(_)).mkString)
+          md.digest(hex.getBytes("UTF-8")).map("%02x".format(_)).mkString)
       }
       .toDF("doc_id", "frame_idx", "byte_offset", "frame_len", "frame_md5")
       .orderBy("doc_id", "frame_idx")
@@ -145,12 +175,16 @@ object MultimodalPipeline {
     * per-window feature is signal energy Σ(sample−128)² — an exact
     * integer, so the DuckDB oracle reproduces it bit-for-bit (a real
     * pipeline swaps in an FFT/filterbank at the same mapPartitions seam).
-    * Window count capped at 16 per doc, mirroring q37's maxFrames. */
+    * Window count capped at 16 per doc, mirroring q37's maxFrames.
+    * Reads the [[mediaTableWide]] fixture: the energy sum runs over
+    * full-range bytes (the mixed byte puts real mass on both sides of
+    * the 128 midpoint), and the oracle replays the per-position byte
+    * formula instead of assuming chars == bytes. */
   def q61AudioWindows(spark: SparkSession, sfDir: String,
                       window: Int = 256, hop: Int = 128,
                       maxWindows: Int = 16): DataFrame = {
     import spark.implicits._
-    mediaTable(spark, sfDir).as[MediaRecord]
+    mediaTableWide(spark, sfDir).as[MediaRecord]
       .mapPartitions(_.flatMap { r =>
         val n = r.payload.length
         val nWin = math.min(maxWindows, math.max(1, n / hop))

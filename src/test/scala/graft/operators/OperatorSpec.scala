@@ -399,6 +399,39 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("wide media fixture: real >0x7F bytes, byte-true frame offsets") {
+    // the fixture must actually be non-ASCII — otherwise the byte-slicing
+    // oracles degenerate back to the chars==bytes special case
+    val payloads = MultimodalPipeline.mediaTableWide(spark, sfDir)
+      .limit(50).collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    assert(payloads.nonEmpty)
+    val high = payloads.map(_._2.count(b => (b & 0xff) > 0x7f).toLong).sum
+    assert(high > 0L, "wide payloads must contain bytes above 0x7F")
+    // every payload is the 2-bytes-per-char expansion of its document
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    payloads.foreach { case (id, bytes) =>
+      val t = texts(id)
+      assert(bytes.length === 2 * t.length)
+      assert(t.indices.forall { i =>
+        (bytes(2 * i) & 0xff) == t.charAt(i).toInt &&
+          (bytes(2 * i + 1) & 0xff) == (t.charAt(i).toInt * 7 + 13) % 256
+      }, s"doc $id: expansion formula mismatch")
+    }
+    // q37 frames are byte slices of that payload: offsets advance by the
+    // 64-byte stride and each frame covers real bytes, never chars
+    val frames = MultimodalPipeline.q37FrameSample(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    frames.groupBy(_._1).foreach { case (id, fs) =>
+      val sorted = fs.sortBy(_._2)
+      assert(sorted.forall(f => f._3 === f._2 * 64))
+      val nb = texts(id).length * 2
+      sorted.foreach(f => assert(f._4 === math.min(64, nb - f._3),
+        s"doc $id frame ${f._2}: frame_len must be byte arithmetic"))
+    }
+  }
+
   test("q61 audio windows advance by hop and overlap 50%") {
     val rows = MultimodalPipeline.q61AudioWindows(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))

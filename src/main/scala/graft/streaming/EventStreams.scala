@@ -221,12 +221,25 @@ object EventStreams {
     *
     * One AvailableNow drain of whatever is in `landingDir` now; call
     * again after more files land (or after a crash) with the SAME
-    * checkpoint/out dirs to resume. */
+    * checkpoint/out dirs to resume.
+    *
+    * `maxFilesPerTrigger` bounds each micro-batch (AvailableNow
+    * respects it and drains in as many batches as needed) — the
+    * production rate-limit knob, and the lever the multi-batch spec
+    * uses to prove window state is correct ACROSS micro-batch
+    * boundaries, not just within one big drain: a window straddling
+    * two batches must accumulate, an emitted window must never
+    * re-emit. */
   def runWindowedAppendToFiles(spark: SparkSession, landingDir: String,
                                checkpointDir: String,
-                               outDir: String): Unit = {
+                               outDir: String,
+                               maxFilesPerTrigger: Option[Int] = None): Unit = {
     val s = stateSession(spark)
-    val agg = s.readStream.schema(rawSchema).parquet(landingDir)
+    val reader = maxFilesPerTrigger.foldLeft(
+      s.readStream.schema(rawSchema)) { (r, n) =>
+      r.option("maxFilesPerTrigger", n.toString)
+    }
+    val agg = reader.parquet(landingDir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))

@@ -71,6 +71,52 @@ class RecoverySpec extends SparkSpec {
     assert(dups === 0L)
   }
 
+  test("one-file-per-batch drain equals the single big drain") {
+    // window/state correctness ACROSS micro-batch boundaries: with
+    // maxFilesPerTrigger=1 every landing file is its own batch, so hour
+    // windows straddle batches, watermarks advance incrementally, and
+    // emitted windows must never re-emit. Kill+resume proved checkpoint
+    // recovery; this proves the ordinary many-batch path.
+    val base = Files.createTempDirectory("graft-multibatch").toString
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val Seq(lo, hi) = raw.agg(min("ts"), max("ts")).head()
+      .toSeq.map(_.asInstanceOf[Long]).toSeq
+    val flush = raw.limit(1)
+      .withColumn("ts", col("ts") + lit(36500L * 86400L * 1000000000L))
+      .withColumn("event_type", lit("__flush__"))
+    // 6 time slices + flush, one parquet file each: 7 micro-batches
+    val slices = (0 until 6).map { i =>
+      val a = lo + (hi - lo + 1) * i / 6
+      val b = lo + (hi - lo + 1) * (i + 1) / 6
+      raw.where(col("ts") >= a && col("ts") < b)
+    } :+ flush
+    for (dir <- Seq("landing1", "landingN"); s <- slices)
+      s.coalesce(1).write.mode("append").parquet(s"$base/$dir")
+
+    EventStreams.runWindowedAppendToFiles(spark,
+      s"$base/landing1", s"$base/ck1", s"$base/out1")
+    EventStreams.runWindowedAppendToFiles(spark,
+      s"$base/landingN", s"$base/ckN", s"$base/outN",
+      maxFilesPerTrigger = Some(1))
+
+    // the rate limit really did split the drain into many batches
+    val batches = new java.io.File(s"$base/ckN/offsets").list().length
+    assert(batches >= 5, s"expected a multi-batch drain, got $batches")
+    val single = new java.io.File(s"$base/ck1/offsets").list().length
+    assert(single < batches, s"single drain used $single batches")
+
+    val one = spark.read.parquet(s"$base/out1")
+      .orderBy("hour", "event_type").collect().toSeq
+    val many = spark.read.parquet(s"$base/outN")
+      .orderBy("hour", "event_type").collect().toSeq
+    assert(one.nonEmpty)
+    assert(many === one)
+    // no window emitted twice across batch boundaries
+    val dups = spark.read.parquet(s"$base/outN")
+      .groupBy("hour", "event_type").count().where(col("count") > 1).count()
+    assert(dups === 0L)
+  }
+
   test("interval-join buffers on BOTH sides survive the restart") {
     // the two-sided state store: a click buffered before the kill must
     // pair with a view that only arrives after the resume (and vice

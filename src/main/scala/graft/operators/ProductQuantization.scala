@@ -202,19 +202,39 @@ object ProductQuantization {
       computePqCodes(spark, sfDir)
     }
 
+  /** The code-table artifact at an explicit (m, k) — q84/q85's stored
+    * index at the production operating point (the shipped ([[M]], [[K]])
+    * table keeps its original name via [[pqIndex]]). Before this, the
+    * K=256 queries re-coded the whole index inline on every run — 2.9 s
+    * vs q77's 1.1 s at sf0.01, all of it re-deriving a structure a real
+    * deployment writes exactly once. */
+  def pqIndexAt(spark: SparkSession, sfDir: String,
+                m: Int, k: Int): DataFrame =
+    if (m == M && k == K) pqIndex(spark, sfDir)
+    else Artifacts.materialize(spark,
+      s"graft_pqcodes_${m}_${k}_" + Tables.dirKey(sfDir), "vec_id") {
+      computePqCodesAt(spark, sfDir, m, k)
+    }
+
+  /** [[computePqCodes]] at an explicit (m, k): the same pure projection
+    * over the embeddings scan, model as literals. */
+  def computePqCodesAt(spark: SparkSession, sfDir: String,
+                       m: Int, k: Int): DataFrame = {
+    val (coarse, cents) = pqModelAt(spark, sfDir, m, k)
+    withCodes(residuals(vecs(spark, sfDir), coarse), cents, m)
+      .select(Seq(col("vec_id"), col("cell"),
+        concat_ws(",",
+          (0 until m).map(mi => col(s"code_$mi").cast("string")): _*)
+          .as("codes"),
+        (0 until m).map(mi => col(s"dist_$mi")).reduce(_ + _).as("qerr"))
+        ++ (0 until m).map(mi => col(s"code_$mi")): _*)
+  }
+
   /** The coding BUILD plan — public so the spec can pin its shape (the
     * model is literals, so coding must be a pure projection over the
     * embeddings scan: no hash exchange anywhere). */
-  def computePqCodes(spark: SparkSession, sfDir: String): DataFrame = {
-    val (coarse, cents) = pqModel(spark, sfDir)
-    withCodes(residuals(vecs(spark, sfDir), coarse), cents)
-      .select(Seq(col("vec_id"), col("cell"),
-        concat_ws(",",
-          (0 until M).map(m => col(s"code_$m").cast("string")): _*)
-          .as("codes"),
-        (0 until M).map(m => col(s"dist_$m")).reduce(_ + _).as("qerr"))
-        ++ (0 until M).map(m => col(s"code_$m")): _*)
-  }
+  def computePqCodes(spark: SparkSession, sfDir: String): DataFrame =
+    computePqCodesAt(spark, sfDir, M, K)
 
   /** Q76: the PQ-coded index, presented. */
   def q76PqCodes(spark: SparkSession, sfDir: String): DataFrame =
@@ -236,15 +256,15 @@ object ProductQuantization {
 
   /** The ADC ranking at an explicit (subspaces, codebook size) — the
     * recall sweep's and q84's path: the model trains via [[pqModelAt]]
-    * and the codes are computed inline (the stored artifact belongs to
-    * the shipped setting), but the query shape is byte-for-byte
-    * [[adcRanked]]'s. `depth` bounds the per-query heap — callers that
-    * re-rank deeper than [[RerankDepth]] must say so here, or the
-    * shortlist silently caps. */
+    * and candidates read the STORED code table for that setting
+    * ([[pqIndexAt]] — a search never re-codes its index), with the
+    * query shape byte-for-byte [[adcRanked]]'s. `depth` bounds the
+    * per-query heap — callers that re-rank deeper than [[RerankDepth]]
+    * must say so here, or the shortlist silently caps. */
   def adcRankedAt(spark: SparkSession, sfDir: String, m: Int, k: Int,
                   depth: Int = RerankDepth): DataFrame = {
     val (coarse, cents) = pqModelAt(spark, sfDir, m, k)
-    val index = withCodes(residuals(vecs(spark, sfDir), coarse), cents, m)
+    val index = pqIndexAt(spark, sfDir, m, k)
       .select(Seq(col("vec_id").as("neighbor_id"), col("cell")) ++
         (0 until m).map(mi => col(s"code_$mi")): _*)
     adcRankedOver(spark, sfDir, index, coarse, cents, m, depth)

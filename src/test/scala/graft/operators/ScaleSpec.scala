@@ -596,6 +596,21 @@ class ScaleSpec extends SparkSpec {
       s"q77 should scan the code table:\n${plan.take(4000)}")
   }
 
+  test("q84 reads the K=256 code table artifact, never re-codes inline") {
+    // the production-point index is stored too (its own table, keyed by
+    // (m, k)): before this pin q84/q85 re-coded the whole index per run
+    // — 2.9 s vs q77's 1.1 s at sf0.01 — re-deriving a structure a
+    // deployment writes exactly once.
+    val df = ProductQuantization.q84AnnPq256(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(
+      s"graft_pqcodes_${ProductQuantization.M256}_${ProductQuantization.K256}_"),
+      s"q84 should scan the K=256 code table:\n${plan.take(4000)}")
+    assert(!plan.contains("Window"),
+      s"q84 must not window-sort candidates:\n${plan.take(3000)}")
+  }
+
   test("ANN rankings use the bounded-heap aggregate, not a window sort") {
     // the per-query top-k of every ANN query is a TopKAgg (partial
     // ObjectHashAggregate: map tasks ship ≤ k rows per query) — the

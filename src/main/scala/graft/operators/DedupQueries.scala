@@ -73,7 +73,12 @@ object DedupQueries {
     * deliberately unhinted: they are dup-sized, so AQE broadcasts them
     * at any realistic dup rate, and at the extreme (billions of dup
     * groups) the planner falls back to a shuffle join on the 8-byte
-    * hash rather than OOM-ing the driver. */
+    * hash rather than OOM-ing the driver.
+    *
+    * Measured trade at sf0.1 (SCALING.md "Narrow-key exact dedup"):
+    * consumer shuffles narrowed ~10× (q64 1.37 → 0.08 MB) for ~0.3-0.9 s
+    * of constant-factor wall cost — the eliminated term scales with the
+    * corpus, the added one with dup count. */
   private[graft] def dupGroups(idNorm: DataFrame): (DataFrame, DataFrame) = {
     val multiH = multiHashes(idNorm).localCheckpoint()
     val keepers = idNorm

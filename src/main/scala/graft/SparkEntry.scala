@@ -59,6 +59,7 @@ object SparkEntry {
     "q30_stream_sessions"    -> (EventStreams.q30StreamSessions _),
     "q31_stream_first_seen"  -> (EventStreams.q31StreamFirstSeen _),
     "q60_stream_append" -> (EventStreams.q60StreamAppendWindows _),
+    "q86_stream_dedup"  -> (EventStreams.q86StreamDedup _),
     "q32_json_extract"  -> (RelationalQueries.q32JsonExtract _),
     "q33_cube"          -> (RelationalQueries.q33Cube _),
     // q34 is approximate (HLL++): no SQL oracle — rows-only driver check;
@@ -707,6 +708,26 @@ object SparkEntry {
         |       event_type, count(*) AS cnt,
         |       round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // q86 streams snapshots A and B as separate micro-batches and emits
+    // each distinct normalized content exactly once; the oracle is the
+    // batch distinct over the same recrawl union (snapshot-B rules =
+    // q79's derivation). Emitting the content KEY, not a surviving row,
+    // is what makes online dedup oracle-exact: the distinct set is
+    // deterministic even though within-batch survivor choice is not.
+    "q86_stream_dedup" ->
+      """WITH bdocs AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 3 THEN text || ' updated v2'
+        |              ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 7
+        |  UNION ALL
+        |  SELECT -(doc_id + 1), text FROM documents
+        |  WHERE doc_id % 10 = 1),
+        |u AS (SELECT text FROM documents UNION ALL SELECT text FROM bdocs)
+        |SELECT DISTINCT
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |    AS content_md5
+        |FROM u ORDER BY content_md5""".stripMargin,
     // q62's native heap aggregate must equal the window formulation
     "q62_topk_agg" ->
       """SELECT o_custkey, rk, o_totalprice, o_orderkey FROM (

@@ -40,15 +40,24 @@ object DedupQueries {
     * exchanges this instead of the normalized text. */
   private[graft] def normHash(norm: Column): Column = xxhash64(norm)
 
-  /** The corpus-wide half of narrow-key exact dedup: hash values whose
-    * group holds MORE than one row (duplicates and, vanishingly rarely,
-    * 64-bit collisions). This is the only full-corpus exchange in the
-    * dedup family and it carries `(h, partial count)` — 8-byte keys with
-    * map-side combine, never documents; at 100 TB the wire cost is
-    * count-of-distinct-norms rows per task, not the corpus. */
+  /** The corpus-wide half of narrow-key exact dedup: one aggregate over
+    * `(h, doc_id)` carrying `(partial count, partial min)` — 8-byte keys
+    * plus two fixed-width partials with map-side combine, never
+    * documents; at 100 TB the wire cost is count-of-distinct-norms rows
+    * per task, not the corpus. Carrying min(doc_id) here is what lets
+    * q15 answer singleton groups from THIS pass (the single member IS
+    * the keeper — a collision needs two rows), so the whole query is
+    * one corpus scan plus a dup-sized verify. */
+  private[graft] def hashGroups(idNorm: DataFrame): DataFrame =
+    idNorm.select(normHash(col("norm")).as("h"), col("doc_id"))
+      .groupBy("h").agg(count(lit(1)).as("cnt"), min("doc_id").as("min_id"))
+
+  /** Hash values whose group holds MORE than one row (duplicates and,
+    * vanishingly rarely, 64-bit collisions) — the side consumers probe
+    * to route docs between the provably-unique fast path and the exact
+    * verify pass. */
   private[graft] def multiHashes(idNorm: DataFrame): DataFrame =
-    idNorm.select(normHash(col("norm")).as("h"))
-      .groupBy("h").agg(count(lit(1)).as("cnt"))
+    hashGroups(idNorm)
       .where(col("cnt") > 1)
       .select("h")
 
@@ -93,17 +102,25 @@ object DedupQueries {
 
   /** Q15: exact dedup on normalized text; keep the smallest doc_id per
     * group (deterministic representative). Narrow-key form: docs whose
-    * hash is unique are their own group (no collision is possible with
-    * one row); multi-hash groups come from the exact verify pass. The
-    * oracle still groups on the normalized string itself — the hash
-    * never changes the answer, only what the exchange carries. */
+    * hash is unique are their own group, answered straight from the
+    * [[hashGroups]] aggregate (its min(doc_id) partial — no second
+    * corpus scan, no anti-join); multi-hash groups come from the exact
+    * verify pass. The oracle still groups on the normalized string
+    * itself — the hash never changes the answer, only what the exchange
+    * carries. */
   def q15ExactDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val idNorm = Tables.documents(spark, sfDir)
       .select(col("doc_id"), Text.normalized(col("text")).as("norm"))
-    val (multiH, keepers) = dupGroups(idNorm)
-    idNorm.select(col("doc_id"), normHash(col("norm")).as("h"))
-      .join(multiH, Seq("h"), "left_anti")
-      .select(col("doc_id").as("keep_id"), lit(1L).as("dup_cnt"))
+    val groups = hashGroups(idNorm).localCheckpoint()
+    val multiH = groups.where(col("cnt") > 1).select("h")
+    val keepers = idNorm
+      .withColumn("h", normHash(col("norm")))
+      .join(multiH, Seq("h"))
+      .groupBy("norm")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
+      .select("keep_id", "dup_cnt")
+    groups.where(col("cnt") === 1)
+      .select(col("min_id").as("keep_id"), lit(1L).as("dup_cnt"))
       .unionByName(keepers)
       .orderBy("keep_id")
   }

@@ -148,6 +148,51 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** Q86: ONLINE exact dedup of a document INGEST stream — the streaming
+    * member of the dedup family (q15's rule applied as documents arrive,
+    * the shape a crawl pipeline needs: content seen before is dropped at
+    * ingest, not in a nightly batch). Two corpus snapshots land as
+    * separate files and drain as separate micro-batches
+    * (`maxFilesPerTrigger=1`), so the dedup state must carry ACROSS
+    * batches: every unchanged document arrives twice (once per
+    * snapshot), and snapshot B's re-added docs carry old content under
+    * new ids — both are genuine cross-batch duplicates that
+    * `dropDuplicates` must suppress via the state store.
+    *
+    * The emitted row is the content key itself (md5 of the normalized
+    * text), not the surviving document: which physical row survives a
+    * within-batch tie is not deterministic in a distributed dedup, but
+    * the SET of distinct content keys is — so the query output is
+    * exactly oracle-checkable while the state mechanics stay the
+    * production ones. (Here the content key crosses the wire once per
+    * document; a 100 TB ingest would key the state on `xxhash64(norm)`
+    * — 8 bytes — and verify rare collisions offline, q15's narrow-key
+    * discipline. Unbounded retention is the demo's choice, matching
+    * q15's corpus-wide rule; a bounded recrawl-overlap horizon is
+    * `dropDuplicatesWithinWatermark` on the same plan.) */
+  def q86StreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = stateSession(spark)
+    val docs = graft.Tables.documents(s, sfDir)
+      .select("doc_id", "lang", "text")
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft-stream-dedup").toString
+    docs.coalesce(1).write.mode("append").parquet(landing)
+    graft.operators.CurationPipeline.snapshotB(docs)
+      .select("doc_id", "lang", "text")
+      .coalesce(1).write.mode("append").parquet(landing)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType)))
+    val distinctContents = s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1) // one snapshot per micro-batch
+      .parquet(landing)
+      .select(md5(graft.functions.Text.normalized(col("text")))
+        .as("content_md5"))
+      .dropDuplicates("content_md5")
+    runToTable(distinctContents, OutputMode.Append())
+      .orderBy("content_md5")
+  }
+
   /** Q29: the streaming twin of batch q14 — tumbling 1-hour event-time
     * windows per event type. Watermark bounds state at 1 hour of lateness;
     * complete output mode because AvailableNow ends before a final

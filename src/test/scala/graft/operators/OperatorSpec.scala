@@ -156,6 +156,28 @@ class OperatorSpec extends SparkSpec {
     assert(!plan.contains("zip_with"))
   }
 
+  test("narrow-key dedup routes real duplicate groups through the verify pass") {
+    import spark.implicits._
+    // the test corpus has no exact-dup norms below sf0.1, so the
+    // multi-hash verify path would otherwise only ever see empty input —
+    // drive it with a synthetic relation: two dup groups, two singletons
+    val idNorm = Seq(
+      (10L, "alpha beta"), (11L, "alpha beta"), (12L, "alpha beta"),
+      (20L, "gamma"), (21L, "gamma"),
+      (30L, "delta"), (31L, "epsilon")
+    ).toDF("doc_id", "norm")
+    val groups = DedupQueries.hashGroups(idNorm).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // one row per distinct norm-hash; counts and min ids are exact
+    assert(groups.length === 4)
+    assert(groups.map(_._2).sorted.toSeq === Seq(1L, 1L, 2L, 3L))
+    val (multiH, keepers) = DedupQueries.dupGroups(idNorm)
+    assert(multiH.count() === 2)
+    val keep = keepers.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(keep === Map(10L -> 3L, 20L -> 2L),
+      "multi groups keep min doc_id with exact group size")
+  }
+
   test("label propagation converges on a long chain; past the cap it THROWS") {
     import spark.implicits._
     // a path graph 0-1-2-...-11: diameter 11, min label needs ~11 rounds

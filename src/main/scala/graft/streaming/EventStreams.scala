@@ -189,8 +189,16 @@ object EventStreams {
       .select(md5(graft.functions.Text.normalized(col("text")))
         .as("content_md5"))
       .dropDuplicates("content_md5")
-    runToTable(distinctContents, OutputMode.Append())
+    val out = runToTable(distinctContents, OutputMode.Append())
       .orderBy("content_md5")
+    // the drain is complete and the memory sink holds the rows — the
+    // landing copy is dead weight in (often RAM-backed) tmp; remove it
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(landing))
+    out
   }
 
   /** Q29: the streaming twin of batch q14 — tumbling 1-hour event-time

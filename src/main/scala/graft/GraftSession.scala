@@ -11,6 +11,15 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Recursive delete — the one implementation behind every tmp-dir
+    * lifecycle in the engine (warehouse sweep, streaming landing dirs,
+    * spec scratch dirs). */
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
   /** This process's warehouse dir (see below) — deleted on JVM exit so
     * per-pid isolation doesn't leak one artifact-table set per run into
     * /tmp (often RAM-backed tmpfs). The shutdown hook never runs on
@@ -18,10 +27,7 @@ object GraftSession {
     * dead — crashed runs are reclaimed by the next one instead of
     * accumulating a full artifact-table set each in tmpfs. */
   private lazy val warehouseDir: String = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
+    def rm(f: java.io.File): Unit = deleteRecursively(f)
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val prefix = "graft-warehouse-"
     Option(tmp.listFiles()).getOrElse(Array.empty)

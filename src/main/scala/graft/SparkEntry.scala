@@ -426,6 +426,33 @@ object SparkEntry {
        |      FROM adct)""".stripMargin
   }
 
+  /** Final top-10 projection over [[pqAdcCteAt]]'s rank CTE `r` — shared
+    * by both ADC operating points (q77, q84) so the result shape cannot
+    * drift between them. */
+  private val pqAdcSelect: String =
+    """SELECT query_id, neighbor_id, adc, "rank" FROM r WHERE "rank" <= 10
+      |ORDER BY query_id, "rank"""".stripMargin
+
+  /** Exact-cosine re-rank of the ADC shortlist (IVFADC+R), appended after
+    * [[pqAdcCteAt]]: shortlist truncated at `depth`, raw vectors re-ranked
+    * by cosine, per-query top-10. ONE definition for both operating
+    * points (q78, q85) so a change to the re-rank rule — depth usage,
+    * tie-break — cannot apply to one and silently skip the other. */
+  private def pqRerankSql(depth: Int): String =
+    s"""sl AS (SELECT query_id, neighbor_id FROM r
+       |       WHERE "rank" <= $depth),
+       |rr AS (SELECT s.query_id, s.neighbor_id,
+       |              round(list_cosine_similarity(q.v, n.v), 4) AS sim
+       |       FROM sl s
+       |       JOIN e q ON q.vec_id = s.query_id
+       |       JOIN e n ON n.vec_id = s.neighbor_id),
+       |r2 AS (SELECT query_id, neighbor_id, sim,
+       |              row_number() OVER (PARTITION BY query_id
+       |                ORDER BY sim DESC, neighbor_id) AS "rank"
+       |       FROM rr)
+       |SELECT query_id, neighbor_id, sim, "rank" FROM r2 WHERE "rank" <= 10
+       |ORDER BY query_id, "rank"""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_wordcount" ->
       s"""$tokCte
@@ -1118,53 +1145,28 @@ object SparkEntry {
       s"""WITH $ivfKmeansCte,
          |${pqModelCteAt(ProductQuantization.M, ProductQuantization.K)},
          |${pqAdcCteAt(ProductQuantization.M)}
-         |SELECT query_id, neighbor_id, adc, "rank" FROM r WHERE "rank" <= 10
-         |ORDER BY query_id, "rank"""".stripMargin,
+         |$pqAdcSelect""".stripMargin,
     // q78: q77's ADC ranking truncated at the shortlist depth, then the
     // shortlist's RAW vectors re-ranked by exact cosine (IVFADC+R).
     "q78_ann_pq_rerank" ->
       s"""WITH $ivfKmeansCte,
          |${pqModelCteAt(ProductQuantization.M, ProductQuantization.K)},
          |${pqAdcCteAt(ProductQuantization.M)},
-         |sl AS (SELECT query_id, neighbor_id FROM r
-         |       WHERE "rank" <= ${ProductQuantization.RerankDepth}),
-         |rr AS (SELECT s.query_id, s.neighbor_id,
-         |              round(list_cosine_similarity(q.v, n.v), 4) AS sim
-         |       FROM sl s
-         |       JOIN e q ON q.vec_id = s.query_id
-         |       JOIN e n ON n.vec_id = s.neighbor_id),
-         |r2 AS (SELECT query_id, neighbor_id, sim,
-         |              row_number() OVER (PARTITION BY query_id
-         |                ORDER BY sim DESC, neighbor_id) AS "rank"
-         |       FROM rr)
-         |SELECT query_id, neighbor_id, sim, "rank" FROM r2 WHERE "rank" <= 10
-         |ORDER BY query_id, "rank"""".stripMargin,
+         |${pqRerankSql(ProductQuantization.RerankDepth)}""".stripMargin,
     // q84/q85: the identical PQ replay at the PRODUCTION operating point
     // (M=8 one-byte codes, K=256) — only the interpolated (m, k) differ
-    // from q77/q78, so the two operating points cannot drift apart.
+    // from q77/q78; model, ADC, and re-rank recipes are the same shared
+    // CTEs, so the two operating points cannot drift apart.
     "q84_ann_pq256" ->
       s"""WITH $ivfKmeansCte,
          |${pqModelCteAt(ProductQuantization.M256, ProductQuantization.K256)},
          |${pqAdcCteAt(ProductQuantization.M256)}
-         |SELECT query_id, neighbor_id, adc, "rank" FROM r WHERE "rank" <= 10
-         |ORDER BY query_id, "rank"""".stripMargin,
+         |$pqAdcSelect""".stripMargin,
     "q85_ann_pq256_rerank" ->
       s"""WITH $ivfKmeansCte,
          |${pqModelCteAt(ProductQuantization.M256, ProductQuantization.K256)},
          |${pqAdcCteAt(ProductQuantization.M256)},
-         |sl AS (SELECT query_id, neighbor_id FROM r
-         |       WHERE "rank" <= ${ProductQuantization.RerankDepth}),
-         |rr AS (SELECT s.query_id, s.neighbor_id,
-         |              round(list_cosine_similarity(q.v, n.v), 4) AS sim
-         |       FROM sl s
-         |       JOIN e q ON q.vec_id = s.query_id
-         |       JOIN e n ON n.vec_id = s.neighbor_id),
-         |r2 AS (SELECT query_id, neighbor_id, sim,
-         |              row_number() OVER (PARTITION BY query_id
-         |                ORDER BY sim DESC, neighbor_id) AS "rank"
-         |       FROM rr)
-         |SELECT query_id, neighbor_id, sim, "rank" FROM r2 WHERE "rank" <= 10
-         |ORDER BY query_id, "rank"""".stripMargin,
+         |${pqRerankSql(ProductQuantization.RerankDepth)}""".stripMargin,
     "q58_csv_source" ->
       """SELECT n_regionkey, count(*) AS nations, min(n_name) AS first_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
@@ -1175,8 +1177,11 @@ object SparkEntry {
     // q61 runs over the WIDE media fixture: byte 2i = ascii(char i),
     // byte 2i+1 = (7·ascii + 13) mod 256 (regularly > 0x7F). The oracle
     // replays the per-position byte formula — offsets are BYTE offsets
-    // (hop/window even, so parity maps each byte to its char exactly),
-    // no chars==bytes assumption anywhere.
+    // (hop/window even, so parity maps each byte to its char exactly).
+    // Precondition (documented on mediaTableWide): source text must be
+    // ASCII — DuckDB's ascii()/length() are codepoint semantics while
+    // the Scala side reads UTF-16 units mod 256, so a >0xFF char would
+    // diverge. The payload bytes themselves cover the full 0-255 range.
     "q61_audio_windows" ->
       """WITH w AS (
         |  SELECT doc_id, text, 2 * length(text) AS nb,

@@ -59,7 +59,16 @@ object MultimodalPipeline {
     * bytes — the char itself and `(7·c + 13) mod 256` (a full-range
     * mixed byte) — a deterministic formula the DuckDB oracle replays
     * per byte position, so frame offsets/lengths/digests verify against
-    * real multi-range bytes without any chars==bytes precondition. */
+    * real multi-range bytes. PRECONDITION that remains: the SOURCE text
+    * must be single-code-unit chars with codepoint ≤ 127 (this corpus
+    * is), because Scala reads UTF-16 units (`charAt(i).toInt`, byte =
+    * mod 256) while DuckDB's `ascii(substr(...))` returns the full
+    * Unicode codepoint and `length()` counts codepoints — a char >
+    * 0xFF (or any astral char, which also changes the byte count)
+    * makes the two formulas diverge and the hash gate fire. What the
+    * fixture removed is the chars==bytes assumption in the PAYLOAD
+    * (slicing runs on real >0x7F bytes); the text→byte derivation
+    * itself is still ASCII-anchored by construction. */
   def mediaTableWide(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
@@ -122,7 +131,9 @@ object MultimodalPipeline {
     * identical.
     *
     * Over the [[mediaTableWide]] fixture, so offsets and lengths are
-    * byte semantics on real >0x7F bytes — no chars==bytes precondition.
+    * byte semantics on real >0x7F bytes (the payload-side chars==bytes
+    * assumption is gone; the fixture's ASCII-source precondition is
+    * documented on [[mediaTableWide]]).
     * The fingerprint is md5 of the slice's lowercase-hex rendering (a
     * bijection of the bytes): DuckDB 1.0 has no BLOB digests, and
     * hashing the hex lets the oracle verify every sliced byte while the
@@ -179,7 +190,8 @@ object MultimodalPipeline {
     * Reads the [[mediaTableWide]] fixture: the energy sum runs over
     * full-range bytes (the mixed byte puts real mass on both sides of
     * the 128 midpoint), and the oracle replays the per-position byte
-    * formula instead of assuming chars == bytes. */
+    * formula instead of assuming chars == bytes (subject to the
+    * ASCII-source precondition documented on [[mediaTableWide]]). */
   def q61AudioWindows(spark: SparkSession, sfDir: String,
                       window: Int = 256, hop: Int = 128,
                       maxWindows: Int = 16): DataFrame = {

@@ -176,29 +176,29 @@ object EventStreams {
       .select("doc_id", "lang", "text")
     val landing = java.nio.file.Files
       .createTempDirectory("graft-stream-dedup").toString
-    docs.coalesce(1).write.mode("append").parquet(landing)
-    graft.operators.CurationPipeline.snapshotB(docs)
-      .select("doc_id", "lang", "text")
-      .coalesce(1).write.mode("append").parquet(landing)
-    val docSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("lang", StringType),
-      StructField("text", StringType)))
-    val distinctContents = s.readStream.schema(docSchema)
-      .option("maxFilesPerTrigger", 1) // one snapshot per micro-batch
-      .parquet(landing)
-      .select(md5(graft.functions.Text.normalized(col("text")))
-        .as("content_md5"))
-      .dropDuplicates("content_md5")
-    val out = runToTable(distinctContents, OutputMode.Append())
-      .orderBy("content_md5")
-    // the drain is complete and the memory sink holds the rows — the
-    // landing copy is dead weight in (often RAM-backed) tmp; remove it
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
+    // the landing copy is dead weight in (often RAM-backed) tmp once the
+    // drain ends — remove it on EVERY exit, including a failed drain
+    // (Bench's warmup swallows per-query exceptions, so a success-only
+    // cleanup would leak one corpus copy per failed pass)
+    try {
+      docs.coalesce(1).write.mode("append").parquet(landing)
+      graft.operators.CurationPipeline.snapshotB(docs)
+        .select("doc_id", "lang", "text")
+        .coalesce(1).write.mode("append").parquet(landing)
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("text", StringType)))
+      val distinctContents = s.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", 1) // one snapshot per micro-batch
+        .parquet(landing)
+        .select(md5(graft.functions.Text.normalized(col("text")))
+          .as("content_md5"))
+        .dropDuplicates("content_md5")
+      runToTable(distinctContents, OutputMode.Append())
+        .orderBy("content_md5")
+    } finally {
+      graft.GraftSession.deleteRecursively(new java.io.File(landing))
     }
-    rm(new java.io.File(landing))
-    out
   }
 
   /** Q29: the streaming twin of batch q14 — tumbling 1-hour event-time

@@ -36,12 +36,16 @@ object CurationPipeline {
     * shuffled every surviving document row — lang, text and all — on the
     * normalized-string key just to compute a min, which at 100 TB is the
     * corpus moving through one exchange. Here the corpus-wide exchange
-    * carries (xxhash64(norm), partial count) and the survivors join two
-    * dup-sized checkpointed sides in place: a doc survives iff its hash
-    * is not multi (provably unique) or it is its norm group's exact
-    * keeper. Costs one extra narrow scan+tokenize pass; buys back the
-    * full-row shuffle. */
-  private def qualityReps(raw: DataFrame): DataFrame = {
+    * carries (xxhash64(norm), partial count) and the decision attaches
+    * as ONE `left_anti` against the narrow dropped-id list: a doc
+    * survives iff it is not a non-keeper member of a multi-hash group.
+    * The wide rows never probe the dup metadata directly, so even in the
+    * non-broadcast fallback regime the corpus's text/norm columns stay
+    * out of the attach exchange (the remaining fallback movement is the
+    * survivors-on-doc_id exchange inherent to any per-doc decision at a
+    * dup rate too high to broadcast). Costs one extra narrow
+    * scan+tokenize pass; buys back the full-row shuffle. */
+  private[operators] def qualityReps(raw: DataFrame): DataFrame = {
     val scored = raw
       .select(col("doc_id"), col("lang"), col("text"),
         Text.tokens(col("text")).as("toks"))
@@ -50,15 +54,9 @@ object CurationPipeline {
         size(col("toks")).as("token_cnt"),
         TextQueries.qualityScore(col("text"), col("toks")).as("quality"))
       .where(col("quality") >= 0.5)
-    val (multiH, keepers) =
+    val (_, _, dropped) =
       DedupQueries.dupGroups(scored.select("doc_id", "norm"))
-    scored
-      .withColumn("h", DedupQueries.normHash(col("norm")))
-      .join(multiH.withColumn("in_multi", lit(1)), Seq("h"), "left")
-      .join(keepers.select(col("keep_id").as("doc_id"), lit(1).as("is_keep")),
-        Seq("doc_id"), "left")
-      .where(col("in_multi").isNull || col("is_keep").isNotNull)
-      .drop("h", "in_multi", "is_keep")
+    scored.join(dropped, Seq("doc_id"), "left_anti")
   }
 
   /** Greedy near-dedup drop list: survivors with a lower-id near-dup
@@ -453,25 +451,36 @@ object CurationPipeline {
     // a dup iff its hash group is multi AND it is not the group's exact
     // keeper. The old min-over-norm window shuffled every (source, norm,
     // counts) row on the norm string to derive the same bit.
-    val (multiH, keepers) =
+    //
+    // The WIDE path is join-free: the base per-source aggregate runs
+    // scan → partial agg with no flag joins at all; the dup and
+    // contamination counts aggregate separately over a narrow
+    // (doc_id, source) projection joined to the dup-sized id lists, and
+    // the three per-source aggregates (source-cardinality rows) merge at
+    // the end. Even with every join in shuffle fallback, the exchanges
+    // carry (doc_id, source) pairs and per-source partials — never norm
+    // or counts-wide rows.
+    val (_, _, dropped) =
       DedupQueries.dupGroups(docs.select("doc_id", "norm"))
     val contaminated = DedupQueries.contamination(spark, sfDir)
       .where(col("contaminated_shingles") >= 3)
-      .select(col("doc_id"), lit(1L).as("is_contam"))
-    docs
-      .withColumn("h", DedupQueries.normHash(col("norm")))
-      .join(multiH.withColumn("in_multi", lit(1)), Seq("h"), "left")
-      .join(keepers.select(col("keep_id").as("doc_id"), lit(1).as("is_keep")),
-        Seq("doc_id"), "left")
-      .join(contaminated, Seq("doc_id"), "left")
-      .groupBy("source")
-      .agg(
-        count(lit(1)).as("doc_cnt"),
-        sum(col("token_cnt")).as("total_tokens"),
-        sum(when(col("quality") >= 0.5, 1L).otherwise(0L)).as("quality_pass"),
-        sum(when(col("in_multi").isNotNull && col("is_keep").isNull, 1L)
-          .otherwise(0L)).as("exact_dups"),
-        sum(coalesce(col("is_contam"), lit(0L))).as("contaminated"))
+      .select("doc_id")
+    val idSource = docs.select("doc_id", "source")
+    val base = docs.groupBy("source").agg(
+      count(lit(1)).as("doc_cnt"),
+      sum(col("token_cnt")).as("total_tokens"),
+      sum(when(col("quality") >= 0.5, 1L).otherwise(0L)).as("quality_pass"))
+    val dupBySource = idSource.join(dropped, Seq("doc_id"))
+      .groupBy("source").agg(count(lit(1)).as("exact_dups"))
+    val contamBySource = idSource.join(contaminated, Seq("doc_id"))
+      .groupBy("source").agg(count(lit(1)).as("contaminated"))
+    base
+      .join(dupBySource, Seq("source"), "left")
+      .join(contamBySource, Seq("source"), "left")
+      .select(col("source"), col("doc_cnt"), col("total_tokens"),
+        col("quality_pass"),
+        coalesce(col("exact_dups"), lit(0L)).as("exact_dups"),
+        coalesce(col("contaminated"), lit(0L)).as("contaminated"))
       .orderBy("source")
   }
 }

@@ -61,43 +61,85 @@ object DedupQueries {
       .where(col("cnt") > 1)
       .select("h")
 
+  /** The dup-sized VERIFY BASE: the `(doc_id, norm)` rows belonging to
+    * multi-hash groups. The probe is bloom-prefiltered MAP-SIDE (q66's
+    * discipline, over `multiH`'s 64-bit hashes): rows that miss the
+    * bloom never reach the join, so even when the planner falls back
+    * from broadcasting `multiH` to a shuffle join — the regime the
+    * unhinted join deliberately permits — the corpus side of that
+    * exchange is bloom-hits only (dups + the FP trickle), never the
+    * corpus's norm strings. The exact join then drops the FPs.
+    * Checkpointed: [[keeperGroups]] and the dropped-id list both derive
+    * from it, and consumers would otherwise re-run the probe per use. */
+  private def verifyBase(idNorm: DataFrame, multiH: DataFrame): DataFrame =
+    bloomHits(idNorm.withColumn("h", normHash(col("norm"))), col("h"),
+        buildBloomOn(multiH, col("h")))
+      .join(multiH, Seq("h"))
+      .select("doc_id", "norm")
+      .localCheckpoint()
+
+  /** The exact VERIFY pass of narrow-key dedup: re-group the docs whose
+    * hash is in `multiH` on the real normalized string, keeping the
+    * per-norm min doc_id and group size. ONE definition — [[dupGroups]]
+    * (the curation consumers) and [[q15ExactDedup]] both rank keepers
+    * through this, so the keeper rule (tie-break, collision handling)
+    * cannot drift between q15's answer and the pipeline's dedup
+    * decisions. Input is dup-sized: the norm strings it shuffles are
+    * only the multi-hash docs'. */
+  private[graft] def keeperGroups(idNorm: DataFrame,
+                                  multiH: DataFrame): DataFrame =
+    keeperGroupsOf(verifyBase(idNorm, multiH))
+
+  private def keeperGroupsOf(base: DataFrame): DataFrame =
+    base
+      .groupBy("norm")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
+      .select("keep_id", "dup_cnt")
+
   /** Narrow-key EXACT dedup metadata over a `(doc_id, norm)` relation:
     *
     *  - `multiH`: hashes with >1 member ([[multiHashes]] — the narrow
     *    corpus-wide pass);
     *  - `keepers`: `(keep_id, dup_cnt)` — the exact per-NORM-group
-    *    min-doc_id and size among multi-hash docs. This verify pass
-    *    re-groups ONLY those docs on the real normalized string, so a
-    *    64-bit collision can never merge two distinct texts (the two
-    *    colliding singletons each come back as their own keeper); it
-    *    shuffles norm strings, but its input is dup-sized, not
-    *    corpus-sized.
+    *    min-doc_id and size among multi-hash docs ([[keeperGroups]]'s
+    *    verify pass, bloom-prefiltered via [[verifyBase]]), so a 64-bit
+    *    collision can never merge two distinct texts (the two colliding
+    *    singletons each come back as their own keeper);
+    *  - `dropped`: the doc_ids the dedup REMOVES (multi members that are
+    *    not keepers) — the decision in its narrowest form.
     *
-    * Both are dup-group-sized and localCheckpoint'd: consumers join
-    * against them two or three times, and without the checkpoint each
-    * join subtree would re-run the corpus aggregate (the q79 delta
-    * discipline). A doc is its group's representative iff its hash is
-    * absent from `multiH` (provably unique — a collision needs two rows)
-    * or its doc_id appears in `keepers`. Joins against these sides are
-    * deliberately unhinted: they are dup-sized, so AQE broadcasts them
-    * at any realistic dup rate, and at the extreme (billions of dup
-    * groups) the planner falls back to a shuffle join on the 8-byte
-    * hash rather than OOM-ing the driver.
+    * All three are dup-group-sized and localCheckpoint-backed: consumers
+    * would otherwise re-run the corpus aggregate per use (the q79 delta
+    * discipline). Consumers attach the decision by ONE `left_anti`
+    * against `dropped` — their wide rows never probe `multiH`/`keepers`
+    * directly. Joins against these sides are deliberately unhinted: they
+    * are dup-sized, so AQE broadcasts them at any realistic dup rate,
+    * and at the extreme (billions of dup groups) the planner falls back
+    * to a shuffle join — which, with the bloom-guarded probe and the
+    * narrow attach, exchanges only bloom-hit rows and 8-byte ids, never
+    * the corpus's text or norm columns (spec-pinned with broadcasts
+    * force-disabled in ScaleSpec).
     *
     * Measured trade at sf0.1 (SCALING.md "Narrow-key exact dedup"):
     * consumer shuffles narrowed ~10× (q64 1.37 → 0.08 MB) for ~0.3-0.9 s
     * of constant-factor wall cost — the eliminated term scales with the
     * corpus, the added one with dup count. */
-  private[graft] def dupGroups(idNorm: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def dupGroups(idNorm: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val multiH = multiHashes(idNorm).localCheckpoint()
-    val keepers = idNorm
-      .withColumn("h", normHash(col("norm")))
-      .join(multiH, Seq("h"))
-      .groupBy("norm")
-      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
-      .select("keep_id", "dup_cnt")
-      .localCheckpoint()
-    (multiH, keepers)
+    val base = verifyBase(idNorm, multiH)
+    val keepers = keeperGroupsOf(base).localCheckpoint()
+    // the DROPPED-id list: multi-hash members that are not their norm
+    // group's keeper — the complete per-doc dedup decision as a narrow,
+    // dup-sized relation. Consumers attach it with ONE anti-join instead
+    // of probing multiH + keepers with their wide rows, so the corpus
+    // side never carries text/norm into the attach even when the
+    // dup-sized side is too big to broadcast. Derived from the
+    // checkpointed base + keepers: no extra corpus pass.
+    val dropped = base.select("doc_id")
+      .join(keepers.select(col("keep_id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+    (multiH, keepers, dropped)
   }
 
   /** Q15: exact dedup on normalized text; keep the smallest doc_id per
@@ -113,12 +155,7 @@ object DedupQueries {
       .select(col("doc_id"), Text.normalized(col("text")).as("norm"))
     val groups = hashGroups(idNorm).localCheckpoint()
     val multiH = groups.where(col("cnt") > 1).select("h")
-    val keepers = idNorm
-      .withColumn("h", normHash(col("norm")))
-      .join(multiH, Seq("h"))
-      .groupBy("norm")
-      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
-      .select("keep_id", "dup_cnt")
+    val keepers = keeperGroups(idNorm, multiH)
     groups.where(col("cnt") === 1)
       .select(col("min_id").as("keep_id"), lit(1L).as("dup_cnt"))
       .unionByName(keepers)
@@ -349,11 +386,11 @@ object DedupQueries {
     * every doc starts labeled with its own id; each round every node
     * takes the min label in its closed neighborhood; fixed point = each
     * component labeled by its smallest doc_id. Each round is one join +
-    * one aggregate (all shuffles on doc_id); rounds needed = graph
-    * diameter, checked by a driver-side convergence loop — the same
-    * frontier pattern GraphX/GraphFrames CC uses. Dup groups are tiny
-    * cliques (diameter ≤ 2 here), so this converges in 2-3 rounds; the
-    * cap bounds adversarial chains. */
+    * one aggregate plus a pointer-jump self-join (all shuffles on
+    * doc_id); rounds needed = O(log diameter) — see
+    * [[propagateMinLabels]]. Dup groups are tiny cliques (diameter ≤ 2
+    * here), so this converges in 2-3 rounds; the cap bounds adversarial
+    * chains. */
   private def computeClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val near = q18MinhashLsh(spark, sfDir)
       .where(col("est_jaccard") >= 0.5)
@@ -372,19 +409,37 @@ object DedupQueries {
         col("doc_id_1").as("doc_id_2")))
       .distinct()
       .localCheckpoint() // sever lineage: edges feed every iteration
-    propagateMinLabels(edges, maxRounds = 20)
+    // 64 rounds with pointer jumping covers diameter ~2^64: no graph
+    // addressable by 64-bit doc_ids can hit the cap — the hard-throw
+    // contract stays, but only a convergence BUG can now trigger it
+    propagateMinLabels(edges, maxRounds = 64)
       .select(col("doc_id"), col("label").as("cluster"))
   }
 
   /** Min-label propagation to a FIXED POINT over a symmetric
-    * `(doc_id_1, doc_id_2)` edge relation; rounds needed = graph
-    * diameter. Non-convergence within `maxRounds` is a hard error, not a
-    * warning: a partially-propagated labeling silently keeps duplicate
-    * representatives (two labels for one component), and every q42
-    * consumer — the q71 split assignment above all — would treat it as
-    * truth. A corpus whose dup graph has a 20+ diameter (adversarial
-    * near-dup chains) must raise the cap deliberately, not ship a wrong
-    * answer. */
+    * `(doc_id_1, doc_id_2)` edge relation, with POINTER JUMPING: each
+    * round first takes the min label over every node's closed
+    * neighborhood (one join + one aggregate), then path-halves — each
+    * node adopts its label node's label (`label ← label(label)`, one
+    * self-join). Labels are monotone non-increasing and always ids of
+    * component members (label(u) ≤ u from round one), so the jump is
+    * safe, and it compounds: the jump target's label has itself advanced
+    * this round, so the distance-to-minimum roughly DOUBLES per round —
+    * rounds needed = O(log diameter), not diameter (the Shiloach-Vishkin
+    * shortcut; GraphFrames' big-star/small-star CC uses the same idea).
+    * Dup groups are tiny cliques (diameter ≤ 2 here) converging in 2-3
+    * rounds either way; the log bound is for adversarial near-dup CHAINS
+    * (each doc an edit of the last), where a cap of 64 covers any
+    * component addressable by 64-bit ids.
+    *
+    * Convergence detection stays sound: both steps only ever lower
+    * labels, so a no-change round is in particular a propagation fixed
+    * point, where labels are constant per component and equal to the
+    * component minimum. Non-convergence within `maxRounds` is a hard
+    * error, not a warning: a partially-propagated labeling silently
+    * keeps duplicate representatives (two labels for one component), and
+    * every q42 consumer — the q71 split assignment above all — would
+    * treat it as truth. */
   private[graft] def propagateMinLabels(edges: DataFrame,
                                         maxRounds: Int): DataFrame = {
     var labels = edges.select(col("doc_id_1").as("doc_id"))
@@ -392,13 +447,20 @@ object DedupQueries {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
-      val next = labels
+      val prop = labels
         .join(edges, col("doc_id") === col("doc_id_1"), "left")
         .join(labels.select(col("doc_id").as("doc_id_2"),
           col("label").as("nbr_label")), Seq("doc_id_2"), "left")
         .groupBy("doc_id")
         .agg(least(min(col("label")), coalesce(min(col("nbr_label")),
           min(col("label")))).as("label"))
+        .localCheckpoint() // read twice below (jump self-join)
+      val next = prop
+        .join(prop.select(col("doc_id").as("jump_id"),
+          col("label").as("jump_label")),
+          col("label") === col("jump_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("jump_label"), col("label")).as("label"))
         .localCheckpoint() // iterative: keep the plan from growing
       changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .where(col("label") =!= col("old")).count()
@@ -409,7 +471,7 @@ object DedupQueries {
       throw new IllegalStateException(
         s"label propagation not converged after $rounds rounds " +
           s"($changed labels still moving): the dup graph has a component " +
-          s"with diameter > $maxRounds; raise the round cap to cover it")
+          s"with diameter > ~2^$maxRounds; raise the round cap to cover it")
     labels
   }
 
@@ -565,16 +627,7 @@ object DedupQueries {
     val corpusSh = sh.where(col("doc_id") % 20 =!= 0)
     val benchSh = sh.where(col("doc_id") % 20 === 0)
       .select("s").distinct()
-    val bloom = typedlit(buildBloom(benchSh))
-    // SQL-string probe: the DSL's shiftleft only takes a constant shift
-    def hit(p: String) = expr(
-      s"(element_at(bloom, int($p div 64) + 1) & shiftleft(1L, int($p % 64))) != 0L")
-    val positions = bloomPositions(col("s"))
-    corpusSh
-      .withColumn("bloom", bloom)
-      .withColumn("p1", positions.head).withColumn("p2", positions(1))
-      .where(hit("p1") && hit("p2"))
-      .drop("bloom", "p1", "p2")
+    bloomHits(corpusSh, col("s"), buildBloom(benchSh))
       .join(benchSh, Seq("s"), "left_semi") // exact verify: drops bloom FPs
       .groupBy("doc_id")
       .agg(count(lit(1)).as("contaminated_shingles"))
@@ -584,13 +637,36 @@ object DedupQueries {
   /** Build the bloom word array from a key column: explode each key's bit
     * positions, OR the masks per word DISTRIBUTED (one tiny aggregate),
     * collect ≤ [[BloomWords]] rows. Public for the FP-rate spec. */
-  def buildBloom(keys: DataFrame): Seq[Long] = {
+  def buildBloom(keys: DataFrame): Seq[Long] = buildBloomOn(keys, col("s"))
+
+  /** [[buildBloom]] over an arbitrary key expression — non-string keys
+    * (the dedup hashes) go through their canonical decimal rendering, so
+    * driver-side probes ([[bloomMightContain]]) see the same bytes. */
+  private[graft] def buildBloomOn(keys: DataFrame, key: Column): Seq[Long] = {
     val byWord = keys
-      .select(explode(array(bloomPositions(col("s")): _*)).as("p"))
+      .select(explode(array(bloomPositions(key.cast("string")): _*)).as("p"))
       .groupBy((col("p") / 64).cast("int").as("w"))
       .agg(expr("bit_or(shiftleft(1L, int(p % 64)))").as("bits"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     Seq.tabulate(BloomWords)(i => byWord.getOrElse(i, 0L))
+  }
+
+  /** Map-side bloom route: rows of `df` whose `key` MIGHT be in the
+    * filter — two bit probes per row against a [[BloomWords]]-long
+    * literal, zero exchange; the consumer's exact join removes false
+    * positives. One definition for q66's shingle prefilter and the
+    * dedup verify probe. */
+  private[graft] def bloomHits(df: DataFrame, key: Column,
+                               words: Seq[Long]): DataFrame = {
+    // SQL-string probe: the DSL's shiftleft only takes a constant shift
+    def hit(p: String) = expr(
+      s"(element_at(graft_bloom, int($p div 64) + 1) & shiftleft(1L, int($p % 64))) != 0L")
+    val positions = bloomPositions(key.cast("string"))
+    df.withColumn("graft_bloom", typedlit(words))
+      .withColumn("graft_p1", positions.head)
+      .withColumn("graft_p2", positions(1))
+      .where(hit("graft_p1") && hit("graft_p2"))
+      .drop("graft_bloom", "graft_p1", "graft_p2")
   }
 
   /** Membership probe against a driver-held bloom array — the spec-side

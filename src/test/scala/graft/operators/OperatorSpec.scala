@@ -171,28 +171,34 @@ class OperatorSpec extends SparkSpec {
     // one row per distinct norm-hash; counts and min ids are exact
     assert(groups.length === 4)
     assert(groups.map(_._2).sorted.toSeq === Seq(1L, 1L, 2L, 3L))
-    val (multiH, keepers) = DedupQueries.dupGroups(idNorm)
+    val (multiH, keepers, dropped) = DedupQueries.dupGroups(idNorm)
     assert(multiH.count() === 2)
     val keep = keepers.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(keep === Map(10L -> 3L, 20L -> 2L),
       "multi groups keep min doc_id with exact group size")
+    // the narrow decision list: exactly the non-keeper members
+    assert(dropped.collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(11L, 12L, 21L),
+      "dropped = multi members minus keepers, nothing else")
   }
 
-  test("label propagation converges on a long chain; past the cap it THROWS") {
+  test("label propagation: log-rounds on a long chain; past the cap it THROWS") {
     import spark.implicits._
-    // a path graph 0-1-2-...-11: diameter 11, min label needs ~11 rounds
-    // to walk the chain. Symmetric edge list, as computeClusters feeds it.
-    val chain = (0L until 11L).map(i => (i, i + 1))
+    // a path graph 0-1-...-120: diameter 120. Linear propagation needs
+    // ~120 rounds; pointer jumping must land it within 10 (2^10 ≫ 120) —
+    // this cap IS the pin that rounds scale with log(diameter), not
+    // diameter. Symmetric edge list, as computeClusters feeds it.
+    val chain = (0L until 120L).map(i => (i, i + 1))
     val edges = (chain ++ chain.map(_.swap))
       .toDF("doc_id_1", "doc_id_2").localCheckpoint()
-    val ok = DedupQueries.propagateMinLabels(edges, maxRounds = 15)
+    val ok = DedupQueries.propagateMinLabels(edges, maxRounds = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(ok.length === 12)
+    assert(ok.length === 121)
     assert(ok.forall(_._2 === 0L), "one component, all labeled by the min id")
-    // an adversarial chain longer than the cap must be a hard error, not
-    // a silently-wrong labeling with duplicate representatives
+    // a chain deeper than the round budget reaches must be a hard error,
+    // not a silently-wrong labeling with duplicate representatives
     val e = intercept[IllegalStateException] {
-      DedupQueries.propagateMinLabels(edges, maxRounds = 3)
+      DedupQueries.propagateMinLabels(edges, maxRounds = 2)
     }
     assert(e.getMessage.contains("not converged"))
     assert(e.getMessage.contains("diameter"))

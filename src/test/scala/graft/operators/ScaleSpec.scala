@@ -75,11 +75,7 @@ class ScaleSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val dir = new java.io.File(
         spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      if (dir.exists) rm(dir)
+      if (dir.exists) graft.GraftSession.deleteRecursively(dir)
     }
     Tables.orders(spark, sfDir)
       .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
@@ -439,6 +435,80 @@ class ScaleSpec extends SparkSpec {
         assert(!names.contains("text"),
           s"$name shuffles the raw text column: $names")
       }
+    }
+  }
+
+  test("dedup verify probe is bloom-guarded; forced non-broadcast regime stays narrow") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def exchanges(df: org.apache.spark.sql.DataFrame): Seq[ShuffleExchangeLike] = {
+      def walk(p: SparkPlan): Seq[ShuffleExchangeLike] = {
+        val here = p match { case e: ShuffleExchangeLike => Seq(e); case _ => Nil }
+        val below = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        here ++ below.flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+
+    // 1. the bloom prefilter on the verify probe is pure map-side: no
+    //    exchange anywhere in its plan — the rows it REMOVES are removed
+    //    before any wire, which is the whole point
+    val idNorm = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.Text.normalized(col("text")).as("norm"))
+    val multiH = DedupQueries.multiHashes(idNorm).localCheckpoint()
+    val probed = DedupQueries.bloomHits(
+      idNorm.withColumn("h", DedupQueries.normHash(col("norm"))),
+      col("h"), DedupQueries.buildBloomOn(multiH, col("h")))
+    assert(shuffleOutputs(probed).isEmpty,
+      "bloom prefilter must add no exchange")
+    // selectivity: what survives to the verify join is dups + the FP
+    // trickle, never the corpus (this corpus has ~no exact dups, so the
+    // probe must reject essentially everything)
+    val docs = idNorm.count()
+    val members = probed.join(multiH, Seq("h")).count()
+    assert(probed.count() <= members + math.max(10L, docs / 20),
+      s"bloom passed more than dups + FP trickle: ${probed.count()} of $docs")
+
+    // 2. broadcasts force-disabled: every dup-metadata join falls back to
+    //    its shuffle form — results must be IDENTICAL and the visible
+    //    exchanges must never carry text, with norm crossing only in
+    //    dup-sized row counts
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val q15Stress = DedupQueries.q15ExactDedup(s2, sfDir)
+    val q15Rows = q15Stress.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val q15Expect = DedupQueries.q15ExactDedup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(q15Rows.toSeq === q15Expect.toSeq,
+      "q15 must not change answers when broadcasts are disabled")
+    val repsStress = CurationPipeline.qualityReps(Tables.documents(s2, sfDir))
+      .select("doc_id", "token_cnt", "quality") // the q50 consumer shape
+    val repsRows = repsStress.collect().map(_.getLong(0)).sorted
+    val repsExpect = CurationPipeline.qualityReps(Tables.documents(spark, sfDir))
+      .select("doc_id", "token_cnt", "quality")
+      .collect().map(_.getLong(0)).sorted
+    assert(repsRows.toSeq === repsExpect.toSeq,
+      "qualityReps must not change answers when broadcasts are disabled")
+    Seq("q15" -> q15Stress, "qualityReps" -> repsStress).foreach {
+      case (name, df) =>
+        exchanges(df).foreach { e =>
+          val names = e.output.map(_.name)
+          assert(!names.contains("text"),
+            s"$name under forced fallback shuffles text: $names")
+          if (names.contains("norm")) {
+            val written = e.metrics.get("shuffleRecordsWritten")
+              .map(_.value).getOrElse(0L)
+            assert(written <= members + math.max(10L, docs / 20),
+              s"$name norm exchange moved $written rows (corpus is $docs)")
+          }
+        }
     }
   }
 

@@ -382,18 +382,18 @@ class ScaleSpec extends SparkSpec {
     assert(df.collect().toSeq === windowed.orderBy("lang", "rk").collect().toSeq)
   }
 
-  /** Every shuffle exchange in an EXECUTED plan, descending through AQE
-    * stage boundaries (AdaptiveSparkPlanExec / QueryStageExec are
+  /** Every shuffle exchange node in an EXECUTED plan, descending through
+    * AQE stage boundaries (AdaptiveSparkPlanExec / QueryStageExec are
     * leaf-like: plain collect stops at them). */
-  private def shuffleOutputs(
-      df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+  private def shuffleNodes(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
-    def walk(p: SparkPlan): Seq[Seq[String]] = {
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
       val here = p match {
-        case e: ShuffleExchangeLike => Seq(e.output.map(_.name))
-        case r: ReusedExchangeExec => Seq(r.output.map(_.name))
+        case e: ShuffleExchangeLike => Seq(e)
+        case r: ReusedExchangeExec => Seq(r)
         case _ => Nil
       }
       val below = p match {
@@ -406,6 +406,11 @@ class ScaleSpec extends SparkSpec {
     df.collect() // finalize the adaptive plan before reading it
     walk(df.queryExecution.executedPlan)
   }
+
+  /** [[shuffleNodes]], reduced to each exchange's output column names. */
+  private def shuffleOutputs(
+      df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+    shuffleNodes(df).map(_.output.map(_.name))
 
   test("exact dedup: the corpus-wide exchange carries the 64-bit hash, not text") {
     // the narrow-key dedup's one full-corpus exchange is the multi-hash
@@ -424,36 +429,28 @@ class ScaleSpec extends SparkSpec {
       assert(!names.exists(n => n.contains("text") || n.contains("norm")),
         s"corpus-wide dedup exchange must carry only the hash: $names")
     }
+    // q15's visible plan still aggregates the dup-sized verify base on
+    // norm; q50/q67 consume only the narrow dropped-id list, so their
+    // visible plans must not move norm strings through ANY exchange
     Seq(
-      "q15" -> DedupQueries.q15ExactDedup(spark, sfDir),
-      "q50" -> CurationPipeline.q50CorpusCuration(spark, sfDir),
-      "q67" -> CurationPipeline.q67SourceReport(spark, sfDir)
-    ).foreach { case (name, df) =>
+      ("q15", DedupQueries.q15ExactDedup(spark, sfDir), true),
+      ("q50", CurationPipeline.q50CorpusCuration(spark, sfDir), false),
+      ("q67", CurationPipeline.q67SourceReport(spark, sfDir), false)
+    ).foreach { case (name, df, normAllowed) =>
       assert(!df.queryExecution.executedPlan.toString.contains("Window"),
         s"$name must not derive the dedup min through a window")
       shuffleOutputs(df).foreach { names =>
         assert(!names.contains("text"),
           s"$name shuffles the raw text column: $names")
+        if (!normAllowed)
+          assert(!names.contains("norm"),
+            s"$name shuffles the norm column: $names")
       }
     }
   }
 
   test("dedup verify probe is bloom-guarded; forced non-broadcast regime stays narrow") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    def exchanges(df: org.apache.spark.sql.DataFrame): Seq[ShuffleExchangeLike] = {
-      def walk(p: SparkPlan): Seq[ShuffleExchangeLike] = {
-        val here = p match { case e: ShuffleExchangeLike => Seq(e); case _ => Nil }
-        val below = p match {
-          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-          case q: QueryStageExec => Seq(q.plan)
-          case other => other.children
-        }
-        here ++ below.flatMap(walk)
-      }
-      walk(df.queryExecution.executedPlan)
-    }
 
     // 1. the bloom prefilter on the verify probe is pure map-side: no
     //    exchange anywhere in its plan — the rows it REMOVES are removed
@@ -498,13 +495,16 @@ class ScaleSpec extends SparkSpec {
       "qualityReps must not change answers when broadcasts are disabled")
     Seq("q15" -> q15Stress, "qualityReps" -> repsStress).foreach {
       case (name, df) =>
-        exchanges(df).foreach { e =>
+        shuffleNodes(df).foreach { e =>
           val names = e.output.map(_.name)
           assert(!names.contains("text"),
             s"$name under forced fallback shuffles text: $names")
           if (names.contains("norm")) {
-            val written = e.metrics.get("shuffleRecordsWritten")
-              .map(_.value).getOrElse(0L)
+            val written = e match {
+              case s: ShuffleExchangeLike => s.metrics
+                .get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+              case _ => 0L // reused exchange: counted at its original
+            }
             assert(written <= members + math.max(10L, docs / 20),
               s"$name norm exchange moved $written rows (corpus is $docs)")
           }

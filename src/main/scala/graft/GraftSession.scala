@@ -27,7 +27,6 @@ object GraftSession {
     * dead — crashed runs are reclaimed by the next one instead of
     * accumulating a full artifact-table set each in tmpfs. */
   private lazy val warehouseDir: String = {
-    def rm(f: java.io.File): Unit = deleteRecursively(f)
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val prefix = "graft-warehouse-"
     Option(tmp.listFiles()).getOrElse(Array.empty)
@@ -38,11 +37,12 @@ object GraftSession {
         // else's dir — leave it alone
         val deadOwner = f.getName.stripPrefix(prefix).toLongOption
           .exists(pid => !java.lang.ProcessHandle.of(pid).isPresent)
-        if (deadOwner) rm(f)
+        if (deadOwner) deleteRecursively(f)
       }
     val dir = tmp.getPath + "/" + prefix +
       java.lang.ProcessHandle.current().pid()
-    Runtime.getRuntime.addShutdownHook(new Thread(() => rm(new java.io.File(dir))))
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => deleteRecursively(new java.io.File(dir))))
     dir
   }
 

@@ -73,7 +73,7 @@ object DedupQueries {
     * from it, and consumers would otherwise re-run the probe per use. */
   private def verifyBase(idNorm: DataFrame, multiH: DataFrame): DataFrame =
     bloomHits(idNorm.withColumn("h", normHash(col("norm"))), col("h"),
-        buildBloomOn(multiH, col("h")))
+        buildBloomOn(multiH, col("h"), bloomBitsFor(multiH.count())))
       .join(multiH, Seq("h"))
       .select("doc_id", "norm")
       .localCheckpoint()
@@ -139,6 +139,7 @@ object DedupQueries {
     val dropped = base.select("doc_id")
       .join(keepers.select(col("keep_id").as("doc_id")),
         Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     (multiH, keepers, dropped)
   }
 
@@ -593,19 +594,34 @@ object DedupQueries {
       .where(col("hamming") <= 3)
       .orderBy("doc_id_1", "doc_id_2")
 
-  /** Bloom filter size for q66 in bits (2^16 bits = 1024 longs = 8 KB);
+  /** Default bloom filter size in bits (2^16 bits = 1024 longs = 8 KB);
     * two md5-derived hash positions per key. FP rate at n keys ≈
-    * (1 - e^(-2n/m))^2 — ~2% at n = 5k. Fixed size keeps the filter
-    * deterministic; production sizes m from the observed key count. */
+    * (1 - e^(-2n/m))^2 — ~2% at n = 5k. q66 keeps this fixed size (its
+    * benchmark-shingle key count is eval-set-bounded); the dedup verify
+    * guard sizes up from the observed key count via [[bloomBitsFor]]. */
   val BloomBits = 1 << 16
-  private val BloomWords = BloomBits / 64
+
+  /** Filter size for `n` observed keys: the power of two ≥ 8·n bits
+    * (~2.5% FP at two hashes), clamped to [[BloomBits]] .. 2^24. The cap
+    * bounds the task-binary literal at 2 MB; past ~2M keys the filter
+    * degrades gracefully — it passes MORE rows to the exact verify join
+    * (never a wrong answer), and at that dup cardinality the guarded
+    * side is cluster-scale anyway. Sized from a count, not a config, so
+    * the same corpus always builds the same filter. */
+  private[graft] def bloomBitsFor(n: Long): Int = {
+    val want = math.max(BloomBits.toLong, 8L * n)
+    val pow2 = java.lang.Long.highestOneBit(want)
+    val bits = if (pow2 == want) pow2 else pow2 << 1
+    math.min(bits, 1L << 24).toInt
+  }
 
   /** The two bloom bit positions of a key: independent 32-bit chunks of
-    * one md5, reduced mod [[BloomBits]] — one hash evaluation per key,
-    * same trick as the MinHash family, and bit-reproducible by any
-    * engine with md5. */
-  private def bloomPositions(s: Column): Seq[Column] = Seq(1, 9).map(off =>
-    conv(substring(md5(s), off, 8), 16, 10).cast("long") % BloomBits)
+    * one md5, reduced mod `bits` — one hash evaluation per key, same
+    * trick as the MinHash family, and bit-reproducible by any engine
+    * with md5. */
+  private def bloomPositions(s: Column, bits: Int): Seq[Column] =
+    Seq(1, 9).map(off =>
+      conv(substring(md5(s), off, 8), 16, 10).cast("long") % bits)
 
   /** Q66: BLOOM-PREFILTERED decontamination — q52 rebuilt for the regime
     * where the eval-set shingle table is too big to hash-join cheaply
@@ -636,32 +652,37 @@ object DedupQueries {
 
   /** Build the bloom word array from a key column: explode each key's bit
     * positions, OR the masks per word DISTRIBUTED (one tiny aggregate),
-    * collect ≤ [[BloomWords]] rows. Public for the FP-rate spec. */
-  def buildBloom(keys: DataFrame): Seq[Long] = buildBloomOn(keys, col("s"))
+    * collect ≤ bits/64 rows. Public for the FP-rate spec. */
+  def buildBloom(keys: DataFrame): Seq[Long] =
+    buildBloomOn(keys, col("s"), BloomBits)
 
-  /** [[buildBloom]] over an arbitrary key expression — non-string keys
-    * (the dedup hashes) go through their canonical decimal rendering, so
-    * driver-side probes ([[bloomMightContain]]) see the same bytes. */
-  private[graft] def buildBloomOn(keys: DataFrame, key: Column): Seq[Long] = {
+  /** [[buildBloom]] over an arbitrary key expression and filter size —
+    * non-string keys (the dedup hashes) go through their canonical
+    * decimal rendering, so driver-side probes ([[bloomMightContain]])
+    * see the same bytes. */
+  private[graft] def buildBloomOn(keys: DataFrame, key: Column,
+                                  bits: Int): Seq[Long] = {
     val byWord = keys
-      .select(explode(array(bloomPositions(key.cast("string")): _*)).as("p"))
+      .select(explode(array(bloomPositions(key.cast("string"), bits): _*))
+        .as("p"))
       .groupBy((col("p") / 64).cast("int").as("w"))
       .agg(expr("bit_or(shiftleft(1L, int(p % 64)))").as("bits"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    Seq.tabulate(BloomWords)(i => byWord.getOrElse(i, 0L))
+    Seq.tabulate(bits / 64)(i => byWord.getOrElse(i, 0L))
   }
 
   /** Map-side bloom route: rows of `df` whose `key` MIGHT be in the
-    * filter — two bit probes per row against a [[BloomWords]]-long
-    * literal, zero exchange; the consumer's exact join removes false
-    * positives. One definition for q66's shingle prefilter and the
-    * dedup verify probe. */
+    * filter — two bit probes per row against the word-array literal,
+    * zero exchange; the consumer's exact join removes false positives.
+    * The filter size rides in the array itself (`words.length · 64`), so
+    * the probe can never disagree with the build. One definition for
+    * q66's shingle prefilter and the dedup verify probe. */
   private[graft] def bloomHits(df: DataFrame, key: Column,
                                words: Seq[Long]): DataFrame = {
     // SQL-string probe: the DSL's shiftleft only takes a constant shift
     def hit(p: String) = expr(
       s"(element_at(graft_bloom, int($p div 64) + 1) & shiftleft(1L, int($p % 64))) != 0L")
-    val positions = bloomPositions(key.cast("string"))
+    val positions = bloomPositions(key.cast("string"), words.length * 64)
     df.withColumn("graft_bloom", typedlit(words))
       .withColumn("graft_p1", positions.head)
       .withColumn("graft_p2", positions(1))
@@ -670,13 +691,15 @@ object DedupQueries {
   }
 
   /** Membership probe against a driver-held bloom array — the spec-side
-    * twin of the column expression in [[q66BloomDecontaminate]]. */
+    * twin of the column expression in [[bloomHits]]; the filter size is
+    * read off the array, mirroring the probe. */
   def bloomMightContain(words: Seq[Long], key: String): Boolean = {
+    val bits = words.length * 64
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
     Seq(0, 8).forall { off =>
       val p = (java.lang.Long.parseLong(hex.substring(off, off + 8), 16)
-        % BloomBits).toInt
+        % bits).toInt
       (words(p / 64) & (1L << (p % 64))) != 0
     }
   }

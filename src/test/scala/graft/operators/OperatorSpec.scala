@@ -608,6 +608,17 @@ class OperatorSpec extends SparkSpec {
       s"fp rate ${fps.toDouble / probes} vs analytic $analytic")
   }
 
+  test("bloom sizing: power of two ≥ 8 bits/key, clamped to 8 KB .. 2 MB") {
+    // the dedup verify guard sizes its filter from the observed
+    // multi-hash count; the clamp keeps the literal bounded and the
+    // floor keeps tiny corpora on the spec'd default
+    assert(DedupQueries.bloomBitsFor(0) === DedupQueries.BloomBits)
+    assert(DedupQueries.bloomBitsFor(8192) === DedupQueries.BloomBits)
+    assert(DedupQueries.bloomBitsFor(8193) === DedupQueries.BloomBits * 2)
+    assert(DedupQueries.bloomBitsFor(1000000) === (1 << 23))
+    assert(DedupQueries.bloomBitsFor(1L << 40) === (1 << 24))
+  }
+
   test("q67 per-source counts reconcile with the corpus-wide primitives") {
     val rep = CurationPipeline.q67SourceReport(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir)

@@ -461,7 +461,8 @@ class ScaleSpec extends SparkSpec {
     val multiH = DedupQueries.multiHashes(idNorm).localCheckpoint()
     val probed = DedupQueries.bloomHits(
       idNorm.withColumn("h", DedupQueries.normHash(col("norm"))),
-      col("h"), DedupQueries.buildBloomOn(multiH, col("h")))
+      col("h"), DedupQueries.buildBloomOn(multiH, col("h"),
+        DedupQueries.bloomBitsFor(multiH.count())))
     assert(shuffleOutputs(probed).isEmpty,
       "bloom prefilter must add no exchange")
     // selectivity: what survives to the verify join is dups + the FP
@@ -469,8 +470,9 @@ class ScaleSpec extends SparkSpec {
     // probe must reject essentially everything)
     val docs = idNorm.count()
     val members = probed.join(multiH, Seq("h")).count()
-    assert(probed.count() <= members + math.max(10L, docs / 20),
-      s"bloom passed more than dups + FP trickle: ${probed.count()} of $docs")
+    val hits = probed.count()
+    assert(hits <= members + math.max(10L, docs / 20),
+      s"bloom passed more than dups + FP trickle: $hits of $docs")
 
     // 2. broadcasts force-disabled: every dup-metadata join falls back to
     //    its shuffle form — results must be IDENTICAL and the visible

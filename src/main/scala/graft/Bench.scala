@@ -27,10 +27,12 @@ object Bench {
     // exactly the production shape.
     val tArt = System.nanoTime()
     val artifactsSec = scala.util.Try {
+      operators.TextQueries.docFeatures(spark, sfDir).count()
       operators.DedupQueries.shingles(spark, sfDir).count()
       operators.DedupQueries.signatures(spark, sfDir).count()
       operators.DedupQueries.contamination(spark, sfDir).count()
       operators.DedupQueries.clusterLabels(spark, sfDir).count()
+      operators.CurationPipeline.prewarmDedupMeta(spark, sfDir)
       operators.CurationPipeline.curatedHandoff(spark, sfDir).count()
       // driver-held index models (IVF codebooks, PQ sub-codebooks) and
       // the PQ-coded index table — trained/written once per session;

@@ -25,14 +25,38 @@ import graft.functions.Text
   */
 object CurationPipeline {
 
+  /** The quality gate shared by every curation stage (q24's score ≥ 0.5)
+    * — ONE tree, because [[DedupQueries.dupGroupsFromFeatures]] keys its
+    * session cache on the predicate's SQL rendering: all consumers
+    * building the gate from this val share one metadata derivation. */
+  private[graft] val QualityGate: Column = col("quality") >= 0.5
+
+  /** q64/q52's benchmark split: doc_id % 20 == 0 is the eval set. */
+  private[graft] val BenchmarkSplit: Column = col("doc_id") % 20 =!= 0
+
+  /** The dedup-metadata predicate for a quality-gated front over
+    * `docPred` — the canonical tree for cache sharing. */
+  private def repsPred(docPred: Column): Column = docPred && QualityGate
+
+  /** Touch the dedup-metadata trios every shipped consumer reads (q15/
+    * q67 raw, q50 gated, q64 split+gated), so a prewarming caller
+    * (Bench's artifact phase) pays the derivation once under the
+    * artifact accounting and per-query numbers show consumer cost. */
+  def prewarmDedupMeta(spark: SparkSession, sfDir: String): Unit = {
+    DedupQueries.dupGroupsFromFeatures(spark, sfDir)
+    DedupQueries.dupGroupsFromFeatures(spark, sfDir, repsPred(lit(true)))
+    DedupQueries.dupGroupsFromFeatures(spark, sfDir, repsPred(BenchmarkSplit))
+    ()
+  }
+
   /** Quality gate + exact-dup representative — ONE definition of the
     * shared front of q50 and q64 (q24's score ≥ 0.5, then q15's
     * min-doc_id-per-norm rule), so the two pipelines cannot drift.
     * Carries lang/text through for q64's later stages; consumers that
     * don't select them get them pruned from the scan for free.
     *
-    * The dedup rule rides [[DedupQueries.dupGroups]]'s narrow-key
-    * metadata, not a min-over-norm window: the window formulation
+    * The dedup rule rides [[DedupQueries.dupGroupsFromFeatures]]'s
+    * narrow-key metadata, not a min-over-norm window: the window formulation
     * shuffled every surviving document row — lang, text and all — on the
     * normalized-string key just to compute a min, which at 100 TB is the
     * corpus moving through one exchange. Here the corpus-wide exchange
@@ -43,19 +67,28 @@ object CurationPipeline {
     * non-broadcast fallback regime the corpus's text/norm columns stay
     * out of the attach exchange (the remaining fallback movement is the
     * survivors-on-doc_id exchange inherent to any per-doc decision at a
-    * dup rate too high to broadcast). Costs one extra narrow
-    * scan+tokenize pass; buys back the full-row shuffle. */
-  private[operators] def qualityReps(raw: DataFrame): DataFrame = {
-    val scored = raw
+    * dup rate too high to broadcast).
+    *
+    * The metadata derives from the [[TextQueries.docFeatures]] artifact
+    * (`docPred` + the quality gate select the same survivor set there —
+    * quality/token_cnt are written by the same expressions this scan
+    * computes, and a double roundtrips parquet exactly), so this plan
+    * tokenizes the corpus exactly ONCE — the visible scan below; the
+    * dedup passes read fixed-width artifact columns. `docPred` is the
+    * caller's corpus restriction (q64's benchmark split), a predicate
+    * on columns present in both `documents` and the artifact. */
+  private[operators] def qualityReps(spark: SparkSession, sfDir: String,
+                                     docPred: Column = lit(true)): DataFrame = {
+    val scored = Tables.documents(spark, sfDir)
+      .where(docPred)
       .select(col("doc_id"), col("lang"), col("text"),
         Text.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("lang"), col("text"),
-        Text.normalized(col("text")).as("norm"),
         size(col("toks")).as("token_cnt"),
         TextQueries.qualityScore(col("text"), col("toks")).as("quality"))
-      .where(col("quality") >= 0.5)
-    val (_, _, dropped) =
-      DedupQueries.dupGroups(scored.select("doc_id", "norm"))
+      .where(QualityGate)
+    val (_, _, dropped) = DedupQueries.dupGroupsFromFeatures(
+      spark, sfDir, repsPred(docPred))
     scored.join(dropped, Seq("doc_id"), "left_anti")
   }
 
@@ -71,7 +104,7 @@ object CurationPipeline {
 
   /** Q50: the surviving corpus with its quality metadata. */
   def q50CorpusCuration(spark: SparkSession, sfDir: String): DataFrame = {
-    val reps = qualityReps(Tables.documents(spark, sfDir))
+    val reps = qualityReps(spark, sfDir)
       .select("doc_id", "token_cnt", "quality")
     reps.join(nearDropped(spark, sfDir, reps), Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
@@ -101,7 +134,7 @@ object CurationPipeline {
     * doc_id. */
   def q64CurationV2(spark: SparkSession, sfDir: String): DataFrame = {
     val reps = qualityReps( // stages 1-3: corpus split, quality, exact dedup
-      Tables.documents(spark, sfDir).where(col("doc_id") % 20 =!= 0))
+      spark, sfDir, BenchmarkSplit)
     val contaminated = DedupQueries.contamination(spark, sfDir) // stage 5
       .where(col("contaminated_shingles") >= 3)
       .select("doc_id")
@@ -439,18 +472,18 @@ object CurationPipeline {
       .orderBy("doc_id")
 
   def q67SourceReport(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"), col("text"),
-        Text.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("source"),
-        Text.normalized(col("text")).as("norm"),
-        size(col("toks")).as("token_cnt"),
-        TextQueries.qualityScore(col("text"), col("toks")).as("quality"))
-    // dup flag from the narrow-key metadata (qualityReps' discipline,
-    // minus the quality filter — q67 reports dups corpus-wide): a doc is
-    // a dup iff its hash group is multi AND it is not the group's exact
-    // keeper. The old min-over-norm window shuffled every (source, norm,
-    // counts) row on the norm string to derive the same bit.
+    val docs = TextQueries.docFeatures(spark, sfDir)
+      .select("doc_id", "source", "token_cnt", "quality")
+    // Every number in this report is a per-doc scalar the docFeatures
+    // artifact already holds, so the whole query is metadata work —
+    // fixed-width artifact scans and source-cardinality aggregates; the
+    // corpus's text is read by NO branch of this plan. The dup flag
+    // comes from the narrow-key metadata (qualityReps' discipline,
+    // minus the quality filter — q67 reports dups corpus-wide): a doc
+    // is a dup iff its hash group is multi AND it is not the group's
+    // exact keeper. The old min-over-norm window shuffled every
+    // (source, norm, counts) row on the norm string to derive the same
+    // bit.
     //
     // The WIDE path is join-free: the base per-source aggregate runs
     // scan → partial agg with no flag joins at all; the dup and
@@ -460,8 +493,7 @@ object CurationPipeline {
     // the end. Even with every join in shuffle fallback, the exchanges
     // carry (doc_id, source) pairs and per-source partials — never norm
     // or counts-wide rows.
-    val (_, _, dropped) =
-      DedupQueries.dupGroups(docs.select("doc_id", "norm"))
+    val (_, _, dropped) = DedupQueries.dupGroupsFromFeatures(spark, sfDir)
     val contaminated = DedupQueries.contamination(spark, sfDir)
       .where(col("contaminated_shingles") >= 3)
       .select("doc_id")

@@ -10,7 +10,9 @@ import graft.functions.Text
   * `documents` table. Four escalating strategies:
   *
   *  - Q15 exact dedup: group on `xxhash64(norm)` + exact verify
-  *    ([[dupGroups]]), so the corpus-wide exchange carries 8-byte keys,
+  *    ([[dupGroupsFromFeatures]]), reading the hash off the
+  *    [[TextQueries.docFeatures]] artifact, so the corpus-wide pass
+  *    scans fixed-width columns and its exchange carries 8-byte keys,
   *    never the normalized string — semantics identical to grouping on
   *    the text itself.
   *  - Q18 MinHash + LSH: per-doc signatures computed entirely map-side
@@ -40,17 +42,25 @@ object DedupQueries {
     * exchanges this instead of the normalized text. */
   private[graft] def normHash(norm: Column): Column = xxhash64(norm)
 
-  /** The corpus-wide half of narrow-key exact dedup: one aggregate over
-    * `(h, doc_id)` carrying `(partial count, partial min)` — 8-byte keys
-    * plus two fixed-width partials with map-side combine, never
-    * documents; at 100 TB the wire cost is count-of-distinct-norms rows
-    * per task, not the corpus. Carrying min(doc_id) here is what lets
-    * q15 answer singleton groups from THIS pass (the single member IS
-    * the keeper — a collision needs two rows), so the whole query is
-    * one corpus scan plus a dup-sized verify. */
+  /** The corpus-wide half of narrow-key exact dedup, over an explicit
+    * `(h, doc_id)` relation: one aggregate carrying `(partial count,
+    * partial min)` — 8-byte keys plus two fixed-width partials with
+    * map-side combine, never documents; at 100 TB the wire cost is
+    * count-of-distinct-norms rows per task, not the corpus. Carrying
+    * min(doc_id) here is what lets q15 answer singleton groups from
+    * THIS pass (the single member IS the keeper — a collision needs two
+    * rows). The shipped queries feed it from the
+    * [[TextQueries.docFeatures]] artifact, so the pass reads a
+    * fixed-width column pair instead of re-tokenizing the corpus. */
+  private[graft] def hashGroupsOfKeyed(hDoc: DataFrame): DataFrame =
+    hDoc.groupBy("h").agg(count(lit(1)).as("cnt"), min("doc_id").as("min_id"))
+
+  /** [[hashGroupsOfKeyed]] over a raw `(doc_id, norm)` relation — the
+    * form for relation-valued inputs (specs, embedded uses) that have
+    * no features artifact behind them. */
   private[graft] def hashGroups(idNorm: DataFrame): DataFrame =
-    idNorm.select(normHash(col("norm")).as("h"), col("doc_id"))
-      .groupBy("h").agg(count(lit(1)).as("cnt"), min("doc_id").as("min_id"))
+    hashGroupsOfKeyed(
+      idNorm.select(normHash(col("norm")).as("h"), col("doc_id")))
 
   /** Hash values whose group holds MORE than one row (duplicates and,
     * vanishingly rarely, 64-bit collisions) — the side consumers probe
@@ -61,34 +71,37 @@ object DedupQueries {
       .where(col("cnt") > 1)
       .select("h")
 
-  /** The dup-sized VERIFY BASE: the `(doc_id, norm)` rows belonging to
-    * multi-hash groups. The probe is bloom-prefiltered MAP-SIDE (q66's
-    * discipline, over `multiH`'s 64-bit hashes): rows that miss the
-    * bloom never reach the join, so even when the planner falls back
-    * from broadcasting `multiH` to a shuffle join — the regime the
-    * unhinted join deliberately permits — the corpus side of that
-    * exchange is bloom-hits only (dups + the FP trickle), never the
-    * corpus's norm strings. The exact join then drops the FPs.
-    * Checkpointed: [[keeperGroups]] and the dropped-id list both derive
-    * from it, and consumers would otherwise re-run the probe per use. */
-  private def verifyBase(idNorm: DataFrame, multiH: DataFrame): DataFrame =
-    bloomHits(idNorm.withColumn("h", normHash(col("norm"))), col("h"),
+  /** The doc_ids belonging to multi-hash groups — the dup-sized routing
+    * list of narrow-key dedup. The probe is bloom-prefiltered MAP-SIDE
+    * (q66's discipline, over `multiH`'s 64-bit hashes): rows that miss
+    * the bloom never reach the join, so even when the planner falls
+    * back from broadcasting `multiH` to a shuffle join — the regime the
+    * unhinted join deliberately permits — the keyed side of that
+    * exchange is bloom-hits only (dups + the FP trickle). The exact
+    * join then drops the FPs. Checkpointed: consumers size a second
+    * bloom from it and join through it. */
+  private[graft] def dupMemberIds(hDoc: DataFrame,
+                                  multiH: DataFrame): DataFrame =
+    bloomHits(hDoc, col("h"),
         buildBloomOn(multiH, col("h"), bloomBitsFor(multiH.count())))
       .join(multiH, Seq("h"))
-      .select("doc_id", "norm")
+      .select("doc_id")
       .localCheckpoint()
 
-  /** The exact VERIFY pass of narrow-key dedup: re-group the docs whose
-    * hash is in `multiH` on the real normalized string, keeping the
-    * per-norm min doc_id and group size. ONE definition — [[dupGroups]]
-    * (the curation consumers) and [[q15ExactDedup]] both rank keepers
-    * through this, so the keeper rule (tie-break, collision handling)
-    * cannot drift between q15's answer and the pipeline's dedup
-    * decisions. Input is dup-sized: the norm strings it shuffles are
-    * only the multi-hash docs'. */
-  private[graft] def keeperGroups(idNorm: DataFrame,
-                                  multiH: DataFrame): DataFrame =
-    keeperGroupsOf(verifyBase(idNorm, multiH))
+  /** `(doc_id, norm)` for exactly `ids`, resolved from the raw
+    * `documents` table: the scan is bloom-prefiltered on doc_id
+    * map-side, the normalized string is computed ONLY for bloom hits
+    * (dups + the FP trickle — the corpus is never re-tokenized), and
+    * the exact join drops the FPs. In the forced non-broadcast regime
+    * the exchange under that join therefore carries dup-sized
+    * `(doc_id, norm)` rows, never the corpus's text. */
+  private[graft] def normsForIds(spark: SparkSession, sfDir: String,
+                                 ids: DataFrame): DataFrame =
+    bloomHits(Tables.documents(spark, sfDir).select("doc_id", "text"),
+        col("doc_id"),
+        buildBloomOn(ids, col("doc_id"), bloomBitsFor(ids.count())))
+      .select(col("doc_id"), Text.normalized(col("text")).as("norm"))
+      .join(ids, Seq("doc_id"))
 
   private def keeperGroupsOf(base: DataFrame): DataFrame =
     base
@@ -96,14 +109,21 @@ object DedupQueries {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
       .select("keep_id", "dup_cnt")
 
-  /** Narrow-key EXACT dedup metadata over a `(doc_id, norm)` relation:
+  /** Narrow-key EXACT dedup metadata over the documents under `sfDir`,
+    * optionally restricted by `pred` (a predicate over
+    * [[TextQueries.docFeatures]] columns — the curation front passes
+    * its quality gate so the dedup decision is computed among
+    * survivors):
     *
-    *  - `multiH`: hashes with >1 member ([[multiHashes]] — the narrow
-    *    corpus-wide pass);
+    *  - `multiH`: hashes with >1 member (the narrow corpus-wide pass —
+    *    an aggregate over the artifact's `(h, doc_id)` columns, no
+    *    tokenize);
     *  - `keepers`: `(keep_id, dup_cnt)` — the exact per-NORM-group
-    *    min-doc_id and size among multi-hash docs ([[keeperGroups]]'s
-    *    verify pass, bloom-prefiltered via [[verifyBase]]), so a 64-bit
-    *    collision can never merge two distinct texts (the two colliding
+    *    min-doc_id and size among multi-hash docs (the [[normsForIds]]
+    *    verify pass, doubly bloom-prefiltered: an h-bloom routes
+    *    artifact rows, a doc_id-bloom guards the documents rescan that
+    *    resolves real norms for dup rows only), so a 64-bit collision
+    *    can never merge two distinct texts (the two colliding
     *    singletons each come back as their own keeper);
     *  - `dropped`: the doc_ids the dedup REMOVES (multi members that are
     *    not keepers) — the decision in its narrowest form.
@@ -121,13 +141,70 @@ object DedupQueries {
     * force-disabled in ScaleSpec).
     *
     * Measured trade at sf0.1 (SCALING.md "Narrow-key exact dedup"):
-    * consumer shuffles narrowed ~10× (q64 1.37 → 0.08 MB) for ~0.3-0.9 s
-    * of constant-factor wall cost — the eliminated term scales with the
-    * corpus, the added one with dup count. */
+    * consumer shuffles narrowed ~10× (q64 1.37 → 0.08 MB), and the
+    * features-artifact form keeps the per-query wall cost to the
+    * metadata jobs — the tokenize passes moved into the build-once
+    * artifact.
+    *
+    * COMPUTED ONCE per (session, dir, predicate) and shared across
+    * queries — the cluster-labels discipline ([[clusterLabels]]): the
+    * dedup decision is a pure function of the corpus snapshot, q15/q67
+    * read the same raw-corpus trio and q50/q64 the same gated ones, and
+    * the trio is a handful of metadata jobs whose per-query scheduling
+    * cost would otherwise dominate toy-scale wall time. Bench prewarms
+    * the shipped predicates into `artifacts_sec`
+    * ([[CurationPipeline.prewarmDedupMeta]]), so per-query numbers show
+    * consumer cost, same accounting as every other artifact. */
+  def dupGroupsFromFeatures(spark: SparkSession, sfDir: String,
+                            pred: Column = lit(true))
+      : (DataFrame, DataFrame, DataFrame) = {
+    val key = (sfDir, pred.toString)
+    trioCache.synchronized {
+      var m = trioCache.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty
+        trioCache.put(spark, m)
+      }
+      m.getOrElseUpdate(key, {
+        val keyed = TextQueries.docFeatures(spark, sfDir)
+          .where(pred).select("h", "doc_id")
+        val multiH = hashGroupsOfKeyed(keyed)
+          .where(col("cnt") > 1).select("h").localCheckpoint()
+        val ids = dupMemberIds(keyed, multiH)
+        dupTrioOf(multiH, normsForIds(spark, sfDir, ids).localCheckpoint())
+      })
+    }
+  }
+
+  /** Trios already derived this session, keyed by (dir, predicate SQL)
+    * — weak-keyed like the Artifacts registry, so a discarded session's
+    * checkpoints are collectable. A predicate built through a different
+    * expression tree misses the cache and rebuilds: never wrong, only
+    * unshared. */
+  private val trioCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.Map[(String, String),
+      (DataFrame, DataFrame, DataFrame)]]
+
+  /** [[dupGroupsFromFeatures]] over a raw `(doc_id, norm)` relation —
+    * same metadata, same keeper rule, for inputs that are not the
+    * documents table (the synthetic-dup spec; any embedded relation).
+    * Norms resolve from the relation itself instead of a documents
+    * rescan. */
   private[graft] def dupGroups(idNorm: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
-    val multiH = multiHashes(idNorm).localCheckpoint()
-    val base = verifyBase(idNorm, multiH)
+    val keyed = idNorm.select(normHash(col("norm")).as("h"), col("doc_id"))
+    val multiH = hashGroupsOfKeyed(keyed)
+      .where(col("cnt") > 1).select("h").localCheckpoint()
+    val ids = dupMemberIds(keyed, multiH)
+    dupTrioOf(multiH, idNorm.join(ids, Seq("doc_id")).localCheckpoint())
+  }
+
+  /** The shared tail of both metadata forms: keepers + the dropped-id
+    * list from one checkpointed verify base, so the keeper rule
+    * (tie-break, collision handling) cannot drift between q15's answer
+    * and the pipeline's dedup decisions. */
+  private def dupTrioOf(multiH: DataFrame, base: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val keepers = keeperGroupsOf(base).localCheckpoint()
     // the DROPPED-id list: multi-hash members that are not their norm
     // group's keeper — the complete per-doc dedup decision as a narrow,
@@ -144,19 +221,23 @@ object DedupQueries {
   }
 
   /** Q15: exact dedup on normalized text; keep the smallest doc_id per
-    * group (deterministic representative). Narrow-key form: docs whose
-    * hash is unique are their own group, answered straight from the
-    * [[hashGroups]] aggregate (its min(doc_id) partial — no second
-    * corpus scan, no anti-join); multi-hash groups come from the exact
-    * verify pass. The oracle still groups on the normalized string
-    * itself — the hash never changes the answer, only what the exchange
-    * carries. */
+    * group (deterministic representative). Narrow-key form over the
+    * [[TextQueries.docFeatures]] artifact: docs whose hash is unique
+    * are their own group, answered straight from the
+    * [[hashGroupsOfKeyed]] aggregate (its min(doc_id) partial — no
+    * anti-join); multi-hash groups resolve real norms through
+    * [[normsForIds]]'s dup-sized verify pass. The query itself never
+    * tokenizes the corpus — that happened once, at artifact build. The
+    * oracle still groups on the normalized string itself — the hash
+    * never changes the answer, only what the scan reads and the
+    * exchange carries. Multi-hash keepers come from the shared
+    * [[dupGroupsFromFeatures]] trio (one derivation per session), so
+    * the query's own plan is a single aggregate over the artifact
+    * unioned with the dup-sized keeper list. */
   def q15ExactDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val idNorm = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), Text.normalized(col("text")).as("norm"))
-    val groups = hashGroups(idNorm).localCheckpoint()
-    val multiH = groups.where(col("cnt") > 1).select("h")
-    val keepers = keeperGroups(idNorm, multiH)
+    val keyed = TextQueries.docFeatures(spark, sfDir).select("h", "doc_id")
+    val groups = hashGroupsOfKeyed(keyed)
+    val (_, keepers, _) = dupGroupsFromFeatures(spark, sfDir)
     groups.where(col("cnt") === 1)
       .select(col("min_id").as("keep_id"), lit(1L).as("dup_cnt"))
       .unionByName(keepers)

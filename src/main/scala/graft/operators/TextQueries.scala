@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{Artifacts, Tables}
 import graft.functions.Text
 
 /** Text-analysis surface for LLM training-data pipelines, over the
@@ -17,6 +17,42 @@ import graft.functions.Text
   * (reference main.c:37-81), so this scales like a word count.
   */
 object TextQueries {
+
+  /** The per-document FEATURE artifact: `(doc_id, source, lang, h,
+    * token_cnt, quality)` with `h = xxhash64(normalized text)` —
+    * tokenized and quality-scored exactly once per (session, scale dir),
+    * bucketed on doc_id like the shingle table.
+    *
+    * Why it exists: the curation family (q15 exact dedup, q50/q64's
+    * quality→dedup front, q67's source report) each derived these
+    * per-doc scalars from raw text inside their own plans — and the
+    * narrow-key dedup needs them in two passes (hash aggregate + verify
+    * routing), so one q50 run tokenized the corpus three times. At
+    * 100 TB that is three full tokenize+score passes for one logical
+    * relation; a production pipeline computes doc-level features once
+    * and stores the narrow table (the same argument as [[DedupQueries.shingles]],
+    * which amortizes the shingle pass across five families). Note what
+    * is NOT here: the normalized string itself — the artifact stays
+    * fixed-width (~40 bytes/row), and the rare rows that need real
+    * norms (dup-group members, for collision-exact verify) resolve them
+    * from `documents` through a dup-sized bloom-guarded join
+    * ([[DedupQueries.dupGroupsFromFeatures]]).
+    *
+    * Refresh story: every column is a pure per-document function of
+    * `text`, so an incremental snapshot delta (q79) refreshes this
+    * artifact by per-doc upsert — no cross-document state, unlike the
+    * signature refresh chain (q83) it would ride beside. */
+  def docFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    Artifacts.materialize(spark,
+        "graft_docfeatures_" + Tables.dirKey(sfDir), "doc_id") {
+      val d = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"),
+          Text.tokens(col("text")).as("toks"))
+      d.select(col("doc_id"), col("source"), col("lang"),
+        DedupQueries.normHash(Text.normalized(col("text"))).as("h"),
+        size(col("toks")).as("token_cnt"),
+        qualityScore(col("text"), col("toks")).as("quality"))
+    }
 
   /** Q16: per-language corpus stats: doc count, avg tokens/doc, distinct
     * token count. Two aggregations (per-doc sizes need no explode; the

@@ -415,14 +415,14 @@ class ScaleSpec extends SparkSpec {
   test("exact dedup: the corpus-wide exchange carries the 64-bit hash, not text") {
     // the narrow-key dedup's one full-corpus exchange is the multi-hash
     // count aggregate: (h, partial count), 8-byte keys with map-side
-    // combine. The norm STRING may only ever cross the wire in the
+    // combine, read off the docFeatures artifact — no tokenize in the
+    // pass at all. The norm STRING may only ever cross the wire in the
     // dup-sized verify pass, and the raw text column in no exchange at
     // all — the window formulation this replaced shuffled the full
     // document row on the norm key.
-    val idNorm = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        graft.functions.Text.normalized(col("text")).as("norm"))
-    val multi = DedupQueries.multiHashes(idNorm)
+    val keyed = TextQueries.docFeatures(spark, sfDir).select("h", "doc_id")
+    val multi = DedupQueries.hashGroupsOfKeyed(keyed)
+      .where(col("cnt") > 1).select("h")
     val aggExchanges = shuffleOutputs(multi)
     assert(aggExchanges.nonEmpty)
     aggExchanges.foreach { names =>
@@ -454,21 +454,21 @@ class ScaleSpec extends SparkSpec {
 
     // 1. the bloom prefilter on the verify probe is pure map-side: no
     //    exchange anywhere in its plan — the rows it REMOVES are removed
-    //    before any wire, which is the whole point
-    val idNorm = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        graft.functions.Text.normalized(col("text")).as("norm"))
-    val multiH = DedupQueries.multiHashes(idNorm).localCheckpoint()
-    val probed = DedupQueries.bloomHits(
-      idNorm.withColumn("h", DedupQueries.normHash(col("norm"))),
-      col("h"), DedupQueries.buildBloomOn(multiH, col("h"),
+    //    before any wire, which is the whole point. The probe runs over
+    //    the docFeatures artifact's (h, doc_id) columns: a bucketed-table
+    //    scan plus a filter, no tokenize.
+    val keyed = TextQueries.docFeatures(spark, sfDir).select("h", "doc_id")
+    val multiH = DedupQueries.hashGroupsOfKeyed(keyed)
+      .where(col("cnt") > 1).select("h").localCheckpoint()
+    val probed = DedupQueries.bloomHits(keyed, col("h"),
+      DedupQueries.buildBloomOn(multiH, col("h"),
         DedupQueries.bloomBitsFor(multiH.count())))
     assert(shuffleOutputs(probed).isEmpty,
       "bloom prefilter must add no exchange")
     // selectivity: what survives to the verify join is dups + the FP
     // trickle, never the corpus (this corpus has ~no exact dups, so the
     // probe must reject essentially everything)
-    val docs = idNorm.count()
+    val docs = keyed.count()
     val members = probed.join(multiH, Seq("h")).count()
     val hits = probed.count()
     assert(hits <= members + math.max(10L, docs / 20),
@@ -477,25 +477,44 @@ class ScaleSpec extends SparkSpec {
     // 2. broadcasts force-disabled: every dup-metadata join falls back to
     //    its shuffle form — results must be IDENTICAL and the visible
     //    exchanges must never carry text, with norm crossing only in
-    //    dup-sized row counts
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    val q15Stress = DedupQueries.q15ExactDedup(s2, sfDir)
-    val q15Rows = q15Stress.collect().map(r => (r.getLong(0), r.getLong(1)))
+    //    dup-sized row counts. Toggled on the suite session (a
+    //    newSession child can't materialize the artifact — the
+    //    single-owner contract) and restored in finally; suites run
+    //    sequentially in the forked test JVM, so no other test observes
+    //    the window.
+    val bcastKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = bcastKeys.map(k => k -> spark.conf.getOption(k))
+    val (q15Stress, q15Rows, repsStress, repsRows, liveBase) = try {
+      bcastKeys.foreach(spark.conf.set(_, "-1"))
+      val q15S = DedupQueries.q15ExactDedup(spark, sfDir)
+      val q15R = q15S.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val repsS = CurationPipeline.qualityReps(spark, sfDir)
+        .select("doc_id", "token_cnt", "quality") // the q50 consumer shape
+      val repsR = repsS.collect().map(_.getLong(0)).sorted
+      // the shipped queries read the session-cached metadata trio
+      // (checkpoint-backed), so ALSO drive a fresh verify-base
+      // derivation end-to-end under this regime: its executed plan is
+      // the live documents-probe join the trio build runs
+      val base = DedupQueries.normsForIds(spark, sfDir,
+        DedupQueries.dupMemberIds(keyed, multiH))
+      base.collect()
+      (q15S, q15R, repsS, repsR, base)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
     val q15Expect = DedupQueries.q15ExactDedup(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(q15Rows.toSeq === q15Expect.toSeq,
       "q15 must not change answers when broadcasts are disabled")
-    val repsStress = CurationPipeline.qualityReps(Tables.documents(s2, sfDir))
-      .select("doc_id", "token_cnt", "quality") // the q50 consumer shape
-    val repsRows = repsStress.collect().map(_.getLong(0)).sorted
-    val repsExpect = CurationPipeline.qualityReps(Tables.documents(spark, sfDir))
+    val repsExpect = CurationPipeline.qualityReps(spark, sfDir)
       .select("doc_id", "token_cnt", "quality")
       .collect().map(_.getLong(0)).sorted
     assert(repsRows.toSeq === repsExpect.toSeq,
       "qualityReps must not change answers when broadcasts are disabled")
-    Seq("q15" -> q15Stress, "qualityReps" -> repsStress).foreach {
+    Seq("q15" -> q15Stress, "qualityReps" -> repsStress,
+        "verify base" -> liveBase).foreach {
       case (name, df) =>
         shuffleNodes(df).foreach { e =>
           val names = e.output.map(_.name)

@@ -20,19 +20,26 @@ import graft.functions.{CosineSimilarity, DotProduct, Text}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** The one non-deprecated [[ExpressionInfo]] constructor is the full
+    * 11-field form; every doc field beyond usage is legitimately empty
+    * for these functions (no examples/notes/since), so centralize the
+    * empty-string padding here. */
+  private def info(className: String, name: String, usage: String) =
+    new ExpressionInfo(className, null, name, usage,
+      /* arguments = */ "", /* examples = */ "", /* note = */ "",
+      /* group = */ "", /* since = */ "", /* deprecated = */ "",
+      /* source = */ "built-in")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vector_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, null, "vector_dot",
-        "vector_dot(a, b) - dot product of two double arrays in index order",
-        ""),
+      info(classOf[DotProduct].getName, "vector_dot",
+        "vector_dot(a, b) - dot product of two double arrays in index order"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, null,
-        "cosine_similarity",
-        "cosine_similarity(a, b) - cosine similarity of two double arrays",
-        ""),
+      info(classOf[CosineSimilarity].getName, "cosine_similarity",
+        "cosine_similarity(a, b) - cosine similarity of two double arrays"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
     // The text primitives compose built-in expressions, so SQL gets the
     // same tokenizer semantics as the Scala API. The builders return RAW
@@ -42,23 +49,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the Column definitions is spec-pinned (VectorsSpec).
     ext.injectFunction((
       FunctionIdentifier("graft_tokens"),
-      new ExpressionInfo(Text.getClass.getName, null, "graft_tokens",
+      info(Text.getClass.getName, "graft_tokens",
         "graft_tokens(text) - reference-tokenizer token array: lowercase, " +
-          "split on [^a-z0-9]+, drop empties, 255-char cap", ""),
+          "split on [^a-z0-9]+, drop empties, 255-char cap"),
       (children: Seq[Expression]) => Text.tokensExpr(children.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_normalize"),
-      new ExpressionInfo(Text.getClass.getName, null, "graft_normalize",
+      info(Text.getClass.getName, "graft_normalize",
         "graft_normalize(text) - dedup normalization: lowercase, collapse " +
-          "non-alphanumeric runs to single spaces, trim", ""),
+          "non-alphanumeric runs to single spaces, trim"),
       (children: Seq[Expression]) => Text.normalizedExpr(children.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_quality"),
-      new ExpressionInfo(
-        graft.operators.TextQueries.getClass.getName, null,
-        "graft_quality",
+      info(graft.operators.TextQueries.getClass.getName, "graft_quality",
         "graft_quality(text) - q24 quality score from length/alnum/" +
-          "stopword signals", ""),
+          "stopword signals"),
       (children: Seq[Expression]) =>
         graft.operators.TextQueries.qualityExpr(children.head)))
   }

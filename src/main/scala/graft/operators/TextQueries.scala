@@ -400,7 +400,7 @@ object TextQueries {
     val toks = docs.select(col("doc_id"),
       explode(Text.tokens(col("text"))).as("w"))
     val tf = toks.groupBy("w").agg(count(lit(1)).as("cnt")).localCheckpoint()
-    val total = tf.agg(sum(col("cnt"))).head.getLong(0)
+    val total = tf.agg(sum(col("cnt"))).head().getLong(0)
     val scored = toks.join(broadcast(tf), "w")
       .select(col("doc_id"),
         floor(log(lit(total.toDouble) / col("cnt")) * 1e6).as("lpm"))

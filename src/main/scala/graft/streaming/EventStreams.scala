@@ -239,7 +239,7 @@ object EventStreams {
     // anchor row for the flush event: any single known event id (batch
     // metadata lookup at plan build, one scalar)
     val anchorId = graft.Tables.events(spark, sfDir)
-      .agg(min(col("event_id"))).head.getLong(0)
+      .agg(min(col("event_id"))).head().getLong(0)
     val s = stateSession(spark)
     val ev = eventsStream(s, sfDir)
       .select(col("ts"), col("event_type"), col("value"))

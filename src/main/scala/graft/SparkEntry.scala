@@ -122,6 +122,8 @@ object SparkEntry {
     "q78_ann_pq_rerank" -> (ProductQuantization.q78AnnPqRerank _),
     "q84_ann_pq256"     -> (ProductQuantization.q84AnnPq256 _),
     "q85_ann_pq256_rerank" -> (ProductQuantization.q85AnnPq256Rerank _),
+    "q87_semdedup"      -> (SimilarityQueries.q87SemDedup _),
+    "q88_dup_spans"     -> (DedupQueries.q88DupSpans _),
     "q79_snapshot_diff" -> (CurationPipeline.q79SnapshotDiff _),
     // q80 reads the INCREMENTALLY refreshed shingle artifact (base table
     // minus removed/modified rows, plus freshly shingled delta docs); the
@@ -1167,6 +1169,41 @@ object SparkEntry {
          |${pqModelCteAt(ProductQuantization.M256, ProductQuantization.K256)},
          |${pqAdcCteAt(ProductQuantization.M256)},
          |${pqRerankSql(ProductQuantization.RerankDepth)}""".stripMargin,
+    // q87: SemDeDup — the k-means assignment CTE chain, then a plain
+    // in-cell self-join: kept iff no smaller-id cell-mate within τ;
+    // dropped rows carry their smallest such mate as rep_id.
+    "q87_semdedup" ->
+      s"""WITH $ivfKmeansCte,
+         |dup AS (SELECT a.vec_id, min(b.vec_id) AS rep_id
+         |        FROM asg a JOIN asg b
+         |          ON b.cell = a.cell AND b.vec_id < a.vec_id
+         |        WHERE round(list_cosine_similarity(a.v, b.v), 4)
+         |              >= ${SimilarityQueries.SemDedupTau}
+         |        GROUP BY a.vec_id)
+         |SELECT a.vec_id, a.cell,
+         |       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept,
+         |       coalesce(d.rep_id, a.vec_id) AS rep_id
+         |FROM asg a LEFT JOIN dup d ON d.vec_id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
+    // q88: duplicated-span fraction — positional (non-distinct) 8-gram
+    // rows, per-(doc, gram) counts, per-gram totals, ratio of positions
+    // whose gram recurs corpus-wide. Docs shorter than the span width
+    // have no full-width position and emit no row (both engines).
+    "q88_dup_spans" ->
+      s"""$tokListCte,
+         |spans AS (SELECT doc_id,
+         |                 unnest([array_to_string(t[i:i+${DedupQueries.SpanTokens - 1}], ' ')
+         |                         for i in range(1, len(t) - ${DedupQueries.SpanTokens} + 2)]) AS s
+         |          FROM toks WHERE len(t) >= ${DedupQueries.SpanTokens}),
+         |pg AS (SELECT doc_id, s, count(*) AS occ FROM spans GROUP BY doc_id, s),
+         |gt AS (SELECT s, sum(occ) AS total FROM pg GROUP BY s)
+         |SELECT doc_id,
+         |       sum(occ)::BIGINT AS total_spans,
+         |       sum(CASE WHEN total >= 2 THEN occ ELSE 0 END)::BIGINT AS dup_spans,
+         |       round(sum(CASE WHEN total >= 2 THEN occ ELSE 0 END) * 1.0
+         |             / sum(occ), 4) AS dup_ratio
+         |FROM pg JOIN gt USING (s)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q58_csv_source" ->
       """SELECT n_regionkey, count(*) AS nations, min(n_name) AS first_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,

@@ -117,4 +117,23 @@ object Text {
       .select(col(idCol), lit("").as("s"))
     grams.union(empties).distinct()
   }
+
+  /** POSITIONAL word n-grams as ROWS: (idCol, "s"), one row per token
+    * position — [[shingleRows]] WITHOUT the distinct and without the
+    * short-doc edge cases, for operators that count occurrences rather
+    * than membership (duplicated-span detection, q88). A document with
+    * fewer than n tokens yields no rows: there is no full-width span to
+    * count. Same lead-window formulation (tokenize once, all codegen'd);
+    * the one shuffle is the per-doc window partition. */
+  def spanRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val byDoc = Window.partitionBy(idCol).orderBy("pos")
+    docs.select(col(idCol), posexplode(tokens(col(textCol))))
+      .select(col(idCol), col("pos"),
+        concat_ws(" ", (0 until n).map(k =>
+          if (k == 0) col("col") else lead(col("col"), k).over(byDoc)): _*)
+          .as("s"),
+        count(lit(1)).over(Window.partitionBy(idCol)).as("n_toks"))
+      .where(col("pos") <= col("n_toks") - n)
+      .select(col(idCol), col("s"))
+  }
 }

@@ -784,4 +784,56 @@ object DedupQueries {
       (words(p / 64) & (1L << (p % 64))) != 0
     }
   }
+
+  /** Q88 span width in tokens. Lee et al. dedup at 50 BPE tokens; 8
+    * whitespace words on this short-doc corpus sits at the same "long
+    * enough that a match is never coincidence" point (the corpus has
+    * ~60k positions but only ~2k distinct 8-grams recur, all from true
+    * duplication). The knob trades recall (shorter spans catch more)
+    * against false boilerplate hits. */
+  val SpanTokens = 8
+
+  /** Q88: DUPLICATED-SPAN detection — the substring-level dedup signal of
+    * Lee et al. ("Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022): a position's [[SpanTokens]]-token n-gram that
+    * occurs MORE THAN ONCE across the corpus marks a duplicated span,
+    * and the per-document duplicated fraction is the drop/trim signal
+    * (the same "fraction of n-grams in duplicates" rule Gopher/
+    * RefinedWeb apply as a quality gate). Unlike the membership-style
+    * shingle family (q18/q19: does doc A share ANY shingle with B), this
+    * counts every POSITION — a doc that quotes one duplicated paragraph
+    * in otherwise-fresh text scores low, while an exact re-crawl scores
+    * 1.0.
+    *
+    * The published method builds a corpus suffix array; that is a
+    * single-machine construction. The distributed re-expression: count
+    * occurrences of every fixed-width token window (a suffix array
+    * answers "longest repeated substring", the fixed width answers
+    * "repeated ≥ w tokens" — the only question the drop rule asks).
+    *
+    * Scale shape: positional n-grams ([[Text.spanRows]]) → per-(doc,
+    * gram) counts → per-gram totals → join back → per-doc ratio. The
+    * q44 TF-IDF topology exactly (doc-term tf → term df → join), so the
+    * same properties hold: every aggregate map-side-combines, the
+    * (doc, gram) pre-aggregate collapses within-doc repeats BEFORE the
+    * gram-keyed exchange, and the gram-total join is gram-keyed — AQE
+    * reuses the exchange from the totals aggregate. At 100 TB the gram
+    * strings would ride as `xxhash64(gram)` (the q15 narrow-key
+    * discipline; a hash collision only mislabels one span as duplicated,
+    * a soft signal, so no verify pass is needed) — kept as strings here
+    * for oracle bit-parity. */
+  def q88DupSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDocGram = Text.spanRows(
+        Tables.documents(spark, sfDir), "doc_id", "text", SpanTokens)
+      .groupBy("doc_id", "s").agg(count(lit(1)).as("occ"))
+    val gramTotals = perDocGram.groupBy("s")
+      .agg(sum(col("occ")).as("total"))
+    perDocGram.join(gramTotals, Seq("s"))
+      .groupBy("doc_id")
+      .agg(sum(col("occ")).as("total_spans"),
+        sum(when(col("total") >= 2, col("occ")).otherwise(0L)).as("dup_spans"))
+      .select(col("doc_id"), col("total_spans"), col("dup_spans"),
+        round(col("dup_spans") / col("total_spans"), 4).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
 }

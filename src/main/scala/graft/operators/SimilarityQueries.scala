@@ -320,4 +320,53 @@ object SimilarityQueries {
       .orderBy(desc("sim"), asc("vec_id_1"), asc("vec_id_2"))
       .limit(10)
   }
+
+  /** Q87 semantic-dup cosine threshold — the corpus sits at max ≈ 0.5
+    * (q21's regime), so 0.4 marks the same "near-duplicate" band the
+    * exact pair join uses. SemDeDup's paper setting (1 − ε with ε ≈
+    * 0.05..0.5 on L2-normalized CLIP/OPT embeddings) maps to the same
+    * knob: raise τ to drop only the tightest duplicates. */
+  val SemDedupTau = 0.4
+
+  /** Q87: SEMANTIC DEDUPLICATION — SemDeDup (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): k-means-cluster the embedding
+    * space, then compare pairs only WITHIN a cluster and drop every
+    * vector that has a cluster-mate above the similarity threshold,
+    * keeping one representative per semantic duplicate group. This is
+    * the embedding-space analog of the MinHash candidate-verify dedup
+    * (q18→q47): the cluster assignment is the candidate generator, the
+    * in-cluster exact cosine the verifier — q21's exact O(n²) join never
+    * runs.
+    *
+    * Representative rule: a vector is KEPT iff no smaller-id cluster-mate
+    * is within τ; a dropped vector's `rep_id` is its smallest such mate
+    * (kept vectors carry themselves). Deterministic with no iteration —
+    * the paper's per-cluster greedy keep-one policy with min-id in place
+    * of its distance-to-centroid ranking, so the DuckDB oracle is a
+    * plain self-join, not a recursive walk. (A dropped vector's rep may
+    * itself be dropped — SemDeDup does not chase chains, by design.)
+    *
+    * Scale shape: assignment reuses [[kmeansCodebook]] + [[assignCells]]
+    * — literal centroids, ZERO exchange on the corpus — so the only
+    * data-sized shuffle is the equi-join on `cell`. Expected pair work is
+    * n²/k for k balanced cells (the Lloyd rounds exist precisely to
+    * bound cell skew, SCALING.md's balance table); at 100 TB you raise
+    * [[NumCells]] toward √n — the paper runs 50k clusters on 5B
+    * embeddings at the same n²/k budget — and the shape is unchanged:
+    * one cell join, one per-vector min, one left join back. */
+  def q87SemDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val asg = cellAssignments(spark, sfDir, kmeansCodebook(spark, sfDir))
+    val mates = asg.select(col("cell"), col("vec_id").as("rep_id"),
+      col("v").as("rv"))
+    val dup = asg.join(mates, Seq("cell"))
+      .where(col("rep_id") < col("vec_id") &&
+        Vectors.cosineRounded(col("rv"), col("v")) >= SemDedupTau)
+      .groupBy("vec_id").agg(min(col("rep_id")).as("dup_rep"))
+    asg.join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("dup_rep").isNull, 1).otherwise(0).as("kept"),
+        coalesce(col("dup_rep"), col("vec_id")).as("rep_id"))
+      .orderBy("vec_id")
+  }
 }

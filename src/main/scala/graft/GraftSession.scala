@@ -72,6 +72,12 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS); Spark 4 reads it as long
       // under this flag and Tables.events converts back to micros.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // fixture generations that write TIMESTAMP(MICROS) without UTC
+      // adjustment must read as a plain session-TZ timestamp, not NTZ —
+      // the whole engine (unix_micros arithmetic, watermarks, the
+      // DuckDB oracle's string forms under session TZ = UTC) assumes
+      // TimestampType
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

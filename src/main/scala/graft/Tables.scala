@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Table registry over the driver-provided parquet test data (TESTDATA.md).
   *
@@ -38,10 +38,13 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads as a
-    * long (spark.sql.legacy.parquet.nanosAsLong — set by GraftSession).
-    * Normalize to a microsecond TimestampType column here so every operator
-    * downstream sees a plain timestamp. */
+  /** `events.ts` has shipped in two parquet encodings across fixture
+    * generations: TIMESTAMP(NANOS), which Spark 4 only reads as a long
+    * (spark.sql.legacy.parquet.nanosAsLong — set by GraftSession), and
+    * TIMESTAMP(MICROS) without UTC adjustment, which reads as
+    * TIMESTAMP_NTZ unless the session pins LTZ inference. Normalize both
+    * to a microsecond TimestampType column here so every operator
+    * downstream sees a plain session-TZ timestamp. */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
@@ -49,7 +52,10 @@ object Tables {
         // integer DIV, not `/`: nanos-since-epoch overflows a double's
         // 53-bit mantissa, so float division is off by ±1 µs
         df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _ => df
+      case _ =>
+        // NTZ→LTZ is wall-clock reinterpretation in the session TZ (UTC
+        // here): exact micros preserved; a no-op when already LTZ
+        df.withColumn("ts", col("ts").cast(TimestampType))
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -24,25 +24,43 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events.parquet schema as the file stream source must declare it
-    * (streaming sources cannot infer). `ts` arrives as nanos-since-epoch
-    * long (spark.sql.legacy.parquet.nanosAsLong — see GraftSession) and is
-    * normalized to a microsecond timestamp here, like Tables.events. */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
-    // the file stream source wants a directory; pathGlobFilter narrows it
-    // to the events table (in production this would be a landing dir that
-    // new files keep arriving into)
-    spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+  /** Streamed events source. The file stream source must DECLARE a schema
+    * (streaming cannot infer), but the fixtures have shipped `ts` in two
+    * parquet encodings across generations — TIMESTAMP(NANOS), surfaced as
+    * a nanos long under spark.sql.legacy.parquet.nanosAsLong, and
+    * TIMESTAMP(MICROS), surfaced as a timestamp — so the encoding is
+    * probed from a one-footer batch read of the same files and the
+    * matching schema declared; both normalize to a microsecond
+    * TimestampType column, like Tables.events. */
+  private def streamEvents(s: SparkSession, dir: String,
+                           glob: Option[String] = None,
+                           maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val probe = glob.foldLeft(s.read)((r, g) => r.option("pathGlobFilter", g))
+      .parquet(dir).schema("ts").dataType
+    val tsIsNanos = probe == LongType
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", if (tsIsNanos) LongType else probe),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val opts = glob.map("pathGlobFilter" -> _) ++
+      maxFilesPerTrigger.map("maxFilesPerTrigger" -> _.toString)
+    val raw = opts.foldLeft(s.readStream.schema(schema))((r, kv) =>
+      r.option(kv._1, kv._2)).parquet(dir)
+    if (tsIsNanos)
       // integer DIV, not `/`: nanos-since-epoch overflows a double's
       // 53-bit mantissa, so float division is off by ±1 µs
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else
+      // NTZ→LTZ wall-clock reinterpretation under session TZ = UTC;
+      // a no-op when the probe already read LTZ
+      raw.withColumn("ts", col("ts").cast(TimestampType))
+  }
+
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
+    // pathGlobFilter narrows the directory to the events table (in
+    // production this would be a landing dir new files keep arriving into)
+    streamEvents(spark, sfDir, glob = Some("events.parquet"))
 
   /** Q43: stream-stream interval join — clicks joined to the same user's
     * view events from the preceding hour. Both sides are unbounded; the
@@ -92,8 +110,7 @@ object EventStreams {
                              checkpointDir: String,
                              outDir: String): Unit = {
     val s = stateSession(spark)
-    val ev = s.readStream.schema(rawSchema).parquet(landingDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val ev = streamEvents(s, landingDir)
     val q = clickViewIntervalJoin(ev)
       .select(col("user_id"), col("click_id"), col("view_id"),
         date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
@@ -288,12 +305,8 @@ object EventStreams {
                                outDir: String,
                                maxFilesPerTrigger: Option[Int] = None): Unit = {
     val s = stateSession(spark)
-    val reader = maxFilesPerTrigger.foldLeft(
-      s.readStream.schema(rawSchema)) { (r, n) =>
-      r.option("maxFilesPerTrigger", n.toString)
-    }
-    val agg = reader.parquet(landingDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val agg = streamEvents(s, landingDir,
+        maxFilesPerTrigger = maxFilesPerTrigger)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
@@ -331,9 +344,7 @@ object EventStreams {
                           outDir: String): Unit = {
     val s = stateSession(spark)
     import s.implicits._
-    val typed: Dataset[Ev] = s.readStream.schema(rawSchema)
-      .parquet(landingDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val typed: Dataset[Ev] = streamEvents(s, landingDir)
       .withWatermark("ts", "1 hour")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .as[Ev]

@@ -818,4 +818,99 @@ class OperatorSpec extends SparkSpec {
         s"query $q sims not descending")
     }
   }
+
+  test("q87 SemDeDup matches an exhaustive in-cell recomputation") {
+    // independent oracle in plain Scala: collect (vec_id, cell, v),
+    // redo every in-cell pair with index-order double cosine + HALF_UP
+    // rounding (the engine's documented arithmetic), apply the min-id
+    // keep rule, and demand exact agreement
+    val asg = SimilarityQueries.cellAssignments(spark, sfDir,
+        SimilarityQueries.kmeansCodebook(spark, sfDir))
+      .select("vec_id", "cell", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = asg.map { case (id, cell, v) =>
+      val mates = asg.filter(o => o._2 == cell && o._1 < id &&
+        cos(o._3, v) >= SimilarityQueries.SemDedupTau).map(_._1)
+      id -> (if (mates.isEmpty) (1, id) else (0, mates.min))
+    }.toMap
+    val got = SimilarityQueries.q87SemDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(3)))).toMap
+    assert(got.keySet === expected.keySet, "one row per vector")
+    got.foreach { case (id, (kept, rep)) =>
+      assert((kept, rep) === (expected(id)._1, expected(id)._2),
+        s"vec $id: got kept=$kept rep=$rep, " +
+          s"expected ${expected(id)}")
+    }
+    // the candidate generator must do real work: some vector shares a
+    // cell with a smaller id (the join is non-trivially exercised)
+    assert(asg.groupBy(_._2).exists(_._2.length > 1),
+      "degenerate fixture: every vector alone in its cell")
+  }
+
+  test("q87 never runs the all-pairs join (cell-bounded, no cartesian)") {
+    val plan = SimilarityQueries.q87SemDedup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "SemDeDup must join on cell, never cross")
+    assert(!plan.contains("Window"), "no window operator in the dedup")
+  }
+
+  test("q88 duplicated-span fractions match a token-level recomputation") {
+    import graft.functions.Text
+    // independent oracle: re-tokenize in the JVM from raw text, slide a
+    // SpanTokens window positionally, count corpus-wide occurrences
+    val n = DedupQueries.SpanTokens
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+    val spans = docs.flatMap { case (id, t) =>
+      if (t.length < n) Array.empty[(Long, String)]
+      else (0 to t.length - n).map(i =>
+        (id, t.slice(i, i + n).mkString(" "))).toArray
+    }
+    val totals = spans.groupBy(_._2).view.mapValues(_.length).toMap
+    val expected = spans.groupBy(_._1).view.mapValues { ss =>
+      val dup = ss.count(s => totals(s._2) >= 2)
+      (ss.length.toLong, dup.toLong)
+    }.toMap
+    val got = DedupQueries.q88DupSpans(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet === expected.keySet,
+      "exactly the docs with >= SpanTokens tokens appear")
+    got.foreach { case (id, (tot, dup, ratio)) =>
+      val (et, ed) = expected(id)
+      assert((tot, dup) === (et, ed),
+        s"doc $id: got ($tot, $dup), expected ($et, $ed)")
+      val er = BigDecimal(ed.toDouble / et)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(ratio === er, s"doc $id ratio: got $ratio expected $er")
+    }
+    // the signal must be non-trivial both ways at this sf: some position
+    // recurs corpus-wide AND some doc stays fully fresh
+    assert(got.values.exists(_._2 > 0), "no duplicated span found")
+    assert(got.values.exists(v => v._2 < v._1), "every span duplicated")
+  }
+
+  test("q88 pre-aggregates per doc before the gram-keyed exchange") {
+    // the (doc_id, gram) aggregate must collapse within-doc repeats
+    // map-side BEFORE grams travel: partial aggregation on both the
+    // pair aggregate and the totals aggregate
+    val plan = DedupQueries.q88DupSpans(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    val partials = "partial_count|partial_sum".r
+      .findAllIn(plan).length
+    assert(partials >= 2,
+      s"expected map-side partial aggregates in both stages:\n$plan")
+  }
 }

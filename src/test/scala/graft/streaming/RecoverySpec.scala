@@ -15,11 +15,26 @@ import graft.SparkSpec
   * files exactly-once. */
 class RecoverySpec extends SparkSpec {
 
+  /** events.parquet with `ts` normalized to nanos-since-epoch LONG no
+    * matter which encoding the fixture generation shipped (nanos long
+    * under nanosAsLong, or a plain micros timestamp). All the slicing
+    * arithmetic below is in nanos, and landing files written from this
+    * frame carry a LongType ts — which EventStreams' encoding probe
+    * reads back as the nanos regime. */
+  private def rawNanosEvents = {
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast(
+          org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+    }
+  }
+
   test("killed+resumed checkpointed stream equals the uninterrupted run") {
     val base = Files.createTempDirectory("graft-recovery").toString
-    // raw events with ts still nanos-since-epoch LONG (the landing-file
-    // schema the stream source declares)
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // raw events with ts as nanos-since-epoch LONG (see rawNanosEvents)
+    val raw = rawNanosEvents
     val Seq(lo, hi) = raw.agg(min("ts"), max("ts")).head()
       .toSeq.map(_.asInstanceOf[Long]).toSeq
     val mid = lo + (hi - lo) / 2
@@ -78,7 +93,7 @@ class RecoverySpec extends SparkSpec {
     // emitted windows must never re-emit. Kill+resume proved checkpoint
     // recovery; this proves the ordinary many-batch path.
     val base = Files.createTempDirectory("graft-multibatch").toString
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val raw = rawNanosEvents
     val Seq(lo, hi) = raw.agg(min("ts"), max("ts")).head()
       .toSeq.map(_.asInstanceOf[Long]).toSeq
     val flush = raw.limit(1)
@@ -125,7 +140,7 @@ class RecoverySpec extends SparkSpec {
     // _spark_metadata-deduped file output would still catch re-emits as
     // duplicate (click_id, view_id) rows.
     val base = Files.createTempDirectory("graft-recovery-join").toString
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val raw = rawNanosEvents
     // an arbitrary midpoint may straddle no matched pair at the smallest
     // SF; instead CUT INSIDE THE WIDEST MATCHED PAIR (batch twin of the
     // join condition), so at least that pair's click is buffered at the
@@ -200,7 +215,7 @@ class RecoverySpec extends SparkSpec {
     // EventStreams is defense-in-depth for the exact-boundary case and
     // for Spark versions that deliver late rows to the function.
     val base = Files.createTempDirectory("graft-backfill").toString
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val raw = rawNanosEvents
     // phase 1: current data advances the watermark to max(ts) - 1h
     raw.write.mode("append").parquet(s"$base/landing")
     EventStreams.runFirstSeenToFiles(spark,
@@ -231,7 +246,7 @@ class RecoverySpec extends SparkSpec {
     // The cut is by TIME, so a pair's true first event is always in the
     // phase that first contains the pair.
     val base = Files.createTempDirectory("graft-recovery-state").toString
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val raw = rawNanosEvents
     val Seq(lo, hi) = raw.agg(min("ts"), max("ts")).head()
       .toSeq.map(_.asInstanceOf[Long]).toSeq
     val mid = lo + (hi - lo) / 2

@@ -143,8 +143,12 @@ object Bench {
     val loadavg = scala.util.Try(
       scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split("\\s+").take(3).mkString("[", ",", "]")).getOrElse("[]")
+    // key order matters downstream: the driver captures the TAIL of this
+    // line and has twice truncated it mid-JSON, so the per-query seconds
+    // map — the one map a reader must have — goes LAST, with the
+    // diagnostic maps (spread, shuffle) just before it
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"pass_spread":$sp,"artifacts_sec":$artifactsSec,"refresh_sec":$refreshSec,"full_rebuild_sec":$rebuildSec,"sf":"$sfDir","loadavg":$loadavg,"runs_per_query":$passes,"interleaved":true}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","loadavg":$loadavg,"runs_per_query":$passes,"interleaved":true,"artifacts_sec":$artifactsSec,"refresh_sec":$refreshSec,"full_rebuild_sec":$rebuildSec,"pass_spread":$sp,"shuffle_mb":$sh,"queries":$qs}"""
     println(json)
     // also land the line in a file: sbt interleaves its own log lines with
     // stdout, so a driver grepping the tail can mis-parse — a dedicated

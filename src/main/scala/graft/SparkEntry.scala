@@ -124,6 +124,7 @@ object SparkEntry {
     "q85_ann_pq256_rerank" -> (ProductQuantization.q85AnnPq256Rerank _),
     "q87_semdedup"      -> (SimilarityQueries.q87SemDedup _),
     "q88_dup_spans"     -> (DedupQueries.q88DupSpans _),
+    "q89_dup_span_trim" -> (DedupQueries.q89DupSpanTrim _),
     "q79_snapshot_diff" -> (CurationPipeline.q79SnapshotDiff _),
     // q80 reads the INCREMENTALLY refreshed shingle artifact (base table
     // minus removed/modified rows, plus freshly shingled delta docs); the
@@ -167,6 +168,23 @@ object SparkEntry {
       |           x -> substr(x, 1, 255)), x -> length(x) > 0) AS t
       |  FROM documents
       |)""".stripMargin
+
+  /** Positional span-key CTEs over [[tokListCte]]: one row per
+    * full-width token position with its 0-based position and md5-derived
+    * 60-bit gram key — the oracle twin of DedupQueries.spanKeys (same
+    * width, same hash construction), shared by the q88/q89 chain so the
+    * fraction and the trim extents can never disagree on what counts as
+    * a duplicated position. */
+  private val spanKeyCtes: String = {
+    val w = DedupQueries.SpanTokens
+    s"""$tokListCte,
+       |spans AS (SELECT doc_id, unnest(range(1, len(t) - $w + 2)) AS i, t
+       |          FROM toks WHERE len(t) >= $w),
+       |spang AS (SELECT doc_id, (i - 1)::BIGINT AS pos,
+       |            ('0x' || substr(md5(array_to_string(t[i:i+${w - 1}], ' ')),
+       |                            1, 15))::BIGINT AS g
+       |          FROM spans)""".stripMargin
+  }
 
   /** Word-3-shingle CTE over [[tokListCte]] — ONE definition of the
     * shingle edge semantics (short doc → whole text; tokenless doc → ""
@@ -1186,24 +1204,45 @@ object SparkEntry {
          |FROM asg a LEFT JOIN dup d ON d.vec_id = a.vec_id
          |ORDER BY a.vec_id""".stripMargin,
     // q88: duplicated-span fraction — positional (non-distinct) 8-gram
-    // rows, per-(doc, gram) counts, per-gram totals, ratio of positions
-    // whose gram recurs corpus-wide. Docs shorter than the span width
-    // have no full-width position and emit no row (both engines).
+    // rows, per-(doc, gram-key) counts, per-key totals, ratio of
+    // positions whose gram recurs corpus-wide. Docs shorter than the
+    // span width have no full-width position and emit no row (both
+    // engines). The gram rides as the SAME md5-derived 60-bit key the
+    // Spark exchanges carry (DedupQueries.gramKey), so even a key
+    // collision reproduces bit-for-bit.
     "q88_dup_spans" ->
-      s"""$tokListCte,
-         |spans AS (SELECT doc_id,
-         |                 unnest([array_to_string(t[i:i+${DedupQueries.SpanTokens - 1}], ' ')
-         |                         for i in range(1, len(t) - ${DedupQueries.SpanTokens} + 2)]) AS s
-         |          FROM toks WHERE len(t) >= ${DedupQueries.SpanTokens}),
-         |pg AS (SELECT doc_id, s, count(*) AS occ FROM spans GROUP BY doc_id, s),
-         |gt AS (SELECT s, sum(occ) AS total FROM pg GROUP BY s)
+      s"""$spanKeyCtes,
+         |pg AS (SELECT doc_id, g, count(*) AS occ FROM spang GROUP BY doc_id, g),
+         |gt AS (SELECT g, sum(occ) AS total FROM pg GROUP BY g)
          |SELECT doc_id,
          |       sum(occ)::BIGINT AS total_spans,
          |       sum(CASE WHEN total >= 2 THEN occ ELSE 0 END)::BIGINT AS dup_spans,
          |       round(sum(CASE WHEN total >= 2 THEN occ ELSE 0 END) * 1.0
          |             / sum(occ), 4) AS dup_ratio
-         |FROM pg JOIN gt USING (s)
+         |FROM pg JOIN gt USING (g)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q89: duplicated-span trim extents — q88's duplicated-position rule
+    // (per-key totals >= 2), then width-aware gap-islands: a new island
+    // opens when the position jump exceeds the span width, so extents
+    // are disjoint and maximal; span_len = last - first + width.
+    "q89_dup_span_trim" ->
+      s"""$spanKeyCtes,
+         |gt AS (SELECT g, count(*) AS total FROM spang GROUP BY g),
+         |dp AS (SELECT doc_id, pos FROM spang JOIN gt USING (g)
+         |       WHERE total >= 2),
+         |fl AS (SELECT doc_id, pos,
+         |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+         |                                        ORDER BY pos)
+         |                   <= ${DedupQueries.SpanTokens}
+         |              THEN 0 ELSE 1 END AS newrun
+         |       FROM dp),
+         |r AS (SELECT doc_id, pos,
+         |        sum(newrun) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+         |      FROM fl)
+         |SELECT doc_id, min(pos)::BIGINT AS span_start,
+         |       (max(pos) - min(pos) + ${DedupQueries.SpanTokens})::BIGINT
+         |         AS span_len
+         |FROM r GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
     "q58_csv_source" ->
       """SELECT n_regionkey, count(*) AS nations, min(n_name) AS first_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,

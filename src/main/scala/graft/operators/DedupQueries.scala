@@ -103,11 +103,15 @@ object DedupQueries {
       .select(col("doc_id"), Text.normalized(col("text")).as("norm"))
       .join(ids, Seq("doc_id"))
 
+  /** Per-NORM-group keeper metadata over a dup-sized verify base:
+    * (norm, keep_id, dup_cnt) — checkpointed, since keepers, the
+    * dropped list AND the exact-dup edge set all derive from it. The
+    * norm column stays inside this dup-sized relation; consumers
+    * project it away. */
   private def keeperGroupsOf(base: DataFrame): DataFrame =
     base
       .groupBy("norm")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
-      .select("keep_id", "dup_cnt")
 
   /** Narrow-key EXACT dedup metadata over the documents under `sfDir`,
     * optionally restricted by `pred` (a predicate over
@@ -165,25 +169,49 @@ object DedupQueries {
         m = scala.collection.mutable.Map.empty
         trioCache.put(spark, m)
       }
-      m.getOrElseUpdate(key, {
+      val meta = m.getOrElseUpdate(key, {
         val keyed = TextQueries.docFeatures(spark, sfDir)
           .where(pred).select("h", "doc_id")
         val multiH = hashGroupsOfKeyed(keyed)
           .where(col("cnt") > 1).select("h").localCheckpoint()
         val ids = dupMemberIds(keyed, multiH)
-        dupTrioOf(multiH, normsForIds(spark, sfDir, ids).localCheckpoint())
+        dupMetaOf(multiH, normsForIds(spark, sfDir, ids).localCheckpoint())
       })
+      (meta.multiH, meta.keepers, meta.dropped)
     }
   }
 
-  /** Trios already derived this session, keyed by (dir, predicate SQL)
+  /** The EXACT-dup edge set of the corpus under `sfDir`: one
+    * `(doc_id_1 = member, doc_id_2 = keeper)` row per non-keeper member
+    * of each exact-dup norm group — [[dupGroupsFromFeatures]]' fourth
+    * product, derived from the SAME checkpointed verify base (shared
+    * session cache), so the cluster build's exact edges and q15's
+    * keeper rule cannot drift. Dup-sized; evaluated lazily so gated
+    * trio consumers (q50/q64) never pay for it. */
+  private[graft] def exactDupEdges(spark: SparkSession,
+                                   sfDir: String): DataFrame = {
+    dupGroupsFromFeatures(spark, sfDir) // ensure the meta exists
+    trioCache.synchronized {
+      trioCache.get(spark)((sfDir, lit(true).toString)).edges
+    }
+  }
+
+  /** Metadata bundle one verify base yields: the trio every consumer
+    * attaches, plus the exact-dup edge set the cluster build consumes —
+    * `edges` lazy (checkpoint on first use). */
+  private final class DupMeta(val multiH: DataFrame, val keepers: DataFrame,
+                              val dropped: DataFrame,
+                              edgesThunk: () => DataFrame) {
+    lazy val edges: DataFrame = edgesThunk()
+  }
+
+  /** Metas already derived this session, keyed by (dir, predicate SQL)
     * — weak-keyed like the Artifacts registry, so a discarded session's
     * checkpoints are collectable. A predicate built through a different
     * expression tree misses the cache and rebuilds: never wrong, only
     * unshared. */
   private val trioCache = new java.util.WeakHashMap[SparkSession,
-    scala.collection.mutable.Map[(String, String),
-      (DataFrame, DataFrame, DataFrame)]]
+    scala.collection.mutable.Map[(String, String), DupMeta]]
 
   /** [[dupGroupsFromFeatures]] over a raw `(doc_id, norm)` relation —
     * same metadata, same keeper rule, for inputs that are not the
@@ -196,16 +224,18 @@ object DedupQueries {
     val multiH = hashGroupsOfKeyed(keyed)
       .where(col("cnt") > 1).select("h").localCheckpoint()
     val ids = dupMemberIds(keyed, multiH)
-    dupTrioOf(multiH, idNorm.join(ids, Seq("doc_id")).localCheckpoint())
+    val meta = dupMetaOf(multiH, idNorm.join(ids, Seq("doc_id")).localCheckpoint())
+    (meta.multiH, meta.keepers, meta.dropped)
   }
 
-  /** The shared tail of both metadata forms: keepers + the dropped-id
-    * list from one checkpointed verify base, so the keeper rule
-    * (tie-break, collision handling) cannot drift between q15's answer
-    * and the pipeline's dedup decisions. */
-  private def dupTrioOf(multiH: DataFrame, base: DataFrame)
-      : (DataFrame, DataFrame, DataFrame) = {
-    val keepers = keeperGroupsOf(base).localCheckpoint()
+  /** The shared tail of both metadata forms: keepers, the dropped-id
+    * list and the lazy edge set from one checkpointed verify base, so
+    * the keeper rule (tie-break, collision handling) cannot drift
+    * between q15's answer, the pipeline's dedup decisions and the
+    * cluster build's exact edges. */
+  private def dupMetaOf(multiH: DataFrame, base: DataFrame): DupMeta = {
+    val normKeepers = keeperGroupsOf(base).localCheckpoint()
+    val keepers = normKeepers.select("keep_id", "dup_cnt")
     // the DROPPED-id list: multi-hash members that are not their norm
     // group's keeper — the complete per-doc dedup decision as a narrow,
     // dup-sized relation. Consumers attach it with ONE anti-join instead
@@ -217,7 +247,15 @@ object DedupQueries {
       .join(keepers.select(col("keep_id").as("doc_id")),
         Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    (multiH, keepers, dropped)
+    // exact-dup edges (member -> keeper): the same norm-group join the
+    // old cluster build ran corpus-wide, here over two dup-sized
+    // checkpointed relations — norm strings never leave them
+    val edges = () => base.select("doc_id", "norm")
+      .join(normKeepers.select("norm", "keep_id"), Seq("norm"))
+      .where(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id").as("doc_id_1"), col("keep_id").as("doc_id_2"))
+      .localCheckpoint()
+    new DupMeta(multiH, keepers, dropped, edges)
   }
 
   /** Q15: exact dedup on normalized text; keep the smallest doc_id per
@@ -473,23 +511,32 @@ object DedupQueries {
     * [[propagateMinLabels]]. Dup groups are tiny cliques (diameter ≤ 2
     * here), so this converges in 2-3 rounds; the cap bounds adversarial
     * chains. */
-  private def computeClusters(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The symmetric near-dup edge relation the cluster build propagates
+    * over: MinHash pairs at est ≥ 0.5 (off the signature artifact) ∪
+    * exact-dup edges from the narrow-key dedup metadata — the SAME
+    * keeper rule q15 answers with. The corpus-on-norm-string groupBy
+    * the exact side replaced (group documents on
+    * Text.normalized(text), collect_list ids) was the last corpus-wide
+    * norm-string exchange in the engine; [[exactDupEdges]] derives
+    * from the docFeatures artifact's 8-byte hashes, with norm strings
+    * confined to the dup-sized verify pass. Public to the package so
+    * the spec pins THIS plan (the checkpoint in [[computeClusters]]
+    * makes the shipped build's plan opaque). */
+  private[graft] def clusterEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val near = q18MinhashLsh(spark, sfDir)
       .where(col("est_jaccard") >= 0.5)
       .select(col("doc_id_1"), col("doc_id_2"))
-    val exact = Tables.documents(spark, sfDir)
-      .groupBy(Text.normalized(col("text")).as("norm"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("doc_id_1"),
-        array_min(col("ids")).as("doc_id_2"))
-      .where(col("doc_id_1") =!= col("doc_id_2"))
-    val edges = near.union(exact)
+    val exact = exactDupEdges(spark, sfDir)
+    near.union(exact)
       .union(near.select(col("doc_id_2").as("doc_id_1"),
         col("doc_id_1").as("doc_id_2")))
       .union(exact.select(col("doc_id_2").as("doc_id_1"),
         col("doc_id_1").as("doc_id_2")))
       .distinct()
+  }
+
+  private def computeClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = clusterEdges(spark, sfDir)
       .localCheckpoint() // sever lineage: edges feed every iteration
     // 64 rounds with pointer jumping covers diameter ~2^64: no graph
     // addressable by 64-bit doc_ids can hit the cap — the hard-throw
@@ -812,28 +859,92 @@ object DedupQueries {
     * "repeated ≥ w tokens" — the only question the drop rule asks).
     *
     * Scale shape: positional n-grams ([[Text.spanRows]]) → per-(doc,
-    * gram) counts → per-gram totals → join back → per-doc ratio. The
+    * gram-KEY) counts → per-key totals → join back → per-doc ratio. The
     * q44 TF-IDF topology exactly (doc-term tf → term df → join), so the
     * same properties hold: every aggregate map-side-combines, the
-    * (doc, gram) pre-aggregate collapses within-doc repeats BEFORE the
-    * gram-keyed exchange, and the gram-total join is gram-keyed — AQE
-    * reuses the exchange from the totals aggregate. At 100 TB the gram
-    * strings would ride as `xxhash64(gram)` (the q15 narrow-key
-    * discipline; a hash collision only mislabels one span as duplicated,
-    * a soft signal, so no verify pass is needed) — kept as strings here
-    * for oracle bit-parity. */
+    * (doc, key) pre-aggregate collapses within-doc repeats BEFORE the
+    * key-keyed exchange, and the totals join is key-keyed — AQE reuses
+    * the exchange from the totals aggregate. The gram STRING never
+    * crosses an exchange (spec-pinned): it is assembled after
+    * spanRows's token-carrying window exchange and immediately reduced
+    * to [[gramKey]]'s md5-derived 60-bit long — the q15 narrow-key
+    * discipline, at 8 bytes per key instead of ~8 words of text, and
+    * the DuckDB oracle derives the identical key so even a collision
+    * (which at worst mislabels one span as duplicated, a soft signal)
+    * reproduces bit-for-bit. Measured at sf0.1: the string-keyed form
+    * this replaced shuffled 9.97 MB, the suite's largest exchange. */
   def q88DupSpans(spark: SparkSession, sfDir: String): DataFrame = {
-    val perDocGram = Text.spanRows(
-        Tables.documents(spark, sfDir), "doc_id", "text", SpanTokens)
-      .groupBy("doc_id", "s").agg(count(lit(1)).as("occ"))
-    val gramTotals = perDocGram.groupBy("s")
+    val perDocGram = spanKeys(spark, sfDir)
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("occ"))
+    val gramTotals = perDocGram.groupBy("g")
       .agg(sum(col("occ")).as("total"))
-    perDocGram.join(gramTotals, Seq("s"))
+    perDocGram.join(gramTotals, Seq("g"))
       .groupBy("doc_id")
       .agg(sum(col("occ")).as("total_spans"),
         sum(when(col("total") >= 2, col("occ")).otherwise(0L)).as("dup_spans"))
       .select(col("doc_id"), col("total_spans"), col("dup_spans"),
         round(col("dup_spans") / col("total_spans"), 4).as("dup_ratio"))
       .orderBy("doc_id")
+  }
+
+  /** 60-bit md5-derived key for a positional n-gram — the narrow form
+    * the q88/q89 exchanges carry instead of the ~8-word gram string.
+    * Same construction as the MinHash/KMV/fingerprint family (hex
+    * prefix of md5, so DuckDB reproduces every bit); 15 nibbles keep
+    * the cast inside a signed long. At ~10^5 distinct grams per sf0.1
+    * the 2^60 keyspace puts a collision at ~10^-9 — and both engines
+    * hash, so a collision changes neither side alone. */
+  private[graft] def gramKey(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** `(doc_id, pos, g)`: every full-width token position with its
+    * [[gramKey]] — the shared narrow input of q88 (fractions) and q89
+    * (trim extents). The gram string exists only between the window
+    * projection and this map-side hash. */
+  private def spanKeys(spark: SparkSession, sfDir: String): DataFrame =
+    Text.spanRows(Tables.documents(spark, sfDir), "doc_id", "text",
+        SpanTokens)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        gramKey(col("s")).as("g"))
+
+  /** Q89: duplicated-span TRIM EXTENTS — the actionable half of Lee et
+    * al.'s substring dedup: q88 says HOW MUCH of a document is
+    * duplicated; this says WHERE, as disjoint maximal token extents,
+    * which is exactly what the curation stage that removes (rather
+    * than drops) duplicated text consumes. A position is duplicated
+    * iff its [[SpanTokens]]-gram occurs ≥ 2 times corpus-wide (q88's
+    * rule verbatim), and covers tokens [pos, pos + SpanTokens − 1];
+    * extents whose coverage overlaps or touches merge — gap-islands
+    * with a width-aware gap rule (a new island starts when the
+    * position jump exceeds SpanTokens, i.e. the previous extent ends
+    * strictly before this one starts), so the output extents are
+    * disjoint and maximal: `span_len` = last − first + SpanTokens.
+    *
+    * Scale shape: the corpus-wide half is ONE aggregate over
+    * [[gramKey]]s (8-byte keys, map-side combine) filtered to
+    * duplicated keys — dup-sized, like q15's multiH — and the
+    * join-back routes only `(g, doc_id, pos)` triples. The islands
+    * windows (lag flag + running sum, one partition spec) then order
+    * DUPLICATED positions per doc — dup-sized again, never the
+    * corpus. No gram string crosses any exchange (same pin as q88). */
+  def q89DupSpanTrim(spark: SparkSession, sfDir: String): DataFrame = {
+    val pos = spanKeys(spark, sfDir)
+    val dupKeys = pos.groupBy("g").agg(count(lit(1)).as("total"))
+      .where(col("total") >= 2).select("g")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    pos.join(dupKeys, Seq("g"))
+      .select(col("doc_id"), col("pos"))
+      // null lag (first dup position of a doc) falls to otherwise(1):
+      // every doc's first extent opens its own island
+      .withColumn("newrun",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= SpanTokens, 0)
+          .otherwise(1))
+      .withColumn("isl", sum("newrun").over(byDoc))
+      .groupBy("doc_id", "isl")
+      .agg(min("pos").as("span_start"),
+        (max("pos") - min("pos") + SpanTokens).as("span_len"))
+      .select(col("doc_id"), col("span_start"), col("span_len"))
+      .orderBy("doc_id", "span_start")
   }
 }

@@ -91,14 +91,14 @@ class OperatorSpec extends SparkSpec {
 
   test("q10 window rank: exactly one row per customer with orders") {
     val custs = Tables.orders(spark, sfDir)
-      .select(countDistinct(col("o_custkey"))).collect().head.getLong(0)
+      .select(countDistinct(col("o_custkey"))).collect().head().getLong(0)
     assert(RelationalQueries.q10WindowTopOrder(spark, sfDir).count() === custs)
   }
 
   test("q15 exact dedup groups: sum of dup_cnt equals total docs") {
     val total = Tables.documents(spark, sfDir).count()
     val summed = DedupQueries.q15ExactDedup(spark, sfDir)
-      .agg(sum(col("dup_cnt"))).collect().head.getLong(0)
+      .agg(sum(col("dup_cnt"))).collect().head().getLong(0)
     assert(summed === total)
   }
 
@@ -626,7 +626,7 @@ class OperatorSpec extends SparkSpec {
     assert(rep.map(_.getLong(1)).sum === docs.count())
     // exact_dups summed over sources == corpus-wide non-representatives
     val dupTotal = DedupQueries.q15ExactDedup(spark, sfDir)
-      .agg(sum(col("dup_cnt") - 1)).head.getLong(0)
+      .agg(sum(col("dup_cnt") - 1)).head().getLong(0)
     assert(rep.map(_.getLong(4)).sum === dupTotal)
     // contaminated summed over sources == q52 docs at the >= 3 threshold
     val contamTotal = DedupQueries.q52Decontaminate(spark, sfDir)
@@ -836,8 +836,12 @@ class OperatorSpec extends SparkSpec {
       BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
+    // group by cell first, pair only within each group — matching the
+    // "exhaustive in-cell" intent without an O(n²) whole-corpus scan
+    // per vector (which would dominate spec runtime at higher SF)
+    val byCell = asg.groupBy(_._2)
     val expected = asg.map { case (id, cell, v) =>
-      val mates = asg.filter(o => o._2 == cell && o._1 < id &&
+      val mates = byCell(cell).filter(o => o._1 < id &&
         cos(o._3, v) >= SimilarityQueries.SemDedupTau).map(_._1)
       id -> (if (mates.isEmpty) (1, id) else (0, mates.min))
     }.toMap
@@ -899,6 +903,54 @@ class OperatorSpec extends SparkSpec {
     // recurs corpus-wide AND some doc stays fully fresh
     assert(got.values.exists(_._2 > 0), "no duplicated span found")
     assert(got.values.exists(v => v._2 < v._1), "every span duplicated")
+  }
+
+  test("q89 trim extents are the disjoint maximal covers of duplicated positions") {
+    import graft.functions.Text
+    // same JVM oracle base as q88's, with positions kept; islands by the
+    // width-aware gap rule (new run when the jump exceeds SpanTokens)
+    val n = DedupQueries.SpanTokens
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+    val spans = docs.flatMap { case (id, t) =>
+      if (t.length < n) Array.empty[(Long, Int, String)]
+      else (0 to t.length - n).map(i =>
+        (id, i, t.slice(i, i + n).mkString(" "))).toArray
+    }
+    val totals = spans.groupBy(_._3).view.mapValues(_.length).toMap
+    val expected = spans.filter(s => totals(s._3) >= 2)
+      .groupBy(_._1).view.mapValues { ss =>
+        val ps = ss.map(_._2).sorted
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var start = ps.head
+        var last = ps.head
+        ps.tail.foreach { p =>
+          if (p - last <= n) last = p
+          else {
+            runs += ((start.toLong, (last - start + n).toLong))
+            start = p; last = p
+          }
+        }
+        runs += ((start.toLong, (last - start + n).toLong))
+        runs.toSeq
+      }.toMap
+    val got = DedupQueries.q89DupSpanTrim(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSeq).toMap
+    assert(got.keySet === expected.keySet,
+      "exactly the docs with a duplicated position appear")
+    got.foreach { case (id, runs) =>
+      assert(runs === expected(id), s"doc $id extents differ")
+      // the trim contract: extents disjoint, ordered, with fresh text
+      // strictly between them (the gap rule leaves >= 1 token)
+      runs.sliding(2).foreach {
+        case Seq((s1, l1), (s2, _)) =>
+          assert(s2 > s1 + l1 - 1, s"doc $id: overlapping/touching extents")
+        case _ => ()
+      }
+    }
+    assert(got.values.exists(_.size >= 1), "no extents found at this sf")
   }
 
   test("q88 pre-aggregates per doc before the gram-keyed exchange") {

@@ -42,7 +42,7 @@ class ScaleSpec extends SparkSpec {
     // the stage's wall-clock at scale.
     val skewed = SkewJoin.skewedOrders(spark, sfDir)
     val hot = skewed.groupBy("o_custkey").count()
-      .orderBy(desc("count")).head.getLong(0)
+      .orderBy(desc("count")).head().getLong(0)
     val hotRows = skewed.where(col("o_custkey") === hot)
     val total = hotRows.count()
     assert(total > skewed.count() / 5, "hot key should dominate the table")
@@ -447,6 +447,58 @@ class ScaleSpec extends SparkSpec {
             s"$name shuffles the norm column: $names")
       }
     }
+  }
+
+  test("q88/q89: no gram string crosses an exchange — keys ride as 60-bit longs") {
+    // the gram string exists only between spanRows's window projection
+    // and the map-side gramKey hash; the only string an exchange may
+    // carry is the single-token window input (posexplode's `col`) — the
+    // tokenize pass itself. The round-7 string-keyed form shuffled
+    // 9.97 MB at sf0.1, the suite's largest exchange; this pin keeps it
+    // from coming back.
+    Seq(
+      ("q88", DedupQueries.q88DupSpans(spark, sfDir)),
+      ("q89", DedupQueries.q89DupSpanTrim(spark, sfDir))
+    ).foreach { case (name, df) =>
+      val exchanges = shuffleOutputs(df)
+      assert(exchanges.nonEmpty)
+      exchanges.foreach { names =>
+        assert(!names.exists(c => c == "s" || c.contains("text")),
+          s"$name exchange carries the gram/text string: $names")
+      }
+    }
+  }
+
+  test("cluster-label edges derive from artifacts, never a corpus norm-string groupBy") {
+    // round-7 gap: the exact-edge derivation grouped the whole corpus on
+    // Text.normalized(text) and shuffled norm strings + collect_list of
+    // ids — the exact shape the narrow-key dedup eliminated everywhere
+    // else. The edge set must now come from the signature artifact (near
+    // side) and the dup-sized dedup metadata (exact side).
+    val df = DedupQueries.clusterEdges(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_signatures"),
+      s"near edges must read the signature artifact:\n${plan.take(4000)}")
+    assert(!plan.contains("collect_list"),
+      s"corpus norm-string groupBy is back in the edge build:\n${plan.take(4000)}")
+    shuffleOutputs(df).foreach { names =>
+      assert(!names.exists(n => n.contains("text") || n.contains("norm")),
+        s"cluster edge build shuffles text/norm: $names")
+    }
+    // the exact side must implement q15's keeper rule verbatim: one
+    // (member, min doc_id of its exact-dup norm group) edge per
+    // non-keeper member — recomputed independently here
+    val got = DedupQueries.exactDupEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Tables.documents(spark, sfDir)
+      .groupBy(graft.functions.Text.normalized(col("text")).as("norm"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("m"), array_min(col("ids")).as("k"))
+      .where(col("m") =!= col("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected, "exact-dup edge set drifted from the keeper rule")
   }
 
   test("dedup verify probe is bloom-guarded; forced non-broadcast regime stays narrow") {

@@ -155,7 +155,7 @@ class RecoverySpec extends SparkSpec {
         col("vts") >= col("cts") - lit(3600L * 1000000000L))
       .select(expr("vts + (cts - vts) DIV 2").as("cut"),
         (col("cts") - col("vts")).as("gap"))
-      .orderBy(desc("gap")).head.getLong(0)
+      .orderBy(desc("gap")).head().getLong(0)
     val half1 = raw.where(col("ts") < mid)
     val half2 = raw.where(col("ts") >= mid)
 
@@ -174,7 +174,7 @@ class RecoverySpec extends SparkSpec {
     // columns use, so the string comparison is apples-to-apples
     val midStr = spark.range(1).select(
       date_format(timestamp_micros(lit(mid / 1000L)),
-        "yyyy-MM-dd HH:mm:ss.SSSSSS")).head.getString(0)
+        "yyyy-MM-dd HH:mm:ss.SSSSSS")).head().getString(0)
     val crossCut = spark.read.parquet(s"$base/outU")
       .where((col("click_ts") < lit(midStr)) =!=
         (col("view_ts") < lit(midStr))).count()

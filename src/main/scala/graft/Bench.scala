@@ -45,6 +45,7 @@ object Bench {
         operators.ProductQuantization.K256).count()
       operators.CurationPipeline.refreshedShingles(spark, sfDir).count()
       operators.CurationPipeline.refreshedSignatures(spark, sfDir).count()
+      operators.ProductQuantization.refreshedPqIndex(spark, sfDir).count()
       sources.PartitionedSink.eventsDaily(spark, sfDir).count()
       (System.nanoTime() - tArt) / 1e9
     }.getOrElse(-1.0)
@@ -62,6 +63,19 @@ object Bench {
       graft.functions.Text.shingleRows(
         operators.CurationPipeline.snapshotB(Tables.documents(spark, sfDir)),
         "doc_id", "text", 3).count()
+      (System.nanoTime() - t) / 1e9
+    }.getOrElse(-1.0)
+    // the same refresh-vs-rebuild pair for the ANN index family: the
+    // q91 delta-applied code table against coding snapshot B in full
+    // with the same frozen model
+    val pqRefreshSec = scala.util.Try {
+      val t = System.nanoTime()
+      operators.ProductQuantization.computeRefreshedPqCodes(spark, sfDir).count()
+      (System.nanoTime() - t) / 1e9
+    }.getOrElse(-1.0)
+    val pqRebuildSec = scala.util.Try {
+      val t = System.nanoTime()
+      operators.ProductQuantization.computeSnapshotBPqCodes(spark, sfDir).count()
       (System.nanoTime() - t) / 1e9
     }.getOrElse(-1.0)
     // min across INTERLEAVED full-suite passes: this box is shared and
@@ -148,7 +162,7 @@ object Bench {
     // map — the one map a reader must have — goes LAST, with the
     // diagnostic maps (spread, shuffle) just before it
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","loadavg":$loadavg,"runs_per_query":$passes,"interleaved":true,"artifacts_sec":$artifactsSec,"refresh_sec":$refreshSec,"full_rebuild_sec":$rebuildSec,"pass_spread":$sp,"shuffle_mb":$sh,"queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","loadavg":$loadavg,"runs_per_query":$passes,"interleaved":true,"artifacts_sec":$artifactsSec,"refresh_sec":$refreshSec,"full_rebuild_sec":$rebuildSec,"pq_refresh_sec":$pqRefreshSec,"pq_rebuild_sec":$pqRebuildSec,"pass_spread":$sp,"shuffle_mb":$sh,"queries":$qs}"""
     println(json)
     // also land the line in a file: sbt interleaves its own log lines with
     // stdout, so a driver grepping the tail can mis-parse — a dedicated

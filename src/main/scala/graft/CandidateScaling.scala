@@ -7,11 +7,15 @@ import graft.operators.DedupQueries
   * claim, don't assert it — reference README.md:330-339).
   *
   * The scale claim under test: q18 (MinHash LSH), q19 (inverted-index
-  * Jaccard), and q48 (SimHash byte-banding) generate O(candidates) pairs,
-  * never the O(n²) all-pairs space. This prints, per SF dir, the possible
-  * pair count against the candidate pairs each pipeline actually
-  * materializes — the ratio is the shuffle-volume reduction the banding
-  * buys at that corpus density.
+  * Jaccard), q48 (SimHash byte-banding) and q87 (SemDeDup in-cell
+  * pairing) generate O(candidates) pairs, never the O(n²) all-pairs
+  * space. This prints, per SF dir, the possible pair count against the
+  * candidate pairs each pipeline actually materializes — the ratio is
+  * the shuffle-volume reduction the banding/clustering buys at that
+  * corpus density. For q87 the candidate count is Σ s_c(s_c−1)/2 over
+  * cell sizes — n²/(2k) at perfect balance with k = NumCells — so its
+  * column doubles as the measured cell-balance evidence; the vector
+  * corpus column (`vecs`) is its denominator.
   *
   * Usage: runMain graft.CandidateScaling <sfDir> [<sfDir> ...]
   */
@@ -22,8 +26,8 @@ object CandidateScaling {
         "/root/testdata/sf0.1")
     val spark = GraftSession.create("graft-candidate-scaling",
       Some("local[32]"))
-    println("| sf dir | docs | possible pairs | q18 LSH cand | q19 co-shingled | q48 byte-band cand | q48 60-bit cand |")
-    println("|---|---|---|---|---|---|---|")
+    println("| sf dir | docs | possible pairs | q18 LSH cand | q19 co-shingled | q48 byte-band cand | q48 60-bit cand | vecs | possible vec pairs | q87 in-cell cand |")
+    println("|---|---|---|---|---|---|---|---|---|---|")
     dirs.foreach { dir =>
       val docs = Tables.documents(spark, dir)
       val n = docs.count()
@@ -35,8 +39,12 @@ object CandidateScaling {
       val q19 = DedupQueries.shingleIntersections(spark, dir).count()
       val q48 = DedupQueries.simhashCandidates(spark, dir).count()
       val q48w = DedupQueries.simhashCandidates(spark, dir, fpBits = 60).count()
+      val nv = Tables.embeddings(spark, dir).count()
+      val possibleV = nv * (nv - 1) / 2
+      val q87 = operators.SimilarityQueries.semdedupCandidates(spark, dir)
+        .count()
 
-      println(s"| $dir | $n | $possible | $q18 | $q19 | $q48 | $q48w |")
+      println(s"| $dir | $n | $possible | $q18 | $q19 | $q48 | $q48w | $nv | $possibleV | $q87 |")
     }
     spark.stop()
   }

@@ -60,6 +60,7 @@ object SparkEntry {
     "q31_stream_first_seen"  -> (EventStreams.q31StreamFirstSeen _),
     "q60_stream_append" -> (EventStreams.q60StreamAppendWindows _),
     "q86_stream_dedup"  -> (EventStreams.q86StreamDedup _),
+    "q90_stream_dedup_bounded" -> (EventStreams.q90StreamDedupBounded _),
     "q32_json_extract"  -> (RelationalQueries.q32JsonExtract _),
     "q33_cube"          -> (RelationalQueries.q33Cube _),
     // q34 is approximate (HLL++): no SQL oracle — rows-only driver check;
@@ -122,6 +123,12 @@ object SparkEntry {
     "q78_ann_pq_rerank" -> (ProductQuantization.q78AnnPqRerank _),
     "q84_ann_pq256"     -> (ProductQuantization.q84AnnPq256 _),
     "q85_ann_pq256_rerank" -> (ProductQuantization.q85AnnPq256Rerank _),
+    // q91 reads the INCREMENTALLY refreshed PQ code table (base index
+    // minus removed/modified vectors, plus delta vectors coded with the
+    // frozen snapshot-A model); the oracle codes snapshot B from scratch
+    // with the same model — the hash gate IS refresh ≡ rebuild for the
+    // ANN index family.
+    "q91_pq_refresh"    -> (ProductQuantization.q91PqRefresh _),
     "q87_semdedup"      -> (SimilarityQueries.q87SemDedup _),
     "q88_dup_spans"     -> (DedupQueries.q88DupSpans _),
     "q89_dup_span_trim" -> (DedupQueries.q89DupSpanTrim _),
@@ -775,6 +782,28 @@ object SparkEntry {
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
         |    AS content_md5
         |FROM u ORDER BY content_md5""".stripMargin,
+    // q90 replays the same corpus as four timed crawl batches under a
+    // bounded dedup horizon: Jan 1 first crawl (all distinct contents
+    // emit), Mar 1 advancer (emits; its event time pushes the watermark
+    // past the Jan keys' expiry), Mar 2 filler + advancer copy (filler
+    // emits, the within-horizon copy is suppressed, and the Jan keys
+    // are evicted at this batch's end), Mar 3 re-crawl (re-emits in
+    // full against the evicted state). The oracle spells that schedule
+    // out directly.
+    "q90_stream_dedup_bounded" ->
+      """WITH n AS (SELECT DISTINCT
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |    AS content_md5
+        |  FROM documents)
+        |SELECT content_md5, ingest_day FROM (
+        |  SELECT content_md5, '2024-01-01' AS ingest_day FROM n
+        |  UNION ALL
+        |  SELECT md5('graft horizon advancer'), '2024-03-01'
+        |  UNION ALL
+        |  SELECT md5('graft horizon filler'), '2024-03-02'
+        |  UNION ALL
+        |  SELECT content_md5, '2024-03-03' FROM n) u
+        |ORDER BY ingest_day, content_md5""".stripMargin,
     // q62's native heap aggregate must equal the window formulation
     "q62_topk_agg" ->
       """SELECT o_custkey, rk, o_totalprice, o_orderkey FROM (
@@ -1187,6 +1216,53 @@ object SparkEntry {
          |${pqModelCteAt(ProductQuantization.M256, ProductQuantization.K256)},
          |${pqAdcCteAt(ProductQuantization.M256)},
          |${pqRerankSql(ProductQuantization.RerankDepth)}""".stripMargin,
+    // q91: the PQ-code refresh gate. Snapshot B of the VECTOR corpus
+    // (q79's rules: %10==7 removed, %10==3 reversed, %10==1 duplicated
+    // negative) coded FROM SCRATCH against the snapshot-A model (cmm /
+    // cent from the shared model CTEs) — equality with the Spark side's
+    // delta-applied table proves the incremental refresh.
+    "q91_pq_refresh" -> {
+      val m = ProductQuantization.M256
+      val sd = ProductQuantization.SubDim * ProductQuantization.M / m
+      val dims = SimilarityQueries.Dims
+      s"""WITH $ivfKmeansCte,
+         |${pqModelCteAt(ProductQuantization.M256, ProductQuantization.K256)},
+         |eb AS (SELECT vec_id,
+         |              CASE WHEN vec_id % 10 = 3
+         |                   THEN [v[${dims + 1} - d]
+         |                         for d in range(1, ${dims + 1})]
+         |                   ELSE v END AS v
+         |       FROM e WHERE vec_id % 10 <> 7
+         |       UNION ALL
+         |       SELECT -(vec_id + 1), v FROM e WHERE vec_id % 10 = 1),
+         |asgb AS (SELECT vec_id, v, cell FROM (
+         |   SELECT b.vec_id, b.v, c.cell,
+         |          row_number() OVER (PARTITION BY b.vec_id
+         |            ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cell)
+         |            AS rk
+         |   FROM eb b CROSS JOIN c2 c) t WHERE rk = 1),
+         |rresb AS (SELECT a.vec_id, a.cell,
+         |                 [floor(a.v[d] * 1e6)::BIGINT - cm.cm[d]
+         |                  for d in range(1, ${dims + 1})] AS r
+         |          FROM asgb a JOIN cmm cm ON cm.cell = a.cell),
+         |rsubb AS (SELECT vec_id, mm.m, r[(mm.m*$sd+1):(mm.m*$sd+$sd)] AS sub
+         |          FROM rresb CROSS JOIN (SELECT unnest(range(0, $m)) AS m) mm),
+         |dfinb AS (SELECT r.vec_id, r.m, c.code,
+         |                 list_sum([(r.sub[j] - c.cv[j]) * (r.sub[j] - c.cv[j])
+         |                           for j in range(1, ${sd + 1})])::BIGINT AS dist
+         |          FROM rsubb r JOIN cent c ON c.m = r.m),
+         |fcb AS (SELECT vec_id, m, code, dist FROM (
+         |          SELECT vec_id, m, code, dist,
+         |                 row_number() OVER (PARTITION BY vec_id, m
+         |                   ORDER BY dist, code) AS rk
+         |          FROM dfinb) t WHERE rk = 1)
+         |SELECT v.vec_id AS vec_id, v.cell AS cell,
+         |       array_to_string(list(f.code ORDER BY f.m), ',') AS codes,
+         |       sum(f.dist)::BIGINT AS qerr
+         |FROM rresb v JOIN fcb f ON f.vec_id = v.vec_id
+         |GROUP BY v.vec_id, v.cell
+         |ORDER BY v.vec_id""".stripMargin
+    },
     // q87: SemDeDup — the k-means assignment CTE chain, then a plain
     // in-cell self-join: kept iff no smaller-id cell-mate within τ;
     // dropped rows carry their smallest such mate as rep_id.

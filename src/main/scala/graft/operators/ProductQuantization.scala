@@ -221,14 +221,23 @@ object ProductQuantization {
   def computePqCodesAt(spark: SparkSession, sfDir: String,
                        m: Int, k: Int): DataFrame = {
     val (coarse, cents) = pqModelAt(spark, sfDir, m, k)
-    withCodes(residuals(vecs(spark, sfDir), coarse), cents, m)
+    codesOver(vecs(spark, sfDir), coarse, cents, m)
+  }
+
+  /** The coding projection over an EXPLICIT (vec_id, v) relation — the
+    * seam the full build and the incremental refresh share, so the two
+    * paths cannot drift: assign coarse cell, residual, per-subspace
+    * argmin code, csv + exact integer quantization error. Pure map-side
+    * (model as literals). */
+  private def codesOver(e: DataFrame, coarse: Seq[(Long, Seq[Double])],
+                        cents: Seq[Seq[Seq[Long]]], m: Int): DataFrame =
+    withCodes(residuals(e, coarse), cents, m)
       .select(Seq(col("vec_id"), col("cell"),
         concat_ws(",",
           (0 until m).map(mi => col(s"code_$mi").cast("string")): _*)
           .as("codes"),
         (0 until m).map(mi => col(s"dist_$mi")).reduce(_ + _).as("qerr"))
         ++ (0 until m).map(mi => col(s"code_$mi")): _*)
-  }
 
   /** The coding BUILD plan — public so the spec can pin its shape (the
     * model is literals, so coding must be a pure projection over the
@@ -381,6 +390,92 @@ object ProductQuantization {
     * recommends for 100 TB ANN. */
   def q85AnnPq256Rerank(spark: SparkSession, sfDir: String): DataFrame =
     rerankAt(spark, sfDir, M256, K256)
+
+  /** Snapshot B of the embedding corpus — q79's recrawl delta rules
+    * transposed to vectors, ONE definition shared by the refresh build,
+    * its from-scratch bench twin and the oracle: every vec_id ending in
+    * 7 removed, ending in 3 modified (vector reversed — deterministic,
+    * norm-preserving, and both engines replay it exactly), ending in 1
+    * duplicated under the negative-id namespace. */
+  def vectorSnapshotB(e: DataFrame): DataFrame =
+    e.where(col("vec_id") % 10 =!= 7)
+      .withColumn("v",
+        when(col("vec_id") % 10 === 3, reverse(col("v")))
+          .otherwise(col("v")))
+      .unionByName(e.where(col("vec_id") % 10 === 1)
+        .withColumn("vec_id", -(col("vec_id") + 1L)))
+
+  /** The INCREMENTAL PQ-INDEX REFRESH build plan (round-7 verdict gap
+    * #2): a PQ code is a pure per-vector function of a FROZEN model, so
+    * the q79/q80 delta discipline applies verbatim to the code table —
+    *
+    *  1. diff snapshots by content hash (map-side md5 of the vector's
+    *     exact decimal rendering; the full-outer join carries digests,
+    *     never vectors — delta-sized output, q79's shape);
+    *  2. drop removed/modified rows from the base code table (anti join
+    *     on vec_id — the base reads its bucket layout in place);
+    *  3. code added/modified vectors — and ONLY those — with the model
+    *     trained on snapshot A (frozen: retraining would recode the
+    *     whole index; production freezes the codebooks between periodic
+    *     full retrains, exactly so refreshes stay delta-sized);
+    *  4. the union is the refreshed index.
+    *
+    * Runs at the production ([[M256]], [[K256]]) operating point — the
+    * table q84/q85 search. The oracle recomputes snapshot B's codes
+    * from scratch with the same frozen model, so the hash gate is the
+    * refresh ≡ rebuild claim (q80/q83's gate, third artifact in the
+    * chain). Public so the spec pins the build shape. */
+  def computeRefreshedPqCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    def h(v: Column) = md5(concat_ws(",", transform(v, _.cast("string"))))
+    val a = e.select(col("vec_id"), h(col("v")).as("old_h"))
+    val b = vectorSnapshotB(e)
+    val delta = a.join(b.select(col("vec_id"), h(col("v")).as("new_h")),
+        Seq("vec_id"), "full_outer")
+      .where(col("old_h").isNull || col("new_h").isNull ||
+        col("old_h") =!= col("new_h"))
+      .select(col("vec_id"),
+        when(col("new_h").isNull, "removed")
+          .when(col("old_h").isNull, "added")
+          .otherwise("modified").as("change"))
+      .localCheckpoint()
+    val stale = delta.where(col("change").isin("removed", "modified"))
+      .select("vec_id")
+    val freshIds = delta.where(col("change").isin("added", "modified"))
+      .select("vec_id")
+    val (coarse, cents) = pqModelAt(spark, sfDir, M256, K256)
+    pqIndexAt(spark, sfDir, M256, K256)
+      .join(stale, Seq("vec_id"), "left_anti")
+      .unionByName(codesOver(b.join(freshIds, Seq("vec_id")),
+        coarse, cents, M256))
+  }
+
+  /** The from-scratch twin: snapshot B coded in full with the same
+    * frozen model — Bench times it against the refresh (the pair of
+    * numbers that states the incremental claim), and the spec proves
+    * row-identity. */
+  def computeSnapshotBPqCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val (coarse, cents) = pqModelAt(spark, sfDir, M256, K256)
+    codesOver(vectorSnapshotB(vecs(spark, sfDir)), coarse, cents, M256)
+  }
+
+  /** The refreshed (snapshot-B) PQ code-table ARTIFACT — q91's table,
+    * bucketed on vec_id like the base index. */
+  def refreshedPqIndex(spark: SparkSession, sfDir: String): DataFrame =
+    Artifacts.materialize(spark,
+      s"graft_pqcodes_b_${M256}_${K256}_" + Tables.dirKey(sfDir), "vec_id") {
+      computeRefreshedPqCodes(spark, sfDir)
+    }
+
+  /** Q91: the incrementally refreshed PQ index, presented like q76.
+    * The DuckDB oracle codes snapshot B from scratch with the
+    * snapshot-A model, so the hash gate proves refresh ≡ rebuild for
+    * the ANN index family — the delta discipline's third artifact
+    * (shingles → signatures → PQ codes). */
+  def q91PqRefresh(spark: SparkSession, sfDir: String): DataFrame =
+    refreshedPqIndex(spark, sfDir)
+      .select("vec_id", "cell", "codes", "qerr")
+      .orderBy("vec_id")
 
   private def rerankOver(spark: SparkSession, sfDir: String,
                          ranked: DataFrame, depth: Int): DataFrame = {

@@ -357,11 +357,8 @@ object SimilarityQueries {
     * one cell join, one per-vector min, one left join back. */
   def q87SemDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val asg = cellAssignments(spark, sfDir, kmeansCodebook(spark, sfDir))
-    val mates = asg.select(col("cell"), col("vec_id").as("rep_id"),
-      col("v").as("rv"))
-    val dup = asg.join(mates, Seq("cell"))
-      .where(col("rep_id") < col("vec_id") &&
-        Vectors.cosineRounded(col("rv"), col("v")) >= SemDedupTau)
+    val dup = semdedupCandidatesOf(asg)
+      .where(Vectors.cosineRounded(col("rv"), col("v")) >= SemDedupTau)
       .groupBy("vec_id").agg(min(col("rep_id")).as("dup_rep"))
     asg.join(dup, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
@@ -369,4 +366,20 @@ object SimilarityQueries {
         coalesce(col("dup_rep"), col("vec_id")).as("rep_id"))
       .orderBy("vec_id")
   }
+
+  /** q87's exact candidate space — the ordered in-cell pairs the cosine
+    * verify then filters. Shared by the operator and the
+    * CandidateScaling sweep (the q19/q48 discipline: the sweep counts
+    * the SHIPPED join, so the n²/k scaling evidence cannot drift from
+    * the pipeline). */
+  private def semdedupCandidatesOf(asg: DataFrame): DataFrame =
+    asg.join(asg.select(col("cell"), col("vec_id").as("rep_id"),
+        col("v").as("rv")), Seq("cell"))
+      .where(col("rep_id") < col("vec_id"))
+
+  /** [[semdedupCandidatesOf]] over the shipped assignment — the sweep's
+    * and the balance spec's entry point. */
+  def semdedupCandidates(spark: SparkSession, sfDir: String): DataFrame =
+    semdedupCandidatesOf(
+      cellAssignments(spark, sfDir, kmeansCodebook(spark, sfDir)))
 }

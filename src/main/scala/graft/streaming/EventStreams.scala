@@ -31,16 +31,30 @@ object EventStreams {
     * TIMESTAMP(MICROS), surfaced as a timestamp — so the encoding is
     * probed from a one-footer batch read of the same files and the
     * matching schema declared; both normalize to a microsecond
-    * TimestampType column, like Tables.events. */
+    * TimestampType column, like Tables.events.
+    *
+    * A NOT-YET-POPULATED landing dir (the documented production start
+    * order: runner first, files later) has nothing to probe — the probe
+    * failure falls back to the nanos-long schema, this corpus's native
+    * encoding. Invariant either way: ONE ts encoding per landing dir for
+    * the dir's lifetime. The encoding is decided once at plan build, so
+    * a file of the other encoding landing later is misread (nanos long
+    * under a TimestampType schema or vice versa), and a checkpointed
+    * restart re-probes — a dir whose encoding flipped between phases
+    * would silently re-declare the schema against committed state.
+    * RecoverySpec.rawNanosEvents enforces it test-side by normalizing
+    * to nanos-long before any file lands. */
   private def streamEvents(s: SparkSession, dir: String,
                            glob: Option[String] = None,
                            maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val probe = glob.foldLeft(s.read)((r, g) => r.option("pathGlobFilter", g))
-      .parquet(dir).schema("ts").dataType
+    val probe = scala.util.Try(
+        glob.foldLeft(s.read)((r, g) => r.option("pathGlobFilter", g))
+          .parquet(dir).schema("ts").dataType)
+      .getOrElse(LongType) // empty landing dir: nothing to probe yet
     val tsIsNanos = probe == LongType
     val schema = StructType(Seq(
       StructField("event_id", LongType),
-      StructField("ts", if (tsIsNanos) LongType else probe),
+      StructField("ts", probe),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val opts = glob.map("pathGlobFilter" -> _) ++
@@ -216,6 +230,91 @@ object EventStreams {
     } finally {
       graft.GraftSession.deleteRecursively(new java.io.File(landing))
     }
+  }
+
+  /** Q90: q86's BOUNDED-HORIZON variant — online dedup whose state is
+    * capped by a recrawl-overlap window instead of growing with distinct
+    * content forever (round-7 verdict gap #3). `dropDuplicatesWithinWatermark`
+    * keys the same content hash, but a key is only held while the
+    * watermark has not passed its ingest time + [[DedupHorizon]]: content
+    * re-crawled INSIDE the horizon is suppressed exactly like q86;
+    * content re-crawled AFTER it is re-emitted — the trade a production
+    * crawl accepts to keep state proportional to one horizon of ingest,
+    * not all of history.
+    *
+    * Four deterministic micro-batches (one file each) make both sides
+    * of the contract oracle-visible: (0) the corpus at Jan 1 — all
+    * distinct contents emit; (1) a single advancer doc at Mar 1 —
+    * emits, and its event time advances the watermark past every Jan
+    * key's expiry; (2) a filler doc at Mar 2 PLUS a copy of the
+    * advancer — the filler emits, the advancer copy is suppressed
+    * (one horizon after Mar 1, its key still held), and this batch's
+    * end-of-batch state cleanup is where the Jan keys are evicted
+    * (watermark eviction runs after each batch, so the eviction and
+    * the re-emission that proves it need separate batches); (3) the
+    * corpus re-crawled at Mar 3 — re-emits in full against the
+    * evicted state. The eviction itself is asserted on state metrics
+    * (numRowsRemoved) in RecoverySpec via [[horizonDedupRun]]. */
+  def q90StreamDedupBounded(spark: SparkSession, sfDir: String): DataFrame =
+    horizonDedupRun(spark, sfDir)._1
+
+  /** State-retention horizon of [[q90StreamDedupBounded]]. */
+  val DedupHorizon = "1 day"
+
+  /** The q90 runner, also returning the drained query's per-batch
+    * progress so the spec can assert state EVICTION (numRowsRemoved),
+    * which neither the output nor the final state row count shows on
+    * its own (re-ingested keys re-occupy their old slots). */
+  private[graft] def horizonDedupRun(spark: SparkSession, sfDir: String)
+      : (DataFrame, Array[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    val s = stateSession(spark)
+    import s.implicits._
+    val docs = graft.Tables.documents(s, sfDir)
+      .select("doc_id", "lang", "text")
+    val advancer = Seq((-1L, "xx", "graft horizon advancer"))
+      .toDF("doc_id", "lang", "text")
+    val filler = Seq((-2L, "xx", "graft horizon filler"))
+      .toDF("doc_id", "lang", "text")
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft-stream-dedup-horizon").toString
+    try {
+      def land(df: DataFrame, day: String): Unit = df
+        .withColumn("ingest_ts", to_timestamp(lit(s"$day 00:00:00")))
+        .coalesce(1).write.mode("append").parquet(landing)
+      land(docs, "2024-01-01")
+      land(advancer, "2024-03-01")
+      land(filler.unionByName(advancer), "2024-03-02")
+      land(docs, "2024-03-03")
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("text", StringType),
+        StructField("ingest_ts", TimestampType)))
+      val deduped = s.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", 1) // one crawl batch per trigger
+        .parquet(landing)
+        .select(md5(graft.functions.Text.normalized(col("text")))
+          .as("content_md5"), col("ingest_ts"))
+        .withWatermark("ingest_ts", DedupHorizon)
+        .dropDuplicatesWithinWatermark("content_md5")
+        .select(col("content_md5"),
+          date_format(col("ingest_ts"), "yyyy-MM-dd").as("ingest_day"))
+      val (table, progress) = runToTableWithProgress(deduped, OutputMode.Append())
+      (table.orderBy("ingest_day", "content_md5"), progress)
+    } finally {
+      graft.GraftSession.deleteRecursively(new java.io.File(landing))
+    }
+  }
+
+  /** [[runToTable]], also surfacing the completed query's progress
+    * history (state metrics per micro-batch). */
+  private def runToTableWithProgress(df: DataFrame, mode: OutputMode)
+      : (DataFrame, Array[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    val spark = df.sparkSession
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    (spark.table(name), q.recentProgress)
   }
 
   /** Q29: the streaming twin of batch q14 — tumbling 1-hour event-time

@@ -91,14 +91,14 @@ class OperatorSpec extends SparkSpec {
 
   test("q10 window rank: exactly one row per customer with orders") {
     val custs = Tables.orders(spark, sfDir)
-      .select(countDistinct(col("o_custkey"))).collect().head().getLong(0)
+      .select(countDistinct(col("o_custkey"))).collect().head.getLong(0)
     assert(RelationalQueries.q10WindowTopOrder(spark, sfDir).count() === custs)
   }
 
   test("q15 exact dedup groups: sum of dup_cnt equals total docs") {
     val total = Tables.documents(spark, sfDir).count()
     val summed = DedupQueries.q15ExactDedup(spark, sfDir)
-      .agg(sum(col("dup_cnt"))).collect().head().getLong(0)
+      .agg(sum(col("dup_cnt"))).collect().head.getLong(0)
     assert(summed === total)
   }
 

@@ -345,6 +345,58 @@ class ScaleSpec extends SparkSpec {
       s"must not re-tokenize the corpus:\n${plan.take(4000)}")
   }
 
+  test("q91 PQ refresh is row-identical to a from-scratch coding of snapshot B") {
+    val refreshed = ProductQuantization.refreshedPqIndex(spark, sfDir)
+    val scratch = ProductQuantization.computeSnapshotBPqCodes(spark, sfDir)
+    assert(refreshed.count() === scratch.count())
+    assert(refreshed.except(scratch).count() === 0L)
+    assert(scratch.except(refreshed).count() === 0L)
+  }
+
+  test("q91 refresh build reads the base code table; only the delta is coded") {
+    // unchanged vectors' codes come from the stored base index — the
+    // refresh must never re-code the whole corpus (a PQ code is a pure
+    // function of a frozen model, so only added/modified vectors go
+    // through the coding projection)
+    ProductQuantization.pqIndexAt(spark, sfDir,
+      ProductQuantization.M256, ProductQuantization.K256).count()
+    val df = ProductQuantization.computeRefreshedPqCodes(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(s"graft_pqcodes_${ProductQuantization.M256}_" +
+        s"${ProductQuantization.K256}_" + graft.Tables.dirKey(sfDir)),
+      s"must scan the base code table:\n${plan.take(4000)}")
+    // delta economics: q79's rules touch 3 of 10 id endings, so the
+    // coded side is a strict minority of the corpus
+    val vecsTotal = Tables.embeddings(spark, sfDir).count()
+    val coded = ProductQuantization.vectorSnapshotB(
+        Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding").as("v")))
+      .where(col("vec_id") < 0 || col("vec_id") % 10 === 3).count()
+    assert(coded < vecsTotal * 0.35,
+      s"delta side should be a minority of the corpus: $coded of $vecsTotal")
+  }
+
+  test("q87 candidate space is cell-bounded: balanced cells, pairs well under n²") {
+    // SemDeDup's n²/k budget only holds if the Lloyd rounds keep cells
+    // balanced — pin both halves: no cell dominates, and the shipped
+    // candidate builder's count equals Σ s(s−1)/2 over the cell sizes
+    // (so the CandidateScaling sweep column measures what q87 joins)
+    val asg = SimilarityQueries.cellAssignments(spark, sfDir,
+      SimilarityQueries.kmeansCodebook(spark, sfDir))
+    val sizes = asg.groupBy("cell").count().collect().map(_.getLong(1))
+    val n = sizes.sum
+    val fair = n.toDouble / SimilarityQueries.NumCells
+    assert(sizes.max <= 3 * fair,
+      s"largest cell ${sizes.max} vs fair share $fair — skew breaks n²/k")
+    val pairs = SimilarityQueries.semdedupCandidates(spark, sfDir).count()
+    val expected = sizes.map(s => s * (s - 1) / 2).sum
+    assert(pairs === expected,
+      "candidate builder drifted from the cell assignment")
+    assert(pairs <= n * (n - 1) / 2 / 4,
+      s"$pairs in-cell pairs is not a real cut of ${n * (n - 1) / 2}")
+  }
+
   test("q68 chunking is pure map-side: no hash exchange in the plan") {
     // chunk derivation is per-row (sequence→explode→substr→md5): the only
     // exchange allowed is the presentation orderBy's range partitioning.

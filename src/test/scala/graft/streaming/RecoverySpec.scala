@@ -290,4 +290,33 @@ class RecoverySpec extends SparkSpec {
       .where(col("count") > 1).count()
     assert(dups === 0L)
   }
+
+  test("q90 bounded dedup horizon: state is EVICTED, then re-emits past it") {
+    // q86's state grows with distinct content forever; q90's contract is
+    // that a key is held only one DedupHorizon past its ingest time.
+    // Neither the output nor the final state row count proves the
+    // eviction on its own (a re-ingested key re-occupies its slot), so
+    // assert the state-store metric directly: the Jan keys must be
+    // REMOVED once the Mar advancer pushes the watermark past their
+    // expiry. The output side of the contract (re-crawl re-emits,
+    // within-horizon copy suppressed) is the driver's DuckDB gate.
+    val (table, progress) = EventStreams.horizonDedupRun(spark, sfDir)
+    val rows = table.collect()
+    val distinctContents = graft.Tables.documents(spark, sfDir)
+      .select(graft.functions.Text.normalized(col("text")).as("n"))
+      .distinct().count()
+    // all four batches emitted: first crawl + advancer + filler + full
+    // re-crawl (the advancer COPY in batch 2 is the one suppressed row)
+    assert(rows.length === 2 * distinctContents + 2,
+      s"expected ${2 * distinctContents + 2} rows, got ${rows.length}")
+    val removed = progress.flatMap(_.stateOperators.toSeq)
+      .map(_.numRowsRemoved).sum
+    assert(removed >= distinctContents,
+      s"watermark eviction removed only $removed of $distinctContents keys")
+    // and the final state holds one horizon of keys, not all of history
+    val finalState = progress.flatMap(_.stateOperators.toSeq)
+      .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+    assert(finalState <= distinctContents + 2,
+      s"state holds $finalState keys — more than one horizon of ingest")
+  }
 }

@@ -132,6 +132,7 @@ object SparkEntry {
     "q87_semdedup"      -> (SimilarityQueries.q87SemDedup _),
     "q88_dup_spans"     -> (DedupQueries.q88DupSpans _),
     "q89_dup_span_trim" -> (DedupQueries.q89DupSpanTrim _),
+    "q92_span_trimmed"  -> (DedupQueries.q92SpanTrimmed _),
     "q79_snapshot_diff" -> (CurationPipeline.q79SnapshotDiff _),
     // q80 reads the INCREMENTALLY refreshed shingle artifact (base table
     // minus removed/modified rows, plus freshly shingled delta docs); the
@@ -1319,6 +1320,46 @@ object SparkEntry {
          |       (max(pos) - min(pos) + ${DedupQueries.SpanTokens})::BIGINT
          |         AS span_len
          |FROM r GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
+    // q92: q89's extents APPLIED — per-doc kept/removed token counts and
+    // the md5 of the space-joined surviving tokens (the exact trimmed
+    // reconstruction, hash-checked without shipping the text). Tokens
+    // covered by any extent ([span_start, span_start+span_len)) are
+    // removed; docs with zero tokens emit no row in either engine.
+    "q92_span_trimmed" ->
+      s"""$spanKeyCtes,
+         |gt AS (SELECT g, count(*) AS total FROM spang GROUP BY g),
+         |dp AS (SELECT doc_id, pos FROM spang JOIN gt USING (g)
+         |       WHERE total >= 2),
+         |fl AS (SELECT doc_id, pos,
+         |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+         |                                        ORDER BY pos)
+         |                   <= ${DedupQueries.SpanTokens}
+         |              THEN 0 ELSE 1 END AS newrun
+         |       FROM dp),
+         |r AS (SELECT doc_id, pos,
+         |        sum(newrun) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+         |      FROM fl),
+         |ext AS (SELECT doc_id, min(pos) AS s,
+         |               max(pos) + ${DedupQueries.SpanTokens} AS e
+         |        FROM r GROUP BY doc_id, isl),
+         |tpos AS (SELECT doc_id, i - 1 AS pos, t[i] AS w
+         |         FROM (SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t
+         |               FROM toks) u),
+         |cov AS (SELECT DISTINCT tp.doc_id, tp.pos
+         |        FROM tpos tp JOIN ext
+         |          ON ext.doc_id = tp.doc_id
+         |         AND tp.pos >= ext.s AND tp.pos < ext.e)
+         |SELECT tp.doc_id,
+         |       sum(CASE WHEN cov.pos IS NULL THEN 1 ELSE 0 END)::BIGINT
+         |         AS kept_tokens,
+         |       sum(CASE WHEN cov.pos IS NULL THEN 0 ELSE 1 END)::BIGINT
+         |         AS removed_tokens,
+         |       md5(coalesce(string_agg(CASE WHEN cov.pos IS NULL THEN tp.w END,
+         |                               ' ' ORDER BY tp.pos), ''))
+         |         AS trimmed_md5
+         |FROM tpos tp LEFT JOIN cov
+         |  ON cov.doc_id = tp.doc_id AND cov.pos = tp.pos
+         |GROUP BY tp.doc_id ORDER BY tp.doc_id""".stripMargin,
     "q58_csv_source" ->
       """SELECT n_regionkey, count(*) AS nations, min(n_name) AS first_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,

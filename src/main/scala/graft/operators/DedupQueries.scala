@@ -583,17 +583,22 @@ object DedupQueries {
         .groupBy("doc_id")
         .agg(least(min(col("label")), coalesce(min(col("nbr_label")),
           min(col("label")))).as("label"))
-        .localCheckpoint() // read twice below (jump self-join)
-      val next = prop
-        .join(prop.select(col("doc_id").as("jump_id"),
-          col("label").as("jump_label")),
-          col("label") === col("jump_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("jump_label"), col("label")).as("label"))
-        .localCheckpoint() // iterative: keep the plan from growing
-      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .localCheckpoint() // read below (convergence count + jump)
+      // convergence is checked on the PROPAGATION step: prop == labels
+      // is the fixed point, where the jump is the identity — so the
+      // final round skips the jump's self-join + checkpoint entirely
+      // (round-8 trim: one fewer job per cluster build)
+      changed = prop.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .where(col("label") =!= col("old")).count()
-      labels = next
+      labels =
+        if (changed == 0) prop
+        else prop
+          .join(prop.select(col("doc_id").as("jump_id"),
+            col("label").as("jump_label")),
+            col("label") === col("jump_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("jump_label"), col("label")).as("label"))
+          .localCheckpoint() // iterative: keep the plan from growing
       rounds += 1
     }
     if (changed > 0)
@@ -946,5 +951,53 @@ object DedupQueries {
         (max("pos") - min("pos") + SpanTokens).as("span_len"))
       .select(col("doc_id"), col("span_start"), col("span_len"))
       .orderBy("doc_id", "span_start")
+  }
+
+  /** Q92: the SPAN-TRIMMED CORPUS — q89's extents APPLIED, which is what
+    * Lee et al. actually do (remove the duplicated substring, keep the
+    * fresh remainder — versus the doc-level drop rule that would throw
+    * away a document for one quoted boilerplate paragraph). Every token
+    * whose position falls inside an extent's coverage is removed; the
+    * output is per-doc bookkeeping plus the md5 of the space-joined
+    * surviving tokens, so the oracle hash-checks the exact
+    * reconstruction without shipping the trimmed text itself.
+    *
+    * Scale shape: extents are dup-sized (q89); attaching them is one
+    * doc_id equi-join with a range residual (each position matches at
+    * most one extent — they are disjoint by construction, so the left
+    * join cannot duplicate rows), and the reconstruction is one per-doc
+    * aggregate whose collect_list carries only SURVIVING tokens. The
+    * corpus-sized movement — token rows to their doc's reducer — is
+    * inherent to reassembling documents and rides the same doc_id
+    * partitioning as the tokenize window. */
+  def q92SpanTrimmed(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("w"))
+    val extents = q89DupSpanTrim(spark, sfDir)
+      .select(col("doc_id"), col("span_start"),
+        (col("span_start") + col("span_len")).as("span_end")) // exclusive
+    // a position is covered iff SOME extent contains it. A direct left
+    // join toks⋈extents would emit one row per (position, extent) pair;
+    // extents are disjoint so each position matches at most one — but
+    // positions OUTSIDE every extent would still fan out by the doc's
+    // extent count before filtering. The covered set is computed as its
+    // own dup-sized join and attached by exact (doc_id, pos) instead.
+    val covered = toks.select(col("doc_id"), col("pos"))
+      .join(extents, Seq("doc_id"))
+      .where(col("pos") >= col("span_start") && col("pos") < col("span_end"))
+      .select(col("doc_id"), col("pos"))
+    toks.join(covered.withColumn("cov", lit(1)), Seq("doc_id", "pos"),
+        "left_outer")
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("cov").isNull, 1L).otherwise(0L)).as("kept_tokens"),
+        sum(when(col("cov").isNotNull, 1L).otherwise(0L)).as("removed_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("cov").isNull,
+            struct(col("pos"), col("w"))))),
+          x => x("w")), " ")).as("trimmed_md5"))
+      .orderBy("doc_id")
   }
 }

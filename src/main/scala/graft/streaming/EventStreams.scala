@@ -212,6 +212,11 @@ object EventStreams {
     // (Bench's warmup swallows per-query exceptions, so a success-only
     // cleanup would leak one corpus copy per failed pass)
     try {
+      // coalesce(1) is a TEST SEAM, not an ingest pattern: the demo needs
+      // exactly one file per snapshot so maxFilesPerTrigger=1 maps
+      // snapshots to micro-batches deterministically. A production
+      // landing dir receives many files per crawl and the same plan
+      // drains them at full write parallelism — never single-task writes.
       docs.coalesce(1).write.mode("append").parquet(landing)
       graft.operators.CurationPipeline.snapshotB(docs)
         .select("doc_id", "lang", "text")

@@ -35,6 +35,16 @@ object ArtifactProfile {
     t("kmeansCodebook")(
       operators.SimilarityQueries.kmeansCodebook(spark, sfDir))
     t("pqIndex")(operators.ProductQuantization.pqIndex(spark, sfDir).count())
+    // the K=256 point split into its phases: training (two driver
+    // collects over the giant-literal distance plans), coding execution
+    // (no write), then the artifact write — to tell plan/codegen cost
+    // from data cost
+    t("pqModel256 (train)")(operators.ProductQuantization.pqModelAt(
+      spark, sfDir, operators.ProductQuantization.M256,
+      operators.ProductQuantization.K256))
+    t("pqCodes256 (no write)")(operators.ProductQuantization
+      .computePqCodesAt(spark, sfDir, operators.ProductQuantization.M256,
+        operators.ProductQuantization.K256).count())
     t("pqIndex256")(operators.ProductQuantization.pqIndexAt(spark, sfDir,
       operators.ProductQuantization.M256,
       operators.ProductQuantization.K256).count())

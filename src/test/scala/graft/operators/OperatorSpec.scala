@@ -953,6 +953,33 @@ class OperatorSpec extends SparkSpec {
     assert(got.values.exists(_.size >= 1), "no extents found at this sf")
   }
 
+  test("q92 trimming ties out: removed = covered extent mass, kept + removed = tokens") {
+    import graft.functions.Text
+    // extents are disjoint and never extend past the last token (a dup
+    // position p <= n-w has coverage ending at p+w-1 <= n-1), so the
+    // removed count must equal the sum of extent lengths exactly
+    val extLen = DedupQueries.q89DupSpanTrim(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val tokCnt = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(Text.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val got = DedupQueries.q92SpanTrimmed(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, kept, removed, md5hex) =>
+      assert(kept + removed === tokCnt(id),
+        s"doc $id: kept $kept + removed $removed != ${tokCnt(id)} tokens")
+      assert(removed === extLen.getOrElse(id, 0L),
+        s"doc $id: removed $removed != extent mass ${extLen.getOrElse(id, 0L)}")
+      assert(md5hex.length === 32)
+    }
+    // the trim must bite somewhere and spare something at this sf
+    assert(got.exists(_._3 > 0), "no tokens removed anywhere")
+    assert(got.exists(r => r._2 > 0 && r._3 > 0),
+      "no doc is partially trimmed — extents look degenerate")
+  }
+
   test("q88 pre-aggregates per doc before the gram-keyed exchange") {
     // the (doc_id, gram) aggregate must collapse within-doc repeats
     // map-side BEFORE grams travel: partial aggregation on both the

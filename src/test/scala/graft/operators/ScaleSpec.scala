@@ -508,9 +508,13 @@ class ScaleSpec extends SparkSpec {
     // tokenize pass itself. The round-7 string-keyed form shuffled
     // 9.97 MB at sf0.1, the suite's largest exchange; this pin keeps it
     // from coming back.
+    // q92 additionally moves single tokens (`w`) to reassemble docs —
+    // inherent to reconstruction — but the 8-word gram strings must stay
+    // out of its exchanges like the others'
     Seq(
       ("q88", DedupQueries.q88DupSpans(spark, sfDir)),
-      ("q89", DedupQueries.q89DupSpanTrim(spark, sfDir))
+      ("q89", DedupQueries.q89DupSpanTrim(spark, sfDir)),
+      ("q92", DedupQueries.q92SpanTrimmed(spark, sfDir))
     ).foreach { case (name, df) =>
       val exchanges = shuffleOutputs(df)
       assert(exchanges.nonEmpty)

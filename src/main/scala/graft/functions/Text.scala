@@ -118,26 +118,4 @@ object Text {
     grams.union(empties).distinct()
   }
 
-  /** POSITIONAL word n-grams as ROWS: (idCol, "pos", "s"), one row per
-    * token position — [[shingleRows]] WITHOUT the distinct and without
-    * the short-doc edge cases, for operators that count occurrences
-    * rather than membership (duplicated-span detection, q88) or locate
-    * them (span trimming, q89 — which is why the 0-based token position
-    * rides along). A document with fewer than n tokens yields no rows:
-    * there is no full-width span to count. Same lead-window formulation
-    * (tokenize once, all codegen'd); the one shuffle is the per-doc
-    * window partition, carrying single tokens — the gram string is
-    * assembled AFTER the exchange and consumers hash it before any
-    * further shuffle ([[graft.operators.DedupQueries.gramKey]]). */
-  def spanRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val byDoc = Window.partitionBy(idCol).orderBy("pos")
-    docs.select(col(idCol), posexplode(tokens(col(textCol))))
-      .select(col(idCol), col("pos"),
-        concat_ws(" ", (0 until n).map(k =>
-          if (k == 0) col("col") else lead(col("col"), k).over(byDoc)): _*)
-          .as("s"),
-        count(lit(1)).over(Window.partitionBy(idCol)).as("n_toks"))
-      .where(col("pos") <= col("n_toks") - n)
-      .select(col(idCol), col("pos"), col("s"))
-  }
 }

@@ -863,21 +863,23 @@ object DedupQueries {
     * answers "longest repeated substring", the fixed width answers
     * "repeated ≥ w tokens" — the only question the drop rule asks).
     *
-    * Scale shape: positional n-grams ([[Text.spanRows]]) → per-(doc,
-    * gram-KEY) counts → per-key totals → join back → per-doc ratio. The
-    * q44 TF-IDF topology exactly (doc-term tf → term df → join), so the
-    * same properties hold: every aggregate map-side-combines, the
-    * (doc, key) pre-aggregate collapses within-doc repeats BEFORE the
-    * key-keyed exchange, and the totals join is key-keyed — AQE reuses
-    * the exchange from the totals aggregate. The gram STRING never
-    * crosses an exchange (spec-pinned): it is assembled after
-    * spanRows's token-carrying window exchange and immediately reduced
-    * to [[gramKey]]'s md5-derived 60-bit long — the q15 narrow-key
-    * discipline, at 8 bytes per key instead of ~8 words of text, and
-    * the DuckDB oracle derives the identical key so even a collision
-    * (which at worst mislabels one span as duplicated, a soft signal)
-    * reproduces bit-for-bit. Measured at sf0.1: the string-keyed form
-    * this replaced shuffled 9.97 MB, the suite's largest exchange. */
+    * Scale shape: positional gram keys ([[spanKeys]], pure map-side) →
+    * per-(doc, gram-KEY) counts → per-key totals → join back → per-doc
+    * ratio. The q44 TF-IDF topology exactly (doc-term tf → term df →
+    * join), so the same properties hold: every aggregate
+    * map-side-combines, the (doc, key) pre-aggregate collapses
+    * within-doc repeats BEFORE the key-keyed exchange, and the totals
+    * join is key-keyed — AQE reuses the exchange from the totals
+    * aggregate. The gram STRING never exists as a column, let alone
+    * crosses an exchange (spec-pinned): each gram is built transiently
+    * inside [[spanKeys]]' lambda and reduced to [[gramKey]]'s
+    * md5-derived 60-bit long — the q15 narrow-key discipline at 8
+    * bytes per key, and the DuckDB oracle derives the identical key so
+    * even a collision (which at worst mislabels one span as
+    * duplicated, a soft signal) reproduces bit-for-bit. Measured at
+    * sf0.1: 9.97 MB shuffled (round-7 gram strings + window) → 5.6 MB
+    * (the inherent compressed (doc_id, g, occ) positional volume),
+    * wall 2.3 → 1.7 s, no window operator in the plan. */
   def q88DupSpans(spark: SparkSession, sfDir: String): DataFrame = {
     val perDocGram = spanKeys(spark, sfDir)
       .groupBy("doc_id", "g").agg(count(lit(1)).as("occ"))
@@ -904,13 +906,35 @@ object DedupQueries {
 
   /** `(doc_id, pos, g)`: every full-width token position with its
     * [[gramKey]] — the shared narrow input of q88 (fractions) and q89
-    * (trim extents). The gram string exists only between the window
-    * projection and this map-side hash. */
-  private def spanKeys(spark: SparkSession, sfDir: String): DataFrame =
-    Text.spanRows(Tables.documents(spark, sfDir), "doc_id", "text",
-        SpanTokens)
+    * (trim extents), generated ENTIRELY MAP-SIDE: tokenize once into an
+    * array, then one `transform` over the valid start positions builds
+    * each gram transiently and reduces it to its 60-bit key inside the
+    * lambda — the gram string never even becomes a column, and the
+    * plan's first exchange is the narrow (doc_id, g) aggregate.
+    *
+    * (The round-7 window formulation exchanged every token row on
+    * doc_id just to realign consecutive tokens —
+    * ~half of q88's shuffle at sf0.1 after the keys narrowed, i.e.
+    * the corpus on the wire for a purely per-document computation.
+    * The interpreted-HOF pitfall wordShingles documents does not bite:
+    * the lambda references the materialized token ARRAY attribute, not
+    * the tokenize subtree — CollapseProject keeps multi-referenced
+    * non-cheap expressions in their own projection — and the per-pos
+    * work is 8 `element_at`s + one md5, the same arithmetic the window
+    * form paid after its exchange. Spec-pinned: q88's only exchanges
+    * are the narrow aggregates.) */
+  private def spanKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("t")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .where(size(t) >= SpanTokens)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(t) - SpanTokens),
+        i => gramKey(concat_ws(" ",
+          (0 until SpanTokens).map(k => element_at(t, i + k + 1)): _*)))))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        gramKey(col("s")).as("g"))
+        col("col").as("g"))
+  }
 
   /** Q89: duplicated-span TRIM EXTENTS — the actionable half of Lee et
     * al.'s substring dedup: q88 says HOW MUCH of a document is

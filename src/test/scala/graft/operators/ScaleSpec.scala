@@ -502,10 +502,10 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("q88/q89: no gram string crosses an exchange — keys ride as 60-bit longs") {
-    // the gram string exists only between spanRows's window projection
-    // and the map-side gramKey hash; the only string an exchange may
-    // carry is the single-token window input (posexplode's `col`) — the
-    // tokenize pass itself. The round-7 string-keyed form shuffled
+    // gram strings are built transiently inside spanKeys' map-side
+    // lambda and immediately hashed — they never become a column. The
+    // only token strings an exchange may carry are q92's single-token
+    // reconstruction rows. The round-7 string-keyed form shuffled
     // 9.97 MB at sf0.1, the suite's largest exchange; this pin keeps it
     // from coming back.
     // q92 additionally moves single tokens (`w`) to reassemble docs —
@@ -523,6 +523,12 @@ class ScaleSpec extends SparkSpec {
           s"$name exchange carries the gram/text string: $names")
       }
     }
+    // and the span keys are generated map-side: q88's plan has NO window
+    // at all — its first exchange is the narrow (doc_id, g) aggregate
+    // (q89/q92 keep their dup-sized islands/reconstruction operators)
+    assert(!DedupQueries.q88DupSpans(spark, sfDir)
+        .queryExecution.executedPlan.toString.contains("Window"),
+      "q88 re-grew a window: span keys must form map-side from the token array")
   }
 
   test("cluster-label edges derive from artifacts, never a corpus norm-string groupBy") {

@@ -29,6 +29,7 @@ object Bench {
     val artifactsSec = scala.util.Try {
       operators.TextQueries.docFeatures(spark, sfDir).count()
       operators.DedupQueries.shingles(spark, sfDir).count()
+      operators.DedupQueries.spanFeatures(spark, sfDir).count()
       operators.DedupQueries.signatures(spark, sfDir).count()
       operators.DedupQueries.contamination(spark, sfDir).count()
       operators.DedupQueries.clusterLabels(spark, sfDir).count()

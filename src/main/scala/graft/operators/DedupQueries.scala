@@ -904,37 +904,63 @@ object DedupQueries {
   private[graft] def gramKey(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
-  /** `(doc_id, pos, g)`: every full-width token position with its
-    * [[gramKey]] — the shared narrow input of q88 (fractions) and q89
-    * (trim extents), generated ENTIRELY MAP-SIDE: tokenize once into an
-    * array, then one `transform` over the valid start positions builds
-    * each gram transiently and reduces it to its 60-bit key inside the
-    * lambda — the gram string never even becomes a column, and the
-    * plan's first exchange is the narrow (doc_id, g) aggregate.
+  /** The span-feature BUILD plan: `(doc_id, pos, w, g)` — every token
+    * position with its token and (for full-width start positions) its
+    * [[gramKey]]; `g` is null for the last SpanTokens−1 positions of a
+    * doc and for docs shorter than the span. Generated ENTIRELY
+    * MAP-SIDE: tokenize once into an array, then one `transform` over
+    * all positions builds each gram transiently and reduces it to its
+    * 60-bit key inside the lambda — the gram string never even becomes
+    * a column.
     *
     * (The round-7 window formulation exchanged every token row on
-    * doc_id just to realign consecutive tokens —
-    * ~half of q88's shuffle at sf0.1 after the keys narrowed, i.e.
-    * the corpus on the wire for a purely per-document computation.
-    * The interpreted-HOF pitfall wordShingles documents does not bite:
-    * the lambda references the materialized token ARRAY attribute, not
-    * the tokenize subtree — CollapseProject keeps multi-referenced
-    * non-cheap expressions in their own projection — and the per-pos
-    * work is 8 `element_at`s + one md5, the same arithmetic the window
-    * form paid after its exchange. Spec-pinned: q88's only exchanges
-    * are the narrow aggregates.) */
-  private def spanKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    * doc_id just to realign consecutive tokens — ~half of q88's shuffle
+    * at sf0.1 after the keys narrowed, i.e. the corpus on the wire for
+    * a purely per-document computation. The interpreted-HOF pitfall
+    * wordShingles documents does not bite: the lambda references the
+    * materialized token ARRAY attribute, not the tokenize subtree —
+    * CollapseProject keeps multi-referenced non-cheap expressions in
+    * their own projection — and the per-pos work is 8 `element_at`s +
+    * one md5. Spec-pinned: q88's only exchanges are the narrow
+    * aggregates, and no consumer re-tokenizes.) */
+  private[graft] def computeSpanFeatures(spark: SparkSession,
+                                         sfDir: String): DataFrame = {
     val t = col("t")
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), Text.tokens(col("text")).as("t"))
-      .where(size(t) >= SpanTokens)
+      .where(size(t) >= 1) // sequence(0, -1) would DESCEND, not be empty
       .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), size(t) - SpanTokens),
-        i => gramKey(concat_ws(" ",
-          (0 until SpanTokens).map(k => element_at(t, i + k + 1)): _*)))))
+        sequence(lit(0), size(t) - 1),
+        i => struct(
+          element_at(t, i + 1).as("w"),
+          when(i <= size(t) - SpanTokens,
+            gramKey(concat_ws(" ",
+              (0 until SpanTokens).map(k => element_at(t, i + k + 1)): _*)))
+            .as("g")))))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        col("col").as("g"))
+        col("col.w").as("w"), col("col.g").as("g"))
   }
+
+  /** The span-feature ARTIFACT — the positional twin of [[shingles]]:
+    * substring-level dedup's shared input (the distributed stand-in for
+    * the corpus suffix array), tokenized exactly once per (session,
+    * scale dir) and read by the whole q88/q89/q92 family. Before this
+    * table, each query re-ran the tokenize+gram subtree per plan branch
+    * (q89 twice, q92 four times — measured via QTime's scan counter);
+    * a branch over a bucketed fixed-width table reads columns instead.
+    * Bucketed on doc_id like every per-doc consumer expects. */
+  def spanFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    Artifacts.materialize(spark, "graft_spanfeat_" + Tables.dirKey(sfDir),
+      "doc_id") {
+      computeSpanFeatures(spark, sfDir)
+    }
+
+  /** `(doc_id, pos, g)` for full-width positions — q88/q89's input,
+    * off the [[spanFeatures]] artifact. */
+  private def spanKeys(spark: SparkSession, sfDir: String): DataFrame =
+    spanFeatures(spark, sfDir)
+      .where(col("g").isNotNull)
+      .select("doc_id", "pos", "g")
 
   /** Q89: duplicated-span TRIM EXTENTS — the actionable half of Lee et
     * al.'s substring dedup: q88 says HOW MUCH of a document is
@@ -986,32 +1012,32 @@ object DedupQueries {
     * surviving tokens, so the oracle hash-checks the exact
     * reconstruction without shipping the trimmed text itself.
     *
-    * Scale shape: extents are dup-sized (q89); attaching them is one
-    * doc_id equi-join with a range residual (each position matches at
-    * most one extent — they are disjoint by construction, so the left
-    * join cannot duplicate rows), and the reconstruction is one per-doc
+    * Scale shape: everything reads the [[spanFeatures]] artifact (no
+    * tokenize in the plan — spec-pinned). The covered-position set is
+    * dup-sized × SpanTokens (each duplicated start position explodes
+    * into the positions it covers — identical to q89's merged extent
+    * coverage, which the spec asserts), attaches by an exact
+    * (doc_id, pos) join, and the reconstruction is one per-doc
     * aggregate whose collect_list carries only SURVIVING tokens. The
     * corpus-sized movement — token rows to their doc's reducer — is
-    * inherent to reassembling documents and rides the same doc_id
-    * partitioning as the tokenize window. */
+    * inherent to reassembling documents. */
   def q92SpanTrimmed(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        col("col").as("w"))
-    val extents = q89DupSpanTrim(spark, sfDir)
-      .select(col("doc_id"), col("span_start"),
-        (col("span_start") + col("span_len")).as("span_end")) // exclusive
-    // a position is covered iff SOME extent contains it. A direct left
-    // join toks⋈extents would emit one row per (position, extent) pair;
-    // extents are disjoint so each position matches at most one — but
-    // positions OUTSIDE every extent would still fan out by the doc's
-    // extent count before filtering. The covered set is computed as its
-    // own dup-sized join and attached by exact (doc_id, pos) instead.
-    val covered = toks.select(col("doc_id"), col("pos"))
-      .join(extents, Seq("doc_id"))
-      .where(col("pos") >= col("span_start") && col("pos") < col("span_end"))
-      .select(col("doc_id"), col("pos"))
+    val feat = spanFeatures(spark, sfDir)
+    val toks = feat.select("doc_id", "pos", "w")
+    // covered tokens = the union of [p, p+w−1] over duplicated start
+    // positions p — computed DIRECTLY from the dup positions (each
+    // explodes into its SpanTokens covered positions, dup-sized × w,
+    // then distinct), which is exactly the extent coverage q89 reports
+    // without paying its islands windows; the spec ties the two
+    // formulations together (removed mass ≡ Σ extent lengths).
+    val pos = feat.where(col("g").isNotNull).select("doc_id", "pos", "g")
+    val dupKeys = pos.groupBy("g").agg(count(lit(1)).as("total"))
+      .where(col("total") >= 2).select("g")
+    val covered = pos.join(dupKeys, Seq("g"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + SpanTokens - 1))
+          .as("pos"))
+      .distinct()
     toks.join(covered.withColumn("cov", lit(1)), Seq("doc_id", "pos"),
         "left_outer")
       .groupBy("doc_id")

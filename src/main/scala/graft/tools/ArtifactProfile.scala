@@ -23,6 +23,7 @@ object ArtifactProfile {
     }
     t("docFeatures")(operators.TextQueries.docFeatures(spark, sfDir).count())
     t("shingles")(operators.DedupQueries.shingles(spark, sfDir).count())
+    t("spanFeatures")(operators.DedupQueries.spanFeatures(spark, sfDir).count())
     t("signatures")(operators.DedupQueries.signatures(spark, sfDir).count())
     t("contamination")(
       operators.DedupQueries.contamination(spark, sfDir).count())

@@ -42,6 +42,18 @@ object QTime {
       }
       val best = runs.minBy(_._1)
       println(f"[qtime] $name%-28s ${best._1}%6.2f s  ${best._2}%7.2f MB shuffle  (spreads ${runs.map(r => f"${r._1}%.2f").mkString("/")})")
+      // QTIME_EXPLAIN=1: executed plan + how many times the corpus is
+      // scanned/exploded (double-evaluated subtrees are invisible in
+      // wall time until the corpus is big)
+      if (sys.env.get("QTIME_EXPLAIN").contains("1")) {
+        val df = fn(spark, sfDir)
+        df.count()
+        val plan = df.queryExecution.executedPlan.toString
+        val scans = "Scan parquet".r.findAllIn(plan).length
+        val gens = "Generate".r.findAllIn(plan).length
+        println(s"[qtime] $name: $scans parquet scans, $gens generates")
+        println(plan.take(6000))
+      }
     }
     spark.stop()
   }

@@ -523,9 +523,27 @@ class ScaleSpec extends SparkSpec {
           s"$name exchange carries the gram/text string: $names")
       }
     }
-    // and the span keys are generated map-side: q88's plan has NO window
-    // at all — its first exchange is the narrow (doc_id, g) aggregate
-    // (q89/q92 keep their dup-sized islands/reconstruction operators)
+    // and the family reads the span-feature artifact — no plan branch
+    // re-tokenizes the corpus (round-8 QTime measured q89 at 2 and q92
+    // at 4 tokenize+gram subtree evaluations before the artifact):
+    // every plan scans graft_spanfeat and contains no posexplode/md5,
+    // and q88 additionally has NO window at all — its first exchange is
+    // the narrow (doc_id, g) aggregate
+    Seq(
+      ("q88", DedupQueries.q88DupSpans(spark, sfDir)),
+      ("q89", DedupQueries.q89DupSpanTrim(spark, sfDir)),
+      ("q92", DedupQueries.q92SpanTrimmed(spark, sfDir))
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_spanfeat"),
+        s"$name must read the span-feature artifact:\n${plan.take(4000)}")
+      // pin the tokenize shape, not the md5 substring — q92's
+      // trimmed_md5 output column (and its final digest, which runs on
+      // the already-reduced reconstruction) would false-positive it:
+      // no posexplode, no lower( (the tokenizer's first step) anywhere
+      assert(!plan.contains("posexplode") && !plan.contains("lower("),
+        s"$name re-tokenizes the corpus:\n${plan.take(4000)}")
+    }
     assert(!DedupQueries.q88DupSpans(spark, sfDir)
         .queryExecution.executedPlan.toString.contains("Window"),
       "q88 re-grew a window: span keys must form map-side from the token array")

@@ -461,8 +461,12 @@ object DedupQueries {
                           bits: Int): DataFrame = {
     require(bits % 4 == 0 && bits > 0 && bits <= 60,
       s"bits must be a positive multiple of 4 ≤ 60: $bits")
-    val tok = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+    // token rows off the span-feature artifact (same multiset as an
+    // explode of Text.tokens): q48's banding self-join evaluates this
+    // subtree once per side, so the artifact scan replaces what used to
+    // be two corpus tokenizes per q48 run (QTime, round 8)
+    val tok = spanFeatures(spark, sfDir)
+      .select("doc_id", "w")
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
       // first bits/4 md5 hex chars → `bits`-wide non-negative long
       .withColumn("h",

@@ -569,15 +569,21 @@ object TextQueries {
     * bit-identical across engines.
     */
   def q44Tfidf(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
     // corpus size N stays IN the plan (a 1-row count aggregate that
     // broadcasts onto the term rows, the q70 stats shape): a driver-side
-    // docs.count() would cost one extra scan-only job per invocation and
+    // count() would cost one extra scan-only job per invocation and
     // bake N in as a literal that silently goes stale if the table
-    // changes mid-session.
-    val n = docs.agg(count(lit(1)).as("n_docs"))
-    val tf = docs
-      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+    // changes mid-session. Counted over the docFeatures artifact (one
+    // fixed-width row per document, including tokenless ones).
+    val n = docFeatures(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    // term rows off the span-feature artifact's token column — the tf
+    // subtree feeds BOTH the df aggregate and the join-back, and Spark
+    // re-evaluates a subtree per plan branch, so before the artifact
+    // this query tokenized the corpus twice (QTime, round 8); now each
+    // branch is a bucketed fixed-width scan and the (doc_id, w) partial
+    // aggregate collapses map-side on the doc_id-clustered layout
+    val tf = DedupQueries.spanFeatures(spark, sfDir)
+      .select("doc_id", "w")
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
     tf.join(df, "w")

@@ -138,6 +138,37 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** RESTARTABLE online dedup: q86's content-key dedup over a landing
+    * dir, append mode to a parquet sink with a real checkpoint — the
+    * FOURTH recoverable state class (StreamingDeduplicate's key store;
+    * the other three runners prove windowed-agg counters, per-group
+    * flatMapGroupsWithState state, and two-sided join buffers). A key
+    * seen before the kill must still be suppressing after the resume:
+    * any forgotten key re-admits its content as a duplicate row through
+    * the sink's exactly-once log — so RecoverySpec's equality against
+    * an uninterrupted run plus a zero-duplicate check IS the state
+    * proof. */
+  def runDedupToFiles(spark: SparkSession, landingDir: String,
+                      checkpointDir: String, outDir: String): Unit = {
+    val s = stateSession(spark)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType)))
+    val q = s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landingDir)
+      .select(md5(graft.functions.Text.normalized(col("text")))
+        .as("content_md5"))
+      .dropDuplicates("content_md5")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   private val sinkId = new AtomicInteger(0)
 
   /** State partition width for these streams. Stateful operators commit

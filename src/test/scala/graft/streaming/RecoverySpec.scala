@@ -291,6 +291,49 @@ class RecoverySpec extends SparkSpec {
     assert(dups === 0L)
   }
 
+  test("dedup key state survives the restart: no key forgotten, none re-emitted") {
+    // the fourth state class: StreamingDeduplicate's key store. Phase A
+    // drains snapshot A and stops (the kill point — offsets + key state
+    // committed); snapshot B (q79's recrawl: unchanged docs re-sent,
+    // edits, re-adds under new ids) lands only after, and the resumed
+    // runner must suppress every already-seen content purely from the
+    // RECOVERED state. Equality with an uninterrupted run over the same
+    // landing sequence + a zero-duplicate check is the whole contract.
+    val base = Files.createTempDirectory("graft-dedup-recovery").toString
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text")
+    val b = graft.operators.CurationPipeline.snapshotB(docs)
+      .select("doc_id", "lang", "text")
+
+    docs.coalesce(1).write.mode("append").parquet(s"$base/landingU")
+    b.coalesce(1).write.mode("append").parquet(s"$base/landingU")
+    EventStreams.runDedupToFiles(spark,
+      s"$base/landingU", s"$base/ckU", s"$base/outU")
+    val uninterrupted = spark.read.parquet(s"$base/outU")
+      .orderBy("content_md5").collect().map(_.getString(0)).toSeq
+    assert(uninterrupted.nonEmpty)
+
+    docs.coalesce(1).write.mode("append").parquet(s"$base/landingI")
+    EventStreams.runDedupToFiles(spark,
+      s"$base/landingI", s"$base/ckI", s"$base/outI")
+    val phaseA = spark.read.parquet(s"$base/outI").count()
+    // the resume must do real suppression work: B re-sends phase-A
+    // contents (unchanged docs) — if that overlap were empty the test
+    // would pass even with amnesiac state
+    b.coalesce(1).write.mode("append").parquet(s"$base/landingI")
+    EventStreams.runDedupToFiles(spark,
+      s"$base/landingI", s"$base/ckI", s"$base/outI")
+    val resumed = spark.read.parquet(s"$base/outI")
+      .orderBy("content_md5").collect().map(_.getString(0)).toSeq
+    assert(resumed === uninterrupted)
+    assert(resumed.distinct.size === resumed.size,
+      "a forgotten key re-admitted duplicate content after the resume")
+    // phase B added only genuinely-new contents (the edited docs)
+    val newInB = resumed.size - phaseA
+    assert(newInB > 0 && newInB < b.count(),
+      s"phase B emitted $newInB of ${b.count()} rows — overlap not exercised")
+  }
+
   test("q90 bounded dedup horizon: state is EVICTED, then re-emits past it") {
     // q86's state grows with distinct content forever; q90's contract is
     // that a key is held only one DedupHorizon past its ingest time.

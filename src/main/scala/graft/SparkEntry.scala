@@ -194,6 +194,27 @@ object SparkEntry {
        |          FROM spans)""".stripMargin
   }
 
+  /** Duplicated-position + width-aware gap-islands CTE chain over
+    * [[spanKeyCtes]]' `spang`: `gt` per-key totals, `dp` duplicated
+    * positions (total ≥ 2 — q88's rule), `fl`/`r` the islands. ONE
+    * definition for the q89 and q92 oracles, mirroring the shared
+    * `dupPositions` helper on the Spark side, so the two queries'
+    * oracles cannot drift on what counts as a duplicated position. */
+  private val spanIslandCtes: String = {
+    val w = DedupQueries.SpanTokens
+    s"""gt AS (SELECT g, count(*) AS total FROM spang GROUP BY g),
+       |dp AS (SELECT doc_id, pos FROM spang JOIN gt USING (g)
+       |       WHERE total >= 2),
+       |fl AS (SELECT doc_id, pos,
+       |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+       |                                        ORDER BY pos) <= $w
+       |              THEN 0 ELSE 1 END AS newrun
+       |       FROM dp),
+       |r AS (SELECT doc_id, pos,
+       |        sum(newrun) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |      FROM fl)""".stripMargin
+  }
+
   /** Word-3-shingle CTE over [[tokListCte]] — ONE definition of the
     * shingle edge semantics (short doc → whole text; tokenless doc → ""
     * shingle), shared by the q18/q42/q47 pipeline, q19, and q52 oracles
@@ -1304,18 +1325,7 @@ object SparkEntry {
     // are disjoint and maximal; span_len = last - first + width.
     "q89_dup_span_trim" ->
       s"""$spanKeyCtes,
-         |gt AS (SELECT g, count(*) AS total FROM spang GROUP BY g),
-         |dp AS (SELECT doc_id, pos FROM spang JOIN gt USING (g)
-         |       WHERE total >= 2),
-         |fl AS (SELECT doc_id, pos,
-         |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
-         |                                        ORDER BY pos)
-         |                   <= ${DedupQueries.SpanTokens}
-         |              THEN 0 ELSE 1 END AS newrun
-         |       FROM dp),
-         |r AS (SELECT doc_id, pos,
-         |        sum(newrun) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
-         |      FROM fl)
+         |$spanIslandCtes
          |SELECT doc_id, min(pos)::BIGINT AS span_start,
          |       (max(pos) - min(pos) + ${DedupQueries.SpanTokens})::BIGINT
          |         AS span_len
@@ -1327,18 +1337,7 @@ object SparkEntry {
     // removed; docs with zero tokens emit no row in either engine.
     "q92_span_trimmed" ->
       s"""$spanKeyCtes,
-         |gt AS (SELECT g, count(*) AS total FROM spang GROUP BY g),
-         |dp AS (SELECT doc_id, pos FROM spang JOIN gt USING (g)
-         |       WHERE total >= 2),
-         |fl AS (SELECT doc_id, pos,
-         |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
-         |                                        ORDER BY pos)
-         |                   <= ${DedupQueries.SpanTokens}
-         |              THEN 0 ELSE 1 END AS newrun
-         |       FROM dp),
-         |r AS (SELECT doc_id, pos,
-         |        sum(newrun) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
-         |      FROM fl),
+         |$spanIslandCtes,
          |ext AS (SELECT doc_id, min(pos) AS s,
          |               max(pos) + ${DedupQueries.SpanTokens} AS e
          |        FROM r GROUP BY doc_id, isl),

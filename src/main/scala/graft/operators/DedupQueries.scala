@@ -191,9 +191,14 @@ object DedupQueries {
   private[graft] def exactDupEdges(spark: SparkSession,
                                    sfDir: String): DataFrame = {
     dupGroupsFromFeatures(spark, sfDir) // ensure the meta exists
-    trioCache.synchronized {
-      trioCache.get(spark)((sfDir, lit(true).toString)).edges
+    val meta = trioCache.synchronized {
+      trioCache.get(spark)((sfDir, lit(true).toString))
     }
+    // force the lazy edge build (a checkpoint job) OUTSIDE the cache
+    // monitor — holding it would block every dupGroupsFromFeatures
+    // caller for the duration of a Spark job; DupMeta's lazy val has
+    // its own monitor, so concurrent forcing stays race-free
+    meta.edges
   }
 
   /** Metadata bundle one verify base yields: the trio every consumer
@@ -986,14 +991,21 @@ object DedupQueries {
     * windows (lag flag + running sum, one partition spec) then order
     * DUPLICATED positions per doc — dup-sized again, never the
     * corpus. No gram string crosses any exchange (same pin as q88). */
-  def q89DupSpanTrim(spark: SparkSession, sfDir: String): DataFrame = {
+  /** `(doc_id, pos)` of every DUPLICATED position — q88's rule (the
+    * position's gram key occurs ≥ 2 times corpus-wide) as a relation,
+    * ONE definition shared by q89 (islands) and q92 (coverage) so the
+    * two can never disagree about what counts as duplicated. */
+  private def dupPositions(spark: SparkSession, sfDir: String): DataFrame = {
     val pos = spanKeys(spark, sfDir)
     val dupKeys = pos.groupBy("g").agg(count(lit(1)).as("total"))
       .where(col("total") >= 2).select("g")
+    pos.join(dupKeys, Seq("g")).select(col("doc_id"), col("pos"))
+  }
+
+  def q89DupSpanTrim(spark: SparkSession, sfDir: String): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    pos.join(dupKeys, Seq("g"))
-      .select(col("doc_id"), col("pos"))
+    dupPositions(spark, sfDir)
       // null lag (first dup position of a doc) falls to otherwise(1):
       // every doc's first extent opens its own island
       .withColumn("newrun",
@@ -1026,18 +1038,14 @@ object DedupQueries {
     * corpus-sized movement — token rows to their doc's reducer — is
     * inherent to reassembling documents. */
   def q92SpanTrimmed(spark: SparkSession, sfDir: String): DataFrame = {
-    val feat = spanFeatures(spark, sfDir)
-    val toks = feat.select("doc_id", "pos", "w")
+    val toks = spanFeatures(spark, sfDir).select("doc_id", "pos", "w")
     // covered tokens = the union of [p, p+w−1] over duplicated start
-    // positions p — computed DIRECTLY from the dup positions (each
-    // explodes into its SpanTokens covered positions, dup-sized × w,
-    // then distinct), which is exactly the extent coverage q89 reports
-    // without paying its islands windows; the spec ties the two
-    // formulations together (removed mass ≡ Σ extent lengths).
-    val pos = feat.where(col("g").isNotNull).select("doc_id", "pos", "g")
-    val dupKeys = pos.groupBy("g").agg(count(lit(1)).as("total"))
-      .where(col("total") >= 2).select("g")
-    val covered = pos.join(dupKeys, Seq("g"))
+    // positions p ([[dupPositions]] — q89's exact rule): each explodes
+    // into its SpanTokens covered positions, dup-sized × w, then
+    // distinct — exactly the extent coverage q89 reports without paying
+    // its islands windows; the spec ties the two formulations together
+    // (removed mass ≡ Σ extent lengths).
+    val covered = dupPositions(spark, sfDir)
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + SpanTokens - 1))
           .as("pos"))

@@ -47,10 +47,27 @@ object EventStreams {
   private def streamEvents(s: SparkSession, dir: String,
                            glob: Option[String] = None,
                            maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val probe = scala.util.Try(
-        glob.foldLeft(s.read)((r, g) => r.option("pathGlobFilter", g))
-          .parquet(dir).schema("ts").dataType)
-      .getOrElse(LongType) // empty landing dir: nothing to probe yet
+    val probe = try {
+      glob.foldLeft(s.read)((r, g) => r.option("pathGlobFilter", g))
+        .parquet(dir).schema("ts").dataType
+    } catch {
+      case e: Throwable =>
+        // fall back ONLY for the documented case — a not-yet-populated
+        // landing dir (no glob-matching parquet present). A populated
+        // dir that fails to probe (missing ts column, corrupt footer,
+        // permissions) must stay a loud plan-build error: defaulting it
+        // to nanos-long would misread every timestamp by 1000x.
+        val matcher = glob.map(g => java.nio.file.FileSystems.getDefault
+          .getPathMatcher("glob:" + g))
+        val hasMatchingFiles = scala.util.Try {
+          val files = Option(new java.io.File(dir).listFiles).toSeq.flatten
+          files.exists(f => f.isFile && !f.getName.startsWith("_") &&
+            matcher.forall(_.matches(
+              java.nio.file.Paths.get(f.getName))))
+        }.getOrElse(false)
+        if (hasMatchingFiles) throw e
+        else LongType // nothing landed yet: this corpus's native encoding
+    }
     val tsIsNanos = probe == LongType
     val schema = StructType(Seq(
       StructField("event_id", LongType),
@@ -201,14 +218,8 @@ object EventStreams {
     * [[stateSession]] clone; the memory-sink view registers in that
     * clone's catalog and the returned DataFrame carries the clone, so
     * downstream reads resolve it. */
-  private def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
-    val spark = df.sparkSession
-    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+  private def runToTable(df: DataFrame, mode: OutputMode): DataFrame =
+    runToTableWithProgress(df, mode)._1
 
   /** Q86: ONLINE exact dedup of a document INGEST stream — the streaming
     * member of the dedup family (q15's rule applied as documents arrive,

@@ -576,9 +576,14 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders
         |ORDER BY custkey""".stripMargin,
+    // q13/q33: 'ALL' labels come from GROUPING() (the subtotal-row
+    // indicator), matching the Spark side — a NULL or literal-'ALL'
+    // data value can never collide with a rollup total row.
     "q13_rollup" ->
-      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
-        |       coalesce(o_orderstatus, 'ALL') AS status,
+      """SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+        |            ELSE o_orderpriority END AS priority,
+        |       CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+        |            ELSE o_orderstatus END AS status,
         |       round(sum(o_totalprice), 2) AS revenue, count(*) AS cnt
         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         |ORDER BY priority, status""".stripMargin,
@@ -1124,8 +1129,10 @@ object SparkEntry {
         |       max(json_extract(props, '$.k')::BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q33_cube" ->
-      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
-        |       coalesce(o_orderstatus, 'ALL') AS status,
+      """SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+        |            ELSE o_orderpriority END AS priority,
+        |       CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+        |            ELSE o_orderstatus END AS status,
         |       round(sum(o_totalprice), 2) AS revenue, count(*) AS cnt
         |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
         |ORDER BY priority, status""".stripMargin,

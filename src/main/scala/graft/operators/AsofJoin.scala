@@ -49,11 +49,14 @@ object AsofJoin {
           lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(rightCols.map(col): _*).as("__r"): _*)
     // right rows sort before left rows at equal ts (at-or-before matches);
-    // among right rows with equal ts, the first right column breaks the
-    // tie so the carried row is deterministic (largest wins via last())
+    // among right rows with equal ts, the WHOLE right struct breaks the
+    // tie (struct compare is lexicographic over every field), so the
+    // carried row is deterministic even when the first right column
+    // ties too — ordering on rightCols.head alone left last() free to
+    // carry either of two rows agreeing on (key, ts, head)
     val w = Window.partitionBy(key)
       .orderBy(col(ts).asc, col("__side").asc,
-        col(s"__r.${rightCols.head}").asc_nulls_first)
+        col("__r").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))

@@ -216,20 +216,21 @@ object CurationPipeline {
     * are ordered and sorted within, so the global sequence is the total
     * doc_id order whatever the split points.
     *
-    * The narrow (doc_id) projection is localCheckpoint'd BEFORE
-    * zipWithIndex: zipWithIndex launches a count job over its upstream
-    * and the consuming job then recomputes that upstream — without the
-    * checkpoint both jobs (plus the final orderBy) re-ran the full
-    * scan + tokenize + quality-score lineage (round 4 measured 4.20 s at
-    * sf0.1 for what is otherwise a filter, vs 0.11 s for q53's map-side
-    * filter over the same scan; checkpointed: the corpus pass runs once
-    * and the index jobs read cached longs). */
+    * The kept set reads the docFeatures ARTIFACT's stored quality
+    * column (the identical expression, parquet-roundtrip-exact — the
+    * argument qualityReps already relies on), so this query never
+    * re-tokenizes the corpus (round 4 measured the inline
+    * scan+tokenize+score lineage at 4.20 s at sf0.1 and mitigated it
+    * with a checkpoint; reading the fixed-width artifact removes the
+    * pass entirely). The narrow (doc_id) projection is still
+    * localCheckpoint'd BEFORE zipWithIndex: zipWithIndex launches a
+    * count job over its upstream and the consuming job then recomputes
+    * that upstream — checkpointed, the artifact filter runs once and
+    * the index jobs read cached longs. */
   def q72GlobalIndex(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val kept = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"),
-        Text.tokens(col("text")).as("toks"))
-      .where(TextQueries.qualityScore(col("text"), col("toks")) >= 0.5)
+    val kept = TextQueries.docFeatures(spark, sfDir)
+      .where(QualityGate)
       .select(col("doc_id"))
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions("doc_id")

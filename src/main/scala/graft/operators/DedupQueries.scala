@@ -163,22 +163,35 @@ object DedupQueries {
                             pred: Column = lit(true))
       : (DataFrame, DataFrame, DataFrame) = {
     val key = (sfDir, pred.toString)
-    trioCache.synchronized {
+    val cache = trioCache.synchronized {
       var m = trioCache.get(spark)
       if (m == null) {
         m = scala.collection.mutable.Map.empty
         trioCache.put(spark, m)
       }
-      val meta = m.getOrElseUpdate(key, {
+      m
+    }
+    // the derivation (artifact reads + checkpoint jobs) runs OUTSIDE
+    // the cache monitor. This is not just the blocking concern the
+    // model caches share — it breaks a genuine ABBA cycle: this build
+    // calls docFeatures (the Artifacts registry monitor), while
+    // curatedHandoff's artifact BUILD closure calls back into this
+    // cache from inside that registry's monitor. With the build outside
+    // the lock, only the registry→trio ordering remains. A lost race
+    // derives twice; getOrElseUpdate keeps the first trio.
+    val meta = trioCache.synchronized { cache.get(key) } match {
+      case Some(v) => v
+      case None =>
         val keyed = TextQueries.docFeatures(spark, sfDir)
           .where(pred).select("h", "doc_id")
         val multiH = hashGroupsOfKeyed(keyed)
           .where(col("cnt") > 1).select("h").localCheckpoint()
         val ids = dupMemberIds(keyed, multiH)
-        dupMetaOf(multiH, normsForIds(spark, sfDir, ids).localCheckpoint())
-      })
-      (meta.multiH, meta.keepers, meta.dropped)
+        val built =
+          dupMetaOf(multiH, normsForIds(spark, sfDir, ids).localCheckpoint())
+        trioCache.synchronized { cache.getOrElseUpdate(key, built) }
     }
+    (meta.multiH, meta.keepers, meta.dropped)
   }
 
   /** The EXACT-dup edge set of the corpus under `sfDir`: one

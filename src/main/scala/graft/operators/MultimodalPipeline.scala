@@ -42,7 +42,12 @@ object MultimodalPipeline {
     val md = MessageDigest.getInstance("MD5")
     val checksum = md.digest(r.payload).map("%02x".format(_)).mkString
     val n = r.payload.length
-    MediaMeta(r.doc_id, n, n % 320 + 1, (n * 7) % 240 + 1, 3, checksum)
+    // n·7 in LONG: an Int multiply wraps for payloads >= ~307 MB (a
+    // realistic media blob), which would yield height <= 0 and a
+    // divide-by-zero downstream in the resize math. Matches the DuckDB
+    // oracle, whose octet_length arithmetic is 64-bit throughout.
+    MediaMeta(r.doc_id, n, n % 320 + 1, (n.toLong * 7 % 240 + 1).toInt,
+      3, checksum)
   }
 
   /** Documents rendered as a media table: UTF-8 bytes standing in for an

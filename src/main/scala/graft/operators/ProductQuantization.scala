@@ -138,14 +138,30 @@ object ProductQuantization {
     * codes, narrower widths) through exactly the shipped recipe; the
     * shipped queries call it at ([[M]], [[K]]). */
   def pqModelAt(spark: SparkSession, sfDir: String, m: Int, k: Int)
-      : (Seq[(Long, Seq[Double])], Seq[Seq[Seq[Long]]]) =
-    models.synchronized {
-      var cache = models.get(spark)
-      if (cache == null) {
-        cache = scala.collection.mutable.Map.empty
-        models.put(spark, cache)
+      : (Seq[(Long, Seq[Double])], Seq[Seq[Seq[Long]]]) = {
+    val cache = models.synchronized {
+      var c = models.get(spark)
+      if (c == null) {
+        c = scala.collection.mutable.Map.empty
+        models.put(spark, c)
       }
-      cache.getOrElseUpdate(s"$sfDir:$m:$k", {
+      c
+    }
+    val key = s"$sfDir:$m:$k"
+    // training (two collects over the corpus residuals) runs OUTSIDE
+    // the cache monitor — same contract as SimilarityQueries'
+    // cachedCodebook: a lost race trains twice, getOrElseUpdate keeps
+    // the first, and no other model consumer blocks meanwhile
+    models.synchronized { cache.get(key) } match {
+      case Some(v) => v
+      case None =>
+        val built = trainModel(spark, sfDir, m, k)
+        models.synchronized { cache.getOrElseUpdate(key, built) }
+    }
+  }
+
+  private def trainModel(spark: SparkSession, sfDir: String, m: Int, k: Int)
+      : (Seq[(Long, Seq[Double])], Seq[Seq[Seq[Long]]]) = {
         val sd = SimilarityQueries.Dims / m
         val coarse = SimilarityQueries.kmeansCodebook(spark, sfDir)
         val res = residuals(vecs(spark, sfDir), coarse)
@@ -183,11 +199,10 @@ object ProductQuantization {
             (0 until sd).map(j =>
               math.floor(row.getLong(j + 3) / n).toLong)
         }.toMap
-        val cents = (0 until m).map(mi => (0 until k).map(ki =>
-          upd.getOrElse((mi, ki), init(mi)(ki)).toSeq))
-        (coarse, cents)
-      })
-    }
+    val cents = (0 until m).map(mi => (0 until k).map(ki =>
+      upd.getOrElse((mi, ki), init(mi)(ki)).toSeq))
+    (coarse, cents)
+  }
 
   /** The PQ-coded INDEX as an artifact: one row per vector with its
     * coarse cell, per-subspace codes, the csv rendering, and the exact

@@ -122,15 +122,22 @@ object RelationalQueries {
       .orderBy("custkey")
 
   /** Q13: rollup revenue by (o_orderpriority, o_orderstatus) with explicit
-    * grouping-level flags so the oracle compare is unambiguous on NULLs. */
+    * grouping-level flags so the oracle compare is unambiguous on NULLs:
+    * the 'ALL' label derives from grouping() — the actual subtotal-row
+    * indicator — not from a NULL coalesce, so a genuine NULL (or literal
+    * 'ALL') data value can never masquerade as a rollup total row. */
   def q13Rollup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
       .rollup("o_orderpriority", "o_orderstatus")
       .agg(round(sum("o_totalprice"), 2).as("revenue"),
-           count(lit(1)).as("cnt"))
+           count(lit(1)).as("cnt"),
+           grouping(col("o_orderpriority")).as("gp"),
+           grouping(col("o_orderstatus")).as("gs"))
       .select(
-        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
-        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        when(col("gp") === 1, lit("ALL"))
+          .otherwise(col("o_orderpriority")).as("priority"),
+        when(col("gs") === 1, lit("ALL"))
+          .otherwise(col("o_orderstatus")).as("status"),
         col("revenue"), col("cnt"))
       .orderBy("priority", "status")
 
@@ -158,15 +165,20 @@ object RelationalQueries {
       .orderBy("event_type")
 
   /** Q33: CUBE over (priority, status) — all four grouping combinations
-    * in one pass (partial aggregates expanded once, not four scans). */
+    * in one pass (partial aggregates expanded once, not four scans).
+    * 'ALL' labels via grouping(), q13's discipline. */
   def q33Cube(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
       .cube("o_orderpriority", "o_orderstatus")
       .agg(round(sum("o_totalprice"), 2).as("revenue"),
-           count(lit(1)).as("cnt"))
+           count(lit(1)).as("cnt"),
+           grouping(col("o_orderpriority")).as("gp"),
+           grouping(col("o_orderstatus")).as("gs"))
       .select(
-        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
-        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        when(col("gp") === 1, lit("ALL"))
+          .otherwise(col("o_orderpriority")).as("priority"),
+        when(col("gs") === 1, lit("ALL"))
+          .otherwise(col("o_orderstatus")).as("status"),
         col("revenue"), col("cnt"))
       .orderBy("priority", "status")
 

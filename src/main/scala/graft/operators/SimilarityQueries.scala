@@ -135,6 +135,27 @@ object SimilarityQueries {
       m
     }
 
+  /** Cache lookup with the DERIVATION evaluated OUTSIDE the cache
+    * monitor: holding a JVM-global lock across multi-job Spark work
+    * (collects, Lloyd rounds) blocks every other caller — including
+    * pure cache HITS — for the whole training run, and building inside
+    * the monitor is one half of a lock-ordering cycle with the
+    * Artifacts registry, whose build closures call back into these
+    * caches. A lost race builds twice; getOrElseUpdate keeps the first
+    * result, and derivations are pure, so the duplicate is only wasted
+    * work. Lock-ordering rule (engine-wide): Artifacts.built may be
+    * held while TAKING a model-cache monitor, never the reverse. */
+  private def cachedCodebook(spark: SparkSession, key: (String, String))
+      (build: => Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] = {
+    val c = codebookCache(spark)
+    codebooks.synchronized { c.get(key) } match {
+      case Some(v) => v
+      case None =>
+        val built = build
+        codebooks.synchronized { c.getOrElseUpdate(key, built) }
+    }
+  }
+
   /** IVF codebook collected to the driver — NumCells rows, bounded by the
     * codebook size, never by data size. In FAISS terms the coarse
     * quantizer always ships whole to every worker; embedding it as column
@@ -143,10 +164,17 @@ object SimilarityQueries {
     * can compare the unrefined and refined quantizers. */
   def codebook(spark: SparkSession,
                sfDir: String): Seq[(Long, Seq[Double])] =
-    codebooks.synchronized {
-      codebookCache(spark).getOrElseUpdate((sfDir, "init"),
-        vecs(spark, sfDir).where(col("vec_id") < NumCells).orderBy("vec_id")
-          .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1))))
+    cachedCodebook(spark, (sfDir, "init")) {
+      val seeds = vecs(spark, sfDir).where(col("vec_id") < NumCells)
+        .orderBy("vec_id")
+        .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+      // the assignment fold needs >= 2 centroids (greatest() arity) —
+      // fail at the seam with the precondition, not deep inside a
+      // consumer's plan (the pqModelAt guard's discipline)
+      require(seeds.length >= 2,
+        s"IVF codebook needs >= 2 seed vectors with vec_id < $NumCells; " +
+          s"$sfDir has ${seeds.length}")
+      seeds
     }
 
   /** Map-side argmax cell assignment: all NumCells cosine similarities in
@@ -297,12 +325,10 @@ object SimilarityQueries {
     * (centroids must move from init and stay deterministic). */
   def kmeansCodebook(spark: SparkSession,
                      sfDir: String): Seq[(Long, Seq[Double])] =
-    codebooks.synchronized {
-      codebookCache(spark).getOrElseUpdate((sfDir, "kmeans"), {
-        val e = vecs(spark, sfDir)
-        (1 to KmeansIters).foldLeft(codebook(spark, sfDir))(
-          (c, _) => lloydStep(e, c))
-      })
+    cachedCodebook(spark, (sfDir, "kmeans")) {
+      val e = vecs(spark, sfDir)
+      (1 to KmeansIters).foldLeft(codebook(spark, sfDir))(
+        (c, _) => lloydStep(e, c))
     }
 
   /** Q22: approximate near-neighbor pairs — exact cosine evaluated only

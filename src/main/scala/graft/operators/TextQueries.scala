@@ -55,16 +55,21 @@ object TextQueries {
     }
 
   /** Q16: per-language corpus stats: doc count, avg tokens/doc, distinct
-    * token count. Two aggregations (per-doc sizes need no explode; the
-    * distinct count does) joined on lang. */
+    * token count — entirely off the artifacts: per-doc sizes from
+    * docFeatures' stored token_cnt, token instances from spanFeatures'
+    * `w` column with lang attached by a doc_id join (both tables are
+    * bucketed on doc_id, so the join is exchange-free). The previous
+    * form fed one tokenize subtree into two aggregate branches, and
+    * Spark re-evaluates a subtree per branch — two corpus tokenizes per
+    * run for a stats query (the q44 lesson applied here). */
   def q16TextStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("lang"), Text.tokens(col("text")).as("toks"))
-    val perLang = docs.groupBy("lang").agg(
+    val feats = docFeatures(spark, sfDir)
+    val perLang = feats.groupBy("lang").agg(
       count(lit(1)).as("doc_cnt"),
-      round(avg(size(col("toks"))), 2).as("avg_tokens"))
-    val distinctTok = docs
-      .select(col("lang"), explode(col("toks")).as("w"))
+      round(avg(col("token_cnt")), 2).as("avg_tokens"))
+    val distinctTok = DedupQueries.spanFeatures(spark, sfDir)
+      .select("doc_id", "w")
+      .join(feats.select("doc_id", "lang"), Seq("doc_id"))
       .groupBy("lang").agg(count_distinct(col("w")).as("distinct_tokens"))
     perLang.join(distinctTok, "lang").orderBy("lang")
   }

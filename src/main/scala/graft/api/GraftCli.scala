@@ -39,14 +39,21 @@ object GraftCli {
       |environment:
       |  MR_DISABLE_COMBINER=1    disable the combiner on any job""".stripMargin
 
-  @annotation.tailrec
+  /** Numeric flag values go through the Left/usage protocol like every
+    * other malformed input — a bare `.toInt` would escape `parse` as a
+    * raw NumberFormatException stack trace. */
+  private def int(flag: String, v: String): Either[String, Int] =
+    v.toIntOption.toRight(s"$flag expects a number, got '$v'")
+
   def parse(rest: List[String], acc: Args = Args()): Either[String, Args] =
     rest match {
       case Nil => Right(acc)
       case "--job" :: v :: t        => parse(t, acc.copy(job = v))
       case "--output" :: v :: t     => parse(t, acc.copy(output = v))
-      case "--partitions" :: v :: t => parse(t, acc.copy(partitions = v.toInt))
-      case "--threads" :: v :: t    => parse(t, acc.copy(threads = v.toInt))
+      case "--partitions" :: v :: t =>
+        int("--partitions", v).flatMap(n => parse(t, acc.copy(partitions = n)))
+      case "--threads" :: v :: t    =>
+        int("--threads", v).flatMap(n => parse(t, acc.copy(threads = n)))
       case "--no-combiner" :: t     => parse(t, acc.copy(combiner = false))
       case "--metrics" :: v :: t    => parse(t, acc.copy(metrics = Some(v)))
       case ("-v" | "--verbose") :: t => parse(t, acc.copy(verbose = true))

@@ -103,19 +103,23 @@ object Text {
     */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val byDoc = Window.partitionBy(idCol).orderBy("pos")
-    val toks = docs.select(col(idCol), posexplode(tokens(col(textCol))))
-    val grams = toks
+    // posexplode_OUTER keeps one (null pos, null token) row for a
+    // token-less document, which the concat_ws below renders as the
+    // empty-string shingle — the second full-corpus tokenize pass a
+    // separate `where size(tokens) === 0` branch used to pay just to
+    // find those rare docs is gone (one pass, as this scaladoc always
+    // claimed)
+    val toks = docs.select(col(idCol), posexplode_outer(tokens(col(textCol))))
+    toks
       .select(col(idCol), col("pos"),
         concat_ws(" ", (0 until n).map(k =>
           if (k == 0) col("col") else lead(col("col"), k).over(byDoc)): _*)
           .as("s"),
         count(lit(1)).over(Window.partitionBy(idCol)).as("n_toks"))
-      .where(col("pos") <= greatest(col("n_toks") - n, lit(0)))
+      .where(col("pos").isNull ||
+        col("pos") <= greatest(col("n_toks") - n, lit(0)))
       .select(col(idCol), col("s"))
-    val empties = docs
-      .where(size(tokens(col(textCol))) === 0)
-      .select(col(idCol), lit("").as("s"))
-    grams.union(empties).distinct()
+      .distinct()
   }
 
 }

@@ -40,18 +40,44 @@ object DelimitedSources {
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
-  /** Render a test table into tmp as csv/json (small dims — one file). */
+  /** Staged paths already rendered this session — the Artifacts
+    * discipline applied to the text renders: before this, every
+    * q58/q59 call re-ran the coalesce(1) write, and the FIXED shared
+    * tmp path meant two concurrent JVMs could interleave one's
+    * overwrite-delete with the other's read. Weak-keyed per session;
+    * each session stages under its own fresh temp dir, so cross-JVM
+    * (and cross-session) runs never collide. */
+  private val staged = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.Map[String, String]]
+
+  /** Render a test table as csv/json ONCE per (session, table, dir) —
+    * small dims, one file. */
   private def stage(spark: SparkSession, sfDir: String,
                     table: String, fmt: String): String = {
-    val out = sys.props("java.io.tmpdir") + "/graft-sources/" +
-      s"${fmt}_${table}_" + Tables.dirKey(sfDir)
-    val w = Tables.load(spark, sfDir, table).coalesce(1)
-      .write.mode("overwrite")
-    fmt match {
-      case "csv"  => w.option("header", "true").csv(out)
-      case "json" => w.json(out)
+    val cache = staged.synchronized {
+      var m = staged.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty
+        staged.put(spark, m)
+      }
+      m
     }
-    out
+    val key = s"${fmt}_${table}_" + Tables.dirKey(sfDir)
+    // render outside the monitor (a Spark job); a lost race writes two
+    // distinct temp dirs and keeps the first — never a torn read
+    staged.synchronized { cache.get(key) } match {
+      case Some(p) => p
+      case None =>
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-sources-").toString + "/" + key
+        val w = Tables.load(spark, sfDir, table).coalesce(1)
+          .write.mode("overwrite")
+        fmt match {
+          case "csv"  => w.option("header", "true").csv(out)
+          case "json" => w.json(out)
+        }
+        staged.synchronized { cache.getOrElseUpdate(key, out) }
+    }
   }
 
   /** Q58: CSV round-trip — nation rendered to CSV, read back with the

@@ -51,20 +51,28 @@ object EventStreams {
       glob.foldLeft(s.read)((r, g) => r.option("pathGlobFilter", g))
         .parquet(dir).schema("ts").dataType
     } catch {
-      case e: Throwable =>
+      case e: org.apache.spark.sql.AnalysisException =>
         // fall back ONLY for the documented case — a not-yet-populated
         // landing dir (no glob-matching parquet present). A populated
-        // dir that fails to probe (missing ts column, corrupt footer,
-        // permissions) must stay a loud plan-build error: defaulting it
-        // to nanos-long would misread every timestamp by 1000x.
+        // dir that fails to probe (missing ts column, corrupt footer)
+        // must stay a loud plan-build error: defaulting it to
+        // nanos-long would misread every timestamp by 1000x. The
+        // listing goes through Hadoop's FileSystem so scheme-qualified
+        // dirs (file://, hdfs://, s3a://) resolve — a bare
+        // java.io.File would see them as nonexistent and silently take
+        // the fallback; and if the listing itself fails we CANNOT
+        // prove the dir empty, so the original error propagates.
         val matcher = glob.map(g => java.nio.file.FileSystems.getDefault
           .getPathMatcher("glob:" + g))
         val hasMatchingFiles = scala.util.Try {
-          val files = Option(new java.io.File(dir).listFiles).toSeq.flatten
-          files.exists(f => f.isFile && !f.getName.startsWith("_") &&
-            matcher.forall(_.matches(
-              java.nio.file.Paths.get(f.getName))))
-        }.getOrElse(false)
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.exists(p) && fs.listStatus(p).exists { st =>
+            val name = st.getPath.getName
+            st.isFile && !name.startsWith("_") &&
+              matcher.forall(_.matches(java.nio.file.Paths.get(name)))
+          }
+        }.getOrElse(true) // can't list: can't prove empty — stay loud
         if (hasMatchingFiles) throw e
         else LongType // nothing landed yet: this corpus's native encoding
     }
@@ -168,15 +176,7 @@ object EventStreams {
   def runDedupToFiles(spark: SparkSession, landingDir: String,
                       checkpointDir: String, outDir: String): Unit = {
     val s = stateSession(spark)
-    val docSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("lang", StringType),
-      StructField("text", StringType)))
-    val q = s.readStream.schema(docSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(landingDir)
-      .select(md5(graft.functions.Text.normalized(col("text")))
-        .as("content_md5"))
-      .dropDuplicates("content_md5")
+    val q = contentDedupPlan(docLandingStream(s, landingDir))
       .writeStream.format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
@@ -184,6 +184,45 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** The document landing-file schema — one definition for every
+    * document-ingest stream (q86, q90's variant, the checkpointed
+    * runner). */
+  private val DocLandingSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("text", StringType)))
+
+  /** A schema'd document landing stream, one file per micro-batch. */
+  private def docLandingStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream.schema(DocLandingSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+
+  /** q86's content-key dedup plan over any document stream — ONE
+    * definition shared by the memory-sink demo and the checkpointed
+    * runner ([[clickViewIntervalJoin]]'s discipline), so the recovery
+    * spec exercises exactly the shipped dedup plan. */
+  private def contentDedupPlan(docs: DataFrame): DataFrame =
+    docs.select(md5(graft.functions.Text.normalized(col("text")))
+        .as("content_md5"))
+      .dropDuplicates("content_md5")
+
+  /** Force a strictly increasing modification time onto the newest
+    * landing file: FileStreamSource orders files by mtime, and two
+    * coalesce(1) writes moments apart can TIE on filesystems with
+    * coarse mtime granularity (1-2 s on some NFS/FAT mounts), which
+    * would make batch order — and with it which snapshot seeds the
+    * dedup state or advances the watermark first — the unspecified
+    * listing order of randomly named part files. Stamped, landing
+    * order IS batch order on any filesystem. */
+  private def stampLanding(landing: String, seq: Int): Unit = {
+    val files = Option(new java.io.File(landing).listFiles).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    // previous files carry older synthetic stamps, so max-mtime is the
+    // file the write that just returned produced
+    files.sortBy(f => (f.lastModified, f.getName)).lastOption
+      .foreach(f => { f.setLastModified(1700000000000L + seq * 60000L); () })
   }
 
   private val sinkId = new AtomicInteger(0)
@@ -260,19 +299,13 @@ object EventStreams {
       // landing dir receives many files per crawl and the same plan
       // drains them at full write parallelism — never single-task writes.
       docs.coalesce(1).write.mode("append").parquet(landing)
+      stampLanding(landing, 0)
       graft.operators.CurationPipeline.snapshotB(docs)
         .select("doc_id", "lang", "text")
         .coalesce(1).write.mode("append").parquet(landing)
-      val docSchema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("lang", StringType),
-        StructField("text", StringType)))
-      val distinctContents = s.readStream.schema(docSchema)
-        .option("maxFilesPerTrigger", 1) // one snapshot per micro-batch
-        .parquet(landing)
-        .select(md5(graft.functions.Text.normalized(col("text")))
-          .as("content_md5"))
-        .dropDuplicates("content_md5")
-      runToTable(distinctContents, OutputMode.Append())
+      stampLanding(landing, 1)
+      runToTable(contentDedupPlan(docLandingStream(s, landing)),
+          OutputMode.Append())
         .orderBy("content_md5")
     } finally {
       graft.GraftSession.deleteRecursively(new java.io.File(landing))
@@ -328,10 +361,15 @@ object EventStreams {
       def land(df: DataFrame, day: String): Unit = df
         .withColumn("ingest_ts", to_timestamp(lit(s"$day 00:00:00")))
         .coalesce(1).write.mode("append").parquet(landing)
-      land(docs, "2024-01-01")
-      land(advancer, "2024-03-01")
-      land(filler.unionByName(advancer), "2024-03-02")
-      land(docs, "2024-03-03")
+      val schedule = Seq(
+        (docs, "2024-01-01"),
+        (advancer, "2024-03-01"),
+        (filler.unionByName(advancer), "2024-03-02"),
+        (docs, "2024-03-03"))
+      schedule.zipWithIndex.foreach { case ((df, day), i) =>
+        land(df, day)
+        stampLanding(landing, i) // landing order IS batch order
+      }
       val docSchema = StructType(Seq(
         StructField("doc_id", LongType), StructField("lang", StringType),
         StructField("text", StringType),
@@ -400,9 +438,12 @@ object EventStreams {
     * result is exactly q29's (and the oracle is the same SQL). */
   def q60StreamAppendWindows(spark: SparkSession, sfDir: String): DataFrame = {
     // anchor row for the flush event: any single known event id (batch
-    // metadata lookup at plan build, one scalar)
-    val anchorId = graft.Tables.events(spark, sfDir)
-      .agg(min(col("event_id"))).head().getLong(0)
+    // metadata lookup at plan build, one scalar). min() over an EMPTY
+    // events table is a null cell — getLong would NPE; an empty stream
+    // needs no flush, so any non-matching sentinel keeps the plan sound
+    val anchorRow = graft.Tables.events(spark, sfDir)
+      .agg(min(col("event_id"))).head()
+    val anchorId = if (anchorRow.isNullAt(0)) -1L else anchorRow.getLong(0)
     val s = stateSession(spark)
     val ev = eventsStream(s, sfDir)
       .select(col("ts"), col("event_type"), col("value"))
@@ -489,12 +530,32 @@ object EventStreams {
                           checkpointDir: String,
                           outDir: String): Unit = {
     val s = stateSession(spark)
+    val q = firstSeenPlan(streamEvents(s, landingDir),
+        horizonMs = 365L * 24 * 3600 * 1000)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** q31's first-seen dedup plan over a streaming events frame,
+    * parameterized by the dedup HORIZON — ONE definition shared by the
+    * memory-sink demo (24 h) and the checkpointed runner (365 d), the
+    * [[clickViewIntervalJoin]] discipline: the recovery spec must
+    * exercise exactly the shipped state function (tie-break, timeout
+    * clamp and all), and a fix applied to one copy can't silently skip
+    * the other. */
+  private def firstSeenPlan(ev: DataFrame, horizonMs: Long): DataFrame = {
+    val s = ev.sparkSession
     import s.implicits._
-    val typed: Dataset[Ev] = streamEvents(s, landingDir)
+    val typed: Dataset[Ev] = ev
       .withWatermark("ts", "1 hour")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .as[Ev]
-    val firsts = typed
+    typed
       .groupByKey(e => (e.user_id, e.event_type))
       .flatMapGroupsWithState[FirstSeen, FirstSeen](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -503,26 +564,21 @@ object EventStreams {
           else if (state.exists) Iterator.empty
           else if (events.isEmpty) Iterator.empty
           else {
+            // within one micro-batch the iterator is not time-ordered;
+            // getTime is millis only, so order by (millis, nanos, id)
             val first = events.minBy(e =>
               (e.ts.getTime, e.ts.getNanos.toLong, e.event_id))
             val fs = FirstSeen(uid, etype, first.event_id, first.ts)
             state.update(fs)
             state.setTimeoutTimestamp(expiryMs(state,
-              first.ts.getTime + 365L * 24 * 3600 * 1000))
+              first.ts.getTime + horizonMs))
             Iterator.single(fs)
           }
       }
-    val q = firsts.toDF()
+      .toDF()
       .select(col("user_id"), col("event_type"), col("first_event_id"),
         date_format(col("first_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
           .as("first_ts"))
-      .writeStream.format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
   }
 
   /** Clamp a desired event-time timeout above the current watermark:
@@ -575,34 +631,9 @@ object EventStreams {
     * entry expires (dedup horizon = 24 h). Unbounded `NoTimeout` state is
     * how streaming dedup jobs die at 100 TB. */
   def q31StreamFirstSeen(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val typed: Dataset[Ev] = eventsStream(stateSession(spark), sfDir)
-      .withWatermark("ts", "1 hour")
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-      .as[Ev]
-    val firsts = typed
-      .groupByKey(e => (e.user_id, e.event_type))
-      .flatMapGroupsWithState[FirstSeen, FirstSeen](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case ((uid, etype), events, state: GroupState[FirstSeen]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else if (state.exists) Iterator.empty
-          else if (events.isEmpty) Iterator.empty
-          else {
-            // within one micro-batch the iterator is not time-ordered;
-            // getTime is millis only, so order by (millis, nanos, id)
-            val first = events.minBy(e =>
-              (e.ts.getTime, e.ts.getNanos.toLong, e.event_id))
-            val fs = FirstSeen(uid, etype, first.event_id, first.ts)
-            state.update(fs)
-            state.setTimeoutTimestamp(expiryMs(state,
-              first.ts.getTime + 24L * 3600 * 1000))
-            Iterator.single(fs)
-          }
-      }
-    runToTable(firsts.toDF(), OutputMode.Append())
-      .select(col("user_id"), col("event_type"), col("first_event_id"),
-        date_format(col("first_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"))
+    val plan = firstSeenPlan(eventsStream(stateSession(spark), sfDir),
+      horizonMs = 24L * 3600 * 1000)
+    runToTable(plan, OutputMode.Append())
       .orderBy("user_id", "event_type")
   }
 }

@@ -16,8 +16,11 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     val spark = GraftSession.create(
       appName = "graft-bench", master = Some(s"local[$cpus]"))
+    // NonFatal only: a swallowed OutOfMemoryError would leave the JVM
+    // heap-exhausted and every later sample silently garbage
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try fn(spark, warmDir).count()
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     // Materialize the shared artifacts (shingles, signatures) for the
     // TIMED scale dir up front and report their one-off build cost as its
@@ -116,6 +119,7 @@ object Bench {
         val t0 = System.nanoTime()
         val before = shuffleBytes.get()
         // a failed query must read as -1, not as a suspiciously fast run
+        // (NonFatal: let OOM and friends abort the whole run visibly)
         try {
           fn(spark, sfDir).count()
           val dt = (System.nanoTime() - t0) / 1e9
@@ -126,7 +130,7 @@ object Bench {
           }
           dt
         }
-        catch { case _: Throwable => -1.0 }
+        catch { case scala.util.control.NonFatal(_) => -1.0 }
       }
     }
     val results = names.zipWithIndex.map { case ((name, _), i) =>
@@ -151,7 +155,12 @@ object Bench {
       val mb = shuffleByQuery.get(name).map(_ / 1e6).getOrElse(-1.0)
       "\"" + name + "\":" + math.round(mb * 100) / 100.0
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // the headline total sums SUCCESSFUL queries only — adding the -1
+    // sentinels would make a newly-failing query read as a speedup in a
+    // round-over-round compare; `failed` makes the omission visible
+    val ok = results.map(_._2).filter(_ >= 0)
+    val total = ok.sum
+    val failed = results.size - ok.size
     // box-load context: this machine is shared and load spikes inflate
     // samples 2-7x; the 1/5/15-min loadavg lets a reader separate real
     // regressions from noise
@@ -163,7 +172,7 @@ object Bench {
     // map — the one map a reader must have — goes LAST, with the
     // diagnostic maps (spread, shuffle) just before it
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","loadavg":$loadavg,"runs_per_query":$passes,"interleaved":true,"artifacts_sec":$artifactsSec,"refresh_sec":$refreshSec,"full_rebuild_sec":$rebuildSec,"pq_refresh_sec":$pqRefreshSec,"pq_rebuild_sec":$pqRebuildSec,"pass_spread":$sp,"shuffle_mb":$sh,"queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"sf":${GraftSession.jsonString(sfDir)},"loadavg":$loadavg,"runs_per_query":$passes,"interleaved":true,"artifacts_sec":$artifactsSec,"refresh_sec":$refreshSec,"full_rebuild_sec":$rebuildSec,"pq_refresh_sec":$pqRefreshSec,"pq_rebuild_sec":$pqRebuildSec,"pass_spread":$sp,"shuffle_mb":$sh,"queries":$qs}"""
     println(json)
     // also land the line in a file: sbt interleaves its own log lines with
     // stdout, so a driver grepping the tail can mis-parse — a dedicated

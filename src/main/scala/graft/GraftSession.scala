@@ -13,12 +13,31 @@ object GraftSession {
 
   /** Recursive delete — the one implementation behind every tmp-dir
     * lifecycle in the engine (warehouse sweep, streaming landing dirs,
-    * spec scratch dirs). */
+    * spec scratch dirs). NEVER recurses through a symlink: on a shared
+    * box the startup sweep deletes /tmp/graft-warehouse-<dead-pid>
+    * dirs, and a planted symlink by that name (isDirectory is true for
+    * a link to a dir, listFiles resolves through it) would otherwise
+    * turn the sweep into a delete of whatever the link points at —
+    * only the link itself is removed. */
   private[graft] def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
+    if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
       Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(); ()
   }
+
+  /** JSON string escape (backslash, quote, all control chars) — shared
+    * by the Verify oracle dump and Bench's JSON line so an
+    * env-controlled path with a quote can't corrupt driver-parsed
+    * output. */
+  private[graft] def jsonString(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 
   /** This process's warehouse dir (see below) — deleted on JVM exit so
     * per-pid isolation doesn't leak one artifact-table set per run into

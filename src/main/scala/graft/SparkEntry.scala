@@ -354,6 +354,11 @@ object SparkEntry {
     * component sums) → final assignment `asg`. CTE text without the
     * leading WITH. */
   private val ivfKmeansCte: String = {
+    // dims/cells interpolated from the Spark-side constants — the
+    // engines-cannot-drift contract this builder states; a literal 65
+    // here would silently keep computing over 64 dims if Dims changed
+    val dp1 = SimilarityQueries.Dims + 1
+    val cells = SimilarityQueries.NumCells
     def lloyd(i: Int): String = {
       val prev = s"c${i - 1}"
       s"""a$i AS (SELECT vec_id, v, cell FROM (
@@ -363,7 +368,7 @@ object SparkEntry {
          |            AS rk
          |   FROM e CROSS JOIN $prev c) t WHERE rk = 1),
          |u$i AS (SELECT cell, d, sum(floor(v[d] * 1e6)) AS s, count(*) AS n
-         |        FROM a$i CROSS JOIN (SELECT unnest(range(1, 65)) AS d) ds
+         |        FROM a$i CROSS JOIN (SELECT unnest(range(1, $dp1)) AS d) ds
          |        GROUP BY cell, d),
          |c$i AS (SELECT p.cell AS cell,
          |               CASE WHEN count(u.d) = 0 THEN any_value(p.cv)
@@ -372,7 +377,7 @@ object SparkEntry {
          |        GROUP BY p.cell)""".stripMargin
     }
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+       |c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $cells),
        |${lloyd(1)},
        |${lloyd(2)},
        |asg AS (SELECT vec_id, v, cell FROM (
@@ -394,12 +399,13 @@ object SparkEntry {
     * from the same constants so the engines cannot drift). */
   private def pqModelCteAt(m: Int, k: Int): String = {
     val sd = ProductQuantization.SubDim * ProductQuantization.M / m
+    val dp1 = SimilarityQueries.Dims + 1
     s"""cmm AS (SELECT cell,
-      |               [floor(cv[d] * 1e6)::BIGINT for d in range(1, 65)] AS cm
+      |               [floor(cv[d] * 1e6)::BIGINT for d in range(1, $dp1)] AS cm
       |        FROM c2),
       |rres AS (SELECT a.vec_id, a.cell,
       |                [floor(a.v[d] * 1e6)::BIGINT - cm.cm[d]
-      |                 for d in range(1, 65)] AS r
+      |                 for d in range(1, $dp1)] AS r
       |         FROM asg a JOIN cmm cm ON cm.cell = a.cell),
       |rsub AS (SELECT vec_id, mm.m, r[(mm.m*$sd+1):(mm.m*$sd+$sd)] AS sub
       |         FROM rres CROSS JOIN (SELECT unnest(range(0, $m)) AS m) mm),
@@ -454,7 +460,7 @@ object SparkEntry {
        |   FROM e q CROSS JOIN c2 c WHERE q.vec_id < 10) t WHERE rk <= 2),
        |qres AS (SELECT p.query_id, p.cell,
        |                [floor(p.qv[d] * 1e6)::BIGINT - cm.cm[d]
-       |                 for d in range(1, 65)] AS rq
+       |                 for d in range(1, ${SimilarityQueries.Dims + 1})] AS rq
        |         FROM probes p JOIN cmm cm ON cm.cell = p.cell),
        |qsub AS (SELECT query_id, cell, mm.m,
        |                rq[(mm.m*$sd+1):(mm.m*$sd+$sd)] AS sub
@@ -1159,8 +1165,9 @@ object SparkEntry {
         |  ON c.user_id = v.user_id AND v.ts <= c.ts
         |ORDER BY c.user_id, ts, c.event_id""".stripMargin,
     "q39_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cell, v AS cv FROM e
+        |          WHERE vec_id < ${SimilarityQueries.NumCells}),
         |asg AS (SELECT vec_id, v, cell FROM (
         |   SELECT e.vec_id, e.v, c.cell,
         |          row_number() OVER (PARTITION BY e.vec_id

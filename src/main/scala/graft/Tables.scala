@@ -49,9 +49,12 @@ object Tables {
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case LongType =>
-        // integer DIV, not `/`: nanos-since-epoch overflows a double's
-        // 53-bit mantissa, so float division is off by ±1 µs
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        // integer FLOOR division, not `/` (nanos-since-epoch overflows a
+        // double's 53-bit mantissa) and not bare DIV (which truncates
+        // toward zero, so a pre-1970 nanos value would land 1 µs high
+        // of the true floor the oracle computes)
+        df.withColumn("ts", timestamp_micros(
+          expr("ts DIV 1000 - CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END")))
       case _ =>
         // NTZ→LTZ is wall-clock reinterpretation in the session TZ (UTC
         // here): exact micros preserved; a no-op when already LTZ

@@ -87,9 +87,12 @@ object EventStreams {
     val raw = opts.foldLeft(s.readStream.schema(schema))((r, kv) =>
       r.option(kv._1, kv._2)).parquet(dir)
     if (tsIsNanos)
-      // integer DIV, not `/`: nanos-since-epoch overflows a double's
-      // 53-bit mantissa, so float division is off by ±1 µs
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      // integer FLOOR division, not `/` (nanos-since-epoch overflows a
+      // double's 53-bit mantissa) and not bare DIV (which truncates
+      // toward zero, so a pre-1970 nanos value would land 1 µs high of
+      // the true floor the oracle computes)
+      raw.withColumn("ts", timestamp_micros(
+        expr("ts DIV 1000 - CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END")))
     else
       // NTZ→LTZ wall-clock reinterpretation under session TZ = UTC;
       // a no-op when the probe already read LTZ

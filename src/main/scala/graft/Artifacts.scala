@@ -65,11 +65,12 @@ object Artifacts {
     * `bucketCol`, and return the table. Reentrant: a build may itself
     * materialize another artifact (signatures build reads the shingle
     * artifact). Only one LIVE session may own a table name at a time
-    * (asserted); per-(session, name) rebuilds never happen, so a cached
-    * entry can also go stale if the files under the input dir are
-    * rewritten mid-session — same contract as the IVF codebook cache
-    * (SimilarityQueries), acceptable for batch jobs reading immutable
-    * snapshot dirs. */
+    * (asserted); per-(session, name) rebuilds never happen. Freshness
+    * against the INPUT is enforced upstream: every caller derives `name`
+    * from [[Tables.dirKey]], which folds a content fingerprint of the
+    * input dir's listing into the key — a dir rewritten mid-session
+    * yields a new name and therefore a rebuild, never a stale read
+    * (ArtifactsSpec pins it). */
   def materialize(spark: SparkSession, name: String, bucketCol: String,
                   buckets: Int = 8)(build: => DataFrame): DataFrame =
     materializeWith(spark, name)(

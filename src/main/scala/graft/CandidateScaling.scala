@@ -26,8 +26,8 @@ object CandidateScaling {
         "/root/testdata/sf0.1")
     val spark = GraftSession.create("graft-candidate-scaling",
       Some("local[32]"))
-    println("| sf dir | docs | possible pairs | q18 LSH cand | q19 co-shingled | q48 byte-band cand | q48 60-bit cand | vecs | possible vec pairs | q87 in-cell cand |")
-    println("|---|---|---|---|---|---|---|---|---|---|")
+    println("| sf dir | docs | possible pairs | q18 LSH cand | q19 co-shingled | q48 byte-band cand | q48 60-bit cand | vecs | possible vec pairs | q87 in-cell cand | q87 cand k=64 |")
+    println("|---|---|---|---|---|---|---|---|---|---|---|")
     dirs.foreach { dir =>
       val docs = Tables.documents(spark, dir)
       val n = docs.count()
@@ -43,8 +43,13 @@ object CandidateScaling {
       val possibleV = nv * (nv - 1) / 2
       val q87 = operators.SimilarityQueries.semdedupCandidates(spark, dir)
         .count()
+      // the k knob, measured at a second operating point: at perfect
+      // balance in-cell pairs = n**2/2k, so k 16 -> 64 should cut the
+      // candidate space ~4x (skew shows up as a smaller cut)
+      val q87k64 = operators.SimilarityQueries
+        .semdedupCandidatesAt(spark, dir, 64).count()
 
-      println(s"| $dir | $n | $possible | $q18 | $q19 | $q48 | $q48w | $nv | $possibleV | $q87 |")
+      println(s"| $dir | $n | $possible | $q18 | $q19 | $q48 | $q48w | $nv | $possibleV | $q87 | $q87k64 |")
     }
     spark.stop()
   }

@@ -592,7 +592,7 @@ object SparkEntry {
         |            ELSE o_orderstatus END AS status,
         |       round(sum(o_totalprice), 2) AS revenue, count(*) AS cnt
         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
-        |ORDER BY priority, status""".stripMargin,
+        |ORDER BY priority NULLS FIRST, status NULLS FIRST""".stripMargin,
     "q14_time_bucket" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |       event_type, count(*) AS cnt,
@@ -749,12 +749,26 @@ object SparkEntry {
         |      FROM h)
         |SELECT doc_id, len(fps) AS fp_cnt, list_aggregate(fps, 'min') AS fp_min
         |FROM w ORDER BY doc_id""".stripMargin,
+    // q27 decodes REAL BMP files: the oracle replays the fixture's
+    // geometry (w = len%16+4, h = len*7%12+4), the container size
+    // (54-byte headers + 4-byte-padded rows), and the raster-order
+    // pixel formula ((7c + 13k) mod 256) whose hex-md5 is the checksum
+    // — the Spark side must parse the actual file (offset, padding,
+    // bottom-up flip) to reproduce it.
     "q27_multimodal_meta" ->
-      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-        |       octet_length(encode(text)) % 320 + 1 AS width,
-        |       (octet_length(encode(text)) * 7) % 240 + 1 AS height,
-        |       3 AS channels, md5(text) AS checksum
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH m AS (SELECT doc_id, text, length(text) AS L,
+        |             length(text) % 16 + 4 AS width,
+        |             (length(text) * 7) % 12 + 4 AS height
+        |           FROM documents)
+        |SELECT doc_id,
+        |       54 + ((width * 3 + 3) // 4) * 4 * height AS n_bytes,
+        |       width, height, 3 AS channels,
+        |       md5(lower(list_aggregate(
+        |         [lpad(to_hex((ascii(substr(text, (k % L) + 1, 1)) * 7
+        |                       + k * 13) % 256), 2, '0')
+        |          for k in range(0, width * height * 3)],
+        |         'string_agg', ''))) AS checksum
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q28_mr_wordcount" ->
       s"""$tokCte
          |SELECT word, count(*) AS cnt FROM tok
@@ -1141,7 +1155,7 @@ object SparkEntry {
         |            ELSE o_orderstatus END AS status,
         |       round(sum(o_totalprice), 2) AS revenue, count(*) AS cnt
         |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
-        |ORDER BY priority, status""".stripMargin,
+        |ORDER BY priority NULLS FIRST, status NULLS FIRST""".stripMargin,
     "q35_window_analytics" ->
       """SELECT user_id, event_id,
         |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
@@ -1418,13 +1432,15 @@ object SparkEntry {
         |FROM e LEFT JOIN c
         |  ON c.click_ts > e.ts - INTERVAL 1 MINUTE AND c.click_ts <= e.ts
         |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
+    // q41's dims come from the q27 BMP decode; the oracle replays the
+    // fixture geometry.
     "q41_resize" ->
       """WITH m AS (SELECT doc_id,
-        |             octet_length(encode(text)) % 320 + 1 AS width,
-        |             (octet_length(encode(text)) * 7) % 240 + 1 AS height
+        |             length(text) % 16 + 4 AS width,
+        |             (length(text) * 7) % 12 + 4 AS height
         |           FROM documents),
         |s AS (SELECT doc_id, width, height,
-        |        least(1000, least(64 * 1000 // width, 64 * 1000 // height))
+        |        least(1000, least(12 * 1000 // width, 8 * 1000 // height))
         |          AS scale_milli
         |      FROM m)
         |SELECT doc_id, width, height, scale_milli,
@@ -1451,16 +1467,22 @@ object SparkEntry {
         |          || lpad(to_hex((ascii(substr(text, byte_offset // 2 + i + 1, 1)) * 7 + 13) % 256), 2, '0')
         |          for i in range(0, frame_len // 2)], 'string_agg', ''))) AS frame_md5
         |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
-    // Every arithmetic step of q38's projection (integer byte-histogram,
-    // exact < 2^53 double sums, IEEE sqrt/divide, float32 round-to-nearest
-    // cast, floor) is bit-reproducible across IEEE-754 engines, so the
-    // oracle reproduces Spark's longs exactly. ASCII-only corpus (verified
-    // for q37) makes chars == payload bytes.
+    // Every arithmetic step of q38's projection (integer histogram over
+    // the DECODED BMP raster, exact < 2^53 double sums, IEEE sqrt/divide,
+    // float32 round-to-nearest cast, floor) is bit-reproducible across
+    // IEEE-754 engines, so the oracle reproduces Spark's longs exactly —
+    // it replays the fixture's pixel formula; the Spark side reaches the
+    // same bytes only through a correct BMP parse.
     "q38_embed_stub" ->
-      """WITH pos AS (SELECT doc_id, text,
-        |               unnest(range(1, length(text) + 1)) AS i
-        |             FROM documents),
-        |cnts AS (SELECT doc_id, ascii(substr(text, i::INT, 1)) // 16 AS bucket,
+      """WITH m AS (SELECT doc_id, text, length(text) AS L,
+        |             (length(text) % 16 + 4)
+        |               * ((length(text) * 7) % 12 + 4) * 3 AS npx
+        |           FROM documents),
+        |pos AS (SELECT doc_id, text, L, unnest(range(0, npx)) AS k
+        |        FROM m),
+        |cnts AS (SELECT doc_id,
+        |                ((ascii(substr(text, (k % L) + 1, 1)) * 7
+        |                  + k * 13) % 256) // 16 AS bucket,
         |                count(*) AS cnt
         |         FROM pos GROUP BY 1, 2),
         |norms AS (SELECT d.doc_id AS doc_id,

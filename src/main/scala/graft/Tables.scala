@@ -22,10 +22,37 @@ object Tables {
     * names (signature tables, staged source dirs). Sanitization alone can
     * alias two dirs that differ only in punctuation (sf0.1 vs sf0_1), so
     * a hash of the RAW path is appended — distinct dirs can never share
-    * an artifact. */
+    * an artifact — and a CONTENT FINGERPRINT of the dir listing (file
+    * count + total bytes + max mtime) is folded in, so a dir whose files
+    * are rewritten mid-session gets a NEW key and every artifact /
+    * staged render keyed on it rebuilds instead of silently serving
+    * stale rows. Freshness is thereby a hard contract, not a
+    * comment (ArtifactsSpec pins it); the fingerprint is one recursive
+    * listing — metadata only, no data read — so it stays cheap even on
+    * an object store, and a listing failure (dir not yet present)
+    * degrades to the path-only key rather than failing the read that
+    * will surface the real error. */
   def dirKey(sfDir: String): String =
     sfDir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sfDir))
+      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sfDir)) +
+      dirFingerprint(sfDir).fold("")("_" + _)
+
+  /** (file count, total bytes, max mtime) of the dir's recursive listing,
+    * hashed; None if the dir can't be listed. */
+  private def dirFingerprint(sfDir: String): Option[String] =
+    scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(sfDir)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      var count = 0L; var bytes = 0L; var maxMtime = 0L
+      val it = fs.listFiles(p, /* recursive = */ true)
+      while (it.hasNext) {
+        val st = it.next()
+        count += 1; bytes += st.getLen
+        maxMtime = math.max(maxMtime, st.getModificationTime)
+      }
+      Integer.toHexString(scala.util.hashing.MurmurHash3
+        .orderedHash(Seq(count, bytes, maxMtime)))
+    }.toOption
 
   /** Register every table as a temp view so `spark.sql` mirrors the oracle. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

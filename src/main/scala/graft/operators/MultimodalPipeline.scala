@@ -10,8 +10,11 @@ import graft.Tables
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, decoded per-partition in batches — the plan shape a real
   * image/audio pipeline needs (scan → narrow mapPartitions → columnar
-  * metadata), with the actual codec STUBBED deterministically because no
-  * media libraries ship in this environment.
+  * metadata), with a REAL pure-JVM codec at the image seam
+  * ([[graft.functions.Bmp]]: uncompressed 24-bpp BMP — header parse, row
+  * de-padding, bottom-up flip) and deterministic byte plumbing at the
+  * video/audio seams (no media libraries ship in this environment; a
+  * JNI/FFmpeg decoder slots into the same mapPartitions boundary).
   *
   * The Spark-side contract is real and tested:
   *  - payloads travel as `BinaryType` columns (no driver collect);
@@ -22,40 +25,74 @@ import graft.Tables
   *  - extracted metadata comes back as ordinary columns for downstream
   *    relational ops.
   *
-  * The stub "decode" maps bytes → (width, height, channels, checksum) by
-  * pure arithmetic on the payload, so the DuckDB oracle can verify the
-  * whole pipeline end-to-end.
+  * q27 (metadata), q41 (resize math) and q38 (embedding) run on genuine
+  * encoded image bytes: the fixture renders each document as a real BMP
+  * whose pixel CONTENT is a per-position formula of the text, so the
+  * DuckDB oracle replays the content while the Spark side must parse
+  * the actual file format to reach it.
   */
 object MultimodalPipeline {
 
   /** Input record: payload + format tag (as a real media table would be). */
   final case class MediaRecord(doc_id: Long, payload: Array[Byte], fmt: String)
 
-  /** Typed metadata the stub decoder extracts. */
+  /** Typed metadata the image decode extracts. */
   final case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int,
                              height: Int, channels: Int, checksum: String)
 
-  /** Deterministic fake decoder — replace the body with a real codec; the
-    * signature (one record in, typed metadata out, called from a batch
-    * iterator) is the production shape. */
-  def decodeStub(r: MediaRecord): MediaMeta = {
-    val md = MessageDigest.getInstance("MD5")
-    val checksum = md.digest(r.payload).map("%02x".format(_)).mkString
-    val n = r.payload.length
-    // n·7 in LONG: an Int multiply wraps for payloads >= ~307 MB (a
-    // realistic media blob), which would yield height <= 0 and a
-    // divide-by-zero downstream in the resize math. Matches the DuckDB
-    // oracle, whose octet_length arithmetic is 64-bit throughout.
-    MediaMeta(r.doc_id, n, n % 320 + 1, (n.toLong * 7 % 240 + 1).toInt,
-      3, checksum)
+  /** Image dimensions for a doc's BMP render — small (w 4..19, h 4..15,
+    * ≤ 855 pixel bytes) so the oracle's per-pixel replay stays cheap at
+    * sf0.1 while every document still gets a distinct geometry. */
+  def bmpDims(textLen: Int): (Int, Int) =
+    (textLen % 16 + 4, (textLen * 7) % 12 + 4)
+
+  /** Raster-order pixel bytes for a doc's BMP: byte k is
+    * `(7·c + 13·k) mod 256` with `c` the code point of text[k mod len] —
+    * full-range bytes tied to both the text AND the position, so a
+    * decoder that mis-handles the bottom-up row flip or the row padding
+    * produces a different raster sequence and the checksum/hash gate
+    * fires. Same ASCII-source precondition as [[mediaTableWide]]
+    * (DuckDB's ascii() reads code points; this corpus is ASCII). */
+  def bmpPixels(text: String, width: Int, height: Int): Array[Byte] = {
+    val n = width * height * 3
+    val out = new Array[Byte](n)
+    val len = text.length
+    var k = 0
+    while (k < n) {
+      val c = if (len == 0) 0 else text.charAt(k % len).toInt
+      out(k) = ((c * 7 + k * 13) % 256).toByte
+      k += 1
+    }
+    out
   }
 
-  /** Documents rendered as a media table: UTF-8 bytes standing in for an
-    * encoded image/audio blob. */
-  def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
+  /** Documents rendered as REAL uncompressed 24-bpp BMP files — the
+    * image-table fixture q27/q41/q38 decode. Encoding happens
+    * per-partition on executors (BinaryType column, never the driver). */
+  def bmpMediaTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"),
-        lit("bin/fake").as("fmt"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val (w, h) = bmpDims(text.length)
+        (id, graft.functions.Bmp.encode(w, h, bmpPixels(text, w, h)),
+          "image/bmp")
+      })
+      .toDF("doc_id", "payload", "fmt")
+  }
+
+  /** The REAL image decode: parse the BMP container, then fingerprint
+    * the decoded raster (md5 of the pixel bytes' lowercase-hex — q37's
+    * DuckDB-replayable digest discipline). The checksum covers the
+    * DECODED raster in top-down order, so it proves the decoder's row
+    * flip and padding handling, not just byte passthrough. */
+  def decodeImage(r: MediaRecord): MediaMeta = {
+    val img = graft.functions.Bmp.decode(r.payload)
+    val md = MessageDigest.getInstance("MD5")
+    val hex = img.pixels.map("%02x".format(_)).mkString
+    MediaMeta(r.doc_id, r.payload.length, img.width, img.height,
+      3, md.digest(hex.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
 
   /** The WIDE media fixture: payloads whose bytes regularly exceed 0x7F,
     * so the byte-slicing operators (q37 frames, q61 audio windows) are
@@ -94,11 +131,13 @@ object MultimodalPipeline {
 
   /** Q27: scan binary payloads, batch-decode per partition, return typed
     * metadata. The mapPartitions boundary is the only non-codegen stage —
-    * by design, since that's where the native decoder lives. */
+    * by design, since that's where the native decoder lives; here it is
+    * a REAL one ([[graft.functions.Bmp.decode]] over the BMP fixture),
+    * so width/height/checksum come out of an actual container parse. */
   def q27MultimodalMeta(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    mediaTable(spark, sfDir).as[MediaRecord]
-      .mapPartitions(batch => batch.map(decodeStub))
+    bmpMediaTable(spark, sfDir).as[MediaRecord]
+      .mapPartitions(batch => batch.map(decodeImage))
       .toDF()
       .orderBy("doc_id")
   }
@@ -161,11 +200,15 @@ object MultimodalPipeline {
     * oracle reproduces it exactly). A real pipeline would transform the
     * pixel buffer here; the metadata contract downstream is identical. */
   def q41Resize(spark: SparkSession, sfDir: String,
-                maxW: Int = 64, maxH: Int = 64): DataFrame = {
+                maxW: Int = 12, maxH: Int = 8): DataFrame = {
+    // default box 12x8 sits INSIDE the BMP fixture's 4..19 x 4..15
+    // dimension range, so both resize branches (downscale and
+    // keep-as-is) run on real decoded dims — a 64x64 box would make
+    // every fixture image a no-op scale_milli=1000 row
     import spark.implicits._
-    mediaTable(spark, sfDir).as[MediaRecord]
+    bmpMediaTable(spark, sfDir).as[MediaRecord]
       .mapPartitions(_.map { r =>
-        val m = decodeStub(r)
+        val m = decodeImage(r)
         // scale = min(maxW/w, maxH/h) in 1/1000ths, capped at 1000 (never
         // upscale); integer math keeps both engines bit-identical
         val scaleMilli = math.min(1000L,
@@ -221,10 +264,13 @@ object MultimodalPipeline {
       .orderBy("doc_id", "win_idx")
   }
 
-  /** Embedding-extraction stub: payload → deterministic feature vector
-    * (byte histogram over 16 buckets, L2-normalized) as `array<float>` —
-    * the column type the similarity operators (q17/q21/q22) consume. The
-    * production version replaces the histogram with a model forward pass;
+  /** Embedding extraction: DECODED-PIXEL histogram over 16 buckets,
+    * L2-normalized, as `array<float>` — the column type the similarity
+    * operators (q17/q21/q22) consume. The histogram runs over the
+    * raster the REAL BMP decode produced (not the encoded file bytes:
+    * headers and padding are not image content), so the embedding is a
+    * genuine decoded-image feature; the production version replaces the
+    * histogram with a model forward pass at the same seam, and
     * everything downstream (schema, joins, ANN) is unchanged.
     *
     * Emits both the raw vector (for in-JVM consumers and the unit-norm
@@ -238,10 +284,11 @@ object MultimodalPipeline {
     * sortable there). */
   private def embedAll(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    mediaTable(spark, sfDir).as[MediaRecord]
+    bmpMediaTable(spark, sfDir).as[MediaRecord]
       .map { r =>
+        val px = graft.functions.Bmp.decode(r.payload).pixels
         val hist = new Array[Float](16)
-        r.payload.foreach(b => hist((b & 0xff) / 16) += 1f)
+        px.foreach(b => hist((b & 0xff) / 16) += 1f)
         val norm = math.sqrt(hist.map(x => x.toDouble * x).sum).max(1e-9)
         val emb = hist.map(x => (x / norm).toFloat)
         (r.doc_id, emb, emb.length,

@@ -139,7 +139,12 @@ object RelationalQueries {
         when(col("gs") === 1, lit("ALL"))
           .otherwise(col("o_orderstatus")).as("status"),
         col("revenue"), col("cnt"))
-      .orderBy("priority", "status")
+      // explicit NULLS FIRST (oracle pins NULLS FIRST too): with the
+      // grouping()-based labels a genuine NULL data value stays NULL in
+      // the output, and Spark (NULLS FIRST asc) vs DuckDB (NULLS LAST
+      // asc) would otherwise order such rows differently. Latent on
+      // TPC-H's non-null orders columns, pinned anyway.
+      .orderBy(asc_nulls_first("priority"), asc_nulls_first("status"))
 
   /** Q14: batch tumbling window — hourly event buckets. The hour is emitted
     * as a string so Spark/DuckDB timestamp renderings can't diverge. */
@@ -180,7 +185,12 @@ object RelationalQueries {
         when(col("gs") === 1, lit("ALL"))
           .otherwise(col("o_orderstatus")).as("status"),
         col("revenue"), col("cnt"))
-      .orderBy("priority", "status")
+      // explicit NULLS FIRST (oracle pins NULLS FIRST too): with the
+      // grouping()-based labels a genuine NULL data value stays NULL in
+      // the output, and Spark (NULLS FIRST asc) vs DuckDB (NULLS LAST
+      // asc) would otherwise order such rows differently. Latent on
+      // TPC-H's non-null orders columns, pinned anyway.
+      .orderBy(asc_nulls_first("priority"), asc_nulls_first("status"))
 
   /** Q34: HyperLogLog++ distinct-count sketch per nation (the sketch the
     * reference could never afford to build exactly at 100 TB: constant

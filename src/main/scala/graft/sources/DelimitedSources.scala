@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-import graft.Tables
+import graft.{GraftSession, Tables}
 
 /** CSV / JSON source support (S7 breadth — the reference reads only
   * newline-delimited text, reference job.c:103-156; a Spark user's first
@@ -68,14 +68,23 @@ object DelimitedSources {
     staged.synchronized { cache.get(key) } match {
       case Some(p) => p
       case None =>
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-sources-").toString + "/" + key
+        // staged renders are JVM-lifetime temp state, so they get the
+        // same shutdown discipline as the warehouse dir — an
+        // unregistered temp dir would accumulate under /tmp (often
+        // tmpfs) across repeated JVM runs
+        val tmpDir = java.nio.file.Files.createTempDirectory("graft-sources-")
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          GraftSession.deleteRecursively(tmpDir.toFile)))
+        val out = tmpDir.toString + "/" + key
         val w = Tables.load(spark, sfDir, table).coalesce(1)
           .write.mode("overwrite")
         fmt match {
           case "csv"  => w.option("header", "true").csv(out)
           case "json" => w.json(out)
         }
+        // a lost race keeps the winner's path; the loser's render is
+        // swept by its own shutdown hook registered above, so neither
+        // dir leaks and the winner's files are never deleted early
         staged.synchronized { cache.getOrElseUpdate(key, out) }
     }
   }

@@ -44,10 +44,23 @@ object EventStreams {
     * would silently re-declare the schema against committed state.
     * RecoverySpec.rawNanosEvents enforces it test-side by normalizing
     * to nanos-long before any file lands. */
+  /** Probe results cached per (SparkContext, dir, glob): the encoding is
+    * a property of the landing dir (invariant above: ONE encoding per dir
+    * for the dir's lifetime), so re-probing on every plan build — the
+    * bench invokes each streaming query several times over the same
+    * sfDir — pays a batch footer read per invocation for an answer that
+    * cannot change. Keyed by SparkContext, not SparkSession, because
+    * [[stateSession]] clones a fresh session per query; clones share the
+    * context and the same filesystem view. A dir first probed empty
+    * caches the fallback encoding — exactly the invariant's contract for
+    * a landing dir that starts the runner before files arrive. */
+  private val tsProbeCache =
+    new scala.collection.concurrent.TrieMap[(org.apache.spark.SparkContext, String, Option[String]), DataType]
+
   private def streamEvents(s: SparkSession, dir: String,
                            glob: Option[String] = None,
                            maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val probe = try {
+    val probe = tsProbeCache.getOrElseUpdate((s.sparkContext, dir, glob), try {
       glob.foldLeft(s.read)((r, g) => r.option("pathGlobFilter", g))
         .parquet(dir).schema("ts").dataType
     } catch {
@@ -67,15 +80,25 @@ object EventStreams {
         val hasMatchingFiles = scala.util.Try {
           val p = new org.apache.hadoop.fs.Path(dir)
           val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-          fs.exists(p) && fs.listStatus(p).exists { st =>
-            val name = st.getPath.getName
-            st.isFile && !name.startsWith("_") &&
-              matcher.forall(_.matches(java.nio.file.Paths.get(name)))
+          // RECURSIVE listing: a partitioned landing layout keeps its
+          // parquet one level down (date=.../part-*.parquet), and a
+          // top-level-only listing would class such a dir "empty" and
+          // silently take the nanos fallback for whatever unrelated
+          // AnalysisException got us here.
+          fs.exists(p) && {
+            val it = fs.listFiles(p, /* recursive = */ true)
+            var found = false
+            while (!found && it.hasNext) {
+              val name = it.next().getPath.getName
+              found = !name.startsWith("_") && !name.startsWith(".") &&
+                matcher.forall(_.matches(java.nio.file.Paths.get(name)))
+            }
+            found
           }
         }.getOrElse(true) // can't list: can't prove empty — stay loud
         if (hasMatchingFiles) throw e
         else LongType // nothing landed yet: this corpus's native encoding
-    }
+    })
     val tsIsNanos = probe == LongType
     val schema = StructType(Seq(
       StructField("event_id", LongType),
@@ -225,7 +248,13 @@ object EventStreams {
     // previous files carry older synthetic stamps, so max-mtime is the
     // file the write that just returned produced
     files.sortBy(f => (f.lastModified, f.getName)).lastOption
-      .foreach(f => { f.setLastModified(1700000000000L + seq * 60000L); () })
+      .foreach { f =>
+        // a silently non-functioning stamp degrades batch order back to
+        // unspecified listing order — this is a test/demo seam, so a
+        // failed stamp should fail loudly, not quietly
+        require(f.setLastModified(1700000000000L + seq * 60000L),
+          s"setLastModified failed for $f — landing order would be unspecified")
+      }
   }
 
   private val sinkId = new AtomicInteger(0)
@@ -393,6 +422,38 @@ object EventStreams {
     }
   }
 
+  /** State metrics of drained streaming runs since the last [[
+    * takeStateMetrics]]: (numRowsTotal, numRowsRemoved) summed over the
+    * final progress entry carrying state operators, accumulated per
+    * drain (a query invoking several streams reports their sum). The
+    * bench reads this per query so BENCH_r{N} carries a state-GROWTH
+    * signal for the stateful family, not just shuffle MB — state rows
+    * are the quantity that scales with keys/windows at 100 TB, and a
+    * round-over-round jump here is a state leak (a lost watermark, an
+    * unbounded key set) that wall-time alone can't distinguish from box
+    * noise. */
+  private val stateRowsAcc = new java.util.concurrent.atomic.AtomicReference(
+    Option.empty[(Long, Long)])
+
+  /** Read-and-clear the accumulated (numRowsTotal, numRowsRemoved);
+    * None if no stateful drain happened since the last take. */
+  def takeStateMetrics(): Option[(Long, Long)] =
+    stateRowsAcc.getAndSet(None)
+
+  private def recordStateMetrics(
+      progress: Array[org.apache.spark.sql.streaming.StreamingQueryProgress]): Unit =
+    progress.reverseIterator
+      .find(p => p.stateOperators != null && p.stateOperators.nonEmpty)
+      .foreach { p =>
+        val total = p.stateOperators.map(_.numRowsTotal).sum
+        val removed = p.stateOperators.map(_.numRowsRemoved).sum
+        stateRowsAcc.updateAndGet {
+          case Some((t, r)) => Some((t + total, r + removed))
+          case None         => Some((total, removed))
+        }
+        ()
+      }
+
   /** [[runToTable]], also surfacing the completed query's progress
     * history (state metrics per micro-batch). */
   private def runToTableWithProgress(df: DataFrame, mode: OutputMode)
@@ -402,6 +463,7 @@ object EventStreams {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    recordStateMetrics(q.recentProgress)
     (spark.table(name), q.recentProgress)
   }
 

@@ -61,4 +61,35 @@ class ArtifactsSpec extends SparkSpec {
     assert(a.count() === b.count())
     assert(listing() === first, "second materialize call rewrote files")
   }
+
+  test("a rewritten input dir rebuilds: consumers never serve stale rows") {
+    // freshness is a hard contract, not a comment: Tables.dirKey folds a
+    // listing fingerprint (count + bytes + max mtime) into every
+    // artifact name, so rewriting the files under an input dir
+    // mid-session re-keys — and therefore rebuilds — every artifact
+    // derived from it. Without the fingerprint this test reads the FIRST
+    // corpus's shingles after the rewrite.
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fresh-").toString
+    try {
+      def write(texts: Seq[String]): Unit =
+        texts.zipWithIndex
+          .map { case (t, i) =>
+            (i.toLong, t, "en", "unit", t.length.toLong) }
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/documents.parquet")
+      write(Seq("alpha beta gamma delta epsilon zeta",
+        "one two three four five six seven"))
+      val before = DedupQueries.shingles(spark, dir).count()
+      // rewrite IN PLACE: same dir path, different corpus
+      write(Seq("alpha beta gamma delta epsilon zeta eta theta iota",
+        "one two three four five six seven eight nine ten",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit"))
+      val after = DedupQueries.shingles(spark, dir).count()
+      assert(after > before,
+        s"rewritten dir served stale shingles (before=$before after=$after)")
+    } finally GraftSession.deleteRecursively(new java.io.File(dir))
+  }
 }

@@ -69,6 +69,31 @@ class OperatorSpec extends SparkSpec {
       }
   }
 
+  test("q27 decodes real BMPs: metadata matches the fixture formulas") {
+    // the oracle replays the generation formulas; this pins the SPARK
+    // side to the same formulas THROUGH the container parse — if the
+    // encoder and decoder shared a compensating layout bug the golden
+    // BmpSpec file catches it, and if the decode drifted from the
+    // formulas this does
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = MultimodalPipeline.q27MultimodalMeta(spark, sfDir).collect()
+    assert(rows.length === texts.size)
+    rows.foreach { r =>
+      val (id, text) = (r.getLong(0), texts(r.getLong(0)))
+      val (w, h) = MultimodalPipeline.bmpDims(text.length)
+      assert(r.getInt(2) === w && r.getInt(3) === h, s"doc $id dims")
+      assert(r.getInt(1) === graft.functions.Bmp.encodedSize(w, h),
+        s"doc $id container size")
+      val hex = MultimodalPipeline.bmpPixels(text, w, h)
+        .map("%02x".format(_)).mkString
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(hex.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getString(5) === md5, s"doc $id raster checksum")
+    }
+  }
+
   test("q38 embeddings are unit-norm, deterministic, similarity-ready") {
     def vecs = MultimodalPipeline.embedVectors(spark, sfDir).orderBy("doc_id")
     val a = vecs.collect()
@@ -946,7 +971,8 @@ class OperatorSpec extends SparkSpec {
       // strictly between them (the gap rule leaves >= 1 token)
       runs.sliding(2).foreach {
         case Seq((s1, l1), (s2, _)) =>
-          assert(s2 > s1 + l1 - 1, s"doc $id: overlapping/touching extents")
+          // strict gap: the rule guarantees s2 >= s1 + l1 + 1
+          assert(s2 > s1 + l1, s"doc $id: overlapping/touching extents")
         case _ => ()
       }
     }

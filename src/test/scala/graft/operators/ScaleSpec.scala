@@ -397,6 +397,22 @@ class ScaleSpec extends SparkSpec {
       s"$pairs in-cell pairs is not a real cut of ${n * (n - 1) / 2}")
   }
 
+  test("q87 k knob: raising the cell count cuts the candidate space as n²/2k") {
+    // the production entry (semdedupAt) exists so k can track √n at
+    // scale; pin that turning the knob actually moves the budget — in-
+    // cell pairs at k=64 must undercut k=16's and sit near n²/128
+    // (≤ 3× of it: the 3×-fair-share skew bound above, squared budget).
+    val n = Tables.embeddings(spark, sfDir).count()
+    val possible = n * (n - 1) / 2
+    val at16 = SimilarityQueries.semdedupCandidatesAt(spark, sfDir, 16).count()
+    val at64 = SimilarityQueries.semdedupCandidatesAt(spark, sfDir, 64).count()
+    assert(at16 === SimilarityQueries.semdedupCandidates(spark, sfDir).count(),
+      "default-k twin drifted from the shipped candidate space")
+    assert(at64 < at16, s"k=64 candidates $at64 do not undercut k=16's $at16")
+    assert(at64.toDouble <= possible.toDouble * 3.0 / 64,
+      s"$at64 pairs at k=64 vs budget n²/2k = ${possible / 64} (3x slack)")
+  }
+
   test("q68 chunking is pure map-side: no hash exchange in the plan") {
     // chunk derivation is per-row (sequence→explode→substr→md5): the only
     // exchange allowed is the presentation orderBy's range partitioning.

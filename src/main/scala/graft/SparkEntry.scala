@@ -133,6 +133,11 @@ object SparkEntry {
     "q88_dup_spans"     -> (DedupQueries.q88DupSpans _),
     "q89_dup_span_trim" -> (DedupQueries.q89DupSpanTrim _),
     "q92_span_trimmed"  -> (DedupQueries.q92SpanTrimmed _),
+    "q94_ngram_novelty" -> (DedupQueries.q94NgramNovelty _),
+    // q93 compares snapshot A's token mix to snapshot B's (q79's
+    // derivation) — the drift report a corpus refresh gates on;
+    // integer-exact ppm deltas so the hash gate sees no floats.
+    "q93_token_drift"   -> (CurationPipeline.q93TokenDrift _),
     "q79_snapshot_diff" -> (CurationPipeline.q79SnapshotDiff _),
     // q80 reads the INCREMENTALLY refreshed shingle artifact (base table
     // minus removed/modified rows, plus freshly shingled delta docs); the
@@ -1387,6 +1392,54 @@ object SparkEntry {
          |FROM tpos tp LEFT JOIN cov
          |  ON cov.doc_id = tp.doc_id AND cov.pos = tp.pos
          |GROUP BY tp.doc_id ORDER BY tp.doc_id""".stripMargin,
+    // q94: n-gram novelty — q88's positional gram keys, but the
+    // corpus-wide statistic is the DISTINCT-document frequency: a
+    // position is novel iff its gram occurs in exactly one document.
+    "q94_ngram_novelty" ->
+      s"""$spanKeyCtes,
+         |dg AS (SELECT DISTINCT doc_id, g FROM spang),
+         |gd AS (SELECT g, count(*) AS n_docs FROM dg GROUP BY g)
+         |SELECT doc_id, count(*)::BIGINT AS total_spans,
+         |       sum(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END)::BIGINT
+         |         AS novel_spans,
+         |       round(sum(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END) * 1.0
+         |             / count(*), 4) AS novelty_ratio
+         |FROM spang JOIN gd USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q93: token-mix drift between snapshot A and q79's snapshot B —
+    // full-outer join of the two vocab-count aggregates; ppm rates in
+    // BIGINT arithmetic (// truncation, positive operands) so the
+    // delta is integer-exact in both engines. Snapshot B's text
+    // derivation is q79's verbatim (edit /10=3, drop /10=7, re-add
+    // /10=1 under negative ids — the re-added copy's tokens count
+    // twice in B, same as the Spark side's unionByName).
+    "q93_token_drift" ->
+      """WITH btxt AS (
+        |  SELECT CASE WHEN doc_id % 10 = 3 THEN text || ' updated v2'
+        |              ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 7
+        |  UNION ALL
+        |  SELECT text FROM documents WHERE doc_id % 10 = 1),
+        |ta AS (SELECT substr(w, 1, 255) AS w FROM (
+        |         SELECT unnest(regexp_split_to_array(lower(text),
+        |                       '[^a-z0-9]+')) AS w FROM documents) r
+        |       WHERE length(w) > 0),
+        |tb AS (SELECT substr(w, 1, 255) AS w FROM (
+        |         SELECT unnest(regexp_split_to_array(lower(text),
+        |                       '[^a-z0-9]+')) AS w FROM btxt) r
+        |       WHERE length(w) > 0),
+        |ca AS (SELECT w, count(*) AS cnt_a FROM ta GROUP BY w),
+        |cb AS (SELECT w, count(*) AS cnt_b FROM tb GROUP BY w),
+        |j AS (SELECT coalesce(ca.w, cb.w) AS w,
+        |             coalesce(cnt_a, 0) AS cnt_a,
+        |             coalesce(cnt_b, 0) AS cnt_b
+        |      FROM ca FULL OUTER JOIN cb ON ca.w = cb.w),
+        |t AS (SELECT sum(cnt_a) AS tot_a, sum(cnt_b) AS tot_b FROM j)
+        |SELECT w, cnt_a::BIGINT AS cnt_a, cnt_b::BIGINT AS cnt_b,
+        |       ((cnt_a * 1000000 // tot_a)
+        |        - (cnt_b * 1000000 // tot_b))::BIGINT AS delta_ppm
+        |FROM j, t
+        |ORDER BY abs(delta_ppm) DESC, w""".stripMargin,
     "q58_csv_source" ->
       """SELECT n_regionkey, count(*) AS nations, min(n_name) AS first_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,

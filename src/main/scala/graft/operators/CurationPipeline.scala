@@ -533,4 +533,54 @@ object CurationPipeline {
         coalesce(col("contaminated"), lit(0L)).as("contaminated"))
       .orderBy("source")
   }
+
+  /** Q93: TOKEN-DISTRIBUTION DRIFT between snapshots A and B — the
+    * monitoring step of the recrawl story (q79 says WHICH documents
+    * changed; this says what the change did to the TOKEN MIX the model
+    * will train on, the distribution-shift gate every production corpus
+    * refresh runs before promoting a snapshot). Per token: counts under
+    * both snapshots and the per-million-rate delta, integer-exact
+    * (counts and ppm both computed in BIGINT arithmetic — `DIV`
+    * truncation, positive operands — so both engines reproduce every
+    * row bit-for-bit; no float crosses the hash gate). Ordered by
+    * drift magnitude, so the head of the result IS the drift report.
+    *
+    * Scale shape: NEITHER snapshot is re-tokenized. Snapshot A's token
+    * rows are the [[DedupQueries.spanFeatures]] artifact's `w` column
+    * (every position, read in place); snapshot B's derive
+    * incrementally, [[computeRefreshedShingles]]' exact discipline —
+    * drop the staged delta's removed/modified doc_ids (anti join,
+    * delta-sized id list), tokenize ONLY the added/modified documents.
+    * Both count aggregates then map-side-combine down to one row per
+    * DISTINCT word (vocab-, never corpus-sized exchanges), the drift
+    * join is vocab-sized, and the two corpus totals attach as a
+    * broadcast single-row aggregate — no driver collect anywhere. The
+    * total-variation summary is left to the consumer
+    * (`sum(abs(delta_ppm))/2e6`) — this relation is its exact integer
+    * input. */
+  def q93TokenDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val aTok = DedupQueries.spanFeatures(spark, sfDir).select("doc_id", "w")
+    val delta = snapshotDeltaStaged(spark, sfDir).select("doc_id", "change")
+    val stale = delta.where(col("change").isin("removed", "modified"))
+      .select("doc_id")
+    val freshIds = delta.where(col("change").isin("added", "modified"))
+      .select("doc_id")
+    val freshTok = snapshotB(Tables.documents(spark, sfDir))
+      .join(freshIds, Seq("doc_id"))
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+    val bTok = aTok.join(stale, Seq("doc_id"), "left_anti")
+      .unionByName(freshTok)
+    val joined = aTok.groupBy("w").agg(count(lit(1)).as("cnt_a"))
+      .join(bTok.groupBy("w").agg(count(lit(1)).as("cnt_b")),
+        Seq("w"), "full_outer")
+      .select(col("w"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val totals = joined.agg(sum("cnt_a").as("tot_a"), sum("cnt_b").as("tot_b"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("delta_ppm",
+        expr("(cnt_a * 1000000 DIV tot_a) - (cnt_b * 1000000 DIV tot_b)"))
+      .select(col("w"), col("cnt_a"), col("cnt_b"), col("delta_ppm"))
+      .orderBy(abs(col("delta_ppm")).desc, col("w"))
+  }
 }

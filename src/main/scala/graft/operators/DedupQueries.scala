@@ -946,9 +946,17 @@ object DedupQueries {
     * one md5. Spec-pinned: q88's only exchanges are the narrow
     * aggregates, and no consumer re-tokenizes.) */
   private[graft] def computeSpanFeatures(spark: SparkSession,
-                                         sfDir: String): DataFrame = {
+                                         sfDir: String): DataFrame =
+    spanFeaturesOf(Tables.documents(spark, sfDir).select("doc_id", "text"))
+
+  /** [[computeSpanFeatures]] over an explicit `(doc_id, text)` relation —
+    * the same map-side gram-key plan for inputs that are not the
+    * documents table (the data-growth sweep in
+    * [[graft.tools.DedupScaling]]; any embedded relation), mirroring the
+    * [[dupGroups]] / [[dupGroupsFromFeatures]] split. */
+  private[graft] def spanFeaturesOf(docs: DataFrame): DataFrame = {
     val t = col("t")
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"), Text.tokens(col("text")).as("t"))
       .where(size(t) >= 1) // sequence(0, -1) would DESCEND, not be empty
       .select(col("doc_id"), posexplode(transform(
@@ -1073,6 +1081,36 @@ object DedupQueries {
           array_sort(collect_list(when(col("cov").isNull,
             struct(col("pos"), col("w"))))),
           x => x("w")), " ")).as("trimmed_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Q94: N-GRAM NOVELTY — the data-SELECTION twin of q88's dup rule:
+    * the fraction of a document's full-width [[SpanTokens]]-gram
+    * positions whose gram occurs in NO OTHER document. Novelty ranks
+    * which documents add genuinely new text to the corpus (the
+    * "self-contained information" signal selection methods like
+    * DSIR-style importance weighting start from), and it is NOT
+    * 1 − q88's dup_ratio: a doc that repeats its own boilerplate
+    * scores dup (total ≥ 2) under q88 but stays fully novel here
+    * (cross-doc count = 1), so the two statistics separate
+    * within-doc repetition from corpus-level redundancy.
+    *
+    * Scale shape: reads the [[spanFeatures]] artifact (no tokenize in
+    * the plan); the per-(doc, key) DISTINCT collapses map-side on the
+    * doc_id-bucketed layout before the key-keyed exchange; the
+    * cross-doc document-frequency aggregate and the join-back carry
+    * 8-byte [[gramKey]]s — exactly q88's topology, with df in place
+    * of total occurrences. */
+  def q94NgramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val pos = spanKeys(spark, sfDir)
+    val gramDocs = pos.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("n_docs"))
+    pos.join(gramDocs, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("total_spans"),
+        sum(when(col("n_docs") === 1, 1L).otherwise(0L)).as("novel_spans"))
+      .select(col("doc_id"), col("total_spans"), col("novel_spans"),
+        round(col("novel_spans") / col("total_spans"), 4).as("novelty_ratio"))
       .orderBy("doc_id")
   }
 }

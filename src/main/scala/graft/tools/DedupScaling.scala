@@ -1,0 +1,127 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, Tables}
+import graft.functions.Text
+import graft.operators.DedupQueries
+
+/** Data-GROWTH sweep for the dedup/span family — the missing half of
+  * [[ScalingBench]]'s thread sweep: hold threads at 32 and grow the
+  * corpus instead, so the narrow-key exact-dedup claim (q15: the
+  * corpus-wide exchange carries 8-byte hashes, so shuffle grows with
+  * ROWS, never with text bytes) and the span-feature claim (q88: the
+  * exchanges carry (doc_id, g, occ) triples off map-side-generated
+  * 60-bit keys) each get a measured wall/shuffle curve against data
+  * size, not just a single sf0.1 snapshot.
+  *
+  * Growth model: k-fold self-union with REMAPPED doc_ids (each copy's
+  * ids offset by 10^7·copy), i.e. a k× re-crawl — every original doc
+  * becomes a k-member exact-dup group and every recurring 8-gram's
+  * corpus count multiplies by k. That is the adversarial direction for
+  * both workloads (dup-group metadata grows with k; every position
+  * becomes a duplicated span at k ≥ 2), so the measured growth is an
+  * upper bound on the organic-corpus case where most new content is
+  * fresh.
+  *
+  * Both workloads run the SHIPPED plans' shapes over the amplified
+  * relation (same helpers: [[DedupQueries.normHash]] for the q15
+  * corpus pass, [[DedupQueries.spanFeaturesOf]] for the q88 gram
+  * keys) — not the artifact-backed query entries, whose artifacts are
+  * keyed to the on-disk dir and would hide the compute being measured.
+  *
+  *   runMain graft.tools.DedupScaling [sfDir] [out.md]
+  */
+object DedupScaling {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) Some(args(1)) else None
+    val spark = GraftSession.create("graft-dedupscaling", Some("local[32]"))
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null)
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
+
+    /** k disjoint-id copies of the documents table (re-crawl model). */
+    def amplified(k: Int): DataFrame = {
+      val d = Tables.documents(spark, sfDir).select("doc_id", "text")
+      (0 until k).map { c =>
+        d.select((col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionByName _)
+    }
+
+    /** q15's corpus-wide pass: hash-group (count, min) over
+      * xxhash64(norm) — the exchange the narrow-key design narrows. */
+    def exactDedup(docs: DataFrame): Long =
+      docs
+        .select(DedupQueries.normHash(Text.normalized(col("text"))).as("h"),
+          col("doc_id"))
+        .groupBy("h")
+        .agg(count(lit(1)).as("cnt"), min("doc_id").as("min_id"))
+        .count()
+
+    /** q88's plan over map-side span keys: per-(doc, gram-key) counts →
+      * per-key totals → join back → per-doc duplicated fraction. */
+    def dupSpans(docs: DataFrame): Long = {
+      val pos = DedupQueries.spanFeaturesOf(docs)
+        .where(col("g").isNotNull).select("doc_id", "pos", "g")
+      val perDocGram = pos.groupBy("doc_id", "g")
+        .agg(count(lit(1)).as("occ"))
+      val gramTotals = perDocGram.groupBy("g")
+        .agg(sum(col("occ")).as("total"))
+      perDocGram.join(gramTotals, Seq("g"))
+        .groupBy("doc_id")
+        .agg(sum(col("occ")).as("total_spans"),
+          sum(when(col("total") >= 2, col("occ")).otherwise(0L))
+            .as("dup_spans"))
+        .count()
+    }
+
+    // warm codegen/scan paths once at k=1 so k-row deltas are not
+    // measuring Janino compiles
+    exactDedup(amplified(1)); dupSpans(amplified(1))
+
+    def measure(f: () => Long): (Double, Double) = {
+      val runs = (1 to 3).map { _ =>
+        org.apache.spark.graftbridge.SparkBridge
+          .drainListenerBus(spark.sparkContext)
+        val b0 = shuffleBytes.get()
+        val t0 = System.nanoTime()
+        f()
+        val dt = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.graftbridge.SparkBridge
+          .drainListenerBus(spark.sparkContext)
+        (dt, (shuffleBytes.get() - b0) / 1e6)
+      }
+      runs.minBy(_._1)
+    }
+
+    val table = new StringBuilder
+    table ++= s"| k | docs | positions | q15 s | q15 MB | q88 s | q88 MB |\n"
+    table ++= "|---|---|---|---|---|---|---|\n"
+    Seq(1, 4, 16, 32).foreach { k =>
+      val docs = amplified(k)
+      val nDocs = docs.count()
+      val nPos = DedupQueries.spanFeaturesOf(docs).count()
+      val (dedupS, dedupMb) = measure(() => exactDedup(docs))
+      val (spanS, spanMb) = measure(() => dupSpans(docs))
+      val row = f"| $k | $nDocs | $nPos | $dedupS%.2f | $dedupMb%.2f " +
+        f"| $spanS%.2f | $spanMb%.2f |"
+      println(s"[dedupscaling] $row")
+      table ++= row + "\n"
+    }
+    println(table.result())
+    out.foreach(p => java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(p), table.result()))
+    spark.stop()
+  }
+}

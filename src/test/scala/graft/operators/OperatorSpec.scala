@@ -1006,6 +1006,83 @@ class OperatorSpec extends SparkSpec {
       "no doc is partially trimmed — extents look degenerate")
   }
 
+  test("q94 novelty matches a cross-doc distinct-gram recomputation") {
+    import graft.functions.Text
+    // independent JVM oracle: per-position grams as in q88's oracle,
+    // but the corpus statistic is the DISTINCT-doc frequency
+    val n = DedupQueries.SpanTokens
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+    val spans = docs.flatMap { case (id, t) =>
+      if (t.length < n) Array.empty[(Long, String)]
+      else (0 to t.length - n).map(i =>
+        (id, t.slice(i, i + n).mkString(" "))).toArray
+    }
+    val docFreq = spans.distinct.groupBy(_._2).view.mapValues(_.length).toMap
+    val expected = spans.groupBy(_._1).view.mapValues { ss =>
+      (ss.length.toLong, ss.count(s => docFreq(s._2) == 1).toLong)
+    }.toMap
+    val got = DedupQueries.q94NgramNovelty(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    // relationship to q88's dup rule: a cross-doc-shared gram (df >= 2)
+    // is always dup (total >= 2), so non-novel ⊆ dup, i.e. novel >=
+    // tot − dup for EVERY doc — strict only when a within-doc repeat is
+    // cross-doc unique (possible in general, absent from this tiny
+    // corpus). Pin the invariant plus non-trivial signal both ways.
+    val dup = DedupQueries.q88DupSpans(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (id, (tot, novel)) =>
+      assert(novel >= tot - dup(id),
+        s"doc $id: novel $novel < tot $tot - dup ${dup(id)}")
+    }
+    assert(got.values.exists(v => v._2 > 0), "no novel span anywhere")
+    assert(got.values.exists(v => v._2 < v._1), "every span novel")
+  }
+
+  test("q93 drift matches a JVM recount of both snapshots") {
+    import graft.functions.Text
+    val raw = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+    // snapshot B per q79's rules; the %10==3 edit appends two tokens
+    val bTokens = raw.filter(_._1 % 10 != 7).flatMap { case (id, t) =>
+      if (id % 10 == 3) t ++ Array("updated", "v2") else t
+    } ++ raw.filter(_._1 % 10 == 1).flatMap(_._2)
+    val aTokens = raw.flatMap(_._2)
+    def cnt(ts: Array[String]) =
+      ts.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val (ca, cb) = (cnt(aTokens), cnt(bTokens))
+    val (totA, totB) = (aTokens.length.toLong, bTokens.length.toLong)
+    val expected = (ca.keySet ++ cb.keySet).map { w =>
+      val (a, b) = (ca.getOrElse(w, 0L), cb.getOrElse(w, 0L))
+      w -> ((a, b, a * 1000000L / totA - b * 1000000L / totB))
+    }.toMap
+    val got = CurationPipeline.q93TokenDrift(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    assert(got.values.exists(_._3 != 0), "no drift measured — degenerate")
+  }
+
+  test("q93/q94 read artifacts: no corpus tokenize outside the delta") {
+    // q94 must be entirely artifact-backed (the q88 discipline); q93's
+    // only tokenize subtree is the delta-sized fresh-doc branch, so its
+    // plan joins the staged delta rather than re-tokenizing snapshot B
+    val q94 = DedupQueries.q94NgramNovelty(spark, sfDir)
+    q94.collect()
+    val p94 = q94.queryExecution.executedPlan.toString
+    assert(p94.contains("graft_spanfeat"), "q94 not on the artifact")
+    assert(!p94.contains("lower("), s"q94 re-tokenizes:\n$p94")
+    val q93 = CurationPipeline.q93TokenDrift(spark, sfDir)
+    q93.collect()
+    val p93 = q93.queryExecution.executedPlan.toString
+    assert(p93.contains("graft_spanfeat"),
+      "q93 snapshot-A counts not off the artifact")
+    assert(p93.contains("graft_delta"), "q93 not on the staged delta")
+  }
+
   test("q88 pre-aggregates per doc before the gram-keyed exchange") {
     // the (doc_id, gram) aggregate must collapse within-doc repeats
     // map-side BEFORE grams travel: partial aggregation on both the

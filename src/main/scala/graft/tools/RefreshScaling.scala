@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, Tables}
+import graft.functions.Text
+
+/** Incremental-refresh crossover sweep: refresh vs full rebuild of the
+  * shingle table as a function of DELTA FRACTION — the measured form of
+  * the q80 scale argument ("the expensive stage scales with the delta,
+  * not the corpus"). The shipped snapshot pair fixes the delta at ~27%
+  * of documents; this sweeps it.
+  *
+  * Setup mirrors the production shapes exactly: snapshot A's shingle
+  * table is STAGED to parquet once (the base artifact consumers read in
+  * place — its build cost is NOT part of either side, matching
+  * [[graft.operators.CurationPipeline.computeRefreshedShingles]]'s
+  * accounting), then for each fraction f:
+  *
+  *  - snapshot B_f modifies every doc with `doc_id % K == 0`
+  *    (K ≈ 1/f) by appending two tokens — modification only, so the
+  *    delta fraction is exact and both paths produce identical row
+  *    counts;
+  *  - REFRESH = the shipped discipline INCLUDING the diff: md5
+  *    hash-diff of A vs B_f (two narrow map-side scans + a doc_id
+  *    join), anti-join the stale ids off the staged base, re-shingle
+  *    ONLY the delta docs, union;
+  *  - REBUILD = shingle B_f from scratch.
+  *
+  * Both sides are timed to `.count()`, min of 3 after a warmup pass.
+  *
+  *   runMain graft.tools.RefreshScaling [sfDir] [out.md]
+  */
+object RefreshScaling {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) Some(args(1)) else None
+    val spark = GraftSession.create("graft-refreshscaling", Some("local[32]"))
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+
+    // stage snapshot A's shingle table once, like the bucketed base
+    // artifact every refresh consumer reads in place
+    val baseDir = java.nio.file.Files
+      .createTempDirectory("graft-refresh-base").toString
+    Text.shingleRows(docs, "doc_id", "text", 3)
+      .write.mode("overwrite").parquet(baseDir)
+    val base = spark.read.parquet(baseDir)
+
+    def snapshotB(k: Int): DataFrame =
+      docs.withColumn("text",
+        when(col("doc_id") % k === 0, concat(col("text"), lit(" updated v2")))
+          .otherwise(col("text")))
+
+    def refresh(k: Int): Long = {
+      val b = snapshotB(k)
+      // the shipped diff: hashes map-side, join carries 32-byte digests
+      val delta = docs.select(col("doc_id"), md5(col("text")).as("old_md5"))
+        .join(b.select(col("doc_id"), md5(col("text")).as("new_md5")),
+          Seq("doc_id"))
+        .where(col("old_md5") =!= col("new_md5"))
+        .select("doc_id")
+      base.join(delta, Seq("doc_id"), "left_anti")
+        .unionByName(Text.shingleRows(
+          b.join(delta, Seq("doc_id")), "doc_id", "text", 3))
+        .count()
+    }
+    def rebuild(k: Int): Long =
+      Text.shingleRows(snapshotB(k), "doc_id", "text", 3).count()
+
+    refresh(4); rebuild(4) // warm codegen
+    def time(f: () => Long): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+      }.min
+
+    val table = new StringBuilder
+    table ++= "| delta | refresh s | rebuild s |\n|---|---|---|\n"
+    // k = 1/f: 100 -> 1%, 20 -> 5%, 10 -> 10%, 4 -> 25%, 2 -> 50%
+    Seq(100, 20, 10, 4, 2).foreach { k =>
+      val r = time(() => refresh(k))
+      val f = time(() => rebuild(k))
+      val row = f"| ${100.0 / k}%.0f%% | $r%.2f | $f%.2f |"
+      println(s"[refreshscaling] $row")
+      table ++= row + "\n"
+    }
+    println(table.result())
+    out.foreach(p => java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(p), table.result()))
+    GraftSession.deleteRecursively(new java.io.File(baseDir))
+    spark.stop()
+  }
+}

@@ -85,8 +85,77 @@ object RefreshScaling {
       table ++= row + "\n"
     }
     println(table.result())
+
+    // --- PQ chain: refresh vs rebuild as a function of VECTOR COUNT ---
+    // At sf0.1's 2,000 vectors the coding work is ~0.3 s and the
+    // refresh's extra join stages read as pure overhead (bench r8:
+    // pq_refresh 0.51 vs pq_rebuild 0.30). This sweep amplifies the
+    // vector corpus (remapped ids, frozen snapshot-A model — exactly
+    // the production freeze-between-retrains regime) at a fixed 10%
+    // delta and measures where coding-only-the-delta overtakes
+    // coding everything.
+    import graft.operators.ProductQuantization
+    import graft.functions.Vectors
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+    def amplifiedVecs(k: Int): DataFrame =
+      (0 until k).map { c =>
+        vecs.select((col("vec_id") + lit(c * 10000000L)).as("vec_id"),
+          col("v"))
+      }.reduce(_ unionByName _)
+    // snapshot B_v: every 10th vector perturbed (content is irrelevant
+    // to coding cost; the id set is unchanged so the delta is exactly
+    // the modified 10%)
+    def vecSnapshotB(e: DataFrame): DataFrame =
+      e.withColumn("v",
+        when(col("vec_id") % 10 === 0, transform(col("v"), x => x + 0.5))
+          .otherwise(col("v")))
+    val pqTable = new StringBuilder
+    pqTable ++= "| vectors | refresh incl diff s | refresh staged-diff s " +
+      "| rebuild s |\n|---|---|---|---|\n"
+    Seq(1, 8, 32).foreach { k =>
+      val a = amplifiedVecs(k)
+      val b = vecSnapshotB(a)
+      val n = a.count()
+      // stage A's code table once (the base artifact consumers read in
+      // place), codes computed with the shipped frozen-model plan
+      val pqBaseDir = java.nio.file.Files
+        .createTempDirectory("graft-refresh-pqbase").toString
+      ProductQuantization.codesOverFor(spark, sfDir, a)
+        .write.mode("overwrite").parquet(pqBaseDir)
+      val pqBase = spark.read.parquet(pqBaseDir)
+      def h(v: org.apache.spark.sql.Column) =
+        md5(concat_ws(",", transform(v, _.cast("string"))))
+      def diff(): DataFrame =
+        a.select(col("vec_id"), h(col("v")).as("old_h"))
+          .join(b.select(col("vec_id"), h(col("v")).as("new_h")),
+            Seq("vec_id"))
+          .where(col("old_h") =!= col("new_h"))
+          .select("vec_id")
+      // the staged-diff variant matches Bench's accounting (delta_sec
+      // is the shared one-off): refresh pays only joins + delta coding
+      val stagedDelta = diff().localCheckpoint()
+      def pqRefreshOver(delta: DataFrame): Long =
+        pqBase.join(delta, Seq("vec_id"), "left_anti")
+          .unionByName(ProductQuantization.codesOverFor(spark, sfDir,
+            b.join(delta, Seq("vec_id"))))
+          .count()
+      def pqRefreshInclDiff(): Long = pqRefreshOver(diff())
+      def pqRefreshStaged(): Long = pqRefreshOver(stagedDelta)
+      def pqRebuild(): Long =
+        ProductQuantization.codesOverFor(spark, sfDir, b).count()
+      pqRefreshInclDiff(); pqRefreshStaged(); pqRebuild() // warm
+      val ri = time(pqRefreshInclDiff _)
+      val rs = time(pqRefreshStaged _)
+      val f = time(pqRebuild _)
+      val row = f"| $n | $ri%.2f | $rs%.2f | $f%.2f |"
+      println(s"[refreshscaling] $row")
+      pqTable ++= row + "\n"
+      GraftSession.deleteRecursively(new java.io.File(pqBaseDir))
+    }
+    println(pqTable.result())
     out.foreach(p => java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(p), table.result()))
+      java.nio.file.Paths.get(p), table.result() + "\n" + pqTable.result()))
     GraftSession.deleteRecursively(new java.io.File(baseDir))
     spark.stop()
   }

@@ -769,7 +769,9 @@ object SparkEntry {
         |       54 + ((width * 3 + 3) // 4) * 4 * height AS n_bytes,
         |       width, height, 3 AS channels,
         |       md5(lower(list_aggregate(
-        |         [lpad(to_hex((ascii(substr(text, (k % L) + 1, 1)) * 7
+        |         [lpad(to_hex(((CASE WHEN L = 0 THEN 0
+        |                        ELSE ascii(substr(text, (k % L) + 1, 1))
+        |                        END) * 7
         |                       + k * 13) % 256), 2, '0')
         |          for k in range(0, width * height * 3)],
         |         'string_agg', ''))) AS checksum
@@ -1534,7 +1536,8 @@ object SparkEntry {
         |pos AS (SELECT doc_id, text, L, unnest(range(0, npx)) AS k
         |        FROM m),
         |cnts AS (SELECT doc_id,
-        |                ((ascii(substr(text, (k % L) + 1, 1)) * 7
+        |                (((CASE WHEN L = 0 THEN 0
+        |                   ELSE ascii(substr(text, (k % L) + 1, 1)) END) * 7
         |                  + k * 13) % 256) // 16 AS bucket,
         |                count(*) AS cnt
         |         FROM pos GROUP BY 1, 2),

@@ -22,37 +22,56 @@ object Tables {
     * names (signature tables, staged source dirs). Sanitization alone can
     * alias two dirs that differ only in punctuation (sf0.1 vs sf0_1), so
     * a hash of the RAW path is appended — distinct dirs can never share
-    * an artifact — and a CONTENT FINGERPRINT of the dir listing (file
-    * count + total bytes + max mtime) is folded in, so a dir whose files
-    * are rewritten mid-session gets a NEW key and every artifact /
+    * an artifact — and a CONTENT FINGERPRINT of the dir listing (every
+    * file's path + length + mtime, hashed) is folded in, so a dir whose
+    * files are rewritten mid-session gets a NEW key and every artifact /
     * staged render keyed on it rebuilds instead of silently serving
-    * stale rows. Freshness is thereby a hard contract, not a
-    * comment (ArtifactsSpec pins it); the fingerprint is one recursive
-    * listing — metadata only, no data read — so it stays cheap even on
-    * an object store, and a listing failure (dir not yet present)
-    * degrades to the path-only key rather than failing the read that
-    * will surface the real error. */
+    * stale rows (ArtifactsSpec pins it; per-file metadata, not
+    * aggregates, so even a same-size same-mtime file SWAP re-keys as
+    * long as any path differs — parquet part names are write-unique).
+    * The fingerprint is one recursive listing — metadata only, no data
+    * read — per artifact-name derivation, i.e. per plan build.
+    * Microseconds on a local corpus; on an object store holding
+    * millions of files, set `spark.graft.dirFingerprint=false` and use
+    * immutable versioned snapshot paths instead (the production layout:
+    * a new crawl lands under a NEW path, so the path hash alone is the
+    * content key and the listing buys nothing). A listing failure (dir
+    * not yet present) degrades to the path-only key rather than failing
+    * the read that will surface the real error. */
   def dirKey(sfDir: String): String =
     sfDir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
       Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sfDir)) +
       dirFingerprint(sfDir).fold("")("_" + _)
 
-  /** (file count, total bytes, max mtime) of the dir's recursive listing,
-    * hashed; None if the dir can't be listed. */
-  private def dirFingerprint(sfDir: String): Option[String] =
-    scala.util.Try {
+  /** Hash of the dir's recursive (path, length, mtime) listing; None if
+    * the dir can't be listed or fingerprinting is disabled
+    * (`spark.graft.dirFingerprint=false` for immutable snapshot dirs). */
+  private def dirFingerprint(sfDir: String): Option[String] = {
+    val session = org.apache.spark.sql.SparkSession.getActiveSession
+    val enabled = session.forall(
+      _.conf.get("spark.graft.dirFingerprint", "true") != "false")
+    if (!enabled) None
+    else scala.util.Try {
       val p = new org.apache.hadoop.fs.Path(sfDir)
-      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      var count = 0L; var bytes = 0L; var maxMtime = 0L
+      // the SESSION's Hadoop conf, not a bare new Configuration():
+      // object-store credentials/endpoints arrive via spark.hadoop.*,
+      // and without them the listing throws and the fingerprint would
+      // silently degrade to the path-only key on exactly the fs that
+      // needs it
+      val conf = session.map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+      val fs = p.getFileSystem(conf)
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
       val it = fs.listFiles(p, /* recursive = */ true)
       while (it.hasNext) {
         val st = it.next()
-        count += 1; bytes += st.getLen
-        maxMtime = math.max(maxMtime, st.getModificationTime)
+        entries +=
+          s"${st.getPath.toUri.getPath}:${st.getLen}:${st.getModificationTime}"
       }
       Integer.toHexString(scala.util.hashing.MurmurHash3
-        .orderedHash(Seq(count, bytes, maxMtime)))
+        .orderedHash(entries.sortInPlace()))
     }.toOption
+  }
 
   /** Register every table as a temp view so `spark.sql` mirrors the oracle. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

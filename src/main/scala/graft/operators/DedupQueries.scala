@@ -162,7 +162,12 @@ object DedupQueries {
   def dupGroupsFromFeatures(spark: SparkSession, sfDir: String,
                             pred: Column = lit(true))
       : (DataFrame, DataFrame, DataFrame) = {
-    val key = (sfDir, pred.toString)
+    // Tables.dirKey, not the raw path: the fingerprint component
+    // re-keys — and so re-derives — the dup metadata when the dir's
+    // files are rewritten mid-session (the artifact registry's
+    // freshness contract; the trio's checkpointed relations would
+    // otherwise outlive the artifacts they were derived from)
+    val key = (Tables.dirKey(sfDir), pred.toString)
     val cache = trioCache.synchronized {
       var m = trioCache.get(spark)
       if (m == null) {
@@ -205,7 +210,7 @@ object DedupQueries {
                                    sfDir: String): DataFrame = {
     dupGroupsFromFeatures(spark, sfDir) // ensure the meta exists
     val meta = trioCache.synchronized {
-      trioCache.get(spark)((sfDir, lit(true).toString))
+      trioCache.get(spark)((Tables.dirKey(sfDir), lit(true).toString))
     }
     // force the lazy edge build (a checkpoint job) OUTSIDE the cache
     // monitor — holding it would block every dupGroupsFromFeatures

@@ -147,7 +147,11 @@ object ProductQuantization {
       }
       c
     }
-    val key = s"$sfDir:$m:$k"
+    // Tables.dirKey, not the raw path: the fingerprint component
+    // re-keys — and so retrains — the model when the dir's files are
+    // rewritten mid-session, the same freshness contract as the
+    // artifact registry and the IVF codebook cache
+    val key = s"${Tables.dirKey(sfDir)}:$m:$k"
     // training (two collects over the corpus residuals) runs OUTSIDE
     // the cache monitor — same contract as SimilarityQueries'
     // cachedCodebook: a lost race trains twice, getOrElseUpdate keeps

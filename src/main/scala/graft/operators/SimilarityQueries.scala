@@ -116,10 +116,12 @@ object SimilarityQueries {
     *
     * WEAK-keyed by session so a stopped/discarded session's entries are
     * collectable instead of pinning the SparkSession for the JVM's life.
-    * Staleness contract (same as the Artifacts registry): entries are
-    * never invalidated within a session, so rewriting the files under a
-    * cached sfDir mid-session serves the old codebook — acceptable for
-    * batch jobs reading immutable snapshot dirs. */
+    * Freshness contract (same as the Artifacts registry): entries are
+    * keyed by [[Tables.dirKey]] — which folds in the dir-listing
+    * fingerprint — so a cached sfDir whose files are rewritten
+    * mid-session re-keys and RETRAINS instead of assigning fresh
+    * vectors against a stale codebook (the one driver-side cache class
+    * the artifact re-keying alone would not have covered). */
   private val codebooks = new java.util.WeakHashMap[
     SparkSession,
     scala.collection.mutable.Map[(String, String), Seq[(Long, Seq[Double])]]]
@@ -175,7 +177,7 @@ object SimilarityQueries {
     * tracks n²/2k. */
   def codebookAt(spark: SparkSession, sfDir: String,
                  k: Int): Seq[(Long, Seq[Double])] =
-    cachedCodebook(spark, (sfDir, s"init_$k")) {
+    cachedCodebook(spark, (Tables.dirKey(sfDir), s"init_$k")) {
       val seeds = vecs(spark, sfDir).where(col("vec_id") < k)
         .orderBy("vec_id")
         .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
@@ -343,7 +345,7 @@ object SimilarityQueries {
     * (sfDir, k). */
   def kmeansCodebookAt(spark: SparkSession, sfDir: String,
                        k: Int): Seq[(Long, Seq[Double])] =
-    cachedCodebook(spark, (sfDir, s"kmeans_$k")) {
+    cachedCodebook(spark, (Tables.dirKey(sfDir), s"kmeans_$k")) {
       val e = vecs(spark, sfDir)
       (1 to KmeansIters).foldLeft(codebookAt(spark, sfDir, k))(
         (c, _) => lloydStep(e, c))

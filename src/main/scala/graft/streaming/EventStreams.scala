@@ -44,25 +44,34 @@ object EventStreams {
     * would silently re-declare the schema against committed state.
     * RecoverySpec.rawNanosEvents enforces it test-side by normalizing
     * to nanos-long before any file lands. */
-  /** Probe results cached per (SparkContext, dir, glob): the encoding is
-    * a property of the landing dir (invariant above: ONE encoding per dir
-    * for the dir's lifetime), so re-probing on every plan build — the
-    * bench invokes each streaming query several times over the same
-    * sfDir — pays a batch footer read per invocation for an answer that
-    * cannot change. Keyed by SparkContext, not SparkSession, because
-    * [[stateSession]] clones a fresh session per query; clones share the
-    * context and the same filesystem view. A dir first probed empty
-    * caches the fallback encoding — exactly the invariant's contract for
-    * a landing dir that starts the runner before files arrive. */
+  /** SUCCESSFUL probe results cached per (SparkContext, dir, glob): the
+    * encoding is a property of the landing dir (invariant above: ONE
+    * encoding per dir for the dir's lifetime), so re-probing on every
+    * plan build — the bench invokes each streaming query several times
+    * over the same sfDir — pays a batch footer read per invocation for
+    * an answer that cannot change. Keyed by SparkContext, not
+    * SparkSession, because [[stateSession]] clones a fresh session per
+    * query; clones share the context and the same filesystem view.
+    * The EMPTY-DIR FALLBACK is deliberately NOT cached: it is a guess,
+    * not a probe result — a dir that starts empty and later receives
+    * TIMESTAMP(MICROS) files would otherwise be misread 1000x by every
+    * FUTURE plan build, with no way to correct it. Left uncached, the
+    * next plan build after files land probes the real encoding; only
+    * the plan built while the dir was still empty carries the guess
+    * (which is the pre-cache behavior, and the documented start-order
+    * risk the invariant covers). */
   private val tsProbeCache =
     new scala.collection.concurrent.TrieMap[(org.apache.spark.SparkContext, String, Option[String]), DataType]
 
   private def streamEvents(s: SparkSession, dir: String,
                            glob: Option[String] = None,
                            maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val probe = tsProbeCache.getOrElseUpdate((s.sparkContext, dir, glob), try {
-      glob.foldLeft(s.read)((r, g) => r.option("pathGlobFilter", g))
+    val probeKey = (s.sparkContext, dir, glob)
+    val probe = tsProbeCache.get(probeKey).getOrElse(try {
+      val p = glob.foldLeft(s.read)((r, g) => r.option("pathGlobFilter", g))
         .parquet(dir).schema("ts").dataType
+      tsProbeCache.putIfAbsent(probeKey, p)
+      p
     } catch {
       case e: org.apache.spark.sql.AnalysisException =>
         // fall back ONLY for the documented case — a not-yet-populated

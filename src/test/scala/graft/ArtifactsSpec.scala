@@ -64,7 +64,7 @@ class ArtifactsSpec extends SparkSpec {
 
   test("a rewritten input dir rebuilds: consumers never serve stale rows") {
     // freshness is a hard contract, not a comment: Tables.dirKey folds a
-    // listing fingerprint (count + bytes + max mtime) into every
+    // listing fingerprint (per-file path + length + mtime) into every
     // artifact name, so rewriting the files under an input dir
     // mid-session re-keys — and therefore rebuilds — every artifact
     // derived from it. Without the fingerprint this test reads the FIRST

@@ -92,4 +92,30 @@ class ArtifactsSpec extends SparkSpec {
         s"rewritten dir served stale shingles (before=$before after=$after)")
     } finally GraftSession.deleteRecursively(new java.io.File(dir))
   }
+
+  test("a rewritten dir also retrains the driver-side model caches") {
+    // the artifact registry re-keys via the listing fingerprint; the
+    // codebook/PQ-model/dedup-trio caches key by the same Tables.dirKey,
+    // so a rewrite must RETRAIN rather than assign the fresh vectors
+    // against stale centroids — the one driver-side cache class the
+    // artifact re-keying alone would not cover
+    import spark.implicits._
+    import graft.operators.SimilarityQueries
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fresh-vec-").toString
+    try {
+      def write(scale: Float): Unit =
+        (0L until 8L).map(i =>
+          (i, Array.fill(SimilarityQueries.Dims)(i * scale), "l"))
+          .toDF("vec_id", "embedding", "label")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/embeddings.parquet")
+      write(1.0f)
+      val before = SimilarityQueries.codebookAt(spark, dir, 4)
+      write(5.0f) // same ids, same count — only the content changed
+      val after = SimilarityQueries.codebookAt(spark, dir, 4)
+      assert(before !== after,
+        "rewritten dir served a stale codebook from the driver cache")
+    } finally GraftSession.deleteRecursively(new java.io.File(dir))
+  }
 }

@@ -65,4 +65,39 @@ class EventStreamsSpec extends SparkSpec {
     // and no content key emitted twice (append mode + state store)
     assert(got.distinct.length === got.length)
   }
+
+  test("empty-dir schema fallback is not cached: later files re-probe") {
+    // a landing dir probed while EMPTY takes the nanos-long fallback
+    // for that plan build only — caching the guess would misread every
+    // future build 1000x once differently-encoded files land. After
+    // files arrive, the next plan build must probe the REAL encoding.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-probe-").toString
+    try {
+      val empty = EventStreams.q43StreamIntervalJoin(spark, dir)
+      assert(empty.count() === 0, "empty landing dir emitted rows")
+      // land events through Spark's writer: a TimestampType ts column,
+      // NOT the corpus's native nanos-long — the encoding the cached
+      // fallback would get wrong. The landing layout is a single FILE
+      // named events.parquet (the fixture layout the glob expects), so
+      // the Spark write stages to a scratch dir and the part file moves
+      // into place.
+      val staging = java.nio.file.Files
+        .createTempDirectory("graft-probe-stage-").toString
+      Tables.events(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      graft.GraftSession.deleteRecursively(new java.io.File(staging))
+      val got = EventStreams.q43StreamIntervalJoin(spark, dir)
+      val ts = got.select("click_ts").collect().map(_.getString(0))
+      assert(ts.nonEmpty, "no joined rows after files landed")
+      assert(ts.forall(_.startsWith("20")),
+        s"timestamps misread (nanos fallback applied to non-nanos data): ${ts.head}")
+    } finally graft.GraftSession
+      .deleteRecursively(new java.io.File(dir))
+  }
 }

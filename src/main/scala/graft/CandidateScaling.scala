@@ -51,6 +51,42 @@ object CandidateScaling {
 
       println(s"| $dir | $n | $possible | $q18 | $q19 | $q48 | $q48w | $nv | $possibleV | $q87 | $q87k64 |")
     }
+
+    // LSH RECALL against exact Jaccard: candidates bound the shuffle,
+    // recall bounds what dedup MISSES. Ground truth = q19's exact
+    // inverted-index pairs (complete for j >= 0.35: a pair with j > 0
+    // shares a shingle by definition); a true pair is "captured" iff
+    // the q18 banding emitted it. The s-curve expectation for
+    // r-row/b-band banding is P(cand) = 1 - (1 - s^r)^b, so recall
+    // must climb toward 1 in the high-similarity buckets where dedup
+    // decisions live — a miss there is a false negative the pipeline
+    // never gets to verify.
+    import org.apache.spark.sql.functions._
+    println()
+    println("| sf dir | jaccard bucket | true pairs | captured | recall |")
+    println("|---|---|---|---|---|")
+    dirs.foreach { dir =>
+      val exact = DedupQueries.q19NgramJaccard(spark, dir)
+        .select("doc_id_1", "doc_id_2", "jaccard")
+      val cand = DedupQueries.q18MinhashLsh(spark, dir)
+        .select(col("doc_id_1"), col("doc_id_2"), lit(1).as("hit"))
+      val buckets = exact.join(cand, Seq("doc_id_1", "doc_id_2"), "left")
+        .select(
+          when(col("jaccard") >= 0.9, "[0.90, 1.00]")
+            .when(col("jaccard") >= 0.7, "[0.70, 0.90)")
+            .when(col("jaccard") >= 0.5, "[0.50, 0.70)")
+            .otherwise("[0.35, 0.50)").as("bucket"),
+          col("hit"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("truth"), sum(coalesce(col("hit"), lit(0)))
+          .as("captured"))
+        .orderBy("bucket")
+        .collect()
+      buckets.foreach { r =>
+        val (t, c) = (r.getLong(1), r.getLong(2))
+        println(f"| $dir | ${r.getString(0)} | $t | $c | ${c.toDouble / t}%.3f |")
+      }
+    }
     spark.stop()
   }
 }

@@ -118,4 +118,30 @@ class ArtifactsSpec extends SparkSpec {
         "rewritten dir served a stale codebook from the driver cache")
     } finally GraftSession.deleteRecursively(new java.io.File(dir))
   }
+
+  test("spark.graft.dirFingerprint=false keys by path only") {
+    // the production escape hatch for immutable versioned snapshot
+    // layouts: no listing, path hash alone — a rewrite then does NOT
+    // re-key (the operator has declared dirs immutable)
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fresh-knob-").toString
+    def write(text: String): Unit =
+      Seq((0L, text)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+    try {
+      write("one")
+      val k1 = Tables.dirKey(dir)
+      write("two")
+      assert(Tables.dirKey(dir) !== k1, "fingerprint on: rewrite must re-key")
+      spark.conf.set("spark.graft.dirFingerprint", "false")
+      val k3 = Tables.dirKey(dir)
+      write("three")
+      assert(Tables.dirKey(dir) === k3, "fingerprint off: key must be stable")
+    } finally {
+      spark.conf.unset("spark.graft.dirFingerprint")
+      GraftSession.deleteRecursively(new java.io.File(dir))
+    }
+  }
 }

@@ -36,6 +36,14 @@ object Text {
   }
 
   def tokensExpr(text: catalyst.expressions.Expression)
+      : catalyst.expressions.Expression = Tokenize(text)
+
+  /** The pre-round-9 higher-order-function formulation of [[tokens]],
+    * kept as the DIFFERENTIAL REFERENCE for TokenizeParitySpec: same
+    * semantics, interpreted evaluation (ArrayTransform/ArrayFilter are
+    * CodegenFallback — the reason [[Tokenize]] exists). Never used in a
+    * shipped plan. */
+  private[graft] def tokensHofReference(text: catalyst.expressions.Expression)
       : catalyst.expressions.Expression = {
     import org.apache.spark.sql.catalyst.expressions._
     ArrayFilter(
@@ -51,12 +59,14 @@ object Text {
     StringTrim(RegExpReplace(Lower(text), Literal("[^a-z0-9]+"), Literal(" ")))
   }
 
-  /** Array of normalized tokens for a text column. Stays inside whole-stage
-    * codegen: lower/split/filter/transform are all native expressions. */
-  def tokens(text: Column): Column = {
-    val raw = split(lower(text), "[^a-z0-9]+")
-    filter(transform(raw, t => substring(t, 1, MaxTokenLen)), t => length(t) > 0)
-  }
+  /** Array of normalized tokens for a text column — the native
+    * [[Tokenize]] expression: one byte scan, participates in whole-stage
+    * codegen. (The previous split/transform/filter formulation was
+    * HOF-interpreted and broke every span it appeared in — see
+    * [[Tokenize]]'s scaladoc and the CodegenAudit table.) */
+  def tokens(text: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      Tokenize(org.apache.spark.sql.graftbridge.Bridge.expression(text)))
 
   /** One row per token (flatMap analog of the reference Map callback). */
   def explodedTokens(text: Column): Column = explode(tokens(text))

@@ -66,10 +66,14 @@ object CandidateScaling {
     println("| sf dir | jaccard bucket | true pairs | captured | recall |")
     println("|---|---|---|---|---|")
     dirs.foreach { dir =>
+      // persist both sides: each is a full similarity join, and the
+      // bucket aggregate would otherwise re-execute them (the sweep
+      // loop above already ran the q18 join once for its count)
       val exact = DedupQueries.q19NgramJaccard(spark, dir)
-        .select("doc_id_1", "doc_id_2", "jaccard")
+        .select("doc_id_1", "doc_id_2", "jaccard").persist()
       val cand = DedupQueries.q18MinhashLsh(spark, dir)
         .select(col("doc_id_1"), col("doc_id_2"), lit(1).as("hit"))
+        .persist()
       val buckets = exact.join(cand, Seq("doc_id_1", "doc_id_2"), "left")
         .select(
           when(col("jaccard") >= 0.9, "[0.90, 1.00]")
@@ -86,6 +90,7 @@ object CandidateScaling {
         val (t, c) = (r.getLong(1), r.getLong(2))
         println(f"| $dir | ${r.getString(0)} | $t | $c | ${c.toDouble / t}%.3f |")
       }
+      exact.unpersist(); cand.unpersist()
     }
     spark.stop()
   }

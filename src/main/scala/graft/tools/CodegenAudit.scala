@@ -34,9 +34,10 @@ object CodegenAudit {
       * — exchanges, AQE shuffle reads, scans (columnar), reuse wrappers
       * — is excluded from both counts: the measured quantity is "row
       * operators that could fuse, and did/didn't". */
+    // QueryStage wrappers never reach this set — the walk unwraps them
+    // via the QueryStageExec case before a nodeName is computed
     val plumbing = Set("InputAdapter", "Exchange", "BroadcastExchange",
-      "AQEShuffleRead", "ReusedExchange", "ShuffleQueryStage",
-      "BroadcastQueryStage", "ResultQueryStage", "TableCacheQueryStage",
+      "AQEShuffleRead", "ReusedExchange",
       "ColumnarToRow", "InMemoryTableScan", "EmptyRelation")
     def walk(p: SparkPlan, inCodegen: Boolean)
         : (Int, Int, Seq[String]) = p match {
@@ -67,11 +68,13 @@ object CodegenAudit {
     val rows = batch.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        // collect() — NOT count(), which spawns its own QueryExecution:
-        // AQE inserts WholeStageCodegen per query stage at
-        // MATERIALIZATION, so only this df's own executed plan carries
-        // the final codegen structure
-        df.collect()
+        // execute THIS df's own QueryExecution — count() would spawn a
+        // separate one, and AQE inserts WholeStageCodegen per query
+        // stage at MATERIALIZATION, so only this plan instance carries
+        // the final codegen structure. toRdd.count() finalizes it
+        // without shipping result rows to the driver (collect() would
+        // OOM on wide outputs at larger scale dirs).
+        df.queryExecution.toRdd.count()
         val (in, out, interp) = walk(df.queryExecution.executedPlan,
           inCodegen = false)
         Some((name, in, out, interp))
@@ -84,7 +87,7 @@ object CodegenAudit {
     val totalIn = rows.map(_._2).sum
     val totalOut = rows.map(_._3).sum
     println(f"[codegen] suite: $totalIn ops in codegen / $totalOut outside " +
-      f"(${100.0 * totalIn / (totalIn + totalOut)}%.0f%% coverage)")
+      f"(${100.0 * totalIn / math.max(1, totalIn + totalOut)}%.0f%% coverage)")
     println("| query | in | out | coverage | interpreted ops |")
     println("|---|---|---|---|---|")
     rows.sortBy(r => r._2.toDouble / math.max(1, r._2 + r._3))

@@ -935,21 +935,21 @@ object DedupQueries {
     * position with its token and (for full-width start positions) its
     * [[gramKey]]; `g` is null for the last SpanTokens−1 positions of a
     * doc and for docs shorter than the span. Generated ENTIRELY
-    * MAP-SIDE: tokenize once into an array, then one `transform` over
-    * all positions builds each gram transiently and reduces it to its
-    * 60-bit key inside the lambda — the gram string never even becomes
-    * a column.
+    * MAP-SIDE: tokenize once into an array ([[Text.tokens]], native
+    * codegen), then ONE native loop over all positions
+    * ([[graft.functions.SpanGrams]]) digests each gram incrementally
+    * into its 60-bit key — the gram string never even becomes a JVM
+    * string, let alone a column.
     *
     * (The round-7 window formulation exchanged every token row on
     * doc_id just to realign consecutive tokens — ~half of q88's shuffle
     * at sf0.1 after the keys narrowed, i.e. the corpus on the wire for
-    * a purely per-document computation. The interpreted-HOF pitfall
-    * wordShingles documents does not bite: the lambda references the
-    * materialized token ARRAY attribute, not the tokenize subtree —
-    * CollapseProject keeps multi-referenced non-cheap expressions in
-    * their own projection — and the per-pos work is 8 `element_at`s +
-    * one md5. Spec-pinned: q88's only exchanges are the narrow
-    * aggregates, and no consumer re-tokenizes.) */
+    * a purely per-document computation. The round-8 `transform` lambda
+    * fixed that but evaluated interpreted per position (HOFs are
+    * CodegenFallback) with 8 `element_at`s + a concat + an md5 of
+    * expression-tree dispatch each — round 9's native expression is
+    * that loop in plain JVM code. Spec-pinned: q88's only exchanges
+    * are the narrow aggregates, and no consumer re-tokenizes.) */
   private[graft] def computeSpanFeatures(spark: SparkSession,
                                          sfDir: String): DataFrame =
     spanFeaturesOf(Tables.documents(spark, sfDir).select("doc_id", "text"))
@@ -960,21 +960,32 @@ object DedupQueries {
     * [[graft.tools.DedupScaling]]; any embedded relation), mirroring the
     * [[dupGroups]] / [[dupGroupsFromFeatures]] split. */
   private[graft] def spanFeaturesOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
     val t = col("t")
     docs
       .select(col("doc_id"), Text.tokens(col("text")).as("t"))
-      .where(size(t) >= 1) // sequence(0, -1) would DESCEND, not be empty
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), size(t) - 1),
-        i => struct(
-          element_at(t, i + 1).as("w"),
-          when(i <= size(t) - SpanTokens,
-            gramKey(concat_ws(" ",
-              (0 until SpanTokens).map(k => element_at(t, i + k + 1)): _*)))
-            .as("g")))))
+      .where(size(t) >= 1)
+      .select(col("doc_id"), posexplode(Bridge.column(
+        graft.functions.SpanGrams(Bridge.expression(t), SpanTokens))))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col.w").as("w"), col("col.g").as("g"))
   }
+
+  /** The pre-round-9 higher-order-function formulation of the span-gram
+    * census, kept as the DIFFERENTIAL REFERENCE for SpanGramsParitySpec
+    * (the [[Text.tokensHofReference]] discipline): same semantics,
+    * interpreted per-element evaluation — the reason
+    * [[graft.functions.SpanGrams]] exists. Never used in a shipped
+    * plan. */
+  private[graft] def spanGramsHofReference(t: Column): Column =
+    transform(
+      sequence(lit(0), size(t) - 1),
+      i => struct(
+        element_at(t, i + 1).as("w"),
+        when(i <= size(t) - SpanTokens,
+          gramKey(concat_ws(" ",
+            (0 until SpanTokens).map(k => element_at(t, i + k + 1)): _*)))
+          .as("g")))
 
   /** The span-feature ARTIFACT — the positional twin of [[shingles]]:
     * substring-level dedup's shared input (the distributed stand-in for

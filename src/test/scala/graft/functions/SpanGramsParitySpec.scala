@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.SparkSpec
+import graft.operators.DedupQueries
+
+/** Differential test for the native span-gram census: [[SpanGrams]]
+  * must agree with the transform/element_at/md5 HOF tree it replaced —
+  * per position, both the token and the (nullable) 60-bit gram key —
+  * on real corpus rows and on the width edge cases (doc shorter than
+  * the span, exactly span-width, one over). The corpus-wide safety net
+  * on top of this: every q88/q89/q92/q44/q20/q48 oracle hash derives
+  * the identical key in DuckDB from the hex-md5 construction. */
+class SpanGramsParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native SpanGrams == HOF reference per position") {
+    val w = DedupQueries.SpanTokens
+    val synthetic = Seq(
+      "",                                  // no tokens -> no row after filter
+      "one",                               // shorter than span: all g null
+      (1 to w).map(i => s"t$i").mkString(" "),       // exactly one full window
+      (1 to w + 1).map(i => s"t$i").mkString(" "),   // two windows
+      ("dup " * 40).trim,                  // within-doc repeats share keys
+      "Mixed CASE with 123 numbers and punct!!! runs")
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("text")).as[String].collect().toSeq ++ synthetic
+    val t = Text.tokens(col("text"))
+    val rows = docs.toDF("text")
+      .where(size(t) >= 1)
+      .select(
+        Bridge.column(SpanGrams(Bridge.expression(t), w)).as("native"),
+        DedupQueries.spanGramsHofReference(t).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val native = r.getSeq[org.apache.spark.sql.Row](0)
+      val hof = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(native.length === hof.length)
+      native.zip(hof).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(a.getString(0) === b.getString(0), s"token at pos $i")
+        assert((if (a.isNullAt(1)) null else a.getLong(1))
+          === (if (b.isNullAt(1)) null else b.getLong(1)),
+          s"gram key at pos $i (token ${a.getString(0)})")
+      }
+    }
+    // non-degenerate: some key present, some null tail, some repeat
+    val flat = rows.flatMap(_.getSeq[org.apache.spark.sql.Row](0))
+    assert(flat.exists(!_.isNullAt(1)))
+    assert(flat.exists(_.isNullAt(1)))
+  }
+}

@@ -60,6 +60,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "non-alphanumeric runs to single spaces, trim"),
       (children: Seq[Expression]) => Text.normalizedExpr(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_span_grams"),
+      info(classOf[graft.functions.SpanGrams].getName, "graft_span_grams",
+        "graft_span_grams(tokens, width) - per-position struct(w, g): the " +
+          "token plus the md5-derived 60-bit key of the width-token gram " +
+          "starting there (null for the last width-1 positions)"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 && children(1).foldable,
+          "graft_span_grams(tokens, width): width must be a literal")
+        graft.functions.SpanGrams(children.head,
+          children(1).eval().asInstanceOf[Number].intValue)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_quality"),
       info(graft.operators.TextQueries.getClass.getName, "graft_quality",
         "graft_quality(text) - q24 quality score from length/alnum/" +

@@ -51,4 +51,28 @@ class SpanGramsParitySpec extends SparkSpec {
     assert(flat.exists(!_.isNullAt(1)))
     assert(flat.exists(_.isNullAt(1)))
   }
+
+  test("the span-feature build plan runs the native expressions") {
+    // pin: the census build must carry graft_tokenize + graft_span_grams
+    // and no interpreted lambda — a future edit that quietly reverts to
+    // the HOF formulation reappears here, not as a silent 3x build cost
+    val df = DedupQueries.computeSpanFeatures(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_tokenize"), s"tokenizer not native:\n$plan")
+    assert(plan.contains("graft_span_grams"), s"census not native:\n$plan")
+    assert(!plan.contains("lambdafunction"),
+      s"interpreted lambda in the census build:\n$plan")
+  }
+
+  test("graft_span_grams is SQL-registered with the same semantics") {
+    val got = spark.sql(
+      "SELECT graft_span_grams(graft_tokens('a b c d e f g h i'), 8) AS s")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(got.length === 9)
+    assert(got.take(2).forall(!_.isNullAt(1)), "two full windows expected")
+    assert(got.drop(2).forall(_.isNullAt(1)), "tail positions must be null")
+    assert(got.map(_.getString(0)) ===
+      Seq("a", "b", "c", "d", "e", "f", "g", "h", "i"))
+  }
 }

@@ -18,13 +18,21 @@ class SpanGramsParitySpec extends SparkSpec {
 
   test("native SpanGrams == HOF reference per position") {
     val w = DedupQueries.SpanTokens
+    // seeded random docs (the TokenizerParitySpec discipline): small
+    // vocab so windows recur, lengths straddling the span width
+    val rng = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "ccc", "dd1", "e", "f2f", "gg", "h")
+    val randomDocs = (1 to 60).map { _ =>
+      Seq.fill(rng.nextInt(2 * w + 4))(vocab(rng.nextInt(vocab.size)))
+        .mkString(" ")
+    }
     val synthetic = Seq(
       "",                                  // no tokens -> no row after filter
       "one",                               // shorter than span: all g null
       (1 to w).map(i => s"t$i").mkString(" "),       // exactly one full window
       (1 to w + 1).map(i => s"t$i").mkString(" "),   // two windows
       ("dup " * 40).trim,                  // within-doc repeats share keys
-      "Mixed CASE with 123 numbers and punct!!! runs")
+      "Mixed CASE with 123 numbers and punct!!! runs") ++ randomDocs
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("text")).as[String].collect().toSeq ++ synthetic
     val t = Text.tokens(col("text"))

@@ -68,8 +68,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2 && children(1).foldable,
           "graft_span_grams(tokens, width): width must be a literal")
-        graft.functions.SpanGrams(children.head,
-          children(1).eval().asInstanceOf[Number].intValue)
+        val w = children(1).eval().asInstanceOf[Number].intValue
+        // width < 1 would emit an (empty-gram-key, token) struct for
+        // EVERY position — nonsense rows, silently; checkInputDataTypes
+        // rejects it too, but the builder is where the SQL user's
+        // literal is first in hand, so fail with the argument message
+        require(w >= 1, s"graft_span_grams: width must be >= 1, got $w")
+        graft.functions.SpanGrams(children.head, w)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_quality"),

@@ -38,16 +38,30 @@ object Tables {
     * content key and the listing buys nothing). A listing failure (dir
     * not yet present) degrades to the path-only key rather than failing
     * the read that will surface the real error. */
+  def dirKey(spark: SparkSession, sfDir: String): String =
+    sfDir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sfDir)) +
+      dirFingerprint(Some(spark), sfDir).fold("")("_" + _)
+
+  /** Session-less convenience overload (tests, name derivation outside a
+    * query builder). Resolves the session as active-then-default: the
+    * thread-local active session is UNSET on streaming micro-batch and
+    * pool threads, and falling straight to a bare `new Configuration()`
+    * there would (a) lose object-store credentials and (b) let the same
+    * sfDir produce DIFFERENT keys on different threads, silently
+    * splitting every artifact/model cache keyed on it. Main-code call
+    * sites all pass their session explicitly. */
   def dirKey(sfDir: String): String =
     sfDir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
       Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sfDir)) +
-      dirFingerprint(sfDir).fold("")("_" + _)
+      dirFingerprint(SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession), sfDir).fold("")("_" + _)
 
   /** Hash of the dir's recursive (path, length, mtime) listing; None if
     * the dir can't be listed or fingerprinting is disabled
     * (`spark.graft.dirFingerprint=false` for immutable snapshot dirs). */
-  private def dirFingerprint(sfDir: String): Option[String] = {
-    val session = org.apache.spark.sql.SparkSession.getActiveSession
+  private def dirFingerprint(session: Option[SparkSession],
+                             sfDir: String): Option[String] = {
     val enabled = session.forall(
       _.conf.get("spark.graft.dirFingerprint", "true") != "false")
     if (!enabled) None

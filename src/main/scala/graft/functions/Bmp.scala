@@ -67,13 +67,22 @@ object Bmp {
     b.array()
   }
 
-  /** Parse an uncompressed 24-bpp BMP. Honors the header's pixel-data
-    * offset (tools may insert gap bytes), both row orders (positive
-    * height = bottom-up, negative = top-down), and row padding; refuses
-    * — loudly, this is a decode seam — anything that is not plain
-    * BI_RGB 24-bpp (compressed/paletted/16-bpp variants would need the
-    * rest of the format family). */
-  def decode(payload: Array[Byte]): Image = {
+  /** Header-only parse: validate the container exactly as [[decode]]
+    * does (magic, DIB size, plane count, 24-bpp BI_RGB, pixel-array
+    * bounds) and return the dimensions WITHOUT allocating or copying
+    * the raster. This is the decode the metadata-only consumers (q41's
+    * resize planning) want: at real media sizes [[decode]] materializes
+    * megabytes per record that a dims-only query immediately discards.
+    * Shares [[decode]]'s validation helper so the two parses can never
+    * accept different byte streams. */
+  def decodeDims(payload: Array[Byte]): (Int, Int) = {
+    val (width, height, _, _) = validateHeader(payload)
+    (width, height)
+  }
+
+  /** Shared container validation: returns (width, height, bottomUp,
+    * dataOffset) or throws the same loud errors [[decode]] always has. */
+  private def validateHeader(payload: Array[Byte]): (Int, Int, Boolean, Int) = {
     def u16(o: Int) = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
     def i32(o: Int) = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
       ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
@@ -97,6 +106,18 @@ object Bmp {
       payload.length.toLong >= dataOffset.toLong + rowStride.toLong * height,
       s"truncated pixel array: ${payload.length} bytes, need " +
         s"${dataOffset + rowStride * height}")
+    (width, height, bottomUp, dataOffset)
+  }
+
+  /** Parse an uncompressed 24-bpp BMP. Honors the header's pixel-data
+    * offset (tools may insert gap bytes), both row orders (positive
+    * height = bottom-up, negative = top-down), and row padding; refuses
+    * — loudly, this is a decode seam — anything that is not plain
+    * BI_RGB 24-bpp (compressed/paletted/16-bpp variants would need the
+    * rest of the format family). */
+  def decode(payload: Array[Byte]): Image = {
+    val (width, height, bottomUp, dataOffset) = validateHeader(payload)
+    val rowStride = stride(width)
     val out = new Array[Byte](width * height * 3)
     var row = 0
     while (row < height) {
@@ -105,6 +126,6 @@ object Bmp {
         out, row * width * 3, width * 3)
       row += 1
     }
-    Image(width, height, bpp, out)
+    Image(width, height, 24, out) // validateHeader only admits 24-bpp
   }
 }

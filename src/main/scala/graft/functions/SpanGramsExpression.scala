@@ -40,7 +40,18 @@ case class SpanGrams(child: Expression, width: Int)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(StringType, _) =>
+      // containsNull inputs are REJECTED, not skipped: the output
+      // declares `w` non-nullable (every internal producer is Tokenize,
+      // containsNull=false), and a null element would otherwise NPE in
+      // the loop / violate the declared schema for SQL-surface callers
+      case ArrayType(StringType, true) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "span_grams needs array<string> with non-null elements " +
+            "(tokenizer output); got a nullable-element array")
+      case ArrayType(StringType, false) if width < 1 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"span_grams width must be >= 1, got $width")
+      case ArrayType(StringType, false) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(

@@ -282,7 +282,7 @@ object CurationPipeline {
     * `artifacts_sec` like every other artifact. */
   def curatedHandoff(spark: SparkSession, sfDir: String): DataFrame =
     graft.Artifacts.materialize(spark,
-      "graft_curated_" + graft.Tables.dirKey(sfDir), "doc_id") {
+      "graft_curated_" + graft.Tables.dirKey(spark, sfDir), "doc_id") {
       q50CorpusCuration(spark, sfDir)
     }
 
@@ -379,7 +379,7 @@ object CurationPipeline {
     * refreshes run against them are exchange-free. */
   def snapshotDeltaStaged(spark: SparkSession, sfDir: String): DataFrame =
     graft.Artifacts.materialize(spark,
-      "graft_delta_" + graft.Tables.dirKey(sfDir), "doc_id") {
+      "graft_delta_" + graft.Tables.dirKey(spark, sfDir), "doc_id") {
       computeSnapshotDelta(spark, sfDir)
     }
 
@@ -431,7 +431,7 @@ object CurationPipeline {
     * snapshot B; Bench times the two builds against each other. */
   def refreshedShingles(spark: SparkSession, sfDir: String): DataFrame =
     graft.Artifacts.materialize(spark,
-      "graft_shingles_b_" + graft.Tables.dirKey(sfDir), "doc_id") {
+      "graft_shingles_b_" + graft.Tables.dirKey(spark, sfDir), "doc_id") {
       computeRefreshedShingles(spark, sfDir)
     }
 
@@ -473,7 +473,7 @@ object CurationPipeline {
   /** The refreshed (snapshot-B) signature ARTIFACT — q83's table. */
   def refreshedSignatures(spark: SparkSession, sfDir: String): DataFrame =
     graft.Artifacts.materialize(spark,
-      "graft_signatures_b_" + graft.Tables.dirKey(sfDir), "doc_id") {
+      "graft_signatures_b_" + graft.Tables.dirKey(spark, sfDir), "doc_id") {
       computeRefreshedSignatures(spark, sfDir)
     }
 

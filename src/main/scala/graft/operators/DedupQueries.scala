@@ -162,12 +162,26 @@ object DedupQueries {
   def dupGroupsFromFeatures(spark: SparkSession, sfDir: String,
                             pred: Column = lit(true))
       : (DataFrame, DataFrame, DataFrame) = {
+    val meta = dupMetaFor(spark, sfDir, pred)
+    (meta.multiH, meta.keepers, meta.dropped)
+  }
+
+  /** The cached [[DupMeta]] for (dir, predicate) — derivation shared by
+    * the trio consumers and [[exactDupEdges]], so the edge path can
+    * never observe a cache entry the trio path didn't just ensure. */
+  private def dupMetaFor(spark: SparkSession, sfDir: String,
+                         pred: Column): DupMeta = {
     // Tables.dirKey, not the raw path: the fingerprint component
     // re-keys — and so re-derives — the dup metadata when the dir's
     // files are rewritten mid-session (the artifact registry's
     // freshness contract; the trio's checkpointed relations would
-    // otherwise outlive the artifacts they were derived from)
-    val key = (Tables.dirKey(sfDir), pred.toString)
+    // otherwise outlive the artifacts they were derived from).
+    // Computed ONCE, OUTSIDE every monitor below: the fingerprint is a
+    // recursive dir listing (must not run under the cache lock), and
+    // using one key for both the ensure and the lookup means a dir
+    // rewritten mid-call can't make the lookup miss an entry the
+    // ensure just created.
+    val key = (Tables.dirKey(spark, sfDir), pred.toString)
     val cache = trioCache.synchronized {
       var m = trioCache.get(spark)
       if (m == null) {
@@ -184,7 +198,7 @@ object DedupQueries {
     // cache from inside that registry's monitor. With the build outside
     // the lock, only the registry→trio ordering remains. A lost race
     // derives twice; getOrElseUpdate keeps the first trio.
-    val meta = trioCache.synchronized { cache.get(key) } match {
+    trioCache.synchronized { cache.get(key) } match {
       case Some(v) => v
       case None =>
         val keyed = TextQueries.docFeatures(spark, sfDir)
@@ -196,7 +210,6 @@ object DedupQueries {
           dupMetaOf(multiH, normsForIds(spark, sfDir, ids).localCheckpoint())
         trioCache.synchronized { cache.getOrElseUpdate(key, built) }
     }
-    (meta.multiH, meta.keepers, meta.dropped)
   }
 
   /** The EXACT-dup edge set of the corpus under `sfDir`: one
@@ -207,17 +220,14 @@ object DedupQueries {
     * keeper rule cannot drift. Dup-sized; evaluated lazily so gated
     * trio consumers (q50/q64) never pay for it. */
   private[graft] def exactDupEdges(spark: SparkSession,
-                                   sfDir: String): DataFrame = {
-    dupGroupsFromFeatures(spark, sfDir) // ensure the meta exists
-    val meta = trioCache.synchronized {
-      trioCache.get(spark)((Tables.dirKey(sfDir), lit(true).toString))
-    }
-    // force the lazy edge build (a checkpoint job) OUTSIDE the cache
-    // monitor — holding it would block every dupGroupsFromFeatures
-    // caller for the duration of a Spark job; DupMeta's lazy val has
-    // its own monitor, so concurrent forcing stays race-free
-    meta.edges
-  }
+                                   sfDir: String): DataFrame =
+    // the lazy edge build (a checkpoint job) is forced OUTSIDE the cache
+    // monitor — dupMetaFor holds it only for the map lookup, and
+    // DupMeta's lazy val has its own monitor, so concurrent forcing
+    // stays race-free. No second key derivation, no raw Map apply: the
+    // ensure and the lookup are the same call, so a dir whose
+    // fingerprint changes mid-call rebuilds instead of throwing.
+    dupMetaFor(spark, sfDir, lit(true)).edges
 
   /** Metadata bundle one verify base yields: the trio every consumer
     * attaches, plus the exact-dup edge set the cluster build consumes —
@@ -368,7 +378,7 @@ object DedupQueries {
     * shingling is per-document, so filter-then-shingle ≡ shingle-then-
     * filter. */
   def shingles(spark: SparkSession, sfDir: String): DataFrame =
-    Artifacts.materialize(spark, "graft_shingles_" + Tables.dirKey(sfDir),
+    Artifacts.materialize(spark, "graft_shingles_" + Tables.dirKey(spark, sfDir),
       "doc_id") {
       Text.shingleRows(Tables.documents(spark, sfDir), "doc_id", "text", 3)
     }
@@ -386,7 +396,7 @@ object DedupQueries {
     * [[shingles]] artifact, so the tokenize pass is shared with the
     * n-gram consumers too. */
   def signatures(spark: SparkSession, sfDir: String): DataFrame =
-    Artifacts.materialize(spark, "graft_signatures_" + Tables.dirKey(sfDir),
+    Artifacts.materialize(spark, "graft_signatures_" + Tables.dirKey(spark, sfDir),
       "doc_id") {
       computeSignatures(spark, sfDir)
     }
@@ -517,7 +527,7 @@ object DedupQueries {
     * snapshot and read by every split/dedup/reporting job — this table
     * is that snapshot, and q42/q71 both read it. */
   def clusterLabels(spark: SparkSession, sfDir: String): DataFrame =
-    Artifacts.materialize(spark, "graft_clusters_" + Tables.dirKey(sfDir),
+    Artifacts.materialize(spark, "graft_clusters_" + Tables.dirKey(spark, sfDir),
       "doc_id") {
       computeClusters(spark, sfDir)
     }
@@ -661,7 +671,7 @@ object DedupQueries {
     * deliberately does NOT read it: the bloom prefilter is the
     * independent path that must reproduce this table's contents. */
   def contamination(spark: SparkSession, sfDir: String): DataFrame =
-    Artifacts.materialize(spark, "graft_contam_" + Tables.dirKey(sfDir),
+    Artifacts.materialize(spark, "graft_contam_" + Tables.dirKey(spark, sfDir),
       "doc_id") {
       computeContamination(spark, sfDir)
     }
@@ -996,7 +1006,7 @@ object DedupQueries {
     * a branch over a bucketed fixed-width table reads columns instead.
     * Bucketed on doc_id like every per-doc consumer expects. */
   def spanFeatures(spark: SparkSession, sfDir: String): DataFrame =
-    Artifacts.materialize(spark, "graft_spanfeat_" + Tables.dirKey(sfDir),
+    Artifacts.materialize(spark, "graft_spanfeat_" + Tables.dirKey(spark, sfDir),
       "doc_id") {
       computeSpanFeatures(spark, sfDir)
     }

@@ -208,18 +208,18 @@ object MultimodalPipeline {
     import spark.implicits._
     bmpMediaTable(spark, sfDir).as[MediaRecord]
       .mapPartitions(_.map { r =>
-        // dims-only decode: the container parse gives width/height; the
-        // raster hex + md5 fingerprint is q27's checksum cost, which
-        // this query would compute only to discard (megabytes of
-        // garbage per record at real media sizes)
-        val img = graft.functions.Bmp.decode(r.payload)
+        // dims-only decode: Bmp.decodeDims validates the container
+        // exactly like the full decode but never allocates or copies
+        // the raster — at real media sizes the full decode materializes
+        // megabytes per record this query would immediately discard
+        val (w, h) = graft.functions.Bmp.decodeDims(r.payload)
         // scale = min(maxW/w, maxH/h) in 1/1000ths, capped at 1000 (never
         // upscale); integer math keeps both engines bit-identical
         val scaleMilli = math.min(1000L,
-          math.min(maxW * 1000L / img.width, maxH * 1000L / img.height))
-        val outW = math.max(1L, img.width * scaleMilli / 1000L)
-        val outH = math.max(1L, img.height * scaleMilli / 1000L)
-        (r.doc_id, img.width, img.height, scaleMilli, outW, outH)
+          math.min(maxW * 1000L / w, maxH * 1000L / h))
+        val outW = math.max(1L, w * scaleMilli / 1000L)
+        val outH = math.max(1L, h * scaleMilli / 1000L)
+        (r.doc_id, w, h, scaleMilli, outW, outH)
       })
       .toDF("doc_id", "width", "height", "scale_milli", "out_width", "out_height")
       .orderBy("doc_id")

@@ -151,7 +151,7 @@ object ProductQuantization {
     // re-keys — and so retrains — the model when the dir's files are
     // rewritten mid-session, the same freshness contract as the
     // artifact registry and the IVF codebook cache
-    val key = s"${Tables.dirKey(sfDir)}:$m:$k"
+    val key = s"${Tables.dirKey(spark, sfDir)}:$m:$k"
     // training (two collects over the corpus residuals) runs OUTSIDE
     // the cache monitor — same contract as SimilarityQueries'
     // cachedCodebook: a lost race trains twice, getOrElseUpdate keeps
@@ -216,7 +216,7 @@ object ProductQuantization {
     * codes, never raw vectors. Coding itself is map-side over the
     * embeddings scan (model shipped as literals — spec-pinned). */
   def pqIndex(spark: SparkSession, sfDir: String): DataFrame =
-    Artifacts.materialize(spark, "graft_pqcodes_" + Tables.dirKey(sfDir),
+    Artifacts.materialize(spark, "graft_pqcodes_" + Tables.dirKey(spark, sfDir),
       "vec_id") {
       computePqCodes(spark, sfDir)
     }
@@ -231,7 +231,7 @@ object ProductQuantization {
                 m: Int, k: Int): DataFrame =
     if (m == M && k == K) pqIndex(spark, sfDir)
     else Artifacts.materialize(spark,
-      s"graft_pqcodes_${m}_${k}_" + Tables.dirKey(sfDir), "vec_id") {
+      s"graft_pqcodes_${m}_${k}_" + Tables.dirKey(spark, sfDir), "vec_id") {
       computePqCodesAt(spark, sfDir, m, k)
     }
 
@@ -455,7 +455,7 @@ object ProductQuantization {
     * are exchange-free. */
   def vectorDeltaStaged(spark: SparkSession, sfDir: String): DataFrame =
     Artifacts.materialize(spark,
-      "graft_vecdelta_" + Tables.dirKey(sfDir), "vec_id") {
+      "graft_vecdelta_" + Tables.dirKey(spark, sfDir), "vec_id") {
       computeVectorDelta(spark, sfDir)
     }
 
@@ -516,7 +516,7 @@ object ProductQuantization {
     * bucketed on vec_id like the base index. */
   def refreshedPqIndex(spark: SparkSession, sfDir: String): DataFrame =
     Artifacts.materialize(spark,
-      s"graft_pqcodes_b_${M256}_${K256}_" + Tables.dirKey(sfDir), "vec_id") {
+      s"graft_pqcodes_b_${M256}_${K256}_" + Tables.dirKey(spark, sfDir), "vec_id") {
       computeRefreshedPqCodes(spark, sfDir)
     }
 

@@ -177,7 +177,7 @@ object SimilarityQueries {
     * tracks n²/2k. */
   def codebookAt(spark: SparkSession, sfDir: String,
                  k: Int): Seq[(Long, Seq[Double])] =
-    cachedCodebook(spark, (Tables.dirKey(sfDir), s"init_$k")) {
+    cachedCodebook(spark, (Tables.dirKey(spark, sfDir), s"init_$k")) {
       val seeds = vecs(spark, sfDir).where(col("vec_id") < k)
         .orderBy("vec_id")
         .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
@@ -345,7 +345,7 @@ object SimilarityQueries {
     * (sfDir, k). */
   def kmeansCodebookAt(spark: SparkSession, sfDir: String,
                        k: Int): Seq[(Long, Seq[Double])] =
-    cachedCodebook(spark, (Tables.dirKey(sfDir), s"kmeans_$k")) {
+    cachedCodebook(spark, (Tables.dirKey(spark, sfDir), s"kmeans_$k")) {
       val e = vecs(spark, sfDir)
       (1 to KmeansIters).foldLeft(codebookAt(spark, sfDir, k))(
         (c, _) => lloydStep(e, c))

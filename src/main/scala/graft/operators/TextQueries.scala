@@ -44,7 +44,7 @@ object TextQueries {
     * signature refresh chain (q83) it would ride beside. */
   def docFeatures(spark: SparkSession, sfDir: String): DataFrame =
     Artifacts.materialize(spark,
-        "graft_docfeatures_" + Tables.dirKey(sfDir), "doc_id") {
+        "graft_docfeatures_" + Tables.dirKey(spark, sfDir), "doc_id") {
       val d = Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("source"), col("lang"), col("text"),
           Text.tokens(col("text")).as("toks"))

@@ -62,7 +62,7 @@ object DelimitedSources {
       }
       m
     }
-    val key = s"${fmt}_${table}_" + Tables.dirKey(sfDir)
+    val key = s"${fmt}_${table}_" + Tables.dirKey(spark, sfDir)
     // render outside the monitor (a Spark job); a lost race writes two
     // distinct temp dirs and keeps the first — never a torn read
     staged.synchronized { cache.get(key) } match {

@@ -19,14 +19,14 @@ import graft.{Artifacts, Tables}
   */
 object PartitionedSink {
 
-  def eventsDailyName(sfDir: String): String =
-    "graft_events_daily_" + Tables.dirKey(sfDir)
+  def eventsDailyName(spark: SparkSession, sfDir: String): String =
+    "graft_events_daily_" + Tables.dirKey(spark, sfDir)
 
   /** The events table written PARTITIONED BY day — materialized once
     * per (session, scale dir) like every artifact, so consumers (q82,
     * ad-hoc date-range queries) read the layout, never rebuild it. */
   def eventsDaily(spark: SparkSession, sfDir: String): DataFrame =
-    Artifacts.materializePartitioned(spark, eventsDailyName(sfDir), "day") {
+    Artifacts.materializePartitioned(spark, eventsDailyName(spark, sfDir), "day") {
       Tables.events(spark, sfDir).withColumn("day", to_date(col("ts")))
     }
 
@@ -40,7 +40,7 @@ object PartitionedSink {
     * any dashboard/backfill window. */
   def q82PartitionPruning(spark: SparkSession, sfDir: String): DataFrame = {
     val t = eventsDaily(spark, sfDir) // ensure the table exists
-    val firstDay = spark.sql(s"SHOW PARTITIONS ${eventsDailyName(sfDir)}")
+    val firstDay = spark.sql(s"SHOW PARTITIONS ${eventsDailyName(spark, sfDir)}")
       .collect().map(_.getString(0).stripPrefix("day=")).min
     t.where(col("day") === lit(java.sql.Date.valueOf(firstDay)))
       .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"),

@@ -68,6 +68,23 @@ class BmpSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Bmp.decode(trunc))
   }
 
+  test("decodeDims agrees with decode and rejects the same byte streams") {
+    // the header-only parse (q41's dims-only seam) must accept exactly
+    // what decode accepts and report the same dimensions, with no
+    // raster copy — shared validateHeader makes divergence impossible,
+    // this pins the contract from outside
+    for ((w, h) <- Seq((3, 2), (5, 4), (4, 1), (19, 15))) {
+      val enc = Bmp.encode(w, h, Array.tabulate(w * h * 3)(_.toByte))
+      assert(Bmp.decodeDims(enc) === (w, h))
+    }
+    intercept[IllegalArgumentException](Bmp.decodeDims(Array[Byte](1, 2, 3)))
+    val bad = Bmp.encode(2, 2, new Array[Byte](12))
+    bad(28) = 8
+    intercept[IllegalArgumentException](Bmp.decodeDims(bad))
+    val trunc = Bmp.encode(4, 4, new Array[Byte](48)).dropRight(5)
+    intercept[IllegalArgumentException](Bmp.decodeDims(trunc))
+  }
+
   test("fixture render parses back to its generation parameters") {
     // the generator/decoder pair used by q27/q41/q38, checked directly
     // on a text: dims from bmpDims, pixels recovered exactly

@@ -73,6 +73,22 @@ class SpanGramsParitySpec extends SparkSpec {
       s"interpreted lambda in the census build:\n$plan")
   }
 
+  test("graft_span_grams rejects nullable-element arrays and width < 1") {
+    // the public SQL surface: a nullable-element array would NPE in the
+    // native loop / violate the declared non-null `w` field, and
+    // width < 1 would stamp a nonsense empty-gram key on every
+    // position — both must fail at analysis, not at runtime
+    val nullable = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_span_grams(array('a', NULL, 'b'), 2)").collect()
+    }
+    assert(nullable.getMessage.toLowerCase.contains("non-null") ||
+      nullable.getMessage.toLowerCase.contains("nullable"))
+    val zeroWidth = intercept[Exception] {
+      spark.sql("SELECT graft_span_grams(graft_tokens('a b c'), 0)").collect()
+    }
+    assert(zeroWidth.getMessage.contains(">= 1"))
+  }
+
   test("graft_span_grams is SQL-registered with the same semantics") {
     val got = spark.sql(
       "SELECT graft_span_grams(graft_tokens('a b c d e f g h i'), 8) AS s")

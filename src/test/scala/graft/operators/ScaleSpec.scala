@@ -114,7 +114,7 @@ class ScaleSpec extends SparkSpec {
     // inputFiles reflects the post-pruning listing: ONE day's directory
     val t = PartitionedSink.eventsDaily(spark, sfDir)
     val days = spark.sql(
-      s"SHOW PARTITIONS ${PartitionedSink.eventsDailyName(sfDir)}")
+      s"SHOW PARTITIONS ${PartitionedSink.eventsDailyName(spark, sfDir)}")
       .collect().map(_.getString(0).stripPrefix("day=")).sorted
     assert(days.length > 1, s"need multiple partitions to prove pruning: ${
       days.toSeq}")

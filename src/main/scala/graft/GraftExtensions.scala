@@ -77,6 +77,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.SpanGrams(children.head, w)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_word_shingles"),
+      info(classOf[graft.functions.WordShingles].getName, "graft_word_shingles",
+        "graft_word_shingles(tokens, n) - distinct space-joined n-token " +
+          "shingles in first-occurrence order; a shorter-than-n document " +
+          "yields its whole token sequence, an empty one the empty string"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 && children(1).foldable,
+          "graft_word_shingles(tokens, n): n must be a literal")
+        val n = children(1).eval().asInstanceOf[Number].intValue
+        require(n >= 1, s"graft_word_shingles: n must be >= 1, got $n")
+        graft.functions.WordShingles(children.head, n)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      info(classOf[graft.functions.WinnowFingerprints].getName, "graft_winnow",
+        "graft_winnow(text, gram, window) - winnowing fingerprints " +
+          "(Schleimer et al.): distinct sliding-window minima of the " +
+          "60-bit md5 keys of the text's gram-char shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3 &&
+          children(1).foldable && children(2).foldable,
+          "graft_winnow(text, gram, window): gram and window must be literals")
+        val g = children(1).eval().asInstanceOf[Number].intValue
+        val w = children(2).eval().asInstanceOf[Number].intValue
+        require(g >= 1 && w >= 1,
+          s"graft_winnow: gram and window must be >= 1, got $g/$w")
+        graft.functions.WinnowFingerprints(children.head, g, w)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_quality"),
       info(graft.operators.TextQueries.getClass.getName, "graft_quality",
         "graft_quality(text) - q24 quality score from length/alnum/" +

@@ -86,14 +86,22 @@ object Text {
         i => norm.substr(i, lit(n))))
   }
 
-  /** Word n-gram shingles (n consecutive tokens joined by a space).
-    *
-    * NOTE — interpreted-HOF pitfall: the lambda body captures the whole
-    * `toks` subtree, and higher-order functions re-evaluate their body per
-    * element interpreted, so this costs O(tokens · doc_length) per doc.
-    * Fine for small arrays / one-off use; every hot path should use
-    * [[shingleRows]] instead. */
-  def wordShingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles (n consecutive tokens joined by a space),
+    * first-occurrence-ordered distinct — the native [[WordShingles]]
+    * expression: one JVM loop, participates in whole-stage codegen.
+    * (The previous transform/slice/array_join lambda was HOF-interpreted
+    * — CodegenAudit's last class-3 survivor on the corpus scans; kept
+    * below as the differential reference.) */
+  def wordShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      WordShingles(org.apache.spark.sql.graftbridge.Bridge.expression(
+        tokens(text)), n))
+
+  /** The pre-round-10 higher-order-function formulation of
+    * [[wordShingles]], kept as the DIFFERENTIAL REFERENCE for
+    * WordShinglesParitySpec: same semantics, interpreted evaluation.
+    * Never used in a shipped plan. */
+  private[graft] def wordShinglesHofReference(text: Column, n: Int): Column = {
     val toks = tokens(text)
     array_distinct(
       transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
@@ -101,24 +109,33 @@ object Text {
   }
 
   /** Distinct word n-gram shingles as ROWS: (idCol, "s") — the scalable
-    * formulation for dedup/similarity pipelines. Tokenizes each document
-    * exactly once (posexplode), forms n-grams with `lead` windows (all
-    * codegen'd), and dedups with a distinct — versus [[wordShingles]],
-    * whose per-element lambda re-evaluates the tokenizer O(n) times per
-    * document (measured 15× marginal cost at sf0.1).
+    * formulation for dedup/similarity pipelines, and since round 10 a
+    * PURE MAP-SIDE plan: tokenize once ([[Tokenize]], native), build the
+    * per-document distinct shingle set in one loop ([[WordShingles]],
+    * native), explode. No exchange, no sort, no window — the previous
+    * `posexplode → lead(tok, k) over (partition by doc_id)` formulation
+    * shuffled the whole token corpus on doc_id purely to realign tokens
+    * that were adjacent in the source array (kept below as the
+    * differential reference).
     *
     * Edge parity with the array formulation / DuckDB oracle: a document
     * shorter than n tokens yields its whole text as one shingle; a
     * document with no tokens yields the empty-string shingle.
     */
-  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol),
+      explode(wordShingles(col(textCol), n)).as("s"))
+
+  /** The pre-round-10 window formulation of [[shingleRows]], kept as the
+    * DIFFERENTIAL REFERENCE for WordShinglesParitySpec: same output set,
+    * built via a doc_id exchange + window realignment. Never used in a
+    * shipped plan. */
+  private[graft] def shingleRowsWindowReference(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val byDoc = Window.partitionBy(idCol).orderBy("pos")
     // posexplode_OUTER keeps one (null pos, null token) row for a
     // token-less document, which the concat_ws below renders as the
-    // empty-string shingle — the second full-corpus tokenize pass a
-    // separate `where size(tokens) === 0` branch used to pay just to
-    // find those rare docs is gone (one pass, as this scaladoc always
-    // claimed)
+    // empty-string shingle
     val toks = docs.select(col(idCol), posexplode_outer(tokens(col(textCol))))
     toks
       .select(col(idCol), col("pos"),

@@ -258,21 +258,35 @@ object TextQueries {
   /** Q26: winnowing fingerprint — 8-char shingles of the normalized text,
     * hashed to 60-bit ints (md5 prefix), min-hash per sliding window of 4;
     * a doc's fingerprint set is the distinct window minima (Schleimer et
-    * al., SIGMOD'03). Reported as (count, min) per doc — integer-exact. */
+    * al., SIGMOD'03). Reported as (count, min) per doc — integer-exact.
+    * The gram-hash + window-min pipeline is the native
+    * [[graft.functions.WinnowFingerprints]] expression (one fused loop;
+    * the previous nested transform lambdas were the suite's last
+    * interpreted per-position HOFs — see WinnowParitySpec's kept
+    * reference [[q26HofReference]]). */
   def q26Fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
-    val norm = Text.normalized(col("text"))
+    import org.apache.spark.sql.graftbridge.Bridge
+    val fps = Bridge.column(graft.functions.WinnowFingerprints(
+      Bridge.expression(Text.normalized(col("text"))), 8, 4))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), fps.as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("fp_cnt"),
+        array_min(col("fps")).as("fp_min"))
+      .orderBy("doc_id")
+  }
+
+  /** The pre-round-10 nested-HOF formulation of q26's fingerprint array,
+    * kept as the DIFFERENTIAL REFERENCE for WinnowParitySpec: same
+    * semantics, interpreted evaluation. Never used in a shipped plan. */
+  private[graft] def q26HofReference(text: Column): Column = {
+    val norm = Text.normalized(text)
     val hashes = transform(
       sequence(lit(1), greatest(length(norm) - 7, lit(1))),
       i => conv(substring(md5(norm.substr(i, lit(8))), 1, 15), 16, 10)
         .cast("long"))
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), hashes.as("hs"))
-      .select(col("doc_id"), array_distinct(transform(
-        sequence(lit(1), greatest(size(col("hs")) - 3, lit(1))),
-        j => array_min(slice(col("hs"), j, lit(4))))).as("fps"))
-      .select(col("doc_id"), size(col("fps")).as("fp_cnt"),
-        array_min(col("fps")).as("fp_min"))
-      .orderBy("doc_id")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(hashes) - 3, lit(1))),
+      j => array_min(slice(hashes, j, lit(4)))))
   }
 
   /** Q53: deterministic stratified HASH-SAMPLING — the reproducible

@@ -22,12 +22,33 @@ object Bench {
       try fn(spark, warmDir).count()
       catch { case scala.util.control.NonFatal(_) => () }
     }
+    // 1-minute loadavg snapshot — recorded around the single-sample
+    // phases so a reader can tell "the box was loaded" from "the build
+    // regressed" (r9's committed artifacts_sec read 114 s on a loaded
+    // box vs 53.6 s idle; a single sample can't defend itself without
+    // its load context)
+    def load1(): Double = scala.util.Try(
+      scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").head.toDouble).getOrElse(-1.0)
+    // min-of-N for the re-runnable one-off metrics (the refresh/rebuild
+    // pairs are PLANS, re-executed per call, so re-sampling is honest):
+    // a single sample on this shared box can catch a 2-7x load spike,
+    // and r9's committed JSON inverted the refresh-vs-rebuild crossover
+    // exactly that way (2.06 vs 1.61 committed; 0.76 vs 0.94 idle)
+    val oneoffRuns = 3
+    def minTimed(thunk: => Unit): Double = scala.util.Try(
+      (1 to oneoffRuns).map { _ =>
+        val t = System.nanoTime(); thunk; (System.nanoTime() - t) / 1e9
+      }.min).getOrElse(-1.0)
     // Materialize the shared artifacts (shingles, signatures) for the
     // TIMED scale dir up front and report their one-off build cost as its
     // own metric. Consumers would otherwise pay the build on their first
     // timed run and min-of-2 would silently hide it — the honest
     // accounting is "one artifact job + N cheap consumers", which is also
-    // exactly the production shape.
+    // exactly the production shape. Artifact builds happen ONCE per
+    // session (the registry caches), so this metric is inherently a
+    // single sample — it carries its loadavg bracket instead.
+    val artLoadBefore = load1()
     val tArt = System.nanoTime()
     val artifactsSec = scala.util.Try {
       operators.TextQueries.docFeatures(spark, sfDir).count()
@@ -49,10 +70,12 @@ object Bench {
         operators.ProductQuantization.K256).count()
       operators.CurationPipeline.refreshedShingles(spark, sfDir).count()
       operators.CurationPipeline.refreshedSignatures(spark, sfDir).count()
+      operators.CurationPipeline.refreshedSpanFeatures(spark, sfDir).count()
       operators.ProductQuantization.refreshedPqIndex(spark, sfDir).count()
       sources.PartitionedSink.eventsDaily(spark, sfDir).count()
       (System.nanoTime() - tArt) / 1e9
     }.getOrElse(-1.0)
+    val artLoadAfter = load1()
     // the staged snapshot diffs' BUILD cost, on its own (they were built
     // by the refresh prebuilds above, so this re-derives them through
     // the same plans, timed): the honest refresh accounting is "ONE
@@ -60,41 +83,50 @@ object Bench {
     // refresh_sec/pq_refresh_sec numbers below measure the per-consumer
     // refresh against the staged diff, and delta_sec is the shared
     // one-off they amortize
-    val deltaSec = scala.util.Try {
-      val t = System.nanoTime()
+    val deltaSec = minTimed {
       operators.CurationPipeline.computeSnapshotDelta(spark, sfDir).count()
       operators.ProductQuantization.computeVectorDelta(spark, sfDir).count()
-      (System.nanoTime() - t) / 1e9
-    }.getOrElse(-1.0)
+      ()
+    }
     // the incremental-refresh claim, measured: applying q79's delta to
     // the base shingle artifact vs re-shingling snapshot B from scratch.
     // Refresh cost must scale with the delta (~27% of docs under q79's
     // rules), not the corpus — this pair of numbers is that evidence.
-    val refreshSec = scala.util.Try {
-      val t = System.nanoTime()
+    val refreshSec = minTimed {
       operators.CurationPipeline.computeRefreshedShingles(spark, sfDir).count()
-      (System.nanoTime() - t) / 1e9
-    }.getOrElse(-1.0)
-    val rebuildSec = scala.util.Try {
-      val t = System.nanoTime()
+      ()
+    }
+    val rebuildSec = minTimed {
       graft.functions.Text.shingleRows(
         operators.CurationPipeline.snapshotB(Tables.documents(spark, sfDir)),
         "doc_id", "text", 3).count()
-      (System.nanoTime() - t) / 1e9
-    }.getOrElse(-1.0)
+      ()
+    }
     // the same refresh-vs-rebuild pair for the ANN index family: the
     // q91 delta-applied code table against coding snapshot B in full
     // with the same frozen model
-    val pqRefreshSec = scala.util.Try {
-      val t = System.nanoTime()
+    val pqRefreshSec = minTimed {
       operators.ProductQuantization.computeRefreshedPqCodes(spark, sfDir).count()
-      (System.nanoTime() - t) / 1e9
-    }.getOrElse(-1.0)
-    val pqRebuildSec = scala.util.Try {
-      val t = System.nanoTime()
+      ()
+    }
+    val pqRebuildSec = minTimed {
       operators.ProductQuantization.computeSnapshotBPqCodes(spark, sfDir).count()
-      (System.nanoTime() - t) / 1e9
-    }.getOrElse(-1.0)
+      ()
+    }
+    // the q95 pair: the positional census (the most expensive artifact
+    // at scale) refreshed from the staged delta vs rebuilt from scratch
+    // over snapshot B
+    val spanRefreshSec = minTimed {
+      operators.CurationPipeline
+        .computeRefreshedSpanFeatures(spark, sfDir).count()
+      ()
+    }
+    val spanRebuildSec = minTimed {
+      operators.DedupQueries.spanFeaturesOf(
+        operators.CurationPipeline.snapshotB(Tables.documents(spark, sfDir))
+          .select("doc_id", "text")).count()
+      ()
+    }
     // min across INTERLEAVED full-suite passes: this box is shared and
     // load spikes inflate single samples 2-7x. Back-to-back repeats of
     // one query land both samples inside the same spike (round 4 showed
@@ -128,7 +160,17 @@ object Bench {
     // MB can't show — a round-over-round jump here is a state leak
     val stateByQuery = scala.collection.mutable.Map.empty[String, (Long, Long)]
     val samples = (1 to passes).map { pass =>
-      names.map { case (name, fn) =>
+      val arr = new Array[Double](names.size)
+      // per-pass DETERMINISTIC shuffle of the query order (seeded by the
+      // pass number, so runs reproduce): with a fixed alphabetical order
+      // a single load burst poisons the same contiguous stretch in every
+      // pass it spans — r9's committed run carried spreads of 8-36 on
+      // exactly q30-q42 — whereas with per-pass orders a burst lands on
+      // a DIFFERENT subset each pass and the per-query min survives
+      val order = new scala.util.Random(1000003L * pass)
+        .shuffle(names.indices.toList)
+      order.foreach { i =>
+        val (name, fn) = names(i)
         // on the counted pass, start from a drained bus so the previous
         // query's in-flight events can't leak into this window
         if (pass == passes) {
@@ -143,7 +185,7 @@ object Bench {
         val before = shuffleBytes.get()
         // a failed query must read as -1, not as a suspiciously fast run
         // (NonFatal: let OOM and friends abort the whole run visibly)
-        try {
+        arr(i) = try {
           fn(spark, sfDir).count()
           val dt = (System.nanoTime() - t0) / 1e9
           if (pass == passes) {
@@ -157,6 +199,7 @@ object Bench {
         }
         catch { case scala.util.control.NonFatal(_) => -1.0 }
       }
+      arr.toSeq
     }
     val results = names.zipWithIndex.map { case ((name, _), i) =>
       val times = samples.map(_(i))
@@ -203,7 +246,7 @@ object Bench {
     // map — the one map a reader must have — goes LAST, with the
     // diagnostic maps (spread, shuffle) just before it
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"sf":${GraftSession.jsonString(sfDir)},"loadavg":$loadavg,"runs_per_query":$passes,"interleaved":true,"artifacts_sec":$artifactsSec,"delta_sec":$deltaSec,"refresh_sec":$refreshSec,"full_rebuild_sec":$rebuildSec,"pq_refresh_sec":$pqRefreshSec,"pq_rebuild_sec":$pqRebuildSec,"state_rows":$st,"pass_spread":$sp,"shuffle_mb":$sh,"queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"sf":${GraftSession.jsonString(sfDir)},"loadavg":$loadavg,"runs_per_query":$passes,"interleaved":true,"shuffled_order":true,"oneoff_runs":$oneoffRuns,"artifacts_sec":$artifactsSec,"artifacts_load":[$artLoadBefore,$artLoadAfter],"delta_sec":$deltaSec,"refresh_sec":$refreshSec,"full_rebuild_sec":$rebuildSec,"pq_refresh_sec":$pqRefreshSec,"pq_rebuild_sec":$pqRebuildSec,"span_refresh_sec":$spanRefreshSec,"span_rebuild_sec":$spanRebuildSec,"state_rows":$st,"pass_spread":$sp,"shuffle_mb":$sh,"queries":$qs}"""
     println(json)
     // also land the line in a file: sbt interleaves its own log lines with
     // stdout, so a driver grepping the tail can mis-parse — a dedicated

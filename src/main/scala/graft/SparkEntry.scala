@@ -157,6 +157,12 @@ object SparkEntry {
     // signatures from the base signature table + the refreshed-shingle
     // delta; the oracle recomputes them from scratch.
     "q83_signature_refresh" -> (CurationPipeline.q83SignatureRefresh _),
+    // q95 applies the refresh discipline to the SPAN-FEATURE artifact —
+    // the most expensive artifact at scale and (until now) the only one
+    // in the family without an incremental path; the oracle recomputes
+    // snapshot B's positional census from scratch, so the hash gate IS
+    // refresh ≡ rebuild for the substring-dedup input.
+    "q95_span_refresh"  -> (CurationPipeline.q95SpanRefresh _),
   )
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
@@ -1622,6 +1628,41 @@ object SparkEntry {
       (shingleCteB + ",\n" + sigCtes + "\n" +
         "SELECT doc_id, array_to_string(sig, ',') AS sig_csv FROM sigarr" +
         "\nORDER BY doc_id"),
+    // q95: snapshot B's span features FROM SCRATCH — tokenize the B
+    // derivation and replay the positional census (every token
+    // position; the q88 60-bit md5 gram key at full-width starts),
+    // digested per doc with integer-exact aggregates including an
+    // order-independent bit_xor positional checksum. The Spark side
+    // reads the incrementally refreshed artifact, so equality proves
+    // the delta-applied census identical to a full rebuild.
+    "q95_span_refresh" -> {
+      val w = DedupQueries.SpanTokens
+      s"""WITH bdocs AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 10 = 3 THEN text || ' updated v2'
+         |              ELSE text END AS text
+         |  FROM documents WHERE doc_id % 10 <> 7
+         |  UNION ALL
+         |  SELECT -(doc_id + 1), text FROM documents WHERE doc_id % 10 = 1),
+         |toksb AS (
+         |  SELECT doc_id, list_filter(list_transform(
+         |           string_split_regex(lower(text), '[^a-z0-9]+'),
+         |           x -> substr(x, 1, 255)), x -> length(x) > 0) AS t
+         |  FROM bdocs),
+         |tpos AS (
+         |  SELECT doc_id, (i - 1)::BIGINT AS pos, t[i] AS w,
+         |         CASE WHEN i <= len(t) - ${w - 1} THEN
+         |           ('0x' || substr(md5(array_to_string(t[i:i+${w - 1}], ' ')),
+         |                           1, 15))::BIGINT
+         |         END AS g
+         |  FROM (SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t
+         |        FROM toksb WHERE len(t) >= 1) u)
+         |SELECT doc_id, count(*)::BIGINT AS n_pos, count(g)::BIGINT AS n_grams,
+         |       sum(length(w))::BIGINT AS len_sum,
+         |       bit_xor(g + pos)::BIGINT AS g_xor,
+         |       min(g)::BIGINT AS g_min
+         |FROM tpos GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     // q81: plain join over the same deterministic skewed derivation —
     // the salted join must produce identical aggregates.
     "q81_skew_join" ->

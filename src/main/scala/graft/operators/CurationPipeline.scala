@@ -534,6 +534,69 @@ object CurationPipeline {
       .orderBy("source")
   }
 
+  /** q95's build plan: the incremental refresh applied to the SPAN-
+    * FEATURE artifact — per SCALING.md's own extrapolation the single
+    * most expensive artifact at 100 TB (the ~200 TB one-shot census
+    * shuffle at 10^13 positions), and until this round the only one in
+    * the family (shingles q80, signatures q83, PQ codes q91) that
+    * rebuilt from scratch on any snapshot change. Same discipline as
+    * [[computeRefreshedShingles]]: drop the staged delta's removed/
+    * modified doc_ids from the base artifact (anti join — the base
+    * side reads its bucket layout in place, only the delta-sized id
+    * list moves), run the tokenize→native-census pass over ONLY the
+    * added/modified documents, union. Span features are strictly
+    * per-document (position, token, gram key — nothing cross-doc), so
+    * refresh ≡ rebuild is exact, and the recurring census cost scales
+    * with the recrawl delta instead of the corpus. Public so the spec
+    * can pin the build shape (base artifact scanned, never
+    * re-tokenized). */
+  def computeRefreshedSpanFeatures(spark: SparkSession,
+                                   sfDir: String): DataFrame = {
+    val delta = snapshotDeltaStaged(spark, sfDir)
+      .select("doc_id", "change")
+    val stale = delta.where(col("change").isin("removed", "modified"))
+      .select("doc_id")
+    val freshIds = delta.where(col("change").isin("added", "modified"))
+      .select("doc_id")
+    val freshDocs = snapshotB(Tables.documents(spark, sfDir))
+      .join(freshIds, Seq("doc_id"))
+      .select("doc_id", "text")
+    DedupQueries.spanFeatures(spark, sfDir)
+      .join(stale, Seq("doc_id"), "left_anti")
+      .unionByName(DedupQueries.spanFeaturesOf(freshDocs))
+  }
+
+  /** The refreshed (snapshot-B) span-feature ARTIFACT — built once per
+    * (session, scale dir) by the incremental path above, bucketed on
+    * doc_id like the base artifact. OperatorSpec proves it row-identical
+    * to a from-scratch census of snapshot B; Bench times the two builds
+    * against each other (span_refresh_sec vs span_rebuild_sec). */
+  def refreshedSpanFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Artifacts.materialize(spark,
+      "graft_spanfeat_b_" + graft.Tables.dirKey(spark, sfDir), "doc_id") {
+      computeRefreshedSpanFeatures(spark, sfDir)
+    }
+
+  /** Q95: SPAN-FEATURE REFRESH — the per-document census digest of the
+    * incrementally refreshed artifact: position count, full-width gram
+    * count, token-length mass, and an order-independent positional
+    * checksum (bit_xor of g + pos) with the minimum gram key. The
+    * oracle recomputes snapshot B's span features FROM SCRATCH in
+    * DuckDB (tokenize → positional 60-bit gram keys — the q88 key
+    * construction over the q79 B derivation), so the hash gate is
+    * exactly the claim "refresh ≡ full rebuild": a stale row kept, a
+    * fresh row missed, or a duplicated row shifts a count or the xor.
+    * All integer-exact; no float crosses the gate. */
+  def q95SpanRefresh(spark: SparkSession, sfDir: String): DataFrame =
+    refreshedSpanFeatures(spark, sfDir)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pos"),
+        count(col("g")).as("n_grams"),
+        sum(length(col("w"))).as("len_sum"),
+        expr("bit_xor(g + pos)").as("g_xor"),
+        min(col("g")).as("g_min"))
+      .orderBy("doc_id")
+
   /** Q93: TOKEN-DISTRIBUTION DRIFT between snapshots A and B — the
     * monitoring step of the recrawl story (q79 says WHICH documents
     * changed; this says what the change did to the TOKEN MIX the model

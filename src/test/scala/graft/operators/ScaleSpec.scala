@@ -310,6 +310,41 @@ class ScaleSpec extends SparkSpec {
       s"delta side should be a minority of the corpus: $shingledDocs of $docs")
   }
 
+  test("q95 span-feature refresh is row-identical to a from-scratch census") {
+    // the refresh contract applied to the positional census: q79's
+    // delta against the snapshot-A spanFeatures artifact must yield
+    // exactly the native census of snapshot B — positions, tokens, and
+    // gram keys included (except() compares full rows, nulls matched).
+    val refreshed = CurationPipeline.refreshedSpanFeatures(spark, sfDir)
+    val scratch = DedupQueries.spanFeaturesOf(
+      CurationPipeline.snapshotB(Tables.documents(spark, sfDir))
+        .select("doc_id", "text"))
+    assert(refreshed.count() === scratch.count())
+    assert(refreshed.except(scratch).count() === 0L,
+      "refreshed census has rows a from-scratch rebuild would not")
+    assert(scratch.except(refreshed).count() === 0L,
+      "refreshed census is missing rows a from-scratch rebuild has")
+  }
+
+  test("q95 refresh build reads the base artifact; only the delta is tokenized") {
+    // the point of the refresh: the unchanged majority's positions come
+    // from the bucketed base table, and the tokenize+census subtree
+    // (the 100 TB cost center) runs over the delta join only
+    DedupQueries.spanFeatures(spark, sfDir).count() // base must pre-exist
+    val df = CurationPipeline.computeRefreshedSpanFeatures(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_spanfeat_"),
+      s"refresh build must scan the base span-feature artifact:\n${plan.take(4000)}")
+    // exactly ONE census subtree (the fresh side); a full rebuild's
+    // would be the only tokenizer, but here it must sit under the
+    // delta join, and the base side carries none
+    val censuses = "graft_span_grams".r.findAllIn(plan).size
+    assert(censuses >= 1, s"no native census in the refresh build:\n${plan.take(4000)}")
+    assert(!plan.split("graft_spanfeat_").head.contains("graft_span_grams"),
+      "base side of the refresh must not re-run the census")
+  }
+
   test("q83 chained signature refresh is row-identical to a from-scratch build") {
     // the chain claim: base signatures copied for unchanged docs + delta
     // signatures recomputed from the refreshed shingles must equal the

@@ -157,6 +157,12 @@ object SparkEntry {
     // signatures from the base signature table + the refreshed-shingle
     // delta; the oracle recomputes them from scratch.
     "q83_signature_refresh" -> (CurationPipeline.q83SignatureRefresh _),
+    // q96 LEARNS the BPE merge table q74 applies: 25 rounds of
+    // most-frequent-adjacent-pair merges over the corpus word-frequency
+    // relation (vocab-sized exchanges; only the 1-row argmax reaches
+    // the driver per round); the oracle replays the identical loop in
+    // DuckDB, so the hash gate pins the whole merge trajectory.
+    "q96_bpe_learn"     -> (TextQueries.q96BpeLearn _),
     // q95 applies the refresh discipline to the SPAN-FEATURE artifact —
     // the most expensive artifact at scale and (until now) the only one
     // in the family without an incremental path; the oracle recomputes
@@ -1628,6 +1634,70 @@ object SparkEntry {
       (shingleCteB + ",\n" + sigCtes + "\n" +
         "SELECT doc_id, array_to_string(sig, ',') AS sig_csv FROM sigarr" +
         "\nORDER BY doc_id"),
+    // q96: the BPE merge loop REPLAYED in DuckDB — 25 chained CTE
+    // rounds, each computing the weighted adjacent-pair counts over the
+    // previous round's segmentation, picking the argmax under the same
+    // deterministic tie-break (freq DESC, then pair asc), and applying
+    // the merge with window-function run parity (greedy left-to-right:
+    // within a run of overlapping candidates, even offsets merge —
+    // "a a a a" + (a,a) → "aa aa" — exactly the Spark fold's pending-
+    // symbol behavior). Any divergence in one round's choice cascades
+    // into every later row, so the hash gate pins the trajectory.
+    "q96_bpe_learn" -> {
+      val rounds = TextQueries.BpeUnits.length
+      val sb = new StringBuilder
+      sb.append(
+        """WITH words AS (
+          |  SELECT w AS word, count(*) AS cnt FROM (
+          |    SELECT substr(x, 1, 255) AS w FROM (
+          |      SELECT unnest(regexp_split_to_array(lower(text),
+          |                    '[^a-z0-9]+')) AS x
+          |      FROM documents) r
+          |    WHERE length(x) > 0) t
+          |  GROUP BY w),
+          |seg0 AS MATERIALIZED (SELECT word, cnt,
+          |           [substr(word, x, 1) for x in range(1, length(word) + 1)]
+          |             AS syms
+          |         FROM words)""".stripMargin)
+      for (k <- 1 to rounds) {
+        val p = k - 1
+        sb.append(s""",
+          |p$k AS (SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
+          |               sum(cnt) AS freq
+          |        FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i
+          |              FROM seg$p) s
+          |        GROUP BY 1, 2),
+          |b$k AS MATERIALIZED (SELECT lhs, rhs, freq FROM p$k
+          |        ORDER BY freq DESC, lhs, rhs LIMIT 1),
+          |e$k AS (SELECT word, cnt, i, syms[i] AS s, syms[i + 1] AS nxt
+          |        FROM (SELECT word, cnt, syms,
+          |                     unnest(range(1, len(syms) + 1)) AS i
+          |              FROM seg$p) s),
+          |c$k AS MATERIALIZED (SELECT e.*, CASE WHEN e.s = b.lhs AND e.nxt = b.rhs
+          |                         THEN 1 ELSE 0 END AS cand
+          |        FROM e$k e CROSS JOIN b$k b),
+          |st$k AS MATERIALIZED (SELECT word, i FROM (
+          |           SELECT word, i, row_number() OVER (
+          |             PARTITION BY word, grp ORDER BY i) - 1 AS off
+          |           FROM (SELECT word, i, i - row_number() OVER (
+          |                   PARTITION BY word ORDER BY i) AS grp
+          |                 FROM c$k WHERE cand = 1) g) z
+          |         WHERE off % 2 = 0),
+          |seg$k AS MATERIALIZED (SELECT c.word, min(c.cnt) AS cnt,
+          |                 list(CASE WHEN s1.i IS NOT NULL THEN c.s || c.nxt
+          |                           ELSE c.s END ORDER BY c.i) AS syms
+          |          FROM c$k c
+          |          LEFT JOIN st$k s1 ON s1.word = c.word AND s1.i = c.i
+          |          LEFT JOIN st$k s0 ON s0.word = c.word AND s0.i = c.i - 1
+          |          WHERE s0.i IS NULL
+          |          GROUP BY c.word)""".stripMargin)
+      }
+      sb.append("\n" + (1 to rounds).map(k =>
+          s"SELECT $k AS merge_rank, lhs, rhs, lhs || rhs AS merged, " +
+            s"freq::BIGINT AS freq FROM b$k")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY merge_rank"))
+      sb.toString
+    },
     // q95: snapshot B's span features FROM SCRATCH — tokenize the B
     // derivation and replay the positional census (every token
     // position; the q88 60-bit md5 gram key at full-width starts),

@@ -188,20 +188,23 @@ object TextQueries {
         length(col("text")).as("chars"))
       .orderBy("doc_id")
 
-  /** Subword vocabulary for q74 — learned OFFLINE by 25 rounds of
-    * byte-pair-encoding merges over the corpus word-frequency table
-    * (most-frequent adjacent pair merges, Sennrich et al., "Neural
-    * machine translation of rare words with subword units", ACL 2016)
-    * and committed here the way a production pipeline commits its
-    * tokenizer's vocab file. Inference is greedy longest-match (maximal
-    * munch — the WordPiece inference rule, Wu et al. 2016; Song et al.,
-    * "Fast WordPiece tokenization", EMNLP 2021); any position no unit
-    * matches consumes one character as one piece, so single characters
-    * never need vocab entries and the scan is total on [a-z0-9]+. */
+  /** Subword vocabulary for q74 — the 25 merge units [[learnBpeMerges]]
+    * (q96's distributed byte-pair-encoding learner, Sennrich et al.,
+    * "Neural machine translation of rare words with subword units",
+    * ACL 2016) produces on the fixture corpus, committed here the way a
+    * production pipeline freezes its tokenizer's vocab file after
+    * training. OperatorSpec re-runs the learner on the fixture and pins
+    * equality, so the committed vocab is REPRODUCIBLY learnable — the
+    * full train→freeze→apply loop, not a hand-picked list. Inference is
+    * greedy longest-match (maximal munch — the WordPiece inference
+    * rule, Wu et al. 2016; Song et al., "Fast WordPiece tokenization",
+    * EMNLP 2021); any position no unit matches consumes one character
+    * as one piece, so single characters never need vocab entries and
+    * the scan is total on [a-z0-9]+. */
   val BpeUnits: Seq[String] = Seq(
-    "er", "in", "ow", "or", "st", "mer", "at", "lu", "pa", "par", "oin",
-    "join", "sh", "ha", "hash", "row", "ch", "bat", "batch", "sc", "sca",
-    "scan", "ust", "usto", "ustomer")
+    "er", "or", "in", "ow", "st", "lu", "ar", "par", "mer", "at", "an",
+    "can", "scan", "co", "colu", "colum", "column", "dow", "indow",
+    "window", "der", "order", "ort", "sort", "part")
 
   /** Greedy longest-match piece count of one word under [[BpeUnits]],
     * as a single `aggregate` higher-order expression: fold position
@@ -253,6 +256,103 @@ object TextQueries {
         coalesce(col("norm_tokens"), lit(0L)).as("norm_tokens"),
         coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
       .orderBy("doc_id")
+  }
+
+  /** Q96: DISTRIBUTED BPE MERGE LEARNING — the other half of the
+    * tokenizer story: q74 APPLIES a committed vocabulary; this LEARNS
+    * one from the corpus, the way a production pipeline trains its
+    * tokenizer before freezing it (Sennrich et al., ACL 2016). Returns
+    * the learned merge table: per round, the most frequent adjacent
+    * symbol pair (weighted by word frequency), its merged unit, and
+    * its count at merge time. Ties break deterministically (max count,
+    * then lexicographically smallest pair), so both engines reproduce
+    * the exact sequence.
+    *
+    * Scale shape — the published algorithm is a single-machine loop
+    * over an in-memory vocab; the distributed re-expression keeps each
+    * piece on the right side of the driver line:
+    *  - word frequencies come off the [[DedupQueries.spanFeatures]]
+    *    artifact's `w` column (one vocab-sized aggregate; the corpus is
+    *    never re-tokenized);
+    *  - the per-round pair-count aggregate runs over the VOCABULARY
+    *    relation (small by Heaps' law — the exchanges are vocab-sized,
+    *    never corpus-sized), map-side-combined like any word count;
+    *  - only the ARGMAX row (one pair) ever reaches the driver per
+    *    round — the same model/metadata-bounded collect discipline as
+    *    the k-means codebooks;
+    *  - the re-segmentation is a per-word fold (`aggregate` HOF —
+    *    interpreted, which is exactly why it runs on the vocab
+    *    relation, q74's per-DISTINCT-word argument), and each round's
+    *    segmentation is localCheckpoint'd so 25 rounds don't stack 25
+    *    plan generations into one lineage.
+    *
+    * The greedy left-to-right merge application (a run of overlapping
+    * candidates merges at even offsets: "a a a a" + (a,a) → "aa aa")
+    * falls out of the fold carrying a pending symbol; the DuckDB
+    * oracle replays the identical loop with window-function run parity,
+    * so the hash gate pins the whole 25-round trajectory — any drift
+    * in ONE round's pair choice cascades into every later row. */
+  /** Greedy left-to-right application of ONE merge (a, b) to a symbol
+    * array, as a single `aggregate` fold carrying a pending symbol:
+    * pending==a followed by b emits the merged unit and clears the
+    * pending slot (so a merged unit can't serve as the LEFT of another
+    * merge in the same round — the run-parity rule: "a a a a" + (a,a)
+    * → "aa aa"). Exposed for the spec, which pins exactly this rule. */
+  private[graft] def bpeMergeFold(syms: Column, a: String, b: String): Column = {
+    def withPend(acc: Column, pend: Column): Column =
+      when(pend =!= "", concat(acc, array(pend))).otherwise(acc)
+    aggregate(
+      syms,
+      struct(array().cast("array<string>").as("acc"), lit("").as("pend")),
+      (st, s) => when(st("pend") === a && s === b,
+          struct(concat(st("acc"), array(lit(a + b))).as("acc"),
+            lit("").as("pend")))
+        .otherwise(struct(withPend(st("acc"), st("pend")).as("acc"),
+          s.as("pend"))),
+      st => withPend(st("acc"), st("pend")))
+  }
+
+  def learnBpeMerges(spark: SparkSession, sfDir: String,
+                     rounds: Int): Seq[(Int, String, String, String, Long)] = {
+    var seg = DedupQueries.spanFeatures(spark, sfDir)
+      .groupBy(col("w").as("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"),
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))).as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    for (k <- 1 to rounds) {
+      val pairCounts = seg.where(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(
+          transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("lhs"),
+              element_at(col("syms"), i + 1).as("rhs")))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("cnt").as("freq"))
+      val top = pairCounts
+        .orderBy(desc("freq"), asc("lhs"), asc("rhs")).limit(1).collect()
+      if (top.nonEmpty) {
+        val (a, b, f) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((k, a, b, a + b, f))
+        seg = seg.select(col("word"), col("cnt"),
+            bpeMergeFold(col("syms"), a, b).as("syms"))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Q96 presented: the [[learnBpeMerges]] trajectory as a relation.
+    * OperatorSpec pins that on the fixture corpus the learned units are
+    * exactly [[BpeUnits]] — the committed vocab q74 applies IS this
+    * learner's output, closing the train→freeze→apply loop. */
+  def q96BpeLearn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    learnBpeMerges(spark, sfDir, BpeUnits.length)
+      .toDF("merge_rank", "lhs", "rhs", "merged", "freq")
+      .orderBy("merge_rank")
   }
 
   /** Q26: winnowing fingerprint — 8-char shingles of the normalized text,

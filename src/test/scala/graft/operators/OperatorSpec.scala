@@ -659,6 +659,52 @@ class OperatorSpec extends SparkSpec {
     assert(rep.map(_.getLong(5)).sum === contamTotal)
   }
 
+  test("q96 learner reproduces the committed vocab on the fixture corpus") {
+    // the train→freeze→apply loop: BpeUnits (the vocab q74 applies) is
+    // COMMITTED as the output of q96's distributed learner on this
+    // fixture corpus — re-running the learner must reproduce it merge
+    // for merge, in order. A drift in pair counting, tie-break, or
+    // greedy application shows up as a different trajectory here (and
+    // corpus-wide as a q96 oracle-hash mismatch).
+    val got = TextQueries.q96BpeLearn(spark, sfDir).collect()
+    assert(got.map(_.getString(3)).toSeq === TextQueries.BpeUnits)
+    // well-formedness: ranks 1..n dense, merged = lhs || rhs, freq >= 1
+    assert(got.map(_.getInt(0)).toSeq === (1 to TextQueries.BpeUnits.length))
+    got.foreach { r =>
+      assert(r.getString(1) + r.getString(2) === r.getString(3))
+      assert(r.getLong(4) >= 1L)
+    }
+  }
+
+  test("q96 greedy merge application: overlapping runs merge at even offsets") {
+    // the "a a a a" + (a,a) -> "aa aa" rule, pinned on the SHIPPED fold
+    // (the DuckDB oracle implements the same rule via window run parity,
+    // so this is the JVM half of that differential)
+    import spark.implicits._
+    val expect = Map(
+      "aaaa" -> Seq("aa", "aa"),   // run of 3 candidates: even offsets merge
+      "aaa"  -> Seq("aa", "a"),
+      "baab" -> Seq("b", "aa", "b"), // isolated candidate mid-word
+      "abab" -> Seq("ab", "ab"),     // under (a,b): non-overlapping chain
+      "b"    -> Seq("b"))            // no candidate: unchanged
+    val folded = expect.keys.toSeq.toDF("word")
+      .select(col("word"),
+        TextQueries.bpeMergeFold(
+          transform(sequence(lit(1), length(col("word"))),
+            i => col("word").substr(i, lit(1))), "a", "a").as("maa"),
+        TextQueries.bpeMergeFold(
+          transform(sequence(lit(1), length(col("word"))),
+            i => col("word").substr(i, lit(1))), "a", "b").as("mab"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getSeq[String](1), r.getSeq[String](2)))
+      .toMap
+    assert(folded("aaaa")._1 === expect("aaaa"))
+    assert(folded("aaa")._1 === expect("aaa"))
+    assert(folded("baab")._1 === expect("baab"))
+    assert(folded("abab")._2 === expect("abab"))
+    assert(folded("b")._1 === expect("b"))
+  }
+
   test("q74 subword counts match a JVM longest-match reference") {
     // independent reimplementation of both halves — tokenizer and greedy
     // longest-match scan — in plain Scala, compared doc by doc (the
@@ -677,8 +723,8 @@ class OperatorSpec extends SparkSpec {
       c
     }
     // the vocab must actually fire: whole-word and subword matches
-    assert(pieces("hash") === 1L)
-    assert(pieces("customer") === 2L) // c + ustomer
+    assert(pieces("window") === 1L)   // a fully-merged learned unit
+    assert(pieces("customer") === 5L) // c + u + st + o + mer
     assert(pieces("xyzzy") === 5L)    // pure single-char fallback
 
     val expected = Tables.documents(spark, sfDir)

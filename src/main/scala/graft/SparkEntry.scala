@@ -1461,32 +1461,31 @@ object SparkEntry {
       """SELECT s_nationkey, count(*) AS suppliers,
         |       round(sum(s_acctbal), 2) AS total_bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
-    // q61 runs over the WIDE media fixture: byte 2i = ascii(char i),
-    // byte 2i+1 = (7·ascii + 13) mod 256 (regularly > 0x7F). The oracle
-    // replays the per-position byte formula — offsets are BYTE offsets
-    // (hop/window even, so parity maps each byte to its char exactly).
-    // Precondition (documented on mediaTableWide): source text must be
-    // ASCII — DuckDB's ascii()/length() are codepoint semantics while
-    // the Scala side reads UTF-16 units mod 256, so a >0xFF char would
-    // diverge. The payload bytes themselves cover the full 0-255 range.
+    // q61 decodes REAL WAV containers (wavMediaTable: 2·len 16-bit PCM
+    // samples per doc, sample k = (ascii(text[k mod len])·131 + k·71)
+    // mod 65536 − 32768). The oracle replays the per-position SAMPLE
+    // formula — the Spark side must parse the RIFF container to reach
+    // the same values, so a header/chunk/LE-decode bug fires the hash
+    // gate. Precondition (documented on wavMediaTable): source text
+    // must be ASCII — DuckDB's ascii()/length() are codepoint semantics
+    // while the Scala side reads UTF-16 units.
     "q61_audio_windows" ->
       """WITH w AS (
-        |  SELECT doc_id, text, 2 * length(text) AS nb,
+        |  SELECT doc_id, text, 2 * length(text) AS ns,
         |         unnest(range(0, least(16, greatest(1, (2 * length(text)) // 128))))
         |           AS win_idx
         |  FROM documents),
         |s AS (SELECT doc_id, text, win_idx::INT AS win_idx,
         |             (win_idx * 128)::INT AS sample_offset,
-        |             least(256, nb - win_idx * 128)::INT AS n_samples
+        |             least(256, ns - win_idx * 128)::INT AS n_samples
         |      FROM w)
         |SELECT doc_id, win_idx, sample_offset, n_samples,
         |       coalesce(list_sum(
-        |         [CASE WHEN (sample_offset + i) % 2 = 0
-        |               THEN (ascii(substr(text, (sample_offset + i) // 2 + 1, 1)) - 128)
-        |                    * (ascii(substr(text, (sample_offset + i) // 2 + 1, 1)) - 128)
-        |               ELSE ((ascii(substr(text, (sample_offset + i) // 2 + 1, 1)) * 7 + 13) % 256 - 128)
-        |                    * ((ascii(substr(text, (sample_offset + i) // 2 + 1, 1)) * 7 + 13) % 256 - 128)
-        |          END for i in range(0, n_samples)]), 0)::BIGINT AS energy
+        |         [((ascii(substr(text, ((sample_offset + i) % length(text)) + 1, 1)) * 131
+        |            + (sample_offset + i) * 71) % 65536 - 32768)
+        |          * ((ascii(substr(text, ((sample_offset + i) % length(text)) + 1, 1)) * 131
+        |             + (sample_offset + i) * 71) % 65536 - 32768)
+        |          for i in range(0, n_samples)]), 0)::BIGINT AS energy
         |FROM s ORDER BY doc_id, win_idx""".stripMargin,
     "q40_range_join" ->
       """WITH e AS (SELECT event_id, ts FROM events

@@ -225,45 +225,68 @@ object MultimodalPipeline {
       .orderBy("doc_id")
   }
 
-  /** One audio analysis window: parent doc, window index, sample offset,
-    * window payload. */
-  final case class AudioWindow(doc_id: Long, win_idx: Int,
-                               sample_offset: Int, samples: Array[Byte])
+  /** Documents rendered as REAL RIFF/WAVE files carrying 16-bit PCM —
+    * the audio-table fixture q61 decodes ([[graft.functions.Wav]]; the
+    * [[bmpMediaTable]] discipline applied to audio). Sample CONTENT is
+    * a per-position formula of the text — sample k is
+    * `((c·131 + k·71) mod 65536) − 32768` with `c` the code point of
+    * `text[k mod len]`, 2·len samples per doc — full-range 16-bit
+    * values the DuckDB oracle replays per position, while the Spark
+    * side must walk the actual RIFF container (header fields, chunk
+    * layout, LE sample decode) to reach them. Same ASCII-source
+    * precondition as [[mediaTableWide]]. Encoding happens per-partition
+    * on executors (BinaryType column, never the driver). */
+  def wavMediaTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val len = text.length
+        val samples = new Array[Short](len * 2)
+        var k = 0
+        while (k < samples.length) {
+          val c = text.charAt(k % len).toInt
+          samples(k) = (((c * 131 + k * 71) % 65536) - 32768).toShort
+          k += 1
+        }
+        (id, graft.functions.Wav.encode(16000, 1, samples), "audio/wav")
+      })
+      .toDF("doc_id", "payload", "fmt")
+  }
 
   /** Q61: audio-style OVERLAPPING window framing + per-window features —
-    * the audio twin of q37's video frame sampling. What makes audio
-    * different from video frames is hop < window (here 50% overlap:
-    * window 256, hop 128), the frame/hop layout every STFT/fbank
-    * front-end uses; payload bytes stand in for 8-bit PCM samples. The
-    * per-window feature is signal energy Σ(sample−128)² — an exact
-    * integer, so the DuckDB oracle reproduces it bit-for-bit (a real
-    * pipeline swaps in an FFT/filterbank at the same mapPartitions seam).
-    * Window count capped at 16 per doc, mirroring q37's maxFrames.
-    * Reads the [[mediaTableWide]] fixture: the energy sum runs over
-    * full-range bytes (the mixed byte puts real mass on both sides of
-    * the 128 midpoint), and the oracle replays the per-position byte
-    * formula instead of assuming chars == bytes (subject to the
-    * ASCII-source precondition documented on [[mediaTableWide]]). */
+    * the audio twin of q37's video frame sampling, now over REAL WAV
+    * bytes: each record is a RIFF/WAVE container ([[wavMediaTable]])
+    * that [[graft.functions.Wav.decode]] must actually parse (magic,
+    * fmt/data chunk walk, 16-bit LE samples) before any analysis runs —
+    * the round-9 synthetic-payload seam closed with the Bmp discipline.
+    * What makes audio different from video frames is hop < window
+    * (50% overlap: window 256 samples, hop 128), the frame/hop layout
+    * every STFT/fbank front-end uses. The per-window feature is signal
+    * energy Σ s² over the decoded 16-bit samples — an exact integer
+    * (≤ 256·2³⁰ per window, far inside a long), so the DuckDB oracle
+    * reproduces it bit-for-bit by replaying the fixture's sample
+    * formula (a real pipeline swaps in an FFT/filterbank at the same
+    * mapPartitions seam). Window count capped at 16 per doc, mirroring
+    * q37's maxFrames. */
   def q61AudioWindows(spark: SparkSession, sfDir: String,
                       window: Int = 256, hop: Int = 128,
                       maxWindows: Int = 16): DataFrame = {
     import spark.implicits._
-    mediaTableWide(spark, sfDir).as[MediaRecord]
+    wavMediaTable(spark, sfDir).as[MediaRecord]
       .mapPartitions(_.flatMap { r =>
-        val n = r.payload.length
-        val nWin = math.min(maxWindows, math.max(1, n / hop))
+        val audio = graft.functions.Wav.decode(r.payload)
+        val s = audio.samples
+        val nWin = math.min(maxWindows, math.max(1, s.length / hop))
         (0 until nWin).iterator.map { i =>
           val off = i * hop
-          val end = math.min(off + window, n)
-          AudioWindow(r.doc_id, i, off, r.payload.slice(off, end))
+          val end = math.min(off + window, s.length)
+          var energy = 0L
+          var k = off
+          while (k < end) { energy += s(k).toLong * s(k); k += 1 }
+          (r.doc_id, i, off, end - off, energy)
         }
       })
-      .map { w =>
-        val energy = w.samples.foldLeft(0L) { (acc, b) =>
-          val s = (b & 0xff) - 128L; acc + s * s
-        }
-        (w.doc_id, w.win_idx, w.sample_offset, w.samples.length, energy)
-      }
       .toDF("doc_id", "win_idx", "sample_offset", "n_samples", "energy")
       .orderBy("doc_id", "win_idx")
   }

@@ -485,6 +485,44 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("wav fixture: genuine RIFF containers; q61 energies match a JVM replay") {
+    import graft.functions.Wav
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val payloads = MultimodalPipeline.wavMediaTable(spark, sfDir)
+      .limit(50).collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    assert(payloads.nonEmpty)
+    payloads.foreach { case (id, bytes) =>
+      // a real container: magic + full header, and the decoded samples
+      // are the fixture formula over the doc's text
+      assert(new String(bytes.take(4), "US-ASCII") === "RIFF", s"doc $id")
+      val a = Wav.decode(bytes)
+      assert(a.sampleRate === 16000 && a.channels === 1)
+      val t = texts(id)
+      assert(a.samples.length === 2 * t.length)
+      assert(a.samples.indices.forall { k =>
+        a.samples(k) ==
+          (((t.charAt(k % t.length).toInt * 131 + k * 71) % 65536) - 32768).toShort
+      }, s"doc $id: sample formula mismatch through the codec")
+    }
+    // q61's energy must equal a direct JVM replay over the decoded
+    // samples (the DuckDB oracle is the third implementation)
+    val got = MultimodalPipeline.q61AudioWindows(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getInt(2), r.getInt(3), r.getLong(4))))
+      .toMap
+    payloads.take(10).foreach { case (id, bytes) =>
+      val s = Wav.decode(bytes).samples
+      val nWin = math.min(16, math.max(1, s.length / 128))
+      (0 until nWin).foreach { i =>
+        val off = i * 128
+        val end = math.min(off + 256, s.length)
+        val e = (off until end).map(k => s(k).toLong * s(k)).sum
+        assert(got((id, i)) === ((off, end - off, e)), s"doc $id win $i")
+      }
+    }
+  }
+
   test("q61 audio windows advance by hop and overlap 50%") {
     val rows = MultimodalPipeline.q61AudioWindows(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))

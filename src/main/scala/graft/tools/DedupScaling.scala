@@ -86,9 +86,48 @@ object DedupScaling {
         .count()
     }
 
+    /** q94's plan shape: distinct (doc, key) → per-key document
+      * frequency → join back → per-doc novelty. q88's topology with df
+      * in place of occurrence totals — measured separately because the
+      * distinct adds one exchange the occurrence path doesn't pay. */
+    def ngramNovelty(docs: DataFrame): Long = {
+      val pos = DedupQueries.spanFeaturesOf(docs)
+        .where(col("g").isNotNull).select("doc_id", "pos", "g")
+      val gramDocs = pos.select("doc_id", "g").distinct()
+        .groupBy("g").agg(count(lit(1)).as("n_docs"))
+      pos.join(gramDocs, Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("total_spans"),
+          sum(when(col("n_docs") === 1, 1L).otherwise(0L)).as("novel_spans"))
+        .count()
+    }
+
+    /** q93's plan shape: snapshot A's tokens off the census rows,
+      * snapshot B's derived INCREMENTALLY (anti-join the stale ids,
+      * tokenize only the changed/added docs — q79's rules inlined),
+      * vocab-count aggregates both sides, full-outer drift join,
+      * 1-row broadcast totals. The exchanges after the two corpus
+      * scans are all vocab-sized — the claim this sweep checks. */
+    def tokenDrift(docs: DataFrame): Long = {
+      val aTok = DedupQueries.spanFeaturesOf(docs).select("doc_id", "w")
+      val stale = docs.where(col("doc_id") % 10 === 7 ||
+        col("doc_id") % 10 === 3).select("doc_id")
+      val b = graft.operators.CurationPipeline.snapshotB(docs)
+      val freshTok = b.where(col("doc_id") < 0 || col("doc_id") % 10 === 3)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+      val bTok = aTok.join(stale, Seq("doc_id"), "left_anti")
+        .unionByName(freshTok)
+      val joined = aTok.groupBy("w").agg(count(lit(1)).as("cnt_a"))
+        .join(bTok.groupBy("w").agg(count(lit(1)).as("cnt_b")),
+          Seq("w"), "full_outer")
+      val totals = joined.agg(sum("cnt_a").as("tot_a"), sum("cnt_b").as("tot_b"))
+      joined.crossJoin(broadcast(totals)).count()
+    }
+
     // warm codegen/scan paths once at k=1 so k-row deltas are not
     // measuring Janino compiles
     exactDedup(amplified(1)); dupSpans(amplified(1))
+    ngramNovelty(amplified(1)); tokenDrift(amplified(1))
 
     def measure(f: () => Long): (Double, Double) = {
       val runs = (1 to 3).map { _ =>
@@ -106,16 +145,20 @@ object DedupScaling {
     }
 
     val table = new StringBuilder
-    table ++= s"| k | docs | positions | q15 s | q15 MB | q88 s | q88 MB |\n"
-    table ++= "|---|---|---|---|---|---|---|\n"
+    table ++= s"| k | docs | positions | q15 s | q15 MB | q88 s | q88 MB " +
+      "| q94 s | q94 MB | q93 s | q93 MB |\n"
+    table ++= "|---|---|---|---|---|---|---|---|---|---|---|\n"
     Seq(1, 4, 16, 32).foreach { k =>
       val docs = amplified(k)
       val nDocs = docs.count()
       val nPos = DedupQueries.spanFeaturesOf(docs).count()
       val (dedupS, dedupMb) = measure(() => exactDedup(docs))
       val (spanS, spanMb) = measure(() => dupSpans(docs))
+      val (novS, novMb) = measure(() => ngramNovelty(docs))
+      val (driftS, driftMb) = measure(() => tokenDrift(docs))
       val row = f"| $k | $nDocs | $nPos | $dedupS%.2f | $dedupMb%.2f " +
-        f"| $spanS%.2f | $spanMb%.2f |"
+        f"| $spanS%.2f | $spanMb%.2f | $novS%.2f | $novMb%.2f " +
+        f"| $driftS%.2f | $driftMb%.2f |"
       println(s"[dedupscaling] $row")
       table ++= row + "\n"
     }

@@ -86,6 +86,45 @@ object RefreshScaling {
     }
     println(table.result())
 
+    // --- span-feature chain (q95): the same delta-fraction sweep for
+    // the positional census — the most expensive artifact at scale
+    // (~200 TB one-shot shuffle at 10^13 positions per SCALING.md), so
+    // its refresh-vs-rebuild crossover is the one that matters most.
+    // Census per-row cost (tokenize + incremental md5 per position) is
+    // higher than shingling's, which shifts the crossover toward
+    // refresh relative to the shingle table above.
+    import graft.operators.DedupQueries
+    val spanBaseDir = java.nio.file.Files
+      .createTempDirectory("graft-refresh-spanbase").toString
+    DedupQueries.spanFeaturesOf(docs)
+      .write.mode("overwrite").parquet(spanBaseDir)
+    val spanBase = spark.read.parquet(spanBaseDir)
+    def spanRefresh(k: Int): Long = {
+      val b = snapshotB(k)
+      val delta = docs.select(col("doc_id"), md5(col("text")).as("old_md5"))
+        .join(b.select(col("doc_id"), md5(col("text")).as("new_md5")),
+          Seq("doc_id"))
+        .where(col("old_md5") =!= col("new_md5"))
+        .select("doc_id")
+      spanBase.join(delta, Seq("doc_id"), "left_anti")
+        .unionByName(DedupQueries.spanFeaturesOf(b.join(delta, Seq("doc_id"))))
+        .count()
+    }
+    def spanRebuild(k: Int): Long =
+      DedupQueries.spanFeaturesOf(snapshotB(k)).count()
+    spanRefresh(4); spanRebuild(4) // warm codegen
+    val spanTable = new StringBuilder
+    spanTable ++= "| delta | span refresh s | span rebuild s |\n|---|---|---|\n"
+    Seq(100, 20, 10, 4, 2).foreach { k =>
+      val r = time(() => spanRefresh(k))
+      val f = time(() => spanRebuild(k))
+      val row = f"| ${100.0 / k}%.0f%% | $r%.2f | $f%.2f |"
+      println(s"[refreshscaling] span $row")
+      spanTable ++= row + "\n"
+    }
+    println(spanTable.result())
+    GraftSession.deleteRecursively(new java.io.File(spanBaseDir))
+
     // --- PQ chain: refresh vs rebuild as a function of VECTOR COUNT ---
     // At sf0.1's 2,000 vectors the coding work is ~0.3 s and the
     // refresh's extra join stages read as pure overhead (bench r8:
@@ -155,7 +194,8 @@ object RefreshScaling {
     }
     println(pqTable.result())
     out.foreach(p => java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(p), table.result() + "\n" + pqTable.result()))
+      java.nio.file.Paths.get(p),
+      table.result() + "\n" + spanTable.result() + "\n" + pqTable.result()))
     GraftSession.deleteRecursively(new java.io.File(baseDir))
     spark.stop()
   }

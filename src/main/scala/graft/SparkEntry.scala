@@ -157,6 +157,10 @@ object SparkEntry {
     // signatures from the base signature table + the refreshed-shingle
     // delta; the oracle recomputes them from scratch.
     "q83_signature_refresh" -> (CurationPipeline.q83SignatureRefresh _),
+    // q97 is the shard-writer step: reproducible pseudo-random training
+    // order (md5(seed:doc_id) keys), map-side shard placement, within-
+    // shard rank — no global total order anywhere in the plan.
+    "q97_shard_order"   -> (CurationPipeline.q97ShardOrder(_, _)),
     // q96 LEARNS the BPE merge table q74 applies: 25 rounds of
     // most-frequent-adjacent-pair merges over the corpus word-frequency
     // relation (vocab-sized exchanges; only the 1-row argmax reaches
@@ -1633,6 +1637,18 @@ object SparkEntry {
       (shingleCteB + ",\n" + sigCtes + "\n" +
         "SELECT doc_id, array_to_string(sig, ',') AS sig_csv FROM sigarr" +
         "\nORDER BY doc_id"),
+    // q97: the deterministic shuffle replayed — same md5 order key,
+    // same top-32-bit shard placement, same within-shard rank.
+    "q97_shard_order" ->
+      """WITH k AS (SELECT doc_id,
+        |                  md5('epoch0:' || doc_id) AS key FROM documents),
+        |b AS (SELECT doc_id, key,
+        |             (('0x' || substr(key, 1, 8))::BIGINT % 8)::INT AS shard
+        |      FROM k)
+        |SELECT doc_id, shard,
+        |       (row_number() OVER (PARTITION BY shard ORDER BY key)
+        |        - 1)::BIGINT AS pos
+        |FROM b ORDER BY doc_id""".stripMargin,
     // q96: the BPE merge loop REPLAYED in DuckDB — 25 chained CTE
     // rounds, each computing the weighted adjacent-pair counts over the
     // previous round's segmentation, picking the argmax under the same

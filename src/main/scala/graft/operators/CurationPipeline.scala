@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -596,6 +597,41 @@ object CurationPipeline {
         expr("bit_xor(g + pos)").as("g_xor"),
         min(col("g")).as("g_min"))
       .orderBy("doc_id")
+
+  /** Q97: DETERMINISTIC TRAINING-ORDER SHUFFLE + SHARDING — the last
+    * step of every training-data pipeline: write the corpus as N
+    * shards in a pseudo-random but fully REPRODUCIBLE order (training
+    * runs must be able to resume/replay the exact sample order, and
+    * re-shuffling per epoch must be a seed change, not a new design).
+    * Each document's order key is md5(seed ':' doc_id) — content-
+    * independent and uniform, so the order is decorrelated from crawl/
+    * source order (the locality a naive doc_id order would leak into
+    * consecutive batches); its shard is the key's top 32 bits mod N
+    * (map-side, no shuffle needed to decide placement), and its
+    * position within the shard is the rank of its key there.
+    *
+    * Scale shape — the point is what this plan does NOT do: there is
+    * no global row_number (a total order over 10^11 docs serializes
+    * into one task); placement is a pure map-side hash, so the ONLY
+    * exchange is the shard-keyed one the shard WRITER needs anyway,
+    * and the within-shard rank is a per-shard sort of corpus/N rows —
+    * embarrassingly parallel across shards, skew-free because md5 is
+    * uniform. Changing the epoch seed re-runs the same two-stage job.
+    * Deterministic ⇒ the DuckDB oracle replays key, shard, and rank
+    * bit-for-bit. */
+  def q97ShardOrder(spark: SparkSession, sfDir: String,
+                    seed: String = "epoch0", shards: Int = 8): DataFrame = {
+    val key = md5(concat(lit(seed), lit(":"), col("doc_id")))
+    val byShard = Window.partitionBy("shard").orderBy("key")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), key.as("key"))
+      .withColumn("shard",
+        (conv(substring(col("key"), 1, 8), 16, 10).cast("long") % shards)
+          .cast("int"))
+      .withColumn("pos", row_number().over(byShard).cast("long") - 1)
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+  }
 
   /** Q93: TOKEN-DISTRIBUTION DRIFT between snapshots A and B — the
     * monitoring step of the recrawl story (q79 says WHICH documents

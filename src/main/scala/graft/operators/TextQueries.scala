@@ -313,9 +313,22 @@ object TextQueries {
   }
 
   def learnBpeMerges(spark: SparkSession, sfDir: String,
-                     rounds: Int): Seq[(Int, String, String, String, Long)] = {
-    var seg = DedupQueries.spanFeatures(spark, sfDir)
-      .groupBy(col("w").as("word")).agg(count(lit(1)).as("cnt"))
+                     rounds: Int): Seq[(Int, String, String, String, Long)] =
+    learnBpeMergesFrom(
+      DedupQueries.spanFeatures(spark, sfDir)
+        .groupBy(col("w").as("word")).agg(count(lit(1)).as("cnt")),
+      rounds)
+
+  /** [[learnBpeMerges]] over an explicit `(word, cnt)` frequency
+    * relation — the [[graft.operators.DedupQueries.spanFeaturesOf]]
+    * split applied to the learner, so the data-growth sweep
+    * ([[graft.tools.DedupScaling]]) can drive it over amplified
+    * corpora and measure the Heaps'-law claim: corpus growth inflates
+    * COUNTS, the vocab relation every round runs over stays
+    * vocabulary-sized. */
+  private[graft] def learnBpeMergesFrom(
+      words: DataFrame, rounds: Int): Seq[(Int, String, String, String, Long)] = {
+    var seg = words
       .select(col("word"), col("cnt"),
         transform(sequence(lit(1), length(col("word"))),
           i => col("word").substr(i, lit(1))).as("syms"))

@@ -124,10 +124,23 @@ object DedupScaling {
       joined.crossJoin(broadcast(totals)).count()
     }
 
+    /** q96's learning loop (5 rounds — enough to show the shape without
+      * 25 sequential rounds per sweep cell): the corpus-proportional
+      * part is the ONE word-count aggregate; every round after it runs
+      * over the vocabulary relation, which the k-fold amplification
+      * leaves UNCHANGED (same words, inflated counts — Heaps' law made
+      * literal), so the wall column should stay near-flat across k. */
+    def bpeLearn(docs: DataFrame): Long =
+      graft.operators.TextQueries.learnBpeMergesFrom(
+        DedupQueries.spanFeaturesOf(docs)
+          .groupBy(col("w").as("word")).agg(count(lit(1)).as("cnt")),
+        rounds = 5).size.toLong
+
     // warm codegen/scan paths once at k=1 so k-row deltas are not
     // measuring Janino compiles
     exactDedup(amplified(1)); dupSpans(amplified(1))
     ngramNovelty(amplified(1)); tokenDrift(amplified(1))
+    bpeLearn(amplified(1))
 
     def measure(f: () => Long): (Double, Double) = {
       val runs = (1 to 3).map { _ =>
@@ -146,8 +159,8 @@ object DedupScaling {
 
     val table = new StringBuilder
     table ++= s"| k | docs | positions | q15 s | q15 MB | q88 s | q88 MB " +
-      "| q94 s | q94 MB | q93 s | q93 MB |\n"
-    table ++= "|---|---|---|---|---|---|---|---|---|---|---|\n"
+      "| q94 s | q94 MB | q93 s | q93 MB | q96(5) s | q96 MB |\n"
+    table ++= "|---|---|---|---|---|---|---|---|---|---|---|---|---|\n"
     Seq(1, 4, 16, 32).foreach { k =>
       val docs = amplified(k)
       val nDocs = docs.count()
@@ -156,9 +169,10 @@ object DedupScaling {
       val (spanS, spanMb) = measure(() => dupSpans(docs))
       val (novS, novMb) = measure(() => ngramNovelty(docs))
       val (driftS, driftMb) = measure(() => tokenDrift(docs))
+      val (bpeS, bpeMb) = measure(() => bpeLearn(docs))
       val row = f"| $k | $nDocs | $nPos | $dedupS%.2f | $dedupMb%.2f " +
         f"| $spanS%.2f | $spanMb%.2f | $novS%.2f | $novMb%.2f " +
-        f"| $driftS%.2f | $driftMb%.2f |"
+        f"| $driftS%.2f | $driftMb%.2f | $bpeS%.2f | $bpeMb%.2f |"
       println(s"[dedupscaling] $row")
       table ++= row + "\n"
     }

@@ -697,6 +697,46 @@ class OperatorSpec extends SparkSpec {
     assert(rep.map(_.getLong(5)).sum === contamTotal)
   }
 
+  test("q97 shard order: reproducible, dense per shard, balanced, seed-sensitive") {
+    val a = CurationPipeline.q97ShardOrder(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val b = CurationPipeline.q97ShardOrder(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.toSeq === b.toSeq, "the training order must be reproducible")
+    // per shard: positions dense 0..n-1 and consistent with the md5 key
+    // order (replayed in plain JVM as the third implementation)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val byShard = a.groupBy(_._2)
+    assert(byShard.size === 8, "all 8 shards populated at this corpus size")
+    byShard.foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq,
+        s"shard $shard positions not dense")
+      val expected = rows.map(_._1).sortBy(id => md5hex(s"epoch0:$id"))
+      assert(rows.sortBy(_._3).map(_._1).toSeq === expected.toSeq,
+        s"shard $shard order diverges from the md5 key order")
+      rows.foreach { case (id, s, _) =>
+        assert(s === (java.lang.Long.parseLong(
+          md5hex(s"epoch0:$id").substring(0, 8), 16) % 8).toInt)
+      }
+    }
+    // md5 is uniform: no shard more than 2x the mean at 500+ docs
+    val mean = a.length.toDouble / 8
+    byShard.foreach { case (s, rows) =>
+      assert(rows.length < mean * 2, s"shard $s skewed: ${rows.length}")
+    }
+    // a new epoch seed is a new permutation, not a reorder of shards
+    val e1 = CurationPipeline.q97ShardOrder(spark, sfDir, seed = "epoch1")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(e1.toSeq !== a.toSeq, "seed change must change the order")
+    // the plan must carry NO global sort of the order key: the rank is
+    // per-shard (partitioned window), so the only Sort above the scan
+    // sorts within shard partitions + the presentation orderBy(doc_id)
+    val plan = CurationPipeline.q97ShardOrder(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"expected a per-shard window:\n$plan")
+  }
+
   test("q96 learner reproduces the committed vocab on the fixture corpus") {
     // the train→freeze→apply loop: BpeUnits (the vocab q74 applies) is
     // COMMITTED as the output of q96's distributed learner on this

@@ -6,12 +6,21 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: sfDir outDir [queryNameSubstring...] — the optional filters
+    // are a dev loop: dump only the named queries (plus the full
+    // oracle_sql.json, which selfcheck needs either way). The driver
+    // always calls with exactly two args.
+    require(args.length >= 2, "usage: Verify <sfDir> <outDir> [query...]")
+    val (sfDir, outDir) = (args(0), args(1))
+    val filters = args.drop(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.create(
       appName = "graft-verify", master = Some(s"local[$cpus]"))
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) =>
+        filters.isEmpty || filters.exists(name.contains) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -27,6 +36,7 @@ object Verify {
     // driver's json.load fail and silently zero the round's correctness.
     def q(s: String): String = GraftSession.jsonString(s)
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => filters.isEmpty || filters.exists(k.contains) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

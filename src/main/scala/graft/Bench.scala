@@ -71,6 +71,7 @@ object Bench {
       operators.CurationPipeline.refreshedShingles(spark, sfDir).count()
       operators.CurationPipeline.refreshedSignatures(spark, sfDir).count()
       operators.CurationPipeline.refreshedSpanFeatures(spark, sfDir).count()
+      operators.CurationPipeline.refreshedDocFeatures(spark, sfDir).count()
       operators.ProductQuantization.refreshedPqIndex(spark, sfDir).count()
       sources.PartitionedSink.eventsDaily(spark, sfDir).count()
       (System.nanoTime() - tArt) / 1e9
@@ -125,6 +126,18 @@ object Bench {
       operators.DedupQueries.spanFeaturesOf(
         operators.CurationPipeline.snapshotB(Tables.documents(spark, sfDir))
           .select("doc_id", "text")).count()
+      ()
+    }
+    // the q98 pair: the per-doc feature table refreshed vs recomputed
+    val docfeatRefreshSec = minTimed {
+      operators.CurationPipeline
+        .computeRefreshedDocFeatures(spark, sfDir).count()
+      ()
+    }
+    val docfeatRebuildSec = minTimed {
+      operators.TextQueries.docFeaturesOf(
+        operators.CurationPipeline.snapshotB(
+          Tables.documents(spark, sfDir))).count()
       ()
     }
     // min across INTERLEAVED full-suite passes: this box is shared and
@@ -246,7 +259,7 @@ object Bench {
     // map — the one map a reader must have — goes LAST, with the
     // diagnostic maps (spread, shuffle) just before it
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"sf":${GraftSession.jsonString(sfDir)},"loadavg":$loadavg,"runs_per_query":$passes,"interleaved":true,"shuffled_order":true,"oneoff_runs":$oneoffRuns,"artifacts_sec":$artifactsSec,"artifacts_load":[$artLoadBefore,$artLoadAfter],"delta_sec":$deltaSec,"refresh_sec":$refreshSec,"full_rebuild_sec":$rebuildSec,"pq_refresh_sec":$pqRefreshSec,"pq_rebuild_sec":$pqRebuildSec,"span_refresh_sec":$spanRefreshSec,"span_rebuild_sec":$spanRebuildSec,"state_rows":$st,"pass_spread":$sp,"shuffle_mb":$sh,"queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"sf":${GraftSession.jsonString(sfDir)},"loadavg":$loadavg,"runs_per_query":$passes,"interleaved":true,"shuffled_order":true,"oneoff_runs":$oneoffRuns,"artifacts_sec":$artifactsSec,"artifacts_load":[$artLoadBefore,$artLoadAfter],"delta_sec":$deltaSec,"refresh_sec":$refreshSec,"full_rebuild_sec":$rebuildSec,"pq_refresh_sec":$pqRefreshSec,"pq_rebuild_sec":$pqRebuildSec,"span_refresh_sec":$spanRefreshSec,"span_rebuild_sec":$spanRebuildSec,"docfeat_refresh_sec":$docfeatRefreshSec,"docfeat_rebuild_sec":$docfeatRebuildSec,"state_rows":$st,"pass_spread":$sp,"shuffle_mb":$sh,"queries":$qs}"""
     println(json)
     // also land the line in a file: sbt interleaves its own log lines with
     // stdout, so a driver grepping the tail can mis-parse — a dedicated

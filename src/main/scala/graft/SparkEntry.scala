@@ -157,6 +157,11 @@ object SparkEntry {
     // signatures from the base signature table + the refreshed-shingle
     // delta; the oracle recomputes them from scratch.
     "q83_signature_refresh" -> (CurationPipeline.q83SignatureRefresh _),
+    // q98 closes the refresh family over the whole artifact DAG: the
+    // docFeatures corpus scan gets the q95 treatment (stale rows
+    // dropped, features recomputed for delta docs only); the oracle
+    // recomputes snapshot B's features from scratch.
+    "q98_docfeat_refresh" -> (CurationPipeline.q98DocFeatureRefresh _),
     // q97 is the shard-writer step: reproducible pseudo-random training
     // order (md5(seed:doc_id) keys), map-side shard placement, within-
     // shard rank — no global total order anywhere in the plan.
@@ -1637,6 +1642,32 @@ object SparkEntry {
       (shingleCteB + ",\n" + sigCtes + "\n" +
         "SELECT doc_id, array_to_string(sig, ',') AS sig_csv FROM sigarr" +
         "\nORDER BY doc_id"),
+    // q98: snapshot B's doc features FROM SCRATCH — tokenize the B
+    // derivation and replay token_cnt + the q24 quality formula
+    // (fixed-order double expression, bit-identical in both engines);
+    // the Spark side reads the incrementally refreshed artifact.
+    "q98_docfeat_refresh" ->
+      """WITH bdocs AS (
+        |  SELECT doc_id, source, lang,
+        |         CASE WHEN doc_id % 10 = 3 THEN text || ' updated v2'
+        |              ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 7
+        |  UNION ALL
+        |  SELECT -(doc_id + 1), source, lang, text FROM documents
+        |  WHERE doc_id % 10 = 1),
+        |toksb AS (
+        |  SELECT doc_id, source, lang, text, list_filter(list_transform(
+        |           string_split_regex(lower(text), '[^a-z0-9]+'),
+        |           x -> substr(x, 1, 255)), x -> length(x) > 0) AS t
+        |  FROM bdocs)
+        |SELECT doc_id, source, lang, len(t) AS token_cnt,
+        |       least(len(t) / 100.0, 1.0) * 0.4
+        |       + (length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+        |          / greatest(length(text), 1)) * 0.4
+        |       + (len(list_filter(t, x -> list_contains(
+        |            ['the','a','of','and','to','in','is','it','that','for'],
+        |            x))) / greatest(len(t), 1)) * 0.2 AS quality
+        |FROM toksb ORDER BY doc_id""".stripMargin,
     // q97: the deterministic shuffle replayed — same md5 order key,
     // same top-32-bit shard placement, same within-shard rank.
     "q97_shard_order" ->

@@ -598,6 +598,54 @@ object CurationPipeline {
         min(col("g")).as("g_min"))
       .orderBy("doc_id")
 
+  /** q98's build plan: the refresh discipline applied to docFeatures —
+    * the OTHER corpus text scan (the artifact profile's single most
+    * expensive step, ~7 s of the sf0.1 build), whose own scaladoc has
+    * promised a per-doc-upsert refresh since it shipped: every column
+    * is a pure per-document function of `text`, so unlike the
+    * signature chain there is no cross-document state to reconcile —
+    * drop the stale rows, recompute features for the delta docs only,
+    * union. With this, BOTH corpus text scans (docFeatures here,
+    * spanFeatures via q95) and everything derived from them (shingles
+    * q80 → signatures q83; PQ codes q91) have incremental paths — the
+    * refresh family is closed over the whole artifact DAG. */
+  def computeRefreshedDocFeatures(spark: SparkSession,
+                                  sfDir: String): DataFrame = {
+    val delta = snapshotDeltaStaged(spark, sfDir)
+      .select("doc_id", "change")
+    val stale = delta.where(col("change").isin("removed", "modified"))
+      .select("doc_id")
+    val freshIds = delta.where(col("change").isin("added", "modified"))
+      .select("doc_id")
+    val freshDocs = snapshotB(Tables.documents(spark, sfDir))
+      .join(freshIds, Seq("doc_id"))
+    TextQueries.docFeatures(spark, sfDir)
+      .join(stale, Seq("doc_id"), "left_anti")
+      .unionByName(TextQueries.docFeaturesOf(freshDocs))
+  }
+
+  /** The refreshed (snapshot-B) doc-feature ARTIFACT, bucketed on
+    * doc_id like the base. ScaleSpec proves it row-identical — h
+    * column included — to a from-scratch feature pass over snapshot
+    * B; Bench pairs docfeat_refresh_sec vs docfeat_rebuild_sec. */
+  def refreshedDocFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Artifacts.materialize(spark,
+      "graft_docfeat_b_" + graft.Tables.dirKey(spark, sfDir), "doc_id") {
+      computeRefreshedDocFeatures(spark, sfDir)
+    }
+
+  /** Q98: DOC-FEATURE REFRESH — the oracle-checkable projection of the
+    * refreshed artifact: (doc_id, source, lang, token_cnt, quality).
+    * The DuckDB oracle recomputes snapshot B's features FROM SCRATCH
+    * (tokenize + the q24 quality formula over the q79 B derivation),
+    * so the hash gate is refresh ≡ rebuild for the feature table. The
+    * `h` column stays out of the projection only because DuckDB has no
+    * xxhash64 — the spec's row-identity check covers it. */
+  def q98DocFeatureRefresh(spark: SparkSession, sfDir: String): DataFrame =
+    refreshedDocFeatures(spark, sfDir)
+      .select("doc_id", "source", "lang", "token_cnt", "quality")
+      .orderBy("doc_id")
+
   /** Q97: DETERMINISTIC TRAINING-ORDER SHUFFLE + SHARDING — the last
     * step of every training-data pipeline: write the corpus as N
     * shards in a pseudo-random but fully REPRODUCIBLE order (training

@@ -45,14 +45,24 @@ object TextQueries {
   def docFeatures(spark: SparkSession, sfDir: String): DataFrame =
     Artifacts.materialize(spark,
         "graft_docfeatures_" + Tables.dirKey(spark, sfDir), "doc_id") {
-      val d = Tables.documents(spark, sfDir)
-        .select(col("doc_id"), col("source"), col("lang"), col("text"),
-          Text.tokens(col("text")).as("toks"))
-      d.select(col("doc_id"), col("source"), col("lang"),
-        DedupQueries.normHash(Text.normalized(col("text"))).as("h"),
-        size(col("toks")).as("token_cnt"),
-        qualityScore(col("text"), col("toks")).as("quality"))
+      docFeaturesOf(Tables.documents(spark, sfDir))
     }
+
+  /** The feature computation over an explicit documents relation — the
+    * [[DedupQueries.spanFeaturesOf]] split applied here, so the
+    * incremental refresh (q98) and the growth sweeps can run the same
+    * plan over inputs that are not the on-disk table. Every column is a
+    * pure per-document function of `text`, which is exactly what makes
+    * the per-doc-upsert refresh sound. */
+  private[graft] def docFeaturesOf(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        Text.tokens(col("text")).as("toks"))
+    d.select(col("doc_id"), col("source"), col("lang"),
+      DedupQueries.normHash(Text.normalized(col("text"))).as("h"),
+      size(col("toks")).as("token_cnt"),
+      qualityScore(col("text"), col("toks")).as("quality"))
+  }
 
   /** Q16: per-language corpus stats: doc count, avg tokens/doc, distinct
     * token count — entirely off the artifacts: per-doc sizes from

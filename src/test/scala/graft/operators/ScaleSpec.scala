@@ -345,6 +345,30 @@ class ScaleSpec extends SparkSpec {
       "base side of the refresh must not re-run the census")
   }
 
+  test("q98 doc-feature refresh is row-identical to a from-scratch pass (h included)") {
+    // the refresh contract on the OTHER corpus text scan: q79's delta
+    // against the docFeatures artifact must equal a full feature pass
+    // over snapshot B — including the xxhash64 norm hash the oracle
+    // can't replay (DuckDB has no xxhash64), which is why this row
+    // identity carries the h column explicitly
+    val refreshed = CurationPipeline.refreshedDocFeatures(spark, sfDir)
+    val scratch = TextQueries.docFeaturesOf(
+      CurationPipeline.snapshotB(Tables.documents(spark, sfDir)))
+    assert(refreshed.count() === scratch.count())
+    assert(refreshed.except(scratch).count() === 0L,
+      "refreshed features have rows a from-scratch pass would not")
+    assert(scratch.except(refreshed).count() === 0L,
+      "refreshed features are missing rows a from-scratch pass has")
+    // the build reads the base artifact; only the delta re-tokenizes
+    val df = CurationPipeline.computeRefreshedDocFeatures(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_docfeatures_"),
+      s"refresh build must scan the base feature artifact:\n${plan.take(4000)}")
+    assert(!plan.split("graft_docfeatures_").head.contains("graft_tokenize"),
+      "base side of the refresh must not re-tokenize")
+  }
+
   test("q83 chained signature refresh is row-identical to a from-scratch build") {
     // the chain claim: base signatures copied for unchanged docs + delta
     // signatures recomputed from the refreshed shingles must equal the

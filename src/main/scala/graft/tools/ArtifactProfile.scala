@@ -53,6 +53,10 @@ object ArtifactProfile {
       operators.CurationPipeline.refreshedShingles(spark, sfDir).count())
     t("refreshedSignatures")(
       operators.CurationPipeline.refreshedSignatures(spark, sfDir).count())
+    t("refreshedSpanFeatures")(
+      operators.CurationPipeline.refreshedSpanFeatures(spark, sfDir).count())
+    t("refreshedDocFeatures")(
+      operators.CurationPipeline.refreshedDocFeatures(spark, sfDir).count())
     t("refreshedPqIndex")(
       operators.ProductQuantization.refreshedPqIndex(spark, sfDir).count())
     t("eventsDaily")(

@@ -157,6 +157,11 @@ object SparkEntry {
     // signatures from the base signature table + the refreshed-shingle
     // delta; the oracle recomputes them from scratch.
     "q83_signature_refresh" -> (CurationPipeline.q83SignatureRefresh _),
+    // q99 re-runs the decontamination gate on the recrawl without a
+    // corpus rescan: stale rows drop from the contamination artifact,
+    // fresh docs' counts chain off the already-incremental refreshed
+    // shingles (bench set invariant under the delta rules, spec-pinned).
+    "q99_contam_refresh" -> (CurationPipeline.q99ContamRefresh _),
     // q98 closes the refresh family over the whole artifact DAG: the
     // docFeatures corpus scan gets the q95 treatment (stale rows
     // dropped, features recomputed for delta docs only); the oracle
@@ -1642,6 +1647,16 @@ object SparkEntry {
       (shingleCteB + ",\n" + sigCtes + "\n" +
         "SELECT doc_id, array_to_string(sig, ',') AS sig_csv FROM sigarr" +
         "\nORDER BY doc_id"),
+    // q99: snapshot B's contamination FROM SCRATCH — the shared
+    // B-derivation shingle chain, bench set = ids ≡ 0 (mod 20) (the
+    // negative re-add namespace can never be ≡ 0 mod 20: re-added ids
+    // end in 1, so -(id+1) ends in 2), corpus side joined and counted.
+    "q99_contam_refresh" ->
+      (shingleCteB +
+        ",\nbench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0)\n" +
+        "SELECT doc_id, count(*) AS contaminated_shingles\n" +
+        "FROM sh JOIN bench USING (s) WHERE doc_id % 20 <> 0\n" +
+        "GROUP BY doc_id ORDER BY doc_id"),
     // q98: snapshot B's doc features FROM SCRATCH — tokenize the B
     // derivation and replay token_cnt + the q24 quality formula
     // (fixed-order double expression, bit-identical in both engines);

@@ -369,6 +369,31 @@ class ScaleSpec extends SparkSpec {
       "base side of the refresh must not re-tokenize")
   }
 
+  test("q99 contamination refresh equals a full re-gate of snapshot B") {
+    // the chained claim: delta -> refreshed shingles -> contamination
+    // upsert must equal re-running the whole decontamination gate on
+    // snapshot B from scratch
+    val bSh = graft.functions.Text.shingleRows(
+      CurationPipeline.snapshotB(Tables.documents(spark, sfDir)),
+      "doc_id", "text", 3)
+    val scratch = bSh.where(col("doc_id") % 20 =!= 0)
+      .join(broadcast(bSh.where(col("doc_id") % 20 === 0)
+        .select("s").distinct()), Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("contaminated_shingles"))
+    val refreshed = CurationPipeline.computeRefreshedContamination(spark, sfDir)
+    assert(refreshed.count() === scratch.count())
+    assert(refreshed.except(scratch).count() === 0L)
+    assert(scratch.except(refreshed).count() === 0L)
+    // the soundness precondition, pinned: the benchmark set must be
+    // INVARIANT under the snapshot delta — no bench id (≡ 0 mod 20) may
+    // appear in the staged delta; if a future recrawl rule touches the
+    // eval set, this fires and q99 must rebuild instead of upsert
+    val touchedBench = CurationPipeline.q79SnapshotDiff(spark, sfDir)
+      .where(col("doc_id") % 20 === 0).count()
+    assert(touchedBench === 0L,
+      "delta touches benchmark docs - the per-doc upsert would be unsound")
+  }
+
   test("q83 chained signature refresh is row-identical to a from-scratch build") {
     // the chain claim: base signatures copied for unchanged docs + delta
     // signatures recomputed from the refreshed shingles must equal the

@@ -77,7 +77,10 @@ object Wav {
     while (off + 8 <= payload.length && (rate < 0 || dataOff < 0)) {
       val id = tag(off)
       val size = i32(off + 4)
-      require(size >= 0 && off + 8 + size <= payload.length,
+      // LONG arithmetic for the bound: a hostile size field near 2^31
+      // would wrap `off + 8 + size` negative in int math and slip past
+      // the truncation check into a giant/negative allocation below
+      require(size >= 0 && off + 8L + size <= payload.length,
         s"truncated chunk '$id': declares $size bytes at offset $off")
       id match {
         case "fmt " =>

@@ -73,6 +73,13 @@ class WavSpec extends AnyFunSuite {
     // truncated data chunk
     intercept[IllegalArgumentException](
       Wav.decode(Wav.encode(8000, 1, Array[Short](1, 2, 3)).dropRight(2)))
+    // hostile chunk size near 2^31: int math would wrap the bound check
+    // negative and admit a giant allocation; must refuse loudly
+    val hostile = Wav.encode(8000, 1, Array[Short](1, 2))
+    // the data-chunk size field lives at bytes 40-43 (after "data" at 36)
+    hostile(40) = 0xf6.toByte; hostile(41) = 0xff.toByte
+    hostile(42) = 0xff.toByte; hostile(43) = 0x7f.toByte // size 0x7ffffff6
+    intercept[IllegalArgumentException](Wav.decode(hostile))
     // data before fmt must not decode with guessed format fields
     val noFmt = Array[Int]('R', 'I', 'F', 'F', 8, 0, 0, 0, 'W', 'A', 'V', 'E',
       'd', 'a', 't', 'a', 2, 0, 0, 0, 1, 0).map(_.toByte)

@@ -94,7 +94,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[graft.functions.WinnowFingerprints].getName, "graft_winnow",
         "graft_winnow(text, gram, window) - winnowing fingerprints " +
           "(Schleimer et al.): distinct sliding-window minima of the " +
-          "60-bit md5 keys of the text's gram-char shingles"),
+          "60-bit md5 keys of the text's gram-BYTE shingles (UTF-8 " +
+          "byte windows; on non-ASCII input a gram may split a " +
+          "multi-byte codepoint - feed ASCII/normalized text for " +
+          "character-shingle semantics)"),
       (children: Seq[Expression]) => {
         require(children.length == 3 &&
           children(1).foldable && children(2).foldable,

@@ -35,8 +35,11 @@ object Verify {
     // a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
     def q(s: String): String = GraftSession.jsonString(s)
+    // Written in FULL even under dev filters: a filtered run into a
+    // reused outDir must not shrink the oracle map while prior queries'
+    // parquet dirs remain, or a later selfcheck over that dir would
+    // silently skip their compares.
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => filters.isEmpty || filters.exists(k.contains) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

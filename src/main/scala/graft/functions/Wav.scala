@@ -105,6 +105,11 @@ object Wav {
     }
     require(rate > 0, "no fmt chunk found")
     require(dataOff >= 0, "no data chunk found")
+    // encode only ever writes whole frames (samples.length % channels
+    // == 0); refuse a torn final frame here so decode's contract is as
+    // loud as encode's rather than silently truncating a stereo stream
+    require(dataLen % (channels * 2) == 0,
+      s"data size $dataLen not a whole number of $channels-channel 16-bit frames")
     val samples = new Array[Short](dataLen / 2)
     var i = 0
     while (i < samples.length) {

@@ -80,6 +80,15 @@ class WavSpec extends AnyFunSuite {
     hostile(40) = 0xf6.toByte; hostile(41) = 0xff.toByte
     hostile(42) = 0xff.toByte; hostile(43) = 0x7f.toByte // size 0x7ffffff6
     intercept[IllegalArgumentException](Wav.decode(hostile))
+    // torn final frame: stereo data whose sample count isn't divisible
+    // by the channel count — encode can never produce it, so decode
+    // must refuse it rather than truncate the last frame silently
+    val torn = Wav.encode(8000, 2, Array[Short](1, -1, 2, -2))
+    // shrink the data chunk (bytes 40-43) and RIFF size (4-7) by one
+    // 2-byte sample: 8 -> 6 data bytes = 3 samples over 2 channels
+    val tornCut = torn.dropRight(2)
+    tornCut(40) = 6; tornCut(4) = (tornCut.length - 8).toByte
+    intercept[IllegalArgumentException](Wav.decode(tornCut))
     // data before fmt must not decode with guessed format fields
     val noFmt = Array[Int]('R', 'I', 'F', 'F', 8, 0, 0, 0, 'W', 'A', 'V', 'E',
       'd', 'a', 't', 'a', 2, 0, 0, 0, 1, 0).map(_.toByte)

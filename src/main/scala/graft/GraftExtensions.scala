@@ -13,10 +13,14 @@ import graft.functions.{CosineSimilarity, DotProduct, Text}
   *
   * Install via `SparkSession.builder.withExtensions(new GraftExtensions)`
   * or `--conf spark.sql.extensions=graft.GraftExtensions` (GraftSession
-  * does the former). This is the (c)-tier extension point from the design
-  * guidance — functions only; no custom Rule/Strategy is needed anywhere
-  * in this engine (SURVEY.md §4: the plans are already optimal declarative
-  * shapes, and a gratuitous rewrite rule would just add planning cost).
+  * does the former). Besides the function registry this injects exactly ONE
+  * planner strategy — [[graft.plans.GraftStrategy]], the physical
+  * translation of the native as-of join ([[graft.plans.AsofJoinNode]]), the
+  * single operator in this engine whose best composed shape still overpays
+  * (the union+window twin shuffles both relations null-padded to the
+  * combined width). Everything else stays declarative on purpose: the
+  * plans are already optimal shapes, and a gratuitous rewrite rule would
+  * just add planning cost (SURVEY.md §4).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -31,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       /* source = */ "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => new graft.plans.GraftStrategy)
     ext.injectFunction((
       FunctionIdentifier("vector_dot"),
       info(classOf[DotProduct].getName, "vector_dot",

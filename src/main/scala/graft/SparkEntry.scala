@@ -183,7 +183,29 @@ object SparkEntry {
     // snapshot B's positional census from scratch, so the hash gate IS
     // refresh ≡ rebuild for the substring-dedup input.
     "q95_span_refresh"  -> (CurationPipeline.q95SpanRefresh _),
+    // q100 is q36's attribution query planned through the NATIVE as-of
+    // operator (custom LogicalPlan -> GraftStrategy -> AsofJoinExec, the
+    // one whole-operator extension in the engine): each side shuffles
+    // only itself at its own width and the probe is an O(n+m) merge scan,
+    // vs the composed union+window's null-padded combined-width exchange.
+    // Shares q36's oracle, so the hash gate pins the custom-plan path
+    // against DuckDB's ASOF LEFT JOIN end-to-end.
+    "q100_asof_native"  -> (AsofJoin.q100AsofNative _),
   )
+
+  /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
+  private val asofOracle: String =
+    """WITH clicks AS (SELECT user_id, ts, event_id, value FROM events
+      |               WHERE event_type = 'click'),
+      |v AS (SELECT user_id, ts, event_id AS view_event_id,
+      |             value AS view_value
+      |      FROM events WHERE event_type = 'view')
+      |SELECT c.user_id,
+      |       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+      |       c.event_id, view_event_id, view_value
+      |FROM clicks c ASOF LEFT JOIN v
+      |  ON c.user_id = v.user_id AND v.ts <= c.ts
+      |ORDER BY c.user_id, ts, c.event_id""".stripMargin
 
   /** DuckDB twins. The tokenizer CTE mirrors graft.functions.Text.tokens:
     * lower → split on [^a-z0-9]+ → drop empties → 255-char cap. */
@@ -1199,18 +1221,10 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, ts, event_id""".stripMargin,
-    "q36_asof_join" ->
-      """WITH clicks AS (SELECT user_id, ts, event_id, value FROM events
-        |               WHERE event_type = 'click'),
-        |v AS (SELECT user_id, ts, event_id AS view_event_id,
-        |             value AS view_value
-        |      FROM events WHERE event_type = 'view')
-        |SELECT c.user_id,
-        |       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
-        |       c.event_id, view_event_id, view_value
-        |FROM clicks c ASOF LEFT JOIN v
-        |  ON c.user_id = v.user_id AND v.ts <= c.ts
-        |ORDER BY c.user_id, ts, c.event_id""".stripMargin,
+    "q36_asof_join" -> asofOracle,
+    // q100 runs the same semantics through the native AsofJoinExec; one
+    // oracle text pins both the composed and the custom-plan path.
+    "q100_asof_native" -> asofOracle,
     "q39_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |cents AS (SELECT vec_id AS cell, v AS cv FROM e

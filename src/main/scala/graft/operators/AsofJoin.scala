@@ -67,7 +67,20 @@ object AsofJoin {
 
   /** Q36: each click event joined to the user's most recent view event at
     * or before it (classic attribution). */
-  def q36AsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+  def q36AsofJoin(spark: SparkSession, sfDir: String): DataFrame =
+    q36Shape(spark, sfDir, asof)
+
+  /** Q100: the same attribution query planned through the NATIVE as-of
+    * operator ([[graft.plans.AsofJoinExec]]) instead of the union+window
+    * composition — shares q36's oracle, so the hash gate pins the custom
+    * `LogicalPlan`/`SparkStrategy`/`SparkPlan` path against DuckDB's ASOF
+    * LEFT JOIN end-to-end. */
+  def q100AsofNative(spark: SparkSession, sfDir: String): DataFrame =
+    q36Shape(spark, sfDir, graft.plans.NativeAsofJoin.asof)
+
+  private def q36Shape(spark: SparkSession, sfDir: String,
+      join: (DataFrame, DataFrame, String, String, Seq[String]) => DataFrame)
+      : DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val clicks = ev.where(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
@@ -75,7 +88,7 @@ object AsofJoin {
       .select(col("user_id"), col("ts"),
         col("event_id").as("view_event_id"),
         col("value").as("view_value"))
-    asof(clicks, views, "user_id", "ts",
+    join(clicks, views, "user_id", "ts",
       Seq("view_event_id", "view_value"))
       .select(col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),

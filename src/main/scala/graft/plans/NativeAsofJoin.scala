@@ -1,0 +1,235 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
+  BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder,
+  UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Native as-of join — the whole-operator extension tier from the design
+  * guidance (custom `LogicalPlan` + `SparkStrategy` + `SparkPlan`, wired
+  * through `SparkSessionExtensions`): Spark has no as-of join, and this is
+  * the one operator in this engine where the best *composed* shape still
+  * overpays.
+  *
+  * [[graft.operators.AsofJoin.asof]] (the composed twin, kept as the
+  * differential oracle) unions both inputs and runs
+  * `last(ignoreNulls) over (partition by key order by ts rows unbounded
+  * preceding)`: one exchange carrying n+m rows widened to the COMBINED
+  * schema, one sort of that union, and a window operator whose frame
+  * machinery evaluates per key. The physical operator below keeps the two
+  * relations apart: each side shuffles only itself, each side sorts
+  * separately on (key, ts) at its own row width, and the probe is a single
+  * O(n+m) forward merge scan per partition holding ONE candidate row —
+  * no window frames, no carried struct column, no post-window filter
+  * discarding the m right rows it just sorted.
+  *
+  * Measured at sf0.1 (noop sink, min-of-3, local[32]): 0.54 s vs the
+  * composed twin's 0.74 s on the q36 attribution shape, and 0.39 s vs
+  * 0.77 s with 128-byte disjoint payload columns per side — the gap is
+  * sort + window cost, and widens with payload width because the union
+  * sorts every row at combined width. Shuffled bytes are near-identical
+  * (null padding in UnsafeRow is zeroed offset words and compresses away);
+  * the scale story is CPU and the structural properties, not bytes.
+  *
+  * Semantics (pinned by AsofNativeSpec differentially against the composed
+  * twin, and by q100 against DuckDB's ASOF LEFT JOIN): every left row gets
+  * the right row of equal key with the greatest `ts <= left.ts`; among
+  * right rows tied on (key, ts) the greatest `rightCols` tuple wins
+  * (lexicographic, matching the composed twin's struct tie-break); left
+  * rows with no qualifying right row keep null right columns; null keys
+  * and null timestamps never match (the SQL comparison rule, matching
+  * DuckDB ASOF — the composed twin diverges on null inputs only: its
+  * window ordering sorts null timestamps first and groups null keys).
+  *
+  * The output preserves the left side's partitioning AND its (key, ts)
+  * ordering — a downstream per-key aggregation or a second as-of against
+  * the same key reuses the exchange, which the union shape structurally
+  * cannot offer (its output partitioning is the union's).
+  */
+case class AsofJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, leftTs: Attribute,
+    rightKey: Attribute, rightTs: Attribute,
+    rightCols: Seq[Attribute]) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ rightCols.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy: the only physical translation of [[AsofJoinNode]]. */
+class GraftStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinNode(l, r, lk, lts, rk, rts, rcols) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, lts, rk, rts, rcols) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sort-merge as-of: children arrive co-partitioned on the key (the same
+  * `ClusteredDistribution` pair SortMergeJoin declares, so EnsureRequirements
+  * plans the co-located exchanges) and sorted on (key, ts) — the right side
+  * additionally on `rightCols` so the equal-(key, ts) winner is the last row
+  * scanned, making the tie deterministic without any comparison in the loop.
+  */
+case class AsofJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Attribute, leftTs: Attribute,
+    rightKey: Attribute, rightTs: Attribute,
+    rightCols: Seq[Attribute]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ rightCols.map(_.withNullability(true))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
+      rightCols.map(c => SortOrder(c, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    // capture only serializable plan metadata; projections/orderings are
+    // rebuilt executor-side (codegen'd projections are not serializable)
+    val lOut = left.output
+    val rOut = right.output
+    val out = output
+    val (lk, lts, rk, rts, rcols) = (leftKey, leftTs, rightKey, rightTs,
+      rightCols)
+    left.execute().zipPartitions(right.execute(),
+        preservesPartitioning = true) { (lIter, rIter) =>
+      val lkEval = BindReferences.bindReference[Expression](lk, lOut)
+      val ltsEval = BindReferences.bindReference[Expression](lts, lOut)
+      val rkEval = BindReferences.bindReference[Expression](rk, rOut)
+      val rtsEval = BindReferences.bindReference[Expression](rts, rOut)
+      val keyOrd = TypeUtils.getInterpretedOrdering(lk.dataType)
+      val tsOrd = TypeUtils.getInterpretedOrdering(lts.dataType)
+      val lKeyProj = UnsafeProjection.create(Seq(lk), lOut)
+      val rColsProj = UnsafeProjection.create(rcols, rOut)
+      // bind the result against the NULLABLE-widened right schema: the
+      // unmatched filler row is all-null, and a projection bound to the
+      // original non-nullable attributes would codegen without null
+      // checks and read zeros instead of nulls
+      val resultProj = UnsafeProjection.create(out,
+        lOut ++ rcols.map(_.withNullability(true)))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rcols.length)
+
+      new Iterator[InternalRow] {
+        // lookahead right row: NOT yet consumed into `held`; stays valid
+        // because rIter isn't advanced until it's consumed or discarded
+        private var rRow: InternalRow = _
+        // the current candidate (greatest qualifying right row so far for
+        // the current left key group), copied out of the sorter's buffer
+        private var held: UnsafeRow = _
+        // previous left row's key bytes — a change invalidates `held`
+        private var prevKey: UnsafeRow = _
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val kRow = lKeyProj(l)
+          if (prevKey == null || kRow != prevKey) {
+            held = null
+            prevKey = kRow.copy()
+          }
+          val lkV = lkEval.eval(l)
+          val ltV = ltsEval.eval(l)
+          if (lkV != null && ltV != null) {
+            var scanning = true
+            while (scanning) {
+              if (rRow == null) {
+                if (rIter.hasNext) rRow = rIter.next() else scanning = false
+              }
+              if (rRow != null && scanning) {
+                val rkV = rkEval.eval(rRow)
+                if (rkV == null) rRow = null // null keys never match; skip
+                else {
+                  val c = keyOrd.compare(rkV, lkV)
+                  if (c < 0) rRow = null // behind the probe key; skip
+                  else if (c > 0) scanning = false // ahead; hold as lookahead
+                  else {
+                    val rtV = rtsEval.eval(rRow)
+                    if (rtV == null) rRow = null // null ts never matches
+                    else if (tsOrd.compare(rtV, ltV) <= 0) {
+                      // qualifying: later scans only improve (sorted ts,
+                      // then rightCols), so overwrite and consume
+                      held = rColsProj(rRow).copy()
+                      rRow = null
+                    } else scanning = false // future row; hold for next left
+                  }
+                }
+              }
+            }
+          }
+          numOutputRows += 1
+          resultProj(joined(l, if (held != null) held else nullRight))
+        }
+      }
+    }
+  }
+}
+
+/** Public API over the node (DataFrame in, DataFrame out). */
+object NativeAsofJoin {
+
+  /** Left rows get the most recent right row (per `key`) with
+    * right.`ts` <= left.`ts` — the drop-in twin of
+    * [[graft.operators.AsofJoin.asof]] planned through [[AsofJoinExec]].
+    * `rightCols` must not collide with left column names (they become the
+    * appended output columns, exactly like the composed version). */
+  def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
+           rightCols: Seq[String]): DataFrame = {
+    val clash = left.columns.toSet.intersect(rightCols.toSet)
+    require(clash.isEmpty, s"rightCols collide with left columns: $clash")
+    // Re-alias every column on both sides so the node's attribute fields
+    // reference FRESH exprIds. In the common self-join shape (both sides
+    // filtered off the same table) the analyzer's DeduplicateRelations
+    // renews the right subtree's duplicated leaves but knows nothing about
+    // this node's expression fields — stale references would survive into
+    // the physical plan (observed: the right exchange hashing the LEFT
+    // side's exprId). Alias outputs are conflict-free by construction, so
+    // leaf renewal rewrites beneath them and the node's references stay
+    // valid; CollapseProject folds the extra projection away.
+    def freshen(df: DataFrame): DataFrame =
+      df.select(df.columns.map(c =>
+        org.apache.spark.sql.functions.col(c).as(c)): _*)
+    val lPlan = freshen(left).queryExecution.analyzed
+    val rPlan = freshen(right).queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String, side: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(throw new
+        IllegalArgumentException(s"no column '$name' on the $side side " +
+          s"(has: ${plan.output.map(_.name).mkString(", ")})"))
+    Bridge.ofRows(left.sparkSession, AsofJoinNode(
+      lPlan, rPlan,
+      attr(lPlan, key, "left"), attr(lPlan, ts, "left"),
+      attr(rPlan, key, "right"), attr(rPlan, ts, "right"),
+      rightCols.map(attr(rPlan, _, "right"))))
+  }
+}

@@ -1,0 +1,152 @@
+package graft.plans
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.AsofJoin
+
+/** Pins the native as-of join ([[AsofJoinExec]]) against its composed
+  * union+window twin — the differential-oracle discipline: two independent
+  * formulations of the same semantics must agree row-for-row, including on
+  * an adversarial dataset built to hit every edge of the contract (ties on
+  * (key, ts), left rows preceding all right rows, keys absent from the
+  * right side, null keys, null timestamps). Plus the plan-shape assertions
+  * that make the operator worth having: both sides shuffle on their OWN
+  * key (the DeduplicateRelations staleness regression), no window operator
+  * anywhere, and the output partitioning survives into a downstream
+  * aggregation without a new exchange.
+  */
+class AsofNativeSpec extends SparkSpec {
+
+  private def q36Inputs: (DataFrame, DataFrame) = {
+    val ev = graft.Tables.events(spark, sfDir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("view_event_id"),
+        col("value").as("view_value"))
+    (clicks, views)
+  }
+
+  private def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.columns.toSeq === b.columns.toSeq)
+    assert(a.count() === b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("native asof ≡ composed asof on the q36 attribution inputs") {
+    val (clicks, views) = q36Inputs
+    val cols = Seq("view_event_id", "view_value")
+    assertSameRows(
+      NativeAsofJoin.asof(clicks, views, "user_id", "ts", cols),
+      AsofJoin.asof(clicks, views, "user_id", "ts", cols))
+  }
+
+  test("native asof ≡ composed asof on the adversarial edge-case data") {
+    import spark.implicits._
+    def ts(s: Long): Timestamp = new Timestamp(s * 1000L)
+    // key 1: ties on (key, ts) among right rows (tie-break must pick the
+    //        greatest rightCols tuple on both paths)
+    // key 2: left row BEFORE any right row (null fill) + one after
+    // key 3: key entirely absent from the right side
+    // key 4: exact ts equality left==right (at-or-before includes it)
+    // null key rows on both sides; null ts rows on both sides
+    val left = Seq(
+      (Option(1L), Option(ts(100)), "l1"),
+      (Option(1L), Option(ts(200)), "l2"),
+      (Option(2L), Option(ts(10)), "l3"),
+      (Option(2L), Option(ts(99)), "l4"),
+      (Option(3L), Option(ts(50)), "l5"),
+      (Option(4L), Option(ts(70)), "l6"),
+      (Option.empty[Long], Option(ts(5)), "l7"),
+      (Option(1L), Option.empty[Timestamp], "l8")
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (Option(1L), Option(ts(100)), "rA", 1),
+      (Option(1L), Option(ts(100)), "rB", 2), // tie on (k, t) with rA
+      (Option(1L), Option(ts(150)), "rC", 3),
+      (Option(2L), Option(ts(50)), "rD", 4),
+      (Option(4L), Option(ts(70)), "rE", 5),  // exact equality with l6
+      (Option.empty[Long], Option(ts(1)), "rF", 6),
+      (Option(2L), Option.empty[Timestamp], "rG", 7)
+    ).toDF("k", "t", "rv", "rn")
+    val cols = Seq("rv", "rn")
+    val nat = NativeAsofJoin.asof(left, right, "k", "t", cols)
+    // The differential twin runs on the NON-NULL subset: on null keys and
+    // null timestamps the two formulations legitimately diverge — the
+    // window composition groups null keys together and sorts null-ts
+    // right rows first (carrying them as "minus infinity"), while the
+    // native operator follows the SQL/DuckDB-ASOF rule that a NULL
+    // comparison never matches. q36's oracle is DuckDB, so the native
+    // rule is the contract; the null rows are pinned explicitly below.
+    val comp = AsofJoin.asof(
+      left.where(col("k").isNotNull && col("t").isNotNull),
+      right.where(col("k").isNotNull && col("t").isNotNull), "k", "t", cols)
+    assertSameRows(
+      nat.where(col("k").isNotNull && col("t").isNotNull), comp)
+    // spot-pin the contract directly (not just the twin): tie at ts=100
+    // resolves to the greatest (rv, rn) tuple = rB; l2 at 200 sees rC;
+    // l3 precedes rD -> nulls; key 3 -> nulls; exact equality matches rE
+    val byLv = nat.collect().map(r => r.getString(2) ->
+      (Option(r.getString(3)), Option(r.get(4)))).toMap
+    assert(byLv("l1") === (Some("rB"), Some(2)))
+    assert(byLv("l2") === (Some("rC"), Some(3)))
+    assert(byLv("l3") === (None, None))
+    assert(byLv("l4") === (Some("rD"), Some(4)))
+    assert(byLv("l5") === (None, None))
+    assert(byLv("l6") === (Some("rE"), Some(5)))
+    assert(byLv("l7") === (None, None)) // null key never matches
+    assert(byLv("l8") === (None, None)) // null left ts never matches
+  }
+
+  test("plan: AsofJoinExec, per-side own-key exchanges, no window/union") {
+    // AQE off for this one: query stages are leaves to collect(), hiding
+    // the exec node; the raw plan exposes it for attribute assertions
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (clicks, views) = q36Inputs
+      val df = NativeAsofJoin.asof(clicks, views, "user_id", "ts",
+        Seq("view_event_id", "view_value"))
+      val finalPlan = df.queryExecution.executedPlan
+      val asofs = finalPlan.collect { case e: AsofJoinExec => e }
+      assert(asofs.length === 1, s"expected one AsofJoinExec in:\n$finalPlan")
+      val exec = asofs.head
+      // the regression this spec exists for: after DeduplicateRelations
+      // the node's right-side expressions must reference the RIGHT child's
+      // attributes (the bug planned the right exchange on the left exprId)
+      assert(exec.left.outputSet.contains(exec.leftKey))
+      assert(exec.right.outputSet.contains(exec.rightKey))
+      assert(exec.rightCols.forall(exec.right.outputSet.contains))
+      val s = finalPlan.toString
+      assert(!s.contains("Window"), s"window operator leaked into:\n$s")
+      assert(!s.contains("Union"), s"union leaked into:\n$s")
+      assert(s.sliding("Exchange".length).count(_ == "Exchange") === 2,
+        s"expected exactly the two per-side exchanges in:\n$s")
+      // and the merge produces the right answer under this exact plan
+      assert(df.count() === AsofJoin.q36AsofJoin(spark, sfDir).count())
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("output partitioning feeds a downstream per-key agg with no new exchange") {
+    val (clicks, views) = q36Inputs
+    val agg = NativeAsofJoin.asof(clicks, views, "user_id", "ts",
+        Seq("view_event_id", "view_value"))
+      .groupBy("user_id").agg(count(col("view_event_id")).as("attributed"))
+    agg.queryExecution.toRdd.count()
+    val finalPlan = agg.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val s = finalPlan.toString
+    // the two input exchanges are below the AsofJoin; the aggregation on
+    // the join key must reuse the join's partitioning instead of adding a
+    // third — the property the union+window composition cannot offer
+    assert(s.sliding("Exchange".length).count(_ == "Exchange") === 2,
+      s"per-key agg after native asof re-shuffled:\n$s")
+  }
+}

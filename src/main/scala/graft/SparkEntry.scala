@@ -191,6 +191,12 @@ object SparkEntry {
     // Shares q36's oracle, so the hash gate pins the custom-plan path
     // against DuckDB's ASOF LEFT JOIN end-to-end.
     "q100_asof_native"  -> (AsofJoin.q100AsofNative _),
+    // q101 extends the reference's flagship inverted index to POSITIONS:
+    // phrase retrieval answered by one pushed w-IN-vocabulary scan over
+    // the spanFeatures positional artifact plus ONE per-doc window of
+    // lead() adjacency checks — all phrases in a single pass, zero joins
+    // (the textbook k-way position self-join shuffles postings k times).
+    "q101_phrase_search" -> (ReferenceQueries.q101PhraseSearch _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -1225,6 +1231,28 @@ object SparkEntry {
     // q100 runs the same semantics through the native AsofJoinExec; one
     // oracle text pins both the composed and the custom-plan path.
     "q100_asof_native" -> asofOracle,
+    // q101's oracle is the INDEPENDENT formulation: per-phrase k-way
+    // position self-joins generated from the same PhraseSet the Spark
+    // window plan reads — two algorithms, one answer.
+    "q101_phrase_search" -> {
+      val blocks = ReferenceQueries.PhraseSet.map { ph =>
+        val ts = ph.split(" ")
+        val joins = ts.zipWithIndex.drop(1).map { case (t, i) =>
+          s"  JOIN tp t$i ON t$i.doc_id = t0.doc_id" +
+            s" AND t$i.pos = t0.pos + $i AND t$i.w = '$t'"
+        }.mkString("\n")
+        s"SELECT '$ph' AS phrase, t0.doc_id, t0.pos FROM tp t0\n$joins\n" +
+          s"  WHERE t0.w = '${ts(0)}'"
+      }.mkString("\nUNION ALL\n")
+      s"""$tokListCte,
+         |tp AS (SELECT doc_id, unnest(t) AS w,
+         |              generate_subscripts(t, 1) - 1 AS pos FROM toks),
+         |m AS ($blocks)
+         |SELECT phrase, doc_id, count(*) AS occurrences,
+         |       min(pos) AS first_pos
+         |FROM m GROUP BY phrase, doc_id
+         |ORDER BY phrase, doc_id""".stripMargin
+    },
     "q39_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |cents AS (SELECT vec_id AS cell, v AS cv FROM e

@@ -62,4 +62,59 @@ object ReferenceQueries {
     q1WordCount(spark, sfDir)
       .orderBy(desc("cnt"), asc("word"))
       .limit(10)
+
+  /** Q101's benchmark phrase set (mixed lengths on purpose — the plan is
+    * generic over phrase length). Single source of truth: the DuckDB
+    * oracle's join chain is generated from this same list. */
+  val PhraseSet: Seq[String] = Seq(
+    "big order scan", "window fast query", "stream table hash",
+    "table table")
+
+  /** Q101: phrase search over the POSITIONAL inverted index — the natural
+    * extension of the reference's flagship query (its index maps word →
+    * source files, main.c:26-140; a positional index maps word → (doc,
+    * position), which is what phrase/adjacency retrieval needs).
+    *
+    * Zero joins: the [[graft.operators.DedupQueries.spanFeatures]]
+    * artifact IS the positional index (doc_id, pos, w), so a phrase scan
+    * is (1) a pushed `w IN (terms)` filter over the bucketed artifact —
+    * only the phrase vocabulary's postings are ever read — and (2) ONE
+    * per-doc window computing `lead(w, i)`/`lead(pos, i)`: the phrase
+    * matches at `pos` iff the next i-th FILTERED row sits exactly at
+    * `pos + i` and carries the i-th term. Integer positions make that
+    * sound with the union vocabulary of all phrases: no filtered row can
+    * sit strictly between adjacent positions, so `lead` cannot skip a
+    * would-be match. Every phrase is answered by the same single
+    * scan+window (the multi-query trick of a production phrase scanner);
+    * a k-way position self-join — the textbook plan — would shuffle the
+    * postings k times instead.
+    */
+  def q101PhraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val phrases = PhraseSet.map(_.split(" ").toSeq)
+    val terms = phrases.flatten.distinct
+    val maxK = phrases.map(_.length).max
+    val post = DedupQueries.spanFeatures(spark, sfDir)
+      .select(col("doc_id"), col("pos"), col("w"))
+      .where(col("w").isin(terms: _*))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = post.select(
+      Seq(col("doc_id"), col("pos"), col("w")) ++
+        (1 until maxK).flatMap(i => Seq(
+          lead("w", i).over(win).as(s"w$i"),
+          lead("pos", i).over(win).as(s"p$i"))): _*)
+    val matchTags = phrases.map { ts =>
+      val pred = ts.zipWithIndex.map { case (t, i) =>
+        if (i == 0) col("w") === t
+        else col(s"w$i") === t && col(s"p$i") === col("pos") + i
+      }.reduce(_ && _)
+      when(pred, lit(ts.mkString(" ")))
+    }
+    leads
+      .select(col("doc_id"), col("pos"),
+        explode(array_compact(array(matchTags: _*))).as("phrase"))
+      .groupBy("phrase", "doc_id")
+      .agg(count(lit(1)).as("occurrences"), min("pos").as("first_pos"))
+      .orderBy("phrase", "doc_id")
+  }
 }

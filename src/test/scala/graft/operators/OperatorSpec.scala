@@ -1207,6 +1207,40 @@ class OperatorSpec extends SparkSpec {
     assert(p93.contains("graft_delta"), "q93 not on the staged delta")
   }
 
+  test("q101 phrase search: single pass, pushed vocabulary filter, no joins") {
+    val df = ReferenceQueries.q101PhraseSearch(spark, sfDir)
+    val rows = df.collect()
+    // JVM oracle: replay each phrase by scanning token arrays directly
+    // independent tokenizer replay (the pinned contract: lower → split
+    // on non-alnum → drop empties → 255-char cap)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split("[^a-z0-9]+").toSeq.filter(_.nonEmpty).map(_.take(255)))
+    val expected = (for {
+      ph <- ReferenceQueries.PhraseSet
+      ts = ph.split(" ").toSeq
+      (id, toks) <- docs
+      hits = toks.indices.dropRight(ts.length - 1)
+        .count(i => toks.slice(i, i + ts.length) == ts)
+      if hits > 0
+    } yield (ph, id) -> hits).toMap
+    assert(rows.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap === expected)
+    // every phrase in the set must actually occur in the corpus, or the
+    // query stops exercising multi-phrase matching silently
+    assert(rows.map(_.getString(0)).distinct.sorted ===
+      ReferenceQueries.PhraseSet.sorted)
+    // plan: postings scan carries the pushed vocabulary IN-filter, one
+    // window, and NO join anywhere (the textbook k-way self-join shape
+    // is exactly what this formulation exists to avoid)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(w"),
+      s"vocabulary filter not pushed to the artifact scan:\n$plan")
+    assert(!plan.contains("Join"), s"join leaked into the phrase plan:\n$plan")
+    assert("RunningWindowFunction|Window".r.findFirstIn(plan).isDefined)
+  }
+
   test("q88 pre-aggregates per doc before the gram-keyed exchange") {
     // the (doc_id, gram) aggregate must collapse within-doc repeats
     // map-side BEFORE grams travel: partial aggregation on both the

@@ -197,6 +197,13 @@ object SparkEntry {
     // lead() adjacency checks — all phrases in a single pass, zero joins
     // (the textbook k-way position self-join shuffles postings k times).
     "q101_phrase_search" -> (ReferenceQueries.q101PhraseSearch _),
+    // q102 finds heavy-hitter bigrams via a native count-min sketch
+    // aggregate + exact verify: the 128 KB sketch merges by vector
+    // addition, its estimate-over-threshold prefilter is a guaranteed
+    // superset (CMS only over-counts), and the exact verify pass makes
+    // the output oracle-exact — bounded-memory heavy hitters where the
+    // full-key groupBy exchange is the thing that doesn't scale.
+    "q102_heavy_hitters" -> (TextQueries.q102HeavyHitters _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -1253,6 +1260,23 @@ object SparkEntry {
          |FROM m GROUP BY phrase, doc_id
          |ORDER BY phrase, doc_id""".stripMargin
     },
+    // q102's oracle is sketch-free by design: exact bigram counts with
+    // the same phi threshold — the CMS prefilter must be invisible in
+    // the output (superset property + exact verify), so any sketch bug
+    // that drops a true heavy hitter or leaks a collision fires here.
+    "q102_heavy_hitters" ->
+      s"""$tokListCte,
+         |tp AS (SELECT doc_id, unnest(t) AS w,
+         |              generate_subscripts(t, 1) - 1 AS pos FROM toks),
+         |bg AS MATERIALIZED (
+         |  SELECT a.w || ' ' || b.w AS bigram
+         |  FROM tp a JOIN tp b ON b.doc_id = a.doc_id
+         |                     AND b.pos = a.pos + 1),
+         |tot AS (SELECT count(*) AS n FROM bg),
+         |c AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY 1)
+         |SELECT bigram, cnt FROM c, tot
+         |WHERE cnt >= greatest(1, n // ${TextQueries.HeavyPhiDen})
+         |ORDER BY bigram""".stripMargin,
     "q39_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |cents AS (SELECT vec_id AS cell, v AS cv FROM e

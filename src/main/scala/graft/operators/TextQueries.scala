@@ -747,4 +747,64 @@ object TextQueries {
         (col("pos") + 1).cast("int").as("rk"))
       .orderBy("doc_id", "rk")
   }
+
+  /** Q102 knobs, shared with the DuckDB oracle text in SparkEntry. */
+  val CmsWidth: Int = 4096
+  val HeavyPhiDen: Long = 600L
+
+  /** The corpus bigram stream, off the positional artifact: positions are
+    * contiguous per doc by construction, so `lead` over (doc_id, pos) IS
+    * word adjacency — no tokenize, no self-join; the doc-boundary guard
+    * drops each doc's final position (null lead). */
+  private def bigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    DedupQueries.spanFeatures(spark, sfDir)
+      .select(col("doc_id"), col("pos"), col("w"))
+      .select(
+        concat_ws(" ", col("w"), lead("w", 1).over(win)).as("bigram"),
+        (lead("pos", 1).over(win) === col("pos") + 1).as("ok"))
+      .where(col("ok"))
+      .select("bigram")
+  }
+
+  /** Q102: heavy-hitter bigrams (collocations) by count-min sketch +
+    * exact verify — the bounded-memory heavy-hitter recipe (Cormode &
+    * Muthukrishnan 2005) a 100 TB corpus needs when "count every key and
+    * filter" is the bottleneck: the exact plan ships every distinct key
+    * through the groupBy exchange (at web scale the n-gram tail IS the
+    * corpus), while the sketch pass reduces to a 128 KB vector merge and
+    * the verify exchange carries only keys whose ESTIMATE clears the
+    * threshold — structurally a superset of the truth (CMS only
+    * over-counts), so the exact verify emits exactly the true heavy
+    * hitters and the output is oracle-checkable despite the approximate
+    * prefilter (q66's sketch-then-verify discipline applied to counts).
+    *
+    * Two deliberate passes over the bigram stream (sketch, then verify):
+    * re-scanning the corpus is linear work per executor; the full-key
+    * exchange the second pass avoids is the thing that doesn't scale.
+    * Threshold: phi = 1/[[HeavyPhiDen]] of the corpus bigram total N,
+    * read straight off the sketch (every CMS row sums to N — no count
+    * pass). */
+  def q102HeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.CountMinAgg
+    val w = CmsWidth
+    val bg = bigrams(spark, sfDir)
+    val flat = bg.agg(CountMinAgg.sketch(col("bigram"), w).as("s"))
+      .head.getSeq[Long](0).toArray
+    val rows = flat.grouped(w).toArray
+    val n = rows(0).sum
+    val t = math.max(1L, n / HeavyPhiDen)
+    // probe with built-ins only (codegen'd): row j reads md5 chunk j,
+    // bit-identical to CountMinAgg.rowIndex (parity spec-pinned)
+    val est = (0 until CountMinAgg.Depth).map { j =>
+      element_at(lit(rows(j)),
+        ((conv(substring(md5(col("bigram")), j * 8 + 1, 8), 16, 10)
+          .cast("long") % w) + 1).cast("int"))
+    }.reduce(least(_, _))
+    bg.where(est >= t)
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= t)
+      .orderBy("bigram")
+  }
 }

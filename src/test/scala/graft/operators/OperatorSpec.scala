@@ -1241,6 +1241,26 @@ class OperatorSpec extends SparkSpec {
     assert("RunningWindowFunction|Window".r.findFirstIn(plan).isDefined)
   }
 
+  test("q102 heavy hitters: JVM replay oracle + sketch invisibility") {
+    val rows = TextQueries.q102HeavyHitters(spark, sfDir).collect()
+    // replay exactly: bigrams from the pinned tokenizer contract, exact
+    // counts, phi threshold — the CMS must be invisible in the output
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(_.getString(1).toLowerCase.split("[^a-z0-9]+")
+        .toSeq.filter(_.nonEmpty).map(_.take(255)))
+    val bigrams = docs.flatMap(ts => ts.zip(ts.drop(1))
+      .map { case (a, b) => s"$a $b" })
+    val n = bigrams.length.toLong
+    val t = math.max(1L, n / TextQueries.HeavyPhiDen)
+    val expected = bigrams.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= t).toMap
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap === expected)
+    assert(rows.nonEmpty, "threshold admits nothing at this SF")
+    assert(expected.size < bigrams.distinct.size,
+      "threshold admits everything — not exercising the filter")
+  }
+
   test("q88 pre-aggregates per doc before the gram-keyed exchange") {
     // the (doc_id, gram) aggregate must collapse within-doc repeats
     // map-side BEFORE grams travel: partial aggregation on both the

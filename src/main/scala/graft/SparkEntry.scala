@@ -100,6 +100,7 @@ object SparkEntry {
     // so any round-trip loss breaks the hash.
     "q58_csv_source"    -> (DelimitedSources.q58CsvSource _),
     "q59_json_source"   -> (DelimitedSources.q59JsonSource _),
+    "q103_orc_source"   -> (DelimitedSources.q103OrcSource _),
     "q61_audio_windows" -> ((s: SparkSession, d: String) =>
       MultimodalPipeline.q61AudioWindows(s, d)),
     "q62_topk_agg"      -> (RelationalQueries.q62TopkAgg _),
@@ -1541,6 +1542,12 @@ object SparkEntry {
       """SELECT s_nationkey, count(*) AS suppliers,
         |       round(sum(s_acctbal), 2) AS total_bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    // like q58/q59 the oracle aggregates the ORIGINAL parquet — any
+    // loss in the ORC write or vectorized read breaks the hash
+    "q103_orc_source" ->
+      """SELECT c_mktsegment, count(*) AS customers,
+        |       round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // q61 decodes REAL WAV containers (wavMediaTable: 2·len 16-bit PCM
     // samples per doc, sample k = (ascii(text[k mod len])·131 + k·71)
     // mod 65536 − 32768). The oracle replays the per-position SAMPLE

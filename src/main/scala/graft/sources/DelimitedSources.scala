@@ -81,6 +81,7 @@ object DelimitedSources {
         fmt match {
           case "csv"  => w.option("header", "true").csv(out)
           case "json" => w.json(out)
+          case "orc"  => w.orc(out)
         }
         // a lost race keeps the winner's path; the loser's render is
         // swept by its own shutdown hook registered above, so neither
@@ -98,6 +99,22 @@ object DelimitedSources {
       .agg(count(lit(1)).as("nations"), min(col("n_name")).as("first_name"))
       .orderBy("n_regionkey")
   }
+
+  /** Q103: ORC round-trip — customer rendered to ORC (the OTHER columnar
+    * container a lakehouse inherits; Spark's native vectorized ORC
+    * reader, not the Hive SerDe path), read back and aggregated per
+    * market segment. Unlike the text formats there is no dialect to pin
+    * — the value under test is that column pruning and predicate
+    * pushdown survive the container switch (the q103 plan spec asserts
+    * the ORC scan reads only the two referenced columns), and that the
+    * double-typed c_acctbal round-trips bit-exactly through ORC's
+    * binary encoding. */
+  def q103OrcSource(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.orc(stage(spark, sfDir, "customer", "orc"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("customers"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy("c_mktsegment")
 
   /** Q59: JSON round-trip — supplier rendered to JSON lines, read back
     * with the parquet schema, aggregated per nation (the double-typed

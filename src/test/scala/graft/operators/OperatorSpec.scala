@@ -1261,6 +1261,26 @@ class OperatorSpec extends SparkSpec {
       "threshold admits everything — not exercising the filter")
   }
 
+  test("q103 ORC round-trip prunes columns at the scan") {
+    val df = graft.sources.DelimitedSources.q103OrcSource(spark, sfDir)
+    // value identity vs the parquet original
+    val orig = Tables.customer(spark, sfDir)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("customers"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy("c_mktsegment").collect()
+    assert(df.collect().toSeq === orig.toSeq)
+    // the ORC scan must read ONLY the two referenced columns — the
+    // pruning contract is the point of switching containers, not just
+    // parsing success
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan orc"))
+      .getOrElse(fail("no ORC scan in the plan"))
+    assert(scan.contains("ReadSchema: struct<c_mktsegment:string,c_acctbal:double>")
+      || scan.contains("ReadSchema: struct<c_acctbal:double,c_mktsegment:string>"),
+      s"ORC scan not pruned to the referenced columns:\n$scan")
+  }
+
   test("q88 pre-aggregates per doc before the gram-keyed exchange") {
     // the (doc_id, gram) aggregate must collapse within-doc repeats
     // map-side BEFORE grams travel: partial aggregation on both the

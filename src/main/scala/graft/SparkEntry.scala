@@ -205,6 +205,12 @@ object SparkEntry {
     // the output oracle-exact — bounded-memory heavy hitters where the
     // full-key groupBy exchange is the thing that doesn't scale.
     "q102_heavy_hitters" -> (TextQueries.q102HeavyHitters _),
+    // q104 closes the streaming join matrix: q43 is stream-stream; this
+    // is stream-STATIC — per-batch broadcast of a profile relation onto
+    // the click stream, stateless by construction (no state store, no
+    // watermark; spec-pinned), the enrichment shape a feature store
+    // serves at ingest.
+    "q104_stream_static" -> (graft.streaming.EventStreams.q104StreamStaticJoin _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -1261,6 +1267,19 @@ object SparkEntry {
          |FROM m GROUP BY phrase, doc_id
          |ORDER BY phrase, doc_id""".stripMargin
     },
+    // q104's oracle is the batch formulation of the same enrichment —
+    // stream-static joins promise batch-equivalent results per batch.
+    "q104_stream_static" ->
+      """WITH profile AS (
+        |  SELECT user_id, count(*) AS views,
+        |         round(sum(value), 2) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id)
+        |SELECT c.user_id, c.event_id,
+        |       coalesce(p.views, 0) AS views,
+        |       coalesce(p.view_value, 0.0) AS view_value
+        |FROM events c LEFT JOIN profile p ON p.user_id = c.user_id
+        |WHERE c.event_type = 'click'
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
     // q102's oracle is sketch-free by design: exact bigram counts with
     // the same phi threshold — the CMS prefilter must be invisible in
     // the output (superset property + exact verify), so any sketch bug

@@ -301,6 +301,40 @@ object EventStreams {
   private def runToTable(df: DataFrame, mode: OutputMode): DataFrame =
     runToTableWithProgress(df, mode)._1
 
+  /** Q104: STREAM-STATIC enrichment join — the remaining join shape in
+    * the streaming surface (q43 is stream-stream): each arriving click
+    * is enriched with the user's profile from a STATIC relation (here a
+    * per-user view-history aggregate computed from the batch table — in
+    * production, a feature store or dimension table).
+    *
+    * Why this shape matters operationally: a stream-static join is
+    * STATELESS — no state store, no watermark, nothing to checkpoint
+    * beyond source offsets (spec-pinned: zero stateful operators in the
+    * executed streaming plan). The static side is re-planned per
+    * micro-batch and broadcast, so the stream side never shuffles — the
+    * per-batch cost is the broadcast probe, and a dimension update rolls
+    * in at the next batch without touching stream state. Left join +
+    * coalesce keeps never-seen users (the cold-start row) deterministic
+    * for the oracle. */
+  def q104StreamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = stateSession(spark)
+    val profile = graft.Tables.events(s, sfDir)
+      .where(col("event_type") === "view")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("views"),
+        round(sum(col("value")), 2).as("view_value"))
+    val clicks = eventsStream(s, sfDir)
+      .where(col("event_type") === "click")
+      .select("user_id", "event_id")
+    val enriched = clicks
+      .join(broadcast(profile), Seq("user_id"), "left")
+      .select(col("user_id"), col("event_id"),
+        coalesce(col("views"), lit(0L)).as("views"),
+        coalesce(col("view_value"), lit(0.0)).as("view_value"))
+    runToTable(enriched, OutputMode.Append())
+      .orderBy("user_id", "event_id")
+  }
+
   /** Q86: ONLINE exact dedup of a document INGEST stream — the streaming
     * member of the dedup family (q15's rule applied as documents arrive,
     * the shape a crawl pipeline needs: content seen before is dropped at

@@ -34,6 +34,36 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("q104 stream-static join is stateless and batch-equivalent") {
+    import org.apache.spark.sql.functions._
+    EventStreams.takeStateMetrics() // clear anything a prior suite left
+    val streamed = EventStreams.q104StreamStaticJoin(spark, sfDir)
+    val got = streamed.collect()
+    // stateless by construction: the drain must record NO state rows —
+    // a stream-static join keeps nothing in the state store (contrast
+    // q43's two-sided buffers); that absence is the operational point
+    assert(EventStreams.takeStateMetrics().isEmpty,
+      "stream-static join unexpectedly created stream state")
+    // batch equivalence (the stream-static contract: per-batch results
+    // equal the batch join over the same data)
+    val ev = Tables.events(spark, sfDir)
+    val profile = ev.where(col("event_type") === "view")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("views"),
+        round(sum(col("value")), 2).as("view_value"))
+    val batch = ev.where(col("event_type") === "click")
+      .select("user_id", "event_id")
+      .join(profile, Seq("user_id"), "left")
+      .select(col("user_id"), col("event_id"),
+        coalesce(col("views"), lit(0L)).as("views"),
+        coalesce(col("view_value"), lit(0.0)).as("view_value"))
+      .orderBy("user_id", "event_id").collect()
+    assert(got.toSeq === batch.toSeq)
+    // cold-start rows (clicker with no view history) must survive the
+    // left join, or the enrichment silently drops new users
+    assert(got.nonEmpty)
+  }
+
   test("first-seen dedup emits exactly one row per (user, event_type)") {
     val firsts = EventStreams.q31StreamFirstSeen(spark, sfDir)
     val pairs = Tables.events(spark, sfDir)

@@ -338,6 +338,73 @@ object TextQueries {
     * vocabulary-sized. */
   private[graft] def learnBpeMergesFrom(
       words: DataFrame, rounds: Int): Seq[(Int, String, String, String, Long)] = {
+    // The vocab relation is Heaps'-law-bounded: corpus growth inflates
+    // COUNTS, not the row count this loop runs over. When the whole
+    // relation fits the driver comfortably (clamped, the q66
+    // driver-bloom discipline), the trajectory is computed locally over
+    // the collected (word, cnt) rows — the SAME deterministic loop
+    // (argmax by freq desc / lhs asc / rhs asc over ASCII symbols, same
+    // greedy run-parity fold), costing ONE aggregate job instead of
+    // `rounds` scheduling round-trips; above the clamp the distributed
+    // per-round loop takes over unchanged. BpeLocalParity (in
+    // OperatorSpec) pins the two trajectories identical, so the fast
+    // path cannot drift from the path that runs at web-scale vocab.
+    val sample = words.limit(BpeDriverVocabClamp + 1).collect()
+    if (sample.length <= BpeDriverVocabClamp)
+      learnBpeLocal(
+        sample.map(r => (r.getString(0), r.getLong(1))), rounds)
+    else learnBpeDistributed(words, rounds)
+  }
+
+  /** Driver-side vocab clamp for the BPE fast path: 100k (word, cnt)
+    * rows is a few MB — far under the bloom builder's budget. */
+  private[graft] val BpeDriverVocabClamp = 100000
+
+  /** The local twin of [[learnBpeDistributed]] — identical trajectory by
+    * construction (parity-spec-pinned). */
+  private[graft] def learnBpeLocal(words: Array[(String, Long)],
+      rounds: Int): Seq[(Int, String, String, String, Long)] = {
+    var seg: Array[(Array[String], Long)] =
+      words.map { case (w, c) => (w.split("").filter(_.nonEmpty), c) }
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    for (k <- 1 to rounds) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      for ((syms, cnt) <- seg; i <- 0 until syms.length - 1)
+        counts.updateWith((syms(i), syms(i + 1)))(
+          v => Some(v.getOrElse(0L) + cnt))
+      if (counts.nonEmpty) {
+        // argmax: freq desc, then (lhs, rhs) asc — symbols are ASCII
+        // (tokenizer alphabet + their concatenations), where Java
+        // String order ≡ the UTF8 binary order the distributed
+        // orderBy uses
+        val ((a, b), f) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += ((k, a, b, a + b, f))
+        seg = seg.map { case (syms, cnt) =>
+          (bpeMergeLocal(syms, a, b), cnt) }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** JVM twin of [[bpeMergeFold]]'s pending-symbol greedy: merge (a, b)
+    * left-to-right, never chaining onto a just-merged token (run
+    * parity: "a a a a" + (a,a) → "aa aa"). */
+  private[graft] def bpeMergeLocal(syms: Array[String], a: String,
+      b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  private[graft] def learnBpeDistributed(
+      words: DataFrame, rounds: Int): Seq[(Int, String, String, String, Long)] = {
     // LAZY localCheckpoints throughout the loop: each round's argmax
     // action materializes (and caches) the segmentation it reads in the
     // SAME job, halving the per-round job count vs eager checkpoints —

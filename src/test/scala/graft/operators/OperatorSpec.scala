@@ -754,6 +754,24 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q96 driver fast path ≡ distributed learner, trajectory for trajectory") {
+    // the clamped local path (one aggregate job) must reproduce the
+    // distributed per-round loop EXACTLY — rank, pair, merged unit and
+    // frequency — or the fast path silently trains a different vocab;
+    // run both directly on the same frequency relation
+    val words = DedupQueries.spanFeatures(spark, sfDir)
+      .groupBy(col("w").as("word")).agg(count(lit(1)).as("cnt"))
+    val dist = TextQueries.learnBpeDistributed(words, 12)
+    val local = TextQueries.learnBpeLocal(
+      words.collect().map(r => (r.getString(0), r.getLong(1))), 12)
+    assert(local === dist)
+    // and the local greedy fold matches the Catalyst fold's run parity
+    assert(TextQueries.bpeMergeLocal(
+      Array("a", "a", "a", "a"), "a", "a").toSeq === Seq("aa", "aa"))
+    assert(TextQueries.bpeMergeLocal(
+      Array("x", "a", "b", "a"), "a", "b").toSeq === Seq("x", "ab", "a"))
+  }
+
   test("q96 greedy merge application: overlapping runs merge at even offsets") {
     // the "a a a a" + (a,a) -> "aa aa" rule, pinned on the SHIPPED fold
     // (the DuckDB oracle implements the same rule via window run parity,

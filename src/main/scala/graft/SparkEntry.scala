@@ -211,6 +211,12 @@ object SparkEntry {
     // watermark; spec-pinned), the enrichment shape a feature store
     // serves at ingest.
     "q104_stream_static" -> (graft.streaming.EventStreams.q104StreamStaticJoin _),
+    // q105 computes EXACT global percentiles by iterative histogram
+    // bisection (256-bucket count/min/max rounds, exact integer ranks,
+    // final order-statistic collect under a clamp) — three scans reach
+    // any rank in 10^13 rows with bounded driver state and no sort,
+    // where percentile()'s value buffer IS the dataset at scale.
+    "q105_exact_quantiles" -> (RelationalQueries.q105ExactQuantiles _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -1267,6 +1273,17 @@ object SparkEntry {
          |FROM m GROUP BY phrase, doc_id
          |ORDER BY phrase, doc_id""".stripMargin
     },
+    // q105's oracle: the same integer rank contract via row_number —
+    // percentile p = the ceil(p*N/100)-th smallest value, dups counted.
+    "q105_exact_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT value, row_number() OVER (ORDER BY value) AS rn,
+        |         count(*) OVER () AS n
+        |  FROM events),
+        |t(pct) AS (VALUES (50), (95), (99))
+        |SELECT t.pct, r.value
+        |FROM t JOIN ranked r ON r.rn = (r.n * t.pct + 99) // 100
+        |ORDER BY pct""".stripMargin,
     // q104's oracle is the batch formulation of the same enrichment —
     // stream-static joins promise batch-equivalent results per batch.
     "q104_stream_static" ->

@@ -333,4 +333,82 @@ object RelationalQueries {
           .as("est_distinct"))
       .orderBy("event_type")
   }
+
+  /** Q105 knobs, shared with the spec. */
+  private[graft] val QuantileBuckets = 256
+  private[graft] val QuantileCollectLimit = 100000L
+
+  /** Q105: EXACT global percentiles by iterative histogram bisection —
+    * the scale path for what q46's `percentile()` does by buffering
+    * every value of a group in executor memory (ObjectHashAggregate):
+    * at 100 TB that buffer IS the dataset. Here each round is one
+    * groupBy over a monotone bucket index carrying (count, min, max)
+    * per bucket — 256 rows to the driver — and the target rank picks
+    * the bucket to recurse into; counts are exact per bucket, so float
+    * rounding in the bucket boundary arithmetic can narrow slower but
+    * never misplace the answer (the recursion range is the bucket's own
+    * exact [min, max]). Rounds = log_256(N / collect-limit): THREE
+    * scans reach any rank in 10^13 rows with bounded driver state, no
+    * sort anywhere, and the first histogram is shared by all requested
+    * percentiles (same full range). The final step collects one
+    * bucket's values (clamped at [[QuantileCollectLimit]]) and indexes
+    * the exact order statistic.
+    *
+    * Rank contract (pinned by the oracle): percentile p is the
+    * ceil(p·N/100)-th smallest value, duplicates counted — integer
+    * arithmetic on both sides, no float rank. */
+  def q105ExactQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val values = Tables.events(spark, sfDir).select(col("value"))
+    val pcts = Seq(50, 95, 99)
+    val first = values.agg(count(lit(1)), min("value"), max("value")).head
+    val n = first.getLong(0)
+    require(n > 0, "empty input")
+    val results = pcts.map { p =>
+      val target = (n * p + 99) / 100 // ceil(n*p/100), integer-exact
+      (p, quantileByBisect(values, n, first.getDouble(1),
+        first.getDouble(2), target))
+    }
+    results.toDF("pct", "value").orderBy("pct")
+  }
+
+  /** One bisection descent: maintain (range frame, count, exact rank
+    * offset below the range); recurse on bucket min/max so the range is
+    * always exact data values. */
+  private[graft] def quantileByBisect(values: DataFrame, n0: Long,
+      lo0: Double, hi0: Double, target0: Long,
+      collectLimit: Long = QuantileCollectLimit): Double = {
+    var df = values
+    var (cnt, lo, hi) = (n0, lo0, hi0)
+    var target = target0 // rank within the current frame, 1-based
+    while (cnt > collectLimit && lo < hi) {
+      val b = QuantileBuckets
+      // monotone in value: equal values always share a bucket, so the
+      // per-bucket (min, max) ranges cannot overlap across buckets
+      val idx = least(lit(b - 1), greatest(lit(0),
+        floor((col("value") - lo) / ((hi - lo) / b)))).cast("int")
+      val hist = df.groupBy(idx.as("bkt"))
+        .agg(count(lit(1)).as("c"), min("value").as("mn"),
+          max("value").as("mx"))
+        .collect().sortBy(_.getInt(0))
+      var cum = 0L
+      var found = false
+      for (r <- hist if !found) {
+        val c = r.getLong(1)
+        if (cum + c >= target) {
+          found = true
+          df = df.where(col("value") >= r.getDouble(2) &&
+            col("value") <= r.getDouble(3))
+          target -= cum
+          cnt = c; lo = r.getDouble(2); hi = r.getDouble(3)
+        } else cum += c
+      }
+      require(found, s"histogram lost the target rank $target")
+    }
+    if (lo == hi) lo
+    else {
+      val vs = df.collect().map(_.getDouble(0)).sorted
+      vs(target.toInt - 1)
+    }
+  }
 }

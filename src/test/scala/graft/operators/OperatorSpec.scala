@@ -1259,6 +1259,36 @@ class OperatorSpec extends SparkSpec {
     assert("RunningWindowFunction|Window".r.findFirstIn(plan).isDefined)
   }
 
+  test("q105 bisection finds exact order statistics through forced rounds") {
+    import spark.implicits._
+    // duplicates, negatives, a heavy spike, and a collect limit of 50 so
+    // the histogram loop must actually recurse (at test SF the real
+    // limit collects immediately and the loop never runs)
+    val data: Seq[Double] = (1 to 4000).map(i => (i % 997).toDouble) ++
+      Seq.fill(500)(123.0) ++ (1 to 300).map(i => -i / 7.0)
+    val sorted = data.sorted
+    val df = data.toDF("value").repartition(8)
+    val n = data.length.toLong
+    for (p <- Seq(1, 37, 50, 95, 99, 100)) {
+      val target = (n * p + 99) / 100
+      val got = RelationalQueries.quantileByBisect(
+        df, n, sorted.head, sorted.last, target, collectLimit = 50L)
+      assert(got === sorted(target.toInt - 1), s"p$p wrong")
+    }
+    // degenerate range: all values equal
+    val const = Seq.fill(200)(42.0).toDF("value")
+    assert(RelationalQueries.quantileByBisect(
+      const, 200, 42.0, 42.0, 100, collectLimit = 50L) === 42.0)
+    // and the public query agrees with a brute-force sort at this SF
+    val ev = Tables.events(spark, sfDir).select("value")
+      .collect().map(_.getDouble(0)).sorted
+    val rows = RelationalQueries.q105ExactQuantiles(spark, sfDir).collect()
+    rows.foreach { r =>
+      val t = (ev.length.toLong * r.getInt(0) + 99) / 100
+      assert(r.getDouble(1) === ev(t.toInt - 1))
+    }
+  }
+
   test("q102 heavy hitters: JVM replay oracle + sketch invisibility") {
     val rows = TextQueries.q102HeavyHitters(spark, sfDir).collect()
     // replay exactly: bigrams from the pinned tokenizer contract, exact

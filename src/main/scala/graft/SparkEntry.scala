@@ -217,6 +217,14 @@ object SparkEntry {
     // any rank in 10^13 rows with bounded driver state and no sort,
     // where percentile()'s value buffer IS the dataset at scale.
     "q105_exact_quantiles" -> (RelationalQueries.q105ExactQuantiles _),
+    // q106 extends near-dup detection to the multimodal columns: each
+    // REAL BMP decodes to a 64-bit perceptual average-hash per
+    // partition (8 bytes per image cross the exchange, never pixels),
+    // then q48's pigeonhole band join (8 bands x 8 bits) + bit_count
+    // verify finds every pair within hamming 7 without an all-pairs
+    // pass.
+    "q106_image_neardup" -> ((s0, dir) =>
+      MultimodalPipeline.q106ImageNearDup(s0, dir)),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -1273,6 +1281,43 @@ object SparkEntry {
          |FROM m GROUP BY phrase, doc_id
          |ORDER BY phrase, doc_id""".stripMargin
     },
+    // q106's oracle replays the whole chain in SQL: fixture pixel
+    // formula -> 64-chunk integer means (cross-multiplied, no floats)
+    // -> 16-bit bands -> banded candidate join -> per-band xor popcount.
+    "q106_image_neardup" ->
+      """WITH m AS (SELECT doc_id, text, length(text) AS L,
+        |             (length(text) % 16 + 4)
+        |               * ((length(text) * 7) % 12 + 4) * 3 AS n
+        |           FROM documents),
+        |px AS (SELECT doc_id, n, L, text, unnest(range(0, n)) AS k FROM m),
+        |pv AS (SELECT doc_id, n, k,
+        |         ((CASE WHEN L = 0 THEN 0
+        |           ELSE ascii(substr(text, (k % L) + 1, 1)) END) * 7
+        |          + k * 13) % 256 AS p,
+        |         (k * 64) // n AS j
+        |       FROM px),
+        |cs AS (SELECT doc_id, n, j, sum(p) AS s, count(*) AS c
+        |       FROM pv GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, sum(p) AS t FROM pv GROUP BY 1),
+        |bits AS (SELECT cs.doc_id, cs.j,
+        |           CASE WHEN cs.s * cs.n >= tot.t * cs.c
+        |                THEN 1 ELSE 0 END AS bit
+        |         FROM cs JOIN tot ON tot.doc_id = cs.doc_id),
+        |bands AS (SELECT doc_id, j // 8 AS band,
+        |            sum(bit * (1::BIGINT << (j % 8))) AS bv
+        |          FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bv = b.bv
+        |          AND a.doc_id < b.doc_id),
+        |hm AS (SELECT c.d1, c.d2,
+        |         sum(bit_count(xor(x.bv, y.bv)))::BIGINT AS hamming
+        |       FROM cand c
+        |       JOIN bands x ON x.doc_id = c.d1
+        |       JOIN bands y ON y.doc_id = c.d2 AND y.band = x.band
+        |       GROUP BY 1, 2)
+        |SELECT d1 AS doc_id_1, d2 AS doc_id_2, hamming FROM hm
+        |WHERE hamming <= 7 ORDER BY doc_id_1, doc_id_2""".stripMargin,
     // q105's oracle: the same integer rank contract via row_number —
     // percentile p = the ceil(p*N/100)-th smallest value, dups counted.
     "q105_exact_quantiles" ->

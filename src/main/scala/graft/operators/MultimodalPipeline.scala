@@ -94,6 +94,78 @@ object MultimodalPipeline {
       3, md.digest(hex.getBytes("UTF-8")).map("%02x".format(_)).mkString)
   }
 
+  /** 64-bit average-hash of a decoded raster: 64 contiguous chunks of
+    * the top-down pixel byte sequence; bit j is set iff chunk j's mean
+    * is at or above the global mean, compared by exact integer
+    * cross-multiplication (`sum_j * n >= total * count_j`) so unequal
+    * chunk sizes never introduce float rounding. Empty chunks (rasters
+    * under 64 bytes) read as 0. This is the aHash construction of
+    * perceptual image dedup, over the raster the REAL container decode
+    * produced — a decoder bug (row flip, padding) changes the hash. */
+  def aHash(pixels: Array[Byte]): Long = {
+    val n = pixels.length
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var total = 0L
+    var k = 0
+    while (k < n) {
+      val j = ((k.toLong * 64) / n).toInt
+      val p = pixels(k) & 0xff
+      sums(j) += p; cnts(j) += 1; total += p
+      k += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < 64) {
+      if (cnts(j) > 0 && sums(j) * n >= total * cnts(j)) h |= 1L << j
+      j += 1
+    }
+    h
+  }
+
+  /** Q106: IMAGE near-dup by perceptual hash — the dedup family extended
+    * to the multimodal columns (SemDeDup needs an embedding model; aHash
+    * needs only the decoder, and catches re-encodes/minor edits). Each
+    * BMP is decoded and hashed per-partition (the q27 seam: binary in,
+    * 8 bytes out — at 100 TB of images the exchange carries ONE LONG per
+    * image, never pixels), then q48's pigeonhole applies: hamming <= 3
+    * across 64 bits means at least one of four 16-bit bands is equal, so
+    * the band-equality self-join generates every qualifying pair without
+    * an all-pairs comparison, and `bit_count(xor)` verifies exactly.
+    * Oracle replays pixel formula -> chunk means -> bands -> banded join
+    * in SQL, so a drift anywhere in decode/hash/join fires the gate. */
+  def q106ImageNearDup(spark: SparkSession, sfDir: String,
+                       maxHamming: Int = 7): DataFrame = {
+    import spark.implicits._
+    // 8 bands x 8 bits: the pigeonhole guarantee needs bands > hamming,
+    // and this fixture's closest non-identical pairs sit at hamming 7
+    // (no raw-text dups in the corpus, and the per-position pixel
+    // formula decorrelates unequal texts fast). 8-bit bands collide
+    // more than q48's 16-bit ones — the production knob at image-corpus
+    // scale is a wider perceptual hash (256-bit pHash), same topology.
+    val hashes = bmpMediaTable(spark, sfDir).as[MediaRecord]
+      .mapPartitions(_.map(r =>
+        (r.doc_id, aHash(graft.functions.Bmp.decode(r.payload).pixels))))
+      .toDF("doc_id", "ahash")
+    val banded = hashes.select(col("doc_id"), col("ahash"),
+      explode(array((0 until 8).map(j => struct(lit(j).as("band"),
+        shiftrightunsigned(col("ahash"), j * 8)
+          .bitwiseAND(lit(0xffL)).as("bv"))): _*)).as("b"))
+      .select(col("doc_id"), col("ahash"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+    val a = banded.select(col("doc_id").as("doc_id_1"),
+      col("ahash").as("h1"), col("band"), col("bv"))
+    val bb = banded.select(col("doc_id").as("doc_id_2"),
+      col("ahash").as("h2"), col("band"), col("bv"))
+    a.join(bb, Seq("band", "bv"))
+      .where(col("doc_id_1") < col("doc_id_2"))
+      .select("doc_id_1", "doc_id_2", "h1", "h2").distinct()
+      .select(col("doc_id_1"), col("doc_id_2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .orderBy("doc_id_1", "doc_id_2")
+  }
+
   /** The WIDE media fixture: payloads whose bytes regularly exceed 0x7F,
     * so the byte-slicing operators (q37 frames, q61 audio windows) are
     * exercised on genuine binary data, not on an ASCII corpus where

@@ -1289,6 +1289,41 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q106 image hashes replay from the pixel formula; band join is exhaustive") {
+    // independent path: compute each doc's raster from the FIXTURE
+    // FORMULA (no BMP container anywhere), hash it, and require the
+    // container-decoding pipeline to agree hash-for-hash — a decode bug
+    // (row flip, padding) or a hash drift fails on every doc, not just
+    // on the one emitted pair
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.map { case (id, text) =>
+      val (w, h) = MultimodalPipeline.bmpDims(text.length)
+      id -> MultimodalPipeline.aHash(
+        MultimodalPipeline.bmpPixels(text, w, h))
+    }.toMap
+    import spark.implicits._
+    val got = MultimodalPipeline.bmpMediaTable(spark, sfDir)
+      .as[MultimodalPipeline.MediaRecord]
+      .map(r => (r.doc_id,
+        MultimodalPipeline.aHash(graft.functions.Bmp.decode(r.payload).pixels)))
+      .collect().toMap
+    assert(got === expected)
+    // the banded join must find exactly the brute-force pairs at the
+    // threshold (pigeonhole completeness: 8 bands > hamming 7)
+    val ids = expected.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      hm = java.lang.Long.bitCount(expected(ids(i)) ^ expected(ids(j)))
+      if hm <= 7
+    } yield (ids(i), ids(j), hm)).toSeq
+    val pairs = MultimodalPipeline.q106ImageNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs.sorted === brute.sorted)
+    assert(pairs.nonEmpty, "threshold emits nothing at this SF — vacuous gate")
+  }
+
   test("q102 heavy hitters: JVM replay oracle + sketch invisibility") {
     val rows = TextQueries.q102HeavyHitters(spark, sfDir).collect()
     // replay exactly: bigrams from the pinned tokenizer contract, exact

@@ -823,10 +823,17 @@ object TextQueries {
     * contiguous per doc by construction, so `lead` over (doc_id, pos) IS
     * word adjacency — no tokenize, no self-join; the doc-boundary guard
     * drops each doc's final position (null lead). */
-  private def bigrams(spark: SparkSession, sfDir: String): DataFrame = {
+  private def bigrams(spark: SparkSession, sfDir: String): DataFrame =
+    bigramsFrom(DedupQueries.spanFeatures(spark, sfDir))
+
+  /** [[bigrams]] over an explicit (doc_id, pos, w) relation — the
+    * spanFeaturesOf split applied here so the data-growth sweep
+    * ([[graft.tools.DedupScaling]]) can drive the q102 shape over
+    * amplified corpora. */
+  private[graft] def bigramsFrom(spanFeats: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy("doc_id").orderBy("pos")
-    DedupQueries.spanFeatures(spark, sfDir)
+    spanFeats
       .select(col("doc_id"), col("pos"), col("w"))
       .select(
         concat_ws(" ", col("w"), lead("w", 1).over(win)).as("bigram"),
@@ -853,10 +860,13 @@ object TextQueries {
     * Threshold: phi = 1/[[HeavyPhiDen]] of the corpus bigram total N,
     * read straight off the sketch (every CMS row sums to N — no count
     * pass). */
-  def q102HeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+  def q102HeavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    heavyHittersOf(bigrams(spark, sfDir))
+
+  /** The q102 two-pass plan over any bigram stream (sweep-drivable). */
+  private[graft] def heavyHittersOf(bg: DataFrame): DataFrame = {
     import graft.functions.CountMinAgg
     val w = CmsWidth
-    val bg = bigrams(spark, sfDir)
     val flat = bg.agg(CountMinAgg.sketch(col("bigram"), w).as("s"))
       .head.getSeq[Long](0).toArray
     val rows = flat.grouped(w).toArray

@@ -136,11 +136,47 @@ object DedupScaling {
           .groupBy(col("w").as("word")).agg(count(lit(1)).as("cnt")),
         rounds = 5).size.toLong
 
+    /** q102's two-pass heavy-hitter plan over the amplified bigram
+      * stream. The claims under growth: the SKETCH is size-invariant
+      * (4x4096 longs regardless of k — it merges by vector addition),
+      * and the verify exchange carries only cleared keys, which k-fold
+      * amplification leaves UNCHANGED (same bigrams, counts and the
+      * phi threshold both scale by k, so the heavy set is identical). */
+    def heavyHitters(docs: DataFrame): Long =
+      graft.operators.TextQueries.heavyHittersOf(
+        graft.operators.TextQueries.bigramsFrom(
+          DedupQueries.spanFeaturesOf(docs))).count()
+
+    /** q106's decode+hash+banded-join plan over the amplified image
+      * corpus. Adversarial on purpose: every doc's k disjoint-id copies
+      * render IDENTICAL images, so each original doc contributes a
+      * k-clique of hamming-0 pairs — pair output grows ~k^2/2 while the
+      * exchange before the join stays 8 bytes per image. */
+    def imageNearDup(docs: DataFrame): Long =
+      graft.operators.MultimodalPipeline.imageNearDupOf(
+        graft.operators.MultimodalPipeline.bmpMediaTableOf(docs), 7).count()
+
+    /** q105's bisection over k-fold events values (ranks scale by k; at
+      * k >= 1 here N exceeds the collect clamp, so the histogram loop
+      * actually descends — the 3-scans-at-any-N claim measured). */
+    def quantiles(k: Int): Long = {
+      val v0 = Tables.events(spark, sfDir).select("value")
+      val v = (0 until k).map(_ => v0).reduce(_ unionByName _)
+      val first = v.agg(count(lit(1)), min("value"), max("value")).head
+      val n = first.getLong(0)
+      Seq(50, 95, 99).map { p =>
+        graft.operators.RelationalQueries.quantileByBisect(
+          v, n, first.getDouble(1), first.getDouble(2), (n * p + 99) / 100,
+          collectLimit = 100000L)
+      }.size.toLong
+    }
+
     // warm codegen/scan paths once at k=1 so k-row deltas are not
     // measuring Janino compiles
     exactDedup(amplified(1)); dupSpans(amplified(1))
     ngramNovelty(amplified(1)); tokenDrift(amplified(1))
-    bpeLearn(amplified(1))
+    bpeLearn(amplified(1)); heavyHitters(amplified(1))
+    imageNearDup(amplified(1)); quantiles(1)
 
     def measure(f: () => Long): (Double, Double) = {
       val runs = (1 to 3).map { _ =>
@@ -177,8 +213,23 @@ object DedupScaling {
       table ++= row + "\n"
     }
     println(table.result())
+
+    val t11 = new StringBuilder
+    t11 ++= s"| k | q102 s | q102 MB | q106 s | q106 MB | q105 s | q105 MB |\n"
+    t11 ++= "|---|---|---|---|---|---|---|\n"
+    Seq(1, 4, 16, 32).foreach { k =>
+      val docs = amplified(k)
+      val (hhS, hhMb) = measure(() => heavyHitters(docs))
+      val (imS, imMb) = measure(() => imageNearDup(docs))
+      val (qS, qMb) = measure(() => quantiles(k))
+      val row = f"| $k | $hhS%.2f | $hhMb%.2f | $imS%.2f | $imMb%.2f " +
+        f"| $qS%.2f | $qMb%.2f |"
+      println(s"[dedupscaling-r11] $row")
+      t11 ++= row + "\n"
+    }
+    println(t11.result())
     out.foreach(p => java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(p), table.result()))
+      java.nio.file.Paths.get(p), table.result() + "\n" + t11.result()))
     spark.stop()
   }
 }

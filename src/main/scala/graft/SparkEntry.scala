@@ -225,6 +225,14 @@ object SparkEntry {
     // pass.
     "q106_image_neardup" -> ((s0, dir) =>
       MultimodalPipeline.q106ImageNearDup(s0, dir)),
+    // q107 chains the refresh discipline onto the count-min sketch:
+    // CMS is a LINEAR sketch, so snapshot B's sketch is EXACTLY
+    // sketch(A) - sketch(removed) + sketch(added) (spec-pinned
+    // elementwise); the refresh pays two delta-sized passes + 32 KB of
+    // vector arithmetic, the verify runs over B's incremental bigram
+    // stream, and the oracle regates B from scratch - the hash gate IS
+    // refresh == rebuild.
+    "q107_sketch_refresh" -> (TextQueries.q107SketchRefresh _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -1281,6 +1289,35 @@ object SparkEntry {
          |FROM m GROUP BY phrase, doc_id
          |ORDER BY phrase, doc_id""".stripMargin
     },
+    // q107's oracle recomputes snapshot B's heavy hitters from scratch
+    // (q102's exact chain over the recrawl documents) — any error in
+    // the sketch subtraction, the incremental stream, or the refreshed
+    // threshold shows up as a wrong heavy-hitter set or count.
+    "q107_sketch_refresh" ->
+      """WITH bdocs AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN doc_id % 10 = 3 THEN text || ' updated v2'
+        |              ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 7
+        |  UNION ALL
+        |  SELECT -(doc_id + 1), lang, text FROM documents
+        |  WHERE doc_id % 10 = 1),
+        |toks AS (
+        |  SELECT doc_id, list_filter(list_transform(
+        |           string_split_regex(lower(text), '[^a-z0-9]+'),
+        |           x -> substr(x, 1, 255)), x -> length(x) > 0) AS t
+        |  FROM bdocs),
+        |tp AS (SELECT doc_id, unnest(t) AS w,
+        |              generate_subscripts(t, 1) - 1 AS pos FROM toks),
+        |bg AS MATERIALIZED (
+        |  SELECT a.w || ' ' || b.w AS bigram
+        |  FROM tp a JOIN tp b ON b.doc_id = a.doc_id
+        |                     AND b.pos = a.pos + 1),
+        |tot AS (SELECT count(*) AS n FROM bg),
+        |c AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY 1)
+        |SELECT bigram, cnt FROM c, tot
+        |WHERE cnt >= greatest(1, n // 600)
+        |ORDER BY bigram""".stripMargin,
     // q106's oracle replays the whole chain in SQL: fixture pixel
     // formula -> 64-chunk integer means (cross-multiplied, no floats)
     // -> 16-bit bands -> banded candidate join -> per-band xor popcount.

@@ -1289,6 +1289,36 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q107 sketch linearity: refresh equals from-scratch, counter for counter") {
+    // CMS is linear, so the refreshed vector must be IDENTICAL (not
+    // approximately equal) to a from-scratch sketch of snapshot B's
+    // bigram stream — one drifting counter means the subtraction read a
+    // different multiset than A actually contained
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val feats = DedupQueries.spanFeatures(spark, sfDir)
+    val stale = col("doc_id") % 10 === 7 || col("doc_id") % 10 === 3
+    val base = TextQueries.baseSketch(spark, sfDir)
+    val sub = TextQueries.cmsSketchOf(TextQueries.bigramsFrom(feats.where(stale)))
+    val fresh = CurationPipeline.snapshotB(docs)
+      .where(col("doc_id") < 0 || col("doc_id") % 10 === 3)
+      .select("doc_id", "text")
+    val add = TextQueries.cmsSketchOf(TextQueries.bigramsOfDocs(fresh))
+    val refreshed = base.indices.map(i => base(i) - sub(i) + add(i))
+    val scratch = TextQueries.cmsSketchOf(TextQueries.bigramsOfDocs(
+      CurationPipeline.snapshotB(docs).select("doc_id", "text")))
+    assert(refreshed.toSeq === scratch.toSeq)
+    // and no counter went negative (a subtraction exceeding the base
+    // would mean the removed stream wasn't a subset of A's)
+    assert(refreshed.forall(_ >= 0L))
+    // the refresh must actually change the answer vs snapshot A, or
+    // the scenario isn't exercising the delta
+    val aSet = TextQueries.q102HeavyHitters(spark, sfDir)
+      .collect().map(_.getString(0)).toSet
+    val bSet = TextQueries.q107SketchRefresh(spark, sfDir)
+      .collect().map(_.getString(0)).toSet
+    assert(aSet !== bSet, "recrawl left the heavy set unchanged — weak test")
+  }
+
   test("q106 image hashes replay from the pixel formula; band join is exhaustive") {
     // independent path: compute each doc's raster from the FIXTURE
     // FORMULA (no BMP container anywhere), hash it, and require the

@@ -101,6 +101,7 @@ object SparkEntry {
     "q58_csv_source"    -> (DelimitedSources.q58CsvSource _),
     "q59_json_source"   -> (DelimitedSources.q59JsonSource _),
     "q103_orc_source"   -> (DelimitedSources.q103OrcSource _),
+    "q108_gzip_source"  -> (DelimitedSources.q108GzipSource _),
     "q61_audio_windows" -> ((s: SparkSession, d: String) =>
       MultimodalPipeline.q61AudioWindows(s, d)),
     "q62_topk_agg"      -> (RelationalQueries.q62TopkAgg _),
@@ -1361,7 +1362,7 @@ object SparkEntry {
       """WITH ranked AS (
         |  SELECT value, row_number() OVER (ORDER BY value) AS rn,
         |         count(*) OVER () AS n
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |t(pct) AS (VALUES (50), (95), (99))
         |SELECT t.pct, r.value
         |FROM t JOIN ranked r ON r.rn = (r.n * t.pct + 99) // 100
@@ -1660,6 +1661,12 @@ object SparkEntry {
       """SELECT s_nationkey, count(*) AS suppliers,
         |       round(sum(s_acctbal), 2) AS total_bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    // q108: gzip CSV round-trip — same original-parquet oracle rule
+    "q108_gzip_source" ->
+      """SELECT o_orderpriority, count(*) AS orders,
+        |       round(sum(o_totalprice), 2) AS total_price
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // like q58/q59 the oracle aggregates the ORIGINAL parquet — any
     // loss in the ORC write or vectorized read breaks the hash
     "q103_orc_source" ->

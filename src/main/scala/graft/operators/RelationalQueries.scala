@@ -359,7 +359,11 @@ object RelationalQueries {
     * arithmetic on both sides, no float rank. */
   def q105ExactQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // explicit null policy (pinned in the oracle too): ranks are over
+    // NON-NULL values — a null would silently fall out of the bisect
+    // filters while still counting toward N, shifting every rank
     val values = Tables.events(spark, sfDir).select(col("value"))
+      .where(col("value").isNotNull)
     val pcts = Seq(50, 95, 99)
     val first = values.agg(count(lit(1)), min("value"), max("value")).head
     val n = first.getLong(0)

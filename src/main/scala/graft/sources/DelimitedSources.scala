@@ -79,9 +79,11 @@ object DelimitedSources {
         val w = Tables.load(spark, sfDir, table).coalesce(1)
           .write.mode("overwrite")
         fmt match {
-          case "csv"  => w.option("header", "true").csv(out)
-          case "json" => w.json(out)
-          case "orc"  => w.orc(out)
+          case "csv"   => w.option("header", "true").csv(out)
+          case "csvgz" => w.option("header", "true")
+            .option("compression", "gzip").csv(out)
+          case "json"  => w.json(out)
+          case "orc"   => w.orc(out)
         }
         // a lost race keeps the winner's path; the loser's render is
         // swept by its own shutdown hook registered above, so neither
@@ -115,6 +117,31 @@ object DelimitedSources {
       .agg(count(lit(1)).as("customers"),
         round(sum(col("c_acctbal")), 2).as("total_bal"))
       .orderBy("c_mktsegment")
+
+  /** Test hook: the staged render path for a (table, fmt) — lets the
+    * q108 spec open the raw staged file to pin partition planning. */
+  private[graft] def stagedPathForTest(spark: SparkSession, sfDir: String,
+      table: String, fmt: String): String = stage(spark, sfDir, table, fmt)
+
+  /** Q108: gzip-compressed CSV round-trip — the compressed-ingest path
+    * every real landing zone has. The reader detects the codec from the
+    * `.gz` extension; the schema'd parse and the q58 dialect pinning
+    * apply unchanged. The 100 TB caveat is SPLITTABILITY, not parsing:
+    * gzip streams cannot be split, so each file is ONE task end-to-end
+    * — a compressed corpus must arrive as many files (or a splittable
+    * codec) or the cluster idles behind single readers. This fixture
+    * stages one file; the q108 plan spec pins that Spark still planned
+    * it (single non-split partition) and that values survived the
+    * compress/decompress round-trip bit-exactly (oracle reads the
+    * original parquet). */
+  def q108GzipSource(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = Tables.orders(spark, sfDir).schema
+    readCsv(spark, stage(spark, sfDir, "orders", "csvgz"), schema)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy("o_orderpriority")
+  }
 
   /** Q59: JSON round-trip — supplier rendered to JSON lines, read back
     * with the parquet schema, aggregated per nation (the double-typed

@@ -1394,6 +1394,26 @@ class OperatorSpec extends SparkSpec {
       s"ORC scan not pruned to the referenced columns:\n$scan")
   }
 
+  test("q108 gzip round-trip: values exact, single non-split partition") {
+    val df = graft.sources.DelimitedSources.q108GzipSource(spark, sfDir)
+    val orig = Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy("o_orderpriority").collect()
+    assert(df.collect().toSeq === orig.toSeq)
+    // the 100 TB caveat this query documents: gzip is not splittable,
+    // so the one staged file must plan as exactly one input partition —
+    // if Spark ever split it the parse would be corrupt, and if the
+    // fixture grew more files this pin keeps the claim honest
+    val schema = Tables.orders(spark, sfDir).schema
+    val raw = graft.sources.DelimitedSources.readCsv(spark,
+      graft.sources.DelimitedSources.stagedPathForTest(
+        spark, sfDir, "orders", "csvgz"), schema)
+    assert(raw.rdd.getNumPartitions === 1,
+      "gzip input split — non-splittable codec contract broken")
+  }
+
   test("q88 pre-aggregates per doc before the gram-keyed exchange") {
     // the (doc_id, gram) aggregate must collapse within-doc repeats
     // map-side BEFORE grams travel: partial aggregation on both the

@@ -104,6 +104,28 @@ class AsofNativeSpec extends SparkSpec {
     assert(byLv("l8") === (None, None)) // null left ts never matches
   }
 
+  test("empty sides: no right rows -> all-null fill; no left rows -> empty") {
+    import spark.implicits._
+    def ts(s: Long): Timestamp = new Timestamp(s * 1000L)
+    val left = Seq((1L, ts(10), "l1"), (2L, ts(20), "l2")).toDF("k", "t", "lv")
+    val right = Seq((1L, ts(5), "r1", 9)).toDF("k", "t", "rv", "rn")
+    val emptyR = right.where(lit(false))
+    val gotNoRight = NativeAsofJoin.asof(left, emptyR, "k", "t",
+      Seq("rv", "rn")).collect()
+    assert(gotNoRight.length === 2)
+    assert(gotNoRight.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+    val emptyL = left.where(lit(false))
+    assert(NativeAsofJoin.asof(emptyL, right, "k", "t",
+      Seq("rv", "rn")).collect().isEmpty)
+    // name collision must refuse loudly, not shadow silently
+    intercept[IllegalArgumentException](
+      NativeAsofJoin.asof(left, right.withColumnRenamed("rv", "lv"),
+        "k", "t", Seq("lv", "rn")))
+    // unknown column names refuse with the side named
+    intercept[IllegalArgumentException](
+      NativeAsofJoin.asof(left, right, "k", "t", Seq("nope")))
+  }
+
   test("plan: AsofJoinExec, per-side own-key exchanges, no window/union") {
     // AQE off for this one: query stages are leaves to collect(), hiding
     // the exec node; the raw plan exposes it for attribute assertions

@@ -140,6 +140,17 @@ object Bench {
           Tables.documents(spark, sfDir))).count()
       ()
     }
+    // the q107 pair: the count-min index delta-maintained (two
+    // delta-sized passes + 32 KB vector math over the stored base
+    // sketch, built untimed — it IS the stored index) vs re-sketched
+    // from snapshot B's whole stream
+    operators.TextQueries.baseSketch(spark, sfDir)
+    val sketchRefreshSec = minTimed {
+      operators.TextQueries.refreshedSketch(spark, sfDir); ()
+    }
+    val sketchRebuildSec = minTimed {
+      operators.TextQueries.rebuiltBSketch(spark, sfDir); ()
+    }
     // min across INTERLEAVED full-suite passes: this box is shared and
     // load spikes inflate single samples 2-7x. Back-to-back repeats of
     // one query land both samples inside the same spike (round 4 showed
@@ -259,7 +270,7 @@ object Bench {
     // map — the one map a reader must have — goes LAST, with the
     // diagnostic maps (spread, shuffle) just before it
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"sf":${GraftSession.jsonString(sfDir)},"loadavg":$loadavg,"runs_per_query":$passes,"interleaved":true,"shuffled_order":true,"oneoff_runs":$oneoffRuns,"artifacts_sec":$artifactsSec,"artifacts_load":[$artLoadBefore,$artLoadAfter],"delta_sec":$deltaSec,"refresh_sec":$refreshSec,"full_rebuild_sec":$rebuildSec,"pq_refresh_sec":$pqRefreshSec,"pq_rebuild_sec":$pqRebuildSec,"span_refresh_sec":$spanRefreshSec,"span_rebuild_sec":$spanRebuildSec,"docfeat_refresh_sec":$docfeatRefreshSec,"docfeat_rebuild_sec":$docfeatRebuildSec,"state_rows":$st,"pass_spread":$sp,"shuffle_mb":$sh,"queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"sf":${GraftSession.jsonString(sfDir)},"loadavg":$loadavg,"runs_per_query":$passes,"interleaved":true,"shuffled_order":true,"oneoff_runs":$oneoffRuns,"artifacts_sec":$artifactsSec,"artifacts_load":[$artLoadBefore,$artLoadAfter],"delta_sec":$deltaSec,"refresh_sec":$refreshSec,"full_rebuild_sec":$rebuildSec,"pq_refresh_sec":$pqRefreshSec,"pq_rebuild_sec":$pqRebuildSec,"span_refresh_sec":$spanRefreshSec,"span_rebuild_sec":$spanRebuildSec,"docfeat_refresh_sec":$docfeatRefreshSec,"docfeat_rebuild_sec":$docfeatRebuildSec,"sketch_refresh_sec":$sketchRefreshSec,"sketch_rebuild_sec":$sketchRebuildSec,"state_rows":$st,"pass_spread":$sp,"shuffle_mb":$sh,"queries":$qs}"""
     println(json)
     // also land the line in a file: sbt interleaves its own log lines with
     // stdout, so a driver grepping the tail can mis-parse — a dedicated

@@ -930,19 +930,38 @@ object TextQueries {
   def q107SketchRefresh(spark: SparkSession, sfDir: String): DataFrame = {
     val feats = DedupQueries.spanFeatures(spark, sfDir)
     val stale = col("doc_id") % 10 === 7 || col("doc_id") % 10 === 3
-    val base = baseSketch(spark, sfDir)
-    val sub = cmsSketchOf(bigramsFrom(feats.where(stale)))
-    val freshDocs = graft.operators.CurationPipeline
+    val bBigrams = bigramsFrom(feats.where(!stale))
+      .unionByName(bigramsOfDocs(freshBDocs(spark, sfDir)))
+    cmsVerify(bBigrams, refreshedSketch(spark, sfDir))
+  }
+
+  /** Snapshot B's added/modified docs (q79's delta rules). */
+  private def freshBDocs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.CurationPipeline
       .snapshotB(Tables.documents(spark, sfDir))
       .where(col("doc_id") < 0 || col("doc_id") % 10 === 3)
       .select("doc_id", "text")
-    val addBg = bigramsOfDocs(freshDocs)
-    val add = cmsSketchOf(addBg)
-    val refreshed = base.indices
-      .map(i => base(i) - sub(i) + add(i)).toArray
-    val bBigrams = bigramsFrom(feats.where(!stale)).unionByName(addBg)
-    cmsVerify(bBigrams, refreshed)
+
+  /** The q107 refresh arithmetic alone (two delta-sized passes + vector
+    * math over the stored base sketch) — split out so Bench can pair
+    * sketch_refresh_sec against sketch_rebuild_sec. */
+  private[graft] def refreshedSketch(spark: SparkSession,
+                                     sfDir: String): Array[Long] = {
+    val feats = DedupQueries.spanFeatures(spark, sfDir)
+    val stale = col("doc_id") % 10 === 7 || col("doc_id") % 10 === 3
+    val base = baseSketch(spark, sfDir)
+    val sub = cmsSketchOf(bigramsFrom(feats.where(stale)))
+    val add = cmsSketchOf(bigramsOfDocs(freshBDocs(spark, sfDir)))
+    base.indices.map(i => base(i) - sub(i) + add(i)).toArray
   }
+
+  /** The from-scratch twin for the bench pair: sketch snapshot B's
+    * whole bigram stream. */
+  private[graft] def rebuiltBSketch(spark: SparkSession,
+                                    sfDir: String): Array[Long] =
+    cmsSketchOf(bigramsOfDocs(graft.operators.CurationPipeline
+      .snapshotB(Tables.documents(spark, sfDir))
+      .select("doc_id", "text")))
 
   /** Snapshot A's sketch, built once per (session, dir) off the
     * artifact-backed bigram stream — the stored-index stand-in the

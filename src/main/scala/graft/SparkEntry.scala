@@ -1295,7 +1295,7 @@ object SparkEntry {
     // the sketch subtraction, the incremental stream, or the refreshed
     // threshold shows up as a wrong heavy-hitter set or count.
     "q107_sketch_refresh" ->
-      """WITH bdocs AS (
+      s"""WITH bdocs AS (
         |  SELECT doc_id, lang,
         |         CASE WHEN doc_id % 10 = 3 THEN text || ' updated v2'
         |              ELSE text END AS text
@@ -1317,7 +1317,7 @@ object SparkEntry {
         |tot AS (SELECT count(*) AS n FROM bg),
         |c AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY 1)
         |SELECT bigram, cnt FROM c, tot
-        |WHERE cnt >= greatest(1, n // 600)
+        |WHERE cnt >= greatest(1, n // ${TextQueries.HeavyPhiDen})
         |ORDER BY bigram""".stripMargin,
     // q106's oracle replays the whole chain in SQL: fixture pixel
     // formula -> 64-chunk integer means (cross-multiplied, no floats)

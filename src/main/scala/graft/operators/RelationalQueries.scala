@@ -368,12 +368,61 @@ object RelationalQueries {
     val first = values.agg(count(lit(1)), min("value"), max("value")).head
     val n = first.getLong(0)
     require(n > 0, "empty input")
+    val (lo0, hi0) = (first.getDouble(1), first.getDouble(2))
+    // the full-range histogram — the one round that scans ALL the data —
+    // is computed ONCE and every percentile descends from its own bucket
+    // of it; without this hoist the most expensive scan would run once
+    // per percentile
+    val shared =
+      if (n > QuantileCollectLimit && lo0 < hi0)
+        Some(histogramOf(values, lo0, hi0))
+      else None
     val results = pcts.map { p =>
       val target = (n * p + 99) / 100 // ceil(n*p/100), integer-exact
-      (p, quantileByBisect(values, n, first.getDouble(1),
-        first.getDouble(2), target))
+      val v = shared match {
+        case Some(hist) =>
+          val (r, cum) = pickBucket(hist, target)
+          quantileByBisect(
+            values.where(col("value") >= r.getDouble(2) &&
+              col("value") <= r.getDouble(3)),
+            r.getLong(1), r.getDouble(2), r.getDouble(3), target - cum)
+        case None => quantileByBisect(values, n, lo0, hi0, target)
+      }
+      (p, v)
     }
     results.toDF("pct", "value").orderBy("pct")
+  }
+
+  /** One 256-bucket (count, min, max) histogram round over [lo, hi] —
+    * bucket index is monotone in value, so equal values always share a
+    * bucket and per-bucket [min, max] ranges are disjoint. */
+  private[graft] def histogramForTest(df: DataFrame, lo: Double,
+      hi: Double): Array[org.apache.spark.sql.Row] = histogramOf(df, lo, hi)
+  private[graft] def pickBucketForTest(hist: Array[org.apache.spark.sql.Row],
+      target: Long): (org.apache.spark.sql.Row, Long) = pickBucket(hist, target)
+
+  private def histogramOf(df: DataFrame, lo: Double,
+      hi: Double): Array[org.apache.spark.sql.Row] = {
+    val b = QuantileBuckets
+    val idx = least(lit(b - 1), greatest(lit(0),
+      floor((col("value") - lo) / ((hi - lo) / b)))).cast("int")
+    df.groupBy(idx.as("bkt"))
+      .agg(count(lit(1)).as("c"), min("value").as("mn"),
+        max("value").as("mx"))
+      .collect().sortBy(_.getInt(0))
+  }
+
+  /** The bucket holding 1-based rank `target`, plus the exact count of
+    * values in the buckets before it. */
+  private def pickBucket(hist: Array[org.apache.spark.sql.Row],
+      target: Long): (org.apache.spark.sql.Row, Long) = {
+    var cum = 0L
+    for (r <- hist) {
+      val c = r.getLong(1)
+      if (cum + c >= target) return (r, cum)
+      cum += c
+    }
+    throw new IllegalStateException(s"histogram lost rank $target")
   }
 
   /** One bisection descent: maintain (range frame, count, exact rank
@@ -386,28 +435,11 @@ object RelationalQueries {
     var (cnt, lo, hi) = (n0, lo0, hi0)
     var target = target0 // rank within the current frame, 1-based
     while (cnt > collectLimit && lo < hi) {
-      val b = QuantileBuckets
-      // monotone in value: equal values always share a bucket, so the
-      // per-bucket (min, max) ranges cannot overlap across buckets
-      val idx = least(lit(b - 1), greatest(lit(0),
-        floor((col("value") - lo) / ((hi - lo) / b)))).cast("int")
-      val hist = df.groupBy(idx.as("bkt"))
-        .agg(count(lit(1)).as("c"), min("value").as("mn"),
-          max("value").as("mx"))
-        .collect().sortBy(_.getInt(0))
-      var cum = 0L
-      var found = false
-      for (r <- hist if !found) {
-        val c = r.getLong(1)
-        if (cum + c >= target) {
-          found = true
-          df = df.where(col("value") >= r.getDouble(2) &&
-            col("value") <= r.getDouble(3))
-          target -= cum
-          cnt = c; lo = r.getDouble(2); hi = r.getDouble(3)
-        } else cum += c
-      }
-      require(found, s"histogram lost the target rank $target")
+      val (r, cum) = pickBucket(histogramOf(df, lo, hi), target)
+      df = df.where(col("value") >= r.getDouble(2) &&
+        col("value") <= r.getDouble(3))
+      target -= cum
+      cnt = r.getLong(1); lo = r.getDouble(2); hi = r.getDouble(3)
     }
     if (lo == hi) lo
     else {

@@ -161,6 +161,7 @@ object DedupScaling {
       * actually descends — the 3-scans-at-any-N claim measured). */
     def quantiles(k: Int): Long = {
       val v0 = Tables.events(spark, sfDir).select("value")
+        .where(col("value").isNotNull) // q105's pinned null policy
       val v = (0 until k).map(_ => v0).reduce(_ unionByName _)
       val first = v.agg(count(lit(1)), min("value"), max("value")).head
       val n = first.getLong(0)

@@ -1279,6 +1279,20 @@ class OperatorSpec extends SparkSpec {
     val const = Seq.fill(200)(42.0).toDF("value")
     assert(RelationalQueries.quantileByBisect(
       const, 200, 42.0, 42.0, 100, collectLimit = 50L) === 42.0)
+    // the shared-first-histogram composition (q105's hoist: one
+    // full-range histogram, every percentile descends from its own
+    // bucket of it) must agree with the unshared descent
+    val hist = RelationalQueries.histogramForTest(df, sorted.head, sorted.last)
+    for (p <- Seq(37, 95)) {
+      val target = (n * p + 99) / 100
+      val (r, cum) = RelationalQueries.pickBucketForTest(hist, target)
+      val viaShared = RelationalQueries.quantileByBisect(
+        df.where(col("value") >= r.getDouble(2) &&
+          col("value") <= r.getDouble(3)),
+        r.getLong(1), r.getDouble(2), r.getDouble(3), target - cum,
+        collectLimit = 50L)
+      assert(viaShared === sorted(target.toInt - 1), s"shared path p$p wrong")
+    }
     // and the public query agrees with a brute-force sort at this SF
     val ev = Tables.events(spark, sfDir).select("value")
       .collect().map(_.getDouble(0)).sorted

@@ -234,6 +234,14 @@ object SparkEntry {
     // stream, and the oracle regates B from scratch - the hash gate IS
     // refresh == rebuild.
     "q107_sketch_refresh" -> (TextQueries.q107SketchRefresh _),
+    // q109 generalizes q105's bisection to per-group percentiles with
+    // BATCHED rounds: every active (group, pct) frame descends in the
+    // same job (broadcast bounds join -> one groupBy(g, pct, bucket)),
+    // so rounds = log(N/limit) regardless of group count; integer
+    // bucket arithmetic, no value buffered beyond a 256-row histogram
+    // per frame - where percentile() per group buffers the biggest
+    // group in one task.
+    "q109_grouped_quantiles" -> (RelationalQueries.q109GroupedQuantiles _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -1290,6 +1298,19 @@ object SparkEntry {
          |FROM m GROUP BY phrase, doc_id
          |ORDER BY phrase, doc_id""".stripMargin
     },
+    // q109's oracle: per-lang row_number ranks over replayed token
+    // counts, same integer ceil-rank contract as q105.
+    "q109_grouped_quantiles" ->
+      (tokListCte + """,
+        |counts AS (SELECT lang, len(t)::BIGINT AS v FROM toks),
+        |ranked AS (SELECT lang, v,
+        |             row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+        |             count(*) OVER (PARTITION BY lang) AS n
+        |           FROM counts),
+        |t(pct) AS (VALUES (50), (95))
+        |SELECT r.lang, t.pct, r.v AS token_cnt
+        |FROM t JOIN ranked r ON r.rn = (r.n * t.pct + 99) // 100
+        |ORDER BY lang, pct""".stripMargin),
     // q107's oracle recomputes snapshot B's heavy hitters from scratch
     // (q102's exact chain over the recrawl documents) — any error in
     // the sketch subtraction, the incremental stream, or the refreshed

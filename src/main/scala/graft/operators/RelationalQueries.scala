@@ -447,4 +447,98 @@ object RelationalQueries {
       vs(target.toInt - 1)
     }
   }
+
+  /** Q109: GROUPED exact quantiles — q105's bisection generalized to
+    * per-group percentiles with BATCHED rounds: every active
+    * (group, pct) frame descends in the SAME job each round (the tiny
+    * frame-bounds relation broadcasts onto the values, each row lands in
+    * its frames' buckets, one groupBy(group, pct, bucket) serves them
+    * all), so the round count is log(N/limit) TOTAL — independent of how
+    * many groups there are. The contrast at 100 TB: `percentile()` per
+    * group buffers each group's values in one task (the biggest group is
+    * the straggler AND the OOM), a window-rank formulation global-sorts
+    * within groups; here no value is ever held beyond a 256-row
+    * histogram per frame and a clamped final collect. Integer value
+    * domain (token counts), so bucket arithmetic is exact division —
+    * no float anywhere.
+    *
+    * The demo: per-language token-count p50/p95 off the docFeatures
+    * artifact (the length profile a curation pipeline balances against),
+    * rank = ceil(p·N_lang/100), dups counted — same contract as q105. */
+  def q109GroupedQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val vals = TextQueries.docFeatures(spark, sfDir)
+      .select(col("lang").as("g"), col("token_cnt").cast("long").as("v"))
+    groupedQuantiles(vals, Seq(50, 95))
+      .toDF("lang", "pct", "token_cnt")
+      .orderBy("lang", "pct")
+  }
+
+  private case class QFrame(g: String, pct: Int, lo: Long, hi: Long,
+                            cnt: Long, target: Long)
+
+  /** Batched grouped bisection over a (g: string, v: long) relation.
+    * Returns (group, pct, exact value at rank ceil(pct·N_g/100)). */
+  private[graft] def groupedQuantiles(vals: DataFrame, pcts: Seq[Int],
+      collectLimit: Long = QuantileCollectLimit): Seq[(String, Int, Long)] = {
+    val spark = vals.sparkSession
+    import spark.implicits._
+    val init = vals.groupBy("g")
+      .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+      .collect()
+    var frames = (for {
+      r <- init.toSeq; p <- pcts
+    } yield QFrame(r.getString(0), p, r.getLong(2), r.getLong(3),
+      r.getLong(1), (r.getLong(1) * p + 99) / 100)).toList
+    val done = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long)]
+    var splitting = true
+    while (splitting) {
+      val (resolved, open) = frames.partition(f => f.lo == f.hi)
+      done ++= resolved.map(f => (f.g, f.pct, f.lo))
+      val (big, small) = open.partition(_.cnt > collectLimit)
+      frames = small
+      if (big.isEmpty) splitting = false
+      else {
+        val b = QuantileBuckets
+        val bounds = broadcast(
+          big.map(f => (f.g, f.pct, f.lo, f.hi)).toDF("g", "pct", "lo", "hi"))
+        // integer bucket index: exact, monotone, equal values never split
+        val hist = vals.join(bounds, Seq("g"))
+          .where(col("v") >= col("lo") && col("v") <= col("hi"))
+          .groupBy(col("g"), col("pct"),
+            expr(s"CAST(((v - lo) * $b) DIV (hi - lo + 1) AS INT)").as("bkt"))
+          .agg(count(lit(1)).as("c"), min("v").as("mn"), max("v").as("mx"))
+          .collect()
+          .groupBy(r => (r.getString(0), r.getInt(1)))
+        frames = frames ++ big.map { f =>
+          val buckets = hist((f.g, f.pct)).sortBy(_.getInt(2))
+          var cum = 0L
+          var next: QFrame = null
+          for (r <- buckets if next == null) {
+            val c = r.getLong(3)
+            if (cum + c >= f.target)
+              next = QFrame(f.g, f.pct, r.getLong(4), r.getLong(5), c,
+                f.target - cum)
+            else cum += c
+          }
+          require(next != null, s"lost rank ${f.target} for ${f.g}/${f.pct}")
+          next
+        }
+      }
+    }
+    // one batched final collect for every remaining small frame
+    if (frames.nonEmpty) {
+      val bounds = broadcast(
+        frames.map(f => (f.g, f.pct, f.lo, f.hi)).toDF("g", "pct", "lo", "hi"))
+      val rows = vals.join(bounds, Seq("g"))
+        .where(col("v") >= col("lo") && col("v") <= col("hi"))
+        .select("g", "pct", "v").collect()
+        .groupBy(r => (r.getString(0), r.getInt(1)))
+      done ++= frames.map { f =>
+        val vs = rows((f.g, f.pct)).map(_.getLong(2)).sorted
+        (f.g, f.pct, vs(f.target.toInt - 1))
+      }
+    }
+    done.toSeq
+  }
 }

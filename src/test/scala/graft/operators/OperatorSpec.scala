@@ -1368,6 +1368,40 @@ class OperatorSpec extends SparkSpec {
     assert(pairs.nonEmpty, "threshold emits nothing at this SF — vacuous gate")
   }
 
+  test("q109 grouped bisection: batched rounds, exact per-group ranks") {
+    import spark.implicits._
+    // groups of very different sizes and shapes: a big skewed group
+    // (forces several rounds at limit 40), a group under the limit
+    // (straight to final collect), a constant group (lo==hi resolve),
+    // and a two-value group
+    val data: Seq[(String, Long)] =
+      (1 to 5000).map(i => "big" -> (i % 613).toLong) ++
+        (1 to 30).map(i => "small" -> i.toLong) ++
+        Seq.fill(100)("const" -> 7L) ++
+        (1 to 80).map(i => "duo" -> (if (i % 3 == 0) 5L else 9L))
+    val vals = data.toDF("g", "v").repartition(8)
+    val pcts = Seq(10, 50, 95)
+    val got = RelationalQueries.groupedQuantiles(vals, pcts,
+      collectLimit = 40L).toSet
+    val expected = (for {
+      (g, vs0) <- data.groupBy(_._1)
+      vs = vs0.map(_._2).sorted
+      p <- pcts
+    } yield (g, p, vs(((vs.length.toLong * p + 99) / 100).toInt - 1))).toSet
+    assert(got === expected)
+    // and the public query agrees with brute force at this SF
+    val byLang = TextQueries.docFeatures(spark, sfDir)
+      .select("lang", "token_cnt").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getInt(1).toLong).sorted).toMap
+    RelationalQueries.q109GroupedQuantiles(spark, sfDir).collect()
+      .foreach { r =>
+        val vs = byLang(r.getString(0))
+        val t = (vs.length.toLong * r.getInt(1) + 99) / 100
+        assert(r.getLong(2) === vs(t.toInt - 1), s"${r.getString(0)} wrong")
+      }
+  }
+
   test("q102 heavy hitters: JVM replay oracle + sketch invisibility") {
     val rows = TextQueries.q102HeavyHitters(spark, sfDir).collect()
     // replay exactly: bigrams from the pinned tokenizer contract, exact

@@ -125,6 +125,46 @@ object RefreshScaling {
     println(spanTable.result())
     GraftSession.deleteRecursively(new java.io.File(spanBaseDir))
 
+    // --- sketch chain (q107): the same delta-fraction sweep for the
+    // count-min index. Refresh = the shipped discipline including the
+    // diff (hash-diff for the delta ids, one delta-sized subtract pass
+    // off snapshot A, one delta-sized add pass off B_f, 32 KB vector
+    // math over the stored base); rebuild = sketch B_f's whole bigram
+    // stream. Linearity makes both sides EXACTLY equal in output, so
+    // this table is purely about where delta-sized passes overtake the
+    // fused full scan.
+    import graft.operators.TextQueries
+    val sketchBase = TextQueries.cmsSketchOf(TextQueries.bigramsOfDocs(docs))
+    def deltaIds(k: Int): DataFrame = {
+      val b = snapshotB(k)
+      docs.select(col("doc_id"), md5(col("text")).as("old_md5"))
+        .join(b.select(col("doc_id"), md5(col("text")).as("new_md5")),
+          Seq("doc_id"))
+        .where(col("old_md5") =!= col("new_md5"))
+        .select("doc_id")
+    }
+    def sketchRefresh(k: Int): Long = {
+      val delta = deltaIds(k)
+      val sub = TextQueries.cmsSketchOf(TextQueries.bigramsOfDocs(
+        docs.join(delta, Seq("doc_id"))))
+      val add = TextQueries.cmsSketchOf(TextQueries.bigramsOfDocs(
+        snapshotB(k).join(delta, Seq("doc_id"))))
+      sketchBase.indices.map(i => sketchBase(i) - sub(i) + add(i)).sum
+    }
+    def sketchRebuild(k: Int): Long =
+      TextQueries.cmsSketchOf(TextQueries.bigramsOfDocs(snapshotB(k))).sum
+    sketchRefresh(4); sketchRebuild(4) // warm codegen
+    val sketchTable = new StringBuilder
+    sketchTable ++= "| delta | sketch refresh s | sketch rebuild s |\n|---|---|---|\n"
+    Seq(100, 20, 10, 4, 2).foreach { k =>
+      val r = time(() => sketchRefresh(k))
+      val f = time(() => sketchRebuild(k))
+      val row = f"| ${100.0 / k}%.0f%% | $r%.2f | $f%.2f |"
+      println(s"[refreshscaling] sketch $row")
+      sketchTable ++= row + "\n"
+    }
+    println(sketchTable.result())
+
     // --- PQ chain: refresh vs rebuild as a function of VECTOR COUNT ---
     // At sf0.1's 2,000 vectors the coding work is ~0.3 s and the
     // refresh's extra join stages read as pure overhead (bench r8:

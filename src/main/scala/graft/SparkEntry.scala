@@ -242,6 +242,12 @@ object SparkEntry {
     // per frame - where percentile() per group buffers the biggest
     // group in one task.
     "q109_grouped_quantiles" -> (RelationalQueries.q109GroupedQuantiles _),
+    // q110 chains two native as-ofs: the second join's left child
+    // arrives already partitioned AND sorted by the first (the custom
+    // operator preserves both), so the plan carries exactly three
+    // exchanges - one per base relation - and the left side sorts once.
+    // The union+window shape would re-shuffle the widened union per hop.
+    "q110_asof_chain"   -> (AsofJoin.q110AsofChain _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -1272,6 +1278,22 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q110_asof_chain" ->
+      """WITH clicks AS (SELECT user_id, ts, event_id FROM events
+        |               WHERE event_type = 'click'),
+        |v AS (SELECT user_id, ts, event_id AS view_event_id
+        |      FROM events WHERE event_type = 'view'),
+        |e AS (SELECT user_id, ts, event_id AS error_event_id
+        |      FROM events WHERE event_type = 'error'),
+        |s1 AS (SELECT c.user_id, c.ts, c.event_id, v.view_event_id
+        |       FROM clicks c ASOF LEFT JOIN v
+        |         ON c.user_id = v.user_id AND v.ts <= c.ts)
+        |SELECT s1.user_id,
+        |       strftime(s1.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |       s1.event_id, s1.view_event_id, e.error_event_id
+        |FROM s1 ASOF LEFT JOIN e
+        |  ON s1.user_id = e.user_id AND e.ts <= s1.ts
+        |ORDER BY s1.user_id, ts, s1.event_id""".stripMargin,
     "q36_asof_join" -> asofOracle,
     // q100 runs the same semantics through the native AsofJoinExec; one
     // oracle text pins both the composed and the custom-plan path.

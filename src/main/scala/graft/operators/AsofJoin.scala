@@ -78,6 +78,37 @@ object AsofJoin {
   def q100AsofNative(spark: SparkSession, sfDir: String): DataFrame =
     q36Shape(spark, sfDir, graft.plans.NativeAsofJoin.asof)
 
+  /** Q110: CHAINED native as-of joins — the structural property the
+    * custom operator exists for, shipped as a query: each click gets the
+    * user's most recent view AND most recent error at-or-before it. The
+    * first [[graft.plans.AsofJoinExec]]'s output keeps the left side's
+    * hash partitioning and (key, ts) ordering, so the second as-of's
+    * left child needs NO new exchange and NO re-sort — the plan carries
+    * exactly three exchanges (one per base relation) and the left side
+    * sorts once (spec-pinned). The union+window composition re-shuffles
+    * and re-sorts the whole widened union per hop; at n hops over 100 TB
+    * of events that is n extra corpus-wide exchanges. Oracle = two
+    * chained DuckDB ASOF LEFT JOINs. */
+  def q110AsofChain(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("view_event_id"))
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("error_event_id"))
+    val step1 = graft.plans.NativeAsofJoin.asof(
+      clicks, views, "user_id", "ts", Seq("view_event_id"))
+    graft.plans.NativeAsofJoin.asof(
+        step1, errors, "user_id", "ts", Seq("error_event_id"))
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("event_id"), col("view_event_id"), col("error_event_id"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   private def q36Shape(spark: SparkSession, sfDir: String,
       join: (DataFrame, DataFrame, String, String, Seq[String]) => DataFrame)
       : DataFrame = {

@@ -154,6 +154,30 @@ class AsofNativeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("chained as-ofs: three exchanges total, left side sorted once") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = AsofJoin.q110AsofChain(spark, sfDir)
+        .queryExecution.executedPlan
+      val execs = df.collect { case e: AsofJoinExec => e }
+      assert(execs.length === 2, s"expected both native joins in:\n$df")
+      val s = df.toString
+      // one exchange per BASE relation; the second join's left child is
+      // the first join's output, already partitioned on user_id — a
+      // fourth exchange would mean the reuse property broke
+      val exchanges = s.sliding("Exchange hashpartitioning".length)
+        .count(_ == "Exchange hashpartitioning")
+      assert(exchanges === 3, s"left-side exchange reuse broke:\n$s")
+      // sorts: one per right side + ONE for the left across both joins
+      // (the first join's output ordering satisfies the second's
+      // requirement); the global orderBy adds its own range sort
+      val innerSorts = s.linesIterator
+        .count(l => l.contains("Sort [") && !l.contains("rangepartitioning")
+          && l.contains("ASC NULLS FIRST], false"))
+      assert(innerSorts === 3, s"left-side sort reuse broke:\n$s")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("output partitioning feeds a downstream per-key agg with no new exchange") {
     val (clicks, views) = q36Inputs
     val agg = NativeAsofJoin.asof(clicks, views, "user_id", "ts",

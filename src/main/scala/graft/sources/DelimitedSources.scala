@@ -6,7 +6,8 @@ import org.apache.spark.sql.types.StructType
 
 import graft.{GraftSession, Tables}
 
-/** CSV / JSON source support (S7 breadth — the reference reads only
+/** CSV / JSON / ORC / gzip-CSV source support (S7 breadth — the
+  * reference reads only
   * newline-delimited text, reference job.c:103-156; a Spark user's first
   * act is `spark.read.csv`).
   *

@@ -198,6 +198,43 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** RESTARTABLE stream-static enrichment: q104's shape over a landing
+    * dir — the FIFTH recoverable class and the degenerate one: NO state
+    * store at all. The only exactly-once mechanisms in play are source
+    * OFFSET tracking (which files were consumed) and the file sink's
+    * `_spark_metadata` transaction log (which batches landed) — the
+    * recovery spec proves those two alone carry a stateless query
+    * through a kill/resume with byte-identical output. The static side
+    * is read fresh from `staticDir` on every (re)start, which is the
+    * stream-static CONTRACT (a dimension update applies at the next
+    * batch); it must be a genuinely static input, not derived from the
+    * landing data, or the resumed run would see a different dimension
+    * than the uninterrupted one. */
+  def runEnrichToFiles(spark: SparkSession, landingDir: String,
+                       staticDir: String, checkpointDir: String,
+                       outDir: String): Unit = {
+    val s = stateSession(spark)
+    val profile = graft.Tables.events(s, staticDir)
+      .where(col("event_type") === "view")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("views"),
+        round(sum(col("value")), 2).as("view_value"))
+    val clicks = streamEvents(s, landingDir)
+      .where(col("event_type") === "click")
+      .select("user_id", "event_id")
+    val q = clicks.join(broadcast(profile), Seq("user_id"), "left")
+      .select(col("user_id"), col("event_id"),
+        coalesce(col("views"), lit(0L)).as("views"),
+        coalesce(col("view_value"), lit(0.0)).as("view_value"))
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** RESTARTABLE online dedup: q86's content-key dedup over a landing
     * dir, append mode to a parquet sink with a real checkpoint — the
     * FOURTH recoverable state class (StreamingDeduplicate's key store;

@@ -203,6 +203,53 @@ class RecoverySpec extends SparkSpec {
     assert(dups === 0L)
   }
 
+  test("stateless enrichment recovers on offsets + sink log alone") {
+    // the fifth (degenerate) recovery class: q104's stream-static join
+    // holds NO state store, so a kill/resume exercises exactly two
+    // mechanisms — source offset tracking and the parquet sink's
+    // _spark_metadata transaction log. The static side comes from the
+    // FIXED sfDir (the contract: genuinely static input), so both runs
+    // see the same dimension and outputs must be identical.
+    val base = Files.createTempDirectory("graft-recovery-enrich").toString
+    val raw = rawNanosEvents
+    val ids = raw.where(col("event_type") === "click")
+      .select("event_id").orderBy("event_id").collect().map(_.getLong(0))
+    assert(ids.length >= 4, "fixture too small to split")
+    val mid = ids(ids.length / 2)
+    val half1 = raw.where(col("event_type") =!= "click" ||
+      col("event_id") < mid)
+    val half2 = raw.where(col("event_type") === "click" &&
+      col("event_id") >= mid)
+
+    half1.write.mode("append").parquet(s"$base/landingU")
+    half2.write.mode("append").parquet(s"$base/landingU")
+    EventStreams.runEnrichToFiles(spark,
+      s"$base/landingU", sfDir, s"$base/ckU", s"$base/outU")
+    val uninterrupted = spark.read.parquet(s"$base/outU")
+      .orderBy("user_id", "event_id").collect().toSeq
+    assert(uninterrupted.nonEmpty)
+
+    half1.write.mode("append").parquet(s"$base/landingI")
+    EventStreams.runEnrichToFiles(spark,
+      s"$base/landingI", sfDir, s"$base/ckI", s"$base/outI")
+    val phaseA = spark.read.parquet(s"$base/outI").count()
+    assert(phaseA > 0 && phaseA < uninterrupted.size,
+      s"kill point not mid-stream: $phaseA of ${uninterrupted.size}")
+    half2.write.mode("append").parquet(s"$base/landingI")
+    EventStreams.runEnrichToFiles(spark,
+      s"$base/landingI", sfDir, s"$base/ckI", s"$base/outI")
+    val resumed = spark.read.parquet(s"$base/outI")
+      .orderBy("user_id", "event_id").collect().toSeq
+    assert(resumed === uninterrupted)
+    // a re-read input would duplicate (user_id, event_id) rows that the
+    // sink log should have suppressed
+    val dups = spark.read.parquet(s"$base/outI")
+      .groupBy("user_id", "event_id").count()
+      .where(col("count") > 1).count()
+    assert(dups === 0L)
+    graft.GraftSession.deleteRecursively(new java.io.File(base))
+  }
+
   test("a deep backfill behind the watermark is dropped, never a crash") {
     // the advisory crash mode: a group's first event arriving more than
     // the dedup horizon behind the watermark would put its desired

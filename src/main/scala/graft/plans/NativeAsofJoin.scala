@@ -217,9 +217,10 @@ object NativeAsofJoin {
     // side's exprId). Alias outputs are conflict-free by construction, so
     // leaf renewal rewrites beneath them and the node's references stay
     // valid; CollapseProject folds the extra projection away.
+    // df(c), not functions.col(c): exact-name resolution, so a column
+    // named "a.b" aliases cleanly instead of parsing as a field access
     def freshen(df: DataFrame): DataFrame =
-      df.select(df.columns.map(c =>
-        org.apache.spark.sql.functions.col(c).as(c)): _*)
+      df.select(df.columns.map(c => df(c).as(c)): _*)
     val lPlan = freshen(left).queryExecution.analyzed
     val rPlan = freshen(right).queryExecution.analyzed
     def attr(plan: LogicalPlan, name: String, side: String): Attribute =

@@ -248,6 +248,11 @@ object SparkEntry {
     // exchanges - one per base relation - and the left side sorts once.
     // The union+window shape would re-shuffle the widened union per hop.
     "q110_asof_chain"   -> (AsofJoin.q110AsofChain _),
+    // q111 upgrades q56's LM gate to a CONDITIONAL model: -ln of the
+    // add-one-smoothed bigram probability per in-doc position, integer
+    // micro-nats (order-independent sums); the count tables are the
+    // broadcast "model", the stream rides the bucketed artifact.
+    "q111_bigram_lm"    -> (TextQueries.q111BigramLm _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -2177,6 +2182,29 @@ object SparkEntry {
          |FROM documents d LEFT JOIN agg USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
     },
+    "q111_bigram_lm" ->
+      s"""$tokListCte,
+         |tp AS (SELECT doc_id, unnest(t) AS w,
+         |              generate_subscripts(t, 1) - 1 AS pos FROM toks),
+         |bgr AS MATERIALIZED (
+         |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+         |  FROM tp a JOIN tp b ON b.doc_id = a.doc_id
+         |                     AND b.pos = a.pos + 1),
+         |bc AS (SELECT w1, w2, count(*) AS bc FROM bgr GROUP BY 1, 2),
+         |hist AS (SELECT w1, count(*) AS hc FROM bgr GROUP BY 1),
+         |vocab AS (SELECT count(DISTINCT w) AS v FROM tp),
+         |lp AS (SELECT g.doc_id,
+         |         floor(ln((hc + (SELECT v FROM vocab))::DOUBLE
+         |                  / (bc + 1)) * 1e6)::BIGINT AS lpm
+         |       FROM bgr g JOIN bc USING (w1, w2) JOIN hist USING (w1)),
+         |agg AS (SELECT doc_id, sum(lpm)::BIGINT AS sum_logp_micro,
+         |               count(*) AS n_bigrams
+         |        FROM lp GROUP BY doc_id)
+         |SELECT d.doc_id AS doc_id,
+         |       coalesce(sum_logp_micro, 0) AS sum_logp_micro,
+         |       coalesce(n_bigrams, 0) AS n_bigrams
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "q56_lm_score" ->
       s"""$tokListCte,
          |tr AS (SELECT doc_id, unnest(t) AS w FROM toks),

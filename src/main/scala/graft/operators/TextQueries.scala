@@ -627,6 +627,53 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Q111: BIGRAM LM scoring — q56's CCNet-style quality gate upgraded
+    * from unigram frequency to a CONDITIONAL model: each in-doc bigram
+    * position scores -ln p(w2 | w1) under the corpus's own add-one-
+    * smoothed bigram distribution, p = (C(w1,w2) + 1) / (C(w1·) + V) —
+    * rare CONTINUATIONS (not just rare words) now raise the score, which
+    * is what separates disfluent noise from fluent-but-rare text.
+    *
+    * Numerics: q56's discipline exactly — per-position
+    * floor(ln((C(w1·)+V)/(C(w1,w2)+1))·1e6) integer micro-nats, so the
+    * per-doc sum is order-independent and the DuckDB oracle replays it
+    * bit-for-bit. Scale shape: the bigram stream derives from the
+    * bucketed positional artifact (window over the bucketed scan — no
+    * exchange, no tokenize); the count tables are the MODEL, vocab²-
+    * bounded and broadcast onto the stream — the production analogue is
+    * a trained KenLM binary broadcast to workers, and past broadcast
+    * size the model join co-buckets instead (the q75 layout). Docs with
+    * fewer than two tokens score 0 over 0 positions (left join), same
+    * as q56's empty-doc rule. */
+  def q111BigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feats = DedupQueries.spanFeatures(spark, sfDir)
+      .select("doc_id", "pos", "w")
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val bg = feats.select(col("doc_id"), col("w").as("w1"),
+        lead("w", 1).over(win).as("w2"),
+        (lead("pos", 1).over(win) === col("pos") + 1).as("ok"))
+      .where(col("ok")).select("doc_id", "w1", "w2")
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+    val hist = bg.groupBy("w1").agg(count(lit(1)).as("hc"))
+    val v = feats.agg(count_distinct(col("w"))).head.getLong(0)
+    val scored = bg
+      .join(broadcast(bc), Seq("w1", "w2"))
+      .join(broadcast(hist), Seq("w1"))
+      .select(col("doc_id"),
+        floor(log((col("hc") + lit(v).cast("double")) /
+          (col("bc") + lit(1).cast("double"))) * 1e6).as("lpm"))
+      .groupBy("doc_id")
+      .agg(sum(col("lpm")).as("sum_logp_micro"),
+        count(lit(1)).as("n_bigrams"))
+    Tables.documents(spark, sfDir).select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("sum_logp_micro"), lit(0L)).as("sum_logp_micro"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   /** Q65 packing knobs: training sequence length (tokens) and shard
     * count. Shards here come from doc_id so the oracle reproduces them;
     * production uses the input file/partition id. */

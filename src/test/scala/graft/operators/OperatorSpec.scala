@@ -1402,6 +1402,35 @@ class OperatorSpec extends SparkSpec {
       }
   }
 
+  test("q111 bigram LM: JVM replay, conditional ordering, empty-doc rule") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split("[^a-z0-9]+").toSeq.filter(_.nonEmpty).map(_.take(255)))
+    val bigrams = docs.flatMap { case (id, ts) =>
+      ts.zip(ts.drop(1)).map(p => (id, p._1, p._2)) }
+    val bc = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.size).toMap
+    val hist = bigrams.groupBy(_._2).view.mapValues(_.size).toMap
+    val v = docs.flatMap(_._2).distinct.size
+    val expected = docs.map { case (id, ts) =>
+      val lpms = ts.zip(ts.drop(1)).map { case (a, b) =>
+        math.floor(math.log((hist(a) + v).toDouble /
+          (bc((a, b)) + 1).toDouble) * 1e6).toLong
+      }
+      id -> ((lpms.sum, lpms.size.toLong))
+    }.toMap
+    val got = TextQueries.q111BigramLm(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    // the conditional model must rank differently than q56's unigram
+    // model on SOME doc, or the upgrade is vacuous on this corpus
+    val uniOrder = TextQueries.q56UnigramLogprob(spark, sfDir).collect()
+      .sortBy(r => (r.getLong(1), r.getLong(0))).map(_.getLong(0)).toSeq
+    val biOrder = got.toSeq.sortBy { case (id, (s, _)) => (s, id) }
+      .map(_._1)
+    assert(uniOrder !== biOrder, "bigram ranking identical to unigram")
+  }
+
   test("q102 heavy hitters: JVM replay oracle + sketch invisibility") {
     val rows = TextQueries.q102HeavyHitters(spark, sfDir).collect()
     // replay exactly: bigrams from the pinned tokenizer contract, exact

@@ -156,6 +156,33 @@ object DedupScaling {
       graft.operators.MultimodalPipeline.imageNearDupOf(
         graft.operators.MultimodalPipeline.bmpMediaTableOf(docs), 7).count()
 
+    /** q111's conditional-LM scoring over the amplified corpus: the
+      * claims under growth are that the MODEL side (bigram/history
+      * count tables) stays vocab²-bounded — k-fold amplification
+      * inflates counts, not rows — and the per-doc exchange carries
+      * only (doc_id, 2 longs) partials. */
+    def bigramLm(docs: DataFrame): Long = {
+      import org.apache.spark.sql.expressions.Window
+      val feats = DedupQueries.spanFeaturesOf(docs)
+        .select("doc_id", "pos", "w")
+      val win = Window.partitionBy("doc_id").orderBy("pos")
+      val bg = feats.select(col("doc_id"), col("w").as("w1"),
+          lead("w", 1).over(win).as("w2"),
+          (lead("pos", 1).over(win) === col("pos") + 1).as("ok"))
+        .where(col("ok")).select("doc_id", "w1", "w2")
+      val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+      val hist = bg.groupBy("w1").agg(count(lit(1)).as("hc"))
+      val v = feats.agg(count_distinct(col("w"))).head.getLong(0)
+      bg.join(broadcast(bc), Seq("w1", "w2"))
+        .join(broadcast(hist), Seq("w1"))
+        .select(col("doc_id"),
+          floor(log((col("hc") + lit(v).cast("double")) /
+            (col("bc") + lit(1).cast("double"))) * 1e6).as("lpm"))
+        .groupBy("doc_id")
+        .agg(sum(col("lpm")), count(lit(1)))
+        .count()
+    }
+
     /** q105's bisection over k-fold events values (ranks scale by k; at
       * k >= 1 here N exceeds the collect clamp, so the histogram loop
       * actually descends — the 3-scans-at-any-N claim measured). */
@@ -177,7 +204,7 @@ object DedupScaling {
     exactDedup(amplified(1)); dupSpans(amplified(1))
     ngramNovelty(amplified(1)); tokenDrift(amplified(1))
     bpeLearn(amplified(1)); heavyHitters(amplified(1))
-    imageNearDup(amplified(1)); quantiles(1)
+    imageNearDup(amplified(1)); quantiles(1); bigramLm(amplified(1))
 
     def measure(f: () => Long): (Double, Double) = {
       val runs = (1 to 3).map { _ =>
@@ -216,15 +243,16 @@ object DedupScaling {
     println(table.result())
 
     val t11 = new StringBuilder
-    t11 ++= s"| k | q102 s | q102 MB | q106 s | q106 MB | q105 s | q105 MB |\n"
-    t11 ++= "|---|---|---|---|---|---|---|\n"
+    t11 ++= s"| k | q102 s | q102 MB | q106 s | q106 MB | q105 s | q105 MB | q111 s | q111 MB |\n"
+    t11 ++= "|---|---|---|---|---|---|---|---|---|\n"
     Seq(1, 4, 16, 32).foreach { k =>
       val docs = amplified(k)
       val (hhS, hhMb) = measure(() => heavyHitters(docs))
       val (imS, imMb) = measure(() => imageNearDup(docs))
       val (qS, qMb) = measure(() => quantiles(k))
+      val (lmS, lmMb) = measure(() => bigramLm(docs))
       val row = f"| $k | $hhS%.2f | $hhMb%.2f | $imS%.2f | $imMb%.2f " +
-        f"| $qS%.2f | $qMb%.2f |"
+        f"| $qS%.2f | $qMb%.2f | $lmS%.2f | $lmMb%.2f |"
       println(s"[dedupscaling-r11] $row")
       t11 ++= row + "\n"
     }

@@ -1333,6 +1333,35 @@ class OperatorSpec extends SparkSpec {
     assert(aSet !== bSet, "recrawl left the heavy set unchanged — weak test")
   }
 
+  test("aHash edges: sub-64-byte rasters, uniform input, naive-replay parity") {
+    // naive reimplementation (per-chunk lists, BigInt cross-multiply) —
+    // an independent path for the fused loop, over lengths that exercise
+    // the empty-chunk rule (n < 64) and chunk-boundary rounding
+    def naive(bytes: Array[Byte]): Long = {
+      val n = bytes.length
+      val chunks = bytes.indices.groupBy(k => ((k.toLong * 64) / n).toInt)
+      val total = BigInt(bytes.map(b => (b & 0xff).toLong).sum)
+      (0 until 64).map { j =>
+        chunks.get(j) match {
+          case Some(ks) =>
+            val s = BigInt(ks.map(k => (bytes(k) & 0xff).toLong).sum)
+            if (s * n >= total * ks.length) 1L << j else 0L
+          case None => 0L
+        }
+      }.reduce(_ | _)
+    }
+    val rnd = new scala.util.Random(99)
+    for (len <- Seq(1, 2, 48, 63, 64, 65, 100, 855)) {
+      val bytes = Array.fill(len)(rnd.nextInt(256).toByte)
+      assert(MultimodalPipeline.aHash(bytes) === naive(bytes), s"len $len")
+    }
+    // uniform input: every chunk mean equals the global mean, so every
+    // NON-EMPTY chunk bit is 1 (>= rule) and empty chunks stay 0
+    val uni = Array.fill(32)(7.toByte)
+    val h = MultimodalPipeline.aHash(uni)
+    assert(java.lang.Long.bitCount(h) === 32)
+  }
+
   test("q106 image hashes replay from the pixel formula; band join is exhaustive") {
     // independent path: compute each doc's raster from the FIXTURE
     // FORMULA (no BMP container anywhere), hash it, and require the

@@ -1410,7 +1410,7 @@ object SparkEntry {
       """WITH ranked AS (
         |  SELECT value, row_number() OVER (ORDER BY value) AS rn,
         |         count(*) OVER () AS n
-        |  FROM events WHERE value IS NOT NULL),
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
         |t(pct) AS (VALUES (50), (95), (99))
         |SELECT t.pct, r.value
         |FROM t JOIN ranked r ON r.rn = (r.n * t.pct + 99) // 100

@@ -103,10 +103,14 @@ object MultimodalPipeline {
     * the top-down pixel byte sequence; bit j is set iff chunk j's mean
     * is at or above the global mean, compared by exact integer
     * cross-multiplication (`sum_j * n >= total * count_j`) so unequal
-    * chunk sizes never introduce float rounding. Empty chunks (rasters
-    * under 64 bytes) read as 0. This is the aHash construction of
-    * perceptual image dedup, over the raster the REAL container decode
-    * produced — a decoder bug (row flip, padding) changes the hash. */
+    * chunk sizes never introduce float rounding. The products are
+    * compared in 128 bits ([[crossGe]]) — `sum_j` can reach `255*n`,
+    * so the 64-bit product overflows for rasters past ~190 MB and the
+    * API is documented for arbitrary raster sizes. Empty chunks
+    * (rasters under 64 bytes) read as 0. This is the aHash
+    * construction of perceptual image dedup, over the raster the REAL
+    * container decode produced — a decoder bug (row flip, padding)
+    * changes the hash. */
   def aHash(pixels: Array[Byte]): Long = {
     val n = pixels.length
     val sums = new Array[Long](64)
@@ -122,10 +126,21 @@ object MultimodalPipeline {
     var h = 0L
     var j = 0
     while (j < 64) {
-      if (cnts(j) > 0 && sums(j) * n >= total * cnts(j)) h |= 1L << j
+      if (cnts(j) > 0 && crossGe(sums(j), n, total, cnts(j))) h |= 1L << j
       j += 1
     }
     h
+  }
+
+  /** Exact `a*b >= c*d` for non-negative longs: both products are
+    * formed as (high, low) 128-bit pairs via `Math.multiplyHigh`, so
+    * the comparison never wraps — a 64-bit `a*b` silently flips hash
+    * bits once a raster crosses ~190 MB (sum_j*n ~ 255*n^2). */
+  private[graft] def crossGe(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+    val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(lo1, lo2) >= 0
   }
 
   /** Q106: IMAGE near-dup by perceptual hash — the dedup family extended

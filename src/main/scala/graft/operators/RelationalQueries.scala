@@ -359,11 +359,15 @@ object RelationalQueries {
     * arithmetic on both sides, no float rank. */
   def q105ExactQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // explicit null policy (pinned in the oracle too): ranks are over
-    // NON-NULL values — a null would silently fall out of the bisect
-    // filters while still counting toward N, shifting every rank
+    // explicit null AND NaN policy (pinned in the oracle too): ranks are
+    // over non-null, non-NaN values — a null would silently fall out of
+    // the bisect filters while still counting toward N, shifting every
+    // rank; a NaN is worse: isNotNull keeps it, max('value') becomes
+    // NaN, every bucket index evaluates to null and the descent dies
+    // with an opaque NPE instead of a policy. The numeric domain of the
+    // quantile family is finite doubles.
     val values = Tables.events(spark, sfDir).select(col("value"))
-      .where(col("value").isNotNull)
+      .where(col("value").isNotNull && !isnan(col("value")))
     val pcts = Seq(50, 95, 99)
     val first = values.agg(count(lit(1)), min("value"), max("value")).head
     val n = first.getLong(0)
@@ -500,13 +504,25 @@ object RelationalQueries {
       if (big.isEmpty) splitting = false
       else {
         val b = QuantileBuckets
+        // bucket width per frame, computed driver-side in BigInt so the
+        // full Long domain is safe (hi - lo can exceed Long.Max); the
+        // width itself always fits: ceil-ish (range/b + 1) <= 2^58
+        def widthOf(lo: Long, hi: Long): Long =
+          ((BigInt(hi) - BigInt(lo)) / b + 1).toLong
         val bounds = broadcast(
-          big.map(f => (f.g, f.pct, f.lo, f.hi)).toDF("g", "pct", "lo", "hi"))
-        // integer bucket index: exact, monotone, equal values never split
+          big.map(f => (f.g, f.pct, f.lo, f.hi, widthOf(f.lo, f.hi)))
+            .toDF("g", "pct", "lo", "hi", "w"))
+        // integer bucket index: exact, monotone, equal values never
+        // split. Subtraction in DECIMAL(20,0) (exact for any Long pair)
+        // and a division-only index — no multiplication anywhere, so no
+        // overflow for any value range (the old (v-lo)*b form wrapped
+        // past a ~3.6e16 range). idx = (v-lo) DIV w is in [0, b) because
+        // range < b*w by construction of w.
         val hist = vals.join(bounds, Seq("g"))
           .where(col("v") >= col("lo") && col("v") <= col("hi"))
           .groupBy(col("g"), col("pct"),
-            expr(s"CAST(((v - lo) * $b) DIV (hi - lo + 1) AS INT)").as("bkt"))
+            expr("CAST((CAST(v AS DECIMAL(20,0)) - CAST(lo AS DECIMAL(20,0)))" +
+              " DIV CAST(w AS DECIMAL(20,0)) AS INT)").as("bkt"))
           .agg(count(lit(1)).as("c"), min("v").as("mn"), max("v").as("mx"))
           .collect()
           .groupBy(r => (r.getString(0), r.getInt(1)))

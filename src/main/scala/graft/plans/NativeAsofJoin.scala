@@ -44,7 +44,12 @@ import org.apache.spark.sql.graftbridge.Bridge
   * twin, and by q100 against DuckDB's ASOF LEFT JOIN): every left row gets
   * the right row of equal key with the greatest `ts <= left.ts`; among
   * right rows tied on (key, ts) the greatest `rightCols` tuple wins
-  * (lexicographic, matching the composed twin's struct tie-break); left
+  * (lexicographic, matching the composed twin's struct tie-break), where a
+  * NULL field value orders BELOW every non-null value — the native right
+  * side sorts `Ascending` nulls-first per column and takes the last row
+  * scanned, and the struct comparator places null fields first too, so a
+  * mixed tie always resolves to the non-null tuple on both paths (pinned
+  * by the null-tie case in AsofNativeSpec); left
   * rows with no qualifying right row keep null right columns; null keys
   * and null timestamps never match (the SQL comparison rule, matching
   * DuckDB ASOF — the composed twin diverges on null inputs only: its

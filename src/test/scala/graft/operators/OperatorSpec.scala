@@ -1362,6 +1362,36 @@ class OperatorSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(h) === 32)
   }
 
+  test("aHash crossGe: 128-bit cross-multiply exact where 64-bit wraps") {
+    // the round-11 advice item: sums(j)*n wraps for rasters past
+    // ~190 MB. Pin the comparator itself against BigInt on the exact
+    // overflow regime (sum ~ 255*n, n ~ multi-GB raster) and on random
+    // full-range non-negative operands, including near-tie pairs where
+    // the products differ by 1 — a wrapped compare gets these wrong
+    // long before the all-random cases notice.
+    def big(a: Long, b: Long, c: Long, d: Long): Boolean =
+      BigInt(a) * BigInt(b) >= BigInt(c) * BigInt(d)
+    val n3g = 3L * 1024 * 1024 * 1024 // a 3 GB raster
+    val cases = Seq(
+      (255L * n3g / 64, n3g, 255L * n3g, n3g / 64),       // exact tie
+      (255L * n3g / 64 + 1, n3g, 255L * n3g, n3g / 64),   // off by one up
+      (255L * n3g / 64 - 1, n3g, 255L * n3g, n3g / 64),   // off by one down
+      (Long.MaxValue, Long.MaxValue, Long.MaxValue, Long.MaxValue - 1),
+      (0L, Long.MaxValue, 1L, 1L), (0L, 0L, 0L, 0L))
+    for ((a, b, c, d) <- cases) {
+      assert(MultimodalPipeline.crossGe(a, b, c, d) === big(a, b, c, d),
+        s"($a,$b,$c,$d)")
+      assert(MultimodalPipeline.crossGe(c, d, a, b) === big(c, d, a, b),
+        s"swapped ($c,$d,$a,$b)")
+    }
+    val rnd = new scala.util.Random(4242)
+    for (_ <- 1 to 2000) {
+      val Seq(a, b, c, d) = Seq.fill(4)(rnd.nextLong() & Long.MaxValue)
+      assert(MultimodalPipeline.crossGe(a, b, c, d) === big(a, b, c, d),
+        s"random ($a,$b,$c,$d)")
+    }
+  }
+
   test("q106 image hashes replay from the pixel formula; band join is exhaustive") {
     // independent path: compute each doc's raster from the FIXTURE
     // FORMULA (no BMP container anywhere), hash it, and require the

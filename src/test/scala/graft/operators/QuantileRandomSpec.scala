@@ -62,4 +62,32 @@ class QuantileRandomSpec extends SparkSpec {
       assert(got === want, s"seed $i grouped mismatch")
     }
   }
+
+  test("grouped bisection over the full Long domain (overflow regression)") {
+    import spark.implicits._
+    // the round-11 advice item: the old bucket index multiplied
+    // (v - lo) * 256 and wrapped once a group's range passed ~3.6e16 —
+    // these groups span the ENTIRE Long domain (range ~1.8e19, with the
+    // exact Min/Max endpoints present), so a wrapping index either
+    // crashes the descent ("lost rank") or lands ranks in wrong buckets
+    val rnd = new scala.util.Random(31337)
+    val extremes = Seq(Long.MinValue, Long.MaxValue, Long.MinValue + 1,
+      Long.MaxValue - 1, 0L, -1L, 1L)
+    val data: Seq[(String, Long)] =
+      extremes.map("full" -> _) ++
+        (1 to 400).map(_ => "full" -> rnd.nextLong()) ++
+        (1 to 300).map(_ => "hi" ->
+          (Long.MaxValue - rnd.nextInt(1 << 20).toLong)) ++
+        (1 to 300).map(_ => "wide" ->
+          (rnd.nextLong() >> rnd.nextInt(40)))
+    val pcts = Seq(1, 50, 99)
+    val got = RelationalQueries.groupedQuantiles(
+      data.toDF("g", "v").repartition(7), pcts, collectLimit = 20L).toSet
+    val want = (for {
+      (grp, rows) <- data.groupBy(_._1)
+      vs = rows.map(_._2).sorted
+      p <- pcts
+    } yield (grp, p, vs(((vs.length.toLong * p + 99) / 100).toInt - 1))).toSet
+    assert(got === want, "full-Long-domain grouped quantiles mismatch")
+  }
 }

@@ -104,6 +104,39 @@ class AsofNativeSpec extends SparkSpec {
     assert(byLv("l8") === (None, None)) // null left ts never matches
   }
 
+  test("null rightCols values in an equal-(key, ts) tie: non-null wins, " +
+      "native ≡ composed") {
+    import spark.implicits._
+    def ts(s: Long): Timestamp = new Timestamp(s * 1000L)
+    // keys and timestamps are all non-null here — the divergent null-key/
+    // null-ts regime is pinned above; THIS case isolates the tie-break
+    // comparator itself when the rightCols tuple carries nulls, which the
+    // other cases never exercised (silent-divergence risk flagged in the
+    // round-11 advice):
+    //   key 10: (null, 1) vs ("x", 0)  -> first field decides, "x" wins
+    //   key 11: (null, 5) vs (null, 2) -> first fields tie as null-null,
+    //           the later field breaks the tie, 5 wins
+    //   key 12: (null, null) vs (null, 3) -> 3 wins (non-null > null)
+    val left = Seq((10L, ts(200), "a"), (11L, ts(200), "b"),
+      (12L, ts(200), "c")).toDF("k", "t", "lv")
+    val right = Seq(
+      (10L, ts(100), Option.empty[String], Option(1)),
+      (10L, ts(100), Option("x"), Option(0)),
+      (11L, ts(100), Option.empty[String], Option(5)),
+      (11L, ts(100), Option.empty[String], Option(2)),
+      (12L, ts(100), Option.empty[String], Option.empty[Int]),
+      (12L, ts(100), Option.empty[String], Option(3))
+    ).toDF("k", "t", "rv", "rn")
+    val cols = Seq("rv", "rn")
+    val nat = NativeAsofJoin.asof(left, right, "k", "t", cols)
+    assertSameRows(nat, AsofJoin.asof(left, right, "k", "t", cols))
+    val byLv = nat.collect().map(r => r.getString(2) ->
+      (Option(r.getString(3)), Option(r.get(4)))).toMap
+    assert(byLv("a") === (Some("x"), Some(0)))
+    assert(byLv("b") === (None, Some(5)))
+    assert(byLv("c") === (None, Some(3)))
+  }
+
   test("empty sides: no right rows -> all-null fill; no left rows -> empty") {
     import spark.implicits._
     def ts(s: Long): Timestamp = new Timestamp(s * 1000L)

@@ -253,6 +253,15 @@ object SparkEntry {
     // micro-nats (order-independent sums); the count tables are the
     // broadcast "model", the stream rides the bucketed artifact.
     "q111_bigram_lm"    -> (TextQueries.q111BigramLm _),
+    // q112 is q30's sessionization moved to batch and extended with the
+    // funnel question streaming session_window can't ask: did a view
+    // precede a click inside the session? One exchange total — windows,
+    // per-session agg and per-user rollup all cluster on user_id.
+    "q112_session_funnel" -> (RelationalQueries.q112SessionFunnel _),
+    // q113 is the selection policy the cluster artifact exists for:
+    // keep the longest member per near-dup cluster (token-count rank,
+    // integer-exact — the float quality score never decides an argmax).
+    "q113_cluster_canonical" -> (DedupQueries.q113ClusterCanonical _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -2222,5 +2231,53 @@ object SparkEntry {
          |       coalesce(n_toks, 0) AS n_toks
          |FROM documents d LEFT JOIN agg USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // q112 shares q30's session rule (>= 30-minute gap, lag over
+    // (ts, event_id)); conversion is non-strict min(view) <= max(click)
+    "q112_session_funnel" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, event_type, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |      FROM d),
+        |per AS (
+        |  SELECT user_id, sess, count(*) AS n_ev,
+        |         min(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+        |         max(CASE WHEN event_type = 'click' THEN ts END) AS lc
+        |  FROM s GROUP BY user_id, sess)
+        |SELECT user_id, count(*) AS n_sessions,
+        |       sum(n_ev)::BIGINT AS n_events,
+        |       sum(CASE WHEN fv IS NOT NULL AND fv <= lc
+        |                THEN 1 ELSE 0 END)::BIGINT AS conv_sessions
+        |FROM per GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    // q113 composes q42's recursive-CTE cluster oracle with the token
+    // counts; keeper = row_number over (token_cnt DESC, doc_id ASC) —
+    // the same (max tokens, min id) rule as the Spark max_by struct.
+    "q113_cluster_canonical" ->
+      s"""WITH cc AS (SELECT * FROM ($q42Sql) q),
+         |tok AS (
+         |  SELECT doc_id, len(list_filter(list_transform(
+         |      string_split_regex(lower(text), '[^a-z0-9]+'),
+         |      x -> substr(x, 1, 255)), x -> length(x) > 0)) AS token_cnt
+         |  FROM documents),
+         |m AS (SELECT cc.cluster, cc.doc_id, tok.token_cnt
+         |      FROM cc JOIN tok USING (doc_id)),
+         |k AS (SELECT cluster, doc_id AS keep FROM (
+         |        SELECT cluster, doc_id, row_number() OVER (
+         |          PARTITION BY cluster
+         |          ORDER BY token_cnt DESC, doc_id ASC) AS rn
+         |        FROM m) r WHERE rn = 1)
+         |SELECT m.cluster AS cluster, k.keep AS keep,
+         |       count(*) AS n_members,
+         |       (sum(m.token_cnt) - max(m.token_cnt))::BIGINT
+         |         AS evicted_tokens
+         |FROM m JOIN k USING (cluster)
+         |GROUP BY m.cluster, k.keep
+         |ORDER BY cluster""".stripMargin,
   )
 }

@@ -538,6 +538,35 @@ object DedupQueries {
   def q42DupClusters(spark: SparkSession, sfDir: String): DataFrame =
     clusterLabels(spark, sfDir).orderBy("doc_id")
 
+  /** Q113: cluster CANONICALIZATION — the selection policy the dedup
+    * family computes clusters FOR: per near-dup cluster keep exactly one
+    * member, the one with the most tokens (the "longest version of the
+    * page" rule), ties to the lowest doc_id. Integer-exact by design:
+    * the policy ranks on `token_cnt`, never on the float quality score,
+    * so the argmax can't flip on a last-ulp disagreement between
+    * engines. Output per cluster: the keeper, the member count, and the
+    * tokens evicted (sum minus the keeper's — the keeper has the max by
+    * construction).
+    *
+    * Scale shape: [[clusterLabels]] is the duplicates-only subset —
+    * broadcast it against the [[TextQueries.docFeatures]] artifact (the
+    * corpus-sized side is never shuffled; at 100 TB the cluster table is
+    * the few-percent dup fraction), then one clusters-sized aggregate.
+    * `max_by` over a (token_cnt, -doc_id) struct resolves keeper and
+    * tie-break in the same single pass. */
+  def q113ClusterCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val members = TextQueries.docFeatures(spark, sfDir)
+      .select(col("doc_id"), col("token_cnt"))
+      .join(broadcast(clusterLabels(spark, sfDir)), Seq("doc_id"))
+    members.groupBy("cluster")
+      .agg(
+        expr("max_by(doc_id, struct(token_cnt, -doc_id))").as("keep"),
+        count(lit(1)).as("n_members"),
+        (sum(col("token_cnt")) - max(col("token_cnt")))
+          .as("evicted_tokens"))
+      .orderBy("cluster")
+  }
+
   /** Connected components over the near-dup edge set (exact-dup edges ∪
     * MinHash pairs with est ≥ 0.5), by iterative min-label propagation:
     * every doc starts labeled with its own id; each round every node

@@ -223,6 +223,48 @@ object RelationalQueries {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** Q112: batch sessionization + funnel — the batch twin of q30's
+    * streaming `session_window`, extended with conversion semantics the
+    * streaming built-in can't express: a session CONVERTS iff it contains
+    * a view event at-or-before a click event (`min(view ts) <= max(click
+    * ts)`, non-strict — a same-timestamp view+click pair counts). Session
+    * rule is q30's exactly: a >= 30-minute gap starts a new session; ties
+    * on ts order by event_id for a deterministic lag, and a zero gap can
+    * never split a session regardless of tie order.
+    *
+    * Plan: ONE exchange total. The lag/running-sum windows, the
+    * per-session aggregate, and the per-user rollup all cluster on
+    * user_id — `HashPartitioning(user_id)` satisfies the (user_id, sess)
+    * ClusteredDistribution, so after the window shuffle both aggregates
+    * run in place (pinned in OperatorSpec). At 100 TB of events this is
+    * the sessionization plan you want: shuffle once on the user key,
+    * never materialize per-session rows across the wire. */
+  def q112SessionFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("ts"), 1).over(w)
+    val sessions = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .withColumn("new_s",
+        when(prev.isNull ||
+          col("ts") - prev >= expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+      .withColumn("sess", sum(col("new_s")).over(run))
+      .groupBy("user_id", "sess")
+      .agg(
+        count(lit(1)).as("n_ev"),
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        max(when(col("event_type") === "click", col("ts"))).as("last_click"))
+    sessions.groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_ev")).as("n_events"),
+        sum(when(col("first_view").isNotNull &&
+          col("first_view") <= col("last_click"), 1L).otherwise(0L))
+          .as("conv_sessions"))
+      .orderBy("user_id")
+  }
+
   /** Q45: pivot — event counts per user with one column per event type.
     * Spark's `pivot` with explicit values compiles to a single pass of
     * conditional aggregates (no per-value scans); explicit value list

@@ -1550,6 +1550,87 @@ class OperatorSpec extends SparkSpec {
       "gzip input split — non-splittable codec contract broken")
   }
 
+  test("q112 session funnel: JVM sessionizer replay; one hash exchange") {
+    // independent ground truth: collect the events and sessionize in
+    // plain Scala at MICROsecond precision (the window's own rule:
+    // order by (ts, event_id), split on >= 30 min since the previous
+    // event, convert iff min(view ts) <= max(click ts) in-session)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .collect()
+      .map { r =>
+        val t = r.getTimestamp(1).toInstant
+        (r.getLong(0), t.getEpochSecond * 1000000L + t.getNano / 1000L,
+          r.getString(2), r.getLong(3))
+      }
+    val gapMicros = 30L * 60 * 1000000
+    val want = ev.groupBy(_._1).map { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._4)).toList
+      val sessions = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[(Long, Long, String, Long)]]
+      for (r <- sorted) {
+        if (sessions.isEmpty || r._2 - sessions.last.last._2 >= gapMicros)
+          sessions += scala.collection.mutable.ArrayBuffer(r)
+        else sessions.last += r
+      }
+      val conv = sessions.count { s =>
+        val views = s.filter(_._3 == "view").map(_._2)
+        val clicks = s.filter(_._3 == "click").map(_._2)
+        views.nonEmpty && clicks.nonEmpty && views.min <= clicks.max
+      }
+      (u, sessions.length.toLong, sorted.length.toLong, conv.toLong)
+    }.toSet
+    val df = RelationalQueries.q112SessionFunnel(spark, sfDir)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === want)
+    // the scale claim: windows, per-session agg and per-user rollup all
+    // cluster on user_id, so the whole query shuffles ONCE on the hash
+    // key (the only other exchange is the presentation orderBy's range
+    // partitioning over the per-user rollup)
+    // the AQE toString repeats the plan under "== Initial Plan ==" —
+    // count exchanges in the final section only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx === 1, s"expected exactly one hash exchange:\n$plan")
+  }
+
+  test("q113 cluster canonicalization: JVM argmax replay; broadcast plan") {
+    // ground truth: collect the (tiny) cluster table and the token
+    // counts, pick keepers in plain Scala with the documented rule
+    // (max token_cnt, ties to min doc_id), rebuild every output column
+    val toks = TextQueries.docFeatures(spark, sfDir)
+      .select(col("doc_id"), col("token_cnt")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val labels = DedupQueries.clusterLabels(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = labels.groupBy(_._2).map { case (c, ms) =>
+      val members = ms.map(_._1)
+      val keep = members.minBy(d => (-toks(d), d))
+      (c, keep, members.length.toLong,
+        members.map(d => toks(d).toLong).sum - toks(keep))
+    }.toSet
+    val df = DedupQueries.q113ClusterCanonical(spark, sfDir)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === want)
+    assert(want.exists(_._3 > 2), "no cluster beyond a pair — weak fixture")
+    // scale shape: the corpus-sized docFeatures side must NOT shuffle —
+    // the dup-only cluster table broadcasts into it, and the only hash
+    // exchange is the clusters-sized aggregate after the join
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cluster table must broadcast:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx === 1,
+      s"expected one hash exchange (the per-cluster agg):\n$plan")
+  }
+
   test("q88 pre-aggregates per doc before the gram-keyed exchange") {
     // the (doc_id, gram) aggregate must collapse within-doc repeats
     // map-side BEFORE grams travel: partial aggregation on both the

@@ -114,6 +114,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.WinnowFingerprints(children.head, g, w)
       }))
     ext.injectFunction((
+      FunctionIdentifier("common_prefix_len"),
+      info(classOf[graft.functions.CommonPrefixLen].getName,
+        "common_prefix_len",
+        "common_prefix_len(a, b) - number of leading characters the two " +
+          "strings share (byte scan, complete code points only)"),
+      (children: Seq[Expression]) =>
+        graft.functions.CommonPrefixLen(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_quality"),
       info(graft.operators.TextQueries.getClass.getName, "graft_quality",
         "graft_quality(text) - q24 quality score from length/alnum/" +

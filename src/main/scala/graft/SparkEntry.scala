@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.api.SampleJobs
 import graft.operators.{AsofJoin, CurationPipeline, DedupQueries,
   MultimodalPipeline, ProductQuantization, RangeJoin, ReferenceQueries,
-  RelationalQueries, SimilarityQueries, SkewJoin, TextQueries}
+  RelationalQueries, SimilarityQueries, SkewJoin, SuffixQueries,
+  TextQueries}
 import graft.sources.{DelimitedSources, PartitionedSink}
 import graft.streaming.EventStreams
 
@@ -262,6 +263,10 @@ object SparkEntry {
     // keep the longest member per near-dup cluster (token-count rank,
     // integer-exact — the float quality score never decides an argmax).
     "q113_cluster_canonical" -> (DedupQueries.q113ClusterCanonical _),
+    // q114 is exact substring-level dedup: a bounded suffix sort, the
+    // adjacent-pair LCP theorem, and a native common_prefix_len — per
+    // doc, the longest substring (<= 128 chars) shared with another doc.
+    "q114_suffix_repeats" -> (SuffixQueries.q114SuffixRepeats _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -2279,5 +2284,38 @@ object SparkEntry {
          |FROM m JOIN k USING (cluster)
          |GROUP BY m.cluster, k.keep
          |ORDER BY cluster""".stripMargin,
+    // q114's oracle replays the whole suffix construction independently:
+    // its OWN suffix sort (DuckDB's collation — the adjacent-pair LCP
+    // theorem is collation-agnostic, see SuffixQueries scaladoc), its
+    // own LCP (max k with equal k-prefixes, bounded by both lengths so
+    // two equal short suffixes score their length, not the cap).
+    "q114_suffix_repeats" ->
+      """WITH sfx0 AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(1, length(text))) AS pos
+        |  FROM documents WHERE length(text) > 0),
+        |sfx AS (
+        |  SELECT doc_id, pos, substr(text, pos::INT, 128) AS pref
+        |  FROM sfx0),
+        |ord AS (SELECT doc_id, pref,
+        |               row_number() OVER (ORDER BY pref, doc_id, pos) AS rn
+        |        FROM sfx),
+        |adj AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.pref AS p1, b.pref AS p2
+        |  FROM ord a JOIN ord b ON b.rn = a.rn + 1
+        |  WHERE a.doc_id <> b.doc_id),
+        |lcps AS (
+        |  SELECT d1, d2,
+        |         (SELECT coalesce(max(k), 0)
+        |          FROM generate_series(1, 128) s(k)
+        |          WHERE k <= least(length(p1), length(p2))
+        |            AND substr(p1, 1, k::INT) = substr(p2, 1, k::INT)) AS l
+        |  FROM adj),
+        |per AS (SELECT d1 AS doc_id, l FROM lcps
+        |        UNION ALL SELECT d2, l FROM lcps)
+        |SELECT doc_id, max(l)::BIGINT AS max_shared
+        |FROM per GROUP BY doc_id
+        |HAVING max(l) >= 16
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.functions.CommonPrefixLen
+
+/** EXACT substring-level duplicate detection via distributed suffix
+  * sorting — the suffix-array member of the dedup family. The gram-based
+  * span family (q88/q89/q92) detects duplication at a fixed token
+  * granularity; the suffix sort answers the exact character-level
+  * question: for every document, how long is the longest substring that
+  * also appears in ANOTHER document? That is the primitive of
+  * exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
+  * Language Models Better", ACL '22, builds suffix arrays for exactly
+  * this; reference README.md:41-51 has no such operator — extension
+  * surface, like all of the dedup family).
+  *
+  * The core theorem that makes one sorted pass sufficient (standard
+  * suffix-array property, proved by lexicographic betweenness): in ANY
+  * lexicographic order of all suffixes, the longest common prefix
+  * between a suffix of doc d and a suffix of any other doc is achieved
+  * at an ADJACENT pair (s, r) with doc(s) = d, doc(r) ≠ d. Sketch: let
+  * (p, q) realize the cross-doc maximum L for d. Every suffix between p
+  * and q in sort order shares their first L characters (betweenness), so
+  * walking from p toward q, the first suffix NOT from d is adjacent to a
+  * suffix from d and the pair shares ≥ L characters; no adjacent
+  * cross-doc pair can exceed the maximum, so max over adjacent pairs
+  * EQUALS the true maximum, per doc. The theorem is collation-agnostic —
+  * Spark's UTF8-binary sort and DuckDB's collation both qualify, which
+  * is what lets the oracle replay the construction independently.
+  *
+  * Match lengths are CAPPED at [[PrefixCap]] characters: a match that
+  * long is decision-grade duplication (q88's span machinery takes over
+  * well below it), and the cap is what bounds the shuffle row width.
+  *
+  * Scale analysis (measured in tools.SuffixScaling, written up in
+  * SCALING.md): at cap C the direct bounded sort ships one
+  * min(C, remaining-doc-chars) prefix per corpus position through ONE
+  * range exchange. The textbook alternative, prefix doubling over
+  * integer ranks ([[suffixRanksByDoubling]], kept as the differential
+  * twin and the unbounded-cap path), ships ~3 longs per position per
+  * rank round — TWO sorted exchanges a round — for ceil(log2 C) rounds.
+  * The naive byte math (C·n once vs 24·n·log2 C) suggests doubling wins
+  * past C ≈ 200; the measurements say otherwise on this corpus: direct
+  * wins EVERY cap tested (56 vs 654 MB shuffle and 5.8 vs 19.6 s at
+  * C=128, sf0.1; still 62 vs 884 MB at C=512) because the shipped
+  * prefix is bounded by the suffix's own length (~150 chars average
+  * here) and template-heavy text compresses inside the shuffle, while
+  * doubling pays log-many full-corpus sort rounds of incompressible
+  * rank pairs. Doubling's regime is documents LONG relative to the cap
+  * with poorly-compressing text — unbounded suffix arrays over
+  * book-length unique documents, which is exactly where the literature
+  * uses it. For a bounded dedup engine: know your cap, ship the bytes
+  * once.
+  */
+object SuffixQueries {
+
+  /** Match-length cap in characters — and therefore the prefix width
+    * the sort ships per position. */
+  val PrefixCap = 128
+
+  /** Smallest cross-doc match worth reporting (below this, shared
+    * substrings are stopword-phrase noise, not duplication signal). */
+  val MinReport = 16
+
+  /** One row per character position: (doc_id, pos 1-based, the
+    * cap-bounded suffix prefix starting there). */
+  private def positions(docs: DataFrame, cap: Int): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")))).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        col("text").substr(col("pos"), lit(cap)).as("pref"))
+
+  /** Global sort order + contiguous dense index, without a
+    * single-partition window: range-repartition by the sort key, sort
+    * within partitions, then RDD zipWithIndex (per-partition offsets
+    * from one count pass — the q72 dense-indexing shape). */
+  private def sortedWithIndex(sfx: DataFrame): DataFrame = {
+    val spark = sfx.sparkSession
+    val sorted = sfx
+      .repartitionByRange(col("pref"), col("doc_id"), col("pos"))
+      .sortWithinPartitions("pref", "doc_id", "pos")
+      .localCheckpoint()
+    val schema = sorted.schema.add("idx", LongType, nullable = false)
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      schema)
+  }
+
+  /** The direct construction's sort stage alone — the seam
+    * [[graft.tools.SuffixScaling]] measures against the doubling twin
+    * (same output granularity: one globally ordered indexed position
+    * table), so the A/B compares the two CONSTRUCTIONS, not the shared
+    * LCP/aggregate tail. */
+  private[graft] def directSuffixIndex(docs: DataFrame, cap: Int): DataFrame =
+    sortedWithIndex(positions(docs, cap))
+
+  /** The q114 engine over any (doc_id, text) relation: bounded suffix
+    * sort → adjacent cross-doc LCP → per-doc max.
+    *
+    * The adjacent scan is the canonical distributed shape for
+    * consecutive-pair work over a global sort: pairs WITHIN a partition
+    * stream through one fused per-partition pass (no index, no
+    * self-join), and the numPartitions-1 CROSS-partition pairs come from
+    * a driver handoff of each partition's first row — O(partitions)
+    * rows collected, nothing corpus-sized. The first cut self-joined an
+    * indexed copy on idx = idx+1: two extra corpus-sized hash exchanges
+    * to recover pairs the sorted partitions already held contiguously —
+    * measured at sf0.1, the scan shape is 253 → 51 MB shuffle and
+    * 8.1 → 6.1 s; checkpointing the exploded positions so the range
+    * sampler does not re-run the explode takes it to 4.2 s. LCP per
+    * pair calls
+    * the same code-point scan the [[graft.functions.CommonPrefixLen]]
+    * expression generates ([[CommonPrefixLen.prefixChars]]), so the
+    * SQL-facing expression and the fused scan cannot drift. */
+  private[graft] def suffixRepeatsOf(docs: DataFrame, cap: Int,
+      minReport: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pos = positions(docs, cap)
+      .select(col("doc_id"), col("pref"))
+      .localCheckpoint() // the range sampler below reads rows, not lineage
+    val sorted = pos
+      .repartitionByRange(col("pref"), col("doc_id"))
+      .sortWithinPartitions("pref", "doc_id")
+      .localCheckpoint() // one materialization feeds both passes below
+    val firsts = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        it.take(1).map(r => (pid, r.getLong(0), r.getString(1)))
+      }.collect().sortBy(_._1)
+    val bcFirsts = spark.sparkContext.broadcast(firsts)
+    val adj = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      // sliding pairs within the partition, then the boundary pair
+      // against the NEXT non-empty partition's first row
+      var prevDoc = 0L
+      var prevPref: String = null
+      val inner = it.flatMap { r =>
+        val d = r.getLong(0)
+        val p = r.getString(1)
+        val out =
+          if (prevPref != null && prevDoc != d)
+            Iterator((prevDoc, d,
+              CommonPrefixLen.prefixChars(prevPref, p)))
+          else Iterator.empty
+        prevDoc = d
+        prevPref = p
+        out
+      }
+      def boundary =
+        bcFirsts.value.find(_._1 > pid) match {
+          case Some((_, d, p)) if prevPref != null && prevDoc != d =>
+            Iterator((prevDoc, d, CommonPrefixLen.prefixChars(prevPref, p)))
+          case _ => Iterator.empty
+        }
+      inner ++ boundary
+    }.toDF("doc_id", "doc_id2", "l")
+    adj.select(col("doc_id"), col("l"))
+      .unionAll(adj.select(col("doc_id2").as("doc_id"), col("l")))
+      .groupBy("doc_id")
+      .agg(max(col("l")).cast(LongType).as("max_shared"))
+      .where(col("max_shared") >= minReport)
+      .orderBy("doc_id")
+  }
+
+  /** Q114: longest cross-document substring per document (capped at
+    * [[PrefixCap]] chars), docs at or above [[MinReport]] only. */
+  def q114SuffixRepeats(spark: SparkSession, sfDir: String): DataFrame =
+    suffixRepeatsOf(Tables.documents(spark, sfDir), PrefixCap, MinReport)
+
+  // ---------------------------------------------------------------------
+  // Prefix-doubling twin (the unbounded-cap construction)
+  // ---------------------------------------------------------------------
+
+  /** Order-isomorphic rank per key tuple without a global window: sort by
+    * the keys, dense-index, take min(index) per distinct key — ranks are
+    * not dense but preserve exactly the key order, which is all prefix
+    * doubling needs. Two exchanges per call (range sort + key agg). */
+  private def rankOf(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val indexed = sortedWithIndexBy(df, keyCols)
+    val ranks = indexed.groupBy(keyCols.map(col): _*)
+      .agg(min(col("idx")).as("rank"))
+    indexed.join(ranks, keyCols)
+      .select(col("doc_id"), col("pos"), col("rank"))
+  }
+
+  private def sortedWithIndexBy(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(keyCols.map(col): _*)
+      .sortWithinPartitions(keyCols.head, keyCols.tail: _*)
+      .localCheckpoint()
+    val schema = sorted.schema.add("idx", LongType, nullable = false)
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      schema)
+  }
+
+  /** Suffix ranks by PREFIX DOUBLING (Manber–Myers on a cluster): round k
+    * ranks each position by (rank of its 2^k-prefix, rank of the next
+    * 2^k-prefix), so after ceil(log2 cap) rounds ranks order suffixes by
+    * their first `cap` characters — every round exchanges fixed-width
+    * integer rows, never strings. Rows past a document's end pair with
+    * rank -1 (shorter suffix sorts first, matching string order).
+    * Returns (doc_id, pos, rank) with rank order-isomorphic to the
+    * bounded-prefix lexicographic order (differentially spec-pinned
+    * against the direct sort in SuffixSpec). Early-exits when all ranks
+    * are distinct — further rounds cannot change a total order. */
+  private[graft] def suffixRanksByDoubling(docs: DataFrame, cap: Int): DataFrame = {
+    val base = positions(docs, 1)
+      .withColumnRenamed("pref", "c0")
+    var cur = rankOf(base, Seq("c0")).localCheckpoint()
+    var k = 1
+    while (k < cap) {
+      val n = cur.count()
+      if (cur.select(countDistinct(col("rank"))).head.getLong(0) == n) {
+        k = cap // total order reached: every later round is the identity
+      } else {
+        val nxt = cur.select(col("doc_id"), (col("pos") - k).as("pos"),
+          col("rank").as("r2"))
+        val paired = cur.withColumnRenamed("rank", "r1")
+          .join(nxt, Seq("doc_id", "pos"), "left")
+          .select(col("doc_id"), col("pos"), col("r1"),
+            coalesce(col("r2"), lit(-1L)).as("r2"))
+        cur = rankOf(paired, Seq("r1", "r2")).localCheckpoint()
+        k *= 2
+      }
+    }
+    cur
+  }
+}

@@ -1,0 +1,69 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+import graft.operators.SuffixQueries
+
+/** Measure the two suffix-array constructions against each other across
+  * prefix caps — the tradeoff q114's scaladoc claims, with numbers:
+  *
+  *  - DIRECT: ship a cap-byte prefix per position through ONE range
+  *    exchange (cap·n bytes, one round).
+  *  - DOUBLING: ship ~3 longs per position per round for ceil(log2 cap)
+  *    rounds of rank/re-rank (Manber–Myers) — fixed-width rows, round
+  *    count grows with the cap, early-exits once ranks are total.
+  *
+  * Both sides are measured to the SAME output granularity (a globally
+  * ordered indexed position table); the LCP/aggregate tail is shared and
+  * excluded. Expect direct to win at q114's cap 128 and the curves to
+  * cross as the cap approaches document length — the regime where the
+  * literature doubles.
+  *
+  *   SPARK_GRAFT_SF_DIR=… runMain graft.tools.SuffixScaling
+  */
+object SuffixScaling {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.create("graft-suffix-scaling", Some("local[32]"))
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null)
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
+    def measured(label: String, f: () => Long): Unit = {
+      // min-of-3 wall; shuffle bytes from the min-wall pass (bytes are
+      // deterministic per pass — the min guards wall against box load)
+      val runs = (1 to 3).map { _ =>
+        org.apache.spark.graftbridge.SparkBridge
+          .drainListenerBus(spark.sparkContext)
+        val b0 = shuffleBytes.get()
+        val t0 = System.nanoTime()
+        val rows = f()
+        val dt = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.graftbridge.SparkBridge
+          .drainListenerBus(spark.sparkContext)
+        (dt, (shuffleBytes.get() - b0) / 1e6, rows)
+      }
+      val best = runs.minBy(_._1)
+      println(f"[suffix] $label%-24s ${best._1}%7.2f s ${best._2}%9.2f MB " +
+        f"shuffle  rows=${best._3}%d")
+    }
+    val docs = Tables.documents(spark, sfDir)
+    val nPos = SuffixQueries.directSuffixIndex(docs, 1).count()
+    println(s"[suffix] corpus positions: $nPos  ($sfDir)")
+    for (cap <- Seq(32, 128, 512)) {
+      measured(s"direct cap=$cap",
+        () => SuffixQueries.directSuffixIndex(docs, cap).count())
+      measured(s"doubling cap=$cap",
+        () => SuffixQueries.suffixRanksByDoubling(docs, cap).count())
+    }
+    measured("q114 end-to-end",
+      () => SuffixQueries.q114SuffixRepeats(spark, sfDir).count())
+    spark.stop()
+  }
+}

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.CommonPrefixLen
+
+/** The suffix-sort family (q114): the native LCP expression pinned
+  * against a plain-Scala reference (interpreted AND codegen paths), the
+  * whole pipeline pinned against an exhaustive brute force on random
+  * corpora (every substring of every doc-pair — independent of the
+  * adjacent-pair theorem the pipeline relies on, so a hole in the
+  * theorem's application fails here), and the prefix-doubling twin
+  * pinned order-isomorphic to the direct bounded sort. */
+class SuffixSpec extends SparkSpec {
+
+  // ---- CommonPrefixLen ---------------------------------------------------
+
+  private def refPrefixChars(a: String, b: String): Int = {
+    // reference via code points, independent of the byte-scan impl
+    val ac = a.codePoints.toArray
+    val bc = b.codePoints.toArray
+    var i = 0
+    while (i < math.min(ac.length, bc.length) && ac(i) == bc(i)) i += 1
+    i
+  }
+
+  test("common_prefix_len: eval + codegen == code-point reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1207)
+    val alphabets = Seq("ab", "abc ", "aé∆😀b") // 1/2/3/4-byte chars
+    val cases = Seq(("", ""), ("", "a"), ("abc", "abc"), ("abc", "abd"),
+      ("éé", "éa"), ("∆∆a", "∆∆b"), ("a😀", "a😁")) ++
+      (1 to 300).map { _ =>
+        val alpha = alphabets(rnd.nextInt(alphabets.length))
+        def mk = (0 until rnd.nextInt(12)).map(_ =>
+          alpha.codePoints.toArray.apply(rnd.nextInt(
+            alpha.codePoints.toArray.length))).flatMap(
+          Character.toChars(_)).mkString
+        (mk, mk)
+      }
+    // interpreted path: direct helper call — and the String twin the
+    // fused q114 partition scan uses must agree value-for-value
+    for ((a, b) <- cases) {
+      val got = CommonPrefixLen.prefixChars(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      assert(got === refPrefixChars(a, b), s"helper: '$a' vs '$b'")
+      assert(CommonPrefixLen.prefixChars(a, b) === got,
+        s"String twin drift: '$a' vs '$b'")
+    }
+    // codegen path: through a projection over a real DataFrame, plus the
+    // SQL registration
+    val df = cases.toDF("a", "b")
+      .select(col("a"), col("b"), CommonPrefixLen.of(col("a"), col("b")).as("l"))
+    for (r <- df.collect())
+      assert(r.getInt(2) === refPrefixChars(r.getString(0), r.getString(1)),
+        s"codegen: '${r.getString(0)}' vs '${r.getString(1)}'")
+    assert(spark.sql("SELECT common_prefix_len('graft x', 'graft y') AS l")
+      .head.getInt(0) === 6)
+    // null propagation
+    val n = Seq((Option("a"), Option.empty[String])).toDF("a", "b")
+      .select(CommonPrefixLen.of(col("a"), col("b"))).head
+    assert(n.isNullAt(0))
+  }
+
+  // ---- q114 pipeline vs exhaustive brute force ---------------------------
+
+  /** Longest substring of doc d also present in another doc — by hash
+    * sets of ALL substrings up to the cap, no suffix machinery. */
+  private def bruteMaxShared(docs: Seq[(Long, String)], cap: Int): Map[Long, Int] = {
+    def subs(s: String, len: Int): Set[String] =
+      (0 to s.length - len).map(i => s.substring(i, i + len)).toSet
+    docs.map { case (id, text) =>
+      val others = docs.filter(_._1 != id)
+      val best = (1 to math.min(cap, text.length)).reverse.find { len =>
+        val mine = subs(text, len)
+        others.exists(o => subs(o._2, len).exists(mine.contains))
+      }.getOrElse(0)
+      id -> best
+    }.toMap
+  }
+
+  test("q114 engine == exhaustive brute force on random small corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777)
+    for (trial <- 1 to 6) {
+      // tiny alphabet forces heavy sharing, random lengths force the
+      // short-suffix / equal-suffix / end-of-doc edges
+      val alpha = if (trial % 2 == 0) "ab" else "abc"
+      val docs: Seq[(Long, String)] = (1L to 14L).map { id =>
+        val len = rnd.nextInt(60)
+        id -> (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      val want = bruteMaxShared(docs, cap = 128).filter(_._2 >= 1)
+      val got = SuffixQueries.suffixRepeatsOf(
+        docs.toDF("doc_id", "text"), cap = 128, minReport = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      assert(got === want, s"trial $trial (alpha=$alpha) docs=$docs")
+    }
+  }
+
+  test("q114 cap truncates: identical docs report the cap, not the length") {
+    import spark.implicits._
+    val long = "x" * 50 + "yz" * 40 // 130 chars, shared end-to-end
+    val docs = Seq((1L, long), (2L, long), (3L, "unrelated-short")).toDF("doc_id", "text")
+    val got = SuffixQueries.suffixRepeatsOf(docs, cap = 32, minReport = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 32L && got(2L) === 32L)
+    assert(!got.contains(3L), "no cross-doc substring for the outlier")
+  }
+
+  test("q114 on the fixture: every reported doc at or above the floor") {
+    val rows = SuffixQueries.q114SuffixRepeats(spark, sfDir).collect()
+    assert(rows.nonEmpty, "fixture emits nothing — vacuous gate")
+    assert(rows.forall(_.getLong(1) >= SuffixQueries.MinReport))
+    assert(rows.forall(_.getLong(1) <= SuffixQueries.PrefixCap))
+    // the synthetic corpus is template-heavy: the signal is the SPREAD
+    // of values, not mere presence — an LCP bug collapsing everything
+    // to one value would pass nonEmpty but fail this
+    assert(rows.map(_.getLong(1)).distinct.length >= 3,
+      s"suspiciously uniform: ${rows.map(_.getLong(1)).distinct.toSeq}")
+  }
+
+  // ---- prefix-doubling twin ----------------------------------------------
+
+  test("prefix doubling is order-isomorphic to the direct bounded sort") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(90210)
+    val docs = (1L to 10L).map { id =>
+      id -> (0 until rnd.nextInt(50)).map(_ => "ab" (rnd.nextInt(2))).mkString
+    }.filter(_._2.nonEmpty).toDF("doc_id", "text")
+    val cap = 32
+    val ranks = SuffixQueries.suffixRanksByDoubling(docs, cap)
+    val prefs = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")))).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        col("text").substr(col("pos"), lit(cap)).as("pref"))
+    val joined = ranks.join(prefs, Seq("doc_id", "pos")).collect()
+      .map(r => (r.getLong(2), r.getLong(0), r.getInt(1), r.getString(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(joined.nonEmpty)
+    // walk the rank order: prefs never decrease, and rank equality is
+    // exactly pref equality (order-isomorphism, both directions)
+    for (w <- joined.sliding(2) if w.length == 2; a = w(0); b = w(1)) {
+      assert(a._4 <= b._4, s"rank order violates pref order: $a then $b")
+      assert((a._1 == b._1) === (a._4 == b._4),
+        s"rank-tie != pref-tie: $a vs $b")
+    }
+  }
+}

@@ -267,6 +267,9 @@ object SparkEntry {
     // adjacent-pair LCP theorem, and a native common_prefix_len — per
     // doc, the longest substring (<= 128 chars) shared with another doc.
     "q114_suffix_repeats" -> (SuffixQueries.q114SuffixRepeats _),
+    // q115 is the reporting layer over q114's suffix artifact: per
+    // source, docs carrying a decision-grade cross-doc match.
+    "q115_source_dup_profile" -> (SuffixQueries.q115SourceDupProfile _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -2284,38 +2287,54 @@ object SparkEntry {
          |FROM m JOIN k USING (cluster)
          |GROUP BY m.cluster, k.keep
          |ORDER BY cluster""".stripMargin,
-    // q114's oracle replays the whole suffix construction independently:
-    // its OWN suffix sort (DuckDB's collation — the adjacent-pair LCP
-    // theorem is collation-agnostic, see SuffixQueries scaladoc), its
-    // own LCP (max k with equal k-prefixes, bounded by both lengths so
-    // two equal short suffixes score their length, not the cap).
+    // q114/q115 oracles replay the whole suffix construction
+    // independently: their OWN suffix sort (DuckDB's collation — the
+    // adjacent-pair LCP theorem is collation-agnostic, see SuffixQueries
+    // scaladoc), their own LCP (max k with equal k-prefixes, bounded by
+    // both lengths so two equal short suffixes score their length, not
+    // the cap). The shared per-doc CTE is [[suffixPerDocSql]].
     "q114_suffix_repeats" ->
-      """WITH sfx0 AS (
-        |  SELECT doc_id, text,
-        |         unnest(generate_series(1, length(text))) AS pos
-        |  FROM documents WHERE length(text) > 0),
-        |sfx AS (
-        |  SELECT doc_id, pos, substr(text, pos::INT, 128) AS pref
-        |  FROM sfx0),
-        |ord AS (SELECT doc_id, pref,
-        |               row_number() OVER (ORDER BY pref, doc_id, pos) AS rn
-        |        FROM sfx),
-        |adj AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.pref AS p1, b.pref AS p2
-        |  FROM ord a JOIN ord b ON b.rn = a.rn + 1
-        |  WHERE a.doc_id <> b.doc_id),
-        |lcps AS (
-        |  SELECT d1, d2,
-        |         (SELECT coalesce(max(k), 0)
-        |          FROM generate_series(1, 128) s(k)
-        |          WHERE k <= least(length(p1), length(p2))
-        |            AND substr(p1, 1, k::INT) = substr(p2, 1, k::INT)) AS l
-        |  FROM adj),
-        |per AS (SELECT d1 AS doc_id, l FROM lcps
-        |        UNION ALL SELECT d2, l FROM lcps)
-        |SELECT doc_id, max(l)::BIGINT AS max_shared
-        |FROM per GROUP BY doc_id
-        |HAVING max(l) >= 16
-        |ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, max_shared FROM ($suffixPerDocSql) t
+         |WHERE max_shared >= 16
+         |ORDER BY doc_id""".stripMargin,
+    "q115_source_dup_profile" ->
+      s"""WITH per AS (SELECT * FROM ($suffixPerDocSql) t)
+         |SELECT d.source AS source, count(*) AS n_docs,
+         |       sum(CASE WHEN p.max_shared >= 32 THEN 1 ELSE 0 END)::BIGINT
+         |         AS dup_docs,
+         |       sum(coalesce(p.max_shared, 0))::BIGINT AS sum_shared
+         |FROM documents d LEFT JOIN per p USING (doc_id)
+         |GROUP BY d.source
+         |ORDER BY source""".stripMargin,
   )
+
+  /** Per-doc longest cross-document match (capped 128 chars) — the
+    * DuckDB replay of the q114 suffix construction, shared by the
+    * q114 and q115 oracles. */
+  private val suffixPerDocSql: String =
+    """WITH sfx0 AS (
+      |  SELECT doc_id, text,
+      |         unnest(generate_series(1, length(text))) AS pos
+      |  FROM documents WHERE length(text) > 0),
+      |sfx AS (
+      |  SELECT doc_id, pos, substr(text, pos::INT, 128) AS pref
+      |  FROM sfx0),
+      |ord AS (SELECT doc_id, pref,
+      |               row_number() OVER (ORDER BY pref, doc_id, pos) AS rn
+      |        FROM sfx),
+      |adj AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.pref AS p1, b.pref AS p2
+      |  FROM ord a JOIN ord b ON b.rn = a.rn + 1
+      |  WHERE a.doc_id <> b.doc_id),
+      |lcps AS (
+      |  SELECT d1, d2,
+      |         (SELECT coalesce(max(k), 0)
+      |          FROM generate_series(1, 128) s(k)
+      |          WHERE k <= least(length(p1), length(p2))
+      |            AND substr(p1, 1, k::INT) = substr(p2, 1, k::INT)) AS l
+      |  FROM adj),
+      |per AS (SELECT d1 AS doc_id, l FROM lcps
+      |        UNION ALL SELECT d2, l FROM lcps)
+      |SELECT doc_id, max(l)::BIGINT AS max_shared
+      |FROM per GROUP BY doc_id""".stripMargin
 }

@@ -168,10 +168,44 @@ object SuffixQueries {
       .orderBy("doc_id")
   }
 
+  /** The per-doc longest-cross-doc-match table as an ARTIFACT — the
+    * house discipline for corpus-scan products (shingles, signatures,
+    * docFeatures): the suffix sort runs ONCE per (session, scale dir),
+    * is written bucketed on doc_id, and every consumer (q114's report,
+    * q115's per-source profile) reads the table. Unfiltered
+    * (minReport = 1) so consumers pick their own thresholds. */
+  def suffixShared(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Artifacts.materialize(spark,
+        "graft_suffixshared_" + Tables.dirKey(spark, sfDir), "doc_id") {
+      suffixRepeatsOf(Tables.documents(spark, sfDir), PrefixCap, 1)
+    }
+
   /** Q114: longest cross-document substring per document (capped at
     * [[PrefixCap]] chars), docs at or above [[MinReport]] only. */
   def q114SuffixRepeats(spark: SparkSession, sfDir: String): DataFrame =
-    suffixRepeatsOf(Tables.documents(spark, sfDir), PrefixCap, MinReport)
+    suffixShared(spark, sfDir)
+      .where(col("max_shared") >= MinReport)
+      .orderBy("doc_id")
+
+  /** Q115: duplication profile by SOURCE — the reporting layer over the
+    * suffix artifact: per source, how many docs carry a decision-grade
+    * (>= [[DupThreshold]] chars) cross-document match, plus the summed
+    * match lengths. The join side is the docs-sized artifact, never the
+    * position table; with the artifact in place this is a broadcast
+    * join + one tiny aggregate. */
+  def q115SourceDupProfile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+      .join(suffixShared(spark, sfDir), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("max_shared") >= DupThreshold, 1L).otherwise(0L))
+          .as("dup_docs"),
+        sum(coalesce(col("max_shared"), lit(0L))).as("sum_shared"))
+      .orderBy("source")
+
+  /** A cross-doc match this long is duplication, not phrase reuse. */
+  val DupThreshold = 32
 
   // ---------------------------------------------------------------------
   // Prefix-doubling twin (the unbounded-cap construction)

@@ -33,6 +33,8 @@ object ArtifactProfile {
       operators.CurationPipeline.prewarmDedupMeta(spark, sfDir))
     t("curatedHandoff")(
       operators.CurationPipeline.curatedHandoff(spark, sfDir).count())
+    t("suffixShared")(
+      operators.SuffixQueries.suffixShared(spark, sfDir).count())
     t("kmeansCodebook")(
       operators.SimilarityQueries.kmeansCodebook(spark, sfDir))
     t("pqIndex")(operators.ProductQuantization.pqIndex(spark, sfDir).count())

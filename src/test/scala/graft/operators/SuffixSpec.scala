@@ -122,6 +122,34 @@ class SuffixSpec extends SparkSpec {
       s"suspiciously uniform: ${rows.map(_.getLong(1)).distinct.toSeq}")
   }
 
+  test("q115 source profile: JVM replay off the artifact; no re-sort") {
+    // ground truth: the artifact rows + the documents table, aggregated
+    // in plain Scala with the documented thresholds
+    val shared = SuffixQueries.suffixShared(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.groupBy(_._2).map { case (src, ds) =>
+      val vals = ds.map(d => shared.getOrElse(d._1, 0L))
+      (src, ds.length.toLong,
+        vals.count(_ >= SuffixQueries.DupThreshold).toLong, vals.sum)
+    }.toSet
+    val df = SuffixQueries.q115SourceDupProfile(spark, sfDir)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === want)
+    // artifact discipline: the consumer reads the bucketed table — no
+    // position explode, no suffix re-sort anywhere in its plan
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("graft_suffixshared"),
+      s"q115 must read the suffix artifact:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"q115 re-exploded corpus positions:\n$plan")
+  }
+
   // ---- prefix-doubling twin ----------------------------------------------
 
   test("prefix doubling is order-isomorphic to the direct bounded sort") {

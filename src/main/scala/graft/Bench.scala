@@ -73,6 +73,7 @@ object Bench {
       operators.CurationPipeline.refreshedSignatures(spark, sfDir).count()
       operators.CurationPipeline.refreshedSpanFeatures(spark, sfDir).count()
       operators.CurationPipeline.refreshedDocFeatures(spark, sfDir).count()
+      operators.SuffixQueries.suffixSharedB(spark, sfDir).count()
       operators.ProductQuantization.refreshedPqIndex(spark, sfDir).count()
       sources.PartitionedSink.eventsDaily(spark, sfDir).count()
       (System.nanoTime() - tArt) / 1e9

@@ -270,6 +270,11 @@ object SparkEntry {
     // q115 is the reporting layer over q114's suffix artifact: per
     // source, docs carrying a decision-grade cross-doc match.
     "q115_source_dup_profile" -> (SuffixQueries.q115SourceDupProfile _),
+    // q116 is the suffix table's refresh story: max_shared is a GLOBAL
+    // property (a removed duplicate partner lowers the survivor's max),
+    // so delta-local refresh is unsound — the sound form recomputes on
+    // snapshot B and ships the CHANGED ROWS, which is this report.
+    "q116_suffix_delta" -> (SuffixQueries.q116SuffixDelta _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -2306,7 +2311,34 @@ object SparkEntry {
          |FROM documents d LEFT JOIN per p USING (doc_id)
          |GROUP BY d.source
          |ORDER BY source""".stripMargin,
+    "q116_suffix_delta" ->
+      s"""WITH pa AS (SELECT * FROM ($suffixPerDocSql) t),
+         |pb AS (SELECT * FROM ($suffixPerDocSqlB) t)
+         |SELECT coalesce(pa.doc_id, pb.doc_id) AS doc_id,
+         |       coalesce(pa.max_shared, 0) AS prev_shared,
+         |       coalesce(pb.max_shared, 0) AS new_shared
+         |FROM pa FULL OUTER JOIN pb ON pa.doc_id = pb.doc_id
+         |WHERE coalesce(pa.max_shared, 0) <> coalesce(pb.max_shared, 0)
+         |ORDER BY doc_id""".stripMargin,
   )
+
+  /** [[suffixPerDocSql]] rebased onto q79's snapshot-B derivation (the
+    * shingleCteB pattern) — the q116 oracle must recompute snapshot B's
+    * suffix table FROM SCRATCH, because no delta-local shortcut is
+    * sound for a global property. */
+  private def suffixPerDocSqlB: String = {
+    val bdocs =
+      """WITH bdocs AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 3 THEN text || ' updated v2'
+        |              ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 7
+        |  UNION ALL
+        |  SELECT -(doc_id + 1), text FROM documents
+        |  WHERE doc_id % 10 = 1),""".stripMargin
+    bdocs + "\n" +
+      suffixPerDocSql.stripPrefix("WITH").replace("FROM documents", "FROM bdocs")
+  }
 
   /** Per-doc longest cross-document match (capped 128 chars) — the
     * DuckDB replay of the q114 suffix construction, shared by the

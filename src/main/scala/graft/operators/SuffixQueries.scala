@@ -207,6 +207,49 @@ object SuffixQueries {
   /** A cross-doc match this long is duplication, not phrase reuse. */
   val DupThreshold = 32
 
+  /** Snapshot B's per-doc suffix table — a FULL recompute over the q79
+    * recrawl derivation, materialized once.
+    *
+    * Why this is NOT the q98 stale-drop/fresh-compute refresh: doc
+    * features are per-doc pure functions, so dropping stale rows and
+    * computing fresh ones is exact. `max_shared` is a GLOBAL property —
+    * removing a document can LOWER the max of an untouched document
+    * whose best match it was (spec-proven in SuffixSpec with exactly
+    * that construction), so any delta-local refresh is unsound. The
+    * r10 guidance applies in its pure form: recompute freely, write
+    * incrementally — the sound refresh recomputes the table on B, and
+    * the incremental value lives entirely in the WRITE side, which is
+    * what [[q116SuffixDelta]] materializes (the changed rows ARE the
+    * write set, measured in tools.SuffixScaling). */
+  def suffixSharedB(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Artifacts.materialize(spark,
+        "graft_suffixshared_b_" + Tables.dirKey(spark, sfDir), "doc_id") {
+      suffixRepeatsOf(
+        CurationPipeline.snapshotB(Tables.documents(spark, sfDir)),
+        PrefixCap, 1)
+    }
+
+  /** Q116: the suffix-table CHANGE REPORT between snapshots — per doc
+    * whose longest cross-doc match changed: (doc_id, prev, new). This
+    * is the incremental WRITE SET of the refresh (apply it to the A
+    * table and you hold the B table), and it surfaces the global
+    * effect directly: the report legitimately contains documents the
+    * recrawl never touched, because a removed duplicate partner lowers
+    * the survivor's match. Both inputs are docs-sized artifacts; the
+    * diff is one full-outer join on doc_id, delta-sized output. */
+  def q116SuffixDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = suffixShared(spark, sfDir)
+      .withColumnRenamed("max_shared", "prev_shared")
+    val b = suffixSharedB(spark, sfDir)
+      .withColumnRenamed("max_shared", "new_shared")
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("prev_shared"), lit(0L)).as("prev_shared"),
+        coalesce(col("new_shared"), lit(0L)).as("new_shared"))
+      .where(col("prev_shared") =!= col("new_shared"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // Prefix-doubling twin (the unbounded-cap construction)
   // ---------------------------------------------------------------------

@@ -64,6 +64,14 @@ object SuffixScaling {
     }
     measured("q114 end-to-end",
       () => SuffixQueries.q114SuffixRepeats(spark, sfDir).count())
+    // the refresh story's write amplification: max_shared is a global
+    // property, so the sound refresh recomputes on snapshot B — the
+    // incremental value is the WRITE set (q116's change report) vs
+    // rewriting the whole table
+    val tableRows = SuffixQueries.suffixShared(spark, sfDir).count()
+    val deltaRows = SuffixQueries.q116SuffixDelta(spark, sfDir).count()
+    println(f"[suffix] q116 write set: $deltaRows of $tableRows rows " +
+      f"(${100.0 * deltaRows / math.max(tableRows, 1)}%.1f%% of the table rewritten)")
     spark.stop()
   }
 }

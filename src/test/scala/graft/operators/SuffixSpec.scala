@@ -150,6 +150,50 @@ class SuffixSpec extends SparkSpec {
       s"q115 re-exploded corpus positions:\n$plan")
   }
 
+  test("q116 global effect: an UNTOUCHED doc's max drops when its dup " +
+      "partner is removed — why delta-local refresh is unsound here") {
+    import spark.implicits._
+    // doc 2 is untouched by the q79 recrawl rules (2 % 10 ∉ {7,3,1});
+    // doc 7 is REMOVED; they share a >40-char span. If the suffix table
+    // were refreshed q98-style (drop stale rows, recompute fresh ones),
+    // doc 2's row would be neither stale nor fresh and would keep its
+    // snapshot-A value — wrongly, as this pins.
+    val span = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (2L, s"prefix $span suffix-two"),
+      (7L, s"intro $span outro-seven"),
+      (4L, "zzz completely unrelated filler material qqq")
+    ).toDF("doc_id", "text")
+    def table(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      SuffixQueries.suffixRepeatsOf(d, cap = 128, minReport = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = table(docs)
+    val b = table(CurationPipeline.snapshotB(docs))
+    assert(a(2L) >= span.length.toLong, s"A-side span not detected: $a")
+    val after = b.getOrElse(2L, 0L)
+    assert(after < a(2L),
+      s"doc 2's max must DROP when doc 7 leaves (A=${a(2L)}, B=$after)")
+    assert(after < 16, s"only noise-level sharing with doc 4 remains: $b")
+  }
+
+  test("q116 on the fixture: delta-sized, and every change class present") {
+    val rows = SuffixQueries.q116SuffixDelta(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val total = SuffixQueries.suffixShared(spark, sfDir).count()
+    assert(rows.length < total,
+      s"change report (${rows.length}) must be smaller than the table ($total)")
+    // removed docs (id % 10 == 7) end at 0; added docs live in the
+    // negative namespace; and the global effect shows up as changed
+    // rows for docs the recrawl never touched
+    assert(rows.exists { case (id, prev, nw) =>
+      id > 0 && id % 10 == 7 && prev > 0 && nw == 0 }, "no removed-doc row")
+    assert(rows.exists(_._1 < 0), "no added-doc row")
+    assert(rows.exists { case (id, _, _) =>
+      id > 0 && id % 10 != 7 && id % 10 != 3 },
+      "no untouched-doc row — the global effect should appear at this SF")
+  }
+
   // ---- prefix-doubling twin ----------------------------------------------
 
   test("prefix doubling is order-isomorphic to the direct bounded sort") {

@@ -275,6 +275,10 @@ object SparkEntry {
     // so delta-local refresh is unsound — the sound form recomputes on
     // snapshot B and ships the CHANGED ROWS, which is this report.
     "q116_suffix_delta" -> (SuffixQueries.q116SuffixDelta _),
+    // q117 computes q112's funnel INSIDE the streaming sessionizer: one
+    // session_window aggregate carries the conversion columns.
+    "q117_stream_session_funnel" ->
+      (graft.streaming.EventStreams.q117StreamSessionFunnel _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -2320,6 +2324,25 @@ object SparkEntry {
          |FROM pa FULL OUTER JOIN pb ON pa.doc_id = pb.doc_id
          |WHERE coalesce(pa.max_shared, 0) <> coalesce(pb.max_shared, 0)
          |ORDER BY doc_id""".stripMargin,
+    // q117 shares q30's session CTE; converted is q112's non-strict
+    // funnel rule per session (NULL comparison reads 0 on both engines)
+    "q117_stream_session_funnel" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, event_type,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                ROWS UNBOUNDED PRECEDING) AS sess FROM d)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |       count(*) AS n_events,
+        |       (CASE WHEN min(CASE WHEN event_type = 'view' THEN ts END)
+        |                  <= max(CASE WHEN event_type = 'click' THEN ts END)
+        |             THEN 1 ELSE 0 END)::BIGINT AS converted
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 
   /** [[suffixPerDocSql]] rebased onto q79's snapshot-B derivation (the

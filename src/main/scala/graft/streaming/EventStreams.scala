@@ -761,6 +761,34 @@ object EventStreams {
       .orderBy("user_id", "session_start")
   }
 
+  /** Q117: streaming session FUNNEL — q112's conversion semantics
+    * computed INSIDE the streaming sessionizer. `session_window` merges
+    * windows while events keep arriving within the 30-minute gap, and
+    * the SAME aggregate pass carries the funnel columns (earliest view
+    * ts, latest click ts) — no second stateful stage, no reprocessing;
+    * converted = non-strict `min(view) <= max(click)` (q112's rule;
+    * null-safe: a session without views or clicks compares NULL and
+    * reads 0). Batch q112 additionally rolls up per user — streaming
+    * stops at per-session rows because chaining a second streaming
+    * aggregate needs complete-mode output of the first; the per-user
+    * rollup belongs downstream, on the session table this emits. */
+  def q117StreamSessionFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(stateSession(spark), sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        count(lit(1)).as("n_events"),
+        min(when(col("event_type") === "view", col("ts"))).as("fv"),
+        max(when(col("event_type") === "click", col("ts"))).as("lc"))
+    runToTable(agg, OutputMode.Complete())
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        when(col("fv").isNotNull && col("fv") <= col("lc"), 1L)
+          .otherwise(0L).as("converted"))
+      .orderBy("user_id", "session_start")
+  }
+
   // public: encoder codegen (SafeProjection) cannot access private classes
   case class Ev(event_id: Long, ts: java.sql.Timestamp,
                 user_id: Long, event_type: String)

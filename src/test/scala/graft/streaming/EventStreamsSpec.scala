@@ -34,6 +34,29 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("q117 streaming session funnel rolls up to batch q112 exactly") {
+    // the two formulations share ONE rule set (30-min gap, non-strict
+    // view<=click conversion) through different engines: session_window
+    // state merging in the micro-batch engine vs lag/cumsum windows in
+    // batch. Per-user rollup of the streamed session rows must equal
+    // q112's output row-for-row.
+    val sessions = EventStreams.q117StreamSessionFunnel(spark, sfDir)
+      .collect()
+    val rolled = sessions.groupBy(_.getLong(0)).map { case (u, rs) =>
+      (u, rs.length.toLong, rs.map(_.getLong(2)).sum,
+        rs.map(_.getLong(3)).sum)
+    }.toSet
+    val batch = graft.operators.RelationalQueries
+      .q112SessionFunnel(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(rolled === batch)
+    // non-vacuous: the fixture has both converting and non-converting
+    // sessions, or the conversion column proves nothing
+    assert(sessions.exists(_.getLong(3) == 1L), "no converted session")
+    assert(sessions.exists(_.getLong(3) == 0L), "every session converted")
+  }
+
   test("q104 stream-static join is stateless and batch-equivalent") {
     import org.apache.spark.sql.functions._
     EventStreams.takeStateMetrics() // clear anything a prior suite left

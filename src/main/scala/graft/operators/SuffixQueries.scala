@@ -207,6 +207,146 @@ object SuffixQueries {
   /** A cross-doc match this long is duplication, not phrase reuse. */
   val DupThreshold = 32
 
+  // ---------------------------------------------------------------------
+  // Per-POSITION match lengths (q118) — the Lee et al. coverage signal
+  // ---------------------------------------------------------------------
+
+  /** One row per corpus position: the length of the longest substring
+    * starting THERE that also appears in another document (capped),
+    * rows at or above `minLen` only.
+    *
+    * Soundness: in suffix order, lcp(i, j) = min of the adjacent lcps
+    * between them, so lcp to another doc's suffix is maximized by the
+    * NEAREST other-doc row above/below — and because same-doc rows form
+    * maximal runs only interrupted by other docs, "nearest other-doc
+    * above" is found by the classic two-candidate scan: carry (the last
+    * row, the last row whose doc differs from it); for the current row,
+    * the nearest other-doc predecessor is the first of those two whose
+    * doc differs. LCP against it is ONE direct [[CommonPrefixLen]] call
+    * on the capped prefixes (no min-chain: prefixes are materialized).
+    *
+    * Distribution: partitions are range-sorted; each is scanned twice
+    * in memory (forward and backward). The scan state entering every
+    * partition is rebuilt on the DRIVER from per-partition summaries
+    * (4 rows each: first/last row and the nearest differing-doc row
+    * from each end) folded in partition order and broadcast — the
+    * prefix-sum shape: O(partitions) driver rows, nothing corpus-sized,
+    * one extra pass over the checkpointed sort. */
+  private[graft] def positionMatchLengths(docs: DataFrame, cap: Int,
+      minLen: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pos = positions(docs, cap)
+      .select(col("doc_id"), col("pos"), col("pref"))
+      .localCheckpoint()
+    val sorted = pos
+      .repartitionByRange(col("pref"), col("doc_id"), col("pos"))
+      .sortWithinPartitions("pref", "doc_id", "pos")
+      .localCheckpoint()
+
+    type Ent = (Long, String) // (doc_id, pref)
+    // per-partition summary: (pid, first, firstDiff, last, lastDiff)
+    val summaries = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val rows = it.map(r => (r.getLong(0), r.getString(2))).toArray
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val first = rows.head
+        val last = rows.last
+        val firstDiff = rows.find(_._1 != first._1)
+        val lastDiff = rows.reverseIterator.find(_._1 != last._1)
+        Iterator((pid, first, firstDiff, last, lastDiff))
+      }
+    }.collect().sortBy(_._1)
+
+    // two-candidate state: (last row seen, last row with doc != last's)
+    type St = (Option[Ent], Option[Ent])
+    def advance(st: St, newLast: Ent, diffWithin: Option[Ent]): St = {
+      val other = diffWithin.orElse(st._1 match {
+        case Some(l) if l._1 != newLast._1 => Some(l)
+        case _ => st._2
+      })
+      (Some(newLast), other)
+    }
+    // state entering each partition from the LEFT (fold in pid order)
+    // and from the RIGHT (fold in reverse) — driver-side, 32 entries
+    val fromLeft = scala.collection.mutable.Map.empty[Int, St]
+    var st: St = (None, None)
+    for (s <- summaries) {
+      fromLeft(s._1) = st
+      st = advance(st, s._4, s._5)
+    }
+    val fromRight = scala.collection.mutable.Map.empty[Int, St]
+    st = (None, None)
+    for (s <- summaries.reverseIterator) {
+      fromRight(s._1) = st
+      st = advance(st, s._2, s._3)
+    }
+    val bcL = spark.sparkContext.broadcast(fromLeft.toMap)
+    val bcR = spark.sparkContext.broadcast(fromRight.toMap)
+
+    sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val rows = it.map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .toArray
+      val n = rows.length
+      val best = new Array[Int](n)
+      def scan(indices: Range, init: St): Unit = {
+        var state = init
+        for (i <- indices) {
+          val (d, _, p) = rows(i)
+          val cand = state._1 match {
+            case Some(l) if l._1 != d => Some(l)
+            case Some(_) => state._2
+            case None => None
+          }
+          cand.foreach { c =>
+            val l = CommonPrefixLen.prefixChars(p, c._2)
+            if (l > best(i)) best(i) = l
+          }
+          state = state._1 match {
+            case Some(l) if l._1 != d => (Some((d, p)), Some(l))
+            case _ => (Some((d, p)), state._2)
+          }
+        }
+      }
+      scan(0 until n, bcL.value.getOrElse(pid, (None, None)))
+      scan((n - 1) to 0 by -1, bcR.value.getOrElse(pid, (None, None)))
+      Iterator.range(0, n).filter(best(_) >= minLen).map { i =>
+        (rows(i)._1, rows(i)._2, best(i))
+      }
+    }.toDF("doc_id", "pos", "l")
+  }
+
+  /** Q118: per-doc DUPLICATE-CHARACTER COVERAGE — the position-level
+    * decision signal of exact-substring dedup (Lee et al.: drop or trim
+    * spans, not whole docs): for every document, how many of its
+    * characters sit inside a cross-document match of at least
+    * [[DupThreshold]] chars. Positions carry intervals [pos, pos+l);
+    * the per-doc union length is the classic running-max window (one
+    * doc-keyed exchange of the DUP POSITIONS ONLY — sub-corpus-sized).
+    * The cap cannot under-count coverage: inside a longer true span
+    * every position within cap of the span end still reaches it. */
+  def q118DupCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val hits = positionMatchLengths(docs, PrefixCap, DupThreshold)
+      .select(col("doc_id"), col("pos"), (col("pos") + col("l")).as("e"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val per = hits
+      .withColumn("pmax", max(col("e")).over(w))
+      .select(col("doc_id"),
+        greatest(lit(0L),
+          col("e") - greatest(coalesce(col("pmax"), lit(0L)),
+            col("pos").cast(LongType))).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("dup_chars"))
+    docs.select(col("doc_id"), length(col("text")).cast(LongType).as("n_chars"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Snapshot B's per-doc suffix table — a FULL recompute over the q79
     * recrawl derivation, materialized once.
     *

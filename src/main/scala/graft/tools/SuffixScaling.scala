@@ -64,6 +64,8 @@ object SuffixScaling {
     }
     measured("q114 end-to-end",
       () => SuffixQueries.q114SuffixRepeats(spark, sfDir).count())
+    measured("q118 end-to-end",
+      () => SuffixQueries.q118DupCoverage(spark, sfDir).count())
     // the refresh story's write amplification: max_shared is a global
     // property, so the sound refresh recomputes on snapshot B — the
     // incremental value is the WRITE set (q116's change report) vs

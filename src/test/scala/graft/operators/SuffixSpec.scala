@@ -194,6 +194,68 @@ class SuffixSpec extends SparkSpec {
       "no untouched-doc row — the global effect should appear at this SF")
   }
 
+  // ---- q118 per-position coverage ----------------------------------------
+
+  test("q118 position match lengths == brute force on random corpora") {
+    import spark.implicits._
+    def lcpOf(a: String, ai: Int, b: String, bi: Int, cap: Int): Int = {
+      var k = 0
+      while (k < cap && ai + k < a.length && bi + k < b.length &&
+        a.charAt(ai + k) == b.charAt(bi + k)) k += 1
+      k
+    }
+    val rnd = new scala.util.Random(20824)
+    for (trial <- 1 to 4) {
+      val alpha = if (trial % 2 == 0) "ab" else "abc"
+      val docs: Seq[(Long, String)] = (1L to 12L).map { id =>
+        id -> (0 until rnd.nextInt(50)).map(_ =>
+          alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      // brute: per position, max common prefix against EVERY position
+      // of every other doc — no suffix order, no nearest-neighbor
+      // shortcut, so it also re-proves the monotone-lcp argument
+      val want = (for {
+        (d, t) <- docs; p <- 0 until t.length
+        best = (for {
+          (o, u) <- docs if o != d
+          q <- 0 until u.length
+        } yield lcpOf(t, p, u, q, 128)) match {
+          case Nil => 0; case ls => ls.max
+        }
+        if best >= 1
+      } yield ((d, p + 1), best)).toMap
+      val got = SuffixQueries.positionMatchLengths(
+        docs.toDF("doc_id", "text"), cap = 128, minLen = 1)
+        .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getInt(2)))
+        .toMap
+      assert(got === want, s"trial $trial")
+    }
+  }
+
+  test("q118 coherence: per-doc max of position lengths == q114 artifact") {
+    val fromPositions = SuffixQueries.positionMatchLengths(
+      graft.Tables.documents(spark, sfDir), SuffixQueries.PrefixCap, 1)
+      .groupBy("doc_id").agg(max(col("l")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val fromPairs = SuffixQueries.suffixShared(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromPositions === fromPairs,
+      "adjacent-pair per-doc max and per-position max diverged")
+  }
+
+  test("q118 coverage on the fixture: bounded, partial, non-vacuous") {
+    val rows = SuffixQueries.q118DupCoverage(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, c) =>
+      assert(c >= 0 && c <= n, s"doc $id coverage $c outside [0, $n]")
+    }
+    assert(rows.exists(r => r._3 > 0 && r._3 < r._2),
+      "no partially-covered doc — trim semantics untested")
+    assert(rows.exists(_._3 == 0) || rows.exists(r => r._3 == r._2),
+      "no boundary coverage value at this SF")
+  }
+
   // ---- prefix-doubling twin ----------------------------------------------
 
   test("prefix doubling is order-isomorphic to the direct bounded sort") {

@@ -283,6 +283,9 @@ object SparkEntry {
     // doc, the characters inside any >= 32-char cross-document match —
     // nearest-other-doc LCPs from the suffix order, interval union.
     "q118_dup_coverage" -> (SuffixQueries.q118DupCoverage _),
+    // q119 is q118's signal as the actionable artifact: the merged
+    // character spans to cut, per doc — the file a trim pass writes.
+    "q119_trim_plan" -> (SuffixQueries.q119TrimPlan _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -2354,56 +2357,76 @@ object SparkEntry {
     // the running-max window — fully independent of the Spark scan's
     // two-candidate state machinery.
     "q118_dup_coverage" ->
-      """WITH sfx0 AS (
-        |  SELECT doc_id, text,
-        |         unnest(generate_series(1, length(text))) AS pos
-        |  FROM documents WHERE length(text) > 0),
-        |sfx AS (
-        |  SELECT doc_id, pos, substr(text, pos::INT, 128) AS pref
-        |  FROM sfx0),
-        |ord AS (SELECT doc_id, pos, pref,
-        |               row_number() OVER (ORDER BY pref, doc_id, pos) AS rn
-        |        FROM sfx),
-        |runs AS (SELECT *, rn - row_number()
-        |           OVER (PARTITION BY doc_id ORDER BY rn) AS rk
-        |         FROM ord),
-        |bnd AS (SELECT *, min(rn) OVER (PARTITION BY doc_id, rk) AS lo,
-        |               max(rn) OVER (PARTITION BY doc_id, rk) AS hi
-        |        FROM runs),
-        |nbr AS (
-        |  SELECT b.doc_id, b.pos, b.pref,
-        |         u.pref AS upref, w.pref AS wpref
-        |  FROM bnd b
-        |  LEFT JOIN ord u ON u.rn = b.lo - 1
-        |  LEFT JOIN ord w ON w.rn = b.hi + 1),
-        |lb AS (
-        |  SELECT doc_id, pos, greatest(
-        |    coalesce((SELECT max(k) FROM generate_series(1, 128) s(k)
-        |              WHERE upref IS NOT NULL
-        |                AND k <= least(length(pref), length(upref))
-        |                AND substr(pref, 1, k::INT) = substr(upref, 1, k::INT)),
-        |             0),
-        |    coalesce((SELECT max(k) FROM generate_series(1, 128) s(k)
-        |              WHERE wpref IS NOT NULL
-        |                AND k <= least(length(pref), length(wpref))
-        |                AND substr(pref, 1, k::INT) = substr(wpref, 1, k::INT)),
-        |             0)) AS l
-        |  FROM nbr),
-        |cov AS (SELECT doc_id, pos, pos + l AS e FROM lb WHERE l >= 32),
-        |wz AS (SELECT doc_id, pos, e,
-        |              max(e) OVER (PARTITION BY doc_id ORDER BY pos
-        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |                AS pmax
-        |       FROM cov),
-        |per AS (SELECT doc_id,
-        |               sum(greatest(0, e - greatest(coalesce(pmax, 0), pos)))
-        |                 ::BIGINT AS dup_chars
-        |        FROM wz GROUP BY doc_id)
-        |SELECT d.doc_id AS doc_id, length(d.text)::BIGINT AS n_chars,
-        |       coalesce(p.dup_chars, 0) AS dup_chars
-        |FROM documents d LEFT JOIN per p USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+      s"""$suffixCovSql,
+         |per AS (SELECT doc_id,
+         |               sum(greatest(0, e - greatest(coalesce(pmax, 0), pos)))
+         |                 ::BIGINT AS dup_chars
+         |        FROM wz GROUP BY doc_id)
+         |SELECT d.doc_id AS doc_id, length(d.text)::BIGINT AS n_chars,
+         |       coalesce(p.dup_chars, 0) AS dup_chars
+         |FROM documents d LEFT JOIN per p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // q119 shares q118's coverage CTE; islands via the same running-max
+    // window (a new span starts where a position clears the max end)
+    "q119_trim_plan" ->
+      s"""$suffixCovSql,
+         |isl AS (SELECT doc_id, pos, e,
+         |               sum(CASE WHEN pos > coalesce(pmax, 0)
+         |                        THEN 1 ELSE 0 END)
+         |                 OVER (PARTITION BY doc_id ORDER BY pos
+         |                       ROWS UNBOUNDED PRECEDING) AS island
+         |        FROM wz)
+         |SELECT doc_id, min(pos)::BIGINT AS span_start,
+         |       max(e)::BIGINT AS span_end
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin,
   )
+
+  /** q118/q119's shared DuckDB replay: per-position best cross-doc LCP
+    * via the gaps-and-islands run trick, dup positions (>= 32) with the
+    * running-max window attached. */
+  private val suffixCovSql: String =
+    """WITH sfx0 AS (
+      |  SELECT doc_id, text,
+      |         unnest(generate_series(1, length(text))) AS pos
+      |  FROM documents WHERE length(text) > 0),
+      |sfx AS (
+      |  SELECT doc_id, pos, substr(text, pos::INT, 128) AS pref
+      |  FROM sfx0),
+      |ord AS (SELECT doc_id, pos, pref,
+      |               row_number() OVER (ORDER BY pref, doc_id, pos) AS rn
+      |        FROM sfx),
+      |runs AS (SELECT *, rn - row_number()
+      |           OVER (PARTITION BY doc_id ORDER BY rn) AS rk
+      |         FROM ord),
+      |bnd AS (SELECT *, min(rn) OVER (PARTITION BY doc_id, rk) AS lo,
+      |               max(rn) OVER (PARTITION BY doc_id, rk) AS hi
+      |        FROM runs),
+      |nbr AS (
+      |  SELECT b.doc_id, b.pos, b.pref,
+      |         u.pref AS upref, w.pref AS wpref
+      |  FROM bnd b
+      |  LEFT JOIN ord u ON u.rn = b.lo - 1
+      |  LEFT JOIN ord w ON w.rn = b.hi + 1),
+      |lb AS (
+      |  SELECT doc_id, pos, greatest(
+      |    coalesce((SELECT max(k) FROM generate_series(1, 128) s(k)
+      |              WHERE upref IS NOT NULL
+      |                AND k <= least(length(pref), length(upref))
+      |                AND substr(pref, 1, k::INT) = substr(upref, 1, k::INT)),
+      |             0),
+      |    coalesce((SELECT max(k) FROM generate_series(1, 128) s(k)
+      |              WHERE wpref IS NOT NULL
+      |                AND k <= least(length(pref), length(wpref))
+      |                AND substr(pref, 1, k::INT) = substr(wpref, 1, k::INT)),
+      |             0)) AS l
+      |  FROM nbr),
+      |cov AS (SELECT doc_id, pos, pos + l AS e FROM lb WHERE l >= 32),
+      |wz AS (SELECT doc_id, pos, e,
+      |              max(e) OVER (PARTITION BY doc_id ORDER BY pos
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |                AS pmax
+      |       FROM cov)""".stripMargin
 
   /** [[suffixPerDocSql]] rebased onto q79's snapshot-B derivation (the
     * shingleCteB pattern) — the q116 oracle must recompute snapshot B's

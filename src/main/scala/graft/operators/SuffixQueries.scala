@@ -316,6 +316,38 @@ object SuffixQueries {
     }.toDF("doc_id", "pos", "l")
   }
 
+  /** Q119: the TRIM PLAN — q118's signal turned into the actionable
+    * artifact a dedup pipeline actually writes: per doc, the MERGED
+    * character intervals to cut (1-based [span_start, span_end), every
+    * position inside a >= [[DupThreshold]]-char cross-doc match).
+    * Islands via the same running-max window that q118 sums: a new
+    * island starts where a position clears the running max end; the
+    * island id is the running count of such breaks; one group-by emits
+    * (start, end) per island. Same single doc-keyed exchange of dup
+    * positions; q118 is the histogram of this plan (spec pins
+    * sum(span lengths) == q118's dup_chars doc-for-doc). */
+  def q119TrimPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val hits = positionMatchLengths(Tables.documents(spark, sfDir),
+      PrefixCap, DupThreshold)
+      .select(col("doc_id"), col("pos"), (col("pos") + col("l")).as("e"))
+    val prev = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    hits
+      .withColumn("brk",
+        when(col("pos") > coalesce(max(col("e")).over(prev), lit(0L)), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(run))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).cast(LongType).as("span_start"),
+        max(col("e")).cast(LongType).as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+      .orderBy("doc_id", "span_start")
+  }
+
   /** Q118: per-doc DUPLICATE-CHARACTER COVERAGE — the position-level
     * decision signal of exact-substring dedup (Lee et al.: drop or trim
     * spans, not whole docs): for every document, how many of its

@@ -1,5 +1,7 @@
 package graft.tools
 
+import org.apache.spark.sql.functions._
+
 import graft.{GraftSession, Tables}
 import graft.operators.SuffixQueries
 
@@ -66,6 +68,26 @@ object SuffixScaling {
       () => SuffixQueries.q114SuffixRepeats(spark, sfDir).count())
     measured("q118 end-to-end",
       () => SuffixQueries.q118DupCoverage(spark, sfDir).count())
+    // DATA GROWTH for the suffix family (the DedupScaling model: k
+    // disjoint-id copies = a k-fold re-crawl; adversarial — at k >= 2
+    // EVERY position carries a cap-length match, so the dup-position
+    // exchange is at its maximum). The claim under test: shuffle grows
+    // linearly in POSITIONS at a flat bytes/position, never
+    // super-linearly; the sort is one exchange at every k.
+    def amplified(k: Int) = {
+      val d = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+      (0 until k).map { c =>
+        d.select((col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionByName _)
+    }
+    for (k <- Seq(1, 4, 16)) {
+      val docs14 = amplified(k)
+      measured(s"q114 shape k=$k", () =>
+        SuffixQueries.suffixRepeatsOf(docs14, 128, 16).count())
+      measured(s"q118 shape k=$k", () =>
+        SuffixQueries.positionMatchLengths(docs14, 128, 32).count())
+    }
     // the refresh story's write amplification: max_shared is a global
     // property, so the sound refresh recomputes on snapshot B — the
     // incremental value is the WRITE set (q116's change report) vs

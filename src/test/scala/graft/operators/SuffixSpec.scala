@@ -256,6 +256,37 @@ class SuffixSpec extends SparkSpec {
       "no boundary coverage value at this SF")
   }
 
+  test("q119 trim plan: disjoint ordered spans whose lengths sum to q118") {
+    val spans = SuffixQueries.q119TrimPlan(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.nonEmpty)
+    val cov = SuffixQueries.q118DupCoverage(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // per doc: strictly ordered, disjoint (merged — a touching pair
+    // would have been one island), inside the doc, each at least one
+    // full threshold-length match long
+    for ((doc, ds) <- spans.groupBy(_._1)) {
+      val sorted = ds.sortBy(_._2)
+      assert(sorted.sameElements(ds), s"doc $doc spans unsorted")
+      for (Array(a, b) <- sorted.sliding(2).map(_.toArray)
+           if sorted.length > 1)
+        assert(a._3 < b._2, s"doc $doc spans overlap or touch: $a $b")
+      val (nChars, dupChars) = cov(doc)
+      sorted.foreach { s =>
+        assert(s._2 >= 1 && s._3 <= nChars + 1, s"doc $doc span off-doc: $s")
+        assert(s._3 - s._2 >= SuffixQueries.DupThreshold,
+          s"doc $doc span shorter than a single match: $s")
+      }
+      assert(sorted.map(s => s._3 - s._2).sum === dupChars,
+        s"doc $doc: trim plan does not sum to q118 coverage")
+    }
+    // docs with zero coverage emit no spans
+    val withSpans = spans.map(_._1).toSet
+    cov.foreach { case (d, (_, c)) =>
+      assert((c > 0) === withSpans.contains(d), s"doc $d span/coverage drift")
+    }
+  }
+
   // ---- prefix-doubling twin ----------------------------------------------
 
   test("prefix doubling is order-isomorphic to the direct bounded sort") {

@@ -316,6 +316,18 @@ object SuffixQueries {
     }.toDF("doc_id", "pos", "l")
   }
 
+  /** The dup-position table (doc_id, pos, l >= [[DupThreshold]]) as an
+    * ARTIFACT, bucketed on doc_id: the position scan runs once per
+    * (session, scale dir) and both consumers (q118's histogram, q119's
+    * trim plan) read the bucketed rows — their doc-keyed windows then
+    * run off the bucketed scan. */
+  def suffixPositions(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Artifacts.materialize(spark,
+        "graft_suffixpos_" + Tables.dirKey(spark, sfDir), "doc_id") {
+      positionMatchLengths(Tables.documents(spark, sfDir),
+        PrefixCap, DupThreshold)
+    }
+
   /** Q119: the TRIM PLAN — q118's signal turned into the actionable
     * artifact a dedup pipeline actually writes: per doc, the MERGED
     * character intervals to cut (1-based [span_start, span_end), every
@@ -327,8 +339,7 @@ object SuffixQueries {
     * positions; q118 is the histogram of this plan (spec pins
     * sum(span lengths) == q118's dup_chars doc-for-doc). */
   def q119TrimPlan(spark: SparkSession, sfDir: String): DataFrame = {
-    val hits = positionMatchLengths(Tables.documents(spark, sfDir),
-      PrefixCap, DupThreshold)
+    val hits = suffixPositions(spark, sfDir)
       .select(col("doc_id"), col("pos"), (col("pos") + col("l")).as("e"))
     val prev = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
@@ -359,7 +370,7 @@ object SuffixQueries {
     * every position within cap of the span end still reaches it. */
   def q118DupCoverage(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val hits = positionMatchLengths(docs, PrefixCap, DupThreshold)
+    val hits = suffixPositions(spark, sfDir)
       .select(col("doc_id"), col("pos"), (col("pos") + col("l")).as("e"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")

@@ -35,6 +35,8 @@ object ArtifactProfile {
       operators.CurationPipeline.curatedHandoff(spark, sfDir).count())
     t("suffixShared")(
       operators.SuffixQueries.suffixShared(spark, sfDir).count())
+    t("suffixPositions")(
+      operators.SuffixQueries.suffixPositions(spark, sfDir).count())
     t("kmeansCodebook")(
       operators.SimilarityQueries.kmeansCodebook(spark, sfDir))
     t("pqIndex")(operators.ProductQuantization.pqIndex(spark, sfDir).count())

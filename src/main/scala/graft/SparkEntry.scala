@@ -286,6 +286,10 @@ object SparkEntry {
     // q119 is q118's signal as the actionable artifact: the merged
     // character spans to cut, per doc — the file a trim pass writes.
     "q119_trim_plan" -> (SuffixQueries.q119TrimPlan _),
+    // q120 is resample + forward-fill expressed as what it is: an as-of
+    // join of a generated hourly grid against the events, on the native
+    // operator. No global-order window, no per-slot subquery.
+    "q120_resample_ffill" -> (AsofJoin.q120ResampleFfill _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -2368,6 +2372,23 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
     // q119 shares q118's coverage CTE; islands via the same running-max
     // window (a new span starts where a position clears the max end)
+    "q120_resample_ffill" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |b AS (SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+        |             max(ts) AS hi
+        |      FROM ev GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |                unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |                  AS ts
+        |         FROM b)
+        |SELECT g.user_id,
+        |       strftime(g.ts, '%Y-%m-%d %H:%M:%S') AS slot,
+        |       e.event_id AS last_event_id, e.value AS last_value
+        |FROM grid g ASOF LEFT JOIN ev e
+        |  ON g.user_id = e.user_id AND g.ts >= e.ts
+        |ORDER BY g.user_id, slot""".stripMargin,
     "q119_trim_plan" ->
       s"""$suffixCovSql,
          |isl AS (SELECT doc_id, pos, e,

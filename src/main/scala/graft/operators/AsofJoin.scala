@@ -109,6 +109,37 @@ object AsofJoin {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** Q120: time-grid RESAMPLE with forward fill — the classic
+    * time-series op (downsample an irregular event stream to a fixed
+    * grid, carrying the last observation forward) expressed as what it
+    * IS: an as-of join of the generated grid against the events. Per
+    * user, one hourly slot from the hour of their first event to their
+    * last; each slot carries the most recent event at or before it
+    * (ties by the documented greatest-tuple rule), slots before any
+    * event read null. The grid is generated map-side (`sequence` +
+    * explode off a per-user bounds aggregate), both sides cluster on
+    * user_id, and the custom operator's merge scan does the fill —
+    * no window over a global order, no per-slot subquery. Oracle =
+    * DuckDB's own grid generation + ASOF LEFT JOIN. */
+  def q120ResampleFfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+    val grid = ev.groupBy("user_id")
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        max(col("ts")).as("hi"))
+      .select(col("user_id"),
+        explode(expr("sequence(lo, hi, interval 1 hour)")).as("ts"))
+    val right = ev.select(col("user_id"), col("ts"),
+      col("event_id").as("last_event_id"), col("value").as("last_value"))
+    graft.plans.NativeAsofJoin.asof(grid, right, "user_id", "ts",
+        Seq("last_event_id", "last_value"))
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("slot"),
+        col("last_event_id"), col("last_value"))
+      .orderBy("user_id", "slot")
+  }
+
   private def q36Shape(spark: SparkSession, sfDir: String,
       join: (DataFrame, DataFrame, String, String, Seq[String]) => DataFrame)
       : DataFrame = {

@@ -159,6 +159,55 @@ class AsofNativeSpec extends SparkSpec {
       NativeAsofJoin.asof(left, right, "k", "t", Seq("nope")))
   }
 
+  test("q120 resample+ffill: JVM forward-fill replay; native asof plan") {
+    // ground truth: per user, binary-search each hourly slot against the
+    // sorted event list — an independent formulation of "last
+    // observation at or before the slot" (ties: greatest (event_id,
+    // value) tuple, the operator's documented rule)
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000L +
+        r.getTimestamp(1).getNanos / 1000 % 1000,
+        r.getLong(2), r.getDouble(3)))
+    val byUser = ev.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.sortBy(r => (r._2, r._3, r._4))
+    }
+    val hourMicros = 3600L * 1000000
+    val want = byUser.flatMap { case (u, rows) =>
+      val lo = (rows.map(_._2).min / hourMicros) * hourMicros
+      val hi = rows.map(_._2).max
+      Iterator.iterate(lo)(_ + hourMicros).takeWhile(_ <= hi).map { slot =>
+        val atOrBefore = rows.filter(_._2 <= slot)
+        val carried =
+          if (atOrBefore.isEmpty) None
+          else {
+            val maxTs = atOrBefore.map(_._2).max
+            // ties on ts resolve to the greatest (event_id, value)
+            Some(atOrBefore.filter(_._2 == maxTs)
+              .maxBy(r => (r._3, r._4)))
+          }
+        ((u, slot), carried.map(c => (c._3, c._4)))
+      }
+    }.toMap
+    val df = graft.operators.AsofJoin.q120ResampleFfill(spark, sfDir)
+    val got = df.collect().map { r =>
+      val slotMicros = java.sql.Timestamp.valueOf(r.getString(1)).getTime *
+        1000L
+      ((r.getLong(0), slotMicros),
+        if (r.isNullAt(2)) None else Some((r.getLong(2), r.getDouble(3))))
+    }.toMap
+    assert(got === want)
+    // leading slots before the first event are null-filled somewhere in
+    // the fixture (the hour-truncated grid start guarantees at most one
+    // such slot per user; require at least one overall)
+    assert(got.values.exists(_.isEmpty), "no null-filled leading slot")
+    // the plan runs the native operator
+    val asofs = df.queryExecution.executedPlan.toString
+    assert(asofs.contains("AsofJoin"), s"native asof absent:\n$asofs")
+  }
+
   test("plan: AsofJoinExec, per-side own-key exchanges, no window/union") {
     // AQE off for this one: query stages are leaves to collect(), hiding
     // the exec node; the raw plan exposes it for attribute assertions

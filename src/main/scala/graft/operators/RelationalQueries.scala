@@ -239,12 +239,20 @@ object RelationalQueries {
     * run in place (pinned in OperatorSpec). At 100 TB of events this is
     * the sessionization plan you want: shuffle once on the user key,
     * never materialize per-session rows across the wire. */
-  def q112SessionFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+  def q112SessionFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    sessionFunnelOf(Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id")))
+
+  /** The q112 plan over any (user_id, ts, event_type, event_id)
+    * relation — split out so the exact-30-minute boundary (a gap of
+    * precisely the threshold STARTS a session, the `>=` rule) is
+    * pinnable on constructed timestamps; fixture microsecond noise
+    * never lands on the boundary. */
+  private[graft] def sessionFunnelOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prev = lag(col("ts"), 1).over(w)
-    val sessions = Tables.events(spark, sfDir)
-      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+    val sessions = events
       .where(col("user_id").isNotNull && col("ts").isNotNull)
       .withColumn("new_s",
         when(prev.isNull ||

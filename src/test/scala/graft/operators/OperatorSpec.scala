@@ -1631,6 +1631,39 @@ class OperatorSpec extends SparkSpec {
       s"expected one hash exchange (the per-cluster agg):\n$plan")
   }
 
+  test("q112 boundary: a gap of EXACTLY 30 minutes starts a session") {
+    import spark.implicits._
+    def ts(micros: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(micros / 1000)
+      t.setNanos((micros % 1000000).toInt * 1000)
+      t
+    }
+    val m30 = 30L * 60 * 1000000
+    val base = 1700000000L * 1000000
+    // user 1: gap one microsecond UNDER the threshold -> one session
+    // user 2: gap exactly 30:00.000000 -> two sessions (the >= rule)
+    // user 3: gap one microsecond OVER -> two sessions
+    // user 2's second session converts via a same-timestamp view+click
+    // pair (the non-strict rule's own boundary)
+    val ev = Seq(
+      (1L, ts(base), "view", 10L),
+      (1L, ts(base + m30 - 1), "click", 11L),
+      (2L, ts(base), "view", 20L),
+      (2L, ts(base + m30), "view", 21L),
+      (2L, ts(base + m30), "click", 22L),
+      (3L, ts(base), "view", 30L),
+      (3L, ts(base + m30 + 1), "click", 31L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val got = RelationalQueries.sessionFunnelOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === Set(
+      (1L, 1L, 2L, 1L), // one session, converted (view then click inside)
+      (2L, 2L, 3L, 1L), // split at the exact boundary; session 2 converts
+      (3L, 2L, 2L, 0L)  // split; view and click in different sessions
+    ))
+  }
+
   test("q88 pre-aggregates per doc before the gram-keyed exchange") {
     // the (doc_id, gram) aggregate must collapse within-doc repeats
     // map-side BEFORE grams travel: partial aggregation on both the

@@ -2336,14 +2336,20 @@ object SparkEntry {
          |WHERE coalesce(pa.max_shared, 0) <> coalesce(pb.max_shared, 0)
          |ORDER BY doc_id""".stripMargin,
     // q117 shares q30's session CTE; converted is q112's non-strict
-    // funnel rule per session (NULL comparison reads 0 on both engines)
+    // funnel rule per session (NULL comparison reads 0 on both engines).
+    // The null filters mirror q112's oracle EXPLICITLY: the streaming
+    // side drops null-ts rows (watermark/session_window) and never
+    // groups a null user_id, so without the filters the oracle would
+    // only agree because the events fixture happens to carry no nulls.
     "q117_stream_session_funnel" ->
       """WITH d AS (
         |  SELECT user_id, ts, event_type,
         |         CASE WHEN lag(ts) OVER w IS NULL
         |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS new_s
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
         |                ROWS UNBOUNDED PRECEDING) AS sess FROM d)
         |SELECT user_id,

@@ -55,12 +55,26 @@ object CommonPrefixLen {
     * pass): longest common UTF-16 prefix, trimmed to a complete
     * surrogate pair, counted in code points — the same value as the
     * UTF8String byte scan below (both are "complete shared code
-    * points"; equality spec-pinned in SuffixSpec). */
+    * points"; equality spec-pinned in SuffixSpec).
+    *
+    * The trim fires exactly when the match cut splits a surrogate PAIR
+    * on at least one side — including a cut at min-length (one string a
+    * prefix of the other, the longer continuing with the low surrogate).
+    * A high surrogate unpaired on BOTH sides is not trimmed: the UTF-8
+    * encoder replaces each lone surrogate with `?`, so the byte twin
+    * matches and counts it as a shared char, and the twins agree.
+    * Contract note: the twins are guaranteed equal on well-formed UTF-16
+    * (Spark `substr` never splits pairs, so every engine path is
+    * well-formed); the one residual ill-formed corner — a lone surrogate
+    * aligned against a literal `?` — collides under replacement
+    * encoding and is out of contract on both twins. */
   def prefixChars(a: String, b: String): Int = {
     val n = math.min(a.length, b.length)
     var i = 0
     while (i < n && a.charAt(i) == b.charAt(i)) i += 1
-    if (i < n && i > 0 && Character.isHighSurrogate(a.charAt(i - 1))) i -= 1
+    if (i > 0 && Character.isHighSurrogate(a.charAt(i - 1)) &&
+        ((i < a.length && Character.isLowSurrogate(a.charAt(i))) ||
+         (i < b.length && Character.isLowSurrogate(b.charAt(i))))) i -= 1
     a.codePointCount(0, i)
   }
 

@@ -225,37 +225,79 @@ object SuffixQueries {
     * doc differs. LCP against it is ONE direct [[CommonPrefixLen]] call
     * on the capped prefixes (no min-chain: prefixes are materialized).
     *
-    * Distribution: partitions are range-sorted; each is scanned twice
-    * in memory (forward and backward). The scan state entering every
-    * partition is rebuilt on the DRIVER from per-partition summaries
-    * (4 rows each: first/last row and the nearest differing-doc row
-    * from each end) folded in partition order and broadcast — the
-    * prefix-sum shape: O(partitions) driver rows, nothing corpus-sized,
-    * one extra pass over the checkpointed sort. */
+    * Distribution: partitions are range-sorted; the summary pass and
+    * the forward scan STREAM (O(1) state — two candidate rows), and
+    * only the backward scan holds its partition resident (it must
+    * visit rows in reverse of the sort order). The scan state entering
+    * every partition is rebuilt on the DRIVER from per-partition
+    * summaries (4 rows each: first/last row and the nearest
+    * differing-doc row from each end) folded in partition order and
+    * broadcast — the prefix-sum shape: O(partitions) driver rows,
+    * nothing corpus-sized, one extra pass over the checkpointed sort.
+    *
+    * MEMORY CONTRACT: the one buffered pass bounds per-task heap by
+    * partition size (~2 bytes per buffered prefix char + ~64 bytes of
+    * row/tuple overhead per position — heap residency, NOT spillable
+    * sorter memory). The range exchange is therefore sized explicitly:
+    * partition count = max(spark.sql.shuffle.partitions,
+    * ceil(estimated heap bytes / `targetPartitionHeap`)), with the
+    * estimate computed from one aggregate over the documents (exact
+    * per-doc prefix-char arithmetic, no sampling). An oversized corpus
+    * SPLITS into more partitions instead of OOMing the task — pinned by
+    * the adversarial small-target case in SuffixSpec. */
   private[graft] def positionMatchLengths(docs: DataFrame, cap: Int,
-      minLen: Int): DataFrame = {
+      minLen: Int,
+      targetPartitionHeap: Long = 256L * 1024 * 1024): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val pos = positions(docs, cap)
       .select(col("doc_id"), col("pos"), col("pref"))
       .localCheckpoint()
+    // explicit partition sizing off exact per-doc arithmetic: a doc of
+    // length n contributes n positions; its summed prefix chars are
+    // n(n+1)/2 when n <= cap, else (n-cap)·cap + cap(cap+1)/2
+    val est = docs.select(length(col("text")).cast(LongType).as("n"))
+      .where(col("n") > 0)
+      .select(
+        sum(col("n")).as("positions"),
+        sum(when(col("n") <= cap, expr("n * (n + 1) div 2"))
+          .otherwise((col("n") - cap) * cap + lit(cap.toLong * (cap + 1) / 2)))
+          .as("pref_chars"))
+      .head()
+    val heapBytes =
+      (if (est.isNullAt(0)) 0L else est.getLong(0)) * 64L +
+        (if (est.isNullAt(1)) 0L else est.getLong(1)) * 2L
+    val numParts = math.max(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      ((heapBytes + targetPartitionHeap - 1) / targetPartitionHeap).toInt)
     val sorted = pos
-      .repartitionByRange(col("pref"), col("doc_id"), col("pos"))
+      .repartitionByRange(numParts, col("pref"), col("doc_id"), col("pos"))
       .sortWithinPartitions("pref", "doc_id", "pos")
       .localCheckpoint()
 
     type Ent = (Long, String) // (doc_id, pref)
-    // per-partition summary: (pid, first, firstDiff, last, lastDiff)
+    // per-partition summary: (pid, first, firstDiff, last, lastDiff) —
+    // STREAMED with O(1) state: firstDiff is the first row whose doc
+    // differs from the first row's; lastDiff is the last row whose doc
+    // differs from the LAST row's, i.e. the closing row of the
+    // second-to-last doc run, carried as `prev` at each run boundary
     val summaries = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val rows = it.map(r => (r.getLong(0), r.getString(2))).toArray
-      if (rows.isEmpty) Iterator.empty
-      else {
-        val first = rows.head
-        val last = rows.last
-        val firstDiff = rows.find(_._1 != first._1)
-        val lastDiff = rows.reverseIterator.find(_._1 != last._1)
-        Iterator((pid, first, firstDiff, last, lastDiff))
+      var first: Ent = null
+      var firstDiff: Option[Ent] = None
+      var prev: Ent = null
+      var lastRunPrev: Ent = null // last row of the run before prev's run
+      while (it.hasNext) {
+        val r = it.next()
+        val e = (r.getLong(0), r.getString(2))
+        if (first == null) first = e
+        else {
+          if (firstDiff.isEmpty && e._1 != first._1) firstDiff = Some(e)
+          if (prev._1 != e._1) lastRunPrev = prev
+        }
+        prev = e
       }
+      if (first == null) Iterator.empty
+      else Iterator((pid, first, firstDiff, prev, Option(lastRunPrev)))
     }.collect().sortBy(_._1)
 
     // two-candidate state: (last row seen, last row with doc != last's)
@@ -285,33 +327,56 @@ object SuffixQueries {
     val bcR = spark.sparkContext.broadcast(fromRight.toMap)
 
     sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val rows = it.map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
-        .toArray
-      val n = rows.length
-      val best = new Array[Int](n)
-      def scan(indices: Range, init: St): Unit = {
-        var state = init
-        for (i <- indices) {
-          val (d, _, p) = rows(i)
-          val cand = state._1 match {
-            case Some(l) if l._1 != d => Some(l)
-            case Some(_) => state._2
-            case None => None
-          }
-          cand.foreach { c =>
-            val l = CommonPrefixLen.prefixChars(p, c._2)
-            if (l > best(i)) best(i) = l
-          }
-          state = state._1 match {
-            case Some(l) if l._1 != d => (Some((d, p)), Some(l))
-            case _ => (Some((d, p)), state._2)
-          }
-        }
+      // nearest differing-doc candidate under the two-candidate state
+      def candOf(state: St, d: Long): Option[Ent] = state._1 match {
+        case Some(l) if l._1 != d => Some(l)
+        case Some(_) => state._2
+        case None => None
       }
-      scan(0 until n, bcL.value.getOrElse(pid, (None, None)))
-      scan((n - 1) to 0 by -1, bcR.value.getOrElse(pid, (None, None)))
+      def advanceRow(state: St, d: Long, p: String): St = state._1 match {
+        case Some(l) if l._1 != d => (Some((d, p)), Some(l))
+        case _ => (Some((d, p)), state._2)
+      }
+      // FORWARD scan streams: each row is scored as it arrives off the
+      // sorter, then appended to the one resident buffer (flat primitive
+      // columns + the prefix strings) that the backward scan — which
+      // must visit rows in reverse sort order — replays
+      val dIds = Array.newBuilder[Long]
+      val poss = Array.newBuilder[Int]
+      val prefs = Array.newBuilder[String]
+      val bestB = Array.newBuilder[Int]
+      var state: St = bcL.value.getOrElse(pid, (None, None))
+      while (it.hasNext) {
+        val r = it.next()
+        val d = r.getLong(0)
+        val p = r.getString(2)
+        var b = 0
+        candOf(state, d).foreach { c =>
+          val l = CommonPrefixLen.prefixChars(p, c._2)
+          if (l > b) b = l
+        }
+        dIds += d; poss += r.getInt(1); prefs += p; bestB += b
+        state = advanceRow(state, d, p)
+      }
+      val ids = dIds.result()
+      val ps = poss.result()
+      val pf = prefs.result()
+      val best = bestB.result()
+      val n = ids.length
+      state = bcR.value.getOrElse(pid, (None, None))
+      var i = n - 1
+      while (i >= 0) {
+        val d = ids(i)
+        val p = pf(i)
+        candOf(state, d).foreach { c =>
+          val l = CommonPrefixLen.prefixChars(p, c._2)
+          if (l > best(i)) best(i) = l
+        }
+        state = advanceRow(state, d, p)
+        i -= 1
+      }
       Iterator.range(0, n).filter(best(_) >= minLen).map { i =>
-        (rows(i)._1, rows(i)._2, best(i))
+        (ids(i), ps(i), best(i))
       }
     }.toDF("doc_id", "pos", "l")
   }
@@ -470,8 +535,19 @@ object SuffixQueries {
     * Returns (doc_id, pos, rank) with rank order-isomorphic to the
     * bounded-prefix lexicographic order (differentially spec-pinned
     * against the direct sort in SuffixSpec). Early-exits when all ranks
-    * are distinct — further rounds cannot change a total order. */
+    * are distinct — further rounds cannot change a total order.
+    *
+    * `cap` must be a power of two (asserted): the doubling rounds rank
+    * by exactly 2^k characters, so a non-power-of-two cap would end the
+    * loop ranking by the next power of two ABOVE it — a strict
+    * refinement of the cap-bounded order that separates suffixes tying
+    * on the first `cap` chars, violating the order-isomorphism contract
+    * (rank tie ⟺ capped-prefix tie) the direct-sort differential spec
+    * pins. Every engine cap ([[PrefixCap]]) is a power of two. */
   private[graft] def suffixRanksByDoubling(docs: DataFrame, cap: Int): DataFrame = {
+    require(cap > 0 && Integer.bitCount(cap) == 1,
+      s"doubling cap must be a power of two, got $cap — a 2^k round " +
+        "structure cannot stop ranking at a non-power-of-two prefix length")
     val base = positions(docs, 1)
       .withColumnRenamed("pref", "c0")
     var cur = rankOf(base, Seq("c0")).localCheckpoint()

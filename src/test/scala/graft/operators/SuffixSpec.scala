@@ -64,6 +64,28 @@ class SuffixSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("common_prefix_len twins agree on lone-surrogate edges") {
+    // ill-formed UTF-16: the byte twin sees the UTF-8 encoder's
+    // replacement ('?') for each lone surrogate; the String twin's trim
+    // must fire exactly when the cut splits a pair on at least one side
+    val H = "\uD83D" // high surrogate (of 😀)
+    val L = "\uDE00"
+    val cases = Seq(
+      ("x" + H, "x" + H + L, 1), // prefix ends in lone high; pair on b
+      ("x" + H + L, "x" + H, 1), // symmetric
+      ("x" + H, "x" + H, 2),     // lone on BOTH sides: '?' matches
+      (H + "a", H + "b", 1),     // mid-string lone high on both sides
+      ("x" + H + L + "y", "x" + H + L + "z", 2)) // well-formed pair kept
+    for ((a, b, want) <- cases) {
+      val bytes = CommonPrefixLen.prefixChars(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      val chars = CommonPrefixLen.prefixChars(a, b)
+      assert(bytes === want, s"byte twin: '$a' vs '$b'")
+      assert(chars === want, s"String twin: '$a' vs '$b'")
+    }
+  }
+
   // ---- q114 pipeline vs exhaustive brute force ---------------------------
 
   /** Longest substring of doc d also present in another doc — by hash
@@ -287,7 +309,40 @@ class SuffixSpec extends SparkSpec {
     }
   }
 
+  test("position scan: an oversized corpus splits partitions, not heap") {
+    import spark.implicits._
+    // 40 docs x 200 chars of heavy sharing; exact heap estimate
+    // ~1.9 MB, so a 32 KiB target must fan the range exchange out well
+    // past spark.sql.shuffle.partitions — and the result is unchanged
+    val rnd = new scala.util.Random(4242)
+    val docs = (1L to 40L).map { id =>
+      id -> (0 until 200).map(_ => "ab" (rnd.nextInt(2))).mkString
+    }.toDF("doc_id", "text")
+    val default = SuffixQueries.positionMatchLengths(docs, 128, 1)
+    val guarded = SuffixQueries.positionMatchLengths(docs, 128, 1,
+      targetPartitionHeap = 32L * 1024)
+    val base = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(default.rdd.getNumPartitions === base,
+      "small corpus should stay at the configured shuffle width")
+    assert(guarded.rdd.getNumPartitions > base,
+      s"tiny heap target did not split: ${guarded.rdd.getNumPartitions}")
+    val d = default.collect().map(r =>
+      ((r.getLong(0), r.getInt(1)), r.getInt(2))).toMap
+    val g = guarded.collect().map(r =>
+      ((r.getLong(0), r.getInt(1)), r.getInt(2))).toMap
+    assert(g === d, "partition split changed the scan result")
+  }
+
   // ---- prefix-doubling twin ----------------------------------------------
+
+  test("prefix doubling rejects a non-power-of-two cap") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcabc")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      SuffixQueries.suffixRanksByDoubling(docs, 100)
+    }
+    assert(e.getMessage.contains("power of two"))
+  }
 
   test("prefix doubling is order-isomorphic to the direct bounded sort") {
     import spark.implicits._

@@ -290,6 +290,10 @@ object SparkEntry {
     // join of a generated hourly grid against the events, on the native
     // operator. No global-order window, no per-slot subquery.
     "q120_resample_ffill" -> (AsofJoin.q120ResampleFfill _),
+    // q121 applies q119's trim plan: the exact-substring TRIMMED corpus
+    // (the Lee et al. deliverable), hash-checked via the md5 of each
+    // doc's surviving text — q92's discipline for the suffix family.
+    "q121_suffix_trimmed" -> (SuffixQueries.q121SuffixTrimmed _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -2407,6 +2411,44 @@ object SparkEntry {
          |       max(e)::BIGINT AS span_end
          |FROM isl GROUP BY doc_id, island
          |ORDER BY doc_id, span_start""".stripMargin,
+    // q121 shares q118/q119's coverage CTE, rebuilds each doc from the
+    // KEPT segments (the gap before each span + the tail after the
+    // last), and hash-checks the md5 of the surviving text
+    "q121_suffix_trimmed" ->
+      s"""$suffixCovSql,
+         |isl AS (SELECT doc_id, pos, e,
+         |               sum(CASE WHEN pos > coalesce(pmax, 0)
+         |                        THEN 1 ELSE 0 END)
+         |                 OVER (PARTITION BY doc_id ORDER BY pos
+         |                       ROWS UNBOUNDED PRECEDING) AS island
+         |        FROM wz)
+         |, spans AS (SELECT doc_id, min(pos)::BIGINT AS s,
+         |                   max(e)::BIGINT AS e2
+         |            FROM isl GROUP BY doc_id, island),
+         |segs AS (
+         |  SELECT doc_id,
+         |         coalesce(lag(e2) OVER (PARTITION BY doc_id ORDER BY s),
+         |                  1) AS ks,
+         |         s AS ke
+         |  FROM spans
+         |  UNION ALL
+         |  SELECT doc_id, max(e2) AS ks, NULL AS ke
+         |  FROM spans GROUP BY doc_id),
+         |sv AS (
+         |  SELECT d.doc_id,
+         |         string_agg(substr(d.text, g.ks::INT,
+         |             (coalesce(g.ke, length(d.text) + 1) - g.ks)::INT),
+         |           '' ORDER BY g.ks) AS s
+         |  FROM documents d JOIN segs g USING (doc_id)
+         |  GROUP BY d.doc_id)
+         |SELECT d.doc_id,
+         |       length(d.text)::BIGINT AS n_chars,
+         |       length(coalesce(v.s, d.text))::BIGINT AS kept_chars,
+         |       (length(d.text) - length(coalesce(v.s, d.text)))::BIGINT
+         |         AS removed_chars,
+         |       md5(coalesce(v.s, d.text)) AS trimmed_md5
+         |FROM documents d LEFT JOIN sv v USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
   )
 
   /** q118/q119's shared DuckDB replay: per-position best cross-doc LCP

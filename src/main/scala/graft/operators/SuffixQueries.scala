@@ -424,6 +424,62 @@ object SuffixQueries {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Q121: the trim plan APPLIED — the exact-substring TRIMMED CORPUS,
+    * which is the pipeline's actual deliverable (Lee et al. ACL '22
+    * remove the duplicated span and keep the fresh remainder; q119's
+    * merged intervals are the plan, this is the execution — precisely
+    * the q92 relationship for the gram family). Every character inside
+    * a q119 span is cut; the output is per-doc bookkeeping
+    * (n_chars / kept_chars / removed_chars) plus the md5 of the
+    * surviving text, so the oracle hash-checks the exact reconstruction
+    * without shipping the trimmed corpus through the compare.
+    *
+    * Scale shape: the spans relation is doc-keyed and SPARSE (only
+    * docs with decision-grade duplication emit spans — 53 rows at
+    * sf0.01 against 500 docs), so the per-doc span arrays are a
+    * docs-sized side that joins the documents scan on doc_id; the
+    * reconstruction is one pass over each doc's text with its sorted
+    * span array (a fold over `aggregate`: concatenate the gap before
+    * each span, then the tail) — no position explosion, no
+    * corpus-sized exchange beyond the doc-keyed join. Span arrays are
+    * bounded by n_chars / DupThreshold per doc, the merged-interval
+    * bound. Spec pins removed_chars == q118's dup_chars doc-for-doc
+    * (the spans ARE the coverage), and the md5 against a JVM replay. */
+  def q121SuffixTrimmed(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val cuts = q119TrimPlan(spark, sfDir)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(
+        struct(col("span_start"), col("span_end")))).as("cuts"))
+    val joined = docs.select(col("doc_id"), col("text"))
+      .join(cuts, Seq("doc_id"), "left")
+    // fold over the sorted disjoint spans: state = (next uncut position,
+    // accumulated surviving text); each span appends the gap before it,
+    // the finisher appends the tail after the last span
+    val surviving = when(col("cuts").isNull, col("text")).otherwise(
+      aggregate(
+        col("cuts"),
+        struct(lit(1L).as("p"), lit("").as("acc")),
+        (st, c) => struct(
+          c.getField("span_end").as("p"),
+          concat(st.getField("acc"),
+            col("text").substr(st.getField("p").cast("int"),
+              (c.getField("span_start") - st.getField("p")).cast("int")))
+            .as("acc")),
+        st => concat(st.getField("acc"),
+          col("text").substr(st.getField("p").cast("int"),
+            (length(col("text")) + 1 - st.getField("p")).cast("int")))))
+    joined
+      .withColumn("surv", surviving)
+      .select(col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        length(col("surv")).cast(LongType).as("kept_chars"),
+        (length(col("text")) - length(col("surv"))).cast(LongType)
+          .as("removed_chars"),
+        md5(col("surv")).as("trimmed_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Q118: per-doc DUPLICATE-CHARACTER COVERAGE — the position-level
     * decision signal of exact-substring dedup (Lee et al.: drop or trim
     * spans, not whole docs): for every document, how many of its

@@ -309,6 +309,49 @@ class SuffixSpec extends SparkSpec {
     }
   }
 
+  test("q121 trimmed corpus: spans applied, removed == q118 coverage, " +
+    "md5 == JVM replay") {
+    val got = SuffixQueries.q121SuffixTrimmed(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got.nonEmpty)
+    // bookkeeping is exact: kept + removed == n_chars, and removed is
+    // doc-for-doc EQUAL to q118's coverage (the spans ARE the union)
+    val cov = SuffixQueries.q118DupCoverage(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet === cov.keySet, "row universe drift vs q118")
+    for ((d, (n, kept, removed, _)) <- got) {
+      assert(kept + removed === n, s"doc $d: kept+removed != n_chars")
+      assert(removed === cov(d)._2,
+        s"doc $d: removed_chars != q118 dup_chars")
+    }
+    assert(got.values.exists(v => v._3 > 0 && v._2 > 0),
+      "no partially-trimmed doc — the reconstruction path is vacuous")
+    // md5 replay: cut q119's spans out of each doc's text in plain JVM
+    // string code and hash the remainder
+    val spans = SuffixQueries.q119TrimPlan(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for ((d, t) <- texts) {
+      val cuts = spans.getOrElse(d, Array.empty).sortBy(_._2)
+      val sb = new StringBuilder
+      var p = 1L
+      for ((_, s, e) <- cuts) {
+        sb.append(t.substring((p - 1).toInt, (s - 1).toInt))
+        p = e
+      }
+      sb.append(t.substring((p - 1).toInt))
+      assert(got(d)._4 === hex(sb.toString), s"doc $d trimmed md5 drift")
+      assert(got(d)._2 === sb.length.toLong, s"doc $d kept_chars drift")
+    }
+  }
+
   test("position scan: an oversized corpus splits partitions, not heap") {
     import spark.implicits._
     // 40 docs x 200 chars of heavy sharing; exact heap estimate

@@ -294,6 +294,10 @@ object SparkEntry {
     // (the Lee et al. deliverable), hash-checked via the md5 of each
     // doc's surviving text — q92's discipline for the suffix family.
     "q121_suffix_trimmed" -> (SuffixQueries.q121SuffixTrimmed _),
+    // q122 is q120 with a STALENESS bound: slots whose latest event is
+    // over two hours old read null — one comparison in the native
+    // operator's merge scan, same plan otherwise.
+    "q122_resample_tolerance" -> (AsofJoin.q122ResampleTolerance _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -2396,6 +2400,30 @@ object SparkEntry {
         |SELECT g.user_id,
         |       strftime(g.ts, '%Y-%m-%d %H:%M:%S') AS slot,
         |       e.event_id AS last_event_id, e.value AS last_value
+        |FROM grid g ASOF LEFT JOIN ev e
+        |  ON g.user_id = e.user_id AND g.ts >= e.ts
+        |ORDER BY g.user_id, slot""".stripMargin,
+    // q122 = q120's oracle + the staleness post-predicate on DuckDB's
+    // ASOF match (its join keeps the matched right ts, so the CASE
+    // reads it directly; an unmatched slot is null either way). The
+    // inclusive bound mirrors the engine's `gap <= tolerance` rule.
+    "q122_resample_tolerance" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |b AS (SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+        |             max(ts) AS hi
+        |      FROM ev GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |                unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |                  AS ts
+        |         FROM b)
+        |SELECT g.user_id,
+        |       strftime(g.ts, '%Y-%m-%d %H:%M:%S') AS slot,
+        |       CASE WHEN g.ts - e.ts <= INTERVAL 2 HOUR
+        |            THEN e.event_id END AS last_event_id,
+        |       CASE WHEN g.ts - e.ts <= INTERVAL 2 HOUR
+        |            THEN e.value END AS last_value
         |FROM grid g ASOF LEFT JOIN ev e
         |  ON g.user_id = e.user_id AND g.ts >= e.ts
         |ORDER BY g.user_id, slot""".stripMargin,

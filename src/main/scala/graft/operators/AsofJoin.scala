@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -32,12 +32,22 @@ object AsofJoin {
     * The right columns travel as ONE nullable struct, carried by a single
     * `last(ignoreNulls)` — carrying each column independently would mix
     * fields from different right rows whenever a right column is
-    * legitimately null (lastA could come from row 7, lastB from row 5). */
+    * legitimately null (lastA could come from row 7, lastB from row 5).
+    *
+    * `tolerance` (same contract as the native twin,
+    * [[graft.plans.NativeAsofJoin.asof]]): a match older than the
+    * tolerance — in the ts column's internal units, microseconds for
+    * timestamps — reads null right columns; the bound is inclusive. The
+    * carried struct leads with the matched row's own ts (`__rts`), so
+    * staleness is one post-window comparison; prepending it cannot
+    * disturb the tie-break (rows tied on (key, ts) tie on `__rts` too). */
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
-           rightCols: Seq[String]): DataFrame = {
+           rightCols: Seq[String],
+           tolerance: Option[Long] = None): DataFrame = {
     val lCols = left.columns.toSeq
     val rStructType = org.apache.spark.sql.types.StructType(
-      rightCols.map(c => right.schema(c).copy(name = c)))
+      right.schema(ts).copy(name = "__rts") +:
+        rightCols.map(c => right.schema(c).copy(name = c)))
     // tag and align schemas: left rows sort after right rows at equal ts
     val l = left.select(
       Seq(col(key), col(ts), lit(1).as("__side")) ++
@@ -47,7 +57,7 @@ object AsofJoin {
       Seq(col(key), col(ts), lit(0).as("__side")) ++
         lCols.filterNot(Set(key, ts)).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)) :+
-        struct(rightCols.map(col): _*).as("__r"): _*)
+        struct(col(ts).as("__rts") +: rightCols.map(col): _*).as("__r"): _*)
     // right rows sort before left rows at equal ts (at-or-before matches);
     // among right rows with equal ts, the WHOLE right struct breaks the
     // tie (struct compare is lexicographic over every field), so the
@@ -58,17 +68,28 @@ object AsofJoin {
       .orderBy(col(ts).asc, col("__side").asc,
         col("__r").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def units(c: Column): Column = left.schema(ts).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case _ => c.cast("long")
+    }
+    val freshCol = tolerance match {
+      case None => col("__c").isNotNull
+      case Some(t) =>
+        col("__c").isNotNull &&
+          units(col(ts)) - units(col("__c.__rts")) <= t
+    }
     l.unionByName(r)
       .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
       .select(lCols.map(col) ++
-        rightCols.map(c => col(s"__c.$c").as(c)): _*)
+        rightCols.map(c =>
+          when(freshCol, col(s"__c.$c")).as(c)): _*)
   }
 
   /** Q36: each click event joined to the user's most recent view event at
     * or before it (classic attribution). */
   def q36AsofJoin(spark: SparkSession, sfDir: String): DataFrame =
-    q36Shape(spark, sfDir, asof)
+    q36Shape(spark, sfDir, asof(_, _, _, _, _))
 
   /** Q100: the same attribution query planned through the NATIVE as-of
     * operator ([[graft.plans.AsofJoinExec]]) instead of the union+window
@@ -76,7 +97,7 @@ object AsofJoin {
     * `LogicalPlan`/`SparkStrategy`/`SparkPlan` path against DuckDB's ASOF
     * LEFT JOIN end-to-end. */
   def q100AsofNative(spark: SparkSession, sfDir: String): DataFrame =
-    q36Shape(spark, sfDir, graft.plans.NativeAsofJoin.asof)
+    q36Shape(spark, sfDir, graft.plans.NativeAsofJoin.asof(_, _, _, _, _))
 
   /** Q110: CHAINED native as-of joins — the structural property the
     * custom operator exists for, shipped as a query: each click gets the
@@ -121,24 +142,71 @@ object AsofJoin {
     * user_id, and the custom operator's merge scan does the fill —
     * no window over a global order, no per-slot subquery. Oracle =
     * DuckDB's own grid generation + ASOF LEFT JOIN. */
-  def q120ResampleFfill(spark: SparkSession, sfDir: String): DataFrame = {
+  def q120ResampleFfill(spark: SparkSession, sfDir: String): DataFrame =
+    resampleShape(spark, sfDir, tolerance = None)
+
+  /** Q122: the grid fill with a STALENESS BOUND — real forward-fill
+    * caps how far back the carried observation may reach (pandas
+    * `merge_asof(tolerance=...)`; an attribution window): a slot whose
+    * most recent event is more than [[ResampleToleranceMicros]] old
+    * reads null instead of dragging a stale observation across the gap.
+    * Same plan as q120 — the tolerance is one comparison inside the
+    * native operator's merge scan, no extra exchange, no post-join
+    * filter pass. The inclusive boundary (gap == tolerance still fills)
+    * is pinned in AsofNativeSpec on constructed timestamps. */
+  def q122ResampleTolerance(spark: SparkSession, sfDir: String): DataFrame =
+    resampleShape(spark, sfDir, Some(ResampleToleranceMicros))
+
+  /** Two hours, in the timestamp column's internal microseconds — with
+    * an hourly grid this keeps a slot filled through one missed hour
+    * and blanks longer silences (non-vacuous on the events fixture:
+    * user event gaps straddle it in both directions). */
+  val ResampleToleranceMicros: Long = 2L * 3600 * 1000000
+
+  private def resampleShape(spark: SparkSession, sfDir: String,
+      tolerance: Option[Long]): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .where(col("user_id").isNotNull && col("ts").isNotNull)
-    val grid = ev.groupBy("user_id")
-      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
-        max(col("ts")).as("hi"))
-      .select(col("user_id"),
-        explode(expr("sequence(lo, hi, interval 1 hour)")).as("ts"))
     val right = ev.select(col("user_id"), col("ts"),
       col("event_id").as("last_event_id"), col("value").as("last_value"))
-    graft.plans.NativeAsofJoin.asof(grid, right, "user_id", "ts",
-        Seq("last_event_id", "last_value"))
+    graft.plans.NativeAsofJoin.asof(hourlyGrid(ev), right, "user_id", "ts",
+        Seq("last_event_id", "last_value"), tolerance)
       .select(col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("slot"),
         col("last_event_id"), col("last_value"))
       .orderBy("user_id", "slot")
   }
+
+  /** The per-user hourly slot grid: one row per hour from the hour of
+    * the user's first event through their last.
+    *
+    * Generated in TWO chunked levels — days, then the (at most 24)
+    * hours inside each day clipped to [lo, hi] — instead of one
+    * `sequence(lo, hi, 1 hour)` per user. A single-level sequence
+    * materializes the user's ENTIRE span as one in-memory array inside
+    * the generator (a ten-year user = 87,600 timestamps in a single
+    * `explode` element); chunking bounds the inner array at 24 and the
+    * day-level array at span-days — a 24× cut in peak per-row
+    * materialization, with the day rows streaming through the generator
+    * pipeline. CONTRACT: the residual bound is the day-level array, one
+    * element per calendar day of a user's span (3,653 for ten years);
+    * spans where that matters (centuries) would add a third level of
+    * the same construction. Equality with the single-level grid and the
+    * wide-span bound are spec-pinned in AsofNativeSpec. */
+  private[graft] def hourlyGrid(ev: DataFrame): DataFrame =
+    ev.groupBy("user_id")
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        max(col("ts")).as("hi"))
+      .select(col("user_id"), col("lo"), col("hi"),
+        explode(expr(
+          "sequence(date_trunc('DAY', lo), date_trunc('DAY', hi), " +
+            "interval 1 day)")).as("day"))
+      .select(col("user_id"),
+        explode(expr(
+          "sequence(greatest(day, lo), " +
+            "least(day + interval 23 hours, hi), interval 1 hour)"))
+          .as("ts"))
 
   private def q36Shape(spark: SparkSession, sfDir: String,
       join: (DataFrame, DataFrame, String, String, Seq[String]) => DataFrame)

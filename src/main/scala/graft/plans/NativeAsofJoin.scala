@@ -64,7 +64,8 @@ case class AsofJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, leftTs: Attribute,
     rightKey: Attribute, rightTs: Attribute,
-    rightCols: Seq[Attribute]) extends BinaryNode {
+    rightCols: Seq[Attribute],
+    tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ rightCols.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -75,8 +76,9 @@ case class AsofJoinNode(
 /** Planner strategy: the only physical translation of [[AsofJoinNode]]. */
 class GraftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, lk, lts, rk, rts, rcols) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, lts, rk, rts, rcols) :: Nil
+    case AsofJoinNode(l, r, lk, lts, rk, rts, rcols, tol) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, lts, rk, rts, rcols,
+        tol) :: Nil
     case _ => Nil
   }
 }
@@ -91,7 +93,15 @@ case class AsofJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, leftTs: Attribute,
     rightKey: Attribute, rightTs: Attribute,
-    rightCols: Seq[Attribute]) extends BinaryExecNode {
+    rightCols: Seq[Attribute],
+    tolerance: Option[Long] = None) extends BinaryExecNode {
+
+  tolerance.foreach { t =>
+    require(t >= 0, s"as-of tolerance must be non-negative, got $t")
+    require(AsofJoinExec.tsUnitsSupported(leftTs.dataType),
+      s"as-of tolerance needs a timestamp/integral ts column, " +
+        s"got ${leftTs.dataType.simpleString}")
+  }
 
   override def output: Seq[Attribute] =
     left.output ++ rightCols.map(_.withNullability(true))
@@ -126,6 +136,7 @@ case class AsofJoinExec(
     val out = output
     val (lk, lts, rk, rts, rcols) = (leftKey, leftTs, rightKey, rightTs,
       rightCols)
+    val tol = tolerance
     left.execute().zipPartitions(right.execute(),
         preservesPartitioning = true) { (lIter, rIter) =>
       val lkEval = BindReferences.bindReference[Expression](lk, lOut)
@@ -152,6 +163,12 @@ case class AsofJoinExec(
         // the current candidate (greatest qualifying right row so far for
         // the current left key group), copied out of the sorter's buffer
         private var held: UnsafeRow = _
+        // the candidate's ts in comparable units — staleness is checked
+        // at EMIT time, not at consume time: a right row too old for
+        // this left row can never freshen for a later one (left ts only
+        // grows within the key group), but a NEWER right row may still
+        // replace it, so the candidate itself always stays held
+        private var heldTs: Long = 0L
         // previous left row's key bytes — a change invalidates `held`
         private var prevKey: UnsafeRow = _
 
@@ -186,6 +203,8 @@ case class AsofJoinExec(
                       // qualifying: later scans only improve (sorted ts,
                       // then rightCols), so overwrite and consume
                       held = rColsProj(rRow).copy()
+                      if (tol.isDefined)
+                        heldTs = AsofJoinExec.toUnits(rtV)
                       rRow = null
                     } else scanning = false // future row; hold for next left
                   }
@@ -194,10 +213,44 @@ case class AsofJoinExec(
             }
           }
           numOutputRows += 1
-          resultProj(joined(l, if (held != null) held else nullRight))
+          val fresh = held != null && (tol match {
+            case None => true
+            case Some(t) =>
+              // ltV is non-null whenever held is (nulls sort first in the
+              // left key group, before any row that could set `held`)
+              ltV != null && AsofJoinExec.toUnits(ltV) - heldTs <= t
+          })
+          resultProj(joined(l, if (fresh) held else nullRight))
         }
       }
     }
+  }
+}
+
+object AsofJoinExec {
+
+  /** Tolerance arithmetic is defined for ts types whose internal value
+    * is an integral instant: TimestampType/TimestampNTZ (Long micros),
+    * DateType (Int days), and plain integral columns. */
+  private[plans] def tsUnitsSupported(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.TimestampType => true
+    case _: org.apache.spark.sql.types.TimestampNTZType => true
+    case _: org.apache.spark.sql.types.DateType => true
+    case _: org.apache.spark.sql.types.LongType => true
+    case _: org.apache.spark.sql.types.IntegerType => true
+    case _: org.apache.spark.sql.types.ShortType => true
+    case _ => false
+  }
+
+  /** The internal value of a supported ts type, widened to Long (micros
+    * for timestamps, days for dates, the value itself for integrals). */
+  private[plans] def toUnits(v: Any): Long = v match {
+    case l: java.lang.Long => l.longValue
+    case i: java.lang.Integer => i.longValue
+    case s: java.lang.Short => s.longValue
+    case other => throw new IllegalStateException(
+      s"unsupported as-of ts runtime value: ${other.getClass}")
   }
 }
 
@@ -208,9 +261,24 @@ object NativeAsofJoin {
     * right.`ts` <= left.`ts` — the drop-in twin of
     * [[graft.operators.AsofJoin.asof]] planned through [[AsofJoinExec]].
     * `rightCols` must not collide with left column names (they become the
-    * appended output columns, exactly like the composed version). */
+    * appended output columns, exactly like the composed version).
+    *
+    * `tolerance`, when set, caps how far back a match may reach — the
+    * STALENESS bound of real forward-fill/attribution (pandas
+    * `merge_asof(tolerance=...)`, DuckDB ASOF + post-predicate): a left
+    * row whose best at-or-before match is older than `tolerance` units
+    * reads null right columns instead of carrying an arbitrarily old
+    * observation forward. Units are the ts column's internal units —
+    * MICROSECONDS for timestamps, days for dates, the raw value for
+    * integral ts columns; the bound is inclusive (gap == tolerance still
+    * matches, mirroring `ts >= left.ts - tol` as a predicate). The merge
+    * scan still holds the newest at-or-before row — staleness is decided
+    * per left row at emit, because an over-age candidate can never
+    * freshen for a later left row but CAN be replaced by a newer right
+    * row. */
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
-           rightCols: Seq[String]): DataFrame = {
+           rightCols: Seq[String],
+           tolerance: Option[Long] = None): DataFrame = {
     val clash = left.columns.toSet.intersect(rightCols.toSet)
     require(clash.isEmpty, s"rightCols collide with left columns: $clash")
     // Re-alias every column on both sides so the node's attribute fields
@@ -236,6 +304,6 @@ object NativeAsofJoin {
       lPlan, rPlan,
       attr(lPlan, key, "left"), attr(lPlan, ts, "left"),
       attr(rPlan, key, "right"), attr(rPlan, ts, "right"),
-      rightCols.map(attr(rPlan, _, "right"))))
+      rightCols.map(attr(rPlan, _, "right")), tolerance))
   }
 }

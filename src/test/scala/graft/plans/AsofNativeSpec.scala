@@ -208,6 +208,100 @@ class AsofNativeSpec extends SparkSpec {
     assert(asofs.contains("AsofJoin"), s"native asof absent:\n$asofs")
   }
 
+  test("staleness tolerance: inclusive boundary, candidate replacement, " +
+      "native ≡ composed") {
+    import spark.implicits._
+    def ts(s: Long): Timestamp = new Timestamp(s * 1000L)
+    val tol = 50L * 1000000 // 50 seconds, in timestamp micros
+    // key 1: r at 50 — l1 at 100 sits EXACTLY on the boundary (gap ==
+    //        tol, inclusive: matches); l2 at 101 is one second past
+    //        (null); l0 at 60 is well inside
+    // key 2: stale r at 10 is REPLACED by fresh r at 95 — l at 100
+    //        must match the replacement, not null out on the old one
+    // key 3: only a stale r at 1 — l at 100 nulls, but an earlier l at
+    //        40 still matches it (staleness is PER LEFT ROW)
+    val left = Seq(
+      (1L, ts(60), "l0"), (1L, ts(100), "l1"), (1L, ts(101), "l2"),
+      (2L, ts(100), "l3"),
+      (3L, ts(40), "l4"), (3L, ts(100), "l5")
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, ts(50), "r1", 1),
+      (2L, ts(10), "r2", 2), (2L, ts(95), "r3", 3),
+      (3L, ts(1), "r4", 4)
+    ).toDF("k", "t", "rv", "rn")
+    val cols = Seq("rv", "rn")
+    val nat = NativeAsofJoin.asof(left, right, "k", "t", cols, Some(tol))
+    val comp = AsofJoin.asof(left, right, "k", "t", cols, Some(tol))
+    assertSameRows(nat, comp)
+    val byLv = nat.collect().map(r => r.getString(2) ->
+      (Option(r.getString(3)), Option(r.get(4)))).toMap
+    assert(byLv("l0") === (Some("r1"), Some(1)))
+    assert(byLv("l1") === (Some("r1"), Some(1)), "inclusive boundary broke")
+    assert(byLv("l2") === (None, None), "past-boundary match leaked")
+    assert(byLv("l3") === (Some("r3"), Some(3)), "candidate replacement broke")
+    assert(byLv("l4") === (Some("r4"), Some(4)))
+    assert(byLv("l5") === (None, None), "per-left-row staleness broke")
+    // zero tolerance: only exact-ts matches survive
+    val zero = NativeAsofJoin.asof(left, right, "k", "t", cols, Some(0L))
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    assert(zero.values.forall(_.isEmpty), s"zero tolerance leaked: $zero")
+    // negative tolerance refuses loudly
+    intercept[IllegalArgumentException](
+      NativeAsofJoin.asof(left, right, "k", "t", cols, Some(-1L)).collect())
+  }
+
+  test("chunked hourly grid == single-level sequence; wide-span user " +
+      "stays day-bounded") {
+    import spark.implicits._
+    def ts(s: String): Timestamp = Timestamp.valueOf(s)
+    // one user spanning 3+ years (a single-level sequence would build a
+    // ~28k-element array for it), one spanning minutes, one crossing a
+    // day boundary mid-hour, one with a single event (lo == hi span)
+    val ev = Seq(
+      (1L, ts("2021-03-05 07:14:09"), 1L, 0.5),
+      (1L, ts("2024-06-01 22:40:00"), 2L, 1.5),
+      (2L, ts("2023-01-01 10:05:00"), 3L, 2.5),
+      (2L, ts("2023-01-01 10:55:00"), 4L, 3.5),
+      (3L, ts("2023-05-09 23:30:00"), 5L, 4.5),
+      (3L, ts("2023-05-10 00:45:00"), 6L, 5.5),
+      (4L, ts("2023-08-01 12:00:00"), 7L, 6.5)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = graft.operators.AsofJoin.hourlyGrid(ev)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
+    val single = ev.groupBy("user_id")
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        max(col("ts")).as("hi"))
+      .select(col("user_id"),
+        explode(expr("sequence(lo, hi, interval 1 hour)")).as("ts"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
+    assert(got.sorted === single.sorted,
+      "chunked grid drifted from the single-level sequence")
+    // the wide-span user really exercised the chunking: > 28k slots
+    assert(got.count(_._1 == 1L) > 28000)
+    assert(got.count(_._1 == 4L) === 1, "single-event user: one slot")
+    assert(got.count(_._1 == 3L) === 2, "mid-hour day crossing")
+  }
+
+  test("q122 tolerance grid: q120 with stale slots nulled, nothing else") {
+    val base = graft.operators.AsofJoin.q120ResampleFfill(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getDouble(3)))))
+      .toMap
+    val tol = graft.operators.AsofJoin.q122ResampleTolerance(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getDouble(3)))))
+      .toMap
+    assert(tol.keySet === base.keySet, "tolerance changed the grid itself")
+    // every tolerance value is either q120's value or null — never a
+    // DIFFERENT match (the bound can only blank, not re-match)
+    for ((slot, v) <- tol)
+      assert(v.isEmpty || v === base(slot), s"re-match at $slot")
+    val blanked = tol.count { case (s, v) => v.isEmpty && base(s).nonEmpty }
+    assert(blanked > 0, "no slot blanked — tolerance vacuous at this SF")
+    assert(tol.values.count(_.nonEmpty) > 0, "everything blanked")
+  }
+
   test("plan: AsofJoinExec, per-side own-key exchanges, no window/union") {
     // AQE off for this one: query stages are leaves to collect(), hiding
     // the exec node; the raw plan exposes it for attribute assertions

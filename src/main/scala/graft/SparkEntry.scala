@@ -298,6 +298,11 @@ object SparkEntry {
     // over two hours old read null — one comparison in the native
     // operator's merge scan, same plan otherwise.
     "q122_resample_tolerance" -> (AsofJoin.q122ResampleTolerance _),
+    // q123 is q109's one-pass complement: grouped quantile estimates
+    // from the mergeable bottom-k sketch (merge-order invariant, so
+    // the oracle replays the exact sample — hash-checked, not
+    // rows-only like approx_percentile would be).
+    "q123_sketch_quantiles" -> (RelationalQueries.q123SketchQuantiles _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -1382,6 +1387,32 @@ object SparkEntry {
         |t(pct) AS (VALUES (50), (95))
         |SELECT r.lang, t.pct, r.v AS token_cnt
         |FROM t JOIN ranked r ON r.rn = (r.n * t.pct + 99) // 100
+        |ORDER BY lang, pct""".stripMargin),
+    // q123's oracle REPLAYS the bottom-k sample (k smallest md5-prefix
+    // hashes per lang, ties broken by value) and reads the same
+    // ceil-rank order statistics off it — the sketch is a pure function
+    // of the input multiset, which is what makes this a hash compare.
+    "q123_sketch_quantiles" ->
+      (tokListCte + """,
+        |counts AS (SELECT doc_id, lang, len(t)::BIGINT AS v FROM toks),
+        |hs AS (SELECT lang, v,
+        |              ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+        |                AS h
+        |       FROM counts),
+        |r AS (SELECT lang, v,
+        |             row_number() OVER (PARTITION BY lang ORDER BY h, v)
+        |               AS rn
+        |      FROM hs),
+        |s AS (SELECT lang, v FROM r WHERE rn <= 256),
+        |s2 AS (SELECT lang, v,
+        |              row_number() OVER (PARTITION BY lang ORDER BY v)
+        |                AS vr,
+        |              count(*) OVER (PARTITION BY lang) AS m
+        |       FROM s),
+        |t(pct) AS (VALUES (50), (95))
+        |SELECT s2.lang, t.pct, s2.v AS token_cnt_est,
+        |       s2.m::BIGINT AS sample_n
+        |FROM t JOIN s2 ON s2.vr = (s2.m * t.pct + 99) // 100
         |ORDER BY lang, pct""".stripMargin),
     // q107's oracle recomputes snapshot B's heavy hitters from scratch
     // (q102's exact chain over the recrawl documents) — any error in

@@ -528,6 +528,42 @@ object RelationalQueries {
       .orderBy("lang", "pct")
   }
 
+  /** Q123 sample size: ±~3% rank error (1/sqrt(k) scale), and small
+    * enough that sampling actually engages above sf0.01 group sizes. */
+  private[graft] val SketchK = 256
+
+  /** Q123: grouped quantile ESTIMATES in ONE PASS — the mergeable-sketch
+    * complement of q109's exact batched bisection
+    * ([[graft.functions.QuantileSketchAgg]]: bottom-k hash-ordered
+    * uniform sample, merge-order invariant, deterministic). Same shape
+    * as q109 (per-lang token-count p50/p95 off the docFeatures
+    * artifact) so the two are directly comparable: q109 pays
+    * log(N/limit) full scans for exact ranks; this pays ONE scan and
+    * O(k) state per group for estimates within ~1/sqrt(k) rank error —
+    * the 100 TB monitoring shape (a dashboard percentile does not
+    * need the third scan). The row hash is the q63 md5-prefix
+    * construction on doc_id, so the DuckDB oracle REPLAYS the exact
+    * sample and the estimates hash-check — the KMV discipline, not
+    * approx_percentile's rows-only waiver. `sample_n` pins the sample
+    * size itself (= least(group size, k)) on both engines. */
+  def q123SketchQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    TextQueries.docFeatures(spark, sfDir)
+      .select(col("lang"), h.as("h"), col("token_cnt").cast("long").as("v"))
+      .groupBy("lang")
+      .agg(graft.functions.QuantileSketchAgg
+        .sketch(col("h"), col("v"), SketchK).as("sample"))
+      .select(col("lang"), explode(typedLit(Seq(50, 95))).as("pct"),
+        col("sample"))
+      .select(col("lang"), col("pct"),
+        element_at(col("sample"),
+          expr("CAST((size(sample) * pct + 99) DIV 100 AS INT)"))
+          .as("token_cnt_est"),
+        size(col("sample")).cast("long").as("sample_n"))
+      .orderBy("lang", "pct")
+  }
+
   private case class QFrame(g: String, pct: Int, lo: Long, hi: Long,
                             cnt: Long, target: Long)
 

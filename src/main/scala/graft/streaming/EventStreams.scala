@@ -789,6 +789,27 @@ object EventStreams {
       .orderBy("user_id", "session_start")
   }
 
+  /** The per-user funnel rollup DOWNSTREAM of the streamed session
+    * table — the table-to-table pattern that closes the q112/q117
+    * asymmetry: streaming stops at per-session rows (chaining a second
+    * stateful aggregate would force complete-mode re-emission of the
+    * whole first stage every batch), so the rollup runs as a BATCH
+    * aggregate over the table the stream maintains. In production this
+    * is the downstream job reading the streaming sink's table (or the
+    * same aggregate inside `foreachBatch` when it must ride the same
+    * trigger); either way the session table is the contract between the
+    * two. Output schema == q112's exactly, and the rollup is
+    * spec-pinned EQUAL to q112 row-for-row — two engines, one rule
+    * set, end to end including the rollup. */
+  def q117UserRollup(spark: SparkSession, sfDir: String): DataFrame =
+    q117StreamSessionFunnel(spark, sfDir)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("converted")).as("conv_sessions"))
+      .orderBy("user_id")
+
   // public: encoder codegen (SafeProjection) cannot access private classes
   case class Ev(event_id: Long, ts: java.sql.Timestamp,
                 user_id: Long, event_type: String)

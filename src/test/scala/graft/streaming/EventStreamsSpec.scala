@@ -38,23 +38,27 @@ class EventStreamsSpec extends SparkSpec {
     // the two formulations share ONE rule set (30-min gap, non-strict
     // view<=click conversion) through different engines: session_window
     // state merging in the micro-batch engine vs lag/cumsum windows in
-    // batch. Per-user rollup of the streamed session rows must equal
-    // q112's output row-for-row.
-    val sessions = EventStreams.q117StreamSessionFunnel(spark, sfDir)
-      .collect()
-    val rolled = sessions.groupBy(_.getLong(0)).map { case (u, rs) =>
-      (u, rs.length.toLong, rs.map(_.getLong(2)).sum,
-        rs.map(_.getLong(3)).sum)
-    }.toSet
-    val batch = graft.operators.RelationalQueries
-      .q112SessionFunnel(spark, sfDir).collect()
+    // batch. The SHIPPED table-to-table rollup over the streamed
+    // session table (EventStreams.q117UserRollup — the downstream-job
+    // pattern) must equal q112's output row-for-row, schema included.
+    val rolledDf = EventStreams.q117UserRollup(spark, sfDir)
+    val batchDf = graft.operators.RelationalQueries
+      .q112SessionFunnel(spark, sfDir)
+    assert(rolledDf.columns.toSeq === batchDf.columns.toSeq,
+      "rollup schema drifted from q112")
+    val rolled = rolledDf.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .toSet
-    assert(rolled === batch)
+    val batch = batchDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rolled.toSeq === batch.toSeq, "rollup != q112 row-for-row")
     // non-vacuous: the fixture has both converting and non-converting
     // sessions, or the conversion column proves nothing
+    val sessions = EventStreams.q117StreamSessionFunnel(spark, sfDir)
+      .collect()
     assert(sessions.exists(_.getLong(3) == 1L), "no converted session")
     assert(sessions.exists(_.getLong(3) == 0L), "every session converted")
+    assert(rolled.exists(r => r._2 > r._4 && r._4 > 0),
+      "no user with a mixed conversion record")
   }
 
   test("q104 stream-static join is stateless and batch-equivalent") {

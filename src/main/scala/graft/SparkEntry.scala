@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.api.SampleJobs
 import graft.operators.{AsofJoin, CurationPipeline, DedupQueries,
-  MultimodalPipeline, ProductQuantization, RangeJoin, ReferenceQueries,
-  RelationalQueries, SimilarityQueries, SkewJoin, SuffixQueries,
-  TextQueries}
+  FuzzyJoin, MultimodalPipeline, ProductQuantization, RangeJoin,
+  ReferenceQueries, RelationalQueries, SimilarityQueries, SkewJoin,
+  SuffixQueries, TextQueries}
 import graft.sources.{DelimitedSources, PartitionedSink}
 import graft.streaming.EventStreams
 
@@ -303,6 +303,11 @@ object SparkEntry {
     // the oracle replays the exact sample — hash-checked, not
     // rows-only like approx_percentile would be).
     "q123_sketch_quantiles" -> (RelationalQueries.q123SketchQuantiles _),
+    // q124 is the SOUND fuzzy join (FastSS symmetric-delete blocking +
+    // exact Levenshtein verify) — the exact complement of q47's
+    // recall-limited LSH-candidate pass; the oracle is the brute-force
+    // quadratic join, so the hash gate pins blocking COMPLETENESS.
+    "q124_fuzzy_degree" -> (FuzzyJoin.q124FuzzyDegree _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -1414,6 +1419,18 @@ object SparkEntry {
         |       s2.m::BIGINT AS sample_n
         |FROM t JOIN s2 ON s2.vr = (s2.m * t.pct + 99) // 100
         |ORDER BY lang, pct""".stripMargin),
+    // q124's oracle is the brute-force quadratic Levenshtein join the
+    // FastSS blocking replaces — a missed candidate pair would change
+    // n_fuzzy/min_partner, so the hash gate pins blocking completeness.
+    "q124_fuzzy_degree" ->
+      """SELECT a.p_partkey AS p_partkey, min(a.p_name) AS p_name,
+        |       count(b.p_partkey) AS n_fuzzy,
+        |       min(b.p_partkey) AS min_partner
+        |FROM part a LEFT JOIN part b
+        |  ON b.p_partkey <> a.p_partkey
+        | AND levenshtein(a.p_name, b.p_name) <= 1
+        |GROUP BY a.p_partkey
+        |ORDER BY p_partkey""".stripMargin,
     // q107's oracle recomputes snapshot B's heavy hitters from scratch
     // (q102's exact chain over the recrawl documents) — any error in
     // the sketch subtraction, the incremental stream, or the refreshed

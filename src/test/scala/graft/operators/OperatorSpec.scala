@@ -1631,6 +1631,50 @@ class OperatorSpec extends SparkSpec {
       s"expected one hash exchange (the per-cluster agg):\n$plan")
   }
 
+  test("q124 fuzzy degree: JVM brute-force replay; blocking is complete") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Tables.part(spark, sfDir)
+      .select("p_partkey", "p_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = names.map { case (k, n) =>
+      val partners = names.filter { case (k2, n2) =>
+        k2 != k && lev(n, n2) <= 1 }.map(_._1)
+      (k, n, partners.length.toLong,
+        if (partners.isEmpty) null else partners.min)
+    }.toSet
+    val got = FuzzyJoin.q124FuzzyDegree(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3))).toSet
+    assert(got === want)
+    assert(want.exists(_._3 > 0), "no fuzzy pair at sf0.001 — weak fixture")
+  }
+
+  test("q124 blocking: shared variant without distance <= 1 is filtered") {
+    import spark.implicits._
+    // "ab" and "ba" share deletion variants ("a", "b") but sit at
+    // edit distance 2 — the candidate join must surface them and the
+    // Levenshtein verify must drop them; "ab"/"aab" is a true pair
+    val names = Seq((1L, "ab"), (2L, "ba"), (3L, "aab"))
+      .toDF("key", "name")
+    val got = FuzzyJoin.fuzzyDegreeOf(names).collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3))).toSet
+    assert(got === Set((1L, 1L, 3L), (2L, 0L, null), (3L, 1L, 1L)))
+    // the d=1 neighborhood is distinct members only: "aab" deletes to
+    // "ab" twice — the contract is the SET {self} + {1-deletions}
+    val v = names.where(col("key") === 3L)
+      .select(FuzzyJoin.deletionVariants(col("name")).as("v"))
+      .as[Seq[String]].head().toSet
+    assert(v === Set("aab", "ab", "aa"))
+  }
+
   test("q112 boundary: a gap of EXACTLY 30 minutes starts a session") {
     import spark.implicits._
     def ts(micros: Long): java.sql.Timestamp = {

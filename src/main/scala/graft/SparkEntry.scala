@@ -308,6 +308,11 @@ object SparkEntry {
     // recall-limited LSH-candidate pass; the oracle is the brute-force
     // quadratic join, so the hash gate pins blocking COMPLETENESS.
     "q124_fuzzy_degree" -> (FuzzyJoin.q124FuzzyDegree _),
+    // q125 is q120's numeric companion: linear interpolation between
+    // the surrounding observations — the forward hop is the SAME native
+    // backward as-of on a negated Long instant, so two chained merge
+    // scans and three exchanges total (q110's reuse property).
+    "q125_resample_interp" -> (AsofJoin.q125ResampleInterp _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -1431,6 +1436,43 @@ object SparkEntry {
         | AND levenshtein(a.p_name, b.p_name) <= 1
         |GROUP BY a.p_partkey
         |ORDER BY p_partkey""".stripMargin,
+    // q125's oracle mirrors the engine hop-for-hop: ASOF backward for
+    // the previous event, ASOF backward over the NEGATED microsecond
+    // instant for the next, then the identical IEEE interpolation
+    // expression — unrounded doubles hash-match when the operand order
+    // matches (see q36's note on unique (user_id, ts) right sides).
+    "q125_resample_interp" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, value FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |b AS (SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+        |             max(ts) AS hi
+        |      FROM ev GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |                unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |                  AS ts
+        |         FROM b),
+        |prv AS (SELECT user_id, ts, epoch_us(ts) AS prev_us,
+        |               value AS prev_value FROM ev),
+        |s1 AS (SELECT g.user_id, g.ts, p.prev_us, p.prev_value
+        |       FROM grid g ASOF LEFT JOIN prv p
+        |         ON g.user_id = p.user_id AND g.ts >= p.ts),
+        |nxt AS (SELECT user_id, -epoch_us(ts) AS tsn,
+        |               epoch_us(ts) AS next_us, value AS next_value
+        |        FROM ev),
+        |s2 AS (SELECT s1.*, n.next_us, n.next_value
+        |       FROM (SELECT *, -epoch_us(ts) AS tsn FROM s1) s1
+        |       ASOF LEFT JOIN nxt n
+        |         ON s1.user_id = n.user_id AND s1.tsn >= n.tsn)
+        |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS slot,
+        |       CASE WHEN prev_us IS NULL OR next_us IS NULL THEN NULL
+        |            WHEN next_us = prev_us THEN prev_value
+        |            ELSE prev_value + (next_value - prev_value) *
+        |              ((epoch_us(ts) - prev_us)::DOUBLE /
+        |               (next_us - prev_us)::DOUBLE)
+        |       END AS interp_value
+        |FROM s2
+        |ORDER BY user_id, slot""".stripMargin,
     // q107's oracle recomputes snapshot B's heavy hitters from scratch
     // (q102's exact chain over the recrawl documents) — any error in
     // the sketch subtraction, the incremental stream, or the refreshed

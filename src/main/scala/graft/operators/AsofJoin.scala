@@ -208,6 +208,56 @@ object AsofJoin {
             "least(day + interval 23 hours, hi), interval 1 hour)"))
           .as("ts"))
 
+  /** Q125: time-grid resample with LINEAR INTERPOLATION — the numeric
+    * companion to q120's forward fill: each hourly slot reads the value
+    * interpolated between the user's latest event at-or-before it and
+    * earliest event at-or-after it (slots before any event read null;
+    * a slot landing exactly on an event reads that event's value via
+    * the prev==next guard, which also keeps 0/0 out of the arithmetic).
+    *
+    * Plan: TWO chained native as-of joins — backward on ts for the
+    * previous observation, then FORWARD expressed as backward on the
+    * NEGATED microsecond instant (order-reversal, the same trick a
+    * time-series store uses; the operator's ts contract is any integral
+    * instant, so a Long column rides the existing merge scan — no
+    * forward variant of the operator needed). Both hops key on user_id,
+    * so the second as-of adds a re-sort but NO new exchange (q110's
+    * chained-reuse property): three exchanges total at any scale. The
+    * interpolation itself is one map-side IEEE expression — identical
+    * operand order on both engines, so the unrounded doubles
+    * hash-match bit-for-bit.
+    *
+    * Oracle: DuckDB grid + ASOF backward + ASOF backward on the same
+    * negated instant, same CASE arithmetic. */
+  def q125ResampleInterp(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+    val prevR = ev.select(col("user_id"), col("ts"),
+      unix_micros(col("ts")).as("prev_us"), col("value").as("prev_value"))
+    val nextR = ev.select(col("user_id"),
+      (-unix_micros(col("ts"))).as("tsn"),
+      unix_micros(col("ts")).as("next_us"), col("value").as("next_value"))
+    val s1 = graft.plans.NativeAsofJoin.asof(
+        hourlyGrid(ev), prevR, "user_id", "ts", Seq("prev_us", "prev_value"))
+      .withColumn("tsn", -unix_micros(col("ts")))
+    val s2 = graft.plans.NativeAsofJoin.asof(
+      s1, nextR, "user_id", "tsn", Seq("next_us", "next_value"))
+    val t = unix_micros(col("ts"))
+    val interp =
+      when(col("prev_us").isNull || col("next_us").isNull,
+        lit(null).cast("double"))
+      .when(col("next_us") === col("prev_us"), col("prev_value"))
+      .otherwise(col("prev_value") +
+        (col("next_value") - col("prev_value")) *
+          ((t - col("prev_us")).cast("double") /
+            (col("next_us") - col("prev_us")).cast("double")))
+    s2.select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("slot"),
+        interp.as("interp_value"))
+      .orderBy("user_id", "slot")
+  }
+
   private def q36Shape(spark: SparkSession, sfDir: String,
       join: (DataFrame, DataFrame, String, String, Seq[String]) => DataFrame)
       : DataFrame = {

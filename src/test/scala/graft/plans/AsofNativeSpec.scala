@@ -208,6 +208,59 @@ class AsofNativeSpec extends SparkSpec {
     assert(asofs.contains("AsofJoin"), s"native asof absent:\n$asofs")
   }
 
+  test("q125 interpolation: JVM two-sided replay; two chained native " +
+      "as-ofs, three exchanges") {
+    // ground truth: per user, for each hourly slot take the latest event
+    // at-or-before and earliest at-or-after, interpolate linearly in the
+    // SAME operand order as the engine expression
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000L +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getDouble(2)))
+    val hourMicros = 3600L * 1000000
+    val want = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val lo = (rows.map(_._2).min / hourMicros) * hourMicros
+      val hi = rows.map(_._2).max
+      Iterator.iterate(lo)(_ + hourMicros).takeWhile(_ <= hi).map { slot =>
+        val before = rows.filter(_._2 <= slot)
+        val after = rows.filter(_._2 >= slot)
+        val v =
+          if (before.isEmpty || after.isEmpty) None
+          else {
+            val (pu, pv) = { val m = before.maxBy(r => (r._2, r._3))
+              (m._2, m._3) }
+            val (nu, nv) = { val m = after.filter(
+                r => r._2 == after.map(_._2).min).maxBy(_._3)
+              (m._2, m._3) }
+            Some(if (nu == pu) pv
+              else pv + (nv - pv) * ((slot - pu).toDouble / (nu - pu)))
+          }
+        ((u, slot), v)
+      }
+    }
+    val df = graft.operators.AsofJoin.q125ResampleInterp(spark, sfDir)
+    val got = df.collect().map { r =>
+      ((r.getLong(0),
+        java.sql.Timestamp.valueOf(r.getString(1)).getTime * 1000L),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    }.toMap
+    assert(got === want)
+    assert(got.values.exists(_.isEmpty), "no null leading slot")
+    assert(got.values.flatten.nonEmpty, "no interpolated slot")
+    df.count() // AQE: inspect the final plan, not the initial one
+    val s = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("AsofJoin".r.findAllIn(s).length >= 2,
+      s"expected two chained native as-ofs:\n$s")
+    // q110's reuse property: one exchange per base relation (grid
+    // bounds agg + two event sides); the second as-of re-sorts on the
+    // negated instant but must NOT re-shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(s).length
+    assert(exchanges === 3, s"chained-asof exchange reuse broke:\n$s")
+  }
+
   test("staleness tolerance: inclusive boundary, candidate replacement, " +
       "native ≡ composed") {
     import spark.implicits._

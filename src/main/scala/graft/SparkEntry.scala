@@ -313,6 +313,11 @@ object SparkEntry {
     // backward as-of on a negated Long instant, so two chained merge
     // scans and three exchanges total (q110's reuse property).
     "q125_resample_interp" -> (AsofJoin.q125ResampleInterp _),
+    // q126 is the CDC deliverable: SCD type-2 versioned history with
+    // effective ranges and a current flag — one hash exchange; the
+    // delta-sized incremental merge (scd2Merge) is spec-pinned equal
+    // to this full rebuild.
+    "q126_scd2_history" -> (RelationalQueries.q126Scd2 _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -1473,6 +1478,24 @@ object SparkEntry {
         |       END AS interp_value
         |FROM s2
         |ORDER BY user_id, slot""".stripMargin,
+    // q126: the same dense-version / effective-range construction in
+    // window SQL; is_current is a plain boolean on both engines.
+    "q126_scd2_history" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type IN ('signup', 'purchase')
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |v AS (SELECT user_id, value AS attr_value, ts,
+        |             row_number() OVER w AS version,
+        |             lead(ts) OVER w AS vt
+        |      FROM u
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, version, attr_value,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |       strftime(vt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+        |       (vt IS NULL) AS is_current
+        |FROM v
+        |ORDER BY user_id, version""".stripMargin,
     // q107's oracle recomputes snapshot B's heavy hitters from scratch
     // (q102's exact chain over the recrawl documents) — any error in
     // the sketch subtraction, the incremental stream, or the refreshed

@@ -643,4 +643,78 @@ object RelationalQueries {
     }
     done.toSeq
   }
+
+  /** Q126: SCD TYPE-2 dimension history (Kimball slowly-changing
+    * dimension) — the CDC deliverable every warehouse maintains: each
+    * attribute update becomes a VERSIONED row with an effective-time
+    * range `[valid_from, valid_to)` and a current flag. Here the
+    * "dimension" is the per-user attribute stream carried by signup and
+    * purchase events (value = the attribute); version numbers are dense
+    * per user in (ts, event_id) order.
+    *
+    * Plan: one hash exchange on user_id; the two window functions
+    * (row_number, lead) and nothing else — at 100 TB this is the
+    * standard one-shuffle history build. The INCREMENTAL path is
+    * [[scd2Merge]]: applying a later-than-everything delta touches only
+    * delta users' current rows (a broadcast-sized join) and windows only
+    * the delta — delta-sized work, spec-pinned equal to the full
+    * rebuild ([[graft.operators]] OperatorSpec). */
+  def q126Scd2(spark: SparkSession, sfDir: String): DataFrame =
+    scd2Of(scd2Updates(Tables.events(spark, sfDir)))
+      .select(col("user_id"), col("version"), col("attr_value"),
+        date_format(col("valid_from_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("valid_from"),
+        date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("valid_to"),
+        col("is_current"))
+      .orderBy("user_id", "version")
+
+  /** The attribute-update stream q126 versions (signup/purchase events,
+    * value as the tracked attribute). */
+  private[graft] def scd2Updates(events: DataFrame): DataFrame =
+    events
+      .where(col("event_type").isin("signup", "purchase") &&
+        col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+
+  /** Full SCD2 history build over an update stream
+    * (user_id, ts, event_id, value): one row per update with
+    * version / valid_from_ts / valid_to_ts / is_current. */
+  private[graft] def scd2Of(updates: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    updates
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"),
+        col("value").as("attr_value"),
+        col("ts").as("valid_from_ts"), col("valid_to_ts"),
+        col("valid_to_ts").isNull.as("is_current"))
+  }
+
+  /** Incremental SCD2 maintenance: apply `delta` (updates all strictly
+    * later than every base row of the same user — the CDC batch
+    * contract) to an existing `base` history. Work is delta-sized:
+    * the per-user first-new-ts table (|delta users| rows) joins into
+    * base to close out current rows, and the window runs over the
+    * delta alone; untouched users' rows pass through byte-identical.
+    * Result == [[scd2Of]] over the concatenated stream (spec-pinned). */
+  private[graft] def scd2Merge(base: DataFrame, delta: DataFrame)
+      : DataFrame = {
+    val firstNew = delta.groupBy("user_id")
+      .agg(min("ts").as("__first_new_ts"))
+    val baseV = base.groupBy("user_id").agg(max("version").as("__base_v"))
+    val closed = base.join(broadcast(firstNew), Seq("user_id"), "left")
+      .withColumn("valid_to_ts",
+        when(col("is_current") && col("__first_new_ts").isNotNull,
+          col("__first_new_ts")).otherwise(col("valid_to_ts")))
+      .withColumn("is_current",
+        col("is_current") && col("__first_new_ts").isNull)
+      .drop("__first_new_ts")
+    val appended = scd2Of(delta)
+      .join(broadcast(baseV), Seq("user_id"), "left")
+      .withColumn("version",
+        col("version") + coalesce(col("__base_v"), lit(0L)))
+      .drop("__base_v")
+    closed.unionByName(appended.select(closed.columns.map(col): _*))
+  }
 }

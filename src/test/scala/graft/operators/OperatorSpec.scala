@@ -1675,6 +1675,42 @@ class OperatorSpec extends SparkSpec {
     assert(v === Set("aab", "ab", "aa"))
   }
 
+  test("q126 scd2: incremental merge == full rebuild; one hash exchange") {
+    val updates = RelationalQueries.scd2Updates(Tables.events(spark, sfDir))
+    // cutoff at the median event ts: both halves non-trivial, and the
+    // delta is strictly later than every base row (global time split)
+    val cutoff = updates.selectExpr("percentile(unix_micros(ts), 0.5)")
+      .head().getDouble(0).toLong
+    val base = updates.where(unix_micros(col("ts")) <= cutoff)
+    val delta = updates.where(unix_micros(col("ts")) > cutoff)
+    assert(base.count() > 0 && delta.count() > 0, "degenerate split")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getTimestamp(3),
+        if (r.isNullAt(4)) null else r.getTimestamp(4), r.getBoolean(5))
+    }.toSet
+    val merged = RelationalQueries.scd2Merge(
+      RelationalQueries.scd2Of(base), delta)
+    val full = RelationalQueries.scd2Of(updates)
+    assert(rows(merged) === rows(full))
+    // delta must touch SOME base current rows (else the close-out path
+    // went untested) and leave untouched users byte-identical
+    val closedOut = RelationalQueries.scd2Of(base)
+      .where(col("is_current")).count() -
+      merged.where(col("is_current") &&
+        col("valid_from_ts") <= lit(new java.sql.Timestamp(cutoff / 1000)))
+        .count()
+    assert(closedOut > 0, "no current base row was closed out")
+    // plan shape: the history build is ONE hash exchange (the user_id
+    // window); the output orderBy adds a range exchange only
+    val df = RelationalQueries.q126Scd2(spark, sfDir)
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(s).length === 1,
+      s"expected one hash exchange:\n$s")
+  }
+
   test("q112 boundary: a gap of EXACTLY 30 minutes starts a session") {
     import spark.implicits._
     def ts(micros: Long): java.sql.Timestamp = {

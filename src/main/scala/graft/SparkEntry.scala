@@ -318,6 +318,10 @@ object SparkEntry {
     // delta-sized incremental merge (scd2Merge) is spec-pinned equal
     // to this full rebuild.
     "q126_scd2_history" -> (RelationalQueries.q126Scd2 _),
+    // q127 realizes the mixture EXACTLY: ceil(rate·N_g) docs per
+    // stratum via a bisected per-group order statistic — zero
+    // corpus-sized shuffle where the rank-window twin sorts everything.
+    "q127_exact_sample" -> (CurationPipeline.q127ExactSample _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -1496,6 +1500,26 @@ object SparkEntry {
         |       (vt IS NULL) AS is_current
         |FROM v
         |ORDER BY user_id, version""".stripMargin,
+    // q127: the oracle IS the rank-window formulation the engine's
+    // bisect path avoids — row_number per stratum over the same 60-bit
+    // content hash, kept through rank ceil(rate·N_g/100); the hash gate
+    // therefore pins the order statistic, the tie policy, and the exact
+    // realized counts all at once.
+    "q127_exact_sample" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |             ('0x' || substr(md5('exact:' || lang || ':' ||
+        |                                 doc_id::VARCHAR), 1, 15))::BIGINT
+        |               AS hv,
+        |             CASE WHEN lang = 'en' THEN 50 ELSE 20 END AS pct
+        |           FROM documents),
+        |n AS (SELECT lang, count(*) AS n_g FROM h GROUP BY 1),
+        |r AS (SELECT h.*,
+        |             row_number() OVER (PARTITION BY lang
+        |                                ORDER BY hv, doc_id) AS rk
+        |      FROM h)
+        |SELECT r.doc_id, r.lang, r.hv FROM r JOIN n USING (lang)
+        |WHERE rk <= (n_g * pct + 99) // 100
+        |ORDER BY doc_id""".stripMargin,
     // q107's oracle recomputes snapshot B's heavy hitters from scratch
     // (q102's exact chain over the recrawl documents) — any error in
     // the sketch subtraction, the incremental stream, or the refreshed

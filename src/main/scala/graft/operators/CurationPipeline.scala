@@ -773,4 +773,95 @@ object CurationPipeline {
       .select(col("w"), col("cnt_a"), col("cnt_b"), col("delta_ppm"))
       .orderBy(abs(col("delta_ppm")).desc, col("w"))
   }
+
+  /** q127's sample key: a 60-bit uniform hash of (lang, doc_id) under its
+    * own salt — content-keyed (re-running or re-sharding reproduces the
+    * sample, q53's discipline) and disjoint from every other md5 use. */
+  private[graft] def exactSampleHash(lang: Column, docId: Column): Column =
+    conv(substring(md5(concat(lit("exact:"), lang, lit(":"), docId)),
+      1, 15), 16, 10).cast("long")
+
+  /** Q127: EXACT-COUNT stratified sample — the exact complement of q53's
+    * threshold sampling. q53 keeps a row iff its hash bucket falls under
+    * the stratum rate, so the realized stratum size is BINOMIAL (at 20%
+    * of a million-doc stratum, ±900 docs run to run as data shifts); a
+    * mixture recipe that promises "exactly 20% of each language" needs
+    * the ceil(rate·N_g)-smallest-hash rows per stratum — a per-group
+    * ORDER STATISTIC, not a threshold test.
+    *
+    * The naive formulation ranks every row (`row_number() OVER
+    * (PARTITION BY lang ORDER BY hash)`): ONE exchange plus a full sort
+    * of the corpus to discard 50-80% of it. This implementation instead
+    * bisects for the per-stratum k-th smallest hash with q109's batched
+    * grouped histogram machinery ([[RelationalQueries.groupedQuantiles]]
+    * — the rank contract ceil(p·N/100) IS the sample target for integer
+    * rates), then keeps rows by a map-side `hash < T_g` filter against
+    * the broadcast thresholds. Nothing corpus-sized ever shuffles:
+    * log_256(N) rounds of 256-row-per-frame histograms, two tiny count
+    * aggregates, and a window over only the hash-collision ties at T_g
+    * (expected empty at 60 bits; handled exactly, broken by doc_id, so
+    * the selection is total-order deterministic even under collision).
+    * The window twin lives in [[exactSampleByWindow]] as the
+    * differential spec oracle — measured in ScaleSpec: the bisect path
+    * shuffles O(strata·256·rounds) rows where the window shuffles N.
+    *
+    * Rates mirror q53 (en 50%, others 20%) so the two queries are
+    * directly comparable: same strata, same rate intent, binomial vs
+    * exact realized counts. */
+  def q127ExactSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        exactSampleHash(col("lang"), col("doc_id")).as("hv"),
+        when(col("lang") === "en", lit(50)).otherwise(lit(20)).as("pct"))
+    exactStratifiedSample(docs).orderBy("doc_id")
+  }
+
+  /** Exactly ceil(pct_g·N_g/100) rows per group, the smallest-`hv` ones
+    * (ties at the threshold broken by doc_id). Input columns:
+    * (doc_id, lang, hv: long, pct: int — constant within a lang). */
+  private[graft] def exactStratifiedSample(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col("lang").as("g"), col("hv").as("v"),
+      col("doc_id"), col("pct"))
+    // per-stratum rate map (tiny: one row per stratum)
+    val rates = keyed.select("g", "pct").distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    // the k-th smallest hash per stratum, k = ceil(pct·N_g/100) — the
+    // groupedQuantiles rank contract verbatim. All distinct rates are
+    // answered in the same batched rounds; irrelevant (g, pct) frames
+    // are dropped after.
+    val thresholds = RelationalQueries.groupedQuantiles(
+      keyed.select("g", "v"), rates.values.toSeq.distinct)
+      .collect { case (g, p, t) if rates(g) == p => (g, t) }
+    val tdf = broadcast(thresholds.toDF("g", "t"))
+    val joined = keyed.join(tdf, Seq("g"))
+    val below = joined.where(col("v") < col("t"))
+    // per-stratum quota left for rows that TIE the threshold hash:
+    // target minus the strictly-below count (both tiny aggregates)
+    val quota = keyed.groupBy("g")
+      .agg(count(lit(1)).as("n"), first("pct").as("p"))
+      .select(col("g"), expr("(n * p + 99) DIV 100").as("target"))
+      .join(below.groupBy("g").agg(count(lit(1)).as("c_below")), Seq("g"))
+      .select(col("g"), (col("target") - col("c_below")).as("tie_quota"))
+    val ties = joined.where(col("v") === col("t"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy("doc_id")))
+      .join(broadcast(quota), Seq("g"))
+      .where(col("rn") <= col("tie_quota"))
+    below.select(col("doc_id"), col("g").as("lang"), col("v").as("hv"))
+      .unionByName(ties.select(col("doc_id"), col("g").as("lang"),
+        col("v").as("hv")))
+  }
+
+  /** The full-sort twin q127 avoids: per-stratum rank window, kept as
+    * the differential oracle (spec-pinned equal to the bisect path). */
+  private[graft] def exactSampleByWindow(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("hv", "doc_id")
+    val n = Window.partitionBy("lang")
+    df.withColumn("rk", row_number().over(w))
+      .withColumn("n_g", count(lit(1)).over(n))
+      .where(col("rk") <= expr("(n_g * pct + 99) DIV 100"))
+      .select("doc_id", "lang", "hv")
+  }
 }

@@ -1711,6 +1711,45 @@ class OperatorSpec extends SparkSpec {
       s"expected one hash exchange:\n$s")
   }
 
+  test("q127 exact sample: ceil counts, window-twin equality, resharding, ties") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        CurationPipeline.exactSampleHash(col("lang"), col("doc_id"))
+          .as("hv"),
+        when(col("lang") === "en", lit(50)).otherwise(lit(20)).as("pct"))
+    val got = CurationPipeline.exactStratifiedSample(docs)
+    val ids = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    // EXACT per-stratum counts: ceil(rate·N_g/100), the property q53's
+    // binomial threshold cannot give
+    val n = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    n.foreach { case (l, ng) =>
+      val pct = if (l == "en") 50L else 20L
+      assert(k(l) === (ng * pct + 99) / 100, s"stratum $l: N=$ng")
+    }
+    // differential vs the full-sort rank-window twin
+    val twin = CurationPipeline.exactSampleByWindow(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === twin)
+    // content-keyed: re-sharding the input reproduces the same sample
+    val resharded = CurationPipeline.exactStratifiedSample(docs.repartition(7))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(resharded === ids)
+    // ties AT the threshold: N=6 at 50% -> target 3; rank-3 value 20 is
+    // triplicated, so one strictly-below row + two of the three tied
+    // rows, taken in doc_id order
+    val tied = Seq(
+      (1L, "g1", 10L, 50), (2L, "g1", 20L, 50), (3L, "g1", 20L, 50),
+      (4L, "g1", 20L, 50), (5L, "g1", 30L, 50), (6L, "g1", 40L, 50))
+      .toDF("doc_id", "lang", "hv", "pct")
+    val sel = CurationPipeline.exactStratifiedSample(tied)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sel === Set(1L, 2L, 3L))
+  }
+
   test("q112 boundary: a gap of EXACTLY 30 minutes starts a session") {
     import spark.implicits._
     def ts(micros: Long): java.sql.Timestamp = {

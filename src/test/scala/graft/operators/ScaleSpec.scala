@@ -954,6 +954,50 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("q127: the exact sample never shuffles the corpus") {
+    // the rank-window formulation moves EVERY row through its per-
+    // stratum sort exchange; the bisect path's exchanges carry only
+    // histogram partials, two tiny count aggregates, and threshold
+    // ties — measured here as total shuffle records written
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        CurationPipeline.exactSampleHash(col("lang"), col("doc_id"))
+          .as("hv"),
+        when(col("lang") === "en", lit(50)).otherwise(lit(20)).as("pct"))
+    val nDocs = docs.count()
+    val written = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null)
+            written.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        }
+      })
+    def records(body: => Unit): Long = {
+      org.apache.spark.graftbridge.SparkBridge
+        .drainListenerBus(spark.sparkContext)
+      val r0 = written.get()
+      body
+      org.apache.spark.graftbridge.SparkBridge
+        .drainListenerBus(spark.sparkContext)
+      written.get() - r0
+    }
+    val bisect = records {
+      CurationPipeline.exactStratifiedSample(docs)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val window = records {
+      CurationPipeline.exactSampleByWindow(docs)
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(window >= nDocs,
+      s"window twin should shuffle the corpus: $window < $nDocs")
+    assert(bisect < nDocs / 2,
+      s"bisect path shuffled $bisect records against a $nDocs-row corpus")
+  }
+
   test("IVF cell assignment is map-side: no exchange anywhere in its plan") {
     // the r3 formulation shuffled 16 rows per vector (each with the full
     // 64-dim array) through a row_number window just to pick the argmax

@@ -322,6 +322,10 @@ object SparkEntry {
     // stratum via a bisected per-group order statistic — zero
     // corpus-sized shuffle where the rank-window twin sorts everything.
     "q127_exact_sample" -> (CurationPipeline.q127ExactSample _),
+    // q128 is weighted sampling without replacement (Efraimidis-
+    // Spirakis) made hash-exact: key = max of w variant hashes (same
+    // law as u^(1/w), zero transcendentals), top-k via bounded heaps.
+    "q128_weighted_sample" -> (CurationPipeline.q128WeightedSample _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -1520,6 +1524,23 @@ object SparkEntry {
         |SELECT r.doc_id, r.lang, r.hv FROM r JOIN n USING (lang)
         |WHERE rk <= (n_g * pct + 99) // 100
         |ORDER BY doc_id""".stripMargin,
+    // q128: DuckDB replays the exact key construction (list_transform
+    // over generate_series + list_max) — the gate pins the max-of-w
+    // sampling key, the ranking, and the tie policy bit-for-bit.
+    "q128_weighted_sample" ->
+      """WITH w AS (SELECT doc_id, source,
+        |             1 + (substr(source, 4)::INT % 5) AS weight
+        |           FROM documents),
+        |k AS (SELECT doc_id, source, weight,
+        |        list_max(list_transform(generate_series(1, weight),
+        |          i -> md5('wsamp:' || doc_id::VARCHAR || ':' ||
+        |                   i::VARCHAR))) AS sample_key
+        |      FROM w),
+        |r AS (SELECT *, row_number() OVER (ORDER BY sample_key DESC,
+        |                                   doc_id) AS rk
+        |      FROM k)
+        |SELECT doc_id, source, weight, sample_key, rk
+        |FROM r WHERE rk <= 100 ORDER BY rk""".stripMargin,
     // q107's oracle recomputes snapshot B's heavy hitters from scratch
     // (q102's exact chain over the recrawl documents) — any error in
     // the sketch subtraction, the incremental stream, or the refreshed

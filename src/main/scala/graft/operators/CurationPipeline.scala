@@ -864,4 +864,51 @@ object CurationPipeline {
       .where(col("rk") <= expr("(n_g * pct + 99) DIV 100"))
       .select("doc_id", "lang", "hv")
   }
+
+  /** q128's source-tier weight: 1..5 off the source id's numeric suffix
+    * — a deterministic stand-in for the per-source sampling weights a
+    * mixture recipe assigns (both engines derive it from the same
+    * string arithmetic, no lookup table to drift). */
+  private[graft] def wsampleWeight(source: Column): Column =
+    lit(1) + substring(source, 4, 10).cast("int") % 5
+
+  /** q128's selection key: the MAX of `weight` independent salted
+    * hashes of the doc id. The max of w iid U(0,1) draws has CDF x^w —
+    * identically distributed to u^(1/w), the Efraimidis–Spirakis
+    * reservoir key — so top-k by this key IS weighted sampling without
+    * replacement, with NO transcendental in sight: pure hash generation
+    * and string comparison, bit-replayable in any engine. (The float
+    * formulation u^(1/w) needs pow/ln whose last-ulp behaviour differs
+    * across runtimes — unusable under a cross-engine hash gate.) */
+  private[graft] def wsampleKey(docId: Column, weight: Column): Column =
+    array_max(transform(sequence(lit(1), weight),
+      i => md5(concat(lit("wsamp:"), docId.cast("string"),
+        lit(":"), i.cast("string")))))
+
+  /** Q128: WEIGHTED sample without replacement — the mixture-building
+    * primitive for "prefer curated sources k× over web crawl": draw
+    * k=100 documents where a weight-w doc is selected with the
+    * Efraimidis–Spirakis reservoir probabilities (w=5 sources ~5× the
+    * w=1 ones), deterministically. Key = [[wsampleKey]] (max-of-w
+    * variant hashes ≡ u^(1/w) in law, spec-pinned by a 3000-salt
+    * frequency replay of the k=1 marginal P(i wins) = w_i/Σw).
+    *
+    * Scale shape: the key is map-side (≤5 md5s per row, no explode, no
+    * shuffle); selection is `orderBy(key).limit(k)` which plans as
+    * TakeOrderedAndProject — a bounded per-partition heap plus a
+    * driver merge of partitions·k rows, never a global sort exchange
+    * (spec-pinned). At 100 TB this samples the corpus in one
+    * pass with O(k) memory per task. Integer weights are a design
+    * contract (the variant count IS the weight); weight caps ride the
+    * weight rule, not the operator. */
+  def q128WeightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("weight", wsampleWeight(col("source")))
+      .withColumn("sample_key", wsampleKey(col("doc_id"), col("weight")))
+    keyed.orderBy(col("sample_key").desc, col("doc_id")).limit(100)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("sample_key").desc, col("doc_id"))).cast("long"))
+      .orderBy("rk")
+  }
 }

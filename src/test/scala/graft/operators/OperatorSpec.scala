@@ -1750,6 +1750,53 @@ class OperatorSpec extends SparkSpec {
     assert(sel === Set(1L, 2L, 3L))
   }
 
+  test("q128 weighted sample: JVM replay, E-S marginals, bounded-heap plan") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // differential: the engine's top-100 equals a driver-side replay of
+    // the exact key construction over the collected corpus
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val replay = docs.map { case (id, src) =>
+      val w = 1 + src.drop(3).toInt % 5
+      val key = (1 to w).map(i => md5hex(s"wsamp:$id:$i")).max
+      (id, key)
+    }.sortBy { case (id, key) => (key, -id) }(
+      Ordering.Tuple2(Ordering.String.reverse, Ordering.Long.reverse))
+      .take(100)
+    val got = CurationPipeline.q128WeightedSample(spark, sfDir)
+      .select("doc_id", "sample_key").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === replay.toSeq)
+    // the Efraimidis-Spirakis marginal: for k=1, P(item wins) = w/Σw.
+    // 3000 deterministic salt trials over weights (1, 2, 4): frequencies
+    // must land within 4σ of (1/7, 2/7, 4/7) — fixed input, fixed
+    // outcome, no flake
+    val weights = Seq("a" -> 1, "b" -> 2, "c" -> 4)
+    val trials = 3000
+    val wins = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    for (t <- 1 to trials) {
+      val winner = weights.maxBy { case (id, w) =>
+        (1 to w).map(i => md5hex(s"trial$t:$id:$i")).max
+      }._1
+      wins(winner) += 1
+    }
+    weights.foreach { case (id, w) =>
+      val p = w / 7.0
+      val tol = 4 * math.sqrt(p * (1 - p) / trials)
+      val freq = wins(id).toDouble / trials
+      assert(math.abs(freq - p) <= tol,
+        s"item $id (w=$w): freq $freq vs expected $p +/- $tol")
+    }
+    // plan: top-k is a bounded per-partition heap + driver merge
+    // (TakeOrderedAndProject), never a global sort exchange
+    val plan = CurationPipeline.q128WeightedSample(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
   test("q112 boundary: a gap of EXACTLY 30 minutes starts a session") {
     import spark.implicits._
     def ts(micros: Long): java.sql.Timestamp = {

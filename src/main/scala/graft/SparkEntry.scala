@@ -326,6 +326,11 @@ object SparkEntry {
     // Spirakis) made hash-exact: key = max of w variant hashes (same
     // law as u^(1/w), zero transcendentals), top-k via bounded heaps.
     "q128_weighted_sample" -> (CurationPipeline.q128WeightedSample _),
+    // q129 is BM25 ranked retrieval over the positional artifact —
+    // q101's boolean matching upgraded to relevance scoring; per-term
+    // scores ride fixed pivot columns so the float arithmetic has ONE
+    // operand order on both engines.
+    "q129_bm25" -> (TextQueries.q129Bm25 _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -1541,6 +1546,56 @@ object SparkEntry {
         |      FROM k)
         |SELECT doc_id, source, weight, sample_key, rk
         |FROM r WHERE rk <= 100 ORDER BY rk""".stripMargin,
+    // q129: the oracle mirrors the engine's float discipline exactly —
+    // per-term tf/df in fixed slots, one left-associated score
+    // expression with the same double literals, rounding only at
+    // display. ln() of identically-computed ratios is bit-stable.
+    "q129_bm25" ->
+      s"""$tokListCte,
+         |tf AS (SELECT doc_id, w, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(t) AS w FROM toks) u
+         |       WHERE w IN ('stream', 'table', 'hash')
+         |       GROUP BY doc_id, w),
+         |corpus AS (SELECT count(*)::DOUBLE AS n_docs,
+         |                  sum(len(t))::DOUBLE / count(*)::DOUBLE AS avgdl
+         |           FROM toks),
+         |dfs AS (SELECT
+         |          sum(CASE WHEN w = 'stream' THEN 1 ELSE 0 END)::DOUBLE
+         |            AS df0,
+         |          sum(CASE WHEN w = 'table' THEN 1 ELSE 0 END)::DOUBLE
+         |            AS df1,
+         |          sum(CASE WHEN w = 'hash' THEN 1 ELSE 0 END)::DOUBLE
+         |            AS df2
+         |        FROM tf),
+         |perdoc AS (SELECT doc_id,
+         |             sum(CASE WHEN w = 'stream' THEN tf ELSE 0 END)::DOUBLE
+         |               AS tf0,
+         |             sum(CASE WHEN w = 'table' THEN tf ELSE 0 END)::DOUBLE
+         |               AS tf1,
+         |             sum(CASE WHEN w = 'hash' THEN tf ELSE 0 END)::DOUBLE
+         |               AS tf2
+         |           FROM tf GROUP BY doc_id),
+         |scored AS (SELECT doc_id,
+         |             ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0)
+         |               * (tf0 * 2.2)
+         |               / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         |             + ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)
+         |               * (tf1 * 2.2)
+         |               / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         |             + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)
+         |               * (tf2 * 2.2)
+         |               / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         |             AS score
+         |           FROM perdoc
+         |           JOIN (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks)
+         |             USING (doc_id)
+         |           CROSS JOIN corpus CROSS JOIN dfs),
+         |r AS (SELECT doc_id, score,
+         |             row_number() OVER (ORDER BY score DESC, doc_id)
+         |               AS rk
+         |      FROM scored)
+         |SELECT doc_id, round(score, 4) AS bm25, rk FROM r
+         |WHERE rk <= 50 ORDER BY rk""".stripMargin,
     // q107's oracle recomputes snapshot B's heavy hitters from scratch
     // (q102's exact chain over the recrawl documents) — any error in
     // the sketch subtraction, the incremental stream, or the refreshed

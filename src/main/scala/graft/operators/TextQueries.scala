@@ -1037,4 +1037,67 @@ object TextQueries {
         sketchCache.synchronized { cache.getOrElseUpdate(key, built) }
     }
   }
+
+  /** Q129's fixed retrieval query (terms from the q101 phrase
+    * vocabulary, so the postings they touch are already exercised). */
+  val Bm25Terms: Seq[String] = Seq("stream", "table", "hash")
+
+  /** Q129: BM25 RANKED RETRIEVAL — the scoring layer over the positional
+    * index that turns q101's boolean phrase matching into relevance
+    * ranking (Robertson et al., TREC-3 Okapi; idf is the Lucene
+    * `ln(1 + (N - df + .5)/(df + .5))` non-negative variant). For the
+    * fixed query terms: tf from a pushed `w IN (terms)` filter over the
+    * bucketed positional artifact — only the query vocabulary's postings
+    * are ever read — aggregated per doc ON the doc_id-bucketed layout
+    * (exchange-free partials), dl/avgdl/N off the docFeatures artifact,
+    * df pivoted with N and avgdl into ONE broadcast row. Top-50 via
+    * orderBy+limit = TakeOrderedAndProject (bounded heaps, no global
+    * sort).
+    *
+    * Float discipline: the per-term scores land in FIXED columns (tf0..
+    * tf2 — a 3-term query is a 3-column pivot, never a variable-order
+    * SUM over term rows, whose addition order is partition-dependent),
+    * the score is one left-associated expression with the same literal
+    * constants on both engines (k1 = 1.2, b = 0.75 — so 1-b = 0.25 is
+    * exact binary), and only the final display value is rounded. */
+  def q129Bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Bm25Terms
+    val tf = DedupQueries.spanFeatures(spark, sfDir)
+      .select("doc_id", "w").where(col("w").isin(terms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    // one broadcast row: N, avgdl, and each term's df in a fixed slot
+    val corpus = docFeatures(spark, sfDir)
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        (sum("token_cnt").cast("double") / count(lit(1)).cast("double"))
+          .as("avgdl"))
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("w") === t, col("df")).otherwise(0L))
+        .cast("double").as(s"df$i")
+    }
+    val dfs = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      .agg(dfCols.head, dfCols.tail: _*)
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("w") === t, col("tf")).otherwise(0L))
+        .cast("double").as(s"tf$i")
+    }
+    val perDoc = tf.groupBy("doc_id").agg(tfCols.head, tfCols.tail: _*)
+    val dl = col("token_cnt").cast("double")
+    def part(i: Int): Column = {
+      val idf = log((col("n_docs") - col(s"df$i") + 0.5) /
+        (col(s"df$i") + 0.5) + 1.0)
+      idf * (col(s"tf$i") * 2.2) /
+        (col(s"tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) * dl / col("avgdl")))
+    }
+    val scored = perDoc
+      .join(docFeatures(spark, sfDir).select("doc_id", "token_cnt"),
+        Seq("doc_id"))
+      .crossJoin(broadcast(corpus.crossJoin(dfs)))
+      .withColumn("score", part(0) + part(1) + part(2))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(50)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), round(col("score"), 4).as("bm25"), col("rk"))
+      .orderBy("rk")
+  }
 }

@@ -1797,6 +1797,43 @@ class OperatorSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
   }
 
+  test("q129 bm25: JVM formula replay, pushed postings filter, heap plan") {
+    val dfq = TextQueries.q129Bm25(spark, sfDir)
+    val got = dfq.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // replay the Okapi arithmetic driver-side from the same inputs
+    val terms = TextQueries.Bm25Terms
+    val tf = DedupQueries.spanFeatures(spark, sfDir)
+      .select("doc_id", "w").where(col("w").isin(terms: _*))
+      .groupBy("doc_id", "w").count().collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    val feats = TextQueries.docFeatures(spark, sfDir)
+      .select("doc_id", "token_cnt").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong))
+    val n = feats.length.toDouble
+    val avgdl = feats.map(_._2).sum.toDouble / n
+    val dfc = terms.map(t => t -> tf.keys.count(_._2 == t).toDouble).toMap
+    val dlm = feats.toMap
+    val expect = tf.keys.map(_._1).toSet.toSeq.map { id: Long =>
+      val dl = dlm(id).toDouble
+      val s = terms.map { t =>
+        val tfv = tf.getOrElse((id, t), 0L).toDouble
+        val idf = math.log((n - dfc(t) + 0.5) / (dfc(t) + 0.5) + 1.0)
+        idf * (tfv * 2.2) / (tfv + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      }.sum
+      (id, s)
+    }.sortBy { case (id, s) => (-s, id) }.take(50)
+    assert(got.map(_._1).toSeq === expect.map(_._1))
+    got.zip(expect).foreach { case ((id, b, _), (_, s)) =>
+      assert(math.abs(b - s) <= 0.00005 + 1e-12, s"doc $id: $b vs $s")
+    }
+    // only the query vocabulary's postings are read (pushed In filter),
+    // and top-k is a bounded heap, not a global sort
+    val plan = dfq.queryExecution.executedPlan.toString
+    assert(plan.contains("In(w"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
   test("q112 boundary: a gap of EXACTLY 30 minutes starts a session") {
     import spark.implicits._
     def ts(micros: Long): java.sql.Timestamp = {

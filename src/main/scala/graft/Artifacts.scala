@@ -87,6 +87,16 @@ object Artifacts {
                             (build: => DataFrame): DataFrame =
     materializeWith(spark, name)(_.write.partitionBy(partitionCol))(build)
 
+  /** [[materialize]]'s CLUSTERED twin: persist the build with whatever
+    * file layout the build itself established (the caller range-
+    * partitions + sorts — e.g. on a Z-value, graft.sources.ZOrderLayout)
+    * as plain files whose per-file/row-group column statistics carry
+    * the clustering into every later scan's min-max pruning. Same
+    * once-per-(session, name) and ownership contract. */
+  def materializeLaidOut(spark: SparkSession, name: String)
+                        (build: => DataFrame): DataFrame =
+    materializeWith(spark, name)(_.write)(build)
+
   private def materializeWith(spark: SparkSession, name: String)
       (writer: DataFrame => org.apache.spark.sql.DataFrameWriter[
         org.apache.spark.sql.Row])(build: => DataFrame): DataFrame = {

@@ -97,6 +97,13 @@ object GraftSession {
       // DuckDB oracle's string forms under session TZ = UTC) assumes
       // TimestampType
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // write timestamps as INT64 micros, not the deprecated INT96:
+      // INT96 columns carry NO usable min/max statistics and take no
+      // predicate pushdown, so every engine-written layout (the
+      // Z-ordered events table above all) would lose row-group/file
+      // pruning on its time dimension — measured as a full-table scan
+      // where micros prune 75% (ZOrderLayout/ScaleSpec)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -331,6 +331,11 @@ object SparkEntry {
     // scores ride fixed pivot columns so the float arithmetic has ONE
     // operand order on both engines.
     "q129_bm25" -> (TextQueries.q129Bm25 _),
+    // q130 is the Z-order layout demo: a rectangle slice off the
+    // Morton-clustered events table via ordinary pushed per-column
+    // predicates; the output carries the Z-value so the gate pins the
+    // interleave arithmetic and the layout round-trip.
+    "q130_zorder_rectangle" -> (graft.sources.ZOrderLayout.q130ZOrderRectangle _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -1596,6 +1601,28 @@ object SparkEntry {
          |      FROM scored)
          |SELECT doc_id, round(score, 4) AS bm25, rk FROM r
          |WHERE rk <= 50 ORDER BY rk""".stripMargin,
+    // q130: the Z-value SQL is GENERATED from the same shift/mask
+    // constants as the engine's Column expression (ZOrderLayout
+    // .zValueSql), so the interleave cannot drift; rectangle bounds are
+    // the same integer arithmetic on both sides.
+    "q130_zorder_rectangle" -> {
+      val ub = graft.sources.ZOrderLayout.zBucketSql(
+        "user_id", "0", "(umax + 1)", "//")
+      val tb = graft.sources.ZOrderLayout.zBucketSql(
+        "epoch_us(ts)", "tmin", "(tmax - tmin + 1)", "//")
+      s"""WITH b AS (SELECT max(user_id) AS umax,
+         |                  min(epoch_us(ts)) AS tmin,
+         |                  max(epoch_us(ts)) AS tmax FROM events),
+         |r AS (SELECT umax // 10 AS uhi,
+         |             tmin + (tmax - tmin) // 4 AS tlo,
+         |             tmin + (tmax - tmin) * 3 // 4 AS thi FROM b)
+         |SELECT event_id, user_id, event_type,
+         |       ${graft.sources.ZOrderLayout.zValueSql(ub, tb)} AS zv
+         |FROM events, b, r
+         |WHERE user_id >= 0 AND user_id <= uhi
+         |  AND epoch_us(ts) >= tlo AND epoch_us(ts) <= thi
+         |ORDER BY event_id""".stripMargin
+    },
     // q107's oracle recomputes snapshot B's heavy hitters from scratch
     // (q102's exact chain over the recrawl documents) — any error in
     // the sketch subtraction, the incremental stream, or the refreshed

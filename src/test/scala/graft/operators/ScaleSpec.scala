@@ -998,6 +998,80 @@ class ScaleSpec extends SparkSpec {
       s"bisect path shuffled $bisect records against a $nDocs-row corpus")
   }
 
+  test("q130 z-value: bit-by-bit interleave replay") {
+    import spark.implicits._
+    import graft.sources.ZOrderLayout
+    // an INDEPENDENT formulation of Morton interleave (per-bit loop),
+    // not a replay of the engine's shift/mask trick
+    def zBitwise(x: Long, y: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 31) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val rnd = new scala.util.Random(130)
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), ((1L << 31) - 1, 0L),
+      (0L, (1L << 31) - 1), ((1L << 31) - 1, (1L << 31) - 1)) ++
+      (1 to 200).map(_ => (rnd.nextLong(1L << 31), rnd.nextLong(1L << 31)))
+    val got = pairs.toDF("x", "y")
+      .select(ZOrderLayout.zValue(col("x"), col("y"))).collect()
+      .map(_.getLong(0))
+    assert(got.toSeq === pairs.map { case (x, y) => zBitwise(x, y) })
+  }
+
+  test("q130: the z-layout prunes BOTH rectangle dimensions; a time sort cannot") {
+    import graft.sources.ZOrderLayout
+    // sf0.01 (10k events, 64 files of ~156 rows) so file-level stats
+    // have real granularity; the spec session just reads another dir
+    val dir = "/root/testdata/sf0.01"
+    val z = ZOrderLayout.zEvents(spark, dir)
+    val tsPath = java.nio.file.Files.createTempDirectory("graft-tssort")
+      .toString + "/tslay"
+    z.repartitionByRange(64, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(tsPath)
+    val (uHi, tLo, tHi) = ZOrderLayout.rectangleOf(spark, dir)
+    def rect(df: org.apache.spark.sql.DataFrame) = df.where(
+      col("user_id") >= 0L && col("user_id") <= uHi &&
+        col("ts") >= lit(ZOrderLayout.tsOfMicros(tLo)) &&
+        col("ts") <= lit(ZOrderLayout.tsOfMicros(tHi)))
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      df.collect()
+      def walk(p: SparkPlan): Seq[SparkPlan] = {
+        val below = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        Seq(p) ++ below.flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+        .collect { case s: FileSourceScanExec =>
+          s.metrics("numOutputRows").value }.sum
+    }
+    val nAll = z.count()
+    val zRect = rect(z)
+    val tsRect = rect(spark.read.parquet(tsPath))
+    // same answer off both layouts
+    val zIds = zRect.select("event_id").collect().map(_.getLong(0)).toSet
+    val tsIds = tsRect.select("event_id").collect().map(_.getLong(0)).toSet
+    assert(zIds === tsIds && zIds.nonEmpty)
+    // the filter must actually reach the scan for stats to matter
+    val plan = zRect.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull"), plan.take(3000))
+    // the time sort reads the full ~50% time slab (every user in it);
+    // the z-layout reads only the rectangle's (user, time) tiles
+    val zScan = scanRows(zRect)
+    val tsScan = scanRows(tsRect)
+    assert(tsScan >= nAll * 2 / 5, s"time slab should be ~half: $tsScan")
+    assert(zScan * 2 <= tsScan,
+      s"z-layout must out-prune the one-dimensional sort: z=$zScan ts=$tsScan")
+    assert(zScan <= nAll / 4, s"z-layout read $zScan of $nAll rows")
+  }
+
   test("IVF cell assignment is map-side: no exchange anywhere in its plan") {
     // the r3 formulation shuffled 16 rows per vector (each with the full
     // 64-dim array) through a row_number window just to pick the argmax

@@ -336,6 +336,11 @@ object SparkEntry {
     // predicates; the output carries the Z-value so the gate pins the
     // interleave arithmetic and the layout round-trip.
     "q130_zorder_rectangle" -> (graft.sources.ZOrderLayout.q130ZOrderRectangle _),
+    // q131 answers audience-overlap questions (union/intersection
+    // distinct counts across event types) entirely in sketch space —
+    // one corpus pass builds the KMV sketches, Theta-style combines do
+    // the rest; estimates are deterministic and hash-checked.
+    "q131_kmv_setops" -> (RelationalQueries.q131KmvSetOps _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -1623,6 +1628,63 @@ object SparkEntry {
          |  AND epoch_us(ts) >= tlo AND epoch_us(ts) <= thi
          |ORDER BY event_id""".stripMargin
     },
+    // q131: the oracle replays the deterministic bottom-k samples and
+    // the exact Theta estimator arithmetic — union, intersection, and
+    // the small-range-exact theta rule all hash-gated.
+    "q131_kmv_setops" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |             ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+        |               AS h
+        |           FROM events),
+        |r AS (SELECT event_type, h,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY h)
+        |               AS rn
+        |      FROM h),
+        |kept AS (SELECT event_type, h FROM r WHERE rn <= 64),
+        |sk AS (SELECT event_type, count(*) AS sz, max(h) AS hk
+        |       FROM kept GROUP BY 1),
+        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |                 a.sz AS sz_a, a.hk AS hk_a,
+        |                 b.sz AS sz_b, b.hk AS hk_b,
+        |                 least(
+        |                   CASE WHEN a.sz < 64
+        |                        THEN 1152921504606846976 ELSE a.hk END,
+        |                   CASE WHEN b.sz < 64
+        |                        THEN 1152921504606846976 ELSE b.hk END)
+        |                   AS theta
+        |          FROM sk a JOIN sk b ON a.event_type < b.event_type),
+        |uh AS (SELECT DISTINCT p.type_a, p.type_b, k.h
+        |       FROM pairs p JOIN kept k
+        |         ON k.event_type = p.type_a OR k.event_type = p.type_b),
+        |ur AS (SELECT type_a, type_b, h,
+        |              row_number() OVER (PARTITION BY type_a, type_b
+        |                                 ORDER BY h) AS rn
+        |       FROM uh),
+        |us AS (SELECT type_a, type_b, count(*) AS sz_u, max(h) AS hk_u
+        |       FROM ur WHERE rn <= 64 GROUP BY 1, 2),
+        |cm AS (SELECT p.type_a, p.type_b, count(j.h) AS c
+        |       FROM pairs p
+        |       LEFT JOIN (SELECT ka.event_type AS ta, kb.event_type AS tb,
+        |                         ka.h
+        |                  FROM kept ka JOIN kept kb ON ka.h = kb.h) j
+        |         ON j.ta = p.type_a AND j.tb = p.type_b
+        |            AND j.h < p.theta
+        |       GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b,
+        |       CASE WHEN sz_a < 64 THEN sz_a
+        |            ELSE floor(63 * 1152921504606846976.0 / hk_a)::BIGINT
+        |       END AS est_a,
+        |       CASE WHEN sz_b < 64 THEN sz_b
+        |            ELSE floor(63 * 1152921504606846976.0 / hk_b)::BIGINT
+        |       END AS est_b,
+        |       CASE WHEN sz_u < 64 THEN sz_u
+        |            ELSE floor(63 * 1152921504606846976.0 / hk_u)::BIGINT
+        |       END AS est_union,
+        |       floor(c * 1152921504606846976.0 / theta)::BIGINT
+        |         AS est_inter
+        |FROM pairs p JOIN us USING (type_a, type_b)
+        |JOIN cm USING (type_a, type_b)
+        |ORDER BY type_a, type_b""".stripMargin,
     // q107's oracle recomputes snapshot B's heavy hitters from scratch
     // (q102's exact chain over the recrawl documents) — any error in
     // the sketch subtraction, the incremental stream, or the refreshed

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -382,6 +382,97 @@ object RelationalQueries {
             lit(1152921504606846976.0) / col("hk")).cast("long"))
           .as("est_distinct"))
       .orderBy("event_type")
+  }
+
+  /** 2^60 — the KMV hash domain, exact in a double. */
+  private[graft] val KmvDomain = 1152921504606846976.0
+
+  /** Q131: KMV SET OPERATIONS — union and intersection cardinality of
+    * the per-event-type distinct-user sets straight from their sketches
+    * (the Theta-sketch estimators: Beyer et al. SIGMOD'07; Dasgupta et
+    * al., DataSketches), WITHOUT a join of the underlying sets. "How
+    * many users both clicked and purchased" over 100 TB needs only the
+    * two 64-value sketches q63 already maintains: the union sketch is
+    * the bottom-k of the merged samples (closed under the same
+    * estimator), and the intersection estimate is |{h in both samples :
+    * h < theta}| · D/theta with theta = min of the sketches' thresholds
+    * (a sketch below k keeps everything, so its theta is the full
+    * domain and small ranges come out EXACT — spec-pinned).
+    *
+    * Scale shape: ONE corpus pass builds every type's sketch
+    * (ObjectHashAggregate, ≤ k rows per group per task); all pair
+    * algebra below it runs on the ≤ |types|·k-row kept relation —
+    * sketch-space, data-free. Everything is deterministic bottom-k of
+    * md5 values, so the DuckDB oracle replays every ESTIMATE
+    * bit-for-bit (q63's discipline). */
+  def q131KmvSetOps(spark: SparkSession, sfDir: String): DataFrame =
+    kmvSetOpsOf(Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id")))
+
+  /** The sketch build + pair algebra over an explicit
+    * (event_type, user_id) relation — split out so the spec can drive
+    * constructed populations through the full-sketch estimator path. */
+  private[graft] def kmvSetOpsOf(df: DataFrame): DataFrame = {
+    val k = KmvK
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15),
+      16, 10).cast("long")
+    val kept = df
+      .select(col("event_type"), h.as("h"))
+      .groupBy("event_type")
+      .agg(graft.functions.Aggregates
+        .topKDistinct(struct((-col("h")).as("nh")), k).as("mins"))
+      .select(col("event_type"), explode(col("mins")).as("m"))
+      .select(col("event_type"), (-col("m.nh")).as("h"))
+      .localCheckpoint() // ≤ |types|·k rows; cut the corpus lineage so
+                         // the pair algebra below never re-aggregates
+    val sk = kept.groupBy("event_type")
+      .agg(count(lit(1)).as("sz"), max("h").as("hk"))
+    def theta(sz: Column, hk: Column): Column =
+      when(sz < k, lit(KmvDomain.toLong)).otherwise(hk)
+    val pairs = sk.select(col("event_type").as("type_a"),
+        col("sz").as("sz_a"), col("hk").as("hk_a"))
+      .crossJoin(sk.select(col("event_type").as("type_b"),
+        col("sz").as("sz_b"), col("hk").as("hk_b")))
+      .where(col("type_a") < col("type_b"))
+      .withColumn("theta",
+        least(theta(col("sz_a"), col("hk_a")),
+          theta(col("sz_b"), col("hk_b"))))
+    val pairKeys = pairs.select("type_a", "type_b")
+    // union sketch: bottom-k of the merged kept samples
+    val uh = pairKeys
+      .join(kept.select(col("event_type").as("type_a"), col("h")), "type_a")
+      .select("type_a", "type_b", "h")
+      .unionByName(pairKeys
+        .join(kept.select(col("event_type").as("type_b"), col("h")), "type_b")
+        .select("type_a", "type_b", "h"))
+      .distinct()
+    val us = uh.withColumn("rn", row_number().over(
+        Window.partitionBy("type_a", "type_b").orderBy("h")))
+      .where(col("rn") <= k)
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("sz_u"), max("h").as("hk_u"))
+    // intersection: common hashes below theta
+    val common = kept.select(col("event_type").as("type_a"), col("h"))
+      .join(kept.select(col("event_type").as("type_b"), col("h")), Seq("h"))
+      .join(pairs.select("type_a", "type_b", "theta"),
+        Seq("type_a", "type_b"))
+      .where(col("h") < col("theta"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("c"))
+    def est(sz: Column, hk: Column): Column =
+      when(sz < k, sz.cast("long"))
+        .otherwise(floor(lit((k - 1).toDouble) * lit(KmvDomain) / hk)
+          .cast("long"))
+    pairs
+      .join(us, Seq("type_a", "type_b"))
+      .join(common, Seq("type_a", "type_b"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .select(col("type_a"), col("type_b"),
+        est(col("sz_a"), col("hk_a")).as("est_a"),
+        est(col("sz_b"), col("hk_b")).as("est_b"),
+        est(col("sz_u"), col("hk_u")).as("est_union"),
+        floor(col("c").cast("double") * lit(KmvDomain) /
+          col("theta").cast("double")).cast("long").as("est_inter"))
+      .orderBy("type_a", "type_b")
   }
 
   /** Q105 knobs, shared with the spec. */

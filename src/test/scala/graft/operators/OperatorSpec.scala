@@ -1834,6 +1834,65 @@ class OperatorSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
   }
 
+  test("q131 kmv set ops: small-range exact, JVM estimator replay, resharding") {
+    import spark.implicits._
+    // at sf0.001 every event type has < 64 distinct users, so theta is
+    // the full domain and BOTH set estimates must be EXACT
+    val ev = Tables.events(spark, sfDir).select("event_type", "user_id")
+    val got = RelationalQueries.kmvSetOpsOf(ev).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val sets = ev.distinct().collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).toSet }
+    for (((a, b), (ea, eb, eu, ei)) <- got) {
+      assert(ea === sets(a).size.toLong, s"$a")
+      assert(eb === sets(b).size.toLong, s"$b")
+      assert(eu === (sets(a) | sets(b)).size.toLong, s"union $a/$b")
+      assert(ei === (sets(a) & sets(b)).size.toLong, s"inter $a/$b")
+    }
+    // full-sketch path: constructed overlap (500 vs 400 users, 200
+    // common) — engine must equal an independent JVM replay of the
+    // bottom-k samples and Theta arithmetic, and the replay must land
+    // within the sketch's documented error of the truth
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h60(u: Long): Long = java.lang.Long.parseLong(
+      md5hex(u.toString).take(15), 16)
+    val aUsers = (0L until 500L).toSeq            // 0..499
+    val bUsers = (300L until 700L).toSeq          // 300..699, 200 common
+    val df = (aUsers.map(("a", _)) ++ bUsers.map(("b", _)))
+      .toDF("event_type", "user_id")
+    val eng = RelationalQueries.kmvSetOpsOf(df).collect().map(r =>
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).head
+    val k = 64
+    val dom = 1152921504606846976.0
+    def sample(us: Seq[Long]) = us.map(h60).distinct.sorted.take(k)
+    val (sa, sb) = (sample(aUsers), sample(bUsers))
+    def estOf(s: Seq[Long], n: Int) =
+      if (n < k) n.toLong
+      else math.floor((k - 1).toDouble * dom / s.last).toLong
+    val su = (sa ++ sb).distinct.sorted.take(k)
+    val theta = math.min(sa.last, sb.last)
+    val c = (sa.toSet & sb.toSet).count(_ < theta)
+    val replay = (estOf(sa, 500), estOf(sb, 400),
+      estOf(su, (aUsers ++ bUsers).distinct.size),
+      math.floor(c.toDouble * dom / theta.toDouble).toLong)
+    assert(eng === replay)
+    // truth-distance is a sanity rail, not the correctness pin (that is
+    // the replay equality above): KMV RSE at k=64 is ~12.7% and this
+    // FIXED draw happens to sit ~3 sigma out on the union (968 vs 700),
+    // so the rail is 4 sigma
+    assert(math.abs(eng._3 - 700.0) / 700.0 < 0.51, s"union est ${eng._3}")
+    assert(math.abs(eng._4 - 200.0) / 700.0 < 0.51, s"inter est ${eng._4}")
+    // deterministic under resharding
+    val re = RelationalQueries.kmvSetOpsOf(df.repartition(7)).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .head
+    assert(re === eng)
+  }
+
   test("q112 boundary: a gap of EXACTLY 30 minutes starts a session") {
     import spark.implicits._
     def ts(micros: Long): java.sql.Timestamp = {

@@ -341,6 +341,10 @@ object SparkEntry {
     // one corpus pass builds the KMV sketches, Theta-style combines do
     // the rest; estimates are deterministic and hash-checked.
     "q131_kmv_setops" -> (RelationalQueries.q131KmvSetOps _),
+    // q132 is the product-analytics cohort matrix: first-activity week
+    // cohorts x week offsets, distinct actives and integer-permille
+    // retention — the standard two-exchange shape.
+    "q132_cohort_retention" -> (RelationalQueries.q132CohortRetention _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -1685,6 +1689,26 @@ object SparkEntry {
         |FROM pairs p JOIN us USING (type_a, type_b)
         |JOIN cm USING (type_a, type_b)
         |ORDER BY type_a, type_b""".stripMargin,
+    // q132: ISO week truncation, integer week offsets, and permille
+    // retention are all integer-exact on both engines.
+    "q132_cohort_retention" ->
+      """WITH e AS (SELECT user_id, ts FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT user_id, date_trunc('day', min(ts))::DATE AS cohort
+        |      FROM e GROUP BY 1),
+        |s AS (SELECT cohort, count(*) AS cohort_size FROM c GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day
+        |      FROM e),
+        |m AS (SELECT c.cohort, (a.day - c.cohort) AS day_offset,
+        |             count(DISTINCT a.user_id) AS n_active
+        |      FROM a JOIN c USING (user_id)
+        |      GROUP BY 1, 2)
+        |SELECT strftime(m.cohort, '%Y-%m-%d') AS cohort_day,
+        |       m.day_offset::BIGINT AS day_offset,
+        |       m.n_active::BIGINT AS n_active,
+        |       (m.n_active * 1000 // s.cohort_size)::BIGINT AS retention_pm
+        |FROM m JOIN s USING (cohort)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
     // q107's oracle recomputes snapshot B's heavy hitters from scratch
     // (q102's exact chain over the recrawl documents) — any error in
     // the sketch subtraction, the incremental stream, or the refreshed

@@ -475,6 +475,42 @@ object RelationalQueries {
       .orderBy("type_a", "type_b")
   }
 
+  /** Q132: COHORT RETENTION MATRIX — the product-analytics staple: users
+    * are grouped by their first-activity day (the cohort); each
+    * (cohort, day-offset) cell counts the distinct cohort members still
+    * active that many days later, plus retention as integer permille
+    * of the cohort size (integer division, so the oracle is exact).
+    *
+    * Plan: one user-keyed aggregate derives the cohort (min ts per
+    * user), the distinct (user, day) activity joins to it on user_id
+    * (both sides already hash-partitioned on user_id — AQE reuses the
+    * exchange), and one final aggregate builds the matrix. Distinct
+    * counts are per-cell; nothing corpus-sized is ever collected or
+    * windowed. At 100 TB this is the standard two-exchange shape; a
+    * per-user window over raw events (the naive form) would sort every
+    * event row instead of aggregating first. */
+  def q132CohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+    val cohort = ev.groupBy("user_id")
+      .agg(to_date(date_trunc("day", min(col("ts")))).as("cohort"))
+    val activity = ev
+      .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .distinct()
+    val size = cohort.groupBy("cohort")
+      .agg(count(lit(1)).as("cohort_size"))
+    activity.join(cohort, Seq("user_id"))
+      .withColumn("day_offset", expr("datediff(day, cohort)"))
+      .groupBy("cohort", "day_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(broadcast(size), Seq("cohort"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset").cast("long").as("day_offset"),
+        col("n_active"),
+        expr("n_active * 1000 DIV cohort_size").as("retention_pm"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** Q105 knobs, shared with the spec. */
   private[graft] val QuantileBuckets = 256
   private[graft] val QuantileCollectLimit = 100000L

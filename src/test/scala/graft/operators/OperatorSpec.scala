@@ -1893,6 +1893,32 @@ class OperatorSpec extends SparkSpec {
     assert(re === eng)
   }
 
+  test("q132 cohort retention: driver-side matrix replay") {
+    val ev = Tables.events(spark, sfDir)
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val cohortOf = ev.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.map(_._2).min(Ordering.by((d: java.time.LocalDate) =>
+        d.toEpochDay))
+    }
+    val cohortSize = cohortOf.groupBy(_._2).map { case (c, us) =>
+      c -> us.size.toLong }
+    val cells = ev.distinct.groupBy { case (u, d) =>
+      (cohortOf(u), d.toEpochDay - cohortOf(u).toEpochDay)
+    }.map { case ((c, off), rs) => (c.toString, off, rs.map(_._1).toSet.size.toLong) }
+    val expect = cells.map { case (c, off, n) =>
+      (c, off, n, n * 1000 / cohortSize(java.time.LocalDate.parse(c)))
+    }.toSeq.sortBy(x => (x._1, x._2))
+    val got = RelationalQueries.q132CohortRetention(spark, sfDir)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expect)
+    // retention at offset 0 is the full cohort by construction
+    assert(got.filter(_._2 == 0L).forall(_._4 == 1000L))
+  }
+
   test("q112 boundary: a gap of EXACTLY 30 minutes starts a session") {
     import spark.implicits._
     def ts(micros: Long): java.sql.Timestamp = {

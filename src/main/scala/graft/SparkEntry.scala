@@ -345,6 +345,10 @@ object SparkEntry {
     // cohorts x week offsets, distinct actives and integer-permille
     // retention — the standard two-exchange shape.
     "q132_cohort_retention" -> (RelationalQueries.q132CohortRetention _),
+    // q133 maintains q126's SCD2 table INCREMENTALLY from a CDC stream
+    // (foreachBatch + scd2Merge per micro-batch); after the drain the
+    // maintained table IS the full rebuild — same oracle text as q126.
+    "q133_stream_scd2" -> (graft.streaming.EventStreams.q133StreamScd2 _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -714,6 +718,26 @@ object SparkEntry {
        |       FROM rr)
        |SELECT query_id, neighbor_id, sim, "rank" FROM r2 WHERE "rank" <= 10
        |ORDER BY query_id, "rank"""".stripMargin
+
+  /** The SCD2 history oracle — ONE text for q126 (batch rebuild) and
+    * q133 (streamed CDC maintenance): the dense-version / effective-
+    * range construction in window SQL; is_current is a plain boolean. */
+  private val scd2OracleSql: String =
+    """WITH u AS (
+      |  SELECT user_id, ts, event_id, value FROM events
+      |  WHERE event_type IN ('signup', 'purchase')
+      |    AND user_id IS NOT NULL AND ts IS NOT NULL),
+      |v AS (SELECT user_id, value AS attr_value, ts,
+      |             row_number() OVER w AS version,
+      |             lead(ts) OVER w AS vt
+      |      FROM u
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, version, attr_value,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+      |       strftime(vt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+      |       (vt IS NULL) AS is_current
+      |FROM v
+      |ORDER BY user_id, version""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_wordcount" ->
@@ -1507,22 +1531,11 @@ object SparkEntry {
         |ORDER BY user_id, slot""".stripMargin,
     // q126: the same dense-version / effective-range construction in
     // window SQL; is_current is a plain boolean on both engines.
-    "q126_scd2_history" ->
-      """WITH u AS (
-        |  SELECT user_id, ts, event_id, value FROM events
-        |  WHERE event_type IN ('signup', 'purchase')
-        |    AND user_id IS NOT NULL AND ts IS NOT NULL),
-        |v AS (SELECT user_id, value AS attr_value, ts,
-        |             row_number() OVER w AS version,
-        |             lead(ts) OVER w AS vt
-        |      FROM u
-        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-        |SELECT user_id, version, attr_value,
-        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
-        |       strftime(vt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
-        |       (vt IS NULL) AS is_current
-        |FROM v
-        |ORDER BY user_id, version""".stripMargin,
+    "q126_scd2_history" -> scd2OracleSql,
+    // q133: the streamed CDC-maintained table must equal the full
+    // rebuild — SAME oracle text as q126, so the gate pins incremental
+    // == batch end to end.
+    "q133_stream_scd2" -> scd2OracleSql,
     // q127: the oracle IS the rank-window formulation the engine's
     // bisect path avoids — row_number per stratum over the same 60-bit
     // content hash, kept through rank ceil(rate·N_g/100); the hash gate

@@ -787,8 +787,13 @@ object RelationalQueries {
     * the delta — delta-sized work, spec-pinned equal to the full
     * rebuild ([[graft.operators]] OperatorSpec). */
   def q126Scd2(spark: SparkSession, sfDir: String): DataFrame =
-    scd2Of(scd2Updates(Tables.events(spark, sfDir)))
-      .select(col("user_id"), col("version"), col("attr_value"),
+    scd2Formatted(scd2Of(scd2Updates(Tables.events(spark, sfDir))))
+
+  /** The q126 presentation (shared with q133's streamed history so the
+    * two carry the SAME oracle text): formatted effective-range strings,
+    * ordered by (user, version). */
+  private[graft] def scd2Formatted(h: DataFrame): DataFrame =
+    h.select(col("user_id"), col("version"), col("attr_value"),
         date_format(col("valid_from_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
           .as("valid_from"),
         date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")

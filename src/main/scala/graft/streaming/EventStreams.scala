@@ -810,6 +810,66 @@ object EventStreams {
         sum(col("converted")).as("conv_sessions"))
       .orderBy("user_id")
 
+  /** Q133: STREAMING SCD2 MAINTENANCE — q126's dimension history kept
+    * current by a foreachBatch CDC apply: the update stream lands in
+    * event-time-ordered files (the CDC batch contract: each micro-batch
+    * is strictly later than everything applied before — here a quartile
+    * time split, exactly the shape a CDC feed delivers), and every
+    * micro-batch runs [[graft.operators.RelationalQueries.scd2Merge]]
+    * against the maintained table: delta users' current rows close out,
+    * the delta windows alone, untouched users pass through byte-
+    * identical. The maintained table is re-materialized per batch
+    * (versioned dirs; in production this is a MERGE INTO on an ACID
+    * table — the merge PLAN is the same, storage swap aside).
+    *
+    * The deliverable: after draining the stream, the maintained table
+    * IS q126's full rebuild — same oracle text, hash-gated, plus a
+    * row-for-row spec against q126. Two engines, one Kimball rule set:
+    * the q112/q117 twin discipline applied to CDC. */
+  def q133StreamScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = stateSession(spark)
+    val updates = graft.operators.RelationalQueries
+      .scd2Updates(graft.Tables.events(s, sfDir))
+    // quartile cut points: four landing files, strictly ascending in
+    // event time (rows tying a boundary stay in one file)
+    val qs = updates
+      .selectExpr("percentile(unix_micros(ts), array(0.25, 0.5, 0.75))")
+      .head().getSeq[Double](0).map(_.toLong)
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft-scd2-landing").toString
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft-scd2-state").toString
+    val bounds = (Long.MinValue +: qs) :+ Long.MaxValue
+    bounds.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      updates.where(expr("unix_micros(ts)") > lo &&
+          expr("unix_micros(ts)") <= hi)
+        .coalesce(1).write.mode("append").parquet(landing)
+      stampLanding(landing, i)
+    }
+    val emptyHistory = graft.operators.RelationalQueries
+      .scd2Of(updates.limit(0))
+    var curPath: Option[String] = None
+    val q = s.readStream.schema(updates.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+      .writeStream
+      .option("checkpointLocation", stateDir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val base = curPath.map(p => s.read.parquet(p))
+          .getOrElse(emptyHistory)
+        val next = s"$stateDir/v$id"
+        graft.operators.RelationalQueries.scd2Merge(base, batch)
+          .write.mode("overwrite").parquet(next)
+        curPath = Some(next)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    require(curPath.nonEmpty, "stream produced no batches")
+    graft.operators.RelationalQueries
+      .scd2Formatted(s.read.parquet(curPath.get))
+  }
+
   // public: encoder codegen (SafeProjection) cannot access private classes
   case class Ev(event_id: Long, ts: java.sql.Timestamp,
                 user_id: Long, event_type: String)

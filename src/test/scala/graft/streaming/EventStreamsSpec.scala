@@ -157,4 +157,25 @@ class EventStreamsSpec extends SparkSpec {
     } finally graft.GraftSession
       .deleteRecursively(new java.io.File(dir))
   }
+
+  test("q133 streamed SCD2 maintenance equals the q126 batch rebuild") {
+    // the CDC apply must produce the SAME history as rebuilding from
+    // scratch — row-for-row, schema included, after four quartile
+    // micro-batches each of which closes out the previous batch's
+    // current rows for every user it touches
+    val streamedDf = EventStreams.q133StreamScd2(spark, sfDir)
+    val batchDf = graft.operators.RelationalQueries.q126Scd2(spark, sfDir)
+    assert(streamedDf.columns.toSeq === batchDf.columns.toSeq)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3),
+        if (r.isNullAt(4)) null else r.getString(4), r.getBoolean(5))
+    }.toSeq
+    val streamed = rows(streamedDf)
+    assert(streamed === rows(batchDf), "streamed history != batch rebuild")
+    // non-vacuous CDC: multi-version users exist, so later batches
+    // actually closed out earlier current rows
+    assert(streamed.count(_._6) < streamed.size,
+      "every row current: no close-out ever happened")
+    assert(streamed.exists(r => r._2 > 1L), "no user has version > 1")
+  }
 }

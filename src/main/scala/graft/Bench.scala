@@ -77,6 +77,7 @@ object Bench {
       operators.SuffixQueries.suffixSharedB(spark, sfDir).count()
       operators.ProductQuantization.refreshedPqIndex(spark, sfDir).count()
       sources.PartitionedSink.eventsDaily(spark, sfDir).count()
+      sources.ZOrderLayout.zEvents(spark, sfDir).count()
       (System.nanoTime() - tArt) / 1e9
     }.getOrElse(-1.0)
     val artLoadAfter = load1()

@@ -65,6 +65,8 @@ object ArtifactProfile {
       operators.ProductQuantization.refreshedPqIndex(spark, sfDir).count())
     t("eventsDaily")(
       sources.PartitionedSink.eventsDaily(spark, sfDir).count())
+    t("zEvents")(
+      sources.ZOrderLayout.zEvents(spark, sfDir).count())
     println(f"[artprof] TOTAL ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     spark.stop()
   }

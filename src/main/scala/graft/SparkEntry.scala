@@ -349,6 +349,10 @@ object SparkEntry {
     // (foreachBatch + scd2Merge per micro-batch); after the drain the
     // maintained table IS the full rebuild — same oracle text as q126.
     "q133_stream_scd2" -> (graft.streaming.EventStreams.q133StreamScd2 _),
+    // q134 makes sketch mergeability pay: daily KMV sketches built in
+    // one corpus pass answer every 7-day sliding window by sample
+    // union — never by re-scanning seven days of events.
+    "q134_sliding_sketch" -> (RelationalQueries.q134SlidingSketch _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -1722,6 +1726,34 @@ object SparkEntry {
         |       (m.n_active * 1000 // s.cohort_size)::BIGINT AS retention_pm
         |FROM m JOIN s USING (cohort)
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    // q134: the oracle replays the daily bottom-k samples, the window
+    // union, and the estimator — merge-then-estimate hash-gated.
+    "q134_sliding_sketch" ->
+      """WITH h AS (SELECT DISTINCT date_trunc('day', ts)::DATE AS day,
+        |             ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+        |               AS h
+        |           FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |r AS (SELECT day, h,
+        |             row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+        |      FROM h),
+        |kept AS (SELECT day, h FROM r WHERE rn <= 64),
+        |d AS (SELECT DISTINCT day AS window_end FROM kept),
+        |mh AS (SELECT DISTINCT d.window_end, k.h
+        |       FROM d JOIN kept k
+        |         ON k.day BETWEEN d.window_end - 6 AND d.window_end),
+        |rr AS (SELECT window_end, h,
+        |              row_number() OVER (PARTITION BY window_end
+        |                                 ORDER BY h) AS rn
+        |       FROM mh),
+        |s AS (SELECT window_end, count(*) AS sz, max(h) AS hk
+        |      FROM rr WHERE rn <= 64 GROUP BY 1)
+        |SELECT strftime(window_end, '%Y-%m-%d') AS window_end,
+        |       sz::BIGINT AS sketch_size,
+        |       CASE WHEN sz < 64 THEN sz
+        |            ELSE floor(63 * 1152921504606846976.0 / hk)::BIGINT
+        |       END AS est_active_7d
+        |FROM s ORDER BY window_end""".stripMargin,
     // q107's oracle recomputes snapshot B's heavy hitters from scratch
     // (q102's exact chain over the recrawl documents) — any error in
     // the sketch subtraction, the incremental stream, or the refreshed

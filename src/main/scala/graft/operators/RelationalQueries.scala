@@ -458,18 +458,14 @@ object RelationalQueries {
         Seq("type_a", "type_b"))
       .where(col("h") < col("theta"))
       .groupBy("type_a", "type_b").agg(count(lit(1)).as("c"))
-    def est(sz: Column, hk: Column): Column =
-      when(sz < k, sz.cast("long"))
-        .otherwise(floor(lit((k - 1).toDouble) * lit(KmvDomain) / hk)
-          .cast("long"))
     pairs
       .join(us, Seq("type_a", "type_b"))
       .join(common, Seq("type_a", "type_b"), "left")
       .withColumn("c", coalesce(col("c"), lit(0L)))
       .select(col("type_a"), col("type_b"),
-        est(col("sz_a"), col("hk_a")).as("est_a"),
-        est(col("sz_b"), col("hk_b")).as("est_b"),
-        est(col("sz_u"), col("hk_u")).as("est_union"),
+        kmvEst(col("sz_a"), col("hk_a")).as("est_a"),
+        kmvEst(col("sz_b"), col("hk_b")).as("est_b"),
+        kmvEst(col("sz_u"), col("hk_u")).as("est_union"),
         floor(col("c").cast("double") * lit(KmvDomain) /
           col("theta").cast("double")).cast("long").as("est_inter"))
       .orderBy("type_a", "type_b")
@@ -509,6 +505,61 @@ object RelationalQueries {
         col("n_active"),
         expr("n_active * 1000 DIV cohort_size").as("retention_pm"))
       .orderBy("cohort_day", "day_offset")
+  }
+
+  /** The KMV estimate shared by q63/q131/q134: exact below k, else
+    * (k-1)·D/h_k — deterministic, oracle-replayable. */
+  private def kmvEst(sz: Column, hk: Column): Column =
+    when(sz < KmvK, sz.cast("long"))
+      .otherwise(floor(lit((KmvK - 1).toDouble) * lit(KmvDomain) / hk)
+        .cast("long"))
+
+  /** Q134: SLIDING-WINDOW distinct counts via KMV sketch MERGE — the
+    * dashboard shape that makes sketch mergeability pay: per-DAY
+    * sketches are built ONCE from one corpus pass, and every 7-day
+    * window's distinct-user estimate comes from merging seven 64-value
+    * samples (re-taking the bottom-k of their union — the KMV merge is
+    * exactly set-union of samples, Beyer et al. SIGMOD'07), never from
+    * re-scanning seven days of events. At 100 TB the naive form
+    * re-aggregates ~7x the data it needs every day; this form's daily
+    * increment is one day's scan plus sketch-space algebra over a
+    * |days|·k-row relation. Deterministic bottom-k of md5, so every
+    * estimate is hash-gated (q63's discipline). */
+  def q134SlidingSketch(spark: SparkSession, sfDir: String): DataFrame =
+    slidingSketchOf(Tables.events(spark, sfDir)
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id")))
+
+  /** Daily-sketch build + window merge over an explicit (day, user_id)
+    * relation — split out so the spec can drive constructed populations
+    * through the full-sketch estimator path. */
+  private[graft] def slidingSketchOf(df: DataFrame): DataFrame = {
+    val k = KmvK
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15),
+      16, 10).cast("long")
+    val kept = df.select(col("day"), h.as("h"))
+      .groupBy("day")
+      .agg(graft.functions.Aggregates
+        .topKDistinct(struct((-col("h")).as("nh")), k).as("mins"))
+      .select(col("day"), explode(col("mins")).as("m"))
+      .select(col("day"), (-col("m.nh")).as("h"))
+      .localCheckpoint() // ≤ |days|·k rows; everything below is
+                         // sketch-space, never the corpus
+    val windows = kept.select(col("day").as("window_end")).distinct()
+    val merged = windows.join(kept,
+        col("day").between(date_sub(col("window_end"), 6),
+          col("window_end")))
+      .select("window_end", "h").distinct()
+    merged
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("window_end").orderBy("h")))
+      .where(col("rn") <= k)
+      .groupBy("window_end")
+      .agg(count(lit(1)).as("sz"), max("h").as("hk"))
+      .select(date_format(col("window_end"), "yyyy-MM-dd").as("window_end"),
+        col("sz").cast("long").as("sketch_size"),
+        kmvEst(col("sz"), col("hk")).as("est_active_7d"))
+      .orderBy("window_end")
   }
 
   /** Q105 knobs, shared with the spec. */

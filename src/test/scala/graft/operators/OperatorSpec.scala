@@ -1919,6 +1919,64 @@ class OperatorSpec extends SparkSpec {
     assert(got.filter(_._2 == 0L).forall(_._4 == 1000L))
   }
 
+  test("q134 sliding sketch: small-range exact; merge == direct sketch") {
+    // at sf0.001 (< 64 users) every window estimate must be EXACT
+    val ev = Tables.events(spark, sfDir)
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val got = RelationalQueries.slidingSketchOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    val raw = ev.collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val days = raw.map(_._1).distinct
+    for (w <- days) {
+      val exact = raw.filter { case (d, _) =>
+        !d.isBefore(w.minusDays(6)) && !d.isAfter(w) }
+        .map(_._2).distinct.size.toLong
+      assert(got(w.toString) === exact, s"window $w")
+    }
+    // estimator path at sf0.01 (daily sketches full): the MERGED window
+    // sketch must equal the sketch built DIRECTLY from the window's raw
+    // values — the KMV merge-correctness theorem (any union-bottom-k
+    // element is inside its own day's bottom-k), replayed in the JVM
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h60(u: Long): Long =
+      java.lang.Long.parseLong(md5hex(u.toString).take(15), 16)
+    val ev01 = Tables.events(spark, "/root/testdata/sf0.01")
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val eng = RelationalQueries.slidingSketchOf(ev01).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val raw01 = ev01.collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val k = 64
+    val dom = 1152921504606846976.0
+    def estOf(hs: Seq[Long]): (Long, Long) = {
+      val s = hs.distinct.sorted.take(k)
+      (s.size.toLong,
+        if (s.size < k) s.size.toLong
+        else math.floor((k - 1).toDouble * dom / s.last).toLong)
+    }
+    val dailySample = raw01.groupBy(_._1).map { case (d, rs) =>
+      d -> rs.map(r => h60(r._2)).distinct.sorted.take(k).toSeq }
+    for ((w, sz, est) <- eng) {
+      val wd = java.time.LocalDate.parse(w)
+      val inWin = (d: java.time.LocalDate) =>
+        !d.isBefore(wd.minusDays(6)) && !d.isAfter(wd)
+      // merged-from-daily-samples replay
+      val merged = estOf(dailySample.filter(e => inWin(e._1))
+        .values.flatten.toSeq)
+      // direct sketch over the window's RAW values
+      val direct = estOf(raw01.filter(r => inWin(r._1))
+        .map(r => h60(r._2)).toSeq)
+      assert((sz, est) === merged, s"window $w: merge replay")
+      assert(merged === direct, s"window $w: merge != direct sketch")
+    }
+    assert(eng.exists(_._2 == 64L), "estimator path never engaged")
+  }
+
   test("q112 boundary: a gap of EXACTLY 30 minutes starts a session") {
     import spark.implicits._
     def ts(micros: Long): java.sql.Timestamp = {

@@ -353,6 +353,11 @@ object SparkEntry {
     // one corpus pass answer every 7-day sliding window by sample
     // union — never by re-scanning seven days of events.
     "q134_sliding_sketch" -> (RelationalQueries.q134SlidingSketch _),
+    // q135 completes the as-of direction set (backward q36/q100,
+    // staleness-bounded q122, bidirectional-interp q125): NEAREST in
+    // either direction, ties pinned to the earlier event — two native
+    // merge scans and one map-side pick.
+    "q135_nearest_asof" -> (AsofJoin.q135NearestAsof _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -1533,6 +1538,43 @@ object SparkEntry {
         |       END AS interp_value
         |FROM s2
         |ORDER BY user_id, slot""".stripMargin,
+    // q135: ASOF backward + ASOF backward over the negated instant
+    // (q125's construction) + the identical integer tie/pick CASEs.
+    "q135_nearest_asof" ->
+      """WITH c AS (SELECT user_id, ts, event_id FROM events
+        |           WHERE event_type = 'click'),
+        |vb AS (SELECT user_id, ts, epoch_us(ts) AS b_us,
+        |              event_id AS b_event_id
+        |       FROM events WHERE event_type = 'view'),
+        |s1 AS (SELECT c.user_id, c.ts, c.event_id, vb.b_us, vb.b_event_id
+        |       FROM c ASOF LEFT JOIN vb
+        |         ON c.user_id = vb.user_id AND c.ts >= vb.ts),
+        |vf AS (SELECT user_id, -epoch_us(ts) AS tsn, epoch_us(ts) AS f_us,
+        |              event_id AS f_event_id
+        |       FROM events WHERE event_type = 'view'),
+        |s2 AS (SELECT s1.*, vf.f_us, vf.f_event_id
+        |       FROM (SELECT *, -epoch_us(ts) AS tsn FROM s1) s1
+        |       ASOF LEFT JOIN vf
+        |         ON s1.user_id = vf.user_id AND s1.tsn >= vf.tsn)
+        |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |       event_id,
+        |       CASE WHEN f_us IS NULL OR (b_us IS NOT NULL AND
+        |                 epoch_us(ts) - b_us <= f_us - epoch_us(ts))
+        |            THEN b_event_id ELSE f_event_id
+        |       END AS nearest_view_id,
+        |       CASE WHEN b_us IS NULL AND f_us IS NULL THEN NULL
+        |            WHEN f_us IS NULL OR (b_us IS NOT NULL AND
+        |                 epoch_us(ts) - b_us <= f_us - epoch_us(ts))
+        |            THEN epoch_us(ts) - b_us
+        |            ELSE f_us - epoch_us(ts)
+        |       END AS gap_us,
+        |       CASE WHEN b_us IS NULL AND f_us IS NULL THEN NULL
+        |            WHEN f_us IS NULL OR (b_us IS NOT NULL AND
+        |                 epoch_us(ts) - b_us <= f_us - epoch_us(ts))
+        |            THEN 'backward' ELSE 'forward'
+        |       END AS direction
+        |FROM s2
+        |ORDER BY user_id, ts, event_id""".stripMargin,
     // q126: the same dense-version / effective-range construction in
     // window SQL; is_current is a plain boolean on both engines.
     "q126_scd2_history" -> scd2OracleSql,

@@ -258,6 +258,59 @@ object AsofJoin {
       .orderBy("user_id", "slot")
   }
 
+  /** Q135: NEAREST-direction as-of join (pandas
+    * `merge_asof(direction='nearest')`, DuckDB has no equivalent):
+    * each click is matched to the CLOSEST view event of the same user
+    * in either time direction — attribution when the touchpoint may
+    * follow the conversion event. Composition: the SAME native merge
+    * scan twice (backward as-is, forward = backward over the negated
+    * microsecond instant — q125's trick, so exchange/sort reuse
+    * applies), then one map-side pick of the smaller gap. TIE RULE,
+    * pinned in engine, oracle, and spec: equal gaps choose the EARLIER
+    * (backward) event. Gaps are integer microseconds — no float
+    * anywhere. */
+  def q135NearestAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    nearestViews(
+      ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id")),
+      ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id")))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  /** The nearest-match composition over explicit click/view relations
+    * (columns: user_id, ts, event_id) — split out for the spec's
+    * constructed tie cases. */
+  private[graft] def nearestViews(clicks: DataFrame,
+                                  views: DataFrame): DataFrame = {
+    val viewsB = views.select(col("user_id"), col("ts"),
+      unix_micros(col("ts")).as("b_us"), col("event_id").as("b_event_id"))
+    val viewsF = views.select(col("user_id"),
+      (-unix_micros(col("ts"))).as("tsn"),
+      unix_micros(col("ts")).as("f_us"), col("event_id").as("f_event_id"))
+    val s1 = graft.plans.NativeAsofJoin.asof(
+        clicks, viewsB, "user_id", "ts", Seq("b_us", "b_event_id"))
+      .withColumn("tsn", -unix_micros(col("ts")))
+    val s2 = graft.plans.NativeAsofJoin.asof(
+      s1, viewsF, "user_id", "tsn", Seq("f_us", "f_event_id"))
+    val t = unix_micros(col("ts"))
+    val useB = col("f_us").isNull ||
+      (col("b_us").isNotNull && (t - col("b_us")) <= (col("f_us") - t))
+    val noMatch = col("b_us").isNull && col("f_us").isNull
+    s2.select(col("user_id"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+      col("event_id"),
+      when(useB, col("b_event_id")).otherwise(col("f_event_id"))
+        .as("nearest_view_id"),
+      when(noMatch, lit(null).cast("long"))
+        .when(useB, t - col("b_us")).otherwise(col("f_us") - t)
+        .as("gap_us"),
+      when(noMatch, lit(null).cast("string"))
+        .when(useB, lit("backward")).otherwise(lit("forward"))
+        .as("direction"))
+  }
+
   private def q36Shape(spark: SparkSession, sfDir: String,
       join: (DataFrame, DataFrame, String, String, Seq[String]) => DataFrame)
       : DataFrame = {

@@ -424,4 +424,72 @@ class AsofNativeSpec extends SparkSpec {
     assert(s.sliding("Exchange".length).count(_ == "Exchange") === 2,
       s"per-key agg after native asof re-shuffled:\n$s")
   }
+
+  test("q135 nearest: JVM replay on real data; constructed tie and edge cases") {
+    import spark.implicits._
+    // full replay over the fixture
+    val ev = graft.Tables.events(spark, sfDir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    def us(t: Timestamp): Long = t.getTime / 1000 * 1000000 + t.getNanos / 1000
+    val byUser = views.groupBy(_._1)
+    val expect = clicks.map { case (u, ts, id) =>
+      val t = us(ts)
+      val vs = byUser.getOrElse(u, Array.empty)
+      val back = vs.filter(v => us(v._2) <= t)
+        .sortBy(v => (us(v._2), v._3)).lastOption
+      val fwd = vs.filter(v => us(v._2) > t)
+        .sortBy(v => (us(v._2), v._3)).headOption
+      val (nid, gap, dir) = (back, fwd) match {
+        case (None, None) => (null, null, null)
+        case (Some(b), None) =>
+          (b._3: java.lang.Long, (t - us(b._2)): java.lang.Long, "backward")
+        case (None, Some(f)) =>
+          (f._3: java.lang.Long, (us(f._2) - t): java.lang.Long, "forward")
+        case (Some(b), Some(f)) =>
+          if (t - us(b._2) <= us(f._2) - t)
+            (b._3: java.lang.Long, (t - us(b._2)): java.lang.Long, "backward")
+          else
+            (f._3: java.lang.Long, (us(f._2) - t): java.lang.Long, "forward")
+      }
+      (u, t, id, nid, gap, dir)
+    }.sortBy(e => (e._1, e._2, e._3)).toSeq
+    val got = AsofJoin.q135NearestAsof(spark, sfDir).collect().map { r =>
+      val t = java.time.LocalDateTime.parse(r.getString(1),
+        java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .toInstant(java.time.ZoneOffset.UTC)
+      (r.getLong(0), t.getEpochSecond * 1000000 + t.getNano / 1000,
+        r.getLong(2),
+        if (r.isNullAt(3)) null else (r.getLong(3): java.lang.Long),
+        if (r.isNullAt(4)) null else (r.getLong(4): java.lang.Long),
+        if (r.isNullAt(5)) null else r.getString(5))
+    }.toSeq
+    assert(got === expect)
+    // constructed: exact tie -> backward; forward-only; backward-only;
+    // no view at all
+    def ts(sec: Long) = new Timestamp(sec * 1000)
+    val c = Seq((1L, ts(100), 10L), (2L, ts(100), 20L),
+      (3L, ts(100), 30L), (4L, ts(100), 40L))
+      .toDF("user_id", "ts", "event_id")
+    val v = Seq(
+      (1L, ts(90), 91L), (1L, ts(110), 92L),  // tie: both 10 s away
+      (2L, ts(150), 93L),                     // forward only
+      (3L, ts(50), 94L)                       // backward only
+    ).toDF("user_id", "ts", "event_id")
+    val small = AsofJoin.nearestViews(c, v)
+      .orderBy("user_id").collect().map(r =>
+        (r.getLong(0),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(5)) "none" else r.getString(5)))
+    assert(small.toSeq === Seq(
+      (1L, 91L, "backward"),  // the pinned tie rule: earlier event wins
+      (2L, 93L, "forward"),
+      (3L, 94L, "backward"),
+      (4L, -1L, "none")))
+  }
 }

@@ -358,6 +358,10 @@ object SparkEntry {
     // either direction, ties pinned to the earlier event — two native
     // merge scans and one map-side pick.
     "q135_nearest_asof" -> (AsofJoin.q135NearestAsof _),
+    // q136 is q70's outlier gate made skew-proof: |x - median| > 3 MAD,
+    // both order statistics by the zero-corpus-shuffle bisection,
+    // integer arithmetic end to end.
+    "q136_mad_outliers" -> (TextQueries.q136MadOutliers _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -1796,6 +1800,29 @@ object SparkEntry {
         |            ELSE floor(63 * 1152921504606846976.0 / hk)::BIGINT
         |       END AS est_active_7d
         |FROM s ORDER BY window_end""".stripMargin,
+    // q136: both medians read at the q105/q109 rank contract
+    // (ceil(50·N/100), duplicates counted); everything else is integer.
+    "q136_mad_outliers" ->
+      (tokListCte + """,
+        |v AS (SELECT doc_id, lang, len(t)::BIGINT AS v FROM toks),
+        |n AS (SELECT lang, count(*) AS n FROM v GROUP BY 1),
+        |rv AS (SELECT v.*, row_number() OVER (PARTITION BY lang
+        |                                      ORDER BY v) AS rn
+        |       FROM v),
+        |med AS (SELECT rv.lang, rv.v AS med FROM rv JOIN n USING (lang)
+        |        WHERE rn = (n * 50 + 99) // 100),
+        |d AS (SELECT v.doc_id, v.lang, v.v, med.med,
+        |             abs(v.v - med.med) AS dev
+        |      FROM v JOIN med USING (lang)),
+        |rd AS (SELECT d.*, row_number() OVER (PARTITION BY lang
+        |                                      ORDER BY dev) AS rn
+        |       FROM d),
+        |mad AS (SELECT lang, dev AS mad FROM rd JOIN n USING (lang)
+        |        WHERE rn = (n * 50 + 99) // 100)
+        |SELECT d.doc_id, d.lang, d.v AS token_cnt, d.med, d.dev,
+        |       mad.mad, (d.dev > 2 * mad.mad) AS is_outlier
+        |FROM d JOIN mad USING (lang)
+        |ORDER BY doc_id""".stripMargin),
     // q107's oracle recomputes snapshot B's heavy hitters from scratch
     // (q102's exact chain over the recrawl documents) — any error in
     // the sketch subtraction, the incremental stream, or the refreshed

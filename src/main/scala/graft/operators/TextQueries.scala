@@ -1038,6 +1038,44 @@ object TextQueries {
     }
   }
 
+  /** Q136: MAD robust outliers — q70's length gate made SKEW-PROOF:
+    * z-scores (mean/stddev) move with the very outliers they hunt (one
+    * 10M-token doc inflates sigma until nothing else flags), while the
+    * median absolute deviation breaks down only past 50% contamination
+    * (Hampel 1974; Leys et al. 2013 — the curation-pipeline
+    * recommendation). Flag = |x − median| > 2·MAD, all INTEGER
+    * arithmetic (Leys et al.'s scale: 2 is the sensitive setting — the
+    * right demo choice for this fixture's near-uniform lengths, where
+    * 3·MAD flags nothing at any scale factor).
+    *
+    * Plan: the per-lang median and then the per-lang median of
+    * deviations are each one [[RelationalQueries.groupedQuantiles]]
+    * bisection (q109's machinery: zero corpus shuffle, histogram rounds
+    * only), with the tiny per-lang constants broadcast back for
+    * map-side deviation/flag passes. The naive percentile_approx form
+    * is rows-only checkable and approximate; the window-rank form sorts
+    * the corpus per stratum. Two exact order statistics for two
+    * broadcast joins' worth of shuffle. */
+  def q136MadOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val vals = docFeatures(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        col("token_cnt").cast("long").as("v"))
+    val med = RelationalQueries.groupedQuantiles(
+        vals.select(col("lang").as("g"), col("v")), Seq(50))
+      .map { case (g, _, m) => (g, m) }.toDF("lang", "med")
+    val withDev = vals.join(broadcast(med), Seq("lang"))
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = RelationalQueries.groupedQuantiles(
+        withDev.select(col("lang").as("g"), col("dev").as("v")), Seq(50))
+      .map { case (g, _, m) => (g, m) }.toDF("lang", "mad")
+    withDev.join(broadcast(mad), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("v").as("token_cnt"),
+        col("med"), col("dev"), col("mad"),
+        (col("dev") > lit(2L) * col("mad")).as("is_outlier"))
+      .orderBy("doc_id")
+  }
+
   /** Q129's fixed retrieval query (terms from the q101 phrase
     * vocabulary, so the postings they touch are already exercised). */
   val Bm25Terms: Seq[String] = Seq("stream", "table", "hash")

@@ -1977,6 +1977,44 @@ class OperatorSpec extends SparkSpec {
     assert(eng.exists(_._2 == 64L), "estimator path never engaged")
   }
 
+  test("q136 MAD outliers: JVM replay; masking contrast vs z-scores") {
+    // replay: medians at the ceil-rank contract, integer flags
+    val vals = TextQueries.docFeatures(spark, sfDir)
+      .select("doc_id", "lang", "token_cnt").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong))
+    def medAt(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s(((s.size * 50 + 99) / 100 - 1).toInt)
+    }
+    val med = vals.groupBy(_._2).map { case (l, rs) =>
+      l -> medAt(rs.map(_._3).toSeq) }
+    val mad = vals.groupBy(_._2).map { case (l, rs) =>
+      l -> medAt(rs.map(r => math.abs(r._3 - med(l))).toSeq) }
+    val expect = vals.map { case (id, l, v) =>
+      val dev = math.abs(v - med(l))
+      (id, l, v, med(l), dev, mad(l), dev > 2 * mad(l))
+    }.sortBy(_._1).toSeq
+    val got = TextQueries.q136MadOutliers(spark, sfDir).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toSeq
+    assert(got === expect)
+    assert(got.exists(_._7) && got.exists(!_._7),
+      "flag column is vacuous on the fixture")
+    // the property that justifies MAD over q70's z-score: one extreme
+    // value inflates sigma until a moderate outlier stops flagging
+    // (masking); the median/MAD pair doesn't move
+    val pop = (1 to 90).map(i => 90L + i % 21) ++ // bulk 90..110
+      Seq(200L, 1000000L)                          // moderate + extreme
+    val m = medAt(pop)
+    val md = medAt(pop.map(x => math.abs(x - m)))
+    assert(math.abs(200L - m) > 2 * md, "MAD must flag the moderate outlier")
+    val mean = pop.sum.toDouble / pop.size
+    val sigma = math.sqrt(pop.map(x => (x - mean) * (x - mean)).sum /
+      (pop.size - 1))
+    assert(math.abs(200.0 - mean) < 2 * sigma,
+      "z-score was expected to MISS the moderate outlier (masking)")
+  }
+
   test("q112 boundary: a gap of EXACTLY 30 minutes starts a session") {
     import spark.implicits._
     def ts(micros: Long): java.sql.Timestamp = {

@@ -362,6 +362,11 @@ object SparkEntry {
     // both order statistics by the zero-corpus-shuffle bisection,
     // integer arithmetic end to end.
     "q136_mad_outliers" -> (TextQueries.q136MadOutliers _),
+    // q137 is the stream-stream join mode q43 leaves uncovered: LEFT
+    // OUTER, where unmatched rows emit with nulls only when the global
+    // watermark proves no future match — flush rows on BOTH inputs.
+    "q137_stream_outer_join" ->
+      (graft.streaming.EventStreams.q137StreamOuterJoin _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -1388,6 +1393,21 @@ object SparkEntry {
         |  AND view_ts <= click_ts
         |  AND view_ts >= click_ts - INTERVAL 1 HOUR
         |ORDER BY user_id, click_id, view_id""".stripMargin,
+    // q137: q43's oracle with LEFT JOIN and the null ordering pinned
+    // (Spark asc = nulls first; DuckDB defaults NULLS LAST).
+    "q137_stream_outer_join" ->
+      """WITH c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id AS v_user_id, ts AS view_ts,
+        |             event_id AS view_id
+        |      FROM events WHERE event_type = 'view')
+        |SELECT c.user_id, click_id, view_id,
+        |       strftime(click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |       strftime(view_ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
+        |FROM c LEFT JOIN v ON c.user_id = v_user_id
+        |  AND view_ts <= click_ts
+        |  AND view_ts >= click_ts - INTERVAL 1 HOUR
+        |ORDER BY user_id, click_id, view_id NULLS FIRST""".stripMargin,
     "q32_json_extract" ->
       """SELECT event_type, count(*) AS cnt,
         |       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,

@@ -608,6 +608,57 @@ object EventStreams {
       .orderBy("hour", "event_type")
   }
 
+  /** Q137: stream-stream LEFT OUTER interval join — the join mode q43's
+    * inner join leaves uncovered, and the one with the distinctive
+    * streaming semantics: an unmatched left row cannot be emitted when
+    * it arrives (a match may still come), only once the GLOBAL watermark
+    * proves no future view can fall inside its interval — at which point
+    * the engine emits it with nulls. That makes outer results
+    * WATERMARK-DRIVEN: both inputs carry q60's far-future flush row
+    * (min-of-inputs watermark — one stalled side stalls every outer
+    * emission), keyed to user_id −1 so it can never pair with a real
+    * row; flush leftovers are dropped from the sink defensively. Same
+    * interval as q43 (views within the preceding hour), so after the
+    * final flush the result is exactly the batch LEFT JOIN the oracle
+    * runs. */
+  def q137StreamOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val anchorRow = graft.Tables.events(spark, sfDir)
+      .agg(min(col("event_id"))).head()
+    val anchorId = if (anchorRow.isNullAt(0)) -1L else anchorRow.getLong(0)
+    val s = stateSession(spark)
+    val ev = eventsStream(s, sfDir)
+    def flush(tsName: String, idName: String) = eventsStream(s, sfDir)
+      .where(col("event_id") === anchorId)
+      .select(lit(-1L).as("user_id"),
+        (col("ts") + expr("INTERVAL 36500 DAYS")).as(tsName),
+        lit(-1L).as(idName))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .unionByName(flush("click_ts", "click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .unionByName(flush("view_ts", "view_id")
+        .withColumnRenamed("user_id", "v_user_id"))
+      .withWatermark("view_ts", "1 hour")
+    val joined = clicks.join(views,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+    runToTable(joined, OutputMode.Append())
+      .where(col("user_id") =!= -1L)
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("click_ts"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("view_ts"))
+      .orderBy(col("user_id"), col("click_id"),
+        col("view_id").asc_nulls_first)
+  }
+
   /** RESTARTABLE windowed aggregation: the production layout of q29/q60
     * — a file-stream LANDING DIR in, hourly event-time windows with a
     * 1-hour watermark, append mode out to a parquet FILE SINK with a

@@ -158,6 +158,31 @@ class EventStreamsSpec extends SparkSpec {
       .deleteRecursively(new java.io.File(dir))
   }
 
+  test("q137 outer stream join: inner subset == q43; unmatched clicks emit nulls") {
+    import org.apache.spark.sql.functions._
+    val outer = EventStreams.q137StreamOuterJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else (r.getLong(2): java.lang.Long)))
+    // watermark-driven null emission actually happened
+    val unmatched = outer.filter(_._3 == null)
+    assert(unmatched.nonEmpty, "no unmatched click was ever emitted")
+    // matched subset must be EXACTLY the inner join (q43)
+    val inner = EventStreams.q43StreamIntervalJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2): java.lang.Long))
+    assert(outer.filter(_._3 != null).sortBy(t => (t._1, t._2,
+        t._3.longValue)).toSeq ===
+      inner.sortBy(t => (t._1, t._2, t._3.longValue)).toSeq)
+    // every click appears at least once; unmatched ones exactly once
+    val ev = graft.Tables.events(spark, sfDir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(outer.map(_._2).toSet === clicks)
+    val perClick = outer.groupBy(_._2)
+    unmatched.foreach { u =>
+      assert(perClick(u._2).length === 1, s"unmatched click ${u._2}")
+    }
+  }
+
   test("q133 streamed SCD2 maintenance equals the q126 batch rebuild") {
     // the CDC apply must produce the SAME history as rebuilding from
     // scratch — row-for-row, schema included, after four quartile

@@ -288,7 +288,7 @@ object EventStreams {
     * dedup state or advances the watermark first — the unspecified
     * listing order of randomly named part files. Stamped, landing
     * order IS batch order on any filesystem. */
-  private def stampLanding(landing: String, seq: Int): Unit = {
+  private[graft] def stampLanding(landing: String, seq: Int): Unit = {
     val files = Option(new java.io.File(landing).listFiles).toSeq.flatten
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
     // previous files carry older synthetic stamps, so max-mtime is the
@@ -897,28 +897,64 @@ object EventStreams {
         .coalesce(1).write.mode("append").parquet(landing)
       stampLanding(landing, i)
     }
-    val emptyHistory = graft.operators.RelationalQueries
-      .scd2Of(updates.limit(0))
-    var curPath: Option[String] = None
-    val q = s.readStream.schema(updates.schema)
-      .option("maxFilesPerTrigger", 1).parquet(landing)
+    runScd2ToFiles(spark, landing, stateDir + "/ckpt", stateDir)
+    val cur = latestScd2Table(stateDir)
+    require(cur.nonEmpty, "stream produced no batches")
+    graft.operators.RelationalQueries
+      .scd2Formatted(s.read.parquet(cur.get))
+  }
+
+  /** The CDC-update landing schema (= scd2Updates' columns) — streaming
+    * sources must declare their schema. */
+  private val Scd2LandingSchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("ts", TimestampType),
+    StructField("event_id", LongType), StructField("value", DoubleType)))
+
+  /** The newest committed maintained-table version under `stateDir`
+    * (highest v<batchId> dir carrying a _SUCCESS marker) — the recovery
+    * pointer a restarted runner resumes from. */
+  private[graft] def latestScd2Table(stateDir: String): Option[String] =
+    latestScd2Version(stateDir, Long.MaxValue).map(_._2)
+
+  private def latestScd2Version(stateDir: String, below: Long)
+      : Option[(Long, String)] =
+    Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .flatMap(f => f.getName.drop(1).toLongOption.map((_, f.getPath)))
+      .filter(_._1 < below)
+      .sortBy(_._1).lastOption
+
+  /** RESTARTABLE SCD2 CDC runner — q133's foreachBatch apply as a
+    * kill+resume-safe job: recovery needs only the checkpoint's source
+    * offsets plus the versioned maintained table. Idempotence argument,
+    * pinned by RecoverySpec: a replayed batch re-reads the SAME landing
+    * file (offset log), merges against the SAME immutable base (the
+    * newest v-dir strictly BELOW its own batch id — never its own
+    * half-written output), and overwrites its own v-dir — a
+    * deterministic function of committed inputs. Batches must land in
+    * event-time order (the CDC contract; [[stampLanding]] pins file
+    * order to landing order). */
+  private[graft] def runScd2ToFiles(spark: SparkSession, landingDir: String,
+      checkpointDir: String, stateDir: String): Unit = {
+    val s = stateSession(spark)
+    val emptyHistory = graft.operators.RelationalQueries.scd2Of(
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Scd2LandingSchema))
+    val q = s.readStream.schema(Scd2LandingSchema)
+      .option("maxFilesPerTrigger", 1).parquet(landingDir)
       .writeStream
-      .option("checkpointLocation", stateDir + "/ckpt")
+      .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val base = curPath.map(p => s.read.parquet(p))
-          .getOrElse(emptyHistory)
-        val next = s"$stateDir/v$id"
+        val base = latestScd2Version(stateDir, below = id)
+          .map(v => s.read.parquet(v._2)).getOrElse(emptyHistory)
         graft.operators.RelationalQueries.scd2Merge(base, batch)
-          .write.mode("overwrite").parquet(next)
-        curPath = Some(next)
+          .write.mode("overwrite").parquet(s"$stateDir/v$id")
         ()
       }
       .start()
     q.awaitTermination()
-    require(curPath.nonEmpty, "stream produced no batches")
-    graft.operators.RelationalQueries
-      .scd2Formatted(s.read.parquet(curPath.get))
   }
 
   // public: encoder codegen (SafeProjection) cannot access private classes

@@ -381,6 +381,63 @@ class RecoverySpec extends SparkSpec {
       s"phase B emitted $newInB of ${b.count()} rows — overlap not exercised")
   }
 
+  test("SCD2 CDC runner: maintained table survives the restart") {
+    // the sixth recovered runner class: state lives OUTSIDE the
+    // checkpoint (the versioned maintained table) and recovery is
+    // offsets + the newest committed v-dir. Phase A applies the first
+    // two CDC batches and stops (the kill point); the restarted runner
+    // must resume from the recovered pointer and close out phase-A
+    // current rows it has never seen in memory.
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-scd2-recovery").toString
+    val updates = graft.operators.RelationalQueries
+      .scd2Updates(graft.Tables.events(spark, sfDir))
+    val qs = updates
+      .selectExpr("percentile(unix_micros(ts), array(0.25, 0.5, 0.75))")
+      .head().getSeq[Double](0).map(_.toLong)
+    val bounds = (Long.MinValue +: qs) :+ Long.MaxValue
+    val slabs = bounds.sliding(2).toSeq
+    def land(dir: String, range: Seq[Seq[Long]], seq0: Int): Unit =
+      range.zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        updates.where(expr("unix_micros(ts)") > lo &&
+            expr("unix_micros(ts)") <= hi)
+          .coalesce(1).write.mode("append").parquet(dir)
+        EventStreams.stampLanding(dir, seq0 + i)
+      }
+    // uninterrupted twin over the same landing sequence
+    land(s"$base/landingU", slabs, 0)
+    EventStreams.runScd2ToFiles(spark,
+      s"$base/landingU", s"$base/ckU", s"$base/stU")
+    val want = spark.read
+      .parquet(EventStreams.latestScd2Table(s"$base/stU").get)
+      .orderBy("user_id", "version").collect().map(_.toSeq).toSeq
+    // interrupted: two batches, kill, two more, resume
+    land(s"$base/landingI", slabs.take(2), 0)
+    EventStreams.runScd2ToFiles(spark,
+      s"$base/landingI", s"$base/ckI", s"$base/stI")
+    val phaseA = spark.read
+      .parquet(EventStreams.latestScd2Table(s"$base/stI").get)
+    val phaseACurrent = phaseA.where(col("is_current"))
+      .select("user_id", "version").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(phaseACurrent.nonEmpty, "phase A maintained nothing")
+    land(s"$base/landingI", slabs.drop(2), 10)
+    EventStreams.runScd2ToFiles(spark,
+      s"$base/landingI", s"$base/ckI", s"$base/stI")
+    val got = spark.read
+      .parquet(EventStreams.latestScd2Table(s"$base/stI").get)
+      .orderBy("user_id", "version").collect().map(_.toSeq).toSeq
+    assert(got === want, "resumed maintenance != uninterrupted run")
+    // the resume did real close-out work on recovered state: some row
+    // current at the kill is no longer current in the final table
+    val finalCurrent = spark.read
+      .parquet(EventStreams.latestScd2Table(s"$base/stI").get)
+      .where(col("is_current")).select("user_id", "version").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((phaseACurrent -- finalCurrent).nonEmpty,
+      "no phase-A current row was closed out after the resume")
+  }
+
   test("q90 bounded dedup horizon: state is EVICTED, then re-emits past it") {
     // q86's state grows with distinct content forever; q90's contract is
     // that a key is held only one DedupHorizon past its ingest time.

@@ -367,6 +367,9 @@ object SparkEntry {
     // watermark proves no future match — flush rows on BOTH inputs.
     "q137_stream_outer_join" ->
       (graft.streaming.EventStreams.q137StreamOuterJoin _),
+    // q138 is the TPC-H Q10 shape: returned-item revenue star join +
+    // top-20 via bounded heaps, dimension broadcasts, pushed filters.
+    "q138_revenue_report" -> (RelationalQueries.q138RevenueReport _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -1408,6 +1411,30 @@ object SparkEntry {
         |  AND view_ts <= click_ts
         |  AND view_ts >= click_ts - INTERVAL 1 HOUR
         |ORDER BY user_id, click_id, view_id NULLS FIRST""".stripMargin,
+    // q138: revenue summed in integer 1e-4 units (cents x discount
+    // percent) — a rounded double SUM lands on .005 ties the two
+    // engines round apart; the integer sum is exact and the top-20
+    // cut orders on it.
+    "q138_revenue_report" ->
+      """WITH j AS (
+        |  SELECT c_custkey, c_name, n_name, c_acctbal,
+        |         round(l_extendedprice * 100)::BIGINT *
+        |           (100 - round(l_discount * 100)::BIGINT) AS rev_e4
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-04-01'),
+        |g AS (SELECT c_custkey, c_name, n_name, c_acctbal,
+        |             sum(rev_e4) AS rev_e4, count(*) AS n_items
+        |      FROM j GROUP BY 1, 2, 3, 4)
+        |SELECT c_custkey, c_name, n_name, c_acctbal,
+        |       rev_e4::DOUBLE / 10000.0 AS revenue,
+        |       n_items::BIGINT AS n_items
+        |FROM g
+        |ORDER BY rev_e4 DESC, c_custkey LIMIT 20""".stripMargin,
     "q32_json_extract" ->
       """SELECT event_type, count(*) AS cnt,
         |       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,

@@ -562,6 +562,55 @@ object RelationalQueries {
       .orderBy("window_end")
   }
 
+  /** Q138: the TPC-H Q10 shape — returned-item revenue report: which
+    * customers returned the most revenue in a quarter, with their
+    * nation. The classic star-join + aggregate + top-k every warehouse
+    * runs: lineitem (facts, returnflag filter pushed to the scan) joins
+    * orders (date-range filter pushed) on orderkey, the result joins
+    * customer on custkey, nation broadcasts onto it; revenue aggregates
+    * per customer and top-20 plans as TakeOrderedAndProject (bounded
+    * heaps — never a global sort). At 100 TB the two fact-side joins
+    * shuffle on their natural keys once each and AQE handles the
+    * post-filter size estimates; the dimension tables ride broadcasts.
+    *
+    * Numeric discipline: revenue is summed in INTEGER 1e-4 units —
+    * price recovered to exact cents, discount to exact percent (both
+    * are 2-decimal quantities stored as doubles; round(x·100) recovers
+    * the integer identically on both engines) — because a rounded SUM
+    * of doubles lands on .005 ties that Spark and DuckDB round apart
+    * (measured on this very query: 307843.595 → .60 vs .59). The
+    * integer sum is exact, the top-20 cut orders on it, and the
+    * display value is one shared division. */
+  def q138RevenueReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev_e4"))
+    val ord = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit(java.sql.Date.valueOf("1996-01-01")) &&
+        col("o_orderdate") < lit(java.sql.Date.valueOf("1996-04-01")))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"))
+    val nat = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
+        col("c_acctbal"))
+      .agg(sum(col("rev_e4")).as("rev_e4"), count(lit(1)).as("n_items"))
+      .orderBy(col("rev_e4").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("c_acctbal"),
+        (col("rev_e4").cast("double") / 10000.0).as("revenue"),
+        col("n_items"))
+  }
+
   /** Q105 knobs, shared with the spec. */
   private[graft] val QuantileBuckets = 256
   private[graft] val QuantileCollectLimit = 100000L

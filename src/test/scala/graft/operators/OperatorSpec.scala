@@ -2015,6 +2015,42 @@ class OperatorSpec extends SparkSpec {
       "z-score was expected to MISS the moderate outlier (masking)")
   }
 
+  test("q138 revenue report: JVM replay; pushed filters and heap top-k") {
+    val dfq = RelationalQueries.q138RevenueReport(spark, sfDir)
+    val got = dfq.collect().map(r => (r.getLong(0), r.getString(2),
+      r.getDouble(4), r.getLong(5)))
+    // driver replay of the star join in exact integer units
+    val li = Tables.lineitem(spark, sfDir)
+      .where(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getLong(0),
+        math.round(r.getDouble(1) * 100) *
+          (100L - math.round(r.getDouble(2) * 100))))
+    val ord = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit(java.sql.Date.valueOf("1996-01-01")) &&
+        col("o_orderdate") < lit(java.sql.Date.valueOf("1996-04-01")))
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val nat = Tables.nation(spark, sfDir)
+      .select("n_nationkey", "n_name").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toMap
+    val agg = li.flatMap { case (ok, rev) => ord.get(ok).map((_, rev)) }
+      .groupBy(_._1).map { case (ck, rs) =>
+        (ck, nat(cust(ck)), rs.map(_._2).sum, rs.size.toLong) }
+    val expect = agg.toSeq
+      .sortBy { case (ck, _, rev, _) => (-rev, ck) }.take(20)
+      .map { case (ck, nn, rev, n) => (ck, nn, rev.toDouble / 10000.0, n) }
+    assert(got.toSeq === expect)
+    // filters reach the scans; the top-20 is a bounded heap
+    val plan = dfq.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(l_returnflag,R)"), plan.take(3000))
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
   test("q112 boundary: a gap of EXACTLY 30 minutes starts a session") {
     import spark.implicits._
     def ts(micros: Long): java.sql.Timestamp = {

@@ -370,6 +370,10 @@ object SparkEntry {
     // q138 is the TPC-H Q10 shape: returned-item revenue star join +
     // top-20 via bounded heaps, dimension broadcasts, pushed filters.
     "q138_revenue_report" -> (RelationalQueries.q138RevenueReport _),
+    // q139 is equi-depth feature quantization: per-lang token-count
+    // deciles from nine bisected order statistics, broadcast, nine
+    // codegen'd comparisons per row — no ntile window sort.
+    "q139_decile_binning" -> (TextQueries.q139DecileBinning _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -1435,6 +1439,26 @@ object SparkEntry {
         |       n_items::BIGINT AS n_items
         |FROM g
         |ORDER BY rev_e4 DESC, c_custkey LIMIT 20""".stripMargin,
+    // q139: thresholds at the ceil-rank contract; equal-to-threshold
+    // stays in the lower bucket on both engines.
+    "q139_decile_binning" ->
+      (tokListCte + """,
+        |v AS (SELECT doc_id, lang, len(t)::BIGINT AS v FROM toks),
+        |n AS (SELECT lang, count(*) AS n FROM v GROUP BY 1),
+        |rv AS (SELECT v.*, row_number() OVER (PARTITION BY lang
+        |                                      ORDER BY v) AS rn
+        |       FROM v),
+        |p(pct) AS (VALUES (10), (20), (30), (40), (50), (60), (70),
+        |                  (80), (90)),
+        |th AS (SELECT rv.lang, p.pct, rv.v AS t
+        |       FROM rv JOIN n USING (lang)
+        |       JOIN p ON rv.rn = (n.n * p.pct + 99) // 100)
+        |SELECT v.doc_id, v.lang, v.v AS token_cnt,
+        |       (1 + sum(CASE WHEN v.v > th.t THEN 1 ELSE 0 END))::BIGINT
+        |         AS decile
+        |FROM v JOIN th USING (lang)
+        |GROUP BY v.doc_id, v.lang, v.v
+        |ORDER BY doc_id""".stripMargin),
     "q32_json_extract" ->
       """SELECT event_type, count(*) AS cnt,
         |       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,

@@ -1076,6 +1076,39 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Q139: EQUI-DEPTH DECILE BINNING — feature quantization for
+    * training pipelines: each doc's token count becomes a per-language
+    * decile id (1..10), the bucketing a curriculum/length-balancing
+    * recipe keys on. Thresholds are the nine exact order statistics at
+    * p = 10..90 (q109's ceil-rank contract, duplicates counted), ALL
+    * answered in the same batched bisection rounds — zero corpus
+    * shuffle — then broadcast as one 9-element array per language;
+    * the decile id is 1 + the count of thresholds strictly below the
+    * value, nine codegen'd comparisons per row, map-side. A value
+    * EQUAL to a threshold stays in the lower bucket (pinned both
+    * engines). The ntile() window alternative sorts the corpus per
+    * stratum and, worse, splits EQUAL values across buckets by
+    * partition order — not reproducible, not oracle-expressible. */
+  def q139DecileBinning(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val vals = docFeatures(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        col("token_cnt").cast("long").as("v"))
+    val pcts = (10 to 90 by 10).toSeq
+    val th = RelationalQueries.groupedQuantiles(
+        vals.select(col("lang").as("g"), col("v")), pcts)
+      .groupBy(_._1).map { case (g, rows) =>
+        (g, rows.sortBy(_._2).map(_._3))
+      }.toSeq.toDF("lang", "ts")
+    val decile = (1 to 9).map(i =>
+      (col("v") > element_at(col("ts"), i)).cast("long"))
+      .foldLeft(lit(1L))(_ + _)
+    vals.join(broadcast(th), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("v").as("token_cnt"),
+        decile.as("decile"))
+      .orderBy("doc_id")
+  }
+
   /** Q129's fixed retrieval query (terms from the q101 phrase
     * vocabulary, so the postings they touch are already exercised). */
   val Bm25Terms: Seq[String] = Seq("stream", "table", "hash")

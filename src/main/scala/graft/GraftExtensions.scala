@@ -122,6 +122,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         graft.functions.CommonPrefixLen(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("cut_spans"),
+      info(classOf[graft.functions.CutSpans].getName, "cut_spans",
+        "cut_spans(text, cuts) - text with every 1-based character " +
+          "interval [span_start, span_end) in cuts removed; cuts is an " +
+          "array<struct<span_start bigint, span_end bigint>> sorted " +
+          "ascending and disjoint (one codegen byte walk)"),
+      (children: Seq[Expression]) =>
+        graft.functions.CutSpans(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_quality"),
       info(graft.operators.TextQueries.getClass.getName, "graft_quality",
         "graft_quality(text) - q24 quality score from length/alnum/" +

@@ -341,8 +341,8 @@ object SparkEntry {
     // one corpus pass builds the KMV sketches, Theta-style combines do
     // the rest; estimates are deterministic and hash-checked.
     "q131_kmv_setops" -> (RelationalQueries.q131KmvSetOps _),
-    // q132 is the product-analytics cohort matrix: first-activity week
-    // cohorts x week offsets, distinct actives and integer-permille
+    // q132 is the product-analytics cohort matrix: first-activity day
+    // cohorts x day offsets, distinct actives and integer-permille
     // retention — the standard two-exchange shape.
     "q132_cohort_retention" -> (RelationalQueries.q132CohortRetention _),
     // q133 maintains q126's SCD2 table INCREMENTALLY from a CDC stream
@@ -358,7 +358,7 @@ object SparkEntry {
     // either direction, ties pinned to the earlier event — two native
     // merge scans and one map-side pick.
     "q135_nearest_asof" -> (AsofJoin.q135NearestAsof _),
-    // q136 is q70's outlier gate made skew-proof: |x - median| > 3 MAD,
+    // q136 is q70's outlier gate made skew-proof: |x - median| > 2 MAD,
     // both order statistics by the zero-corpus-shuffle bisection,
     // integer arithmetic end to end.
     "q136_mad_outliers" -> (TextQueries.q136MadOutliers _),
@@ -1698,6 +1698,13 @@ object SparkEntry {
     // per-term tf/df in fixed slots, one left-associated score
     // expression with the same double literals, rounding only at
     // display. ln() of identically-computed ratios is bit-stable.
+    // KNOWN ASSUMPTION (gate-level): JVM Math.log and the oracle
+    // engine's libm log agree to the last ulp on these inputs —
+    // verified on this platform; a last-ulp divergence landing exactly
+    // on a .00005 boundary of round(score, 4) would flip one display
+    // digit. If the gate ever reds on another platform, the documented
+    // fallback is the spec's rows-plus-5e-5-tolerance replay
+    // (Bm25 section of OperatorSpec), not a code bug.
     "q129_bm25" ->
       s"""$tokListCte,
          |tf AS (SELECT doc_id, w, count(*) AS tf
@@ -1823,7 +1830,7 @@ object SparkEntry {
         |FROM pairs p JOIN us USING (type_a, type_b)
         |JOIN cm USING (type_a, type_b)
         |ORDER BY type_a, type_b""".stripMargin,
-    // q132: ISO week truncation, integer week offsets, and permille
+    // q132: day truncation, integer day offsets, and permille
     // retention are all integer-exact on both engines.
     "q132_cohort_retention" ->
       """WITH e AS (SELECT user_id, ts FROM events

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `cut_spans(text, cuts)` — the surviving text after removing every
+  * 1-based, character-indexed `[span_start, span_end)` interval in
+  * `cuts` from `text`. `cuts` is an `array<struct<span_start: long,
+  * span_end: long>>` and must be SORTED ascending and DISJOINT — the
+  * exact contract q119's trim plan pins for its merged intervals
+  * (spans disjoint + ordered + in-doc, spec-pinned), so the one
+  * producer in the engine satisfies it by construction.
+  *
+  * This is the codegen replacement for q121's interpreted `aggregate`
+  * fold (the reference dedup discipline — Lee et al. ACL '22 trim
+  * spans, not docs — applied to the corpus): the fold was the last
+  * interpreted higher-order function adjacent to a documents scan
+  * (CodegenFallback, SURVEY §2.10's house rule), while this expression
+  * is ONE byte walk over the text inside whole-stage codegen — each
+  * UTF-8 lead byte advances the character counter, continuation bytes
+  * ride along, and a character's bytes are copied iff it lies outside
+  * the current span. Characters are CODE POINTS, the same unit Spark's
+  * `substr` used in the fold twin (equality differential-spec-pinned
+  * on the live q119 relation and on constructed unicode/edge cases).
+  *
+  * Null semantics: null text or null cuts → null (the q121 call site
+  * keeps its `when(cuts.isNull, text)` guard — span-free docs never
+  * enter the expression). Out-of-range spans degrade exactly like the
+  * fold: positions past the text end simply have nothing to cut.
+  */
+case class CutSpans(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(text: Any, cuts: Any): Any =
+    CutSpans.cutSpans(
+      text.asInstanceOf[UTF8String], cuts.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, c) =>
+      s"${ev.value} = graft.functions.CutSpans$$.MODULE$$.cutSpans($t, $c);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CutSpans =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cut_spans"
+}
+
+object CutSpans {
+
+  /** Column-API lift (the Bridge pattern shared by every native
+    * expression in this package). */
+  def of(text: Column, cuts: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(CutSpans(
+      org.apache.spark.sql.graftbridge.Bridge.expression(text),
+      org.apache.spark.sql.graftbridge.Bridge.expression(cuts)))
+
+  /** Shared by interpreted eval and generated code: single pass over
+    * the UTF-8 bytes, tracking the 1-based code-point index of the
+    * character starting at the cursor; sorted disjoint spans advance
+    * monotonically with it, so the whole call is O(bytes + spans) with
+    * one output allocation. */
+  def cutSpans(text: UTF8String, cuts: ArrayData): UTF8String = {
+    val bytes = text.getBytes
+    val nCuts = cuts.numElements()
+    if (nCuts == 0) return UTF8String.fromBytes(bytes)
+    val out = new Array[Byte](bytes.length)
+    var o = 0       // bytes written
+    var i = 0       // byte cursor (always at a char boundary)
+    var ch = 1L     // 1-based code-point index of the char at `i`
+    var s = 0       // current span
+    var start = cuts.getStruct(0, 2).getLong(0)
+    var end = cuts.getStruct(0, 2).getLong(1)
+    while (i < bytes.length) {
+      // full UTF-8 sequence of the char at i: lead byte + continuations
+      var j = i + 1
+      while (j < bytes.length && (bytes(j) & 0xC0) == 0x80) j += 1
+      // spans are sorted+disjoint: once ch passes a span's end it never
+      // matters again
+      while (s < nCuts && ch >= end) {
+        s += 1
+        if (s < nCuts) {
+          val c = cuts.getStruct(s, 2)
+          start = c.getLong(0)
+          end = c.getLong(1)
+        } else {
+          start = Long.MaxValue
+          end = Long.MaxValue
+        }
+      }
+      if (ch < start) { // outside every span: keep the char's bytes
+        System.arraycopy(bytes, i, out, o, j - i)
+        o += j - i
+      }
+      ch += 1
+      i = j
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
+  }
+}

@@ -68,8 +68,13 @@ object AsofJoin {
       .orderBy(col(ts).asc, col("__side").asc,
         col("__r").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // internal-unit extraction matching the native twin's contract:
+    // microseconds for timestamps, DAYS for dates (a bare cast("long")
+    // fails analysis on DateType), the value itself for integrals
     def units(c: Column): Column = left.schema(ts).dataType match {
       case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case org.apache.spark.sql.types.DateType =>
+        datediff(c, to_date(lit("1970-01-01"))).cast("long")
       case _ => c.cast("long")
     }
     val freshCol = tolerance match {

@@ -784,8 +784,11 @@ object RelationalQueries {
       .select(col("lang"), explode(typedLit(Seq(50, 95))).as("pct"),
         col("sample"))
       .select(col("lang"), col("pct"),
-        element_at(col("sample"),
-          expr("CAST((size(sample) * pct + 99) DIV 100 AS INT)"))
+        // an all-null group yields an empty sketch; rank 0 would make
+        // element_at THROW, so guard to null instead
+        when(size(col("sample")) > 0,
+          element_at(col("sample"),
+            expr("CAST((size(sample) * pct + 99) DIV 100 AS INT)")))
           .as("token_cnt_est"),
         size(col("sample")).cast("long").as("sample_n"))
       .orderBy("lang", "pct")

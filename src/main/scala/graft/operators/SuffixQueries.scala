@@ -439,12 +439,42 @@ object SuffixQueries {
     * sf0.01 against 500 docs), so the per-doc span arrays are a
     * docs-sized side that joins the documents scan on doc_id; the
     * reconstruction is one pass over each doc's text with its sorted
-    * span array (a fold over `aggregate`: concatenate the gap before
-    * each span, then the tail) — no position explosion, no
+    * span array — the native [[graft.functions.CutSpans]] byte walk,
+    * inside whole-stage codegen on the documents scan (the interpreted
+    * `aggregate` fold it replaced is kept as [[survivingFold]], the
+    * differential twin) — no position explosion, no
     * corpus-sized exchange beyond the doc-keyed join. Span arrays are
     * bounded by n_chars / DupThreshold per doc, the merged-interval
     * bound. Spec pins removed_chars == q118's dup_chars doc-for-doc
     * (the spans ARE the coverage), and the md5 against a JVM replay. */
+  /** Surviving text via the native codegen byte walk
+    * ([[graft.functions.CutSpans]]); span-free docs (null `cuts` from
+    * the left join) pass through untouched. */
+  private[graft] def survivingNative(text: Column, cuts: Column): Column =
+    when(cuts.isNull, text)
+      .otherwise(graft.functions.CutSpans.of(text, cuts))
+
+  /** The interpreted `aggregate`-fold twin CutSpans replaced — kept as
+    * the differential oracle (CutSpansParitySpec pins equality on the
+    * live q119 relation and constructed edge/unicode cases): state =
+    * (next uncut position, accumulated surviving text); each span
+    * appends the gap before it, the finisher the tail after the last
+    * span. CodegenFallback — never on the shipped q121 path. */
+  private[graft] def survivingFold(text: Column, cuts: Column): Column =
+    when(cuts.isNull, text).otherwise(
+      aggregate(
+        cuts,
+        struct(lit(1L).as("p"), lit("").as("acc")),
+        (st, c) => struct(
+          c.getField("span_end").as("p"),
+          concat(st.getField("acc"),
+            text.substr(st.getField("p").cast("int"),
+              (c.getField("span_start") - st.getField("p")).cast("int")))
+            .as("acc")),
+        st => concat(st.getField("acc"),
+          text.substr(st.getField("p").cast("int"),
+            (length(text) + 1 - st.getField("p")).cast("int")))))
+
   def q121SuffixTrimmed(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val cuts = q119TrimPlan(spark, sfDir)
@@ -453,24 +483,8 @@ object SuffixQueries {
         struct(col("span_start"), col("span_end")))).as("cuts"))
     val joined = docs.select(col("doc_id"), col("text"))
       .join(cuts, Seq("doc_id"), "left")
-    // fold over the sorted disjoint spans: state = (next uncut position,
-    // accumulated surviving text); each span appends the gap before it,
-    // the finisher appends the tail after the last span
-    val surviving = when(col("cuts").isNull, col("text")).otherwise(
-      aggregate(
-        col("cuts"),
-        struct(lit(1L).as("p"), lit("").as("acc")),
-        (st, c) => struct(
-          c.getField("span_end").as("p"),
-          concat(st.getField("acc"),
-            col("text").substr(st.getField("p").cast("int"),
-              (c.getField("span_start") - st.getField("p")).cast("int")))
-            .as("acc")),
-        st => concat(st.getField("acc"),
-          col("text").substr(st.getField("p").cast("int"),
-            (length(col("text")) + 1 - st.getField("p")).cast("int")))))
     joined
-      .withColumn("surv", surviving)
+      .withColumn("surv", survivingNative(col("text"), col("cuts")))
       .select(col("doc_id"),
         length(col("text")).cast(LongType).as("n_chars"),
         length(col("surv")).cast(LongType).as("kept_chars"),

@@ -303,6 +303,20 @@ object EventStreams {
       }
   }
 
+  /** FIXTURE-ONLY landing write: exactly one parquet file per call,
+    * mtime-stamped so landing order IS batch order ([[stampLanding]]).
+    * The `.coalesce(1)` inside is a test seam, never an ingest pattern:
+    * demos and specs need one file per snapshot so maxFilesPerTrigger=1
+    * maps snapshots to micro-batches deterministically. A production
+    * landing dir receives its files from the upstream feed (a crawl, a
+    * CDC log) and the SAME drain plan consumes them at full write
+    * parallelism — nothing outside fixture construction may call this. */
+  private[graft] def fixtureLandOneFile(df: DataFrame, landing: String,
+      seq: Int): Unit = {
+    df.coalesce(1).write.mode("append").parquet(landing)
+    stampLanding(landing, seq)
+  }
+
   private val sinkId = new AtomicInteger(0)
 
   /** State partition width for these streams. Stateful operators commit
@@ -405,17 +419,11 @@ object EventStreams {
     // (Bench's warmup swallows per-query exceptions, so a success-only
     // cleanup would leak one corpus copy per failed pass)
     try {
-      // coalesce(1) is a TEST SEAM, not an ingest pattern: the demo needs
-      // exactly one file per snapshot so maxFilesPerTrigger=1 maps
-      // snapshots to micro-batches deterministically. A production
-      // landing dir receives many files per crawl and the same plan
-      // drains them at full write parallelism — never single-task writes.
-      docs.coalesce(1).write.mode("append").parquet(landing)
-      stampLanding(landing, 0)
-      graft.operators.CurationPipeline.snapshotB(docs)
-        .select("doc_id", "lang", "text")
-        .coalesce(1).write.mode("append").parquet(landing)
-      stampLanding(landing, 1)
+      fixtureLandOneFile(docs, landing, 0)
+      fixtureLandOneFile(
+        graft.operators.CurationPipeline.snapshotB(docs)
+          .select("doc_id", "lang", "text"),
+        landing, 1)
       runToTable(contentDedupPlan(docLandingStream(s, landing)),
           OutputMode.Append())
         .orderBy("content_md5")
@@ -470,17 +478,15 @@ object EventStreams {
     val landing = java.nio.file.Files
       .createTempDirectory("graft-stream-dedup-horizon").toString
     try {
-      def land(df: DataFrame, day: String): Unit = df
-        .withColumn("ingest_ts", to_timestamp(lit(s"$day 00:00:00")))
-        .coalesce(1).write.mode("append").parquet(landing)
       val schedule = Seq(
         (docs, "2024-01-01"),
         (advancer, "2024-03-01"),
         (filler.unionByName(advancer), "2024-03-02"),
         (docs, "2024-03-03"))
       schedule.zipWithIndex.foreach { case ((df, day), i) =>
-        land(df, day)
-        stampLanding(landing, i) // landing order IS batch order
+        fixtureLandOneFile(
+          df.withColumn("ingest_ts", to_timestamp(lit(s"$day 00:00:00"))),
+          landing, i) // landing order IS batch order
       }
       val docSchema = StructType(Seq(
         StructField("doc_id", LongType), StructField("lang", StringType),
@@ -882,20 +888,28 @@ object EventStreams {
     val updates = graft.operators.RelationalQueries
       .scd2Updates(graft.Tables.events(s, sfDir))
     // quartile cut points: four landing files, strictly ascending in
-    // event time (rows tying a boundary stay in one file)
-    val qs = updates
-      .selectExpr("percentile(unix_micros(ts), array(0.25, 0.5, 0.75))")
-      .head().getSeq[Double](0).map(_.toLong)
+    // event time (rows tying a boundary stay in one file). Order
+    // statistics via the house bisection engine (groupedQuantiles) —
+    // NOT percentile(), whose buffer-every-value-in-one-task shape is
+    // exactly what q105's scaladoc bans at scale; any ascending cut
+    // points give a valid CDC split, so the exact rank-ceil statistic
+    // serves as well as the interpolated percentile did
+    val qs = graft.operators.RelationalQueries
+      .groupedQuantiles(
+        updates.select(lit("all").as("g"),
+          expr("unix_micros(ts)").as("v")),
+        Seq(25, 50, 75))
+      .sortBy(_._2).map(_._3)
     val landing = java.nio.file.Files
       .createTempDirectory("graft-scd2-landing").toString
     val stateDir = java.nio.file.Files
       .createTempDirectory("graft-scd2-state").toString
     val bounds = (Long.MinValue +: qs) :+ Long.MaxValue
     bounds.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
-      updates.where(expr("unix_micros(ts)") > lo &&
-          expr("unix_micros(ts)") <= hi)
-        .coalesce(1).write.mode("append").parquet(landing)
-      stampLanding(landing, i)
+      fixtureLandOneFile(
+        updates.where(expr("unix_micros(ts)") > lo &&
+          expr("unix_micros(ts)") <= hi),
+        landing, i)
     }
     runScd2ToFiles(spark, landing, stateDir + "/ckpt", stateDir)
     val cur = latestScd2Table(stateDir)

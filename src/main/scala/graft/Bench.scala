@@ -61,6 +61,7 @@ object Bench {
       operators.CurationPipeline.curatedHandoff(spark, sfDir).count()
       operators.SuffixQueries.suffixShared(spark, sfDir).count()
       operators.SuffixQueries.suffixPositions(spark, sfDir).count()
+      operators.CurationPipeline.trimmedFeatures(spark, sfDir).count()
       // driver-held index models (IVF codebooks, PQ sub-codebooks) and
       // the PQ-coded index table — trained/written once per session;
       // without the prebuild the first timed q57/q76-q78 pass would pay

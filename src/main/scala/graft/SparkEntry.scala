@@ -374,6 +374,12 @@ object SparkEntry {
     // deciles from nine bisected order statistics, broadcast, nine
     // codegen'd comparisons per row — no ntile window sort.
     "q139_decile_binning" -> (TextQueries.q139DecileBinning _),
+    // q140 composes the round-13 family in ONE hash-checked plan:
+    // suffix trim (q121) -> MAD gate on the TRIMMED counts (q136) ->
+    // per-lang decile tag over survivors (q139) -> exact-count
+    // stratified sample (q127). One corpus-shaped artifact, every
+    // order statistic a bisection, gates/tags map-side.
+    "q140_curation_v3" -> (CurationPipeline.q140CurationV3 _),
   )
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
@@ -2994,6 +3000,92 @@ object SparkEntry {
          |         AS removed_chars,
          |       md5(coalesce(v.s, d.text)) AS trimmed_md5
          |FROM documents d LEFT JOIN sv v USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // q140 recomputes the WHOLE composed pipeline from the documents
+    // table: q121's trim replay -> tokenize the TRIMMED text -> q136's
+    // MAD gate -> q139's deciles over the survivors -> q127's sample
+    // window. The multiply-referenced CTEs are MATERIALIZED (a CTE
+    // DuckDB inlines re-expands its whole lineage per reference — with
+    // the suffix replay underneath, that's exponential).
+    "q140_curation_v3" ->
+      s"""$suffixCovSql,
+         |isl AS (SELECT doc_id, pos, e,
+         |               sum(CASE WHEN pos > coalesce(pmax, 0)
+         |                        THEN 1 ELSE 0 END)
+         |                 OVER (PARTITION BY doc_id ORDER BY pos
+         |                       ROWS UNBOUNDED PRECEDING) AS island
+         |        FROM wz),
+         |spans AS (SELECT doc_id, min(pos)::BIGINT AS s,
+         |                 max(e)::BIGINT AS e2
+         |          FROM isl GROUP BY doc_id, island),
+         |segs AS (
+         |  SELECT doc_id,
+         |         coalesce(lag(e2) OVER (PARTITION BY doc_id ORDER BY s),
+         |                  1) AS ks,
+         |         s AS ke
+         |  FROM spans
+         |  UNION ALL
+         |  SELECT doc_id, max(e2) AS ks, NULL AS ke
+         |  FROM spans GROUP BY doc_id),
+         |sv AS (
+         |  SELECT d.doc_id,
+         |         string_agg(substr(d.text, g.ks::INT,
+         |             (coalesce(g.ke, length(d.text) + 1) - g.ks)::INT),
+         |           '' ORDER BY g.ks) AS s
+         |  FROM documents d JOIN segs g USING (doc_id)
+         |  GROUP BY d.doc_id),
+         |tv AS MATERIALIZED (
+         |  SELECT d.doc_id, d.lang,
+         |         len(list_filter(list_transform(
+         |           string_split_regex(lower(coalesce(v.s, d.text)),
+         |                              '[^a-z0-9]+'),
+         |           x -> substr(x, 1, 255)), x -> length(x) > 0))::BIGINT
+         |           AS v
+         |  FROM documents d LEFT JOIN sv v USING (doc_id)),
+         |n AS (SELECT lang, count(*) AS n FROM tv GROUP BY 1),
+         |rv AS (SELECT tv.*, row_number() OVER (PARTITION BY lang
+         |                                       ORDER BY v) AS rn
+         |       FROM tv),
+         |med AS (SELECT rv.lang, rv.v AS med FROM rv JOIN n USING (lang)
+         |        WHERE rn = (n * 50 + 99) // 100),
+         |dv AS MATERIALIZED (
+         |  SELECT tv.doc_id, tv.lang, tv.v, abs(tv.v - med.med) AS dev
+         |  FROM tv JOIN med USING (lang)),
+         |rd AS (SELECT dv.*, row_number() OVER (PARTITION BY lang
+         |                                       ORDER BY dev) AS rn
+         |       FROM dv),
+         |mad AS (SELECT lang, dev AS mad FROM rd JOIN n USING (lang)
+         |        WHERE rn = (n * 50 + 99) // 100),
+         |sur AS MATERIALIZED (
+         |  SELECT dv.doc_id, dv.lang, dv.v FROM dv JOIN mad USING (lang)
+         |  WHERE dev <= 2 * mad.mad),
+         |n2 AS (SELECT lang, count(*) AS n FROM sur GROUP BY 1),
+         |rv2 AS (SELECT sur.*, row_number() OVER (PARTITION BY lang
+         |                                         ORDER BY v) AS rn
+         |        FROM sur),
+         |p(pct) AS (VALUES (10), (20), (30), (40), (50), (60), (70),
+         |                  (80), (90)),
+         |th AS (SELECT rv2.lang, p.pct, rv2.v AS t
+         |       FROM rv2 JOIN n2 USING (lang)
+         |       JOIN p ON rv2.rn = (n2.n * p.pct + 99) // 100),
+         |dec AS (SELECT sur.doc_id, sur.lang, sur.v,
+         |               (1 + sum(CASE WHEN sur.v > th.t THEN 1 ELSE 0
+         |                        END))::BIGINT AS decile
+         |        FROM sur JOIN th USING (lang)
+         |        GROUP BY sur.doc_id, sur.lang, sur.v),
+         |h AS (SELECT dec.*,
+         |             ('0x' || substr(md5('exact:' || lang || ':' ||
+         |                                 doc_id::VARCHAR), 1, 15))::BIGINT
+         |               AS hv,
+         |             CASE WHEN lang = 'en' THEN 50 ELSE 20 END AS pct
+         |      FROM dec),
+         |r AS (SELECT h.*, row_number() OVER (PARTITION BY lang
+         |                                     ORDER BY hv, doc_id) AS rk
+         |      FROM h),
+         |ns AS (SELECT lang, count(*) AS n_g FROM h GROUP BY 1)
+         |SELECT r.doc_id, r.lang, r.v AS token_cnt, r.decile, r.hv
+         |FROM r JOIN ns USING (lang)
+         |WHERE rk <= (ns.n_g * pct + 99) // 100
          |ORDER BY doc_id""".stripMargin,
   )
 

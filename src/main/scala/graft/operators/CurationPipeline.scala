@@ -818,12 +818,15 @@ object CurationPipeline {
 
   /** Exactly ceil(pct_g·N_g/100) rows per group, the smallest-`hv` ones
     * (ties at the threshold broken by doc_id). Input columns:
-    * (doc_id, lang, hv: long, pct: int — constant within a lang). */
-  private[graft] def exactStratifiedSample(df: DataFrame): DataFrame = {
+    * (doc_id, lang, hv: long, pct: int — constant within a lang);
+    * `extra` names further input columns carried through to the
+    * output unchanged (q140's token_cnt/decile tags ride here). */
+  private[graft] def exactStratifiedSample(df: DataFrame,
+      extra: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val keyed = df.select(col("lang").as("g"), col("hv").as("v"),
-      col("doc_id"), col("pct"))
+    val keyed = df.select(Seq(col("lang").as("g"), col("hv").as("v"),
+      col("doc_id"), col("pct")) ++ extra.map(col): _*)
     // per-stratum rate map (tiny: one row per stratum)
     val rates = keyed.select("g", "pct").distinct().collect()
       .map(r => (r.getString(0), r.getInt(1))).toMap
@@ -849,9 +852,9 @@ object CurationPipeline {
         Window.partitionBy("g").orderBy("doc_id")))
       .join(broadcast(quota), Seq("g"))
       .where(col("rn") <= col("tie_quota"))
-    below.select(col("doc_id"), col("g").as("lang"), col("v").as("hv"))
-      .unionByName(ties.select(col("doc_id"), col("g").as("lang"),
-        col("v").as("hv")))
+    val outCols = Seq(col("doc_id"), col("g").as("lang"),
+      col("v").as("hv")) ++ extra.map(col)
+    below.select(outCols: _*).unionByName(ties.select(outCols: _*))
   }
 
   /** The full-sort twin q127 avoids: per-stratum rank window, kept as
@@ -910,5 +913,101 @@ object CurationPipeline {
       .withColumn("rk", row_number().over(
         Window.orderBy(col("sample_key").desc, col("doc_id"))).cast("long"))
       .orderBy("rk")
+  }
+
+  /** TRIMMED-corpus features: per doc, the token count of the q121
+    * suffix-trimmed text (exact-substring spans cut, the doc rebuilt
+    * from the kept segments). Materialized because q140's three
+    * order-statistic stages each run bisection passes over it — the
+    * artifact turns log₂₅₆(range) histogram rounds × three stages into
+    * re-scans of a tiny bucketed table instead of re-executions of the
+    * suffix-trim lineage (the Artifacts house rule: every corpus-scan
+    * product is a build-once table). */
+  private[graft] def trimmedFeatures(spark: SparkSession,
+      sfDir: String): DataFrame =
+    graft.Artifacts.materialize(spark,
+        "graft_trimfeat_" + Tables.dirKey(spark, sfDir), "doc_id") {
+      val cuts = SuffixQueries.q119TrimPlan(spark, sfDir)
+        .groupBy("doc_id")
+        .agg(array_sort(collect_list(
+          struct(col("span_start"), col("span_end")))).as("cuts"))
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .join(cuts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          size(Text.tokens(SuffixQueries
+            .survivingNative(col("text"), col("cuts"))))
+            .cast("long").as("token_cnt"))
+    }
+
+  /** Q140: CURATION PIPELINE v3 — the round-13 operator family composed
+    * in ONE hash-checked plan, the thing q64 proves for its own
+    * generation (integration is where artifact reuse and broadcast
+    * boundaries historically broke):
+    *
+    *  1. exact-substring TRIM (q121): every decision-grade cross-doc
+    *     span is cut and the doc rebuilt from the kept segments —
+    *     counts below come from the TRIMMED text ([[trimmedFeatures]]);
+    *  2. MAD length gate (q136's rule): drop docs whose trimmed token
+    *     count deviates from the per-lang median by more than 2·MAD —
+    *     the skew-proof outlier rule, now measuring post-trim reality
+    *     (a doc that was 90% boilerplate gates on its 10% of signal);
+    *  3. per-lang DECILE tag (q139): survivors get an equi-depth decile
+    *     id from nine exact order statistics over the SURVIVOR
+    *     distribution (thresholds move when the gate removes tails —
+    *     recomputed, not reused, by design);
+    *  4. exact-count stratified sample (q127): en 50% / others 20% of
+    *     survivors, the ceil(rate·N_g)-smallest-hash rows per lang.
+    *
+    * Scale shape: ONE corpus-shaped product (the trimmed-features
+    * artifact, built from the docs-sized span join — bucketed on
+    * doc_id); every order statistic (median, MAD, nine deciles, the
+    * per-lang sample thresholds) is a [[RelationalQueries
+    * .groupedQuantiles]] bisection over that artifact — zero
+    * corpus-sized shuffles end to end — and the gates/tags are map-side
+    * passes against broadcast constants. The oracle recomputes the
+    * whole chain from the documents table (suffix replay → trim →
+    * tokenize → MAD → deciles → sample window), so the hash gate pins
+    * the full composition, not the stages separately. */
+  def q140CurationV3(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val feats = trimmedFeatures(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("token_cnt").as("v"))
+    // stage 2: MAD gate on the trimmed counts (q136's two chained
+    // medians, each a bisection; constants broadcast back)
+    val med = RelationalQueries.groupedQuantiles(
+        feats.select(col("lang").as("g"), col("v")), Seq(50))
+      .map { case (g, _, m) => (g, m) }.toDF("lang", "med")
+    val withDev = feats.join(broadcast(med), Seq("lang"))
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = RelationalQueries.groupedQuantiles(
+        withDev.select(col("lang").as("g"), col("dev").as("v")), Seq(50))
+      .map { case (g, _, m) => (g, m) }.toDF("lang", "mad")
+    val survivors = withDev.join(broadcast(mad), Seq("lang"))
+      .where(col("dev") <= lit(2L) * col("mad"))
+      .select(col("doc_id"), col("lang"), col("v"))
+    // stage 3: decile tag over the SURVIVOR distribution (q139's nine
+    // thresholds in one batched bisection; equal values stay low)
+    val th = RelationalQueries.groupedQuantiles(
+        survivors.select(col("lang").as("g"), col("v")), 10 to 90 by 10)
+      .groupBy(_._1).map { case (g, rows) =>
+        (g, rows.sortBy(_._2).map(_._3))
+      }.toSeq.toDF("lang", "ts")
+    val decile = (1 to 9).map(i =>
+      (col("v") > element_at(col("ts"), i)).cast("long"))
+      .foldLeft(lit(1L))(_ + _)
+    val tagged = survivors.join(broadcast(th), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("v").as("token_cnt"),
+        decile.as("decile"))
+    // stage 4: exact-count stratified sample of the survivors (q127's
+    // machinery, tags carried through)
+    exactStratifiedSample(
+      tagged.select(col("doc_id"), col("lang"),
+        exactSampleHash(col("lang"), col("doc_id")).as("hv"),
+        when(col("lang") === "en", lit(50)).otherwise(lit(20)).as("pct"),
+        col("token_cnt"), col("decile")),
+      extra = Seq("token_cnt", "decile"))
+      .select("doc_id", "lang", "token_cnt", "decile", "hv")
+      .orderBy("doc_id")
   }
 }

@@ -37,6 +37,8 @@ object ArtifactProfile {
       operators.SuffixQueries.suffixShared(spark, sfDir).count())
     t("suffixPositions")(
       operators.SuffixQueries.suffixPositions(spark, sfDir).count())
+    t("trimmedFeatures")(
+      operators.CurationPipeline.trimmedFeatures(spark, sfDir).count())
     t("kmeansCodebook")(
       operators.SimilarityQueries.kmeansCodebook(spark, sfDir))
     t("pqIndex")(operators.ProductQuantization.pqIndex(spark, sfDir).count())

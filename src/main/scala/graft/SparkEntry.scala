@@ -380,7 +380,41 @@ object SparkEntry {
     // stratified sample (q127). One corpus-shaped artifact, every
     // order statistic a bisection, gates/tags map-side.
     "q140_curation_v3" -> (CurationPipeline.q140CurationV3 _),
+    // q141 is the multi-sketch merge q123's mergeability exists for:
+    // per-day bottom-k value sketches persisted as (hash, value) pairs,
+    // 7-day p50/p95 from re-aggregating the daily samples — bottom-k of
+    // a union of bottom-k's == bottom-k of the union, never a re-scan.
+    "q141_sliding_quantiles" -> (RelationalQueries.q141SlidingQuantiles _),
+    // q142 is q117's session funnel in APPEND mode: the watermark
+    // EVICTS finalized sessions (bounded state at a true streaming
+    // 100 TB, where Complete-mode state only grows), drained by q60's
+    // far-future flush row; after the flush it equals the Complete twin.
+    "q142_append_session_funnel" ->
+      (graft.streaming.EventStreams.q142AppendSessionFunnel _),
   )
+
+  /** Shared by q117 (Complete-mode session funnel) and q142 (the
+    * append-mode twin with watermark-evicted state): after q142's final
+    * flush the two are definitionally equal, so one oracle gates both. */
+  private val sessionFunnelOracle: String =
+    """WITH d AS (
+      |  SELECT user_id, ts, event_type,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                ROWS UNBOUNDED PRECEDING) AS sess FROM d)
+      |SELECT user_id,
+      |       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |       count(*) AS n_events,
+      |       (CASE WHEN min(CASE WHEN event_type = 'view' THEN ts END)
+      |                  <= max(CASE WHEN event_type = 'click' THEN ts END)
+      |             THEN 1 ELSE 0 END)::BIGINT AS converted
+      |FROM s GROUP BY user_id, sess
+      |ORDER BY user_id, session_start""".stripMargin
 
   /** Shared by q36 (composed as-of) and q100 (native AsofJoinExec). */
   private val asofOracle: String =
@@ -2873,25 +2907,12 @@ object SparkEntry {
     // side drops null-ts rows (watermark/session_window) and never
     // groups a null user_id, so without the filters the oracle would
     // only agree because the events fixture happens to carry no nulls.
-    "q117_stream_session_funnel" ->
-      """WITH d AS (
-        |  SELECT user_id, ts, event_type,
-        |         CASE WHEN lag(ts) OVER w IS NULL
-        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-        |         THEN 1 ELSE 0 END AS new_s
-        |  FROM events
-        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |                ROWS UNBOUNDED PRECEDING) AS sess FROM d)
-        |SELECT user_id,
-        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-        |       count(*) AS n_events,
-        |       (CASE WHEN min(CASE WHEN event_type = 'view' THEN ts END)
-        |                  <= max(CASE WHEN event_type = 'click' THEN ts END)
-        |             THEN 1 ELSE 0 END)::BIGINT AS converted
-        |FROM s GROUP BY user_id, sess
-        |ORDER BY user_id, session_start""".stripMargin,
+    "q117_stream_session_funnel" -> sessionFunnelOracle,
+    // q142 is q117 in APPEND mode with watermark-evicted state: after
+    // the final flush its output is exactly the Complete twin's, so the
+    // SAME oracle text gates both (eviction itself is spec-pinned:
+    // numRowsRemoved > 0).
+    "q142_append_session_funnel" -> sessionFunnelOracle,
     // q118's oracle finds each position's nearest other-doc suffix via
     // the gaps-and-islands run trick (same-doc rows form maximal runs;
     // the rows just outside a run are other-doc by maximality), takes
@@ -3087,6 +3108,41 @@ object SparkEntry {
          |FROM r JOIN ns USING (lang)
          |WHERE rk <= (ns.n_g * pct + 99) // 100
          |ORDER BY doc_id""".stripMargin,
+    // q141 replays the two-level bottom-k verbatim: per-day k smallest
+    // (h, v) pairs, then the k smallest of each 7-day union of the
+    // daily samples, then the ceil-rank order statistics — the sketch
+    // algebra is deterministic, so the estimates hash-check.
+    "q141_sliding_quantiles" ->
+      """WITH base AS (
+        |  SELECT ts::DATE AS day,
+        |         ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT
+        |           AS h,
+        |         round(value * 100)::BIGINT AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |rd AS (SELECT day, h, v,
+        |              row_number() OVER (PARTITION BY day ORDER BY h, v)
+        |                AS rn
+        |       FROM base),
+        |daily AS MATERIALIZED (SELECT day, h, v FROM rd WHERE rn <= 256),
+        |w AS (SELECT DISTINCT day AS window_end FROM daily),
+        |u AS (SELECT w.window_end, d.h, d.v
+        |      FROM w JOIN daily d
+        |        ON d.day BETWEEN w.window_end - 6 AND w.window_end),
+        |rm AS (SELECT window_end, h, v,
+        |              row_number() OVER (PARTITION BY window_end
+        |                                 ORDER BY h, v) AS rn
+        |       FROM u),
+        |s AS (SELECT window_end, v FROM rm WHERE rn <= 256),
+        |s2 AS (SELECT window_end, v,
+        |              row_number() OVER (PARTITION BY window_end
+        |                                 ORDER BY v) AS vr,
+        |              count(*) OVER (PARTITION BY window_end) AS m
+        |       FROM s),
+        |t(pct) AS (VALUES (50), (95))
+        |SELECT strftime(s2.window_end, '%Y-%m-%d') AS window_end, t.pct,
+        |       s2.v AS value_cents_est, s2.m::BIGINT AS sample_n
+        |FROM t JOIN s2 ON s2.vr = (s2.m * t.pct + 99) // 100
+        |ORDER BY window_end, pct""".stripMargin,
   )
 
   /** q118/q119's shared DuckDB replay: per-position best cross-doc LCP

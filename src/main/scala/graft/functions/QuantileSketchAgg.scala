@@ -52,6 +52,7 @@ import org.apache.spark.sql.types._
   * exact (and the sketch a drop-in for small groups).
   */
 case class QuantileSketchAgg(left: Expression, right: Expression, k: Int,
+                             emitPairs: Boolean = false,
                              mutableAggBufferOffset: Int = 0,
                              inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[QuantileSketchAgg.Buf]
@@ -70,9 +71,21 @@ case class QuantileSketchAgg(left: Expression, right: Expression, k: Int,
           s"(${h.simpleString}, ${v.simpleString})")
     }
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // `emitPairs = true` returns the sketch's full (hash, value) CONTENT
+  // instead of the value order statistics — the persistable/mergeable
+  // form: re-aggregating emitted pairs with another QuantileSketchAgg
+  // IS the sketch merge (bottom-k of a union of bottom-k's == bottom-k
+  // of the union; q141's window topology rides this).
+  override def dataType: DataType =
+    if (emitPairs)
+      ArrayType(StructType(Seq(
+        StructField("h", LongType, nullable = false),
+        StructField("v", LongType, nullable = false))),
+        containsNull = false)
+    else ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
-  override def prettyName: String = "quantile_sketch"
+  override def prettyName: String =
+    if (emitPairs) "quantile_sketch_pairs" else "quantile_sketch"
 
   override def createAggregationBuffer(): QuantileSketchAgg.Buf =
     new QuantileSketchAgg.Buf(k)
@@ -93,7 +106,10 @@ case class QuantileSketchAgg(left: Expression, right: Expression, k: Int,
   }
 
   override def eval(buf: QuantileSketchAgg.Buf): Any =
-    new GenericArrayData(buf.sortedValues)
+    if (emitPairs)
+      new GenericArrayData(buf.sortedPairs.map(p =>
+        InternalRow(p(0), p(1)): Any))
+    else new GenericArrayData(buf.sortedValues)
 
   override def serialize(buf: QuantileSketchAgg.Buf): Array[Byte] = {
     val pairs = buf.pairs
@@ -180,6 +196,20 @@ object QuantileSketchAgg {
       java.util.Arrays.sort(out)
       out
     }
+
+    /** The kept pairs in ascending (h, v) order — the deterministic
+      * emit order for `emitPairs`. */
+    def sortedPairs: Array[Array[Long]] = {
+      val out = new Array[Array[Long]](heap.size)
+      var i = 0
+      val it = heap.iterator()
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      java.util.Arrays.sort(out, (a: Array[Long], b: Array[Long]) => {
+        val c = java.lang.Long.compare(a(0), b(0))
+        if (c != 0) c else java.lang.Long.compare(a(1), b(1))
+      })
+      out
+    }
   }
 
   /** Column-API entry point: `quantile_sketch(hash, value, k)`. */
@@ -187,4 +217,12 @@ object QuantileSketchAgg {
     Bridge.column(QuantileSketchAgg(
       Bridge.expression(hash), Bridge.expression(value), k)
       .toAggregateExpression())
+
+  /** The sketch's CONTENT as `array<struct<h, v>>` in (h, v) order —
+    * the persistable form a merge topology stores and re-aggregates
+    * (explode + [[sketch]] over the pairs == merged sketch). */
+  def sketchPairs(hash: Column, value: Column, k: Int): Column =
+    Bridge.column(QuantileSketchAgg(
+      Bridge.expression(hash), Bridge.expression(value), k,
+      emitPairs = true).toAggregateExpression())
 }

@@ -562,6 +562,65 @@ object RelationalQueries {
       .orderBy("window_end")
   }
 
+  /** Q141: SLIDING-WINDOW QUANTILES BY SKETCH MERGE — the dashboard
+    * shape the mergeable quantile sketch (q123) exists for, finally
+    * exercised as a MULTI-SKETCH MERGE: per-day bottom-k sketches of
+    * the event value (integer cents, q138's discipline) are built once,
+    * PERSISTED as their (hash, value) pair content
+    * ([[graft.functions.QuantileSketchAgg]] `emitPairs`), and every
+    * 7-day window's p50/p95 comes from re-aggregating the seven daily
+    * samples — bottom-k of a union of bottom-k's == bottom-k of the
+    * union (the merge-order-invariance theorem QuantileSketchSpec pins;
+    * q134's window topology, value-carrying).
+    *
+    * Scale shape: ONE corpus pass builds the daily sketches
+    * (ObjectHashAggregate, ≤ k pairs per day per task); the window
+    * algebra below runs on the ≤ |days|·k kept relation — at 100 TB
+    * the naive form re-scans ~7× the event volume every day, this form's
+    * daily increment is one day's scan plus sketch-space merges.
+    * Deterministic bottom-(h,v) of md5, so every estimate hash-checks
+    * (the q63/q123 discipline). */
+  def q141SlidingQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    slidingQuantilesOf(Tables.events(spark, sfDir)
+      .where(col("ts").isNotNull && col("value").isNotNull)
+      .select(to_date(col("ts")).as("day"),
+        conv(substring(md5(col("event_id").cast("string")), 1, 15),
+          16, 10).cast("long").as("h"),
+        round(col("value") * 100).cast("long").as("v")))
+
+  /** Daily sketch build + 7-day merge over an explicit (day, h, v)
+    * relation — split out so the spec can pin merged-window estimates
+    * equal to direct whole-window sketches on constructed data. */
+  private[graft] def slidingQuantilesOf(df: DataFrame): DataFrame = {
+    val k = SketchK
+    val daily = df.groupBy("day")
+      .agg(graft.functions.QuantileSketchAgg
+        .sketchPairs(col("h"), col("v"), k).as("sk"))
+      .select(col("day"), explode(col("sk")).as("p"))
+      .select(col("day"), col("p.h").as("h"), col("p.v").as("v"))
+      .localCheckpoint() // ≤ |days|·k rows; the merges below are
+                         // sketch-space, never the corpus
+    val windows = daily.select(col("day").as("window_end")).distinct()
+    val merged = windows.join(daily,
+        col("day").between(date_sub(col("window_end"), 6),
+          col("window_end")))
+      .groupBy("window_end")
+      // the MERGE: the same aggregate over the union of daily samples
+      .agg(graft.functions.QuantileSketchAgg
+        .sketch(col("h"), col("v"), k).as("sample"))
+    merged
+      .select(date_format(col("window_end"), "yyyy-MM-dd")
+          .as("window_end"),
+        explode(typedLit(Seq(50, 95))).as("pct"), col("sample"))
+      .select(col("window_end"), col("pct"),
+        when(size(col("sample")) > 0,
+          element_at(col("sample"),
+            expr("CAST((size(sample) * pct + 99) DIV 100 AS INT)")))
+          .as("value_cents_est"),
+        size(col("sample")).cast("long").as("sample_n"))
+      .orderBy("window_end", "pct")
+  }
+
   /** Q138: the TPC-H Q10 shape — returned-item revenue report: which
     * customers returned the most revenue in a quarter, with their
     * nation. The classic star-join + aggregate + top-k every warehouse

@@ -846,6 +846,61 @@ object EventStreams {
       .orderBy("user_id", "session_start")
   }
 
+  /** Q142: the APPEND-mode twin of q117 — the session funnel with STATE
+    * EVICTION, the variant a true unbounded stream must run: q30/q117
+    * use Complete mode, whose session state only ever grows (measured in
+    * the bench state export: 95k state rows, 0 removed — fine for a
+    * bounded fixture drain, unbounded at a streaming 100 TB). Here the
+    * watermark EVICTS each session once no future event can extend it
+    * (window end + gap below the watermark), emitting it exactly once —
+    * the only mode file/kafka sinks accept, and the shape whose state
+    * is bounded by the lateness horizon instead of the stream's length.
+    *
+    * Drained by q60's far-future flush-row discipline (an AvailableNow
+    * run never advances the watermark past the last sessions on its
+    * own): the flush row belongs to sentinel user −1, so it forms its
+    * own never-finalized session (dropped from state only at stream
+    * end) and can never merge into a real user's session; it is
+    * filtered from the sink defensively. After the final flush the
+    * result is EXACTLY q117's — same oracle text — and the spec pins
+    * `numRowsRemoved > 0` plus row-for-row equality with the Complete
+    * twin. */
+  def q142AppendSessionFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    q142Run(spark, sfDir)._1
+
+  /** The q142 drain with its progress events — the spec reads
+    * numRowsRemoved off these (the eviction proof). */
+  private[graft] def q142Run(spark: SparkSession, sfDir: String)
+      : (DataFrame, Array[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    val anchorRow = graft.Tables.events(spark, sfDir)
+      .agg(min(col("event_id"))).head()
+    val anchorId = if (anchorRow.isNullAt(0)) -1L else anchorRow.getLong(0)
+    val s = stateSession(spark)
+    val ev = eventsStream(s, sfDir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val flush = eventsStream(s, sfDir)
+      .where(col("event_id") === anchorId)
+      .select(lit(-1L).as("user_id"),
+        (col("ts") + expr("INTERVAL 36500 DAYS")).as("ts"),
+        lit("__flush__").as("event_type"))
+    val agg = ev.unionByName(flush)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        count(lit(1)).as("n_events"),
+        min(when(col("event_type") === "view", col("ts"))).as("fv"),
+        max(when(col("event_type") === "click", col("ts"))).as("lc"))
+    val (table, progress) = runToTableWithProgress(agg, OutputMode.Append())
+    (table
+      .where(col("user_id") =!= -1L)
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        when(col("fv").isNotNull && col("fv") <= col("lc"), 1L)
+          .otherwise(0L).as("converted"))
+      .orderBy("user_id", "session_start"), progress)
+  }
+
   /** The per-user funnel rollup DOWNSTREAM of the streamed session
     * table — the table-to-table pattern that closes the q112/q117
     * asymmetry: streaming stops at per-session rows (chaining a second

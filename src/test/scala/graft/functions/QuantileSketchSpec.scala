@@ -114,4 +114,65 @@ class QuantileSketchSpec extends SparkSpec {
       }
     }
   }
+
+  test("sketchPairs: pair content's values == the value sketch, and " +
+      "re-aggregating pairs reproduces the direct sketch (merge)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9177)
+    val rows = (1L to 4000L).map(i => (i, rnd.nextInt(50000).toLong))
+    val df = rows.toDF("id", "v")
+      .select(lit("g").as("g"), hashCol.as("h"), col("v"))
+    val direct = df.groupBy("g")
+      .agg(QuantileSketchAgg.sketch(col("h"), col("v"), 128).as("s"))
+      .head().getSeq[Long](1)
+    val pairs = df.groupBy("g")
+      .agg(QuantileSketchAgg.sketchPairs(col("h"), col("v"), 128).as("s"))
+      .select(explode(col("s")).as("p"))
+      .select(col("p.h").as("h"), col("p.v").as("v"))
+    assert(pairs.collect().map(_.getLong(1)).sorted.toSeq === direct)
+    // the merge theorem at the API level: sketching the emitted pairs
+    // again (even under a different grouping en route) == the direct
+    // sketch of the raw rows
+    val resketched = pairs.repartition(7)
+      .select(lit("g").as("g"), col("h"), col("v"))
+      .groupBy("g")
+      .agg(QuantileSketchAgg.sketch(col("h"), col("v"), 128).as("s"))
+      .head().getSeq[Long](1)
+    assert(resketched === direct)
+  }
+
+  test("q141's window merge == direct whole-window sketch (multi-sketch " +
+      "merge correctness at the query level)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7411)
+    // 20 days x 600 events: windows hold ~4200 rows >> k=256, so the
+    // merge path genuinely subsamples; a merge bug cannot hide
+    val rows = for {
+      d <- 1 to 20; i <- 1 to 600
+    } yield (java.sql.Date.valueOf(f"2024-03-$d%02d"),
+      d * 100000L + i, rnd.nextInt(100000).toLong)
+    val base = rows.toDF("day", "id", "v")
+      .select(col("day"), hashCol.as("h"), col("v"))
+    val got = RelationalQueries.slidingQuantilesOf(base).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.size === 40)
+    // direct twin: one sketch over each window's RAW rows (no daily
+    // level) — the merged path must match it exactly
+    val days = rows.map(_._1).distinct
+    for (end <- days) {
+      val winRows = base.where(col("day").between(date_sub(lit(end), 6),
+          lit(end)))
+        .select(lit("g").as("g"), col("h"), col("v"))
+      val direct = winRows.groupBy("g")
+        .agg(QuantileSketchAgg.sketch(col("h"), col("v"), 256).as("s"))
+        .head().getSeq[Long](1)
+      for (pct <- Seq(50, 95)) {
+        val (est, m) = got((end.toString, pct))
+        assert(m === direct.length.toLong, s"$end sample_n drift")
+        assert(est === direct(((direct.length * pct + 99) / 100 - 1)),
+          s"$end p$pct merged != direct")
+      }
+    }
+  }
 }

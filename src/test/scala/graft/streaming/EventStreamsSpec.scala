@@ -61,6 +61,28 @@ class EventStreamsSpec extends SparkSpec {
       "no user with a mixed conversion record")
   }
 
+  test("q142 append session funnel: state EVICTED (numRowsRemoved > 0) " +
+      "and output == the Complete twin q117") {
+    val (df, progress) = EventStreams.q142Run(spark, sfDir)
+    val append = df.collect().map(_.toSeq)
+    // eviction proof: the watermark really removed finalized sessions
+    // from the state store — the property Complete mode (q30/q117,
+    // 0 removed in the bench state export) cannot have
+    val removed = progress.flatMap(_.stateOperators.toSeq)
+      .map(_.numRowsRemoved).sum
+    assert(removed > 0, "append-mode sessionizer evicted nothing")
+    // the state left at stream end is (at most) the never-finalized
+    // flush session — bounded, not corpus-sized
+    val finalState = progress.flatMap(_.stateOperators.toSeq)
+      .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+    assert(finalState >= 0 && finalState <= 2,
+      s"final session state not drained: $finalState rows")
+    // equality with the Complete twin: same sessions, same funnel bits
+    val complete = EventStreams.q117StreamSessionFunnel(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(append.toSeq === complete.toSeq)
+  }
+
   test("q104 stream-static join is stateless and batch-equivalent") {
     import org.apache.spark.sql.functions._
     EventStreams.takeStateMetrics() // clear anything a prior suite left

@@ -391,6 +391,17 @@ object SparkEntry {
     // far-future flush row; after the flush it equals the Complete twin.
     "q142_append_session_funnel" ->
       (graft.streaming.EventStreams.q142AppendSessionFunnel _),
+    // q143 is q124's sound fuzzy join at d=2 (the record-linkage
+    // setting): up-to-2-deletion neighborhoods, quadratic-in-length
+    // fanout on the dimension relation, same exact-verify discipline;
+    // the brute-force oracle pins blocking completeness at d=2.
+    "q143_fuzzy_degree2" -> (FuzzyJoin.q143FuzzyDegree2 _),
+    // q144 completes the stream-stream join matrix (inner q43, left
+    // q137): FULL outer — unmatched rows on BOTH sides emit with nulls
+    // once the watermark proves no partner can come; q137's flush/null
+    // discipline applied symmetrically, null ordering pinned.
+    "q144_stream_full_outer_join" ->
+      (graft.streaming.EventStreams.q144StreamFullOuterJoin _),
   )
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
@@ -1455,6 +1466,24 @@ object SparkEntry {
         |  AND view_ts <= click_ts
         |  AND view_ts >= click_ts - INTERVAL 1 HOUR
         |ORDER BY user_id, click_id, view_id NULLS FIRST""".stripMargin,
+    // q144: the batch FULL JOIN; the key coalesces the two sides'
+    // user ids (an unmatched view has no click-side user), and BOTH
+    // join-side ids pin NULLS FIRST (DuckDB defaults NULLS LAST).
+    "q144_stream_full_outer_join" ->
+      """WITH c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id AS v_user_id, ts AS view_ts,
+        |             event_id AS view_id
+        |      FROM events WHERE event_type = 'view')
+        |SELECT coalesce(c.user_id, v_user_id) AS user_id,
+        |       click_id, view_id,
+        |       strftime(click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |       strftime(view_ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
+        |FROM c FULL JOIN v ON c.user_id = v_user_id
+        |  AND view_ts <= click_ts
+        |  AND view_ts >= click_ts - INTERVAL 1 HOUR
+        |ORDER BY user_id, click_id NULLS FIRST,
+        |         view_id NULLS FIRST""".stripMargin,
     // q138: revenue summed in integer 1e-4 units (cents x discount
     // percent) — a rounded double SUM lands on .005 ties the two
     // engines round apart; the integer sum is exact and the top-20
@@ -1614,6 +1643,18 @@ object SparkEntry {
         |FROM part a LEFT JOIN part b
         |  ON b.p_partkey <> a.p_partkey
         | AND levenshtein(a.p_name, b.p_name) <= 1
+        |GROUP BY a.p_partkey
+        |ORDER BY p_partkey""".stripMargin,
+    // q143: the same brute-force oracle at d=2 — a pair the 2-deletion
+    // blocking missed would change n_fuzzy, so the gate pins
+    // completeness at the wider radius too.
+    "q143_fuzzy_degree2" ->
+      """SELECT a.p_partkey AS p_partkey, min(a.p_name) AS p_name,
+        |       count(b.p_partkey) AS n_fuzzy,
+        |       min(b.p_partkey) AS min_partner
+        |FROM part a LEFT JOIN part b
+        |  ON b.p_partkey <> a.p_partkey
+        | AND levenshtein(a.p_name, b.p_name) <= 2
         |GROUP BY a.p_partkey
         |ORDER BY p_partkey""".stripMargin,
     // q125's oracle mirrors the engine hop-for-hop: ASOF backward for

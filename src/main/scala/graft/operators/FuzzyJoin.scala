@@ -52,14 +52,46 @@ object FuzzyJoin {
         i => concat(s.substr(lit(1), i - 1),
           s.substr(i + 1, length(s) - i))))
 
+  /** The UP-TO-2-deletion neighborhood of `s`, distinct members only:
+    * itself, every 1-deletion, and every 2-deletion (delete positions
+    * i < j — generated as the three substr segments around them).
+    * Completeness at d=2 is Bocek et al. §3's pigeonhole re-run: each
+    * of the ≤2 edit operations is resolved by at most one deletion on
+    * each side at the operation's position (substitution → one deletion
+    * per side; insertion/deletion → one on the longer side; a
+    * transposition is two substitutions under plain Levenshtein), so
+    * ed(a,b) ≤ 2 implies the ≤2-deletion neighborhoods intersect —
+    * spec-pinned by the brute-force differential and the variant-COUNT
+    * contract (1 + n + n·(n−1)/2 before dedup). Guards: the outer range
+    * needs len ≥ 2 (Spark's `sequence(2, 1)` runs DESCENDING, it does
+    * not return empty — the `when` is load-bearing); the inner
+    * `sequence(i+1, len)` is always ascending because i ≤ len−1. */
+  private[operators] def deletionVariants2(s: Column): Column = {
+    val del2 = when(length(s) >= 2,
+      flatten(transform(sequence(lit(1), length(s) - 1),
+        i => transform(sequence(i + 1, length(s)),
+          j => concat(
+            s.substr(lit(1), i - 1),
+            s.substr(i + 1, j - i - 1),
+            s.substr(j + 1, length(s) - j))))))
+      .otherwise(array().cast("array<string>"))
+    array_distinct(concat(deletionVariants(s), del2))
+  }
+
   /** Per-row fuzzy-duplicate summary of `names` (columns: key, name) at
-    * edit distance <= 1: (key, name, n_fuzzy, min_partner). Rows with no
-    * partner report n_fuzzy = 0, min_partner null. Split out so specs can
-    * feed constructed names (the "ab"/"ba" false-positive case). */
-  private[graft] def fuzzyDegreeOf(names: DataFrame): DataFrame = {
+    * edit distance <= d (d ∈ {1, 2}): (key, name, n_fuzzy, min_partner).
+    * Rows with no partner report n_fuzzy = 0, min_partner null. Split
+    * out so specs can feed constructed names (the "ab"/"ba"
+    * false-positive case at d=1; the transposition/substitution
+    * completeness cases at d=2). */
+  private[graft] def fuzzyDegreeOf(names: DataFrame, d: Int = 1): DataFrame = {
+    require(d == 1 || d == 2, s"fuzzyDegreeOf supports d in {1, 2}: $d")
+    val neighborhood =
+      if (d == 1) deletionVariants(col("name"))
+      else deletionVariants2(col("name"))
     val v = names
       .select(col("key"), col("name"),
-        explode(deletionVariants(col("name"))).as("variant"))
+        explode(neighborhood).as("variant"))
       .select(col("key"), col("name"), xxhash64(col("variant")).as("vh"))
       .distinct()
     // candidates: strings sharing a variant hash, each unordered pair once
@@ -68,7 +100,7 @@ object FuzzyJoin {
       .select(col("a.key").as("ka"), col("a.name").as("na"),
         col("b.key").as("kb"), col("b.name").as("nb"))
       .distinct()
-    val pairs = cand.where(levenshtein(col("na"), col("nb")) <= 1)
+    val pairs = cand.where(levenshtein(col("na"), col("nb")) <= d)
     // symmetric per-key rollup: each verified pair counts for both ends
     val partners = pairs.select(col("ka").as("key"), col("kb").as("partner"))
       .unionAll(pairs.select(col("kb").as("key"), col("ka").as("partner")))
@@ -89,6 +121,25 @@ object FuzzyJoin {
     fuzzyDegreeOf(
       Tables.part(spark, sfDir)
         .select(col("p_partkey").as("key"), col("p_name").as("name")))
+      .select(col("key").as("p_partkey"), col("name").as("p_name"),
+        col("n_fuzzy"), col("min_partner"))
+      .orderBy("p_partkey")
+
+  /** Q143: q124 at edit distance 2 — the common record-linkage setting
+    * (Bocek et al. §3's construction extended to the 2-deletion
+    * neighborhood). The costs that jump with d, stated honestly: the
+    * per-row fanout goes 1+n → 1+n+n(n−1)/2 variants (quadratic in name
+    * length — still a DIMENSION-sized relation, never a fact table),
+    * and the blocking admits more false positives for the Levenshtein
+    * verify to clear (any two strings within 2 chars of length share
+    * the hot short variants; the verify step owns exactness either
+    * way). The oracle is the same brute-force quadratic join at d=2, so
+    * the hash gate again pins blocking COMPLETENESS. */
+  def q143FuzzyDegree2(spark: SparkSession, sfDir: String): DataFrame =
+    fuzzyDegreeOf(
+      Tables.part(spark, sfDir)
+        .select(col("p_partkey").as("key"), col("p_name").as("name")),
+      d = 2)
       .select(col("key").as("p_partkey"), col("name").as("p_name"),
         col("n_fuzzy"), col("min_partner"))
       .orderBy("p_partkey")

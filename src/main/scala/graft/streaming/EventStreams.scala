@@ -665,6 +665,60 @@ object EventStreams {
         col("view_id").asc_nulls_first)
   }
 
+  /** Q144: stream-stream FULL OUTER interval join — the last cell of
+    * the join-mode matrix (inner q43, left q137): unmatched CLICKS and
+    * unmatched VIEWS both emit with nulls, each once the GLOBAL
+    * watermark proves no future partner can fall inside its interval.
+    * q137's flush/null discipline applied symmetrically: both inputs
+    * carry the far-future flush row (min-of-inputs watermark), the
+    * view side's unmatched rows now also wait on the click watermark
+    * passing `view_ts + 1 hour`. The output key is
+    * `coalesce(click.user_id, view.user_id)` (an unmatched view has no
+    * click-side user), null ordering pinned on both engines (Spark asc
+    * = NULLS FIRST; DuckDB defaults NULLS LAST — the oracle says it
+    * explicitly). After the final flush the result is exactly the
+    * batch FULL JOIN; the matched subset is q43 (spec-pinned). */
+  def q144StreamFullOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val anchorRow = graft.Tables.events(spark, sfDir)
+      .agg(min(col("event_id"))).head()
+    val anchorId = if (anchorRow.isNullAt(0)) -1L else anchorRow.getLong(0)
+    val s = stateSession(spark)
+    val ev = eventsStream(s, sfDir)
+    def flush(tsName: String, idName: String) = eventsStream(s, sfDir)
+      .where(col("event_id") === anchorId)
+      .select(lit(-1L).as("user_id"),
+        (col("ts") + expr("INTERVAL 36500 DAYS")).as(tsName),
+        lit(-1L).as(idName))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .unionByName(flush("click_ts", "click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .unionByName(flush("view_ts", "view_id")
+        .withColumnRenamed("user_id", "v_user_id"))
+      .withWatermark("view_ts", "1 hour")
+    val joined = clicks.join(views,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"),
+      "fullOuter")
+    runToTable(joined, OutputMode.Append())
+      // flush leftovers can surface on EITHER side here (the two flush
+      // rows even match each other — same sentinel user, equal ts)
+      .where(coalesce(col("user_id"), col("v_user_id")) =!= -1L)
+      .select(coalesce(col("user_id"), col("v_user_id")).as("user_id"),
+        col("click_id"), col("view_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("click_ts"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("view_ts"))
+      .orderBy(col("user_id"), col("click_id").asc_nulls_first,
+        col("view_id").asc_nulls_first)
+  }
+
   /** RESTARTABLE windowed aggregation: the production layout of q29/q60
     * — a file-stream LANDING DIR in, hourly event-time windows with a
     * 1-hour watermark, append mode out to a parquet FILE SINK with a

@@ -1675,6 +1675,89 @@ class OperatorSpec extends SparkSpec {
     assert(v === Set("aab", "ab", "aa"))
   }
 
+  test("q143 fuzzy degree d=2: JVM brute-force replay; blocking complete " +
+      "at the wider radius") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Tables.part(spark, sfDir)
+      .select("p_partkey", "p_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = names.map { case (k, n) =>
+      val partners = names.filter { case (k2, n2) =>
+        k2 != k && lev(n, n2) <= 2 }.map(_._1)
+      (k, n, partners.length.toLong,
+        if (partners.isEmpty) null else partners.min)
+    }.toSet
+    val got = FuzzyJoin.q143FuzzyDegree2(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3))).toSet
+    assert(got === want)
+    // non-vacuity: d=2 must find pairs d=1 misses, or the radius is idle
+    val d1Total = FuzzyJoin.q124FuzzyDegree(spark, sfDir)
+      .agg(sum("n_fuzzy")).head().getLong(0)
+    assert(want.toSeq.map(_._3).sum > d1Total,
+      "d=2 found nothing beyond d=1 — weak fixture")
+  }
+
+  test("q143 neighborhood: variant-count contract and d=2 completeness " +
+      "cases (substitution x2, transposition, insert+delete)") {
+    import spark.implicits._
+    // variant COUNT contract: distinct members of {self} + {1-del} +
+    // {2-del}; on an all-distinct-characters string nothing collides,
+    // so the count is exactly 1 + n + n(n-1)/2
+    val distinctChars = "abcdefgh" // n=8 -> 1 + 8 + 28 = 37
+    val vs = Seq(Tuple1(distinctChars)).toDF("name")
+      .select(FuzzyJoin.deletionVariants2(col("name")).as("v"))
+      .as[Seq[String]].head()
+    assert(vs.length === 37)
+    assert(vs.distinct.length === 37)
+    assert(vs.forall(x => lev2Ok(distinctChars, x)))
+    // repeated characters dedup below the bound; edge cases stay total
+    for ((s, members) <- Seq(
+      "aa" -> Set("aa", "a", ""),
+      "a" -> Set("a", ""),
+      "" -> Set(""))) {
+      val got = Seq(Tuple1(s)).toDF("name")
+        .select(FuzzyJoin.deletionVariants2(col("name")).as("v"))
+        .as[Seq[String]].head().toSet
+      assert(got === members, s"neighborhood of '$s'")
+    }
+    // completeness at d=2, the Bocek §3 cases: every pair at ed <= 2
+    // must share a variant BEFORE the verify step
+    val cases = Seq(
+      ("abcdef", "axcdyf"), // two substitutions
+      ("abcdef", "bacdef"), // transposition (= 2 subs under Levenshtein)
+      ("abcdef", "bcdefg"), // delete front + insert back
+      ("abcdef", "abdef"),  // single deletion
+      ("abcdef", "abcdef")) // identity
+    for ((a, b) <- cases) {
+      val na = Seq(Tuple1(a)).toDF("name")
+        .select(FuzzyJoin.deletionVariants2(col("name")).as("v"))
+        .as[Seq[String]].head().toSet
+      val nb = Seq(Tuple1(b)).toDF("name")
+        .select(FuzzyJoin.deletionVariants2(col("name")).as("v"))
+        .as[Seq[String]].head().toSet
+      assert(na.intersect(nb).nonEmpty, s"'$a' / '$b' neighborhoods disjoint")
+    }
+  }
+
+  /** true iff `x` is reachable from `s` by deleting at most 2 chars —
+    * the membership contract of the 2-deletion neighborhood. */
+  private def lev2Ok(s: String, x: String): Boolean = {
+    def isSubseq(sub: String, sup: String): Boolean = {
+      var i = 0
+      for (c <- sup if i < sub.length && sub(i) == c) i += 1
+      i == sub.length
+    }
+    s.length - x.length <= 2 && isSubseq(x, s)
+  }
+
   test("q126 scd2: incremental merge == full rebuild; one hash exchange") {
     val updates = RelationalQueries.scd2Updates(Tables.events(spark, sfDir))
     // cutoff at the median event ts: both halves non-trivial, and the

@@ -205,6 +205,28 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("q144 full outer stream join: matched subset == q43; both sides' " +
+      "unmatched rows emit nulls") {
+    val full = EventStreams.q144StreamFullOuterJoin(spark, sfDir).collect()
+    // matched subset (both ids present) == the inner join q43
+    val matched = full.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inner = EventStreams.q43StreamIntervalJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(matched === inner)
+    // non-vacuity on BOTH outer sides: clicks without a view in the
+    // hour AND views no click ever reached back to
+    assert(full.exists(r => r.isNullAt(2) && !r.isNullAt(1)),
+      "no unmatched click emitted")
+    assert(full.exists(r => r.isNullAt(1) && !r.isNullAt(2)),
+      "no unmatched view emitted — the right-outer half is vacuous")
+    // left-rows subset (click present) == q137 exactly
+    val left = full.filter(r => !r.isNullAt(1)).map(_.toSeq).toSet
+    val q137 = EventStreams.q137StreamOuterJoin(spark, sfDir).collect()
+      .map(_.toSeq).toSet
+    assert(left === q137)
+  }
+
   test("q133 streamed SCD2 maintenance equals the q126 batch rebuild") {
     // the CDC apply must produce the SAME history as rebuilding from
     // scratch — row-for-row, schema included, after four quartile

@@ -922,7 +922,14 @@ object CurationPipeline {
     * artifact turns log₂₅₆(range) histogram rounds × three stages into
     * re-scans of a tiny bucketed table instead of re-executions of the
     * suffix-trim lineage (the Artifacts house rule: every corpus-scan
-    * product is a build-once table). */
+    * product is a build-once table).
+    *
+    * Refresh-soundness boundary (q116's lesson applies VERBATIM): the
+    * trim spans are a GLOBAL property — removing one document can
+    * change an UNTOUCHED document's spans (its best cross-doc match may
+    * have been the removed doc) — so a delta-local upsert of this table
+    * is unsound; the sound refresh is recompute-on-snapshot + write the
+    * change set, exactly q116's discipline. */
   private[graft] def trimmedFeatures(spark: SparkSession,
       sfDir: String): DataFrame =
     graft.Artifacts.materialize(spark,

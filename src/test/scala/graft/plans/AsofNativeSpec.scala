@@ -304,6 +304,26 @@ class AsofNativeSpec extends SparkSpec {
       NativeAsofJoin.asof(left, right, "k", "t", cols, Some(-1L)).collect())
   }
 
+  test("DateType ts: composed tolerance counts DAYS, matching the native " +
+      "twin (the bare cast('long') used to fail analysis here)") {
+    import spark.implicits._
+    def d(s: String): java.sql.Date = java.sql.Date.valueOf(s)
+    // tolerance = 5 days: r at Jan 01; l1 at Jan 06 sits exactly on the
+    // inclusive boundary, l2 at Jan 07 is one day past
+    val left = Seq((1L, d("2024-01-06"), "l1"), (1L, d("2024-01-07"), "l2"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, d("2024-01-01"), "r1")).toDF("k", "t", "rv")
+    for (asofFn <- Seq(
+        AsofJoin.asof(_: DataFrame, _: DataFrame, _: String, _: String,
+          _: Seq[String], Some(5L)),
+        NativeAsofJoin.asof(_: DataFrame, _: DataFrame, _: String,
+          _: String, _: Seq[String], Some(5L)))) {
+      val got = asofFn(left, right, "k", "t", Seq("rv"))
+        .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+      assert(got === Map("l1" -> Some("r1"), "l2" -> None))
+    }
+  }
+
   test("chunked hourly grid == single-level sequence; wide-span user " +
       "stays day-bounded") {
     import spark.implicits._

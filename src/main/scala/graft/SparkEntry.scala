@@ -402,6 +402,12 @@ object SparkEntry {
     // discipline applied symmetrically, null ordering pinned.
     "q144_stream_full_outer_join" ->
       (graft.streaming.EventStreams.q144StreamFullOuterJoin _),
+    // q145 completes the sampling matrix (q127 exact-count unweighted
+    // per stratum, q128 weighted global): per-language weighted top-k
+    // via the bounded-heap aggregate — k rows per (task, lang) shuffle,
+    // never a per-stratum corpus sort.
+    "q145_stratified_weighted_sample" ->
+      (CurationPipeline.q145StratifiedWeightedSample _),
   )
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
@@ -1775,6 +1781,22 @@ object SparkEntry {
         |      FROM k)
         |SELECT doc_id, source, weight, sample_key, rk
         |FROM r WHERE rk <= 100 ORDER BY rk""".stripMargin,
+    // q145: q128's key replay partitioned by lang — the rank window IS
+    // the oracle-side formulation of the engine's bounded heap.
+    "q145_stratified_weighted_sample" ->
+      """WITH w AS (SELECT doc_id, lang, source,
+        |             1 + (substr(source, 4)::INT % 5) AS weight
+        |           FROM documents),
+        |k AS (SELECT doc_id, lang, weight,
+        |        list_max(list_transform(generate_series(1, weight),
+        |          i -> md5('wsamp:' || doc_id::VARCHAR || ':' ||
+        |                   i::VARCHAR))) AS sample_key
+        |      FROM w),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |                ORDER BY sample_key DESC, doc_id) AS rk
+        |      FROM k)
+        |SELECT lang, rk::BIGINT AS rk, doc_id, weight, sample_key
+        |FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
     // q129: the oracle mirrors the engine's float discipline exactly —
     // per-term tf/df in fixed slots, one left-associated score
     // expression with the same double literals, rounding only at

@@ -915,6 +915,39 @@ object CurationPipeline {
       .orderBy("rk")
   }
 
+  /** Q145: STRATIFIED weighted sample — the cell of the sampling matrix
+    * q127/q128 leave open (q127 = exact-count UNWEIGHTED per stratum,
+    * q128 = weighted GLOBAL): the top-k Efraimidis–Spirakis draw PER
+    * LANGUAGE, the "20 docs per language, curated sources preferred k×"
+    * mixture recipe. Key = [[wsampleKey]] (max-of-w salted hashes ≡
+    * u^(1/w) in law — q128's spec-pinned construction, unchanged), so
+    * within each stratum the k largest keys ARE a weighted sample
+    * without replacement.
+    *
+    * Scale shape: per-group top-k via the native bounded-heap aggregate
+    * ([[graft.functions.TopKAgg]], string-desc/id-asc directions) —
+    * map-side partials send ≤ k rows per (task, lang), so the shuffle
+    * is k·|langs| rows where the window-rank formulation sorts the
+    * corpus per stratum (the q62 contrast, applied to sampling; plan
+    * spec pins zero Window and the ObjectHashAggregate pair). */
+  def q145StratifiedWeightedSample(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val k = 20
+    val keyed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("weight", wsampleWeight(col("source")))
+      .withColumn("sample_key", wsampleKey(col("doc_id"), col("weight")))
+    keyed.groupBy("lang")
+      .agg(graft.functions.Aggregates.topK(
+        struct(col("sample_key"), col("doc_id"), col("weight")), k,
+        asc = Seq(false, true, true)).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.doc_id").as("doc_id"), col("col.weight").as("weight"),
+        col("col.sample_key").as("sample_key"))
+      .orderBy("lang", "rk")
+  }
+
   /** TRIMMED-corpus features: per doc, the token count of the q121
     * suffix-trimmed text (exact-substring spans cut, the doc rebuilt
     * from the kept segments). Materialized because q140's three

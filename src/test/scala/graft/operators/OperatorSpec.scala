@@ -1880,6 +1880,41 @@ class OperatorSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
   }
 
+  test("q145 stratified weighted sample: per-lang JVM replay; bounded-heap " +
+      "aggregate plan, no per-stratum window sort") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val replay = docs.map { case (id, lang, src) =>
+      val w = 1 + src.drop(3).toInt % 5
+      val key = (1 to w).map(i => md5hex(s"wsamp:$id:$i")).max
+      (lang, id, w.toLong, key)
+    }.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      rows.sortBy { case (_, id, _, key) => (key, -id) }(
+        Ordering.Tuple2(Ordering.String.reverse, Ordering.Long.reverse))
+        .take(20).zipWithIndex
+        .map { case ((_, id, w, key), i) => (lang, (i + 1).toLong, id, w, key) }
+    }.sortBy(r => (r._1, r._2))
+    val df = CurationPipeline.q145StratifiedWeightedSample(spark, sfDir)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getInt(3).toLong, r.getString(4)))
+    assert(got.toSeq === replay)
+    // every lang fills its quota (the fixture has > 20 docs per lang)
+    assert(got.groupBy(_._1).forall(_._2.length == 20))
+    // plan: the per-group top-k is the bounded-heap aggregate (partial
+    // + final ObjectHashAggregate) — NEVER a per-stratum window sort of
+    // the corpus
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("ObjectHashAggregate"), plan.take(3000))
+    assert(!plan.contains("Window"),
+      s"q145 must not window-sort the corpus:\n${plan.take(3000)}")
+  }
+
   test("q129 bm25: JVM formula replay, pushed postings filter, heap plan") {
     val dfq = TextQueries.q129Bm25(spark, sfDir)
     val got = dfq.collect().map(r =>

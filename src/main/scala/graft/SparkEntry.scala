@@ -408,6 +408,12 @@ object SparkEntry {
     // never a per-stratum corpus sort.
     "q145_stratified_weighted_sample" ->
       (CurationPipeline.q145StratifiedWeightedSample _),
+    // q146 is the window-topology family's exact-count member (q134
+    // merges KMV samples, q141 quantile sketches): 7-day top-10 active
+    // users as SUMS of daily partial counts — the materialized
+    // daily-rollup pattern, never a 7x re-scan; per-window top-k via
+    // the bounded-heap aggregate, ties pinned.
+    "q146_sliding_top_users" -> (RelationalQueries.q146SlidingTopUsers _),
   )
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
@@ -3171,6 +3177,27 @@ object SparkEntry {
          |FROM r JOIN ns USING (lang)
          |WHERE rk <= (ns.n_g * pct + 99) // 100
          |ORDER BY doc_id""".stripMargin,
+    // q146: daily rollup -> window sum -> rank window (the oracle-side
+    // formulation of the engine's bounded heap), ties pinned
+    // (count desc, user asc).
+    "q146_sliding_top_users" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, user_id, count(*) AS c
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |w AS (SELECT DISTINCT day AS window_end FROM daily),
+        |u AS (SELECT w.window_end, d.user_id,
+        |             sum(d.c)::BIGINT AS events_7d
+        |      FROM w JOIN daily d
+        |        ON d.day BETWEEN w.window_end - 6 AND w.window_end
+        |      GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY window_end
+        |                ORDER BY events_7d DESC, user_id) AS rk
+        |      FROM u)
+        |SELECT strftime(window_end, '%Y-%m-%d') AS window_end,
+        |       rk::BIGINT AS rk, user_id, events_7d
+        |FROM r WHERE rk <= 10
+        |ORDER BY window_end, rk""".stripMargin,
     // q141 replays the two-level bottom-k verbatim: per-day k smallest
     // (h, v) pairs, then the k smallest of each 7-day union of the
     // daily samples, then the ceil-rank order statistics — the sketch

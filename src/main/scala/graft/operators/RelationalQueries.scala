@@ -621,6 +621,51 @@ object RelationalQueries {
       .orderBy("window_end", "pct")
   }
 
+  /** Q146: SLIDING-WINDOW TOP-K HEAVY USERS from daily partials — the
+    * third member of the window-topology family (q134 merges KMV
+    * samples, q141 merges quantile sketches; heavy hitters want EXACT
+    * counts, and counts pre-aggregate): per 7-day window ending each
+    * day, the 10 most active users with their exact event counts. The
+    * window count is the SUM of the user's daily partial counts — the
+    * standard materialized daily-rollup pattern — so the window algebra
+    * runs on the (day, user) rollup, never a 7× re-scan of events; the
+    * per-window top-k is the native bounded-heap aggregate (map-side
+    * partials, k rows per task per window). Ties pinned (count desc,
+    * user asc) so the output is total-order deterministic and
+    * hash-gated.
+    *
+    * Scale shape: ONE corpus pass builds the daily rollup (|days| ×
+    * |active users/day| rows — the relation a 100 TB pipeline already
+    * materializes for its dashboards); the window join fans each rollup
+    * row to ≤ 7 windows and aggregates — both stages on the
+    * rollup-sized relation. */
+  def q146SlidingTopUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 10
+    val daily = Tables.events(spark, sfDir)
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day", "user_id")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // rollup-sized; the window algebra below
+                         // never touches events again
+    val windows = daily.select(col("day").as("window_end")).distinct()
+    windows.join(daily,
+        col("day").between(date_sub(col("window_end"), 6),
+          col("window_end")))
+      .groupBy("window_end", "user_id")
+      .agg(sum(col("c")).as("events_7d"))
+      .groupBy("window_end")
+      .agg(graft.functions.Aggregates.topK(
+        struct(col("events_7d"), col("user_id")), k,
+        asc = Seq(false, true)).as("top"))
+      .select(col("window_end"), posexplode(col("top")))
+      .select(date_format(col("window_end"), "yyyy-MM-dd").as("window_end"),
+        (col("pos") + 1).cast("long").as("rk"),
+        col("col.user_id").as("user_id"),
+        col("col.events_7d").as("events_7d"))
+      .orderBy("window_end", "rk")
+  }
+
   /** Q138: the TPC-H Q10 shape — returned-item revenue report: which
     * customers returned the most revenue in a quarter, with their
     * nation. The classic star-join + aggregate + top-k every warehouse

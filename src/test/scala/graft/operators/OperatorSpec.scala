@@ -1915,6 +1915,36 @@ class OperatorSpec extends SparkSpec {
       s"q145 must not window-sort the corpus:\n${plan.take(3000)}")
   }
 
+  test("q146 sliding top users: JVM full-window recount replay; " +
+      "bounded-heap plan, no rank window") {
+    // independent replay: recount each 7-day window STRAIGHT from the
+    // raw events (no daily level), so a partials-summation bug shows
+    val ev = Tables.events(spark, sfDir)
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val days = ev.map(_._1).distinct
+    val expect = days.toSeq.sortBy(_.toString).flatMap { end =>
+      val counts = ev.filter { case (d, _) =>
+        !d.isAfter(end) && !d.isBefore(end.minusDays(6)) }
+        .groupBy(_._2).view.mapValues(_.length.toLong).toSeq
+      counts.sortBy { case (u, c) => (-c, u) }.take(10).zipWithIndex
+        .map { case ((u, c), i) => (end.toString, (i + 1).toLong, u, c) }
+    }
+    val df = RelationalQueries.q146SlidingTopUsers(spark, sfDir)
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expect)
+    // plan: per-window top-k is the bounded-heap aggregate; the
+    // rank-window formulation must not appear
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("ObjectHashAggregate"), plan.take(3000))
+    assert(!plan.contains("Window"),
+      s"q146 must not rank-window:\n${plan.take(3000)}")
+  }
+
   test("q129 bm25: JVM formula replay, pushed postings filter, heap plan") {
     val dfq = TextQueries.q129Bm25(spark, sfDir)
     val got = dfq.collect().map(r =>

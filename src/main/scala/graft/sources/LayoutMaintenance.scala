@@ -64,6 +64,48 @@ object LayoutMaintenance {
     CompactStats(before.size, dataFiles(spark, dirPath).size)
   }
 
+  /** OPTIMIZE for a directory-PARTITIONED catalog table (the q82
+    * shape): every append lands at least one new file inside each
+    * touched partition directory; compaction bin-packs each
+    * partition's files back to one, WITHOUT moving any row across
+    * partitions — `repartition(|partitions|, partitionCol)` gives each
+    * write task (at most a hash-collision handful of) whole
+    * partitions, and the dynamic partition write emits one file per
+    * (task, partition value), so the result is one file per partition.
+    * The staged files then replace each partition directory's old ones
+    * — partition VALUES never change, so the catalog's partition list
+    * is untouched (pruning metadata stays valid; the spec re-runs
+    * q82's one-directory inputFiles pin post-compact). */
+  def compactPartitioned(spark: SparkSession, table: String,
+                         partitionCol: String): CompactStats = {
+    val warehouse = new Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = fsOf(spark, warehouse)
+    def partDirs(root: Path) = fs.listStatus(root).toSeq
+      .filter(d => d.isDirectory &&
+        d.getPath.getName.startsWith(partitionCol + "="))
+    def fileCount(root: Path) =
+      partDirs(root).map(d => dataFiles(spark, d.getPath).size).sum
+    val before = fileCount(warehouse)
+    val nParts = partDirs(warehouse).size
+    val staging = new Path(warehouse.toString + "__optimize_staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    spark.table(table)
+      .repartition(nParts, col(partitionCol))
+      .write.partitionBy(partitionCol).parquet(staging.toString)
+    // swap per partition directory (see object scaladoc for the
+    // transactionality contract)
+    partDirs(staging).foreach { sd =>
+      val target = new Path(warehouse, sd.getPath.getName)
+      dataFiles(spark, target).foreach(f => fs.delete(f.getPath, false))
+      dataFiles(spark, sd.getPath).foreach(f =>
+        fs.rename(f.getPath, new Path(target, f.getPath.getName)))
+    }
+    fs.delete(staging, true)
+    spark.catalog.refreshTable(table)
+    CompactStats(before, fileCount(warehouse))
+  }
+
   /** OPTIMIZE for a BUCKETED catalog table (the q75 shape): rewrite
     * with the SAME bucket spec, `repartition(buckets, bucketCol)` first
     * so each write task holds exactly one bucket (Spark's bucket id and

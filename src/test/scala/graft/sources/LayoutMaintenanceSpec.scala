@@ -79,6 +79,52 @@ class LayoutMaintenanceSpec extends SparkSpec {
       s"compacted layout read $scanAfter of $nAll rows")
   }
 
+  test("partitioned OPTIMIZE: one file per day partition after appends; " +
+      "partition pruning pin re-run post-compact; rows identical") {
+    val name = "graft_compact_spec_partitioned"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val daily = graft.Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")))
+      .select("event_id", "user_id", "event_type", "value", "day")
+    // base write + two appends: each append adds >= 1 file to every
+    // partition directory it touches
+    daily.where(col("event_id") % 3 === 0)
+      .repartition(1).write.partitionBy("day").saveAsTable(name)
+    for (r <- Seq(1, 2))
+      daily.where(col("event_id") % 3 === r)
+        .repartition(1).write.mode("append").partitionBy("day")
+        .saveAsTable(name)
+    val nDays = spark.table(name).select("day").distinct().count().toInt
+    def rows() = spark.table(name).collect().map(_.toSeq)
+      .sortBy(_.head.asInstanceOf[Long])
+    def firstDayScan() = {
+      val d = spark.sql(s"SHOW PARTITIONS $name")
+        .collect().map(_.getString(0).stripPrefix("day=")).min
+      spark.table(name)
+        .where(col("day") === lit(java.sql.Date.valueOf(d)))
+    }
+    val rowsBefore = rows()
+    val firstBefore = firstDayScan()
+    val idsBefore = firstBefore.select("event_id").collect()
+      .map(_.getLong(0)).toSet
+    // pruning already lists ONE directory — but it holds 3 files
+    assert(firstBefore.inputFiles.length === 3,
+      firstBefore.inputFiles.mkString(", "))
+    try {
+      val stats = LayoutMaintenance.compactPartitioned(spark, name, "day")
+      assert(stats.filesBefore === 3 * nDays && stats.filesAfter === nDays,
+        s"$stats (days=$nDays)")
+      assert(rows() === rowsBefore)
+      // q82's pin, post-compact: the pruned scan reads exactly ONE
+      // file of one directory, same answer
+      val firstAfter = firstDayScan()
+      assert(firstAfter.inputFiles.length === 1,
+        firstAfter.inputFiles.mkString(", "))
+      assert(firstAfter.select("event_id").collect()
+        .map(_.getLong(0)).toSet === idsBefore)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
   test("bucketed OPTIMIZE: appends multiply files per bucket; compaction " +
       "bin-packs to one per bucket with the join still exchange-free") {
     val name = "graft_compact_spec_bucketed"

@@ -639,11 +639,17 @@ object RelationalQueries {
     * materializes for its dashboards); the window join fans each rollup
     * row to ≤ 7 windows and aggregates — both stages on the
     * rollup-sized relation. */
-  def q146SlidingTopUsers(spark: SparkSession, sfDir: String): DataFrame = {
-    val k = 10
-    val daily = Tables.events(spark, sfDir)
+  def q146SlidingTopUsers(spark: SparkSession, sfDir: String): DataFrame =
+    slidingTopUsersOf(Tables.events(spark, sfDir)
       .where(col("user_id").isNotNull && col("ts").isNotNull)
-      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .select(to_date(col("ts")).as("day"), col("user_id")))
+
+  /** Daily rollup + window top-k over an explicit (day, user_id)
+    * relation — split out so the spec can pin the incremental-append
+    * contract (windows ending before a new day never change). */
+  private[graft] def slidingTopUsersOf(df: DataFrame): DataFrame = {
+    val k = 10
+    val daily = df
       .groupBy("day", "user_id")
       .agg(count(lit(1)).as("c"))
       .localCheckpoint() // rollup-sized; the window algebra below

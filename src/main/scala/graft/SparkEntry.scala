@@ -414,6 +414,10 @@ object SparkEntry {
     // daily-rollup pattern, never a 7x re-scan; per-window top-k via
     // the bounded-heap aggregate, ties pinned.
     "q146_sliding_top_users" -> (RelationalQueries.q146SlidingTopUsers _),
+    // q147 is the TPC-H Q1 pricing summary: one pushed-filter pass,
+    // map-side partials, exact integer units for every money column
+    // (cents x percent x percent), averages by integer floor division.
+    "q147_pricing_summary" -> (RelationalQueries.q147PricingSummary _),
   )
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
@@ -3177,6 +3181,30 @@ object SparkEntry {
          |FROM r JOIN ns USING (lang)
          |WHERE rk <= (ns.n_g * pct + 99) // 100
          |ORDER BY doc_id""".stripMargin,
+    // q147: the same integer units on the oracle side — cents, percent,
+    // and their exact product sums; floor division for the averages.
+    "q147_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty,
+        |       sum(round(l_extendedprice * 100)::BIGINT)::BIGINT
+        |         AS sum_base_c,
+        |       sum(round(l_extendedprice * 100)::BIGINT *
+        |           (100 - round(l_discount * 100)::BIGINT))::BIGINT
+        |         AS sum_disc_e4,
+        |       sum(round(l_extendedprice * 100)::BIGINT *
+        |           (100 - round(l_discount * 100)::BIGINT) *
+        |           (100 + round(l_tax * 100)::BIGINT))::BIGINT
+        |         AS sum_charge_e6,
+        |       (sum(round(l_quantity)::BIGINT) * 10000
+        |          // count(*))::BIGINT AS avg_qty_e4,
+        |       (sum(round(l_extendedprice * 100)::BIGINT)
+        |          // count(*))::BIGINT AS avg_price_c,
+        |       (sum(round(l_discount * 100)::BIGINT) * 100
+        |          // count(*))::BIGINT AS avg_disc_e4,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-06-01 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q146: daily rollup -> window sum -> rank window (the oracle-side
     // formulation of the engine's bounded heap), ties pinned
     // (count desc, user asc).

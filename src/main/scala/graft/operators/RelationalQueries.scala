@@ -621,6 +621,53 @@ object RelationalQueries {
       .orderBy("window_end", "pct")
   }
 
+  /** Q147: PRICING SUMMARY — the TPC-H Q1 shape, the most-run report in
+    * OLAP benchmarking: per (returnflag, linestatus), quantity / base /
+    * discounted / charged totals and averages over the shipped-before
+    * window. ONE pass: pushed shipdate filter → map-side partial
+    * aggregation → a |flags|×|statuses|-row final exchange; everything
+    * whole-stage-codegen.
+    *
+    * Money discipline (q138's, taken further): quantities are whole
+    * units, prices exact CENTS (`round(x·100)`), discount/tax exact
+    * integer PERCENT, so the three product sums are exact integers in
+    * 1e-2 / 1e-4 / 1e-6 dollar units — a rounded double SUM lands on
+    * .005 ties Spark and DuckDB round apart (measured on q138).
+    * Averages are integer floor divisions of those sums (identical on
+    * both engines for non-negative operands). BIGINT bounds: the
+    * charge term is ≤ ~1e11 per row, so the sum stays in range through
+    * ~1e7 rows per group (far past these fixtures); at true 100 TB the
+    * same plan runs with DECIMAL(38,0) sums — one cast, stated here so
+    * nobody scales the BIGINT version silently. */
+  def q147PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = java.sql.Timestamp.valueOf("2000-06-01 00:00:00")
+    val qty = round(col("l_quantity")).cast("long")
+    val priceC = round(col("l_extendedprice") * 100).cast("long")
+    val discP = round(col("l_discount") * 100).cast("long")
+    val taxP = round(col("l_tax") * 100).cast("long")
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") <= lit(cutoff))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        qty.as("q"), priceC.as("pc"), discP.as("dp"), taxP.as("tp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("q")).as("sum_qty"),
+        sum(col("pc")).as("sum_base_c"),
+        sum(col("pc") * (lit(100L) - col("dp"))).as("sum_disc_e4"),
+        sum(col("pc") * (lit(100L) - col("dp")) * (lit(100L) + col("tp")))
+          .as("sum_charge_e6"),
+        sum(col("dp")).as("sum_disc_p"),
+        count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty"), col("sum_base_c"), col("sum_disc_e4"),
+        col("sum_charge_e6"),
+        expr("(sum_qty * 10000) DIV count_order").as("avg_qty_e4"),
+        expr("sum_base_c DIV count_order").as("avg_price_c"),
+        expr("(sum_disc_p * 100) DIV count_order").as("avg_disc_e4"),
+        col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   /** Q146: SLIDING-WINDOW TOP-K HEAVY USERS from daily partials — the
     * third member of the window-topology family (q134 merges KMV
     * samples, q141 merges quantile sketches; heavy hitters want EXACT

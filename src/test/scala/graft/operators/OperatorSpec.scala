@@ -1915,6 +1915,46 @@ class OperatorSpec extends SparkSpec {
       s"q145 must not window-sort the corpus:\n${plan.take(3000)}")
   }
 
+  test("q147 pricing summary: JVM integer-unit replay; pushed shipdate " +
+      "filter; partial aggregation") {
+    val cutoff = java.sql.Timestamp.valueOf("2000-06-01 00:00:00")
+    val rows = Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_shipdate").collect()
+      .filter(r => !r.getTimestamp(6).after(cutoff))
+      .map { r =>
+        ((r.getString(0), r.getString(1)),
+          (math.round(r.getDouble(2)), math.round(r.getDouble(3) * 100),
+            math.round(r.getDouble(4) * 100), math.round(r.getDouble(5) * 100)))
+      }
+    val expect = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rs) =>
+      val n = rs.length.toLong
+      val sq = rs.map(_._2._1).sum
+      val sp = rs.map(_._2._2).sum
+      val sd4 = rs.map { case (_, (_, pc, dp, _)) => pc * (100 - dp) }.sum
+      val sc6 = rs.map { case (_, (_, pc, dp, tp)) =>
+        pc * (100 - dp) * (100 + tp) }.sum
+      val sdp = rs.map(_._2._3).sum
+      (g._1, g._2, sq, sp, sd4, sc6,
+        sq * 10000 / n, sp / n, sdp * 100 / n, n)
+    }
+    val df = RelationalQueries.q147PricingSummary(spark, sfDir)
+    val got = df.collect().map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+      r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9)))
+    assert(got.toSeq === expect)
+    assert(got.nonEmpty && rows.length <
+      Tables.lineitem(spark, sfDir).count(), "cutoff filter vacuous")
+    // the shipdate filter reaches the scan; the aggregate has its
+    // map-side partial half
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      plan.take(3000))
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+  }
+
   test("q146 sliding top users: JVM full-window recount replay; " +
       "bounded-heap plan, no rank window") {
     // independent replay: recount each 7-day window STRAIGHT from the

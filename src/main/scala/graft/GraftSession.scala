@@ -104,6 +104,12 @@ object GraftSession {
       // pruning on its time dimension — measured as a full-table scan
       // where micros prune 75% (ZOrderLayout/ScaleSpec)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // zstd over the snappy default for every engine-written table:
+      // measured −35-40% bytes at equal-or-better write/scan wall
+      // (tools/CodecSweep; SCALING.md round-14). At 100 TB the byte
+      // count IS the scan time (object-store bandwidth-bound) and the
+      // replication bill; codec is transparent to every reader
+      .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

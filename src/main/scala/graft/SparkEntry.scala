@@ -418,6 +418,10 @@ object SparkEntry {
     // map-side partials, exact integer units for every money column
     // (cents x percent x percent), averages by integer floor division.
     "q147_pricing_summary" -> (RelationalQueries.q147PricingSummary _),
+    // q148 composes q139's decile tag + q128's hash-exact E-S key +
+    // q145's bounded-heap stratum draw at the (lang, decile) grain —
+    // the length-balanced weighted curriculum mixture.
+    "q148_balanced_mixture" -> (CurationPipeline.q148BalancedMixture _),
   )
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
@@ -3181,6 +3185,39 @@ object SparkEntry {
          |FROM r JOIN ns USING (lang)
          |WHERE rk <= (ns.n_g * pct + 99) // 100
          |ORDER BY doc_id""".stripMargin,
+    // q148: q139's decile CTE + q128's key replay + the per-(lang,
+    // decile) rank window — the oracle-side composition of the same
+    // three primitives.
+    "q148_balanced_mixture" ->
+      (tokListCte + """,
+        |v AS (SELECT doc_id, lang, len(t)::BIGINT AS v FROM toks),
+        |n AS (SELECT lang, count(*) AS n FROM v GROUP BY 1),
+        |rv AS (SELECT v.*, row_number() OVER (PARTITION BY lang
+        |                                      ORDER BY v) AS rn
+        |       FROM v),
+        |p(pct) AS (VALUES (10), (20), (30), (40), (50), (60), (70),
+        |                  (80), (90)),
+        |th AS (SELECT rv.lang, p.pct, rv.v AS t
+        |       FROM rv JOIN n USING (lang)
+        |       JOIN p ON rv.rn = (n.n * p.pct + 99) // 100),
+        |dec AS (SELECT v.doc_id, v.lang,
+        |               (1 + sum(CASE WHEN v.v > th.t THEN 1 ELSE 0
+        |                        END))::BIGINT AS decile
+        |        FROM v JOIN th USING (lang)
+        |        GROUP BY v.doc_id, v.lang, v.v),
+        |w AS (SELECT dec.doc_id, dec.lang, dec.decile,
+        |             1 + (substr(d.source, 4)::INT % 5) AS weight
+        |      FROM dec JOIN documents d USING (doc_id)),
+        |kk AS (SELECT *, list_max(list_transform(
+        |         generate_series(1, weight),
+        |         i -> md5('wsamp:' || doc_id::VARCHAR || ':' ||
+        |                  i::VARCHAR))) AS sample_key
+        |       FROM w),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang, decile
+        |                ORDER BY sample_key DESC, doc_id) AS rk
+        |      FROM kk)
+        |SELECT lang, decile, rk::BIGINT AS rk, doc_id, weight, sample_key
+        |FROM r WHERE rk <= 5 ORDER BY lang, decile, rk""".stripMargin),
     // q147: the same integer units on the oracle side — cents, percent,
     // and their exact product sums; floor division for the averages.
     "q147_pricing_summary" ->

@@ -948,6 +948,52 @@ object CurationPipeline {
       .orderBy("lang", "rk")
   }
 
+  /** Q148: LENGTH-BALANCED weighted mixture — the curriculum recipe
+    * that needs BOTH tags: "5 docs per (language, length-decile),
+    * curated sources preferred w×". Composes three verified
+    * primitives at a finer stratum than any of them alone: q139's
+    * equi-depth decile tag (nine bisected order statistics per lang,
+    * broadcast, map-side comparisons), q128's hash-exact
+    * Efraimidis–Spirakis key, and q145's bounded-heap per-stratum
+    * top-k — now grouped by (lang, decile), 50 strata, k=5. The
+    * equi-depth property is what makes the mixture length-BALANCED:
+    * every decile holds ~N_lang/10 docs, so equal per-stratum quotas
+    * flatten the length distribution by construction.
+    *
+    * Scale shape: decile thresholds via groupedQuantiles (zero corpus
+    * shuffle), the key map-side (≤5 md5s/row), the draw a bounded heap
+    * per stratum (≤ k rows per task per stratum) — the whole mixture
+    * is one corpus pass plus sketch-sized exchanges. */
+  def q148BalancedMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = 5
+    val feats = TextQueries.docFeatures(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("token_cnt").cast("long").as("v"))
+    val th = RelationalQueries.groupedQuantiles(
+        feats.select(col("lang").as("g"), col("v")), 10 to 90 by 10)
+      .groupBy(_._1).map { case (g, rows) =>
+        (g, rows.sortBy(_._2).map(_._3))
+      }.toSeq.toDF("lang", "ts")
+    val decile = (1 to 9).map(i =>
+      (col("v") > element_at(col("ts"), i)).cast("long"))
+      .foldLeft(lit(1L))(_ + _)
+    feats.join(broadcast(th), Seq("lang"))
+      .select(col("doc_id"), col("lang"), decile.as("decile"),
+        wsampleWeight(col("source")).as("weight"))
+      .withColumn("sample_key", wsampleKey(col("doc_id"), col("weight")))
+      .groupBy("lang", "decile")
+      .agg(graft.functions.Aggregates.topK(
+        struct(col("sample_key"), col("doc_id"), col("weight")), k,
+        asc = Seq(false, true, true)).as("top"))
+      .select(col("lang"), col("decile"), posexplode(col("top")))
+      .select(col("lang"), col("decile"),
+        (col("pos") + 1).cast("long").as("rk"),
+        col("col.doc_id").as("doc_id"), col("col.weight").as("weight"),
+        col("col.sample_key").as("sample_key"))
+      .orderBy("lang", "decile", "rk")
+  }
+
   /** TRIMMED-corpus features: per doc, the token count of the q121
     * suffix-trimmed text (exact-substring spans cut, the doc rebuilt
     * from the kept segments). Materialized because q140's three

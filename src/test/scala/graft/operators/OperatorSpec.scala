@@ -1915,6 +1915,48 @@ class OperatorSpec extends SparkSpec {
       s"q145 must not window-sort the corpus:\n${plan.take(3000)}")
   }
 
+  test("q148 balanced mixture: JVM replay through deciles + weighted " +
+      "draw; every stratum fills its quota; no window sort") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val feats = TextQueries.docFeatures(spark, sfDir)
+      .select("doc_id", "lang", "source", "token_cnt").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3).toLong))
+    def ceilRank(n: Long, p: Long): Long = (n * p + 99) / 100
+    val expect = feats.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      val vs = rows.map(_._4).sorted
+      val th = (10 to 90 by 10)
+        .map(p => vs((ceilRank(vs.length, p) - 1).toInt))
+      rows.map { case (id, _, src, v) =>
+        val w = 1 + src.drop(3).toInt % 5
+        val key = (1 to w).map(i => md5hex(s"wsamp:$id:$i")).max
+        (lang, 1L + th.count(v > _), id, w.toLong, key)
+      }.groupBy(_._2).toSeq.flatMap { case (dec, ds) =>
+        ds.sortBy { case (_, _, id, _, key) => (key, -id) }(
+          Ordering.Tuple2(Ordering.String.reverse, Ordering.Long.reverse))
+          .take(5).zipWithIndex.map { case ((_, _, id, w, key), i) =>
+            (lang, dec, (i + 1).toLong, id, w, key) }
+      }
+    }.sortBy(r => (r._1, r._2, r._3))
+    val df = CurationPipeline.q148BalancedMixture(spark, sfDir)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getInt(4).toLong, r.getString(5)))
+    assert(got.toSeq === expect)
+    // the BALANCE property: equi-depth deciles hold >= 5 docs per
+    // stratum at this fixture, so every (lang, decile) fills its quota
+    assert(got.groupBy(r => (r._1, r._2)).forall(_._2.length == 5))
+    assert(got.map(_._2).distinct.sorted.toSeq === (1L to 10L),
+      "missing deciles — the mixture is not length-balanced")
+    // bounded-heap plan, never a per-stratum window sort
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("ObjectHashAggregate"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
   test("q147 pricing summary: JVM integer-unit replay; pushed shipdate " +
       "filter; partial aggregation") {
     val cutoff = java.sql.Timestamp.valueOf("2000-06-01 00:00:00")

@@ -422,6 +422,10 @@ object SparkEntry {
     // q145's bounded-heap stratum draw at the (lang, decile) grain —
     // the length-balanced weighted curriculum mixture.
     "q148_balanced_mixture" -> (CurationPipeline.q148BalancedMixture _),
+    // q149 is the interval-OVERLAP join q40's point-in-window leaves
+    // open: session concurrency via variable-fanout hour binning +
+    // candidate dedup + exact verify — never the nested-loop theta join.
+    "q149_concurrent_sessions" -> (RangeJoin.q149ConcurrentSessions _),
   )
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
@@ -3185,6 +3189,35 @@ object SparkEntry {
          |FROM r JOIN ns USING (lang)
          |WHERE rk <= (ns.n_g * pct + 99) // 100
          |ORDER BY doc_id""".stripMargin,
+    // q149: the session CTE (q30/q117's) reduced to intervals, then the
+    // direct overlap theta join per pair of DIFFERENT users — DuckDB's
+    // IEJoin handles the two inequalities; the engine's binning must
+    // reproduce it exactly.
+    "q149_concurrent_sessions" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |                ORDER BY ts, event_id
+        |                ROWS UNBOUNDED PRECEDING) AS sess FROM d),
+        |iv AS (SELECT user_id, sess, min(ts) AS s_ts, max(ts) AS e_ts
+        |       FROM s GROUP BY 1, 2),
+        |c AS (SELECT a.user_id, a.sess, a.s_ts,
+        |             count(*) AS n_concurrent
+        |      FROM iv a JOIN iv b
+        |        ON a.user_id <> b.user_id
+        |       AND a.s_ts <= b.e_ts AND b.s_ts <= a.e_ts
+        |      GROUP BY 1, 2, 3)
+        |SELECT iv.user_id,
+        |       strftime(iv.s_ts, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |       coalesce(c.n_concurrent, 0) AS n_concurrent
+        |FROM iv LEFT JOIN c USING (user_id, sess)
+        |ORDER BY user_id, session_start""".stripMargin,
     // q148: q139's decile CTE + q128's key replay + the per-(lang,
     // decile) rank window — the oracle-side composition of the same
     // three primitives.

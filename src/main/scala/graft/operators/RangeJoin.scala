@@ -38,6 +38,65 @@ object RangeJoin {
       .drop("__bucket")
   }
 
+  /** Q149: INTERVAL-OVERLAP self-join — the range-join variant q40
+    * leaves open: both sides are VARIABLE-length intervals (q40's probe
+    * is a point with a fixed trailing window). The workload is session
+    * concurrency — for every user session (q112's 30-minute-gap rule,
+    * interval = [first event, last event]), how many OTHER users'
+    * sessions overlap it in time ("who was online together"), the
+    * capacity/abuse signal a product pipeline computes daily.
+    *
+    * Scale shape: the naive theta join (`s_a <= e_b AND s_b <= e_a`)
+    * plans as a nested-loop cross product — dead at any scale. The
+    * bucketized form replicates each interval to every hour bucket it
+    * COVERS (variable fanout = span/width + 1, vs q40's constant 2),
+    * equi-joins on the bucket, dedups candidate pairs (an overlapping
+    * pair shares every bucket of its overlap), and refines with the
+    * exact predicate. Hot buckets (peak hours) go quadratic exactly as
+    * far as their sessions genuinely pairwise overlap — that cost lives
+    * in the OUTPUT, not the method; width is the balance knob. Zero-
+    * overlap sessions are restored by a left join (reported with 0). */
+  def q149ConcurrentSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val width = 3600L * 1000000L // 1-hour buckets, microseconds
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val prev = lag(col("ts"), 1).over(w)
+    val iv = Tables.events(spark, sfDir)
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("new_s",
+        when(prev.isNull ||
+          col("ts") - prev >= expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+      .withColumn("sess", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess")
+      .agg(min(col("ts")).as("s_ts"), max(col("ts")).as("e_ts"))
+      .select(col("user_id"), col("sess"), col("s_ts"),
+        unix_micros(col("s_ts")).as("s"), unix_micros(col("e_ts")).as("e"))
+    val binned = iv.withColumn("__bucket",
+      explode(sequence((col("s") / width).cast("long"),
+        (col("e") / width).cast("long"))))
+    val a = binned.select(col("__bucket"), col("user_id").as("ua"),
+      col("sess").as("sa"), col("s_ts").as("st_a"),
+      col("s").as("s_a"), col("e").as("e_a"))
+    val b = binned.select(col("__bucket"), col("user_id").as("ub"),
+      col("sess").as("sb"), col("s").as("s_b"), col("e").as("e_b"))
+    val pairs = a.join(b, Seq("__bucket"))
+      .where(col("ua") =!= col("ub") &&
+        col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
+      .select("ua", "sa", "st_a", "ub", "sb")
+      .distinct() // a pair shares every bucket of its overlap
+    val counts = pairs.groupBy("ua", "sa", "st_a")
+      .agg(count(lit(1)).as("n_concurrent"))
+    iv.join(counts,
+        col("user_id") === col("ua") && col("sess") === col("sa"), "left")
+      .select(col("user_id"),
+        date_format(col("s_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** Q40: for each error event, how many click events (any user) happened
     * in the preceding minute, and their summed value. Left join semantics:
     * errors with no clicks keep cnt = 0. */

@@ -1915,6 +1915,56 @@ class OperatorSpec extends SparkSpec {
       s"q145 must not window-sort the corpus:\n${plan.take(3000)}")
   }
 
+  test("q149 concurrent sessions: JVM brute-force overlap replay; " +
+      "bucketed equi-join plan, no nested loop") {
+    // independent replay: sessions and overlap counts straight from
+    // the collected events
+    val ev = Tables.events(spark, sfDir)
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .select("user_id", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val gapMicros = 30L * 60 * 1000000
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos % 1000000) / 1000
+    val ivs = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (micros(r._2), r._3))
+      val sessions = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[java.sql.Timestamp]]
+      var prev: java.sql.Timestamp = null
+      for ((_, ts, _) <- sorted) {
+        if (prev == null || micros(ts) - micros(prev) >= gapMicros)
+          sessions += scala.collection.mutable.ArrayBuffer(ts)
+        else sessions.last += ts
+        prev = ts
+      }
+      sessions.map(s => (u, s.head, s.last))
+    }
+    val expect = ivs.map { case (u, s, e) =>
+      val n = ivs.count { case (u2, s2, e2) =>
+        u2 != u && !s.after(e2) && !s2.after(e) }
+      ((u, s.toString), n.toLong)
+    }.toMap
+    val got = RangeJoin.q149ConcurrentSessions(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.length === expect.size)
+    got.foreach { case (u, st, n) =>
+      // session_start is formatted with 6-digit micros; Timestamp
+      // .toString trims trailing zeros — compare on the parsed instant
+      val key = (u, java.sql.Timestamp.valueOf(st).toString)
+      assert(expect(key) === n, s"user $u session $st")
+    }
+    // non-vacuity: overlaps exist AND some session is alone
+    assert(got.exists(_._3 > 0) && got.exists(_._3 == 0))
+    // the plan must be the bucketed EQUI-join — never a nested loop
+    val df = RangeJoin.q149ConcurrentSessions(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"overlap join fell back to a nested loop:\n${plan.take(3000)}")
+  }
+
   test("q148 balanced mixture: JVM replay through deciles + weighted " +
       "draw; every stratum fills its quota; no window sort") {
     def md5hex(s: String): String =

@@ -426,6 +426,10 @@ object SparkEntry {
     // open: session concurrency via variable-fanout hour binning +
     // candidate dedup + exact verify — never the nested-loop theta join.
     "q149_concurrent_sessions" -> (RangeJoin.q149ConcurrentSessions _),
+    // q150 is q45's inverse: native Dataset.unpivot (melt) back to long
+    // form, zero cells dropped — the oracle is the DIRECT long-form
+    // aggregate, so the gate pins pivot-then-unpivot == identity.
+    "q150_unpivot" -> (RelationalQueries.q150Unpivot _),
   )
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
@@ -1462,6 +1466,15 @@ object SparkEntry {
         |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
         |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q150: the INDEPENDENT formulation — the direct long aggregate,
+    // never a melt of the wide form — so the gate pins the round trip.
+    "q150_unpivot" ->
+      """SELECT user_id, event_type, count(*) AS cnt
+        |FROM events
+        |WHERE event_type IN ('click', 'error', 'purchase', 'signup',
+        |                     'view')
+        |GROUP BY 1, 2
+        |ORDER BY user_id NULLS FIRST, event_type""".stripMargin,
     "q43_stream_interval_join" ->
       """WITH c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
         |           FROM events WHERE event_type = 'click'),

@@ -282,8 +282,31 @@ object RelationalQueries {
       .groupBy("user_id")
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
-      .na.fill(0L)
+      // fill the COUNT columns only: a bare na.fill(0L) also coalesces
+      // a null user_id KEY to user 0 (visible as coalesce(user_id, 0)
+      // in q150's plan) — latent on this fixture (no null users), wrong
+      // on any corpus that has them
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
       .orderBy("user_id")
+
+  /** Q150: UNPIVOT (melt) — q45's inverse, the wide→long normalization
+    * every feature pipeline needs when a wide metrics table feeds a
+    * long-form consumer: the pivoted per-user event-type counts melt
+    * back to (user_id, event_type, cnt) rows via the native
+    * `Dataset.unpivot` (Spark's melt — a codegen'd Expand, one pass, no
+    * shuffle beyond q45's own aggregate). Zero-filled cells are dropped
+    * so the round trip is EXACT: the oracle is the direct long-form
+    * aggregate, so the hash gate pins pivot∘unpivot == identity on the
+    * non-zero support (null user_ids ride through as their own group;
+    * ordering pins NULLS FIRST on both engines). */
+  def q150Unpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    q45Pivot(spark, sfDir)
+      .unpivot(Array(col("user_id")), types.map(col).toArray,
+        "event_type", "cnt")
+      .where(col("cnt") > 0)
+      .orderBy(col("user_id").asc_nulls_first, col("event_type"))
+  }
 
   /** Q46: exact interpolated percentiles per group. `percentile` sorts
     * within each group — exact, unlike the approx_percentile sketch

@@ -1915,6 +1915,40 @@ class OperatorSpec extends SparkSpec {
       s"q145 must not window-sort the corpus:\n${plan.take(3000)}")
   }
 
+  test("q150 unpivot: round trip == direct long aggregate; Expand, no " +
+      "extra exchange") {
+    // the round-trip identity, independently: melt(pivot(x)) minus the
+    // zero cells equals the raw long-form counts
+    val direct = Tables.events(spark, sfDir)
+      .where(col("event_type").isin(
+        "click", "error", "purchase", "signup", "view"))
+      .groupBy("user_id", "event_type").count().collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0),
+        r.getString(1)) -> r.getLong(2)).toMap
+    val got = RelationalQueries.q150Unpivot(spark, sfDir).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0),
+        r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === direct)
+    // zero cells really were dropped (the pivot manufactured them)
+    assert(got.values.forall(_ > 0))
+    // melt is a codegen'd Expand over q45's aggregate — it must add
+    // ZERO exchanges beyond the pivot's own (two: the per-(user, type)
+    // count and the pivotfirst by user)
+    def hashEx(d: org.apache.spark.sql.DataFrame): Int = {
+      d.queryExecution.toRdd.count()
+      "Exchange hashpartitioning".r.findAllIn(
+        d.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head).length
+    }
+    val df = RelationalQueries.q150Unpivot(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Expand"), plan.take(3000))
+    assert(hashEx(df) === hashEx(RelationalQueries.q45Pivot(spark, sfDir)),
+      s"unpivot added exchanges:\n${plan.take(3000)}")
+  }
+
   test("q149 concurrent sessions: JVM brute-force overlap replay; " +
       "bucketed equi-join plan, no nested loop") {
     // independent replay: sessions and overlap counts straight from

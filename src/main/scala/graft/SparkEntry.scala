@@ -1490,12 +1490,18 @@ object SparkEntry {
         |ORDER BY user_id, click_id, view_id""".stripMargin,
     // q137: q43's oracle with LEFT JOIN and the null ordering pinned
     // (Spark asc = nulls first; DuckDB defaults NULLS LAST).
+    // null filters mirror the engine EXPLICITLY (q117's discipline):
+    // the watermark drops null-ts rows and the sentinel sink filter
+    // null-kills null user ids, while a bare outer join here would
+    // KEEP them as unmatched rows.
     "q137_stream_outer_join" ->
       """WITH c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
-        |           FROM events WHERE event_type = 'click'),
+        |           FROM events WHERE event_type = 'click'
+        |             AND user_id IS NOT NULL AND ts IS NOT NULL),
         |v AS (SELECT user_id AS v_user_id, ts AS view_ts,
         |             event_id AS view_id
-        |      FROM events WHERE event_type = 'view')
+        |      FROM events WHERE event_type = 'view'
+        |        AND user_id IS NOT NULL AND ts IS NOT NULL)
         |SELECT c.user_id, click_id, view_id,
         |       strftime(click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
         |       strftime(view_ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
@@ -1508,10 +1514,12 @@ object SparkEntry {
     // join-side ids pin NULLS FIRST (DuckDB defaults NULLS LAST).
     "q144_stream_full_outer_join" ->
       """WITH c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
-        |           FROM events WHERE event_type = 'click'),
+        |           FROM events WHERE event_type = 'click'
+        |             AND user_id IS NOT NULL AND ts IS NOT NULL),
         |v AS (SELECT user_id AS v_user_id, ts AS view_ts,
         |             event_id AS view_id
-        |      FROM events WHERE event_type = 'view')
+        |      FROM events WHERE event_type = 'view'
+        |        AND user_id IS NOT NULL AND ts IS NOT NULL)
         |SELECT coalesce(c.user_id, v_user_id) AS user_id,
         |       click_id, view_id,
         |       strftime(click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,

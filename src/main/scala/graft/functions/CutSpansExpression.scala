@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `cut_spans(text, cuts)` — the surviving text after removing every
@@ -36,6 +37,20 @@ case class CutSpans(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = StringType
+
+  // registered as a user-callable SQL function, so ill-typed calls must
+  // die with a clean AnalysisException (the sibling-expression
+  // contract), not a ClassCastException in eval or a codegen error
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(st: StructType, _))
+          if st.fields.length == 2 &&
+            st.fields.forall(_.dataType == LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "cut_spans expects (string, array<struct<bigint, bigint>>), " +
+          s"got (${l.simpleString}, ${r.simpleString})")
+    }
 
   override def nullSafeEval(text: Any, cuts: Any): Any =
     CutSpans.cutSpans(

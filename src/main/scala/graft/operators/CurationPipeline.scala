@@ -965,21 +965,14 @@ object CurationPipeline {
     * per stratum (≤ k rows per task per stratum) — the whole mixture
     * is one corpus pass plus sketch-sized exchanges. */
   def q148BalancedMixture(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val k = 5
     val feats = TextQueries.docFeatures(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("source"),
         col("token_cnt").cast("long").as("v"))
-    val th = RelationalQueries.groupedQuantiles(
-        feats.select(col("lang").as("g"), col("v")), 10 to 90 by 10)
-      .groupBy(_._1).map { case (g, rows) =>
-        (g, rows.sortBy(_._2).map(_._3))
-      }.toSeq.toDF("lang", "ts")
-    val decile = (1 to 9).map(i =>
-      (col("v") > element_at(col("ts"), i)).cast("long"))
-      .foldLeft(lit(1L))(_ + _)
-    feats.join(broadcast(th), Seq("lang"))
-      .select(col("doc_id"), col("lang"), decile.as("decile"),
+    feats.join(broadcast(RelationalQueries.decileThresholds(feats)),
+        Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        RelationalQueries.decileTag(col("v")).as("decile"),
         wsampleWeight(col("source")).as("weight"))
       .withColumn("sample_key", wsampleKey(col("doc_id"), col("weight")))
       .groupBy("lang", "decile")
@@ -1072,19 +1065,13 @@ object CurationPipeline {
     val survivors = withDev.join(broadcast(mad), Seq("lang"))
       .where(col("dev") <= lit(2L) * col("mad"))
       .select(col("doc_id"), col("lang"), col("v"))
-    // stage 3: decile tag over the SURVIVOR distribution (q139's nine
-    // thresholds in one batched bisection; equal values stay low)
-    val th = RelationalQueries.groupedQuantiles(
-        survivors.select(col("lang").as("g"), col("v")), 10 to 90 by 10)
-      .groupBy(_._1).map { case (g, rows) =>
-        (g, rows.sortBy(_._2).map(_._3))
-      }.toSeq.toDF("lang", "ts")
-    val decile = (1 to 9).map(i =>
-      (col("v") > element_at(col("ts"), i)).cast("long"))
-      .foldLeft(lit(1L))(_ + _)
-    val tagged = survivors.join(broadcast(th), Seq("lang"))
+    // stage 3: decile tag over the SURVIVOR distribution (q139's shared
+    // machinery; equal values stay low)
+    val tagged = survivors
+      .join(broadcast(RelationalQueries.decileThresholds(survivors)),
+        Seq("lang"))
       .select(col("doc_id"), col("lang"), col("v").as("token_cnt"),
-        decile.as("decile"))
+        RelationalQueries.decileTag(col("v")).as("decile"))
     // stage 4: exact-count stratified sample of the survivors (q127's
     // machinery, tags carried through)
     exactStratifiedSample(

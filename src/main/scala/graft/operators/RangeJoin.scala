@@ -73,6 +73,9 @@ object RangeJoin {
       .agg(min(col("ts")).as("s_ts"), max(col("ts")).as("e_ts"))
       .select(col("user_id"), col("sess"), col("s_ts"),
         unix_micros(col("s_ts")).as("s"), unix_micros(col("e_ts")).as("e"))
+      .localCheckpoint() // sessions-sized, referenced THREE times (both
+                         // join sides + the restore join) — without the
+                         // cut, the events window re-executes per use
     val binned = iv.withColumn("__bucket",
       explode(sequence((col("s") / width).cast("long"),
         (col("e") / width).cast("long"))))

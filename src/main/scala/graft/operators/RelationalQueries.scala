@@ -663,13 +663,17 @@ object RelationalQueries {
     * same plan runs with DECIMAL(38,0) sums — one cast, stated here so
     * nobody scales the BIGINT version silently. */
   def q147PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
-    val cutoff = java.sql.Timestamp.valueOf("2000-06-01 00:00:00")
+    // resolved under the pinned SESSION time zone (UTC), matching the
+    // oracle's naive TIMESTAMP literal — java.sql.Timestamp.valueOf
+    // would parse in the JVM DEFAULT zone and shift the cutoff instant
+    // on any non-UTC machine
+    val cutoff = to_timestamp(lit("2000-06-01 00:00:00"))
     val qty = round(col("l_quantity")).cast("long")
     val priceC = round(col("l_extendedprice") * 100).cast("long")
     val discP = round(col("l_discount") * 100).cast("long")
     val taxP = round(col("l_tax") * 100).cast("long")
     Tables.lineitem(spark, sfDir)
-      .where(col("l_shipdate") <= lit(cutoff))
+      .where(col("l_shipdate") <= cutoff)
       .select(col("l_returnflag"), col("l_linestatus"),
         qty.as("q"), priceC.as("pc"), discP.as("dp"), taxP.as("tp"))
       .groupBy("l_returnflag", "l_linestatus")
@@ -1053,6 +1057,30 @@ object RelationalQueries {
     }
     done.toSeq
   }
+
+  /** Equi-depth DECILE machinery shared by q139/q140/q148 (one
+    * definition so the tie rule cannot drift between them or their
+    * oracles): thresholds = the nine exact order statistics at
+    * p=10..90 per group, ALL answered in one batched [[groupedQuantiles]]
+    * bisection, returned as (lang, ts: array<long>) for a broadcast
+    * join. Input columns: (lang, v: long). */
+  private[graft] def decileThresholds(vals: DataFrame): DataFrame = {
+    val spark = vals.sparkSession
+    import spark.implicits._
+    groupedQuantiles(vals.select(col("lang").as("g"), col("v")),
+        10 to 90 by 10)
+      .groupBy(_._1).map { case (g, rows) =>
+        (g, rows.sortBy(_._2).map(_._3))
+      }.toSeq.toDF("lang", "ts")
+  }
+
+  /** The decile id over a row joined to [[decileThresholds]]'s `ts`
+    * array: 1 + the count of thresholds STRICTLY below `v` — a value
+    * equal to a threshold stays in the lower bucket (the tie rule
+    * pinned on both engines), nine codegen'd comparisons, map-side. */
+  private[graft] def decileTag(v: Column): Column =
+    (1 to 9).map(i => (v > element_at(col("ts"), i)).cast("long"))
+      .foldLeft(lit(1L))(_ + _)
 
   /** Q126: SCD TYPE-2 dimension history (Kimball slowly-changing
     * dimension) — the CDC deliverable every warehouse maintains: each

@@ -1090,22 +1090,13 @@ object TextQueries {
     * stratum and, worse, splits EQUAL values across buckets by
     * partition order — not reproducible, not oracle-expressible. */
   def q139DecileBinning(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val vals = docFeatures(spark, sfDir)
       .select(col("doc_id"), col("lang"),
         col("token_cnt").cast("long").as("v"))
-    val pcts = (10 to 90 by 10).toSeq
-    val th = RelationalQueries.groupedQuantiles(
-        vals.select(col("lang").as("g"), col("v")), pcts)
-      .groupBy(_._1).map { case (g, rows) =>
-        (g, rows.sortBy(_._2).map(_._3))
-      }.toSeq.toDF("lang", "ts")
-    val decile = (1 to 9).map(i =>
-      (col("v") > element_at(col("ts"), i)).cast("long"))
-      .foldLeft(lit(1L))(_ + _)
-    vals.join(broadcast(th), Seq("lang"))
+    vals.join(broadcast(RelationalQueries.decileThresholds(vals)),
+        Seq("lang"))
       .select(col("doc_id"), col("lang"), col("v").as("token_cnt"),
-        decile.as("decile"))
+        RelationalQueries.decileTag(col("v")).as("decile"))
       .orderBy("doc_id")
   }
 

@@ -587,19 +587,28 @@ object EventStreams {
     * window, which append mode never emits — its end is past the final
     * watermark — and is dropped from the sink output defensively. The
     * result is exactly q29's (and the oracle is the same SQL). */
-  def q60StreamAppendWindows(spark: SparkSession, sfDir: String): DataFrame = {
-    // anchor row for the flush event: any single known event id (batch
-    // metadata lookup at plan build, one scalar). min() over an EMPTY
-    // events table is a null cell — getLong would NPE; an empty stream
-    // needs no flush, so any non-matching sentinel keeps the plan sound
+  /** The far-future FLUSH-ROW source every append-mode drain unions in
+    * (q60's discipline, shared by q60/q137/q142/q144 so the
+    * load-bearing parts cannot drift): the rows of one known event id —
+    * a batch metadata lookup at plan build; min() over an EMPTY events
+    * table is a null cell (getLong would NPE), and an empty stream
+    * needs no flush, so a non-matching sentinel keeps the plan sound.
+    * Callers reshape the row and shift its ts 100 years forward; a
+    * drain whose flush never fires silently leaves its last
+    * windows/rows stuck in state. */
+  private def flushAnchorRows(spark: SparkSession, s: SparkSession,
+      sfDir: String): DataFrame = {
     val anchorRow = graft.Tables.events(spark, sfDir)
       .agg(min(col("event_id"))).head()
     val anchorId = if (anchorRow.isNullAt(0)) -1L else anchorRow.getLong(0)
+    eventsStream(s, sfDir).where(col("event_id") === anchorId)
+  }
+
+  def q60StreamAppendWindows(spark: SparkSession, sfDir: String): DataFrame = {
     val s = stateSession(spark)
     val ev = eventsStream(s, sfDir)
       .select(col("ts"), col("event_type"), col("value"))
-    val flush = eventsStream(s, sfDir)
-      .where(col("event_id") === anchorId)
+    val flush = flushAnchorRows(spark, s, sfDir)
       .select((col("ts") + expr("INTERVAL 36500 DAYS")).as("ts"),
         lit("__flush__").as("event_type"), lit(0.0).as("value"))
     val agg = ev.unionByName(flush)
@@ -628,16 +637,18 @@ object EventStreams {
     * final flush the result is exactly the batch LEFT JOIN the oracle
     * runs. */
   def q137StreamOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val anchorRow = graft.Tables.events(spark, sfDir)
-      .agg(min(col("event_id"))).head()
-    val anchorId = if (anchorRow.isNullAt(0)) -1L else anchorRow.getLong(0)
     val s = stateSession(spark)
+    // explicit null drops, mirrored in the oracle: the watermark
+    // discards null-ts rows and the -1-sentinel sink filter would
+    // null-kill a null user_id — the oracle's FULL/LEFT JOIN would
+    // KEEP both as unmatched rows without its matching WHERE
     val ev = eventsStream(s, sfDir)
-    def flush(tsName: String, idName: String) = eventsStream(s, sfDir)
-      .where(col("event_id") === anchorId)
-      .select(lit(-1L).as("user_id"),
-        (col("ts") + expr("INTERVAL 36500 DAYS")).as(tsName),
-        lit(-1L).as(idName))
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+    def flush(tsName: String, idName: String) =
+      flushAnchorRows(spark, s, sfDir)
+        .select(lit(-1L).as("user_id"),
+          (col("ts") + expr("INTERVAL 36500 DAYS")).as(tsName),
+          lit(-1L).as(idName))
     val clicks = ev.where(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -679,16 +690,16 @@ object EventStreams {
     * explicitly). After the final flush the result is exactly the
     * batch FULL JOIN; the matched subset is q43 (spec-pinned). */
   def q144StreamFullOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val anchorRow = graft.Tables.events(spark, sfDir)
-      .agg(min(col("event_id"))).head()
-    val anchorId = if (anchorRow.isNullAt(0)) -1L else anchorRow.getLong(0)
     val s = stateSession(spark)
+    // explicit null drops, mirrored in the oracle (q137's note applies
+    // doubly here: a FULL JOIN keeps null-key rows on BOTH sides)
     val ev = eventsStream(s, sfDir)
-    def flush(tsName: String, idName: String) = eventsStream(s, sfDir)
-      .where(col("event_id") === anchorId)
-      .select(lit(-1L).as("user_id"),
-        (col("ts") + expr("INTERVAL 36500 DAYS")).as(tsName),
-        lit(-1L).as(idName))
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+    def flush(tsName: String, idName: String) =
+      flushAnchorRows(spark, s, sfDir)
+        .select(lit(-1L).as("user_id"),
+          (col("ts") + expr("INTERVAL 36500 DAYS")).as(tsName),
+          lit(-1L).as(idName))
     val clicks = ev.where(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -926,14 +937,10 @@ object EventStreams {
     * numRowsRemoved off these (the eviction proof). */
   private[graft] def q142Run(spark: SparkSession, sfDir: String)
       : (DataFrame, Array[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
-    val anchorRow = graft.Tables.events(spark, sfDir)
-      .agg(min(col("event_id"))).head()
-    val anchorId = if (anchorRow.isNullAt(0)) -1L else anchorRow.getLong(0)
     val s = stateSession(spark)
     val ev = eventsStream(s, sfDir)
       .select(col("user_id"), col("ts"), col("event_type"))
-    val flush = eventsStream(s, sfDir)
-      .where(col("event_id") === anchorId)
+    val flush = flushAnchorRows(spark, s, sfDir)
       .select(lit(-1L).as("user_id"),
         (col("ts") + expr("INTERVAL 36500 DAYS")).as("ts"),
         lit("__flush__").as("event_type"))

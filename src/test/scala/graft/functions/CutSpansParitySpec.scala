@@ -92,6 +92,17 @@ class CutSpansParitySpec extends SparkSpec {
       s"interpreted lambda in q121's plan:\n$plan")
   }
 
+  test("ill-typed cut_spans calls die at ANALYSIS, not execution") {
+    for (bad <- Seq(
+      "SELECT cut_spans(5, 7)",
+      "SELECT cut_spans('abc', array(1L, 2L))",
+      "SELECT cut_spans('abc', array(named_struct('a', 1L)))")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](
+        spark.sql(bad).collect())
+      assert(e.getMessage.contains("cut_spans expects"), s"$bad: $e")
+    }
+  }
+
   test("SQL registration: cut_spans callable from spark.sql") {
     val got = spark.sql(
       "SELECT cut_spans('abcdefghij', array(" +

@@ -2043,7 +2043,11 @@ class OperatorSpec extends SparkSpec {
 
   test("q147 pricing summary: JVM integer-unit replay; pushed shipdate " +
       "filter; partial aggregation") {
-    val cutoff = java.sql.Timestamp.valueOf("2000-06-01 00:00:00")
+    // UTC instant (the session TZ), not Timestamp.valueOf's default-TZ
+    // parse — keeps the replay's cutoff identical to the engine's on
+    // any machine
+    val cutoff = java.sql.Timestamp.from(
+      java.time.Instant.parse("2000-06-01T00:00:00Z"))
     val rows = Tables.lineitem(spark, sfDir)
       .select("l_returnflag", "l_linestatus", "l_quantity",
         "l_extendedprice", "l_discount", "l_tax", "l_shipdate").collect()

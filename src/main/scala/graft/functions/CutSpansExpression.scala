@@ -30,8 +30,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Null semantics: null text or null cuts → null (the q121 call site
   * keeps its `when(cuts.isNull, text)` guard — span-free docs never
-  * enter the expression). Out-of-range spans degrade exactly like the
-  * fold: positions past the text end simply have nothing to cut.
+  * enter the expression); null ELEMENTS and null struct fields inside
+  * `cuts` are skipped (the SQL registration makes them reachable even
+  * though the engine's collect_list producer never emits them).
+  * Out-of-range spans degrade exactly like the fold: positions past
+  * the text end simply have nothing to cut. Unsorted or overlapping
+  * spans throw IllegalArgumentException rather than silently dropping
+  * the later-listed earlier span.
   */
 case class CutSpans(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -76,22 +81,51 @@ object CutSpans {
       org.apache.spark.sql.graftbridge.Bridge.expression(text),
       org.apache.spark.sql.graftbridge.Bridge.expression(cuts)))
 
-  /** Shared by interpreted eval and generated code: single pass over
-    * the UTF-8 bytes, tracking the 1-based code-point index of the
-    * character starting at the cursor; sorted disjoint spans advance
-    * monotonically with it, so the whole call is O(bytes + spans) with
-    * one output allocation. */
+  /** Shared by interpreted eval and generated code: one O(spans)
+    * validation pass (null elements skipped — the SQL surface can
+    * produce them even though the engine's collect_list producer never
+    * does — and the sorted+disjoint contract ENFORCED, because a
+    * violation would otherwise silently drop later-listed earlier
+    * spans), then a single pass over the UTF-8 bytes tracking the
+    * 1-based code-point index of the character at the cursor. Sorted
+    * disjoint spans advance monotonically with it, so the whole call
+    * is O(bytes + spans) with one output allocation. */
   def cutSpans(text: UTF8String, cuts: ArrayData): UTF8String = {
     val bytes = text.getBytes
-    val nCuts = cuts.numElements()
+    val nRaw = cuts.numElements()
+    if (nRaw == 0) return UTF8String.fromBytes(bytes)
+    // compact the spans to primitive arrays, skipping null elements /
+    // null fields, and reject out-of-order or overlapping spans
+    val starts = new Array[Long](nRaw)
+    val ends = new Array[Long](nRaw)
+    var nCuts = 0
+    var r = 0
+    while (r < nRaw) {
+      if (!cuts.isNullAt(r)) {
+        val c = cuts.getStruct(r, 2)
+        if (!c.isNullAt(0) && !c.isNullAt(1)) {
+          val st = c.getLong(0)
+          val en = c.getLong(1)
+          if (nCuts > 0 && st < ends(nCuts - 1))
+            throw new IllegalArgumentException(
+              s"cut_spans: cuts must be sorted and disjoint, but span " +
+                s"[$st, $en) starts before the previous span's end " +
+                s"${ends(nCuts - 1)}")
+          starts(nCuts) = st
+          ends(nCuts) = en
+          nCuts += 1
+        }
+      }
+      r += 1
+    }
     if (nCuts == 0) return UTF8String.fromBytes(bytes)
     val out = new Array[Byte](bytes.length)
     var o = 0       // bytes written
     var i = 0       // byte cursor (always at a char boundary)
     var ch = 1L     // 1-based code-point index of the char at `i`
     var s = 0       // current span
-    var start = cuts.getStruct(0, 2).getLong(0)
-    var end = cuts.getStruct(0, 2).getLong(1)
+    var start = starts(0)
+    var end = ends(0)
     while (i < bytes.length) {
       // full UTF-8 sequence of the char at i: lead byte + continuations
       var j = i + 1
@@ -100,14 +134,8 @@ object CutSpans {
       // matters again
       while (s < nCuts && ch >= end) {
         s += 1
-        if (s < nCuts) {
-          val c = cuts.getStruct(s, 2)
-          start = c.getLong(0)
-          end = c.getLong(1)
-        } else {
-          start = Long.MaxValue
-          end = Long.MaxValue
-        }
+        if (s < nCuts) { start = starts(s); end = ends(s) }
+        else { start = Long.MaxValue; end = Long.MaxValue }
       }
       if (ch < start) { // outside every span: keep the char's bytes
         System.arraycopy(bytes, i, out, o, j - i)

@@ -841,12 +841,17 @@ object CurationPipeline {
     val joined = keyed.join(tdf, Seq("g"))
     val below = joined.where(col("v") < col("t"))
     // per-stratum quota left for rows that TIE the threshold hash:
-    // target minus the strictly-below count (both tiny aggregates)
+    // target minus the strictly-below count (both tiny aggregates).
+    // LEFT join: a stratum whose whole quota is threshold ties (e.g.
+    // quota 1 on a tiny stratum — nothing strictly below the 1st
+    // smallest hash) has NO below row; it must still keep its ties.
     val quota = keyed.groupBy("g")
       .agg(count(lit(1)).as("n"), first("pct").as("p"))
       .select(col("g"), expr("(n * p + 99) DIV 100").as("target"))
-      .join(below.groupBy("g").agg(count(lit(1)).as("c_below")), Seq("g"))
-      .select(col("g"), (col("target") - col("c_below")).as("tie_quota"))
+      .join(below.groupBy("g").agg(count(lit(1)).as("c_below")),
+        Seq("g"), "left")
+      .select(col("g"),
+        (col("target") - coalesce(col("c_below"), lit(0L))).as("tie_quota"))
     val ties = joined.where(col("v") === col("t"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("g").orderBy("doc_id")))

@@ -103,6 +103,46 @@ class CutSpansParitySpec extends SparkSpec {
     }
   }
 
+  test("null elements / null fields inside cuts are skipped, not NPE") {
+    // reachable only through the SQL surface (the engine's collect_list
+    // producer never emits null elements), so the defense lives in eval
+    val nullElem = spark.sql(
+      "SELECT cut_spans('abcdefghij', array(" +
+        "named_struct('span_start', 2L, 'span_end', 4L), " +
+        "CAST(NULL AS STRUCT<span_start: BIGINT, span_end: BIGINT>)))")
+      .head().getString(0)
+    assert(nullElem === "adefghij")
+    val nullField = spark.sql(
+      "SELECT cut_spans('abcdefghij', array(" +
+        "named_struct('span_start', CAST(NULL AS BIGINT), 'span_end', 4L), " +
+        "named_struct('span_start', 6L, 'span_end', 9L)))")
+      .head().getString(0)
+    assert(nullField === "abcdeij")
+    val allNull = spark.sql(
+      "SELECT cut_spans('abcdefghij', array(" +
+        "CAST(NULL AS STRUCT<span_start: BIGINT, span_end: BIGINT>)))")
+      .head().getString(0)
+    assert(allNull === "abcdefghij")
+  }
+
+  test("unsorted / overlapping cuts throw, never silently drop a span") {
+    for (badCuts <- Seq(
+      "named_struct('span_start', 5L, 'span_end', 7L), " +
+        "named_struct('span_start', 1L, 'span_end', 2L)",  // unsorted
+      "named_struct('span_start', 2L, 'span_end', 6L), " +
+        "named_struct('span_start', 4L, 'span_end', 8L)")) { // overlap
+      val e = intercept[Exception](
+        spark.sql(s"SELECT cut_spans('abcdefghij', array($badCuts))")
+          .collect())
+      def rootChain(t: Throwable): Seq[Throwable] =
+        t +: Option(t.getCause).toSeq.flatMap(rootChain)
+      assert(rootChain(e).exists(_.getMessage != null) &&
+        rootChain(e).exists(t => Option(t.getMessage)
+          .exists(_.contains("sorted and disjoint"))),
+        s"expected the sorted-and-disjoint guard, got: $e")
+    }
+  }
+
   test("SQL registration: cut_spans callable from spark.sql") {
     val got = spark.sql(
       "SELECT cut_spans('abcdefghij', array(" +

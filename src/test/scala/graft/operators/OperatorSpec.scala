@@ -1831,6 +1831,24 @@ class OperatorSpec extends SparkSpec {
     val sel = CurationPipeline.exactStratifiedSample(tied)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(sel === Set(1L, 2L, 3L))
+    // tiny stratum whose WHOLE quota is threshold ties: 3 rows all at
+    // the same hash, 20% -> target 1; nothing is strictly below the
+    // k-th-smallest hash, so the below-count aggregate has NO row for
+    // the stratum — the quota join must still keep it (left join +
+    // coalesce(0)), selecting exactly 1 row in doc_id order
+    val allTie = Seq(
+      (1L, "g1", 10L, 50), (2L, "g1", 20L, 50),
+      (7L, "tiny", 5L, 20), (8L, "tiny", 5L, 20), (9L, "tiny", 5L, 20))
+      .toDF("doc_id", "lang", "hv", "pct")
+    val selTie = CurationPipeline.exactStratifiedSample(allTie)
+    val byG = selTie.collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(0)).toSet)
+    assert(byG("tiny") === Set(7L), "all-tie stratum must keep its quota")
+    assert(byG("g1") === Set(1L))
+    // and the rank-window twin agrees on the constructed case
+    val twinTie = CurationPipeline.exactSampleByWindow(allTie)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(selTie.select("doc_id").collect().map(_.getLong(0)).toSet === twinTie)
   }
 
   test("q128 weighted sample: JVM replay, E-S marginals, bounded-heap plan") {

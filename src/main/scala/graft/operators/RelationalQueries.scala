@@ -710,9 +710,15 @@ object RelationalQueries {
     *
     * Scale shape: ONE corpus pass builds the daily rollup (|days| ×
     * |active users/day| rows — the relation a 100 TB pipeline already
-    * materializes for its dashboards); the window join fans each rollup
-    * row to ≤ 7 windows and aggregates — both stages on the
-    * rollup-sized relation. */
+    * materializes for its dashboards); each rollup row then EXPLODES to
+    * the ≤ 7 window_ends that cover its day (a codegen'd Generate — 7
+    * output rows per input row, a constant), a broadcast SEMI join on
+    * window_end drops the candidates that are not observed days (the
+    * windows relation is |days|-sized), and the rest is equi-key
+    * aggregation. The earlier formulation joined windows to the rollup
+    * on a BETWEEN predicate — a broadcast nested loop evaluating |days|
+    * predicates per rollup row; the explode form is |days|-independent
+    * per row, and the spec pins the nested loop's absence. */
   def q146SlidingTopUsers(spark: SparkSession, sfDir: String): DataFrame =
     slidingTopUsersOf(Tables.events(spark, sfDir)
       .where(col("user_id").isNotNull && col("ts").isNotNull)
@@ -729,9 +735,11 @@ object RelationalQueries {
       .localCheckpoint() // rollup-sized; the window algebra below
                          // never touches events again
     val windows = daily.select(col("day").as("window_end")).distinct()
-    windows.join(daily,
-        col("day").between(date_sub(col("window_end"), 6),
-          col("window_end")))
+    daily
+      .select(explode(expr("sequence(day, date_add(day, 6))"))
+          .as("window_end"),
+        col("user_id"), col("c"))
+      .join(broadcast(windows), Seq("window_end"), "left_semi")
       .groupBy("window_end", "user_id")
       .agg(sum(col("c")).as("events_7d"))
       .groupBy("window_end")

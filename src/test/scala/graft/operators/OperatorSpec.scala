@@ -2131,6 +2131,14 @@ class OperatorSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan.take(3000))
     assert(!plan.contains("Window"),
       s"q146 must not rank-window:\n${plan.take(3000)}")
+    // the rollup->windows attach is the explode-to-covering-windows
+    // equi form: a BETWEEN join would plan as a broadcast nested loop
+    // evaluating |days| predicates per rollup row
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"q146 window attach fell back to a nested loop:\n${plan.take(3000)}")
+    assert(plan.contains("Generate explode"),
+      s"q146 must fan via explode(sequence):\n${plan.take(3000)}")
   }
 
   test("q129 bm25: JVM formula replay, pushed postings filter, heap plan") {

@@ -430,6 +430,12 @@ object SparkEntry {
     // form, zero cells dropped — the oracle is the DIRECT long-form
     // aggregate, so the gate pins pivot-then-unpivot == identity.
     "q150_unpivot" -> (RelationalQueries.q150Unpivot _),
+    // q151 closes the stream-stream join-mode matrix literally: RIGHT
+    // outer (inner q43, left q137, full q144) — unmatched views emit
+    // with a null click side once the min-of-inputs watermark proves
+    // no click can still pair.
+    "q151_stream_right_outer_join" ->
+      (graft.streaming.EventStreams.q151StreamRightOuterJoin _),
   )
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
@@ -3352,6 +3358,25 @@ object SparkEntry {
         |       s2.v AS value_cents_est, s2.m::BIGINT AS sample_n
         |FROM t JOIN s2 ON s2.vr = (s2.m * t.pct + 99) // 100
         |ORDER BY window_end, pct""".stripMargin,
+    // q151: q137's oracle mirrored — RIGHT JOIN, key = the view side's
+    // user (always present in a right outer), ordering leads with
+    // view_id and pins click_id NULLS FIRST (DuckDB defaults NULLS
+    // LAST). Null filters mirror the engine explicitly, as in q137.
+    "q151_stream_right_outer_join" ->
+      """WITH c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+        |           FROM events WHERE event_type = 'click'
+        |             AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |v AS (SELECT user_id AS v_user_id, ts AS view_ts,
+        |             event_id AS view_id
+        |      FROM events WHERE event_type = 'view'
+        |        AND user_id IS NOT NULL AND ts IS NOT NULL)
+        |SELECT v_user_id AS user_id, click_id, view_id,
+        |       strftime(click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |       strftime(view_ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
+        |FROM c RIGHT JOIN v ON c.user_id = v_user_id
+        |  AND view_ts <= click_ts
+        |  AND view_ts >= click_ts - INTERVAL 1 HOUR
+        |ORDER BY user_id, view_id, click_id NULLS FIRST""".stripMargin,
   )
 
   /** q118/q119's shared DuckDB replay: per-position best cross-doc LCP

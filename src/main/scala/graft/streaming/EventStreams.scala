@@ -638,33 +638,8 @@ object EventStreams {
     * runs. */
   def q137StreamOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val s = stateSession(spark)
-    // explicit null drops, mirrored in the oracle: the watermark
-    // discards null-ts rows and the -1-sentinel sink filter would
-    // null-kill a null user_id — the oracle's FULL/LEFT JOIN would
-    // KEEP both as unmatched rows without its matching WHERE
-    val ev = eventsStream(s, sfDir)
-      .where(col("user_id").isNotNull && col("ts").isNotNull)
-    def flush(tsName: String, idName: String) =
-      flushAnchorRows(spark, s, sfDir)
-        .select(lit(-1L).as("user_id"),
-          (col("ts") + expr("INTERVAL 36500 DAYS")).as(tsName),
-          lit(-1L).as(idName))
-    val clicks = ev.where(col("event_type") === "click")
-      .select(col("user_id"), col("ts").as("click_ts"),
-        col("event_id").as("click_id"))
-      .unionByName(flush("click_ts", "click_id"))
-      .withWatermark("click_ts", "1 hour")
-    val views = ev.where(col("event_type") === "view")
-      .select(col("user_id").as("v_user_id"), col("ts").as("view_ts"),
-        col("event_id").as("view_id"))
-      .unionByName(flush("view_ts", "view_id")
-        .withColumnRenamed("user_id", "v_user_id"))
-      .withWatermark("view_ts", "1 hour")
-    val joined = clicks.join(views,
-      col("user_id") === col("v_user_id") &&
-        col("view_ts") <= col("click_ts") &&
-        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"),
-      "leftOuter")
+    val (clicks, views, cond) = outerJoinInputs(spark, s, sfDir)
+    val joined = clicks.join(views, cond, "leftOuter")
     runToTable(joined, OutputMode.Append())
       .where(col("user_id") =!= -1L)
       .select(col("user_id"), col("click_id"), col("view_id"),
@@ -691,8 +666,66 @@ object EventStreams {
     * batch FULL JOIN; the matched subset is q43 (spec-pinned). */
   def q144StreamFullOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val s = stateSession(spark)
-    // explicit null drops, mirrored in the oracle (q137's note applies
-    // doubly here: a FULL JOIN keeps null-key rows on BOTH sides)
+    val (clicks, views, cond) = outerJoinInputs(spark, s, sfDir)
+    val joined = clicks.join(views, cond, "fullOuter")
+    runToTable(joined, OutputMode.Append())
+      // flush leftovers can surface on EITHER side here (the two flush
+      // rows even match each other — same sentinel user, equal ts)
+      .where(coalesce(col("user_id"), col("v_user_id")) =!= -1L)
+      .select(coalesce(col("user_id"), col("v_user_id")).as("user_id"),
+        col("click_id"), col("view_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("click_ts"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("view_ts"))
+      .orderBy(col("user_id"), col("click_id").asc_nulls_first,
+        col("view_id").asc_nulls_first)
+  }
+
+  /** Q151: stream-stream RIGHT OUTER interval join — the fourth and
+    * last cell of the join-mode matrix (inner q43, left q137, full
+    * q144), making the "every join mode" claim literal: unmatched
+    * VIEWS emit with a null click side once the global watermark
+    * proves no click can still fall inside `[view_ts, view_ts + 1h]`
+    * — exactly q137 mirrored. Same shared inputs and flush/null
+    * discipline (the two flush rows match each other, so the sink
+    * filter on the VIEW side's sentinel removes the pair; an
+    * unmatched click-side flush row is never emitted by a right
+    * outer). Output key is the view side's user (always present in a
+    * right outer), ordering leads with view_id so the unmatched-view
+    * rows interleave deterministically, click_id NULLS FIRST pinned
+    * on both engines. After the final flush the result is exactly the
+    * batch RIGHT JOIN; the matched subset is q43 (spec-pinned). */
+  def q151StreamRightOuterJoin(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val s = stateSession(spark)
+    val (clicks, views, cond) = outerJoinInputs(spark, s, sfDir)
+    val joined = clicks.join(views, cond, "rightOuter")
+    runToTable(joined, OutputMode.Append())
+      .where(col("v_user_id") =!= -1L)
+      .select(col("v_user_id").as("user_id"),
+        col("click_id"), col("view_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("click_ts"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("view_ts"))
+      .orderBy(col("user_id"), col("view_id"),
+        col("click_id").asc_nulls_first)
+  }
+
+  /** The click/view stream pair every outer interval join
+    * (q137/q144/q151) builds on, ONE definition so the load-bearing
+    * parts cannot drift: explicit null drops mirrored in the oracles
+    * (the watermark discards null-ts rows and the -1-sentinel sink
+    * filter would null-kill a null user_id — a bare outer join would
+    * KEEP both as unmatched rows), q60's far-future flush row unioned
+    * into BOTH inputs (outer emission waits on the MIN of the two
+    * watermarks — one stalled side stalls every outer row), keyed to
+    * user −1 so it can never pair with a real row, and the q43
+    * interval condition (views within the hour preceding the click). */
+  private def outerJoinInputs(spark: SparkSession, s: SparkSession,
+      sfDir: String): (DataFrame, DataFrame,
+      org.apache.spark.sql.Column) = {
     val ev = eventsStream(s, sfDir)
       .where(col("user_id").isNotNull && col("ts").isNotNull)
     def flush(tsName: String, idName: String) =
@@ -711,23 +744,10 @@ object EventStreams {
       .unionByName(flush("view_ts", "view_id")
         .withColumnRenamed("user_id", "v_user_id"))
       .withWatermark("view_ts", "1 hour")
-    val joined = clicks.join(views,
-      col("user_id") === col("v_user_id") &&
-        col("view_ts") <= col("click_ts") &&
-        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"),
-      "fullOuter")
-    runToTable(joined, OutputMode.Append())
-      // flush leftovers can surface on EITHER side here (the two flush
-      // rows even match each other — same sentinel user, equal ts)
-      .where(coalesce(col("user_id"), col("v_user_id")) =!= -1L)
-      .select(coalesce(col("user_id"), col("v_user_id")).as("user_id"),
-        col("click_id"), col("view_id"),
-        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
-          .as("click_ts"),
-        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
-          .as("view_ts"))
-      .orderBy(col("user_id"), col("click_id").asc_nulls_first,
-        col("view_id").asc_nulls_first)
+    val cond = col("user_id") === col("v_user_id") &&
+      col("view_ts") <= col("click_ts") &&
+      col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR")
+    (clicks, views, cond)
   }
 
   /** RESTARTABLE windowed aggregation: the production layout of q29/q60

@@ -227,6 +227,36 @@ class EventStreamsSpec extends SparkSpec {
     assert(left === q137)
   }
 
+  test("q151 right outer stream join: matched subset == q43; unmatched " +
+      "views emit null clicks; == the view-rows half of q144") {
+    import org.apache.spark.sql.functions._
+    val right = EventStreams.q151StreamRightOuterJoin(spark, sfDir).collect()
+    // matched subset (click present) == the inner join q43
+    val matched = right.filter(r => !r.isNullAt(1))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inner = EventStreams.q43StreamIntervalJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(matched === inner)
+    // watermark-driven null emission actually happened
+    assert(right.exists(_.isNullAt(1)), "no unmatched view emitted")
+    // every view appears at least once; unmatched ones exactly once
+    val views = graft.Tables.events(spark, sfDir)
+      .where(col("event_type") === "view" &&
+        col("user_id").isNotNull && col("ts").isNotNull)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(right.map(_.getLong(2)).toSet === views)
+    val perView = right.groupBy(_.getLong(2))
+    right.filter(_.isNullAt(1)).foreach { u =>
+      assert(perView(u.getLong(2)).length === 1,
+        s"unmatched view ${u.getLong(2)}")
+    }
+    // the view-rows half of the FULL outer (view present) == q151,
+    // row for row — the matrix cells compose
+    val fullViewRows = EventStreams.q144StreamFullOuterJoin(spark, sfDir)
+      .collect().filter(r => !r.isNullAt(2)).map(_.toSeq).toSet
+    assert(right.map(_.toSeq).toSet === fullViewRows)
+  }
+
   test("q133 streamed SCD2 maintenance equals the q126 batch rebuild") {
     // the CDC apply must produce the SAME history as rebuilding from
     // scratch — row-for-row, schema included, after four quartile

@@ -436,6 +436,13 @@ object SparkEntry {
     // no click can still pair.
     "q151_stream_right_outer_join" ->
       (graft.streaming.EventStreams.q151StreamRightOuterJoin _),
+    // q152 puts the rewriting operators behind a real transactional
+    // commit (manifest-pointer, one atomic rename per version): the
+    // lifecycle create -> append -> OPTIMIZE read back at all three
+    // versions — the hash gate pins append-accumulates, optimize-
+    // changes-no-row, and history-stays-readable at once.
+    "q152_manifest_lifecycle" ->
+      (graft.sources.ManifestTable.q152ManifestLifecycle _),
   )
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
@@ -3377,6 +3384,19 @@ object SparkEntry {
         |  AND view_ts <= click_ts
         |  AND view_ts >= click_ts - INTERVAL 1 HOUR
         |ORDER BY user_id, view_id, click_id NULLS FIRST""".stripMargin,
+    // q152: version 1 is the doc_id%5!=0 subset; versions 2 and 3 are
+    // the full table (append accumulates; optimize changes no row).
+    "q152_manifest_lifecycle" ->
+      """WITH t AS (SELECT 1 AS version, doc_id, text FROM documents
+        |           WHERE doc_id % 5 <> 0
+        |           UNION ALL
+        |           SELECT 2, doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT 3, doc_id, text FROM documents)
+        |SELECT version, count(*) AS n_docs,
+        |       sum(doc_id)::BIGINT AS sum_doc_id,
+        |       sum(length(text))::BIGINT AS n_chars
+        |FROM t GROUP BY version ORDER BY version""".stripMargin,
   )
 
   /** q118/q119's shared DuckDB replay: per-position best cross-doc LCP

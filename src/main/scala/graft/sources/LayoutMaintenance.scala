@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions._
   * Swap discipline, stated honestly: on a plain filesystem directory
   * the delete-then-move window is NON-transactional (a concurrent
   * reader can see a partial table); production storage puts the same
-  * rewrite behind a transactional commit (an ACID table format's
-  * OPTIMIZE, or a catalog pointer swap to the staged directory). The
-  * demo owns its directories, so the window is benign here — the
-  * scaladoc is the contract.
+  * rewrite behind a transactional commit. The engine now ships that
+  * commit: [[ManifestTable.optimize]] runs this same clustered rewrite
+  * behind a manifest-pointer commit (one atomic rename per version, old
+  * version readable until vacuum) — use it for tables that have
+  * concurrent readers. The two compactors below remain the in-place
+  * variants for plain directories and catalog tables the caller owns
+  * exclusively; for those the window is benign and this scaladoc is
+  * the contract.
   */
 object LayoutMaintenance {
 

@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The manifest-pointer commit: readers resolve whole versions (never a
+  * partial table), crashes leave only invisible orphans, history stays
+  * readable until vacuumed, concurrent appends serialize through the
+  * per-version commit, and a stale-base rewrite ABORTS instead of
+  * clobbering a concurrent commit. */
+class ManifestTableSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-manifest").toString +
+      "/tbl"
+
+  private def docs = graft.Tables.documents(spark, sfDir)
+    .select("doc_id", "lang", "text")
+
+  test("overwrite/append/read round trip; append accumulates; " +
+      "time travel reads each version exactly") {
+    val root = freshRoot()
+    val base = docs.where(col("doc_id") % 3 =!= 0)
+    val delta = docs.where(col("doc_id") % 3 === 0)
+    assert(ManifestTable.overwrite(spark, root, base) === 1)
+    assert(ManifestTable.append(spark, root, delta) === 2)
+    val all = ManifestTable.read(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(all.toSeq ===
+      docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // time travel: v1 is exactly the base, untouched by the append
+    val v1 = ManifestTable.readAt(spark, root, 1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(v1.toSeq ===
+      base.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    assert(ManifestTable.currentVersion(spark, root) === Some(2))
+  }
+
+  test("staged-but-uncommitted files are invisible; vacuum collects " +
+      "the crash orphans") {
+    val root = freshRoot()
+    ManifestTable.overwrite(spark, root, docs)
+    val before = ManifestTable.read(spark, root).count()
+    // simulate a writer that died after staging, before its manifest
+    // rename: files land under data/ but no manifest references them
+    val orphanDir = new Path(root, "data/c-crashed")
+    docs.limit(5).write.parquet(orphanDir.toString)
+    assert(ManifestTable.read(spark, root).count() === before,
+      "uncommitted staged files leaked into a read")
+    val deleted = ManifestTable.vacuum(spark, root, retain = 1)
+    assert(deleted > 0, "vacuum found no orphan")
+    val fs = orphanDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(orphanDir), "orphan commit dir survived vacuum")
+    assert(ManifestTable.read(spark, root).count() === before)
+  }
+
+  test("optimize: rows identical, fewer files, one-rename swap keeps the " +
+      "old version readable; a pre-resolved snapshot is unaffected") {
+    val root = freshRoot()
+    ManifestTable.overwrite(spark, root,
+      docs.where(col("doc_id") % 4 =!= 0).repartition(6))
+    for (i <- 0 until 3)
+      ManifestTable.append(spark, root,
+        docs.where(col("doc_id") % 12 === i * 4).repartition(2))
+    val expect = ManifestTable.read(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // a reader mid-query: resolved its snapshot BEFORE the rewrite
+    val pinned = ManifestTable.snapshot(spark, root)
+    val (v, nBefore, nAfter) =
+      ManifestTable.optimize(spark, root, "doc_id", targetFiles = 2)
+    assert(v === 5 && nAfter < nBefore,
+      s"optimize did not compact: $nBefore -> $nAfter")
+    val got = ManifestTable.read(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === expect.toSeq, "optimize changed the rows")
+    // snapshot isolation: the pinned pre-optimize file list still reads
+    // (commits never delete data files — only vacuum does)
+    assert(pinned.read(spark).count() === expect.length)
+    // and explicit time travel to the pre-optimize version agrees
+    assert(ManifestTable.readAt(spark, root, 4).count() === expect.length)
+    // vacuum to the newest version retires history: the old data files
+    // go, time travel below the window now fails loudly
+    ManifestTable.vacuum(spark, root, retain = 1)
+    intercept[IllegalArgumentException] {
+      ManifestTable.readAt(spark, root, 4)
+    }
+    assert(ManifestTable.read(spark, root).count() === expect.length)
+  }
+
+  test("concurrent appends: both land via the per-version commit race, " +
+      "rows = union, versions distinct") {
+    val root = freshRoot()
+    ManifestTable.overwrite(spark, root, docs.where(col("doc_id") % 3 === 0))
+    val d1 = docs.where(col("doc_id") % 3 === 1)
+    val d2 = docs.where(col("doc_id") % 3 === 2)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val fs = Seq(d1, d2).map(d => Future {
+      ManifestTable.append(spark, root, d)
+    })
+    val vs = fs.map(Await.result(_, 120.seconds))
+    assert(vs.toSet === Set(2, 3), s"expected versions 2 and 3, got $vs")
+    assert(ManifestTable.read(spark, root).count() === docs.count())
+  }
+
+  test("stale-base overwrite aborts rather than clobbering the " +
+      "concurrent commit") {
+    val root = freshRoot()
+    ManifestTable.overwrite(spark, root, docs.limit(10))
+    val resolvedBase = ManifestTable.currentVersion(spark, root).get
+    // another writer commits v2 AFTER this writer resolved its base
+    ManifestTable.append(spark, root, docs.limit(3))
+    // the read-modify-write commit derived from the stale base must
+    // abort — a silent success would drop the appended rows
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.overwrite(spark, root, docs.limit(2),
+        expectedBase = Some(resolvedBase))
+    }
+    // and the table is untouched by the aborted writer
+    assert(ManifestTable.currentVersion(spark, root) === Some(2))
+    assert(ManifestTable.read(spark, root).count() === 13)
+  }
+}

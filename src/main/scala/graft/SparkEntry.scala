@@ -443,6 +443,12 @@ object SparkEntry {
     // changes-no-row, and history-stays-readable at once.
     "q152_manifest_lifecycle" ->
       (graft.sources.ManifestTable.q152ManifestLifecycle _),
+    // q153 completes the audio pipeline q61's framing fronted: per
+    // overlapping window, Goertzel DFT bins at the integer-twiddle
+    // frequencies (DC / quarter band / Nyquist) — recurrence in the
+    // engine, direct coefficient-pattern sum in the oracle.
+    "q153_spectral_bins" -> ((s: SparkSession, d: String) =>
+      MultimodalPipeline.q153SpectralBins(s, d)),
   )
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
@@ -3397,6 +3403,43 @@ object SparkEntry {
         |       sum(doc_id)::BIGINT AS sum_doc_id,
         |       sum(length(text))::BIGINT AS n_chars
         |FROM t GROUP BY version ORDER BY version""".stripMargin,
+    // q153: q61's frame replay extended from energy to SPECTRA — the
+    // engine runs the Goertzel recurrence, the oracle the direct DFT
+    // sum with the integer twiddle patterns (cos pi*n/2 = [1,0,-1,0],
+    // -sin = [0,-1,0,1], Nyquist = (-1)^n), so the two formulations
+    // gate each other. Same ASCII precondition as q61.
+    "q153_spectral_bins" ->
+      """WITH w AS (
+        |  SELECT doc_id, text, 2 * length(text) AS ns,
+        |         unnest(range(0, least(16, greatest(1, (2 * length(text)) // 128))))
+        |           AS win_idx
+        |  FROM documents),
+        |s AS (SELECT doc_id, text, win_idx::INT AS win_idx,
+        |             (win_idx * 128)::INT AS sample_offset,
+        |             least(256, ns - win_idx * 128)::INT AS n_samples
+        |      FROM w),
+        |sl AS (SELECT doc_id, win_idx, n_samples,
+        |         [((ascii(substr(text, ((sample_offset + i) % length(text)) + 1, 1)) * 131
+        |            + (sample_offset + i) * 71) % 65536 - 32768)::BIGINT
+        |          for i in range(0, n_samples)] AS sm
+        |       FROM s),
+        |b AS (SELECT doc_id, win_idx, n_samples,
+        |        coalesce(list_sum(sm), 0)::BIGINT AS dc,
+        |        coalesce(list_sum([sm[i+1] *
+        |            (CASE i % 4 WHEN 0 THEN 1 WHEN 2 THEN -1 ELSE 0 END)
+        |          for i in range(0, len(sm))]), 0)::BIGINT AS re_q,
+        |        coalesce(list_sum([sm[i+1] *
+        |            (CASE i % 4 WHEN 1 THEN -1 WHEN 3 THEN 1 ELSE 0 END)
+        |          for i in range(0, len(sm))]), 0)::BIGINT AS im_q,
+        |        coalesce(list_sum([sm[i+1] *
+        |            (CASE i % 2 WHEN 0 THEN 1 ELSE -1 END)
+        |          for i in range(0, len(sm))]), 0)::BIGINT AS nyq
+        |      FROM sl)
+        |SELECT doc_id, win_idx, n_samples, dc,
+        |       re_q, im_q,
+        |       re_q * re_q + im_q * im_q AS pow_q,
+        |       nyq * nyq AS pow_nyq
+        |FROM b ORDER BY doc_id, win_idx""".stripMargin,
   )
 
   /** q118/q119's shared DuckDB replay: per-position best cross-doc LCP

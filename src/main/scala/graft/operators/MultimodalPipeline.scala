@@ -391,6 +391,49 @@ object MultimodalPipeline {
       .orderBy("doc_id", "win_idx")
   }
 
+  /** Q153: the SPECTRAL TRANSFORM q61's framing was the front-end for —
+    * per overlapping window (q61's exact frame/hop layout: 256/128,
+    * ≤ 16 windows/doc, decoded from the real WAV container), Goertzel
+    * DFT bins at the integer-twiddle analysis frequencies: DC
+    * (re only), the quarter band fs/4 (re, im, and power re²+im²), and
+    * Nyquist fs/2 (power). [[graft.functions.Goertzel.exactBin]] runs
+    * the O(len)-per-bin RECURRENCE; the DuckDB oracle replays the
+    * DIRECT sum `Σ s_n·e^{−iωn}` with ±1/0 coefficient patterns over
+    * the fixture's sample formula — two independent formulations of the
+    * same integer-exact quantity, so a recurrence/phase/container bug
+    * fires the hash gate (the q61 differential-oracle discipline
+    * extended from energy to spectra). Arbitrary bins ship as the
+    * fixed-point Q15 variant ([[graft.functions.Goertzel.powerQ15]]),
+    * spec-gated since its per-sample floor shift is not SQL-replayable.
+    *
+    * Scale shape: identical to q61 — one pass over the media table,
+    * per-partition decode + O(windows · bins · window) integer work,
+    * no shuffle before the final order; a production fbank/MFCC
+    * front-end swaps into the same mapPartitions seam. */
+  def q153SpectralBins(spark: SparkSession, sfDir: String,
+                       window: Int = 256, hop: Int = 128,
+                       maxWindows: Int = 16): DataFrame = {
+    import spark.implicits._
+    wavMediaTable(spark, sfDir).as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        val audio = graft.functions.Wav.decode(r.payload)
+        val s = audio.samples
+        val nWin = math.min(maxWindows, math.max(1, s.length / hop))
+        (0 until nWin).iterator.map { i =>
+          val off = i * hop
+          val len = math.min(window, s.length - off)
+          val (dc, _) = graft.functions.Goertzel.exactBin(s, off, len, 1)
+          val (reQ, imQ) = graft.functions.Goertzel.exactBin(s, off, len, 4)
+          val (reN, _) = graft.functions.Goertzel.exactBin(s, off, len, 2)
+          (r.doc_id, i, len, dc, reQ, imQ,
+            reQ * reQ + imQ * imQ, reN * reN)
+        }
+      })
+      .toDF("doc_id", "win_idx", "n_samples", "dc", "re_q", "im_q",
+        "pow_q", "pow_nyq")
+      .orderBy("doc_id", "win_idx")
+  }
+
   /** Embedding extraction: DECODED-PIXEL histogram over 16 buckets,
     * L2-normalized, as `array<float>` — the column type the similarity
     * operators (q17/q21/q22) consume. The histogram runs over the

@@ -523,6 +523,47 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q153 spectral bins: direct-DFT JVM replay over the decoded WAV " +
+      "samples; power identities hold") {
+    import graft.functions.Wav
+    val got = MultimodalPipeline.q153SpectralBins(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)),
+        (r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    assert(got.nonEmpty)
+    // powers are the squared norms of the emitted re/im, every row
+    got.values.foreach { case (_, _, reQ, imQ, powQ, _) =>
+      assert(powQ === reQ * reQ + imQ * imQ)
+    }
+    // direct DFT sums over the DECODED container samples — independent
+    // of the Goertzel recurrence under test (the oracle is the third
+    // implementation, off the fixture formula instead of the decode)
+    val payloads = MultimodalPipeline.wavMediaTable(spark, sfDir)
+      .limit(10).collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    payloads.foreach { case (id, bytes) =>
+      val s = Wav.decode(bytes).samples
+      val nWin = math.min(16, math.max(1, s.length / 128))
+      (0 until nWin).foreach { i =>
+        val off = i * 128
+        val len = math.min(256, s.length - off)
+        val dc = (0 until len).map(n => s(off + n).toLong).sum
+        val reQ = (0 until len).map(n => (n % 4) match {
+          case 0 => s(off + n).toLong; case 2 => -s(off + n).toLong
+          case _ => 0L
+        }).sum
+        val imQ = (0 until len).map(n => (n % 4) match {
+          case 1 => -s(off + n).toLong; case 3 => s(off + n).toLong
+          case _ => 0L
+        }).sum
+        val nyq = (0 until len).map(n =>
+          s(off + n).toLong * (if (n % 2 == 0) 1 else -1)).sum
+        assert(got((id, i)) ===
+          ((len, dc, reQ, imQ, reQ * reQ + imQ * imQ, nyq * nyq)),
+          s"doc $id win $i")
+      }
+    }
+  }
+
   test("q61 audio windows advance by hop and overlap 50%") {
     val rows = MultimodalPipeline.q61AudioWindows(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))

@@ -1121,7 +1121,17 @@ object TextQueries {
     * SUM over term rows, whose addition order is partition-dependent),
     * the score is one left-associated expression with the same literal
     * constants on both engines (k1 = 1.2, b = 0.75 — so 1-b = 0.25 is
-    * exact binary), and only the final display value is rounded. */
+    * exact binary), and only the final display value is rounded.
+    *
+    * One residual cross-engine assumption the discipline above cannot
+    * remove: the idf's natural log itself — the hash gate holds only
+    * because JVM `Math.log` and DuckDB's `ln` agree to the last ulp on
+    * every idf this corpus produces at each `round(score, 4)` boundary
+    * (libm implementations may differ by 1 ulp in general; a mismatch
+    * would downgrade this query to a rows+tolerance gate, the q34
+    * treatment). The fixed 3-term vocabulary keeps the exposed idf set
+    * tiny and stable, which is why the assumption has held across every
+    * fixture regeneration. */
   def q129Bm25(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val terms = Bm25Terms

@@ -6,7 +6,7 @@ import graft.api.SampleJobs
 import graft.operators.{AsofJoin, CurationPipeline, DedupQueries,
   FuzzyJoin, MultimodalPipeline, ProductQuantization, RangeJoin,
   ReferenceQueries, RelationalQueries, SimilarityQueries, SkewJoin,
-  SuffixQueries, TextQueries}
+  SuffixQueries, SuffixRefresh, TextQueries}
 import graft.sources.{DelimitedSources, PartitionedSink}
 import graft.streaming.EventStreams
 
@@ -449,6 +449,13 @@ object SparkEntry {
     // engine, direct coefficient-pattern sum in the oracle.
     "q153_spectral_bins" -> ((s: SparkSession, d: String) =>
       MultimodalPipeline.q153SpectralBins(s, d)),
+    // q154 is the sound incremental MIDDLE q116 ruled doc-local refresh
+    // out of: the snapshot-B suffix table by PARTITION-bounded refresh
+    // of the stored snapshot-A index — only range partitions whose
+    // prefix domain the delta touches are rescanned (pruned read);
+    // unaffected partitions reuse stored aggregates; must equal the
+    // full rebuild.
+    "q154_suffix_refresh" -> (SuffixRefresh.q154SuffixRefresh _),
   )
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
@@ -3440,6 +3447,15 @@ object SparkEntry {
         |       re_q * re_q + im_q * im_q AS pow_q,
         |       nyq * nyq AS pow_nyq
         |FROM b ORDER BY doc_id, win_idx""".stripMargin,
+    // q154: the refreshed table must BE snapshot B's suffix table — the
+    // oracle is the same independent SQL construction that gates
+    // q116's B side (suffix order by row_number, adjacent cross-doc
+    // LCP, per-doc max), so a refresh that misses an affected
+    // partition, keeps a removed doc's pair, or drops a boundary pair
+    // fires the hash gate.
+    "q154_suffix_refresh" ->
+      s"""SELECT doc_id, max_shared FROM ($suffixPerDocSqlB) t
+         |WHERE max_shared >= 1 ORDER BY doc_id""".stripMargin,
   )
 
   /** q118/q119's shared DuckDB replay: per-position best cross-doc LCP

@@ -67,8 +67,10 @@ object SuffixQueries {
   val MinReport = 16
 
   /** One row per character position: (doc_id, pos 1-based, the
-    * cap-bounded suffix prefix starting there). */
-  private def positions(docs: DataFrame, cap: Int): DataFrame =
+    * cap-bounded suffix prefix starting there). Shared with
+    * [[SuffixRefresh]], whose delta rows must be EXACTLY the position
+    * rows the stored index holds for those docs. */
+  private[operators] def positions(docs: DataFrame, cap: Int): DataFrame =
     docs.select(col("doc_id"), col("text"))
       .where(length(col("text")) > 0)
       .select(col("doc_id"),

@@ -1,0 +1,367 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.Tables
+import graft.functions.CommonPrefixLen
+
+/** PARTITION-BOUNDED suffix-table refresh — the missing incremental
+  * story for the engine's most expensive recurring job (the r14 verdict,
+  * missing #6): the per-doc longest-cross-doc-match table
+  * ([[SuffixQueries.suffixShared]]) is a GLOBAL property, so q116 proved
+  * delta-LOCAL refresh unsound (removing a document can lower an
+  * untouched survivor's max) and shipped full-recompute-plus-delta-write
+  * as the sound form. This module is the sound MIDDLE: recompute only
+  * the RANGE PARTITIONS of the stored suffix index whose prefix domain
+  * the delta actually touches, and reuse every other partition's stored
+  * aggregates verbatim.
+  *
+  * Why partition-local is sound where doc-local is not. The per-doc max
+  * is a max over adjacent cross-doc LCPs in the global suffix order.
+  * Fix the stored index's range partitioning:
+  *
+  *  1. Every position row of a REMOVED doc lives in some stored
+  *     partition, and every ADDED row lands in a determinable partition
+  *     (the stored first-key boundaries are monotone) — both delta-sized
+  *     computations against O(partitions) driver state, no corpus scan.
+  *     Call those partitions AFFECTED.
+  *  2. An UNAFFECTED partition's row multiset — and therefore its
+  *     internal adjacency pairs — is bit-identical before and after the
+  *     delta. Crucially its pairs can never involve a removed doc
+  *     (those rows would have made it affected), so its stored
+  *     per-(partition, doc) maxes remain exact. The q116
+  *     counterexample (survivor's best match removed) lands in an
+  *     affected partition BY CONSTRUCTION: the pair involved the
+  *     removed doc's row.
+  *  3. The only cross-partition interactions are the O(partitions)
+  *     BOUNDARY pairs (last row of p vs first row of the next non-empty
+  *     partition). Those are recomputed on the driver from per-partition
+  *     summaries — stored for unaffected partitions, fresh for affected
+  *     ones — so first/last-row churn and emptied partitions are handled
+  *     exactly.
+  *
+  * Refreshed result = max over {stored unaffected maxes} ∪ {rescanned
+  * affected maxes} ∪ {recomputed boundary pairs} — EQUAL to the full
+  * rebuild on snapshot B (q154's hash gate pins it against the oracle's
+  * independent SQL construction; the spec pins it against
+  * [[SuffixQueries.suffixSharedB]] and on a constructed
+  * removed-best-match case).
+  *
+  * Cost shape, stated honestly: the refresh reads ONLY the affected
+  * partitions of the stored index (partition-pruned scan — the index is
+  * stored `partitionBy(part)`), plus delta-sized position work and
+  * O(partitions) driver state. A delta of D positions touches ≤ D
+  * partitions, so the bounded fraction is ~min(1, D/P) — and D counts
+  * POSITIONS, not docs (one ~600-char doc is ~600 keys spread across
+  * the prefix domain), so the regime where pruning pays is
+  * delta-positions ≲ partitions. Measured at sf0.1
+  * (`tools.SuffixRefreshScaling`): the q79 recrawl delta (601k
+  * positions) hits 100% of partitions at every width tested — there
+  * refresh ≈ rebuild plus bookkeeping and the r10 "recompute freely"
+  * guidance stands; a single-doc edit (95 positions) hits 78% of 32
+  * partitions but only 10.5% of 512 (suffix CLUSTERING pulls it under
+  * the uniform bound — an edited doc's keys concentrate near its old
+  * ones), refreshing in 2.2–2.9 s vs the 4.5 s rebuild. At a 100 TB
+  * index with 10⁵⁺ partitions that single-doc shape is the
+  * fix-up/takedown path (delete these documents, patch this one), and
+  * it never re-sorts the corpus. One suffix-order subtlety is pinned by
+  * key choice: sort keys are (pref, doc_id), ties can span partition
+  * boundaries, so removal-affected partitions are found by RANGE
+  * intersection (firstKey ≤ key ≤ lastKey), never by a single
+  * assignment.
+  */
+object SuffixRefresh extends Serializable {
+
+  import SuffixQueries.PrefixCap
+
+  /** One stored range partition's metadata: enough to rebuild every
+    * boundary pair and to route delta keys, in O(partitions) driver
+    * space. */
+  private[graft] case class Summary(part: Int, nRows: Long,
+      firstPref: String, firstDoc: Long, lastPref: String, lastDoc: Long)
+
+  /** Suffix-order key comparison — Spark sorts StringType in UTF-8
+    * BINARY order, which differs from java.lang.String's UTF-16 order
+    * beyond ASCII, so driver-side routing must compare the same way the
+    * exchange sorted. */
+  private def cmpKey(prefA: String, docA: Long,
+                     prefB: String, docB: Long): Int = {
+    val c = UTF8String.fromString(prefA).compareTo(UTF8String.fromString(prefB))
+    if (c != 0) c else java.lang.Long.compare(docA, docB)
+  }
+
+  /** The suffix-sorted position table with its range-partition id made
+    * EXPLICIT — the stored form the refresh prunes on. */
+  private[graft] def taggedIndexOf(docs: DataFrame,
+      parts: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val pos = SuffixQueries.positions(docs, PrefixCap)
+      .select(col("doc_id"), col("pref"))
+      .localCheckpoint() // the range sampler reads rows, not lineage
+    val sorted = pos
+      .repartitionByRange(parts, col("pref"), col("doc_id"))
+      .sortWithinPartitions("pref", "doc_id")
+    val schema = StructType(Seq(
+      StructField("part", IntegerType, nullable = false),
+      StructField("doc_id", LongType, nullable = false),
+      StructField("pref", StringType, nullable = false)))
+    spark.createDataFrame(
+      sorted.rdd.mapPartitionsWithIndex((pid, it) =>
+        it.map(r => Row(pid, r.getLong(0), r.getString(1)))),
+      schema)
+  }
+
+  /** Per-(partition, doc) max over the partition's INTERNAL adjacent
+    * cross-doc LCPs — the stored aggregate unaffected partitions reuse.
+    * Re-sorts explicitly, so it accepts both the build-time tagged
+    * relation and refresh-time rebuilt partition contents. */
+  private[graft] def innerMaxOf(tagged: DataFrame): DataFrame = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    val pairs = tagged.select("part", "doc_id", "pref")
+      .repartition(col("part"))
+      .sortWithinPartitions("part", "pref", "doc_id")
+      .rdd.mapPartitions { it =>
+        // a task may hold several whole partitions (hash grouping):
+        // reset the sliding state at every part change
+        var curPart = Int.MinValue
+        var prevDoc = 0L
+        var prevPref: String = null
+        it.flatMap { r =>
+          val p = r.getInt(0)
+          val d = r.getLong(1)
+          val pref = r.getString(2)
+          val out =
+            if (p == curPart && prevPref != null && prevDoc != d)
+              Iterator((p, prevDoc, d,
+                CommonPrefixLen.prefixChars(prevPref, pref)))
+            else Iterator.empty
+          curPart = p
+          prevDoc = d
+          prevPref = pref
+          out
+        }
+      }.toDF("part", "doc_id", "doc_id2", "l")
+    pairs.select(col("part"), col("doc_id"), col("l"))
+      .unionAll(pairs.select(col("part"), col("doc_id2").as("doc_id"),
+        col("l")))
+      .groupBy("part", "doc_id")
+      .agg(max(col("l")).cast(LongType).as("l"))
+  }
+
+  /** Per-partition first/last keys + row count (struct min/max —
+    * lexicographic by (pref, doc_id), the sort order). Only non-empty
+    * partitions appear. */
+  private[graft] def summariesOf(tagged: DataFrame): DataFrame =
+    tagged.select("part", "doc_id", "pref")
+      .groupBy("part")
+      .agg(count(lit(1)).as("n_rows"),
+        min(struct(col("pref"), col("doc_id"))).as("first"),
+        max(struct(col("pref"), col("doc_id"))).as("last"))
+      .select(col("part"), col("n_rows"),
+        col("first.pref").as("first_pref"),
+        col("first.doc_id").as("first_doc"),
+        col("last.pref").as("last_pref"),
+        col("last.doc_id").as("last_doc"))
+
+  private def toSummaries(df: DataFrame): Seq[Summary] =
+    df.collect().map(r => Summary(r.getAs[Int]("part"),
+      r.getAs[Long]("n_rows"), r.getAs[String]("first_pref"),
+      r.getAs[Long]("first_doc"), r.getAs[String]("last_pref"),
+      r.getAs[Long]("last_doc"))).toSeq.sortBy(_.part)
+
+  /** The O(partitions) boundary pairs: last row of each non-empty
+    * partition vs the next non-empty partition's first row, LCP'd on
+    * the driver (the strings are already in the summaries). */
+  private[graft] def boundaryOf(
+      sums: Seq[Summary]): Seq[(Long, Long, Long)] = {
+    val ne = sums.filter(_.nRows > 0).sortBy(_.part)
+    ne.sliding(2).flatMap {
+      case Seq(a, b) if a.lastDoc != b.firstDoc =>
+        Iterator((a.lastDoc, b.firstDoc,
+          CommonPrefixLen.prefixChars(a.lastPref, b.firstPref).toLong))
+      case _ => Iterator.empty
+    }.toSeq
+  }
+
+  /** Assemble the per-doc table from per-(part, doc) maxes + boundary
+    * pairs — used identically on the A state (spec sanity), the
+    * refreshed state (q154), and the constructed spec cases. */
+  private[graft] def perDocOf(spark: SparkSession, innerMax: DataFrame,
+      boundary: Seq[(Long, Long, Long)], minReport: Int): DataFrame = {
+    import spark.implicits._
+    val b = boundary.toDF("doc_id", "doc_id2", "l")
+    innerMax.select(col("doc_id"), col("l"))
+      .unionByName(b.select(col("doc_id"), col("l")))
+      .unionByName(b.select(col("doc_id2").as("doc_id"), col("l")))
+      .groupBy("doc_id")
+      .agg(max(col("l")).cast(LongType).as("max_shared"))
+      .where(col("max_shared") >= minReport)
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------------
+  // Stored A-state artifacts (once per session per dir)
+  // -------------------------------------------------------------------
+
+  /** The stored suffix index, PARTITIONED BY part so the refresh's
+    * affected-partition read is a pruned directory scan. */
+  def indexA(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Artifacts.materializePartitioned(spark,
+        "graft_sfxridx_" + Tables.dirKey(spark, sfDir), "part") {
+      taggedIndexOf(Tables.documents(spark, sfDir),
+        spark.sessionState.conf.numShufflePartitions)
+    }
+
+  def innerMaxA(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Artifacts.materialize(spark,
+        "graft_sfxrinner_" + Tables.dirKey(spark, sfDir), "doc_id") {
+      innerMaxOf(indexA(spark, sfDir))
+    }
+
+  def summariesA(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Artifacts.materializeLaidOut(spark,
+        "graft_sfxrsums_" + Tables.dirKey(spark, sfDir)) {
+      summariesOf(indexA(spark, sfDir))
+    }
+
+  // -------------------------------------------------------------------
+  // The refresh
+  // -------------------------------------------------------------------
+
+  /** What a refresh did, for specs and the scaling tool. */
+  case class RefreshResult(perDoc: DataFrame, affectedParts: Set[Int],
+                           totalParts: Int)
+
+  /** Core refresh over explicit state — [[q154SuffixRefresh]] wires it
+    * to the q79 snapshot pair; the spec drives constructed corpora
+    * through it directly. `removedDocs`/`addedDocs` are (doc_id, text)
+    * relations (for an edit, the doc appears in both). */
+  private[graft] def refreshOf(spark: SparkSession, index: DataFrame,
+      innerA: DataFrame, sums: Seq[Summary], removedDocs: DataFrame,
+      addedDocs: DataFrame, minReport: Int): RefreshResult = {
+    val ne = sums.filter(_.nRows > 0).sortBy(_.part)
+    require(ne.nonEmpty, "refresh over an empty stored index")
+    val firstKeys = ne.map(s => (s.firstPref, s.firstDoc)).toArray
+    val lastKeys = ne.map(s => (s.lastPref, s.lastDoc)).toArray
+    val partIds = ne.map(_.part).toArray
+    val bcFirst = spark.sparkContext.broadcast(firstKeys)
+    val bcLast = spark.sparkContext.broadcast(lastKeys)
+    val bcParts = spark.sparkContext.broadcast(partIds)
+
+    // route an ADDED key to the last non-empty partition whose first
+    // key <= it (below-everything keys go to the first partition) —
+    // any monotone assignment consistent with the stored order is a
+    // valid suffix order, and per-doc maxes are order-invariant among
+    // equal keys
+    def assignPart(firsts: Array[(String, Long)], ids: Array[Int],
+                   pref: String, doc: Long): Int = {
+      var lo = 0
+      var hi = firsts.length - 1
+      if (cmpKey(pref, doc, firsts(0)._1, firsts(0)._2) < 0) return ids(0)
+      while (lo < hi) { // invariant: firsts(lo) <= key
+        val mid = (lo + hi + 1) >>> 1
+        if (cmpKey(firsts(mid)._1, firsts(mid)._2, pref, doc) <= 0) lo = mid
+        else hi = mid - 1
+      }
+      ids(lo)
+    }
+
+    import spark.implicits._
+    val addedTagged = SuffixQueries.positions(addedDocs, PrefixCap)
+      .select(col("doc_id"), col("pref")).as[(Long, String)]
+      .mapPartitions { it =>
+        val f = bcFirst.value
+        val ids = bcParts.value
+        it.map { case (d, p) => (assignPart(f, ids, p, d), d, p) }
+      }.toDF("part", "doc_id", "pref")
+      .localCheckpoint() // read thrice below (affected set, rebuild, count)
+
+    // a REMOVED key affects every partition whose [first, last] range
+    // contains it — ties on (pref, doc_id) can span boundaries, so this
+    // is a range intersection, not a single assignment
+    val removedAffected = SuffixQueries.positions(removedDocs, PrefixCap)
+      .select(col("doc_id"), col("pref")).as[(Long, String)]
+      .mapPartitions { it =>
+        val f = bcFirst.value
+        val l = bcLast.value
+        val ids = bcParts.value
+        it.flatMap { case (d, p) =>
+          // first partition whose LAST key >= key .. last whose FIRST
+          // key <= key (both monotone)
+          var lo = 0
+          var hi = l.length - 1
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (cmpKey(l(mid)._1, l(mid)._2, p, d) < 0) lo = mid + 1
+            else hi = mid
+          }
+          val from = lo
+          lo = 0; hi = f.length - 1
+          while (lo < hi) {
+            val mid = (lo + hi + 1) >>> 1
+            if (cmpKey(f(mid)._1, f(mid)._2, p, d) <= 0) lo = mid
+            else hi = mid - 1
+          }
+          (from to lo).iterator.map(ids(_))
+        }
+      }.distinct().collect().toSet
+
+    val addAffected = addedTagged.select("part").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val affected = removedAffected ++ addAffected
+
+    val removedIds = removedDocs.select("doc_id").distinct()
+    // rebuild ONLY the affected partitions: pruned index read minus
+    // removed docs plus routed additions
+    val fresh = index.select("part", "doc_id", "pref")
+      .where(col("part").isin(affected.toSeq: _*))
+      .join(broadcast(removedIds), Seq("doc_id"), "left_anti")
+      .unionByName(addedTagged)
+      .localCheckpoint() // feeds both the rescan and fresh summaries
+    val freshInner = innerMaxOf(fresh)
+    val freshSums = toSummaries(summariesOf(fresh))
+    // merge summaries: stored for unaffected, fresh for affected
+    // (affected partitions emptied by the delta simply drop out)
+    val merged = (sums.filterNot(s => affected.contains(s.part)) ++
+      freshSums).sortBy(_.part)
+    val keptInner = innerA.where(!col("part").isin(affected.toSeq: _*))
+    val perDoc = perDocOf(spark, keptInner.unionByName(freshInner),
+      boundaryOf(merged), minReport)
+    RefreshResult(perDoc, affected, ne.size)
+  }
+
+  /** Q154: the per-doc suffix table for snapshot B by PARTITION-BOUNDED
+    * refresh of the stored snapshot-A index — must equal the full
+    * rebuild ([[SuffixQueries.suffixSharedB]]), and the oracle pins it
+    * with the same independent SQL construction that gates q116's
+    * B side. Removed rows = A text of deleted+edited docs; added rows =
+    * B text of new+edited docs (both delta-sized; the stored index is
+    * read only at its affected partitions). */
+  def q154SuffixRefresh(spark: SparkSession, sfDir: String): DataFrame =
+    refreshForSnapshotB(spark, sfDir).perDoc
+
+  /** The q79-delta refresh with its diagnostics (shared by q154 and the
+    * scaling tool). */
+  def refreshForSnapshotB(spark: SparkSession,
+                          sfDir: String): RefreshResult = {
+    val docs = Tables.documents(spark, sfDir)
+    val index = indexA(spark, sfDir)
+    val innerA = innerMaxA(spark, sfDir)
+    val sums = toSummaries(summariesA(spark, sfDir))
+    val delta = CurationPipeline.snapshotDeltaStaged(spark, sfDir)
+    val removedDocs = docs
+      .join(delta.where(col("change").isin("removed", "modified"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id", "text")
+    val addedDocs = CurationPipeline.snapshotB(docs)
+      .join(delta.where(col("change").isin("added", "modified"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id", "text")
+    refreshOf(spark, index, innerA, sums, removedDocs, addedDocs,
+      minReport = 1)
+  }
+}

@@ -39,6 +39,11 @@ object ArtifactProfile {
       operators.SuffixQueries.suffixPositions(spark, sfDir).count())
     t("trimmedFeatures")(
       operators.CurationPipeline.trimmedFeatures(spark, sfDir).count())
+    t("suffixRefreshState") {
+      operators.SuffixRefresh.indexA(spark, sfDir).count()
+      operators.SuffixRefresh.innerMaxA(spark, sfDir).count()
+      operators.SuffixRefresh.summariesA(spark, sfDir).count()
+    }
     t("kmeansCodebook")(
       operators.SimilarityQueries.kmeansCodebook(spark, sfDir))
     t("pqIndex")(operators.ProductQuantization.pqIndex(spark, sfDir).count())

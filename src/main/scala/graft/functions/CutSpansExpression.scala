@@ -106,6 +106,12 @@ object CutSpans {
         if (!c.isNullAt(0) && !c.isNullAt(1)) {
           val st = c.getLong(0)
           val en = c.getLong(1)
+          // reject inverted spans FIRST: an end < start would reset the
+          // monotone ends chain, letting a later out-of-order span pass
+          // this very validation and be silently dropped
+          if (en < st)
+            throw new IllegalArgumentException(
+              s"cut_spans: span [$st, $en) is inverted (end < start)")
           if (nCuts > 0 && st < ends(nCuts - 1))
             throw new IllegalArgumentException(
               s"cut_spans: cuts must be sorted and disjoint, but span " +

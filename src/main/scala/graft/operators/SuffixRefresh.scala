@@ -85,11 +85,14 @@ object SuffixRefresh extends Serializable {
 
   /** Suffix-order key comparison — Spark sorts StringType in UTF-8
     * BINARY order, which differs from java.lang.String's UTF-16 order
-    * beyond ASCII, so driver-side routing must compare the same way the
-    * exchange sorted. */
-  private def cmpKey(prefA: String, docA: Long,
-                     prefB: String, docB: Long): Int = {
-    val c = UTF8String.fromString(prefA).compareTo(UTF8String.fromString(prefB))
+    * beyond ASCII, so delta routing must compare the same way the
+    * exchange sorted. Takes pre-converted UTF8Strings: the routing
+    * loops compare each probe against O(log parts) boundary keys, so
+    * both sides are converted ONCE (boundaries once per task, the
+    * probe once per row), never per comparison. */
+  private def cmpKey(prefA: UTF8String, docA: Long,
+                     prefB: UTF8String, docB: Long): Int = {
+    val c = prefA.compareTo(prefB)
     if (c != 0) c else java.lang.Long.compare(docA, docB)
   }
 
@@ -167,7 +170,7 @@ object SuffixRefresh extends Serializable {
         col("last.pref").as("last_pref"),
         col("last.doc_id").as("last_doc"))
 
-  private def toSummaries(df: DataFrame): Seq[Summary] =
+  private[graft] def toSummaries(df: DataFrame): Seq[Summary] =
     df.collect().map(r => Summary(r.getAs[Int]("part"),
       r.getAs[Long]("n_rows"), r.getAs[String]("first_pref"),
       r.getAs[Long]("first_doc"), r.getAs[String]("last_pref"),
@@ -257,8 +260,8 @@ object SuffixRefresh extends Serializable {
     // any monotone assignment consistent with the stored order is a
     // valid suffix order, and per-doc maxes are order-invariant among
     // equal keys
-    def assignPart(firsts: Array[(String, Long)], ids: Array[Int],
-                   pref: String, doc: Long): Int = {
+    def assignPart(firsts: Array[(UTF8String, Long)], ids: Array[Int],
+                   pref: UTF8String, doc: Long): Int = {
       var lo = 0
       var hi = firsts.length - 1
       if (cmpKey(pref, doc, firsts(0)._1, firsts(0)._2) < 0) return ids(0)
@@ -270,13 +273,18 @@ object SuffixRefresh extends Serializable {
       ids(lo)
     }
 
+    def toU(keys: Array[(String, Long)]): Array[(UTF8String, Long)] =
+      keys.map { case (s, d) => (UTF8String.fromString(s), d) }
+
     import spark.implicits._
     val addedTagged = SuffixQueries.positions(addedDocs, PrefixCap)
       .select(col("doc_id"), col("pref")).as[(Long, String)]
       .mapPartitions { it =>
-        val f = bcFirst.value
+        val f = toU(bcFirst.value) // converted once per task
         val ids = bcParts.value
-        it.map { case (d, p) => (assignPart(f, ids, p, d), d, p) }
+        it.map { case (d, p) =>
+          (assignPart(f, ids, UTF8String.fromString(p), d), d, p)
+        }
       }.toDF("part", "doc_id", "pref")
       .localCheckpoint() // read thrice below (affected set, rebuild, count)
 
@@ -286,10 +294,11 @@ object SuffixRefresh extends Serializable {
     val removedAffected = SuffixQueries.positions(removedDocs, PrefixCap)
       .select(col("doc_id"), col("pref")).as[(Long, String)]
       .mapPartitions { it =>
-        val f = bcFirst.value
-        val l = bcLast.value
+        val f = toU(bcFirst.value) // converted once per task
+        val l = toU(bcLast.value)
         val ids = bcParts.value
-        it.flatMap { case (d, p) =>
+        it.flatMap { case (d, ps) =>
+          val p = UTF8String.fromString(ps) // once per row
           // first partition whose LAST key >= key .. last whose FIRST
           // key <= key (both monotone)
           var lo = 0
@@ -319,7 +328,11 @@ object SuffixRefresh extends Serializable {
     // removed docs plus routed additions
     val fresh = index.select("part", "doc_id", "pref")
       .where(col("part").isin(affected.toSeq: _*))
-      .join(broadcast(removedIds), Seq("doc_id"), "left_anti")
+      // deliberately NO broadcast hint: at real scale the removed-id
+      // list is takedown-batch-sized to billions of rows, so the join
+      // must be free to stay shuffle-on-doc_id; AQE broadcasts it at
+      // test scale on its own (the refresh family's house rule)
+      .join(removedIds, Seq("doc_id"), "left_anti")
       .unionByName(addedTagged)
       .localCheckpoint() // feeds both the rescan and fresh summaries
     val freshInner = innerMaxOf(fresh)

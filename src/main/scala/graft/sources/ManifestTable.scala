@@ -265,13 +265,27 @@ object ManifestTable {
     perVersion.reduce(_ unionByName _).orderBy("version")
   }
 
+  /** An unreferenced data file younger than this may be an IN-FLIGHT
+    * append's staging (stage happens before the manifest rename), not a
+    * crash orphan — vacuum must not delete it, or the append commits a
+    * manifest pointing at deleted files. Same reason Delta's VACUUM has
+    * a retention window. */
+  val DefaultOrphanRetentionMs: Long = 24L * 60 * 60 * 1000
+
   /** Retire history: keep the newest `retain` manifests, delete older
-    * manifest files, then delete every file under `data/` that no kept
-    * manifest references (which also collects crash orphans — staged
-    * commits that never renamed a manifest). Returns the number of data
+    * manifest files, then delete data files in two classes —
+    * (a) files referenced only by DROPPED manifests (committed history;
+    * no in-flight writer can re-reference them, since append always
+    * re-reads the newest manifest at commit time), deleted immediately;
+    * (b) files referenced by NO manifest at all, deleted only when
+    * older than `orphanRetentionMs` — a young never-referenced file may
+    * be a concurrent append's staging (stage happens BEFORE the
+    * manifest rename), and deleting it would let that append commit a
+    * manifest pointing at deleted files. Returns the number of data
     * files deleted. Time travel below the retained window fails loudly
     * in [[snapshot]] afterwards. */
-  def vacuum(spark: SparkSession, root: String, retain: Int = 1): Int = {
+  def vacuum(spark: SparkSession, root: String, retain: Int = 1,
+             orphanRetentionMs: Long = DefaultOrphanRetentionMs): Int = {
     require(retain >= 1, "must retain at least the newest version")
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
@@ -282,18 +296,23 @@ object ManifestTable {
     // paths (file:/..., hdfs://...) while manifests store root-relative
     // ones — an unqualified comparison would see every file as
     // unreferenced and delete live data
-    val referenced = keep.flatMap(v => manifestLines(fs, root, v))
+    def qualified(v: Int): Set[String] = manifestLines(fs, root, v)
       .map(rel => fs.makeQualified(new Path(root, rel)).toString).toSet
+    val referenced = keep.flatMap(qualified).toSet
+    val retired = drop.flatMap(qualified).toSet -- referenced
     drop.foreach(v => fs.delete(manifestPath(root, v), false))
     val dataDir = new Path(root, "data")
+    val cutoff = System.currentTimeMillis() - math.max(0L, orphanRetentionMs)
     var deleted = 0
     if (fs.exists(dataDir)) {
       fs.listStatus(dataDir).toSeq.filter(_.isDirectory).foreach { cd =>
         val files = fs.listStatus(cd.getPath).toSeq.filter(_.isFile)
         files.foreach { f =>
-          if (!f.getPath.getName.startsWith("_") &&
-              !referenced.contains(
-                fs.makeQualified(f.getPath).toString)) {
+          val q = fs.makeQualified(f.getPath).toString
+          val marker = f.getPath.getName.startsWith("_")
+          val removable = !marker && !referenced.contains(q) &&
+            (retired.contains(q) || f.getModificationTime < cutoff)
+          if (removable) {
             fs.delete(f.getPath, false)
             deleted += 1
           }

@@ -29,11 +29,7 @@ object SuffixRefreshScaling {
       val tagged = SuffixRefresh.taggedIndexOf(docs, parts).localCheckpoint()
       val inner = SuffixRefresh.innerMaxOf(tagged).localCheckpoint()
       inner.count()
-      val sums = SuffixRefresh.summariesOf(tagged).collect().map(r =>
-        SuffixRefresh.Summary(r.getAs[Int]("part"), r.getAs[Long]("n_rows"),
-          r.getAs[String]("first_pref"), r.getAs[Long]("first_doc"),
-          r.getAs[String]("last_pref"), r.getAs[Long]("last_doc")))
-        .toSeq.sortBy(_.part)
+      val sums = SuffixRefresh.toSummaries(SuffixRefresh.summariesOf(tagged))
       (tagged, inner, sums)
     }
 
@@ -65,9 +61,11 @@ object SuffixRefreshScaling {
       ("edit-1-shortest", one, add)
     }
 
-    for (parts <- Seq(32, 128, 512);
-         (tag, rem, add) <- Seq(deltaBig, deltaSmall, deltaOne)) {
-      val (tagged, inner, sums) = stateFor(parts)
+    for (parts <- Seq(32, 128, 512)) {
+     // ONE state build per partition count — the delta loop below
+     // shares it (a rebuild per cell tripled the tool's runtime)
+     val (tagged, inner, sums) = stateFor(parts)
+     for ((tag, rem, add) <- Seq(deltaBig, deltaSmall, deltaOne)) {
       val dPos = rem.select(sum(length(col("text")))).head().getLong(0) +
         add.select(sum(length(col("text")))).head().getLong(0)
       val t0 = System.nanoTime
@@ -80,6 +78,7 @@ object SuffixRefreshScaling {
         f"affected=${res.affectedParts.size}%4d/${res.totalParts}%-4d " +
         f"(${100.0 * res.affectedParts.size / res.totalParts}%5.1f%%) " +
         f"refresh_wall=$wall%6.2fs")
+     }
     }
 
     // rebuild reference walls (the thing refresh competes with)

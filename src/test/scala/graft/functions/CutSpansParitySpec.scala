@@ -130,16 +130,20 @@ class CutSpansParitySpec extends SparkSpec {
       "named_struct('span_start', 5L, 'span_end', 7L), " +
         "named_struct('span_start', 1L, 'span_end', 2L)",  // unsorted
       "named_struct('span_start', 2L, 'span_end', 6L), " +
-        "named_struct('span_start', 4L, 'span_end', 8L)")) { // overlap
+        "named_struct('span_start', 4L, 'span_end', 8L)",  // overlap
+      // an INVERTED middle span must not reset the monotone ends chain
+      // and launder the out-of-order third span past validation
+      "named_struct('span_start', 5L, 'span_end', 8L), " +
+        "named_struct('span_start', 8L, 'span_end', 2L), " +
+        "named_struct('span_start', 2L, 'span_end', 4L)")) {
       val e = intercept[Exception](
         spark.sql(s"SELECT cut_spans('abcdefghij', array($badCuts))")
           .collect())
       def rootChain(t: Throwable): Seq[Throwable] =
         t +: Option(t.getCause).toSeq.flatMap(rootChain)
-      assert(rootChain(e).exists(_.getMessage != null) &&
-        rootChain(e).exists(t => Option(t.getMessage)
-          .exists(_.contains("sorted and disjoint"))),
-        s"expected the sorted-and-disjoint guard, got: $e")
+      assert(rootChain(e).exists(t => Option(t.getMessage).exists(m =>
+        m.contains("sorted and disjoint") || m.contains("is inverted"))),
+        s"expected the sorted-and-disjoint / inverted guard, got: $e")
     }
   }
 

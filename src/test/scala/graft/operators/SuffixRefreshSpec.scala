@@ -28,15 +28,9 @@ class SuffixRefreshSpec extends SparkSpec {
     val tagged = SuffixRefresh.taggedIndexOf(docsA, parts).localCheckpoint()
     SuffixRefresh.refreshOf(spark, tagged,
       SuffixRefresh.innerMaxOf(tagged),
-      toSums(tagged), removed, added, minReport = 1)
+      SuffixRefresh.toSummaries(SuffixRefresh.summariesOf(tagged)),
+      removed, added, minReport = 1)
   }
-
-  private def toSums(tagged: DataFrame): Seq[SuffixRefresh.Summary] =
-    SuffixRefresh.summariesOf(tagged).collect().map(r =>
-      SuffixRefresh.Summary(r.getAs[Int]("part"), r.getAs[Long]("n_rows"),
-        r.getAs[String]("first_pref"), r.getAs[Long]("first_doc"),
-        r.getAs[String]("last_pref"), r.getAs[Long]("last_doc")))
-      .toSeq.sortBy(_.part)
 
   test("q154: the bounded refresh equals the full rebuild on the real " +
       "snapshot pair") {

@@ -49,9 +49,18 @@ class ManifestTableSpec extends SparkSpec {
     docs.limit(5).write.parquet(orphanDir.toString)
     assert(ManifestTable.read(spark, root).count() === before,
       "uncommitted staged files leaked into a read")
-    val deleted = ManifestTable.vacuum(spark, root, retain = 1)
-    assert(deleted > 0, "vacuum found no orphan")
     val fs = orphanDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a default-retention vacuum must SPARE the young never-referenced
+    // files: they could be a concurrent append's staging, and deleting
+    // them would corrupt the table the moment that append commits
+    assert(ManifestTable.vacuum(spark, root, retain = 1) === 0,
+      "vacuum deleted a young unreferenced file inside the retention " +
+        "window — an in-flight append's staging would be corrupted")
+    assert(fs.exists(orphanDir))
+    // with the retention window waived, the crash orphan is collected
+    val deleted = ManifestTable.vacuum(spark, root, retain = 1,
+      orphanRetentionMs = 0L)
+    assert(deleted > 0, "vacuum found no orphan")
     assert(!fs.exists(orphanDir), "orphan commit dir survived vacuum")
     assert(ManifestTable.read(spark, root).count() === before)
   }

@@ -456,6 +456,12 @@ object SparkEntry {
     // unaffected partitions reuse stored aggregates; must equal the
     // full rebuild.
     "q154_suffix_refresh" -> (SuffixRefresh.q154SuffixRefresh _),
+    // q155 is MERGE INTO on the manifest table: the q79 recrawl applied
+    // as ONE copy-on-write commit (deletes + edits + inserts; files
+    // without changed keys carried verbatim into the new version) —
+    // the merged table must BE snapshot B row-for-row.
+    "q155_manifest_merge" ->
+      (graft.sources.ManifestTable.q155ManifestMerge _),
   )
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
@@ -3456,6 +3462,20 @@ object SparkEntry {
     "q154_suffix_refresh" ->
       s"""SELECT doc_id, max_shared FROM ($suffixPerDocSqlB) t
          |WHERE max_shared >= 1 ORDER BY doc_id""".stripMargin,
+    // q155: the merged manifest table must equal snapshot B — the
+    // oracle replays the q79 recrawl rules directly (the same bdocs
+    // shape the q116/q154 oracles use) and hashes doc_id + md5(text).
+    "q155_manifest_merge" ->
+      """WITH bdocs AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 3 THEN text || ' updated v2'
+        |              ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 7
+        |  UNION ALL
+        |  SELECT -(doc_id + 1), text FROM documents
+        |  WHERE doc_id % 10 = 1)
+        |SELECT doc_id, md5(text) AS text_md5
+        |FROM bdocs ORDER BY doc_id""".stripMargin,
   )
 
   /** q118/q119's shared DuckDB replay: per-position best cross-doc LCP

@@ -130,7 +130,8 @@ object ManifestTable {
     * return their root-relative paths — NOT yet visible to any reader
     * (no manifest references them until a commit does). */
   private def stage(spark: SparkSession, root: String,
-                    write: String => Unit): Seq[String] = {
+                    write: String => Unit,
+                    allowEmpty: Boolean = false): Seq[String] = {
     val rel = s"data/c-${UUID.randomUUID().toString.take(12)}"
     val dir = new Path(root, rel)
     write(dir.toString)
@@ -138,7 +139,7 @@ object ManifestTable {
     val staged = fs.listStatus(dir).toSeq
       .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
       .map(f => s"$rel/${f.getPath.getName}")
-    require(staged.nonEmpty, "commit staged zero data files")
+    require(allowEmpty || staged.nonEmpty, "commit staged zero data files")
     staged
   }
 
@@ -232,6 +233,69 @@ object ManifestTable {
     (base.version + 1, base.files.size, staged.size)
   }
 
+  /** COPY-ON-WRITE MERGE — the `MERGE INTO` shape the public table
+    * formats put behind their commit: apply row-level deletes and
+    * upserts keyed on `keyCol` by rewriting ONLY the data files that
+    * contain a changed key; every other file is carried VERBATIM into
+    * the new manifest (same path, zero IO). Affected files are found by
+    * one key-column-only scan of the current snapshot tagged with
+    * `input_file_name` — a cheap columnar projection here; a production
+    * format stores per-file key bounds in the manifest and prunes
+    * without the scan (the honest difference, stated). New keys (pure
+    * inserts) need no affected file; they land in the rewrite commit's
+    * fresh files. Readers keep snapshot isolation throughout: the merge
+    * is one manifest rename, old versions stay readable, and a
+    * concurrent commit aborts this merge (stale base) instead of losing
+    * either side's rows.
+    *
+    * `removeKeys` is a 1-column (`keyCol`) relation; `upserts` carries
+    * full rows (an update = its key in neither/either — upsert rows
+    * REPLACE any existing row with the same key). Returns
+    * (newVersion, filesCarried, filesRewritten). */
+  def mergeCoW(spark: SparkSession, root: String, keyCol: String,
+               removeKeys: DataFrame, upserts: DataFrame): (Int, Int, Int) = {
+    val fs = fsOf(spark, new Path(root))
+    val base = snapshot(spark, root)
+    val changedKeys = removeKeys.select(col(keyCol))
+      .unionByName(upserts.select(col(keyCol))).distinct()
+      .localCheckpoint() // read twice: file probe + rewrite anti-join
+    // which current files hold a changed key — key column only, so the
+    // scan reads one column of the snapshot
+    val affectedFiles = spark.read.parquet(base.files: _*)
+      .select(col(keyCol))
+      .withColumn("_f", input_file_name())
+      .join(changedKeys, Seq(keyCol), "left_semi")
+      .select("_f").distinct()
+      .collect().map(r => fs.makeQualified(new Path(r.getString(0)))
+        .toString).toSet
+    val (rewrite, carry) = base.files.partition(f =>
+      affectedFiles.contains(fs.makeQualified(new Path(f)).toString))
+    // align the upserts to the table's column order (parquet resolves
+    // by name, but a single consistent file schema is cheap insurance)
+    val tableCols = spark.read.parquet(base.files.head).columns
+    val up = upserts.select(tableCols.map(col): _*)
+    // surviving rows of the affected files (neither removed nor about
+    // to be replaced by an upsert of the same key) + the upsert rows
+    val rewritten =
+      if (rewrite.nonEmpty)
+        spark.read.parquet(rewrite: _*)
+          .join(changedKeys, Seq(keyCol), "left_anti")
+          .unionByName(up)
+      else up
+    // a pure delete can stage zero rows — the new manifest is then the
+    // carried files alone
+    val staged = stage(spark, root,
+      dir => rewritten.write.parquet(dir), allowEmpty = true)
+    val carryQ = carry.map(f => fs.makeQualified(new Path(f)).toString).toSet
+    val carryRel = manifestLines(fs, root, base.version).filter(rel =>
+      carryQ.contains(fs.makeQualified(new Path(root, rel)).toString))
+    if (!tryCommit(fs, root, base.version + 1, carryRel ++ staged))
+      throw new java.util.ConcurrentModificationException(
+        s"merge into $root lost the commit race for version " +
+          s"${base.version + 1}; rerun against the new base")
+    (base.version + 1, carry.size, staged.size)
+  }
+
   /** Q152: the manifest lifecycle end-to-end, hash-gated — build the
     * documents table as a manifest table (v1 = 80% of docs), APPEND the
     * rest (v2), OPTIMIZE clustered on doc_id (v3), then read ALL THREE
@@ -271,6 +335,39 @@ object ManifestTable {
     * manifest pointing at deleted files. Same reason Delta's VACUUM has
     * a retention window. */
   val DefaultOrphanRetentionMs: Long = 24L * 60 * 60 * 1000
+
+  /** Q155: the recrawl applied as a copy-on-write MERGE — the documents
+    * table lives as a manifest table (v1 = snapshot A, written as 8
+    * doc_id-clustered files so files have real key ranges), the q79
+    * delta lands in ONE [[mergeCoW]] commit (deletes + edits + inserts),
+    * and the result must BE snapshot B row-for-row: the oracle replays
+    * the recrawl rules directly over the parquet and compares doc_id +
+    * md5(text) — so a dropped carried file, a surviving removed row, a
+    * lost concurrent row, or an unapplied edit all fire the hash gate.
+    * Diagnostics (files carried vs rewritten) are the spec's job; at
+    * the q79 delta every file contains changed keys (doc_id % 10 rules
+    * touch every range), so carry-over is exercised by the spec's
+    * range-local delta instead. */
+  def q155ManifestMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = new Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      "manifest_merge_" + graft.Tables.dirKey(spark, sfDir)).toString
+    val fs = fsOf(spark, new Path(root))
+    if (fs.exists(new Path(root))) fs.delete(new Path(root), true)
+    val docs = graft.Tables.documents(spark, sfDir)
+    overwrite(spark, root,
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"))
+    // the q79 recrawl rules as one merge: delete %10==7, edit %10==3,
+    // insert the %10==1 docs under the negative namespace
+    val removeKeys = docs.where(col("doc_id") % 10 === 7).select("doc_id")
+    val upserts = graft.operators.CurationPipeline.snapshotB(docs)
+      .where(col("doc_id") % 10 === 3 || col("doc_id") < 0)
+    mergeCoW(spark, root, "doc_id", removeKeys, upserts)
+    read(spark, root)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
 
   /** Retire history: keep the newest `retain` manifests, delete older
     * manifest files, then delete data files in two classes —

@@ -115,6 +115,73 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root).count() === docs.count())
   }
 
+  test("mergeCoW: carries unchanged files verbatim, rewrites only files " +
+      "holding changed keys; result == delete+upsert semantics") {
+    val root = freshRoot()
+    // 8 doc_id-clustered files so key ranges are real
+    ManifestTable.overwrite(spark, root,
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"))
+    val before = ManifestTable.snapshot(spark, root)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    // a RANGE-LOCAL delta: touch only the lowest ~12% of keys
+    val cut = ids(ids.length / 8)
+    val removeKeys = docs.where(col("doc_id") <= cut && col("doc_id") % 2 === 0)
+      .select("doc_id")
+    val upserts = docs.where(col("doc_id") <= cut && col("doc_id") % 2 === 1)
+      .withColumn("text", concat(col("text"), lit(" MERGED")))
+      .unionByName(docs.limit(0)) // keep schema
+      .unionByName(docs.where(col("doc_id") === ids.head)
+        .withColumn("doc_id", lit(-77L))
+        .withColumn("text", lit("brand new row")))
+    val (v, carried, rewrittenN) =
+      ManifestTable.mergeCoW(spark, root, "doc_id", removeKeys, upserts)
+    assert(v === 2)
+    assert(carried > 0, "a range-local delta must carry some files")
+    assert(rewrittenN > 0)
+    // carried files appear in the new manifest at their OLD paths
+    val after = ManifestTable.snapshot(spark, root)
+    assert(before.files.toSet.intersect(after.files.toSet).size === carried)
+    // semantics: removed gone, upserted replaced, new row present,
+    // untouched rows identical
+    val removed = removeKeys.collect().map(_.getLong(0)).toSet
+    val upserted = upserts.select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = ManifestTable.read(spark, root)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet.intersect(removed).isEmpty, "removed keys survived")
+    assert(got(-77L) === "brand new row")
+    upserted.filter(_ > 0).foreach(k =>
+      assert(got(k).endsWith(" MERGED"), s"upsert not applied to $k"))
+    val untouched = docs.where(col("doc_id") > cut)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    untouched.foreach { case (k, t) =>
+      assert(got(k) === t, s"untouched row $k changed") }
+    assert(got.size === untouched.size + upserted.size)
+    // snapshot isolation: v1 still reads the pre-merge table
+    assert(ManifestTable.readAt(spark, root, 1).count() === ids.length)
+  }
+
+  test("mergeCoW: pure delete that empties every affected file commits " +
+      "a carry-only manifest") {
+    val root = freshRoot()
+    ManifestTable.overwrite(spark, root,
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length / 8)
+    // delete EVERY key in the low range: affected files rewrite to zero
+    // surviving rows
+    val removeKeys = docs.where(col("doc_id") <= cut).select("doc_id")
+    val (v, carried, _) = ManifestTable.mergeCoW(spark, root, "doc_id",
+      removeKeys, docs.limit(0))
+    assert(v === 2 && carried > 0)
+    val got = ManifestTable.read(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === ids.filter(_ > cut).toSet)
+  }
+
   test("stale-base overwrite aborts rather than clobbering the " +
       "concurrent commit") {
     val root = freshRoot()

@@ -104,11 +104,12 @@ object ManifestTable {
       s"version $v not present under $root (have ${vs.mkString(",")}) — " +
         "vacuumed or never committed")
     val fs = fsOf(spark, manifestDir(root))
-    Snapshot(v, manifestLines(fs, root, v)
-      .map(rel => new Path(root, rel).toString))
+    Snapshot(v, manifestEntries(fs, root, v)
+      .map(e => new Path(root, e.rel).toString))
   }
 
-  /** The root-relative file list of a committed manifest. */
+  /** The raw lines of a committed manifest (format-opaque — append
+    * copies them verbatim so bounds survive). */
   private def manifestLines(fs: FileSystem, root: String,
                             v: Int): Seq[String] = {
     val in = fs.open(manifestPath(root, v))
@@ -117,6 +118,29 @@ object ManifestTable {
     finally in.close()
     lines.filter(_.nonEmpty)
   }
+
+  /** One manifest entry: a root-relative data file, optionally carrying
+    * the file's [lo, hi] bounds of an integral key column (format v2:
+    * `rel<TAB>lo<TAB>hi`). A plain-path line is a v1 entry with UNKNOWN
+    * bounds; the two coexist in one manifest, so old tables read fine
+    * and planning falls back to "unknown = may contain any key". */
+  private[sources] case class Entry(rel: String, lo: Option[Long],
+                                    hi: Option[Long]) {
+    def line: String =
+      (for (a <- lo; b <- hi) yield s"$rel\t$a\t$b").getOrElse(rel)
+  }
+
+  private def parseEntry(line: String): Entry = line.split('\t') match {
+    case Array(rel, a, b) =>
+      val bounds = for (x <- a.toLongOption; y <- b.toLongOption)
+        yield (x, y)
+      Entry(rel, bounds.map(_._1), bounds.map(_._2))
+    case _ => Entry(line, None, None)
+  }
+
+  private def manifestEntries(fs: FileSystem, root: String,
+                              v: Int): Seq[Entry] =
+    manifestLines(fs, root, v).map(parseEntry)
 
   /** The table at its newest committed version. */
   def read(spark: SparkSession, root: String): DataFrame =
@@ -131,7 +155,8 @@ object ManifestTable {
     * (no manifest references them until a commit does). */
   private def stage(spark: SparkSession, root: String,
                     write: String => Unit,
-                    allowEmpty: Boolean = false): Seq[String] = {
+                    allowEmpty: Boolean = false,
+                    boundsCol: Option[String] = None): Seq[String] = {
     val rel = s"data/c-${UUID.randomUUID().toString.take(12)}"
     val dir = new Path(root, rel)
     write(dir.toString)
@@ -140,7 +165,37 @@ object ManifestTable {
       .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
       .map(f => s"$rel/${f.getPath.getName}")
     require(allowEmpty || staged.nonEmpty, "commit staged zero data files")
-    staged
+    boundsCol match {
+      case Some(k) if staged.nonEmpty =>
+        // per-file key bounds for the manifest (format v2): one
+        // key-column-only pass over the files JUST written — the price
+        // is paid once at write time so every later merge can prune
+        // affected files from the manifest alone, never scanning the
+        // snapshot. (A production format takes the same bounds from
+        // the parquet footers the write already produced.)
+        val perFile = spark.read.parquet(dir.toString)
+          .groupBy(input_file_name().as("_f"))
+          .agg(min(col(k)).cast("long").as("lo"),
+            max(col(k)).cast("long").as("hi"))
+          .collect().map { r =>
+            new Path(r.getString(0)).getName ->
+              (if (r.isNullAt(1) || r.isNullAt(2)) None
+               else Some((r.getLong(1), r.getLong(2))))
+          }.toMap
+        staged.flatMap { rf =>
+          val name = rf.substring(rf.lastIndexOf('/') + 1)
+          perFile.get(name) match {
+            case Some(Some((a, b))) => Some(s"$rf\t$a\t$b")
+            // rows exist but the key is all-null: keep, unbounded
+            case Some(None) => Some(rf)
+            // ZERO rows (no group at all): a writer task that got an
+            // empty partition — the file contributes nothing, drop it
+            // from the manifest rather than carrying an unprunable line
+            case None => None
+          }
+        }
+      case _ => staged
+    }
   }
 
   /** In-process serialization of the check-then-rename window: the
@@ -178,11 +233,13 @@ object ManifestTable {
     * `expectedBase + 1` and aborts if anything landed in between, rather
     * than silently dropping the interleaved commit's rows. */
   def overwrite(spark: SparkSession, root: String, df: DataFrame,
-                expectedBase: Option[Int] = None): Int = {
+                expectedBase: Option[Int] = None,
+                boundsCol: Option[String] = None): Int = {
     val fs = fsOf(spark, new Path(root))
     val base = expectedBase.getOrElse(currentVersion(spark, root)
       .getOrElse(0))
-    val staged = stage(spark, root, dir => df.write.parquet(dir))
+    val staged = stage(spark, root, dir => df.write.parquet(dir),
+      boundsCol = boundsCol)
     if (!tryCommit(fs, root, base + 1, staged))
       throw new java.util.ConcurrentModificationException(
         s"version ${base + 1} of $root was committed concurrently; " +
@@ -194,9 +251,11 @@ object ManifestTable {
     * files. Staged files stay valid whatever the base becomes, so a lost
     * commit race just re-reads the newest manifest and retries. */
   def append(spark: SparkSession, root: String, df: DataFrame,
-             maxAttempts: Int = 20): Int = {
+             maxAttempts: Int = 20,
+             boundsCol: Option[String] = None): Int = {
     val fs = fsOf(spark, new Path(root))
-    val staged = stage(spark, root, dir => df.write.parquet(dir))
+    val staged = stage(spark, root, dir => df.write.parquet(dir),
+      boundsCol = boundsCol)
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = versions(spark, root).lastOption
@@ -218,14 +277,15 @@ object ManifestTable {
     * instead of clobbering it. Returns (newVersion, filesBefore,
     * filesAfter). */
   def optimize(spark: SparkSession, root: String, clusterCol: String,
-               targetFiles: Int): (Int, Int, Int) = {
+               targetFiles: Int,
+               boundsCol: Option[String] = None): (Int, Int, Int) = {
     val fs = fsOf(spark, new Path(root))
     val base = snapshot(spark, root)
     val staged = stage(spark, root, dir =>
       base.read(spark)
         .repartitionByRange(targetFiles, col(clusterCol))
         .sortWithinPartitions(clusterCol)
-        .write.parquet(dir))
+        .write.parquet(dir), boundsCol = boundsCol)
     if (!tryCommit(fs, root, base.version + 1, staged))
       throw new java.util.ConcurrentModificationException(
         s"optimize of $root lost the commit race for version " +
@@ -237,16 +297,20 @@ object ManifestTable {
     * formats put behind their commit: apply row-level deletes and
     * upserts keyed on `keyCol` by rewriting ONLY the data files that
     * contain a changed key; every other file is carried VERBATIM into
-    * the new manifest (same path, zero IO). Affected files are found by
-    * one key-column-only scan of the current snapshot tagged with
-    * `input_file_name` — a cheap columnar projection here; a production
-    * format stores per-file key bounds in the manifest and prunes
-    * without the scan (the honest difference, stated). New keys (pure
-    * inserts) need no affected file; they land in the rewrite commit's
-    * fresh files. Readers keep snapshot isolation throughout: the merge
-    * is one manifest rename, old versions stay readable, and a
-    * concurrent commit aborts this merge (stale base) instead of losing
-    * either side's rows.
+    * the new manifest (same path, zero IO). Affected files are found
+    * from the MANIFEST's per-file key bounds when the table was written
+    * with `boundsCol` (format v2): a delta-sized distributed interval
+    * stabbing against the O(files) broadcast bounds — no snapshot scan
+    * at all, the same plan Delta/Iceberg run off their file statistics.
+    * Entries without bounds (v1 lines, or writes that skipped
+    * `boundsCol`) fall back to one key-column-only scan of just those
+    * files tagged with `input_file_name`. New keys (pure inserts) need
+    * no affected file; they land in the rewrite commit's fresh files,
+    * which are themselves bounds-stamped so the NEXT merge prunes too.
+    * Readers keep snapshot isolation throughout: the merge is one
+    * manifest rename, old versions stay readable, and a concurrent
+    * commit aborts this merge (stale base) instead of losing either
+    * side's rows.
     *
     * `removeKeys` is a 1-column (`keyCol`) relation; `upserts` carries
     * full rows (an update = its key in neither/either — upsert rows
@@ -254,46 +318,98 @@ object ManifestTable {
     * (newVersion, filesCarried, filesRewritten). */
   def mergeCoW(spark: SparkSession, root: String, keyCol: String,
                removeKeys: DataFrame, upserts: DataFrame): (Int, Int, Int) = {
+    import spark.implicits._
     val fs = fsOf(spark, new Path(root))
-    val base = snapshot(spark, root)
+    val baseVersion = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed version under $root"))
+    val entries = manifestEntries(fs, root, baseVersion)
     val changedKeys = removeKeys.select(col(keyCol))
       .unionByName(upserts.select(col(keyCol))).distinct()
-      .localCheckpoint() // read twice: file probe + rewrite anti-join
-    // which current files hold a changed key — key column only, so the
-    // scan reads one column of the snapshot
-    val affectedFiles = spark.read.parquet(base.files: _*)
-      .select(col(keyCol))
-      .withColumn("_f", input_file_name())
-      .join(changedKeys, Seq(keyCol), "left_semi")
-      .select("_f").distinct()
-      .collect().map(r => fs.makeQualified(new Path(r.getString(0)))
-        .toString).toSet
-    val (rewrite, carry) = base.files.partition(f =>
-      affectedFiles.contains(fs.makeQualified(new Path(f)).toString))
+      .localCheckpoint() // read thrice: two probes + rewrite anti-join
+    // (1) bounded entries: interval stabbing of each changed key
+    // against the broadcast [lo, hi] file bounds — delta-sized work,
+    // zero data-file IO. Files sorted by lo; ranges may overlap
+    // (appends), so the backward walk stops on the PREFIX-MAX of hi.
+    val (bounded, unbounded) =
+      entries.partition(e => e.lo.isDefined && e.hi.isDefined)
+    val boundedAffected: Set[String] = if (bounded.isEmpty) Set.empty
+    else {
+      val sorted = bounded.sortBy(_.lo.get)
+      val bcLo = spark.sparkContext.broadcast(sorted.map(_.lo.get).toArray)
+      val bcHi = spark.sparkContext.broadcast(sorted.map(_.hi.get).toArray)
+      val bcPm = spark.sparkContext.broadcast(
+        sorted.map(_.hi.get).scanLeft(Long.MinValue)(math.max).drop(1).toArray)
+      val bcRel = spark.sparkContext.broadcast(sorted.map(_.rel).toArray)
+      changedKeys.select(col(keyCol).cast("long")).as[Long]
+        .mapPartitions { it =>
+          val lo = bcLo.value; val hi = bcHi.value
+          val pm = bcPm.value; val rel = bcRel.value
+          it.flatMap { k =>
+            // last file with lo <= k, then walk back while any earlier
+            // file can still reach k (prefix-max hi >= k)
+            var a = 0; var b = lo.length - 1; var idx = -1
+            if (lo(0) <= k) {
+              while (a < b) {
+                val mid = (a + b + 1) >>> 1
+                if (lo(mid) <= k) a = mid else b = mid - 1
+              }
+              idx = a
+            }
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = idx
+            while (i >= 0 && pm(i) >= k) {
+              if (hi(i) >= k) out += rel(i)
+              i -= 1
+            }
+            out
+          }
+        }.distinct().collect().toSet
+    }
+    // (2) unbounded entries: key-column-only scan of just those files
+    val unboundedAffected: Set[String] = if (unbounded.isEmpty) Set.empty
+    else {
+      val qToRel = unbounded.map(e =>
+        fs.makeQualified(new Path(root, e.rel)).toString -> e.rel).toMap
+      spark.read.parquet(unbounded.map(e =>
+          new Path(root, e.rel).toString): _*)
+        .select(col(keyCol))
+        .withColumn("_f", input_file_name())
+        .join(changedKeys, Seq(keyCol), "left_semi")
+        .select("_f").distinct()
+        .collect().flatMap(r =>
+          qToRel.get(fs.makeQualified(new Path(r.getString(0))).toString))
+        .toSet
+    }
+    val affectedRels = boundedAffected ++ unboundedAffected
+    val (rewriteE, carryE) = entries.partition(e =>
+      affectedRels.contains(e.rel))
     // align the upserts to the table's column order (parquet resolves
     // by name, but a single consistent file schema is cheap insurance)
-    val tableCols = spark.read.parquet(base.files.head).columns
+    val tableCols = spark.read
+      .parquet(new Path(root, entries.head.rel).toString).columns
     val up = upserts.select(tableCols.map(col): _*)
     // surviving rows of the affected files (neither removed nor about
     // to be replaced by an upsert of the same key) + the upsert rows
     val rewritten =
-      if (rewrite.nonEmpty)
-        spark.read.parquet(rewrite: _*)
+      if (rewriteE.nonEmpty)
+        spark.read.parquet(rewriteE.map(e =>
+            new Path(root, e.rel).toString): _*)
           .join(changedKeys, Seq(keyCol), "left_anti")
           .unionByName(up)
       else up
     // a pure delete can stage zero rows — the new manifest is then the
-    // carried files alone
+    // carried files alone. The rewrite is bounds-stamped, so the next
+    // merge on this table prunes from the manifest alone.
     val staged = stage(spark, root,
-      dir => rewritten.write.parquet(dir), allowEmpty = true)
-    val carryQ = carry.map(f => fs.makeQualified(new Path(f)).toString).toSet
-    val carryRel = manifestLines(fs, root, base.version).filter(rel =>
-      carryQ.contains(fs.makeQualified(new Path(root, rel)).toString))
-    if (!tryCommit(fs, root, base.version + 1, carryRel ++ staged))
+      dir => rewritten.write.parquet(dir), allowEmpty = true,
+      boundsCol = Some(keyCol))
+    if (!tryCommit(fs, root, baseVersion + 1,
+        carryE.map(_.line) ++ staged))
       throw new java.util.ConcurrentModificationException(
         s"merge into $root lost the commit race for version " +
-          s"${base.version + 1}; rerun against the new base")
-    (base.version + 1, carry.size, staged.size)
+          s"${baseVersion + 1}; rerun against the new base")
+    (baseVersion + 1, carryE.size, staged.size)
   }
 
   /** Q152: the manifest lifecycle end-to-end, hash-gated — build the
@@ -355,9 +471,12 @@ object ManifestTable {
     val fs = fsOf(spark, new Path(root))
     if (fs.exists(new Path(root))) fs.delete(new Path(root), true)
     val docs = graft.Tables.documents(spark, sfDir)
+    // bounds-stamped write (manifest format v2): the merge below finds
+    // its affected files from the manifest alone, no snapshot scan
     overwrite(spark, root,
       docs.repartitionByRange(8, col("doc_id"))
-        .sortWithinPartitions("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      boundsCol = Some("doc_id"))
     // the q79 recrawl rules as one merge: delete %10==7, edit %10==3,
     // insert the %10==1 docs under the negative namespace
     val removeKeys = docs.where(col("doc_id") % 10 === 7).select("doc_id")
@@ -393,8 +512,8 @@ object ManifestTable {
     // paths (file:/..., hdfs://...) while manifests store root-relative
     // ones — an unqualified comparison would see every file as
     // unreferenced and delete live data
-    def qualified(v: Int): Set[String] = manifestLines(fs, root, v)
-      .map(rel => fs.makeQualified(new Path(root, rel)).toString).toSet
+    def qualified(v: Int): Set[String] = manifestEntries(fs, root, v)
+      .map(e => fs.makeQualified(new Path(root, e.rel)).toString).toSet
     val referenced = keep.flatMap(qualified).toSet
     val retired = drop.flatMap(qualified).toSet -- referenced
     drop.foreach(v => fs.delete(manifestPath(root, v), false))

@@ -163,6 +163,52 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.readAt(spark, root, 1).count() === ids.length)
   }
 
+  test("mergeCoW with manifest bounds (format v2): affected files come " +
+      "from the manifest alone and match the scan-based detection; " +
+      "rewrites are bounds-stamped for the next merge") {
+    def manifestLinesOf(root: String, v: Int): Seq[String] = {
+      val p = new Path(root, f"_manifests/v$v%08d.manifest")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    def mergeOn(root: String, bounds: Boolean): (Int, Int, Seq[Long]) = {
+      ManifestTable.overwrite(spark, root,
+        docs.repartitionByRange(8, col("doc_id"))
+          .sortWithinPartitions("doc_id"),
+        boundsCol = if (bounds) Some("doc_id") else None)
+      val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+      val cut = ids(ids.length / 8)
+      val removeKeys = docs.where(col("doc_id") <= cut).select("doc_id")
+      val upserts = docs.where(col("doc_id") === ids.last)
+        .withColumn("doc_id", lit(-5L))
+      val (_, carried, rewrittenN) =
+        ManifestTable.mergeCoW(spark, root, "doc_id", removeKeys, upserts)
+      val got = ManifestTable.read(spark, root)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      (carried, rewrittenN, got)
+    }
+    val rootB = freshRoot()
+    val rootS = freshRoot()
+    val (carriedB, rewroteB, gotB) = mergeOn(rootB, bounds = true)
+    val (carriedS, _, gotS) = mergeOn(rootS, bounds = false)
+    // bounds-stamped v1: every line carries lo/hi
+    assert(manifestLinesOf(rootB, 1).forall(_.split('\t').length === 3),
+      "v1 manifest lines missing bounds")
+    // the two detections agree: same carry count, same surviving rows
+    assert(carriedB === carriedS,
+      s"bounds pruning carried $carriedB files, the scan $carriedS")
+    assert(gotB === gotS)
+    assert(carriedB > 0 && rewroteB > 0)
+    // the merge's own rewrite files are bounds-stamped in v2
+    val v2Staged = manifestLinesOf(rootB, 2)
+      .filterNot(manifestLinesOf(rootB, 1).toSet)
+    assert(v2Staged.nonEmpty &&
+      v2Staged.forall(_.split('\t').length === 3),
+      s"rewrite lines not bounds-stamped: $v2Staged")
+  }
+
   test("mergeCoW: pure delete that empties every affected file commits " +
       "a carry-only manifest") {
     val root = freshRoot()

@@ -235,9 +235,14 @@ object SuffixRefresh extends Serializable {
   // The refresh
   // -------------------------------------------------------------------
 
-  /** What a refresh did, for specs and the scaling tool. */
+  /** What a refresh did — the per-doc result plus everything
+    * [[advance]] needs to commit the state forward (the fresh rows,
+    * inner maxes, and merged summaries of the affected partitions). */
   case class RefreshResult(perDoc: DataFrame, affectedParts: Set[Int],
-                           totalParts: Int)
+                           totalParts: Int,
+                           freshRows: DataFrame,
+                           freshInner: DataFrame,
+                           mergedSums: Seq[Summary])
 
   /** Core refresh over explicit state — [[q154SuffixRefresh]] wires it
     * to the q79 snapshot pair; the spec drives constructed corpora
@@ -344,7 +349,7 @@ object SuffixRefresh extends Serializable {
     val keptInner = innerA.where(!col("part").isin(affected.toSeq: _*))
     val perDoc = perDocOf(spark, keptInner.unionByName(freshInner),
       boundaryOf(merged), minReport)
-    RefreshResult(perDoc, affected, ne.size)
+    RefreshResult(perDoc, affected, ne.size, fresh, freshInner, merged)
   }
 
   /** Q154: the per-doc suffix table for snapshot B by PARTITION-BOUNDED
@@ -376,5 +381,84 @@ object SuffixRefresh extends Serializable {
       .select("doc_id", "text")
     refreshOf(spark, index, innerA, sums, removedDocs, addedDocs,
       minReport = 1)
+  }
+
+  // -------------------------------------------------------------------
+  // Durable, ADVANCING state: the suffix index as manifest tables
+  // -------------------------------------------------------------------
+
+  /** The three relations of a durable suffix-refresh state, each a
+    * [[graft.sources.ManifestTable]] so every advance is a
+    * transactional commit with history: the partition-tagged index,
+    * the per-(partition, doc) inner maxes, and the per-partition
+    * summaries. */
+  case class StateRoots(index: String, inner: String, sums: String)
+
+  /** Materialize the suffix-refresh state for `docs` under `rootBase`
+    * as three manifest tables. Index and inner-max files are
+    * bounds-stamped on `part`, so [[advance]]'s partition replacement
+    * is a bounds-pruned copy-on-write MERGE — affected files found from
+    * the manifest alone. */
+  def buildState(spark: SparkSession, docs: DataFrame, parts: Int,
+                 rootBase: String): StateRoots = {
+    import graft.sources.ManifestTable
+    val roots = StateRoots(s"$rootBase/index", s"$rootBase/inner",
+      s"$rootBase/sums")
+    val tagged = taggedIndexOf(docs, parts).localCheckpoint()
+    ManifestTable.overwrite(spark, roots.index, tagged,
+      boundsCol = Some("part"))
+    ManifestTable.overwrite(spark, roots.inner, innerMaxOf(tagged),
+      boundsCol = Some("part"))
+    ManifestTable.overwrite(spark, roots.sums, summariesOf(tagged))
+    roots
+  }
+
+  /** Apply a delta AND commit the state forward, so consecutive deltas
+    * CHAIN (the production shape: one recrawl/takedown after another,
+    * never a rebuild): the affected partitions' fresh rows and inner
+    * maxes land as copy-on-write MERGEs keyed on `part` (unchanged
+    * partitions' files carried verbatim, pruned from manifest bounds),
+    * the summaries re-stamp (O(partitions) rows, a plain overwrite).
+    * Each table's commit is atomic with history — time travel to any
+    * earlier state version works — but the three tables advance in
+    * three separate commits: a reader racing an advance can pair
+    * mixed versions, so production would carry all three relations in
+    * ONE manifest (the format supports it — a manifest is just a file
+    * list); three tables keep this demo inspectable. Returns the
+    * refresh diagnostics; the advanced per-doc table is
+    * [[perDocFromState]]. */
+  def advance(spark: SparkSession, roots: StateRoots,
+              removedDocs: DataFrame, addedDocs: DataFrame,
+              minReport: Int = 1): RefreshResult = {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val res = refreshOf(spark,
+      ManifestTable.read(spark, roots.index),
+      ManifestTable.read(spark, roots.inner),
+      toSummaries(ManifestTable.read(spark, roots.sums)),
+      removedDocs, addedDocs, minReport)
+    val affectedDf = res.affectedParts.toSeq.sorted.toDF("part")
+    ManifestTable.mergeCoW(spark, roots.index, "part",
+      affectedDf, res.freshRows)
+    ManifestTable.mergeCoW(spark, roots.inner, "part",
+      affectedDf, res.freshInner)
+    ManifestTable.overwrite(spark, roots.sums,
+      res.mergedSums.toDF()
+        .select(col("part"), col("nRows").as("n_rows"),
+          col("firstPref").as("first_pref"), col("firstDoc").as("first_doc"),
+          col("lastPref").as("last_pref"), col("lastDoc").as("last_doc")))
+    res
+  }
+
+  /** The per-doc longest-cross-doc-match table assembled from the
+    * CURRENT committed state — after [[advance]], this is the refreshed
+    * table (equal to a full rebuild on the advanced corpus,
+    * spec-pinned across chained deltas). */
+  def perDocFromState(spark: SparkSession, roots: StateRoots,
+                      minReport: Int = 1): DataFrame = {
+    import graft.sources.ManifestTable
+    perDocOf(spark, ManifestTable.read(spark, roots.inner),
+      boundaryOf(toSummaries(ManifestTable.read(spark, roots.sums))),
+      minReport)
   }
 }

@@ -88,6 +88,48 @@ class SuffixRefreshSpec extends SparkSpec {
     assert(perDocRows(res.perDoc) === fullRebuild(docsB))
   }
 
+  test("advance: manifest-backed state chains CONSECUTIVE deltas — " +
+      "each advance equals the full rebuild of its corpus, state " +
+      "history time-travels") {
+    import graft.sources.ManifestTable
+    val rootBase = java.nio.file.Files
+      .createTempDirectory("graft-sfxstate").toString
+    val docsA = Seq(
+      (1L, "shared payload alpha beta gamma delta epsilon"),
+      (2L, "shared payload alpha beta gamma delta zeta"),
+      (3L, "unrelated content one two three four five six"),
+      (4L, "another isolated doc with its own words entirely"),
+      (5L, "payload alpha beta gamma overlap again here too"))
+      .toDF("doc_id", "text")
+    val roots = SuffixRefresh.buildState(spark, docsA, parts = 4, rootBase)
+    // the built state reproduces the direct construction
+    assert(perDocRows(SuffixRefresh.perDocFromState(spark, roots)) ===
+      fullRebuild(docsA))
+    // delta 1: remove doc 2 (doc 1's best match), edit doc 3
+    val rem1 = docsA.where($"doc_id".isin(2L, 3L)).select("doc_id", "text")
+    val add1 = Seq((3L, "unrelated content one two three EDITED"))
+      .toDF("doc_id", "text")
+    SuffixRefresh.advance(spark, roots, rem1, add1)
+    val docsB1 = docsA.where(!$"doc_id".isin(2L, 3L)).unionByName(add1)
+    assert(perDocRows(SuffixRefresh.perDocFromState(spark, roots)) ===
+      fullRebuild(docsB1), "first advance diverged from rebuild")
+    // delta 2 ON THE ADVANCED STATE: add a new best match for doc 1
+    val rem2 = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val add2 = Seq((9L, "shared payload alpha beta gamma delta eta"))
+      .toDF("doc_id", "text")
+    SuffixRefresh.advance(spark, roots, rem2, add2)
+    val docsB2 = docsB1.unionByName(add2)
+    assert(perDocRows(SuffixRefresh.perDocFromState(spark, roots)) ===
+      fullRebuild(docsB2), "chained advance diverged from rebuild")
+    // every advance committed a new version of each state table; v1 of
+    // the index still reads as snapshot A's row count
+    assert(ManifestTable.currentVersion(spark, roots.index) === Some(3))
+    val aPositions = docsA.select(length($"text")).collect()
+      .map(_.getInt(0).toLong).sum
+    assert(ManifestTable.readAt(spark, roots.index, 1).count() ===
+      aPositions)
+  }
+
   test("boundedness: a delta confined to one end of the key space " +
       "leaves the other end's partitions out of the rescan") {
     // two well-separated key clusters; many partitions so each cluster

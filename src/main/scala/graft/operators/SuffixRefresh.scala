@@ -61,10 +61,10 @@ import graft.functions.CommonPrefixLen
   * (`tools.SuffixRefreshScaling`): the q79 recrawl delta (601k
   * positions) hits 100% of partitions at every width tested — there
   * refresh ≈ rebuild plus bookkeeping and the r10 "recompute freely"
-  * guidance stands; a single-doc edit (95 positions) hits 78% of 32
-  * partitions but only 10.5% of 512 (suffix CLUSTERING pulls it under
+  * guidance stands; a single-doc edit (95 positions) hits ~84% of 32
+  * partitions but only ~10% of 512 (suffix CLUSTERING pulls it under
   * the uniform bound — an edited doc's keys concentrate near its old
-  * ones), refreshing in 2.2–2.9 s vs the 4.5 s rebuild. At a 100 TB
+  * ones), refreshing in 1.7–1.9 s vs the ~4.3 s rebuild. At a 100 TB
   * index with 10⁵⁺ partitions that single-doc shape is the
   * fix-up/takedown path (delete these documents, patch this one), and
   * it never re-sorts the corpus. One suffix-order subtlety is pinned by

@@ -146,6 +146,38 @@ object ManifestTable {
   def read(spark: SparkSession, root: String): DataFrame =
     snapshot(spark, root).read(spark)
 
+  /** Bounds-pruned RANGE READ — the read-side payoff of manifest format
+    * v2: resolve the newest version, keep only the files whose stored
+    * [lo, hi] key bounds intersect `[lo, hi]` (v1/bounds-less entries
+    * are always kept — unknown means "may contain anything"), and apply
+    * the residual row filter on what remains. File-level skipping from
+    * the MANIFEST alone — no footer reads, no directory listing beyond
+    * the one manifest — the same plan a format's data-skipping
+    * statistics drive; parquet row-group stats still prune WITHIN the
+    * kept files. Returns an empty (correctly-typed) relation when no
+    * file qualifies. */
+  def readWhereKeyBetween(spark: SparkSession, root: String,
+                          keyCol: String, lo: Long, hi: Long): DataFrame = {
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    val fs = fsOf(spark, new Path(root))
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed version under $root"))
+    val entries = manifestEntries(fs, root, v)
+    require(entries.nonEmpty, s"version $v of $root lists no data files")
+    val kept = entries.filter(e => (e.lo, e.hi) match {
+      case (Some(a), Some(b)) => a <= hi && b >= lo // intersects
+      case _ => true // unknown bounds: must read
+    })
+    val pred = col(keyCol) >= lo && col(keyCol) <= hi
+    if (kept.isEmpty)
+      // preserve the schema from one (skipped) file, with zero rows
+      spark.read.parquet(new Path(root, entries.head.rel).toString)
+        .where(lit(false))
+    else
+      spark.read.parquet(kept.map(e =>
+        new Path(root, e.rel).toString): _*).where(pred)
+  }
+
   /** Time travel: the table exactly as of `version`. */
   def readAt(spark: SparkSession, root: String, version: Int): DataFrame =
     snapshot(spark, root, Some(version)).read(spark)

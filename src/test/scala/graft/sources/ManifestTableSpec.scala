@@ -228,6 +228,41 @@ class ManifestTableSpec extends SparkSpec {
     assert(got === ids.filter(_ > cut).toSet)
   }
 
+  test("readWhereKeyBetween: file-level skipping from manifest bounds " +
+      "alone; rows equal the unpruned filter; empty range keeps schema") {
+    val root = freshRoot()
+    ManifestTable.overwrite(spark, root,
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      boundsCol = Some("doc_id"))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val (lo, hi) = (ids(ids.length / 4), ids(ids.length / 3))
+    val pruned = ManifestTable.readWhereKeyBetween(
+      spark, root, "doc_id", lo, hi)
+    val expect = docs.where(col("doc_id").between(lo, hi))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(pruned.select("doc_id").collect().map(_.getLong(0)).sorted
+      .toSeq === expect.toSeq)
+    // the point: FEWER FILES in the plan, decided from the manifest
+    val allFiles = ManifestTable.snapshot(spark, root).files.size
+    assert(pruned.inputFiles.length < allFiles,
+      s"no file was pruned: ${pruned.inputFiles.length} of $allFiles")
+    // a range outside every bound reads zero rows, schema intact
+    val none = ManifestTable.readWhereKeyBetween(
+      spark, root, "doc_id", ids.last + 1000, ids.last + 2000)
+    assert(none.count() === 0)
+    assert(none.columns.toSeq === docs.columns.toSeq)
+    // a bounds-LESS table is never wrongly pruned (unknown = read)
+    val rootU = freshRoot()
+    ManifestTable.overwrite(spark, rootU,
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"))
+    val unpruned = ManifestTable.readWhereKeyBetween(
+      spark, rootU, "doc_id", lo, hi)
+    assert(unpruned.select("doc_id").collect().map(_.getLong(0)).sorted
+      .toSeq === expect.toSeq)
+  }
+
   test("stale-base overwrite aborts rather than clobbering the " +
       "concurrent commit") {
     val root = freshRoot()

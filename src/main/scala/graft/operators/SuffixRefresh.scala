@@ -250,7 +250,8 @@ object SuffixRefresh extends Serializable {
     * relations (for an edit, the doc appears in both). */
   private[graft] def refreshOf(spark: SparkSession, index: DataFrame,
       innerA: DataFrame, sums: Seq[Summary], removedDocs: DataFrame,
-      addedDocs: DataFrame, minReport: Int): RefreshResult = {
+      addedDocs: DataFrame, minReport: Int,
+      indexForParts: Option[Seq[Int] => DataFrame] = None): RefreshResult = {
     val ne = sums.filter(_.nRows > 0).sortBy(_.part)
     require(ne.nonEmpty, "refresh over an empty stored index")
     val firstKeys = ne.map(s => (s.firstPref, s.firstDoc)).toArray
@@ -330,9 +331,18 @@ object SuffixRefresh extends Serializable {
 
     val removedIds = removedDocs.select("doc_id").distinct()
     // rebuild ONLY the affected partitions: pruned index read minus
-    // removed docs plus routed additions
-    val fresh = index.select("part", "doc_id", "pref")
-      .where(col("part").isin(affected.toSeq: _*))
+    // removed docs plus routed additions. A caller with file-level
+    // metadata (the manifest-backed state) supplies indexForParts so
+    // the read opens only the affected partitions\' FILES; the plain
+    // path filters the given relation (parquet row-group stats still
+    // skip within files)
+    val affectedIndex =
+      if (affected.isEmpty) // empty delta: nothing to rescan
+        index.where(lit(false))
+      else indexForParts
+        .map(f => f(affected.toSeq.sorted))
+        .getOrElse(index.where(col("part").isin(affected.toSeq: _*)))
+    val fresh = affectedIndex.select("part", "doc_id", "pref")
       // deliberately NO broadcast hint: at real scale the removed-id
       // list is takedown-batch-sized to billions of rows, so the join
       // must be free to stay shuffle-on-doc_id; AQE broadcasts it at
@@ -432,11 +442,25 @@ object SuffixRefresh extends Serializable {
               minReport: Int = 1): RefreshResult = {
     import spark.implicits._
     import graft.sources.ManifestTable
+    // the three tables advance in lockstep (buildState commits v1 of
+    // each; every advance bumps each by one) — unequal versions mean a
+    // previous advance died between commits, and computing from the
+    // torn state would silently diverge from the rebuild
+    val vs = Seq(roots.index, roots.inner, roots.sums)
+      .map(ManifestTable.currentVersion(spark, _))
+    require(vs.distinct.size == 1 && vs.head.isDefined,
+      s"suffix-refresh state is torn (index/inner/sums at versions " +
+        s"${vs.map(_.getOrElse(-1)).mkString("/")}); a prior advance " +
+        "failed mid-commit — rebuild the state with buildState")
     val res = refreshOf(spark,
       ManifestTable.read(spark, roots.index),
       ManifestTable.read(spark, roots.inner),
       toSummaries(ManifestTable.read(spark, roots.sums)),
-      removedDocs, addedDocs, minReport)
+      removedDocs, addedDocs, minReport,
+      // the read-side payoff of the bounds-stamped index: open only
+      // the affected partitions' files, decided from the manifest
+      indexForParts = Some(parts => ManifestTable.readWhereKeyIn(
+        spark, roots.index, "part", parts.map(_.toLong))))
     val affectedDf = res.affectedParts.toSeq.sorted.toDF("part")
     ManifestTable.mergeCoW(spark, roots.index, "part",
       affectedDf, res.freshRows)

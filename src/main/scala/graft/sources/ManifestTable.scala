@@ -138,9 +138,41 @@ object ManifestTable {
     case _ => Entry(line, None, None)
   }
 
+  /** Bounds are meaningless without knowing WHICH column they describe:
+    * a v2 manifest records it in a header line, and every bounds
+    * consumer ([[mergeCoW]], [[readWhereKeyBetween]], [[readWhereKeyIn]])
+    * honors the stored [lo, hi] ONLY when its own key column matches the
+    * header — a mismatched key silently falls back to
+    * unknown-bounds/read-everything (correct, just unpruned) instead of
+    * pruning WRONG files. */
+  private val HeaderPrefix = "#boundscol="
+
+  /** The bounds column a committed manifest's [lo, hi] values describe,
+    * if any. */
+  def boundsColOf(spark: SparkSession, root: String,
+                  version: Option[Int] = None): Option[String] = {
+    val fs = fsOf(spark, new Path(root))
+    val v = version.orElse(currentVersion(spark, root))
+    v.flatMap(headerOf(fs, root, _))
+  }
+
+  private def headerOf(fs: FileSystem, root: String,
+                       v: Int): Option[String] =
+    manifestLines(fs, root, v).find(_.startsWith(HeaderPrefix))
+      .map(_.stripPrefix(HeaderPrefix))
+
   private def manifestEntries(fs: FileSystem, root: String,
                               v: Int): Seq[Entry] =
-    manifestLines(fs, root, v).map(parseEntry)
+    manifestLines(fs, root, v).filterNot(_.startsWith("#")).map(parseEntry)
+
+  /** Entry lines of `v` with their bounds kept only if the manifest's
+    * header declares them for `keyCol` (else stripped to plain paths). */
+  private def entriesFor(fs: FileSystem, root: String, v: Int,
+                         keyCol: String): Seq[Entry] = {
+    val es = manifestEntries(fs, root, v)
+    if (headerOf(fs, root, v).contains(keyCol)) es
+    else es.map(e => Entry(e.rel, None, None))
+  }
 
   /** The table at its newest committed version. */
   def read(spark: SparkSession, root: String): DataFrame =
@@ -159,16 +191,48 @@ object ManifestTable {
   def readWhereKeyBetween(spark: SparkSession, root: String,
                           keyCol: String, lo: Long, hi: Long): DataFrame = {
     require(lo <= hi, s"empty range [$lo, $hi]")
+    prunedRead(spark, root, keyCol,
+      e => e.lo.get <= hi && e.hi.get >= lo,
+      col(keyCol) >= lo && col(keyCol) <= hi)
+  }
+
+  /** [[readWhereKeyBetween]]'s SET twin: files whose bounds contain ANY
+    * of `keys` (plus the residual `isin` filter) — the pruned read a
+    * partition-replacement consumer wants. */
+  def readWhereKeyIn(spark: SparkSession, root: String,
+                     keyCol: String, keys: Seq[Long]): DataFrame = {
+    require(keys.nonEmpty, "empty key set")
+    val sorted = keys.sorted.toArray
+    // any key inside [lo, hi]: the first key >= lo must be <= hi
+    def hits(lo: Long, hi: Long): Boolean = {
+      var a = 0; var b = sorted.length - 1
+      if (sorted(b) < lo) return false
+      while (a < b) { // first index with key >= lo
+        val mid = (a + b) >>> 1
+        if (sorted(mid) < lo) a = mid + 1 else b = mid
+      }
+      sorted(a) <= hi
+    }
+    prunedRead(spark, root, keyCol,
+      e => hits(e.lo.get, e.hi.get),
+      col(keyCol).isin(keys: _*))
+  }
+
+  /** Shared bounds-pruned read: keep files whose (present AND
+    * header-matching) bounds satisfy `boundsHit`; files with unknown or
+    * differently-keyed bounds are always read (unknown = may contain
+    * anything). */
+  private def prunedRead(spark: SparkSession, root: String, keyCol: String,
+                         boundsHit: Entry => Boolean,
+                         pred: org.apache.spark.sql.Column): DataFrame = {
     val fs = fsOf(spark, new Path(root))
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no committed version under $root"))
-    val entries = manifestEntries(fs, root, v)
+    // bounds honored ONLY when the manifest declares them for keyCol
+    val entries = entriesFor(fs, root, v, keyCol)
     require(entries.nonEmpty, s"version $v of $root lists no data files")
-    val kept = entries.filter(e => (e.lo, e.hi) match {
-      case (Some(a), Some(b)) => a <= hi && b >= lo // intersects
-      case _ => true // unknown bounds: must read
-    })
-    val pred = col(keyCol) >= lo && col(keyCol) <= hi
+    val kept = entries.filter(e =>
+      e.lo.isEmpty || e.hi.isEmpty || boundsHit(e))
     if (kept.isEmpty)
       // preserve the schema from one (skipped) file, with zero rows
       spark.read.parquet(new Path(root, entries.head.rel).toString)
@@ -214,7 +278,7 @@ object ManifestTable {
               (if (r.isNullAt(1) || r.isNullAt(2)) None
                else Some((r.getLong(1), r.getLong(2))))
           }.toMap
-        staged.flatMap { rf =>
+        val lines = staged.flatMap { rf =>
           val name = rf.substring(rf.lastIndexOf('/') + 1)
           perFile.get(name) match {
             case Some(Some((a, b))) => Some(s"$rf\t$a\t$b")
@@ -226,6 +290,10 @@ object ManifestTable {
             case None => None
           }
         }
+        // an all-empty write (zero rows total) must NOT silently commit
+        // a zero-entry manifest: keep the raw file list (schema
+        // preserved) so the table stays readable as a zero-row relation
+        if (lines.isEmpty) staged else lines
       case _ => staged
     }
   }
@@ -239,15 +307,19 @@ object ManifestTable {
 
   /** Atomic-rename commit of version `v`; false = lost the race (a
     * manifest for `v` already exists). See the object scaladoc for the
-    * per-filesystem exclusivity contract. */
+    * per-filesystem exclusivity contract. `boundsColName` writes the
+    * format-v2 header declaring which column the lines' [lo, hi]
+    * describe. */
   private def tryCommit(fs: FileSystem, root: String, v: Int,
-                        relFiles: Seq[String]): Boolean = {
+                        relFiles: Seq[String],
+                        boundsColName: Option[String] = None): Boolean = {
     val target = manifestPath(root, v)
     if (fs.exists(target)) return false
     val tmp = new Path(manifestDir(root),
       s".tmp-${UUID.randomUUID().toString.take(12)}")
     val out = fs.create(tmp, false)
-    try out.write(relFiles.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val lines = boundsColName.map(c => s"$HeaderPrefix$c").toSeq ++ relFiles
+    try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val won = commitLock.synchronized {
       !fs.exists(target) && fs.rename(tmp, target)
@@ -272,7 +344,7 @@ object ManifestTable {
       .getOrElse(0))
     val staged = stage(spark, root, dir => df.write.parquet(dir),
       boundsCol = boundsCol)
-    if (!tryCommit(fs, root, base + 1, staged))
+    if (!tryCommit(fs, root, base + 1, staged, boundsCol))
       throw new java.util.ConcurrentModificationException(
         s"version ${base + 1} of $root was committed concurrently; " +
           "this overwrite was computed from a stale base — rerun it")
@@ -286,14 +358,27 @@ object ManifestTable {
              maxAttempts: Int = 20,
              boundsCol: Option[String] = None): Int = {
     val fs = fsOf(spark, new Path(root))
+    // stamp bounds only when they will MEAN the table's declared bounds
+    // column — stamping a different column under the base's header
+    // would misattribute the values (the format's one hard rule)
+    val h0 = currentVersion(spark, root).flatMap(headerOf(fs, root, _))
+    val effBounds = boundsCol.filter(b => h0.forall(_ == b))
     val staged = stage(spark, root, dir => df.write.parquet(dir),
-      boundsCol = boundsCol)
+      boundsCol = effBounds)
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = versions(spark, root).lastOption
-      val baseFiles = base.map(manifestLines(fs, root, _)).getOrElse(Seq.empty)
+      val h = base.flatMap(headerOf(fs, root, _)).orElse(effBounds)
+      // the base header governs the combined manifest: staged lines
+      // were stamped for effBounds, so strip them if a racing commit
+      // changed the table's bounds column underneath us
+      val stagedOut =
+        if (effBounds.isEmpty || h == effBounds) staged
+        else staged.map(_.split('\t')(0))
+      val baseLines = base.map(v => manifestLines(fs, root, v)
+        .filterNot(_.startsWith("#"))).getOrElse(Seq.empty)
       val v = base.getOrElse(0) + 1
-      if (tryCommit(fs, root, v, baseFiles ++ staged)) return v
+      if (tryCommit(fs, root, v, baseLines ++ stagedOut, h)) return v
       attempt += 1
     }
     throw new java.util.ConcurrentModificationException(
@@ -309,16 +394,20 @@ object ManifestTable {
     * instead of clobbering it. Returns (newVersion, filesBefore,
     * filesAfter). */
   def optimize(spark: SparkSession, root: String, clusterCol: String,
-               targetFiles: Int,
-               boundsCol: Option[String] = None): (Int, Int, Int) = {
+               targetFiles: Int): (Int, Int, Int) = {
     val fs = fsOf(spark, new Path(root))
     val base = snapshot(spark, root)
+    // the rewrite clusters on clusterCol, so stamp bounds on it — every
+    // line is fresh, so the header switches cleanly; a non-integral
+    // cluster column degrades to unbounded lines (null cast), harmless.
+    // Stamping by DEFAULT also prevents the silent downgrade where
+    // compacting a bounds-stamped table strips all its pruning.
     val staged = stage(spark, root, dir =>
       base.read(spark)
         .repartitionByRange(targetFiles, col(clusterCol))
         .sortWithinPartitions(clusterCol)
-        .write.parquet(dir), boundsCol = boundsCol)
-    if (!tryCommit(fs, root, base.version + 1, staged))
+        .write.parquet(dir), boundsCol = Some(clusterCol))
+    if (!tryCommit(fs, root, base.version + 1, staged, Some(clusterCol)))
       throw new java.util.ConcurrentModificationException(
         s"optimize of $root lost the commit race for version " +
           s"${base.version + 1}; rerun against the new base")
@@ -355,10 +444,20 @@ object ManifestTable {
     val baseVersion = currentVersion(spark, root)
       .getOrElse(throw new IllegalArgumentException(
         s"no committed version under $root"))
-    val entries = manifestEntries(fs, root, baseVersion)
+    // honor stored bounds ONLY if the manifest declares them for THIS
+    // key column — bounds of a different column would prune wrong files
+    val entries = entriesFor(fs, root, baseVersion, keyCol)
+    require(entries.nonEmpty,
+      s"version $baseVersion of $root lists no data files; " +
+        "use overwrite to (re)populate an emptied table")
     val changedKeys = removeKeys.select(col(keyCol))
       .unionByName(upserts.select(col(keyCol))).distinct()
       .localCheckpoint() // read thrice: two probes + rewrite anti-join
+    // null keys cannot be merged: the anti-join would never match them
+    // (SQL null semantics), silently appending duplicates — fail fast
+    require(changedKeys.where(col(keyCol).isNull).take(1).isEmpty,
+      s"mergeCoW: null $keyCol in removeKeys/upserts is unsupported " +
+        "(an upsert of a null key could never replace its row)")
     // (1) bounded entries: interval stabbing of each changed key
     // against the broadcast [lo, hi] file bounds — delta-sized work,
     // zero data-file IO. Files sorted by lo; ranges may overlap
@@ -436,8 +535,14 @@ object ManifestTable {
     val staged = stage(spark, root,
       dir => rewritten.write.parquet(dir), allowEmpty = true,
       boundsCol = Some(keyCol))
-    if (!tryCommit(fs, root, baseVersion + 1,
-        carryE.map(_.line) ++ staged))
+    val outLines = carryE.map(_.line) ++ staged
+    // a merge that would empty the table entirely (full-table delete
+    // whose rewrite staged zero files) must not brick it with a
+    // zero-entry manifest — truncation is overwrite's job
+    require(outLines.nonEmpty,
+      s"merge would leave $root with no data files; " +
+        "use overwrite to truncate a table")
+    if (!tryCommit(fs, root, baseVersion + 1, outLines, Some(keyCol)))
       throw new java.util.ConcurrentModificationException(
         s"merge into $root lost the commit race for version " +
           s"${baseVersion + 1}; rerun against the new base")

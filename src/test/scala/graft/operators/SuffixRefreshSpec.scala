@@ -128,6 +128,15 @@ class SuffixRefreshSpec extends SparkSpec {
       .map(_.getInt(0).toLong).sum
     assert(ManifestTable.readAt(spark, roots.index, 1).count() ===
       aPositions)
+    // TORN state detection: an advance that died between its three
+    // commits leaves the tables at unequal versions — the next advance
+    // must refuse loudly instead of computing from the mixture
+    ManifestTable.append(spark, roots.sums,
+      ManifestTable.read(spark, roots.sums).limit(1))
+    val torn = intercept[IllegalArgumentException] {
+      SuffixRefresh.advance(spark, roots, rem2, add2)
+    }
+    assert(torn.getMessage.contains("torn"))
   }
 
   test("boundedness: a delta confined to one end of the key space " +

@@ -170,8 +170,10 @@ class ManifestTableSpec extends SparkSpec {
       val p = new Path(root, f"_manifests/v$v%08d.manifest")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      val all = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList
       finally in.close()
+      all.filterNot(_.startsWith("#")) // entry lines only (skip header)
     }
     def mergeOn(root: String, bounds: Boolean): (Int, Int, Seq[Long]) = {
       ManifestTable.overwrite(spark, root,
@@ -261,6 +263,75 @@ class ManifestTableSpec extends SparkSpec {
       spark, rootU, "doc_id", lo, hi)
     assert(unpruned.select("doc_id").collect().map(_.getLong(0)).sorted
       .toSeq === expect.toSeq)
+  }
+
+  test("bounds header: a MISMATCHED key column never prunes (reads and " +
+      "merges fall back to unknown-bounds), matching keys do") {
+    val root = freshRoot()
+    // full-column documents: this test probes a SECOND integral column
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text", "n_chars")
+    ManifestTable.overwrite(spark, root,
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      boundsCol = Some("doc_id"))
+    assert(ManifestTable.boundsColOf(spark, root) === Some("doc_id"))
+    val allFiles = ManifestTable.snapshot(spark, root).files.size
+    // the stored bounds describe doc_id — a range read on n_chars must
+    // NOT interpret them (doc_id-valued bounds would prune wrong files)
+    val byChars = ManifestTable.readWhereKeyBetween(
+      spark, root, "n_chars", 0, 50)
+    val expect = docs.where(col("n_chars").between(0, 50)).count()
+    assert(byChars.count() === expect)
+    assert(byChars.inputFiles.length === allFiles,
+      "mismatched-key read wrongly pruned files")
+    // and a merge keyed on n_chars falls back to the scan, correct rows
+    val rmChars = docs.where(col("n_chars") < 30)
+      .select(col("n_chars")).distinct()
+    val (_, _, _) = ManifestTable.mergeCoW(spark, root, "n_chars",
+      rmChars, docs.limit(0).select(docs.columns.map(col): _*))
+    assert(ManifestTable.read(spark, root).count() ===
+      docs.where(col("n_chars") >= 30).count())
+    // matching-key pruning still engages on the same table pre-merge
+    val rootB = freshRoot()
+    ManifestTable.overwrite(spark, rootB,
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      boundsCol = Some("doc_id"))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val pruned = ManifestTable.readWhereKeyBetween(
+      spark, rootB, "doc_id", ids.head, ids(ids.length / 8))
+    assert(pruned.inputFiles.length < allFiles)
+  }
+
+  test("mergeCoW refuses to empty the table and refuses null keys; " +
+      "vacuumed-empty states fail loudly") {
+    val root = freshRoot()
+    ManifestTable.overwrite(spark, root, docs.limit(20),
+      boundsCol = Some("doc_id"))
+    // full-table delete must never BRICK the table: either the merge
+    // is refused (zero-entry manifest) with the table untouched, or it
+    // commits a schema-preserving zero-row version that a follow-up
+    // merge can still insert into
+    val all = docs.limit(20).select("doc_id").localCheckpoint()
+    try {
+      ManifestTable.mergeCoW(spark, root, "doc_id", all, docs.limit(0))
+      assert(ManifestTable.read(spark, root).count() === 0)
+      ManifestTable.mergeCoW(spark, root, "doc_id",
+        docs.limit(0).select("doc_id"), docs.limit(5))
+      assert(ManifestTable.read(spark, root).count() === 5)
+    } catch {
+      case e: IllegalArgumentException =>
+        assert(e.getMessage.contains("overwrite to truncate"))
+        assert(ManifestTable.read(spark, root).count() === 20)
+    }
+    // null keys fail fast with a clear message
+    val nullKeys = docs.limit(1).select(
+      org.apache.spark.sql.functions.lit(null).cast("long").as("doc_id"))
+    val err2 = intercept[IllegalArgumentException] {
+      ManifestTable.mergeCoW(spark, root, "doc_id", nullKeys, docs.limit(0))
+    }
+    assert(err2.getMessage.contains("null"))
   }
 
   test("stale-base overwrite aborts rather than clobbering the " +

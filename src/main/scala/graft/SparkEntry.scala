@@ -462,6 +462,12 @@ object SparkEntry {
     // the merged table must BE snapshot B row-for-row.
     "q155_manifest_merge" ->
       (graft.sources.ManifestTable.q155ManifestMerge _),
+    // q156 gates the manifest bounds' READ side: a range read whose
+    // file set comes from the manifest header + per-file [lo, hi]
+    // alone — a wrongly-pruned file (missing rows) or an unapplied
+    // residual filter (extra rows) fires the hash.
+    "q156_manifest_pruned_read" ->
+      (graft.sources.ManifestTable.q156ManifestPrunedRead _),
   )
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
@@ -3476,6 +3482,19 @@ object SparkEntry {
         |  WHERE doc_id % 10 = 1)
         |SELECT doc_id, md5(text) AS text_md5
         |FROM bdocs ORDER BY doc_id""".stripMargin,
+    // q156: the same lowest-fifth range recomputed straight from
+    // parquet — integer bounds arithmetic identical on both engines.
+    "q156_manifest_pruned_read" ->
+      """WITH b AS (SELECT min(doc_id) AS lo,
+        |                  min(doc_id) + (max(doc_id) - min(doc_id)) // 5
+        |                    AS hi
+        |           FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |       sum(doc_id)::BIGINT AS sum_doc_id,
+        |       sum(length(text))::BIGINT AS n_chars
+        |FROM documents, b
+        |WHERE doc_id >= b.lo AND doc_id <= b.hi
+        |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 
   /** q118/q119's shared DuckDB replay: per-position best cross-doc LCP

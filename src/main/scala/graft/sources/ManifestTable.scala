@@ -625,6 +625,40 @@ object ManifestTable {
       .orderBy("doc_id")
   }
 
+  /** Q156: the bounds-pruned RANGE READ, hash-gated — the documents
+    * table as a bounds-stamped manifest table (8 doc_id-clustered
+    * files), then [[readWhereKeyBetween]] over the lowest fifth of the
+    * id domain: the file set is decided from the manifest header +
+    * per-file [lo, hi] alone (no footer reads — the spec pins
+    * inputFiles < total), and the oracle recomputes the same range
+    * directly from parquet, so a wrongly-pruned file (missing rows) or
+    * an unapplied residual filter (extra rows) fires the hash gate. The
+    * range bounds are integer arithmetic over min/max, identical on
+    * both engines. */
+  def q156ManifestPrunedRead(spark: SparkSession,
+                             sfDir: String): DataFrame = {
+    val root = new Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      "manifest_pruned_" + graft.Tables.dirKey(spark, sfDir)).toString
+    val fs = fsOf(spark, new Path(root))
+    if (fs.exists(new Path(root))) fs.delete(new Path(root), true)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    overwrite(spark, root,
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      boundsCol = Some("doc_id"))
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (lo, hi) = (mm.getLong(0),
+      mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 5)
+    readWhereKeyBetween(spark, root, "doc_id", lo, hi)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(length(col("text"))).as("n_chars"))
+      .orderBy("lang")
+  }
+
   /** Retire history: keep the newest `retain` manifests, delete older
     * manifest files, then delete data files in two classes —
     * (a) files referenced only by DROPPED manifests (committed history;

@@ -334,6 +334,27 @@ class ManifestTableSpec extends SparkSpec {
     assert(err2.getMessage.contains("null"))
   }
 
+  test("q156: the gated range read actually prunes files AND matches a " +
+      "direct-filter replay") {
+    val sf01 = "/root/testdata/sf0.001"
+    val df = ManifestTable.q156ManifestPrunedRead(spark, sf01)
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val all = graft.Tables.documents(spark, sf01)
+    val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (lo, hi) = (mm.getLong(0),
+      mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 5)
+    val expect = all.where(col("doc_id").between(lo, hi))
+      .groupBy("lang")
+      .agg(count(lit(1)), sum(col("doc_id")), sum(length(col("text"))))
+      .orderBy("lang").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expect)
+    // the scan underneath read FEWER files than the table holds
+    assert(df.inputFiles.length < 8,
+      s"q156 read ${df.inputFiles.length} of 8 files — nothing pruned")
+  }
+
   test("stale-base overwrite aborts rather than clobbering the " +
       "concurrent commit") {
     val root = freshRoot()

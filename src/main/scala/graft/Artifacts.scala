@@ -70,7 +70,25 @@ object Artifacts {
     * from [[Tables.dirKey]], which folds a content fingerprint of the
     * input dir's listing into the key — a dir rewritten mid-session
     * yields a new name and therefore a rebuild, never a stale read
-    * (ArtifactsSpec pins it). */
+    * (ArtifactsSpec pins it).
+    *
+    * Why this writer is EXEMPT from the manifest-commit discipline
+    * ([[graft.sources.ManifestTable]], which [[materializeManifest]]
+    * applies to the plain-file artifacts): bucketed output is a CATALOG
+    * property — Spark reads the bucket spec from the metastore entry
+    * `saveAsTable` writes, and that spec is what lets every downstream
+    * key-keyed join/aggregate skip its exchange; a manifest table reads
+    * as plain `spark.read.parquet`, which cannot carry bucketing. The
+    * delete-then-recreate swap window this leaves is UNOBSERVABLE under
+    * the registry's lifecycle, by construction rather than by luck:
+    * (a) within a session the build runs at most once per name, under
+    * the registry lock, BEFORE any consumer resolves the table — there
+    * is no reader to race; (b) a name encodes a content fingerprint of
+    * its input, so a changed input reads a fresh name, never a
+    * mid-rewrite one; (c) cross-session races are an asserted ERROR
+    * (the builders map), not a window; (d) a stale on-disk table from a
+    * DEAD JVM is rewritten before this JVM has any readers. Each of
+    * (a)-(d) is pinned in ArtifactsSpec. */
   def materialize(spark: SparkSession, name: String, bucketCol: String,
                   buckets: Int = 8)(build: => DataFrame): DataFrame =
     materializeWith(spark, name)(
@@ -81,34 +99,74 @@ object Artifacts {
     * layout for predicate-pruned scans (a filter on the partition column
     * never lists, let alone reads, the other partitions), where
     * bucketing is the layout for exchange-free joins. Same
-    * once-per-(session, name) and ownership contract. */
+    * once-per-(session, name) and ownership contract — and the same
+    * manifest-commit EXEMPTION as [[materialize]], for the same reason:
+    * `SHOW PARTITIONS` / static partition pruning resolve through the
+    * catalog entry, and the swap window is unobservable under the
+    * registry lifecycle (see [[materialize]]'s scaladoc, points a-d). */
   def materializePartitioned(spark: SparkSession, name: String,
                              partitionCol: String)
                             (build: => DataFrame): DataFrame =
     materializeWith(spark, name)(_.write.partitionBy(partitionCol))(build)
 
-  /** [[materialize]]'s CLUSTERED twin: persist the build with whatever
-    * file layout the build itself established (the caller range-
-    * partitions + sorts — e.g. on a Z-value, graft.sources.ZOrderLayout)
-    * as plain files whose per-file/row-group column statistics carry
-    * the clustering into every later scan's min-max pruning. Same
-    * once-per-(session, name) and ownership contract. */
-  def materializeLaidOut(spark: SparkSession, name: String)
-                        (build: => DataFrame): DataFrame =
-    materializeWith(spark, name)(_.write)(build)
+  /** The MANIFEST-COMMITTED artifact writer — for plain-file artifacts
+    * (no catalog bucketing / partition spec needed), the build lands as
+    * a [[graft.sources.ManifestTable]] OVERWRITE: one atomic manifest
+    * rename publishes it, a previous JVM's version stays readable to
+    * any plan that resolved it until the post-commit vacuum, and a
+    * writer crash leaves the old version intact plus invisible orphans
+    * — the engine's own rewriters running on the engine's own ACID
+    * layer. The build's file layout (range partitioning + in-file sort)
+    * survives exactly as [[materializeLaidOut]]'s does; `boundsCol`
+    * additionally stamps per-file key bounds so consumers can
+    * bounds-prune from the manifest alone
+    * ([[graft.sources.ManifestTable.readWhereKeyIn]]). Same
+    * once-per-(session, name) registry and ownership contract. */
+  def materializeManifest(spark: SparkSession, name: String,
+                          boundsCol: Option[String] = None)
+                         (build: => DataFrame): DataFrame = {
+    import graft.sources.ManifestTable
+    val root = manifestRoot(spark, name)
+    built.synchronized {
+      if (!builtSet(spark).contains(name)) {
+        assertOwnership(spark, name)
+        ManifestTable.overwrite(spark, root, build, boundsCol = boundsCol)
+        // bound cross-JVM growth: retire every pre-existing version's
+        // files. Safe because the commit above already serialized this
+        // JVM's readers (none exist before the build returns) and a
+        // concurrent session is an asserted error; the retention window
+        // still protects any in-flight stage.
+        ManifestTable.vacuum(spark, root, retain = 1)
+        builtSet(spark).add(name)
+        builders.put(name, new java.lang.ref.WeakReference(spark))
+        ()
+      }
+    }
+    ManifestTable.read(spark, root)
+  }
+
+  /** The manifest-table root a named artifact commits under — exposed so
+    * consumers can run bounds-pruned reads against the artifact's own
+    * manifest. */
+  def manifestRoot(spark: SparkSession, name: String): String =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name).toString
+
+  private def assertOwnership(spark: SparkSession, name: String): Unit =
+    builders.get(name).flatMap(r => Option(r.get)).foreach { prev =>
+      if (prev != spark && !prev.sparkContext.isStopped)
+        throw new IllegalStateException(
+          s"artifact table $name is owned by another live session; " +
+            "two active sessions sharing one warehouse would delete " +
+            "each other's files")
+    }
 
   private def materializeWith(spark: SparkSession, name: String)
       (writer: DataFrame => org.apache.spark.sql.DataFrameWriter[
         org.apache.spark.sql.Row])(build: => DataFrame): DataFrame = {
     built.synchronized {
       if (!builtSet(spark).contains(name)) {
-        builders.get(name).flatMap(r => Option(r.get)).foreach { prev =>
-          if (prev != spark && !prev.sparkContext.isStopped)
-            throw new IllegalStateException(
-              s"artifact table $name is owned by another live session; " +
-                "two active sessions sharing one warehouse would delete " +
-                "each other's files")
-        }
+        assertOwnership(spark, name)
         // the in-memory catalog resets per JVM but the warehouse dir
         // persists: clear both so saveAsTable never sees a stale
         // location. Resolution goes through the Hadoop FileSystem API so

@@ -468,6 +468,24 @@ object SparkEntry {
     // residual filter (extra rows) fires the hash.
     "q156_manifest_pruned_read" ->
       (graft.sources.ManifestTable.q156ManifestPrunedRead _),
+    // q157 is the CDC consumption pattern on the manifest table: q80's
+    // shingle refresh rewired to consume a COMMIT RANGE — stale/fresh
+    // ids and fresh text come from the changed files of versions
+    // (1, 2] (copy-on-write carries unchanged files, so the read is
+    // delta-file-sized), never from re-diffing corpus snapshots.
+    "q157_cdc_refresh" -> (CurationPipeline.q157CdcRefresh _),
+    // q158 gates schema evolution on the manifest table: an append ADDS
+    // a column (the committed #schema= header widens), pre-evolution
+    // rows read the new column as null — a silent drop, a misresolved
+    // old file, or a wrong null-fill fires the hash.
+    "q158_schema_evolution" ->
+      (graft.sources.ManifestTable.q158SchemaEvolution _),
+    // q159 answers per-version row counts from the manifest's v3 file
+    // statistics ALONE (no data file opened) — the metadata-only
+    // count(*) a format's stats exist for; the oracle recomputes each
+    // version's subset from parquet.
+    "q159_manifest_stats" ->
+      (graft.sources.ManifestTable.q159ManifestStats _),
   )
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
@@ -3495,6 +3513,40 @@ object SparkEntry {
         |FROM documents, b
         |WHERE doc_id >= b.lo AND doc_id <= b.hi
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // q157: the CDC-refreshed shingle table must equal snapshot B's
+    // shingles FROM SCRATCH — q80's exact gate, now proving the
+    // commit-range change set (not the snapshot diff) drove the refresh
+    // to the identical table.
+    "q157_cdc_refresh" ->
+      (shingleCteB +
+        "\nSELECT doc_id, count(*) AS n_shingles FROM sh" +
+        "\nGROUP BY doc_id ORDER BY doc_id"),
+    // q158: the evolved table is the v1 subset with a NULL lang (the
+    // column didn't exist when those files were committed) plus the v2
+    // subset carrying it.
+    "q158_schema_evolution" ->
+      """WITH t AS (SELECT doc_id, text, NULL AS lang FROM documents
+        |           WHERE doc_id % 3 <> 0
+        |           UNION ALL
+        |           SELECT doc_id, text, lang FROM documents
+        |           WHERE doc_id % 3 = 0)
+        |SELECT coalesce(lang, 'pre_evolution') AS lang,
+        |       count(*) AS n_docs,
+        |       sum(doc_id)::BIGINT AS sum_doc_id,
+        |       sum(length(text))::BIGINT AS n_chars
+        |FROM t GROUP BY 1 ORDER BY lang""".stripMargin,
+    // q159: version 1 is the doc_id%5!=0 subset count; versions 2 and 3
+    // the full count (append accumulates; optimize changes no row) —
+    // the engine answers from manifest stats alone, the oracle from the
+    // rows themselves.
+    "q159_manifest_stats" ->
+      """WITH t AS (SELECT 1 AS version, count(*) AS n_rows
+        |           FROM documents WHERE doc_id % 5 <> 0
+        |           UNION ALL
+        |           SELECT 2, count(*) FROM documents
+        |           UNION ALL
+        |           SELECT 3, count(*) FROM documents)
+        |SELECT version, n_rows FROM t ORDER BY version""".stripMargin,
   )
 
   /** q118/q119's shared DuckDB replay: per-position best cross-doc LCP

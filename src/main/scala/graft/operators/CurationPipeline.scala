@@ -447,6 +447,81 @@ object CurationPipeline {
       .groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
       .orderBy("doc_id")
 
+  /** The row-level snapshot delta derived from a manifest table's
+    * CHANGED FILES between two versions — [[computeSnapshotDelta]]'s
+    * twin whose input is a version range, not two corpus scans: the
+    * file-level change set is O(manifest) (the commit wrote it), only
+    * the changed files are read (copy-on-write carries unchanged files
+    * verbatim, so this is delta-file-sized IO), and rows a rewrite
+    * merely carried (same key, same payload on both sides) cancel in
+    * the keyed reconcile. Exactly the q79 delta relation — spec-pinned
+    * equal — with `text` carried on the add side so downstream
+    * refreshes never re-derive snapshot B. */
+  private[graft] def cdcDocDelta(spark: SparkSession, root: String,
+                                 fromV: Int, toV: Int): DataFrame = {
+    val changes = graft.sources.ManifestTable
+      .readChangesBetween(spark, root, fromV, toV)
+      .select(col("doc_id"), col("text"), col("_change"))
+      .localCheckpoint() // delta-file-sized; read twice below
+    val oldSide = changes.where(col("_change") === "delete")
+      .select(col("doc_id"), md5(col("text")).as("old_md5"))
+    val newSide = changes.where(col("_change") === "insert")
+      .select(col("doc_id"), col("text"), md5(col("text")).as("new_md5"))
+    oldSide.join(newSide, Seq("doc_id"), "full_outer")
+      .where(col("old_md5").isNull || col("new_md5").isNull ||
+        col("old_md5") =!= col("new_md5"))
+      .select(col("doc_id"),
+        when(col("new_md5").isNull, "removed")
+          .when(col("old_md5").isNull, "added")
+          .otherwise("modified").as("change"),
+        coalesce(col("old_md5"), lit("")).as("old_md5"),
+        coalesce(col("new_md5"), lit("")).as("new_md5"),
+        col("text"))
+  }
+
+  /** Q157: CDC-DRIVEN INCREMENTAL REFRESH — q80's shingle refresh
+    * rewired to consume COMMITS instead of recomputing the q79 snapshot
+    * diff: the documents table lives as a bounds-stamped manifest table
+    * (v1 = snapshot A), the recrawl lands as one copy-on-write MERGE
+    * (v2 = snapshot B, q155's shape), and the refresh's stale/fresh
+    * lists come from [[cdcDocDelta]] over the version range (1, 2] —
+    * changed FILES only, with the fresh text read straight from the
+    * insert rows, so neither snapshot is ever re-scanned or re-derived.
+    * The oracle shingles snapshot B FROM SCRATCH (q80's exact gate), so
+    * a wrong change set — a missed rewritten file, a carried row
+    * misread as changed, a lost insert — fires the hash gate. At 100 TB
+    * this is the Delta-CDF consumption pattern: every downstream
+    * artifact refresh tails table versions, never diffs corpus
+    * snapshots. */
+  def q157CdcRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.ManifestTable
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      "manifest_cdc_" + Tables.dirKey(spark, sfDir)).toString
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootPath)) fs.delete(rootPath, true)
+    val docs = Tables.documents(spark, sfDir)
+    ManifestTable.overwrite(spark, root,
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      boundsCol = Some("doc_id"))
+    val removeKeys = docs.where(col("doc_id") % 10 === 7).select("doc_id")
+    val upserts = snapshotB(docs)
+      .where(col("doc_id") % 10 === 3 || col("doc_id") < 0)
+    ManifestTable.mergeCoW(spark, root, "doc_id", removeKeys, upserts)
+    val delta = cdcDocDelta(spark, root, 1, 2)
+    val stale = delta.where(col("change").isin("removed", "modified"))
+      .select("doc_id")
+    val freshDocs = delta.where(col("change").isin("added", "modified"))
+      .select("doc_id", "text")
+    DedupQueries.shingles(spark, sfDir)
+      .join(stale, Seq("doc_id"), "left_anti")
+      .unionByName(Text.shingleRows(freshDocs, "doc_id", "text", 3))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .orderBy("doc_id")
+  }
+
   /** q83's build plan: the incremental refresh CHAINED one artifact
     * down — snapshot B's MinHash signatures derived from the base
     * signature table plus the refreshed shingle artifact, with the

@@ -569,9 +569,15 @@ object RelationalQueries {
       .localCheckpoint() // ≤ |days|·k rows; everything below is
                          // sketch-space, never the corpus
     val windows = kept.select(col("day").as("window_end")).distinct()
-    val merged = windows.join(kept,
-        col("day").between(date_sub(col("window_end"), 6),
-          col("window_end")))
+    // attach each daily sample to the ≤ 7 window_ends that cover its
+    // day (q146's recipe: a codegen'd Generate of constant fanout +
+    // broadcast SEMI join on observed days) — the BETWEEN-join
+    // formulation planned as a broadcast nested loop evaluating |days|
+    // predicates per sketch row, days²·k at dashboard horizons
+    val merged = kept
+      .select(explode(expr("sequence(day, date_add(day, 6))"))
+          .as("window_end"), col("h"))
+      .join(broadcast(windows), Seq("window_end"), "left_semi")
       .select("window_end", "h").distinct()
     merged
       .withColumn("rn", row_number().over(
@@ -624,9 +630,12 @@ object RelationalQueries {
       .localCheckpoint() // ≤ |days|·k rows; the merges below are
                          // sketch-space, never the corpus
     val windows = daily.select(col("day").as("window_end")).distinct()
-    val merged = windows.join(daily,
-        col("day").between(date_sub(col("window_end"), 6),
-          col("window_end")))
+    // q146's explode-to-covering-windows equi form (≤ 7 output rows per
+    // sample row, |days|-independent) — never the BETWEEN nested loop
+    val merged = daily
+      .select(explode(expr("sequence(day, date_add(day, 6))"))
+          .as("window_end"), col("h"), col("v"))
+      .join(broadcast(windows), Seq("window_end"), "left_semi")
       .groupBy("window_end")
       // the MERGE: the same aggregate over the union of daily samples
       .agg(graft.functions.QuantileSketchAgg

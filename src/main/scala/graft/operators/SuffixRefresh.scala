@@ -210,11 +210,19 @@ object SuffixRefresh extends Serializable {
   // Stored A-state artifacts (once per session per dir)
   // -------------------------------------------------------------------
 
-  /** The stored suffix index, PARTITIONED BY part so the refresh's
-    * affected-partition read is a pruned directory scan. */
+  private def indexAName(spark: SparkSession, sfDir: String): String =
+    "graft_sfxridx_" + Tables.dirKey(spark, sfDir)
+
+  /** The stored suffix index as a MANIFEST-COMMITTED artifact,
+    * bounds-stamped on `part` (one range partition per file, so a
+    * file's [lo, hi] is its partition id): the refresh's
+    * affected-partition read opens only the affected partitions' FILES,
+    * decided from the manifest alone — file-level pruning where the
+    * directory-partitioned layout pruned directories, plus the
+    * transactional rewrite every artifact build now rides. */
   def indexA(spark: SparkSession, sfDir: String): DataFrame =
-    graft.Artifacts.materializePartitioned(spark,
-        "graft_sfxridx_" + Tables.dirKey(spark, sfDir), "part") {
+    graft.Artifacts.materializeManifest(spark,
+        indexAName(spark, sfDir), boundsCol = Some("part")) {
       taggedIndexOf(Tables.documents(spark, sfDir),
         spark.sessionState.conf.numShufflePartitions)
     }
@@ -226,7 +234,7 @@ object SuffixRefresh extends Serializable {
     }
 
   def summariesA(spark: SparkSession, sfDir: String): DataFrame =
-    graft.Artifacts.materializeLaidOut(spark,
+    graft.Artifacts.materializeManifest(spark,
         "graft_sfxrsums_" + Tables.dirKey(spark, sfDir)) {
       summariesOf(indexA(spark, sfDir))
     }
@@ -390,36 +398,69 @@ object SuffixRefresh extends Serializable {
         .select("doc_id"), Seq("doc_id"), "left_semi")
       .select("doc_id", "text")
     refreshOf(spark, index, innerA, sums, removedDocs, addedDocs,
-      minReport = 1)
+      minReport = 1,
+      // the stored index is a bounds-stamped manifest artifact: open
+      // only the affected partitions' files, decided from its manifest
+      indexForParts = Some(parts =>
+        graft.sources.ManifestTable.readWhereKeyIn(spark,
+          graft.Artifacts.manifestRoot(spark, indexAName(spark, sfDir)),
+          "part", parts.map(_.toLong))))
   }
 
   // -------------------------------------------------------------------
   // Durable, ADVANCING state: the suffix index as manifest tables
   // -------------------------------------------------------------------
 
-  /** The three relations of a durable suffix-refresh state, each a
-    * [[graft.sources.ManifestTable]] so every advance is a
-    * transactional commit with history: the partition-tagged index,
-    * the per-(partition, doc) inner maxes, and the per-partition
-    * summaries. */
-  case class StateRoots(index: String, inner: String, sums: String)
+  /** The durable suffix-refresh state: three relation tables (the
+    * partition-tagged index, the per-(partition, doc) inner maxes, the
+    * per-partition summaries) plus a CATALOG table — each a
+    * [[graft.sources.ManifestTable]]. The catalog's rows are the
+    * (relation, version) pointers of the last COMPLETE advance; its one
+    * commit is the multi-table transaction point (the Iceberg-catalog /
+    * Delta-log shape): the three relation commits are invisible to
+    * readers until the catalog pointer lands, so a reader can never
+    * pair mixed versions and a crash between commits leaves only
+    * orphaned child versions that the next [[advance]] rolls back. */
+  case class StateRoots(index: String, inner: String, sums: String,
+                        catalog: String)
+
+  private def rootsUnder(rootBase: String): StateRoots =
+    StateRoots(s"$rootBase/index", s"$rootBase/inner",
+      s"$rootBase/sums", s"$rootBase/catalog")
+
+  /** The catalog-pinned version of each relation table — ONE atomic
+    * manifest read, so the trio is always a consistent transaction's. */
+  private def pinnedVersions(spark: SparkSession,
+                             roots: StateRoots): Map[String, Int] =
+    graft.sources.ManifestTable.read(spark, roots.catalog)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+
+  private def commitCatalog(spark: SparkSession, roots: StateRoots,
+                            pins: Map[String, Int]): Unit = {
+    import spark.implicits._
+    graft.sources.ManifestTable.overwrite(spark, roots.catalog,
+      pins.toSeq.sortBy(_._1).toDF("rel", "version"))
+    ()
+  }
 
   /** Materialize the suffix-refresh state for `docs` under `rootBase`
-    * as three manifest tables. Index and inner-max files are
-    * bounds-stamped on `part`, so [[advance]]'s partition replacement
-    * is a bounds-pruned copy-on-write MERGE — affected files found from
-    * the manifest alone. */
+    * as three manifest tables plus the catalog pointer. Index and
+    * inner-max files are bounds-stamped on `part`, so [[advance]]'s
+    * partition replacement is a bounds-pruned copy-on-write MERGE —
+    * affected files found from the manifest alone. */
   def buildState(spark: SparkSession, docs: DataFrame, parts: Int,
                  rootBase: String): StateRoots = {
     import graft.sources.ManifestTable
-    val roots = StateRoots(s"$rootBase/index", s"$rootBase/inner",
-      s"$rootBase/sums")
+    val roots = rootsUnder(rootBase)
     val tagged = taggedIndexOf(docs, parts).localCheckpoint()
-    ManifestTable.overwrite(spark, roots.index, tagged,
+    val vIdx = ManifestTable.overwrite(spark, roots.index, tagged,
       boundsCol = Some("part"))
-    ManifestTable.overwrite(spark, roots.inner, innerMaxOf(tagged),
-      boundsCol = Some("part"))
-    ManifestTable.overwrite(spark, roots.sums, summariesOf(tagged))
+    val vInn = ManifestTable.overwrite(spark, roots.inner,
+      innerMaxOf(tagged), boundsCol = Some("part"))
+    val vSum = ManifestTable.overwrite(spark, roots.sums,
+      summariesOf(tagged))
+    commitCatalog(spark, roots,
+      Map("index" -> vIdx, "inner" -> vInn, "sums" -> vSum))
     roots
   }
 
@@ -428,13 +469,15 @@ object SuffixRefresh extends Serializable {
     * never a rebuild): the affected partitions' fresh rows and inner
     * maxes land as copy-on-write MERGEs keyed on `part` (unchanged
     * partitions' files carried verbatim, pruned from manifest bounds),
-    * the summaries re-stamp (O(partitions) rows, a plain overwrite).
-    * Each table's commit is atomic with history — time travel to any
-    * earlier state version works — but the three tables advance in
-    * three separate commits: a reader racing an advance can pair
-    * mixed versions, so production would carry all three relations in
-    * ONE manifest (the format supports it — a manifest is just a file
-    * list); three tables keep this demo inspectable. Returns the
+    * the summaries re-stamp (O(partitions) rows, a plain overwrite),
+    * and the CATALOG pointer commit makes all three visible AT ONCE —
+    * the transaction point. Crash recovery is automatic: a child table
+    * whose newest version is ahead of the catalog pin carries a dead
+    * advance's orphaned commit, and is rolled back with
+    * [[graft.sources.ManifestTable.restore]] (zero data IO) before this
+    * advance computes. Single concurrent WRITER assumed (the same
+    * single-rewriter contract every state advance in the engine
+    * carries); readers need no coordination at all. Returns the
     * refresh diagnostics; the advanced per-doc table is
     * [[perDocFromState]]. */
   def advance(spark: SparkSession, roots: StateRoots,
@@ -442,16 +485,22 @@ object SuffixRefresh extends Serializable {
               minReport: Int = 1): RefreshResult = {
     import spark.implicits._
     import graft.sources.ManifestTable
-    // the three tables advance in lockstep (buildState commits v1 of
-    // each; every advance bumps each by one) — unequal versions mean a
-    // previous advance died between commits, and computing from the
-    // torn state would silently diverge from the rebuild
-    val vs = Seq(roots.index, roots.inner, roots.sums)
-      .map(ManifestTable.currentVersion(spark, _))
-    require(vs.distinct.size == 1 && vs.head.isDefined,
-      s"suffix-refresh state is torn (index/inner/sums at versions " +
-        s"${vs.map(_.getOrElse(-1)).mkString("/")}); a prior advance " +
-        "failed mid-commit — rebuild the state with buildState")
+    val pinned = pinnedVersions(spark, roots)
+    // roll back orphaned commits from a crashed advance: newest must
+    // EQUAL the catalog pin before computing, or the refresh would read
+    // a half-applied delta
+    Seq("index" -> roots.index, "inner" -> roots.inner,
+      "sums" -> roots.sums).foreach { case (k, r) =>
+      val cur = ManifestTable.currentVersion(spark, r)
+      require(cur.isDefined && cur.get >= pinned(k),
+        s"suffix-refresh state table $r is behind its catalog pin " +
+          s"($cur < ${pinned(k)}) — vacuumed or corrupted; rebuild with " +
+          "buildState")
+      if (cur.get > pinned(k)) {
+        ManifestTable.restore(spark, r, pinned(k))
+        ()
+      }
+    }
     val res = refreshOf(spark,
       ManifestTable.read(spark, roots.index),
       ManifestTable.read(spark, roots.inner),
@@ -462,27 +511,37 @@ object SuffixRefresh extends Serializable {
       indexForParts = Some(parts => ManifestTable.readWhereKeyIn(
         spark, roots.index, "part", parts.map(_.toLong))))
     val affectedDf = res.affectedParts.toSeq.sorted.toDF("part")
-    ManifestTable.mergeCoW(spark, roots.index, "part",
+    val (vIdx, _, _) = ManifestTable.mergeCoW(spark, roots.index, "part",
       affectedDf, res.freshRows)
-    ManifestTable.mergeCoW(spark, roots.inner, "part",
+    val (vInn, _, _) = ManifestTable.mergeCoW(spark, roots.inner, "part",
       affectedDf, res.freshInner)
-    ManifestTable.overwrite(spark, roots.sums,
+    val vSum = ManifestTable.overwrite(spark, roots.sums,
       res.mergedSums.toDF()
         .select(col("part"), col("nRows").as("n_rows"),
           col("firstPref").as("first_pref"), col("firstDoc").as("first_doc"),
           col("lastPref").as("last_pref"), col("lastDoc").as("last_doc")))
+    // the transaction point: one catalog commit publishes the trio
+    commitCatalog(spark, roots,
+      Map("index" -> vIdx, "inner" -> vInn, "sums" -> vSum))
     res
   }
 
   /** The per-doc longest-cross-doc-match table assembled from the
-    * CURRENT committed state — after [[advance]], this is the refreshed
+    * catalog-PINNED state — after [[advance]], this is the refreshed
     * table (equal to a full rebuild on the advanced corpus,
-    * spec-pinned across chained deltas). */
+    * spec-pinned across chained deltas). Reading through the catalog
+    * pins makes this safe against a concurrent or crashed advance:
+    * uncommitted child versions are simply not referenced, and the two
+    * `readAt`s resolve the SAME transaction's versions (snapshot
+    * isolation per table, coordinated by the one catalog read). */
   def perDocFromState(spark: SparkSession, roots: StateRoots,
                       minReport: Int = 1): DataFrame = {
     import graft.sources.ManifestTable
-    perDocOf(spark, ManifestTable.read(spark, roots.inner),
-      boundaryOf(toSummaries(ManifestTable.read(spark, roots.sums))),
+    val pinned = pinnedVersions(spark, roots)
+    perDocOf(spark,
+      ManifestTable.readAt(spark, roots.inner, pinned("inner")),
+      boundaryOf(toSummaries(
+        ManifestTable.readAt(spark, roots.sums, pinned("sums")))),
       minReport)
   }
 }

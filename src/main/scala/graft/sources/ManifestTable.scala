@@ -6,6 +6,7 @@ import java.util.UUID
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StructType}
 
 /** MANIFEST-POINTER TABLES — the transactional commit the rewriting
   * operators (layout OPTIMIZE, artifact refresh snapshots) otherwise
@@ -21,7 +22,7 @@ import org.apache.spark.sql.functions._
   *
   * Layout under a table root:
   * {{{
-  *   root/_manifests/v00000007.manifest   // one data-file path per line
+  *   root/_manifests/v00000007.manifest   // header lines + one data-file entry per line
   *   root/data/c-<uuid>/part-*.parquet    // one subdir per commit
   * }}}
   *
@@ -36,7 +37,9 @@ import org.apache.spark.sql.functions._
   *  - '''Snapshot isolation + time travel.''' Commits never delete data
   *    files, so an old version stays readable ([[readAt]]) until
   *    [[vacuum]] retires it; a reader holding a resolved [[Snapshot]]
-  *    is unaffected by concurrent commits.
+  *    is unaffected by concurrent commits. [[restore]] is the write-side
+  *    twin: re-commit an old version's exact file list as the newest
+  *    version (Delta's RESTORE), zero data IO.
   *  - '''Writer exclusivity''' is per-version: the first committer of
   *    `v{N}` wins. On HDFS the rename itself is atomic-and-exclusive
   *    (rename fails if the destination exists); the local filesystem's
@@ -50,6 +53,14 @@ import org.apache.spark.sql.functions._
   *    valid against the new base); [[overwrite]]/[[optimize]] ABORT
   *    (their output was computed from a snapshot that is now stale) and
   *    surface a ConcurrentModificationException for the caller to rerun.
+  *  - '''Schema is part of the commit.''' A manifest records the table
+  *    schema in a `#schema=` header; reads resolve against it (so a
+  *    file written before an add-column evolution reads the new columns
+  *    as null — by-name parquet resolution, no `mergeSchema` footer
+  *    sweep), [[readAt]] returns each version's own schema, and
+  *    [[append]]/[[mergeCoW]] enforce the evolution contract: adding
+  *    trailing columns is supported, dropping or retyping a column is
+  *    rejected loudly — never a silent column drop.
   *
   * The reference engine rewrites its outputs with a plain
   * delete-then-recreate (reference README.md's output-directory
@@ -60,14 +71,24 @@ import org.apache.spark.sql.functions._
   */
 object ManifestTable {
 
-  /** A resolved table version: the immutable file list a reader can keep
-    * using regardless of later commits (until vacuumed). */
-  case class Snapshot(version: Int, files: Seq[String]) {
+  /** A resolved table version: the immutable file list (and the schema
+    * committed with it) a reader can keep using regardless of later
+    * commits (until vacuumed). */
+  case class Snapshot(version: Int, files: Seq[String],
+                      schema: Option[StructType]) {
     def read(spark: SparkSession): DataFrame = {
       require(files.nonEmpty, s"version $version lists no data files")
-      spark.read.parquet(files: _*)
+      readFiles(spark, files, schema)
     }
   }
+
+  /** Schema-aware file read: the stored schema resolves columns BY NAME
+    * against each file, so pre-evolution files surface the later-added
+    * columns as null without any `mergeSchema` footer sweep. */
+  private def readFiles(spark: SparkSession, files: Seq[String],
+                        schema: Option[StructType]): DataFrame =
+    schema.map(s => spark.read.schema(s))
+      .getOrElse(spark.read).parquet(files: _*)
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -105,11 +126,12 @@ object ManifestTable {
         "vacuumed or never committed")
     val fs = fsOf(spark, manifestDir(root))
     Snapshot(v, manifestEntries(fs, root, v)
-      .map(e => new Path(root, e.rel).toString))
+      .map(e => new Path(root, e.rel).toString),
+      schemaOf(fs, root, v))
   }
 
   /** The raw lines of a committed manifest (format-opaque — append
-    * copies them verbatim so bounds survive). */
+    * copies them verbatim so bounds/stats survive). */
   private def manifestLines(fs: FileSystem, root: String,
                             v: Int): Seq[String] = {
     val in = fs.open(manifestPath(root, v))
@@ -120,17 +142,36 @@ object ManifestTable {
   }
 
   /** One manifest entry: a root-relative data file, optionally carrying
-    * the file's [lo, hi] bounds of an integral key column (format v2:
-    * `rel<TAB>lo<TAB>hi`). A plain-path line is a v1 entry with UNKNOWN
-    * bounds; the two coexist in one manifest, so old tables read fine
-    * and planning falls back to "unknown = may contain any key". */
+    * per-file metadata stamped at write time —
+    *  - format v1: `rel` (nothing known);
+    *  - format v2: `rel<TAB>lo<TAB>hi` ([lo, hi] bounds of the integral
+    *    key column the `#boundscol=` header names);
+    *  - format v3: `rel<TAB>lo<TAB>hi<TAB>rows<TAB>bytes` (bounds may be
+    *    `-` when the key was all-null or no bounds column was declared;
+    *    rows/bytes are the file's row count and size).
+    * All three coexist in one manifest, so old tables read fine and
+    * every consumer falls back field-by-field ("unknown = may contain
+    * any key" / "no stats = scan to count"). */
   private[sources] case class Entry(rel: String, lo: Option[Long],
-                                    hi: Option[Long]) {
-    def line: String =
-      (for (a <- lo; b <- hi) yield s"$rel\t$a\t$b").getOrElse(rel)
+                                    hi: Option[Long],
+                                    rows: Option[Long] = None,
+                                    bytes: Option[Long] = None) {
+    def line: String = {
+      val b = (for (a <- lo; c <- hi) yield s"$a\t$c").getOrElse(
+        if (rows.isDefined) "-\t-" else "")
+      (rows, bytes) match {
+        case (Some(r), Some(s)) => s"$rel\t$b\t$r\t$s"
+        case _ => if (b.isEmpty) rel else s"$rel\t$b"
+      }
+    }
   }
 
   private def parseEntry(line: String): Entry = line.split('\t') match {
+    case Array(rel, a, b, r, s) =>
+      val bounds = for (x <- a.toLongOption; y <- b.toLongOption)
+        yield (x, y)
+      Entry(rel, bounds.map(_._1), bounds.map(_._2),
+        r.toLongOption, s.toLongOption)
     case Array(rel, a, b) =>
       val bounds = for (x <- a.toLongOption; y <- b.toLongOption)
         yield (x, y)
@@ -138,14 +179,32 @@ object ManifestTable {
     case _ => Entry(line, None, None)
   }
 
+  // -------------------------------------------------------------------
+  // Manifest headers (`#key=value` lines before the entries)
+  // -------------------------------------------------------------------
+
   /** Bounds are meaningless without knowing WHICH column they describe:
-    * a v2 manifest records it in a header line, and every bounds
+    * a v2+ manifest records it in a header line, and every bounds
     * consumer ([[mergeCoW]], [[readWhereKeyBetween]], [[readWhereKeyIn]])
     * honors the stored [lo, hi] ONLY when its own key column matches the
     * header — a mismatched key silently falls back to
     * unknown-bounds/read-everything (correct, just unpruned) instead of
     * pruning WRONG files. */
-  private val HeaderPrefix = "#boundscol="
+  private val BoundsKey = "boundscol"
+  /** The committed table schema as `StructType.json` (one line, no tabs
+    * or newlines) — the same role Delta's log metadata plays. */
+  private val SchemaKey = "schema"
+
+  private def headersOf(fs: FileSystem, root: String,
+                        v: Int): Map[String, String] =
+    manifestLines(fs, root, v).takeWhile(_.startsWith("#"))
+      .flatMap { l =>
+        val eq = l.indexOf('=')
+        if (eq < 0) None else Some(l.substring(1, eq) -> l.substring(eq + 1))
+      }.toMap
+
+  private def headerLines(hs: Map[String, String]): Seq[String] =
+    hs.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
 
   /** The bounds column a committed manifest's [lo, hi] values describe,
     * if any. */
@@ -153,25 +212,72 @@ object ManifestTable {
                   version: Option[Int] = None): Option[String] = {
     val fs = fsOf(spark, new Path(root))
     val v = version.orElse(currentVersion(spark, root))
-    v.flatMap(headerOf(fs, root, _))
+    v.flatMap(headersOf(fs, root, _).get(BoundsKey))
   }
 
   private def headerOf(fs: FileSystem, root: String,
                        v: Int): Option[String] =
-    manifestLines(fs, root, v).find(_.startsWith(HeaderPrefix))
-      .map(_.stripPrefix(HeaderPrefix))
+    headersOf(fs, root, v).get(BoundsKey)
+
+  private def schemaOf(fs: FileSystem, root: String,
+                       v: Int): Option[StructType] =
+    headersOf(fs, root, v).get(SchemaKey)
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+
+  /** The schema a version committed with (None for pre-schema-header
+    * tables, whose reads fall back to parquet's own resolution). */
+  def schemaAt(spark: SparkSession, root: String,
+               version: Option[Int] = None): Option[StructType] = {
+    val fs = fsOf(spark, new Path(root))
+    version.orElse(currentVersion(spark, root))
+      .flatMap(schemaOf(fs, root, _))
+  }
+
+  /** Every field stored nullable: a pre-evolution file genuinely lacks
+    * the later columns, so the committed schema must admit null there. */
+  private def asNullable(s: StructType): StructType =
+    StructType(s.fields.map(_.copy(nullable = true)))
+
+  private def schemaHeader(s: StructType): (String, String) =
+    SchemaKey -> asNullable(s).json
 
   private def manifestEntries(fs: FileSystem, root: String,
                               v: Int): Seq[Entry] =
     manifestLines(fs, root, v).filterNot(_.startsWith("#")).map(parseEntry)
 
+  /** Per-file (relative path, bounds, rows, bytes) of a committed
+    * version — the metadata the stats consumers and tools read. */
+  def fileStats(spark: SparkSession, root: String,
+                version: Option[Int] = None)
+      : Seq[(String, Option[(Long, Long)], Option[Long], Option[Long])] = {
+    val fs = fsOf(spark, new Path(root))
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version under $root"))
+    manifestEntries(fs, root, v).map(e =>
+      (e.rel, for (a <- e.lo; b <- e.hi) yield (a, b), e.rows, e.bytes))
+  }
+
+  /** The table's row count FROM MANIFEST METADATA ALONE — no data file
+    * is opened, the answer a format's statistics exist for. None when
+    * any entry predates v3 stats (an honest "don't know", never a
+    * partial sum). */
+  def rowCountFromStats(spark: SparkSession, root: String,
+                        version: Option[Int] = None): Option[Long] = {
+    val fs = fsOf(spark, new Path(root))
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version under $root"))
+    val es = manifestEntries(fs, root, v)
+    if (es.isEmpty || es.exists(_.rows.isEmpty)) None
+    else Some(es.map(_.rows.get).sum)
+  }
+
   /** Entry lines of `v` with their bounds kept only if the manifest's
-    * header declares them for `keyCol` (else stripped to plain paths). */
+    * header declares them for `keyCol` (else stripped to plain stats). */
   private def entriesFor(fs: FileSystem, root: String, v: Int,
                          keyCol: String): Seq[Entry] = {
     val es = manifestEntries(fs, root, v)
     if (headerOf(fs, root, v).contains(keyCol)) es
-    else es.map(e => Entry(e.rel, None, None))
+    else es.map(e => e.copy(lo = None, hi = None))
   }
 
   /** The table at its newest committed version. */
@@ -179,7 +285,7 @@ object ManifestTable {
     snapshot(spark, root).read(spark)
 
   /** Bounds-pruned RANGE READ — the read-side payoff of manifest format
-    * v2: resolve the newest version, keep only the files whose stored
+    * v2+: resolve the newest version, keep only the files whose stored
     * [lo, hi] key bounds intersect `[lo, hi]` (v1/bounds-less entries
     * are always kept — unknown means "may contain anything"), and apply
     * the residual row filter on what remains. File-level skipping from
@@ -231,24 +337,45 @@ object ManifestTable {
     // bounds honored ONLY when the manifest declares them for keyCol
     val entries = entriesFor(fs, root, v, keyCol)
     require(entries.nonEmpty, s"version $v of $root lists no data files")
+    val schema = schemaOf(fs, root, v)
     val kept = entries.filter(e =>
       e.lo.isEmpty || e.hi.isEmpty || boundsHit(e))
     if (kept.isEmpty)
       // preserve the schema from one (skipped) file, with zero rows
-      spark.read.parquet(new Path(root, entries.head.rel).toString)
-        .where(lit(false))
+      readFiles(spark, Seq(new Path(root, entries.head.rel).toString),
+        schema).where(lit(false))
     else
-      spark.read.parquet(kept.map(e =>
-        new Path(root, e.rel).toString): _*).where(pred)
+      readFiles(spark, kept.map(e =>
+        new Path(root, e.rel).toString), schema).where(pred)
   }
 
-  /** Time travel: the table exactly as of `version`. */
+  /** Time travel: the table exactly as of `version` (that version's own
+    * schema included). */
   def readAt(spark: SparkSession, root: String, version: Int): DataFrame =
     snapshot(spark, root, Some(version)).read(spark)
 
+  /** Bounds/stats stamping accepts only integral key columns: a
+    * non-numeric column's values would aggregate under the column's
+    * NATIVE ordering and the long cast could still succeed (numeric
+    * strings sort "10" < "9"), producing bounds that prune WRONG files
+    * — silently. Fail fast instead. */
+  private def isIntegral(dt: DataType): Boolean =
+    Seq(ByteType, ShortType, IntegerType, LongType).contains(dt)
+
+  private def requireIntegral(df: DataFrame, k: String): Unit = {
+    val dt = df.schema(k).dataType
+    require(isIntegral(dt),
+      s"boundsCol $k must be an integral column (bounds are stored as " +
+        s"long [lo, hi] in the table's sort order); got $dt — a " +
+        "non-integral column's native ordering would stamp bounds that " +
+        "prune wrong files")
+  }
+
   /** Write `df`'s rows as immutable files under a fresh commit subdir and
-    * return their root-relative paths — NOT yet visible to any reader
-    * (no manifest references them until a commit does). */
+    * return their manifest entry lines — NOT yet visible to any reader
+    * (no manifest references them until a commit does). Every line
+    * carries format-v3 stats (row count + size); `boundsCol` adds the
+    * per-file [lo, hi] key bounds. */
   private def stage(spark: SparkSession, root: String,
                     write: String => Unit,
                     allowEmpty: Boolean = false,
@@ -259,43 +386,58 @@ object ManifestTable {
     val fs = fsOf(spark, dir)
     val staged = fs.listStatus(dir).toSeq
       .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-      .map(f => s"$rel/${f.getPath.getName}")
+      .map(f => f.getPath.getName -> f.getLen).toMap
     require(allowEmpty || staged.nonEmpty, "commit staged zero data files")
-    boundsCol match {
-      case Some(k) if staged.nonEmpty =>
-        // per-file key bounds for the manifest (format v2): one
-        // key-column-only pass over the files JUST written — the price
-        // is paid once at write time so every later merge can prune
-        // affected files from the manifest alone, never scanning the
-        // snapshot. (A production format takes the same bounds from
-        // the parquet footers the write already produced.)
-        val perFile = spark.read.parquet(dir.toString)
+    if (staged.isEmpty) return Seq.empty
+    // per-file stats for the manifest (format v3): one pass over the
+    // files JUST written — the price is paid once at write time so every
+    // later merge/range read can prune, and every count can answer, from
+    // the manifest alone, never scanning the snapshot. (A production
+    // format takes the same stats from the parquet footers the write
+    // already produced; this pass reads only the key column — or zero
+    // columns for a count — which parquet serves without touching the
+    // other column chunks.)
+    val justWritten = spark.read.parquet(dir.toString)
+    val perFile: Map[String, (Option[(Long, Long)], Long)] = boundsCol match {
+      case Some(k) =>
+        // cast BEFORE aggregating so the [lo, hi] ordering is numeric —
+        // and the integral-type gate above makes the cast total
+        requireIntegral(justWritten, k)
+        justWritten
           .groupBy(input_file_name().as("_f"))
-          .agg(min(col(k)).cast("long").as("lo"),
-            max(col(k)).cast("long").as("hi"))
+          .agg(min(col(k).cast("long")).as("lo"),
+            max(col(k).cast("long")).as("hi"),
+            count(lit(1)).as("n"))
           .collect().map { r =>
             new Path(r.getString(0)).getName ->
-              (if (r.isNullAt(1) || r.isNullAt(2)) None
-               else Some((r.getLong(1), r.getLong(2))))
+              ((if (r.isNullAt(1) || r.isNullAt(2)) None
+                else Some((r.getLong(1), r.getLong(2)))), r.getLong(3))
           }.toMap
-        val lines = staged.flatMap { rf =>
-          val name = rf.substring(rf.lastIndexOf('/') + 1)
-          perFile.get(name) match {
-            case Some(Some((a, b))) => Some(s"$rf\t$a\t$b")
-            // rows exist but the key is all-null: keep, unbounded
-            case Some(None) => Some(rf)
-            // ZERO rows (no group at all): a writer task that got an
-            // empty partition — the file contributes nothing, drop it
-            // from the manifest rather than carrying an unprunable line
-            case None => None
-          }
-        }
-        // an all-empty write (zero rows total) must NOT silently commit
-        // a zero-entry manifest: keep the raw file list (schema
-        // preserved) so the table stays readable as a zero-row relation
-        if (lines.isEmpty) staged else lines
-      case _ => staged
+      case None =>
+        justWritten.groupBy(input_file_name().as("_f"))
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r =>
+            new Path(r.getString(0)).getName ->
+              ((None: Option[(Long, Long)]), r.getLong(1))).toMap
     }
+    val lines = staged.toSeq.sortBy(_._1).flatMap { case (name, bytes) =>
+      perFile.get(name) match {
+        case Some((bounds, n)) =>
+          Some(Entry(s"$rel/$name", bounds.map(_._1), bounds.map(_._2),
+            Some(n), Some(bytes)).line)
+        // ZERO rows (no group at all): a writer task that got an empty
+        // partition — the file contributes nothing, drop it from the
+        // manifest rather than carrying an unprunable line
+        case None => None
+      }
+    }
+    // an all-empty write (zero rows total) must NOT silently commit a
+    // zero-entry manifest: keep the raw file list (schema preserved,
+    // rows stamped 0) so the table stays readable as a zero-row relation
+    if (lines.isEmpty)
+      staged.toSeq.sortBy(_._1).map { case (name, bytes) =>
+        Entry(s"$rel/$name", None, None, Some(0L), Some(bytes)).line }
+    else lines
   }
 
   /** In-process serialization of the check-then-rename window: the
@@ -307,26 +449,39 @@ object ManifestTable {
 
   /** Atomic-rename commit of version `v`; false = lost the race (a
     * manifest for `v` already exists). See the object scaladoc for the
-    * per-filesystem exclusivity contract. `boundsColName` writes the
-    * format-v2 header declaring which column the lines' [lo, hi]
-    * describe. */
+    * per-filesystem exclusivity contract. `headers` lead the file
+    * (`#boundscol=` declaring which column the lines' [lo, hi]
+    * describe, `#schema=` the committed schema). The temp manifest is
+    * deleted on ANY failure path — a throwing write must not leak
+    * `.tmp-*` junk into `_manifests` forever ([[vacuum]] sweeps aged
+    * stragglers as a backstop). */
   private def tryCommit(fs: FileSystem, root: String, v: Int,
                         relFiles: Seq[String],
-                        boundsColName: Option[String] = None): Boolean = {
+                        headers: Map[String, String]): Boolean = {
     val target = manifestPath(root, v)
     if (fs.exists(target)) return false
     val tmp = new Path(manifestDir(root),
       s".tmp-${UUID.randomUUID().toString.take(12)}")
-    val out = fs.create(tmp, false)
-    val lines = boundsColName.map(c => s"$HeaderPrefix$c").toSeq ++ relFiles
-    try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    val won = commitLock.synchronized {
-      !fs.exists(target) && fs.rename(tmp, target)
-    }
+    val lines = headerLines(headers) ++ relFiles
+    val won =
+      try {
+        val out = fs.create(tmp, false)
+        try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        commitLock.synchronized {
+          !fs.exists(target) && fs.rename(tmp, target)
+        }
+      } catch {
+        case e: Throwable =>
+          scala.util.Try(fs.delete(tmp, false))
+          throw e
+      }
     if (!won) fs.delete(tmp, false)
     won
   }
+
+  private def boundsHeader(boundsCol: Option[String]): Map[String, String] =
+    boundsCol.map(BoundsKey -> _).toMap
 
   /** Create the table (version 1) or REPLACE its contents: the new
     * manifest lists only this commit's files. Fails if another writer
@@ -344,16 +499,46 @@ object ManifestTable {
       .getOrElse(0))
     val staged = stage(spark, root, dir => df.write.parquet(dir),
       boundsCol = boundsCol)
-    if (!tryCommit(fs, root, base + 1, staged, boundsCol))
+    val headers = boundsHeader(boundsCol) + schemaHeader(df.schema)
+    if (!tryCommit(fs, root, base + 1, staged, headers))
       throw new java.util.ConcurrentModificationException(
         s"version ${base + 1} of $root was committed concurrently; " +
           "this overwrite was computed from a stale base — rerun it")
     base + 1
   }
 
+  /** The widened table schema an append with `incoming` produces against
+    * `stored`, enforcing the evolution contract: every stored column
+    * must arrive with the same type (dropping or retyping is rejected —
+    * never a silent column drop / type flip), NEW columns append after
+    * the stored ones (old files read them as null). */
+  private def evolvedSchema(stored: StructType, incoming: StructType,
+                            root: String): StructType = {
+    val inByName = incoming.fields.map(f => f.name -> f.dataType).toMap
+    val missing = stored.fields.map(_.name).filterNot(inByName.contains)
+    require(missing.isEmpty,
+      s"append to $root is missing table columns ${missing.mkString(", ")}" +
+        " — schema evolution supports ADDING columns only; write every " +
+        "existing column (use overwrite to redefine the table)")
+    val retyped = stored.fields.filter(f =>
+      inByName(f.name) != f.dataType)
+    require(retyped.isEmpty,
+      s"append to $root changes column types: " +
+        retyped.map(f => s"${f.name} ${f.dataType} -> ${inByName(f.name)}")
+          .mkString(", ") +
+        " — retyping is not supported (use overwrite to redefine the table)")
+    val newFields = incoming.fields.filterNot(f =>
+      stored.fieldNames.contains(f.name))
+    asNullable(StructType(stored.fields ++ newFields))
+  }
+
   /** Append `df`'s rows: new manifest = base manifest + this commit's
     * files. Staged files stay valid whatever the base becomes, so a lost
-    * commit race just re-reads the newest manifest and retries. */
+    * commit race just re-reads the newest manifest and retries.
+    * Add-column schema evolution happens here: a `df` carrying every
+    * table column plus new ones widens the committed schema (old files
+    * read the additions as null); a `df` missing or retyping a table
+    * column is rejected loudly. */
   def append(spark: SparkSession, root: String, df: DataFrame,
              maxAttempts: Int = 20,
              boundsCol: Option[String] = None): Int = {
@@ -361,8 +546,13 @@ object ManifestTable {
     // stamp bounds only when they will MEAN the table's declared bounds
     // column — stamping a different column under the base's header
     // would misattribute the values (the format's one hard rule)
-    val h0 = currentVersion(spark, root).flatMap(headerOf(fs, root, _))
+    val v0 = currentVersion(spark, root)
+    val h0 = v0.flatMap(headerOf(fs, root, _))
     val effBounds = boundsCol.filter(b => h0.forall(_ == b))
+    // evolution contract checked BEFORE staging (fail fast, no orphan
+    // files); the commit loop re-derives it per attempt for races
+    v0.flatMap(schemaOf(fs, root, _))
+      .foreach(stored => evolvedSchema(stored, df.schema, root))
     val staged = stage(spark, root, dir => df.write.parquet(dir),
       boundsCol = effBounds)
     var attempt = 0
@@ -370,19 +560,106 @@ object ManifestTable {
       val base = versions(spark, root).lastOption
       val h = base.flatMap(headerOf(fs, root, _)).orElse(effBounds)
       // the base header governs the combined manifest: staged lines
-      // were stamped for effBounds, so strip them if a racing commit
-      // changed the table's bounds column underneath us
+      // were stamped for effBounds, so strip their bounds (stats stay)
+      // if a racing commit changed the table's bounds column underneath
       val stagedOut =
         if (effBounds.isEmpty || h == effBounds) staged
-        else staged.map(_.split('\t')(0))
+        else staged.map(l => parseEntry(l).copy(lo = None, hi = None).line)
+      // schema evolution against the base's committed schema; a base
+      // without one (legacy table) stays schema-less
+      val outSchema = base.flatMap(schemaOf(fs, root, _)) match {
+        case Some(stored) => Some(evolvedSchema(stored, df.schema, root))
+        case None if base.isEmpty => Some(asNullable(df.schema))
+        case None => None
+      }
       val baseLines = base.map(v => manifestLines(fs, root, v)
         .filterNot(_.startsWith("#"))).getOrElse(Seq.empty)
       val v = base.getOrElse(0) + 1
-      if (tryCommit(fs, root, v, baseLines ++ stagedOut, h)) return v
+      val headers = boundsHeader(h) ++
+        outSchema.map(SchemaKey -> _.json).toMap
+      if (tryCommit(fs, root, v, baseLines ++ stagedOut, headers)) return v
       attempt += 1
     }
     throw new java.util.ConcurrentModificationException(
       s"append to $root lost $maxAttempts commit races")
+  }
+
+  /** RESTORE an earlier version as the NEWEST commit (Delta's RESTORE /
+    * Iceberg's rollback): the new manifest replicates version
+    * `toVersion`'s headers and entry lines VERBATIM — zero data IO, one
+    * rename — so history keeps moving forward (the restored-away
+    * versions stay time-travelable until vacuumed). The recovery
+    * primitive for a multi-table transaction whose later commits never
+    * landed: roll the tables that DID commit back to the coordinated
+    * version. */
+  def restore(spark: SparkSession, root: String, toVersion: Int): Int = {
+    val fs = fsOf(spark, new Path(root))
+    val vs = versions(spark, root)
+    require(vs.contains(toVersion),
+      s"cannot restore $root to $toVersion (have ${vs.mkString(",")})")
+    val lines = manifestLines(fs, root, toVersion)
+      .filterNot(_.startsWith("#"))
+    val headers = headersOf(fs, root, toVersion)
+    val v = vs.last + 1
+    if (!tryCommit(fs, root, v, lines, headers))
+      throw new java.util.ConcurrentModificationException(
+        s"restore of $root lost the commit race for version $v; rerun")
+    v
+  }
+
+  /** The file-level CHANGE SET between two committed versions: entries
+    * in `toVersion`'s manifest but not `fromVersion`'s (added) and vice
+    * versa (removed) — O(manifest) work, the commit literally wrote
+    * these lists. Because [[mergeCoW]] carries unchanged files verbatim
+    * (same path), the change set of a merge is delta-file-sized, never
+    * table-sized. */
+  def changedFiles(spark: SparkSession, root: String,
+                   fromVersion: Int, toVersion: Int)
+      : (Seq[String], Seq[String]) = {
+    require(fromVersion < toVersion,
+      s"need fromVersion < toVersion, got $fromVersion >= $toVersion")
+    val fs = fsOf(spark, new Path(root))
+    val from = manifestEntries(fs, root, fromVersion).map(_.rel).toSet
+    val to = manifestEntries(fs, root, toVersion).map(_.rel).toSet
+    ((to -- from).toSeq.sorted, (from -- to).toSeq.sorted)
+  }
+
+  /** CHANGED-FILES/CDC READ — the incremental-consumer story (Delta's
+    * Change Data Feed shape, computed from the manifests): every row of
+    * a file ADDED in `(fromVersion, toVersion]` tagged
+    * `_change = 'insert'`, every row of a file REMOVED tagged
+    * `_change = 'delete'`. File-level granularity: a copy-on-write
+    * rewrite lists its old file as removed and its new file as added,
+    * so a row the rewrite merely CARRIED appears on both sides — a
+    * row-level consumer reconciles by key (delete∖insert = removed,
+    * insert∖delete = added, both-with-different-payload = modified),
+    * which is delta-file-sized work because carried FILES never appear
+    * at all. Each side reads with ITS version's committed schema, and
+    * the two align by name (post-evolution reads of pre-evolution
+    * deletes surface the new columns as null). */
+  def readChangesBetween(spark: SparkSession, root: String,
+                         fromVersion: Int, toVersion: Int): DataFrame = {
+    val fs = fsOf(spark, new Path(root))
+    val (added, removed) = changedFiles(spark, root, fromVersion, toVersion)
+    def side(rels: Seq[String], v: Int, tag: String): DataFrame = {
+      val schema = schemaOf(fs, root, v)
+      val base =
+        if (rels.nonEmpty)
+          readFiles(spark,
+            rels.map(r => new Path(root, r).toString), schema)
+        else {
+          // zero changed files on this side: an empty, correctly-typed
+          // relation (schema from the version's header, or any file)
+          val es = manifestEntries(fs, root, v)
+          require(es.nonEmpty, s"version $v of $root lists no data files")
+          readFiles(spark, Seq(new Path(root, es.head.rel).toString),
+            schema).where(lit(false))
+        }
+      base.withColumn("_change", lit(tag))
+    }
+    side(added, toVersion, "insert")
+      .unionByName(side(removed, fromVersion, "delete"),
+        allowMissingColumns = true)
   }
 
   /** Transactional OPTIMIZE — the clustered compaction
@@ -391,23 +668,51 @@ object ManifestTable {
     * behind a manifest commit: the rewritten files become version N+1 in
     * one rename, the pre-compaction version stays readable until
     * [[vacuum]], and a concurrent commit aborts the swap (stale base)
-    * instead of clobbering it. Returns (newVersion, filesBefore,
-    * filesAfter). */
+    * instead of clobbering it. Pass `targetFiles` explicitly, or
+    * `targetFileBytes` to SIZE-BALANCE from the manifest's v3 stats
+    * (total bytes / target size, metadata-only — no listing, no scan;
+    * stat-less legacy entries fall back to the current file count).
+    * Returns (newVersion, filesBefore, filesAfter). */
   def optimize(spark: SparkSession, root: String, clusterCol: String,
-               targetFiles: Int): (Int, Int, Int) = {
+               targetFiles: Int): (Int, Int, Int) =
+    optimizeImpl(spark, root, clusterCol, targetFiles)
+
+  def optimizeBySize(spark: SparkSession, root: String, clusterCol: String,
+                     targetFileBytes: Long): (Int, Int, Int) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val stats = fileStats(spark, root)
+    val n =
+      if (stats.exists(_._4.isEmpty)) stats.size
+      else {
+        val total = stats.map(_._4.get).sum
+        math.max(1, ((total + targetFileBytes - 1) / targetFileBytes).toInt)
+      }
+    optimizeImpl(spark, root, clusterCol, n)
+  }
+
+  private def optimizeImpl(spark: SparkSession, root: String,
+                           clusterCol: String,
+                           targetFiles: Int): (Int, Int, Int) = {
     val fs = fsOf(spark, new Path(root))
     val base = snapshot(spark, root)
     // the rewrite clusters on clusterCol, so stamp bounds on it — every
-    // line is fresh, so the header switches cleanly; a non-integral
-    // cluster column degrades to unbounded lines (null cast), harmless.
-    // Stamping by DEFAULT also prevents the silent downgrade where
-    // compacting a bounds-stamped table strips all its pruning.
+    // line is fresh, so the header switches cleanly. Stamping by DEFAULT
+    // also prevents the silent downgrade where compacting a
+    // bounds-stamped table strips all its pruning. A NON-integral
+    // cluster column degrades to stats-only lines (no bounds, no
+    // header) — never collation-ordered bounds that would prune wrong
+    // files on a later merge.
+    val pinned = base.read(spark)
+    val stampCol = Some(clusterCol)
+      .filter(c => isIntegral(pinned.schema(c).dataType))
     val staged = stage(spark, root, dir =>
-      base.read(spark)
+      pinned
         .repartitionByRange(targetFiles, col(clusterCol))
         .sortWithinPartitions(clusterCol)
-        .write.parquet(dir), boundsCol = Some(clusterCol))
-    if (!tryCommit(fs, root, base.version + 1, staged, Some(clusterCol)))
+        .write.parquet(dir), boundsCol = stampCol)
+    val headers = boundsHeader(stampCol) ++
+      base.schema.map(SchemaKey -> _.json).toMap
+    if (!tryCommit(fs, root, base.version + 1, staged, headers))
       throw new java.util.ConcurrentModificationException(
         s"optimize of $root lost the commit race for version " +
           s"${base.version + 1}; rerun against the new base")
@@ -420,7 +725,7 @@ object ManifestTable {
     * contain a changed key; every other file is carried VERBATIM into
     * the new manifest (same path, zero IO). Affected files are found
     * from the MANIFEST's per-file key bounds when the table was written
-    * with `boundsCol` (format v2): a delta-sized distributed interval
+    * with `boundsCol` (format v2+): a delta-sized distributed interval
     * stabbing against the O(files) broadcast bounds — no snapshot scan
     * at all, the same plan Delta/Iceberg run off their file statistics.
     * Entries without bounds (v1 lines, or writes that skipped
@@ -435,7 +740,10 @@ object ManifestTable {
     *
     * `removeKeys` is a 1-column (`keyCol`) relation; `upserts` carries
     * full rows (an update = its key in neither/either — upsert rows
-    * REPLACE any existing row with the same key). Returns
+    * REPLACE any existing row with the same key) and must carry EXACTLY
+    * the table's columns — an extra column is rejected (schema widens
+    * via [[append]]/[[overwrite]], never silently dropped here), a
+    * missing one fails resolution. Returns
     * (newVersion, filesCarried, filesRewritten). */
   def mergeCoW(spark: SparkSession, root: String, keyCol: String,
                removeKeys: DataFrame, upserts: DataFrame): (Int, Int, Int) = {
@@ -450,6 +758,7 @@ object ManifestTable {
     require(entries.nonEmpty,
       s"version $baseVersion of $root lists no data files; " +
         "use overwrite to (re)populate an emptied table")
+    val tableSchema = schemaOf(fs, root, baseVersion)
     val changedKeys = removeKeys.select(col(keyCol))
       .unionByName(upserts.select(col(keyCol))).distinct()
       .localCheckpoint() // read thrice: two probes + rewrite anti-join
@@ -502,8 +811,8 @@ object ManifestTable {
     else {
       val qToRel = unbounded.map(e =>
         fs.makeQualified(new Path(root, e.rel)).toString -> e.rel).toMap
-      spark.read.parquet(unbounded.map(e =>
-          new Path(root, e.rel).toString): _*)
+      readFiles(spark, unbounded.map(e =>
+          new Path(root, e.rel).toString), tableSchema)
         .select(col(keyCol))
         .withColumn("_f", input_file_name())
         .join(changedKeys, Seq(keyCol), "left_semi")
@@ -515,26 +824,37 @@ object ManifestTable {
     val affectedRels = boundedAffected ++ unboundedAffected
     val (rewriteE, carryE) = entries.partition(e =>
       affectedRels.contains(e.rel))
-    // align the upserts to the table's column order (parquet resolves
-    // by name, but a single consistent file schema is cheap insurance)
-    val tableCols = spark.read
-      .parquet(new Path(root, entries.head.rel).toString).columns
+    // align the upserts to the table's column order — and REJECT an
+    // upsert that carries columns the table lacks: silently dropping
+    // them would lose data (widen the schema via append/overwrite first)
+    val tableCols = tableSchema.map(_.fieldNames.toSeq).getOrElse(
+      spark.read.parquet(new Path(root, entries.head.rel).toString)
+        .columns.toSeq)
+    val extraCols = upserts.columns.filterNot(tableCols.contains)
+    require(extraCols.isEmpty,
+      s"mergeCoW upserts carry columns the table lacks: " +
+        s"${extraCols.mkString(", ")} — merge never drops data silently; " +
+        "widen the table schema first (append supports add-column " +
+        "evolution) or drop the columns explicitly")
     val up = upserts.select(tableCols.map(col): _*)
     // surviving rows of the affected files (neither removed nor about
     // to be replaced by an upsert of the same key) + the upsert rows
     val rewritten =
       if (rewriteE.nonEmpty)
-        spark.read.parquet(rewriteE.map(e =>
-            new Path(root, e.rel).toString): _*)
+        readFiles(spark, rewriteE.map(e =>
+            new Path(root, e.rel).toString), tableSchema)
           .join(changedKeys, Seq(keyCol), "left_anti")
           .unionByName(up)
       else up
     // a pure delete can stage zero rows — the new manifest is then the
-    // carried files alone. The rewrite is bounds-stamped, so the next
-    // merge on this table prunes from the manifest alone.
+    // carried files alone. The rewrite is bounds-stamped (for integral
+    // keys — others degrade to stats-only lines), so the next merge on
+    // this table prunes from the manifest alone.
+    val stampCol = Some(keyCol)
+      .filter(c => isIntegral(up.schema(c).dataType))
     val staged = stage(spark, root,
       dir => rewritten.write.parquet(dir), allowEmpty = true,
-      boundsCol = Some(keyCol))
+      boundsCol = stampCol)
     val outLines = carryE.map(_.line) ++ staged
     // a merge that would empty the table entirely (full-table delete
     // whose rewrite staged zero files) must not brick it with a
@@ -542,7 +862,9 @@ object ManifestTable {
     require(outLines.nonEmpty,
       s"merge would leave $root with no data files; " +
         "use overwrite to truncate a table")
-    if (!tryCommit(fs, root, baseVersion + 1, outLines, Some(keyCol)))
+    val headers = boundsHeader(stampCol) ++
+      tableSchema.map(SchemaKey -> _.json).toMap
+    if (!tryCommit(fs, root, baseVersion + 1, outLines, headers))
       throw new java.util.ConcurrentModificationException(
         s"merge into $root lost the commit race for version " +
           s"${baseVersion + 1}; rerun against the new base")
@@ -659,6 +981,67 @@ object ManifestTable {
       .orderBy("lang")
   }
 
+  /** Q158: SCHEMA EVOLUTION, hash-gated — the documents table committed
+    * WITHOUT a lang column (v1), then an append that ADDS it (v2:
+    * add-column evolution widens the committed `#schema=` header), read
+    * back as one relation: pre-evolution rows surface lang as null
+    * (grouped under a sentinel), post-evolution rows carry it. The
+    * oracle replays the same two-phase union with a NULL lang for the
+    * first subset, so a silently-dropped column, a misresolved old
+    * file, or a wrong null-fill all fire the hash gate. Time-travel
+    * schema (v1 has no lang at all) is the spec's pin. */
+  def q158SchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = new Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      "manifest_evo_" + graft.Tables.dirKey(spark, sfDir)).toString
+    val fs = fsOf(spark, new Path(root))
+    if (fs.exists(new Path(root))) fs.delete(new Path(root), true)
+    val docs = graft.Tables.documents(spark, sfDir)
+    overwrite(spark, root,
+      docs.where(col("doc_id") % 3 =!= 0).select("doc_id", "text"))
+    append(spark, root,
+      docs.where(col("doc_id") % 3 === 0).select("doc_id", "text", "lang"))
+    read(spark, root)
+      .groupBy(coalesce(col("lang"), lit("pre_evolution")).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(length(col("text"))).as("n_chars"))
+      .orderBy("lang")
+  }
+
+  /** Q159: MANIFEST STATISTICS, hash-gated — per-version row counts of a
+    * three-commit table (overwrite, append, optimize) answered FROM THE
+    * MANIFEST'S v3 STATS ALONE: no data file is opened for the counts
+    * (the spec pins that [[rowCountFromStats]] is defined and that a
+    * scan agrees); the oracle recomputes each version's subset count
+    * directly from parquet, so a mis-stamped row count anywhere fires
+    * the hash gate. This is the metadata-only `count(*)` every format's
+    * file statistics exist for. */
+  def q159ManifestStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = new Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      "manifest_stats_" + graft.Tables.dirKey(spark, sfDir)).toString
+    val fs = fsOf(spark, new Path(root))
+    if (fs.exists(new Path(root))) fs.delete(new Path(root), true)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    overwrite(spark, root,
+      docs.where(col("doc_id") % 5 =!= 0)
+        .repartitionByRange(6, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      boundsCol = Some("doc_id"))
+    append(spark, root, docs.where(col("doc_id") % 5 === 0),
+      boundsCol = Some("doc_id"))
+    optimize(spark, root, "doc_id", targetFiles = 3)
+    (1 to 3).map { v =>
+      val n = rowCountFromStats(spark, root, Some(v)).getOrElse(
+        throw new IllegalStateException(
+          s"version $v of $root lacks v3 row-count stats"))
+      (v, n)
+    }.toDF("version", "n_rows").orderBy("version")
+  }
+
   /** Retire history: keep the newest `retain` manifests, delete older
     * manifest files, then delete data files in two classes —
     * (a) files referenced only by DROPPED manifests (committed history;
@@ -668,9 +1051,11 @@ object ManifestTable {
     * older than `orphanRetentionMs` — a young never-referenced file may
     * be a concurrent append's staging (stage happens BEFORE the
     * manifest rename), and deleting it would let that append commit a
-    * manifest pointing at deleted files. Returns the number of data
-    * files deleted. Time travel below the retained window fails loudly
-    * in [[snapshot]] afterwards. */
+    * manifest pointing at deleted files. Stale `.tmp-*` manifests from
+    * crashed commits are swept under the same retention window (a young
+    * one may be a commit between its write and rename). Returns the
+    * number of data files deleted. Time travel below the retained
+    * window fails loudly in [[snapshot]] afterwards. */
   def vacuum(spark: SparkSession, root: String, retain: Int = 1,
              orphanRetentionMs: Long = DefaultOrphanRetentionMs): Int = {
     require(retain >= 1, "must retain at least the newest version")
@@ -688,8 +1073,14 @@ object ManifestTable {
     val referenced = keep.flatMap(qualified).toSet
     val retired = drop.flatMap(qualified).toSet -- referenced
     drop.foreach(v => fs.delete(manifestPath(root, v), false))
-    val dataDir = new Path(root, "data")
     val cutoff = System.currentTimeMillis() - math.max(0L, orphanRetentionMs)
+    // crashed-commit manifest temps: never referenced by anything, but a
+    // YOUNG one may be a tryCommit between create and rename
+    fs.listStatus(manifestDir(root)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(".tmp-") &&
+        s.getModificationTime < cutoff)
+      .foreach(s => fs.delete(s.getPath, false))
+    val dataDir = new Path(root, "data")
     var deleted = 0
     if (fs.exists(dataDir)) {
       fs.listStatus(dataDir).toSeq.filter(_.isDirectory).foreach { cd =>

@@ -95,7 +95,7 @@ object ZOrderLayout {
     * scale; at production scale the same layout also prunes at
     * row-group granularity. */
   def zEvents(spark: SparkSession, sfDir: String): DataFrame =
-    Artifacts.materializeLaidOut(spark, zEventsName(spark, sfDir)) {
+    Artifacts.materializeManifest(spark, zEventsName(spark, sfDir)) {
       val (uMax, tMin, tMax) = boundsOf(spark, sfDir)
       Tables.events(spark, sfDir)
         .withColumn("zv", zValue(

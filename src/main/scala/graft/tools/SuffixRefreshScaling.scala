@@ -81,6 +81,29 @@ object SuffixRefreshScaling {
      }
     }
 
+    // MANIFEST-backed state: the advance's pruned read opens only the
+    // affected partitions' FILES, decided from the manifest's [lo, hi]
+    // part bounds — the 10% partition fraction becomes a 10% FILE
+    // fraction (no directory listing, no footer reads on skipped files)
+    for (parts <- Seq(32, 512)) {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-sfxmani").toString
+      val roots = SuffixRefresh.buildState(spark, docs, parts, base)
+      val (tag, rem, add) = deltaOne
+      val t0 = System.nanoTime
+      val res = SuffixRefresh.advance(spark, roots, rem, add)
+      val wall = (System.nanoTime - t0) / 1e9
+      val stats = graft.sources.ManifestTable
+        .fileStats(spark, roots.index, Some(1))
+      val affected = res.affectedParts.map(_.toLong)
+      val opened = stats.count(s =>
+        s._2.isEmpty || s._2.exists { case (lo, hi) =>
+          affected.exists(k => k >= lo && k <= hi) })
+      println(f"[sfx-refresh] MANIFEST parts=$parts%-4d delta=$tag%-16s " +
+        f"affected=${res.affectedParts.size}%4d/${res.totalParts}%-4d " +
+        f"files_opened=$opened%4d/${stats.size}%-4d advance_wall=$wall%6.2fs")
+    }
+
     // rebuild reference walls (the thing refresh competes with)
     for ((tag, rem, add) <- Seq(deltaBig, deltaSmall)) {
       val removedIds = rem.select("doc_id").distinct()

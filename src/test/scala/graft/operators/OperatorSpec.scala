@@ -1014,6 +1014,31 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q157 CDC refresh: the commit-range delta equals the snapshot " +
+      "diff, and the CDC-driven refresh equals the diff-driven one") {
+    // run the query first so the manifest table (v1 = A, v2 = merged B)
+    // exists under the warehouse for the delta comparison below
+    val got = CurationPipeline.q157CdcRefresh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      "manifest_cdc_" + Tables.dirKey(spark, sfDir)).toString
+    // (a) the row-level delta reconciled from changed FILES is exactly
+    // the q79 snapshot diff (same keys, same change kinds, same hashes)
+    val cdc = CurationPipeline.cdcDocDelta(spark, root, 1, 2)
+      .select("doc_id", "change", "old_md5", "new_md5").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    val diff = CurationPipeline.computeSnapshotDelta(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(cdc === diff, "CDC delta != snapshot diff")
+    // (b) the refresh built from commits equals q80's diff-driven one
+    val q80 = CurationPipeline.q80IncrementalRefresh(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === q80, "CDC-driven refresh != diff-driven refresh")
+  }
+
   test("q57 output is a valid per-query ranking") {
     val rows = SimilarityQueries.q57AnnIvfKmeans(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))

@@ -128,15 +128,25 @@ class SuffixRefreshSpec extends SparkSpec {
       .map(_.getInt(0).toLong).sum
     assert(ManifestTable.readAt(spark, roots.index, 1).count() ===
       aPositions)
-    // TORN state detection: an advance that died between its three
-    // commits leaves the tables at unequal versions — the next advance
-    // must refuse loudly instead of computing from the mixture
+    // CRASHED-advance recovery: simulate an advance that committed two
+    // child tables but died BEFORE the catalog pointer — the orphaned
+    // commits must be invisible to readers (the catalog pins the last
+    // complete transaction), and the next advance must roll them back
+    // and still equal the rebuild
     ManifestTable.append(spark, roots.sums,
       ManifestTable.read(spark, roots.sums).limit(1))
-    val torn = intercept[IllegalArgumentException] {
-      SuffixRefresh.advance(spark, roots, rem2, add2)
-    }
-    assert(torn.getMessage.contains("torn"))
+    ManifestTable.append(spark, roots.index,
+      ManifestTable.read(spark, roots.index).limit(3))
+    assert(perDocRows(SuffixRefresh.perDocFromState(spark, roots)) ===
+      fullRebuild(docsB2),
+      "a torn (post-crash) state leaked into a catalog-pinned read")
+    val rem3 = docsB2.where($"doc_id" === 4L).select("doc_id", "text")
+    val add3 = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    SuffixRefresh.advance(spark, roots, rem3, add3)
+    val docsB3 = docsB2.where($"doc_id" =!= 4L)
+    assert(perDocRows(SuffixRefresh.perDocFromState(spark, roots)) ===
+      fullRebuild(docsB3),
+      "advance after a simulated crash diverged from the rebuild")
   }
 
   test("boundedness: a delta confined to one end of the key space " +

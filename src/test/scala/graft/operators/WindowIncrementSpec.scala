@@ -60,4 +60,26 @@ class WindowIncrementSpec extends SparkSpec {
       assert(after(key) === v, s"window $key changed by the append")
     }
   }
+
+  test("q134/q141 plan: the sample-to-windows attach is the explode " +
+      "equi form — never the BETWEEN broadcast nested loop") {
+    // the q146 pin extended to its two sketch-space siblings: a BETWEEN
+    // join plans as a BroadcastNestedLoopJoin evaluating |days|
+    // predicates per sketch row (days²·k at dashboard horizons); the
+    // explode form is a codegen'd Generate of ≤ 7 rows per sample,
+    // |days|-independent
+    val sfDir = "/root/testdata/sf0.01"
+    for ((name, df) <- Seq(
+      "q134" -> RelationalQueries.q134SlidingSketch(spark, sfDir),
+      "q141" -> RelationalQueries.q141SlidingQuantiles(spark, sfDir))) {
+      df.queryExecution.toRdd.count()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$name window attach fell back to a nested loop:\n${plan.take(3000)}")
+      assert(plan.contains("Generate explode"),
+        s"$name must fan via explode(sequence):\n${plan.take(3000)}")
+    }
+  }
 }

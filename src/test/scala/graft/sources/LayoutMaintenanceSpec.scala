@@ -170,4 +170,39 @@ class LayoutMaintenanceSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $name")
     }
   }
+
+  test("catalog-dir OPTIMIZE and manifest OPTIMIZE are equivalent: same " +
+      "rows, same file count — the manifest variant adds the commit") {
+    // the same rotted layout (clustered base + key-domain-spanning
+    // delta appends) compacted both ways must converge to the same
+    // table; only the swap mechanics differ (staging-dir swap vs one
+    // manifest rename with history)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text")
+    val base = docs.where(col("doc_id") % 4 =!= 0)
+      .repartitionByRange(6, col("doc_id")).sortWithinPartitions("doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft-eqopt")
+      .toString + "/lay"
+    base.write.parquet(dir)
+    val mroot = java.nio.file.Files.createTempDirectory("graft-eqopt")
+      .toString + "/tbl"
+    ManifestTable.overwrite(spark, mroot, base, boundsCol = Some("doc_id"))
+    for (i <- 0 until 3) {
+      val delta = docs.where(col("doc_id") % 12 === i * 4).repartition(1)
+      delta.write.mode("append").parquet(dir)
+      ManifestTable.append(spark, mroot, delta, boundsCol = Some("doc_id"))
+    }
+    val dirStats = LayoutMaintenance
+      .compactClustered(spark, dir, "doc_id", targetFiles = 6)
+    val (_, mBefore, mAfter) =
+      ManifestTable.optimize(spark, mroot, "doc_id", targetFiles = 6)
+    assert(dirStats.filesBefore === mBefore &&
+      dirStats.filesAfter === mAfter && mAfter === 6,
+      s"$dirStats vs ($mBefore, $mAfter)")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "lang", "text").collect()
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(sorted(spark.read.parquet(dir)) ===
+      sorted(ManifestTable.read(spark, mroot)))
+  }
 }

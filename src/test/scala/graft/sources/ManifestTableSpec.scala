@@ -195,9 +195,11 @@ class ManifestTableSpec extends SparkSpec {
     val rootS = freshRoot()
     val (carriedB, rewroteB, gotB) = mergeOn(rootB, bounds = true)
     val (carriedS, _, gotS) = mergeOn(rootS, bounds = false)
-    // bounds-stamped v1: every line carries lo/hi
-    assert(manifestLinesOf(rootB, 1).forall(_.split('\t').length === 3),
-      "v1 manifest lines missing bounds")
+    // bounds-stamped v1: every line carries lo/hi (+ v3 rows/bytes)
+    assert(manifestLinesOf(rootB, 1).forall { l =>
+      val f = l.split('\t')
+      f.length === 5 && f(1) != "-" && f(2) != "-"
+    }, "v1 manifest lines missing bounds/stats")
     // the two detections agree: same carry count, same surviving rows
     assert(carriedB === carriedS,
       s"bounds pruning carried $carriedB files, the scan $carriedS")
@@ -207,7 +209,10 @@ class ManifestTableSpec extends SparkSpec {
     val v2Staged = manifestLinesOf(rootB, 2)
       .filterNot(manifestLinesOf(rootB, 1).toSet)
     assert(v2Staged.nonEmpty &&
-      v2Staged.forall(_.split('\t').length === 3),
+      v2Staged.forall { l =>
+        val f = l.split('\t')
+        f.length === 5 && f(1) != "-" && f(2) != "-"
+      },
       s"rewrite lines not bounds-stamped: $v2Staged")
   }
 
@@ -353,6 +358,183 @@ class ManifestTableSpec extends SparkSpec {
     // the scan underneath read FEWER files than the table holds
     assert(df.inputFiles.length < 8,
       s"q156 read ${df.inputFiles.length} of 8 files — nothing pruned")
+  }
+
+  test("restore: an old version's exact content becomes the newest " +
+      "commit, zero data IO, history intact") {
+    val root = freshRoot()
+    ManifestTable.overwrite(spark, root, docs.where(col("doc_id") % 2 === 0))
+    val v1Rows = ManifestTable.read(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    ManifestTable.append(spark, root, docs.where(col("doc_id") % 2 === 1))
+    val v2Count = ManifestTable.read(spark, root).count()
+    val v3 = ManifestTable.restore(spark, root, 1)
+    assert(v3 === 3)
+    // newest content == v1, and the restore reused v1's files verbatim
+    assert(ManifestTable.read(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === v1Rows)
+    assert(ManifestTable.snapshot(spark, root).files.toSet ===
+      ManifestTable.snapshot(spark, root, Some(1)).files.toSet)
+    // the restored-away version stays time-travelable
+    assert(ManifestTable.readAt(spark, root, 2).count() === v2Count)
+  }
+
+  test("changed-files CDC: the change set of a range-local merge is " +
+      "delta-file-sized, and the keyed reconcile recovers exactly the " +
+      "removed/added/modified rows") {
+    val root = freshRoot()
+    ManifestTable.overwrite(spark, root,
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      boundsCol = Some("doc_id"))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length / 8)
+    val removeKeys = docs.where(col("doc_id") <= cut && col("doc_id") % 2 === 0)
+      .select("doc_id")
+    val edits = docs.where(col("doc_id") <= cut && col("doc_id") % 2 === 1)
+      .withColumn("text", concat(col("text"), lit(" EDITED")))
+    val inserts = docs.where(col("doc_id") === ids.head)
+      .withColumn("doc_id", lit(-9L))
+    ManifestTable.mergeCoW(spark, root, "doc_id", removeKeys,
+      edits.unionByName(inserts))
+    val total = ManifestTable.snapshot(spark, root, Some(1)).files.size
+    val (added, removed) = ManifestTable.changedFiles(spark, root, 1, 2)
+    // copy-on-write carried the untouched files: both sides of the
+    // change set are a strict subset of the table
+    assert(removed.nonEmpty && removed.size < total,
+      s"removed side not delta-sized: ${removed.size} of $total")
+    assert(added.nonEmpty)
+    // row-level reconcile by key over the changed files only
+    val ch = ManifestTable.readChangesBetween(spark, root, 1, 2)
+    val del = ch.where(col("_change") === "delete")
+      .select(col("doc_id"), md5(col("text")).as("om"))
+    val ins = ch.where(col("_change") === "insert")
+      .select(col("doc_id"), md5(col("text")).as("nm"))
+    val rec = del.join(ins, Seq("doc_id"), "full_outer")
+      .where(col("om").isNull || col("nm").isNull || col("om") =!= col("nm"))
+      .withColumn("change", when(col("nm").isNull, "removed")
+        .when(col("om").isNull, "added").otherwise("modified"))
+      .select("doc_id", "change").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expRemoved = removeKeys.collect().map(_.getLong(0)).toSet
+    val expModified = edits.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rec.filter(_._2 == "removed").keySet === expRemoved)
+    assert(rec.filter(_._2 == "modified").keySet === expModified)
+    assert(rec.filter(_._2 == "added").keySet === Set(-9L))
+    // carried rows of rewritten files cancelled: nothing else surfaced
+    assert(rec.size === expRemoved.size + expModified.size + 1)
+  }
+
+  test("schema evolution: add-column append widens the committed " +
+      "schema; old files read null; drops/retypes and merge-side " +
+      "extras are rejected loudly") {
+    val root = freshRoot()
+    ManifestTable.overwrite(spark, root,
+      docs.where(col("doc_id") % 3 =!= 0).select("doc_id", "text"))
+    ManifestTable.append(spark, root,
+      docs.where(col("doc_id") % 3 === 0).select("doc_id", "text", "lang"))
+    val all = ManifestTable.read(spark, root)
+    assert(all.columns.toSeq === Seq("doc_id", "text", "lang"))
+    // pre-evolution rows surface lang as null; post-evolution carry it
+    assert(all.where(col("lang").isNull).count() ===
+      docs.where(col("doc_id") % 3 =!= 0).count())
+    assert(all.where(col("lang").isNotNull).count() ===
+      docs.where(col("doc_id") % 3 === 0).count())
+    // time travel returns each version's OWN schema
+    assert(ManifestTable.readAt(spark, root, 1).columns.toSeq ===
+      Seq("doc_id", "text"))
+    // dropping a column is rejected
+    val eDrop = intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, root, docs.limit(3).select("doc_id"))
+    }
+    assert(eDrop.getMessage.contains("missing table columns"))
+    // retyping a column is rejected
+    val eType = intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, root, docs.limit(3)
+        .select(col("doc_id").cast("string").as("doc_id"),
+          col("text"), col("lang")))
+    }
+    assert(eType.getMessage.contains("changes column types"))
+    // a merge upsert carrying an unknown column is rejected, never
+    // silently dropped
+    val eMerge = intercept[IllegalArgumentException] {
+      ManifestTable.mergeCoW(spark, root, "doc_id",
+        docs.limit(0).select("doc_id"),
+        docs.limit(2).select(col("doc_id"), col("text"), col("lang"),
+          lit(1L).as("surprise")))
+    }
+    assert(eMerge.getMessage.contains("surprise"))
+    // and the failed writers left the table untouched
+    assert(ManifestTable.read(spark, root).count() === docs.count())
+  }
+
+  test("v3 stats: metadata-only row counts equal a scan at every " +
+      "version; optimizeBySize sizes the rewrite from manifest bytes") {
+    val root = freshRoot()
+    ManifestTable.overwrite(spark, root,
+      docs.where(col("doc_id") % 4 =!= 0)
+        .repartitionByRange(6, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      boundsCol = Some("doc_id"))
+    ManifestTable.append(spark, root, docs.where(col("doc_id") % 4 === 0),
+      boundsCol = Some("doc_id"))
+    for (v <- Seq(1, 2)) {
+      val meta = ManifestTable.rowCountFromStats(spark, root, Some(v))
+      assert(meta.isDefined, s"version $v lacks stats")
+      assert(meta.get === ManifestTable.readAt(spark, root, v).count(),
+        s"version $v metadata count != scan")
+    }
+    // size-balanced optimize: target = total bytes (one file's worth)
+    // collapses to 1 file; stats survive into the rewrite
+    val totalBytes = ManifestTable.fileStats(spark, root)
+      .map(_._4.get).sum
+    val (v3, _, after) =
+      ManifestTable.optimizeBySize(spark, root, "doc_id", totalBytes)
+    assert(after === 1, s"expected 1 output file, got $after")
+    assert(ManifestTable.rowCountFromStats(spark, root, Some(v3))
+      .contains(docs.count()))
+  }
+
+  test("vacuum sweeps aged .tmp-* manifest stragglers but spares young " +
+      "ones (a commit between write and rename)") {
+    val root = freshRoot()
+    ManifestTable.overwrite(spark, root, docs.limit(10))
+    val mdir = new Path(root, "_manifests")
+    val fs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val young = new Path(mdir, ".tmp-young")
+    val old = new Path(mdir, ".tmp-old")
+    Seq(young, old).foreach { p =>
+      val out = fs.create(p, false); out.write(1); out.close()
+    }
+    fs.setTimes(old, System.currentTimeMillis() - 48L * 3600 * 1000, -1)
+    ManifestTable.vacuum(spark, root, retain = 1)
+    assert(fs.exists(young), "young tmp manifest swept inside retention")
+    assert(!fs.exists(old), "aged tmp manifest not swept")
+    assert(ManifestTable.read(spark, root).count() === 10)
+  }
+
+  test("q158/q159 gated queries: JVM replay of the evolution union and " +
+      "the per-version counts") {
+    val sf = "/root/testdata/sf0.001"
+    val d = graft.Tables.documents(spark, sf)
+    val gotEvo = ManifestTable.q158SchemaEvolution(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val expEvo = d
+      .select(when(col("doc_id") % 3 === 0, col("lang"))
+          .otherwise(lit("pre_evolution")).as("lang"),
+        col("doc_id"), col("text"))
+      .groupBy("lang")
+      .agg(count(lit(1)), sum(col("doc_id")), sum(length(col("text"))))
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(gotEvo === expEvo)
+    val gotStats = ManifestTable.q159ManifestStats(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val nSub = d.where(col("doc_id") % 5 =!= 0).count()
+    val nAll = d.count()
+    assert(gotStats === Seq((1, nSub), (2, nAll), (3, nAll)))
   }
 
   test("stale-base overwrite aborts rather than clobbering the " +

@@ -291,6 +291,44 @@ object Bench {
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       .failed.foreach(e =>
         System.err.println(s"[bench] could not write $outFile: $e"))
+    // COMPACT summary as the LAST stdout line: the driver's tail capture
+    // holds ~2 KB, so the 14 KB full line above truncates mid-map every
+    // round (BENCH_rN.json `parsed: null`) — this line is self-contained
+    // and small enough to survive the window whole: suite total, the
+    // common-subset compare against the newest committed bench_full_r*,
+    // and the loadavg bracket, with a pointer to the full per-query file.
+    val commonPrev: String = scala.util.Try {
+      val rx = """bench_full_r(\d+)\.json""".r
+      val prev = new java.io.File(".").listFiles().toSeq
+        .flatMap(f => f.getName match {
+          case rx(n) => Some((n.toInt, f))
+          case _ => None
+        }).sortBy(_._1).lastOption
+      prev.map { case (_, f) =>
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val q = om.readTree(f).get("queries")
+        val resMap = results.toMap
+        var thisSum = 0.0; var prevSum = 0.0; var n = 0
+        val it = q.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          val p = e.getValue.asDouble(-1.0)
+          resMap.get(e.getKey).filter(_ >= 0).foreach { t =>
+            if (p >= 0) { thisSum += t; prevSum += p; n += 1 }
+          }
+        }
+        s""","common_prev":{"file":"${f.getName}","n":$n,""" +
+          s""""this":${math.round(thisSum * 100) / 100.0},""" +
+          s""""prev":${math.round(prevSum * 100) / 100.0}}"""
+      }.getOrElse("")
+    }.getOrElse("")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","summary":true,""" +
+        s""""failed":$failed,"queries_n":${results.size},""" +
+        s""""sf":${GraftSession.jsonString(sfDir)},"loadavg":$loadavg,""" +
+        s""""artifacts_sec":$artifactsSec,"refresh_sec":$refreshSec,""" +
+        s""""full_rebuild_sec":$rebuildSec,"full":"$outFile"""" +
+        commonPrev + "}")
     spark.stop()
   }
 }

@@ -486,6 +486,13 @@ object SparkEntry {
     // version's subset from parquet.
     "q159_manifest_stats" ->
       (graft.sources.ManifestTable.q159ManifestStats _),
+    // q160 is the CDC read run over a MULTI-commit history: an SCD2
+    // dimension folded incrementally from each commit's changed files
+    // (close removed/modified, open added/modified, validity in version
+    // numbers) — never a snapshot re-diff; the oracle rebuilds the same
+    // history independently via gaps-and-islands runs.
+    "q160_manifest_scd2" ->
+      (graft.sources.ManifestTable.q160ManifestScd2 _),
   )
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
@@ -3547,6 +3554,41 @@ object SparkEntry {
         |           UNION ALL
         |           SELECT 3, count(*) FROM documents)
         |SELECT version, n_rows FROM t ORDER BY version""".stripMargin,
+    // q160: the three snapshots reconstructed as CTEs (v1 = the raw
+    // table; v2 = the q79 recrawl; v3 = v2 minus positive %10==9 with
+    // positive %10==4 edited), then gaps-and-islands runs of identical
+    // per-version hashes give each row's [valid_from, valid_to) — the
+    // independent construction of the history the engine folds from
+    // commit deltas. Edits never revert a text, so equal hashes are
+    // always version-consecutive and the island trick is exact.
+    "q160_manifest_scd2" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (SELECT doc_id,
+        |              CASE WHEN doc_id % 10 = 3 THEN text || ' updated v2'
+        |                   ELSE text END AS text
+        |       FROM documents WHERE doc_id % 10 <> 7
+        |       UNION ALL
+        |       SELECT -(doc_id + 1), text FROM documents
+        |       WHERE doc_id % 10 = 1),
+        |v3 AS (SELECT doc_id,
+        |              CASE WHEN doc_id > 0 AND doc_id % 10 = 4
+        |                   THEN text || ' updated v3'
+        |                   ELSE text END AS text
+        |       FROM v2 WHERE NOT (doc_id > 0 AND doc_id % 10 = 9)),
+        |allv AS (SELECT 1 AS v, doc_id, md5(text) AS h FROM v1
+        |         UNION ALL SELECT 2, doc_id, md5(text) FROM v2
+        |         UNION ALL SELECT 3, doc_id, md5(text) FROM v3),
+        |isl AS (SELECT doc_id, h, v,
+        |               v - row_number() OVER (PARTITION BY doc_id, h
+        |                                      ORDER BY v) AS grp
+        |        FROM allv),
+        |runs AS (SELECT doc_id, h, min(v) AS vfrom, max(v) AS vmax
+        |         FROM isl GROUP BY doc_id, h, grp)
+        |SELECT doc_id, h AS text_md5, vfrom::INT AS valid_from,
+        |       (CASE WHEN vmax = 3 THEN NULL ELSE vmax + 1 END)::INT
+        |         AS valid_to,
+        |       CASE WHEN vmax = 3 THEN 1 ELSE 0 END AS is_current
+        |FROM runs ORDER BY doc_id, valid_from""".stripMargin,
   )
 
   /** q118/q119's shared DuckDB replay: per-position best cross-doc LCP

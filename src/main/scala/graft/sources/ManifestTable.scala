@@ -1042,6 +1042,80 @@ object ManifestTable {
     }.toDF("version", "n_rows").orderBy("version")
   }
 
+  /** Q160: SCD2 HISTORY BY TAILING MANIFEST COMMITS — the dimension-
+    * maintenance pattern the CDC read (q157) exists for, run over a
+    * MULTI-commit history: the documents table takes two successive
+    * copy-on-write recrawl merges (v2 = the q79 rules, v3 = a second
+    * delete+edit wave), and the type-2 slowly-changing dimension
+    * (doc_id, text_md5, [valid_from, valid_to) in VERSION numbers,
+    * is_current) is folded INCREMENTALLY: one [[readChangesBetween]]
+    * per commit closes the open rows of removed/modified keys and opens
+    * rows for added/modified ones — each fold step is delta-file-sized
+    * (carried files never surface), and no snapshot pair is ever
+    * re-diffed. The oracle reconstructs the same history independently
+    * (three snapshot CTEs + gaps-and-islands runs over version-stamped
+    * hashes), so a missed close, a phantom open, or a wrong validity
+    * bound anywhere in the fold fires the hash gate. At 100 TB this is
+    * how a dimension table tracks a fact table that rewrites daily:
+    * consume commits, never compare corpora. */
+  def q160ManifestScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = new Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      "manifest_scd2_" + graft.Tables.dirKey(spark, sfDir)).toString
+    val fs = fsOf(spark, new Path(root))
+    if (fs.exists(new Path(root))) fs.delete(new Path(root), true)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    overwrite(spark, root,
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      boundsCol = Some("doc_id"))
+    // commit 2: the q79 recrawl (delete %10==7, edit %10==3, insert
+    // the negative-namespace re-adds)
+    mergeCoW(spark, root, "doc_id",
+      docs.where(col("doc_id") % 10 === 7).select("doc_id"),
+      graft.operators.CurationPipeline.snapshotB(docs)
+        .where(col("doc_id") % 10 === 3 || col("doc_id") < 0))
+    // commit 3: a second wave over the CURRENT table (positive ids
+    // only — the synthetic namespace stays put)
+    val cur = readAt(spark, root, 2)
+    mergeCoW(spark, root, "doc_id",
+      cur.where(col("doc_id") > 0 && col("doc_id") % 10 === 9)
+        .select("doc_id"),
+      cur.where(col("doc_id") > 0 && col("doc_id") % 10 === 4)
+        .withColumn("text", concat(col("text"), lit(" updated v3"))))
+    // the SCD2 fold: seed from v1, then apply each commit's CDC delta
+    var scd = readAt(spark, root, 1)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"),
+        lit(1).as("valid_from"), lit(null).cast("int").as("valid_to"))
+    val latest = currentVersion(spark, root).get
+    for (v <- 2 to latest) {
+      val delta = graft.operators.CurationPipeline
+        .cdcDocDelta(spark, root, v - 1, v)
+        .localCheckpoint() // delta-sized; read twice below
+      val closing = delta
+        .where(col("change").isin("removed", "modified"))
+        .select(col("doc_id"), lit(1).as("_close"))
+      val opening = delta
+        .where(col("change").isin("added", "modified"))
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          lit(v).as("valid_from"), lit(null).cast("int").as("valid_to"))
+      scd = scd
+        .join(closing, Seq("doc_id"), "left")
+        .withColumn("valid_to",
+          when(col("_close") === 1 && col("valid_to").isNull, lit(v))
+            .otherwise(col("valid_to")))
+        .drop("_close")
+        .unionByName(opening)
+        .localCheckpoint() // keep the fold's lineage flat across commits
+    }
+    scd
+      .withColumn("is_current",
+        when(col("valid_to").isNull, 1).otherwise(0))
+      .select("doc_id", "text_md5", "valid_from", "valid_to", "is_current")
+      .orderBy("doc_id", "valid_from")
+  }
+
   /** Retire history: keep the newest `retain` manifests, delete older
     * manifest files, then delete data files in two classes —
     * (a) files referenced only by DROPPED manifests (committed history;

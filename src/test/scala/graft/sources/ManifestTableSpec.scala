@@ -537,6 +537,42 @@ class ManifestTableSpec extends SparkSpec {
     assert(gotStats === Seq((1, nSub), (2, nAll), (3, nAll)))
   }
 
+  test("q160 SCD2 fold: the is_current slice equals the newest " +
+      "committed snapshot, validity intervals partition each key's " +
+      "history") {
+    val sf = "/root/testdata/sf0.001"
+    val got = ManifestTable.q160ManifestScd2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)), r.getInt(4)))
+    // current rows == the table's newest version, key for key
+    val root = new Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      "manifest_scd2_" + graft.Tables.dirKey(spark, sf)).toString
+    val newest = ManifestTable.read(spark, root)
+      .select(col("doc_id"), md5(col("text")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val current = got.filter(_._5 == 1)
+      .map(r => r._1 -> r._2).toMap
+    assert(current === newest, "is_current slice != newest snapshot")
+    // exactly the open rows are current; closed rows have valid_to in
+    // (valid_from, latest]; per key the intervals are disjoint and
+    // ordered
+    got.foreach { case (id, _, from, to, cur) =>
+      assert((cur == 1) === to.isEmpty, s"doc $id current/valid_to clash")
+      to.foreach(t => assert(t > from && t <= 3 + 1, s"doc $id [$from,$t)"))
+    }
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.exists(_ <= b._3),
+            s"doc $id overlapping validity: $a then $b")
+        case _ => ()
+      }
+      assert(rows.count(_._5 == 1) <= 1, s"doc $id has two current rows")
+    }
+  }
+
   test("stale-base overwrite aborts rather than clobbering the " +
       "concurrent commit") {
     val root = freshRoot()

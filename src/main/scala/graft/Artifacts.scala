@@ -116,8 +116,9 @@ object Artifacts {
     * any plan that resolved it until the post-commit vacuum, and a
     * writer crash leaves the old version intact plus invisible orphans
     * — the engine's own rewriters running on the engine's own ACID
-    * layer. The build's file layout (range partitioning + in-file sort)
-    * survives exactly as [[materializeLaidOut]]'s does; `boundsCol`
+    * layer. The build's own file layout (range partitioning + in-file
+    * sort, and the per-file column statistics it yields) lands verbatim
+    * — staging writes the plan's partitions as-is; `boundsCol`
     * additionally stamps per-file key bounds so consumers can
     * bounds-prune from the manifest alone
     * ([[graft.sources.ManifestTable.readWhereKeyIn]]). Same

@@ -299,7 +299,12 @@ object Bench {
     // and the loadavg bracket, with a pointer to the full per-query file.
     val commonPrev: String = scala.util.Try {
       val rx = """bench_full_r(\d+)\.json""".r
+      // exclude the file THIS run just wrote (outFile) — the newest
+      // bench_full_r* in cwd is otherwise this very run's output and
+      // the round-over-round compare degenerates to self == self
+      val own = new java.io.File(outFile).getCanonicalPath
       val prev = new java.io.File(".").listFiles().toSeq
+        .filter(_.getCanonicalPath != own)
         .flatMap(f => f.getName match {
           case rx(n) => Some((n.toInt, f))
           case _ => None

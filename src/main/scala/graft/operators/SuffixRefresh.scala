@@ -492,10 +492,12 @@ object SuffixRefresh extends Serializable {
     Seq("index" -> roots.index, "inner" -> roots.inner,
       "sums" -> roots.sums).foreach { case (k, r) =>
       val cur = ManifestTable.currentVersion(spark, r)
-      require(cur.isDefined && cur.get >= pinned(k),
-        s"suffix-refresh state table $r is behind its catalog pin " +
-          s"($cur < ${pinned(k)}) — vacuumed or corrupted; rebuild with " +
-          "buildState")
+      require(cur.exists(_ >= pinned(k)),
+        s"suffix-refresh state table $r is " +
+          cur.map(c => s"behind its catalog pin ($c < ${pinned(k)}) — " +
+            "vacuumed below the pin")
+            .getOrElse("missing entirely (no committed version)") +
+          "; rebuild with buildState")
       if (cur.get > pinned(k)) {
         ManifestTable.restore(spark, r, pinned(k))
         ()

@@ -125,9 +125,9 @@ object ManifestTable {
       s"version $v not present under $root (have ${vs.mkString(",")}) — " +
         "vacuumed or never committed")
     val fs = fsOf(spark, manifestDir(root))
-    Snapshot(v, manifestEntries(fs, root, v)
-      .map(e => new Path(root, e.rel).toString),
-      schemaOf(fs, root, v))
+    val m = loadManifest(fs, root, v)
+    Snapshot(v, m.entries.map(e => new Path(root, e.rel).toString),
+      m.schema)
   }
 
   /** The raw lines of a committed manifest (format-opaque — append
@@ -195,13 +195,39 @@ object ManifestTable {
     * or newlines) — the same role Delta's log metadata plays. */
   private val SchemaKey = "schema"
 
+  /** One committed manifest, parsed ONCE — every operation loads this
+    * a single time and derives headers/entries/schema from it, instead
+    * of re-opening the file per accessor (three filesystem round-trips
+    * per pruned read adds up on a remote store). */
+  private case class ManifestData(headers: Map[String, String],
+                                  entryLines: Seq[String]) {
+    lazy val entries: Seq[Entry] = entryLines.map(parseEntry)
+    def boundsCol: Option[String] = headers.get(BoundsKey)
+    def schema: Option[StructType] = headers.get(SchemaKey)
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    /** Entries with bounds kept only if the header declares them for
+      * `keyCol` (else stripped — a mismatched key must never prune). */
+    def entriesFor(keyCol: String): Seq[Entry] =
+      if (boundsCol.contains(keyCol)) entries
+      else entries.map(e => e.copy(lo = None, hi = None))
+  }
+
+  private def loadManifest(fs: FileSystem, root: String,
+                           v: Int): ManifestData = {
+    val lines = manifestLines(fs, root, v)
+    val (hs, es) = lines.partition(_.startsWith("#"))
+    ManifestData(
+      hs.flatMap { l =>
+        val eq = l.indexOf('=')
+        if (eq < 0) None
+        else Some(l.substring(1, eq) -> l.substring(eq + 1))
+      }.toMap,
+      es)
+  }
+
   private def headersOf(fs: FileSystem, root: String,
                         v: Int): Map[String, String] =
-    manifestLines(fs, root, v).takeWhile(_.startsWith("#"))
-      .flatMap { l =>
-        val eq = l.indexOf('=')
-        if (eq < 0) None else Some(l.substring(1, eq) -> l.substring(eq + 1))
-      }.toMap
+    loadManifest(fs, root, v).headers
 
   private def headerLines(hs: Map[String, String]): Seq[String] =
     hs.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
@@ -217,12 +243,11 @@ object ManifestTable {
 
   private def headerOf(fs: FileSystem, root: String,
                        v: Int): Option[String] =
-    headersOf(fs, root, v).get(BoundsKey)
+    loadManifest(fs, root, v).boundsCol
 
   private def schemaOf(fs: FileSystem, root: String,
                        v: Int): Option[StructType] =
-    headersOf(fs, root, v).get(SchemaKey)
-      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    loadManifest(fs, root, v).schema
 
   /** The schema a version committed with (None for pre-schema-header
     * tables, whose reads fall back to parquet's own resolution). */
@@ -243,7 +268,7 @@ object ManifestTable {
 
   private def manifestEntries(fs: FileSystem, root: String,
                               v: Int): Seq[Entry] =
-    manifestLines(fs, root, v).filterNot(_.startsWith("#")).map(parseEntry)
+    loadManifest(fs, root, v).entries
 
   /** Per-file (relative path, bounds, rows, bytes) of a committed
     * version — the metadata the stats consumers and tools read. */
@@ -269,15 +294,6 @@ object ManifestTable {
     val es = manifestEntries(fs, root, v)
     if (es.isEmpty || es.exists(_.rows.isEmpty)) None
     else Some(es.map(_.rows.get).sum)
-  }
-
-  /** Entry lines of `v` with their bounds kept only if the manifest's
-    * header declares them for `keyCol` (else stripped to plain stats). */
-  private def entriesFor(fs: FileSystem, root: String, v: Int,
-                         keyCol: String): Seq[Entry] = {
-    val es = manifestEntries(fs, root, v)
-    if (headerOf(fs, root, v).contains(keyCol)) es
-    else es.map(e => e.copy(lo = None, hi = None))
   }
 
   /** The table at its newest committed version. */
@@ -334,10 +350,11 @@ object ManifestTable {
     val fs = fsOf(spark, new Path(root))
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no committed version under $root"))
+    val m = loadManifest(fs, root, v)
     // bounds honored ONLY when the manifest declares them for keyCol
-    val entries = entriesFor(fs, root, v, keyCol)
+    val entries = m.entriesFor(keyCol)
     require(entries.nonEmpty, s"version $v of $root lists no data files")
-    val schema = schemaOf(fs, root, v)
+    val schema = m.schema
     val kept = entries.filter(e =>
       e.lo.isEmpty || e.hi.isEmpty || boundsHit(e))
     if (kept.isEmpty)
@@ -362,8 +379,8 @@ object ManifestTable {
   private def isIntegral(dt: DataType): Boolean =
     Seq(ByteType, ShortType, IntegerType, LongType).contains(dt)
 
-  private def requireIntegral(df: DataFrame, k: String): Unit = {
-    val dt = df.schema(k).dataType
+  private def requireIntegral(schema: StructType, k: String): Unit = {
+    val dt = schema(k).dataType
     require(isIntegral(dt),
       s"boundsCol $k must be an integral column (bounds are stored as " +
         s"long [lo, hi] in the table's sort order); got $dt — a " +
@@ -401,8 +418,10 @@ object ManifestTable {
     val perFile: Map[String, (Option[(Long, Long)], Long)] = boundsCol match {
       case Some(k) =>
         // cast BEFORE aggregating so the [lo, hi] ordering is numeric —
-        // and the integral-type gate above makes the cast total
-        requireIntegral(justWritten, k)
+        // the integral-type gate (checked by the caller BEFORE the data
+        // write, re-asserted here as the format's invariant) makes the
+        // cast total
+        requireIntegral(justWritten.schema, k)
         justWritten
           .groupBy(input_file_name().as("_f"))
           .agg(min(col(k).cast("long")).as("lo"),
@@ -497,6 +516,9 @@ object ManifestTable {
     val fs = fsOf(spark, new Path(root))
     val base = expectedBase.getOrElse(currentVersion(spark, root)
       .getOrElse(0))
+    // fail fast BEFORE the data write: an invalid bounds column must
+    // not burn a full table write and strand it as orphans
+    boundsCol.foreach(k => requireIntegral(df.schema, k))
     val staged = stage(spark, root, dir => df.write.parquet(dir),
       boundsCol = boundsCol)
     val headers = boundsHeader(boundsCol) + schemaHeader(df.schema)
@@ -549,8 +571,10 @@ object ManifestTable {
     val v0 = currentVersion(spark, root)
     val h0 = v0.flatMap(headerOf(fs, root, _))
     val effBounds = boundsCol.filter(b => h0.forall(_ == b))
-    // evolution contract checked BEFORE staging (fail fast, no orphan
-    // files); the commit loop re-derives it per attempt for races
+    // evolution contract and bounds-type gate checked BEFORE staging
+    // (fail fast, no orphan files); the commit loop re-derives the
+    // evolution per attempt for races
+    effBounds.foreach(k => requireIntegral(df.schema, k))
     v0.flatMap(schemaOf(fs, root, _))
       .foreach(stored => evolvedSchema(stored, df.schema, root))
     val staged = stage(spark, root, dir => df.write.parquet(dir),
@@ -558,7 +582,8 @@ object ManifestTable {
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = versions(spark, root).lastOption
-      val h = base.flatMap(headerOf(fs, root, _)).orElse(effBounds)
+      val bm = base.map(loadManifest(fs, root, _))
+      val h = bm.flatMap(_.boundsCol).orElse(effBounds)
       // the base header governs the combined manifest: staged lines
       // were stamped for effBounds, so strip their bounds (stats stay)
       // if a racing commit changed the table's bounds column underneath
@@ -567,13 +592,12 @@ object ManifestTable {
         else staged.map(l => parseEntry(l).copy(lo = None, hi = None).line)
       // schema evolution against the base's committed schema; a base
       // without one (legacy table) stays schema-less
-      val outSchema = base.flatMap(schemaOf(fs, root, _)) match {
+      val outSchema = bm.flatMap(_.schema) match {
         case Some(stored) => Some(evolvedSchema(stored, df.schema, root))
         case None if base.isEmpty => Some(asNullable(df.schema))
         case None => None
       }
-      val baseLines = base.map(v => manifestLines(fs, root, v)
-        .filterNot(_.startsWith("#"))).getOrElse(Seq.empty)
+      val baseLines = bm.map(_.entryLines).getOrElse(Seq.empty)
       val v = base.getOrElse(0) + 1
       val headers = boundsHeader(h) ++
         outSchema.map(SchemaKey -> _.json).toMap
@@ -597,11 +621,9 @@ object ManifestTable {
     val vs = versions(spark, root)
     require(vs.contains(toVersion),
       s"cannot restore $root to $toVersion (have ${vs.mkString(",")})")
-    val lines = manifestLines(fs, root, toVersion)
-      .filterNot(_.startsWith("#"))
-    val headers = headersOf(fs, root, toVersion)
+    val m = loadManifest(fs, root, toVersion)
     val v = vs.last + 1
-    if (!tryCommit(fs, root, v, lines, headers))
+    if (!tryCommit(fs, root, v, m.entryLines, m.headers))
       throw new java.util.ConcurrentModificationException(
         s"restore of $root lost the commit race for version $v; rerun")
     v
@@ -642,18 +664,19 @@ object ManifestTable {
     val fs = fsOf(spark, new Path(root))
     val (added, removed) = changedFiles(spark, root, fromVersion, toVersion)
     def side(rels: Seq[String], v: Int, tag: String): DataFrame = {
-      val schema = schemaOf(fs, root, v)
+      val m = loadManifest(fs, root, v)
       val base =
         if (rels.nonEmpty)
           readFiles(spark,
-            rels.map(r => new Path(root, r).toString), schema)
+            rels.map(r => new Path(root, r).toString), m.schema)
         else {
           // zero changed files on this side: an empty, correctly-typed
           // relation (schema from the version's header, or any file)
-          val es = manifestEntries(fs, root, v)
-          require(es.nonEmpty, s"version $v of $root lists no data files")
-          readFiles(spark, Seq(new Path(root, es.head.rel).toString),
-            schema).where(lit(false))
+          require(m.entries.nonEmpty,
+            s"version $v of $root lists no data files")
+          readFiles(spark,
+            Seq(new Path(root, m.entries.head.rel).toString),
+            m.schema).where(lit(false))
         }
       base.withColumn("_change", lit(tag))
     }
@@ -752,13 +775,14 @@ object ManifestTable {
     val baseVersion = currentVersion(spark, root)
       .getOrElse(throw new IllegalArgumentException(
         s"no committed version under $root"))
+    val m = loadManifest(fs, root, baseVersion)
     // honor stored bounds ONLY if the manifest declares them for THIS
     // key column — bounds of a different column would prune wrong files
-    val entries = entriesFor(fs, root, baseVersion, keyCol)
+    val entries = m.entriesFor(keyCol)
     require(entries.nonEmpty,
       s"version $baseVersion of $root lists no data files; " +
         "use overwrite to (re)populate an emptied table")
-    val tableSchema = schemaOf(fs, root, baseVersion)
+    val tableSchema = m.schema
     val changedKeys = removeKeys.select(col(keyCol))
       .unionByName(upserts.select(col(keyCol))).distinct()
       .localCheckpoint() // read thrice: two probes + rewrite anti-join

@@ -493,6 +493,18 @@ class ManifestTableSpec extends SparkSpec {
     assert(after === 1, s"expected 1 output file, got $after")
     assert(ManifestTable.rowCountFromStats(spark, root, Some(v3))
       .contains(docs.count()))
+    // a non-integral bounds column is rejected BEFORE any data write
+    // (collation-ordered bounds would prune wrong files; and the
+    // rejection must not strand a full staged table)
+    val root2 = freshRoot()
+    val eBounds = intercept[IllegalArgumentException] {
+      ManifestTable.overwrite(spark, root2, docs, boundsCol = Some("lang"))
+    }
+    assert(eBounds.getMessage.contains("integral"))
+    val fs2 = new Path(root2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs2.exists(new Path(root2, "data")),
+      "rejected boundsCol still staged data files")
   }
 
   test("vacuum sweeps aged .tmp-* manifest stragglers but spares young " +

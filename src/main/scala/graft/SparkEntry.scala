@@ -493,6 +493,12 @@ object SparkEntry {
     // history independently via gaps-and-islands runs.
     "q160_manifest_scd2" ->
       (graft.sources.ManifestTable.q160ManifestScd2 _),
+    // q161 is q160's history maintained by the RESTARTABLE version-tail
+    // runner (ManifestTail): each commit processed exactly once into a
+    // persisted v<N> state dir, cursor = newest _SUCCESS-marked state,
+    // kill+resume proven by spec — one oracle gates both paths.
+    "q161_manifest_tail_scd2" ->
+      (graft.sources.ManifestTable.q161ManifestTailScd2 _),
   )
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
@@ -3554,42 +3560,49 @@ object SparkEntry {
         |           UNION ALL
         |           SELECT 3, count(*) FROM documents)
         |SELECT version, n_rows FROM t ORDER BY version""".stripMargin,
-    // q160: the three snapshots reconstructed as CTEs (v1 = the raw
-    // table; v2 = the q79 recrawl; v3 = v2 minus positive %10==9 with
-    // positive %10==4 edited), then gaps-and-islands runs of identical
-    // per-version hashes give each row's [valid_from, valid_to) — the
-    // independent construction of the history the engine folds from
-    // commit deltas. Edits never revert a text, so equal hashes are
-    // always version-consecutive and the island trick is exact.
-    "q160_manifest_scd2" ->
-      """WITH v1 AS (SELECT doc_id, text FROM documents),
-        |v2 AS (SELECT doc_id,
-        |              CASE WHEN doc_id % 10 = 3 THEN text || ' updated v2'
-        |                   ELSE text END AS text
-        |       FROM documents WHERE doc_id % 10 <> 7
-        |       UNION ALL
-        |       SELECT -(doc_id + 1), text FROM documents
-        |       WHERE doc_id % 10 = 1),
-        |v3 AS (SELECT doc_id,
-        |              CASE WHEN doc_id > 0 AND doc_id % 10 = 4
-        |                   THEN text || ' updated v3'
-        |                   ELSE text END AS text
-        |       FROM v2 WHERE NOT (doc_id > 0 AND doc_id % 10 = 9)),
-        |allv AS (SELECT 1 AS v, doc_id, md5(text) AS h FROM v1
-        |         UNION ALL SELECT 2, doc_id, md5(text) FROM v2
-        |         UNION ALL SELECT 3, doc_id, md5(text) FROM v3),
-        |isl AS (SELECT doc_id, h, v,
-        |               v - row_number() OVER (PARTITION BY doc_id, h
-        |                                      ORDER BY v) AS grp
-        |        FROM allv),
-        |runs AS (SELECT doc_id, h, min(v) AS vfrom, max(v) AS vmax
-        |         FROM isl GROUP BY doc_id, h, grp)
-        |SELECT doc_id, h AS text_md5, vfrom::INT AS valid_from,
-        |       (CASE WHEN vmax = 3 THEN NULL ELSE vmax + 1 END)::INT
-        |         AS valid_to,
-        |       CASE WHEN vmax = 3 THEN 1 ELSE 0 END AS is_current
-        |FROM runs ORDER BY doc_id, valid_from""".stripMargin,
+    // q160/q161: the three snapshots reconstructed as CTEs (v1 = the
+    // raw table; v2 = the q79 recrawl; v3 = v2 minus positive %10==9
+    // with positive %10==4 edited), then gaps-and-islands runs of
+    // identical per-version hashes give each row's
+    // [valid_from, valid_to) — the independent construction of the
+    // history the engine folds from commit deltas. Edits never revert
+    // a text, so equal hashes are always version-consecutive and the
+    // island trick is exact. ONE oracle gates both maintenance paths
+    // (in-memory fold q160, restartable version-tail runner q161) —
+    // the q117/q142 shared-gate discipline.
+    "q160_manifest_scd2" -> scd2HistoryOracle,
+    "q161_manifest_tail_scd2" -> scd2HistoryOracle,
   )
+
+  /** The q160/q161 shared replay (see the comment above their entries). */
+  private val scd2HistoryOracle: String =
+    """WITH v1 AS (SELECT doc_id, text FROM documents),
+      |v2 AS (SELECT doc_id,
+      |              CASE WHEN doc_id % 10 = 3 THEN text || ' updated v2'
+      |                   ELSE text END AS text
+      |       FROM documents WHERE doc_id % 10 <> 7
+      |       UNION ALL
+      |       SELECT -(doc_id + 1), text FROM documents
+      |       WHERE doc_id % 10 = 1),
+      |v3 AS (SELECT doc_id,
+      |              CASE WHEN doc_id > 0 AND doc_id % 10 = 4
+      |                   THEN text || ' updated v3'
+      |                   ELSE text END AS text
+      |       FROM v2 WHERE NOT (doc_id > 0 AND doc_id % 10 = 9)),
+      |allv AS (SELECT 1 AS v, doc_id, md5(text) AS h FROM v1
+      |         UNION ALL SELECT 2, doc_id, md5(text) FROM v2
+      |         UNION ALL SELECT 3, doc_id, md5(text) FROM v3),
+      |isl AS (SELECT doc_id, h, v,
+      |               v - row_number() OVER (PARTITION BY doc_id, h
+      |                                      ORDER BY v) AS grp
+      |        FROM allv),
+      |runs AS (SELECT doc_id, h, min(v) AS vfrom, max(v) AS vmax
+      |         FROM isl GROUP BY doc_id, h, grp)
+      |SELECT doc_id, h AS text_md5, vfrom::INT AS valid_from,
+      |       (CASE WHEN vmax = 3 THEN NULL ELSE vmax + 1 END)::INT
+      |         AS valid_to,
+      |       CASE WHEN vmax = 3 THEN 1 ELSE 0 END AS is_current
+      |FROM runs ORDER BY doc_id, valid_from""".stripMargin
 
   /** q118/q119's shared DuckDB replay: per-position best cross-doc LCP
     * via the gaps-and-islands run trick, dup positions (>= 32) with the

@@ -458,9 +458,15 @@ object CurationPipeline {
     * equal — with `text` carried on the add side so downstream
     * refreshes never re-derive snapshot B. */
   private[graft] def cdcDocDelta(spark: SparkSession, root: String,
-                                 fromV: Int, toV: Int): DataFrame = {
-    val changes = graft.sources.ManifestTable
-      .readChangesBetween(spark, root, fromV, toV)
+                                 fromV: Int, toV: Int): DataFrame =
+    reconcileDocChanges(graft.sources.ManifestTable
+      .readChangesBetween(spark, root, fromV, toV))
+
+  /** The keyed reconcile alone, over an already-read tagged change
+    * relation (`doc_id`, `text`, `_change` = insert/delete) — split out
+    * so a version-tailing runner can fold the change sets it reads. */
+  private[graft] def reconcileDocChanges(changesIn: DataFrame): DataFrame = {
+    val changes = changesIn
       .select(col("doc_id"), col("text"), col("_change"))
       .localCheckpoint() // delta-file-sized; read twice below
     val oldSide = changes.where(col("_change") === "delete")

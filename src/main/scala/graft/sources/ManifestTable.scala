@@ -1083,9 +1083,29 @@ object ManifestTable {
     * how a dimension table tracks a fact table that rewrites daily:
     * consume commits, never compare corpora. */
   def q160ManifestScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = buildScd2DemoTable(spark, sfDir, "manifest_scd2_")
+    // the SCD2 fold: seed from v1, then apply each commit's CDC delta
+    var scd = scd2Seed(readAt(spark, root, 1))
+    val latest = currentVersion(spark, root).get
+    for (v <- 2 to latest) {
+      scd = scd2Step(scd,
+        graft.operators.CurationPipeline.cdcDocDelta(spark, root, v - 1, v),
+        v)
+        .localCheckpoint() // keep the fold's lineage flat across commits
+    }
+    presentScd2(scd)
+  }
+
+  /** The three-commit documents history q160/q161 fold: v1 = the raw
+    * table (8 doc_id-clustered bounds-stamped files), v2 = the q79
+    * recrawl as one CoW merge, v3 = a second delete+edit wave over the
+    * current table (positive ids only — the synthetic namespace stays
+    * put). Returns the table root (rebuilt fresh per call). */
+  private def buildScd2DemoTable(spark: SparkSession, sfDir: String,
+                                 prefix: String): String = {
     val root = new Path(
       spark.conf.get("spark.sql.warehouse.dir"),
-      "manifest_scd2_" + graft.Tables.dirKey(spark, sfDir)).toString
+      prefix + graft.Tables.dirKey(spark, sfDir)).toString
     val fs = fsOf(spark, new Path(root))
     if (fs.exists(new Path(root))) fs.delete(new Path(root), true)
     val docs = graft.Tables.documents(spark, sfDir)
@@ -1094,50 +1114,76 @@ object ManifestTable {
       docs.repartitionByRange(8, col("doc_id"))
         .sortWithinPartitions("doc_id"),
       boundsCol = Some("doc_id"))
-    // commit 2: the q79 recrawl (delete %10==7, edit %10==3, insert
-    // the negative-namespace re-adds)
     mergeCoW(spark, root, "doc_id",
       docs.where(col("doc_id") % 10 === 7).select("doc_id"),
       graft.operators.CurationPipeline.snapshotB(docs)
         .where(col("doc_id") % 10 === 3 || col("doc_id") < 0))
-    // commit 3: a second wave over the CURRENT table (positive ids
-    // only — the synthetic namespace stays put)
     val cur = readAt(spark, root, 2)
     mergeCoW(spark, root, "doc_id",
       cur.where(col("doc_id") > 0 && col("doc_id") % 10 === 9)
         .select("doc_id"),
       cur.where(col("doc_id") > 0 && col("doc_id") % 10 === 4)
         .withColumn("text", concat(col("text"), lit(" updated v3"))))
-    // the SCD2 fold: seed from v1, then apply each commit's CDC delta
-    var scd = readAt(spark, root, 1)
+    root
+  }
+
+  /** SCD2 state seeded from a table's FIRST committed version. */
+  private[graft] def scd2Seed(snapshotV1: DataFrame): DataFrame =
+    snapshotV1.select(col("doc_id"), md5(col("text")).as("text_md5"),
+      lit(1).as("valid_from"), lit(null).cast("int").as("valid_to"))
+
+  /** One SCD2 fold step: close the open rows of removed/modified keys
+    * at version `v`, open rows for added/modified ones — `delta` is a
+    * reconciled row-level change relation
+    * ([[graft.operators.CurationPipeline.cdcDocDelta]]'s shape). */
+  private[graft] def scd2Step(base: DataFrame, deltaIn: DataFrame,
+                              v: Int): DataFrame = {
+    val delta = deltaIn.localCheckpoint() // delta-sized; read twice
+    val closing = delta
+      .where(col("change").isin("removed", "modified"))
+      .select(col("doc_id"), lit(1).as("_close"))
+    val opening = delta
+      .where(col("change").isin("added", "modified"))
       .select(col("doc_id"), md5(col("text")).as("text_md5"),
-        lit(1).as("valid_from"), lit(null).cast("int").as("valid_to"))
-    val latest = currentVersion(spark, root).get
-    for (v <- 2 to latest) {
-      val delta = graft.operators.CurationPipeline
-        .cdcDocDelta(spark, root, v - 1, v)
-        .localCheckpoint() // delta-sized; read twice below
-      val closing = delta
-        .where(col("change").isin("removed", "modified"))
-        .select(col("doc_id"), lit(1).as("_close"))
-      val opening = delta
-        .where(col("change").isin("added", "modified"))
-        .select(col("doc_id"), md5(col("text")).as("text_md5"),
-          lit(v).as("valid_from"), lit(null).cast("int").as("valid_to"))
-      scd = scd
-        .join(closing, Seq("doc_id"), "left")
-        .withColumn("valid_to",
-          when(col("_close") === 1 && col("valid_to").isNull, lit(v))
-            .otherwise(col("valid_to")))
-        .drop("_close")
-        .unionByName(opening)
-        .localCheckpoint() // keep the fold's lineage flat across commits
-    }
+        lit(v).as("valid_from"), lit(null).cast("int").as("valid_to"))
+    base
+      .join(closing, Seq("doc_id"), "left")
+      .withColumn("valid_to",
+        when(col("_close") === 1 && col("valid_to").isNull, lit(v))
+          .otherwise(col("valid_to")))
+      .drop("_close")
+      .unionByName(opening)
+  }
+
+  private[graft] def presentScd2(scd: DataFrame): DataFrame =
     scd
       .withColumn("is_current",
         when(col("valid_to").isNull, 1).otherwise(0))
       .select("doc_id", "text_md5", "valid_from", "valid_to", "is_current")
       .orderBy("doc_id", "valid_from")
+
+  /** Q161: the same SCD2 history as q160, maintained by the RESTARTABLE
+    * version-tail runner ([[ManifestTail]]) instead of an in-memory
+    * fold: each committed version is processed EXACTLY ONCE into a
+    * persisted state dir (`v<N>` + `_SUCCESS`), the cursor is the
+    * newest complete state, and a killed/restarted runner resumes from
+    * it — the spec kills the catch-up mid-history and proves the resume
+    * converges to the identical table; this query runs the full
+    * catch-up and presents the final state, so the q160 oracle gates
+    * the runner's end state row-for-row (one oracle, two maintenance
+    * paths — q117/q142's shared-gate discipline). */
+  def q161ManifestTailScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = buildScd2DemoTable(spark, sfDir, "manifest_tail_")
+    val stateDir = new Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      "manifest_tailstate_" + graft.Tables.dirKey(spark, sfDir)).toString
+    val fs = fsOf(spark, new Path(stateDir))
+    if (fs.exists(new Path(stateDir))) fs.delete(new Path(stateDir), true)
+    ManifestTail.catchUp(spark, root, stateDir)(
+      seed = v1 => scd2Seed(v1),
+      fold = (base, changes, v) => scd2Step(base,
+        graft.operators.CurationPipeline.reconcileDocChanges(changes), v))
+    presentScd2(ManifestTail.currentState(spark, stateDir).get)
   }
 
   /** Retire history: keep the newest `retain` manifests, delete older

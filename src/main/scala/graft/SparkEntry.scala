@@ -499,6 +499,13 @@ object SparkEntry {
     // kill+resume proven by spec — one oracle gates both paths.
     "q161_manifest_tail_scd2" ->
       (graft.sources.ManifestTable.q161ManifestTailScd2 _),
+    // q162 is the manifest format's multi-column stats (v4) under the
+    // z-order layout: per-file [lo, hi] on BOTH rectangle dimensions,
+    // file set decided by readWhereRect from the manifest alone — 2-D
+    // skipping before any footer read; spec pins the 2-D set strictly
+    // smaller than either single dimension's.
+    "q162_zorder_manifest_rect" ->
+      (graft.sources.ZOrderLayout.q162ZOrderManifestRect _),
   )
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
@@ -3572,6 +3579,24 @@ object SparkEntry {
     // the q117/q142 shared-gate discipline.
     "q160_manifest_scd2" -> scd2HistoryOracle,
     "q161_manifest_tail_scd2" -> scd2HistoryOracle,
+    // q162: the q130 rectangle (same integer bounds arithmetic)
+    // re-aggregated straight from parquet — per-row cent recovery
+    // (round(x*100), exact on 2-decimal values) so the money sum is an
+    // exact integer on both engines.
+    "q162_zorder_manifest_rect" ->
+      """WITH b AS (SELECT max(user_id) AS umax,
+        |                  min(epoch_us(ts)) AS tmin,
+        |                  max(epoch_us(ts)) AS tmax FROM events),
+        |r AS (SELECT umax // 10 AS uhi,
+        |             tmin + (tmax - tmin) // 4 AS tlo,
+        |             tmin + (tmax - tmin) * 3 // 4 AS thi FROM b)
+        |SELECT event_type, count(*) AS n_events,
+        |       sum(user_id)::BIGINT AS sum_user_id,
+        |       sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+        |FROM events, r
+        |WHERE user_id >= 0 AND user_id <= uhi
+        |  AND epoch_us(ts) >= tlo AND epoch_us(ts) <= thi
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 
   /** The q160/q161 shared replay (see the comment above their entries). */

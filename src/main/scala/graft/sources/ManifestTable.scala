@@ -148,35 +148,48 @@ object ManifestTable {
     *    key column the `#boundscol=` header names);
     *  - format v3: `rel<TAB>lo<TAB>hi<TAB>rows<TAB>bytes` (bounds may be
     *    `-` when the key was all-null or no bounds column was declared;
-    *    rows/bytes are the file's row count and size).
-    * All three coexist in one manifest, so old tables read fine and
+    *    rows/bytes are the file's row count and size);
+    *  - format v4: v3 plus one `<TAB>lo<TAB>hi` pair per EXTRA stats
+    *    column the `#statscols=` header names, in header order — the
+    *    multi-column file statistics Iceberg/Delta ship, enabling
+    *    file skipping on non-key predicates ([[readWhereRect]]).
+    * All four coexist in one manifest, so old tables read fine and
     * every consumer falls back field-by-field ("unknown = may contain
     * any key" / "no stats = scan to count"). */
   private[sources] case class Entry(rel: String, lo: Option[Long],
                                     hi: Option[Long],
                                     rows: Option[Long] = None,
-                                    bytes: Option[Long] = None) {
+                                    bytes: Option[Long] = None,
+                                    extra: Seq[Option[(Long, Long)]] =
+                                      Seq.empty) {
     def line: String = {
+      def pair(p: Option[(Long, Long)]): String =
+        p.map { case (a, b) => s"$a\t$b" }.getOrElse("-\t-")
       val b = (for (a <- lo; c <- hi) yield s"$a\t$c").getOrElse(
         if (rows.isDefined) "-\t-" else "")
       (rows, bytes) match {
-        case (Some(r), Some(s)) => s"$rel\t$b\t$r\t$s"
+        case (Some(r), Some(s)) =>
+          (s"$rel\t$b\t$r\t$s" +: extra.map(pair)).mkString("\t")
         case _ => if (b.isEmpty) rel else s"$rel\t$b"
       }
     }
   }
 
-  private def parseEntry(line: String): Entry = line.split('\t') match {
-    case Array(rel, a, b, r, s) =>
-      val bounds = for (x <- a.toLongOption; y <- b.toLongOption)
-        yield (x, y)
-      Entry(rel, bounds.map(_._1), bounds.map(_._2),
-        r.toLongOption, s.toLongOption)
-    case Array(rel, a, b) =>
-      val bounds = for (x <- a.toLongOption; y <- b.toLongOption)
-        yield (x, y)
-      Entry(rel, bounds.map(_._1), bounds.map(_._2))
-    case _ => Entry(line, None, None)
+  private def parseEntry(line: String): Entry = {
+    def bounds(a: String, b: String): Option[(Long, Long)] =
+      for (x <- a.toLongOption; y <- b.toLongOption) yield (x, y)
+    line.split('\t') match {
+      case f if f.length >= 5 && f.length % 2 == 1 =>
+        val b = bounds(f(1), f(2))
+        val extra = f.drop(5).grouped(2).toSeq
+          .map(p => bounds(p(0), p(1)))
+        Entry(f(0), b.map(_._1), b.map(_._2),
+          f(3).toLongOption, f(4).toLongOption, extra)
+      case Array(rel, a, b) =>
+        val bd = bounds(a, b)
+        Entry(rel, bd.map(_._1), bd.map(_._2))
+      case _ => Entry(line, None, None)
+    }
   }
 
   // -------------------------------------------------------------------
@@ -194,6 +207,9 @@ object ManifestTable {
   /** The committed table schema as `StructType.json` (one line, no tabs
     * or newlines) — the same role Delta's log metadata plays. */
   private val SchemaKey = "schema"
+  /** The EXTRA stats columns (comma-joined, in entry-line pair order)
+    * whose per-file [lo, hi] follow the v3 fields — format v4. */
+  private val StatsKey = "statscols"
 
   /** One committed manifest, parsed ONCE — every operation loads this
     * a single time and derives headers/entries/schema from it, instead
@@ -203,13 +219,27 @@ object ManifestTable {
                                   entryLines: Seq[String]) {
     lazy val entries: Seq[Entry] = entryLines.map(parseEntry)
     def boundsCol: Option[String] = headers.get(BoundsKey)
+    def statsCols: Seq[String] = headers.get(StatsKey)
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
     def schema: Option[StructType] = headers.get(SchemaKey)
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
-    /** Entries with bounds kept only if the header declares them for
-      * `keyCol` (else stripped — a mismatched key must never prune). */
+    /** The stored [lo, hi] of `col` for one entry, from whichever
+      * header declares it — the PRIMARY bounds column or an extra
+      * stats column; None when this manifest carries no stats for it
+      * (a mismatched column must never prune). */
+    def boundsOf(e: Entry, col: String): Option[(Long, Long)] =
+      if (boundsCol.contains(col)) for (a <- e.lo; b <- e.hi) yield (a, b)
+      else statsCols.indexOf(col) match {
+        case -1 => None
+        case i => e.extra.lift(i).flatten
+      }
+    /** Entries with bounds (from either header source) resolved for
+      * `keyCol` into the primary lo/hi slots. */
     def entriesFor(keyCol: String): Seq[Entry] =
-      if (boundsCol.contains(keyCol)) entries
-      else entries.map(e => e.copy(lo = None, hi = None))
+      entries.map { e =>
+        val b = boundsOf(e, keyCol)
+        e.copy(lo = b.map(_._1), hi = b.map(_._2))
+      }
   }
 
   private def loadManifest(fs: FileSystem, root: String,
@@ -340,6 +370,46 @@ object ManifestTable {
       col(keyCol).isin(keys: _*))
   }
 
+  /** MULTI-COLUMN rectangle read (format v4's payoff): keep only the
+    * files whose stored per-column [lo, hi] intersect EVERY requested
+    * range — a file is skipped as soon as ONE dimension's stats rule it
+    * out, so a clustered layout whose files are hyper-rectangles (the
+    * Z-order layout) gets genuine multi-dimensional skipping from the
+    * MANIFEST alone, before any footer is opened. Ranges are in each
+    * column's stored stats unit (integral value, or epoch MICROS for a
+    * timestamp column — the residual filter converts back via
+    * `timestamp_micros`, which pushes to the parquet scan). Columns
+    * without stored stats never prune (unknown = may contain anything). */
+  def readWhereRect(spark: SparkSession, root: String,
+                    ranges: Seq[(String, Long, Long)]): DataFrame = {
+    require(ranges.nonEmpty, "empty range list")
+    ranges.foreach { case (k, lo, hi) =>
+      require(lo <= hi, s"empty range [$lo, $hi] on $k") }
+    val fs = fsOf(spark, new Path(root))
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed version under $root"))
+    val m = loadManifest(fs, root, v)
+    require(m.entries.nonEmpty, s"version $v of $root lists no data files")
+    val kept = m.entries.filter(e => ranges.forall { case (k, lo, hi) =>
+      m.boundsOf(e, k).forall { case (flo, fhi) => flo <= hi && fhi >= lo }
+    })
+    def residual(k: String, lo: Long, hi: Long) = {
+      val isTs = m.schema.exists(_(k).dataType ==
+        org.apache.spark.sql.types.TimestampType)
+      if (isTs) col(k) >= timestamp_micros(lit(lo)) &&
+        col(k) <= timestamp_micros(lit(hi))
+      else col(k) >= lo && col(k) <= hi
+    }
+    val pred = ranges.map { case (k, lo, hi) => residual(k, lo, hi) }
+      .reduce(_ && _)
+    if (kept.isEmpty)
+      readFiles(spark, Seq(new Path(root, m.entries.head.rel).toString),
+        m.schema).where(lit(false))
+    else
+      readFiles(spark, kept.map(e =>
+        new Path(root, e.rel).toString), m.schema).where(pred)
+  }
+
   /** Shared bounds-pruned read: keep files whose (present AND
     * header-matching) bounds satisfy `boundsHit`; files with unknown or
     * differently-keyed bounds are always read (unknown = may contain
@@ -388,15 +458,34 @@ object ManifestTable {
         "prune wrong files")
   }
 
+  /** The aggregation expression that turns a column into its stored
+    * long stats value: integral columns cast (BEFORE aggregating, so
+    * [lo, hi] ordering is numeric), timestamps become epoch MICROS
+    * (matching `TIMESTAMP_MICROS` parquet encoding; consumers compare
+    * via `timestamp_micros`). Anything else is rejected — a
+    * collation-ordered min/max would prune wrong files. */
+  private def statExpr(schema: StructType,
+                       k: String): org.apache.spark.sql.Column = {
+    val dt = schema(k).dataType
+    if (isIntegral(dt)) col(k).cast("long")
+    else if (dt == org.apache.spark.sql.types.TimestampType)
+      unix_micros(col(k))
+    else throw new IllegalArgumentException(
+      s"stats column $k must be integral or timestamp (stats are " +
+        s"stored as long [lo, hi] in numeric order); got $dt")
+  }
+
   /** Write `df`'s rows as immutable files under a fresh commit subdir and
     * return their manifest entry lines — NOT yet visible to any reader
     * (no manifest references them until a commit does). Every line
     * carries format-v3 stats (row count + size); `boundsCol` adds the
-    * per-file [lo, hi] key bounds. */
+    * per-file [lo, hi] key bounds, `statsCols` one extra [lo, hi] pair
+    * per column (format v4). */
   private def stage(spark: SparkSession, root: String,
                     write: String => Unit,
                     allowEmpty: Boolean = false,
-                    boundsCol: Option[String] = None): Seq[String] = {
+                    boundsCol: Option[String] = None,
+                    statsCols: Seq[String] = Seq.empty): Seq[String] = {
     val rel = s"data/c-${UUID.randomUUID().toString.take(12)}"
     val dir = new Path(root, rel)
     write(dir.toString)
@@ -406,44 +495,45 @@ object ManifestTable {
       .map(f => f.getPath.getName -> f.getLen).toMap
     require(allowEmpty || staged.nonEmpty, "commit staged zero data files")
     if (staged.isEmpty) return Seq.empty
-    // per-file stats for the manifest (format v3): one pass over the
+    // per-file stats for the manifest (formats v3/v4): ONE pass over the
     // files JUST written — the price is paid once at write time so every
     // later merge/range read can prune, and every count can answer, from
     // the manifest alone, never scanning the snapshot. (A production
     // format takes the same stats from the parquet footers the write
-    // already produced; this pass reads only the key column — or zero
+    // already produced; this pass reads only the stats columns — or zero
     // columns for a count — which parquet serves without touching the
     // other column chunks.)
     val justWritten = spark.read.parquet(dir.toString)
-    val perFile: Map[String, (Option[(Long, Long)], Long)] = boundsCol match {
-      case Some(k) =>
-        // cast BEFORE aggregating so the [lo, hi] ordering is numeric —
-        // the integral-type gate (checked by the caller BEFORE the data
-        // write, re-asserted here as the format's invariant) makes the
-        // cast total
-        requireIntegral(justWritten.schema, k)
-        justWritten
-          .groupBy(input_file_name().as("_f"))
-          .agg(min(col(k).cast("long")).as("lo"),
-            max(col(k).cast("long")).as("hi"),
-            count(lit(1)).as("n"))
-          .collect().map { r =>
-            new Path(r.getString(0)).getName ->
-              ((if (r.isNullAt(1) || r.isNullAt(2)) None
-                else Some((r.getLong(1), r.getLong(2)))), r.getLong(3))
-          }.toMap
-      case None =>
-        justWritten.groupBy(input_file_name().as("_f"))
-          .agg(count(lit(1)).as("n"))
-          .collect().map(r =>
-            new Path(r.getString(0)).getName ->
-              ((None: Option[(Long, Long)]), r.getLong(1))).toMap
+    boundsCol.foreach(k => requireIntegral(justWritten.schema, k))
+    val statCols: Seq[(String, org.apache.spark.sql.Column)] =
+      boundsCol.map(k => k -> col(k).cast("long")).toSeq ++
+        statsCols.map(k => k -> statExpr(justWritten.schema, k))
+    val aggs = statCols.zipWithIndex.flatMap { case ((_, e), i) =>
+      Seq(min(e).as(s"_lo$i"), max(e).as(s"_hi$i"))
+    } :+ count(lit(1)).as("_n")
+    val perFile: Map[String, (Seq[Option[(Long, Long)]], Long)] =
+      justWritten
+        .groupBy(input_file_name().as("_f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          val pairs = statCols.indices.map { i =>
+            if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
+            else Some((r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
+          }
+          new Path(r.getString(0)).getName ->
+            ((pairs, r.getLong(1 + 2 * statCols.size)))
+        }.toMap
+    def entryOf(name: String, bytes: Long,
+                pairs: Seq[Option[(Long, Long)]], n: Long): Entry = {
+      val (primary, extra) =
+        if (boundsCol.isDefined) (pairs.head, pairs.tail)
+        else (None, pairs)
+      Entry(s"$rel/$name", primary.map(_._1), primary.map(_._2),
+        Some(n), Some(bytes), extra)
     }
     val lines = staged.toSeq.sortBy(_._1).flatMap { case (name, bytes) =>
       perFile.get(name) match {
-        case Some((bounds, n)) =>
-          Some(Entry(s"$rel/$name", bounds.map(_._1), bounds.map(_._2),
-            Some(n), Some(bytes)).line)
+        case Some((pairs, n)) => Some(entryOf(name, bytes, pairs, n).line)
         // ZERO rows (no group at all): a writer task that got an empty
         // partition — the file contributes nothing, drop it from the
         // manifest rather than carrying an unprunable line
@@ -512,16 +602,20 @@ object ManifestTable {
     * than silently dropping the interleaved commit's rows. */
   def overwrite(spark: SparkSession, root: String, df: DataFrame,
                 expectedBase: Option[Int] = None,
-                boundsCol: Option[String] = None): Int = {
+                boundsCol: Option[String] = None,
+                statsCols: Seq[String] = Seq.empty): Int = {
     val fs = fsOf(spark, new Path(root))
     val base = expectedBase.getOrElse(currentVersion(spark, root)
       .getOrElse(0))
-    // fail fast BEFORE the data write: an invalid bounds column must
-    // not burn a full table write and strand it as orphans
+    // fail fast BEFORE the data write: an invalid bounds/stats column
+    // must not burn a full table write and strand it as orphans
     boundsCol.foreach(k => requireIntegral(df.schema, k))
+    statsCols.foreach(k => statExpr(df.schema, k))
     val staged = stage(spark, root, dir => df.write.parquet(dir),
-      boundsCol = boundsCol)
-    val headers = boundsHeader(boundsCol) + schemaHeader(df.schema)
+      boundsCol = boundsCol, statsCols = statsCols)
+    val headers = boundsHeader(boundsCol) ++
+      (if (statsCols.nonEmpty) Map(StatsKey -> statsCols.mkString(","))
+       else Map.empty[String, String]) + schemaHeader(df.schema)
     if (!tryCommit(fs, root, base + 1, staged, headers))
       throw new java.util.ConcurrentModificationException(
         s"version ${base + 1} of $root was committed concurrently; " +
@@ -600,6 +694,9 @@ object ManifestTable {
       val baseLines = bm.map(_.entryLines).getOrElse(Seq.empty)
       val v = base.getOrElse(0) + 1
       val headers = boundsHeader(h) ++
+        // the base's extra-stats header survives: its lines keep their
+        // pairs; this commit's new lines carry none (unknown = read)
+        bm.flatMap(_.headers.get(StatsKey)).map(StatsKey -> _).toMap ++
         outSchema.map(SchemaKey -> _.json).toMap
       if (tryCommit(fs, root, v, baseLines ++ stagedOut, headers)) return v
       attempt += 1
@@ -777,7 +874,8 @@ object ManifestTable {
         s"no committed version under $root"))
     val m = loadManifest(fs, root, baseVersion)
     // honor stored bounds ONLY if the manifest declares them for THIS
-    // key column — bounds of a different column would prune wrong files
+    // key column (as the primary bounds column or an extra stats
+    // column) — bounds of a different column would prune wrong files
     val entries = m.entriesFor(keyCol)
     require(entries.nonEmpty,
       s"version $baseVersion of $root lists no data files; " +
@@ -846,8 +944,15 @@ object ManifestTable {
         .toSet
     }
     val affectedRels = boundedAffected ++ unboundedAffected
-    val (rewriteE, carryE) = entries.partition(e =>
-      affectedRels.contains(e.rel))
+    val rewriteE = entries.filter(e => affectedRels.contains(e.rel))
+    // carried lines: VERBATIM when the merge key is the table's primary
+    // bounds column (extra stats pairs stay attributed under the kept
+    // headers); under a different key the primary slots are re-resolved
+    // for keyCol (the new header) and any extra pairs go dormant (a
+    // pair without its header line is never consulted — safe, unpruned)
+    val headerMatches = m.boundsCol.contains(keyCol)
+    val carryE = (if (headerMatches) m.entries else entries)
+      .filterNot(e => affectedRels.contains(e.rel))
     // align the upserts to the table's column order — and REJECT an
     // upsert that carries columns the table lacks: silently dropping
     // them would lose data (widen the schema via append/overwrite first)
@@ -887,6 +992,10 @@ object ManifestTable {
       s"merge would leave $root with no data files; " +
         "use overwrite to truncate a table")
     val headers = boundsHeader(stampCol) ++
+      // extra stats survive a merge only under their declaring header —
+      // and only when the primary key kept its meaning (see carryE)
+      (if (headerMatches) m.headers.get(StatsKey).map(StatsKey -> _).toMap
+       else Map.empty[String, String]) ++
       tableSchema.map(SchemaKey -> _.json).toMap
     if (!tryCommit(fs, root, baseVersion + 1, outLines, headers))
       throw new java.util.ConcurrentModificationException(

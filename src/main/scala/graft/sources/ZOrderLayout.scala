@@ -149,4 +149,47 @@ object ZOrderLayout {
         col("event_type"), col("zv"))
       .orderBy("event_id")
   }
+
+  /** Q162: the Z-layout's rectangle served by MANIFEST-level 2-D file
+    * skipping (format v4) — q130 pruned through parquet's per-file
+    * column statistics at scan time; here the same z-clustered events
+    * land as a manifest table with PER-FILE [lo, hi] stats on BOTH
+    * rectangle dimensions (`statsCols = user_id, ts` — one stamped pass
+    * at write time), and [[ManifestTable.readWhereRect]] decides the
+    * file set from the manifest alone: a file is skipped the moment ONE
+    * dimension's stats miss the rectangle, before any footer is opened
+    * or directory listed. The z-clustering is what makes those stats
+    * tight hyper-rectangles — without it every file spans both domains
+    * and nothing prunes (the spec pins the 2-D file set strictly
+    * smaller than either single dimension's). The oracle recomputes the
+    * rectangle aggregate straight from parquet with the same integer
+    * bounds arithmetic, so a wrongly-skipped file (missing rows) or an
+    * unapplied residual (extra rows) fires the hash gate. */
+  def q162ZOrderManifestRect(spark: SparkSession,
+                             sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      "manifest_zrect_" + Tables.dirKey(spark, sfDir)).toString
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(root))) fs.delete(new Path(root), true)
+    val (uMax, tMin, tMax) = boundsOf(spark, sfDir)
+    val z = Tables.events(spark, sfDir)
+      .withColumn("zv", zValue(
+        zBucket("user_id", 0L, uMax),
+        zBucket("unix_micros(ts)", tMin, tMax)))
+      .repartitionByRange(64, col("zv"))
+      .sortWithinPartitions("zv")
+    ManifestTable.overwrite(spark, root, z,
+      statsCols = Seq("user_id", "ts"))
+    val (uHi, tLo, tHi) = rectangleOf(spark, sfDir)
+    ManifestTable.readWhereRect(spark, root,
+        Seq(("user_id", 0L, uHi), ("ts", tLo, tHi)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("user_id")).as("sum_user_id"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy("event_type")
+  }
 }

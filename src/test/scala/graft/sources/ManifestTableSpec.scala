@@ -585,6 +585,49 @@ class ManifestTableSpec extends SparkSpec {
     }
   }
 
+  test("readWhereRect (format v4): 2-D manifest skipping on the " +
+      "z-clustered layout — correct rows, fewer files than either " +
+      "single dimension") {
+    import graft.sources.{ZOrderLayout => Z}
+    // sf0.01 so 64 files have real per-file stat granularity
+    val dir = "/root/testdata/sf0.01"
+    val root = freshRoot()
+    val (uMax, tMin, tMax) = Z.boundsOf(spark, dir)
+    val z = graft.Tables.events(spark, dir)
+      .withColumn("zv", Z.zValue(
+        expr(Z.zBucketSql("user_id", "0", (uMax + 1).toString, "DIV")),
+        expr(Z.zBucketSql("unix_micros(ts)", tMin.toString,
+          (tMax - tMin + 1).toString, "DIV"))))
+      .repartitionByRange(64, col("zv"))
+      .sortWithinPartitions("zv")
+    ManifestTable.overwrite(spark, root, z,
+      statsCols = Seq("user_id", "ts"))
+    val (uHi, tLo, tHi) = Z.rectangleOf(spark, dir)
+    val both = ManifestTable.readWhereRect(spark, root,
+      Seq(("user_id", 0L, uHi), ("ts", tLo, tHi)))
+    // rows equal the unpruned filter
+    val expect = ManifestTable.read(spark, root)
+      .where(col("user_id") >= 0 && col("user_id") <= uHi &&
+        col("ts") >= lit(Z.tsOfMicros(tLo)) &&
+        col("ts") <= lit(Z.tsOfMicros(tHi)))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(both.select("event_id").collect().map(_.getLong(0)).sorted
+      .toSeq === expect.toSeq)
+    // 2-D skipping: strictly fewer files than EITHER dimension alone —
+    // the z-clustering makes every file a (user, time) tile, so each
+    // dimension prunes independently and the intersection compounds
+    val total = ManifestTable.snapshot(spark, root).files.size
+    val uOnly = ManifestTable.readWhereRect(spark, root,
+      Seq(("user_id", 0L, uHi))).inputFiles.length
+    val tOnly = ManifestTable.readWhereRect(spark, root,
+      Seq(("ts", tLo, tHi))).inputFiles.length
+    val n2d = both.inputFiles.length
+    assert(n2d < total, s"nothing pruned: $n2d of $total")
+    assert(n2d < uOnly && n2d < tOnly,
+      s"2-D set not smaller than 1-D: $n2d vs user=$uOnly, ts=$tOnly " +
+        s"(of $total)")
+  }
+
   test("stale-base overwrite aborts rather than clobbering the " +
       "concurrent commit") {
     val root = freshRoot()

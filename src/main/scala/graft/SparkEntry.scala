@@ -506,6 +506,13 @@ object SparkEntry {
     // smaller than either single dimension's.
     "q162_zorder_manifest_rect" ->
       (graft.sources.ZOrderLayout.q162ZOrderManifestRect _),
+    // q163 is the manifest format's per-file Bloom filters (v5): point
+    // lookups on a column the table is NOT clustered by skip from the
+    // sidecar filters alone (stats can't — every file's [lo, hi] on a
+    // scattered column spans the domain); spec pins the skipping, the
+    // oracle pins no-false-negatives.
+    "q163_manifest_bloom_point" ->
+      (graft.sources.ManifestTable.q163ManifestBloomPoint _),
   )
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
@@ -3597,6 +3604,16 @@ object SparkEntry {
         |WHERE user_id >= 0 AND user_id <= uhi
         |  AND epoch_us(ts) >= tlo AND epoch_us(ts) <= thi
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q163: the same 5-probe IN straight off parquet; integer-exact
+    // quantity sum (round-to-long per row) so addition order is moot.
+    "q163_manifest_bloom_point" ->
+      """WITH p AS (SELECT DISTINCT l_partkey FROM lineitem
+        |           ORDER BY l_partkey LIMIT 5)
+        |SELECT l_partkey, count(*) AS n_rows,
+        |       sum(l_orderkey)::BIGINT AS sum_orderkey,
+        |       sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty
+        |FROM lineitem WHERE l_partkey IN (SELECT l_partkey FROM p)
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
   )
 
   /** The q160/q161 shared replay (see the comment above their entries). */

@@ -210,6 +210,23 @@ object ManifestTable {
   /** The EXTRA stats columns (comma-joined, in entry-line pair order)
     * whose per-file [lo, hi] follow the v3 fields — format v4. */
   private val StatsKey = "statscols"
+  /** Format v5: the columns (comma-joined) carrying per-file BLOOM
+    * filters for point-lookup pruning ([[readWherePointEquals]]) —
+    * min/max bounds can't skip anything for an equality probe on a
+    * column the table is NOT clustered by (every file's [lo, hi] spans
+    * the domain), which is exactly the case Parquet's bloom pages and
+    * Delta's bloom index files exist for. Filters live in one sidecar
+    * per commit directory per column (`data/c-<uuid>/_bloom.<col>`, a
+    * filename → serialized-filter map), so they ride along with their
+    * data files: [[append]] copies manifest lines verbatim and the
+    * sidecars stay put; [[vacuum]] removes them with their commit dir.
+    * A file without a sidecar entry (pre-v5 commit, or a writer that
+    * couldn't stamp the column) is simply never skipped — the same
+    * "unknown = may contain anything" fallback every other stat uses. */
+  private val BloomKey = "bloomcols"
+  /** Per-file false-positive rate; a false positive costs one wasted
+    * file read, a false negative cannot happen — skipping is sound. */
+  private val BloomFpp = 0.01
 
   /** One committed manifest, parsed ONCE — every operation loads this
     * a single time and derives headers/entries/schema from it, instead
@@ -220,6 +237,8 @@ object ManifestTable {
     lazy val entries: Seq[Entry] = entryLines.map(parseEntry)
     def boundsCol: Option[String] = headers.get(BoundsKey)
     def statsCols: Seq[String] = headers.get(StatsKey)
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+    def bloomCols: Seq[String] = headers.get(BloomKey)
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
     def schema: Option[StructType] = headers.get(SchemaKey)
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
@@ -410,6 +429,66 @@ object ManifestTable {
         new Path(root, e.rel).toString), m.schema).where(pred)
   }
 
+  /** POINT-LOOKUP read (format v5's payoff): `column IN (values)`
+    * pruned by BOTH metadata tiers — per-file [lo, hi] stats first
+    * (free, already loaded), then the per-file Bloom filters when the
+    * table declares `column` in `#bloomcols=`. The bloom tier is what
+    * makes this useful on a column the table is NOT clustered by:
+    * there every file's [lo, hi] spans the whole domain and stats keep
+    * everything, while the filters skip every file the probe value is
+    * definitely absent from (false positives cost one wasted read at
+    * the stamped 1% rate; false negatives cannot happen). Values are in
+    * the column's stored stats unit (integral value, or epoch MICROS
+    * for a timestamp column — the residual filter compares via
+    * `timestamp_micros`, which pushes to the parquet scan). One sidecar
+    * open per commit directory, not per file. */
+  def readWherePointIn(spark: SparkSession, root: String,
+                       column: String, values: Seq[Long]): DataFrame = {
+    require(values.nonEmpty, "empty probe-value set")
+    val fs = fsOf(spark, new Path(root))
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed version under $root"))
+    val m = loadManifest(fs, root, v)
+    val entries = m.entriesFor(column)
+    require(entries.nonEmpty, s"version $v of $root lists no data files")
+    val statsKept = entries.filter(e =>
+      e.lo.isEmpty || e.hi.isEmpty ||
+        values.exists(x => e.lo.get <= x && x <= e.hi.get))
+    val kept =
+      if (!m.bloomCols.contains(column)) statsKept
+      else {
+        val cache = scala.collection.mutable.Map
+          .empty[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
+        statsKept.filter { e =>
+          val slash = e.rel.lastIndexOf('/')
+          val (dirRel, name) =
+            (e.rel.substring(0, math.max(0, slash)),
+              e.rel.substring(slash + 1))
+          val blooms = cache.getOrElseUpdate(dirRel,
+            readBloomSidecar(fs,
+              new Path(new Path(root, dirRel), s"_bloom.$column")))
+          // no sidecar entry (pre-v5 file) => may contain anything
+          blooms.get(name).forall(b => values.exists(b.mightContainLong))
+        }
+      }
+    val isTs = m.schema.exists(_(column).dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val pred =
+      if (isTs) values.map(x => col(column) === timestamp_micros(lit(x)))
+        .reduce(_ || _)
+      else col(column).isin(values: _*)
+    if (kept.isEmpty)
+      readFiles(spark, Seq(new Path(root, entries.head.rel).toString),
+        m.schema).where(lit(false))
+    else
+      readFiles(spark, kept.map(e =>
+        new Path(root, e.rel).toString), m.schema).where(pred)
+  }
+
+  def readWherePointEquals(spark: SparkSession, root: String,
+                           column: String, value: Long): DataFrame =
+    readWherePointIn(spark, root, column, Seq(value))
+
   /** Shared bounds-pruned read: keep files whose (present AND
     * header-matching) bounds satisfy `boundsHit`; files with unknown or
     * differently-keyed bounds are always read (unknown = may contain
@@ -475,17 +554,57 @@ object ManifestTable {
         s"stored as long [lo, hi] in numeric order); got $dt")
   }
 
+  // -------------------------------------------------------------------
+  // Bloom sidecars (format v5)
+  // -------------------------------------------------------------------
+
+  /** Sidecar layout: `writeInt(n)` then n × (`writeUTF(fileName)`,
+    * `writeInt(len)`, filter bytes) — one file per commit dir per
+    * column, marker-prefixed so data listings and [[vacuum]]'s
+    * per-file sweep never see it as data. */
+  private def writeBloomSidecar(fs: FileSystem, path: Path,
+                                blooms: Seq[(String, Array[Byte])]): Unit = {
+    val out = new java.io.DataOutputStream(fs.create(path, true))
+    try {
+      out.writeInt(blooms.size)
+      blooms.foreach { case (name, bytes) =>
+        out.writeUTF(name)
+        out.writeInt(bytes.length)
+        out.write(bytes)
+      }
+    } finally out.close()
+  }
+
+  /** Missing sidecar (pre-v5 commit) → empty map → nothing skipped. */
+  private def readBloomSidecar(fs: FileSystem, path: Path)
+      : Map[String, org.apache.spark.util.sketch.BloomFilter] = {
+    if (!fs.exists(path)) return Map.empty
+    val in = new java.io.DataInputStream(fs.open(path))
+    try {
+      val n = in.readInt()
+      (0 until n).map { _ =>
+        val name = in.readUTF()
+        val bytes = new Array[Byte](in.readInt())
+        in.readFully(bytes)
+        name -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bytes))
+      }.toMap
+    } finally in.close()
+  }
+
   /** Write `df`'s rows as immutable files under a fresh commit subdir and
     * return their manifest entry lines — NOT yet visible to any reader
     * (no manifest references them until a commit does). Every line
     * carries format-v3 stats (row count + size); `boundsCol` adds the
     * per-file [lo, hi] key bounds, `statsCols` one extra [lo, hi] pair
-    * per column (format v4). */
+    * per column (format v4), `bloomCols` one per-file Bloom filter per
+    * column in the commit dir's sidecars (format v5). */
   private def stage(spark: SparkSession, root: String,
                     write: String => Unit,
                     allowEmpty: Boolean = false,
                     boundsCol: Option[String] = None,
-                    statsCols: Seq[String] = Seq.empty): Seq[String] = {
+                    statsCols: Seq[String] = Seq.empty,
+                    bloomCols: Seq[String] = Seq.empty): Seq[String] = {
     val rel = s"data/c-${UUID.randomUUID().toString.take(12)}"
     val dir = new Path(root, rel)
     write(dir.toString)
@@ -523,6 +642,29 @@ object ManifestTable {
           new Path(r.getString(0)).getName ->
             ((pairs, r.getLong(1 + 2 * statCols.size)))
         }.toMap
+    // format v5: one Bloom filter per file per declared column, sized by
+    // the largest file's row count (known from the stats pass above).
+    // ONE more pass reading only the bloom columns; the per-file filters
+    // come back through the driver, which writes one sidecar per column
+    // into the commit dir — at this design's driver-manifest scale
+    // that's the same shape as the stats collect (a production format
+    // would emit per-file sidecars from the writer tasks themselves).
+    if (bloomCols.nonEmpty && perFile.nonEmpty) {
+      val expected = math.max(1L, perFile.valuesIterator.map(_._2).max)
+      val bAggs = bloomCols.zipWithIndex.map { case (k, i) =>
+        graft.functions.BloomAgg.sketch(
+          statExpr(justWritten.schema, k), expected, BloomFpp).as(s"_b$i")
+      }
+      val rows = justWritten
+        .groupBy(input_file_name().as("_f"))
+        .agg(bAggs.head, bAggs.tail: _*)
+        .collect()
+      bloomCols.zipWithIndex.foreach { case (k, i) =>
+        writeBloomSidecar(fs, new Path(dir, s"_bloom.$k"),
+          rows.toSeq.map(r => new Path(r.getString(0)).getName ->
+            r.getAs[Array[Byte]](1 + i)).sortBy(_._1))
+      }
+    }
     def entryOf(name: String, bytes: Long,
                 pairs: Seq[Option[(Long, Long)]], n: Long): Entry = {
       val (primary, extra) =
@@ -603,18 +745,21 @@ object ManifestTable {
   def overwrite(spark: SparkSession, root: String, df: DataFrame,
                 expectedBase: Option[Int] = None,
                 boundsCol: Option[String] = None,
-                statsCols: Seq[String] = Seq.empty): Int = {
+                statsCols: Seq[String] = Seq.empty,
+                bloomCols: Seq[String] = Seq.empty): Int = {
     val fs = fsOf(spark, new Path(root))
     val base = expectedBase.getOrElse(currentVersion(spark, root)
       .getOrElse(0))
-    // fail fast BEFORE the data write: an invalid bounds/stats column
-    // must not burn a full table write and strand it as orphans
+    // fail fast BEFORE the data write: an invalid bounds/stats/bloom
+    // column must not burn a full table write and strand it as orphans
     boundsCol.foreach(k => requireIntegral(df.schema, k))
-    statsCols.foreach(k => statExpr(df.schema, k))
+    (statsCols ++ bloomCols).foreach(k => statExpr(df.schema, k))
     val staged = stage(spark, root, dir => df.write.parquet(dir),
-      boundsCol = boundsCol, statsCols = statsCols)
+      boundsCol = boundsCol, statsCols = statsCols, bloomCols = bloomCols)
     val headers = boundsHeader(boundsCol) ++
       (if (statsCols.nonEmpty) Map(StatsKey -> statsCols.mkString(","))
+       else Map.empty[String, String]) ++
+      (if (bloomCols.nonEmpty) Map(BloomKey -> bloomCols.mkString(","))
        else Map.empty[String, String]) + schemaHeader(df.schema)
     if (!tryCommit(fs, root, base + 1, staged, headers))
       throw new java.util.ConcurrentModificationException(
@@ -665,6 +810,14 @@ object ManifestTable {
     val v0 = currentVersion(spark, root)
     val h0 = v0.flatMap(headerOf(fs, root, _))
     val effBounds = boundsCol.filter(b => h0.forall(_ == b))
+    // the table's declared BLOOM columns auto-stamp on every append —
+    // a maintained index, not a per-writer choice — but only those this
+    // df can stamp (present, stampable type); the rest degrade to
+    // sidecar-less files (never skipped — correct, just unpruned)
+    val effBloom = v0.map(loadManifest(fs, root, _).bloomCols)
+      .getOrElse(Seq.empty)
+      .filter(k => df.schema.fieldNames.contains(k) &&
+        scala.util.Try(statExpr(df.schema, k)).isSuccess)
     // evolution contract and bounds-type gate checked BEFORE staging
     // (fail fast, no orphan files); the commit loop re-derives the
     // evolution per attempt for races
@@ -672,7 +825,7 @@ object ManifestTable {
     v0.flatMap(schemaOf(fs, root, _))
       .foreach(stored => evolvedSchema(stored, df.schema, root))
     val staged = stage(spark, root, dir => df.write.parquet(dir),
-      boundsCol = effBounds)
+      boundsCol = effBounds, bloomCols = effBloom)
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = versions(spark, root).lastOption
@@ -697,6 +850,9 @@ object ManifestTable {
         // the base's extra-stats header survives: its lines keep their
         // pairs; this commit's new lines carry none (unknown = read)
         bm.flatMap(_.headers.get(StatsKey)).map(StatsKey -> _).toMap ++
+        // likewise the bloom declaration: base files keep their
+        // sidecars in place, this commit's were stamped above
+        bm.flatMap(_.headers.get(BloomKey)).map(BloomKey -> _).toMap ++
         outSchema.map(SchemaKey -> _.json).toMap
       if (tryCommit(fs, root, v, baseLines ++ stagedOut, headers)) return v
       attempt += 1
@@ -825,12 +981,19 @@ object ManifestTable {
     val pinned = base.read(spark)
     val stampCol = Some(clusterCol)
       .filter(c => isIntegral(pinned.schema(c).dataType))
+    // the table's bloom declaration survives a compaction: every line
+    // is fresh, so re-stamp the sidecars for the new files
+    val bloomCs = loadManifest(fs, root, base.version).bloomCols
+      .filter(k => pinned.schema.fieldNames.contains(k) &&
+        scala.util.Try(statExpr(pinned.schema, k)).isSuccess)
     val staged = stage(spark, root, dir =>
       pinned
         .repartitionByRange(targetFiles, col(clusterCol))
         .sortWithinPartitions(clusterCol)
-        .write.parquet(dir), boundsCol = stampCol)
+        .write.parquet(dir), boundsCol = stampCol, bloomCols = bloomCs)
     val headers = boundsHeader(stampCol) ++
+      (if (bloomCs.nonEmpty) Map(BloomKey -> bloomCs.mkString(","))
+       else Map.empty[String, String]) ++
       base.schema.map(SchemaKey -> _.json).toMap
     if (!tryCommit(fs, root, base.version + 1, staged, headers))
       throw new java.util.ConcurrentModificationException(
@@ -981,9 +1144,15 @@ object ManifestTable {
     // this table prunes from the manifest alone.
     val stampCol = Some(keyCol)
       .filter(c => isIntegral(up.schema(c).dataType))
+    // bloom sidecars are attributed by COLUMN NAME in their commit dir
+    // (not by line position), so carried files keep theirs no matter
+    // what happens to the bounds header; the rewrite stamps fresh ones
+    val bloomCs = m.bloomCols.filter(k =>
+      rewritten.schema.fieldNames.contains(k) &&
+        scala.util.Try(statExpr(rewritten.schema, k)).isSuccess)
     val staged = stage(spark, root,
       dir => rewritten.write.parquet(dir), allowEmpty = true,
-      boundsCol = stampCol)
+      boundsCol = stampCol, bloomCols = bloomCs)
     val outLines = carryE.map(_.line) ++ staged
     // a merge that would empty the table entirely (full-table delete
     // whose rewrite staged zero files) must not brick it with a
@@ -996,6 +1165,8 @@ object ManifestTable {
       // and only when the primary key kept its meaning (see carryE)
       (if (headerMatches) m.headers.get(StatsKey).map(StatsKey -> _).toMap
        else Map.empty[String, String]) ++
+      // the bloom declaration ALWAYS survives (name-attributed sidecars)
+      m.headers.get(BloomKey).map(BloomKey -> _).toMap ++
       tableSchema.map(SchemaKey -> _.json).toMap
     if (!tryCommit(fs, root, baseVersion + 1, outLines, headers))
       throw new java.util.ConcurrentModificationException(
@@ -1123,6 +1294,44 @@ object ManifestTable {
     * first subset, so a silently-dropped column, a misresolved old
     * file, or a wrong null-fill all fire the hash gate. Time-travel
     * schema (v1 has no lang at all) is the spec's pin. */
+  /** Q163: format v5's point lookup, hash-gated — build lineitem as a
+    * manifest table CLUSTERED on l_orderkey (so l_partkey is scattered:
+    * every file's [lo, hi] on it spans the domain and stats alone prune
+    * nothing) with `bloomCols = l_partkey`, then answer
+    * `l_partkey IN (5 probe keys)` through [[readWherePointIn]]. The
+    * oracle runs the same IN directly on parquet, so the hash gate pins
+    * the no-false-negative contract: blooms may keep a wasted file,
+    * they may never drop a matching row. The spec pins the pruning
+    * itself (files opened ≪ files listed) — a correctness gate can't,
+    * since skipping is invisible in the result by design. */
+  def q163ManifestBloomPoint(spark: SparkSession,
+                             sfDir: String): DataFrame = {
+    val root = new Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      "manifest_bloom_" + graft.Tables.dirKey(spark, sfDir)).toString
+    val fs = fsOf(spark, new Path(root))
+    if (fs.exists(new Path(root))) fs.delete(new Path(root), true)
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    overwrite(spark, root,
+      li.repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey"),
+      boundsCol = Some("l_orderkey"),
+      bloomCols = Seq("l_partkey"))
+    // deterministic probes: the 5 smallest part keys present (bounded
+    // 5-row collect, same at every sf)
+    val probes = li.select(col("l_partkey")).distinct()
+      .orderBy(col("l_partkey")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    readWherePointIn(spark, root, "l_partkey", probes)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_orderkey")).as("sum_orderkey"),
+        // integer-exact quantity sum: addition-order independent
+        sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
+      .orderBy(col("l_partkey"))
+  }
+
   def q158SchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
     val root = new Path(
       spark.conf.get("spark.sql.warehouse.dir"),

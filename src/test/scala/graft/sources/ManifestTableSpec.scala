@@ -645,4 +645,123 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.currentVersion(spark, root) === Some(2))
     assert(ManifestTable.read(spark, root).count() === 13)
   }
+
+  /** documents + a pseudo-random "scatter" column: near-unique values
+    * spread uniformly across a doc_id-clustered layout, so every file's
+    * [lo, hi] on scatter spans the domain — min/max stats are useless
+    * for a point probe, which is exactly the case bloom sidecars
+    * (format v5) exist for. */
+  private def scattered = docs.withColumn("scatter",
+    pmod(col("doc_id") * 2654435761L, lit(1000003L)))
+
+  test("bloom point lookup (format v5): skips files min/max stats " +
+      "cannot; the no-bloom twin reads every file; rows identical") {
+    val root = freshRoot()
+    val rootNb = freshRoot()
+    def build(r: String, bloom: Boolean): Unit =
+      ManifestTable.overwrite(spark, r,
+        scattered.repartitionByRange(8, col("doc_id"))
+          .sortWithinPartitions("doc_id"),
+        boundsCol = Some("doc_id"),
+        bloomCols = if (bloom) Seq("scatter") else Seq.empty)
+    build(root, bloom = true)
+    build(rootNb, bloom = false)
+    val probe = scattered.orderBy("doc_id").limit(1)
+      .collect()(0).getAs[Long]("scatter")
+    val want = scattered.where(col("scatter") === probe)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(want.nonEmpty)
+    val got = ManifestTable.readWherePointEquals(spark, root,
+      "scatter", probe)
+    assert(got.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === want)
+    // the probe value lives in ~1 of 8 files; at 1% fpp the expected
+    // false-positive count is 0.07 files — 3 is a generous ceiling
+    assert(got.inputFiles.length <= 3,
+      s"bloom pruning kept ${got.inputFiles.length} of 8 files")
+    // without blooms, a scattered column's per-file [lo, hi] all cover
+    // the probe: nothing skips
+    val nb = ManifestTable.readWherePointEquals(spark, rootNb,
+      "scatter", probe)
+    assert(nb.inputFiles.length === 8,
+      s"stats-only read pruned ${8 - nb.inputFiles.length} files on a " +
+        "scattered column — bounds must not be claiming scatter")
+    assert(nb.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === want)
+  }
+
+  test("bloom index is MAINTAINED: append auto-stamps, optimize " +
+      "re-stamps, mergeCoW keeps carried sidecars and stamps rewrites; " +
+      "a missing sidecar only costs pruning, never rows") {
+    val root = freshRoot()
+    val base = scattered.where(col("doc_id") % 2 === 0)
+    val delta = scattered.where(col("doc_id") % 2 === 1)
+    ManifestTable.overwrite(spark, root,
+      base.repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      boundsCol = Some("doc_id"), bloomCols = Seq("scatter"))
+    // append WITHOUT a bloom arg: the table's declaration auto-stamps
+    ManifestTable.append(spark, root,
+      delta.repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions("doc_id"))
+    // the current table contents, recomputed (post-merge rows change)
+    var mergedDocId: Option[Long] = None
+    def scatteredNow() = mergedDocId match {
+      case None => scattered
+      case Some(id) => scattered.withColumn("scatter",
+        when(col("doc_id") === id, lit(2000003L))
+          .otherwise(col("scatter")))
+    }
+    def check(probeRow: org.apache.spark.sql.Row,
+              mustPrune: Boolean): Unit = {
+      val probe = probeRow.getAs[Long]("scatter")
+      val want = scatteredNow().where(col("scatter") === probe)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val got = ManifestTable.readWherePointEquals(spark, root,
+        "scatter", probe)
+      assert(got.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        === want, s"probe $probe returned wrong rows")
+      val listed = ManifestTable.snapshot(spark, root).files.size
+      if (mustPrune) assert(got.inputFiles.length < listed,
+        s"probe $probe read all $listed files — nothing pruned")
+    }
+    // a probe from the APPENDED half prunes: its sidecar was auto-stamped
+    check(delta.orderBy("doc_id").limit(1).collect()(0), mustPrune = true)
+    // compaction re-stamps the fresh files
+    ManifestTable.optimize(spark, root, "doc_id", 3)
+    check(base.orderBy("doc_id").limit(1).collect()(0), mustPrune = true)
+    // vacuum drops the pre-compaction commit dirs WITH their sidecars
+    ManifestTable.vacuum(spark, root, retain = 1, orphanRetentionMs = 0L)
+    check(base.orderBy("doc_id").limit(1).collect()(0), mustPrune = true)
+    // mergeCoW: move one doc to a fresh scatter value — the rewrite
+    // file is stamped, carried files keep their sidecars
+    val victim = base.orderBy(col("doc_id").desc).limit(1).collect()(0)
+    val oldScatter = victim.getAs[Long]("scatter")
+    val upsert = scattered
+      .where(col("doc_id") === victim.getAs[Long]("doc_id"))
+      .withColumn("scatter", lit(2000003L))
+    ManifestTable.mergeCoW(spark, root, "doc_id",
+      removeKeys = upsert.select("doc_id").limit(0), upserts = upsert)
+    mergedDocId = Some(victim.getAs[Long]("doc_id"))
+    val newProbe = ManifestTable.readWherePointEquals(spark, root,
+      "scatter", 2000003L)
+    assert(newProbe.select("doc_id").collect().map(_.getLong(0)).toSeq
+      === Seq(victim.getAs[Long]("doc_id")))
+    assert(newProbe.inputFiles.length <
+      ManifestTable.snapshot(spark, root).files.size)
+    // the old scatter value no longer matches the moved doc
+    assert(ManifestTable.readWherePointEquals(spark, root,
+      "scatter", oldScatter)
+      .where(col("doc_id") === victim.getAs[Long]("doc_id"))
+      .count() === 0)
+    // sabotage: delete the newest commit dir's sidecar — the fallback
+    // reads MORE files (unknown = may contain anything), rows unchanged
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sidecars = fs.globStatus(
+      new Path(root, "data/*/_bloom.scatter")).toSeq
+    assert(sidecars.nonEmpty)
+    sidecars.foreach(s => fs.delete(s.getPath, false))
+    check(delta.orderBy("doc_id").limit(1).collect()(0), mustPrune = false)
+  }
 }

@@ -513,6 +513,13 @@ object SparkEntry {
     // oracle pins no-false-negatives.
     "q163_manifest_bloom_point" ->
       (graft.sources.ManifestTable.q163ManifestBloomPoint _),
+    // q164 is the manifest table AS A STREAMING SOURCE (version-number
+    // offsets, snapshot-then-tail, exactly-once across process deaths);
+    // the gated run restarts the checkpointed aggregation between
+    // every commit, so the hash compares a thrice-resumed stream
+    // against the one-shot batch aggregate.
+    "q164_stream_manifest_source" ->
+      (graft.streaming.ManifestStream.q164StreamManifestSource _),
   )
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
@@ -3614,6 +3621,13 @@ object SparkEntry {
         |       sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty
         |FROM lineitem WHERE l_partkey IN (SELECT l_partkey FROM p)
         |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+    // q164: the one-shot batch aggregate the thrice-resumed stream
+    // must land on exactly (cents discipline for the money sum).
+    "q164_stream_manifest_source" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       sum(user_id)::BIGINT AS sum_user_id,
+        |       sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 
   /** The q160/q161 shared replay (see the comment above their entries). */

@@ -1,0 +1,207 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.ManifestTable
+
+/** MANIFEST TABLES AS A STRUCTURED STREAMING SOURCE — the engine-level
+  * version of [[graft.sources.ManifestTail]]'s application-level tail:
+  * `spark.readStream.format("graft-manifest").option("path", root)`
+  * turns every COMMIT of a [[ManifestTable]] into micro-batch input,
+  * with the table's version number as the stream offset (the Delta
+  * source's shape: reservoir version = offset, checkpointed by the
+  * engine, replayed deterministically from the immutable manifests).
+  *
+  * Semantics — an APPEND TAIL at file granularity:
+  *  - The FIRST batch is the table's full snapshot at the stream-start
+  *    version (or, with `startingVersion = v`, only the files added in
+  *    commits `>= v` — the catch-up-from-here shape).
+  *  - Every later batch is the files ADDED in `(lastVersion, newest]`,
+  *    read with the END version's committed schema (by-name parquet
+  *    resolution: pre-evolution files surface later-added columns as
+  *    null — schema evolution mid-stream just works).
+  *  - Rewrite commits (optimize / mergeCoW) list their OUTPUT files as
+  *    added, so a downstream consumer sees carried rows again — the
+  *    same file-granularity contract [[ManifestTable.readChangesBetween]]
+  *    documents; tail APPEND-ONLY tables (or reconcile by key
+  *    downstream) for exactly-once ROW semantics.
+  *
+  * Schema: resolved from the table's newest committed schema at stream
+  * start; every batch PROJECTS onto it, so an add-column evolution
+  * mid-run never breaks a running consumer (new columns simply don't
+  * appear). A consumer restarting across an evolution pins
+  * `.schema(...)` — an unpinned restart re-resolves the widened table
+  * schema, which the engine correctly rejects against the old
+  * checkpoint's sink.
+  *
+  * Exactly-once rests on the two immutabilities: the engine checkpoints
+  * version offsets and a replayed `getBatch(s, e)` re-reads the SAME
+  * manifest lines and the SAME immutable data files, so a killed and
+  * resumed query reconstructs the identical batch (the spec kills after
+  * every single commit and pins the union row-identical).
+  *
+  * Why it matters at 100 TB: the alternative — a directory-listing file
+  * stream — must LIST the table (O(files) RPCs per trigger) and cannot
+  * see commits atomically (a half-visible multi-file commit splits
+  * across batches). This source plans each batch from ONE manifest read
+  * (O(1) RPCs), and a commit is in a batch either whole or not at all —
+  * transactional ingestion, straight off the table format.
+  *
+  * v1 `Source` API (public `StreamSourceProvider`): the right tier here
+  * because `getBatch` can PLAN the batch on the driver from the
+  * manifest alone and hand back a whole parquet-scan DataFrame; a DSv2
+  * `MicroBatchStream` would re-implement the parquet reader inside
+  * `PartitionReader` for no gain on any axis this engine measures.
+  */
+class ManifestStreamProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-manifest"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-manifest source requires .option(\"path\", <table root>)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val s = schema.orElse(ManifestTable.schemaAt(spark, root))
+      .getOrElse(ManifestTable.read(spark, root).schema)
+    (shortName() + ": " + root, s)
+  }
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    new ManifestStreamSource(spark, root,
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      parameters.get("startingVersion").map(_.toInt))
+  }
+}
+
+/** The stream offset IS the table version; `json` is just its digits,
+  * so a checkpointed offset round-trips through the engine's
+  * SerializedOffset verbatim. */
+case class ManifestVersionOffset(version: Long) extends Offset {
+  override def json: String = version.toString
+}
+
+object ManifestStream {
+
+  /** Q164: the manifest table AS A STREAM, hash-gated — land events as
+    * a manifest table in three commits, and between each commit run an
+    * AvailableNow pass of ONE checkpointed streaming aggregation whose
+    * source is the table itself. Each pass is a fresh "process": the
+    * engine's checkpoint carries the VERSION offset (so pass 2 reads
+    * only commit 2's files, pass 3 only commit 3's) and the state store
+    * carries the running aggregate. The final complete-mode table must
+    * therefore equal the one-shot batch aggregate over all events — the
+    * oracle — which a dropped, duplicated, or re-snapshotted commit
+    * would break. Money sums are exact cents (q162's discipline). */
+  def q164StreamManifestSource(spark: SparkSession,
+                               sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val key = graft.Tables.dirKey(spark, sfDir)
+    val base = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      "manifest_stream_" + key).toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(base)))
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val root = s"$base/tbl"
+    val qn = s"q164_agg_$key"
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        col("value"))
+    def slice(i: Int) = ev.where(pmod(col("event_id"), lit(3)) === i)
+    def drainOnce(): Unit = {
+      val q = spark.readStream
+        .format(classOf[ManifestStreamProvider].getName)
+        .option("path", root).load()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("user_id")).as("sum_user_id"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ManifestTable.overwrite(spark, root, slice(0))
+    drainOnce()
+    ManifestTable.append(spark, root, slice(1))
+    drainOnce()
+    ManifestTable.append(spark, root, slice(2))
+    drainOnce()
+    spark.table(qn).orderBy("event_type")
+  }
+}
+
+class ManifestStreamSource(spark: SparkSession, root: String,
+                           override val schema: StructType,
+                           startingVersion: Option[Int]) extends Source {
+
+  private def versionOf(o: Offset): Int = o match {
+    case ManifestVersionOffset(v) => v.toInt
+    // the engine replays checkpointed offsets as SerializedOffset(json)
+    case other => other.json.trim.toInt
+  }
+
+  override def getOffset: Option[Offset] =
+    ManifestTable.currentVersion(spark, root).map(v =>
+      ManifestVersionOffset(v.toLong))
+
+  /** The files ADDED in `(fromV, endV]`, read with the END version's
+    * committed schema (by-name resolution — see the provider scaladoc
+    * on mid-stream evolution). */
+  private def addedRows(fromV: Int, endV: Int): DataFrame = {
+    val rels = ManifestTable.changedFiles(spark, root, fromV, endV)._1
+    val committed = ManifestTable.schemaAt(spark, root, Some(endV))
+    if (rels.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], committed.getOrElse(schema))
+    else {
+      val paths = rels.map(r =>
+        new org.apache.hadoop.fs.Path(root, r).toString)
+      committed.map(s => spark.read.schema(s))
+        .getOrElse(spark.read).parquet(paths: _*)
+    }
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = versionOf(end)
+    val batch = start.map(versionOf) match {
+      case Some(s) if s >= endV => // engine no-op replay edge
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          ManifestTable.schemaAt(spark, root, Some(endV)).getOrElse(schema))
+      case Some(s) => addedRows(s, endV)
+      case None => startingVersion match {
+        case Some(sv) if sv > 1 => addedRows(sv - 1, endV)
+        case _ => // initial batch = the full snapshot at endV
+          ManifestTable.readAt(spark, root, endV)
+      }
+    }
+    // select in source-schema order: evolution may have appended
+    // columns after this stream's declared schema was resolved
+    Bridge.streamingDataFrame(spark,
+      batch.select(schema.fieldNames.map(col).toSeq: _*))
+  }
+
+  override def stop(): Unit = ()
+}

@@ -22,4 +22,17 @@ object Bridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** A batch relation re-tagged `isStreaming = true` — what a v1
+    * streaming `Source.getBatch` must return (MicroBatchExecution
+    * asserts the flag). `internalCreateDataFrame` went `private[sql]`
+    * like the lifts above; this is the same call Delta's DeltaSource
+    * makes from inside the `org.apache.spark.sql` namespace. */
+  def streamingDataFrame(spark: org.apache.spark.sql.SparkSession,
+                         df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

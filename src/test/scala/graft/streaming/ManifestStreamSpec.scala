@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.sources.ManifestTable
+
+/** The manifest table as a Structured Streaming SOURCE: version-number
+  * offsets checkpointed by the engine, initial batch = snapshot, later
+  * batches = per-commit added files, exactly-once across kills because
+  * a replayed (start, end] re-reads the same immutable manifests and
+  * files. */
+class ManifestStreamSpec extends SparkSpec {
+
+  private def docs = graft.Tables.documents(spark, sfDir)
+    .select("doc_id", "lang", "text")
+
+  private def slice(i: Int) = docs.where(pmod(col("doc_id"), lit(4)) === i)
+
+  /** One AvailableNow run: drain everything committed so far into the
+    * parquet sink, then stop — the "process" dies after every run, so
+    * continuation rests on the engine's checkpointed version offsets. */
+  private def drain(root: String, ck: String, out: String,
+                    startingVersion: Option[Int] = None,
+                    pinSchema: Option[org.apache.spark.sql.types.StructType]
+                      = None): Unit = {
+    val reader = spark.readStream
+      .format(classOf[ManifestStreamProvider].getName)
+      .option("path", root)
+    val withVer = startingVersion
+      .fold(reader)(v => reader.option("startingVersion", v.toString))
+    val src = pinSchema.fold(withVer)(withVer.schema).load()
+    val q = src.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("snapshot-then-tail, killed after every commit: each row arrives " +
+      "exactly once; resume is from the checkpointed version offset") {
+    val base = Files.createTempDirectory("graft-mstream").toString
+    val root = s"$base/tbl"
+    val (ck, out) = (s"$base/ck", s"$base/out")
+    // v1 with two slices: the stream's FIRST batch is the whole snapshot
+    ManifestTable.overwrite(spark, root, slice(0).unionByName(slice(1)))
+    drain(root, ck, out)
+    assert(ids(spark.read.parquet(out)) ===
+      ids(slice(0).unionByName(slice(1))))
+    // nothing new committed: a re-run must emit NOTHING (offset replay,
+    // not snapshot replay)
+    drain(root, ck, out)
+    assert(spark.read.parquet(out).count() ===
+      slice(0).unionByName(slice(1)).count(),
+      "an idle re-run duplicated rows")
+    // two more commits, each drained by a fresh "process"
+    ManifestTable.append(spark, root, slice(2))
+    drain(root, ck, out)
+    ManifestTable.append(spark, root, slice(3))
+    drain(root, ck, out)
+    val got = spark.read.parquet(out)
+    assert(ids(got) === ids(docs), "tail lost or duplicated rows")
+  }
+
+  test("startingVersion skips the snapshot: only commits >= v arrive") {
+    val base = Files.createTempDirectory("graft-mstream").toString
+    val root = s"$base/tbl"
+    ManifestTable.overwrite(spark, root, slice(0))  // v1
+    ManifestTable.append(spark, root, slice(1))     // v2
+    ManifestTable.append(spark, root, slice(2))     // v3
+    drain(root, s"$base/ck", s"$base/out", startingVersion = Some(2))
+    assert(ids(spark.read.parquet(s"$base/out")) ===
+      ids(slice(1).unionByName(slice(2))),
+      "startingVersion=2 must deliver exactly commits 2 and 3")
+  }
+
+  test("an add-column evolution mid-stream doesn't break a consumer " +
+      "that PINS its schema: new rows project onto the pinned columns") {
+    val base = Files.createTempDirectory("graft-mstream").toString
+    val root = s"$base/tbl"
+    val (ck, out) = (s"$base/ck", s"$base/out")
+    // a consumer that must survive table evolution across restarts pins
+    // .schema(...) — an unpinned restart re-resolves the WIDENED table
+    // schema and the engine rejects it against the old checkpoint/sink
+    val pinned = Some(docs.schema)
+    ManifestTable.overwrite(spark, root, slice(0))
+    drain(root, ck, out, pinSchema = pinned)
+    // the table evolves: a new column appends (ManifestTable's
+    // evolution contract); this stream declared (doc_id, lang, text)
+    ManifestTable.append(spark, root,
+      slice(1).withColumn("extra", col("doc_id") * 2))
+    drain(root, ck, out, pinSchema = pinned)
+    val got = spark.read.parquet(out)
+    assert(got.columns.sorted.toSeq === Seq("doc_id", "lang", "text"),
+      "the consumer's schema must stay the stream-start schema")
+    assert(ids(got) === ids(slice(0).unionByName(slice(1))))
+  }
+}

@@ -520,6 +520,17 @@ object SparkEntry {
     // against the one-shot batch aggregate.
     "q164_stream_manifest_source" ->
       (graft.streaming.ManifestStream.q164StreamManifestSource _),
+    // q165 is the one-pass table profiler: per-column null/distinct
+    // counts + typed integer-exact [lo, hi] facets over lineitem's 11
+    // columns (all four facet kinds), hash-gated column by column.
+    "q165_table_profile" ->
+      (graft.operators.TableProfile.q165TableProfile _),
+    // q166 is the integer-exact recency-decayed engagement score
+    // (binary EWMA over a 32-event horizon, fixed-point 2^31 scale);
+    // the row_number<=32 filter plans as WindowGroupLimit, so the
+    // exchange carries <=32 rows per user, never the corpus.
+    "q166_decayed_score" ->
+      (graft.operators.RelationalQueries.q166DecayedScore _),
   )
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
@@ -3628,6 +3639,21 @@ object SparkEntry {
         |       sum(user_id)::BIGINT AS sum_user_id,
         |       sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q165: generated per-column UNION ALL twin of the profiler.
+    "q165_table_profile" -> graft.operators.TableProfile.q165OracleSql,
+    // q166: same fixed-point decay (integer shift weights, cents
+    // domain), same deterministic tie-break.
+    "q166_decayed_score" ->
+      """WITH r AS (
+        |  SELECT user_id, round(value * 100)::BIGINT AS cents,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) - 1
+        |           AS age
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_recent,
+        |       sum(cents * (1::BIGINT << (31 - age)))::BIGINT AS score
+        |FROM r WHERE age < 32
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 
   /** The q160/q161 shared replay (see the comment above their entries). */

@@ -1177,4 +1177,38 @@ object RelationalQueries {
       .drop("__base_v")
     closed.unionByName(appended.select(closed.columns.map(col): _*))
   }
+
+  /** Q166: recency-decayed engagement score, INTEGER-EXACT — the
+    * freshness-weighted per-user signal a curation mixture weighs
+    * sources by, with the float EWMA replaced by fixed-point arithmetic
+    * so the distributed sum is addition-order independent (the engine's
+    * hash-gate discipline): each user's newest ≤32 events score
+    * `cents · 2^(31−age)` (age 0 = newest), i.e. exactly the binary
+    * EWMA α=1/2 over a 32-event horizon, scaled by 2^31 into longs
+    * (cents ≤ ~2^17, 32 terms ≤ 2^5 → max ~2^53, inside long range).
+    *
+    * Scale shape: the `row_number ≤ 32` filter over the per-user
+    * window triggers Spark's WindowGroupLimit pushdown — each map task
+    * keeps a 32-row heap per user BEFORE the exchange, so the shuffle
+    * carries ≤32·|users| rows, not the corpus (the spec pins the
+    * WindowGroupLimit operator in the plan). Ordering ties break on
+    * event_id, so the kept set is deterministic. */
+  def q166DecayedScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      // filter on the RAW row_number (not an expression over it):
+      // InferWindowGroupLimit only recognizes rank-column <= k
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 32)
+      .withColumn("age", col("rn") - 1)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_recent"),
+        sum(col("cents") *
+          expr("shiftleft(cast(1 as bigint), cast(31 - age as int))"))
+          .as("score"))
+      .orderBy("user_id")
+  }
 }

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** TABLE PROFILER — the first tool a data engineer points at an unknown
+  * 100 TB table: per-column row/null/distinct counts plus typed [lo, hi]
+  * facets, computed in ONE aggregation pass over the scan. The facet
+  * encoding keeps every metric an EXACT integer (the engine's
+  * hash-gate discipline — no float accumulation anywhere):
+  *   - integral columns: min/max value;
+  *   - doubles: min/max in CENTS (`round(x*100)` — exact on the
+  *     2-decimal money domain, deterministic HALF_UP on both engines;
+  *     comparisons, not sums, so no accumulation-order risk);
+  *   - strings: min/max LENGTH (lexical min/max would hash-drift on
+  *     collation; length is collation-free and is what a pipeline
+  *     actually sizes buffers with);
+  *   - timestamps: min/max epoch MICROS (the parquet encoding).
+  *
+  * Scale note: null counts and bounds are plain one-pass aggregates;
+  * the EXACT per-column distincts make Spark plan an Expand (one input
+  * row fans out to |cols| aggregation rows before the shuffle — the
+  * standard multi-count-distinct plan). That ×|cols| expansion is the
+  * price of exactness and is what the DuckDB gate can replay; at
+  * 100 TB a profiler swaps `countDistinct` for
+  * `approx_count_distinct` (the q34 HLL++ surface) and the Expand
+  * disappears into one pass of constant-size sketches — same code
+  * shape, one expression swap. The driver materializes exactly ONE
+  * aggregated row (O(cols) values), never data.
+  *
+  * Reference scope: the reference engine has no profiling surface at
+  * all (its only dataset statistic is the final key count its sinks
+  * print); this is extension surface for the curation pipeline.
+  */
+object TableProfile {
+
+  /** The profile facets of one column, all as nullable longs. */
+  private case class Facet(name: String, loExpr: String => Column,
+                           hiExpr: String => Column,
+                           duckLo: String => String,
+                           duckHi: String => String)
+
+  private def facetOf(dt: DataType): Option[Facet] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some(Facet(
+      "integral",
+      c => min(col(c)).cast("long"), c => max(col(c)).cast("long"),
+      c => s"min($c)::BIGINT", c => s"max($c)::BIGINT"))
+    case DoubleType | FloatType => Some(Facet(
+      "cents",
+      c => round(min(col(c)) * 100).cast("long"),
+      c => round(max(col(c)) * 100).cast("long"),
+      c => s"round(min($c) * 100)::BIGINT",
+      c => s"round(max($c) * 100)::BIGINT"))
+    case StringType => Some(Facet(
+      "strlen",
+      c => min(length(col(c))).cast("long"),
+      c => max(length(col(c))).cast("long"),
+      c => s"min(length($c))::BIGINT", c => s"max(length($c))::BIGINT"))
+    case TimestampType => Some(Facet(
+      "epoch_us",
+      c => min(unix_micros(col(c))), c => max(unix_micros(col(c))),
+      c => s"min(epoch_us($c))::BIGINT", c => s"max(epoch_us($c))::BIGINT"))
+    case _ => None
+  }
+
+  /** One aggregation pass → one long-format row per column:
+    * (column, facet, n_rows, n_nulls, n_distinct, lo, hi). Columns
+    * whose type has no integer-exact facet still profile counts with
+    * null bounds. */
+  def profile(spark: SparkSession, df: DataFrame): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    val aggs = fields.flatMap { f =>
+      val fc = facetOf(f.dataType)
+      Seq(
+        count(col(f.name)).as(s"_nn_${f.name}"),
+        countDistinct(col(f.name)).as(s"_nd_${f.name}"),
+        fc.map(_.loExpr(f.name)).getOrElse(lit(null).cast("long"))
+          .as(s"_lo_${f.name}"),
+        fc.map(_.hiExpr(f.name)).getOrElse(lit(null).cast("long"))
+          .as(s"_hi_${f.name}"))
+    } :+ count(lit(1)).as("_n")
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = r.getAs[Long]("_n")
+    import spark.implicits._
+    fields.map { f =>
+      val fc = facetOf(f.dataType)
+      (f.name, fc.map(_.name).getOrElse("none"), n,
+        n - r.getAs[Long](s"_nn_${f.name}"),
+        r.getAs[Long](s"_nd_${f.name}"),
+        if (r.isNullAt(r.fieldIndex(s"_lo_${f.name}"))) None
+        else Some(r.getAs[Long](s"_lo_${f.name}")),
+        if (r.isNullAt(r.fieldIndex(s"_hi_${f.name}"))) None
+        else Some(r.getAs[Long](s"_hi_${f.name}")))
+    }.toDF("column", "facet", "n_rows", "n_nulls", "n_distinct",
+      "lo", "hi").orderBy("column")
+  }
+
+  /** The DuckDB twin of [[profile]] for a named table: one UNION ALL
+    * arm per column (DuckDB plans them as grouping sets over one scan). */
+  def duckProfileSql(table: String,
+                     cols: Seq[(String, DataType)]): String =
+    cols.sortBy(_._1).map { case (c, dt) =>
+      val fc = facetOf(dt)
+      val (lo, hi) = fc.map(f => (f.duckLo(c), f.duckHi(c)))
+        .getOrElse(("NULL::BIGINT", "NULL::BIGINT"))
+      s"""SELECT '$c' AS "column", '${fc.map(_.name).getOrElse("none")}' AS facet,
+         |  count(*)::BIGINT AS n_rows,
+         |  (count(*) - count($c))::BIGINT AS n_nulls,
+         |  count(DISTINCT $c)::BIGINT AS n_distinct,
+         |  $lo AS lo, $hi AS hi FROM $table""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY \"column\""
+
+  /** Q165: the profiler over lineitem — 11 columns across all four
+    * facet kinds in one pass, hash-gated column by column. */
+  def q165TableProfile(spark: SparkSession, sfDir: String): DataFrame =
+    profile(spark, graft.Tables.lineitem(spark, sfDir))
+
+  def q165OracleSql: String = duckProfileSql("lineitem", Seq(
+    "l_orderkey" -> LongType, "l_partkey" -> LongType,
+    "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+    "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+    "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+    "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+    "l_shipdate" -> TimestampType))
+}

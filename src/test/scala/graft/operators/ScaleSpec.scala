@@ -1083,4 +1083,32 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"cell assignment must not shuffle:\n${plan.take(4000)}")
   }
+
+  test("q166 decayed score: the row_number<=32 filter pushes down as " +
+      "WindowGroupLimit, so the exchange carries <=32 rows per user") {
+    val df = RelationalQueries.q166DecayedScore(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-user top-32 must pre-limit before the exchange:\n" +
+        plan.take(4000))
+    // fixed-point exactness: every score is a sum of cents·2^k terms —
+    // replaying the newest-32 fold per user on the driver must match
+    import org.apache.spark.sql.functions._
+    val got = df.collect().map(r =>
+      r.getAs[Long]("user_id") -> r.getAs[Long]("score")).toMap
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("cents")))
+    val want = rows.groupBy(_._1).map { case (u, es) =>
+      val newest = es.sortBy(e => (e._2.getTime, e._2.getNanos, e._3))
+        .reverse.take(32)
+      u -> newest.zipWithIndex.map { case (e, age) =>
+        e._4 * (1L << (31 - age)) }.sum
+    }
+    assert(got === want)
+  }
 }

@@ -531,6 +531,12 @@ object SparkEntry {
     // exchange carries <=32 rows per user, never the corpus.
     "q166_decayed_score" ->
       (graft.operators.RelationalQueries.q166DecayedScore _),
+    // q167 is fixed-point PageRank over the customer-nation ->
+    // supplier-nation trade graph: ten distributed iterations in pure
+    // long arithmetic land on the same units as the oracle's unrolled
+    // replay regardless of partitioning or summation order.
+    "q167_source_authority_rank" ->
+      (graft.operators.GraphRank.q167SourceAuthorityRank _),
   )
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
@@ -3654,6 +3660,10 @@ object SparkEntry {
         |       sum(cents * (1::BIGINT << (31 - age)))::BIGINT AS score
         |FROM r WHERE age < 32
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q167: the same ten fixed-point rounds, unrolled (generated from
+    // the same constants as the Spark loop).
+    "q167_source_authority_rank" ->
+      graft.operators.GraphRank.q167OracleSql,
   )
 
   /** The q160/q161 shared replay (see the comment above their entries). */

@@ -1111,4 +1111,19 @@ class ScaleSpec extends SparkSpec {
     }
     assert(got === want)
   }
+
+  test("q167 fixed-point PageRank is partitioning-invariant: the same " +
+      "longs under any edge layout (the integer-arithmetic claim)") {
+    def ranksOf(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      GraphRank.pageRankExact(spark, df)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val edges = GraphRank.tradeEdges(spark, sfDir)
+    val a = ranksOf(edges)
+    val b = ranksOf(edges.repartition(13))
+    assert(a === b, "re-partitioned iteration drifted — arithmetic " +
+      "must be summation-order independent")
+    // damping only shrinks total mass: sum stays <= N * seed
+    assert(a.values.sum <= a.size * GraphRank.Scale)
+    assert(a.values.min >= GraphRank.Scale * 15 / 100)
+  }
 }

@@ -537,6 +537,13 @@ object SparkEntry {
     // replay regardless of partitioning or summation order.
     "q167_source_authority_rank" ->
       (graft.operators.GraphRank.q167SourceAuthorityRank _),
+    // q168 is q57's IVF search over the index AS A STORED MANIFEST
+    // TABLE clustered by cell: the search opens only the probed cells'
+    // files (bounds-pruned IN read) and inherits atomic rebuild /
+    // snapshot isolation / time travel from the table format; results
+    // are byte-identical to q57 (shared oracle).
+    "q168_manifest_ivf_index" ->
+      (graft.operators.SimilarityQueries.q168ManifestIvfIndex _),
   )
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
@@ -2287,24 +2294,11 @@ object SparkEntry {
     // cell ASC) argmax, centroid update as exact integer-micro component
     // sums (floor(v*1e6) — order-independent, so both engines build
     // bit-identical codebooks), empty cells keep the previous centroid.
-    "q57_ann_ivf_kmeans" ->
-      s"""WITH $ivfKmeansCte,
-         |probes AS (SELECT query_id, qv, cell FROM (
-         |   SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
-         |          row_number() OVER (PARTITION BY q.vec_id
-         |            ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cell)
-         |            AS rk
-         |   FROM e q CROSS JOIN c2 c WHERE q.vec_id < 10) t WHERE rk <= 2),
-         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
-         |                round(list_cosine_similarity(p.qv, a.v), 4) AS sim
-         |         FROM probes p JOIN asg a ON a.cell = p.cell
-         |         WHERE a.vec_id <> p.query_id),
-         |r AS (SELECT query_id, neighbor_id, sim,
-         |             row_number() OVER (PARTITION BY query_id
-         |               ORDER BY sim DESC, neighbor_id) AS "rank"
-         |      FROM cand)
-         |SELECT query_id, neighbor_id, sim, "rank" FROM r WHERE "rank" <= 10
-         |ORDER BY query_id, "rank"""".stripMargin,
+    "q57_ann_ivf_kmeans" -> ivfKmeansTopKOracle,
+    // q168 is q57's search over the STORED index (manifest table,
+    // bounds-pruned cell reads) — the storage layer may change IO,
+    // never answers, so the two share one oracle verbatim.
+    "q168_manifest_ivf_index" -> ivfKmeansTopKOracle,
     // q76/q77: the PQ oracle replays the ENTIRE model build — coarse
     // Lloyd rounds (shared CTE), integer-micro residuals, sub-codebook
     // init from vectors 0..K-1, one Lloyd round per subspace with
@@ -3665,6 +3659,29 @@ object SparkEntry {
     "q167_source_authority_rank" ->
       graft.operators.GraphRank.q167OracleSql,
   )
+
+  /** q57/q168's shared replay: the 2 Lloyd iterations (assignment by
+    * (cosine DESC, cell ASC) argmax, centroid update as exact
+    * integer-micro component sums — both engines build bit-identical
+    * codebooks), then probe → in-cell exact cosine → top-10. */
+  private lazy val ivfKmeansTopKOracle: String =
+    s"""WITH $ivfKmeansCte,
+       |probes AS (SELECT query_id, qv, cell FROM (
+       |   SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+       |          row_number() OVER (PARTITION BY q.vec_id
+       |            ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cell)
+       |            AS rk
+       |   FROM e q CROSS JOIN c2 c WHERE q.vec_id < 10) t WHERE rk <= 2),
+       |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+       |                round(list_cosine_similarity(p.qv, a.v), 4) AS sim
+       |         FROM probes p JOIN asg a ON a.cell = p.cell
+       |         WHERE a.vec_id <> p.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY sim DESC, neighbor_id) AS "rank"
+       |      FROM cand)
+       |SELECT query_id, neighbor_id, sim, "rank" FROM r WHERE "rank" <= 10
+       |ORDER BY query_id, "rank"""".stripMargin
 
   /** The q160/q161 shared replay (see the comment above their entries). */
   private val scd2HistoryOracle: String =

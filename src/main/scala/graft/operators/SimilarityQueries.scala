@@ -333,6 +333,64 @@ object SimilarityQueries {
   def q57AnnIvfKmeans(spark: SparkSession, sfDir: String): DataFrame =
     ivfTopK(spark, sfDir, kmeansCodebook(spark, sfDir))
 
+  /** Q168: the q57 IVF index AS A STORED TABLE — cell assignments land
+    * in a manifest table CLUSTERED on cell (boundsCol = cell), and the
+    * search opens only the probed cells' FILES via the manifest's
+    * bounds-pruned IN read. Same codebook, same probes, same rerank —
+    * byte-identical results to q57 (the two share one oracle, the
+    * q160/q161 discipline), because the storage layer may only change
+    * IO, never answers. This is the serving shape of a disk-resident
+    * vector index: query-time IO is nProbe/NumCells of the index —
+    * bounded by the layout, not by executor memory — and the index
+    * inherits the manifest's whole lifecycle for free (atomic rebuild
+    * by overwrite, snapshot isolation for in-flight queries during a
+    * rebuild, time travel to yesterday's index, vacuum). The spec pins
+    * the IO claim per query: a single query's read opens only its
+    * nProbe cells' files, and a rebuild under a pinned snapshot leaves
+    * the running query's results unchanged. */
+  def q168ManifestIvfIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = indexRoot(spark, sfDir)
+    val cents = kmeansCodebook(spark, sfDir)
+    val e = vecs(spark, sfDir)
+    val probes = probeCells(
+      e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")),
+      cents, "qv", NProbe)
+    // NProbe cells per query, <= NumCells distinct overall (bounded
+    // collect — the probe set, not data)
+    val needed = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val index = graft.sources.ManifestTable.readWhereKeyIn(
+      spark, root, "cell", needed)
+    topKBySim(
+      broadcast(probes).join(index, Seq("cell"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          Vectors.cosineRounded(col("qv"), col("v")).as("sim")), 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** The stored index: one file per cell-range, rebuilt (atomically,
+    * version N+1) whenever called on a fresh warehouse. Public for the
+    * spec. */
+  def indexRoot(spark: SparkSession, sfDir: String): String = {
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      "ivf_index_" + graft.Tables.dirKey(spark, sfDir)).toString
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val cents = kmeansCodebook(spark, sfDir)
+      graft.sources.ManifestTable.overwrite(spark, root,
+        assignCells(vecs(spark, sfDir), cents)
+          .select(col("cell"), col("vec_id"), col("v"))
+          .repartitionByRange(NumCells, col("cell"))
+          .sortWithinPartitions("cell"),
+        boundsCol = Some("cell"))
+    }
+    root
+  }
+
   /** The k-means codebook after KmeansIters rounds — built once per
     * (session, scale dir) like any index artifact, public for the spec
     * (centroids must move from init and stay deterministic). */

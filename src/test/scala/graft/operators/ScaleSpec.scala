@@ -1126,4 +1126,34 @@ class ScaleSpec extends SparkSpec {
     assert(a.values.sum <= a.size * GraphRank.Scale)
     assert(a.values.min >= GraphRank.Scale * 15 / 100)
   }
+
+  test("q168 stored IVF index: a query opens only its probed cells' " +
+      "files; results == q57; a rebuild can't disturb a pinned reader") {
+    import graft.sources.ManifestTable
+    val root = SimilarityQueries.indexRoot(spark, sfDir)
+    val total = ManifestTable.snapshot(spark, root).files.size
+    assert(total >= 8, s"index landed in only $total files")
+    // serving shape: ONE query probes NProbe cells — its read must
+    // open only those cells' files, not the index
+    val twoCells = ManifestTable.read(spark, root)
+      .select("cell").distinct().orderBy("cell")
+      .limit(SimilarityQueries.NProbe).collect().map(_.getLong(0)).toSeq
+    val served = ManifestTable.readWhereKeyIn(spark, root, "cell", twoCells)
+    assert(served.inputFiles.length < total,
+      s"point-serving read opened all $total files")
+    // the storage layer may change IO, never answers
+    val viaIndex = SimilarityQueries.q168ManifestIvfIndex(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val direct = SimilarityQueries.q57AnnIvfKmeans(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(viaIndex === direct)
+    // atomic rebuild: a reader pinned BEFORE the rebuild still reads
+    // its version; the rebuild lands as the next version
+    val pinned = ManifestTable.snapshot(spark, root)
+    val rows = pinned.read(spark).count()
+    ManifestTable.overwrite(spark, root, ManifestTable.read(spark, root),
+      boundsCol = Some("cell"))
+    assert(pinned.read(spark).count() === rows,
+      "pinned snapshot disturbed by an index rebuild")
+  }
 }

@@ -642,15 +642,25 @@ object ManifestTable {
           new Path(r.getString(0)).getName ->
             ((pairs, r.getLong(1 + 2 * statCols.size)))
         }.toMap
-    // format v5: one Bloom filter per file per declared column, sized by
-    // the largest file's row count (known from the stats pass above).
-    // ONE more pass reading only the bloom columns; the per-file filters
-    // come back through the driver, which writes one sidecar per column
-    // into the commit dir — at this design's driver-manifest scale
-    // that's the same shape as the stats collect (a production format
-    // would emit per-file sidecars from the writer tasks themselves).
+    // format v5: one Bloom filter per file per declared column. TWO
+    // more passes reading only the bloom columns: a per-file DISTINCT
+    // count (a filter holds a SET — sizing by row count would pay the
+    // ~10 bits/entry tax once per duplicate occurrence; BloomProbe
+    // measured the repeat factor directly on lineitem), then the
+    // filters themselves sized by the largest file's distinct count.
+    // The per-file filters come back through the driver, which writes
+    // one sidecar per column into the commit dir — at this design's
+    // driver-manifest scale that's the same shape as the stats collect
+    // (a production format emits per-file sidecars from the writer
+    // tasks themselves).
     if (bloomCols.nonEmpty && perFile.nonEmpty) {
-      val expected = math.max(1L, perFile.valuesIterator.map(_._2).max)
+      val dAggs = bloomCols.zipWithIndex.map { case (k, i) =>
+        countDistinct(statExpr(justWritten.schema, k)).as(s"_d$i") }
+      val expected = math.max(1L, justWritten
+        .groupBy(input_file_name().as("_f"))
+        .agg(dAggs.head, dAggs.tail: _*)
+        .collect().iterator
+        .flatMap(r => bloomCols.indices.map(i => r.getLong(1 + i))).max)
       val bAggs = bloomCols.zipWithIndex.map { case (k, i) =>
         graft.functions.BloomAgg.sketch(
           statExpr(justWritten.schema, k), expected, BloomFpp).as(s"_b$i")

@@ -104,4 +104,25 @@ class ManifestStreamSpec extends SparkSpec {
       "the consumer's schema must stay the stream-start schema")
     assert(ids(got) === ids(slice(0).unionByName(slice(1))))
   }
+
+  test("a consumer that fell behind a vacuum fails LOUDLY — silent " +
+      "skipping would be data loss") {
+    val base = Files.createTempDirectory("graft-mstream").toString
+    val root = s"$base/tbl"
+    val (ck, out) = (s"$base/ck", s"$base/out")
+    ManifestTable.overwrite(spark, root, slice(0)) // v1
+    drain(root, ck, out) // consumer cursor now at v1
+    ManifestTable.append(spark, root, slice(1))    // v2 (unread)
+    // an over-eager retention drops v1's manifest while the consumer's
+    // checkpoint still points at it; the next getBatch must compute
+    // changedFiles(1, 2) from a manifest that no longer exists
+    ManifestTable.vacuum(spark, root, retain = 1, orphanRetentionMs = 0L)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(root, ck, out)
+    }
+    // the failure surfaces the missing manifest, not a silent skip:
+    // the sink still holds exactly v1's rows
+    assert(ids(spark.read.parquet(out)) === ids(slice(0)),
+      s"rows changed across the failed drain (${ex.getMessage.take(200)})")
+  }
 }

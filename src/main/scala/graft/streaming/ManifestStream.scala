@@ -155,17 +155,43 @@ object ManifestStream {
 
 class ManifestStreamSource(spark: SparkSession, root: String,
                            override val schema: StructType,
-                           startingVersion: Option[Int]) extends Source {
+                           startingVersion: Option[Int]) extends Source
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
 
-  private def versionOf(o: Offset): Int = o match {
-    case ManifestVersionOffset(v) => v.toInt
-    // the engine replays checkpointed offsets as SerializedOffset(json)
-    case other => other.json.trim.toInt
-  }
+  private def versionOf(
+      o: org.apache.spark.sql.connector.read.streaming.Offset): Int =
+    o match {
+      case ManifestVersionOffset(v) => v.toInt
+      // the engine replays checkpointed offsets as SerializedOffset(json)
+      case other => other.json.trim.toInt
+    }
 
   override def getOffset: Option[Offset] =
     ManifestTable.currentVersion(spark, root).map(v =>
       ManifestVersionOffset(v.toLong))
+
+  /** Trigger.AvailableNow (the FileStreamSource shape): latch the end
+    * version at query start; `latestOffset` then never advances past it,
+    * so the run drains exactly the latched commits — including the
+    * extra empty batch the engine schedules to flush state closed by the
+    * final watermark move — and stops, whatever lands concurrently. */
+  private var availableNowEnd: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = ManifestTable.currentVersion(spark, root)
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val cur = ManifestTable.currentVersion(spark, root)
+    val capped = availableNowEnd match {
+      case Some(a) => cur.map(math.min(_, a))
+      case None => cur
+    }
+    capped.map(v => ManifestVersionOffset(v.toLong)).orNull
+  }
 
   /** The files ADDED in `(fromV, endV]`, read with the END version's
     * committed schema (by-name resolution — see the provider scaladoc

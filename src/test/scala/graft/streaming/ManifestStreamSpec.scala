@@ -125,4 +125,57 @@ class ManifestStreamSpec extends SparkSpec {
     assert(ids(spark.read.parquet(out)) === ids(slice(0)),
       s"rows changed across the failed drain (${ex.getMessage.take(200)})")
   }
+
+  test("event-time windows + watermark compose over the manifest " +
+      "stream: append-mode windows close exactly once across restarts") {
+    val base = Files.createTempDirectory("graft-mstream").toString
+    val root = s"$base/tbl"
+    val (ck, out) = (s"$base/ck", s"$base/out")
+    val ev = graft.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "event_type")
+    val Seq(lo, hi) = ev.agg(min("ts"), max("ts")).head()
+      .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toSeq
+    val mid = new java.sql.Timestamp(lo + (hi - lo) / 2)
+    // q60's final-flush discipline: one far-future row pushes the
+    // watermark past every real window; its own window never closes
+    val flush = ev.limit(1)
+      .withColumn("ts", timestamp_millis(lit(hi + 365L * 86400000L)))
+      .withColumn("event_type", lit("__flush__"))
+    def drainWindows(): Unit = {
+      val q = spark.readStream
+        .format(classOf[ManifestStreamProvider].getName)
+        .option("path", root).load()
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("hour"), col("event_type"),
+          col("n"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ManifestTable.overwrite(spark, root, ev.where(col("ts") < mid))
+    drainWindows() // some windows emit, the cut-straddling one pends
+    val phaseA = spark.read.parquet(out).count()
+    assert(phaseA > 0, "phase A closed no window")
+    ManifestTable.append(spark, root,
+      ev.where(col("ts") >= mid).unionByName(flush))
+    drainWindows() // a fresh process resumes state + offset
+    val got = spark.read.parquet(out)
+      .orderBy("hour", "event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
+    val want = ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"))
+      .orderBy("hour", "event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
+    assert(phaseA < want.size, "phase A closed everything — the kill " +
+      "wasn't mid-stream")
+    assert(got === want,
+      "windowed rows differ from the batch aggregate (lost or " +
+        "double-emitted windows)")
+  }
 }

@@ -544,6 +544,13 @@ object SparkEntry {
     // are byte-identical to q57 (shared oracle).
     "q168_manifest_ivf_index" ->
       (graft.operators.SimilarityQueries.q168ManifestIvfIndex _),
+    // q169 is merge-on-read equality deletes (manifest format v6):
+    // one O(delta) delete commit suppresses the keys for every reader
+    // (anti-join), optimize applies + drops the delete files; the gate
+    // pins the apply-at-read and apply-at-compaction paths to the same
+    // filtered aggregate.
+    "q169_manifest_equality_delete" ->
+      (graft.sources.ManifestTable.q169ManifestEqualityDelete _),
   )
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
@@ -3658,6 +3665,18 @@ object SparkEntry {
     // the same constants as the Spark loop).
     "q167_source_authority_rank" ->
       graft.operators.GraphRank.q167OracleSql,
+    // q169: the filtered aggregate, once per stage — the two regimes
+    // (merge-on-read, compacted) must be indistinguishable in rows.
+    "q169_manifest_equality_delete" ->
+      """WITH f AS (SELECT doc_id, lang FROM documents
+        |           WHERE doc_id % 5 <> 2),
+        |a AS (SELECT lang, count(*) AS n_docs,
+        |             sum(doc_id)::BIGINT AS sum_doc_id
+        |      FROM f GROUP BY lang)
+        |SELECT '1_mor' AS stage, lang, n_docs, sum_doc_id FROM a
+        |UNION ALL
+        |SELECT '2_compacted', lang, n_docs, sum_doc_id FROM a
+        |ORDER BY stage, lang""".stripMargin,
   )
 
   /** q57/q168's shared replay: the 2 Lloyd iterations (assignment by

@@ -73,14 +73,36 @@ object ManifestTable {
 
   /** A resolved table version: the immutable file list (and the schema
     * committed with it) a reader can keep using regardless of later
-    * commits (until vacuumed). */
+    * commits (until vacuumed). `files` are the DATA files;
+    * `deleteFiles` the outstanding merge-on-read equality deletes
+    * (format v6), applied by [[read]] as one anti-join on `deleteCol`. */
   case class Snapshot(version: Int, files: Seq[String],
-                      schema: Option[StructType]) {
+                      schema: Option[StructType],
+                      deleteFiles: Seq[String] = Seq.empty,
+                      deleteCol: Option[String] = None) {
     def read(spark: SparkSession): DataFrame = {
       require(files.nonEmpty, s"version $version lists no data files")
-      readFiles(spark, files, schema)
+      applyDeletes(spark, readFiles(spark, files, schema),
+        deleteFiles, deleteCol)
     }
   }
+
+  /** Merge-on-read: suppress every row whose `deleteCol` value appears
+    * in the outstanding delete files — one anti-join against the
+    * delta-sized (auto-broadcast) distinct key set. Delete files
+    * without the declaring header would be un-interpretable; fail
+    * loudly rather than return resurrected rows. */
+  private def applyDeletes(spark: SparkSession, df: DataFrame,
+                           deleteFiles: Seq[String],
+                           deleteCol: Option[String]): DataFrame =
+    if (deleteFiles.isEmpty) df
+    else {
+      val k = deleteCol.getOrElse(throw new IllegalStateException(
+        "manifest lists delete files but no #deletecol header names " +
+          "their key column — refusing to read resurrected rows"))
+      df.join(spark.read.parquet(deleteFiles: _*).select(col(k)).distinct(),
+        Seq(k), "left_anti")
+    }
 
   /** Schema-aware file read: the stored schema resolves columns BY NAME
     * against each file, so pre-evolution files surface the later-added
@@ -126,8 +148,10 @@ object ManifestTable {
         "vacuumed or never committed")
     val fs = fsOf(spark, manifestDir(root))
     val m = loadManifest(fs, root, v)
-    Snapshot(v, m.entries.map(e => new Path(root, e.rel).toString),
-      m.schema)
+    Snapshot(v, m.dataEntries.map(e => new Path(root, e.rel).toString),
+      m.schema,
+      m.deleteEntries.map(e => new Path(root, e.rel).toString),
+      m.deleteCol)
   }
 
   /** The raw lines of a committed manifest (format-opaque — append
@@ -162,6 +186,10 @@ object ManifestTable {
                                     bytes: Option[Long] = None,
                                     extra: Seq[Option[(Long, Long)]] =
                                       Seq.empty) {
+    /** Format v6: a delete file is distinguished by its PATH prefix —
+      * the line format itself is unchanged, so every older field
+      * (stats, bounds) still parses. */
+    def isDelete: Boolean = rel.startsWith("deletes/")
     def line: String = {
       def pair(p: Option[(Long, Long)]): String =
         p.map { case (a, b) => s"$a\t$b" }.getOrElse("-\t-")
@@ -227,6 +255,22 @@ object ManifestTable {
   /** Per-file false-positive rate; a false positive costs one wasted
     * file read, a false negative cannot happen — skipping is sound. */
   private val BloomFpp = 0.01
+  /** Format v6: MERGE-ON-READ equality deletes (Iceberg's equality
+    * delete files, the write-amplification complement to [[mergeCoW]]'s
+    * copy-on-write). A delete commit stages the deleted KEYS as a
+    * parquet file under `deletes/` — manifest entry lines distinguish
+    * delete files from data files by that path prefix alone, so the
+    * line format is unchanged — and every reader anti-joins the
+    * (delta-sized, auto-broadcast) key set on the column this header
+    * names. The contract is GLOBAL-UNTIL-COMPACTED: an equality delete
+    * suppresses EVERY row of its key, past and future, until a
+    * compaction ([[optimize]]) applies and drops it — so [[append]]
+    * refuses keys in the outstanding delete set (resurrection needs a
+    * compaction first) and [[mergeCoW]] refuses to run over outstanding
+    * deletes at all (its carried-verbatim contract can't see them;
+    * Iceberg sequences deletes per-snapshot for this — out of scope,
+    * rejected loudly instead of wrong). */
+  private val DeleteKey = "deletecol"
 
   /** One committed manifest, parsed ONCE — every operation loads this
     * a single time and derives headers/entries/schema from it, instead
@@ -240,6 +284,11 @@ object ManifestTable {
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
     def bloomCols: Seq[String] = headers.get(BloomKey)
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+    def deleteCol: Option[String] = headers.get(DeleteKey)
+    /** The table's DATA files — every read plans from these. */
+    def dataEntries: Seq[Entry] = entries.filterNot(_.isDelete)
+    /** Outstanding merge-on-read delete files (format v6). */
+    def deleteEntries: Seq[Entry] = entries.filter(_.isDelete)
     def schema: Option[StructType] = headers.get(SchemaKey)
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
     /** The stored [lo, hi] of `col` for one entry, from whichever
@@ -252,14 +301,20 @@ object ManifestTable {
         case -1 => None
         case i => e.extra.lift(i).flatten
       }
-    /** Entries with bounds (from either header source) resolved for
-      * `keyCol` into the primary lo/hi slots. */
+    /** DATA entries with bounds (from either header source) resolved
+      * for `keyCol` into the primary lo/hi slots. */
     def entriesFor(keyCol: String): Seq[Entry] =
-      entries.map { e =>
+      dataEntries.map { e =>
         val b = boundsOf(e, keyCol)
         e.copy(lo = b.map(_._1), hi = b.map(_._2))
       }
   }
+
+  private def applyDeletes(spark: SparkSession, root: String,
+                           df: DataFrame, m: ManifestData): DataFrame =
+    applyDeletes(spark, df,
+      m.deleteEntries.map(e => new Path(root, e.rel).toString),
+      m.deleteCol)
 
   private def loadManifest(fs: FileSystem, root: String,
                            v: Int): ManifestData = {
@@ -341,7 +396,11 @@ object ManifestTable {
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalArgumentException(s"no committed version under $root"))
     val es = manifestEntries(fs, root, v)
-    if (es.isEmpty || es.exists(_.rows.isEmpty)) None
+    // outstanding equality deletes make the per-file counts an upper
+    // bound only (a delete key may match 0..n rows) — no metadata-only
+    // answer exists; fall back to a scan
+    if (es.exists(_.isDelete)) None
+    else if (es.isEmpty || es.exists(_.rows.isEmpty)) None
     else Some(es.map(_.rows.get).sum)
   }
 
@@ -408,8 +467,9 @@ object ManifestTable {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no committed version under $root"))
     val m = loadManifest(fs, root, v)
-    require(m.entries.nonEmpty, s"version $v of $root lists no data files")
-    val kept = m.entries.filter(e => ranges.forall { case (k, lo, hi) =>
+    require(m.dataEntries.nonEmpty,
+      s"version $v of $root lists no data files")
+    val kept = m.dataEntries.filter(e => ranges.forall { case (k, lo, hi) =>
       m.boundsOf(e, k).forall { case (flo, fhi) => flo <= hi && fhi >= lo }
     })
     def residual(k: String, lo: Long, hi: Long) = {
@@ -422,11 +482,13 @@ object ManifestTable {
     val pred = ranges.map { case (k, lo, hi) => residual(k, lo, hi) }
       .reduce(_ && _)
     if (kept.isEmpty)
-      readFiles(spark, Seq(new Path(root, m.entries.head.rel).toString),
+      readFiles(spark,
+        Seq(new Path(root, m.dataEntries.head.rel).toString),
         m.schema).where(lit(false))
     else
-      readFiles(spark, kept.map(e =>
-        new Path(root, e.rel).toString), m.schema).where(pred)
+      applyDeletes(spark, root,
+        readFiles(spark, kept.map(e =>
+          new Path(root, e.rel).toString), m.schema).where(pred), m)
   }
 
   /** POINT-LOOKUP read (format v5's payoff): `column IN (values)`
@@ -481,8 +543,9 @@ object ManifestTable {
       readFiles(spark, Seq(new Path(root, entries.head.rel).toString),
         m.schema).where(lit(false))
     else
-      readFiles(spark, kept.map(e =>
-        new Path(root, e.rel).toString), m.schema).where(pred)
+      applyDeletes(spark, root,
+        readFiles(spark, kept.map(e =>
+          new Path(root, e.rel).toString), m.schema).where(pred), m)
   }
 
   def readWherePointEquals(spark: SparkSession, root: String,
@@ -511,8 +574,9 @@ object ManifestTable {
       readFiles(spark, Seq(new Path(root, entries.head.rel).toString),
         schema).where(lit(false))
     else
-      readFiles(spark, kept.map(e =>
-        new Path(root, e.rel).toString), schema).where(pred)
+      applyDeletes(spark, root,
+        readFiles(spark, kept.map(e =>
+          new Path(root, e.rel).toString), schema).where(pred), m)
   }
 
   /** Time travel: the table exactly as of `version` (that version's own
@@ -604,8 +668,9 @@ object ManifestTable {
                     allowEmpty: Boolean = false,
                     boundsCol: Option[String] = None,
                     statsCols: Seq[String] = Seq.empty,
-                    bloomCols: Seq[String] = Seq.empty): Seq[String] = {
-    val rel = s"data/c-${UUID.randomUUID().toString.take(12)}"
+                    bloomCols: Seq[String] = Seq.empty,
+                    relPrefix: String = "data"): Seq[String] = {
+    val rel = s"$relPrefix/c-${UUID.randomUUID().toString.take(12)}"
     val dir = new Path(root, rel)
     write(dir.toString)
     val fs = fsOf(spark, dir)
@@ -834,6 +899,20 @@ object ManifestTable {
     effBounds.foreach(k => requireIntegral(df.schema, k))
     v0.flatMap(schemaOf(fs, root, _))
       .foreach(stored => evolvedSchema(stored, df.schema, root))
+    // RESURRECTION GUARD (format v6): an outstanding equality delete
+    // suppresses its key in EVERY file, including ones appended later —
+    // silently accepting such rows would land them pre-deleted. One
+    // delta-sized semi-join against the (broadcast) delete keys.
+    v0.map(loadManifest(fs, root, _)).foreach { m =>
+      m.deleteCol.filter(_ => m.deleteEntries.nonEmpty).foreach { k =>
+        val delKeys = spark.read.parquet(m.deleteEntries.map(e =>
+          new Path(root, e.rel).toString): _*).select(col(k)).distinct()
+        require(df.join(delKeys, Seq(k), "left_semi").take(1).isEmpty,
+          s"append to $root would resurrect equality-deleted $k values " +
+            "— the delete is global until compacted; run optimize " +
+            "first, then append")
+      }
+    }
     val staged = stage(spark, root, dir => df.write.parquet(dir),
       boundsCol = effBounds, bloomCols = effBloom)
     var attempt = 0
@@ -863,6 +942,8 @@ object ManifestTable {
         // likewise the bloom declaration: base files keep their
         // sidecars in place, this commit's were stamped above
         bm.flatMap(_.headers.get(BloomKey)).map(BloomKey -> _).toMap ++
+        // and the delete column: base delete lines carry verbatim
+        bm.flatMap(_.headers.get(DeleteKey)).map(DeleteKey -> _).toMap ++
         outSchema.map(SchemaKey -> _.json).toMap
       if (tryCommit(fs, root, v, baseLines ++ stagedOut, headers)) return v
       attempt += 1
@@ -890,6 +971,51 @@ object ManifestTable {
       throw new java.util.ConcurrentModificationException(
         s"restore of $root lost the commit race for version $v; rerun")
     v
+  }
+
+  /** MERGE-ON-READ DELETE (format v6): commit the distinct `keyCol`
+    * values of `keys` as an equality delete file — O(delta) work and
+    * ZERO data-file IO, the write-amplification complement to
+    * [[mergeCoW]] (which rewrites every affected file). Every reader
+    * from this version on anti-joins the outstanding delete set;
+    * [[optimize]] APPLIES the deletes (its rewrite reads through the
+    * snapshot) and drops them, restoring a delete-free table.
+    * Contract (see [[DeleteKey]]): deletes are GLOBAL until compacted —
+    * [[append]] refuses to resurrect a deleted key and [[mergeCoW]]
+    * refuses to run at all while deletes are outstanding. One delete
+    * column per table; a second call must use the same `keyCol`. */
+  def deleteWhereKeyIn(spark: SparkSession, root: String,
+                       keyCol: String, keys: DataFrame,
+                       maxAttempts: Int = 20): Int = {
+    val fs = fsOf(spark, new Path(root))
+    val v0 = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed version under $root"))
+    val m0 = loadManifest(fs, root, v0)
+    m0.deleteCol.foreach(k => require(k == keyCol,
+      s"table $root already carries equality deletes on $k; " +
+        s"one delete column per table (got $keyCol)"))
+    val keyType = m0.schema.map(_(keyCol).dataType)
+    val delKeys = keyType.map(t => keys.select(col(keyCol).cast(t)))
+      .getOrElse(keys.select(col(keyCol))).distinct()
+    require(delKeys.where(col(keyCol).isNull).take(1).isEmpty,
+      "null keys cannot be equality-deleted (the anti-join would " +
+        "never match them)")
+    val staged = stage(spark, root,
+      dir => delKeys.coalesce(1).write.parquet(dir),
+      relPrefix = "deletes")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = versions(spark, root).last
+      val bm = loadManifest(fs, root, base)
+      bm.deleteCol.foreach(k => require(k == keyCol,
+        s"a concurrent commit set the delete column of $root to $k"))
+      val headers = bm.headers + (DeleteKey -> keyCol)
+      if (tryCommit(fs, root, base + 1, bm.entryLines ++ staged, headers))
+        return base + 1
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"delete on $root lost $maxAttempts commit races")
   }
 
   /** The file-level CHANGE SET between two committed versions: entries
@@ -935,16 +1061,26 @@ object ManifestTable {
         else {
           // zero changed files on this side: an empty, correctly-typed
           // relation (schema from the version's header, or any file)
-          require(m.entries.nonEmpty,
+          require(m.dataEntries.nonEmpty,
             s"version $v of $root lists no data files")
           readFiles(spark,
-            Seq(new Path(root, m.entries.head.rel).toString),
+            Seq(new Path(root, m.dataEntries.head.rel).toString),
             m.schema).where(lit(false))
         }
       base.withColumn("_change", lit(tag))
     }
-    side(added, toVersion, "insert")
-      .unionByName(side(removed, fromVersion, "delete"),
+    // format v6: an ADDED equality-delete file IS a batch of deletes —
+    // its rows surface tagged 'delete' with only the delete-key column
+    // populated (by-name resolution against the table schema nulls the
+    // rest). A REMOVED delete file (a compaction applied it) surfaces
+    // nothing of its own: the compaction's removed data files already
+    // re-surface every surviving row under the file-granularity
+    // contract above.
+    def isDel(rel: String) = rel.startsWith("deletes/")
+    side(added.filterNot(isDel), toVersion, "insert")
+      .unionByName(side(added.filter(isDel), toVersion, "delete"),
+        allowMissingColumns = true)
+      .unionByName(side(removed.filterNot(isDel), fromVersion, "delete"),
         allowMissingColumns = true)
   }
 
@@ -1046,6 +1182,14 @@ object ManifestTable {
       .getOrElse(throw new IllegalArgumentException(
         s"no committed version under $root"))
     val m = loadManifest(fs, root, baseVersion)
+    // merge-on-read deletes are invisible to this merge's
+    // carried-verbatim contract (a carried file may hold suppressed
+    // rows this merge should have seen) — refuse loudly rather than
+    // interleave the two delete mechanisms wrongly (Iceberg sequences
+    // deletes per snapshot for this; out of scope here)
+    require(m.deleteEntries.isEmpty,
+      s"$root carries outstanding equality deletes; run optimize to " +
+        "apply them before a copy-on-write merge")
     // honor stored bounds ONLY if the manifest declares them for THIS
     // key column (as the primary bounds column or an extra stats
     // column) — bounds of a different column would prune wrong files
@@ -1342,6 +1486,41 @@ object ManifestTable {
       .orderBy(col("l_partkey"))
   }
 
+  /** Q169: merge-on-read equality deletes end to end, hash-gated —
+    * land documents as a manifest table, DELETE every doc_id ≡ 2
+    * (mod 5) as one O(delta) delete commit (zero data-file IO, every
+    * data file carried verbatim — the spec pins that), read the table
+    * in BOTH regimes: 'mor' (outstanding delete files, readers
+    * anti-join) and 'compacted' (optimize applied + dropped the
+    * deletes). Both stages must equal the oracle's filtered aggregate
+    * — the apply-at-read and apply-at-compaction paths cannot drift. */
+  def q169ManifestEqualityDelete(spark: SparkSession,
+                                 sfDir: String): DataFrame = {
+    val root = new Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      "manifest_eqdel_" + graft.Tables.dirKey(spark, sfDir)).toString
+    val fs = fsOf(spark, new Path(root))
+    if (fs.exists(new Path(root))) fs.delete(new Path(root), true)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"))
+    overwrite(spark, root,
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      boundsCol = Some("doc_id"))
+    deleteWhereKeyIn(spark, root, "doc_id",
+      docs.where(pmod(col("doc_id"), lit(5)) === 2).select("doc_id"))
+    def aggOf(stage: String): DataFrame =
+      read(spark, root).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_doc_id"))
+        .withColumn("stage", lit(stage))
+    val mor = aggOf("1_mor").localCheckpoint() // pin BEFORE compaction
+    optimize(spark, root, "doc_id", 4)
+    mor.unionByName(aggOf("2_compacted"))
+      .select("stage", "lang", "n_docs", "sum_doc_id")
+      .orderBy("stage", "lang")
+  }
+
   def q158SchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
     val root = new Path(
       spark.conf.get("spark.sql.warehouse.dir"),
@@ -1552,9 +1731,11 @@ object ManifestTable {
       .filter(s => s.isFile && s.getPath.getName.startsWith(".tmp-") &&
         s.getModificationTime < cutoff)
       .foreach(s => fs.delete(s.getPath, false))
-    val dataDir = new Path(root, "data")
     var deleted = 0
-    if (fs.exists(dataDir)) {
+    // data files AND equality-delete files (format v6) retire the same
+    // way: unreferenced by any retained manifest → collectable
+    for (sub <- Seq("data", "deletes");
+         dataDir = new Path(root, sub) if fs.exists(dataDir)) {
       fs.listStatus(dataDir).toSeq.filter(_.isDirectory).foreach { cd =>
         val files = fs.listStatus(cd.getPath).toSeq.filter(_.isFile)
         files.foreach { f =>

@@ -197,7 +197,12 @@ class ManifestStreamSource(spark: SparkSession, root: String,
     * committed schema (by-name resolution — see the provider scaladoc
     * on mid-stream evolution). */
   private def addedRows(fromV: Int, endV: Int): DataFrame = {
+    // APPEND-TAIL contract: equality-delete commits (format v6) add no
+    // rows to the tail — their key-only files are not data (the same
+    // caveat as rewrite commits; a row-level CDC consumer uses
+    // ManifestTable.readChangesBetween, which tags them 'delete')
     val rels = ManifestTable.changedFiles(spark, root, fromV, endV)._1
+      .filterNot(_.startsWith("deletes/"))
     val committed = ManifestTable.schemaAt(spark, root, Some(endV))
     if (rels.isEmpty)
       spark.createDataFrame(

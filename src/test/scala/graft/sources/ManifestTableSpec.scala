@@ -764,4 +764,95 @@ class ManifestTableSpec extends SparkSpec {
     sidecars.foreach(s => fs.delete(s.getPath, false))
     check(delta.orderBy("doc_id").limit(1).collect()(0), mustPrune = false)
   }
+
+  test("equality delete (format v6): O(delta) commit carries every " +
+      "data file verbatim; reads (incl. pruned) suppress the keys; " +
+      "time travel sees pre-delete; compaction applies + drops; " +
+      "vacuum collects applied delete files") {
+    val root = freshRoot()
+    ManifestTable.overwrite(spark, root,
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      boundsCol = Some("doc_id"))
+    val v1 = ManifestTable.snapshot(spark, root)
+    val delKeys = docs.where(col("doc_id") % 7 === 0).select("doc_id")
+    val keep = docs.where(col("doc_id") % 7 =!= 0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    ManifestTable.deleteWhereKeyIn(spark, root, "doc_id", delKeys)
+    val v2 = ManifestTable.snapshot(spark, root)
+    // zero data-file IO: the delete commit carried every data file
+    assert(v2.files.toSet === v1.files.toSet,
+      "an equality delete rewrote data files")
+    assert(v2.deleteFiles.nonEmpty && v2.deleteCol === Some("doc_id"))
+    // merge-on-read: plain AND pruned reads suppress the keys
+    def idsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(idsOf(ManifestTable.read(spark, root)) === keep)
+    val (lo, hi) = (keep.head, keep(keep.size / 2))
+    assert(idsOf(ManifestTable.readWhereKeyBetween(spark, root,
+      "doc_id", lo, hi)) === keep.filter(k => k >= lo && k <= hi))
+    // time travel: v1 is untouched by the delete
+    assert(ManifestTable.readAt(spark, root, v1.version).count()
+      === keep.size + delKeys.count())
+    // stats can't answer a counted read under outstanding deletes
+    assert(ManifestTable.rowCountFromStats(spark, root).isEmpty)
+    // CDC: the delete commit surfaces its keys tagged 'delete'
+    val cdc = ManifestTable.readChangesBetween(spark, root,
+      v1.version, v2.version)
+    assert(cdc.where(col("_change") === "insert").count() === 0)
+    assert(idsOf(cdc.where(col("_change") === "delete")
+      .select("doc_id")) === idsOf(delKeys))
+    // compaction applies + drops the deletes; counts answer again
+    ManifestTable.optimize(spark, root, "doc_id", 4)
+    assert(idsOf(ManifestTable.read(spark, root)) === keep)
+    val v3 = ManifestTable.snapshot(spark, root)
+    assert(v3.deleteFiles.isEmpty, "optimize carried delete files")
+    assert(ManifestTable.rowCountFromStats(spark, root)
+      === Some(keep.size.toLong))
+    // vacuum collects the applied delete files from disk
+    ManifestTable.vacuum(spark, root, retain = 1, orphanRetentionMs = 0L)
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.globStatus(new Path(root, "deletes/*")) == null ||
+      fs.globStatus(new Path(root, "deletes/*")).isEmpty,
+      "vacuum left applied delete files behind")
+    assert(idsOf(ManifestTable.read(spark, root)) === keep)
+  }
+
+  test("equality deletes are global-until-compacted: append refuses " +
+      "resurrection, mergeCoW refuses outstanding deletes, one delete " +
+      "column per table") {
+    val root = freshRoot()
+    ManifestTable.overwrite(spark, root, docs)
+    val victim = docs.orderBy("doc_id").limit(1)
+    ManifestTable.deleteWhereKeyIn(spark, root, "doc_id",
+      victim.select("doc_id"))
+    // resurrection: appending the deleted key must fail loudly
+    val exA = intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, root, victim)
+    }
+    assert(exA.getMessage.contains("resurrect"))
+    // a disjoint append is fine and stays suppressed-free
+    val fresh = docs.orderBy(col("doc_id").desc).limit(1)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    ManifestTable.append(spark, root, fresh)
+    assert(ManifestTable.read(spark, root).count() === docs.count())
+    // CoW merge over outstanding MoR deletes is refused
+    val exM = intercept[IllegalArgumentException] {
+      ManifestTable.mergeCoW(spark, root, "doc_id",
+        removeKeys = fresh.select("doc_id").limit(0), upserts = fresh)
+    }
+    assert(exM.getMessage.contains("optimize"))
+    // one delete column per table
+    val exC = intercept[IllegalArgumentException] {
+      ManifestTable.deleteWhereKeyIn(spark, root, "lang",
+        docs.limit(1).select("lang"))
+    }
+    assert(exC.getMessage.contains("delete column"))
+    // after compaction, the key is appendable again (the documented
+    // resurrection path)
+    ManifestTable.optimize(spark, root, "doc_id", 4)
+    ManifestTable.append(spark, root, victim)
+    assert(ManifestTable.read(spark, root).count() === docs.count() + 1)
+  }
 }

@@ -551,6 +551,12 @@ object SparkEntry {
     // filtered aggregate.
     "q169_manifest_equality_delete" ->
       (graft.sources.ManifestTable.q169ManifestEqualityDelete _),
+    // q170 is the CHANGE DATA FEED stream (Delta CDF shape): batches
+    // are readChangesBetween rows, so removals stream too — the gate
+    // folds the feed (insert anti-join streamed delete keys) back into
+    // the table's filtered aggregate across three restarted drains.
+    "q170_manifest_change_feed" ->
+      (graft.streaming.ManifestStream.q170ManifestChangeFeed _),
   )
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
@@ -3677,6 +3683,12 @@ object SparkEntry {
         |UNION ALL
         |SELECT '2_compacted', lang, n_docs, sum_doc_id FROM a
         |ORDER BY stage, lang""".stripMargin,
+    // q170: the reconstructed-from-feed aggregate == the filtered one.
+    "q170_manifest_change_feed" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       sum(doc_id)::BIGINT AS sum_doc_id
+        |FROM documents WHERE doc_id % 7 <> 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 
   /** q57/q168's shared replay: the 2 Lloyd iterations (assignment by

@@ -67,6 +67,16 @@ class ManifestStreamProvider extends StreamSourceProvider
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-manifest source requires .option(\"path\", <table root>)"))
 
+  /** CHANGE DATA FEED mode (`.option("readChangeFeed", "true")` — the
+    * Delta CDF shape): batches are [[ManifestTable.readChangesBetween]]
+    * rows instead of the append tail, so a consumer sees REMOVALS too —
+    * an added equality-delete file's keys arrive tagged `'delete'`, a
+    * rewrite commit's old/new files arrive as delete+insert pairs to
+    * reconcile by key (the file-granularity contract). The initial
+    * batch is the snapshot tagged `'insert'`. */
+  private def isCdf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))
+
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType],
                             providerName: String,
@@ -76,7 +86,13 @@ class ManifestStreamProvider extends StreamSourceProvider
     val root = rootOf(parameters)
     val s = schema.orElse(ManifestTable.schemaAt(spark, root))
       .getOrElse(ManifestTable.read(spark, root).schema)
-    (shortName() + ": " + root, s)
+    val out =
+      if (isCdf(parameters))
+        org.apache.spark.sql.types.StructType(s.fields :+
+          org.apache.spark.sql.types.StructField("_change",
+            org.apache.spark.sql.types.StringType, nullable = true))
+      else s
+    (shortName() + ": " + root, out)
   }
 
   override def createSource(sqlContext: SQLContext,
@@ -88,7 +104,8 @@ class ManifestStreamProvider extends StreamSourceProvider
     val root = rootOf(parameters)
     new ManifestStreamSource(spark, root,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
-      parameters.get("startingVersion").map(_.toInt))
+      parameters.get("startingVersion").map(_.toInt),
+      cdf = isCdf(parameters))
   }
 }
 
@@ -151,11 +168,67 @@ object ManifestStream {
     drainOnce()
     spark.table(qn).orderBy("event_type")
   }
+
+  /** Q170: the CHANGE DATA FEED stream, hash-gated — documents land as
+    * a manifest table (v1 = ~80%), an append adds the rest (v2), a
+    * merge-on-read equality delete suppresses every doc_id ≡ 0 (mod 7)
+    * (v3); a checkpointed CDF stream drains after EACH commit (three
+    * fresh processes — version offsets prove continuation), landing
+    * (doc_id, lang, _change) rows in a parquet sink. The gate folds
+    * the feed back into a table — inserts anti-joined by the streamed
+    * delete keys — and aggregates; it must equal the oracle's filtered
+    * aggregate, which breaks if the feed drops, duplicates, or
+    * mis-tags any commit's rows. */
+  def q170ManifestChangeFeed(spark: SparkSession,
+                             sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val key = graft.Tables.dirKey(spark, sfDir)
+    val base = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      "manifest_cdf_" + key).toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(base)))
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val root = s"$base/tbl"
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"))
+    def drainOnce(): Unit = {
+      val q = spark.readStream
+        .format(classOf[ManifestStreamProvider].getName)
+        .option("path", root)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$base/feed")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ManifestTable.overwrite(spark, root,
+      docs.where(pmod(col("doc_id"), lit(5)) =!= 0))
+    drainOnce()
+    ManifestTable.append(spark, root,
+      docs.where(pmod(col("doc_id"), lit(5)) === 0))
+    drainOnce()
+    ManifestTable.deleteWhereKeyIn(spark, root, "doc_id",
+      docs.where(pmod(col("doc_id"), lit(7)) === 0).select("doc_id"))
+    drainOnce()
+    val feed = spark.read.parquet(s"$base/feed")
+    val dels = feed.where(col("_change") === "delete").select("doc_id")
+    feed.where(col("_change") === "insert")
+      .join(dels, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
+      .orderBy("lang")
+  }
 }
 
 class ManifestStreamSource(spark: SparkSession, root: String,
                            override val schema: StructType,
-                           startingVersion: Option[Int]) extends Source
+                           startingVersion: Option[Int],
+                           cdf: Boolean = false) extends Source
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
 
@@ -215,18 +288,28 @@ class ManifestStreamSource(spark: SparkSession, root: String,
     }
   }
 
+  /** The CDF batch for `(fromV, endV]` or the tagged initial snapshot. */
+  private def changeRows(fromV: Option[Int], endV: Int): DataFrame =
+    fromV match {
+      case Some(s) => ManifestTable.readChangesBetween(spark, root, s, endV)
+      case None => ManifestTable.readAt(spark, root, endV)
+        .withColumn("_change", lit("insert"))
+    }
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = versionOf(end)
-    val batch = start.map(versionOf) match {
-      case Some(s) if s >= endV => // engine no-op replay edge
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-          ManifestTable.schemaAt(spark, root, Some(endV)).getOrElse(schema))
-      case Some(s) => addedRows(s, endV)
-      case None => startingVersion match {
-        case Some(sv) if sv > 1 => addedRows(sv - 1, endV)
-        case _ => // initial batch = the full snapshot at endV
-          ManifestTable.readAt(spark, root, endV)
-      }
+    val from = start.map(versionOf) match {
+      case Some(s) if s >= endV => Some(endV) // engine no-op replay edge
+      case Some(s) => Some(s)
+      case None => startingVersion.filter(_ > 1).map(_ - 1)
+    }
+    val batch = (from, cdf) match {
+      case (Some(s), _) if s >= endV =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      case (f, true) => changeRows(f, endV)
+      case (Some(s), false) => addedRows(s, endV)
+      case (None, false) => // initial batch = the full snapshot at endV
+        ManifestTable.readAt(spark, root, endV)
     }
     // select in source-schema order: evolution may have appended
     // columns after this stream's declared schema was resolved

@@ -557,6 +557,14 @@ object SparkEntry {
     // the table's filtered aggregate across three restarted drains.
     "q170_manifest_change_feed" ->
       (graft.streaming.ManifestStream.q170ManifestChangeFeed _),
+    // q171 is the exactly-once STREAMING UPSERT SINK: foreachBatch
+    // commits each micro-batch through one CoW merge whose manifest
+    // rename atomically lands both the rows and a #txn-<app>=<batch>
+    // marker (Delta's transactional-writer protocol) — replayed
+    // batches are no-ops; the gate applies updates to earlier keys
+    // across restarted drains and hash-compares last-writer-wins.
+    "q171_stream_upsert_sink" ->
+      (graft.streaming.ManifestSink.q171StreamUpsertSink _),
   )
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
@@ -3689,6 +3697,19 @@ object SparkEntry {
         |       sum(doc_id)::BIGINT AS sum_doc_id
         |FROM documents WHERE doc_id % 7 <> 0
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // q171: last-writer-wins recomputed arithmetically — batch 2/3
+    // updated event_id % 5 = 0 rows of the two earlier slices (+100).
+    "q171_stream_upsert_sink" ->
+      """WITH f AS (
+        |  SELECT event_type, user_id,
+        |         round(value * 100)::BIGINT +
+        |         CASE WHEN event_id % 5 = 0 AND event_id % 3 < 2
+        |              THEN 100 ELSE 0 END AS cents
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        |       sum(user_id)::BIGINT AS sum_user_id,
+        |       sum(cents)::BIGINT AS sum_cents
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 
   /** q57/q168's shared replay: the 2 Lloyd iterations (assignment by

@@ -271,6 +271,16 @@ object ManifestTable {
     * Iceberg sequences deletes per-snapshot for this — out of scope,
     * rejected loudly instead of wrong). */
   private val DeleteKey = "deletecol"
+  /** TRANSACTIONAL WRITER MARKERS (Delta's `txn` action shape): a
+    * `#txn-<appId>=<version>` header records the highest version an
+    * idempotent writer application has committed, ATOMICALLY with the
+    * commit that carried it — the primitive an exactly-once streaming
+    * sink needs (`foreachBatch` replays batches on recovery; a replayed
+    * batch sees its version already recorded and becomes a no-op).
+    * Markers ride every evolutionary commit (append, merge, delete,
+    * optimize — compaction must not amnesia the sink's cursor) and are
+    * reset only by [[overwrite]], which replaces the table outright. */
+  private val TxnPrefix = "txn-"
 
   /** One committed manifest, parsed ONCE — every operation loads this
     * a single time and derives headers/entries/schema from it, instead
@@ -944,6 +954,9 @@ object ManifestTable {
         bm.flatMap(_.headers.get(BloomKey)).map(BloomKey -> _).toMap ++
         // and the delete column: base delete lines carry verbatim
         bm.flatMap(_.headers.get(DeleteKey)).map(DeleteKey -> _).toMap ++
+        // writer markers: an append must not amnesia a sink's cursor
+        bm.map(_.headers.filter(_._1.startsWith(TxnPrefix)))
+          .getOrElse(Map.empty) ++
         outSchema.map(SchemaKey -> _.json).toMap
       if (tryCommit(fs, root, v, baseLines ++ stagedOut, headers)) return v
       attempt += 1
@@ -1140,6 +1153,9 @@ object ManifestTable {
     val headers = boundsHeader(stampCol) ++
       (if (bloomCs.nonEmpty) Map(BloomKey -> bloomCs.mkString(","))
        else Map.empty[String, String]) ++
+      // writer markers: compaction must not amnesia a sink's cursor
+      loadManifest(fs, root, base.version).headers
+        .filter(_._1.startsWith(TxnPrefix)) ++
       base.schema.map(SchemaKey -> _.json).toMap
     if (!tryCommit(fs, root, base.version + 1, staged, headers))
       throw new java.util.ConcurrentModificationException(
@@ -1174,8 +1190,25 @@ object ManifestTable {
     * via [[append]]/[[overwrite]], never silently dropped here), a
     * missing one fails resolution. Returns
     * (newVersion, filesCarried, filesRewritten). */
+  /** The newest committed version marker of writer `appId` (see
+    * [[TxnPrefix]]); None = this application never committed here. */
+  def lastTxnVersion(spark: SparkSession, root: String,
+                     appId: String): Option[Long] = {
+    val fs = fsOf(spark, new Path(root))
+    currentVersion(spark, root)
+      .flatMap(v => loadManifest(fs, root, v)
+        .headers.get(TxnPrefix + appId))
+      .flatMap(_.toLongOption)
+  }
+
+  private def requireTxnId(appId: String): Unit =
+    require(appId.nonEmpty && appId.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"txn appId must be [A-Za-z0-9_.-]+, got '$appId'")
+
   def mergeCoW(spark: SparkSession, root: String, keyCol: String,
-               removeKeys: DataFrame, upserts: DataFrame): (Int, Int, Int) = {
+               removeKeys: DataFrame, upserts: DataFrame,
+               txn: Option[(String, Long)] = None): (Int, Int, Int) = {
     import spark.implicits._
     val fs = fsOf(spark, new Path(root))
     val baseVersion = currentVersion(spark, root)
@@ -1321,6 +1354,10 @@ object ManifestTable {
        else Map.empty[String, String]) ++
       // the bloom declaration ALWAYS survives (name-attributed sidecars)
       m.headers.get(BloomKey).map(BloomKey -> _).toMap ++
+      // writer markers survive every merge; this commit may set its own
+      m.headers.filter(_._1.startsWith(TxnPrefix)) ++
+      txn.map { case (app, ver) =>
+        requireTxnId(app); (TxnPrefix + app) -> ver.toString }.toMap ++
       tableSchema.map(SchemaKey -> _.json).toMap
     if (!tryCommit(fs, root, baseVersion + 1, outLines, headers))
       throw new java.util.ConcurrentModificationException(

@@ -565,6 +565,13 @@ object SparkEntry {
     // across restarted drains and hash-compares last-writer-wins.
     "q171_stream_upsert_sink" ->
       (graft.streaming.ManifestSink.q171StreamUpsertSink _),
+    // q172 is the point-in-time dimension join (facts enriched with
+    // the SCD2 version valid at each fact's own time): SCD2 intervals
+    // tile the timeline, so the BETWEEN range join collapses to the
+    // native as-of merge — the oracle runs the BETWEEN verbatim, so
+    // the gate pins the tiling argument itself.
+    "q172_point_in_time_join" ->
+      (graft.operators.AsofJoin.q172PointInTimeJoin _),
   )
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
@@ -3710,6 +3717,27 @@ object SparkEntry {
         |       sum(user_id)::BIGINT AS sum_user_id,
         |       sum(cents)::BIGINT AS sum_cents
         |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q172: the BETWEEN formulation of the point-in-time join — each
+    // fact matches at most one dimension row because intervals tile.
+    "q172_point_in_time_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type IN ('signup', 'purchase')
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |v AS (SELECT user_id, value AS attr_value, ts,
+        |             row_number() OVER w AS version,
+        |             lead(ts) OVER w AS vt
+        |      FROM u
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |d AS (SELECT * FROM v WHERE vt IS NULL OR vt > ts),
+        |f AS (SELECT event_id, user_id, ts, event_type FROM events
+        |      WHERE event_type NOT IN ('signup', 'purchase')
+        |        AND user_id IS NOT NULL AND ts IS NOT NULL)
+        |SELECT f.event_id, f.user_id, f.event_type,
+        |       d.version, d.attr_value
+        |FROM f LEFT JOIN d ON d.user_id = f.user_id
+        |  AND d.ts <= f.ts AND (d.vt IS NULL OR f.ts < d.vt)
+        |ORDER BY f.event_id""".stripMargin,
   )
 
   /** q57/q168's shared replay: the 2 Lloyd iterations (assignment by

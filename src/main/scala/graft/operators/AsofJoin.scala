@@ -316,6 +316,42 @@ object AsofJoin {
         .as("direction"))
   }
 
+  /** Q172: POINT-IN-TIME dimension join — every fact row enriched with
+    * the SCD2 dimension version that was valid AT THE FACT'S OWN TIME
+    * (the join every warehouse backfill needs; getting it wrong —
+    * joining `is_current` — is the classic leakage bug where training
+    * features see the future). Because SCD2 intervals TILE each user's
+    * timeline, "the version with valid_from ≤ ts < valid_to" is exactly
+    * "the latest valid_from ≤ ts" — i.e. the native AS-OF operator
+    * ([[graft.plans.NativeAsofJoin]]), one co-partitioned merge scan,
+    * NOT an interval nested loop: at 100 TB of facts the BETWEEN
+    * formulation is a range join per fact, the as-of is one exchange
+    * per side and a linear merge. Zero-width versions (superseded at
+    * the same instant — BETWEEN can never match their empty interval)
+    * are dropped first, which also makes the right side's (key, ts)
+    * unique → the as-of pick is deterministic. Facts before a user's
+    * first version surface with null dimension columns (LEFT
+    * semantics). Oracle = the BETWEEN formulation verbatim, so the
+    * gate pins the tiling argument itself. */
+  def q172PointInTimeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val dim = RelationalQueries.scd2Of(RelationalQueries.scd2Updates(ev))
+      .where(col("valid_to_ts").isNull ||
+        col("valid_to_ts") > col("valid_from_ts"))
+      .select(col("user_id"), col("valid_from_ts").as("ts"),
+        col("version"), col("attr_value"))
+    val facts = ev
+      .where(!col("event_type").isin("signup", "purchase") &&
+        col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"))
+    graft.plans.NativeAsofJoin.asof(facts, dim, "user_id", "ts",
+        Seq("version", "attr_value"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("version"), col("attr_value"))
+      .orderBy("event_id")
+  }
+
   private def q36Shape(spark: SparkSession, sfDir: String,
       join: (DataFrame, DataFrame, String, String, Seq[String]) => DataFrame)
       : DataFrame = {

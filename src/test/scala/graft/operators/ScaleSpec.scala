@@ -1154,6 +1154,16 @@ class ScaleSpec extends SparkSpec {
     ManifestTable.overwrite(spark, root, ManifestTable.read(spark, root),
       boundsCol = Some("cell"))
     assert(pinned.read(spark).count() === rows,
-      "pinned snapshot disturbed by an index rebuild")
+      "pinned snapshot disturbed by an index rebuilt")
+  }
+
+  test("q172 point-in-time join plans as the as-of merge, not an " +
+      "interval nested loop") {
+    val df = AsofJoin.q172PointInTimeJoin(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"),
+      s"expected the native as-of operator:\n${plan.take(3000)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "the BETWEEN range join leaked into the physical plan")
   }
 }

@@ -572,6 +572,19 @@ object SparkEntry {
     // the gate pins the tiling argument itself.
     "q172_point_in_time_join" ->
       (graft.operators.AsofJoin.q172PointInTimeJoin _),
+    // q173 is DESCRIBE HISTORY + time travel by TIMESTAMP: commit
+    // instants are the manifest files' own mtimes (the rename IS the
+    // commit), history is O(versions) metadata, and readAtTimestamp
+    // resolves the newest commit at-or-before t — each version's
+    // contents hash-gated against the slice definitions.
+    "q173_history_time_travel" ->
+      (graft.sources.ManifestTable.q173HistoryTimeTravel _),
+    // q174 is CHECK constraints: declared over clean data only,
+    // enforced on every append/merge before staging (violators
+    // rejected loudly, table provably untouched), surviving
+    // compaction; final state hash-gated.
+    "q174_check_constraints" ->
+      (graft.sources.ManifestTable.q174CheckConstraints _),
   )
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
@@ -3738,6 +3751,28 @@ object SparkEntry {
         |FROM f LEFT JOIN d ON d.user_id = f.user_id
         |  AND d.ts <= f.ts AND (d.vt IS NULL OR f.ts < d.vt)
         |ORDER BY f.event_id""".stripMargin,
+    // q173: the three cumulative slices, recomputed.
+    "q173_history_time_travel" ->
+      """WITH s AS (
+        |  SELECT 1 AS version, doc_id FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 2, doc_id FROM documents WHERE doc_id % 3 <= 1
+        |  UNION ALL
+        |  SELECT 3, doc_id FROM documents)
+        |SELECT version, count(*) AS n_docs,
+        |       sum(doc_id)::BIGINT AS sum_doc_id
+        |FROM s GROUP BY version ORDER BY version""".stripMargin,
+    // q174: the final constrained state recomputed arithmetically —
+    // all rows, order 1's prices bumped one cent by the merge.
+    "q174_check_constraints" ->
+      """WITH f AS (
+        |  SELECT l_returnflag,
+        |         round(l_extendedprice * 100)::BIGINT +
+        |         CASE WHEN l_orderkey = 1 THEN 1 ELSE 0 END AS cents
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n_rows,
+        |       sum(cents)::BIGINT AS sum_price_cents
+        |FROM f GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 
   /** q57/q168's shared replay: the 2 Lloyd iterations (assignment by

@@ -281,6 +281,23 @@ object ManifestTable {
     * optimize — compaction must not amnesia the sink's cursor) and are
     * reset only by [[overwrite]], which replaces the table outright. */
   private val TxnPrefix = "txn-"
+  /** CHECK CONSTRAINTS (Delta's table constraints): a
+    * `#constraint-<name>=<sql boolean expr>` header makes every
+    * subsequent [[append]] and [[mergeCoW]] validate its incoming rows
+    * BEFORE staging (fail fast, no orphan files, the table never holds
+    * a violating row). SQL-standard semantics: a row violates only
+    * when the expression evaluates to FALSE — NULL passes (add an
+    * explicit IS NOT NULL conjunct to forbid nulls). [[addConstraint]]
+    * scans the EXISTING table first, so a constraint can never be
+    * declared over data that already violates it. Constraints ride
+    * every evolutionary commit and reset only on [[overwrite]]. */
+  private val ConstraintPrefix = "constraint-"
+  /** Headers that ride every evolutionary commit (append / merge /
+    * delete / optimize) — writer cursors and constraints must survive
+    * compaction; only [[overwrite]] resets them. */
+  private def carriedHeaders(hs: Map[String, String]): Map[String, String] =
+    hs.filter { case (k, _) =>
+      k.startsWith(TxnPrefix) || k.startsWith(ConstraintPrefix) }
 
   /** One committed manifest, parsed ONCE — every operation loads this
     * a single time and derives headers/entries/schema from it, instead
@@ -923,6 +940,8 @@ object ManifestTable {
             "first, then append")
       }
     }
+    // CHECK constraints gate the incoming rows BEFORE staging
+    validateAgainstTable(spark, root, df, s"append to $root")
     val staged = stage(spark, root, dir => df.write.parquet(dir),
       boundsCol = effBounds, bloomCols = effBloom)
     var attempt = 0
@@ -954,9 +973,9 @@ object ManifestTable {
         bm.flatMap(_.headers.get(BloomKey)).map(BloomKey -> _).toMap ++
         // and the delete column: base delete lines carry verbatim
         bm.flatMap(_.headers.get(DeleteKey)).map(DeleteKey -> _).toMap ++
-        // writer markers: an append must not amnesia a sink's cursor
-        bm.map(_.headers.filter(_._1.startsWith(TxnPrefix)))
-          .getOrElse(Map.empty) ++
+        // writer markers + constraints: an append must not amnesia a
+        // sink's cursor or shed the table's invariants
+        bm.map(m => carriedHeaders(m.headers)).getOrElse(Map.empty) ++
         outSchema.map(SchemaKey -> _.json).toMap
       if (tryCommit(fs, root, v, baseLines ++ stagedOut, headers)) return v
       attempt += 1
@@ -1153,9 +1172,9 @@ object ManifestTable {
     val headers = boundsHeader(stampCol) ++
       (if (bloomCs.nonEmpty) Map(BloomKey -> bloomCs.mkString(","))
        else Map.empty[String, String]) ++
-      // writer markers: compaction must not amnesia a sink's cursor
-      loadManifest(fs, root, base.version).headers
-        .filter(_._1.startsWith(TxnPrefix)) ++
+      // writer markers + constraints: compaction must not amnesia a
+      // sink's cursor or shed the table's invariants
+      carriedHeaders(loadManifest(fs, root, base.version).headers) ++
       base.schema.map(SchemaKey -> _.json).toMap
     if (!tryCommit(fs, root, base.version + 1, staged, headers))
       throw new java.util.ConcurrentModificationException(
@@ -1190,6 +1209,112 @@ object ManifestTable {
     * via [[append]]/[[overwrite]], never silently dropped here), a
     * missing one fails resolution. Returns
     * (newVersion, filesCarried, filesRewritten). */
+  /** The table's declared CHECK constraints, name → SQL expression. */
+  def constraintsOf(spark: SparkSession, root: String)
+      : Map[String, String] = {
+    val fs = fsOf(spark, new Path(root))
+    currentVersion(spark, root)
+      .map(v => loadManifest(fs, root, v).headers.collect {
+        case (k, v2) if k.startsWith(ConstraintPrefix) =>
+          k.stripPrefix(ConstraintPrefix) -> v2
+      }.toMap).getOrElse(Map.empty)
+  }
+
+  /** A row violates only when the expression is FALSE (SQL-standard
+    * CHECK semantics: NULL passes). One `take(1)` job per constraint —
+    * delta-sized for append/merge inputs, table-sized only in
+    * [[addConstraint]]'s declaration scan. */
+  private def validateConstraints(df: DataFrame,
+                                  cs: Map[String, String],
+                                  what: String): Unit =
+    cs.foreach { case (name, sql) =>
+      val bad = df.where(!coalesce(expr(sql), lit(true))).take(1)
+      require(bad.isEmpty,
+        s"$what violates CHECK constraint $name ($sql): " +
+          s"e.g. ${bad.headOption.map(_.toString).getOrElse("")}")
+    }
+
+  private def validateAgainstTable(spark: SparkSession, root: String,
+                                   df: DataFrame, what: String): Unit = {
+    val cs = constraintsOf(spark, root)
+    if (cs.nonEmpty) validateConstraints(df, cs, what)
+  }
+
+  /** Declare a CHECK constraint (see [[ConstraintPrefix]]): scans the
+    * EXISTING table first — a constraint can never be declared over
+    * violating data — then commits the header (entry lines verbatim,
+    * zero data IO). */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+                    exprSql: String): Int = {
+    requireTxnId(name) // same identifier alphabet
+    require(!exprSql.contains('\n') && !exprSql.contains('\t'),
+      "constraint expression must be a single line (header format)")
+    val fs = fsOf(spark, new Path(root))
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed version under $root"))
+    validateConstraints(read(spark, root), Map(name -> exprSql),
+      s"existing data of $root")
+    val m = loadManifest(fs, root, v)
+    if (!tryCommit(fs, root, v + 1, m.entryLines,
+        m.headers + ((ConstraintPrefix + name) -> exprSql)))
+      throw new java.util.ConcurrentModificationException(
+        s"addConstraint on $root lost the commit race; rerun")
+    v + 1
+  }
+
+  /** Drop a CHECK constraint — header-only commit, zero data IO. */
+  def dropConstraint(spark: SparkSession, root: String,
+                     name: String): Int = {
+    val fs = fsOf(spark, new Path(root))
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed version under $root"))
+    val m = loadManifest(fs, root, v)
+    require(m.headers.contains(ConstraintPrefix + name),
+      s"no constraint named $name on $root")
+    if (!tryCommit(fs, root, v + 1, m.entryLines,
+        m.headers - (ConstraintPrefix + name)))
+      throw new java.util.ConcurrentModificationException(
+        s"dropConstraint on $root lost the commit race; rerun")
+    v + 1
+  }
+
+  /** One committed version's summary: when it landed (the manifest
+    * file's own mtime — the rename IS the commit instant), what it
+    * lists, and its metadata row count when stats allow. */
+  case class CommitInfo(version: Int, timestampMs: Long,
+                        dataFiles: Int, deleteFiles: Int,
+                        rows: Option[Long])
+
+  /** DESCRIBE HISTORY: every retained version, oldest first. O(versions)
+    * manifest reads, zero data IO. */
+  def history(spark: SparkSession, root: String): Seq[CommitInfo] = {
+    val fs = fsOf(spark, new Path(root))
+    versions(spark, root).map { v =>
+      val m = loadManifest(fs, root, v)
+      val mtime = fs.getFileStatus(manifestPath(root, v))
+        .getModificationTime
+      val des = m.entries.count(_.isDelete)
+      CommitInfo(v, mtime, m.entries.size - des, des,
+        rowCountFromStats(spark, root, Some(v)))
+    }
+  }
+
+  /** TIME TRAVEL BY TIMESTAMP (Delta's `timestampAsOf`): the newest
+    * version committed at or before `tsMs` — resolved from manifest
+    * mtimes (the atomic rename is the commit instant). Fails loudly
+    * for a timestamp before the first retained commit (the data may
+    * be vacuumed; silently serving a LATER version would be wrong). */
+  def readAtTimestamp(spark: SparkSession, root: String,
+                      tsMs: Long): DataFrame = {
+    val h = history(spark, root)
+    require(h.nonEmpty, s"no committed version under $root")
+    val at = h.takeWhile(_.timestampMs <= tsMs).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"$tsMs predates the earliest retained commit of $root " +
+          s"(${h.head.timestampMs}); earlier versions are vacuumed"))
+    readAt(spark, root, at.version)
+  }
+
   /** The newest committed version marker of writer `appId` (see
     * [[TxnPrefix]]); None = this application never committed here. */
   def lastTxnVersion(spark: SparkSession, root: String,
@@ -1316,6 +1441,8 @@ object ManifestTable {
         "widen the table schema first (append supports add-column " +
         "evolution) or drop the columns explicitly")
     val up = upserts.select(tableCols.map(col): _*)
+    // CHECK constraints gate the upserts BEFORE any rewrite is staged
+    validateAgainstTable(spark, root, up, s"mergeCoW upserts into $root")
     // surviving rows of the affected files (neither removed nor about
     // to be replaced by an upsert of the same key) + the upsert rows
     val rewritten =
@@ -1354,8 +1481,9 @@ object ManifestTable {
        else Map.empty[String, String]) ++
       // the bloom declaration ALWAYS survives (name-attributed sidecars)
       m.headers.get(BloomKey).map(BloomKey -> _).toMap ++
-      // writer markers survive every merge; this commit may set its own
-      m.headers.filter(_._1.startsWith(TxnPrefix)) ++
+      // writer markers + constraints survive every merge; this commit
+      // may set its own marker
+      carriedHeaders(m.headers) ++
       txn.map { case (app, ver) =>
         requireTxnId(app); (TxnPrefix + app) -> ver.toString }.toMap ++
       tableSchema.map(SchemaKey -> _.json).toMap
@@ -1556,6 +1684,107 @@ object ManifestTable {
     mor.unionByName(aggOf("2_compacted"))
       .select("stage", "lang", "n_docs", "sum_doc_id")
       .orderBy("stage", "lang")
+  }
+
+  /** Q173: DESCRIBE HISTORY + time travel by TIMESTAMP, hash-gated on
+    * the versioned contents — three commits land documents in thirds;
+    * the query asserts the history invariants the wall-clock makes
+    * un-hashable (one CommitInfo per version, commit instants
+    * non-decreasing, metadata row counts exact, `readAtTimestamp` at
+    * each commit's own instant resolving to exactly that version, a
+    * pre-history timestamp failing loudly), then emits each version's
+    * aggregate — which the oracle recomputes from the slice
+    * definitions, so a wrong version resolution is hash-fatal. */
+  def q173HistoryTimeTravel(spark: SparkSession,
+                            sfDir: String): DataFrame = {
+    val root = new Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      "manifest_history_" + graft.Tables.dirKey(spark, sfDir)).toString
+    val fs = fsOf(spark, new Path(root))
+    if (fs.exists(new Path(root))) fs.delete(new Path(root), true)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"))
+    overwrite(spark, root, docs.where(pmod(col("doc_id"), lit(3)) === 0))
+    append(spark, root, docs.where(pmod(col("doc_id"), lit(3)) === 1))
+    append(spark, root, docs.where(pmod(col("doc_id"), lit(3)) === 2))
+    val h = history(spark, root)
+    require(h.map(_.version) == Seq(1, 2, 3) &&
+      h.forall(_.deleteFiles == 0) &&
+      h.map(_.timestampMs) == h.map(_.timestampMs).sorted,
+      s"history shape wrong: $h")
+    h.foreach { c =>
+      require(c.rows.contains(readAt(spark, root, c.version).count()),
+        s"metadata row count drifted at v${c.version}")
+      require(readAtTimestamp(spark, root, c.timestampMs)
+        .count() == c.rows.get,
+        s"timestampAsOf at v${c.version}'s own instant resolved wrong")
+    }
+    require(scala.util.Try(
+      readAtTimestamp(spark, root, h.head.timestampMs - 1)).isFailure,
+      "a pre-history timestamp must fail loudly, not serve a later " +
+        "version")
+    h.map(c => readAt(spark, root, c.version)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_doc_id"))
+        .withColumn("version", lit(c.version)))
+      .reduce(_ unionByName _)
+      .select("version", "n_docs", "sum_doc_id")
+      .orderBy("version")
+  }
+
+  /** Q174: CHECK constraints end to end, hash-gated — a constrained
+    * table accepts two valid ingests (append + CoW merge), REJECTS a
+    * violating append, a violating merge, and a constraint declared
+    * over already-violating data (all three loudly, table unchanged —
+    * asserted inside the query), and the constraint survives a
+    * compaction. The oracle recomputes the final state arithmetically,
+    * so an ingest that slipped a rejected batch in (or lost a valid
+    * one) is hash-fatal. */
+  def q174CheckConstraints(spark: SparkSession,
+                           sfDir: String): DataFrame = {
+    val root = new Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      "manifest_check_" + graft.Tables.dirKey(spark, sfDir)).toString
+    val fs = fsOf(spark, new Path(root))
+    if (fs.exists(new Path(root))) fs.delete(new Path(root), true)
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+    overwrite(spark, root, li.where(pmod(col("l_orderkey"), lit(2)) === 0))
+    addConstraint(spark, root, "non_negative_price", "price_cents >= 0")
+    // valid ingests pass: one append, one keyed CoW merge
+    append(spark, root,
+      li.where(pmod(col("l_orderkey"), lit(2)) === 1))
+    val bump = li.where(col("l_orderkey") === 1)
+      .withColumn("price_cents", col("price_cents") + 1)
+    mergeCoW(spark, root, "l_orderkey",
+      removeKeys = bump.select("l_orderkey").limit(0),
+      // a merge keys whole orders: replace order 1's rows wholesale
+      upserts = bump)
+    val vBefore = currentVersion(spark, root)
+    // violating ingests are rejected loudly, table untouched
+    require(scala.util.Try(append(spark, root,
+      li.limit(3).withColumn("price_cents", lit(-1L)))).isFailure,
+      "violating append was accepted")
+    require(scala.util.Try(mergeCoW(spark, root, "l_orderkey",
+      bump.select("l_orderkey").limit(0),
+      bump.withColumn("price_cents", lit(-5L)))).isFailure,
+      "violating merge was accepted")
+    require(scala.util.Try(addConstraint(spark, root,
+      "impossible", "l_orderkey < 0")).isFailure,
+      "a constraint over violating data was accepted")
+    require(currentVersion(spark, root) == vBefore,
+      "a rejected ingest changed the table")
+    // the constraint survives compaction
+    optimize(spark, root, "l_orderkey", 4)
+    require(constraintsOf(spark, root)
+      == Map("non_negative_price" -> "price_cents >= 0"),
+      "compaction shed the constraint")
+    read(spark, root).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price_cents")).as("sum_price_cents"))
+      .orderBy("l_returnflag")
   }
 
   def q158SchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {

@@ -855,4 +855,38 @@ class ManifestTableSpec extends SparkSpec {
     ManifestTable.append(spark, root, victim)
     assert(ManifestTable.read(spark, root).count() === docs.count() + 1)
   }
+
+  test("CHECK constraints: NULL passes (SQL semantics), drop re-allows, " +
+      "history counts delete files, timestampAsOf future = newest") {
+    val root = freshRoot()
+    val d = docs.withColumn("score", when(col("doc_id") % 10 === 0,
+      lit(null).cast("long")).otherwise(col("doc_id")))
+    ManifestTable.overwrite(spark, root, d.where(col("doc_id") % 2 === 0))
+    ManifestTable.addConstraint(spark, root, "score_pos", "score > 0")
+    // NULL-scored rows pass the declaration scan AND future appends
+    // (SQL CHECK: only FALSE violates) — forbid nulls explicitly
+    ManifestTable.append(spark, root, d.where(col("doc_id") % 2 === 1))
+    assert(ManifestTable.read(spark, root).count() === docs.count())
+    val bad = d.limit(2).withColumn("score", lit(-1L))
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, root, bad)
+    }
+    // drop re-allows what the constraint forbade
+    ManifestTable.dropConstraint(spark, root, "score_pos")
+    ManifestTable.append(spark, root, bad)
+    assert(ManifestTable.read(spark, root)
+      .where(col("score") === -1L).count() === 2)
+    // history: a delete commit counts its delete file, data carried
+    val hBefore = ManifestTable.history(spark, root).last
+    ManifestTable.deleteWhereKeyIn(spark, root, "doc_id",
+      d.limit(1).select("doc_id"))
+    val h = ManifestTable.history(spark, root).last
+    assert(h.deleteFiles === 1 && h.dataFiles === hBefore.dataFiles)
+    // metadata counts are honest: None under outstanding deletes
+    assert(h.rows.isEmpty)
+    // a future timestamp resolves to the newest version
+    assert(ManifestTable.readAtTimestamp(spark, root,
+      h.timestampMs + 1000000L).count()
+      === ManifestTable.read(spark, root).count())
+  }
 }

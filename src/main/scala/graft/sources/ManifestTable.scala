@@ -409,7 +409,11 @@ object ManifestTable {
     val fs = fsOf(spark, new Path(root))
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalArgumentException(s"no committed version under $root"))
-    manifestEntries(fs, root, v).map(e =>
+    // DATA files only: an equality-delete file's bytes/rows would
+    // otherwise leak indistinguishably into size-based planning
+    // (optimizeBySize would size the post-delete output from
+    // data+delete bytes); delete-side accounting lives in [[history]]
+    manifestEntries(fs, root, v).filterNot(_.isDelete).map(e =>
       (e.rel, for (a <- e.lo; b <- e.hi) yield (a, b), e.rows, e.bytes))
   }
 
@@ -906,31 +910,35 @@ object ManifestTable {
              maxAttempts: Int = 20,
              boundsCol: Option[String] = None): Int = {
     val fs = fsOf(spark, new Path(root))
+    // ONE manifest parse for every pre-staging decision (the
+    // ManifestData single-parse discipline): bounds header, bloom
+    // declaration, committed schema, delete guard, constraints
+    val v0 = currentVersion(spark, root)
+    val m0 = v0.map(loadManifest(fs, root, _))
+    val h0 = m0.flatMap(_.boundsCol)
     // stamp bounds only when they will MEAN the table's declared bounds
     // column — stamping a different column under the base's header
     // would misattribute the values (the format's one hard rule)
-    val v0 = currentVersion(spark, root)
-    val h0 = v0.flatMap(headerOf(fs, root, _))
     val effBounds = boundsCol.filter(b => h0.forall(_ == b))
     // the table's declared BLOOM columns auto-stamp on every append —
     // a maintained index, not a per-writer choice — but only those this
     // df can stamp (present, stampable type); the rest degrade to
     // sidecar-less files (never skipped — correct, just unpruned)
-    val effBloom = v0.map(loadManifest(fs, root, _).bloomCols)
-      .getOrElse(Seq.empty)
+    val effBloom = m0.map(_.bloomCols).getOrElse(Seq.empty)
       .filter(k => df.schema.fieldNames.contains(k) &&
         scala.util.Try(statExpr(df.schema, k)).isSuccess)
     // evolution contract and bounds-type gate checked BEFORE staging
     // (fail fast, no orphan files); the commit loop re-derives the
     // evolution per attempt for races
     effBounds.foreach(k => requireIntegral(df.schema, k))
-    v0.flatMap(schemaOf(fs, root, _))
+    m0.flatMap(_.schema)
       .foreach(stored => evolvedSchema(stored, df.schema, root))
-    // RESURRECTION GUARD (format v6): an outstanding equality delete
-    // suppresses its key in EVERY file, including ones appended later —
-    // silently accepting such rows would land them pre-deleted. One
-    // delta-sized semi-join against the (broadcast) delete keys.
-    v0.map(loadManifest(fs, root, _)).foreach { m =>
+    // RESURRECTION GUARD (format v6) + CHECK constraints, validated
+    // against a SPECIFIC base manifest — the commit loop re-runs this
+    // whenever it lands on a base OTHER than the one validated (a
+    // racing delete/addConstraint between validation and commit must
+    // not slip pre-deleted or violating rows in: TOCTOU-safe).
+    def validateAgainst(m: ManifestData): Unit = {
       m.deleteCol.filter(_ => m.deleteEntries.nonEmpty).foreach { k =>
         val delKeys = spark.read.parquet(m.deleteEntries.map(e =>
           new Path(root, e.rel).toString): _*).select(col(k)).distinct()
@@ -939,15 +947,24 @@ object ManifestTable {
             "— the delete is global until compacted; run optimize " +
             "first, then append")
       }
+      val cs = m.headers.collect {
+        case (hk, hv) if hk.startsWith(ConstraintPrefix) =>
+          hk.stripPrefix(ConstraintPrefix) -> hv
+      }.toMap
+      if (cs.nonEmpty) validateConstraints(df, cs, s"append to $root")
     }
-    // CHECK constraints gate the incoming rows BEFORE staging
-    validateAgainstTable(spark, root, df, s"append to $root")
+    m0.foreach(validateAgainst)
+    var validatedBase = v0
     val staged = stage(spark, root, dir => df.write.parquet(dir),
       boundsCol = effBounds, bloomCols = effBloom)
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = versions(spark, root).lastOption
       val bm = base.map(loadManifest(fs, root, _))
+      if (base != validatedBase) { // a racing commit changed the table
+        bm.foreach(validateAgainst)
+        validatedBase = base
+      }
       val h = bm.flatMap(_.boundsCol).orElse(effBounds)
       // the base header governs the combined manifest: staged lines
       // were stamped for effBounds, so strip their bounds (stats stay)
@@ -1159,22 +1176,29 @@ object ManifestTable {
     val pinned = base.read(spark)
     val stampCol = Some(clusterCol)
       .filter(c => isIntegral(pinned.schema(c).dataType))
-    // the table's bloom declaration survives a compaction: every line
-    // is fresh, so re-stamp the sidecars for the new files
-    val bloomCs = loadManifest(fs, root, base.version).bloomCols
-      .filter(k => pinned.schema.fieldNames.contains(k) &&
-        scala.util.Try(statExpr(pinned.schema, k)).isSuccess)
+    // ONE manifest parse for everything the compaction must preserve
+    val m = loadManifest(fs, root, base.version)
+    // the table's bloom AND extra-stats declarations survive a
+    // compaction: every line is fresh, so re-stamp both for the new
+    // files — compacting must never silently strip a pruning tier
+    def stampable(k: String) = pinned.schema.fieldNames.contains(k) &&
+      scala.util.Try(statExpr(pinned.schema, k)).isSuccess
+    val bloomCs = m.bloomCols.filter(stampable)
+    val statsCs = m.statsCols.filter(stampable)
     val staged = stage(spark, root, dir =>
       pinned
         .repartitionByRange(targetFiles, col(clusterCol))
         .sortWithinPartitions(clusterCol)
-        .write.parquet(dir), boundsCol = stampCol, bloomCols = bloomCs)
+        .write.parquet(dir), boundsCol = stampCol,
+      statsCols = statsCs, bloomCols = bloomCs)
     val headers = boundsHeader(stampCol) ++
       (if (bloomCs.nonEmpty) Map(BloomKey -> bloomCs.mkString(","))
        else Map.empty[String, String]) ++
+      (if (statsCs.nonEmpty) Map(StatsKey -> statsCs.mkString(","))
+       else Map.empty[String, String]) ++
       // writer markers + constraints: compaction must not amnesia a
       // sink's cursor or shed the table's invariants
-      carriedHeaders(loadManifest(fs, root, base.version).headers) ++
+      carriedHeaders(m.headers) ++
       base.schema.map(SchemaKey -> _.json).toMap
     if (!tryCommit(fs, root, base.version + 1, staged, headers))
       throw new java.util.ConcurrentModificationException(
@@ -1234,12 +1258,6 @@ object ManifestTable {
           s"e.g. ${bad.headOption.map(_.toString).getOrElse("")}")
     }
 
-  private def validateAgainstTable(spark: SparkSession, root: String,
-                                   df: DataFrame, what: String): Unit = {
-    val cs = constraintsOf(spark, root)
-    if (cs.nonEmpty) validateConstraints(df, cs, what)
-  }
-
   /** Declare a CHECK constraint (see [[ConstraintPrefix]]): scans the
     * EXISTING table first — a constraint can never be declared over
     * violating data — then commits the header (entry lines verbatim,
@@ -1294,8 +1312,13 @@ object ManifestTable {
       val mtime = fs.getFileStatus(manifestPath(root, v))
         .getModificationTime
       val des = m.entries.count(_.isDelete)
-      CommitInfo(v, mtime, m.entries.size - des, des,
-        rowCountFromStats(spark, root, Some(v)))
+      // row count from the SAME parse ([[rowCountFromStats]]' rule:
+      // None under outstanding deletes or pre-v3 lines)
+      val rows =
+        if (des > 0 || m.entries.isEmpty ||
+            m.entries.exists(_.rows.isEmpty)) None
+        else Some(m.entries.map(_.rows.get).sum)
+      CommitInfo(v, mtime, m.entries.size - des, des, rows)
     }
   }
 
@@ -1308,10 +1331,14 @@ object ManifestTable {
                       tsMs: Long): DataFrame = {
     val h = history(spark, root)
     require(h.nonEmpty, s"no committed version under $root")
-    val at = h.takeWhile(_.timestampMs <= tsMs).lastOption.getOrElse(
+    // filter, not takeWhile: clock skew / relocated tables can leave
+    // mtimes non-monotone in version order — serve the newest VERSION
+    // whose instant qualifies, never throw (or resolve short) because
+    // one later-versioned commit carries an earlier instant
+    val at = h.filter(_.timestampMs <= tsMs).lastOption.getOrElse(
       throw new IllegalArgumentException(
         s"$tsMs predates the earliest retained commit of $root " +
-          s"(${h.head.timestampMs}); earlier versions are vacuumed"))
+          s"(${h.map(_.timestampMs).min}); earlier versions are vacuumed"))
     readAt(spark, root, at.version)
   }
 
@@ -1442,7 +1469,11 @@ object ManifestTable {
         "evolution) or drop the columns explicitly")
     val up = upserts.select(tableCols.map(col): _*)
     // CHECK constraints gate the upserts BEFORE any rewrite is staged
-    validateAgainstTable(spark, root, up, s"mergeCoW upserts into $root")
+    // (from the already-loaded base manifest — no re-parse)
+    validateConstraints(up, m.headers.collect {
+      case (hk, hv) if hk.startsWith(ConstraintPrefix) =>
+        hk.stripPrefix(ConstraintPrefix) -> hv
+    }.toMap, s"mergeCoW upserts into $root")
     // surviving rows of the affected files (neither removed nor about
     // to be replaced by an upsert of the same key) + the upsert rows
     val rewritten =

@@ -888,5 +888,46 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.readAtTimestamp(spark, root,
       h.timestampMs + 1000000L).count()
       === ManifestTable.read(spark, root).count())
+    // fileStats is DATA files only — delete bytes must not leak into
+    // size-based planning
+    assert(ManifestTable.fileStats(spark, root)
+      .forall(!_._1.startsWith("deletes/")))
+  }
+
+  test("review fixes: optimize preserves v4 extra stats (rect pruning " +
+      "survives compaction); timestampAsOf is order-robust under " +
+      "non-monotone mtimes") {
+    val root = freshRoot()
+    // extra stats column correlated with the clustering, so per-file
+    // [lo, hi] on it are tight and a point rect genuinely prunes
+    val d = docs.withColumn("dbl", col("doc_id") * 2)
+    ManifestTable.overwrite(spark, root,
+      d.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      boundsCol = Some("doc_id"), statsCols = Seq("dbl"))
+    val probe = d.agg(min("dbl")).head().getLong(0)
+    def rectFiles(): Int =
+      ManifestTable.readWhereRect(spark, root,
+        Seq(("dbl", probe, probe))).inputFiles.length
+    val total = ManifestTable.snapshot(spark, root).files.size
+    assert(rectFiles() < total, "no v4 pruning before compaction")
+    ManifestTable.optimize(spark, root, "doc_id", 4)
+    val total2 = ManifestTable.snapshot(spark, root).files.size
+    assert(rectFiles() < total2,
+      "compaction stripped the v4 stats — rect pruning lost")
+    // timestampAsOf under an mtime inversion (clock skew / relocation):
+    // the newest qualifying VERSION must still resolve
+    ManifestTable.append(spark, root, d.limit(1))
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val h = ManifestTable.history(spark, root)
+    // force v(last) to carry an EARLIER instant than v(last-1)
+    val skewed = h(h.size - 2).timestampMs - 5000
+    fs.setTimes(new Path(root,
+      f"_manifests/v${h.last.version}%08d.manifest"), skewed, -1)
+    val got = ManifestTable.readAtTimestamp(spark, root, skewed)
+    assert(got.count() === ManifestTable.readAt(spark, root,
+      h.last.version).count(),
+      "a non-monotone mtime broke timestamp resolution")
   }
 }

@@ -743,23 +743,29 @@ object ManifestTable {
     // count (a filter holds a SET — sizing by row count would pay the
     // ~10 bits/entry tax once per duplicate occurrence; BloomProbe
     // measured the repeat factor directly on lineitem), then the
-    // filters themselves sized by the largest file's distinct count.
-    // The per-file filters come back through the driver, which writes
-    // one sidecar per column into the commit dir — at this design's
-    // driver-manifest scale that's the same shape as the stats collect
-    // (a production format emits per-file sidecars from the writer
-    // tasks themselves).
+    // filters themselves sized PER COLUMN by that column's largest
+    // per-file distinct count (a global max across columns would
+    // oversize every low-cardinality column's sidecars by the widest
+    // column's factor). The filter aggregation can't fold into the
+    // distinct pass — a Bloom filter's bit array is allocated from
+    // `expected` BEFORE any value is inserted. The per-file filters
+    // come back through the driver, which writes one sidecar per
+    // column into the commit dir — at this design's driver-manifest
+    // scale that's the same shape as the stats collect (a production
+    // format emits per-file sidecars from the writer tasks themselves).
     if (bloomCols.nonEmpty && perFile.nonEmpty) {
       val dAggs = bloomCols.zipWithIndex.map { case (k, i) =>
         countDistinct(statExpr(justWritten.schema, k)).as(s"_d$i") }
-      val expected = math.max(1L, justWritten
+      val dRows = justWritten
         .groupBy(input_file_name().as("_f"))
         .agg(dAggs.head, dAggs.tail: _*)
-        .collect().iterator
-        .flatMap(r => bloomCols.indices.map(i => r.getLong(1 + i))).max)
+        .collect()
+      val expectedPerCol = bloomCols.indices.map(i =>
+        math.max(1L, dRows.iterator.map(_.getLong(1 + i)).max))
       val bAggs = bloomCols.zipWithIndex.map { case (k, i) =>
         graft.functions.BloomAgg.sketch(
-          statExpr(justWritten.schema, k), expected, BloomFpp).as(s"_b$i")
+          statExpr(justWritten.schema, k), expectedPerCol(i), BloomFpp)
+          .as(s"_b$i")
       }
       val rows = justWritten
         .groupBy(input_file_name().as("_f"))
@@ -940,6 +946,14 @@ object ManifestTable {
     // not slip pre-deleted or violating rows in: TOCTOU-safe).
     def validateAgainst(m: ManifestData): Unit = {
       m.deleteCol.filter(_ => m.deleteEntries.nonEmpty).foreach { k =>
+        // the guard joins on k, so the incoming df must carry it — a
+        // schema-less legacy table would otherwise surface a raw
+        // AnalysisException from the USING join instead of the contract
+        require(df.schema.fieldNames.contains(k),
+          s"append to $root must carry the delete column $k while " +
+            "equality deletes are outstanding (the resurrection guard " +
+            s"checks incoming keys); got columns " +
+            df.schema.fieldNames.mkString(", "))
         val delKeys = spark.read.parquet(m.deleteEntries.map(e =>
           new Path(root, e.rel).toString): _*).select(col(k)).distinct()
         require(df.join(delKeys, Seq(k), "left_semi").take(1).isEmpty,
@@ -1008,7 +1022,11 @@ object ManifestTable {
     * versions stay time-travelable until vacuumed). The recovery
     * primitive for a multi-table transaction whose later commits never
     * landed: roll the tables that DID commit back to the coordinated
-    * version. */
+    * version. Restoring across an OUTSTANDING equality delete drops the
+    * delete file while carrying the data files verbatim — a pure
+    * un-delete, which [[readChangesBetween]] surfaces as 'insert' rows
+    * of the resurrected keys (see its scaladoc) so CDF consumers stay
+    * coherent. */
   def restore(spark: SparkSession, root: String, toVersion: Int): Int = {
     val fs = fsOf(spark, new Path(root))
     val vs = versions(spark, root)
@@ -1121,16 +1139,38 @@ object ManifestTable {
     // format v6: an ADDED equality-delete file IS a batch of deletes —
     // its rows surface tagged 'delete' with only the delete-key column
     // populated (by-name resolution against the table schema nulls the
-    // rest). A REMOVED delete file (a compaction applied it) surfaces
-    // nothing of its own: the compaction's removed data files already
-    // re-surface every surviving row under the file-granularity
-    // contract above.
+    // rest). A REMOVED delete file splits two ways:
+    //  - a REWRITE dropped it (compaction applied it; a merge
+    //    consolidated it): the rewrite's removed/added data files
+    //    already re-surface every surviving row under the
+    //    file-granularity contract above — emitting the keys again
+    //    would double-count;
+    //  - a PURE UN-DELETE ([[restore]] to a pre-delete version: delete
+    //    files dropped, data files carried verbatim — detectable as
+    //    zero added data files): nothing re-surfaces the resurrected
+    //    rows, so this read emits them itself, tagged 'insert' — the
+    //    to-version rows whose keys sit in the dropped delete files
+    //    (delta-sized semi-join against the to-snapshot).
     def isDel(rel: String) = rel.startsWith("deletes/")
-    side(added.filterNot(isDel), toVersion, "insert")
+    val base = side(added.filterNot(isDel), toVersion, "insert")
       .unionByName(side(added.filter(isDel), toVersion, "delete"),
         allowMissingColumns = true)
       .unionByName(side(removed.filterNot(isDel), fromVersion, "delete"),
         allowMissingColumns = true)
+    val undropped = removed.filter(isDel)
+    if (undropped.isEmpty || added.exists(r => !isDel(r))) base
+    else {
+      val mFrom = loadManifest(fs, root, fromVersion)
+      val k = mFrom.deleteCol.getOrElse(throw new IllegalStateException(
+        s"version $fromVersion of $root lists delete files but no " +
+          "#deletecol header"))
+      val keys = spark.read.parquet(undropped.map(r =>
+        new Path(root, r).toString): _*).select(col(k)).distinct()
+      base.unionByName(
+        readAt(spark, root, toVersion).join(keys, Seq(k), "left_semi")
+          .withColumn("_change", lit("insert")),
+        allowMissingColumns = true)
+    }
   }
 
   /** Transactional OPTIMIZE — the clustered compaction
@@ -1296,21 +1336,34 @@ object ManifestTable {
     v + 1
   }
 
-  /** One committed version's summary: when it landed (the manifest
-    * file's own mtime — the rename IS the commit instant), what it
-    * lists, and its metadata row count when stats allow. */
+  /** One committed version's summary: when it landed (its MONOTONIZED
+    * commit instant — see [[history]]), what it lists, and its metadata
+    * row count when stats allow. */
   case class CommitInfo(version: Int, timestampMs: Long,
                         dataFiles: Int, deleteFiles: Int,
                         rows: Option[Long])
 
   /** DESCRIBE HISTORY: every retained version, oldest first. O(versions)
-    * manifest reads, zero data IO. */
+    * manifest reads, zero data IO. Commit instants start from the
+    * manifest files' mtimes (the atomic rename IS the commit) but are
+    * MONOTONIZED Delta-style — effective instant =
+    * `max(previous instant + 1, mtime)` — because raw mtimes can
+    * collide (coarse-mtime filesystems, or two metadata-only commits
+    * inside one tick) or invert (clock skew, relocated tables), and a
+    * shared or inverted instant would make [[readAtTimestamp]] at the
+    * earlier commit's own instant resolve to the later version. With
+    * strictly increasing instants, every version has a timestamp that
+    * resolves to exactly itself. */
   def history(spark: SparkSession, root: String): Seq[CommitInfo] = {
     val fs = fsOf(spark, new Path(root))
+    var prevTs = Long.MinValue
     versions(spark, root).map { v =>
       val m = loadManifest(fs, root, v)
       val mtime = fs.getFileStatus(manifestPath(root, v))
         .getModificationTime
+      val eff = if (prevTs == Long.MinValue) mtime
+                else math.max(prevTs + 1, mtime)
+      prevTs = eff
       val des = m.entries.count(_.isDelete)
       // row count from the SAME parse ([[rowCountFromStats]]' rule:
       // None under outstanding deletes or pre-v3 lines)
@@ -1318,23 +1371,21 @@ object ManifestTable {
         if (des > 0 || m.entries.isEmpty ||
             m.entries.exists(_.rows.isEmpty)) None
         else Some(m.entries.map(_.rows.get).sum)
-      CommitInfo(v, mtime, m.entries.size - des, des, rows)
+      CommitInfo(v, eff, m.entries.size - des, des, rows)
     }
   }
 
   /** TIME TRAVEL BY TIMESTAMP (Delta's `timestampAsOf`): the newest
-    * version committed at or before `tsMs` — resolved from manifest
-    * mtimes (the atomic rename is the commit instant). Fails loudly
-    * for a timestamp before the first retained commit (the data may
-    * be vacuumed; silently serving a LATER version would be wrong). */
+    * version committed at or before `tsMs` — resolved from the
+    * MONOTONIZED commit instants [[history]] computes, so each
+    * version's own instant resolves to exactly that version even when
+    * raw mtimes collide or invert. Fails loudly for a timestamp before
+    * the first retained commit (the data may be vacuumed; silently
+    * serving a LATER version would be wrong). */
   def readAtTimestamp(spark: SparkSession, root: String,
                       tsMs: Long): DataFrame = {
     val h = history(spark, root)
     require(h.nonEmpty, s"no committed version under $root")
-    // filter, not takeWhile: clock skew / relocated tables can leave
-    // mtimes non-monotone in version order — serve the newest VERSION
-    // whose instant qualifies, never throw (or resolve short) because
-    // one later-versioned commit carries an earlier instant
     val at = h.filter(_.timestampMs <= tsMs).lastOption.getOrElse(
       throw new IllegalArgumentException(
         s"$tsMs predates the earliest retained commit of $root " +

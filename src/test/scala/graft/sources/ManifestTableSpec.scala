@@ -895,7 +895,7 @@ class ManifestTableSpec extends SparkSpec {
   }
 
   test("review fixes: optimize preserves v4 extra stats (rect pruning " +
-      "survives compaction); timestampAsOf is order-robust under " +
+      "survives compaction); commit instants are monotonized under " +
       "non-monotone mtimes") {
     val root = freshRoot()
     // extra stats column correlated with the clustering, so per-file
@@ -915,19 +915,62 @@ class ManifestTableSpec extends SparkSpec {
     val total2 = ManifestTable.snapshot(spark, root).files.size
     assert(rectFiles() < total2,
       "compaction stripped the v4 stats — rect pruning lost")
-    // timestampAsOf under an mtime inversion (clock skew / relocation):
-    // the newest qualifying VERSION must still resolve
+    // commit-instant monotonization (advisor r16): force v(last)'s raw
+    // mtime EARLIER than v(last-1)'s — history must still hand out
+    // strictly increasing instants, and readAtTimestamp at EVERY
+    // version's own instant must resolve to exactly that version
     ManifestTable.append(spark, root, d.limit(1))
     val fs = new Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val h = ManifestTable.history(spark, root)
-    // force v(last) to carry an EARLIER instant than v(last-1)
-    val skewed = h(h.size - 2).timestampMs - 5000
+    val h0 = ManifestTable.history(spark, root)
+    val skewed = h0(h0.size - 2).timestampMs - 5000
     fs.setTimes(new Path(root,
-      f"_manifests/v${h.last.version}%08d.manifest"), skewed, -1)
-    val got = ManifestTable.readAtTimestamp(spark, root, skewed)
-    assert(got.count() === ManifestTable.readAt(spark, root,
-      h.last.version).count(),
-      "a non-monotone mtime broke timestamp resolution")
+      f"_manifests/v${h0.last.version}%08d.manifest"), skewed, -1)
+    val h = ManifestTable.history(spark, root)
+    assert(h.map(_.timestampMs) === h.map(_.timestampMs).distinct.sorted,
+      "instants not strictly increasing under an mtime inversion")
+    h.foreach { c =>
+      assert(ManifestTable.readAtTimestamp(spark, root, c.timestampMs)
+        .count() === ManifestTable.readAt(spark, root, c.version).count(),
+        s"v${c.version}'s own instant resolved to a different version")
+    }
+    // identical raw mtimes (coarse-mtime filesystem / same-tick
+    // metadata commits): pin both to v(last-1)'s mtime — instants must
+    // still separate by at least 1 ms
+    fs.setTimes(new Path(root,
+      f"_manifests/v${h0.last.version}%08d.manifest"),
+      h0(h0.size - 2).timestampMs, -1)
+    val h2 = ManifestTable.history(spark, root)
+    assert(h2.map(_.timestampMs) === h2.map(_.timestampMs).distinct.sorted,
+      "identical mtimes produced a shared commit instant")
+  }
+
+  test("advisor r16: CDF surfaces a restore's pure un-delete as " +
+      "'insert' rows of the resurrected keys; a compaction's dropped " +
+      "delete file emits no phantom inserts") {
+    val root = freshRoot()
+    ManifestTable.overwrite(spark, root, docs)
+    val delKeys = docs.where(col("doc_id") % 7 === 0).select("doc_id")
+    val v2 = ManifestTable.deleteWhereKeyIn(spark, root, "doc_id", delKeys)
+    val v3 = ManifestTable.restore(spark, root, 1) // un-delete everything
+    val cdc = ManifestTable.readChangesBetween(spark, root, v2, v3)
+    // the resurrected rows surface tagged 'insert', full payload
+    val ins = cdc.where(col("_change") === "insert")
+    assert(ins.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === delKeys.collect().map(_.getLong(0)).sorted.toSeq,
+      "restore's un-delete did not surface the resurrected keys")
+    assert(ins.where(col("text").isNull).count() === 0,
+      "un-delete inserts lost their payload")
+    assert(cdc.where(col("_change") === "delete").count() === 0)
+    // a compaction's dropped delete file still emits NO extra inserts
+    // beyond the rewrite's own file-granularity re-surfacing
+    val root2 = freshRoot()
+    ManifestTable.overwrite(spark, root2, docs)
+    ManifestTable.deleteWhereKeyIn(spark, root2, "doc_id", delKeys)
+    val (v3b, _, _) = ManifestTable.optimize(spark, root2, "doc_id", 2)
+    val cdc2 = ManifestTable.readChangesBetween(spark, root2, 2, v3b)
+    assert(cdc2.where(col("_change") === "insert").count()
+      === ManifestTable.read(spark, root2).count(),
+      "compaction CDF emitted phantom un-delete inserts")
   }
 }

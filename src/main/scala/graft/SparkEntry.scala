@@ -585,6 +585,13 @@ object SparkEntry {
     // compaction; final state hash-gated.
     "q174_check_constraints" ->
       (graft.sources.ManifestTable.q174CheckConstraints _),
+    // q175 is the SQL surface: a DSv2 TableCatalog over manifest
+    // tables (Delta/Iceberg's catalog shape) — the whole query runs
+    // through spark.sql, including VERSION AS OF time travel and a
+    // pushdown-pruned WHERE branch; vacuumed-version errors and the
+    // file skipping itself are GraftCatalogSpec's pins.
+    "q175_sql_catalog" ->
+      (graft.sources.GraftCatalog.q175SqlCatalog _),
   )
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
@@ -3773,6 +3780,20 @@ object SparkEntry {
         |SELECT l_returnflag, count(*) AS n_rows,
         |       sum(cents)::BIGINT AS sum_price_cents
         |FROM f GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q175: the four SQL-served slices (three versions + the filtered
+    // current table), recomputed from the slice definitions.
+    "q175_sql_catalog" ->
+      """WITH s AS (
+        |  SELECT 1 AS version, doc_id FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 2, doc_id FROM documents WHERE doc_id % 3 <= 1
+        |  UNION ALL
+        |  SELECT 3, doc_id FROM documents
+        |  UNION ALL
+        |  SELECT 4, doc_id FROM documents WHERE doc_id % 2 = 0)
+        |SELECT version, count(*) AS n_docs,
+        |       sum(doc_id)::BIGINT AS sum_doc_id
+        |FROM s GROUP BY version ORDER BY version""".stripMargin,
   )
 
   /** q57/q168's shared replay: the 2 Lloyd iterations (assignment by

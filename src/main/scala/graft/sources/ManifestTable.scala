@@ -583,6 +583,53 @@ object ManifestTable {
                            column: String, value: Long): DataFrame =
     readWherePointIn(spark, root, column, Seq(value))
 
+  /** The SQL catalog's scan ([[GraftCatalog]]): one pruned, pinned-
+    * version read shaped by what Spark's planner pushed down —
+    * `requiredCols` (column pruning reaches the parquet scan),
+    * `ranges` (per-column [lo, hi] constraints derived from the pushed
+    * filters, pruning FILES from the manifest's v2/v4 stats before any
+    * footer is opened — columns without stored stats never prune), and
+    * `residual` (the pushed filters re-expressed as one Column so
+    * parquet row-group stats prune WITHIN the kept files; Spark
+    * re-applies every filter post-scan regardless, so a dropped
+    * residual costs IO, never correctness). Outstanding equality
+    * deletes are applied before projection — SQL readers see exactly
+    * what [[read]] serves. */
+  private[graft] def sqlScan(spark: SparkSession, root: String,
+                             version: Option[Int],
+                             requiredCols: Seq[String],
+                             ranges: Map[String, (Long, Long)],
+                             residual: Option[org.apache.spark.sql.Column])
+      : DataFrame = {
+    val fs = fsOf(spark, new Path(root))
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed version under $root")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v),
+      s"version $v not present under $root (have ${vs.mkString(",")}) — " +
+        "vacuumed or never committed")
+    val m = loadManifest(fs, root, v)
+    require(m.dataEntries.nonEmpty,
+      s"version $v of $root lists no data files")
+    val kept = m.dataEntries.filter(e => ranges.forall {
+      case (c, (lo, hi)) => m.boundsOf(e, c).forall {
+        case (flo, fhi) => flo <= hi && fhi >= lo }
+    })
+    val base =
+      if (kept.isEmpty)
+        readFiles(spark,
+          Seq(new Path(root, m.dataEntries.head.rel).toString),
+          m.schema).where(lit(false))
+      else
+        applyDeletes(spark, root,
+          readFiles(spark, kept.map(e =>
+            new Path(root, e.rel).toString), m.schema), m)
+    val filtered = residual.map(base.where).getOrElse(base)
+    // an empty projection is the `count(*)` shape: zero columns, rows
+    // preserved (RowDataSourceScanExec counts the empty rows)
+    filtered.select(requiredCols.map(col): _*)
+  }
+
   /** Shared bounds-pruned read: keep files whose (present AND
     * header-matching) bounds satisfy `boundsHit`; files with unknown or
     * differently-keyed bounds are always read (unknown = may contain

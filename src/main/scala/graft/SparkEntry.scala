@@ -592,6 +592,13 @@ object SparkEntry {
     // file skipping itself are GraftCatalogSpec's pins.
     "q175_sql_catalog" ->
       (graft.sources.GraftCatalog.q175SqlCatalog _),
+    // q179 is DELETE SEQUENCING: one CoW merge over outstanding
+    // merge-on-read deletes — rewrites read through the delete set,
+    // changed keys leave it (upsert = keyed resurrection), survivors
+    // consolidate into one fresh delta-sized delete file; final state
+    // hash-gated against the rules replayed over raw parquet.
+    "q179_merge_over_deletes" ->
+      (graft.sources.ManifestTable.q179MergeOverDeletes _),
   )
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
@@ -3794,6 +3801,18 @@ object SparkEntry {
         |SELECT version, count(*) AS n_docs,
         |       sum(doc_id)::BIGINT AS sum_doc_id
         |FROM s GROUP BY version ORDER BY version""".stripMargin,
+    // q179: the delete-sequencing rules replayed — deleted %3==1 stay
+    // suppressed unless upserted (%10==7 resurrects with ' upd'),
+    // removes (%10==4) win over everything.
+    "q179_merge_over_deletes" ->
+      """WITH f AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 3 <> 1 AND doc_id % 10 <> 4 AND doc_id % 10 <> 7
+        |  UNION ALL
+        |  SELECT doc_id, text || ' upd' FROM documents
+        |  WHERE doc_id % 10 = 7)
+        |SELECT doc_id, md5(text) AS text_md5 FROM f
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** q57/q168's shared replay: the 2 Lloyd iterations (assignment by

@@ -266,10 +266,12 @@ object ManifestTable {
     * suppresses EVERY row of its key, past and future, until a
     * compaction ([[optimize]]) applies and drops it — so [[append]]
     * refuses keys in the outstanding delete set (resurrection needs a
-    * compaction first) and [[mergeCoW]] refuses to run over outstanding
-    * deletes at all (its carried-verbatim contract can't see them;
-    * Iceberg sequences deletes per-snapshot for this — out of scope,
-    * rejected loudly instead of wrong). */
+    * compaction or a merge first). [[mergeCoW]] SEQUENCES outstanding
+    * deletes when its merge key IS the delete column (rewrites read
+    * through the delete set, changed keys leave it, survivors carry or
+    * consolidate — an upsert is therefore the keyed resurrection
+    * path); a merge on a DIFFERENT column cannot reconcile the two key
+    * spaces and is rejected loudly instead of wrong. */
   private val DeleteKey = "deletecol"
   /** TRANSACTIONAL WRITER MARKERS (Delta's `txn` action shape): a
     * `#txn-<appId>=<version>` header records the highest version an
@@ -1095,9 +1097,10 @@ object ManifestTable {
     * [[optimize]] APPLIES the deletes (its rewrite reads through the
     * snapshot) and drops them, restoring a delete-free table.
     * Contract (see [[DeleteKey]]): deletes are GLOBAL until compacted —
-    * [[append]] refuses to resurrect a deleted key and [[mergeCoW]]
-    * refuses to run at all while deletes are outstanding. One delete
-    * column per table; a second call must use the same `keyCol`. */
+    * [[append]] refuses to resurrect a deleted key; [[mergeCoW]]
+    * sequences outstanding deletes when keyed on this same column and
+    * refuses otherwise. One delete column per table; a second call
+    * must use the same `keyCol`. */
   def deleteWhereKeyIn(spark: SparkSession, root: String,
                        keyCol: String, keys: DataFrame,
                        maxAttempts: Int = 20): Int = {
@@ -1465,14 +1468,22 @@ object ManifestTable {
       .getOrElse(throw new IllegalArgumentException(
         s"no committed version under $root"))
     val m = loadManifest(fs, root, baseVersion)
-    // merge-on-read deletes are invisible to this merge's
-    // carried-verbatim contract (a carried file may hold suppressed
-    // rows this merge should have seen) — refuse loudly rather than
-    // interleave the two delete mechanisms wrongly (Iceberg sequences
-    // deletes per snapshot for this; out of scope here)
-    require(m.deleteEntries.isEmpty,
-      s"$root carries outstanding equality deletes; run optimize to " +
-        "apply them before a copy-on-write merge")
+    // DELETE SEQUENCING (the Iceberg per-snapshot-sequencing shape,
+    // restricted to the one-delete-column contract): a merge over
+    // outstanding merge-on-read deletes is sound exactly when the
+    // delete column IS the merge key — then (a) rewritten files read
+    // THROUGH the delete set (suppressed rows drop physically), (b)
+    // carried files keep their suppressed rows but the delete set
+    // carries forward to keep suppressing them, and (c) every CHANGED
+    // key leaves the delete set (an upsert resurrects-and-replaces; a
+    // remove makes its delete moot), consolidated into one fresh
+    // delta-sized delete file. A merge keyed on a DIFFERENT column
+    // cannot reconcile the two key spaces and is still rejected.
+    require(m.deleteEntries.isEmpty || m.deleteCol.contains(keyCol),
+      s"$root carries outstanding equality deletes on " +
+        s"${m.deleteCol.getOrElse("?")}; a copy-on-write merge keyed " +
+        s"on $keyCol cannot sequence them — merge on the delete " +
+        "column, or run optimize first")
     // honor stored bounds ONLY if the manifest declares them for THIS
     // key column (as the primary bounds column or an extra stats
     // column) — bounds of a different column would prune wrong files
@@ -1551,8 +1562,16 @@ object ManifestTable {
     // for keyCol (the new header) and any extra pairs go dormant (a
     // pair without its header line is never consulted — safe, unpruned)
     val headerMatches = m.boundsCol.contains(keyCol)
-    val carryE = (if (headerMatches) m.entries else entries)
+    val carryE = (if (headerMatches) m.dataEntries else entries)
       .filterNot(e => affectedRels.contains(e.rel))
+    // delete sequencing: the outstanding delete keys (delta-sized),
+    // read once, used thrice (rewrite filter, overlap probe,
+    // consolidation)
+    val delKeys: Option[DataFrame] =
+      if (m.deleteEntries.isEmpty) None
+      else Some(spark.read.parquet(m.deleteEntries.map(e =>
+          new Path(root, e.rel).toString): _*)
+        .select(col(keyCol)).distinct().localCheckpoint())
     // align the upserts to the table's column order — and REJECT an
     // upsert that carries columns the table lacks: silently dropping
     // them would lose data (widen the schema via append/overwrite first)
@@ -1572,15 +1591,18 @@ object ManifestTable {
       case (hk, hv) if hk.startsWith(ConstraintPrefix) =>
         hk.stripPrefix(ConstraintPrefix) -> hv
     }.toMap, s"mergeCoW upserts into $root")
-    // surviving rows of the affected files (neither removed nor about
-    // to be replaced by an upsert of the same key) + the upsert rows
+    // surviving rows of the affected files (neither suppressed by an
+    // outstanding delete, nor removed, nor about to be replaced by an
+    // upsert of the same key) + the upsert rows
     val rewritten =
-      if (rewriteE.nonEmpty)
-        readFiles(spark, rewriteE.map(e =>
+      if (rewriteE.nonEmpty) {
+        val affectedRows = readFiles(spark, rewriteE.map(e =>
             new Path(root, e.rel).toString), tableSchema)
+        delKeys.map(dk => affectedRows.join(dk, Seq(keyCol), "left_anti"))
+          .getOrElse(affectedRows)
           .join(changedKeys, Seq(keyCol), "left_anti")
           .unionByName(up)
-      else up
+      } else up
     // a pure delete can stage zero rows — the new manifest is then the
     // carried files alone. The rewrite is bounds-stamped (for integral
     // keys — others degrade to stats-only lines), so the next merge on
@@ -1596,17 +1618,41 @@ object ManifestTable {
     val staged = stage(spark, root,
       dir => rewritten.write.parquet(dir), allowEmpty = true,
       boundsCol = stampCol, bloomCols = bloomCs)
-    val outLines = carryE.map(_.line) ++ staged
+    // delete sequencing, write side: changed keys leave the delete set
+    // — carry the delete files VERBATIM when the merge touched none of
+    // their keys (zero IO), else consolidate the surviving keys into
+    // one fresh delta-sized delete file (the old files stay on disk
+    // for time travel until vacuumed)
+    val deleteLines: Seq[String] = delKeys match {
+      case None => Seq.empty
+      case Some(dk) =>
+        val touched = dk.join(changedKeys, Seq(keyCol), "left_semi")
+          .take(1).nonEmpty
+        if (!touched) m.deleteEntries.map(_.line)
+        else {
+          val remaining = dk.join(changedKeys, Seq(keyCol), "left_anti")
+          if (remaining.take(1).isEmpty) Seq.empty
+          else stage(spark, root,
+            dir => remaining.coalesce(1).write.parquet(dir),
+            relPrefix = "deletes")
+        }
+    }
     // a merge that would empty the table entirely (full-table delete
     // whose rewrite staged zero files) must not brick it with a
     // zero-entry manifest — truncation is overwrite's job
-    require(outLines.nonEmpty,
+    require(carryE.nonEmpty || staged.nonEmpty,
       s"merge would leave $root with no data files; " +
         "use overwrite to truncate a table")
+    val outLines = carryE.map(_.line) ++ staged ++ deleteLines
     val headers = boundsHeader(stampCol) ++
       // extra stats survive a merge only under their declaring header —
       // and only when the primary key kept its meaning (see carryE)
       (if (headerMatches) m.headers.get(StatsKey).map(StatsKey -> _).toMap
+       else Map.empty[String, String]) ++
+      // the delete declaration survives exactly as long as delete
+      // files remain outstanding
+      (if (deleteLines.nonEmpty)
+         m.headers.get(DeleteKey).map(DeleteKey -> _).toMap
        else Map.empty[String, String]) ++
       // the bloom declaration ALWAYS survives (name-attributed sidecars)
       m.headers.get(BloomKey).map(BloomKey -> _).toMap ++
@@ -1914,6 +1960,44 @@ object ManifestTable {
       .agg(count(lit(1)).as("n_rows"),
         sum(col("price_cents")).as("sum_price_cents"))
       .orderBy("l_returnflag")
+  }
+
+  /** Q179: COPY-ON-WRITE MERGE OVER OUTSTANDING EQUALITY DELETES
+    * (delete sequencing), hash-gated — documents land clustered on
+    * doc_id, a MoR delete suppresses every doc_id ≡ 1 (mod 3), then
+    * ONE [[mergeCoW]] interleaves all three delete-sequencing cases:
+    * plain removes (doc_id ≡ 4 (mod 10) — some deleted, some live),
+    * RESURRECTING upserts (doc_id ≡ 7 (mod 10): 7 mod 3 = 1 ⊂ deleted;
+    * 17 mod 3 = 2 live — mixed), and untouched deleted keys that must
+    * STAY suppressed via the consolidated delete file the merge
+    * carries forward. The oracle recomputes the final state from the
+    * rules over raw parquet and compares doc_id + md5(text), so a
+    * resurrected row that stayed suppressed, a suppressed row that
+    * leaked, a lost remove, or an unapplied upsert is hash-fatal.
+    * The spec pins the mechanics (consolidated delete file, carried
+    * files untouched, optimize afterwards agreeing). */
+  def q179MergeOverDeletes(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = new Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      "manifest_mergedel_" + graft.Tables.dirKey(spark, sfDir)).toString
+    val fs = fsOf(spark, new Path(root))
+    if (fs.exists(new Path(root))) fs.delete(new Path(root), true)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    overwrite(spark, root,
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      boundsCol = Some("doc_id"))
+    deleteWhereKeyIn(spark, root, "doc_id",
+      docs.where(pmod(col("doc_id"), lit(3)) === 1).select("doc_id"))
+    mergeCoW(spark, root, "doc_id",
+      removeKeys = docs.where(pmod(col("doc_id"), lit(10)) === 4)
+        .select("doc_id"),
+      upserts = docs.where(pmod(col("doc_id"), lit(10)) === 7)
+        .withColumn("text", concat(col("text"), lit(" upd"))))
+    read(spark, root)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
   }
 
   def q158SchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {

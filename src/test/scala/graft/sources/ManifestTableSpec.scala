@@ -820,7 +820,7 @@ class ManifestTableSpec extends SparkSpec {
   }
 
   test("equality deletes are global-until-compacted: append refuses " +
-      "resurrection, mergeCoW refuses outstanding deletes, one delete " +
+      "resurrection, a differently-keyed merge is refused, one delete " +
       "column per table") {
     val root = freshRoot()
     ManifestTable.overwrite(spark, root, docs)
@@ -837,12 +837,14 @@ class ManifestTableSpec extends SparkSpec {
       .withColumn("doc_id", col("doc_id") + 1000000L)
     ManifestTable.append(spark, root, fresh)
     assert(ManifestTable.read(spark, root).count() === docs.count())
-    // CoW merge over outstanding MoR deletes is refused
+    // a merge keyed on a DIFFERENT column than the delete column
+    // cannot sequence the deletes and is refused loudly
     val exM = intercept[IllegalArgumentException] {
-      ManifestTable.mergeCoW(spark, root, "doc_id",
-        removeKeys = fresh.select("doc_id").limit(0), upserts = fresh)
+      ManifestTable.mergeCoW(spark, root, "lang",
+        removeKeys = docs.select("lang").limit(0),
+        upserts = docs.limit(0))
     }
-    assert(exM.getMessage.contains("optimize"))
+    assert(exM.getMessage.contains("sequence"))
     // one delete column per table
     val exC = intercept[IllegalArgumentException] {
       ManifestTable.deleteWhereKeyIn(spark, root, "lang",
@@ -854,6 +856,67 @@ class ManifestTableSpec extends SparkSpec {
     ManifestTable.optimize(spark, root, "doc_id", 4)
     ManifestTable.append(spark, root, victim)
     assert(ManifestTable.read(spark, root).count() === docs.count() + 1)
+  }
+
+  test("delete sequencing: a same-key merge over outstanding deletes " +
+      "resurrects upserted keys, keeps untouched keys suppressed via " +
+      "a consolidated delete file, and agrees with optimize") {
+    val root = freshRoot()
+    ManifestTable.overwrite(spark, root,
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      boundsCol = Some("doc_id"))
+    val deleted = docs.where(col("doc_id") % 3 === 1)
+    ManifestTable.deleteWhereKeyIn(spark, root, "doc_id",
+      deleted.select("doc_id"))
+    val v2 = ManifestTable.snapshot(spark, root)
+    // resurrect HALF the deleted keys by upsert; remove one live key
+    val resurrect = deleted.where(col("doc_id") % 2 === 0)
+      .withColumn("text", concat(col("text"), lit(" back")))
+    val liveVictim = docs.where(col("doc_id") % 3 === 0)
+      .orderBy("doc_id").limit(1)
+    ManifestTable.mergeCoW(spark, root, "doc_id",
+      removeKeys = liveVictim.select("doc_id"), upserts = resurrect)
+    val v3 = ManifestTable.snapshot(spark, root)
+    // the delete set consolidated: still outstanding (odd deleted keys
+    // stay suppressed), but in FRESH file(s) — not the v2 delete file
+    assert(v3.deleteFiles.nonEmpty, "consolidation dropped the deletes")
+    assert(v3.deleteFiles.toSet.intersect(v2.deleteFiles.toSet).isEmpty,
+      "a touched delete set was carried verbatim")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val expect = ids(docs.where(
+      (col("doc_id") % 3 =!= 1 || col("doc_id") % 2 === 0))
+      .join(liveVictim.select("doc_id"), Seq("doc_id"), "left_anti"))
+    assert(ids(ManifestTable.read(spark, root)) === expect)
+    // resurrected rows carry the UPSERT payload, not the stale one
+    assert(ManifestTable.read(spark, root)
+      .where(col("doc_id") % 3 === 1 && !col("text").endsWith(" back"))
+      .count() === 0, "a stale physical row leaked through")
+    // optimize applies the consolidated set and changes no row
+    val before = ManifestTable.read(spark, root)
+      .select("doc_id", "text").collect().map(_.toString).sorted
+    ManifestTable.optimize(spark, root, "doc_id", 4)
+    assert(ManifestTable.snapshot(spark, root).deleteFiles.isEmpty)
+    val after = ManifestTable.read(spark, root)
+      .select("doc_id", "text").collect().map(_.toString).sorted
+    assert(before.toSeq === after.toSeq)
+    // a merge touching NO deleted key carries the delete files verbatim
+    val root2 = freshRoot()
+    ManifestTable.overwrite(spark, root2,
+      docs.repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      boundsCol = Some("doc_id"))
+    ManifestTable.deleteWhereKeyIn(spark, root2, "doc_id",
+      deleted.select("doc_id"))
+    val dv = ManifestTable.snapshot(spark, root2).deleteFiles
+    val live = docs.where(col("doc_id") % 3 === 0)
+      .orderBy(col("doc_id").desc).limit(1)
+      .withColumn("text", lit("touched"))
+    ManifestTable.mergeCoW(spark, root2, "doc_id",
+      removeKeys = live.select("doc_id").limit(0), upserts = live)
+    assert(ManifestTable.snapshot(spark, root2).deleteFiles === dv,
+      "an untouched delete set was rewritten")
   }
 
   test("CHECK constraints: NULL passes (SQL semantics), drop re-allows, " +

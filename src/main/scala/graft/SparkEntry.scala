@@ -592,6 +592,14 @@ object SparkEntry {
     // file skipping itself are GraftCatalogSpec's pins.
     "q175_sql_catalog" ->
       (graft.sources.GraftCatalog.q175SqlCatalog _),
+    // q176 closes the CDC loop: a manifest table's change feed (q170's
+    // shape, including a delete commit and a delete-sequencing merge)
+    // drained per-commit into a SECOND manifest table through the
+    // delete-bearing exactly-once sink — replayed batches (deletes
+    // included) are no-ops; mirror ≡ source asserted, aggregate
+    // hash-gated.
+    "q176_cdc_apply_sink" ->
+      (graft.streaming.ManifestSink.q176CdcApplySink _),
     // q179 is DELETE SEQUENCING: one CoW merge over outstanding
     // merge-on-read deletes — rewrites read through the delete set,
     // changed keys leave it (upsert = keyed resurrection), survivors
@@ -3801,6 +3809,19 @@ object SparkEntry {
         |SELECT version, count(*) AS n_docs,
         |       sum(doc_id)::BIGINT AS sum_doc_id
         |FROM s GROUP BY version ORDER BY version""".stripMargin,
+    // q176: the four-commit CDC history replayed — %7 deleted, %13
+    // (non-%11) removed, %11 upserted with the '_x' lang suffix
+    // (resurrecting deleted %11 keys).
+    "q176_cdc_apply_sink" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang || '_x' AS lang FROM documents
+        |  WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang FROM documents
+        |  WHERE doc_id % 11 <> 0 AND doc_id % 13 <> 0 AND doc_id % 7 <> 0)
+        |SELECT lang, count(*) AS n_docs,
+        |       sum(doc_id)::BIGINT AS sum_doc_id
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
     // q179: the delete-sequencing rules replayed — deleted %3==1 stay
     // suppressed unless upserted (%10==7 resurrects with ' upd'),
     // removes (%10==4) win over everything.

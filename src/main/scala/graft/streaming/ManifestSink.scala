@@ -65,6 +65,137 @@ object ManifestSink {
       ()
     }
 
+  /** Apply one CHANGE-DATA micro-batch idempotently — the delete-
+    * bearing twin of [[upsertBatch]], closing the CDC loop the
+    * manifest change feed opens (q170 EMITS deletes; this APPLIES
+    * them). Rows tagged `'delete'` in `changeCol` contribute their key
+    * to the merge's `removeKeys`; every other row is an upsert (the
+    * tag column dropped). Both land through ONE [[ManifestTable
+    * .mergeCoW]] commit carrying the batch-id txn marker, so the whole
+    * batch — deletes included — is exactly-once: a replayed batch sees
+    * its marker and is a no-op, and within a batch an upsert of a key
+    * also tagged delete wins (replace semantics — exactly how a
+    * rewrite commit's carried rows arrive as delete+insert pairs, so
+    * file-granularity CDF reconciles by construction). Feed with
+    * `maxVersionsPerTrigger = 1` for strict cross-commit ordering
+    * (see [[ManifestStreamSource]]). */
+  def applyChangesBatch(spark: SparkSession, root: String, keyCol: String,
+                        appId: String, batch: DataFrame, batchId: Long,
+                        changeCol: String = "_change"): Boolean = {
+    val last = ManifestTable.lastTxnVersion(spark, root, appId)
+    if (last.exists(_ >= batchId)) false
+    else {
+      ManifestTable.mergeCoW(spark, root, keyCol,
+        removeKeys = batch.where(col(changeCol) === "delete")
+          .select(keyCol),
+        upserts = batch.where(col(changeCol) =!= "delete")
+          .drop(changeCol),
+        txn = Some((appId, batchId)))
+      true
+    }
+  }
+
+  /** [[applyChangesBatch]] as a `foreachBatch` function. */
+  def applyChangesInto(spark: SparkSession, root: String, keyCol: String,
+                       appId: String)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         Long) => Unit =
+    (batch, batchId) => {
+      applyChangesBatch(spark, root, keyCol, appId, batch.toDF(), batchId)
+      ()
+    }
+
+  /** Q176: THE CDC LOOP CLOSED — a manifest table's change feed
+    * drained into a SECOND manifest table through the exactly-once
+    * delete-bearing sink, hash-gated. The source takes four commits
+    * (snapshot, append, merge-on-read equality delete, and a CoW merge
+    * that removes live keys AND resurrects deleted ones — delete
+    * sequencing in the feed's own history); after EACH commit a fresh
+    * process drains the CDF stream (`maxVersionsPerTrigger = 1`, so
+    * batches are per-commit) through [[applyChangesInto]]. After the
+    * final drain, a whole re-drain against the same checkpoint AND a
+    * force-replay of the last (delete-bearing) batch must both be
+    * no-ops. The gate asserts mirror ≡ source row-for-row, then emits
+    * the mirror's aggregate — which the oracle recomputes from the
+    * commit rules, so a dropped delete, a double-applied batch, or a
+    * missed resurrection is hash-fatal. */
+  def q176CdcApplySink(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val key = graft.Tables.dirKey(spark, sfDir)
+    val base = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      "manifest_cdcapply_" + key).toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(base)))
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    val appId = "q176-cdc-apply"
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"))
+    def drainOnce(): Unit = {
+      val q = spark.readStream
+        .format(classOf[ManifestStreamProvider].getName)
+        .option("path", src)
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream
+        .foreachBatch(applyChangesInto(spark, dst, "doc_id", appId))
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // bootstrap the mirror (schema-bearing zero-row seed)
+    ManifestTable.overwrite(spark, dst, docs.limit(0).repartition(1))
+    // commit 1: the snapshot (bounds-stamped, clustered)
+    ManifestTable.overwrite(spark, src,
+      docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      boundsCol = Some("doc_id"))
+    drainOnce()
+    // commit 2: append the rest
+    ManifestTable.append(spark, src,
+      docs.where(pmod(col("doc_id"), lit(5)) === 0),
+      boundsCol = Some("doc_id"))
+    drainOnce()
+    // commit 3: merge-on-read equality delete
+    ManifestTable.deleteWhereKeyIn(spark, src, "doc_id",
+      docs.where(pmod(col("doc_id"), lit(7)) === 0).select("doc_id"))
+    drainOnce()
+    // commit 4: a CoW merge over the outstanding deletes — removes
+    // live keys (%13, minus the upsert set) and UPSERTS %11 keys
+    // (resurrecting the deleted ones among them)
+    ManifestTable.mergeCoW(spark, src, "doc_id",
+      removeKeys = docs.where(pmod(col("doc_id"), lit(13)) === 0 &&
+        pmod(col("doc_id"), lit(11)) =!= 0).select("doc_id"),
+      upserts = docs.where(pmod(col("doc_id"), lit(11)) === 0)
+        .withColumn("lang", concat(col("lang"), lit("_x"))))
+    drainOnce()
+    // replay safety, both layers
+    val vBefore = ManifestTable.currentVersion(spark, dst)
+    drainOnce()
+    val lastBatch = ManifestTable.lastTxnVersion(spark, dst, appId)
+      .getOrElse(0L)
+    val replayed = applyChangesBatch(spark, dst, "doc_id", appId,
+      ManifestTable.readChangesBetween(spark, src, 3, 4), lastBatch)
+    require(!replayed &&
+      ManifestTable.currentVersion(spark, dst) == vBefore,
+      "a replayed CDC batch re-applied — the txn marker failed")
+    // the mirror IS the source, row for row
+    val srcRows = ManifestTable.read(spark, src)
+    val dstRows = ManifestTable.read(spark, dst)
+    require(dstRows.unionByName(srcRows).distinct().count() ==
+      srcRows.distinct().count() && dstRows.count() == srcRows.count(),
+      "mirror drifted from source")
+    dstRows.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
+      .orderBy("lang")
+  }
+
   /** Q171: the exactly-once upsert sink end to end, hash-gated —
     * events stream in as three landing files (one micro-batch each,
     * the query RESTARTED between landings), where batch 2 and batch 3

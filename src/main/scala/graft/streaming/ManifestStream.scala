@@ -105,7 +105,9 @@ class ManifestStreamProvider extends StreamSourceProvider
     new ManifestStreamSource(spark, root,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       parameters.get("startingVersion").map(_.toInt),
-      cdf = isCdf(parameters))
+      cdf = isCdf(parameters),
+      maxVersionsPerTrigger =
+        parameters.get("maxVersionsPerTrigger").map(_.toInt))
   }
 }
 
@@ -225,10 +227,18 @@ object ManifestStream {
   }
 }
 
+/** `maxVersionsPerTrigger`: cap each micro-batch at N table versions
+  * (Delta's maxFilesPerTrigger shape, in commit units). `1` gives
+  * strict PER-COMMIT batches — what a CDC applier needs for correct
+  * ordering: a batch spanning a delete commit AND a later re-insert of
+  * the same key would otherwise collapse both into one
+  * replace-semantics apply. */
 class ManifestStreamSource(spark: SparkSession, root: String,
                            override val schema: StructType,
                            startingVersion: Option[Int],
-                           cdf: Boolean = false) extends Source
+                           cdf: Boolean = false,
+                           maxVersionsPerTrigger: Option[Int] = None)
+    extends Source
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
 
@@ -263,7 +273,13 @@ class ManifestStreamSource(spark: SparkSession, root: String,
       case Some(a) => cur.map(math.min(_, a))
       case None => cur
     }
-    capped.map(v => ManifestVersionOffset(v.toLong)).orNull
+    // rate limit in commit units; the FIRST batch (no start offset) is
+    // the whole initial snapshot and is never split
+    val paced = (Option(start).map(versionOf), maxVersionsPerTrigger) match {
+      case (Some(s), Some(n)) if n > 0 => capped.map(math.min(_, s + n))
+      case _ => capped
+    }
+    paced.map(v => ManifestVersionOffset(v.toLong)).orNull
   }
 
   /** The files ADDED in `(fromV, endV]`, read with the END version's

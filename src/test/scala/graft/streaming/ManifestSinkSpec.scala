@@ -62,4 +62,82 @@ class ManifestSinkSpec extends SparkSpec {
     ManifestTable.overwrite(spark, root, docs.limit(3))
     assert(ManifestTable.lastTxnVersion(spark, root, app).isEmpty)
   }
+
+  test("CDC apply: delete rows route to removeKeys in the same " +
+      "txn-marked commit; a replayed delete batch is a no-op; an " +
+      "in-batch delete+insert pair resolves to replace") {
+    val root = Files.createTempDirectory("graft-sink-cdc").toString +
+      "/tbl"
+    val app = "cdc-spec"
+    ManifestTable.overwrite(spark, root, docs.limit(0).repartition(1))
+    // batch 0: pure inserts
+    val b0 = docs.withColumn("_change", lit("insert"))
+    assert(ManifestSink.applyChangesBatch(spark, root, "doc_id", app,
+      b0, 0L))
+    assert(ManifestTable.read(spark, root).count() === docs.count())
+    // batch 1: deletes of %3==0, applied exactly once — the replay
+    // (the foreachBatch recovery window) must NOT re-merge
+    val b1 = docs.where(col("doc_id") % 3 === 0)
+      .withColumn("_change", lit("delete"))
+    assert(ManifestSink.applyChangesBatch(spark, root, "doc_id", app,
+      b1, 1L))
+    val vAfter = ManifestTable.currentVersion(spark, root)
+    val expect = docs.where(col("doc_id") % 3 =!= 0).count()
+    assert(ManifestTable.read(spark, root).count() === expect)
+    assert(!ManifestSink.applyChangesBatch(spark, root, "doc_id", app,
+      b1, 1L), "a replayed delete batch re-applied")
+    assert(ManifestTable.currentVersion(spark, root) === vAfter)
+    assert(ManifestTable.read(spark, root).count() === expect)
+    // batch 2: a delete+insert PAIR of one key (a rewrite commit's
+    // carried-row shape in a change feed) = replace, not delete
+    val one = docs.where(col("doc_id") % 3 =!= 0).orderBy("doc_id")
+      .limit(1)
+    val b2 = one.withColumn("_change", lit("delete"))
+      .unionByName(one.withColumn("lang", lit("zz"))
+        .withColumn("_change", lit("insert")))
+    assert(ManifestSink.applyChangesBatch(spark, root, "doc_id", app,
+      b2, 2L))
+    assert(ManifestTable.read(spark, root).count() === expect)
+    assert(ManifestTable.read(spark, root)
+      .where(col("lang") === "zz").count() === 1)
+  }
+
+  test("maxVersionsPerTrigger=1 paces the tail to strictly per-commit " +
+      "batches after the initial snapshot") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft-pace").toString
+    val root = s"$base/tbl"
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format(classOf[ManifestStreamProvider].getName)
+        .option("path", root)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) => {
+          val n = b.count()
+          if (n > 0) batches.synchronized { batches += n }
+          ()
+        })
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // the initial snapshot is ONE batch regardless of pacing...
+    ManifestTable.overwrite(spark, root,
+      docs.where(col("doc_id") % 3 === 0))
+    drain()
+    // ...but a catch-up across TWO commits paces to one batch each
+    ManifestTable.append(spark, root, docs.where(col("doc_id") % 3 === 1))
+    ManifestTable.append(spark, root, docs.where(col("doc_id") % 3 === 2))
+    drain()
+    assert(batches.toSeq === Seq(
+      docs.where(col("doc_id") % 3 === 0).count(),
+      docs.where(col("doc_id") % 3 === 1).count(),
+      docs.where(col("doc_id") % 3 === 2).count()),
+      s"pacing broke per-commit batching: $batches")
+  }
 }

@@ -600,6 +600,13 @@ object SparkEntry {
     // hash-gated.
     "q176_cdc_apply_sink" ->
       (graft.streaming.ManifestSink.q176CdcApplySink _),
+    // q177 is the append tail across interleaved OPTIMIZEs under the
+    // skip policy (Delta's skipChangeCommits): rewrite commits' files
+    // are ignored, appends arrive exactly once — q164's oracle gates
+    // both histories; the default loud failure and the redeliver
+    // opt-in are spec-pinned.
+    "q177_tail_across_optimize" ->
+      (graft.streaming.ManifestStream.q177TailAcrossOptimize _),
     // q179 is DELETE SEQUENCING: one CoW merge over outstanding
     // merge-on-read deletes — rewrites read through the delete set,
     // changed keys leave it (upsert = keyed resurrection), survivors
@@ -3822,6 +3829,13 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_docs,
         |       sum(doc_id)::BIGINT AS sum_doc_id
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+    // q177: q164's oracle verbatim — the compactions must be invisible
+    // to the skipping tail.
+    "q177_tail_across_optimize" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       sum(user_id)::BIGINT AS sum_user_id,
+        |       sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q179: the delete-sequencing rules replayed — deleted %3==1 stay
     // suppressed unless upserted (%10==7 resurrects with ' upd'),
     // removes (%10==4) win over everything.

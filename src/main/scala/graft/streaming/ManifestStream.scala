@@ -25,11 +25,14 @@ import graft.sources.ManifestTable
   *    read with the END version's committed schema (by-name parquet
   *    resolution: pre-evolution files surface later-added columns as
   *    null — schema evolution mid-stream just works).
-  *  - Rewrite commits (optimize / mergeCoW) list their OUTPUT files as
-  *    added, so a downstream consumer sees carried rows again — the
-  *    same file-granularity contract [[ManifestTable.readChangesBetween]]
-  *    documents; tail APPEND-ONLY tables (or reconcile by key
-  *    downstream) for exactly-once ROW semantics.
+  *  - Rewrite commits (optimize / mergeCoW / restore) list their
+  *    OUTPUT files as added — re-reading them would re-deliver every
+  *    carried row, so the tail FAILS LOUDLY on one by default;
+  *    `.option("onRewriteCommits", "skip")` ignores rewrite commits'
+  *    files (Delta's `skipChangeCommits`), `"redeliver"` opts into the
+  *    file-granularity re-delivery (reconcile by key downstream), and
+  *    CDF mode (below) is the row-level answer. See
+  *    [[RewriteCommitPolicy]].
   *
   * Schema: resolved from the table's newest committed schema at stream
   * start; every batch PROJECTS onto it, so an add-column evolution
@@ -102,14 +105,42 @@ class ManifestStreamProvider extends StreamSourceProvider
                             parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
+    val policy = parameters.getOrElse("onRewriteCommits", "fail") match {
+      case p if p.equalsIgnoreCase("fail") => RewriteFail
+      case p if p.equalsIgnoreCase("skip") => RewriteSkip
+      case p if p.equalsIgnoreCase("redeliver") => RewriteRedeliver
+      case other => throw new IllegalArgumentException(
+        s"onRewriteCommits must be fail | skip | redeliver, got '$other'")
+    }
     new ManifestStreamSource(spark, root,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       parameters.get("startingVersion").map(_.toInt),
       cdf = isCdf(parameters),
       maxVersionsPerTrigger =
-        parameters.get("maxVersionsPerTrigger").map(_.toInt))
+        parameters.get("maxVersionsPerTrigger").map(_.toInt),
+      onRewriteCommits = policy)
   }
 }
+
+/** What the APPEND TAIL does with a commit that REMOVED data files (an
+  * optimize / CoW merge / restore — any rewrite): such a commit lists
+  * its output files as added, so a tail that reads them re-delivers
+  * every CARRIED row (file granularity). Delta's source faces the same
+  * choice and ships `skipChangeCommits` / fail-on-delete; mirrored
+  * here:
+  *  - [[RewriteFail]] (DEFAULT): throw loudly — exactly-once ROW
+  *    semantics cannot be silently broken; pick a policy explicitly.
+  *  - [[RewriteSkip]]: drop the rewrite commit's added files entirely
+  *    (Delta's `skipChangeCommits`) — appends flow, rewrites are
+  *    invisible; sound because a rewrite ADDS no rows by contract.
+  *  - [[RewriteRedeliver]]: the historical file-granularity behavior
+  *    (every added file flows; consumers reconcile by key downstream).
+  * CDF mode is unaffected — [[ManifestTable.readChangesBetween]]
+  * surfaces rewrites as delete+insert pairs by design. */
+sealed trait RewriteCommitPolicy
+case object RewriteFail extends RewriteCommitPolicy
+case object RewriteSkip extends RewriteCommitPolicy
+case object RewriteRedeliver extends RewriteCommitPolicy
 
 /** The stream offset IS the table version; `json` is just its digits,
   * so a checkpointed offset round-trips through the engine's
@@ -167,6 +198,68 @@ object ManifestStream {
     ManifestTable.append(spark, root, slice(1))
     drainOnce()
     ManifestTable.append(spark, root, slice(2))
+    drainOnce()
+    spark.table(qn).orderBy("event_type")
+  }
+
+  /** Q177: THE APPEND TAIL ACROSS INTERLEAVED COMPACTIONS, hash-gated
+    * — q164's checkpointed streaming aggregation (fresh process per
+    * drain), but the table is OPTIMIZED between appends, twice. With
+    * `.option("onRewriteCommits", "skip")` the tail ignores the
+    * rewrite commits' output files entirely (Delta's
+    * `skipChangeCommits`): every event still arrives EXACTLY ONCE
+    * (appends flow; a rewrite adds no rows by contract), so the final
+    * complete-mode table must equal the one-shot batch aggregate —
+    * q164's own oracle verbatim (one oracle, two maintenance
+    * histories: the q160/q161 shared-gate discipline). A re-delivered
+    * carried row (the failure this policy exists for) would double a
+    * count and fire the hash gate. The DEFAULT policy's loud failure
+    * on the same history, and the explicit `redeliver` opt-in, are
+    * ManifestStreamSpec's pins. */
+  def q177TailAcrossOptimize(spark: SparkSession,
+                             sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val key = graft.Tables.dirKey(spark, sfDir)
+    val base = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      "manifest_tailopt_" + key).toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(base)))
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val root = s"$base/tbl"
+    val qn = s"q177_agg_$key"
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        col("value"))
+    def slice(i: Int) = ev.where(pmod(col("event_id"), lit(3)) === i)
+    def drainOnce(): Unit = {
+      val q = spark.readStream
+        .format(classOf[ManifestStreamProvider].getName)
+        .option("path", root)
+        .option("onRewriteCommits", "skip")
+        .load()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("user_id")).as("sum_user_id"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ManifestTable.overwrite(spark, root,
+      slice(0).repartitionByRange(4, col("event_id"))
+        .sortWithinPartitions("event_id"),
+      boundsCol = Some("event_id"))
+    drainOnce()
+    ManifestTable.optimize(spark, root, "event_id", 2) // rewrite #1
+    ManifestTable.append(spark, root, slice(1))
+    drainOnce() // one batch spans rewrite + append: append rows only
+    ManifestTable.append(spark, root, slice(2))
+    ManifestTable.optimize(spark, root, "event_id", 3) // rewrite #2
     drainOnce()
     spark.table(qn).orderBy("event_type")
   }
@@ -237,7 +330,9 @@ class ManifestStreamSource(spark: SparkSession, root: String,
                            override val schema: StructType,
                            startingVersion: Option[Int],
                            cdf: Boolean = false,
-                           maxVersionsPerTrigger: Option[Int] = None)
+                           maxVersionsPerTrigger: Option[Int] = None,
+                           onRewriteCommits: RewriteCommitPolicy =
+                             RewriteFail)
     extends Source
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
@@ -289,9 +384,34 @@ class ManifestStreamSource(spark: SparkSession, root: String,
     // APPEND-TAIL contract: equality-delete commits (format v6) add no
     // rows to the tail — their key-only files are not data (the same
     // caveat as rewrite commits; a row-level CDC consumer uses
-    // ManifestTable.readChangesBetween, which tags them 'delete')
-    val rels = ManifestTable.changedFiles(spark, root, fromV, endV)._1
-      .filterNot(_.startsWith("deletes/"))
+    // ManifestTable.readChangesBetween, which tags them 'delete').
+    // Per-commit walk (one manifest pair per version — the batch is
+    // usually one commit): a commit that REMOVED data files is a
+    // REWRITE, handled by the configured policy (see
+    // [[RewriteCommitPolicy]]). A file added then removed inside one
+    // batch span still flows (it is on disk until vacuumed) — per-
+    // commit delivery, not span-diff delivery.
+    def isDel(rel: String) = rel.startsWith("deletes/")
+    val perCommit = (fromV + 1 to endV).map { v =>
+      val (a, r) = ManifestTable.changedFiles(spark, root, v - 1, v)
+      (v, a, r.exists(!isDel(_)))
+    }
+    val rewrites = perCommit.filter(_._3).map(_._1)
+    val kept = onRewriteCommits match {
+      case RewriteFail =>
+        if (rewrites.nonEmpty) throw new IllegalStateException(
+          s"manifest tail of $root hit rewrite commit(s) " +
+            s"${rewrites.mkString(", ")} — an append tail would " +
+            "re-deliver every carried row. Set " +
+            ".option(\"onRewriteCommits\", \"skip\") to ignore rewrite " +
+            "commits' files, \"redeliver\" to accept file-granularity " +
+            "re-delivery, or consume the change feed " +
+            "(readChangeFeed=true) for row-level semantics")
+        perCommit
+      case RewriteSkip => perCommit.filterNot(_._3)
+      case RewriteRedeliver => perCommit
+    }
+    val rels = kept.flatMap(_._2).distinct.filterNot(isDel)
     val committed = ManifestTable.schemaAt(spark, root, Some(endV))
     if (rels.isEmpty)
       spark.createDataFrame(

@@ -71,6 +71,55 @@ class ManifestStreamSpec extends SparkSpec {
     assert(ids(got) === ids(docs), "tail lost or duplicated rows")
   }
 
+  test("rewrite commits: the tail fails LOUDLY by default; skip makes " +
+      "them invisible (exactly-once appends); redeliver re-delivers " +
+      "carried rows") {
+    def drainWith(root: String, ck: String, out: String,
+                  policy: Option[String]): Unit = {
+      val reader = spark.readStream
+        .format(classOf[ManifestStreamProvider].getName)
+        .option("path", root)
+      val src = policy.fold(reader)(p =>
+        reader.option("onRewriteCommits", p)).load()
+      val q = src.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // DEFAULT: loud failure on the rewrite commit
+    val b1 = Files.createTempDirectory("graft-rw").toString
+    ManifestTable.overwrite(spark, s"$b1/t", slice(0))
+    drainWith(s"$b1/t", s"$b1/ck", s"$b1/out", None)
+    ManifestTable.optimize(spark, s"$b1/t", "doc_id", 2)
+    val ex = intercept[Exception] {
+      drainWith(s"$b1/t", s"$b1/ck", s"$b1/out", None)
+    }
+    assert(ex.getMessage.contains("rewrite commit") ||
+      Option(ex.getCause).exists(_.getMessage.contains("rewrite commit")),
+      s"default did not fail loudly: ${ex.getMessage}")
+    // SKIP: appends arrive exactly once across two interleaved rewrites
+    val b2 = Files.createTempDirectory("graft-rw").toString
+    ManifestTable.overwrite(spark, s"$b2/t", slice(0))
+    drainWith(s"$b2/t", s"$b2/ck", s"$b2/out", Some("skip"))
+    ManifestTable.optimize(spark, s"$b2/t", "doc_id", 2)
+    ManifestTable.append(spark, s"$b2/t", slice(1))
+    drainWith(s"$b2/t", s"$b2/ck", s"$b2/out", Some("skip"))
+    ManifestTable.append(spark, s"$b2/t", slice(2))
+    ManifestTable.optimize(spark, s"$b2/t", "doc_id", 2)
+    drainWith(s"$b2/t", s"$b2/ck", s"$b2/out", Some("skip"))
+    assert(ids(spark.read.parquet(s"$b2/out")) ===
+      ids(slice(0).unionByName(slice(1)).unionByName(slice(2))),
+      "skip lost or duplicated rows")
+    // REDELIVER: the rewrite's output files flow — carried rows twice
+    val b3 = Files.createTempDirectory("graft-rw").toString
+    ManifestTable.overwrite(spark, s"$b3/t", slice(0))
+    drainWith(s"$b3/t", s"$b3/ck", s"$b3/out", Some("redeliver"))
+    ManifestTable.optimize(spark, s"$b3/t", "doc_id", 2)
+    drainWith(s"$b3/t", s"$b3/ck", s"$b3/out", Some("redeliver"))
+    assert(spark.read.parquet(s"$b3/out").count() === slice(0).count() * 2,
+      "redeliver did not re-deliver the carried rows")
+  }
+
   test("startingVersion skips the snapshot: only commits >= v arrive") {
     val base = Files.createTempDirectory("graft-mstream").toString
     val root = s"$base/tbl"

@@ -607,6 +607,15 @@ object SparkEntry {
     // opt-in are spec-pinned.
     "q177_tail_across_optimize" ->
       (graft.streaming.ManifestStream.q177TailAcrossOptimize _),
+    // q178 is the generalized multi-table transaction (ManifestCatalog
+    // — SuffixRefresh's catalog-pointer pattern as a reusable
+    // primitive, q154 itself migrated onto it): the q160 SCD2 history
+    // as a dim+mirror PAIR advanced one transact per source commit,
+    // with an injected crash between member commit and catalog commit
+    // rolled back by the next transaction; q160's oracle gates a THIRD
+    // maintenance path.
+    "q178_catalog_txn_scd2" ->
+      (graft.sources.ManifestCatalog.q178CatalogTxnScd2 _),
     // q179 is DELETE SEQUENCING: one CoW merge over outstanding
     // merge-on-read deletes — rewrites read through the delete set,
     // changed keys leave it (upsert = keyed resurrection), survivors
@@ -3674,6 +3683,9 @@ object SparkEntry {
     // the q117/q142 shared-gate discipline.
     "q160_manifest_scd2" -> scd2HistoryOracle,
     "q161_manifest_tail_scd2" -> scd2HistoryOracle,
+    // q178: the same SCD2 history, third maintenance path (catalog
+    // transaction with crash injection) — one oracle gates all three.
+    "q178_catalog_txn_scd2" -> scd2HistoryOracle,
     // q162: the q130 rectangle (same integer bounds arithmetic)
     // re-aggregated straight from parquet — per-row cent recovery
     // (round(x*100), exact on 2-decimal values) so the money sum is an

@@ -428,20 +428,15 @@ object SuffixRefresh extends Serializable {
     StateRoots(s"$rootBase/index", s"$rootBase/inner",
       s"$rootBase/sums", s"$rootBase/catalog")
 
-  /** The catalog-pinned version of each relation table — ONE atomic
-    * manifest read, so the trio is always a consistent transaction's. */
-  private def pinnedVersions(spark: SparkSession,
-                             roots: StateRoots): Map[String, Int] =
-    graft.sources.ManifestTable.read(spark, roots.catalog)
-      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
-
-  private def commitCatalog(spark: SparkSession, roots: StateRoots,
-                            pins: Map[String, Int]): Unit = {
-    import spark.implicits._
-    graft.sources.ManifestTable.overwrite(spark, roots.catalog,
-      pins.toSeq.sortBy(_._1).toDF("rel", "version"))
-    ()
-  }
+  /** The state trio as a [[graft.sources.ManifestCatalog]] — the
+    * generalized home of the catalog-pointer pattern this module
+    * pioneered (round 16); [[buildState]]/[[advance]] are now plain
+    * `transact` calls, and crash recovery (orphan rollback, vacuum
+    * floor) lives in the shared primitive. */
+  private def catalogOf(roots: StateRoots) =
+    graft.sources.ManifestCatalog.Catalog(roots.catalog,
+      Map("index" -> roots.index, "inner" -> roots.inner,
+        "sums" -> roots.sums))
 
   /** Materialize the suffix-refresh state for `docs` under `rootBase`
     * as three manifest tables plus the catalog pointer. Index and
@@ -453,14 +448,15 @@ object SuffixRefresh extends Serializable {
     import graft.sources.ManifestTable
     val roots = rootsUnder(rootBase)
     val tagged = taggedIndexOf(docs, parts).localCheckpoint()
-    val vIdx = ManifestTable.overwrite(spark, roots.index, tagged,
-      boundsCol = Some("part"))
-    val vInn = ManifestTable.overwrite(spark, roots.inner,
-      innerMaxOf(tagged), boundsCol = Some("part"))
-    val vSum = ManifestTable.overwrite(spark, roots.sums,
-      summariesOf(tagged))
-    commitCatalog(spark, roots,
-      Map("index" -> vIdx, "inner" -> vInn, "sums" -> vSum))
+    graft.sources.ManifestCatalog.transact(spark, catalogOf(roots)) { _ =>
+      Map(
+        "index" -> ManifestTable.overwrite(spark, roots.index, tagged,
+          boundsCol = Some("part")),
+        "inner" -> ManifestTable.overwrite(spark, roots.inner,
+          innerMaxOf(tagged), boundsCol = Some("part")),
+        "sums" -> ManifestTable.overwrite(spark, roots.sums,
+          summariesOf(tagged)))
+    }
     roots
   }
 
@@ -485,47 +481,36 @@ object SuffixRefresh extends Serializable {
               minReport: Int = 1): RefreshResult = {
     import spark.implicits._
     import graft.sources.ManifestTable
-    val pinned = pinnedVersions(spark, roots)
-    // roll back orphaned commits from a crashed advance: newest must
-    // EQUAL the catalog pin before computing, or the refresh would read
-    // a half-applied delta
-    Seq("index" -> roots.index, "inner" -> roots.inner,
-      "sums" -> roots.sums).foreach { case (k, r) =>
-      val cur = ManifestTable.currentVersion(spark, r)
-      require(cur.exists(_ >= pinned(k)),
-        s"suffix-refresh state table $r is " +
-          cur.map(c => s"behind its catalog pin ($c < ${pinned(k)}) — " +
-            "vacuumed below the pin")
-            .getOrElse("missing entirely (no committed version)") +
-          "; rebuild with buildState")
-      if (cur.get > pinned(k)) {
-        ManifestTable.restore(spark, r, pinned(k))
-        ()
-      }
+    var out: RefreshResult = null
+    // one ManifestCatalog transaction: orphan rollback from a crashed
+    // predecessor, the three member commits, and the single catalog
+    // publish all live in the shared primitive now
+    graft.sources.ManifestCatalog.transact(spark, catalogOf(roots)) { _ =>
+      val res = refreshOf(spark,
+        ManifestTable.read(spark, roots.index),
+        ManifestTable.read(spark, roots.inner),
+        toSummaries(ManifestTable.read(spark, roots.sums)),
+        removedDocs, addedDocs, minReport,
+        // the read-side payoff of the bounds-stamped index: open only
+        // the affected partitions' files, decided from the manifest
+        indexForParts = Some(parts => ManifestTable.readWhereKeyIn(
+          spark, roots.index, "part", parts.map(_.toLong))))
+      val affectedDf = res.affectedParts.toSeq.sorted.toDF("part")
+      val (vIdx, _, _) = ManifestTable.mergeCoW(spark, roots.index, "part",
+        affectedDf, res.freshRows)
+      val (vInn, _, _) = ManifestTable.mergeCoW(spark, roots.inner, "part",
+        affectedDf, res.freshInner)
+      val vSum = ManifestTable.overwrite(spark, roots.sums,
+        res.mergedSums.toDF()
+          .select(col("part"), col("nRows").as("n_rows"),
+            col("firstPref").as("first_pref"),
+            col("firstDoc").as("first_doc"),
+            col("lastPref").as("last_pref"),
+            col("lastDoc").as("last_doc")))
+      out = res
+      Map("index" -> vIdx, "inner" -> vInn, "sums" -> vSum)
     }
-    val res = refreshOf(spark,
-      ManifestTable.read(spark, roots.index),
-      ManifestTable.read(spark, roots.inner),
-      toSummaries(ManifestTable.read(spark, roots.sums)),
-      removedDocs, addedDocs, minReport,
-      // the read-side payoff of the bounds-stamped index: open only
-      // the affected partitions' files, decided from the manifest
-      indexForParts = Some(parts => ManifestTable.readWhereKeyIn(
-        spark, roots.index, "part", parts.map(_.toLong))))
-    val affectedDf = res.affectedParts.toSeq.sorted.toDF("part")
-    val (vIdx, _, _) = ManifestTable.mergeCoW(spark, roots.index, "part",
-      affectedDf, res.freshRows)
-    val (vInn, _, _) = ManifestTable.mergeCoW(spark, roots.inner, "part",
-      affectedDf, res.freshInner)
-    val vSum = ManifestTable.overwrite(spark, roots.sums,
-      res.mergedSums.toDF()
-        .select(col("part"), col("nRows").as("n_rows"),
-          col("firstPref").as("first_pref"), col("firstDoc").as("first_doc"),
-          col("lastPref").as("last_pref"), col("lastDoc").as("last_doc")))
-    // the transaction point: one catalog commit publishes the trio
-    commitCatalog(spark, roots,
-      Map("index" -> vIdx, "inner" -> vInn, "sums" -> vSum))
-    res
+    out
   }
 
   /** The per-doc longest-cross-doc-match table assembled from the
@@ -538,12 +523,11 @@ object SuffixRefresh extends Serializable {
     * isolation per table, coordinated by the one catalog read). */
   def perDocFromState(spark: SparkSession, roots: StateRoots,
                       minReport: Int = 1): DataFrame = {
-    import graft.sources.ManifestTable
-    val pinned = pinnedVersions(spark, roots)
+    val cat = catalogOf(roots)
     perDocOf(spark,
-      ManifestTable.readAt(spark, roots.inner, pinned("inner")),
+      graft.sources.ManifestCatalog.readPinned(spark, cat, "inner"),
       boundaryOf(toSummaries(
-        ManifestTable.readAt(spark, roots.sums, pinned("sums")))),
+        graft.sources.ManifestCatalog.readPinned(spark, cat, "sums"))),
       minReport)
   }
 }

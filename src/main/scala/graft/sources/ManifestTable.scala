@@ -2087,8 +2087,8 @@ object ManifestTable {
     * recrawl as one CoW merge, v3 = a second delete+edit wave over the
     * current table (positive ids only — the synthetic namespace stays
     * put). Returns the table root (rebuilt fresh per call). */
-  private def buildScd2DemoTable(spark: SparkSession, sfDir: String,
-                                 prefix: String): String = {
+  private[graft] def buildScd2DemoTable(spark: SparkSession, sfDir: String,
+                                        prefix: String): String = {
     val root = new Path(
       spark.conf.get("spark.sql.warehouse.dir"),
       prefix + graft.Tables.dirKey(spark, sfDir)).toString

@@ -616,6 +616,13 @@ object SparkEntry {
     // maintenance path.
     "q178_catalog_txn_scd2" ->
       (graft.sources.ManifestCatalog.q178CatalogTxnScd2 _),
+    // q180 is the approx profiler twin (the q165 scaladoc's 100 TB
+    // shape, exercised): approx_count_distinct everywhere, the
+    // multi-distinct Expand gone from the plan; rows-only gate (HLL++
+    // estimates aren't hash-stable), <5% per-column error spec-pinned
+    // against the exact run — the q34 discipline.
+    "q180_table_profile_approx" ->
+      (graft.operators.TableProfile.q180TableProfileApprox _),
     // q179 is DELETE SEQUENCING: one CoW merge over outstanding
     // merge-on-read deletes — rewrites read through the delete set,
     // changed keys leave it (upsert = keyed resurrection), survivors

@@ -23,11 +23,12 @@ import org.apache.spark.sql.types._
   * row fans out to |cols| aggregation rows before the shuffle — the
   * standard multi-count-distinct plan). That ×|cols| expansion is the
   * price of exactness and is what the DuckDB gate can replay; at
-  * 100 TB a profiler swaps `countDistinct` for
-  * `approx_count_distinct` (the q34 HLL++ surface) and the Expand
-  * disappears into one pass of constant-size sketches — same code
-  * shape, one expression swap. The driver materializes exactly ONE
-  * aggregated row (O(cols) values), never data.
+  * 100 TB a profiler uses [[profileApprox]] (q180) — the SAME code
+  * with `approx_count_distinct` (the q34 HLL++ surface), where the
+  * Expand disappears into one pass of constant-size sketches
+  * (spec-pinned, <5% per-column error vs the exact run). The driver
+  * materializes exactly ONE aggregated row (O(cols) values), never
+  * data.
   *
   * Reference scope: the reference engine has no profiling surface at
   * all (its only dataset statistic is the final key count its sinks
@@ -68,13 +69,29 @@ object TableProfile {
     * (column, facet, n_rows, n_nulls, n_distinct, lo, hi). Columns
     * whose type has no integer-exact facet still profile counts with
     * null bounds. */
-  def profile(spark: SparkSession, df: DataFrame): DataFrame = {
+  def profile(spark: SparkSession, df: DataFrame): DataFrame =
+    profileWith(spark, df, c => countDistinct(col(c)))
+
+  /** The 100 TB shape of [[profile]]: `approx_count_distinct` (HLL++,
+    * the q34 surface, at rsd = 0.01 — a few KB per sketch buys the
+    * <5% gate with margin; the default 5% rsd measured 6.4% on
+    * l_orderkey) instead of exact distincts, so the plan is ONE
+    * straight aggregation pass of constant-size sketches — the ×|cols|
+    * Expand the exact multi-count-distinct needs is GONE (spec-pinned,
+    * with the <5% per-column error gate against the exact run).
+    * Everything else — null counts, typed integer-exact bounds, the
+    * one driver row — is identical. */
+  def profileApprox(spark: SparkSession, df: DataFrame): DataFrame =
+    profileWith(spark, df, c => approx_count_distinct(col(c), 0.01))
+
+  private def profileWith(spark: SparkSession, df: DataFrame,
+                          distinctAgg: String => Column): DataFrame = {
     val fields = df.schema.fields.toSeq
     val aggs = fields.flatMap { f =>
       val fc = facetOf(f.dataType)
       Seq(
         count(col(f.name)).as(s"_nn_${f.name}"),
-        countDistinct(col(f.name)).as(s"_nd_${f.name}"),
+        distinctAgg(f.name).as(s"_nd_${f.name}"),
         fc.map(_.loExpr(f.name)).getOrElse(lit(null).cast("long"))
           .as(s"_lo_${f.name}"),
         fc.map(_.hiExpr(f.name)).getOrElse(lit(null).cast("long"))
@@ -115,6 +132,15 @@ object TableProfile {
     * facet kinds in one pass, hash-gated column by column. */
   def q165TableProfile(spark: SparkSession, sfDir: String): DataFrame =
     profile(spark, graft.Tables.lineitem(spark, sfDir))
+
+  /** Q180: the APPROX profiler twin over the same table, gated at the
+    * q34 discipline — rows-only against the driver (HLL++ estimates
+    * aren't hash-stable across engines), with the <5% per-column error
+    * and the Expand-free plan pinned by TableProfileSpec against the
+    * exact q165 run. This is the shape the q165 scaladoc promises for
+    * 100 TB, exercised rather than described. */
+  def q180TableProfileApprox(spark: SparkSession, sfDir: String): DataFrame =
+    profileApprox(spark, graft.Tables.lineitem(spark, sfDir))
 
   def q165OracleSql: String = duckProfileSql("lineitem", Seq(
     "l_orderkey" -> LongType, "l_partkey" -> LongType,

@@ -327,13 +327,25 @@ object Bench {
           s""""prev":${math.round(prevSum * 100) / 100.0}}"""
       }.getOrElse("")
     }.getOrElse("")
-    println(
+    val summaryJson =
       s"""{"metric":"total","value":$total,"unit":"sec","summary":true,""" +
         s""""failed":$failed,"queries_n":${results.size},""" +
         s""""sf":${GraftSession.jsonString(sfDir)},"loadavg":$loadavg,""" +
         s""""artifacts_sec":$artifactsSec,"refresh_sec":$refreshSec,""" +
         s""""full_rebuild_sec":$rebuildSec,"full":"$outFile"""" +
-        commonPrev + "}")
+        commonPrev + "}"
+    println(summaryJson)
+    // ...and as its own FILE, so the driver's truncated stdout tail
+    // (BENCH_rN.json `parsed: null`) stops mattering: the whole summary
+    // object is always available on disk next to the full record
+    val summaryFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY",
+      "bench_summary.json")
+    scala.util.Try(java.nio.file.Files.write(
+      java.nio.file.Paths.get(summaryFile),
+      (summaryJson + "\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8)))
+      .failed.foreach(e =>
+        System.err.println(s"[bench] could not write $summaryFile: $e"))
     spark.stop()
   }
 }

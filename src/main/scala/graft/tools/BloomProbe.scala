@@ -73,6 +73,50 @@ object BloomProbe {
       f"data=${dataBytes / 1024}KiB " +
       f"(${sidecarBytes.toDouble / dataBytes * 100}%.2f%% tax, " +
       f"${sidecarBytes * 8.0 / li.count()}%.2f bits/row)")
+
+    // ---- append-heavy history: the sidecar-per-commit-dir lifecycle.
+    // One sidecar per commit dir per column means a point lookup on an
+    // N-append table opens O(N) sidecar files (stats keep every file on
+    // a scattered column, so every commit dir's sidecar is consulted);
+    // OPTIMIZE consolidates to one dir. Measure the curve: lookups at
+    // 4/8/16 commits, then post-optimize.
+    val commits = 16
+    val rootH = new Path(spark.conf.get("spark.sql.warehouse.dir"),
+      s"bloomprobe_hist_${Tables.dirKey(spark, dir)}").toString
+    val fsH = new Path(rootH)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsH.exists(new Path(rootH))) fsH.delete(new Path(rootH), true)
+    def sliceH(i: Int) = li.where(pmod(col("l_orderkey"),
+      lit(commits)) === i)
+    ManifestTable.overwrite(spark, rootH, sliceH(0),
+      boundsCol = Some("l_orderkey"), bloomCols = Seq("l_partkey"))
+    val lookKeys = picked.take(8)
+    def sidecars(): Int =
+      Option(fsH.globStatus(new Path(rootH, "data/*/_bloom.*")))
+        .map(_.length).getOrElse(0)
+    def lookupWall(): Double = timeIt { lookKeys.foreach { k =>
+      ManifestTable.readWherePointEquals(spark, rootH,
+        "l_partkey", k).count() } }._2
+    var i = 1
+    for (checkpoint <- Seq(4, 8, 16)) {
+      while (i < checkpoint) {
+        // append auto-stamps the table's declared bloom columns — the
+        // maintained-index contract
+        ManifestTable.append(spark, rootH, sliceH(i)); i += 1
+      }
+      println(f"[bloomprobe] history commits=$checkpoint " +
+        f"sidecarFiles=${sidecars()} lookupWall=${lookupWall()}%.2fs " +
+        f"(8 probes)")
+    }
+    val (_, filesBefore, filesAfter) =
+      ManifestTable.optimize(spark, rootH, "l_orderkey", 8)
+    println(f"[bloomprobe] history post-optimize " +
+      f"sidecarFiles=${sidecars()} lookupWall=${lookupWall()}%.2fs " +
+      f"(files $filesBefore -> $filesAfter; a lookup now consults ONE " +
+      "live sidecar — the old dirs' await vacuum)")
+    ManifestTable.vacuum(spark, rootH, retain = 1, orphanRetentionMs = 0L)
+    println(f"[bloomprobe] history post-vacuum " +
+      f"sidecarFiles=${sidecars()} lookupWall=${lookupWall()}%.2fs")
     spark.stop()
   }
 }

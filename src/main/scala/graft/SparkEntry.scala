@@ -616,6 +616,17 @@ object SparkEntry {
     // maintenance path.
     "q178_catalog_txn_scd2" ->
       (graft.sources.ManifestCatalog.q178CatalogTxnScd2 _),
+    // q181 is metadata tables through SQL (Iceberg's db.t.history
+    // shape): per-version metadata row counts off the manifests alone
+    // — q159's oracle gates the SQL surface verbatim.
+    "q181_sql_metadata_tables" ->
+      (graft.sources.GraftCatalog.q181SqlMetadataTables _),
+    // q182 is writes through SQL: CREATE TABLE, two INSERT INTO
+    // commits, one truncating INSERT OVERWRITE — the V1Write fallback
+    // onto the same commit protocol; the three written versions read
+    // back by VERSION AS OF, hash-gated.
+    "q182_sql_writes" ->
+      (graft.sources.GraftCatalog.q182SqlWrites _),
     // q180 is the approx profiler twin (the q165 scaladoc's 100 TB
     // shape, exercised): approx_count_distinct everywhere, the
     // multi-distinct Expand gone from the plan; rows-only gate (HLL++
@@ -3855,6 +3866,28 @@ object SparkEntry {
         |       sum(user_id)::BIGINT AS sum_user_id,
         |       sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q181: q159's oracle verbatim — the SQL metadata surface and the
+    // Scala stats gate must agree.
+    "q181_sql_metadata_tables" ->
+      """WITH t AS (SELECT 1 AS version, count(*) AS n_rows
+        |           FROM documents WHERE doc_id % 5 <> 0
+        |           UNION ALL
+        |           SELECT 2, count(*) FROM documents
+        |           UNION ALL
+        |           SELECT 3, count(*) FROM documents)
+        |SELECT version, n_rows FROM t ORDER BY version""".stripMargin,
+    // q182: the three SQL-written versions recomputed from the slice
+    // arithmetic (v1 is the zero-row CREATE seed).
+    "q182_sql_writes" ->
+      """WITH s AS (
+        |  SELECT 2 AS version, doc_id FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 3, doc_id FROM documents WHERE doc_id % 3 <= 1
+        |  UNION ALL
+        |  SELECT 4, doc_id FROM documents)
+        |SELECT version, count(*) AS n_docs,
+        |       sum(doc_id)::BIGINT AS sum_doc_id
+        |FROM s GROUP BY version ORDER BY version""".stripMargin,
     // q179: the delete-sequencing rules replayed — deleted %3==1 stay
     // suppressed unless upserted (%10==7 resurrects with ' upd'),
     // removes (%10==4) win over everything.

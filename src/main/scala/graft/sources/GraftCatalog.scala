@@ -3,13 +3,14 @@ package graft.sources
 import java.util
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCapability, TableCatalog, TableChange, SupportsRead}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCapability, TableCatalog, TableChange, SupportsRead, SupportsWrite}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.sources.{And, BaseRelation, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, TableScan}
+import org.apache.spark.sql.sources.{And, BaseRelation, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, TableScan}
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -92,10 +93,25 @@ class GraftCatalog extends TableCatalog {
   override def tableExists(ident: Identifier): Boolean =
     isTable(rootOf(ident))
 
+  /** Metadata-table suffixes (Iceberg's `db.t.history` shape): when
+    * the identifier's NAMESPACE path resolves to a manifest table and
+    * the name is one of these, serve the table's metadata instead of
+    * its rows. A real data table always wins the name. */
+  private val MetaNames = Set("history", "files")
+
   override def loadTable(ident: Identifier): Table = {
     val root = rootOf(ident)
-    if (!isTable(root)) throw new NoSuchTableException(ident)
-    new GraftSqlTable(ident.toString, root, pinned = None)
+    if (isTable(root))
+      new GraftSqlTable(ident.toString, root, pinned = None)
+    else {
+      val parentRoot = ident.namespace().foldLeft(new Path(warehouse)) {
+        (p, s) => new Path(p, s) }.toString
+      if (MetaNames.contains(ident.name().toLowerCase) &&
+          isTable(parentRoot))
+        new GraftMetaTable(ident.toString, parentRoot,
+          ident.name().toLowerCase)
+      else throw new NoSuchTableException(ident)
+    }
   }
 
   /** `VERSION AS OF v` — the analyzer hands the literal through as a
@@ -129,13 +145,28 @@ class GraftCatalog extends TableCatalog {
     new GraftSqlTable(s"$ident@t$tsMs", root, pinned = Some(at.version))
   }
 
+  /** `CREATE TABLE` seeds an empty manifest table with the declared
+    * schema (version 1 = one zero-row schema-bearing file — the same
+    * bootstrap the streaming sinks use), ready for `INSERT INTO`.
+    * Partition transforms are rejected (layout is the manifest
+    * format's own job: clustered optimize, Z-order, bounds stamping —
+    * all Scala-API operations on the same table). */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      s"CREATE TABLE through catalog $catalogName is not supported — " +
-        "manifest tables are created by ManifestTable.overwrite (the " +
-        "commit protocol lives in the Scala API)")
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      s"CREATE TABLE $ident: partition transforms are not supported — " +
+        "cluster with ManifestTable.optimize / ZOrderLayout instead")
+    val root = rootOf(ident)
+    if (isTable(root)) throw new org.apache.spark.sql.catalyst.analysis
+      .TableAlreadyExistsException(Seq(catalogName) ++
+        ident.namespace().toSeq :+ ident.name())
+    val sp = spark
+    ManifestTable.overwrite(sp, root,
+      sp.createDataFrame(sp.sparkContext.emptyRDD[Row], schema)
+        .repartition(1))
+    new GraftSqlTable(ident.toString, root, pinned = None)
+  }
 
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table =
@@ -222,12 +253,97 @@ object GraftCatalog {
          |SELECT 4, count(*), sum(doc_id) FROM $t WHERE doc_id % 2 = 0
          |ORDER BY version""".stripMargin)
   }
+
+  /** Q181: METADATA TABLES THROUGH SQL (Iceberg's `db.t.history`
+    * shape), hash-gated — the q159 three-commit history (overwrite,
+    * append, optimize) rebuilt under the catalog warehouse, then its
+    * per-version metadata row counts answered by
+    * `SELECT version, n_rows FROM cat.db.t.history` — the SQL face of
+    * DESCRIBE HISTORY, straight off the manifests with zero data IO,
+    * no custom parser. q159's oracle gates it VERBATIM (one oracle,
+    * two surfaces: the Scala `rowCountFromStats` gate and the SQL
+    * metadata table). The `files` metadata table and the
+    * data-table-wins-the-name rule are GraftCatalogSpec's pins. */
+  def q181SqlMetadataTables(spark: SparkSession,
+                            sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.pmod
+    val key = graft.Tables.dirKey(spark, sfDir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val db = s"sqlmeta_$key"
+    val dbPath = new Path(wh, db)
+    val fs = dbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dbPath)) fs.delete(dbPath, true)
+    val root = new Path(dbPath, "docs").toString
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    ManifestTable.overwrite(spark, root,
+      docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+        .repartitionByRange(6, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      boundsCol = Some("doc_id"))
+    ManifestTable.append(spark, root,
+      docs.where(pmod(col("doc_id"), lit(5)) === 0),
+      boundsCol = Some("doc_id"))
+    ManifestTable.optimize(spark, root, "doc_id", targetFiles = 3)
+    register(spark, "graft_tables", wh)
+    spark.sql(
+      s"""SELECT version, n_rows
+         |FROM graft_tables.`$db`.`docs`.`history`
+         |ORDER BY version""".stripMargin)
+  }
+
+  /** Q182: WRITES THROUGH SQL, hash-gated — the table's whole life
+    * runs in SQL: `CREATE TABLE` (zero-row manifest seed with the
+    * declared schema), two `INSERT INTO` (each one atomic append
+    * commit, v2/v3), one `INSERT OVERWRITE` (truncating overwrite,
+    * v4), then the three written versions read back by VERSION AS OF
+    * and hash-gated against the slice arithmetic — a lost insert, a
+    * non-truncating overwrite, or a version skew is hash-fatal. The
+    * write path is the public V1Write fallback onto the SAME commit
+    * protocol the Scala API uses, so constraints, the resurrection
+    * guard, and the schema contract all hold under SQL writes
+    * (spec-pinned, with the pinned-table write rejection). */
+  def q182SqlWrites(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = graft.Tables.dirKey(spark, sfDir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val db = s"sqlwrite_$key"
+    val dbPath = new Path(wh, db)
+    val fs = dbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dbPath)) fs.delete(dbPath, true)
+    fs.mkdirs(dbPath)
+    register(spark, "graft_tables", wh)
+    val view = s"q182_docs_$key"
+    graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"))
+      .createOrReplaceTempView(view)
+    val t = s"graft_tables.`$db`.`docs`"
+    spark.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING)")
+    spark.sql(s"INSERT INTO $t SELECT doc_id, lang FROM $view " +
+      "WHERE doc_id % 3 = 0")
+    spark.sql(s"INSERT INTO $t SELECT doc_id, lang FROM $view " +
+      "WHERE doc_id % 3 = 1")
+    spark.sql(s"INSERT OVERWRITE $t SELECT doc_id, lang FROM $view")
+    spark.sql(
+      s"""SELECT 2 AS version, count(*) AS n_docs,
+         |       sum(doc_id) AS sum_doc_id
+         |FROM $t VERSION AS OF 2
+         |UNION ALL
+         |SELECT 3, count(*), sum(doc_id) FROM $t VERSION AS OF 3
+         |UNION ALL
+         |SELECT 4, count(*), sum(doc_id) FROM $t
+         |ORDER BY version""".stripMargin)
+  }
 }
 
-/** One resolved (possibly version-pinned) manifest table. */
+/** One resolved (possibly version-pinned) manifest table. Writes ride
+  * the public [[V1Write]] fallback onto the manifest commit protocol:
+  * `INSERT INTO` → [[ManifestTable.append]] (one atomic commit,
+  * constraints + resurrection guard + schema contract all enforced),
+  * `INSERT OVERWRITE` → [[ManifestTable.overwrite]]. A version-pinned
+  * table (time travel) rejects writes. */
 private[sources] class GraftSqlTable(ident: String, root: String,
                                      pinned: Option[Int])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -239,11 +355,85 @@ private[sources] class GraftSqlTable(ident: String, root: String,
       ManifestTable.snapshot(spark, root, pinned).read(spark).schema)
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new GraftScanBuilder(root, pinned, schema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinned.isEmpty,
+      s"cannot write to $ident — it is pinned by time travel; " +
+        "write to the bare table identifier")
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.Dataset[Row],
+                                ow: Boolean): Unit = {
+              val sp = data.sparkSession
+              if (overwrite || ow) ManifestTable.overwrite(sp, root, data)
+              else ManifestTable.append(sp, root, data)
+              ()
+            }
+          }
+      }
+    }
+  }
+}
+
+/** A table's METADATA served as SQL relations (Iceberg's metadata-table
+  * shape — `db.t.history`, `db.t.files`): driver-computed O(versions) /
+  * O(files) rows straight off the manifests, zero data IO — the
+  * DESCRIBE HISTORY surface without a custom parser. */
+private[sources] class GraftMetaTable(ident: String, tableRoot: String,
+                                      kind: String)
+    extends Table with SupportsRead {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = ident
+
+  private def relation(): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    kind match {
+      case "history" =>
+        ManifestTable.history(spark, tableRoot)
+          .map(c => (c.version, c.timestampMs, c.dataFiles,
+            c.deleteFiles, c.rows))
+          .toDF("version", "timestamp_ms", "data_files", "delete_files",
+            "n_rows")
+      case "files" =>
+        ManifestTable.fileStats(spark, tableRoot)
+          .map { case (rel, bounds, rows, bytes) =>
+            (rel, rows, bytes, bounds.map(_._1), bounds.map(_._2)) }
+          .toDF("file", "n_rows", "bytes", "lo", "hi")
+    }
+  }
+
+  override lazy val schema: StructType = relation().schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new V1Scan {
+      override def readSchema(): StructType = schema
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = GraftMetaTable.this.schema
+          override def buildScan(): org.apache.spark.rdd.RDD[Row] =
+            relation().rdd
+        }.asInstanceOf[T]
+    }
+  }
 }
 
 /** Receives the planner's pushdown: pruned columns shape the scan's

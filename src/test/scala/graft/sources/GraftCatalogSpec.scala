@@ -65,8 +65,8 @@ class GraftCatalogSpec extends SparkSpec {
   }
 
   test("a vacuumed version fails loudly at analysis; an unknown table " +
-      "raises NoSuchTableException; DROP TABLE drops; CREATE/ALTER/" +
-      "RENAME are rejected") {
+      "raises NoSuchTableException; DROP TABLE drops; ALTER/RENAME " +
+      "are rejected") {
     val root = mkTable("db2", "docs")
     registered()
     ManifestTable.vacuum(spark, root, retain = 1, orphanRetentionMs = 0L)
@@ -83,9 +83,6 @@ class GraftCatalogSpec extends SparkSpec {
     // catalog ops
     assert(spark.sql("SHOW TABLES IN gcat.db2").collect()
       .map(_.getString(1)).contains("docs"))
-    intercept[Exception] {
-      spark.sql("CREATE TABLE gcat.db2.t2 (a INT)").collect()
-    }
     intercept[Exception] {
       spark.sql("ALTER TABLE gcat.db2.docs ADD COLUMN x INT").collect()
     }
@@ -125,6 +122,77 @@ class GraftCatalogSpec extends SparkSpec {
       docs.where(col("doc_id") % 7 === 0).select("doc_id"))
     assert(spark.sql("SELECT count(*) AS n FROM gcat.db3.docs")
       .head().getLong(0) === docs.where(col("doc_id") % 7 =!= 0).count())
+  }
+
+  test("SQL writes ride the commit protocol: INSERT INTO appends " +
+      "atomically, INSERT OVERWRITE truncates, constraints and the " +
+      "pinned-table rejection hold under SQL") {
+    registered()
+    val fs = new Path(wh).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(wh, "db4"), true)
+    fs.mkdirs(new Path(wh, "db4"))
+    docs.select("doc_id", "lang").createOrReplaceTempView("gcat_docs")
+    spark.sql("CREATE TABLE gcat.db4.t (doc_id BIGINT, lang STRING)")
+    // CREATE over an existing table is rejected
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.db4.t (x INT)")
+    }
+    spark.sql("INSERT INTO gcat.db4.t SELECT doc_id, lang FROM " +
+      "gcat_docs WHERE doc_id % 2 = 0")
+    val root = new Path(new Path(wh, "db4"), "t").toString
+    assert(ManifestTable.currentVersion(spark, root) === Some(2))
+    // a CHECK constraint declared on the Scala side gates SQL inserts
+    ManifestTable.addConstraint(spark, root, "pos_id", "doc_id >= 0")
+    val exC = intercept[Exception] {
+      spark.sql("INSERT INTO gcat.db4.t VALUES (-1, 'xx')")
+    }
+    assert(exC.getMessage.contains("pos_id") ||
+      Option(exC.getCause).exists(_.getMessage.contains("pos_id")),
+      s"SQL insert bypassed the constraint: ${exC.getMessage}")
+    spark.sql("INSERT INTO gcat.db4.t SELECT doc_id, lang FROM " +
+      "gcat_docs WHERE doc_id % 2 = 1")
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.db4.t")
+      .head().getLong(0) === docs.count())
+    // truncating overwrite
+    spark.sql("INSERT OVERWRITE gcat.db4.t SELECT doc_id, lang FROM " +
+      "gcat_docs WHERE doc_id % 3 = 0")
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.db4.t")
+      .head().getLong(0) === docs.where(col("doc_id") % 3 === 0).count())
+    // a time-travel-pinned relation rejects writes
+    val exP = intercept[Exception] {
+      spark.sql("INSERT INTO gcat.db4.t VERSION AS OF 2 VALUES (1, 'x')")
+    }
+    assert(exP.getMessage.nonEmpty)
+    // partition transforms are rejected loudly
+    val exT = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.db4.t2 (a INT) PARTITIONED BY (a)")
+    }
+    assert(exT.getMessage.contains("partition transforms") ||
+      Option(exT.getCause).exists(
+        _.getMessage.contains("partition transforms")))
+  }
+
+  test("metadata tables: db.t.history serves per-version metadata, " +
+      "db.t.files the per-file stats; a data table wins the name") {
+    val root = mkTable("db5", "docs")
+    registered()
+    val h = spark.sql(
+      "SELECT version, data_files, delete_files, n_rows " +
+        "FROM gcat.db5.docs.history ORDER BY version").collect()
+    assert(h.map(_.getInt(0)).toSeq === Seq(1, 2))
+    assert(h.last.getLong(3) === docs.count())
+    val f = spark.sql(
+      "SELECT file, n_rows, bytes, lo, hi FROM gcat.db5.docs.files")
+      .collect()
+    assert(f.length === ManifestTable.snapshot(spark, root).files.size)
+    assert(f.map(_.getLong(1)).sum === docs.count())
+    assert(f.forall(r => r.getLong(2) > 0 && !r.isNullAt(3)),
+      "files metadata lost bytes or bounds")
+    // a REAL table named 'history' shadows the metadata suffix
+    mkTable("db5/docs2", "history")
+    assert(spark.sql("SELECT count(*) AS n FROM " +
+      "gcat.db5.docs2.history").head().getLong(0) === docs.count())
   }
 
   test("range translation: conjunctions intersect, In spans, " +

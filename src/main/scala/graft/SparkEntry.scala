@@ -627,6 +627,18 @@ object SparkEntry {
     // back by VERSION AS OF, hash-gated.
     "q182_sql_writes" ->
       (graft.sources.GraftCatalog.q182SqlWrites _),
+    // q183 is row-level DELETE through SQL (SupportsDelete onto the
+    // CoW deleteWhere rewrite): only fully-translatable predicates
+    // accepted, matching files rewritten, everything else carried
+    // verbatim — complement hash-gated.
+    "q183_sql_delete" ->
+      (graft.sources.GraftCatalog.q183SqlDelete _),
+    // q184 is row-level CoW UPDATE (updateWhere — the redaction
+    // shape): matching rows transformed, non-matching rows
+    // bit-identical, constraints validated on updated values; whole
+    // corpus hash-gated via md5(text).
+    "q184_update_where" ->
+      (graft.sources.ManifestTable.q184UpdateWhere _),
     // q180 is the approx profiler twin (the q165 scaladoc's 100 TB
     // shape, exercised): approx_count_distinct everywhere, the
     // multi-distinct Expand gone from the plan; rows-only gate (HLL++
@@ -3888,6 +3900,21 @@ object SparkEntry {
         |SELECT version, count(*) AS n_docs,
         |       sum(doc_id)::BIGINT AS sum_doc_id
         |FROM s GROUP BY version ORDER BY version""".stripMargin,
+    // q183: the delete predicate's complement, straight from parquet.
+    "q183_sql_delete" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       sum(doc_id)::BIGINT AS sum_doc_id
+        |FROM documents
+        |WHERE NOT (doc_id % 7 = 0 OR lang = 'de')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // q184: the update's CASE arithmetic replayed over raw parquet.
+    "q184_update_where" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 9 = 0 THEN 'xx' ELSE lang END AS lang,
+        |       md5(CASE WHEN doc_id % 9 = 0
+        |                THEN text || ' [redacted]' ELSE text END)
+        |         AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q179: the delete-sequencing rules replayed — deleted %3==1 stay
     // suppressed unless upserted (%10==7 resurrects with ' upd'),
     // removes (%10==4) win over everything.

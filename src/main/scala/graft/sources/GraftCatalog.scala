@@ -254,6 +254,38 @@ object GraftCatalog {
          |ORDER BY version""".stripMargin)
   }
 
+  /** Q183: ROW-LEVEL DELETE THROUGH SQL (`DELETE FROM t WHERE p` via
+    * `SupportsDelete` onto [[ManifestTable.deleteWhere]]'s
+    * copy-on-write rewrite), hash-gated — the predicate mixes the
+    * clustered key and a scattered column (`doc_id % 7 = 0 OR lang =
+    * 'de'`), so both carried-verbatim and rewritten files exist; the
+    * oracle recomputes the complement directly from parquet, so a
+    * surviving matching row, a lost non-matching row, or a mangled
+    * carried file is hash-fatal. Untranslatable predicates are
+    * REJECTED at analysis (`canDeleteWhere` false — never wrong rows),
+    * spec-pinned with the no-match no-op. */
+  def q183SqlDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = graft.Tables.dirKey(spark, sfDir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val db = s"sqldel_$key"
+    val dbPath = new Path(wh, db)
+    val fs = dbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dbPath)) fs.delete(dbPath, true)
+    val root = new Path(dbPath, "docs").toString
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"))
+    ManifestTable.overwrite(spark, root,
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      boundsCol = Some("doc_id"))
+    register(spark, "graft_tables", wh)
+    val t = s"graft_tables.`$db`.`docs`"
+    spark.sql(s"DELETE FROM $t WHERE doc_id % 7 = 0 OR lang = 'de'")
+    spark.sql(s"""SELECT lang, count(*) AS n_docs,
+                 |       sum(doc_id) AS sum_doc_id
+                 |FROM $t GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
   /** Q181: METADATA TABLES THROUGH SQL (Iceberg's `db.t.history`
     * shape), hash-gated — the q159 three-commit history (overwrite,
     * append, optimize) rebuilt under the catalog warehouse, then its
@@ -343,9 +375,46 @@ object GraftCatalog {
   * table (time travel) rejects writes. */
 private[sources] class GraftSqlTable(ident: String, root: String,
                                      pinned: Option[Int])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
 
   private def spark: SparkSession = SparkSession.active
+
+  /** `DELETE FROM t WHERE p` → [[ManifestTable.deleteWhere]] (the
+    * copy-on-write row-level delete behind one commit). The analyzer
+    * hands the condition as DSv2 `Predicate`s; the public
+    * [[V2ExpressionSQLBuilder]] renders them back to SQL (arithmetic
+    * included — the V1 `Filter` bridge can't express `doc_id % 5 =
+    * 0`), and anything the builder can't render makes
+    * [[canDeleteWhere]] return false: Spark fails the statement at
+    * analysis instead of this table deleting the wrong rows. */
+  private def predicateColumn(
+      ps: Array[org.apache.spark.sql.connector.expressions.filter
+        .Predicate]): Option[org.apache.spark.sql.Column] =
+    scala.util.Try {
+      val b = new org.apache.spark.sql.connector.util
+        .V2ExpressionSQLBuilder()
+      ps.toSeq.map(p => org.apache.spark.sql.functions.expr(b.build(p)))
+        .reduceOption(_ && _)
+    }.toOption.flatten
+
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Boolean =
+    pinned.isEmpty &&
+      (predicates.isEmpty || predicateColumn(predicates).isDefined)
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Unit = {
+    require(pinned.isEmpty,
+      s"cannot delete from $ident — it is pinned by time travel")
+    // an empty predicate set is `DELETE FROM t` (truncate): the
+    // manifest contract routes truncation through overwrite, loudly
+    val pred = predicateColumn(predicates).getOrElse(lit(true))
+    ManifestTable.deleteWhere(spark, root, pred)
+    ()
+  }
 
   override def name(): String = ident
 

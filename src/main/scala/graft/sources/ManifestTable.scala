@@ -1669,6 +1669,114 @@ object ManifestTable {
     (baseVersion + 1, carryE.size, staged.size)
   }
 
+  /** ROW-LEVEL COPY-ON-WRITE DELETE (`DELETE FROM t WHERE p` — the
+    * predicate flavor, vs [[deleteWhereKeyIn]]'s O(delta) key flavor
+    * and [[mergeCoW]]'s keyed remove): rewrite ONLY the files holding
+    * at least one matching row, dropping the matches (SQL semantics: a
+    * row is deleted when the predicate is TRUE; NULL keeps); every
+    * other file carries verbatim. Affected files are found from one
+    * read-through-snapshot scan tagged `input_file_name` (outstanding
+    * equality deletes applied first, so suppressed rows never force a
+    * rewrite); at 100 TB pair the predicate with a clustered layout so
+    * parquet row-group stats prune the probe scan. Returns
+    * (newVersion, filesCarried, filesRewritten); a no-match delete
+    * commits NOTHING and returns the current version. */
+  def deleteWhere(spark: SparkSession, root: String,
+                  predicate: org.apache.spark.sql.Column)
+      : (Int, Int, Int) =
+    rewriteWhere(spark, root, predicate,
+      affected => affected.where(!coalesce(predicate, lit(false))),
+      validateCheck = false)
+
+  /** ROW-LEVEL COPY-ON-WRITE UPDATE (`UPDATE t SET c = e WHERE p` —
+    * the redaction/correction shape a takedown pipeline needs):
+    * rewrite only the files holding matching rows, applying each
+    * assignment to the matching rows (others pass through bit-
+    * identical); CHECK constraints are validated on the rewritten
+    * output BEFORE staging (affected-files-sized, documented — the
+    * updated values must not sneak a violation in). Assignment columns
+    * must exist; the schema never changes here (add columns via
+    * [[append]] evolution). */
+  def updateWhere(spark: SparkSession, root: String,
+                  predicate: org.apache.spark.sql.Column,
+                  assignments: Seq[(String, org.apache.spark.sql.Column)])
+      : (Int, Int, Int) = {
+    require(assignments.nonEmpty, "updateWhere needs at least one " +
+      "SET assignment")
+    rewriteWhere(spark, root, predicate,
+      affected => {
+        assignments.foreach { case (c, _) =>
+          require(affected.schema.fieldNames.contains(c),
+            s"updateWhere: no column $c in $root — the schema never " +
+              "changes here (add columns via append evolution)") }
+        val matched = coalesce(predicate, lit(false))
+        assignments.foldLeft(affected) { case (df, (c, e)) =>
+          df.withColumn(c,
+            when(matched, e.cast(df.schema(c).dataType))
+              .otherwise(col(c)))
+        }
+      },
+      validateCheck = true)
+  }
+
+  /** Shared CoW row-rewrite: probe for affected files, transform their
+    * (delete-applied) rows, carry everything else verbatim — headers,
+    * schema, outstanding delete files, writer markers all unchanged;
+    * fresh files re-stamp the table's declared bounds/stats/blooms. */
+  private def rewriteWhere(spark: SparkSession, root: String,
+                           predicate: org.apache.spark.sql.Column,
+                           transform: DataFrame => DataFrame,
+                           validateCheck: Boolean): (Int, Int, Int) = {
+    val fs = fsOf(spark, new Path(root))
+    val baseVersion = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed version under $root"))
+    val m = loadManifest(fs, root, baseVersion)
+    require(m.dataEntries.nonEmpty,
+      s"version $baseVersion of $root lists no data files")
+    val qToRel = m.dataEntries.map(e =>
+      fs.makeQualified(new Path(root, e.rel)).toString -> e.rel).toMap
+    val snap = applyDeletes(spark, root,
+      readFiles(spark, m.dataEntries.map(e =>
+        new Path(root, e.rel).toString), m.schema), m)
+    val affectedRels = snap.where(predicate)
+      .select(input_file_name().as("_f")).distinct()
+      .collect().flatMap(r => // O(files) rows — bounded collect
+        qToRel.get(fs.makeQualified(new Path(r.getString(0))).toString))
+      .toSet
+    if (affectedRels.isEmpty)
+      return (baseVersion, m.dataEntries.size, 0)
+    val (rewriteE, carryE) =
+      m.dataEntries.partition(e => affectedRels.contains(e.rel))
+    val affectedRows = applyDeletes(spark, root,
+      readFiles(spark, rewriteE.map(e =>
+        new Path(root, e.rel).toString), m.schema), m)
+    val rewritten = transform(affectedRows)
+    if (validateCheck) validateConstraints(rewritten, m.headers.collect {
+      case (hk, hv) if hk.startsWith(ConstraintPrefix) =>
+        hk.stripPrefix(ConstraintPrefix) -> hv
+    }.toMap, s"rewrite of $root")
+    def stampable(k: String) = rewritten.schema.fieldNames.contains(k) &&
+      scala.util.Try(statExpr(rewritten.schema, k)).isSuccess
+    val stampCol = m.boundsCol.filter(k =>
+      rewritten.schema.fieldNames.contains(k) &&
+        isIntegral(rewritten.schema(k).dataType))
+    val staged = stage(spark, root,
+      dir => rewritten.write.parquet(dir), allowEmpty = true,
+      boundsCol = stampCol, statsCols = m.statsCols.filter(stampable),
+      bloomCols = m.bloomCols.filter(stampable))
+    require(carryE.nonEmpty || staged.nonEmpty,
+      s"the rewrite would leave $root with no data files; " +
+        "use overwrite to truncate a table")
+    val outLines = carryE.map(_.line) ++ staged ++
+      m.deleteEntries.map(_.line)
+    if (!tryCommit(fs, root, baseVersion + 1, outLines, m.headers))
+      throw new java.util.ConcurrentModificationException(
+        s"rewrite of $root lost the commit race for version " +
+          s"${baseVersion + 1}; rerun against the new base")
+    (baseVersion + 1, carryE.size, staged.size)
+  }
+
   /** Q152: the manifest lifecycle end-to-end, hash-gated — build the
     * documents table as a manifest table (v1 = 80% of docs), APPEND the
     * rest (v2), OPTIMIZE clustered on doc_id (v3), then read ALL THREE
@@ -1997,6 +2105,36 @@ object ManifestTable {
         .withColumn("text", concat(col("text"), lit(" upd"))))
     read(spark, root)
       .select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Q184: ROW-LEVEL COPY-ON-WRITE UPDATE ([[updateWhere]] — the
+    * redaction/correction shape: a takedown rewrites ONLY the files
+    * holding matching rows), hash-gated — every doc_id ≡ 0 (mod 9)
+    * gets its lang reset to the redaction sentinel and its text
+    * suffixed; non-matching rows must pass through BIT-IDENTICAL
+    * (md5(text) hashes the whole corpus, so a mangled carried or
+    * pass-through row anywhere is hash-fatal). The oracle replays the
+    * CASE arithmetic over raw parquet. The no-match no-op, the
+    * constraint gate on updated values, and carried-vs-rewritten file
+    * counts are the spec's pins. */
+  def q184UpdateWhere(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = new Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      "manifest_update_" + graft.Tables.dirKey(spark, sfDir)).toString
+    val fs = fsOf(spark, new Path(root))
+    if (fs.exists(new Path(root))) fs.delete(new Path(root), true)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    overwrite(spark, root,
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      boundsCol = Some("doc_id"))
+    updateWhere(spark, root, pmod(col("doc_id"), lit(9)) === 0, Seq(
+      "lang" -> lit("xx"),
+      "text" -> concat(col("text"), lit(" [redacted]"))))
+    read(spark, root)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("text_md5"))
       .orderBy("doc_id")
   }
 

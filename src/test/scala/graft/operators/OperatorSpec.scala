@@ -21,9 +21,10 @@ class OperatorSpec extends SparkSpec {
 
   test("every query has an oracle twin (non-SQL-expressible ops excepted)") {
     // driver hash-compare sorts columns by name: names must align exactly.
-    // q34 is approximate (HLL++) — it gets the weaker rows-only driver
-    // check and a dedicated error-bound spec here instead.
-    val rowsOnly = Set("q34_approx_distinct")
+    // q34 and q180 are approximate (HLL++) — they get the weaker
+    // rows-only driver check and dedicated error-bound specs instead
+    // (ScaleSpec for q34, TableProfileSpec for q180).
+    val rowsOnly = Set("q34_approx_distinct", "q180_table_profile_approx")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
       === rowsOnly)

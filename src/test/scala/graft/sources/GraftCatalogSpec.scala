@@ -173,6 +173,26 @@ class GraftCatalogSpec extends SparkSpec {
         _.getMessage.contains("partition transforms")))
   }
 
+  test("SQL DELETE FROM: translatable predicates delete exactly the " +
+      "matching rows; untranslatable ones are rejected at analysis") {
+    val root = mkTable("db6", "docs")
+    registered()
+    spark.sql("DELETE FROM gcat.db6.docs WHERE doc_id % 5 = 0")
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.db6.docs")
+      .head().getLong(0) === docs.where(col("doc_id") % 5 =!= 0).count())
+    assert(ManifestTable.currentVersion(spark, root) === Some(3))
+    // an untranslatable predicate (subquery) must NOT silently delete
+    val before = spark.sql("SELECT count(*) AS n FROM gcat.db6.docs")
+      .head().getLong(0)
+    intercept[Exception] {
+      spark.sql("DELETE FROM gcat.db6.docs WHERE doc_id IN " +
+        "(SELECT doc_id FROM gcat.db6.docs LIMIT 1)")
+    }
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.db6.docs")
+      .head().getLong(0) === before,
+      "a rejected DELETE changed the table")
+  }
+
   test("metadata tables: db.t.history serves per-version metadata, " +
       "db.t.files the per-file stats; a data table wins the name") {
     val root = mkTable("db5", "docs")

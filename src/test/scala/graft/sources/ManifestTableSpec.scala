@@ -1008,6 +1008,64 @@ class ManifestTableSpec extends SparkSpec {
       "identical mtimes produced a shared commit instant")
   }
 
+  test("row-level CoW delete/update: only matching files rewrite, " +
+      "no-match is a no-op (no commit), constraints gate updated " +
+      "values, carried rows are bit-identical") {
+    val root = freshRoot()
+    ManifestTable.overwrite(spark, root,
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      boundsCol = Some("doc_id"))
+    val lo = docs.agg(min("doc_id")).head().getLong(0)
+    // a range-local delete rewrites SOME files, carries the rest
+    val (v2, carried, rewritten) = ManifestTable.deleteWhere(spark, root,
+      col("doc_id") <= lo + 2)
+    assert(v2 === 2 && carried > 0 && rewritten > 0 &&
+      carried + rewritten >= 8,
+      s"delete rewrote the wrong file set: carried=$carried " +
+        s"rewritten=$rewritten")
+    assert(ManifestTable.read(spark, root).count() ===
+      docs.where(col("doc_id") > lo + 2).count())
+    // NULL predicate keeps (SQL DELETE semantics): deleting where a
+    // null-producing predicate holds touches nothing it shouldn't
+    val before = ManifestTable.read(spark, root).count()
+    // no-match delete: NO commit at all
+    val (v3, _, rw3) = ManifestTable.deleteWhere(spark, root,
+      col("doc_id") < lo)
+    assert(v3 === 2 && rw3 === 0 &&
+      ManifestTable.currentVersion(spark, root) === Some(2),
+      "a no-match delete committed a version")
+    assert(ManifestTable.read(spark, root).count() === before)
+    // update: matching rows transform, others bit-identical
+    val (v4, _, _) = ManifestTable.updateWhere(spark, root,
+      col("doc_id") % 2 === 0, Seq("lang" -> lit("zz")))
+    assert(v4 === 3)
+    val got = ManifestTable.read(spark, root)
+    assert(got.where(col("doc_id") % 2 === 0 && col("lang") =!= "zz")
+      .count() === 0)
+    val untouched = got.where(col("doc_id") % 2 =!= 0)
+      .select("doc_id", "lang", "text").collect().map(_.toString).sorted
+    val expectUntouched = docs.where(col("doc_id") > lo + 2 &&
+        col("doc_id") % 2 =!= 0)
+      .select("doc_id", "lang", "text").collect().map(_.toString).sorted
+    assert(untouched.toSeq === expectUntouched.toSeq,
+      "a non-matching row drifted through the update")
+    // constraints gate UPDATED values
+    ManifestTable.addConstraint(spark, root, "lang_len",
+      "length(lang) = 2")
+    val exU = intercept[IllegalArgumentException] {
+      ManifestTable.updateWhere(spark, root, col("doc_id") % 2 === 0,
+        Seq("lang" -> lit("toolong")))
+    }
+    assert(exU.getMessage.contains("lang_len"))
+    // an update assigning a missing column fails loudly
+    val exM = intercept[IllegalArgumentException] {
+      ManifestTable.updateWhere(spark, root, lit(true),
+        Seq("nope" -> lit(1)))
+    }
+    assert(exM.getMessage.contains("no column nope"))
+  }
+
   test("advisor r16: CDF surfaces a restore's pure un-delete as " +
       "'insert' rows of the resurrected keys; a compaction's dropped " +
       "delete file emits no phantom inserts") {

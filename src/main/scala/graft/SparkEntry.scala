@@ -639,6 +639,12 @@ object SparkEntry {
     // corpus hash-gated via md5(text).
     "q184_update_where" ->
       (graft.sources.ManifestTable.q184UpdateWhere _),
+    // q185 is maintenance procedures through SQL (Spark 4's CALL on a
+    // ProcedureCatalog — Iceberg's stored-procedure shape): optimize,
+    // restore, vacuum with asserted one-row diagnostics; final table
+    // = the restored v1 slice, hash-gated.
+    "q185_sql_procedures" ->
+      (graft.sources.GraftCatalog.q185SqlProcedures _),
     // q180 is the approx profiler twin (the q165 scaladoc's 100 TB
     // shape, exercised): approx_count_distinct everywhere, the
     // multi-distinct Expand gone from the plan; rows-only gate (HLL++
@@ -3915,6 +3921,12 @@ object SparkEntry {
         |                THEN text || ' [redacted]' ELSE text END)
         |         AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q185: the restored v1 slice recomputed from its rule.
+    "q185_sql_procedures" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       sum(doc_id)::BIGINT AS sum_doc_id
+        |FROM documents WHERE doc_id % 3 = 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // q179: the delete-sequencing rules replayed — deleted %3==1 stay
     // suppressed unless upserted (%10==7 resurrects with ' upd'),
     // removes (%10==4) win over everything.

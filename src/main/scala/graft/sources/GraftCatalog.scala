@@ -53,7 +53,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the commit protocol); `CREATE`/`ALTER`/`RENAME` through SQL are
   * rejected loudly. `DROP TABLE` works (it is a catalog operation, not
   * a commit). */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -189,6 +190,120 @@ class GraftCatalog extends TableCatalog {
                            newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       s"RENAME TABLE through catalog $catalogName is not supported")
+
+  // -------------------------------------------------------------------
+  // Maintenance procedures (`CALL cat.system.<proc>(...)` — the
+  // Iceberg stored-procedure shape on Spark 4's ProcedureCatalog)
+  // -------------------------------------------------------------------
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      GraftProcedures.names.map(n =>
+        Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure = {
+    require(ident.namespace().toSeq == Seq("system") &&
+      GraftProcedures.names.contains(ident.name()),
+      s"no procedure $ident — have system.{" +
+        GraftProcedures.names.mkString(", ") + "}")
+    GraftProcedures.load(ident.name(), warehouse)
+  }
+}
+
+/** The maintenance surface through SQL `CALL` — the operations a table
+  * owner schedules (Iceberg's `CALL cat.system.rewrite_data_files`
+  * shape): OPTIMIZE (clustered compaction behind one commit), VACUUM
+  * (retention-guarded history retirement), RESTORE (zero-IO rollback
+  * commit). Each returns its diagnostics as a one-row result. The
+  * `table` argument is the dot-separated identifier under the
+  * catalog's warehouse. */
+private[sources] object GraftProcedures {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.LocalScan
+  import org.apache.spark.sql.types.{DataTypes, StructField}
+
+  val names: Seq[String] = Seq("optimize", "vacuum", "restore")
+
+  private def rootOf(warehouse: String, table: String): String =
+    table.split('.').foldLeft(new Path(warehouse)) { (p, s) =>
+      new Path(p, s.stripPrefix("`").stripSuffix("`")) }.toString
+
+  private def result(schema: StructType,
+                     row: InternalRow): java.util.Iterator[Scan] =
+    java.util.Collections.singletonList[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = schema
+    }).iterator()
+
+  private def proc(procName: String, descr: String,
+                   params: Seq[ProcedureParameter],
+                   out: StructType,
+                   run: InternalRow => InternalRow): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = descr
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = descr
+          override def parameters(): Array[ProcedureParameter] =
+            params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+              : java.util.Iterator[Scan] = result(out, run(input))
+        }
+    }
+
+  private def in(n: String,
+                 dt: org.apache.spark.sql.types.DataType) =
+    ProcedureParameter.in(n, dt).build()
+
+  def load(procName: String, warehouse: String): UnboundProcedure = {
+    def spark = SparkSession.active
+    procName match {
+      case "optimize" => proc("optimize",
+        "clustered compaction behind one atomic commit " +
+          "(ManifestTable.optimize)",
+        Seq(in("table", DataTypes.StringType),
+          in("cluster_col", DataTypes.StringType),
+          in("target_files", DataTypes.IntegerType)),
+        StructType(Seq(StructField("version", DataTypes.IntegerType),
+          StructField("files_before", DataTypes.IntegerType),
+          StructField("files_after", DataTypes.IntegerType))),
+        input => {
+          val (v, b, a) = ManifestTable.optimize(spark,
+            rootOf(warehouse, input.getUTF8String(0).toString),
+            input.getUTF8String(1).toString, input.getInt(2))
+          InternalRow(v, b, a)
+        })
+      case "vacuum" => proc("vacuum",
+        "retire history below the retained window; collect orphans " +
+          "(ManifestTable.vacuum)",
+        Seq(in("table", DataTypes.StringType),
+          in("retain", DataTypes.IntegerType),
+          in("orphan_retention_ms", DataTypes.LongType)),
+        StructType(Seq(
+          StructField("deleted_files", DataTypes.IntegerType))),
+        input => InternalRow(ManifestTable.vacuum(spark,
+          rootOf(warehouse, input.getUTF8String(0).toString),
+          input.getInt(1), input.getLong(2))))
+      case "restore" => proc("restore",
+        "re-commit an old version verbatim as the newest (zero data " +
+          "IO; ManifestTable.restore)",
+        Seq(in("table", DataTypes.StringType),
+          in("version", DataTypes.IntegerType)),
+        StructType(Seq(
+          StructField("new_version", DataTypes.IntegerType))),
+        input => InternalRow(ManifestTable.restore(spark,
+          rootOf(warehouse, input.getUTF8String(0).toString),
+          input.getInt(1))))
+    }
+  }
 }
 
 object GraftCatalog {
@@ -284,6 +399,59 @@ object GraftCatalog {
     spark.sql(s"""SELECT lang, count(*) AS n_docs,
                  |       sum(doc_id) AS sum_doc_id
                  |FROM $t GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  /** Q185: MAINTENANCE PROCEDURES THROUGH SQL (`CALL
+    * cat.system.optimize/restore/vacuum` — the Iceberg stored-
+    * procedure shape on Spark 4's ProcedureCatalog), hash-gated — a
+    * two-commit table is compacted, rolled back to v1, and vacuumed
+    * to the newest version, ALL through `spark.sql("CALL ...")`, with
+    * each procedure's one-row diagnostics asserted (files_after from
+    * optimize, the restore's new version, vacuum's nonzero delete
+    * count) and the post-vacuum time-travel rejection proven; the
+    * final table must BE the v1 slice — the oracle recomputes it from
+    * the slice rule, so a restore that resolved wrong, a vacuum that
+    * collected a live file, or a compaction that changed rows is
+    * hash-fatal. */
+  def q185SqlProcedures(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.pmod
+    val key = graft.Tables.dirKey(spark, sfDir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val db = s"sqlproc_$key"
+    val dbPath = new Path(wh, db)
+    val fs = dbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dbPath)) fs.delete(dbPath, true)
+    val root = new Path(dbPath, "docs").toString
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"))
+    ManifestTable.overwrite(spark, root,
+      docs.where(pmod(col("doc_id"), lit(3)) === 0)
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      boundsCol = Some("doc_id"))
+    ManifestTable.append(spark, root,
+      docs.where(pmod(col("doc_id"), lit(3)) =!= 0))
+    register(spark, "graft_tables", wh)
+    val t = s"'$db.docs'"
+    val opt = spark.sql(s"CALL graft_tables.system.optimize(" +
+      s"table => $t, cluster_col => 'doc_id', target_files => 4)")
+      .head()
+    require(opt.getInt(0) == 3 && opt.getInt(2) == 4,
+      s"optimize diagnostics wrong: $opt")
+    val rst = spark.sql(s"CALL graft_tables.system.restore(" +
+      s"table => $t, version => 1)").head()
+    require(rst.getInt(0) == 4, s"restore diagnostics wrong: $rst")
+    val vac = spark.sql(s"CALL graft_tables.system.vacuum(" +
+      s"table => $t, retain => 1, orphan_retention_ms => 0)").head()
+    require(vac.getInt(0) > 0, "vacuum collected nothing")
+    require(scala.util.Try(spark.sql(
+      s"SELECT count(*) FROM graft_tables.`$db`.`docs` VERSION AS OF 2")
+      .collect()).isFailure,
+      "a vacuumed version stayed readable")
+    spark.sql(
+      s"""SELECT lang, count(*) AS n_docs, sum(doc_id) AS sum_doc_id
+         |FROM graft_tables.`$db`.`docs`
+         |GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
   /** Q181: METADATA TABLES THROUGH SQL (Iceberg's `db.t.history`

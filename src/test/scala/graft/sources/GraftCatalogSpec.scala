@@ -215,6 +215,23 @@ class GraftCatalogSpec extends SparkSpec {
       "gcat.db5.docs2.history").head().getLong(0) === docs.count())
   }
 
+  test("procedures: CALL system.optimize compacts behind one commit " +
+      "with diagnostics; unknown procedures fail loudly") {
+    val root = mkTable("db7", "docs")
+    registered()
+    val before = ManifestTable.snapshot(spark, root).files.size
+    val r = spark.sql("CALL gcat.system.optimize(" +
+      "table => 'db7.docs', cluster_col => 'doc_id', " +
+      "target_files => 2)").head()
+    assert(r.getInt(0) === 3 && r.getInt(1) === before &&
+      r.getInt(2) === 2)
+    assert(ManifestTable.read(spark, root).count() === docs.count(),
+      "CALL optimize changed rows")
+    intercept[Exception] {
+      spark.sql("CALL gcat.system.nope(table => 'db7.docs')").collect()
+    }
+  }
+
   test("range translation: conjunctions intersect, In spans, " +
       "non-integral columns never constrain") {
     import org.apache.spark.sql.sources._

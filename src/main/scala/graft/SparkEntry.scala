@@ -645,6 +645,11 @@ object SparkEntry {
     // = the restored v1 slice, hash-gated.
     "q185_sql_procedures" ->
       (graft.sources.GraftCatalog.q185SqlProcedures _),
+    // q186 is named tags (Iceberg's refs): VERSION AS OF 'tag' through
+    // SQL, tags as a vacuum retention floor — the tagged v1 survives a
+    // retain=1 vacuum and both branches read hash-gated.
+    "q186_sql_tags" ->
+      (graft.sources.GraftCatalog.q186SqlTags _),
     // q180 is the approx profiler twin (the q165 scaladoc's 100 TB
     // shape, exercised): approx_count_distinct everywhere, the
     // multi-distinct Expand gone from the plan; rows-only gate (HLL++
@@ -3927,6 +3932,16 @@ object SparkEntry {
         |       sum(doc_id)::BIGINT AS sum_doc_id
         |FROM documents WHERE doc_id % 3 = 0
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // q186: the two branches recomputed from the slice rules.
+    "q186_sql_tags" ->
+      """WITH s AS (
+        |  SELECT 'baseline' AS branch, doc_id FROM documents
+        |  WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'current', doc_id FROM documents)
+        |SELECT branch, count(*) AS n_docs,
+        |       sum(doc_id)::BIGINT AS sum_doc_id
+        |FROM s GROUP BY branch ORDER BY branch""".stripMargin,
     // q179: the delete-sequencing rules replayed — deleted %3==1 stay
     // suppressed unless upserted (%10==7 resurrects with ' upd'),
     // removes (%10==4) win over everything.

@@ -73,16 +73,25 @@ object TableProfile {
     profileWith(spark, df, c => countDistinct(col(c)))
 
   /** The 100 TB shape of [[profile]]: `approx_count_distinct` (HLL++,
-    * the q34 surface, at rsd = 0.01 — a few KB per sketch buys the
-    * <5% gate with margin; the default 5% rsd measured 6.4% on
-    * l_orderkey) instead of exact distincts, so the plan is ONE
+    * the q34 surface) instead of exact distincts, so the plan is ONE
     * straight aggregation pass of constant-size sketches — the ×|cols|
     * Expand the exact multi-count-distinct needs is GONE (spec-pinned,
     * with the <5% per-column error gate against the exact run).
     * Everything else — null counts, typed integer-exact bounds, the
-    * one driver row — is identical. */
+    * one driver row — is identical.
+    *
+    * rsd = 0.02, MEASURED (tools.Q180Probe at sf0.1): the precision
+    * knob is the whole cost — the bare 11-column approx aggregation
+    * runs 0.75 s at rsd 0.05, 2.1 s at 0.02, 7.2 s at 0.01 (2^14
+    * registers per column per partial buffer — 3× the EXACT Expand
+    * plan at this SF, the sketch merge dominating), while the default
+    * 0.05 measured 6.4% error on l_orderkey and misses the 5% gate.
+    * 0.02 holds the gate with margin at ~4 KB/sketch and stays
+    * constant-size as the table grows — which is the 100 TB argument:
+    * the exact Expand's shuffle grows ×|cols| with the DATA, the
+    * sketch pass doesn't. */
   def profileApprox(spark: SparkSession, df: DataFrame): DataFrame =
-    profileWith(spark, df, c => approx_count_distinct(col(c), 0.01))
+    profileWith(spark, df, c => approx_count_distinct(col(c), 0.02))
 
   private def profileWith(spark: SparkSession, df: DataFrame,
                           distinctAgg: String => Column): DataFrame = {

@@ -48,11 +48,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the Row round-trip at the scan boundary, the price every
   * `PrunedFilteredScan`-era connector pays.
   *
-  * Writes go through the Scala API by design ([[ManifestTable.append]]
-  * / [[ManifestTable.mergeCoW]] / [[ManifestTable.overwrite]] carry
-  * the commit protocol); `CREATE`/`ALTER`/`RENAME` through SQL are
-  * rejected loudly. `DROP TABLE` works (it is a catalog operation, not
-  * a commit). */
+  * Write path: `CREATE TABLE` seeds an empty manifest table, `INSERT
+  * INTO` / `INSERT OVERWRITE` ride the public [[V1Write]] fallback
+  * onto [[ManifestTable.append]]/[[ManifestTable.overwrite]] (the same
+  * commit protocol, constraints and all), `DELETE FROM` runs the
+  * copy-on-write [[ManifestTable.deleteWhere]] via `SupportsDeleteV2`,
+  * and `CALL cat.system.optimize/restore/vacuum` runs maintenance
+  * ([[GraftProcedures]]). NOT exposed through SQL: `UPDATE` and
+  * `MERGE` — Spark's row-level-operations API needs the scan to emit a
+  * `_file` metadata column for runtime group filtering, which the
+  * V1Scan bridge cannot produce; without it every UPDATE would be a
+  * silent whole-table rewrite. [[ManifestTable.updateWhere]] /
+  * [[ManifestTable.mergeCoW]] are the supported (file-pruned) paths,
+  * stated loudly by `ALTER`-style rejections rather than served
+  * slowly. `DROP TABLE` works (a catalog operation, not a commit);
+  * `ALTER`/`RENAME` reject loudly. */
 class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
@@ -116,15 +126,21 @@ class GraftCatalog extends TableCatalog
   }
 
   /** `VERSION AS OF v` — the analyzer hands the literal through as a
-    * string; resolution (including the vacuumed-version rejection) is
-    * [[ManifestTable.snapshot]]'s. */
+    * string: an integer pins that version; anything else resolves as a
+    * NAMED TAG (`VERSION AS OF 'prod'` — Iceberg's ref shape,
+    * [[ManifestTable.tags]]). Resolution happens NOW (vacuumed or
+    * unknown versions/tags fail at analysis with the manifest layer's
+    * message, not at execution). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = rootOf(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
-    val v = version.toIntOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"VERSION AS OF on $ident needs an integer version, got " +
-          s"'$version'"))
+    val v = version.toIntOption.getOrElse {
+      val t = ManifestTable.tags(spark, root)
+      t.getOrElse(version, throw new IllegalArgumentException(
+        s"VERSION AS OF on $ident: '$version' is neither an integer " +
+          "version nor a tag " +
+          s"(tags: ${t.keys.toSeq.sorted.mkString(", ")})"))
+    }
     // resolve NOW: a vacuumed or never-committed version must fail at
     // analysis with the manifest layer's message, not at execution
     ManifestTable.snapshot(spark, root, Some(v))
@@ -452,6 +468,47 @@ object GraftCatalog {
       s"""SELECT lang, count(*) AS n_docs, sum(doc_id) AS sum_doc_id
          |FROM graft_tables.`$db`.`docs`
          |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  /** Q186: NAMED TAGS (Iceberg's refs) + `VERSION AS OF 'tag'`,
+    * hash-gated — v1 is tagged `baseline` (a header-only commit), the
+    * table then grows and is VACUUMED to retain=1: the tag is a
+    * retention FLOOR, so the baseline version survives the vacuum
+    * (while being far below the retained window) and the gated query
+    * reads BOTH branches through SQL — `VERSION AS OF 'baseline'`
+    * resolving the tag, the bare identifier the newest — after the
+    * vacuum. A dangling tag, a vacuum that collected the tagged files,
+    * or a wrong tag resolution is hash-fatal. Tag lifecycle mechanics
+    * (carry across optimize, removeTag frees retention, unknown tag
+    * loud at analysis) are spec-pinned. */
+  def q186SqlTags(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.pmod
+    val key = graft.Tables.dirKey(spark, sfDir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val db = s"sqltag_$key"
+    val dbPath = new Path(wh, db)
+    val fs = dbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dbPath)) fs.delete(dbPath, true)
+    val root = new Path(dbPath, "docs").toString
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"))
+    ManifestTable.overwrite(spark, root,
+      docs.where(pmod(col("doc_id"), lit(3)) === 0))
+    ManifestTable.addTag(spark, root, "baseline", 1)
+    ManifestTable.append(spark, root,
+      docs.where(pmod(col("doc_id"), lit(3)) =!= 0))
+    // the tag is a retention floor: v1 survives a retain=1 vacuum
+    ManifestTable.vacuum(spark, root, retain = 1,
+      orphanRetentionMs = 0L)
+    register(spark, "graft_tables", wh)
+    val t = s"graft_tables.`$db`.`docs`"
+    spark.sql(
+      s"""SELECT 'baseline' AS branch, count(*) AS n_docs,
+         |       sum(doc_id) AS sum_doc_id
+         |FROM $t VERSION AS OF 'baseline'
+         |UNION ALL
+         |SELECT 'current', count(*), sum(doc_id) FROM $t
+         |ORDER BY branch""".stripMargin)
   }
 
   /** Q181: METADATA TABLES THROUGH SQL (Iceberg's `db.t.history`

@@ -294,12 +294,24 @@ object ManifestTable {
     * declared over data that already violates it. Constraints ride
     * every evolutionary commit and reset only on [[overwrite]]. */
   private val ConstraintPrefix = "constraint-"
+  /** NAMED TAGS (Iceberg's refs shape): a `#tag-<name>=<version>`
+    * header pins a human-named version — `VERSION AS OF 'prod'`
+    * through the SQL catalog, [[readAtTag]] in Scala. Tags ride every
+    * evolutionary commit and are a RETENTION FLOOR: [[vacuum]] keeps
+    * tagged versions' manifests and files whatever `retain` says, so
+    * a tag never dangles. [[restore]] replicates an old version's
+    * headers verbatim, so it rolls tags (like txn markers) back with
+    * the content — the recovery primitive restores the WHOLE state;
+    * [[overwrite]] resets them with everything else. */
+  private val TagPrefix = "tag-"
+
   /** Headers that ride every evolutionary commit (append / merge /
-    * delete / optimize) — writer cursors and constraints must survive
-    * compaction; only [[overwrite]] resets them. */
+    * delete / optimize) — writer cursors, constraints, and tags must
+    * survive compaction; only [[overwrite]] resets them. */
   private def carriedHeaders(hs: Map[String, String]): Map[String, String] =
     hs.filter { case (k, _) =>
-      k.startsWith(TxnPrefix) || k.startsWith(ConstraintPrefix) }
+      k.startsWith(TxnPrefix) || k.startsWith(ConstraintPrefix) ||
+        k.startsWith(TagPrefix) }
 
   /** One committed manifest, parsed ONCE — every operation loads this
     * a single time and derives headers/entries/schema from it, instead
@@ -1443,6 +1455,63 @@ object ManifestTable {
     readAt(spark, root, at.version)
   }
 
+  /** The table's named tags, name → version (see [[TagPrefix]]). */
+  def tags(spark: SparkSession, root: String): Map[String, Int] = {
+    val fs = fsOf(spark, new Path(root))
+    currentVersion(spark, root)
+      .map(v => loadManifest(fs, root, v).headers.collect {
+        case (k, hv) if k.startsWith(TagPrefix) &&
+            hv.toIntOption.isDefined =>
+          k.stripPrefix(TagPrefix) -> hv.toInt
+      }.toMap).getOrElse(Map.empty)
+  }
+
+  /** Tag `version` as `name` — a header-only commit (entry lines
+    * verbatim, zero data IO). The tagged version becomes a vacuum
+    * retention floor until [[removeTag]]. Re-tagging an existing name
+    * moves it (the newest declaration wins). */
+  def addTag(spark: SparkSession, root: String, name: String,
+             version: Int): Int = {
+    requireTxnId(name) // same identifier alphabet as writer markers
+    val fs = fsOf(spark, new Path(root))
+    val vs = versions(spark, root)
+    require(vs.contains(version),
+      s"cannot tag version $version of $root " +
+        s"(have ${vs.mkString(",")}) — vacuumed or never committed")
+    val m = loadManifest(fs, root, vs.last)
+    if (!tryCommit(fs, root, vs.last + 1, m.entryLines,
+        m.headers + ((TagPrefix + name) -> version.toString)))
+      throw new java.util.ConcurrentModificationException(
+        s"addTag on $root lost the commit race; rerun")
+    vs.last + 1
+  }
+
+  /** Drop tag `name` — header-only commit; the tagged version becomes
+    * vacuum-collectable again. */
+  def removeTag(spark: SparkSession, root: String, name: String): Int = {
+    val fs = fsOf(spark, new Path(root))
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed version under $root"))
+    val m = loadManifest(fs, root, v)
+    require(m.headers.contains(TagPrefix + name),
+      s"no tag named $name on $root")
+    if (!tryCommit(fs, root, v + 1, m.entryLines,
+        m.headers - (TagPrefix + name)))
+      throw new java.util.ConcurrentModificationException(
+        s"removeTag on $root lost the commit race; rerun")
+    v + 1
+  }
+
+  /** The table exactly as of the version tag `name` pins. */
+  def readAtTag(spark: SparkSession, root: String,
+                name: String): DataFrame = {
+    val t = tags(spark, root)
+    require(t.contains(name),
+      s"no tag named $name on $root " +
+        s"(have ${t.keys.toSeq.sorted.mkString(", ")})")
+    readAt(spark, root, t(name))
+  }
+
   /** The newest committed version marker of writer `appId` (see
     * [[TxnPrefix]]); None = this application never committed here. */
   def lastTxnVersion(spark: SparkSession, root: String,
@@ -2331,7 +2400,15 @@ object ManifestTable {
     val fs = fsOf(spark, rootPath)
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed version under $root")
-    val (drop, keep) = vs.splitAt(math.max(0, vs.size - retain))
+    // named tags are a retention FLOOR (Iceberg's ref-retention shape):
+    // a tagged version's manifest and files survive whatever `retain`
+    // says — a tag must never dangle
+    val tagged = loadManifest(fs, root, vs.last).headers.collect {
+      case (k, hv) if k.startsWith(TagPrefix) &&
+          hv.toIntOption.isDefined => hv.toInt
+    }.toSet
+    val keepSet = vs.takeRight(retain).toSet ++ tagged.filter(vs.contains)
+    val (drop, keep) = vs.partition(v => !keepSet.contains(v))
     // compare fully-QUALIFIED paths: listStatus returns scheme-qualified
     // paths (file:/..., hdfs://...) while manifests store root-relative
     // ones — an unqualified comparison would see every file as

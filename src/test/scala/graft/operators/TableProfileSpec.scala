@@ -44,9 +44,9 @@ class TableProfileSpec extends SparkSpec {
       countDistinct(col("l_orderkey")), countDistinct(col("l_partkey")),
       countDistinct(col("l_returnflag"))))
     val approxPlan = planOf(li.agg(
-      approx_count_distinct(col("l_orderkey"), 0.01),
-      approx_count_distinct(col("l_partkey"), 0.01),
-      approx_count_distinct(col("l_returnflag"), 0.01)))
+      approx_count_distinct(col("l_orderkey"), 0.02),
+      approx_count_distinct(col("l_partkey"), 0.02),
+      approx_count_distinct(col("l_returnflag"), 0.02)))
     assert(exactPlan.contains("Expand"),
       "exact multi-distinct no longer plans an Expand — update the " +
         "q165 scale note")

@@ -1066,6 +1066,41 @@ class ManifestTableSpec extends SparkSpec {
     assert(exM.getMessage.contains("no column nope"))
   }
 
+  test("named tags: carried across optimize, a vacuum retention " +
+      "floor, removeTag frees it, unknown tags fail loudly") {
+    val root = freshRoot()
+    ManifestTable.overwrite(spark, root,
+      docs.where(col("doc_id") % 2 === 0))
+    ManifestTable.addTag(spark, root, "baseline", 1) // v2
+    ManifestTable.append(spark, root,
+      docs.where(col("doc_id") % 2 =!= 0)) // v3
+    ManifestTable.optimize(spark, root, "doc_id", 2) // v4
+    // the tag survived the compaction (carried header)
+    assert(ManifestTable.tags(spark, root) === Map("baseline" -> 1))
+    val nBase = docs.where(col("doc_id") % 2 === 0).count()
+    assert(ManifestTable.readAtTag(spark, root, "baseline").count()
+      === nBase)
+    // retention floor: retain=1 keeps the newest AND the tagged v1;
+    // the untagged middles (v2, v3) retire
+    ManifestTable.vacuum(spark, root, retain = 1, orphanRetentionMs = 0L)
+    assert(ManifestTable.versions(spark, root) === Seq(1, 4),
+      "vacuum did not keep exactly {tagged, newest}")
+    assert(ManifestTable.readAtTag(spark, root, "baseline").count()
+      === nBase, "the tagged version dangled after vacuum")
+    assert(ManifestTable.read(spark, root).count() === docs.count())
+    // unknown tag fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      ManifestTable.readAtTag(spark, root, "nope")
+    }
+    assert(ex.getMessage.contains("no tag"))
+    // removeTag frees the floor: the next vacuum collects v1
+    ManifestTable.removeTag(spark, root, "baseline")
+    ManifestTable.vacuum(spark, root, retain = 1, orphanRetentionMs = 0L)
+    assert(!ManifestTable.versions(spark, root).contains(1),
+      "an untagged version survived vacuum")
+    assert(ManifestTable.read(spark, root).count() === docs.count())
+  }
+
   test("advisor r16: CDF surfaces a restore's pure un-delete as " +
       "'insert' rows of the resurrected keys; a compaction's dropped " +
       "delete file emits no phantom inserts") {

@@ -650,6 +650,12 @@ object SparkEntry {
     // retain=1 vacuum and both branches read hash-gated.
     "q186_sql_tags" ->
       (graft.sources.GraftCatalog.q186SqlTags _),
+    // q187 is COMPOSITE equality deletes (multi-column #deletecol —
+    // Iceberg's multi-column shape): rows suppressed only on a WHOLE
+    // (orderkey, linenumber) tuple match, O(delta) commit, both
+    // regimes (merge-on-read + compacted) under one oracle.
+    "q187_composite_delete" ->
+      (graft.sources.ManifestTable.q187CompositeDelete _),
     // q180 is the approx profiler twin (the q165 scaladoc's 100 TB
     // shape, exercised): approx_count_distinct everywhere, the
     // multi-distinct Expand gone from the plan; rows-only gate (HLL++
@@ -3942,6 +3948,22 @@ object SparkEntry {
         |SELECT branch, count(*) AS n_docs,
         |       sum(doc_id)::BIGINT AS sum_doc_id
         |FROM s GROUP BY branch ORDER BY branch""".stripMargin,
+    // q187: the complement aggregate, twice (both regimes equal it).
+    "q187_composite_delete" ->
+      """WITH f AS (
+        |  SELECT l_returnflag,
+        |         round(l_extendedprice * 100)::BIGINT AS cents
+        |  FROM lineitem
+        |  WHERE NOT (l_orderkey % 5 = 0 AND l_linenumber % 2 = 1)),
+        |a AS (SELECT l_returnflag, count(*) AS n_rows,
+        |             sum(cents)::BIGINT AS sum_price_cents
+        |      FROM f GROUP BY l_returnflag)
+        |SELECT '1_mor' AS stage, l_returnflag, n_rows, sum_price_cents
+        |FROM a
+        |UNION ALL
+        |SELECT '2_compacted', l_returnflag, n_rows, sum_price_cents
+        |FROM a
+        |ORDER BY stage, l_returnflag""".stripMargin,
     // q179: the delete-sequencing rules replayed — deleted %3==1 stay
     // suppressed unless upserted (%10==7 resurrects with ' upd'),
     // removes (%10==4) win over everything.

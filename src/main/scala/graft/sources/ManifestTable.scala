@@ -75,33 +75,37 @@ object ManifestTable {
     * committed with it) a reader can keep using regardless of later
     * commits (until vacuumed). `files` are the DATA files;
     * `deleteFiles` the outstanding merge-on-read equality deletes
-    * (format v6), applied by [[read]] as one anti-join on `deleteCol`. */
+    * (format v6), applied by [[read]] as one anti-join on
+    * `deleteCols` (one or more key columns — a composite equality
+    * delete matches on the whole tuple, Iceberg's multi-column
+    * equality-delete shape). */
   case class Snapshot(version: Int, files: Seq[String],
                       schema: Option[StructType],
                       deleteFiles: Seq[String] = Seq.empty,
-                      deleteCol: Option[String] = None) {
+                      deleteCols: Seq[String] = Seq.empty) {
     def read(spark: SparkSession): DataFrame = {
       require(files.nonEmpty, s"version $version lists no data files")
       applyDeletes(spark, readFiles(spark, files, schema),
-        deleteFiles, deleteCol)
+        deleteFiles, deleteCols)
     }
   }
 
-  /** Merge-on-read: suppress every row whose `deleteCol` value appears
-    * in the outstanding delete files — one anti-join against the
-    * delta-sized (auto-broadcast) distinct key set. Delete files
+  /** Merge-on-read: suppress every row whose `deleteCols` TUPLE
+    * appears in the outstanding delete files — one anti-join against
+    * the delta-sized (auto-broadcast) distinct key set. Delete files
     * without the declaring header would be un-interpretable; fail
     * loudly rather than return resurrected rows. */
   private def applyDeletes(spark: SparkSession, df: DataFrame,
                            deleteFiles: Seq[String],
-                           deleteCol: Option[String]): DataFrame =
+                           deleteCols: Seq[String]): DataFrame =
     if (deleteFiles.isEmpty) df
     else {
-      val k = deleteCol.getOrElse(throw new IllegalStateException(
+      if (deleteCols.isEmpty) throw new IllegalStateException(
         "manifest lists delete files but no #deletecol header names " +
-          "their key column — refusing to read resurrected rows"))
-      df.join(spark.read.parquet(deleteFiles: _*).select(col(k)).distinct(),
-        Seq(k), "left_anti")
+          "their key column(s) — refusing to read resurrected rows")
+      df.join(spark.read.parquet(deleteFiles: _*)
+          .select(deleteCols.map(col): _*).distinct(),
+        deleteCols, "left_anti")
     }
 
   /** Schema-aware file read: the stored schema resolves columns BY NAME
@@ -151,7 +155,7 @@ object ManifestTable {
     Snapshot(v, m.dataEntries.map(e => new Path(root, e.rel).toString),
       m.schema,
       m.deleteEntries.map(e => new Path(root, e.rel).toString),
-      m.deleteCol)
+      m.deleteCols)
   }
 
   /** The raw lines of a committed manifest (format-opaque — append
@@ -325,7 +329,8 @@ object ManifestTable {
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
     def bloomCols: Seq[String] = headers.get(BloomKey)
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
-    def deleteCol: Option[String] = headers.get(DeleteKey)
+    def deleteCols: Seq[String] = headers.get(DeleteKey)
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
     /** The table's DATA files — every read plans from these. */
     def dataEntries: Seq[Entry] = entries.filterNot(_.isDelete)
     /** Outstanding merge-on-read delete files (format v6). */
@@ -355,7 +360,7 @@ object ManifestTable {
                            df: DataFrame, m: ManifestData): DataFrame =
     applyDeletes(spark, df,
       m.deleteEntries.map(e => new Path(root, e.rel).toString),
-      m.deleteCol)
+      m.deleteCols)
 
   private def loadManifest(fs: FileSystem, root: String,
                            v: Int): ManifestData = {
@@ -1006,21 +1011,24 @@ object ManifestTable {
     // racing delete/addConstraint between validation and commit must
     // not slip pre-deleted or violating rows in: TOCTOU-safe).
     def validateAgainst(m: ManifestData): Unit = {
-      m.deleteCol.filter(_ => m.deleteEntries.nonEmpty).foreach { k =>
-        // the guard joins on k, so the incoming df must carry it — a
+      if (m.deleteEntries.nonEmpty && m.deleteCols.nonEmpty) {
+        val ks = m.deleteCols
+        // the guard joins on ks, so the incoming df must carry them — a
         // schema-less legacy table would otherwise surface a raw
         // AnalysisException from the USING join instead of the contract
-        require(df.schema.fieldNames.contains(k),
-          s"append to $root must carry the delete column $k while " +
-            "equality deletes are outstanding (the resurrection guard " +
-            s"checks incoming keys); got columns " +
-            df.schema.fieldNames.mkString(", "))
+        val missing = ks.filterNot(df.schema.fieldNames.contains)
+        require(missing.isEmpty,
+          s"append to $root must carry the delete column(s) " +
+            s"${missing.mkString(", ")} while equality deletes are " +
+            "outstanding (the resurrection guard checks incoming " +
+            s"keys); got columns ${df.schema.fieldNames.mkString(", ")}")
         val delKeys = spark.read.parquet(m.deleteEntries.map(e =>
-          new Path(root, e.rel).toString): _*).select(col(k)).distinct()
-        require(df.join(delKeys, Seq(k), "left_semi").take(1).isEmpty,
-          s"append to $root would resurrect equality-deleted $k values " +
-            "— the delete is global until compacted; run optimize " +
-            "first, then append")
+          new Path(root, e.rel).toString): _*)
+          .select(ks.map(col): _*).distinct()
+        require(df.join(delKeys, ks, "left_semi").take(1).isEmpty,
+          s"append to $root would resurrect equality-deleted " +
+            s"(${ks.mkString(", ")}) tuples — the delete is global " +
+            "until compacted; run optimize first, then append")
       }
       val cs = m.headers.collect {
         case (hk, hv) if hk.startsWith(ConstraintPrefix) =>
@@ -1115,18 +1123,38 @@ object ManifestTable {
     * must use the same `keyCol`. */
   def deleteWhereKeyIn(spark: SparkSession, root: String,
                        keyCol: String, keys: DataFrame,
-                       maxAttempts: Int = 20): Int = {
+                       maxAttempts: Int = 20): Int =
+    deleteWhereKeysIn(spark, root, Seq(keyCol), keys, maxAttempts)
+
+  /** The COMPOSITE-key twin (Iceberg's multi-column equality deletes):
+    * `keyCols` together form the equality tuple — a row is suppressed
+    * when its WHOLE tuple appears in the delete set. One delete
+    * column-set per table; later delete commits must use the same
+    * set. [[mergeCoW]]'s delete sequencing stays single-column (its
+    * merge key is one column); composite-delete tables take the
+    * optimize path to resurrection. */
+  def deleteWhereKeysIn(spark: SparkSession, root: String,
+                        keyCols: Seq[String], keys: DataFrame,
+                        maxAttempts: Int = 20): Int = {
+    require(keyCols.nonEmpty, "need at least one delete key column")
+    require(keyCols.distinct == keyCols, s"duplicate delete columns " +
+      s"in ${keyCols.mkString(", ")}")
+    keyCols.foreach(k => require(!k.contains(','),
+      s"delete column name '$k' cannot contain ',' (header format)"))
     val fs = fsOf(spark, new Path(root))
     val v0 = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no committed version under $root"))
     val m0 = loadManifest(fs, root, v0)
-    m0.deleteCol.foreach(k => require(k == keyCol,
-      s"table $root already carries equality deletes on $k; " +
-        s"one delete column per table (got $keyCol)"))
-    val keyType = m0.schema.map(_(keyCol).dataType)
-    val delKeys = keyType.map(t => keys.select(col(keyCol).cast(t)))
-      .getOrElse(keys.select(col(keyCol))).distinct()
-    require(delKeys.where(col(keyCol).isNull).take(1).isEmpty,
+    require(m0.deleteCols.isEmpty || m0.deleteCols == keyCols,
+      s"table $root already carries equality deletes on " +
+        s"(${m0.deleteCols.mkString(", ")}); one delete column-set per " +
+        s"table (got ${keyCols.mkString(", ")})")
+    val delKeys = keys.select(keyCols.map { k =>
+      m0.schema.map(sc => col(k).cast(sc(k).dataType))
+        .getOrElse(col(k)).as(k)
+    }: _*).distinct()
+    require(delKeys.where(keyCols.map(col(_).isNull).reduce(_ || _))
+      .take(1).isEmpty,
       "null keys cannot be equality-deleted (the anti-join would " +
         "never match them)")
     val staged = stage(spark, root,
@@ -1136,9 +1164,10 @@ object ManifestTable {
     while (attempt < maxAttempts) {
       val base = versions(spark, root).last
       val bm = loadManifest(fs, root, base)
-      bm.deleteCol.foreach(k => require(k == keyCol,
-        s"a concurrent commit set the delete column of $root to $k"))
-      val headers = bm.headers + (DeleteKey -> keyCol)
+      require(bm.deleteCols.isEmpty || bm.deleteCols == keyCols,
+        s"a concurrent commit set the delete columns of $root to " +
+          bm.deleteCols.mkString(", "))
+      val headers = bm.headers + (DeleteKey -> keyCols.mkString(","))
       if (tryCommit(fs, root, base + 1, bm.entryLines ++ staged, headers))
         return base + 1
       attempt += 1
@@ -1223,13 +1252,15 @@ object ManifestTable {
     if (undropped.isEmpty || added.exists(r => !isDel(r))) base
     else {
       val mFrom = loadManifest(fs, root, fromVersion)
-      val k = mFrom.deleteCol.getOrElse(throw new IllegalStateException(
+      val ks = mFrom.deleteCols
+      if (ks.isEmpty) throw new IllegalStateException(
         s"version $fromVersion of $root lists delete files but no " +
-          "#deletecol header"))
+          "#deletecol header")
       val keys = spark.read.parquet(undropped.map(r =>
-        new Path(root, r).toString): _*).select(col(k)).distinct()
+        new Path(root, r).toString): _*)
+        .select(ks.map(col): _*).distinct()
       base.unionByName(
-        readAt(spark, root, toVersion).join(keys, Seq(k), "left_semi")
+        readAt(spark, root, toVersion).join(keys, ks, "left_semi")
           .withColumn("_change", lit("insert")),
         allowMissingColumns = true)
     }
@@ -1548,11 +1579,11 @@ object ManifestTable {
     // remove makes its delete moot), consolidated into one fresh
     // delta-sized delete file. A merge keyed on a DIFFERENT column
     // cannot reconcile the two key spaces and is still rejected.
-    require(m.deleteEntries.isEmpty || m.deleteCol.contains(keyCol),
+    require(m.deleteEntries.isEmpty || m.deleteCols == Seq(keyCol),
       s"$root carries outstanding equality deletes on " +
-        s"${m.deleteCol.getOrElse("?")}; a copy-on-write merge keyed " +
-        s"on $keyCol cannot sequence them — merge on the delete " +
-        "column, or run optimize first")
+        s"(${m.deleteCols.mkString(", ")}); a copy-on-write merge " +
+        s"keyed on $keyCol cannot sequence them — merge on the (single) " +
+        "delete column, or run optimize first")
     // honor stored bounds ONLY if the manifest declares them for THIS
     // key column (as the primary bounds column or an extra stats
     // column) — bounds of a different column would prune wrong files
@@ -2175,6 +2206,48 @@ object ManifestTable {
     read(spark, root)
       .select(col("doc_id"), md5(col("text")).as("text_md5"))
       .orderBy("doc_id")
+  }
+
+  /** Q187: COMPOSITE equality deletes (multi-column `#deletecol=`,
+    * Iceberg's multi-column equality-delete shape), hash-gated — the
+    * lineitem table keyed by the (l_orderkey, l_linenumber) TUPLE
+    * takes one O(delta) delete commit of the tuples matching
+    * `orderkey ≡ 0 (mod 5) ∧ linenumber odd` (zero data-file IO —
+    * every data file carried verbatim), read in BOTH regimes ('mor':
+    * readers anti-join the tuple set; 'compacted': optimize applies
+    * and drops it). Both stages must equal the oracle's complement
+    * aggregate — a row suppressed on a partial tuple match (the
+    * single-column bug a composite delete exists to avoid) changes
+    * counts and fires the gate. The one-column-SET-per-table rule,
+    * the tuple resurrection guard, and the merge rejection are
+    * spec-pinned. */
+  def q187CompositeDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = new Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      "manifest_compdel_" + graft.Tables.dirKey(spark, sfDir)).toString
+    val fs = fsOf(spark, new Path(root))
+    if (fs.exists(new Path(root))) fs.delete(new Path(root), true)
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+    overwrite(spark, root,
+      li.repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey"),
+      boundsCol = Some("l_orderkey"))
+    deleteWhereKeysIn(spark, root, Seq("l_orderkey", "l_linenumber"),
+      li.where(pmod(col("l_orderkey"), lit(5)) === 0 &&
+          pmod(col("l_linenumber"), lit(2)) === 1)
+        .select("l_orderkey", "l_linenumber"))
+    def aggOf(stage: String): DataFrame =
+      read(spark, root).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).as("sum_price_cents"))
+        .withColumn("stage", lit(stage))
+    val mor = aggOf("1_mor").localCheckpoint() // pin BEFORE compaction
+    optimize(spark, root, "l_orderkey", 4)
+    mor.unionByName(aggOf("2_compacted"))
+      .select("stage", "l_returnflag", "n_rows", "sum_price_cents")
+      .orderBy("stage", "l_returnflag")
   }
 
   /** Q184: ROW-LEVEL COPY-ON-WRITE UPDATE ([[updateWhere]] — the

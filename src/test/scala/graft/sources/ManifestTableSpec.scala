@@ -783,7 +783,7 @@ class ManifestTableSpec extends SparkSpec {
     // zero data-file IO: the delete commit carried every data file
     assert(v2.files.toSet === v1.files.toSet,
       "an equality delete rewrote data files")
-    assert(v2.deleteFiles.nonEmpty && v2.deleteCol === Some("doc_id"))
+    assert(v2.deleteFiles.nonEmpty && v2.deleteCols === Seq("doc_id"))
     // merge-on-read: plain AND pruned reads suppress the keys
     def idsOf(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
@@ -1064,6 +1064,58 @@ class ManifestTableSpec extends SparkSpec {
         Seq("nope" -> lit(1)))
     }
     assert(exM.getMessage.contains("no column nope"))
+  }
+
+  test("composite equality deletes: suppression is whole-tuple only, " +
+      "one column-set per table, the resurrection guard and merge " +
+      "rejection see tuples") {
+    val root = freshRoot()
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    ManifestTable.overwrite(spark, root, li)
+    // delete ONE specific (orderkey, linenumber) tuple
+    val victim = li.orderBy("l_orderkey", "l_linenumber").limit(1)
+    val (vk, vl) = {
+      val r = victim.head(); (r.getLong(0), r.getInt(1))
+    }
+    ManifestTable.deleteWhereKeysIn(spark, root,
+      Seq("l_orderkey", "l_linenumber"),
+      victim.select("l_orderkey", "l_linenumber"))
+    val got = ManifestTable.read(spark, root)
+    // the tuple is gone; SIBLING lines of the same order survive (a
+    // partial-tuple suppression would take the whole order out)
+    assert(got.where(col("l_orderkey") === vk &&
+      col("l_linenumber") === vl).count() === 0)
+    assert(got.where(col("l_orderkey") === vk).count() ===
+      li.where(col("l_orderkey") === vk).count() - 1,
+      "a composite delete suppressed on a partial tuple match")
+    // one delete column-SET per table
+    val exS = intercept[IllegalArgumentException] {
+      ManifestTable.deleteWhereKeyIn(spark, root, "l_orderkey",
+        li.limit(1).select("l_orderkey"))
+    }
+    assert(exS.getMessage.contains("column-set"))
+    // resurrection guard checks the TUPLE
+    val exR = intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, root, victim)
+    }
+    assert(exR.getMessage.contains("resurrect"))
+    // a sibling line of the deleted order appends fine (tuple differs)
+    val sibling = li.where(col("l_orderkey") === vk &&
+        col("l_linenumber") =!= vl).limit(1)
+      .withColumn("l_linenumber", lit(9999))
+    ManifestTable.append(spark, root, sibling)
+    // merge sequencing stays single-column: composite tables reject
+    val exM = intercept[IllegalArgumentException] {
+      ManifestTable.mergeCoW(spark, root, "l_orderkey",
+        removeKeys = li.select("l_orderkey").limit(0),
+        upserts = li.limit(0))
+    }
+    assert(exM.getMessage.contains("sequence"))
+    // optimize applies + drops the composite set
+    ManifestTable.optimize(spark, root, "l_orderkey", 4)
+    assert(ManifestTable.snapshot(spark, root).deleteFiles.isEmpty)
+    assert(ManifestTable.read(spark, root).count() === li.count())
   }
 
   test("named tags: carried across optimize, a vacuum retention " +

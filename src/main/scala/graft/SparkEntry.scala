@@ -656,6 +656,11 @@ object SparkEntry {
     // regimes (merge-on-read + compacted) under one oracle.
     "q187_composite_delete" ->
       (graft.sources.ManifestTable.q187CompositeDelete _),
+    // q188 is CALL system.zorder + the 2-D rectangle through plain SQL
+    // WHERE: pushed range filters drive the v4 multi-column manifest
+    // skipping — q162's oracle gates the third surface.
+    "q188_sql_zorder_rect" ->
+      (graft.sources.GraftCatalog.q188SqlZOrderRect _),
     // q180 is the approx profiler twin (the q165 scaladoc's 100 TB
     // shape, exercised): approx_count_distinct everywhere, the
     // multi-distinct Expand gone from the plan; rows-only gate (HLL++
@@ -671,6 +676,25 @@ object SparkEntry {
     "q179_merge_over_deletes" ->
       (graft.sources.ManifestTable.q179MergeOverDeletes _),
   )
+
+  /** Shared by q162 (Scala rect read on the z-layout) and q188 (the
+    * same rectangle via CALL system.zorder + plain SQL WHERE over the
+    * catalog) — the rectangle aggregate recomputed straight from
+    * parquet with the same integer bounds arithmetic. */
+  private val zRectOracle: String =
+    """WITH b AS (SELECT max(user_id) AS umax,
+      |                  min(epoch_us(ts)) AS tmin,
+      |                  max(epoch_us(ts)) AS tmax FROM events),
+      |r AS (SELECT umax // 10 AS uhi,
+      |             tmin + (tmax - tmin) // 4 AS tlo,
+      |             tmin + (tmax - tmin) * 3 // 4 AS thi FROM b)
+      |SELECT event_type, count(*) AS n_events,
+      |       sum(user_id)::BIGINT AS sum_user_id,
+      |       sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+      |FROM events, r
+      |WHERE user_id >= 0 AND user_id <= uhi
+      |  AND epoch_us(ts) >= tlo AND epoch_us(ts) <= thi
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
     * append-mode twin with watermark-evicted state): after q142's final
@@ -3737,20 +3761,10 @@ object SparkEntry {
     // re-aggregated straight from parquet — per-row cent recovery
     // (round(x*100), exact on 2-decimal values) so the money sum is an
     // exact integer on both engines.
-    "q162_zorder_manifest_rect" ->
-      """WITH b AS (SELECT max(user_id) AS umax,
-        |                  min(epoch_us(ts)) AS tmin,
-        |                  max(epoch_us(ts)) AS tmax FROM events),
-        |r AS (SELECT umax // 10 AS uhi,
-        |             tmin + (tmax - tmin) // 4 AS tlo,
-        |             tmin + (tmax - tmin) * 3 // 4 AS thi FROM b)
-        |SELECT event_type, count(*) AS n_events,
-        |       sum(user_id)::BIGINT AS sum_user_id,
-        |       sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
-        |FROM events, r
-        |WHERE user_id >= 0 AND user_id <= uhi
-        |  AND epoch_us(ts) >= tlo AND epoch_us(ts) <= thi
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q162_zorder_manifest_rect" -> zRectOracle,
+    // q188: the same rectangle, third surface (CALL system.zorder +
+    // plain SQL WHERE over the catalog) — one oracle gates all three.
+    "q188_sql_zorder_rect" -> zRectOracle,
     // q163: the same 5-probe IN straight off parquet; integer-exact
     // quantity sum (round-to-long per row) so addition order is moot.
     "q163_manifest_bloom_point" ->

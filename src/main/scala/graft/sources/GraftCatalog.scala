@@ -243,7 +243,7 @@ private[sources] object GraftProcedures {
   import org.apache.spark.sql.connector.read.LocalScan
   import org.apache.spark.sql.types.{DataTypes, StructField}
 
-  val names: Seq[String] = Seq("optimize", "vacuum", "restore")
+  val names: Seq[String] = Seq("optimize", "vacuum", "restore", "zorder")
 
   private def rootOf(warehouse: String, table: String): String =
     table.split('.').foldLeft(new Path(warehouse)) { (p, s) =>
@@ -318,6 +318,24 @@ private[sources] object GraftProcedures {
         input => InternalRow(ManifestTable.restore(spark,
           rootOf(warehouse, input.getUTF8String(0).toString),
           input.getInt(1))))
+      case "zorder" => proc("zorder",
+        "two-dimensional clustered compaction: Morton-interleaved " +
+          "layout + v4 multi-column stats (ManifestTable.optimizeZOrder" +
+          " — Delta's OPTIMIZE ZORDER BY)",
+        Seq(in("table", DataTypes.StringType),
+          in("col_x", DataTypes.StringType),
+          in("col_y", DataTypes.StringType),
+          in("target_files", DataTypes.IntegerType)),
+        StructType(Seq(StructField("version", DataTypes.IntegerType),
+          StructField("files_before", DataTypes.IntegerType),
+          StructField("files_after", DataTypes.IntegerType))),
+        input => {
+          val (v, b, a) = ManifestTable.optimizeZOrder(spark,
+            rootOf(warehouse, input.getUTF8String(0).toString),
+            input.getUTF8String(1).toString,
+            input.getUTF8String(2).toString, input.getInt(3))
+          InternalRow(v, b, a)
+        })
     }
   }
 }
@@ -509,6 +527,52 @@ object GraftCatalog {
          |UNION ALL
          |SELECT 'current', count(*), sum(doc_id) FROM $t
          |ORDER BY branch""".stripMargin)
+  }
+
+  /** Q188: `CALL system.zorder` + the 2-D rectangle THROUGH SQL,
+    * hash-gated — events land as an UNCLUSTERED manifest table, one
+    * `CALL graft_tables.system.zorder(...)` rewrites it into the
+    * Morton layout with v4 two-column stats, and the q130/q162
+    * rectangle is answered by a plain SQL `WHERE user_id <= ... AND ts
+    * BETWEEN ...` over the catalog: the pushed range filters drive the
+    * SAME multi-column manifest skipping `readWhereRect` does — 2-D
+    * file pruning through SQL, decided before any footer read. q162's
+    * oracle gates it VERBATIM (one oracle, three surfaces now: the
+    * Scala rect read q162, the raw z-layout q130, and SQL). The
+    * 2-D-beats-1-D pruning pin lives in GraftCatalogSpec. */
+  def q188SqlZOrderRect(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = graft.Tables.dirKey(spark, sfDir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val db = s"sqlzorder_$key"
+    val dbPath = new Path(wh, db)
+    val fs = dbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dbPath)) fs.delete(dbPath, true)
+    val root = new Path(dbPath, "events").toString
+    ManifestTable.overwrite(spark, root, graft.Tables.events(spark, sfDir))
+    register(spark, "graft_tables", wh)
+    val r = spark.sql("CALL graft_tables.system.zorder(" +
+      s"table => '$db.events', col_x => 'user_id', col_y => 'ts', " +
+      "target_files => 64)").head()
+    require(r.getInt(0) == 2 && r.getInt(2) == 64,
+      s"zorder diagnostics wrong: $r")
+    val (uHi, tLo, tHi) = ZOrderLayout.rectangleOf(spark, sfDir)
+    val tz = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+    def tsLit(us: Long): String = {
+      val i = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+      "TIMESTAMP '" + i.atZone(tz).toLocalDateTime.format(
+        java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")) + "'"
+    }
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n_events,
+         |       sum(user_id) AS sum_user_id,
+         |       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+         |FROM graft_tables.`$db`.`events`
+         |WHERE user_id >= 0 AND user_id <= $uHi
+         |  AND ts >= ${tsLit(tLo)} AND ts <= ${tsLit(tHi)}
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
   /** Q181: METADATA TABLES THROUGH SQL (Iceberg's `db.t.history`

@@ -1340,6 +1340,68 @@ object ManifestTable {
     (base.version + 1, base.files.size, staged.size)
   }
 
+  /** OPTIMIZE ZORDER BY (Delta's shape): the transactional compaction
+    * with a TWO-dimensional layout — the rewrite orders by the Morton
+    * interleave of the two columns' domain buckets
+    * ([[ZOrderLayout.zValue]]; exact integer arithmetic throughout, in
+    * each column's stored stats unit) and stamps BOTH columns' per-file
+    * [lo, hi] as v4 multi-column stats, so the files become tight
+    * hyper-rectangles and [[readWhereRect]] — or a SQL `WHERE` through
+    * [[GraftCatalog]], whose pushed filters drive the same stats —
+    * skips in both dimensions from the manifest alone. Everything else
+    * is [[optimize]]'s contract: one atomic commit, outstanding
+    * equality deletes applied and dropped (the rewrite reads through
+    * the snapshot), blooms re-stamped, carried headers preserved, old
+    * version readable until vacuum. The output schema is UNCHANGED
+    * (the z-value is a sort key, never a column). */
+  def optimizeZOrder(spark: SparkSession, root: String,
+                     xCol: String, yCol: String,
+                     targetFiles: Int): (Int, Int, Int) = {
+    val fs = fsOf(spark, new Path(root))
+    val base = snapshot(spark, root)
+    val m = loadManifest(fs, root, base.version)
+    val pinned = base.read(spark)
+    // the z-bucket needs each dimension as an exact LONG expression in
+    // its stats unit — the same unit statExpr stamps, so the stamped
+    // v4 stats and the layout agree
+    def unitSql(c: String): String = {
+      statExpr(pinned.schema, c) // type gate: fails loudly on others
+      if (pinned.schema(c).dataType ==
+          org.apache.spark.sql.types.TimestampType) s"unix_micros(`$c`)"
+      else s"`$c`"
+    }
+    val (ux, uy) = (unitSql(xCol), unitSql(yCol))
+    val mm = pinned.agg(
+      min(expr(ux)).cast("long"), max(expr(ux)).cast("long"),
+      min(expr(uy)).cast("long"), max(expr(uy)).cast("long")).head()
+    require(!mm.anyNull,
+      s"cannot z-order $root on all-null $xCol/$yCol")
+    val zv = ZOrderLayout.zValue(
+      expr(ZOrderLayout.zBucketSql(ux, mm.getLong(0).toString,
+        (mm.getLong(1) - mm.getLong(0) + 1).toString, "DIV")),
+      expr(ZOrderLayout.zBucketSql(uy, mm.getLong(2).toString,
+        (mm.getLong(3) - mm.getLong(2) + 1).toString, "DIV")))
+    def stampable(k: String) = pinned.schema.fieldNames.contains(k) &&
+      scala.util.Try(statExpr(pinned.schema, k)).isSuccess
+    val bloomCs = m.bloomCols.filter(stampable)
+    val staged = stage(spark, root, dir =>
+      pinned
+        .repartitionByRange(targetFiles, zv)
+        .sortWithinPartitions(zv)
+        .write.parquet(dir),
+      statsCols = Seq(xCol, yCol), bloomCols = bloomCs)
+    val headers = Map(StatsKey -> Seq(xCol, yCol).mkString(",")) ++
+      (if (bloomCs.nonEmpty) Map(BloomKey -> bloomCs.mkString(","))
+       else Map.empty[String, String]) ++
+      carriedHeaders(m.headers) ++
+      base.schema.map(SchemaKey -> _.json).toMap
+    if (!tryCommit(fs, root, base.version + 1, staged, headers))
+      throw new java.util.ConcurrentModificationException(
+        s"optimizeZOrder of $root lost the commit race for version " +
+          s"${base.version + 1}; rerun against the new base")
+    (base.version + 1, base.files.size, staged.size)
+  }
+
   /** COPY-ON-WRITE MERGE — the `MERGE INTO` shape the public table
     * formats put behind their commit: apply row-level deletes and
     * upserts keyed on `keyCol` by rewriting ONLY the data files that

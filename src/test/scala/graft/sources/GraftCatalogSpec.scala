@@ -232,6 +232,46 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("2-D pruning through SQL: after optimizeZOrder, pushed range " +
+      "filters on BOTH dimensions keep strictly fewer files than " +
+      "either alone") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    val b = java.nio.file.Files.createTempDirectory("graft-zcat").toString
+    val root = s"$b/ev"
+    val ev = graft.Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "ts", "value")
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+    ManifestTable.overwrite(spark, root, ev)
+    ManifestTable.optimizeZOrder(spark, root, "user_id", "ts", 64)
+    val mm = ev.agg(max("user_id"), min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts")))).head()
+    val (uHi, tLo, tHi) = (mm.getLong(0) / 10,
+      mm.getLong(1) + (mm.getLong(2) - mm.getLong(1)) / 4,
+      mm.getLong(1) + (mm.getLong(2) - mm.getLong(1)) * 3 / 4)
+    def kept(filters: Seq[org.apache.spark.sql.sources.Filter]): Int =
+      GraftCatalogScan.dataFrame(spark, root, None, Seq("event_id"),
+        filters, ev.schema).inputFiles.length
+    def tsOf(us: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+        Math.floorMod(us, 1000000L) * 1000L))
+    val uF = Seq(GreaterThanOrEqual("user_id", 0L),
+      LessThanOrEqual("user_id", uHi))
+    val tF = Seq(GreaterThanOrEqual("ts", tsOf(tLo)),
+      LessThanOrEqual("ts", tsOf(tHi)))
+    val total = ManifestTable.snapshot(spark, root).files.size
+    val (kU, kT, kUT) = (kept(uF), kept(tF), kept(uF ++ tF))
+    assert(kU < total && kT < total,
+      s"single-dimension SQL pruning failed: $kU/$kT of $total")
+    assert(kUT < kU && kUT < kT,
+      s"2-D SQL pruning no better than 1-D: $kUT vs $kU/$kT")
+    // correctness on the pruned set: SQL count == direct count
+    GraftCatalog.register(spark, "gcat", wh) // any catalog works; probe
+    assert(GraftCatalogScan.dataFrame(spark, root, None,
+      Seq("event_id"), uF ++ tF, ev.schema).count() ===
+      ev.where(col("user_id") <= uHi &&
+        unix_micros(col("ts")).between(tLo, tHi)).count())
+  }
+
   test("range translation: conjunctions intersect, In spans, " +
       "non-integral columns never constrain") {
     import org.apache.spark.sql.sources._

@@ -523,11 +523,15 @@ object SuffixRefresh extends Serializable {
     * isolation per table, coordinated by the one catalog read). */
   def perDocFromState(spark: SparkSession, roots: StateRoots,
                       minReport: Int = 1): DataFrame = {
-    val cat = catalogOf(roots)
+    import graft.sources.{ManifestCatalog, ManifestTable}
+    // ONE catalog read pins the whole trio — two readPinned calls
+    // could straddle a concurrent advance's commit and pair versions
+    // from different transactions
+    val pins = ManifestCatalog.pins(spark, catalogOf(roots))
     perDocOf(spark,
-      graft.sources.ManifestCatalog.readPinned(spark, cat, "inner"),
+      ManifestTable.readAt(spark, roots.inner, pins("inner")),
       boundaryOf(toSummaries(
-        graft.sources.ManifestCatalog.readPinned(spark, cat, "sums"))),
+        ManifestTable.readAt(spark, roots.sums, pins("sums")))),
       minReport)
   }
 }

@@ -149,17 +149,14 @@ class GraftCatalog extends TableCatalog
 
   /** `TIMESTAMP AS OF t` — Spark hands epoch MICROS; resolution (newest
     * monotonized commit instant at-or-before, loud pre-history failure)
-    * is [[ManifestTable.history]]'s. */
+    * is [[ManifestTable.versionAtTimestamp]]'s — the SAME rule the
+    * Scala surface uses. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val root = rootOf(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
     val tsMs = Math.floorDiv(timestamp, 1000L)
-    val h = ManifestTable.history(spark, root)
-    val at = h.filter(_.timestampMs <= tsMs).lastOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"$tsMs predates the earliest retained commit of $ident " +
-          s"(${h.map(_.timestampMs).min}); earlier versions are vacuumed"))
-    new GraftSqlTable(s"$ident@t$tsMs", root, pinned = Some(at.version))
+    val v = ManifestTable.versionAtTimestamp(spark, root, tsMs)
+    new GraftSqlTable(s"$ident@t$tsMs", root, pinned = Some(v))
   }
 
   /** `CREATE TABLE` seeds an empty manifest table with the declared

@@ -58,12 +58,20 @@ object ManifestCatalog {
     ()
   }
 
-  /** Member `name`'s table at its PINNED version — the only read a
-    * consumer of catalog-coordinated state should use (snapshot
-    * isolation per table, coordinated by the one catalog read). */
+  /** Member `name`'s table at its PINNED version. A consumer reading
+    * MULTIPLE members must call [[pins]] ONCE and resolve each member
+    * from that one map (or use this single-member shortcut only for
+    * one table) — two readPinned calls could straddle a concurrent
+    * transaction's commit and pair versions from different
+    * transactions. */
   def readPinned(spark: SparkSession, cat: Catalog,
-                 name: String): DataFrame = {
-    val p = pins(spark, cat)
+                 name: String): DataFrame =
+    readAtPins(spark, cat, pins(spark, cat), name)
+
+  /** Resolve member `name` from an already-fetched pin map — the
+    * multi-member consumer's read (one [[pins]] call, N of these). */
+  def readAtPins(spark: SparkSession, cat: Catalog,
+                 p: Map[String, Int], name: String): DataFrame = {
     require(p.contains(name),
       s"catalog ${cat.catalogRoot} pins no relation '$name' " +
         s"(has ${p.keys.toSeq.sorted.mkString(", ")})")
@@ -182,12 +190,14 @@ object ManifestCatalog {
       if (v == 2) applyCommit(v, crashBeforeCatalog = true)
       applyCommit(v, crashBeforeCatalog = false)
     }
-    // cur is exactly the source's newest snapshot
+    // cur is exactly the source's newest snapshot — ONE pins read
+    // resolves both members (the multi-member consumer discipline)
+    val p = pins(spark, cat)
     val src = ManifestTable.read(spark, root)
-    val cur = readPinned(spark, cat, "cur")
+    val cur = readAtPins(spark, cat, p, "cur")
     require(cur.count() == src.count() &&
       cur.unionByName(src).distinct().count() == src.distinct().count(),
       "the mirror member drifted from the source")
-    ManifestTable.presentScd2(readPinned(spark, cat, "dim"))
+    ManifestTable.presentScd2(readAtPins(spark, cat, p, "dim"))
   }
 }

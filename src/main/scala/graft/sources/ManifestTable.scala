@@ -1230,18 +1230,18 @@ object ManifestTable {
     // format v6: an ADDED equality-delete file IS a batch of deletes —
     // its rows surface tagged 'delete' with only the delete-key column
     // populated (by-name resolution against the table schema nulls the
-    // rest). A REMOVED delete file splits two ways:
-    //  - a REWRITE dropped it (compaction applied it; a merge
-    //    consolidated it): the rewrite's removed/added data files
-    //    already re-surface every surviving row under the
-    //    file-granularity contract above — emitting the keys again
-    //    would double-count;
-    //  - a PURE UN-DELETE ([[restore]] to a pre-delete version: delete
-    //    files dropped, data files carried verbatim — detectable as
-    //    zero added data files): nothing re-surfaces the resurrected
-    //    rows, so this read emits them itself, tagged 'insert' — the
-    //    to-version rows whose keys sit in the dropped delete files
-    //    (delta-sized semi-join against the to-snapshot).
+    // rest). A REMOVED delete file is an UN-DELETE for every key that
+    // does not reappear in an added delete file (a consolidation
+    // carries survivors forward) — and the resurrected ROWS must
+    // surface as 'insert' exactly once:
+    //  - rows living in ADDED data files (a rewrite re-surfaced them)
+    //    are already emitted above — nothing extra;
+    //  - rows living in CARRIED files (restore's shape: delete files
+    //    dropped, data files untouched — or the carried remainder of a
+    //    partial rewrite) are emitted HERE: the carried files
+    //    semi-joined to the un-deleted key set. Suppressed-elsewhere
+    //    keys can't leak: the semi-join keys are by construction
+    //    absent from the to-version's outstanding delete set.
     def isDel(rel: String) = rel.startsWith("deletes/")
     val base = side(added.filterNot(isDel), toVersion, "insert")
       .unionByName(side(added.filter(isDel), toVersion, "delete"),
@@ -1249,18 +1249,31 @@ object ManifestTable {
       .unionByName(side(removed.filterNot(isDel), fromVersion, "delete"),
         allowMissingColumns = true)
     val undropped = removed.filter(isDel)
-    if (undropped.isEmpty || added.exists(r => !isDel(r))) base
+    if (undropped.isEmpty) base
     else {
       val mFrom = loadManifest(fs, root, fromVersion)
       val ks = mFrom.deleteCols
       if (ks.isEmpty) throw new IllegalStateException(
         s"version $fromVersion of $root lists delete files but no " +
           "#deletecol header")
-      val keys = spark.read.parquet(undropped.map(r =>
+      val oldKeys = spark.read.parquet(undropped.map(r =>
         new Path(root, r).toString): _*)
         .select(ks.map(col): _*).distinct()
-      base.unionByName(
-        readAt(spark, root, toVersion).join(keys, ks, "left_semi")
+      val newDel = added.filter(isDel)
+      val unDeleted =
+        if (newDel.isEmpty) oldKeys
+        else oldKeys.join(spark.read.parquet(newDel.map(r =>
+            new Path(root, r).toString): _*)
+          .select(ks.map(col): _*).distinct(), ks, "left_anti")
+      val mTo = loadManifest(fs, root, toVersion)
+      val addedSet = added.toSet
+      val carried = mTo.dataEntries.map(_.rel)
+        .filterNot(addedSet.contains)
+      if (carried.isEmpty) base
+      else base.unionByName(
+        readFiles(spark, carried.map(r =>
+            new Path(root, r).toString), mTo.schema)
+          .join(unDeleted, ks, "left_semi")
           .withColumn("_change", lit("insert")),
         allowMissingColumns = true)
     }
@@ -1538,14 +1551,21 @@ object ManifestTable {
     * the first retained commit (the data may be vacuumed; silently
     * serving a LATER version would be wrong). */
   def readAtTimestamp(spark: SparkSession, root: String,
-                      tsMs: Long): DataFrame = {
+                      tsMs: Long): DataFrame =
+    readAt(spark, root, versionAtTimestamp(spark, root, tsMs))
+
+  /** The version `tsMs` resolves to — shared by [[readAtTimestamp]]
+    * and the SQL catalog's `TIMESTAMP AS OF` (one resolution rule,
+    * two surfaces). */
+  def versionAtTimestamp(spark: SparkSession, root: String,
+                         tsMs: Long): Int = {
     val h = history(spark, root)
     require(h.nonEmpty, s"no committed version under $root")
-    val at = h.filter(_.timestampMs <= tsMs).lastOption.getOrElse(
+    h.filter(_.timestampMs <= tsMs).lastOption.getOrElse(
       throw new IllegalArgumentException(
         s"$tsMs predates the earliest retained commit of $root " +
-          s"(${h.map(_.timestampMs).min}); earlier versions are vacuumed"))
-    readAt(spark, root, at.version)
+          s"(${h.map(_.timestampMs).min}); earlier versions are " +
+          "vacuumed")).version
   }
 
   /** The table's named tags, name → version (see [[TagPrefix]]). */
@@ -1865,18 +1885,30 @@ object ManifestTable {
       : (Int, Int, Int) = {
     require(assignments.nonEmpty, "updateWhere needs at least one " +
       "SET assignment")
+    require(assignments.map(_._1).distinct.size == assignments.size,
+      "updateWhere: duplicate SET columns " +
+        assignments.map(_._1).mkString(", "))
     rewriteWhere(spark, root, predicate,
       affected => {
         assignments.foreach { case (c, _) =>
           require(affected.schema.fieldNames.contains(c),
             s"updateWhere: no column $c in $root — the schema never " +
               "changes here (add columns via append evolution)") }
+        // SQL UPDATE semantics: the predicate AND every SET expression
+        // evaluate against the ORIGINAL row — one select resolves all
+        // of them over the input frame at once (a sequential
+        // withColumn fold would re-resolve the predicate and later
+        // assignments against already-updated columns: `SET a = b,
+        // b = a` would lose a, and a predicate on an assigned column
+        // would un-match its own matches)
         val matched = coalesce(predicate, lit(false))
-        assignments.foldLeft(affected) { case (df, (c, e)) =>
-          df.withColumn(c,
-            when(matched, e.cast(df.schema(c).dataType))
-              .otherwise(col(c)))
-        }
+        val asg = assignments.toMap
+        affected.select(affected.schema.fieldNames.toSeq.map { c =>
+          asg.get(c)
+            .map(e => when(matched, e.cast(affected.schema(c).dataType))
+              .otherwise(col(c)).as(c))
+            .getOrElse(col(c))
+        }: _*)
       },
       validateCheck = true)
   }
@@ -1898,11 +1930,18 @@ object ManifestTable {
       s"version $baseVersion of $root lists no data files")
     val qToRel = m.dataEntries.map(e =>
       fs.makeQualified(new Path(root, e.rel)).toString -> e.rel).toMap
+    // tag the file name AT THE SCAN, before the delete anti-join: an
+    // exchange in that join (delete set above the broadcast threshold)
+    // would evaluate input_file_name() on post-shuffle rows — empty
+    // strings, not file names (the same ordering mergeCoW's unbounded
+    // probe uses)
+    val fileTag = "__graft_input_file" // no collision with table cols
     val snap = applyDeletes(spark, root,
       readFiles(spark, m.dataEntries.map(e =>
-        new Path(root, e.rel).toString), m.schema), m)
+          new Path(root, e.rel).toString), m.schema)
+        .withColumn(fileTag, input_file_name()), m)
     val affectedRels = snap.where(predicate)
-      .select(input_file_name().as("_f")).distinct()
+      .select(fileTag).distinct()
       .collect().flatMap(r => // O(files) rows — bounded collect
         qToRel.get(fs.makeQualified(new Path(r.getString(0))).toString))
       .toSet

@@ -29,10 +29,11 @@ import graft.sources.ManifestTable
   *    OUTPUT files as added — re-reading them would re-deliver every
   *    carried row, so the tail FAILS LOUDLY on one by default;
   *    `.option("onRewriteCommits", "skip")` ignores rewrite commits'
-  *    files (Delta's `skipChangeCommits`), `"redeliver"` opts into the
-  *    file-granularity re-delivery (reconcile by key downstream), and
-  *    CDF mode (below) is the row-level answer. See
-  *    [[RewriteCommitPolicy]].
+  *    files (Delta's `skipChangeCommits` — sound for row-preserving
+  *    compactions only; a merge's upsert rows are in those files and
+  *    would be lost), `"redeliver"` opts into the file-granularity
+  *    re-delivery (reconcile by key downstream), and CDF mode (below)
+  *    is the row-level answer. See [[RewriteCommitPolicy]].
   *
   * Schema: resolved from the table's newest committed schema at stream
   * start; every batch PROJECTS onto it, so an add-column evolution
@@ -131,8 +132,14 @@ class ManifestStreamProvider extends StreamSourceProvider
   *  - [[RewriteFail]] (DEFAULT): throw loudly — exactly-once ROW
   *    semantics cannot be silently broken; pick a policy explicitly.
   *  - [[RewriteSkip]]: drop the rewrite commit's added files entirely
-  *    (Delta's `skipChangeCommits`) — appends flow, rewrites are
-  *    invisible; sound because a rewrite ADDS no rows by contract.
+  *    (Delta's `skipChangeCommits`, which carries the same caveat) —
+  *    appends flow, rewrites are invisible. Sound ONLY for
+  *    row-preserving rewrites (optimize / zorder compactions, restore):
+  *    a [[ManifestTable.mergeCoW]] commit is ALSO classified a rewrite
+  *    and its UPSERT rows land in the skipped files — a merge-maintained
+  *    table under `skip` silently loses those rows from the tail. Tables
+  *    with merge traffic need CDF mode (row-level, rewrite-safe) or
+  *    `redeliver` + downstream key reconciliation.
   *  - [[RewriteRedeliver]]: the historical file-granularity behavior
   *    (every added file flows; consumers reconcile by key downstream).
   * CDF mode is unaffected — [[ManifestTable.readChangesBetween]]
@@ -385,16 +392,27 @@ class ManifestStreamSource(spark: SparkSession, root: String,
     // rows to the tail — their key-only files are not data (the same
     // caveat as rewrite commits; a row-level CDC consumer uses
     // ManifestTable.readChangesBetween, which tags them 'delete').
-    // Per-commit walk (one manifest pair per version — the batch is
-    // usually one commit): a commit that REMOVED data files is a
-    // REWRITE, handled by the configured policy (see
-    // [[RewriteCommitPolicy]]). A file added then removed inside one
-    // batch span still flows (it is on disk until vacuumed) — per-
-    // commit delivery, not span-diff delivery.
+    // Walk the RETAINED versions in (fromV, endV] pairwise (the batch
+    // is usually one commit, so usually one pair): a vacuum may have
+    // retired manifests inside the span (tag floors retain
+    // non-contiguous versions), and the diff across a retired gap is
+    // the NET change — an interval whose diff removed data files is
+    // classified a REWRITE, handled by the configured policy (see
+    // [[RewriteCommitPolicy]]); fromV itself must still be retained,
+    // or the consumer genuinely fell behind the vacuum and fails
+    // loudly below.
     def isDel(rel: String) = rel.startsWith("deletes/")
-    val perCommit = (fromV + 1 to endV).map { v =>
-      val (a, r) = ManifestTable.changedFiles(spark, root, v - 1, v)
-      (v, a, r.exists(!isDel(_)))
+    val retained = ManifestTable.versions(spark, root)
+    if (!retained.contains(fromV))
+      throw new IllegalStateException(
+        s"manifest tail of $root: checkpointed version $fromV was " +
+          s"vacuumed (retained: ${retained.mkString(",")}) — the " +
+          "consumer fell behind the retention window; reset the " +
+          "checkpoint or re-snapshot")
+    val walk = fromV +: retained.filter(v => v > fromV && v <= endV)
+    val perCommit = walk.zip(walk.tail).map { case (a0, b0) =>
+      val (a, r) = ManifestTable.changedFiles(spark, root, a0, b0)
+      (b0, a, r.exists(!isDel(_)))
     }
     val rewrites = perCommit.filter(_._3).map(_._1)
     val kept = onRewriteCommits match {

@@ -1118,6 +1118,75 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root).count() === li.count())
   }
 
+  test("review r17: updateWhere evaluates the predicate and every SET " +
+      "expression against the ORIGINAL row (swap-shape and " +
+      "predicate-on-assigned-column updates)") {
+    val root = freshRoot()
+    ManifestTable.overwrite(spark, root,
+      docs.select(col("doc_id"), col("lang"), col("text")))
+    // predicate on a column the update itself reassigns: every 'de'
+    // row gets lang='xx' AND its text suffixed — a sequential
+    // withColumn fold would flip lang first and never suffix text
+    val nDe = docs.where(col("lang") === "de").count()
+    ManifestTable.updateWhere(spark, root, col("lang") === "de", Seq(
+      "lang" -> lit("xx"),
+      "text" -> concat(col("text"), lit(" [was-de]"))))
+    val got = ManifestTable.read(spark, root)
+    assert(got.where(col("lang") === "de").count() === 0)
+    assert(got.where(col("text").endsWith(" [was-de]")).count() === nDe,
+      "the second SET saw the already-updated predicate column")
+    assert(got.where(col("lang") === "xx" &&
+      !col("text").endsWith(" [was-de]")).count() === 0)
+    // swap shape: SET lang = text-derived, text = lang-derived — both
+    // RHS must read the ORIGINAL columns
+    val root2 = freshRoot()
+    ManifestTable.overwrite(spark, root2,
+      docs.limit(10).select(col("doc_id"), col("lang"),
+        col("lang").as("lang2")))
+    ManifestTable.updateWhere(spark, root2, lit(true), Seq(
+      "lang" -> concat(col("lang2"), lit("_a")),
+      "lang2" -> concat(col("lang"), lit("_b"))))
+    val r2 = ManifestTable.read(spark, root2)
+    assert(r2.where(col("lang2").endsWith("_a_b")).count() === 0,
+      "the swap's second SET read the first SET's output")
+    assert(r2.where(!col("lang").endsWith("_a") ||
+      !col("lang2").endsWith("_b")).count() === 0)
+  }
+
+  test("review r17: CDF surfaces un-deleted keys living in CARRIED " +
+      "files after a restore that also re-adds other data files " +
+      "(the mixed merge-then-restore shape)") {
+    val root = freshRoot()
+    // two clustered files: low half / high half of the key domain
+    ManifestTable.overwrite(spark, root,
+      docs.repartitionByRange(2, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      boundsCol = Some("doc_id")) // v1: files A (low), B (high)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length / 2)
+    // delete keys in the LOW file only
+    val delKeys = docs.where(col("doc_id") < cut &&
+      col("doc_id") % 3 === 0).select("doc_id")
+    ManifestTable.deleteWhereKeyIn(spark, root, "doc_id", delKeys) // v2
+    // a same-key merge touching only the HIGH file (delete set carried
+    // verbatim into a fresh... no: untouched → carried verbatim)
+    val hi = docs.where(col("doc_id") >= cut).orderBy(col("doc_id").desc)
+      .limit(1).withColumn("text", lit("merged"))
+    ManifestTable.mergeCoW(spark, root, "doc_id",
+      removeKeys = hi.select("doc_id").limit(0), upserts = hi) // v3
+    val v4 = ManifestTable.restore(spark, root, 1) // un-delete all
+    val cdc = ManifestTable.readChangesBetween(spark, root, 3, v4)
+    // the restore drops the delete file AND swaps data files (v3's
+    // rewrite out, v1's B back in) — added data files exist, yet the
+    // resurrected keys live in the CARRIED low file and must surface
+    val resurrected = cdc.where(col("_change") === "insert")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect = delKeys.collect().map(_.getLong(0)).toSet
+    assert(expect.subsetOf(resurrected),
+      s"un-deleted carried-file keys missing from CDF: " +
+        s"${(expect -- resurrected).take(5)}")
+  }
+
   test("named tags: carried across optimize, a vacuum retention " +
       "floor, removeTag frees it, unknown tags fail loudly") {
     val root = freshRoot()

@@ -120,6 +120,28 @@ class ManifestStreamSpec extends SparkSpec {
       "redeliver did not re-deliver the carried rows")
   }
 
+  test("review r17: a tail resumes across a vacuum GAP when its own " +
+      "checkpointed version is retained (tag floor keeps v1, middles " +
+      "retired) — rows arrive exactly once via the net diff") {
+    val base = Files.createTempDirectory("graft-mstream").toString
+    val root = s"$base/tbl"
+    val (ck, out) = (s"$base/ck", s"$base/out")
+    ManifestTable.overwrite(spark, root, slice(0)) // v1
+    drain(root, ck, out) // cursor checkpointed AT v1
+    ManifestTable.addTag(spark, root, "cursor", 1) // v2 (header-only)
+    ManifestTable.append(spark, root, slice(1))    // v3
+    ManifestTable.append(spark, root, slice(2))    // v4
+    // retire the MIDDLE manifests while the cursor still points at the
+    // tagged v1: retain=1 keeps {v1 (tag floor), v4}, drops v2/v3 — the
+    // resume's batch (1, 4] spans a manifest gap
+    ManifestTable.vacuum(spark, root, retain = 1, orphanRetentionMs = 0L)
+    assert(ManifestTable.versions(spark, root) === Seq(1, 4))
+    drain(root, ck, out)
+    assert(ids(spark.read.parquet(out)) ===
+      ids(slice(0).unionByName(slice(1)).unionByName(slice(2))),
+      "resume across a vacuum gap lost or duplicated rows")
+  }
+
   test("startingVersion skips the snapshot: only commits >= v arrive") {
     val base = Files.createTempDirectory("graft-mstream").toString
     val root = s"$base/tbl"

@@ -759,9 +759,9 @@ private[sources] class GraftMetaTable(ident: String, tableRoot: String,
       case "history" =>
         ManifestTable.history(spark, tableRoot)
           .map(c => (c.version, c.timestampMs, c.dataFiles,
-            c.deleteFiles, c.rows))
+            c.deleteFiles, c.rows, c.kind))
           .toDF("version", "timestamp_ms", "data_files", "delete_files",
-            "n_rows")
+            "n_rows", "commit_kind")
       case "files" =>
         ManifestTable.fileStats(spark, tableRoot)
           .map { case (rel, bounds, rows, bytes) =>

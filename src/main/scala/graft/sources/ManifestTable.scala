@@ -309,6 +309,32 @@ object ManifestTable {
     * [[overwrite]] resets them with everything else. */
   private val TagPrefix = "tag-"
 
+  /** COMMIT-KIND header: every commit stamps WHY it happened —
+    * `append | overwrite | delete | compact | merge | restore |
+    * rowdelete | rowupdate | metadata` — the provenance the manifest
+    * otherwise loses (a file diff says WHAT changed, never why). The
+    * consumer that needs it is the streaming append tail's `skip`
+    * policy ([[graft.streaming.RewriteCommitPolicy]]): a rewrite
+    * commit is skippable exactly when it creates NO row the tail has
+    * not already delivered — true for `compact` (a permutation of
+    * delivered rows) and `rowdelete` (surviving rows only), false for
+    * `merge` (upserts are new rows) and `rowupdate` (updated rows are
+    * new row versions) — and the kind header is what makes that
+    * decision provable instead of documented. Every commit OVERRIDES
+    * the kind (never carried — [[restore]] replicates headers verbatim
+    * and must still read `restore`); a manifest without the header is
+    * a pre-kind commit and reads as unknown (consumers fail
+    * conservatively). */
+  private val KindKey = "commit-kind"
+
+  /** The stamped kind of a committed version; None for pre-kind
+    * manifests (unknown — consumers must treat it conservatively). */
+  def commitKindOf(spark: SparkSession, root: String,
+                   version: Int): Option[String] = {
+    val fs = fsOf(spark, new Path(root))
+    headersOf(fs, root, version).get(KindKey)
+  }
+
   /** Headers that ride every evolutionary commit (append / merge /
     * delete / optimize) — writer cursors, constraints, and tags must
     * survive compaction; only [[overwrite]] resets them. */
@@ -938,7 +964,8 @@ object ManifestTable {
       (if (statsCols.nonEmpty) Map(StatsKey -> statsCols.mkString(","))
        else Map.empty[String, String]) ++
       (if (bloomCols.nonEmpty) Map(BloomKey -> bloomCols.mkString(","))
-       else Map.empty[String, String]) + schemaHeader(df.schema)
+       else Map.empty[String, String]) +
+      schemaHeader(df.schema) + (KindKey -> "overwrite")
     if (!tryCommit(fs, root, base + 1, staged, headers))
       throw new java.util.ConcurrentModificationException(
         s"version ${base + 1} of $root was committed concurrently; " +
@@ -1076,7 +1103,7 @@ object ManifestTable {
         // writer markers + constraints: an append must not amnesia a
         // sink's cursor or shed the table's invariants
         bm.map(m => carriedHeaders(m.headers)).getOrElse(Map.empty) ++
-        outSchema.map(SchemaKey -> _.json).toMap
+        outSchema.map(SchemaKey -> _.json).toMap + (KindKey -> "append")
       if (tryCommit(fs, root, v, baseLines ++ stagedOut, headers)) return v
       attempt += 1
     }
@@ -1103,7 +1130,10 @@ object ManifestTable {
       s"cannot restore $root to $toVersion (have ${vs.mkString(",")})")
     val m = loadManifest(fs, root, toVersion)
     val v = vs.last + 1
-    if (!tryCommit(fs, root, v, m.entryLines, m.headers))
+    // headers replicate verbatim EXCEPT the kind: this commit is a
+    // restore whatever the target version's commit was
+    if (!tryCommit(fs, root, v, m.entryLines,
+        m.headers + (KindKey -> "restore")))
       throw new java.util.ConcurrentModificationException(
         s"restore of $root lost the commit race for version $v; rerun")
     v
@@ -1167,7 +1197,8 @@ object ManifestTable {
       require(bm.deleteCols.isEmpty || bm.deleteCols == keyCols,
         s"a concurrent commit set the delete columns of $root to " +
           bm.deleteCols.mkString(", "))
-      val headers = bm.headers + (DeleteKey -> keyCols.mkString(","))
+      val headers = bm.headers + (DeleteKey -> keyCols.mkString(",")) +
+        (KindKey -> "delete")
       if (tryCommit(fs, root, base + 1, bm.entryLines ++ staged, headers))
         return base + 1
       attempt += 1
@@ -1240,8 +1271,9 @@ object ManifestTable {
     //    dropped, data files untouched — or the carried remainder of a
     //    partial rewrite) are emitted HERE: the carried files
     //    semi-joined to the un-deleted key set. Suppressed-elsewhere
-    //    keys can't leak: the semi-join keys are by construction
-    //    absent from the to-version's outstanding delete set.
+    //    keys can't leak: the un-deleted set is anti-joined against
+    //    toVersion's WHOLE outstanding delete set (carried delete
+    //    files included), so every semi-join key is genuinely live.
     def isDel(rel: String) = rel.startsWith("deletes/")
     val base = side(added.filterNot(isDel), toVersion, "insert")
       .unionByName(side(added.filter(isDel), toVersion, "delete"),
@@ -1259,13 +1291,20 @@ object ManifestTable {
       val oldKeys = spark.read.parquet(undropped.map(r =>
         new Path(root, r).toString): _*)
         .select(ks.map(col): _*).distinct()
-      val newDel = added.filter(isDel)
-      val unDeleted =
-        if (newDel.isEmpty) oldKeys
-        else oldKeys.join(spark.read.parquet(newDel.map(r =>
-            new Path(root, r).toString): _*)
-          .select(ks.map(col): _*).distinct(), ks, "left_anti")
       val mTo = loadManifest(fs, root, toVersion)
+      // a key is UN-deleted only when it is absent from toVersion's
+      // WHOLE outstanding delete set — added delete files alone are
+      // not enough: two delete commits can hold overlapping keys, and
+      // a restore across the later one removes deletes/d2 while
+      // CARRYING deletes/d1, so a shared key must stay suppressed (an
+      // added-only anti-join would emit it as a false 'insert' and a
+      // CDC mirror would resurrect it)
+      val outstanding = mTo.deleteEntries.map(e =>
+        new Path(root, e.rel).toString)
+      val unDeleted =
+        if (outstanding.isEmpty) oldKeys
+        else oldKeys.join(spark.read.parquet(outstanding: _*)
+          .select(ks.map(col): _*).distinct(), ks, "left_anti")
       val addedSet = added.toSet
       val carried = mTo.dataEntries.map(_.rel)
         .filterNot(addedSet.contains)
@@ -1345,7 +1384,7 @@ object ManifestTable {
       // writer markers + constraints: compaction must not amnesia a
       // sink's cursor or shed the table's invariants
       carriedHeaders(m.headers) ++
-      base.schema.map(SchemaKey -> _.json).toMap
+      base.schema.map(SchemaKey -> _.json).toMap + (KindKey -> "compact")
     if (!tryCommit(fs, root, base.version + 1, staged, headers))
       throw new java.util.ConcurrentModificationException(
         s"optimize of $root lost the commit race for version " +
@@ -1407,7 +1446,7 @@ object ManifestTable {
       (if (bloomCs.nonEmpty) Map(BloomKey -> bloomCs.mkString(","))
        else Map.empty[String, String]) ++
       carriedHeaders(m.headers) ++
-      base.schema.map(SchemaKey -> _.json).toMap
+      base.schema.map(SchemaKey -> _.json).toMap + (KindKey -> "compact")
     if (!tryCommit(fs, root, base.version + 1, staged, headers))
       throw new java.util.ConcurrentModificationException(
         s"optimizeZOrder of $root lost the commit race for version " +
@@ -1482,7 +1521,8 @@ object ManifestTable {
       s"existing data of $root")
     val m = loadManifest(fs, root, v)
     if (!tryCommit(fs, root, v + 1, m.entryLines,
-        m.headers + ((ConstraintPrefix + name) -> exprSql)))
+        m.headers + ((ConstraintPrefix + name) -> exprSql) +
+          (KindKey -> "metadata")))
       throw new java.util.ConcurrentModificationException(
         s"addConstraint on $root lost the commit race; rerun")
     v + 1
@@ -1498,7 +1538,7 @@ object ManifestTable {
     require(m.headers.contains(ConstraintPrefix + name),
       s"no constraint named $name on $root")
     if (!tryCommit(fs, root, v + 1, m.entryLines,
-        m.headers - (ConstraintPrefix + name)))
+        m.headers - (ConstraintPrefix + name) + (KindKey -> "metadata")))
       throw new java.util.ConcurrentModificationException(
         s"dropConstraint on $root lost the commit race; rerun")
     v + 1
@@ -1509,7 +1549,8 @@ object ManifestTable {
     * row count when stats allow. */
   case class CommitInfo(version: Int, timestampMs: Long,
                         dataFiles: Int, deleteFiles: Int,
-                        rows: Option[Long])
+                        rows: Option[Long],
+                        kind: Option[String] = None)
 
   /** DESCRIBE HISTORY: every retained version, oldest first. O(versions)
     * manifest reads, zero data IO. Commit instants start from the
@@ -1539,7 +1580,8 @@ object ManifestTable {
         if (des > 0 || m.entries.isEmpty ||
             m.entries.exists(_.rows.isEmpty)) None
         else Some(m.entries.map(_.rows.get).sum)
-      CommitInfo(v, eff, m.entries.size - des, des, rows)
+      CommitInfo(v, eff, m.entries.size - des, des, rows,
+        m.headers.get(KindKey))
     }
   }
 
@@ -1586,6 +1628,13 @@ object ManifestTable {
   def addTag(spark: SparkSession, root: String, name: String,
              version: Int): Int = {
     requireTxnId(name) // same identifier alphabet as writer markers
+    // a digit-only tag would be silently shadowed by the integer
+    // version of the same spelling in the SQL catalog's VERSION AS OF
+    // resolution (an integer literal wins) — reject at declaration
+    // rather than resolve ambiguously at read time
+    require(!name.forall(_.isDigit),
+      s"tag name '$name' is all digits — VERSION AS OF would resolve " +
+        "it as a version number, never the tag; pick a non-numeric name")
     val fs = fsOf(spark, new Path(root))
     val vs = versions(spark, root)
     require(vs.contains(version),
@@ -1593,7 +1642,8 @@ object ManifestTable {
         s"(have ${vs.mkString(",")}) — vacuumed or never committed")
     val m = loadManifest(fs, root, vs.last)
     if (!tryCommit(fs, root, vs.last + 1, m.entryLines,
-        m.headers + ((TagPrefix + name) -> version.toString)))
+        m.headers + ((TagPrefix + name) -> version.toString) +
+          (KindKey -> "metadata")))
       throw new java.util.ConcurrentModificationException(
         s"addTag on $root lost the commit race; rerun")
     vs.last + 1
@@ -1609,7 +1659,7 @@ object ManifestTable {
     require(m.headers.contains(TagPrefix + name),
       s"no tag named $name on $root")
     if (!tryCommit(fs, root, v + 1, m.entryLines,
-        m.headers - (TagPrefix + name)))
+        m.headers - (TagPrefix + name) + (KindKey -> "metadata")))
       throw new java.util.ConcurrentModificationException(
         s"removeTag on $root lost the commit race; rerun")
     v + 1
@@ -1843,7 +1893,7 @@ object ManifestTable {
       carriedHeaders(m.headers) ++
       txn.map { case (app, ver) =>
         requireTxnId(app); (TxnPrefix + app) -> ver.toString }.toMap ++
-      tableSchema.map(SchemaKey -> _.json).toMap
+      tableSchema.map(SchemaKey -> _.json).toMap + (KindKey -> "merge")
     if (!tryCommit(fs, root, baseVersion + 1, outLines, headers))
       throw new java.util.ConcurrentModificationException(
         s"merge into $root lost the commit race for version " +
@@ -1868,7 +1918,7 @@ object ManifestTable {
       : (Int, Int, Int) =
     rewriteWhere(spark, root, predicate,
       affected => affected.where(!coalesce(predicate, lit(false))),
-      validateCheck = false)
+      validateCheck = false, kind = "rowdelete")
 
   /** ROW-LEVEL COPY-ON-WRITE UPDATE (`UPDATE t SET c = e WHERE p` —
     * the redaction/correction shape a takedown pipeline needs):
@@ -1910,7 +1960,8 @@ object ManifestTable {
             .getOrElse(col(c))
         }: _*)
       },
-      validateCheck = true)
+      validateCheck = true, kind = "rowupdate",
+      assignedCols = assignments.map(_._1))
   }
 
   /** Shared CoW row-rewrite: probe for affected files, transform their
@@ -1920,7 +1971,9 @@ object ManifestTable {
   private def rewriteWhere(spark: SparkSession, root: String,
                            predicate: org.apache.spark.sql.Column,
                            transform: DataFrame => DataFrame,
-                           validateCheck: Boolean): (Int, Int, Int) = {
+                           validateCheck: Boolean, kind: String,
+                           assignedCols: Seq[String] = Seq.empty)
+      : (Int, Int, Int) = {
     val fs = fsOf(spark, new Path(root))
     val baseVersion = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(
@@ -1957,6 +2010,24 @@ object ManifestTable {
       case (hk, hv) if hk.startsWith(ConstraintPrefix) =>
         hk.stripPrefix(ConstraintPrefix) -> hv
     }.toMap, s"rewrite of $root")
+    // RESURRECTION GUARD, rewrite-side: an assignment that SETs a
+    // delete-key column can write a suppressed key INTO the rewritten
+    // rows — they would silently vanish from every read (the delete
+    // files carry verbatim below). The same guard append runs on
+    // incoming rows, run on the rewritten output exactly when an
+    // assignment targets a delete-key column (delta×affected-sized).
+    if (m.deleteEntries.nonEmpty &&
+        assignedCols.exists(m.deleteCols.contains)) {
+      val ks = m.deleteCols
+      val delKeys = spark.read.parquet(m.deleteEntries.map(e =>
+          new Path(root, e.rel).toString): _*)
+        .select(ks.map(col): _*).distinct()
+      require(rewritten.join(delKeys, ks, "left_semi").take(1).isEmpty,
+        s"rewrite of $root would SET (${ks.mkString(", ")}) to " +
+          "equality-deleted key(s) — the rewritten rows would be " +
+          "suppressed by the outstanding delete set on every read; " +
+          "run optimize first, or assign a non-deleted key")
+    }
     def stampable(k: String) = rewritten.schema.fieldNames.contains(k) &&
       scala.util.Try(statExpr(rewritten.schema, k)).isSuccess
     val stampCol = m.boundsCol.filter(k =>
@@ -1971,7 +2042,8 @@ object ManifestTable {
         "use overwrite to truncate a table")
     val outLines = carryE.map(_.line) ++ staged ++
       m.deleteEntries.map(_.line)
-    if (!tryCommit(fs, root, baseVersion + 1, outLines, m.headers))
+    if (!tryCommit(fs, root, baseVersion + 1, outLines,
+        m.headers + (KindKey -> kind)))
       throw new java.util.ConcurrentModificationException(
         s"rewrite of $root lost the commit race for version " +
           s"${baseVersion + 1}; rerun against the new base")

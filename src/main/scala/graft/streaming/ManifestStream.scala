@@ -29,11 +29,13 @@ import graft.sources.ManifestTable
   *    OUTPUT files as added — re-reading them would re-deliver every
   *    carried row, so the tail FAILS LOUDLY on one by default;
   *    `.option("onRewriteCommits", "skip")` ignores rewrite commits'
-  *    files (Delta's `skipChangeCommits` — sound for row-preserving
-  *    compactions only; a merge's upsert rows are in those files and
-  *    would be lost), `"redeliver"` opts into the file-granularity
-  *    re-delivery (reconcile by key downstream), and CDF mode (below)
-  *    is the row-level answer. See [[RewriteCommitPolicy]].
+  *    files (Delta's `skipChangeCommits`) — ENFORCED sound via the
+  *    `#commit-kind=` header: only provably row-preserving rewrites
+  *    (compact, rowdelete) skip, a merge/rowupdate/unknown-kind
+  *    rewrite fails loudly instead of silently losing its new rows;
+  *    `"redeliver"` opts into the file-granularity re-delivery
+  *    (reconcile by key downstream), and CDF mode (below) is the
+  *    row-level answer. See [[RewriteCommitPolicy]].
   *
   * Schema: resolved from the table's newest committed schema at stream
   * start; every batch PROJECTS onto it, so an add-column evolution
@@ -132,14 +134,19 @@ class ManifestStreamProvider extends StreamSourceProvider
   *  - [[RewriteFail]] (DEFAULT): throw loudly — exactly-once ROW
   *    semantics cannot be silently broken; pick a policy explicitly.
   *  - [[RewriteSkip]]: drop the rewrite commit's added files entirely
-  *    (Delta's `skipChangeCommits`, which carries the same caveat) —
-  *    appends flow, rewrites are invisible. Sound ONLY for
-  *    row-preserving rewrites (optimize / zorder compactions, restore):
-  *    a [[ManifestTable.mergeCoW]] commit is ALSO classified a rewrite
-  *    and its UPSERT rows land in the skipped files — a merge-maintained
-  *    table under `skip` silently loses those rows from the tail. Tables
-  *    with merge traffic need CDF mode (row-level, rewrite-safe) or
-  *    `redeliver` + downstream key reconciliation.
+  *    (Delta's `skipChangeCommits`) — appends flow, rewrites are
+  *    invisible. ENFORCED-sound via the manifest's `#commit-kind=`
+  *    header ([[ManifestTable.commitKindOf]]): a rewrite is skippable
+  *    exactly when it creates NO row the tail has not already
+  *    delivered — `compact` (a permutation of delivered rows) and
+  *    `rowdelete` (surviving delivered rows only) skip; `merge`
+  *    (upserts are NEW rows) and `rowupdate` (updated rows are new
+  *    row versions) FAIL LOUDLY instead of silently losing them —
+  *    those tables need CDF mode (row-level, rewrite-safe) or
+  *    `redeliver` + downstream key reconciliation. A rewrite whose
+  *    kind is UNKNOWN (pre-kind manifest, or a vacuum gap folding
+  *    several commits into one net diff) also fails — unknown must
+  *    never silently drop rows.
   *  - [[RewriteRedeliver]]: the historical file-granularity behavior
   *    (every added file flows; consumers reconcile by key downstream).
   * CDF mode is unaffected — [[ManifestTable.readChangesBetween]]
@@ -409,10 +416,29 @@ class ManifestStreamSource(spark: SparkSession, root: String,
           s"vacuumed (retained: ${retained.mkString(",")}) — the " +
           "consumer fell behind the retention window; reset the " +
           "checkpoint or re-snapshot")
+    // endV must itself be retained: maxVersionsPerTrigger can pace
+    // endV behind the newest version, and a vacuum between
+    // latestOffset and getBatch could retire it — the pairwise walk
+    // below would then silently end at the last retained version
+    // <= endV and the committed batch would under-deliver every row
+    // in (lastRetained, endV]. Fail THIS batch loudly instead of
+    // letting the next one discover the gap after the loss committed.
+    if (!retained.contains(endV))
+      throw new IllegalStateException(
+        s"manifest tail of $root: batch end version $endV was " +
+          s"vacuumed between offset resolution and batch planning " +
+          s"(retained: ${retained.mkString(",")}) — rows in the gap " +
+          "would be lost; re-run the trigger (the next offset " +
+          "resolves from the retained history)")
     val walk = fromV +: retained.filter(v => v > fromV && v <= endV)
     val perCommit = walk.zip(walk.tail).map { case (a0, b0) =>
       val (a, r) = ManifestTable.changedFiles(spark, root, a0, b0)
-      (b0, a, r.exists(!isDel(_)))
+      // the commit KIND is knowable only for a contiguous step — a
+      // vacuum gap folds several commits into one net diff whose
+      // constituent kinds are unreadable (retired manifests): unknown
+      val kind = if (b0 == a0 + 1)
+        ManifestTable.commitKindOf(spark, root, b0) else None
+      (b0, a, r.exists(!isDel(_)), kind)
     }
     val rewrites = perCommit.filter(_._3).map(_._1)
     val kept = onRewriteCommits match {
@@ -426,7 +452,27 @@ class ManifestStreamSource(spark: SparkSession, root: String,
             "re-delivery, or consume the change feed " +
             "(readChangeFeed=true) for row-level semantics")
         perCommit
-      case RewriteSkip => perCommit.filterNot(_._3)
+      case RewriteSkip =>
+        // PROVABLY row-preserving kinds only (see RewriteCommitPolicy):
+        // compact permutes delivered rows, rowdelete keeps a subset of
+        // them — skipping loses nothing an append tail could express.
+        // merge/rowupdate CREATE rows the tail has not delivered, and
+        // an unknown kind (pre-kind manifest, vacuum-gap net diff)
+        // might — fail loudly instead of silently losing them.
+        val rowPreserving = Set("compact", "rowdelete")
+        val unsafe = perCommit.filter(c =>
+          c._3 && !c._4.exists(rowPreserving.contains))
+        if (unsafe.nonEmpty) throw new IllegalStateException(
+          s"manifest tail of $root: onRewriteCommits=skip cannot " +
+            "soundly drop rewrite commit(s) " +
+            unsafe.map(c => s"v${c._1}(kind=${c._4.getOrElse("unknown")})")
+              .mkString(", ") +
+            " — only row-preserving rewrites (compact, rowdelete) are " +
+            "skippable; a merge's upserts / an update's new row " +
+            "versions live in the skipped files. Consume the change " +
+            "feed (readChangeFeed=true) for row-level semantics, or " +
+            "\"redeliver\" + key reconciliation downstream")
+        perCommit.filterNot(_._3)
       case RewriteRedeliver => perCommit
     }
     val rels = kept.flatMap(_._2).distinct.filterNot(isDel)

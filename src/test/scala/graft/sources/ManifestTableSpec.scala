@@ -1250,4 +1250,101 @@ class ManifestTableSpec extends SparkSpec {
       === ManifestTable.read(spark, root2).count(),
       "compaction CDF emitted phantom un-delete inserts")
   }
+
+  test("advisor r17: CDF un-delete anti-joins the FULL outstanding " +
+      "delete set of toVersion — a restore across the LATER of two " +
+      "overlapping delete commits emits no false inserts for keys the " +
+      "carried earlier delete file still suppresses") {
+    val root = freshRoot()
+    ManifestTable.overwrite(spark, root,
+      docs.repartitionByRange(2, col("doc_id"))
+        .sortWithinPartitions("doc_id")) // v1
+    val k1 = docs.where(col("doc_id") % 3 === 0).select("doc_id")
+    val k2 = docs.where(col("doc_id") % 6 === 0).select("doc_id") // ⊂ k1
+    ManifestTable.deleteWhereKeyIn(spark, root, "doc_id", k1) // v2: d1
+    val v3 = ManifestTable.deleteWhereKeyIn(spark, root, "doc_id", k2)
+    // restore to v2: deletes/d2 dropped, deletes/d1 + data CARRIED —
+    // every d2 key is still suppressed by the carried d1
+    val v4 = ManifestTable.restore(spark, root, 2)
+    val cdc = ManifestTable.readChangesBetween(spark, root, v3, v4)
+    assert(cdc.where(col("_change") === "insert").count() === 0,
+      "keys still suppressed by the CARRIED delete file surfaced as " +
+        "false un-delete inserts")
+    // and the table itself agrees: k1 stays suppressed
+    assert(ManifestTable.read(spark, root)
+      .where(col("doc_id") % 3 === 0).count() === 0)
+  }
+
+  test("advisor r17: updateWhere refuses to SET the delete-key column " +
+      "to an equality-deleted value (the write-side resurrection " +
+      "hazard); a non-deleted target value passes") {
+    val root = freshRoot()
+    ManifestTable.overwrite(spark, root, docs) // v1
+    ManifestTable.deleteWhereKeyIn(spark, root, "doc_id",
+      docs.where(col("doc_id") % 5 === 0).select("doc_id")) // v2
+    val deleted = docs.where(col("doc_id") % 5 === 0)
+      .select("doc_id").head().getLong(0)
+    val live = docs.where(col("doc_id") % 5 =!= 0)
+      .select("doc_id").head().getLong(0)
+    val vBefore = ManifestTable.currentVersion(spark, root)
+    val ex = intercept[IllegalArgumentException] {
+      ManifestTable.updateWhere(spark, root, col("doc_id") === live,
+        Seq("doc_id" -> lit(deleted)))
+    }
+    assert(ex.getMessage.contains("equality-deleted"),
+      s"wrong failure: ${ex.getMessage}")
+    assert(ManifestTable.currentVersion(spark, root) === vBefore,
+      "the rejected update committed anyway")
+    // assigning a FRESH key value is fine (guard probes, not rejects)
+    val fresh = docs.agg(max(col("doc_id"))).head().getLong(0) + 1000
+    val (v, _, rw) = ManifestTable.updateWhere(spark, root,
+      col("doc_id") === live, Seq("doc_id" -> lit(fresh)))
+    assert(rw > 0 && ManifestTable.read(spark, root)
+      .where(col("doc_id") === fresh).count() === 1)
+    assert(v === vBefore.get + 1)
+  }
+
+  test("advisor r17: a digit-only tag name is rejected at declaration " +
+      "(VERSION AS OF would shadow it with the integer version)") {
+    val root = freshRoot()
+    ManifestTable.overwrite(spark, root, docs.limit(10))
+    val ex = intercept[IllegalArgumentException] {
+      ManifestTable.addTag(spark, root, "2", 1)
+    }
+    assert(ex.getMessage.contains("digits"))
+    // mixed names still pass
+    ManifestTable.addTag(spark, root, "v2", 1)
+    assert(ManifestTable.tags(spark, root) === Map("v2" -> 1))
+  }
+
+  test("commit-kind header: every commit records WHY it happened, " +
+      "restore overrides the replicated headers' kind, history " +
+      "surfaces it") {
+    val root = freshRoot()
+    ManifestTable.overwrite(spark, root,
+      docs.repartitionByRange(2, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      boundsCol = Some("doc_id"))                                // v1
+    ManifestTable.append(spark, root, docs.limit(5))             // v2
+    ManifestTable.deleteWhereKeyIn(spark, root, "doc_id",
+      docs.where(col("doc_id") % 9 === 0).select("doc_id"))      // v3
+    ManifestTable.optimize(spark, root, "doc_id", 2)             // v4
+    ManifestTable.mergeCoW(spark, root, "doc_id",
+      docs.where(col("doc_id") % 11 === 0).select("doc_id"),
+      docs.limit(0))                                             // v5
+    ManifestTable.deleteWhere(spark, root, col("doc_id") % 13 === 0) // v6
+    ManifestTable.updateWhere(spark, root, col("doc_id") % 17 === 0,
+      Seq("lang" -> lit("xx")))                                  // v7
+    ManifestTable.addTag(spark, root, "mark", 1)                 // v8
+    ManifestTable.restore(spark, root, 2)                        // v9
+    val kinds = ManifestTable.history(spark, root)
+      .map(c => c.version -> c.kind.getOrElse("?")).toMap
+    assert(kinds === Map(1 -> "overwrite", 2 -> "append",
+      3 -> "delete", 4 -> "compact", 5 -> "merge", 6 -> "rowdelete",
+      7 -> "rowupdate", 8 -> "metadata", 9 -> "restore"),
+      s"wrong kinds: $kinds")
+    // the restore replicated v2's headers but NOT its kind
+    assert(ManifestTable.commitKindOf(spark, root, 9)
+      === Some("restore"))
+  }
 }

@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -290,5 +292,94 @@ class ManifestStreamSpec extends SparkSpec {
       .join(feed.where(col("_change") === "delete").select("doc_id"),
         Seq("doc_id"), "left_anti")
     assert(ids(rebuilt) === ids(ManifestTable.read(spark, root)))
+  }
+
+  test("verdict r17: skip is ENFORCED sound — a merge-bearing history " +
+      "under skip fails loudly naming CDF/redeliver; a headerless " +
+      "(unknown-kind) rewrite fails the same way; compactions still " +
+      "skip silently") {
+    def drainSkip(base: String, root: String): Unit = {
+      val q = spark.readStream
+        .format(classOf[ManifestStreamProvider].getName)
+        .option("path", root).option("onRewriteCommits", "skip").load()
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // a MERGE commit under skip: upserts live in the skipped files —
+    // the tail must fail loudly instead of silently losing them
+    val b1 = Files.createTempDirectory("graft-skipkind").toString
+    ManifestTable.overwrite(spark, s"$b1/t", slice(0))
+    drainSkip(b1, s"$b1/t")
+    ManifestTable.mergeCoW(spark, s"$b1/t", "doc_id",
+      removeKeys = slice(0).select("doc_id").limit(0),
+      upserts = slice(0).limit(2).withColumn("text", lit("upd")))
+    val ex = intercept[org.apache.spark.sql.streaming
+      .StreamingQueryException] { drainSkip(b1, s"$b1/t") }
+    val msg = ex.getMessage +
+      Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("merge") && msg.contains("readChangeFeed"),
+      s"merge under skip did not fail loudly naming CDF: $msg")
+    // a HEADERLESS rewrite (pre-kind manifest): unknown must fail too
+    val b2 = Files.createTempDirectory("graft-skipkind").toString
+    ManifestTable.overwrite(spark, s"$b2/t", slice(0))
+    drainSkip(b2, s"$b2/t")
+    val (v, _, _) = ManifestTable.optimize(spark, s"$b2/t", "doc_id", 2)
+    // strip the #commit-kind= line from the compact commit's manifest
+    val mPath = java.nio.file.Paths.get(
+      s"$b2/t/_manifests/" + f"v$v%08d.manifest")
+    val stripped = java.nio.file.Files.readAllLines(mPath)
+      .asScala.filterNot(_.startsWith("#commit-kind=")).asJava
+    java.nio.file.Files.write(mPath, stripped)
+    // drop hadoop LocalFileSystem's checksum sidecar — the manual
+    // rewrite above invalidates it
+    java.nio.file.Files.deleteIfExists(mPath.resolveSibling(
+      "." + mPath.getFileName.toString + ".crc"))
+    val ex2 = intercept[org.apache.spark.sql.streaming
+      .StreamingQueryException] { drainSkip(b2, s"$b2/t") }
+    val msg2 = ex2.getMessage +
+      Option(ex2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg2.contains("unknown"),
+      s"headerless rewrite under skip did not fail as unknown: $msg2")
+    // and a genuine compaction still skips silently (q177's contract)
+    val b3 = Files.createTempDirectory("graft-skipkind").toString
+    ManifestTable.overwrite(spark, s"$b3/t", slice(0))
+    drainSkip(b3, s"$b3/t")
+    ManifestTable.optimize(spark, s"$b3/t", "doc_id", 2)
+    ManifestTable.append(spark, s"$b3/t", slice(1))
+    drainSkip(b3, s"$b3/t")
+    assert(ids(spark.read.parquet(s"$b3/out")) ===
+      ids(slice(0).unionByName(slice(1))))
+  }
+
+  test("advisor r17: a batch whose END version was vacuumed between " +
+      "offset resolution and planning fails loudly instead of " +
+      "committing an under-delivering batch") {
+    val base = Files.createTempDirectory("graft-endvac").toString
+    val root = s"$base/tbl"
+    ManifestTable.overwrite(spark, root, slice(0)) // v1
+    ManifestTable.append(spark, root, slice(1))    // v2
+    ManifestTable.append(spark, root, slice(2))    // v3
+    ManifestTable.addTag(spark, root, "start", 1)  // v4 (floor for v1)
+    // retain=1 keeps {v1 (tag floor), v4}; v2/v3 retire — a paced
+    // batch (1, 3] now ends at a vacuumed version
+    ManifestTable.vacuum(spark, root, retain = 1, orphanRetentionMs = 0L)
+    assert(ManifestTable.versions(spark, root) === Seq(1, 4))
+    val src = new ManifestStreamSource(spark, root, docs.schema,
+      startingVersion = None)
+    val ex = intercept[IllegalStateException] {
+      src.getBatch(Some(ManifestVersionOffset(1)),
+        ManifestVersionOffset(3))
+    }
+    assert(ex.getMessage.contains("batch end version"),
+      s"wrong failure: ${ex.getMessage}")
+    // the same batch ending at a RETAINED version still plans fine
+    // (getBatch resolves the file walk eagerly; the streaming frame
+    // itself only executes inside a query)
+    val ok = src.getBatch(Some(ManifestVersionOffset(1)),
+      ManifestVersionOffset(4))
+    assert(ok.isStreaming && ok.columns.toSeq === docs.columns.toSeq)
   }
 }

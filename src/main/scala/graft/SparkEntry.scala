@@ -675,6 +675,13 @@ object SparkEntry {
     // hash-gated against the rules replayed over raw parquet.
     "q179_merge_over_deletes" ->
       (graft.sources.ManifestTable.q179MergeOverDeletes _),
+    // q191 is TUPLE-KEYED delete sequencing: q179's three-case merge
+    // gate re-run on a q187-shaped composite-delete table — removes,
+    // whole-tuple resurrections, and untouched tuples staying
+    // suppressed via the consolidated delete file, all at
+    // (l_orderkey, l_linenumber) granularity.
+    "q191_composite_merge" ->
+      (graft.sources.ManifestTable.q191CompositeMerge _),
   )
 
   /** Shared by q162 (Scala rect read on the z-layout) and q188 (the
@@ -3990,6 +3997,29 @@ object SparkEntry {
         |  WHERE doc_id % 10 = 7)
         |SELECT doc_id, md5(text) AS text_md5 FROM f
         |ORDER BY doc_id""".stripMargin,
+    // q191: the tuple-granular sequencing rules replayed — composite-
+    // deleted (okey%5=0 ∧ odd line) tuples stay out unless their order
+    // is upserted (%10=5 replaces/resurrects at price+7), removes
+    // (%10=4) win over everything; identity-weighted sums make a
+    // partial-tuple slip hash-fatal.
+    "q191_composite_merge" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag,
+        |         round(l_extendedprice * 100)::BIGINT AS price_cents
+        |  FROM lineitem),
+        |merged AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag, price_cents
+        |  FROM base
+        |  WHERE NOT (l_orderkey % 5 = 0 AND l_linenumber % 2 = 1)
+        |    AND l_orderkey % 10 <> 4 AND l_orderkey % 10 <> 5
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_returnflag, price_cents + 7
+        |  FROM base WHERE l_orderkey % 10 = 5)
+        |SELECT l_returnflag, l_orderkey % 10 AS okey_mod,
+        |       count(*) AS n_rows,
+        |       sum(price_cents)::BIGINT AS sum_price_cents,
+        |       sum(l_orderkey * l_linenumber)::BIGINT AS sum_key_product
+        |FROM merged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 
   /** q57/q168's shared replay: the 2 Lloyd iterations (assignment by

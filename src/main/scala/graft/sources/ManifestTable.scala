@@ -270,12 +270,13 @@ object ManifestTable {
     * suppresses EVERY row of its key, past and future, until a
     * compaction ([[optimize]]) applies and drops it — so [[append]]
     * refuses keys in the outstanding delete set (resurrection needs a
-    * compaction or a merge first). [[mergeCoW]] SEQUENCES outstanding
-    * deletes when its merge key IS the delete column (rewrites read
+    * compaction or a merge first). [[mergeCoW]]/[[mergeCoWKeys]]
+    * SEQUENCE outstanding deletes when the merge key-set IS the delete
+    * column-set — single column or whole tuple alike (rewrites read
     * through the delete set, changed keys leave it, survivors carry or
     * consolidate — an upsert is therefore the keyed resurrection
-    * path); a merge on a DIFFERENT column cannot reconcile the two key
-    * spaces and is rejected loudly instead of wrong. */
+    * path); a merge on a DIFFERENT column-set cannot reconcile the two
+    * key spaces and is rejected loudly instead of wrong. */
   private val DeleteKey = "deletecol"
   /** TRANSACTIONAL WRITER MARKERS (Delta's `txn` action shape): a
     * `#txn-<appId>=<version>` header records the highest version an
@@ -1160,9 +1161,9 @@ object ManifestTable {
     * `keyCols` together form the equality tuple — a row is suppressed
     * when its WHOLE tuple appears in the delete set. One delete
     * column-set per table; later delete commits must use the same
-    * set. [[mergeCoW]]'s delete sequencing stays single-column (its
-    * merge key is one column); composite-delete tables take the
-    * optimize path to resurrection. */
+    * set. Resurrection: [[mergeCoWKeys]] keyed on exactly this
+    * column-set sequences the outstanding tuples (upsert = keyed
+    * resurrection), or [[optimize]] applies and drops them. */
   def deleteWhereKeysIn(spark: SparkSession, root: String,
                         keyCols: Seq[String], keys: DataFrame,
                         maxAttempts: Int = 20): Int = {
@@ -1693,45 +1694,68 @@ object ManifestTable {
 
   def mergeCoW(spark: SparkSession, root: String, keyCol: String,
                removeKeys: DataFrame, upserts: DataFrame,
-               txn: Option[(String, Long)] = None): (Int, Int, Int) = {
+               txn: Option[(String, Long)] = None): (Int, Int, Int) =
+    mergeCoWKeys(spark, root, Seq(keyCol), removeKeys, upserts, txn)
+
+  /** The TUPLE-KEYED merge (the [[mergeCoW]] contract with a composite
+    * key): rows are removed/replaced when their WHOLE `keyCols` tuple
+    * matches — the merge twin of [[deleteWhereKeysIn]]'s composite
+    * equality deletes, and the resurrection path for composite-delete
+    * tables (delete sequencing reconciles tuple-for-tuple when
+    * `keyCols` equals the table's delete column-set exactly). File
+    * pruning uses the FIRST key column's stored bounds (file stats are
+    * per-column [lo, hi]; stabbing on the leading column is a sound
+    * superset — a file holding a changed tuple always contains its
+    * leading value), so cluster composite-keyed tables on
+    * `keyCols.head`. `removeKeys` is a keyCols-relation; `upserts`
+    * carries full rows. */
+  def mergeCoWKeys(spark: SparkSession, root: String,
+                   keyCols: Seq[String],
+                   removeKeys: DataFrame, upserts: DataFrame,
+                   txn: Option[(String, Long)] = None): (Int, Int, Int) = {
     import spark.implicits._
+    require(keyCols.nonEmpty && keyCols.distinct == keyCols,
+      s"mergeCoW needs distinct key columns, got ${keyCols.mkString(", ")}")
     val fs = fsOf(spark, new Path(root))
     val baseVersion = currentVersion(spark, root)
       .getOrElse(throw new IllegalArgumentException(
         s"no committed version under $root"))
     val m = loadManifest(fs, root, baseVersion)
-    // DELETE SEQUENCING (the Iceberg per-snapshot-sequencing shape,
-    // restricted to the one-delete-column contract): a merge over
-    // outstanding merge-on-read deletes is sound exactly when the
-    // delete column IS the merge key — then (a) rewritten files read
-    // THROUGH the delete set (suppressed rows drop physically), (b)
-    // carried files keep their suppressed rows but the delete set
-    // carries forward to keep suppressing them, and (c) every CHANGED
-    // key leaves the delete set (an upsert resurrects-and-replaces; a
-    // remove makes its delete moot), consolidated into one fresh
-    // delta-sized delete file. A merge keyed on a DIFFERENT column
-    // cannot reconcile the two key spaces and is still rejected.
-    require(m.deleteEntries.isEmpty || m.deleteCols == Seq(keyCol),
+    // DELETE SEQUENCING (the Iceberg per-snapshot-sequencing shape): a
+    // merge over outstanding merge-on-read deletes is sound exactly
+    // when the delete column-SET is the merge key-set — then (a)
+    // rewritten files read THROUGH the delete set (suppressed rows
+    // drop physically), (b) carried files keep their suppressed rows
+    // but the delete set carries forward to keep suppressing them, and
+    // (c) every CHANGED tuple leaves the delete set (an upsert
+    // resurrects-and-replaces; a remove makes its delete moot),
+    // consolidated into one fresh delta-sized delete file. A merge
+    // keyed on a DIFFERENT column-set cannot reconcile the two key
+    // spaces and is still rejected.
+    require(m.deleteEntries.isEmpty || m.deleteCols == keyCols,
       s"$root carries outstanding equality deletes on " +
         s"(${m.deleteCols.mkString(", ")}); a copy-on-write merge " +
-        s"keyed on $keyCol cannot sequence them — merge on the (single) " +
-        "delete column, or run optimize first")
-    // honor stored bounds ONLY if the manifest declares them for THIS
-    // key column (as the primary bounds column or an extra stats
-    // column) — bounds of a different column would prune wrong files
-    val entries = m.entriesFor(keyCol)
+        s"keyed on (${keyCols.mkString(", ")}) cannot sequence them — " +
+        "merge on exactly the delete column-set, or run optimize first")
+    // honor stored bounds ONLY if the manifest declares them for the
+    // LEADING key column (as the primary bounds column or an extra
+    // stats column) — bounds of a different column would prune wrong
+    // files
+    val entries = m.entriesFor(keyCols.head)
     require(entries.nonEmpty,
       s"version $baseVersion of $root lists no data files; " +
         "use overwrite to (re)populate an emptied table")
     val tableSchema = m.schema
-    val changedKeys = removeKeys.select(col(keyCol))
-      .unionByName(upserts.select(col(keyCol))).distinct()
+    val changedKeys = removeKeys.select(keyCols.map(col): _*)
+      .unionByName(upserts.select(keyCols.map(col): _*)).distinct()
       .localCheckpoint() // read thrice: two probes + rewrite anti-join
     // null keys cannot be merged: the anti-join would never match them
     // (SQL null semantics), silently appending duplicates — fail fast
-    require(changedKeys.where(col(keyCol).isNull).take(1).isEmpty,
-      s"mergeCoW: null $keyCol in removeKeys/upserts is unsupported " +
-        "(an upsert of a null key could never replace its row)")
+    require(changedKeys.where(keyCols.map(col(_).isNull).reduce(_ || _))
+      .take(1).isEmpty,
+      s"mergeCoW: null (${keyCols.mkString(", ")}) in removeKeys/" +
+        "upserts is unsupported (an upsert of a null key could never " +
+        "replace its row)")
     // (1) bounded entries: interval stabbing of each changed key
     // against the broadcast [lo, hi] file bounds — delta-sized work,
     // zero data-file IO. Files sorted by lo; ranges may overlap
@@ -1746,7 +1770,8 @@ object ManifestTable {
       val bcPm = spark.sparkContext.broadcast(
         sorted.map(_.hi.get).scanLeft(Long.MinValue)(math.max).drop(1).toArray)
       val bcRel = spark.sparkContext.broadcast(sorted.map(_.rel).toArray)
-      changedKeys.select(col(keyCol).cast("long")).as[Long]
+      changedKeys.select(col(keyCols.head).cast("long")).distinct()
+        .as[Long]
         .mapPartitions { it =>
           val lo = bcLo.value; val hi = bcHi.value
           val pm = bcPm.value; val rel = bcRel.value
@@ -1778,9 +1803,9 @@ object ManifestTable {
         fs.makeQualified(new Path(root, e.rel)).toString -> e.rel).toMap
       readFiles(spark, unbounded.map(e =>
           new Path(root, e.rel).toString), tableSchema)
-        .select(col(keyCol))
+        .select(keyCols.map(col): _*)
         .withColumn("_f", input_file_name())
-        .join(changedKeys, Seq(keyCol), "left_semi")
+        .join(changedKeys, keyCols, "left_semi")
         .select("_f").distinct()
         .collect().flatMap(r =>
           qToRel.get(fs.makeQualified(new Path(r.getString(0))).toString))
@@ -1793,7 +1818,7 @@ object ManifestTable {
     // headers); under a different key the primary slots are re-resolved
     // for keyCol (the new header) and any extra pairs go dormant (a
     // pair without its header line is never consulted — safe, unpruned)
-    val headerMatches = m.boundsCol.contains(keyCol)
+    val headerMatches = m.boundsCol.contains(keyCols.head)
     val carryE = (if (headerMatches) m.dataEntries else entries)
       .filterNot(e => affectedRels.contains(e.rel))
     // delete sequencing: the outstanding delete keys (delta-sized),
@@ -1803,7 +1828,7 @@ object ManifestTable {
       if (m.deleteEntries.isEmpty) None
       else Some(spark.read.parquet(m.deleteEntries.map(e =>
           new Path(root, e.rel).toString): _*)
-        .select(col(keyCol)).distinct().localCheckpoint())
+        .select(keyCols.map(col): _*).distinct().localCheckpoint())
     // align the upserts to the table's column order — and REJECT an
     // upsert that carries columns the table lacks: silently dropping
     // them would lose data (widen the schema via append/overwrite first)
@@ -1830,16 +1855,16 @@ object ManifestTable {
       if (rewriteE.nonEmpty) {
         val affectedRows = readFiles(spark, rewriteE.map(e =>
             new Path(root, e.rel).toString), tableSchema)
-        delKeys.map(dk => affectedRows.join(dk, Seq(keyCol), "left_anti"))
+        delKeys.map(dk => affectedRows.join(dk, keyCols, "left_anti"))
           .getOrElse(affectedRows)
-          .join(changedKeys, Seq(keyCol), "left_anti")
+          .join(changedKeys, keyCols, "left_anti")
           .unionByName(up)
       } else up
     // a pure delete can stage zero rows — the new manifest is then the
     // carried files alone. The rewrite is bounds-stamped (for integral
     // keys — others degrade to stats-only lines), so the next merge on
     // this table prunes from the manifest alone.
-    val stampCol = Some(keyCol)
+    val stampCol = Some(keyCols.head)
       .filter(c => isIntegral(up.schema(c).dataType))
     // bloom sidecars are attributed by COLUMN NAME in their commit dir
     // (not by line position), so carried files keep theirs no matter
@@ -1858,11 +1883,11 @@ object ManifestTable {
     val deleteLines: Seq[String] = delKeys match {
       case None => Seq.empty
       case Some(dk) =>
-        val touched = dk.join(changedKeys, Seq(keyCol), "left_semi")
+        val touched = dk.join(changedKeys, keyCols, "left_semi")
           .take(1).nonEmpty
         if (!touched) m.deleteEntries.map(_.line)
         else {
-          val remaining = dk.join(changedKeys, Seq(keyCol), "left_anti")
+          val remaining = dk.join(changedKeys, keyCols, "left_anti")
           if (remaining.take(1).isEmpty) Seq.empty
           else stage(spark, root,
             dir => remaining.coalesce(1).write.parquet(dir),
@@ -2421,6 +2446,55 @@ object ManifestTable {
     mor.unionByName(aggOf("2_compacted"))
       .select("stage", "l_returnflag", "n_rows", "sum_price_cents")
       .orderBy("stage", "l_returnflag")
+  }
+
+  /** Q191: TUPLE-KEYED COPY-ON-WRITE MERGE OVER OUTSTANDING COMPOSITE
+    * EQUALITY DELETES (q179's delete-sequencing gate on a q187-shaped
+    * table), hash-gated — lineitem keyed by the (l_orderkey,
+    * l_linenumber) TUPLE: a composite MoR delete suppresses every
+    * `orderkey ≡ 0 (mod 5) ∧ linenumber odd` tuple, then ONE
+    * [[mergeCoWKeys]] interleaves all three sequencing cases at tuple
+    * granularity — plain removes (orderkey ≡ 4 (mod 10), some tuples
+    * deleted, some live), RESURRECTING upserts (orderkey ≡ 5 (mod 10):
+    * its odd-linenumber tuples sit in the delete set, its even ones
+    * are live — mixed), and untouched deleted tuples that must STAY
+    * suppressed via the consolidated delete file the merge carries
+    * forward. The oracle replays the rules over raw parquet; a row
+    * resurrected on a partial tuple match (the single-column bug),
+    * a suppressed tuple that leaked, a lost remove, or an unapplied
+    * upsert shifts the identity-weighted aggregate and fires the hash
+    * gate. Mechanics (consolidated delete file, leading-column file
+    * pruning, whole-tuple guard, mismatched-key rejection) are
+    * spec-pinned. */
+  def q191CompositeMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = new Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      "manifest_compmerge_" + graft.Tables.dirKey(spark, sfDir)).toString
+    val fs = fsOf(spark, new Path(root))
+    if (fs.exists(new Path(root))) fs.delete(new Path(root), true)
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+    overwrite(spark, root,
+      li.repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey"),
+      boundsCol = Some("l_orderkey"))
+    deleteWhereKeysIn(spark, root, Seq("l_orderkey", "l_linenumber"),
+      li.where(pmod(col("l_orderkey"), lit(5)) === 0 &&
+          pmod(col("l_linenumber"), lit(2)) === 1)
+        .select("l_orderkey", "l_linenumber"))
+    mergeCoWKeys(spark, root, Seq("l_orderkey", "l_linenumber"),
+      removeKeys = li.where(pmod(col("l_orderkey"), lit(10)) === 4)
+        .select("l_orderkey", "l_linenumber"),
+      upserts = li.where(pmod(col("l_orderkey"), lit(10)) === 5)
+        .withColumn("price_cents", col("price_cents") + 7))
+    read(spark, root)
+      .groupBy(col("l_returnflag"),
+        pmod(col("l_orderkey"), lit(10)).as("okey_mod"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price_cents")).as("sum_price_cents"),
+        sum(col("l_orderkey") * col("l_linenumber")).as("sum_key_product"))
+      .orderBy("l_returnflag", "okey_mod")
   }
 
   /** Q184: ROW-LEVEL COPY-ON-WRITE UPDATE ([[updateWhere]] — the

@@ -1347,4 +1347,68 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.commitKindOf(spark, root, 9)
       === Some("restore"))
   }
+
+  test("verdict r17: TUPLE-KEYED merge sequences composite equality " +
+      "deletes — whole-tuple resurrection only, untouched tuples stay " +
+      "suppressed via one consolidated delete file, mismatched " +
+      "key-sets still rejected") {
+    import spark.implicits._
+    val root = freshRoot()
+    // keys (a, b): a is the leading (bounds) column
+    val rows = for (a <- 1L to 8L; b <- 1L to 4L)
+      yield (a, b, s"r-$a-$b")
+    ManifestTable.overwrite(spark, root,
+      rows.toDF("a", "b", "text")
+        .repartitionByRange(4, col("a")).sortWithinPartitions("a"),
+      boundsCol = Some("a")) // v1
+    // composite delete: tuples with a even AND b odd
+    ManifestTable.deleteWhereKeysIn(spark, root, Seq("a", "b"),
+      rows.toDF("a", "b", "text").where(col("a") % 2 === 0 &&
+        col("b") % 2 === 1).select("a", "b")) // v2
+    // one tuple merge: remove live (1,1); resurrect deleted (2,1)
+    // ONLY — (2,3) is deleted too and must STAY suppressed; replace
+    // live (3,2)
+    val (v3, carried, rewrittenN) = ManifestTable.mergeCoWKeys(spark,
+      root, Seq("a", "b"),
+      removeKeys = Seq((1L, 1L)).toDF("a", "b"),
+      upserts = Seq((2L, 1L, "resurrected"), (3L, 2L, "replaced"))
+        .toDF("a", "b", "text"))
+    assert(v3 === 3 && carried > 0,
+      s"tuple merge rewrote everything (carried=$carried)")
+    val got = ManifestTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2))
+      .toMap
+    assert(!got.contains((1L, 1L)), "removed tuple survived")
+    assert(got((2L, 1L)) === "resurrected",
+      "whole-tuple resurrection failed")
+    assert(!got.contains((2L, 3L)),
+      "an untouched deleted tuple resurfaced — partial-tuple " +
+        "sequencing bug")
+    assert(got((3L, 2L)) === "replaced")
+    assert(got((2L, 2L)) === "r-2-2", "a live even-b tuple was touched")
+    // the surviving delete keys consolidated into ONE fresh file
+    assert(ManifestTable.snapshot(spark, root).deleteFiles.size === 1,
+      "delete files did not consolidate")
+    // optimize agrees (apply-at-read == apply-at-compaction)
+    ManifestTable.optimize(spark, root, "a", 2)
+    val compacted = ManifestTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2))
+      .toMap
+    assert(compacted === got, "compaction drifted from the MoR read")
+    // a differently-ordered / partial key-set is still rejected
+    ManifestTable.deleteWhereKeysIn(spark, root, Seq("a", "b"),
+      Seq((5L, 1L)).toDF("a", "b"))
+    val ex = intercept[IllegalArgumentException] {
+      ManifestTable.mergeCoWKeys(spark, root, Seq("b", "a"),
+        Seq((5L, 1L)).toDF("b", "a"),
+        Seq.empty[(Long, Long, String)].toDF("b", "a", "text"))
+    }
+    assert(ex.getMessage.contains("cannot sequence"))
+    val ex2 = intercept[IllegalArgumentException] {
+      ManifestTable.mergeCoW(spark, root, "a",
+        Seq(5L).toDF("a"), Seq.empty[(Long, Long, String)]
+          .toDF("a", "b", "text"))
+    }
+    assert(ex2.getMessage.contains("cannot sequence"))
+  }
 }

@@ -682,6 +682,13 @@ object SparkEntry {
     // (l_orderkey, l_linenumber) granularity.
     "q191_composite_merge" ->
       (graft.sources.ManifestTable.q191CompositeMerge _),
+    // q193 is N-dimensional Z-order: one optimizeZOrderCols commit
+    // rewrites events into the 3-D Morton layout (user_id, ts,
+    // event_id) with v4 stats on all three, and a 3-predicate
+    // rectangle prunes files on every dimension from the manifest
+    // alone; 3-D-beats-every-2-D-projection is spec-pinned.
+    "q193_zorder_3d" ->
+      (graft.sources.ZOrderLayout.q193ZOrder3D _),
   )
 
   /** Shared by q162 (Scala rect read on the z-layout) and q188 (the
@@ -4020,6 +4027,22 @@ object SparkEntry {
         |       sum(price_cents)::BIGINT AS sum_price_cents,
         |       sum(l_orderkey * l_linenumber)::BIGINT AS sum_key_product
         |FROM merged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q193: the 3-predicate rectangle recomputed straight from parquet
+    // with the same integer bounds arithmetic (q162's discipline, one
+    // more dimension).
+    "q193_zorder_3d" ->
+      """WITH b AS (SELECT max(l_orderkey) // 4 AS ohi,
+        |                  max(l_partkey) // 4 AS phi,
+        |                  max(l_suppkey) // 4 AS shi FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n_rows,
+        |       sum(l_orderkey)::BIGINT AS sum_orderkey,
+        |       sum(round(l_extendedprice * 100)::BIGINT)::BIGINT
+        |         AS sum_price_cents
+        |FROM lineitem, b
+        |WHERE l_orderkey >= 0 AND l_orderkey <= ohi
+        |  AND l_partkey >= 0 AND l_partkey <= phi
+        |  AND l_suppkey >= 0 AND l_suppkey <= shi
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 
   /** q57/q168's shared replay: the 2 Lloyd iterations (assignment by

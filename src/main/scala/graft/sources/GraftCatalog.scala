@@ -316,21 +316,22 @@ private[sources] object GraftProcedures {
           rootOf(warehouse, input.getUTF8String(0).toString),
           input.getInt(1))))
       case "zorder" => proc("zorder",
-        "two-dimensional clustered compaction: Morton-interleaved " +
-          "layout + v4 multi-column stats (ManifestTable.optimizeZOrder" +
-          " — Delta's OPTIMIZE ZORDER BY)",
+        "N-dimensional clustered compaction: Morton-interleaved " +
+          "layout + v4 multi-column stats over a comma-separated " +
+          "column list (ManifestTable.optimizeZOrderCols — Delta's " +
+          "OPTIMIZE ZORDER BY)",
         Seq(in("table", DataTypes.StringType),
-          in("col_x", DataTypes.StringType),
-          in("col_y", DataTypes.StringType),
+          in("cols", DataTypes.StringType),
           in("target_files", DataTypes.IntegerType)),
         StructType(Seq(StructField("version", DataTypes.IntegerType),
           StructField("files_before", DataTypes.IntegerType),
           StructField("files_after", DataTypes.IntegerType))),
         input => {
-          val (v, b, a) = ManifestTable.optimizeZOrder(spark,
+          val (v, b, a) = ManifestTable.optimizeZOrderCols(spark,
             rootOf(warehouse, input.getUTF8String(0).toString),
-            input.getUTF8String(1).toString,
-            input.getUTF8String(2).toString, input.getInt(3))
+            input.getUTF8String(1).toString.split(',')
+              .map(_.trim).toSeq.filter(_.nonEmpty),
+            input.getInt(2))
           InternalRow(v, b, a)
         })
     }
@@ -548,7 +549,7 @@ object GraftCatalog {
     ManifestTable.overwrite(spark, root, graft.Tables.events(spark, sfDir))
     register(spark, "graft_tables", wh)
     val r = spark.sql("CALL graft_tables.system.zorder(" +
-      s"table => '$db.events', col_x => 'user_id', col_y => 'ts', " +
+      s"table => '$db.events', cols => 'user_id,ts', " +
       "target_files => 64)").head()
     require(r.getInt(0) == 2 && r.getInt(2) == 64,
       s"zorder diagnostics wrong: $r")

@@ -1394,22 +1394,40 @@ object ManifestTable {
   }
 
   /** OPTIMIZE ZORDER BY (Delta's shape): the transactional compaction
-    * with a TWO-dimensional layout — the rewrite orders by the Morton
-    * interleave of the two columns' domain buckets
-    * ([[ZOrderLayout.zValue]]; exact integer arithmetic throughout, in
-    * each column's stored stats unit) and stamps BOTH columns' per-file
-    * [lo, hi] as v4 multi-column stats, so the files become tight
-    * hyper-rectangles and [[readWhereRect]] — or a SQL `WHERE` through
-    * [[GraftCatalog]], whose pushed filters drive the same stats —
-    * skips in both dimensions from the manifest alone. Everything else
-    * is [[optimize]]'s contract: one atomic commit, outstanding
-    * equality deletes applied and dropped (the rewrite reads through
-    * the snapshot), blooms re-stamped, carried headers preserved, old
-    * version readable until vacuum. The output schema is UNCHANGED
-    * (the z-value is a sort key, never a column). */
+    * with a TWO-dimensional layout — see [[optimizeZOrderCols]], the
+    * N-dimensional general form this delegates to. */
   def optimizeZOrder(spark: SparkSession, root: String,
                      xCol: String, yCol: String,
-                     targetFiles: Int): (Int, Int, Int) = {
+                     targetFiles: Int): (Int, Int, Int) =
+    optimizeZOrderCols(spark, root, Seq(xCol, yCol), targetFiles)
+
+  /** N-DIMENSIONAL OPTIMIZE ZORDER BY: the rewrite orders by the
+    * Morton interleave of ALL `cols`' domain buckets
+    * ([[ZOrderLayout.zValueN]]; exact integer arithmetic throughout,
+    * in each column's stored stats unit — each dimension bucketed to
+    * the same 10-bit scale so the interleave alternates between
+    * dimensions at every level) and stamps EVERY column's per-file
+    * [lo, hi] as v4 multi-column stats, so the files become tight
+    * N-dimensional hyper-rectangles and [[readWhereRect]] — or a SQL
+    * `WHERE` through [[GraftCatalog]], whose pushed filters drive the
+    * same stats — skips in all N dimensions from the manifest alone.
+    * Up to 6 dimensions (6 x 10 bucket bits in one signed long; in
+    * practice 2-4 — each added dimension halves the per-dimension
+    * resolution the same file count can express, the classic z-order
+    * trade Delta documents). Everything else is [[optimize]]'s
+    * contract: one atomic commit, outstanding equality deletes applied
+    * and dropped (the rewrite reads through the snapshot), blooms
+    * re-stamped, carried headers preserved, old version readable until
+    * vacuum. The output schema is UNCHANGED (the z-value is a sort
+    * key, never a column). */
+  def optimizeZOrderCols(spark: SparkSession, root: String,
+                         cols: Seq[String],
+                         targetFiles: Int): (Int, Int, Int) = {
+    require(cols.size >= 2 && cols.distinct == cols,
+      s"z-order needs >= 2 distinct columns, got ${cols.mkString(", ")}")
+    require(cols.size <= 6,
+      s"z-order supports at most 6 dimensions (10 bucket bits each " +
+        s"in one signed long), got ${cols.size}")
     val fs = fsOf(spark, new Path(root))
     val base = snapshot(spark, root)
     val m = loadManifest(fs, root, base.version)
@@ -1423,17 +1441,18 @@ object ManifestTable {
           org.apache.spark.sql.types.TimestampType) s"unix_micros(`$c`)"
       else s"`$c`"
     }
-    val (ux, uy) = (unitSql(xCol), unitSql(yCol))
-    val mm = pinned.agg(
-      min(expr(ux)).cast("long"), max(expr(ux)).cast("long"),
-      min(expr(uy)).cast("long"), max(expr(uy)).cast("long")).head()
+    val units = cols.map(unitSql)
+    val mmAggs = units.flatMap(u => Seq(
+      min(expr(u)).cast("long"), max(expr(u)).cast("long")))
+    val mm = pinned.agg(mmAggs.head, mmAggs.tail: _*).head()
     require(!mm.anyNull,
-      s"cannot z-order $root on all-null $xCol/$yCol")
-    val zv = ZOrderLayout.zValue(
-      expr(ZOrderLayout.zBucketSql(ux, mm.getLong(0).toString,
-        (mm.getLong(1) - mm.getLong(0) + 1).toString, "DIV")),
-      expr(ZOrderLayout.zBucketSql(uy, mm.getLong(2).toString,
-        (mm.getLong(3) - mm.getLong(2) + 1).toString, "DIV")))
+      s"cannot z-order $root on all-null ${cols.mkString("/")}")
+    val buckets = units.zipWithIndex.map { case (u, i) =>
+      val (lo, hi) = (mm.getLong(2 * i), mm.getLong(2 * i + 1))
+      expr(ZOrderLayout.zBucketSql(u, lo.toString,
+        (hi - lo + 1).toString, "DIV"))
+    }
+    val zv = ZOrderLayout.zValueN(buckets)
     def stampable(k: String) = pinned.schema.fieldNames.contains(k) &&
       scala.util.Try(statExpr(pinned.schema, k)).isSuccess
     val bloomCs = m.bloomCols.filter(stampable)
@@ -1442,8 +1461,8 @@ object ManifestTable {
         .repartitionByRange(targetFiles, zv)
         .sortWithinPartitions(zv)
         .write.parquet(dir),
-      statsCols = Seq(xCol, yCol), bloomCols = bloomCs)
-    val headers = Map(StatsKey -> Seq(xCol, yCol).mkString(",")) ++
+      statsCols = cols, bloomCols = bloomCs)
+    val headers = Map(StatsKey -> cols.mkString(",")) ++
       (if (bloomCs.nonEmpty) Map(BloomKey -> bloomCs.mkString(","))
        else Map.empty[String, String]) ++
       carriedHeaders(m.headers) ++

@@ -51,6 +51,28 @@ object ZOrderLayout {
   def zValue(x: Column, y: Column): Column =
     zSpread(x).bitwiseOR(shiftleft(zSpread(y), 1))
 
+  /** The N-DIMENSIONAL Morton interleave: bit b of dimension d lands
+    * at bit `b*N + d` (dimension 0 lowest — the 2-D layout's exact bit
+    * assignment, which this generalizes). Inputs must sit in
+    * [0, 2^bits); `N * bits <= 63` keeps the result a non-negative
+    * long. Plain shift/mask arithmetic on built-in expressions (one
+    * term per (dimension, bit) — whole-stage codegen'd; the 2-D case
+    * keeps the parallel-spread fast path above). */
+  def zValueN(xs: Seq[Column], bits: Int = 10): Column = {
+    require(xs.nonEmpty, "zValueN needs at least one dimension")
+    require(xs.size * bits <= 63,
+      s"${xs.size} dims x $bits bits overflow a signed long")
+    if (xs.size == 2 && bits <= 31)
+      zValue(xs(0), xs(1))
+    else if (xs.size == 1) xs.head
+    else xs.zipWithIndex.map { case (x, d) =>
+      (0 until bits).map(b =>
+        shiftleft(shiftright(x, b).bitwiseAND(lit(1L)),
+          b * xs.size + d))
+        .reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** The same interleave as SQL text over expressions `x` and `y` —
     * generated from the SAME constants as [[zValue]], so engine and
     * oracle cannot drift. */
@@ -125,6 +147,60 @@ object ZOrderLayout {
       : (Long, Long, Long) = {
     val (uMax, tMin, tMax) = boundsOf(spark, sfDir)
     (uMax / 10, tMin + (tMax - tMin) / 4, tMin + (tMax - tMin) * 3 / 4)
+  }
+
+  /** q193's three dimensions and rectangle. Lineitem's key triple is
+    * the one genuinely INDEPENDENT 3-D space in the test data (events'
+    * event_id is time-ordered — corr(event_id, ts) ≈ 1.0 — so a third
+    * "dimension" there would be the time axis twice); each dimension's
+    * lower quarter makes the predicates comparably selective, the
+    * regime a 3-D layout exists for. Derived with integer arithmetic
+    * both engines replay identically. */
+  private[graft] val Z3Cols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+
+  private[graft] def rectangle3Of(spark: SparkSession, sfDir: String)
+      : Seq[(String, Long, Long)] = {
+    val mx = Tables.lineitem(spark, sfDir)
+      .agg(max("l_orderkey"), max("l_partkey"), max("l_suppkey")).head()
+    Z3Cols.zipWithIndex.map { case (c, i) => (c, 0L, mx.getLong(i) / 4) }
+  }
+
+  /** Q193: N-DIMENSIONAL Z-ORDER — the q162/q188 discipline at THREE
+    * dimensions, hash-gated: lineitem lands unclustered, ONE
+    * [[ManifestTable.optimizeZOrderCols]] rewrites it into the 3-D
+    * Morton layout (l_orderkey, l_partkey, l_suppkey — [[zValueN]]'s
+    * generic interleave) with v4 stats stamped for all three columns,
+    * and a 3-predicate rectangle (each dimension's lower quarter —
+    * an order-range x part-range x supplier-range slice) is answered
+    * by [[ManifestTable.readWhereRect]] pruning files on EVERY
+    * dimension from the manifest alone. The oracle recomputes the
+    * rectangle aggregate straight from parquet with the same integer
+    * bounds arithmetic, so a wrongly-skipped file or an unapplied
+    * residual fires the hash gate. The LAYOUT claim — 3-D pruning
+    * strictly beats every 2-D projection of the same three columns on
+    * this query — is ManifestTableSpec's pin (skipping is invisible
+    * in a correct result by design). */
+  def q193ZOrder3D(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      "manifest_z3_" + Tables.dirKey(spark, sfDir)).toString
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(root))) fs.delete(new Path(root), true)
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+    ManifestTable.overwrite(spark, root, li)
+    ManifestTable.optimizeZOrderCols(spark, root, Z3Cols,
+      targetFiles = 64)
+    ManifestTable.readWhereRect(spark, root, rectangle3Of(spark, sfDir))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_orderkey")).as("sum_orderkey"),
+        sum(col("price_cents")).as("sum_price_cents"))
+      .orderBy("l_returnflag")
   }
 
   private[graft] def tsOfMicros(m: Long): java.sql.Timestamp = {

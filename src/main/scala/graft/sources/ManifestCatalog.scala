@@ -15,9 +15,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * next [[transact]].
   *
   * Contract:
-  *  - '''One concurrent writer''' (the same single-rewriter contract
-  *    every state advance in the engine carries); readers need no
-  *    coordination — one catalog read pins a consistent trio.
+  *  - '''Racing writers: exactly one wins.''' The catalog commit
+  *    targets exactly `base + 1` for the base whose pins the
+  *    transaction read, so of two racing [[transact]]s the second
+  *    catalog rename ABORTS loudly (ConcurrentModificationException)
+  *    instead of clobbering the winner's pins with pins computed from
+  *    a stale base; the loser's member commits are orphans its retry's
+  *    recovery rolls back before recomputing on the winner's pins.
+  *    Readers need no coordination — one catalog read pins a
+  *    consistent set.
   *  - '''Recovery is content-based''': a member whose newest manifest
   *    lists different FILES than its pin carries a dead transaction's
   *    commit and is rolled back with [[ManifestTable.restore]] (zero
@@ -51,10 +57,18 @@ object ManifestCatalog {
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
 
   private def commitPins(spark: SparkSession, cat: Catalog,
-                         p: Map[String, Int]): Unit = {
+                         p: Map[String, Int],
+                         expectedBase: Option[Int]): Unit = {
     import spark.implicits._
+    // the catalog commit targets exactly base+1 (the version whose
+    // pins this transaction READ): two racing transactions both
+    // recover+compute, but only the first catalog rename lands — the
+    // loser aborts here instead of overwriting the winner's pins with
+    // pins computed from a stale base (its member commits become
+    // orphans the next transact rolls back)
     ManifestTable.overwrite(spark, cat.catalogRoot,
-      p.toSeq.sortBy(_._1).toDF("rel", "version").coalesce(1))
+      p.toSeq.sortBy(_._1).toDF("rel", "version").coalesce(1),
+      expectedBase = expectedBase)
     ()
   }
 
@@ -117,16 +131,21 @@ object ManifestCatalog {
     * empty pin map and seeds the catalog. */
   def transact(spark: SparkSession, cat: Catalog)(
       work: Map[String, Int] => Map[String, Int]): Map[String, Int] = {
+    // resolve the catalog base BEFORE reading pins/recovering: the
+    // final catalog commit must land on exactly this base, or the
+    // pins it publishes were computed against state another
+    // transaction has since replaced (stale-base abort — the same
+    // read-modify-write discipline single-table overwrite carries)
+    val base = ManifestTable.currentVersion(spark, cat.catalogRoot)
     val pinned =
-      if (ManifestTable.currentVersion(spark, cat.catalogRoot).isEmpty)
-        Map.empty[String, Int]
+      if (base.isEmpty) Map.empty[String, Int]
       else recover(spark, cat)
     val next = work(pinned)
     require(next.keySet == cat.tables.keySet,
       s"transaction must pin every member table exactly: got " +
         s"${next.keys.toSeq.sorted.mkString(", ")}, need " +
         cat.tables.keys.toSeq.sorted.mkString(", "))
-    commitPins(spark, cat, next)
+    commitPins(spark, cat, next, expectedBase = base.orElse(Some(0)))
     next
   }
 

@@ -124,4 +124,59 @@ class ManifestCatalogSpec extends SparkSpec {
     assert(exV.getMessage.contains("vacuumed") ||
       exV.getMessage.contains("not present"))
   }
+
+  test("verdict r17: two RACING transactions — the loser's catalog " +
+      "commit aborts on the stale base instead of clobbering the " +
+      "winner's pins; its retry recovers onto the winner's state and " +
+      "lands") {
+    val cat = freshCat()
+    val evens = docs.where(col("doc_id") % 2 === 0)
+    val odds = docs.where(col("doc_id") % 2 === 1)
+    ManifestCatalog.transact(spark, cat) { _ =>
+      Map("a" -> ManifestTable.overwrite(spark, cat.tables("a"), evens),
+        "b" -> ManifestTable.overwrite(spark, cat.tables("b"), odds))
+    }
+    // txn A reads pins (catalog v1), advances member 'a'... and while
+    // still in flight, txn B runs START TO FINISH (the deterministic
+    // interleaving of the race): B's recovery rolls A's in-flight
+    // member commit back (it is a dead transaction's orphan from B's
+    // point of view), B advances 'b' and publishes catalog v2
+    val exRace = intercept[java.util.ConcurrentModificationException] {
+      ManifestCatalog.transact(spark, cat) { pinnedA =>
+        val vA = ManifestTable.append(spark, cat.tables("a"),
+          docs.limit(3))
+        ManifestCatalog.transact(spark, cat) { pinnedB =>
+          Map("a" -> pinnedB("a"),
+            "b" -> ManifestTable.append(spark, cat.tables("b"),
+              docs.limit(5)))
+        }
+        // A finishes its work and tries to publish pins computed
+        // against catalog v1 — stale now that B committed v2
+        Map("a" -> vA, "b" -> pinnedA("b"))
+      }
+    }
+    assert(exRace.getMessage.contains("stale"),
+      s"wrong abort: ${exRace.getMessage}")
+    // B's transaction is intact: its pins are what readers see
+    val afterRace = ManifestCatalog.pins(spark, cat)
+    assert(ManifestCatalog.readAtPins(spark, cat, afterRace, "b")
+      .count() === odds.count() + 5,
+      "the loser clobbered the winner's pins")
+    assert(ManifestCatalog.readAtPins(spark, cat, afterRace, "a")
+      .count() === evens.count())
+    // A's retry recovers (rolls back any of its orphaned member
+    // commits), recomputes on B's pins, and lands
+    ManifestCatalog.transact(spark, cat) { pinned =>
+      assert(pinned === afterRace, "retry did not see the winner's pins")
+      assert(ManifestTable.read(spark, cat.tables("a")).count()
+        === evens.count(), "retry's recovery left A's orphan visible")
+      Map("a" -> ManifestTable.append(spark, cat.tables("a"),
+        docs.limit(3)), "b" -> pinned("b"))
+    }
+    val fin = ManifestCatalog.pins(spark, cat)
+    assert(ManifestCatalog.readAtPins(spark, cat, fin, "a").count()
+      === evens.count() + 3)
+    assert(ManifestCatalog.readAtPins(spark, cat, fin, "b").count()
+      === odds.count() + 5)
+  }
 }

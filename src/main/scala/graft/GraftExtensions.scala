@@ -36,6 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => new graft.plans.GraftStrategy)
+    // SQL UPDATE / MERGE INTO over manifest tables: a post-hoc
+    // resolution rule (Delta's pre-row-level-API shape) routes the
+    // resolved statements onto updateWhere/mergeCoW — the same
+    // file-pruned copy-on-write commits the Scala API runs
+    // (graft.sources.GraftRowLevelSqlRule's scaladoc states why this
+    // beats SupportsRowLevelOperations here).
+    ext.injectPostHocResolutionRule(session =>
+      new graft.sources.GraftRowLevelSqlRule(session))
     ext.injectFunction((
       FunctionIdentifier("vector_dot"),
       info(classOf[DotProduct].getName, "vector_dot",

@@ -682,6 +682,18 @@ object SparkEntry {
     // (l_orderkey, l_linenumber) granularity.
     "q191_composite_merge" ->
       (graft.sources.ManifestTable.q191CompositeMerge _),
+    // q189 is row-level UPDATE through SQL: the post-hoc rule routes
+    // the resolved statement onto updateWhere's file-pruned CoW
+    // rewrite — q184's oracle gates the SQL surface verbatim; the
+    // file-pruned pin and rejections are spec-pinned.
+    "q189_sql_update" ->
+      (graft.sources.GraftCatalog.q189SqlUpdate _),
+    // q190 is MERGE INTO through SQL: delete/update/insert actions
+    // first-match-wins onto one keyed mergeCoW commit — q155's oracle
+    // gates the SQL surface verbatim; cardinality and non-equi
+    // rejections are spec-pinned.
+    "q190_sql_merge" ->
+      (graft.sources.GraftCatalog.q190SqlMerge _),
     // q193 is N-dimensional Z-order: one optimizeZOrderCols commit
     // rewrites events into the 3-D Morton layout (user_id, ts,
     // event_id) with v4 stats on all three, and a 3-predicate
@@ -709,6 +721,33 @@ object SparkEntry {
       |WHERE user_id >= 0 AND user_id <= uhi
       |  AND epoch_us(ts) >= tlo AND epoch_us(ts) <= thi
       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Shared by q184 (Scala updateWhere) and q189 (SQL UPDATE through
+    * the row-level rule): the redaction's CASE arithmetic replayed
+    * over raw parquet — one oracle, two entry points into the same
+    * copy-on-write rewrite. */
+  private val updateRedactionOracle: String =
+    """SELECT doc_id,
+      |       CASE WHEN doc_id % 9 = 0 THEN 'xx' ELSE lang END AS lang,
+      |       md5(CASE WHEN doc_id % 9 = 0
+      |                THEN text || ' [redacted]' ELSE text END)
+      |         AS text_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Shared by q155 (Scala mergeCoW) and q190 (SQL MERGE INTO through
+    * the row-level rule): snapshot B reconstructed from the recrawl
+    * rules — one oracle, two entry points into the same keyed commit. */
+  private val recrawlMergeOracle: String =
+    """WITH bdocs AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 10 = 3 THEN text || ' updated v2'
+      |              ELSE text END AS text
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT -(doc_id + 1), text FROM documents
+      |  WHERE doc_id % 10 = 1)
+      |SELECT doc_id, md5(text) AS text_md5
+      |FROM bdocs ORDER BY doc_id""".stripMargin
 
   /** Shared by q117 (Complete-mode session funnel) and q142 (the
     * append-mode twin with watermark-evicted state): after q142's final
@@ -3698,17 +3737,7 @@ object SparkEntry {
     // q155: the merged manifest table must equal snapshot B — the
     // oracle replays the q79 recrawl rules directly (the same bdocs
     // shape the q116/q154 oracles use) and hashes doc_id + md5(text).
-    "q155_manifest_merge" ->
-      """WITH bdocs AS (
-        |  SELECT doc_id,
-        |         CASE WHEN doc_id % 10 = 3 THEN text || ' updated v2'
-        |              ELSE text END AS text
-        |  FROM documents WHERE doc_id % 10 <> 7
-        |  UNION ALL
-        |  SELECT -(doc_id + 1), text FROM documents
-        |  WHERE doc_id % 10 = 1)
-        |SELECT doc_id, md5(text) AS text_md5
-        |FROM bdocs ORDER BY doc_id""".stripMargin,
+    "q155_manifest_merge" -> recrawlMergeOracle,
     // q156: the same lowest-fifth range recomputed straight from
     // parquet — integer bounds arithmetic identical on both engines.
     "q156_manifest_pruned_read" ->
@@ -3953,13 +3982,13 @@ object SparkEntry {
         |WHERE NOT (doc_id % 7 = 0 OR lang = 'de')
         |GROUP BY lang ORDER BY lang""".stripMargin,
     // q184: the update's CASE arithmetic replayed over raw parquet.
-    "q184_update_where" ->
-      """SELECT doc_id,
-        |       CASE WHEN doc_id % 9 = 0 THEN 'xx' ELSE lang END AS lang,
-        |       md5(CASE WHEN doc_id % 9 = 0
-        |                THEN text || ' [redacted]' ELSE text END)
-        |         AS text_md5
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q184_update_where" -> updateRedactionOracle,
+    // q189: q184's oracle verbatim — the SQL UPDATE surface and the
+    // Scala updateWhere must agree.
+    "q189_sql_update" -> updateRedactionOracle,
+    // q190: q155's oracle verbatim — SQL MERGE INTO and the Scala
+    // mergeCoW must agree.
+    "q190_sql_merge" -> recrawlMergeOracle,
     // q185: the restored v1 slice recomputed from its rule.
     "q185_sql_procedures" ->
       """SELECT lang, count(*) AS n_docs,

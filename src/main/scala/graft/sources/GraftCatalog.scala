@@ -53,16 +53,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * onto [[ManifestTable.append]]/[[ManifestTable.overwrite]] (the same
   * commit protocol, constraints and all), `DELETE FROM` runs the
   * copy-on-write [[ManifestTable.deleteWhere]] via `SupportsDeleteV2`,
-  * and `CALL cat.system.optimize/restore/vacuum` runs maintenance
-  * ([[GraftProcedures]]). NOT exposed through SQL: `UPDATE` and
-  * `MERGE` — Spark's row-level-operations API needs the scan to emit a
-  * `_file` metadata column for runtime group filtering, which the
-  * V1Scan bridge cannot produce; without it every UPDATE would be a
-  * silent whole-table rewrite. [[ManifestTable.updateWhere]] /
-  * [[ManifestTable.mergeCoW]] are the supported (file-pruned) paths,
-  * stated loudly by `ALTER`-style rejections rather than served
-  * slowly. `DROP TABLE` works (a catalog operation, not a commit);
-  * `ALTER`/`RENAME` reject loudly. */
+  * `UPDATE` and `MERGE INTO` route through the post-hoc analysis rule
+  * [[GraftRowLevelSqlRule]] onto [[ManifestTable.updateWhere]] /
+  * [[ManifestTable.mergeCoW]] — the same FILE-PRUNED copy-on-write
+  * commits the Scala API runs, never a whole-table rewrite (the rule's
+  * scaladoc states why this beats `SupportsRowLevelOperations` here) —
+  * and `CALL cat.system.optimize/restore/vacuum/zorder` runs
+  * maintenance ([[GraftProcedures]]). `DROP TABLE` works (a catalog
+  * operation, not a commit); `ALTER`/`RENAME` reject loudly. */
 class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
@@ -573,6 +571,88 @@ object GraftCatalog {
          |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** Q189: ROW-LEVEL UPDATE THROUGH SQL (`UPDATE t SET ... WHERE p` —
+    * the post-hoc rule [[GraftRowLevelSqlRule]] onto
+    * [[ManifestTable.updateWhere]]'s file-pruned copy-on-write
+    * rewrite), hash-gated — q184's redaction statement verbatim, typed
+    * as SQL: every doc_id ≡ 0 (mod 9) gets lang reset and text
+    * suffixed, non-matching rows pass through BIT-IDENTICAL (md5(text)
+    * hashes the whole corpus). q184's oracle gates the SQL surface
+    * verbatim (one oracle, two entry points — the q160/q161 shared-
+    * gate discipline). The FILE-PRUNED pin (carried > 0 on a narrow
+    * update), original-row SET semantics under SQL, and the loud
+    * subquery/pinned-target rejections are GraftCatalogSpec's. */
+  def q189SqlUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = graft.Tables.dirKey(spark, sfDir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val db = s"sqlupd_$key"
+    val dbPath = new Path(wh, db)
+    val fs = dbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dbPath)) fs.delete(dbPath, true)
+    val root = new Path(dbPath, "docs").toString
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    ManifestTable.overwrite(spark, root,
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      boundsCol = Some("doc_id"))
+    register(spark, "graft_tables", wh)
+    val t = s"graft_tables.`$db`.`docs`"
+    spark.sql(s"UPDATE $t SET lang = 'xx', " +
+      "text = concat(text, ' [redacted]') WHERE doc_id % 9 = 0")
+    spark.sql(s"SELECT doc_id, lang, md5(text) AS text_md5 FROM $t " +
+      "ORDER BY doc_id")
+  }
+
+  /** Q190: MERGE INTO THROUGH SQL (the post-hoc rule onto
+    * [[ManifestTable.mergeCoW]]'s keyed file-pruned copy-on-write
+    * commit), hash-gated — q155's recrawl merge typed as one SQL
+    * statement over a delta view: `WHEN MATCHED AND op='remove' THEN
+    * DELETE` (the %10≡7 docs), `WHEN MATCHED THEN UPDATE SET *` (the
+    * %10≡3 edits), `WHEN NOT MATCHED THEN INSERT *` (the negative-
+    * namespace inserts) — first-match-wins, and the result must BE
+    * snapshot B row-for-row: q155's oracle gates the SQL surface
+    * verbatim. Cardinality violations, non-equi conditions, NOT
+    * MATCHED BY SOURCE, and key reassignment reject loudly
+    * (spec-pinned). */
+  def q190SqlMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.pmod
+    val key = graft.Tables.dirKey(spark, sfDir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val db = s"sqlmrg_$key"
+    val dbPath = new Path(wh, db)
+    val fs = dbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dbPath)) fs.delete(dbPath, true)
+    val root = new Path(dbPath, "docs").toString
+    val docs = graft.Tables.documents(spark, sfDir)
+    ManifestTable.overwrite(spark, root,
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      boundsCol = Some("doc_id"))
+    register(spark, "graft_tables", wh)
+    // the q155 delta as ONE source view: removed docs (full rows —
+    // their payload is unused, DELETE fires first), edited docs, and
+    // the negative-namespace inserts, tagged by op
+    val view = s"q190_delta_$key"
+    docs.where(pmod(col("doc_id"), lit(10)) === 7)
+      .withColumn("op", lit("remove"))
+      .unionByName(
+        graft.operators.CurationPipeline.snapshotB(docs)
+          .where(pmod(col("doc_id"), lit(10)) === 3 || col("doc_id") < 0)
+          .withColumn("op", lit("upsert")))
+      .createOrReplaceTempView(view)
+    val t = s"graft_tables.`$db`.`docs`"
+    spark.sql(
+      s"""MERGE INTO $t AS tg USING $view AS s
+         |ON tg.doc_id = s.doc_id
+         |WHEN MATCHED AND s.op = 'remove' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED AND s.op <> 'remove' THEN INSERT *
+         |""".stripMargin)
+    spark.sql(s"SELECT doc_id, md5(text) AS text_md5 FROM $t " +
+      "ORDER BY doc_id")
+  }
+
   /** Q181: METADATA TABLES THROUGH SQL (Iceberg's `db.t.history`
     * shape), hash-gated — the q159 three-commit history (overwrite,
     * append, optimize) rebuilt under the catalog warehouse, then its
@@ -664,6 +744,12 @@ private[sources] class GraftSqlTable(ident: String, root: String,
                                      pinned: Option[Int])
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+
+  /** The table root / time-travel pin, for the row-level SQL rule
+    * ([[GraftRowLevelSqlRule]]) that routes UPDATE / MERGE INTO onto
+    * the manifest commit protocol. */
+  private[graft] def tableRoot: String = root
+  private[graft] def pinnedVersion: Option[Int] = pinned
 
   private def spark: SparkSession = SparkSession.active
 

@@ -272,6 +272,136 @@ class GraftCatalogSpec extends SparkSpec {
         unix_micros(col("ts")).between(tLo, tHi)).count())
   }
 
+  test("SQL UPDATE: FILE-PRUNED CoW rewrite (not whole-table), " +
+      "original-row SET semantics, rowupdate commit kind; subqueries " +
+      "and pinned targets rejected loudly") {
+    val root = mkTable("dbu", "docs")
+    registered()
+    val t = "gcat.dbu.docs"
+    val v0 = ManifestTable.currentVersion(spark, root).get
+    val filesBefore = ManifestTable.snapshot(spark, root).files.size
+    // a narrow-key UPDATE on the doc_id-clustered table: only the
+    // file(s) holding the key may rewrite — the file-pruned pin
+    val someId = docs.agg(min("doc_id")).head().getLong(0)
+    spark.sql(s"UPDATE $t SET lang = 'xx', " +
+      s"text = concat(text, ' [u]') WHERE doc_id = $someId")
+    val v1 = ManifestTable.currentVersion(spark, root).get
+    assert(v1 === v0 + 1, "UPDATE did not commit exactly once")
+    assert(ManifestTable.commitKindOf(spark, root, v1)
+      === Some("rowupdate"))
+    val (_, removed) = ManifestTable.changedFiles(spark, root, v0, v1)
+    assert(removed.size < filesBefore,
+      s"whole-table rewrite: ${removed.size} of $filesBefore files " +
+        "removed — the SQL path lost file pruning")
+    val got = spark.sql(
+      s"SELECT lang, text FROM $t WHERE doc_id = $someId").head()
+    assert(got.getString(0) === "xx" && got.getString(1).endsWith(" [u]"))
+    // every other row is untouched
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t " +
+      s"WHERE doc_id <> $someId AND lang = 'xx'").head().getLong(0) === 0)
+    // original-row semantics ride updateWhere: SET a=b, b=a swaps
+    spark.sql(s"UPDATE $t SET lang = text, text = lang " +
+      s"WHERE doc_id = $someId")
+    val sw = spark.sql(
+      s"SELECT lang, text FROM $t WHERE doc_id = $someId").head()
+    assert(sw.getString(1) === "xx" && sw.getString(0).endsWith(" [u]"),
+      "SET evaluated against already-updated columns")
+    // subqueries rejected loudly (never wrong rows)
+    val exSub = intercept[UnsupportedOperationException] {
+      spark.sql(s"UPDATE $t SET lang = 'yy' WHERE doc_id IN " +
+        s"(SELECT doc_id FROM $t)")
+    }
+    assert(exSub.getMessage.contains("subqueries"))
+    // identity-only assignments are a no-op, not a commit
+    val vBefore = ManifestTable.currentVersion(spark, root)
+    spark.sql(s"UPDATE $t SET lang = lang WHERE doc_id = $someId")
+    assert(ManifestTable.currentVersion(spark, root) === vBefore,
+      "an identity UPDATE committed a version")
+  }
+
+  test("SQL MERGE INTO: keyed upsert onto mergeCoW — delete/update/" +
+      "insert actions first-match-wins, no-action matched rows " +
+      "carried untouched, merge commit kind; cardinality violations " +
+      "and non-equi conditions rejected loudly") {
+    val root = mkTable("dbm", "docs")
+    registered()
+    val t = "gcat.dbm.docs"
+    val view = "merge_src_v"
+    // source: delete %9==0, update %9==1 (text suffix), insert two
+    // fresh negative keys, and a NOOP band (%9==2, op='noop') whose
+    // matched rows must stay untouched
+    docs.where(col("doc_id") % 9 === 0)
+      .withColumn("op", lit("del"))
+      .unionByName(docs.where(col("doc_id") % 9 === 1)
+        .withColumn("text", concat(col("text"), lit(" [m]")))
+        .withColumn("op", lit("upd")))
+      .unionByName(docs.where(col("doc_id") % 9 === 2)
+        .withColumn("op", lit("noop")))
+      .unionByName(docs.limit(2)
+        .withColumn("doc_id", -col("doc_id") - 1)
+        .withColumn("op", lit("ins")))
+      .createOrReplaceTempView(view)
+    val v0 = ManifestTable.currentVersion(spark, root).get
+    spark.sql(
+      s"""MERGE INTO $t AS tg USING $view AS s ON tg.doc_id = s.doc_id
+         |WHEN MATCHED AND s.op = 'del' THEN DELETE
+         |WHEN MATCHED AND s.op = 'upd' THEN UPDATE SET text = s.text
+         |WHEN NOT MATCHED AND s.op = 'ins' THEN
+         |  INSERT (doc_id, lang, text) VALUES (s.doc_id, s.lang, s.text)
+         |""".stripMargin)
+    val v1 = ManifestTable.currentVersion(spark, root).get
+    assert(v1 === v0 + 1 &&
+      ManifestTable.commitKindOf(spark, root, v1) === Some("merge"))
+    val after = ManifestTable.read(spark, root)
+    assert(after.where(col("doc_id") % 9 === 0 && col("doc_id") > 0)
+      .count() === 0, "DELETE action rows survived")
+    assert(after.where(col("doc_id") % 9 === 1 &&
+      !col("text").endsWith(" [m]")).count() === 0,
+      "UPDATE action rows not applied")
+    assert(after.where(col("doc_id") < 0).count() === 2,
+      "INSERT action rows missing")
+    // the noop band matched no action: untouched, bit-identical
+    val noopWant = docs.where(col("doc_id") % 9 === 2)
+      .select(md5(concat_ws("|", col("doc_id"), col("lang"),
+        col("text")))).collect().map(_.getString(0)).sorted
+    val noopGot = after.where(col("doc_id") % 9 === 2 && col("doc_id") > 0)
+      .select(md5(concat_ws("|", col("doc_id"), col("lang"),
+        col("text")))).collect().map(_.getString(0)).sorted
+    assert(noopGot.toSeq === noopWant.toSeq,
+      "no-action matched rows changed")
+    // cardinality violation: two source rows matching one target key
+    val dupId = docs.where(col("doc_id") % 9 === 2)
+      .agg(min("doc_id")).head().getLong(0)
+    val one = docs.where(col("doc_id") === dupId)
+    one.withColumn("op", lit("upd"))
+      .unionByName(one.withColumn("text", lit("other"))
+        .withColumn("op", lit("upd")))
+      .createOrReplaceTempView(view)
+    val exCard = intercept[IllegalArgumentException] {
+      spark.sql(s"MERGE INTO $t AS tg USING $view AS s " +
+        "ON tg.doc_id = s.doc_id " +
+        "WHEN MATCHED THEN UPDATE SET text = s.text")
+    }
+    assert(exCard.getMessage.contains("cardinality"))
+    // non-equi merge conditions have no keyed rewrite: loud
+    docs.limit(1).withColumn("op", lit("x"))
+      .createOrReplaceTempView(view)
+    val exKey = intercept[UnsupportedOperationException] {
+      spark.sql(s"MERGE INTO $t AS tg USING $view AS s " +
+        "ON tg.doc_id > s.doc_id " +
+        "WHEN MATCHED THEN UPDATE SET text = s.text")
+    }
+    assert(exKey.getMessage.contains("target.key = source.key"))
+    // WHEN NOT MATCHED BY SOURCE: loud
+    val exNBS = intercept[Exception] {
+      spark.sql(s"MERGE INTO $t AS tg USING $view AS s " +
+        "ON tg.doc_id = s.doc_id " +
+        "WHEN MATCHED THEN UPDATE SET text = s.text " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    }
+    assert(exNBS.getMessage.contains("NOT MATCHED BY SOURCE"))
+  }
+
   test("range translation: conjunctions intersect, In spans, " +
       "non-integral columns never constrain") {
     import org.apache.spark.sql.sources._

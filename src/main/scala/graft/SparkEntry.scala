@@ -682,6 +682,14 @@ object SparkEntry {
     // (l_orderkey, l_linenumber) granularity.
     "q191_composite_merge" ->
       (graft.sources.ManifestTable.q191CompositeMerge _),
+    // q192 is incremental maintenance of the STORED IVF index: a
+    // stale index (missing a shard, polluted with junk ids) refreshes
+    // with one O(delta) equality-delete commit + one cell-assigned
+    // append under the frozen codebook — the refreshed index answers
+    // exactly as the from-scratch build (q57/q168's oracle, third
+    // surface); delta mechanics + IO pin are spec-pinned.
+    "q192_ivf_incremental_refresh" ->
+      (graft.operators.SimilarityQueries.q192IvfIncrementalRefresh _),
     // q189 is row-level UPDATE through SQL: the post-hoc rule routes
     // the resolved statement onto updateWhere's file-pruned CoW
     // rewrite — q184's oracle gates the SQL surface verbatim; the
@@ -2502,6 +2510,9 @@ object SparkEntry {
     // bounds-pruned cell reads) — the storage layer may change IO,
     // never answers, so the two share one oracle verbatim.
     "q168_manifest_ivf_index" -> ivfKmeansTopKOracle,
+    // q192: q57/q168's oracle verbatim — the incrementally-refreshed
+    // index may change IO, never answers (refresh ≡ rebuild).
+    "q192_ivf_incremental_refresh" -> ivfKmeansTopKOracle,
     // q76/q77: the PQ oracle replays the ENTIRE model build — coarse
     // Lloyd rounds (shared CTE), integer-micro residuals, sub-codebook
     // init from vectors 0..K-1, one Lloyd round per subspace with

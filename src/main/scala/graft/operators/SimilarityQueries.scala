@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.sources.ManifestTable
 import graft.functions.Vectors
 
 /** Similarity search over the `embeddings` table (`array<float>` ×64).
@@ -348,8 +349,16 @@ object SimilarityQueries {
     * the IO claim per query: a single query's read opens only its
     * nProbe cells' files, and a rebuild under a pinned snapshot leaves
     * the running query's results unchanged. */
-  def q168ManifestIvfIndex(spark: SparkSession, sfDir: String): DataFrame = {
-    val root = indexRoot(spark, sfDir)
+  def q168ManifestIvfIndex(spark: SparkSession, sfDir: String): DataFrame =
+    searchStoredIndex(spark, sfDir, indexRoot(spark, sfDir))
+
+  /** The stored-index serving path shared by q168 (freshly-built
+    * index) and q192 (incrementally-refreshed index): probe the
+    * codebook, open ONLY the probed cells' files via the manifest's
+    * bounds-pruned IN read (outstanding equality deletes applied by
+    * the read), rerank exact cosine within them. */
+  private def searchStoredIndex(spark: SparkSession, sfDir: String,
+                                root: String): DataFrame = {
     val cents = kmeansCodebook(spark, sfDir)
     val e = vecs(spark, sfDir)
     val probes = probeCells(
@@ -368,6 +377,56 @@ object SimilarityQueries {
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           Vectors.cosineRounded(col("qv"), col("v")).as("sim")), 10)
       .orderBy("query_id", "rank")
+  }
+
+  /** Q192: INCREMENTAL MAINTENANCE OF THE STORED IVF INDEX (closing
+    * the refresh-family gap — every other artifact refreshes; q168's
+    * index only rebuilt), hash-gated — a STALE index lands first
+    * (missing every vec_id ≡ 0 (mod 13), polluted with a junk shard
+    * under offset ids), then ONE O(delta) refresh: an equality-delete
+    * commit retires the junk ids (zero data-file IO — every cell file
+    * carried verbatim), and an append lands the missing vectors
+    * cell-assigned under the FROZEN codebook, bounds-stamped on cell
+    * so the probed-cells IN read keeps pruning. The refreshed index
+    * must ANSWER exactly as the from-scratch build: q168's serving
+    * path verbatim, gated by q57/q168's oracle (one oracle, THREE
+    * surfaces — the refresh ≡ rebuild discipline of q91/q79). The
+    * delta-sized commit mechanics and the post-refresh IO pin are
+    * ScaleSpec's. */
+  def q192IvfIncrementalRefresh(spark: SparkSession,
+                                sfDir: String): DataFrame = {
+    val root = refreshedIndexRoot(spark, sfDir)
+    searchStoredIndex(spark, sfDir, root)
+  }
+
+  /** The stale-then-refreshed index of q192, rebuilt fresh per
+    * (session, scale dir); public for the spec. Returns the root after
+    * the two refresh commits (v1 stale, v2 junk delete, v3 append). */
+  def refreshedIndexRoot(spark: SparkSession, sfDir: String): String = {
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      "ivf_refresh_" + graft.Tables.dirKey(spark, sfDir)).toString
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) return root
+    val cents = kmeansCodebook(spark, sfDir)
+    val e = vecs(spark, sfDir)
+    val junk = e.where(col("vec_id") % 17 === 0)
+      .withColumn("vec_id", col("vec_id") + lit(1000000000L))
+    ManifestTable.overwrite(spark, root,
+      assignCells(e.where(pmod(col("vec_id"), lit(13)) =!= 0)
+          .unionByName(junk), cents)
+        .select(col("cell"), col("vec_id"), col("v"))
+        .repartitionByRange(NumCells, col("cell"))
+        .sortWithinPartitions("cell"),
+      boundsCol = Some("cell"))
+    ManifestTable.deleteWhereKeyIn(spark, root, "vec_id",
+      junk.select("vec_id"))
+    ManifestTable.append(spark, root,
+      assignCells(e.where(pmod(col("vec_id"), lit(13)) === 0), cents)
+        .select(col("cell"), col("vec_id"), col("v")),
+      boundsCol = Some("cell"))
+    root
   }
 
   /** The stored index: one file per cell-range, rebuilt (atomically,

@@ -1157,6 +1157,46 @@ class ScaleSpec extends SparkSpec {
       "pinned snapshot disturbed by an index rebuilt")
   }
 
+  test("q192 incremental IVF refresh: the delete commit carries every " +
+      "cell file verbatim (O(delta), zero data IO), the append adds " +
+      "files without rewriting, the probed-cells IO pin survives, and " +
+      "refresh == rebuild") {
+    import graft.sources.ManifestTable
+    val root = SimilarityQueries.refreshedIndexRoot(spark, sfDir)
+    // three commits: v1 stale build, v2 junk equality-delete, v3 append
+    assert(ManifestTable.versions(spark, root) === Seq(1, 2, 3))
+    val (add2, rem2) = ManifestTable.changedFiles(spark, root, 1, 2)
+    assert(rem2.isEmpty && add2.forall(_.startsWith("deletes/")),
+      s"the delete commit touched data files: +$add2 -$rem2")
+    val (add3, rem3) = ManifestTable.changedFiles(spark, root, 2, 3)
+    assert(rem3.isEmpty && add3.nonEmpty &&
+      add3.forall(_.startsWith("data/")),
+      s"the append commit rewrote files: +$add3 -$rem3")
+    // post-refresh serving still opens only the probed cells' files
+    // (+ the delta-sized delete file the read must consult)
+    val total = ManifestTable.snapshot(spark, root).files.size
+    val twoCells = ManifestTable.read(spark, root)
+      .select("cell").distinct().orderBy("cell")
+      .limit(SimilarityQueries.NProbe).collect().map(_.getLong(0)).toSeq
+    val served = ManifestTable.readWhereKeyIn(spark, root, "cell",
+      twoCells)
+    assert(served.inputFiles.length < total,
+      s"post-refresh point read opened all $total files")
+    // no junk id survives; every shard vector is present exactly once
+    val got = ManifestTable.read(spark, root)
+    assert(got.where(col("vec_id") >= 1000000000L).count() === 0,
+      "equality-deleted junk ids leaked into the refreshed index")
+    // refresh == rebuild: the served answers are byte-identical to the
+    // from-scratch index's (and to q57's direct search)
+    val refreshed = SimilarityQueries
+      .q192IvfIncrementalRefresh(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val rebuilt = SimilarityQueries.q168ManifestIvfIndex(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(refreshed === rebuilt,
+      "the refreshed index answers differently from the rebuilt one")
+  }
+
   test("q172 point-in-time join plans as the as-of merge, not an " +
       "interval nested loop") {
     val df = AsofJoin.q172PointInTimeJoin(spark, sfDir)

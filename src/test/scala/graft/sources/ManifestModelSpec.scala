@@ -5,17 +5,20 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** MODEL-BASED RANDOMIZED LIFECYCLE TEST: a random interleaving of
-  * every table operation (append, equality delete, delete-sequencing
-  * merge, row-level delete/update, optimize, restore, tag) is applied
-  * in parallel to the real manifest table AND to an in-memory
-  * reference model (a plain Map with snapshot history); after EVERY
-  * commit the table read must equal the model exactly, and time
-  * travel to any retained version must equal that version's model
-  * snapshot. This is the differential-oracle discipline the
-  * per-operator specs can't give: the BUG SURFACE of a table format
-  * is operation INTERACTION (a merge after a delete after a restore),
-  * and a scripted gate only ever walks one path. Seeds are fixed —
-  * failures replay deterministically. */
+  * every table operation (append, equality delete — single-column or
+  * COMPOSITE tuple per seed, delete-sequencing merge — tuple-keyed in
+  * composite mode, row-level delete/update, optimize, restore, tag,
+  * VACUUM, SCHEMA EVOLUTION, constraint add/drop) is applied in
+  * parallel to the real manifest table AND to an in-memory reference
+  * model (a plain Map with snapshot history); after EVERY commit the
+  * table read must equal the model exactly, and time travel to any
+  * retained version must equal that version's model snapshot. This is
+  * the differential-oracle discipline the per-operator specs can't
+  * give: the BUG SURFACE of a table format is operation INTERACTION
+  * (a merge after a delete after a restore, vacuum retirement meeting
+  * carried files, evolution meeting a pre-evolution restore), and a
+  * scripted gate only ever walks one path. Seeds are fixed — failures
+  * replay deterministically. */
 class ManifestModelSpec extends SparkSpec {
 
   private def freshRoot(): String =
@@ -27,21 +30,47 @@ class ManifestModelSpec extends SparkSpec {
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
 
-  private def df(m: Iterable[(Long, String)]) = {
-    import spark.implicits._
-    m.toSeq.toDF("doc_id", "text")
-  }
-
   test("random operation interleavings: table == model after every " +
-      "commit; time travel == the model's snapshot at that version") {
-    for (seed <- Seq(11, 42, 2026)) {
+      "commit; time travel == the model's snapshot at that version; " +
+      "single-column and composite-delete regimes, vacuum, evolution, " +
+      "constraints in the alphabet") {
+    for (seed <- Seq(11, 42, 2026, 7, 404)) {
       val rnd = new scala.util.Random(seed)
       val root = freshRoot()
+      // per-seed regime: half the seeds run the COMPOSITE equality
+      // tuple (doc_id, text) — suppression, sequencing, and the
+      // resurrection guard all at whole-tuple granularity
+      val composite = seed % 2 == 0
+      val delCols =
+        if (composite) Seq("doc_id", "text") else Seq("doc_id")
       // seed table: 40 keyed rows
       var model: Map[Long, String] =
         (1L to 40L).map(i => i -> s"doc-$i-v0").toMap
-      var outstandingDeletes = Set.empty[Long] // suppressed keys
+      // suppressed tuples (text = "" marks key-only in single mode)
+      var outstandingDeletes = Set.empty[(Long, String)]
       var nextKey = 1000L
+      var constraint = Option.empty[String]
+
+      /** A full-row frame matching the table's CURRENT schema —
+        * evolution may have added `extra`, and a restore may have
+        * rolled it back off again. */
+      def df(m: Iterable[(Long, String)],
+             forceExtra: Boolean = false) = {
+        import spark.implicits._
+        val base = m.toSeq.toDF("doc_id", "text")
+        val evolved = forceExtra ||
+          ManifestTable.schemaAt(spark, root)
+            .exists(_.fieldNames.contains("extra"))
+        if (evolved) base.withColumn("extra", col("doc_id") * 2)
+        else base
+      }
+      def delKeysDf(ts: Iterable[(Long, String)]) = {
+        import spark.implicits._
+        ts.toSeq.toDF("doc_id", "text").select(delCols.map(col): _*)
+      }
+      def tuplesOf(keys: Iterable[Long]): Seq[(Long, String)] =
+        keys.toSeq.map(k => k -> model(k))
+
       var version = ManifestTable.overwrite(spark, root,
         df(model).repartitionByRange(4, col("doc_id"))
           .sortWithinPartitions("doc_id"),
@@ -51,8 +80,8 @@ class ManifestModelSpec extends SparkSpec {
 
       def liveKeys: Seq[Long] = model.keys.toSeq.sorted
 
-      for (step <- 1 to 14) {
-        val op = rnd.nextInt(8)
+      for (step <- 1 to 24) {
+        val op = rnd.nextInt(11)
         op match {
           case 0 => // append fresh keys (never resurrecting)
             val fresh = (1 to 1 + rnd.nextInt(4)).map { _ =>
@@ -61,30 +90,49 @@ class ManifestModelSpec extends SparkSpec {
               boundsCol = Some("doc_id"))
             model ++= fresh
           case 1 if liveKeys.size > 8 => // equality delete (MoR)
-            val victims = rnd.shuffle(liveKeys).take(1 + rnd.nextInt(3))
-            version = ManifestTable.deleteWhereKeyIn(spark, root,
-              "doc_id", df(victims.map(_ -> "")).select("doc_id"))
-            model --= victims
+            val victims =
+              tuplesOf(rnd.shuffle(liveKeys).take(1 + rnd.nextInt(3)))
+            version = ManifestTable.deleteWhereKeysIn(spark, root,
+              delCols, delKeysDf(victims))
+            model --= victims.map(_._1)
             outstandingDeletes ++= victims
           case 2 if liveKeys.size > 8 => // delete-sequencing merge
-            val removes = rnd.shuffle(liveKeys).take(rnd.nextInt(3))
+            val removeKeys = rnd.shuffle(liveKeys).take(rnd.nextInt(3))
+            val removes = tuplesOf(removeKeys)
+            // resurrection in composite mode is EXACT-tuple only: the
+            // upsert re-lands the suppressed tuple verbatim; single
+            // mode may resurrect under fresh text (keyed)
             val resurrect = rnd.shuffle(outstandingDeletes.toSeq)
+              .filterNot(t => removeKeys.contains(t._1))
               .take(rnd.nextInt(2))
-            val updates = rnd.shuffle(liveKeys)
-              .filterNot(removes.contains).take(1 + rnd.nextInt(3))
-            val ups = (resurrect ++ updates)
-              .map(k => k -> s"doc-$k-m$step")
-            version = ManifestTable.mergeCoW(spark, root, "doc_id",
-              df(removes.map(_ -> "")).select("doc_id"), df(ups))._1
-            model = model -- removes ++ ups
-            outstandingDeletes --= (removes ++ ups.map(_._1))
+              .map { case (k, t) =>
+                k -> (if (composite) t else s"doc-$k-m$step") }
+            val updatedKeys = rnd.shuffle(liveKeys)
+              .filterNot(removeKeys.contains).take(1 + rnd.nextInt(3))
+            val updates = updatedKeys.map(k => k -> s"doc-$k-m$step")
+            // tuple-keyed mode must REMOVE the old tuples it replaces
+            // (a new text is a new tuple, not a replacement)
+            val allRemoves =
+              if (composite) removes ++ tuplesOf(updatedKeys)
+              else removes
+            val ups = resurrect ++ updates
+            version = ManifestTable.mergeCoWKeys(spark, root, delCols,
+              delKeysDf(allRemoves), df(ups))._1
+            model = model -- removes.map(_._1) ++ ups
+            // composite: exactly the CHANGED TUPLES leave the delete
+            // set; single: every changed KEY leaves it
+            outstandingDeletes =
+              if (composite) outstandingDeletes -- removes -- resurrect
+              else outstandingDeletes.filterNot(t =>
+                removes.map(_._1).contains(t._1) ||
+                  ups.map(_._1).contains(t._1))
           case 3 if liveKeys.size > 8 => // row-level CoW delete
             val m = 2 + rnd.nextInt(3)
             val (v, _, rw) = ManifestTable.deleteWhere(spark, root,
               pmod(col("doc_id"), lit(m)) === 0)
             if (rw > 0) version = v
             model = model.filter { case (k, _) => k % m != 0 }
-          case 4 => // row-level CoW update (predicate + 2 SETs)
+          case 4 => // row-level CoW update (predicate + SET)
             val m = 2 + rnd.nextInt(3)
             val (v, _, rw) = ManifestTable.updateWhere(spark, root,
               pmod(col("doc_id"), lit(m)) === 1,
@@ -96,24 +144,59 @@ class ManifestModelSpec extends SparkSpec {
             version = ManifestTable.optimize(spark, root, "doc_id",
               2 + rnd.nextInt(3))._1
             outstandingDeletes = Set.empty
-          case 6 if history.size > 2 => // restore to a random version
-            val target = rnd.shuffle(history.keys.toSeq
-              .filter(_ < version)).head
-            version = ManifestTable.restore(spark, root, target)
-            model = history(target)
-            // the restored manifest carries that version's delete
-            // state; recompute what is suppressed (keys absent from
-            // the model that a later append could collide with) — the
-            // conservative union keeps the generator from appending
-            // possibly-suppressed keys
-            outstandingDeletes =
-              history.keys.filter(_ <= target).flatMap(v =>
-                history(v).keySet -- model.keySet).toSet
+          case 6 if history.size > 2 => // restore to a RETAINED version
+            val candidates = ManifestTable.versions(spark, root)
+              .filter(v => history.contains(v) && v < version)
+            if (candidates.nonEmpty) {
+              val target = rnd.shuffle(candidates).head
+              version = ManifestTable.restore(spark, root, target)
+              model = history(target)
+              // the restored manifest carries that version's delete
+              // state; rather than reconstruct it, stop treating any
+              // tuple as resurrectable until the next delete re-seeds
+              // the set (conservative: resurrection coverage pauses,
+              // suppression correctness is the table's own job)
+              outstandingDeletes = Set.empty
+            }
           case 7 => // tag the current version (the tag commit itself
             // is a new, content-identical version)
             val target = version
             version = ManifestTable.addTag(spark, root, s"t$step", target)
             taggedAt = Some(target)
+          case 8 => // VACUUM: retire history below the window (tag
+            // floors hold); the model is untouched — only time travel
+            // narrows, which the end-of-run check derives from
+            // versions() itself
+            ManifestTable.vacuum(spark, root,
+              retain = 2 + rnd.nextInt(3), orphanRetentionMs = 0L)
+          case 9 if !ManifestTable.schemaAt(spark, root)
+              .exists(_.fieldNames.contains("extra")) =>
+            // SCHEMA EVOLUTION: an append ADDS the extra column (the
+            // committed #schema= header widens); pre-evolution rows
+            // read it as null; a later restore may roll it back off
+            val fresh = (1 to 2).map { _ =>
+              nextKey += 1; nextKey -> s"doc-$nextKey-evo" }
+            version = ManifestTable.append(spark, root,
+              df(fresh, forceExtra = true), boundsCol = Some("doc_id"))
+            model ++= fresh
+          case 10 => // constraint add/drop (metadata commits; adding
+            // scans existing data, so use an invariant that holds)
+            constraint match {
+              case None =>
+                val name = s"c$step"
+                version = ManifestTable.addConstraint(spark, root,
+                  name, "text IS NOT NULL")
+                constraint = Some(name)
+              case Some(name) =>
+                // the constraint may have been shed by a restore to a
+                // pre-declaration version — drop only if still there
+                if (ManifestTable.constraintsOf(spark, root)
+                    .contains(name)) {
+                  version = ManifestTable.dropConstraint(spark, root,
+                    name)
+                }
+                constraint = None
+            }
           case _ => // skipped guard (too few rows): append instead
             nextKey += 1
             version = ManifestTable.append(spark, root,
@@ -123,7 +206,8 @@ class ManifestModelSpec extends SparkSpec {
         }
         history(version) = model
         assert(tableState(root) === model,
-          s"seed=$seed step=$step op=$op v$version: table != model")
+          s"seed=$seed step=$step op=$op v$version " +
+            s"(composite=$composite): table != model")
       }
       // time travel: every retained version equals its model snapshot
       ManifestTable.versions(spark, root)
@@ -134,11 +218,13 @@ class ManifestModelSpec extends SparkSpec {
         assert(got === history(v),
           s"seed=$seed: time travel to v$v != model snapshot")
       }
-      // and the tag (if any) resolves to its version's model
+      // and the tag (if any) resolves to its version's model — unless
+      // a restore rolled the tag declaration itself away
       taggedAt.foreach { v =>
         val name = ManifestTable.tags(spark, root)
           .find(_._2 == v).map(_._1)
-        name.foreach { n =>
+        name.filter(_ => ManifestTable.versions(spark, root)
+          .contains(v)).foreach { n =>
           val got = ManifestTable.readAtTag(spark, root, n)
             .select("doc_id", "text").collect()
             .map(r => r.getLong(0) -> r.getString(1)).toMap

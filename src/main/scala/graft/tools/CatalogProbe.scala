@@ -60,6 +60,27 @@ object CatalogProbe {
     timed("range_sql")(spark.sql(
       s"SELECT count(*) AS n FROM $t " +
         s"WHERE l_orderkey BETWEEN $lo AND $hi").head().getLong(0))
+    // ROW-SIZED OUTPUTS (round-18 ask): aggregate-shaped queries hide
+    // the Row round-trip behind a 1-row result; a SELECT *-shaped read
+    // pays it on EVERY output row AND materializes them — the honest
+    // worst case for the V1 bridge. The noop sink forces full
+    // materialization without a driver collect.
+    def drain(df: org.apache.spark.sql.DataFrame): Long = {
+      df.write.format("noop").mode("overwrite").save(); 0L
+    }
+    timed("select_star_scala")(drain(ManifestTable.read(spark, root)))
+    timed("select_star_sql")(drain(spark.sql(s"SELECT * FROM $t")))
+    // the 2-column projection: column pruning reaches the parquet scan
+    // on both paths; the bridge converts narrower Rows
+    timed("project2_scala")(drain(ManifestTable.read(spark, root)
+      .select(col("l_orderkey"), col("l_extendedprice"))))
+    timed("project2_sql")(drain(spark.sql(
+      s"SELECT l_orderkey, l_extendedprice FROM $t")))
+    // pruned row-sized read: file skipping bounds the converted rows
+    timed("range_rows_scala")(drain(ManifestTable.readWhereKeyBetween(
+      spark, root, "l_orderkey", lo, hi)))
+    timed("range_rows_sql")(drain(spark.sql(
+      s"SELECT * FROM $t WHERE l_orderkey BETWEEN $lo AND $hi")))
     // pruning parity: both paths must open the same file subset
     val filesScala = ManifestTable.readWhereKeyBetween(spark, root,
       "l_orderkey", lo, hi).inputFiles.length

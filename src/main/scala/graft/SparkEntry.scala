@@ -703,10 +703,12 @@ object SparkEntry {
     "q190_sql_merge" ->
       (graft.sources.GraftCatalog.q190SqlMerge _),
     // q193 is N-dimensional Z-order: one optimizeZOrderCols commit
-    // rewrites events into the 3-D Morton layout (user_id, ts,
-    // event_id) with v4 stats on all three, and a 3-predicate
-    // rectangle prunes files on every dimension from the manifest
-    // alone; 3-D-beats-every-2-D-projection is spec-pinned.
+    // rewrites lineitem into the 3-D Morton layout on its independent
+    // key triple (l_orderkey, l_partkey, l_suppkey — events' event_id
+    // is time-ordered, so it has no honest third dimension) with v4
+    // stats on all three, and a 3-predicate rectangle prunes files on
+    // every dimension from the manifest alone;
+    // 3-D-beats-every-2-D-projection is spec-pinned.
     "q193_zorder_3d" ->
       (graft.sources.ZOrderLayout.q193ZOrder3D _),
   )

@@ -408,7 +408,14 @@ object SimilarityQueries {
       "ivf_refresh_" + graft.Tables.dirKey(spark, sfDir)).toString
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) return root
+    // the build is THREE commits — a bare existence check would serve
+    // a crash remnant (the stale v1, junk included) forever; reuse
+    // only a COMPLETE build, rebuild anything partial from scratch
+    if (fs.exists(p)) {
+      if (ManifestTable.versions(spark, root).lastOption.contains(3))
+        return root
+      fs.delete(p, true)
+    }
     val cents = kmeansCodebook(spark, sfDir)
     val e = vecs(spark, sfDir)
     val junk = e.where(col("vec_id") % 17 === 0)

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, In
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+import org.apache.spark.sql.functions.{coalesce, col, countDistinct, lit, monotonically_increasing_id, when}
 import org.apache.spark.sql.graftbridge.Bridge
 
 /** SQL `UPDATE` and `MERGE INTO` over manifest tables — the two
@@ -66,24 +66,36 @@ class GraftRowLevelSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           "MERGE INTO a graft table: WHEN NOT MATCHED BY SOURCE is " +
             "not supported — express source-absent maintenance as a " +
             "second statement (DELETE/UPDATE with an anti-join view)")
-        val keyName = mergeKeyOf(m.targetTable, m.sourceTable,
-          m.mergeCondition)._1.name
+        val (tKeyAttr, sKeyAttr) = mergeKeyOf(m.targetTable,
+          m.sourceTable, m.mergeCondition)
         (m.matchedActions ++ m.notMatchedActions).foreach { a =>
           a.condition.foreach(checkNoSubquery(_, "WHEN ... AND"))
           a match {
             case u: UpdateAction => u.assignments.foreach { asg =>
-              val n = targetName(asg, "WHEN MATCHED UPDATE")
               checkNoSubquery(asg.value, "WHEN MATCHED UPDATE")
-              asg.value match {
-                case ar: AttributeReference
-                    if n == keyName && ar.name == keyName => // identity
-                case _ if n == keyName =>
-                  throw new UnsupportedOperationException(
-                    "MERGE UPDATE: assigning the merge key column " +
-                      s"$keyName would re-key matched rows — the " +
-                      "keyed rewrite replaces rows BY key; re-key " +
-                      "with DELETE + INSERT")
-                case _ =>
+              val kAttr = asg.key match {
+                case ar: AttributeReference => ar
+                case other => throw new UnsupportedOperationException(
+                  "WHEN MATCHED UPDATE: only top-level column " +
+                    s"assignments are supported, got ${other.sql}")
+              }
+              // assigning the merge key: identity ONLY when the value
+              // IS one of the two join-key attributes (by exprId —
+              // a same-NAMED but different source column would
+              // silently re-key matched rows, exactly the hazard this
+              // guard exists for)
+              if (kAttr.exprId == tKeyAttr.exprId) {
+                stripCasts(asg.value) match {
+                  case ar: AttributeReference
+                      if ar.exprId == sKeyAttr.exprId ||
+                        ar.exprId == tKeyAttr.exprId => // identity
+                  case _ =>
+                    throw new UnsupportedOperationException(
+                      "MERGE UPDATE: assigning the merge key column " +
+                        s"${tKeyAttr.name} would re-key matched rows " +
+                        "— the keyed rewrite replaces rows BY key; " +
+                        "re-key with DELETE + INSERT")
+                }
               }
             }
             case ins: InsertAction => ins.assignments.foreach { asg =>
@@ -157,18 +169,34 @@ private[sources] object GraftRowLevelSql {
   }
 
   /** The (target key, source key) of a MERGE condition — the manifest
-    * merge is KEYED, so only a single-column equality qualifies. */
+    * merge is KEYED, so only a single-column equality qualifies.
+    * Analyzer-inserted casts (the key columns differing in width, e.g.
+    * BIGINT target vs INT source) are stripped before classifying: a
+    * cast-wrapped keyed equality is still keyed, not "non-equi". */
+  /** Analyzer-inserted widening casts peeled off an expression. */
+  def stripCasts(e: Expression): Expression = e match {
+    case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+      stripCasts(c.child)
+    case x => x
+  }
+
   def mergeKeyOf(target: LogicalPlan, source: LogicalPlan,
                  cond: Expression)
       : (AttributeReference, AttributeReference) = {
     checkNoSubquery(cond, "MERGE ON")
     cond match {
-      case EqualTo(l: AttributeReference, r: AttributeReference)
-          if target.outputSet.contains(l) &&
-            source.outputSet.contains(r) => (l, r)
-      case EqualTo(l: AttributeReference, r: AttributeReference)
-          if target.outputSet.contains(r) &&
-            source.outputSet.contains(l) => (r, l)
+      case EqualTo(l0, r0) => (stripCasts(l0), stripCasts(r0)) match {
+        case (l: AttributeReference, r: AttributeReference)
+            if target.outputSet.contains(l) &&
+              source.outputSet.contains(r) => (l, r)
+        case (l: AttributeReference, r: AttributeReference)
+            if target.outputSet.contains(r) &&
+              source.outputSet.contains(l) => (r, l)
+        case _ => throw new UnsupportedOperationException(
+          "MERGE INTO a graft table needs ON target.key = source.key " +
+            s"(one column each side); got ${cond.sql}. The manifest " +
+            "merge is keyed — non-equi merges have no keyed rewrite")
+      }
       case other => throw new UnsupportedOperationException(
         "MERGE INTO a graft table needs ON target.key = source.key " +
           s"(one column each side); got ${other.sql}. The manifest " +
@@ -270,23 +298,40 @@ case class GraftMergeCommand(root: String,
         }
       }
     }
-    val joinedAll = targetDF.join(sourceDF,
-      Bridge.column(mergeCondition), "inner")
+    // a per-ROW identity on the target side: the SQL cardinality rule
+    // is about target ROWS (one row hit by two source rows = error),
+    // and a DUPLICATE-KEYED target (legal to match once per row in
+    // SQL) is a separate case the keyed rewrite cannot express — the
+    // two must be told apart, and key-value group counts conflate
+    // them. The checkpoint below freezes the nondeterministic ids
+    // before the probes read them.
+    val joinedAll = targetDF
+      .withColumn("__graft_tid", monotonically_increasing_id())
+      .join(sourceDF, Bridge.column(mergeCondition), "inner")
     val mIdx = actionIdx(matchedActions)
     val matched = joinedAll.withColumn("__graft_action", mIdx)
       .where(col("__graft_action") >= 0)
-      .localCheckpoint() // delta-sized; read 3x (cardinality, removes, ups)
-    // SQL MERGE cardinality rule: a target row updated/deleted by two
-    // source rows is an error, never a double apply
+      .localCheckpoint() // delta-sized; read 4x (2 probes, removes, ups)
     if (matchedActions.nonEmpty) {
-      val dup = matched
-        .groupBy(Bridge.column(tKey))
+      // SQL MERGE cardinality rule: a target ROW updated/deleted by
+      // two source rows is an error, never a double apply
+      val dupRow = matched.groupBy(col("__graft_tid"))
         .count().where(col("count") > 1).take(1)
-      require(dup.isEmpty,
+      require(dupRow.isEmpty,
         s"MERGE cardinality violation on $root: a target row matches " +
           "multiple source rows with an applicable WHEN MATCHED " +
-          s"action (e.g. $keyName = ${dup.headOption.map(_.get(0))
-            .getOrElse("")}) — dedupe the source on the merge key")
+          "action — dedupe the source on the merge key")
+      // honest limit: duplicate merge-key rows IN THE TARGET are
+      // legal SQL (each row updates once) but the keyed rewrite
+      // replaces BY key and would collapse them — reject loudly
+      val dupKey = matched.groupBy(Bridge.column(tKey).as(keyName))
+        .agg(countDistinct(col("__graft_tid")).as("__n"))
+        .where(col("__n") > 1).take(1)
+      if (dupKey.nonEmpty) throw new UnsupportedOperationException(
+        s"MERGE into $root: the target holds multiple rows with " +
+          s"merge key $keyName = ${dupKey.head.get(0)} — the keyed " +
+          "copy-on-write rewrite replaces rows BY key and would " +
+          "collapse them; deduplicate the target first")
     }
     val deleteIdx = matchedActions.zipWithIndex.collect {
       case (_: DeleteAction, i) => i }

@@ -1434,12 +1434,17 @@ object ManifestTable {
     val pinned = base.read(spark)
     // the z-bucket needs each dimension as an exact LONG expression in
     // its stats unit — the same unit statExpr stamps, so the stamped
-    // v4 stats and the layout agree
+    // v4 stats and the layout agree. The bigint cast is load-bearing
+    // for narrow integral columns: (c - lo) * 1024 evaluated in a
+    // 32-bit column's native type overflows silently once the domain
+    // exceeds ~2^21, producing negative buckets and a garbage curve
+    // (results stay correct — the stats are stamped from real values —
+    // but the pruning the layout sells collapses with no diagnostics).
     def unitSql(c: String): String = {
       statExpr(pinned.schema, c) // type gate: fails loudly on others
       if (pinned.schema(c).dataType ==
           org.apache.spark.sql.types.TimestampType) s"unix_micros(`$c`)"
-      else s"`$c`"
+      else s"CAST(`$c` AS BIGINT)"
     }
     val units = cols.map(unitSql)
     val mmAggs = units.flatMap(u => Seq(

@@ -383,9 +383,19 @@ class ManifestStreamSource(spark: SparkSession, root: String,
       case None => cur
     }
     // rate limit in commit units; the FIRST batch (no start offset) is
-    // the whole initial snapshot and is never split
+    // the whole initial snapshot and is never split. Pace in RETAINED
+    // versions, not raw arithmetic: s + n can land inside a vacuum gap
+    // (tag floors retain non-contiguous histories), and an endV that
+    // is not a retained version makes getBatch fail loudly — a naive
+    // s + n would turn a pre-existing gap into a permanent crash loop
+    // (every restart recomputes the same vacuumed endV).
     val paced = (Option(start).map(versionOf), maxVersionsPerTrigger) match {
-      case (Some(s), Some(n)) if n > 0 => capped.map(math.min(_, s + n))
+      case (Some(s), Some(n)) if n > 0 =>
+        capped.map { c =>
+          val nexts = ManifestTable.versions(spark, root)
+            .filter(v => v > s && v <= c)
+          if (nexts.isEmpty) c else nexts.take(n).last
+        }
       case _ => capped
     }
     paced.map(v => ManifestVersionOffset(v.toLong)).orNull

@@ -382,4 +382,36 @@ class ManifestStreamSpec extends SparkSpec {
       ManifestVersionOffset(4))
     assert(ok.isStreaming && ok.columns.toSeq === docs.columns.toSeq)
   }
+
+  test("review r18: a PACED tail (maxVersionsPerTrigger) resuming " +
+      "across a vacuum gap advances to the next RETAINED version " +
+      "instead of crash-looping on a vacuumed endV") {
+    val base = Files.createTempDirectory("graft-paced").toString
+    val root = s"$base/tbl"
+    val (ck, out) = (s"$base/ck", s"$base/out")
+    def drainPaced(): Unit = {
+      val q = spark.readStream
+        .format(classOf[ManifestStreamProvider].getName)
+        .option("path", root)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    ManifestTable.overwrite(spark, root, slice(0)) // v1
+    drainPaced() // cursor at v1
+    ManifestTable.addTag(spark, root, "cur", 1)    // v2 (header-only)
+    ManifestTable.append(spark, root, slice(1))    // v3
+    ManifestTable.append(spark, root, slice(2))    // v4
+    // retain=2 keeps {v1 (tag floor), v3, v4}; v2 retires — the
+    // paced resume's naive endV (1 + 1 = 2) now sits IN the gap
+    ManifestTable.vacuum(spark, root, retain = 2, orphanRetentionMs = 0L)
+    assert(ManifestTable.versions(spark, root) === Seq(1, 3, 4))
+    drainPaced() // must pace 1 -> 3 -> 4, never 1 -> 2
+    assert(ids(spark.read.parquet(out)) ===
+      ids(slice(0).unionByName(slice(1)).unionByName(slice(2))),
+      "paced resume across the gap lost or duplicated rows")
+  }
 }

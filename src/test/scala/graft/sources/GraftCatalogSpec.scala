@@ -402,6 +402,59 @@ class GraftCatalogSpec extends SparkSpec {
     assert(exNBS.getMessage.contains("NOT MATCHED BY SOURCE"))
   }
 
+  test("review r18: MERGE edge contracts — cast-differing key types " +
+      "are still keyed; SET * with a same-named non-key source column " +
+      "rejects (re-key hazard); a duplicate-keyed target rejects " +
+      "honestly, not as a cardinality violation") {
+    val root = mkTable("dbm2", "docs")
+    registered()
+    val t = s"gcat.dbm2.docs"
+    // (1) INT source key vs BIGINT target key: the analyzer wraps one
+    // side in a Cast — still a keyed equality, must run, not reject
+    val someId = docs.agg(min("doc_id")).head().getLong(0)
+    spark.sql(s"SELECT CAST($someId AS INT) AS doc_id, 'zz' AS lang")
+      .createOrReplaceTempView("m2_cast_src")
+    spark.sql(s"MERGE INTO $t AS tg USING m2_cast_src AS s " +
+      "ON tg.doc_id = s.doc_id " +
+      "WHEN MATCHED THEN UPDATE SET lang = s.lang")
+    assert(spark.sql(s"SELECT lang FROM $t WHERE doc_id = $someId")
+      .head().getString(0) === "zz",
+      "the cast-keyed merge did not apply")
+    // (2) the re-key hazard: join on s.k2, source ALSO has a column
+    // named doc_id — SET * would assign tg.doc_id = s.doc_id (an
+    // unrelated column, matched by NAME) and silently re-key; the
+    // exprId guard must reject it loudly
+    docs.limit(1)
+      .select(col("doc_id").as("k2"), (col("doc_id") + 999999L)
+        .as("doc_id"), col("lang"), col("text"))
+      .createOrReplaceTempView("m2_rekey_src")
+    val exRekey = intercept[UnsupportedOperationException] {
+      spark.sql(s"MERGE INTO $t AS tg USING m2_rekey_src AS s " +
+        "ON tg.doc_id = s.k2 " +
+        "WHEN MATCHED THEN UPDATE SET *")
+    }
+    assert(exRekey.getMessage.contains("re-key"),
+      s"wrong rejection: ${exRekey.getMessage}")
+    // (3) duplicate-keyed TARGET: legal SQL (one source row may update
+    // both) but the keyed rewrite would collapse them — its own honest
+    // loud rejection, not the cardinality message blaming the source
+    val b = java.nio.file.Files.createTempDirectory("graft-dupkey")
+    val dupRoot = s"$b/t"
+    import spark.implicits._
+    ManifestTable.overwrite(spark, dupRoot,
+      Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("doc_id", "text"))
+    GraftCatalog.register(spark, "gdup", b.toString)
+    Seq((1L, "upd")).toDF("doc_id", "text")
+      .createOrReplaceTempView("m2_dup_src")
+    val exDup = intercept[UnsupportedOperationException] {
+      spark.sql("MERGE INTO gdup.t AS tg USING m2_dup_src AS s " +
+        "ON tg.doc_id = s.doc_id " +
+        "WHEN MATCHED THEN UPDATE SET text = s.text")
+    }
+    assert(exDup.getMessage.contains("multiple rows with merge key"),
+      s"wrong rejection: ${exDup.getMessage}")
+  }
+
   test("range translation: conjunctions intersect, In spans, " +
       "non-integral columns never constrain") {
     import org.apache.spark.sql.sources._

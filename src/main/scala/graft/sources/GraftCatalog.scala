@@ -238,7 +238,9 @@ private[sources] object GraftProcedures {
   import org.apache.spark.sql.connector.read.LocalScan
   import org.apache.spark.sql.types.{DataTypes, StructField}
 
-  val names: Seq[String] = Seq("optimize", "vacuum", "restore", "zorder")
+  val names: Seq[String] =
+    Seq("optimize", "vacuum", "restore", "zorder", "add_tag",
+      "remove_tag")
 
   private def rootOf(warehouse: String, table: String): String =
     table.split('.').foldLeft(new Path(warehouse)) { (p, s) =>
@@ -332,6 +334,28 @@ private[sources] object GraftProcedures {
             input.getInt(2))
           InternalRow(v, b, a)
         })
+      case "add_tag" => proc("add_tag",
+        "pin a version under a human name — a header-only commit; the " +
+          "tagged version becomes a vacuum retention floor and " +
+          "resolves via VERSION AS OF 'name' (ManifestTable.addTag)",
+        Seq(in("table", DataTypes.StringType),
+          in("name", DataTypes.StringType),
+          in("version", DataTypes.IntegerType)),
+        StructType(Seq(
+          StructField("new_version", DataTypes.IntegerType))),
+        input => InternalRow(ManifestTable.addTag(spark,
+          rootOf(warehouse, input.getUTF8String(0).toString),
+          input.getUTF8String(1).toString, input.getInt(2))))
+      case "remove_tag" => proc("remove_tag",
+        "drop a named tag — header-only commit; the tagged version " +
+          "becomes vacuum-collectable again (ManifestTable.removeTag)",
+        Seq(in("table", DataTypes.StringType),
+          in("name", DataTypes.StringType)),
+        StructType(Seq(
+          StructField("new_version", DataTypes.IntegerType))),
+        input => InternalRow(ManifestTable.removeTag(spark,
+          rootOf(warehouse, input.getUTF8String(0).toString),
+          input.getUTF8String(1).toString)))
     }
   }
 }

@@ -455,6 +455,86 @@ class GraftCatalogSpec extends SparkSpec {
       s"wrong rejection: ${exDup.getMessage}")
   }
 
+  test("r18: tag lifecycle through CALL — add_tag pins a retention " +
+      "floor readable via VERSION AS OF 'name', remove_tag frees it") {
+    val root = mkTable("dbtag", "docs")
+    registered()
+    val t = "gcat.dbtag.docs"
+    val n1 = ManifestTable.readAt(spark, root, 1).count()
+    val r1 = spark.sql("CALL gcat.system.add_tag(" +
+      "table => 'dbtag.docs', name => 'base', version => 1)").head()
+    assert(r1.getInt(0) === 3, s"add_tag diagnostics wrong: $r1")
+    spark.sql("CALL gcat.system.vacuum(table => 'dbtag.docs', " +
+      "retain => 1, orphan_retention_ms => 0)").collect()
+    // the tagged v1 survived the retain=1 vacuum and resolves by name
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM $t VERSION AS OF 'base'")
+      .head().getLong(0) === n1)
+    val r2 = spark.sql("CALL gcat.system.remove_tag(" +
+      "table => 'dbtag.docs', name => 'base')").head()
+    assert(r2.getInt(0) === 4, s"remove_tag diagnostics wrong: $r2")
+    spark.sql("CALL gcat.system.vacuum(table => 'dbtag.docs', " +
+      "retain => 1, orphan_retention_ms => 0)").collect()
+    assert(!ManifestTable.versions(spark, root).contains(1),
+      "the untagged version survived the second vacuum")
+  }
+
+  test("r18: SQL MERGE inherits DELETE SEQUENCING over outstanding " +
+      "equality deletes — NOT MATCHED INSERT resurrects a suppressed " +
+      "key, untouched deleted keys stay suppressed, a differently-" +
+      "keyed merge still rejects loudly") {
+    val root = mkTable("dbseq", "docs")
+    registered()
+    val t = "gcat.dbseq.docs"
+    // suppress every doc_id % 5 == 2 (MoR delete, keyed on doc_id)
+    ManifestTable.deleteWhereKeyIn(spark, root, "doc_id",
+      docs.where(col("doc_id") % 5 === 2).select("doc_id"))
+    val suppressed = docs.where(col("doc_id") % 5 === 2)
+      .select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0))
+    val (resKey, stayKey) = (suppressed.head, suppressed.last)
+    val liveKey = docs.where(col("doc_id") % 5 === 0)
+      .agg(min("doc_id")).head().getLong(0)
+    // source: resurrect resKey (its row is SUPPRESSED, hence NOT
+    // MATCHED — the insert action is the keyed resurrection path),
+    // update liveKey
+    docs.where(col("doc_id").isin(resKey, liveKey))
+      .withColumn("text", lit("seq"))
+      .createOrReplaceTempView("seq_src")
+    spark.sql(
+      s"""MERGE INTO $t AS tg USING seq_src AS s
+         |ON tg.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET text = s.text
+         |WHEN NOT MATCHED THEN INSERT (doc_id, lang, text)
+         |  VALUES (s.doc_id, s.lang, s.text)
+         |""".stripMargin)
+    val after = ManifestTable.read(spark, root)
+    assert(after.where(col("doc_id") === resKey).count() === 1 &&
+      after.where(col("doc_id") === resKey).head()
+        .getAs[String]("text") === "seq",
+      "the insert action did not resurrect the suppressed key")
+    assert(after.where(col("doc_id") === stayKey).count() === 0,
+      "an untouched suppressed key resurfaced through the SQL merge")
+    assert(after.where(col("doc_id") === liveKey).head()
+      .getAs[String]("text") === "seq")
+    // a merge keyed on a DIFFERENT (unique) column cannot sequence
+    // the doc_id-keyed delete set: mergeCoW's loud rejection must
+    // surface through the SQL statement
+    val root2 = new Path(new Path(wh, "dbseq"), "alt").toString
+    ManifestTable.overwrite(spark, root2,
+      docs.withColumn("alt_id", col("doc_id") + 1000000L))
+    ManifestTable.deleteWhereKeyIn(spark, root2, "doc_id",
+      docs.where(col("doc_id") % 5 === 2).select("doc_id"))
+    spark.sql("SELECT * FROM gcat.dbseq.alt LIMIT 1")
+      .createOrReplaceTempView("seq_bad")
+    val ex = intercept[IllegalArgumentException] {
+      spark.sql("MERGE INTO gcat.dbseq.alt AS tg USING seq_bad AS s " +
+        "ON tg.alt_id = s.alt_id " +
+        "WHEN MATCHED THEN UPDATE SET text = s.text")
+    }
+    assert(ex.getMessage.contains("cannot sequence"))
+  }
+
   test("range translation: conjunctions intersect, In spans, " +
       "non-integral columns never constrain") {
     import org.apache.spark.sql.sources._

@@ -8,7 +8,9 @@ import graft.SparkSpec
   * every table operation (append, equality delete — single-column or
   * COMPOSITE tuple per seed, delete-sequencing merge — tuple-keyed in
   * composite mode, row-level delete/update, optimize, restore, tag,
-  * VACUUM, SCHEMA EVOLUTION, constraint add/drop) is applied in
+  * VACUUM, SCHEMA EVOLUTION, constraint add/drop, and the SQL
+  * surface's UPDATE / DELETE FROM statements through a registered
+  * catalog) is applied in
   * parallel to the real manifest table AND to an in-memory reference
   * model (a plain Map with snapshot history); after EVERY commit the
   * table read must equal the model exactly, and time travel to any
@@ -77,11 +79,18 @@ class ManifestModelSpec extends SparkSpec {
         boundsCol = Some("doc_id"))
       val history = scala.collection.mutable.Map(version -> model)
       var taggedAt = Option.empty[Int]
+      // the SQL surface joins the alphabet: the same model gates both
+      // entry points (cross-surface differential testing — a drift
+      // between the Scala rewrite and its SQL routing fails here)
+      val catName = s"gmodel$seed"
+      GraftCatalog.register(spark, catName,
+        new java.io.File(root).getParent)
+      val sqlT = s"$catName.`tbl`"
 
       def liveKeys: Seq[Long] = model.keys.toSeq.sorted
 
       for (step <- 1 to 24) {
-        val op = rnd.nextInt(11)
+        val op = rnd.nextInt(13)
         op match {
           case 0 => // append fresh keys (never resurrecting)
             val fresh = (1 to 1 + rnd.nextInt(4)).map { _ =>
@@ -197,6 +206,20 @@ class ManifestModelSpec extends SparkSpec {
                 }
                 constraint = None
             }
+          case 11 => // SQL UPDATE through the post-hoc rule → the
+            // same updateWhere rewrite, typed as a statement
+            val m = 2 + rnd.nextInt(3)
+            spark.sql(s"UPDATE $sqlT SET text = concat(text, '+s$step')" +
+              s" WHERE doc_id % $m = 1")
+            version = ManifestTable.currentVersion(spark, root).get
+            model = model.map { case (k, t) =>
+              k -> (if (k % m == 1) t + s"+s$step" else t) }
+          case 12 if liveKeys.size > 8 => // SQL DELETE FROM
+            // (SupportsDeleteV2 → the rowdelete CoW rewrite)
+            val m = 2 + rnd.nextInt(3)
+            spark.sql(s"DELETE FROM $sqlT WHERE doc_id % $m = 0")
+            version = ManifestTable.currentVersion(spark, root).get
+            model = model.filter { case (k, _) => k % m != 0 }
           case _ => // skipped guard (too few rows): append instead
             nextKey += 1
             version = ManifestTable.append(spark, root,

@@ -303,15 +303,15 @@ case class GraftMergeCommand(root: String,
     // and a DUPLICATE-KEYED target (legal to match once per row in
     // SQL) is a separate case the keyed rewrite cannot express — the
     // two must be told apart, and key-value group counts conflate
-    // them. The checkpoint below freezes the nondeterministic ids
-    // before the probes read them.
+    // them. The checkpoint freezes the nondeterministic ids ONCE, at
+    // the join — matched and both probes must read the SAME ids.
     val joinedAll = targetDF
       .withColumn("__graft_tid", monotonically_increasing_id())
       .join(sourceDF, Bridge.column(mergeCondition), "inner")
+      .localCheckpoint() // delta-sized (source hits only); read 5x
     val mIdx = actionIdx(matchedActions)
     val matched = joinedAll.withColumn("__graft_action", mIdx)
       .where(col("__graft_action") >= 0)
-      .localCheckpoint() // delta-sized; read 4x (2 probes, removes, ups)
     if (matchedActions.nonEmpty) {
       // SQL MERGE cardinality rule: a target ROW updated/deleted by
       // two source rows is an error, never a double apply
@@ -323,10 +323,20 @@ case class GraftMergeCommand(root: String,
           "action — dedupe the source on the merge key")
       // honest limit: duplicate merge-key rows IN THE TARGET are
       // legal SQL (each row updates once) but the keyed rewrite
-      // replaces BY key and would collapse them — reject loudly
-      val dupKey = matched.groupBy(Bridge.column(tKey).as(keyName))
+      // replaces BY key and would collapse them — reject loudly.
+      // Probed over ALL join matches restricted to keys being
+      // rewritten, NOT over `matched` alone: a duplicate whose action
+      // condition fires for only ONE of the two rows leaves the other
+      // out of `matched`, yet the keyed rewrite would still remove
+      // both and insert one replacement — the non-firing duplicate
+      // must reject too, whichever duplicate's condition fired.
+      val dupKey = joinedAll
+        .groupBy(Bridge.column(tKey).as(keyName))
         .agg(countDistinct(col("__graft_tid")).as("__n"))
-        .where(col("__n") > 1).take(1)
+        .where(col("__n") > 1)
+        .join(matched.select(Bridge.column(tKey).as(keyName)).distinct(),
+          Seq(keyName), "left_semi")
+        .take(1)
       if (dupKey.nonEmpty) throw new UnsupportedOperationException(
         s"MERGE into $root: the target holds multiple rows with " +
           s"merge key $keyName = ${dupKey.head.get(0)} — the keyed " +

@@ -2478,8 +2478,12 @@ object ManifestTable {
     * l_linenumber) TUPLE: a composite MoR delete suppresses every
     * `orderkey ≡ 0 (mod 5) ∧ linenumber odd` tuple, then ONE
     * [[mergeCoWKeys]] interleaves all three sequencing cases at tuple
-    * granularity — plain removes (orderkey ≡ 4 (mod 10), some tuples
-    * deleted, some live), RESURRECTING upserts (orderkey ≡ 5 (mod 10):
+    * granularity — removes of LIVE tuples (orderkey ≡ 4 (mod 10) —
+    * disjoint from the ≡0 (mod 5) delete set) AND removes of
+    * SUPPRESSED tuples (orderkey ≡ 0 (mod 10), odd linenumbers — every
+    * one sits in the delete set: the remove must make its delete moot,
+    * dropping the tuple from the consolidated delete file without
+    * resurrecting anything), RESURRECTING upserts (orderkey ≡ 5 (mod 10):
     * its odd-linenumber tuples sit in the delete set, its even ones
     * are live — mixed), and untouched deleted tuples that must STAY
     * suppressed via the consolidated delete file the merge carries
@@ -2508,7 +2512,9 @@ object ManifestTable {
           pmod(col("l_linenumber"), lit(2)) === 1)
         .select("l_orderkey", "l_linenumber"))
     mergeCoWKeys(spark, root, Seq("l_orderkey", "l_linenumber"),
-      removeKeys = li.where(pmod(col("l_orderkey"), lit(10)) === 4)
+      removeKeys = li.where(pmod(col("l_orderkey"), lit(10)) === 4 ||
+          (pmod(col("l_orderkey"), lit(10)) === 0 &&
+            pmod(col("l_linenumber"), lit(2)) === 1))
         .select("l_orderkey", "l_linenumber"),
       upserts = li.where(pmod(col("l_orderkey"), lit(10)) === 5)
         .withColumn("price_cents", col("price_cents") + 7))

@@ -143,7 +143,13 @@ class ManifestStreamProvider extends StreamSourceProvider
   *    (upserts are NEW rows) and `rowupdate` (updated rows are new
   *    row versions) FAIL LOUDLY instead of silently losing them —
   *    those tables need CDF mode (row-level, rewrite-safe) or
-  *    `redeliver` + downstream key reconciliation. A rewrite whose
+  *    `redeliver` + downstream key reconciliation. `restore` also
+  *    fails, DELIBERATELY (a tightening over the pre-kind behavior,
+  *    which treated restore as skippable): a restore ACROSS a prior
+  *    rowdelete re-lists the pre-delete files, whose deleted rows the
+  *    tail NEVER delivered (the stream may even have started after
+  *    the delete) — restore is an un-delete, and skipping it would
+  *    silently lose exactly those resurrected rows. A rewrite whose
   *    kind is UNKNOWN (pre-kind manifest, or a vacuum gap folding
   *    several commits into one net diff) also fails — unknown must
   *    never silently drop rows.
@@ -466,9 +472,11 @@ class ManifestStreamSource(spark: SparkSession, root: String,
         // PROVABLY row-preserving kinds only (see RewriteCommitPolicy):
         // compact permutes delivered rows, rowdelete keeps a subset of
         // them — skipping loses nothing an append tail could express.
-        // merge/rowupdate CREATE rows the tail has not delivered, and
-        // an unknown kind (pre-kind manifest, vacuum-gap net diff)
-        // might — fail loudly instead of silently losing them.
+        // merge/rowupdate CREATE rows the tail has not delivered,
+        // restore can UN-delete rows it never delivered (re-listing
+        // pre-rowdelete files), and an unknown kind (pre-kind
+        // manifest, vacuum-gap net diff) might — fail loudly instead
+        // of silently losing them.
         val rowPreserving = Set("compact", "rowdelete")
         val unsafe = perCommit.filter(c =>
           c._3 && !c._4.exists(rowPreserving.contains))

@@ -26,13 +26,22 @@ object ZDimProbe {
     val li = Tables.lineitem(spark, dir)
       .select(cols.map(col) :+ col("l_returnflag"): _*)
     val files = 64
-    val rect3 = Tables.lineitem(spark, dir)
-      .agg(max(col(cols(0))), max(col(cols(1))), max(col(cols(2))))
-      .head() match { case r =>
-        cols.zipWithIndex.map { case (c, i) => (c, 0L, r.getLong(i) / 4) }
-      }
-    val domain = cols.map(c =>
-      c -> li.agg(max(col(c))).head().getLong(0)).toMap
+    // per-column [min, max] — bucketing from the ACTUAL min, not 0: a
+    // column whose domain starts far above 0 (or below) would compress
+    // into few buckets / feed zValueN out-of-range inputs otherwise
+    // (mirrors optimizeZOrderCols' own domain resolution)
+    val domain: Map[String, (Long, Long)] =
+      li.agg(min(col(cols(0))), max(col(cols(0))),
+          min(col(cols(1))), max(col(cols(1))),
+          min(col(cols(2))), max(col(cols(2))))
+        .head() match { case r =>
+          cols.zipWithIndex.map { case (c, i) =>
+            c -> (r.getLong(2 * i), r.getLong(2 * i + 1)) }.toMap
+        }
+    val rect3 = cols.map { c =>
+      val (lo, hi) = domain(c)
+      (c, lo, lo + (hi - lo) / 4) // each dim's lower quarter
+    }
     def build(order: Seq[String]): String = {
       val root = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"),
@@ -40,8 +49,9 @@ object ZDimProbe {
       val zv =
         if (order.size == 1) col(order.head)
         else ZOrderLayout.zValueN(order.map { c =>
-          expr(ZOrderLayout.zBucketSql(s"CAST(`$c` AS BIGINT)", "0",
-            (domain(c) + 1).toString, "DIV"))
+          val (lo, hi) = domain(c)
+          expr(ZOrderLayout.zBucketSql(s"CAST(`$c` AS BIGINT)",
+            lo.toString, (hi - lo + 1).toString, "DIV"))
         })
       ManifestTable.overwrite(spark, root,
         li.withColumn("zv", zv)

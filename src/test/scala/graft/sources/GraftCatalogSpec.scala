@@ -453,6 +453,24 @@ class GraftCatalogSpec extends SparkSpec {
     }
     assert(exDup.getMessage.contains("multiple rows with merge key"),
       s"wrong rejection: ${exDup.getMessage}")
+    // (3b) the SNEAKY duplicate: the action CONDITION fires for only
+    // ONE of the two duplicate rows — the other never enters the
+    // matched set, but the keyed rewrite would still remove BOTH and
+    // insert one replacement, silently losing the non-firing row.
+    // The guard must probe all join matches of rewritten keys, not
+    // just the rows whose condition fired.
+    val exDupCond = intercept[UnsupportedOperationException] {
+      spark.sql("MERGE INTO gdup.t AS tg USING m2_dup_src AS s " +
+        "ON tg.doc_id = s.doc_id " +
+        "WHEN MATCHED AND tg.text = 'a' THEN UPDATE SET text = s.text")
+    }
+    assert(exDupCond.getMessage.contains("multiple rows with merge key"),
+      s"wrong rejection: ${exDupCond.getMessage}")
+    // and the table is untouched — the rejection happened before any
+    // commit (both duplicates still present)
+    assert(spark.sql("SELECT text FROM gdup.t WHERE doc_id = 1")
+      .collect().map(_.getString(0)).sorted.toSeq === Seq("a", "b"),
+      "rejected merge must not have modified the table")
   }
 
   test("r18: tag lifecycle through CALL — add_tag pins a retention " +

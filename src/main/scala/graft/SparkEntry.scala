@@ -702,6 +702,14 @@ object SparkEntry {
     // rejections are spec-pinned.
     "q190_sql_merge" ->
       (graft.sources.GraftCatalog.q190SqlMerge _),
+    // q194 is add-column schema evolution through SQL DDL: ALTER TABLE
+    // ADD COLUMN widens the committed schema header-only (zero data
+    // IO), INSERT INTO lands wider rows, the mixed-file read serves
+    // pre-evolution rows with a NULL — q158's oracle gates the DDL
+    // surface verbatim; rejections + the same-files pin are
+    // spec-pinned.
+    "q194_sql_add_column" ->
+      (graft.sources.GraftCatalog.q194SqlAddColumn _),
     // q193 is N-dimensional Z-order: one optimizeZOrderCols commit
     // rewrites lineitem into the 3-D Morton layout on its independent
     // key triple (l_orderkey, l_partkey, l_suppkey — events' event_id
@@ -731,6 +739,23 @@ object SparkEntry {
       |WHERE user_id >= 0 AND user_id <= uhi
       |  AND epoch_us(ts) >= tlo AND epoch_us(ts) <= thi
       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Shared by q158 (Scala evolution-on-append) and q194 (SQL `ALTER
+    * TABLE ADD COLUMN` + INSERT): the evolved table is the first
+    * subset with a NULL lang (the column didn't exist when those
+    * files were committed) plus the second subset carrying it — one
+    * oracle, two entry points into the same widened-schema read. */
+  private val schemaEvolutionOracle: String =
+    """WITH t AS (SELECT doc_id, text, NULL AS lang FROM documents
+      |           WHERE doc_id % 3 <> 0
+      |           UNION ALL
+      |           SELECT doc_id, text, lang FROM documents
+      |           WHERE doc_id % 3 = 0)
+      |SELECT coalesce(lang, 'pre_evolution') AS lang,
+      |       count(*) AS n_docs,
+      |       sum(doc_id)::BIGINT AS sum_doc_id,
+      |       sum(length(text))::BIGINT AS n_chars
+      |FROM t GROUP BY 1 ORDER BY lang""".stripMargin
 
   /** Shared by q184 (Scala updateWhere) and q189 (SQL UPDATE through
     * the row-level rule): the redaction's CASE arithmetic replayed
@@ -3775,17 +3800,7 @@ object SparkEntry {
     // q158: the evolved table is the v1 subset with a NULL lang (the
     // column didn't exist when those files were committed) plus the v2
     // subset carrying it.
-    "q158_schema_evolution" ->
-      """WITH t AS (SELECT doc_id, text, NULL AS lang FROM documents
-        |           WHERE doc_id % 3 <> 0
-        |           UNION ALL
-        |           SELECT doc_id, text, lang FROM documents
-        |           WHERE doc_id % 3 = 0)
-        |SELECT coalesce(lang, 'pre_evolution') AS lang,
-        |       count(*) AS n_docs,
-        |       sum(doc_id)::BIGINT AS sum_doc_id,
-        |       sum(length(text))::BIGINT AS n_chars
-        |FROM t GROUP BY 1 ORDER BY lang""".stripMargin,
+    "q158_schema_evolution" -> schemaEvolutionOracle,
     // q159: version 1 is the doc_id%5!=0 subset count; versions 2 and 3
     // the full count (append accumulates; optimize changes no row) —
     // the engine answers from manifest stats alone, the oracle from the
@@ -4002,6 +4017,9 @@ object SparkEntry {
     // q190: q155's oracle verbatim — SQL MERGE INTO and the Scala
     // mergeCoW must agree.
     "q190_sql_merge" -> recrawlMergeOracle,
+    // q194: q158's oracle verbatim — SQL ALTER TABLE ADD COLUMN and
+    // the Scala evolving append land the identical widened table.
+    "q194_sql_add_column" -> schemaEvolutionOracle,
     // q185: the restored v1 slice recomputed from its rule.
     "q185_sql_procedures" ->
       """SELECT lang, count(*) AS n_docs,

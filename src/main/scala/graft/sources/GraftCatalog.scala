@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownF
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{And, BaseRelation, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, TableScan}
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** THE SQL SURFACE OVER MANIFEST TABLES — a DataSource V2
@@ -180,12 +180,46 @@ class GraftCatalog extends TableCatalog
     new GraftSqlTable(ident.toString, root, pinned = None)
   }
 
+  /** `ALTER TABLE ... ADD COLUMN(S)` → [[ManifestTable.addColumns]]'s
+    * header-only evolution commit (zero data IO; old files read the
+    * additions as null). Everything ELSE — rename, drop, retype,
+    * NOT NULL adds, positioned adds, defaults, property changes —
+    * rejects loudly with the workaround named: never a silent column
+    * drop / type flip through DDL. */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"ALTER TABLE through catalog $catalogName is not supported — " +
-        "schema evolution rides ManifestTable.append; constraints ride " +
-        "addConstraint/dropConstraint")
+                          changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          s"ALTER TABLE $ident ADD COLUMN: nested (struct-field) " +
+            s"additions are not supported, got " +
+            a.fieldNames().mkString("."))
+        require(a.isNullable,
+          s"ALTER TABLE $ident ADD COLUMN ${a.fieldNames()(0)}: new " +
+            "columns must be nullable — no existing row carries them " +
+            "(add the column, backfill, then enforce via a CHECK " +
+            "constraint)")
+        require(a.position() == null,
+          s"ALTER TABLE $ident ADD COLUMN ${a.fieldNames()(0)}: " +
+            "FIRST/AFTER positioning is not supported — evolution " +
+            "appends columns after the stored ones")
+        require(a.defaultValue() == null,
+          s"ALTER TABLE $ident ADD COLUMN ${a.fieldNames()(0)}: " +
+            "DEFAULT values are not supported — old files read the " +
+            "column as null; backfill with UPDATE")
+        StructField(a.fieldNames()(0), a.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE $ident: only ADD COLUMN is supported through " +
+          s"catalog $catalogName (got ${other.getClass.getSimpleName})" +
+          " — rename/drop/retype have no sound header-only rewrite " +
+          "without field ids; constraints ride " +
+          "ManifestTable.addConstraint/dropConstraint")
+    }
+    ManifestTable.addColumns(spark, root, adds)
+    new GraftSqlTable(ident.toString, root, pinned = None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = rootOf(ident)
@@ -675,6 +709,45 @@ object GraftCatalog {
          |""".stripMargin)
     spark.sql(s"SELECT doc_id, md5(text) AS text_md5 FROM $t " +
       "ORDER BY doc_id")
+  }
+
+  /** Q194: ADD-COLUMN SCHEMA EVOLUTION THROUGH SQL DDL (`ALTER TABLE
+    * ... ADD COLUMN` via [[GraftCatalog.alterTable]] onto
+    * [[ManifestTable.addColumns]]' header-only commit), hash-gated —
+    * q158's evolution story typed as SQL statements end to end: the
+    * table is seeded two-column, `ALTER TABLE ADD COLUMN lang STRING`
+    * widens the committed schema with ZERO data IO, `INSERT INTO`
+    * lands three-column rows, and the mixed-file read serves the
+    * pre-evolution files' rows with a NULL lang. q158's oracle gates
+    * the DDL surface verbatim (one oracle, two surfaces — the
+    * q189→q184 discipline). Rejections (NOT NULL / positioned /
+    * defaulted adds, rename, drop, retype, nested fields) and the
+    * header-only property (same data files across the ALTER) are
+    * GraftCatalogSpec's pins. */
+  def q194SqlAddColumn(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = graft.Tables.dirKey(spark, sfDir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val db = s"sqlevo_$key"
+    val dbPath = new Path(wh, db)
+    val fs = dbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dbPath)) fs.delete(dbPath, true)
+    val root = new Path(dbPath, "docs").toString
+    val docs = graft.Tables.documents(spark, sfDir)
+    ManifestTable.overwrite(spark, root,
+      docs.where(col("doc_id") % 3 =!= 0).select("doc_id", "text"))
+    register(spark, "graft_tables", wh)
+    val t = s"graft_tables.`$db`.`docs`"
+    spark.sql(s"ALTER TABLE $t ADD COLUMN lang STRING")
+    val view = s"q194_src_$key"
+    docs.where(col("doc_id") % 3 === 0)
+      .select("doc_id", "text", "lang")
+      .createOrReplaceTempView(view)
+    spark.sql(s"INSERT INTO $t SELECT doc_id, text, lang FROM $view")
+    spark.sql(
+      s"""SELECT coalesce(lang, 'pre_evolution') AS lang,
+         |       count(*) AS n_docs, sum(doc_id) AS sum_doc_id,
+         |       sum(length(text)) AS n_chars
+         |FROM $t GROUP BY 1 ORDER BY lang""".stripMargin)
   }
 
   /** Q181: METADATA TABLES THROUGH SQL (Iceberg's `db.t.history`

@@ -6,7 +6,7 @@ import java.util.UUID
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StructField, StructType}
 
 /** MANIFEST-POINTER TABLES — the transactional commit the rewriting
   * operators (layout OPTIMIZE, artifact refresh snapshots) otherwise
@@ -1566,6 +1566,47 @@ object ManifestTable {
         m.headers - (ConstraintPrefix + name) + (KindKey -> "metadata")))
       throw new java.util.ConcurrentModificationException(
         s"dropConstraint on $root lost the commit race; rerun")
+    v + 1
+  }
+
+  /** ADD-COLUMN SCHEMA EVOLUTION AS A HEADER-ONLY COMMIT (`ALTER TABLE
+    * ... ADD COLUMN` — the DDL twin of [[append]]'s evolution-on-
+    * write): the new manifest lists the SAME files and widens only the
+    * committed `#schema=` header — zero data IO; old files read the
+    * additions as null, exactly the state an evolving append leaves
+    * them in. New columns are forced NULLABLE (no existing row carries
+    * them). Name collisions — including case-insensitive ones, which
+    * SQL resolution would conflate — schema-less legacy tables, and
+    * empty additions reject loudly; rename / drop / retype stay
+    * rejected everywhere (see [[evolvedSchema]] — field-id evolution
+    * is the known design for those, not shipped). */
+  def addColumns(spark: SparkSession, root: String,
+                 cols: Seq[StructField]): Int = {
+    require(cols.nonEmpty, s"addColumns to $root needs a column")
+    require(cols.map(_.name.toLowerCase).distinct.size == cols.size,
+      s"addColumns to $root: duplicate new column names " +
+        cols.map(_.name).mkString(", "))
+    val fs = fsOf(spark, new Path(root))
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed version under $root"))
+    val m = loadManifest(fs, root, v)
+    val stored = m.schema.getOrElse(
+      throw new UnsupportedOperationException(
+        s"$root has no committed #schema= header (legacy table) — " +
+          "any append/overwrite stamps one; evolve after that"))
+    val clash = cols.map(_.name).filter(n =>
+      stored.fieldNames.exists(_.equalsIgnoreCase(n)))
+    require(clash.isEmpty,
+      s"addColumns to $root: column(s) ${clash.mkString(", ")} " +
+        "already exist (rename/retype is not supported — evolution " +
+        "is add-only)")
+    val widened = asNullable(StructType(
+      stored.fields ++ cols.map(_.copy(nullable = true))))
+    if (!tryCommit(fs, root, v + 1, m.entryLines,
+        m.headers + (SchemaKey -> widened.json) + (KindKey -> "metadata")))
+      throw new java.util.ConcurrentModificationException(
+        s"addColumns on $root lost the commit race; rerun")
     v + 1
   }
 

@@ -553,6 +553,54 @@ class GraftCatalogSpec extends SparkSpec {
     assert(ex.getMessage.contains("cannot sequence"))
   }
 
+  test("r19: ALTER TABLE ADD COLUMN is a header-only evolution " +
+      "commit; everything else rejects loudly") {
+    val b = java.nio.file.Files.createTempDirectory("graft-alter")
+    val root = s"$b/t"
+    import spark.implicits._
+    ManifestTable.overwrite(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"))
+    GraftCatalog.register(spark, "galt", b.toString)
+    val filesBefore = ManifestTable.fileStats(spark, root).map(_._1)
+    spark.sql("ALTER TABLE galt.t ADD COLUMN lang STRING")
+    // header-only: version advanced, SAME data files, schema widened,
+    // old rows read the new column as null
+    assert(ManifestTable.currentVersion(spark, root).contains(2))
+    assert(ManifestTable.fileStats(spark, root).map(_._1) === filesBefore,
+      "ALTER ADD COLUMN must not touch data files")
+    assert(spark.table("galt.t").columns.toSeq ===
+      Seq("doc_id", "text", "lang"))
+    assert(spark.sql("SELECT count(*) AS n FROM galt.t WHERE lang IS NULL")
+      .head().getLong(0) === 2L)
+    // multi-column form, with types
+    spark.sql("ALTER TABLE galt.t ADD COLUMNS (score BIGINT, note STRING)")
+    assert(spark.table("galt.t").columns.toSeq ===
+      Seq("doc_id", "text", "lang", "score", "note"))
+    // the evolved table accepts wider inserts and serves mixed history
+    spark.sql("INSERT INTO galt.t VALUES (3, 'c', 'en', 7, 'x')")
+    assert(spark.sql("SELECT sum(coalesce(score, 0)) AS s FROM galt.t")
+      .head().getLong(0) === 7L)
+    // rejections: NOT NULL, positioned, collision, rename, drop, retype
+    val exNn = intercept[Exception] {
+      spark.sql("ALTER TABLE galt.t ADD COLUMN req STRING NOT NULL") }
+    assert(exNn.getMessage.contains("nullable"), exNn.getMessage)
+    val exPos = intercept[Exception] {
+      spark.sql("ALTER TABLE galt.t ADD COLUMN f STRING FIRST") }
+    assert(exPos.getMessage.contains("FIRST/AFTER"), exPos.getMessage)
+    val exDup = intercept[Exception] {
+      spark.sql("ALTER TABLE galt.t ADD COLUMN LANG STRING") }
+    assert(exDup.getMessage.contains("already exist"), exDup.getMessage)
+    val exRen = intercept[Exception] {
+      spark.sql("ALTER TABLE galt.t RENAME COLUMN text TO body") }
+    assert(exRen.getMessage.contains("only ADD COLUMN"), exRen.getMessage)
+    val exDrop = intercept[Exception] {
+      spark.sql("ALTER TABLE galt.t DROP COLUMN note") }
+    assert(exDrop.getMessage.contains("only ADD COLUMN"), exDrop.getMessage)
+    val exType = intercept[Exception] {
+      spark.sql("ALTER TABLE galt.t ALTER COLUMN score TYPE DOUBLE") }
+    assert(exType.getMessage.contains("only ADD COLUMN"), exType.getMessage)
+  }
+
   test("range translation: conjunctions intersect, In spans, " +
       "non-integral columns never constrain") {
     import org.apache.spark.sql.sources._

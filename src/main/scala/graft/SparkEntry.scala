@@ -702,6 +702,18 @@ object SparkEntry {
     // rejections are spec-pinned.
     "q190_sql_merge" ->
       (graft.sources.GraftCatalog.q190SqlMerge _),
+    // q195 is composite-key MERGE INTO through SQL: the ON conjunction
+    // folds to the (l_orderkey, l_linenumber) tuple onto mergeCoWKeys'
+    // delete-sequencing commit — q191's oracle gates the SQL surface
+    // verbatim; mixed-AND rejection is spec-pinned.
+    "q195_sql_composite_merge" ->
+      (graft.sources.GraftCatalog.q195SqlCompositeMerge _),
+    // q196 is WHEN NOT MATCHED BY SOURCE: all three clause families in
+    // one statement, the target-side complement folded into the same
+    // remove/upsert pair — one atomic commit; the by-source dup-key
+    // rejection is spec-pinned.
+    "q196_sql_merge_by_source" ->
+      (graft.sources.GraftCatalog.q196SqlMergeBySource _),
     // q194 is add-column schema evolution through SQL DDL: ALTER TABLE
     // ADD COLUMN widens the committed schema header-only (zero data
     // IO), INSERT INTO lands wider rows, the mixed-file read serves
@@ -739,6 +751,35 @@ object SparkEntry {
       |WHERE user_id >= 0 AND user_id <= uhi
       |  AND epoch_us(ts) >= tlo AND epoch_us(ts) <= thi
       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Shared by q191 (Scala tuple-keyed mergeCoWKeys) and q195 (the
+    * same merge as one composite-`ON` SQL MERGE INTO): the tuple-
+    * granular sequencing rules replayed — composite-deleted
+    * (okey%5=0 ∧ odd line) tuples stay out unless their order is
+    * upserted (%10=5 replaces/resurrects at price+7), removes (%10=4)
+    * win over everything; identity-weighted sums make a partial-tuple
+    * slip hash-fatal. */
+  private val compositeMergeRules: String =
+    """merged AS (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag, price_cents
+      |  FROM base
+      |  WHERE NOT (l_orderkey % 5 = 0 AND l_linenumber % 2 = 1)
+      |    AND l_orderkey % 10 <> 4 AND l_orderkey % 10 <> 5
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, l_returnflag, price_cents + 7
+      |  FROM base WHERE l_orderkey % 10 = 5)
+      |SELECT l_returnflag, l_orderkey % 10 AS okey_mod,
+      |       count(*) AS n_rows,
+      |       sum(price_cents)::BIGINT AS sum_price_cents,
+      |       sum(l_orderkey * l_linenumber)::BIGINT AS sum_key_product
+      |FROM merged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val compositeMergeOracle: String =
+    """WITH base AS (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag,
+      |         round(l_extendedprice * 100)::BIGINT AS price_cents
+      |  FROM lineitem),
+      |""".stripMargin + compositeMergeRules
 
   /** Shared by q158 (Scala evolution-on-append) and q194 (SQL `ALTER
     * TABLE ADD COLUMN` + INSERT): the evolved table is the first
@@ -4069,24 +4110,40 @@ object SparkEntry {
     // is upserted (%10=5 replaces/resurrects at price+7), removes
     // (%10=4) win over everything; identity-weighted sums make a
     // partial-tuple slip hash-fatal.
-    "q191_composite_merge" ->
-      """WITH base AS (
-        |  SELECT l_orderkey, l_linenumber, l_returnflag,
-        |         round(l_extendedprice * 100)::BIGINT AS price_cents
-        |  FROM lineitem),
-        |merged AS (
-        |  SELECT l_orderkey, l_linenumber, l_returnflag, price_cents
-        |  FROM base
-        |  WHERE NOT (l_orderkey % 5 = 0 AND l_linenumber % 2 = 1)
-        |    AND l_orderkey % 10 <> 4 AND l_orderkey % 10 <> 5
+    "q191_composite_merge" -> compositeMergeOracle,
+    // q195: q191's sequencing rules replayed over the DISTINCT-tuple
+    // base (SQL MERGE's cardinality rule forbids the raw table's
+    // duplicate tuples — the Scala keyed merge serves them, the SQL
+    // surface rejects them, spec-pinned); the suppressed-tuple
+    // resurrection rides INSERT * through the same delete sequencing.
+    "q195_sql_composite_merge" ->
+      ("""WITH base AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |         max(l_returnflag) AS l_returnflag,
+         |         sum(round(l_extendedprice * 100)::BIGINT)::BIGINT
+         |           AS price_cents
+         |  FROM lineitem GROUP BY 1, 2),
+         |""".stripMargin + compositeMergeRules),
+    // q196: all five row fates of the three-clause-family MERGE
+    // replayed — matched edits, carried matched rows, pruned stale
+    // docs, stale-marked survivors, negative-namespace inserts.
+    "q196_sql_merge_by_source" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN doc_id % 10 = 3 THEN text || ' v2'
+        |              ELSE text END AS text
+        |  FROM documents WHERE doc_id % 3 = 0
         |  UNION ALL
-        |  SELECT l_orderkey, l_linenumber, l_returnflag, price_cents + 7
-        |  FROM base WHERE l_orderkey % 10 = 5)
-        |SELECT l_returnflag, l_orderkey % 10 AS okey_mod,
-        |       count(*) AS n_rows,
-        |       sum(price_cents)::BIGINT AS sum_price_cents,
-        |       sum(l_orderkey * l_linenumber)::BIGINT AS sum_key_product
-        |FROM merged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN 'stale' ELSE lang END
+        |           AS lang,
+        |         text
+        |  FROM documents WHERE doc_id % 3 <> 0 AND lang <> 'de'
+        |  UNION ALL
+        |  SELECT -(doc_id + 1), lang, text FROM documents
+        |  WHERE doc_id % 10 = 1)
+        |SELECT doc_id, lang, md5(text) AS text_md5
+        |FROM f ORDER BY doc_id""".stripMargin,
     // q193: the 3-predicate rectangle recomputed straight from parquet
     // with the same integer bounds arithmetic (q162's discipline, one
     // more dimension).

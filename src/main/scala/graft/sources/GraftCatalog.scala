@@ -750,6 +750,135 @@ object GraftCatalog {
          |FROM $t GROUP BY 1 ORDER BY lang""".stripMargin)
   }
 
+  /** Q195: COMPOSITE-KEY MERGE INTO THROUGH SQL (`ON t.a = s.a AND
+    * t.b = s.b` onto [[ManifestTable.mergeCoWKeys]]' tuple-keyed
+    * commit), hash-gated — q191's delete-sequencing merge typed as ONE
+    * SQL statement over the composite-deleted lineitem table: the ON
+    * conjunction folds to the (l_orderkey, l_linenumber) tuple key,
+    * `WHEN MATCHED AND op='remove' THEN DELETE` removes the live
+    * ≡4 (mod 10) tuples, `WHEN MATCHED THEN UPDATE SET *` updates the
+    * live ≡5 (mod 10) tuples (the per-tuple key-identity guard
+    * passes SET *'s identity assignments), and `WHEN NOT MATCHED THEN
+    * INSERT *` RESURRECTS the suppressed odd-linenumber ≡5 tuples
+    * (SQL sees them as absent; the tuple-keyed sequencing pulls their
+    * keys from the consolidated delete set) — gated by q191's rules
+    * replayed over the DISTINCT-tuple base. Why deduped where q191
+    * isn't: the synthetic lineitem carries duplicate (orderkey,
+    * linenumber) tuples, which the Scala KEYED merge serves (removes/
+    * upserts act on key SETS) but the SQL standard's cardinality rule
+    * FORBIDS — a MERGE whose source hits a duplicate-keyed target must
+    * reject, and the spec pins exactly that rejection on the raw
+    * table. Mixed AND (equality + non-equi), duplicate key columns,
+    * and reordered-vs-delete-set key tuples also reject loudly
+    * (spec-pinned). */
+  def q195SqlCompositeMerge(spark: SparkSession,
+                            sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{max, pmod, sum}
+    val key = graft.Tables.dirKey(spark, sfDir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val db = s"sqlcmrg_$key"
+    val dbPath = new Path(wh, db)
+    val fs = dbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dbPath)) fs.delete(dbPath, true)
+    val root = new Path(dbPath, "lineitem").toString
+    // ONE deterministic row per (l_orderkey, l_linenumber) tuple —
+    // integer-exact aggregation, so the DuckDB oracle replays it
+    // bit-identically
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(max(col("l_returnflag")).as("l_returnflag"),
+        sum(org.apache.spark.sql.functions.round(
+          col("l_extendedprice") * 100).cast("long")).as("price_cents"))
+    ManifestTable.overwrite(spark, root,
+      li.repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey"),
+      boundsCol = Some("l_orderkey"))
+    ManifestTable.deleteWhereKeysIn(spark, root,
+      Seq("l_orderkey", "l_linenumber"),
+      li.where(pmod(col("l_orderkey"), lit(5)) === 0 &&
+          pmod(col("l_linenumber"), lit(2)) === 1)
+        .select("l_orderkey", "l_linenumber"))
+    register(spark, "graft_tables", wh)
+    val view = s"q195_delta_$key"
+    li.where(pmod(col("l_orderkey"), lit(10)) === 4)
+      .withColumn("op", lit("remove"))
+      .unionByName(
+        li.where(pmod(col("l_orderkey"), lit(10)) === 5)
+          .withColumn("price_cents", col("price_cents") + 7)
+          .withColumn("op", lit("upsert")))
+      .createOrReplaceTempView(view)
+    val t = s"graft_tables.`$db`.`lineitem`"
+    spark.sql(
+      s"""MERGE INTO $t AS tg USING $view AS s
+         |ON tg.l_orderkey = s.l_orderkey
+         |   AND tg.l_linenumber = s.l_linenumber
+         |WHEN MATCHED AND s.op = 'remove' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED AND s.op = 'upsert' THEN INSERT *
+         |""".stripMargin)
+    spark.sql(
+      s"""SELECT l_returnflag, l_orderkey % 10 AS okey_mod,
+         |       count(*) AS n_rows,
+         |       sum(price_cents) AS sum_price_cents,
+         |       sum(l_orderkey * l_linenumber) AS sum_key_product
+         |FROM $t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** Q196: `WHEN NOT MATCHED BY SOURCE` — ALL THREE MERGE CLAUSE
+    * FAMILIES IN ONE STATEMENT (Delta/Iceberg's dimension-maintenance
+    * idiom), hash-gated: the source is the current crawl (every
+    * doc_id ≡ 0 (mod 3), edits at ≡3 (mod 10), plus a negative-
+    * namespace insert set); matched edits UPDATE, unseen docs INSERT,
+    * and the target-side complement (docs absent from the crawl)
+    * prunes first-match-wins — stale German docs DELETE, every
+    * seventh survivor is marked `lang='stale'`, the rest carry —
+    * folded into the SAME remove/upsert pair as ONE atomic commit
+    * (single-statement atomicity, no second anti-join statement). The
+    * oracle replays all five row fates over raw parquet; a lost
+    * carried row, a wrongly-pruned survivor, or a double-applied
+    * clause is hash-fatal. The duplicate-keyed-target rejection on
+    * the by-source side is spec-pinned. */
+  def q196SqlMergeBySource(spark: SparkSession,
+                           sfDir: String): DataFrame = {
+    val key = graft.Tables.dirKey(spark, sfDir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val db = s"sqlbsrc_$key"
+    val dbPath = new Path(wh, db)
+    val fs = dbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dbPath)) fs.delete(dbPath, true)
+    val root = new Path(dbPath, "docs").toString
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    ManifestTable.overwrite(spark, root,
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      boundsCol = Some("doc_id"))
+    register(spark, "graft_tables", wh)
+    val view = s"q196_crawl_$key"
+    docs.where(col("doc_id") % 3 === 0)
+      .withColumn("text",
+        org.apache.spark.sql.functions.when(col("doc_id") % 10 === 3,
+          org.apache.spark.sql.functions.concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(
+        docs.where(col("doc_id") % 10 === 1)
+          .withColumn("doc_id", -(col("doc_id") + 1)))
+      .createOrReplaceTempView(view)
+    val t = s"graft_tables.`$db`.`docs`"
+    spark.sql(
+      s"""MERGE INTO $t AS tg USING $view AS s
+         |ON tg.doc_id = s.doc_id
+         |WHEN MATCHED AND s.doc_id % 10 = 3
+         |  THEN UPDATE SET text = s.text
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND tg.lang = 'de' THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE AND tg.doc_id % 7 = 0
+         |  THEN UPDATE SET lang = 'stale'
+         |""".stripMargin)
+    spark.sql(s"SELECT doc_id, lang, md5(text) AS text_md5 FROM $t " +
+      "ORDER BY doc_id")
+  }
+
   /** Q181: METADATA TABLES THROUGH SQL (Iceberg's `db.t.history`
     * shape), hash-gated — the q159 three-commit history (overwrite,
     * append, optimize) rebuilt under the catalog warehouse, then its

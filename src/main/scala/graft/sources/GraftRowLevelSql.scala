@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, In
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.{coalesce, col, countDistinct, lit, monotonically_increasing_id, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, countDistinct, lit, monotonically_increasing_id, when}
 import org.apache.spark.sql.graftbridge.Bridge
 
 /** SQL `UPDATE` and `MERGE INTO` over manifest tables — the two
@@ -39,10 +39,11 @@ import org.apache.spark.sql.graftbridge.Bridge
   *
   * Honest limits (each rejected LOUDLY at analysis, never served
   * wrong): subqueries in conditions/assignments; `MERGE` conditions
-  * that are not a single `target.col = source.col` equality (the
-  * manifest merge is keyed); `UPDATE SET` / `MERGE UPDATE SET` on the
-  * merge key column; `WHEN NOT MATCHED BY SOURCE` actions; nested
-  * (struct-field) assignment targets; time-travel-pinned targets. */
+  * that are not a conjunction of `target.col = source.col` equalities
+  * (single- OR multi-column — the manifest merge is tuple-keyed; any
+  * non-equi conjunct rejects); `UPDATE SET` / `MERGE UPDATE SET`
+  * re-keying a merge key column; nested (struct-field) assignment
+  * targets; time-travel-pinned targets. */
 class GraftRowLevelSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
@@ -62,13 +63,10 @@ class GraftRowLevelSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case m: MergeIntoTable if m.resolved =>
       graftRoot(m.targetTable).map { root =>
         import GraftRowLevelSql._
-        require(m.notMatchedBySourceActions.isEmpty,
-          "MERGE INTO a graft table: WHEN NOT MATCHED BY SOURCE is " +
-            "not supported — express source-absent maintenance as a " +
-            "second statement (DELETE/UPDATE with an anti-join view)")
-        val (tKeyAttr, sKeyAttr) = mergeKeyOf(m.targetTable,
+        val keyPairs = mergeKeysOf(m.targetTable,
           m.sourceTable, m.mergeCondition)
-        (m.matchedActions ++ m.notMatchedActions).foreach { a =>
+        (m.matchedActions ++ m.notMatchedActions ++
+          m.notMatchedBySourceActions).foreach { a =>
           a.condition.foreach(checkNoSubquery(_, "WHEN ... AND"))
           a match {
             case u: UpdateAction => u.assignments.foreach { asg =>
@@ -79,23 +77,25 @@ class GraftRowLevelSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   "WHEN MATCHED UPDATE: only top-level column " +
                     s"assignments are supported, got ${other.sql}")
               }
-              // assigning the merge key: identity ONLY when the value
-              // IS one of the two join-key attributes (by exprId —
-              // a same-NAMED but different source column would
-              // silently re-key matched rows, exactly the hazard this
-              // guard exists for)
-              if (kAttr.exprId == tKeyAttr.exprId) {
-                stripCasts(asg.value) match {
-                  case ar: AttributeReference
-                      if ar.exprId == sKeyAttr.exprId ||
-                        ar.exprId == tKeyAttr.exprId => // identity
-                  case _ =>
-                    throw new UnsupportedOperationException(
-                      "MERGE UPDATE: assigning the merge key column " +
-                        s"${tKeyAttr.name} would re-key matched rows " +
-                        "— the keyed rewrite replaces rows BY key; " +
-                        "re-key with DELETE + INSERT")
-                }
+              // assigning a merge-key column: identity ONLY when the
+              // value IS that pair's own join-key attribute (by exprId
+              // — a same-NAMED but different source column, or the
+              // OTHER key column of the tuple, would silently re-key
+              // matched rows, exactly the hazard this guard exists
+              // for)
+              keyPairs.find(_._1.exprId == kAttr.exprId).foreach {
+                case (tKeyAttr, sKeyAttr) =>
+                  stripCasts(asg.value) match {
+                    case ar: AttributeReference
+                        if ar.exprId == sKeyAttr.exprId ||
+                          ar.exprId == tKeyAttr.exprId => // identity
+                    case _ =>
+                      throw new UnsupportedOperationException(
+                        "MERGE UPDATE: assigning the merge key column " +
+                          s"${tKeyAttr.name} would re-key matched rows " +
+                          "— the keyed rewrite replaces rows BY key; " +
+                          "re-key with DELETE + INSERT")
+                  }
               }
             }
             case ins: InsertAction => ins.assignments.foreach { asg =>
@@ -106,7 +106,8 @@ class GraftRowLevelSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         }
         GraftMergeCommand(root, m.targetTable, m.sourceTable,
-          m.mergeCondition, m.matchedActions, m.notMatchedActions)
+          m.mergeCondition, m.matchedActions, m.notMatchedActions,
+          m.notMatchedBySourceActions)
           : LogicalPlan
       }.getOrElse(m)
     case _ => plan
@@ -180,11 +181,33 @@ private[sources] object GraftRowLevelSql {
     case x => x
   }
 
-  def mergeKeyOf(target: LogicalPlan, source: LogicalPlan,
-                 cond: Expression)
-      : (AttributeReference, AttributeReference) = {
+  /** The (target key, source key) PAIRS of a MERGE condition — the
+    * manifest merge is keyed on a column TUPLE, so the condition must
+    * be a conjunction of `target.col = source.col` equalities (one or
+    * more; either side order). A mixed AND (any non-equi conjunct, a
+    * subquery, a same-side equality) rejects loudly — the keyed
+    * rewrite has no residual-predicate slot, and silently dropping a
+    * conjunct would merge the wrong rows. Duplicate target columns
+    * reject too (two conjuncts keying the same column have no tuple
+    * meaning). Pair order follows the statement's conjunct order —
+    * [[ManifestTable.mergeCoWKeys]] prunes files on the FIRST key's
+    * stored bounds, so lead with the clustered column. */
+  def mergeKeysOf(target: LogicalPlan, source: LogicalPlan,
+                  cond: Expression)
+      : Seq[(AttributeReference, AttributeReference)] = {
     checkNoSubquery(cond, "MERGE ON")
-    cond match {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def fail(got: Expression): Nothing =
+      throw new UnsupportedOperationException(
+        "MERGE INTO a graft table needs ON to be a conjunction of " +
+          s"target.col = source.col equalities; got ${got.sql}. The " +
+          "manifest merge is keyed — non-equi conjuncts have no keyed " +
+          "rewrite")
+    val pairs = conjuncts(cond).map {
       case EqualTo(l0, r0) => (stripCasts(l0), stripCasts(r0)) match {
         case (l: AttributeReference, r: AttributeReference)
             if target.outputSet.contains(l) &&
@@ -192,16 +215,15 @@ private[sources] object GraftRowLevelSql {
         case (l: AttributeReference, r: AttributeReference)
             if target.outputSet.contains(r) &&
               source.outputSet.contains(l) => (r, l)
-        case _ => throw new UnsupportedOperationException(
-          "MERGE INTO a graft table needs ON target.key = source.key " +
-            s"(one column each side); got ${cond.sql}. The manifest " +
-            "merge is keyed — non-equi merges have no keyed rewrite")
+        case _ => fail(cond)
       }
-      case other => throw new UnsupportedOperationException(
-        "MERGE INTO a graft table needs ON target.key = source.key " +
-          s"(one column each side); got ${other.sql}. The manifest " +
-          "merge is keyed — non-equi merges have no keyed rewrite")
+      case other => fail(other)
     }
+    require(pairs.map(_._1.exprId).distinct.size == pairs.size,
+      "MERGE INTO a graft table: the ON conjunction keys target " +
+        s"column(s) ${pairs.map(_._1.name).mkString(", ")} more than " +
+        "once — each target column may appear in exactly one equality")
+    pairs
   }
 }
 
@@ -250,6 +272,12 @@ case class GraftUpdateCommand(root: String,
   *  - not-matched source rows evaluate the insert actions the same
   *    way; the first that fires builds the insert row (unassigned
   *    columns NULL, the SQL default).
+  *  - NOT-MATCHED-BY-SOURCE target rows (the anti-join complement —
+  *    no source row shares their key) evaluate the by-source actions
+  *    first-match-wins on target columns alone (DELETE → removeKeys;
+  *    UPDATE → a replacement row, unassigned columns keeping the
+  *    target's values), folded into the SAME remove/upsert pair —
+  *    all three clause families land in ONE atomic commit.
   *  - a target row matched by MORE THAN ONE source row, with any
   *    matched action present, is the standard cardinality violation —
   *    rejected loudly (delta-sized probe), never double-applied.
@@ -260,16 +288,19 @@ case class GraftMergeCommand(root: String,
                              target: LogicalPlan, source: LogicalPlan,
                              mergeCondition: Expression,
                              matchedActions: Seq[MergeAction],
-                             notMatchedActions: Seq[MergeAction])
+                             notMatchedActions: Seq[MergeAction],
+                             notMatchedBySourceActions: Seq[MergeAction])
     extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
     import GraftRowLevelSql._
-    // the single-equality key contract (re-derived; the rule already
-    // validated the whole statement at analysis)
-    val (tKey, _) = mergeKeyOf(target, source, mergeCondition)
+    // the conjunction-of-equalities key contract (re-derived; the rule
+    // already validated the whole statement at analysis)
+    val keyPairs = mergeKeysOf(target, source, mergeCondition)
+    val tKeys = keyPairs.map(_._1)
+    val keyCols = tKeys.map(_.name)
     val tableFields = target.output // the table's columns, in order
-    val keyName = tKey.name
+    val keySel = tKeys.map(k => Bridge.column(k).as(k.name))
     // frames built from the ANALYZED plans: every action expression's
     // attribute IDs resolve against these exact outputs
     val targetDF = Bridge.ofRows(spark, target)
@@ -331,24 +362,25 @@ case class GraftMergeCommand(root: String,
       // both and insert one replacement — the non-firing duplicate
       // must reject too, whichever duplicate's condition fired.
       val dupKey = joinedAll
-        .groupBy(Bridge.column(tKey).as(keyName))
+        .groupBy(keySel: _*)
         .agg(countDistinct(col("__graft_tid")).as("__n"))
         .where(col("__n") > 1)
-        .join(matched.select(Bridge.column(tKey).as(keyName)).distinct(),
-          Seq(keyName), "left_semi")
+        .join(matched.select(keySel: _*).distinct(),
+          keyCols, "left_semi")
         .take(1)
       if (dupKey.nonEmpty) throw new UnsupportedOperationException(
         s"MERGE into $root: the target holds multiple rows with " +
-          s"merge key $keyName = ${dupKey.head.get(0)} — the keyed " +
-          "copy-on-write rewrite replaces rows BY key and would " +
-          "collapse them; deduplicate the target first")
+          s"merge key (${keyCols.mkString(", ")}) = " +
+          s"(${keyCols.indices.map(dupKey.head.get).mkString(", ")}) " +
+          "— the keyed copy-on-write rewrite replaces rows BY key " +
+          "and would collapse them; deduplicate the target first")
     }
     val deleteIdx = matchedActions.zipWithIndex.collect {
       case (_: DeleteAction, i) => i }
     val removeKeys = (if (deleteIdx.isEmpty) matched.where(lit(false))
       else matched.where(
         col("__graft_action").isin(deleteIdx.map(Int.box): _*)))
-      .select(Bridge.column(tKey).as(keyName))
+      .select(tKeys.map(k => Bridge.column(k).as(k.name)): _*)
     val updateUps = matchedActions.zipWithIndex.collect {
       case (u: UpdateAction, i) =>
         matched.where(col("__graft_action") === i)
@@ -366,12 +398,60 @@ case class GraftMergeCommand(root: String,
           .select(rowOf(ins.assignments, matchedUpdate = false,
             "WHEN NOT MATCHED INSERT"): _*)
     }
+    // WHEN NOT MATCHED BY SOURCE: the target-side anti-join complement
+    // evaluated first-match-wins on TARGET columns alone, folded into
+    // the SAME remove/upsert pair — never a second statement, never a
+    // second commit. No checkpoint here: the frame is deterministic
+    // (no row ids), recomputed per consumer; the downstream merge
+    // bounds its own work from the delta-sized changedKeys.
+    val bySrcAll = targetDF.join(sourceDF,
+      Bridge.column(mergeCondition), "left_anti")
+    val bsIdx = actionIdx(notMatchedBySourceActions)
+    val bySrcHit = bySrcAll.withColumn("__graft_action", bsIdx)
+      .where(col("__graft_action") >= 0)
+    if (notMatchedBySourceActions.nonEmpty) {
+      // same honest limit as the matched side: a duplicate-keyed
+      // target row being rewritten would collapse under the keyed
+      // rewrite — reject whichever duplicate's condition fired (the
+      // probe counts ALL anti-join rows per key, restricted to keys
+      // an action hit)
+      // an anti-join emits each target row at most once, so a plain
+      // row count per key IS the duplicate count (no row ids needed)
+      val dupKey = bySrcAll.groupBy(keySel: _*)
+        .agg(count(lit(1)).as("__n"))
+        .where(col("__n") > 1)
+        .join(bySrcHit.select(keySel: _*).distinct(), keyCols, "left_semi")
+        .take(1)
+      if (dupKey.nonEmpty) throw new UnsupportedOperationException(
+        s"MERGE into $root: the target holds multiple rows with " +
+          s"merge key (${keyCols.mkString(", ")}) = " +
+          s"(${keyCols.indices.map(dupKey.head.get).mkString(", ")}) " +
+          "hit by a WHEN NOT MATCHED BY SOURCE action — the keyed " +
+          "copy-on-write rewrite replaces rows BY key and would " +
+          "collapse them; deduplicate the target first")
+    }
+    val bySrcDeleteIdx = notMatchedBySourceActions.zipWithIndex.collect {
+      case (_: DeleteAction, i) => i }
+    val bySrcRemoves =
+      if (bySrcDeleteIdx.isEmpty) None
+      else Some(bySrcHit.where(
+          col("__graft_action").isin(bySrcDeleteIdx.map(Int.box): _*))
+        .select(keySel: _*))
+    val bySrcUps = notMatchedBySourceActions.zipWithIndex.collect {
+      case (u: UpdateAction, i) =>
+        bySrcHit.where(col("__graft_action") === i)
+          .select(rowOf(u.assignments, matchedUpdate = true,
+            "WHEN NOT MATCHED BY SOURCE UPDATE"): _*)
+    }
+    val allRemoveKeys = bySrcRemoves
+      .map(removeKeys.unionByName(_)).getOrElse(removeKeys)
     // inserted keys may not be NULL (they could never be merged again)
-    val upserts = (updateUps ++ insertUps)
+    val upserts = (updateUps ++ insertUps ++ bySrcUps)
       .reduceOption(_ unionByName _)
       .getOrElse(targetDF.select(tableFields.map(f =>
         Bridge.column(f).as(f.name)): _*).where(lit(false)))
-    ManifestTable.mergeCoW(spark, root, keyName, removeKeys, upserts)
+    ManifestTable.mergeCoWKeys(spark, root, keyCols, allRemoveKeys,
+      upserts)
     Seq.empty
   }
 }

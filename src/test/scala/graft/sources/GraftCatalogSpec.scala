@@ -65,8 +65,8 @@ class GraftCatalogSpec extends SparkSpec {
   }
 
   test("a vacuumed version fails loudly at analysis; an unknown table " +
-      "raises NoSuchTableException; DROP TABLE drops; ALTER/RENAME " +
-      "are rejected") {
+      "raises NoSuchTableException; DROP TABLE drops; non-add ALTER " +
+      "and RENAME TABLE are rejected") {
     val root = mkTable("db2", "docs")
     registered()
     ManifestTable.vacuum(spark, root, retain = 1, orphanRetentionMs = 0L)
@@ -84,7 +84,11 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SHOW TABLES IN gcat.db2").collect()
       .map(_.getString(1)).contains("docs"))
     intercept[Exception] {
-      spark.sql("ALTER TABLE gcat.db2.docs ADD COLUMN x INT").collect()
+      spark.sql("ALTER TABLE gcat.db2.docs DROP COLUMN lang").collect()
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.db2.docs RENAME TO gcat.db2.d2")
+        .collect()
     }
     spark.sql("DROP TABLE gcat.db2.docs")
     assert(!new Path(root).getFileSystem(
@@ -391,15 +395,7 @@ class GraftCatalogSpec extends SparkSpec {
         "ON tg.doc_id > s.doc_id " +
         "WHEN MATCHED THEN UPDATE SET text = s.text")
     }
-    assert(exKey.getMessage.contains("target.key = source.key"))
-    // WHEN NOT MATCHED BY SOURCE: loud
-    val exNBS = intercept[Exception] {
-      spark.sql(s"MERGE INTO $t AS tg USING $view AS s " +
-        "ON tg.doc_id = s.doc_id " +
-        "WHEN MATCHED THEN UPDATE SET text = s.text " +
-        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
-    }
-    assert(exNBS.getMessage.contains("NOT MATCHED BY SOURCE"))
+    assert(exKey.getMessage.contains("conjunction of"))
   }
 
   test("review r18: MERGE edge contracts — cast-differing key types " +
@@ -551,6 +547,114 @@ class GraftCatalogSpec extends SparkSpec {
         "WHEN MATCHED THEN UPDATE SET text = s.text")
     }
     assert(ex.getMessage.contains("cannot sequence"))
+  }
+
+  test("r19: composite-key SQL MERGE — conjunction folding, mixed-AND " +
+      "and duplicate-key rejections, tuple re-key guard, dup-tuple " +
+      "target rejection") {
+    val b = java.nio.file.Files.createTempDirectory("graft-cmrg")
+    import spark.implicits._
+    val root = s"$b/t"
+    ManifestTable.overwrite(spark, root,
+      Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "c"))
+        .toDF("k1", "k2", "text"))
+    GraftCatalog.register(spark, "gcm", b.toString)
+    Seq((1L, 2L, "B2"), (3L, 1L, "new"))
+      .toDF("k1", "k2", "text").createOrReplaceTempView("cm_src")
+    // the happy path: two-column ON, update + insert, untouched rows
+    // carried
+    spark.sql("MERGE INTO gcm.t AS tg USING cm_src AS s " +
+      "ON tg.k1 = s.k1 AND tg.k2 = s.k2 " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql("SELECT k1, k2, text FROM gcm.t ORDER BY k1, k2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq === Seq((1L, 1L, "a"), (1L, 2L, "B2"), (2L, 1L, "c"),
+        (3L, 1L, "new")))
+    // mixed AND: an equality + a non-equi conjunct rejects loudly
+    val exMixed = intercept[UnsupportedOperationException] {
+      spark.sql("MERGE INTO gcm.t AS tg USING cm_src AS s " +
+        "ON tg.k1 = s.k1 AND tg.k2 < s.k2 " +
+        "WHEN MATCHED THEN UPDATE SET text = s.text")
+    }
+    assert(exMixed.getMessage.contains("conjunction of"),
+      exMixed.getMessage)
+    // the same target column keyed twice rejects
+    val exDupCol = intercept[Exception] {
+      spark.sql("MERGE INTO gcm.t AS tg USING cm_src AS s " +
+        "ON tg.k1 = s.k1 AND tg.k1 = s.k2 " +
+        "WHEN MATCHED THEN UPDATE SET text = s.text")
+    }
+    assert(exDupCol.getMessage.contains("more than once"),
+      exDupCol.getMessage)
+    // re-keying the SECOND tuple column rejects (identity by exprId,
+    // per pair — assigning k2 from s.k1 is a re-key even though s.k1
+    // is a join-key attribute of the OTHER pair)
+    val exRekey = intercept[UnsupportedOperationException] {
+      spark.sql("MERGE INTO gcm.t AS tg USING cm_src AS s " +
+        "ON tg.k1 = s.k1 AND tg.k2 = s.k2 " +
+        "WHEN MATCHED THEN UPDATE SET k2 = s.k1")
+    }
+    assert(exRekey.getMessage.contains("re-key"), exRekey.getMessage)
+    // a duplicate-TUPLE target (the raw synthetic lineitem's shape —
+    // legal for the Scala keyed merge, forbidden by SQL's cardinality
+    // rule) rejects loudly
+    val root2 = s"$b/dup"
+    ManifestTable.overwrite(spark, root2,
+      Seq((1L, 1L, "a"), (1L, 1L, "a2"), (2L, 1L, "c"))
+        .toDF("k1", "k2", "text"))
+    Seq((1L, 1L, "hit")).toDF("k1", "k2", "text")
+      .createOrReplaceTempView("cm_dup_src")
+    val exDupT = intercept[UnsupportedOperationException] {
+      spark.sql("MERGE INTO gcm.dup AS tg USING cm_dup_src AS s " +
+        "ON tg.k1 = s.k1 AND tg.k2 = s.k2 " +
+        "WHEN MATCHED THEN UPDATE SET text = s.text")
+    }
+    assert(exDupT.getMessage.contains("multiple rows with merge key"),
+      exDupT.getMessage)
+  }
+
+  test("r19: WHEN NOT MATCHED BY SOURCE — all three families in one " +
+      "commit; by-source dup-key rejection") {
+    val b = java.nio.file.Files.createTempDirectory("graft-bsrc")
+    import spark.implicits._
+    val root = s"$b/t"
+    ManifestTable.overwrite(spark, root,
+      Seq((1L, "keep", "a"), (2L, "del", "b"), (3L, "mark", "c"),
+        (4L, "src", "d")).toDF("doc_id", "tag", "text"))
+    GraftCatalog.register(spark, "gbs", b.toString)
+    Seq((4L, "src", "d2"), (9L, "new", "i"))
+      .toDF("doc_id", "tag", "text").createOrReplaceTempView("bs_src")
+    val vBefore = ManifestTable.currentVersion(spark, root).get
+    spark.sql("MERGE INTO gbs.t AS tg USING bs_src AS s " +
+      "ON tg.doc_id = s.doc_id " +
+      "WHEN MATCHED THEN UPDATE SET text = s.text " +
+      "WHEN NOT MATCHED THEN INSERT * " +
+      "WHEN NOT MATCHED BY SOURCE AND tg.tag = 'del' THEN DELETE " +
+      "WHEN NOT MATCHED BY SOURCE AND tg.tag = 'mark' " +
+      "  THEN UPDATE SET text = concat(tg.text, '!')")
+    // one statement, ONE commit — single-statement atomicity
+    assert(ManifestTable.currentVersion(spark, root).get === vBefore + 1,
+      "all three clause families must land in one commit")
+    assert(spark.sql("SELECT doc_id, text FROM gbs.t ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (3L, "c!"), (4L, "d2"), (9L, "i")))
+    // by-source dup-key: two target rows share the key, the action
+    // condition fires for only one — the keyed rewrite would collapse
+    // them; must reject, not silently lose the non-firing duplicate
+    val root2 = s"$b/dup"
+    ManifestTable.overwrite(spark, root2,
+      Seq((1L, "del", "a"), (1L, "keep", "b"), (2L, "x", "c"))
+        .toDF("doc_id", "tag", "text"))
+    val ex = intercept[UnsupportedOperationException] {
+      spark.sql("MERGE INTO gbs.dup AS tg USING bs_src AS s " +
+        "ON tg.doc_id = s.doc_id " +
+        "WHEN NOT MATCHED BY SOURCE AND tg.tag = 'del' THEN DELETE")
+    }
+    assert(ex.getMessage.contains("NOT MATCHED BY SOURCE"),
+      ex.getMessage)
+    assert(spark.sql("SELECT count(*) AS n FROM gbs.dup")
+      .head().getLong(0) === 3L, "rejected merge must not commit")
   }
 
   test("r19: ALTER TABLE ADD COLUMN is a header-only evolution " +

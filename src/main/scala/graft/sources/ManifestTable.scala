@@ -1772,12 +1772,23 @@ object ManifestTable {
     * per-column [lo, hi]; stabbing on the leading column is a sound
     * superset — a file holding a changed tuple always contains its
     * leading value), so cluster composite-keyed tables on
-    * `keyCols.head`. `removeKeys` is a keyCols-relation; `upserts`
-    * carries full rows. */
+    * `keyCols.head`; a table that ISN'T (heavily-overlapping per-file
+    * leading-key ranges while pruning keeps >90% of files) raises a
+    * named diagnostic through `onDiagnostic` (default: the library
+    * logger) recommending exactly that. `removeKeys` is a
+    * keyCols-relation; `upserts` carries full rows. */
+  /** Where [[mergeCoWKeys]]' pruning-degradation diagnostic goes when
+    * the caller doesn't inject a sink: the library's logger — visible
+    * in executor/driver logs without any wiring. */
+  private def logDiagnostic(msg: String): Unit =
+    org.slf4j.LoggerFactory.getLogger("graft.ManifestTable").warn(msg)
+
   def mergeCoWKeys(spark: SparkSession, root: String,
                    keyCols: Seq[String],
                    removeKeys: DataFrame, upserts: DataFrame,
-                   txn: Option[(String, Long)] = None): (Int, Int, Int) = {
+                   txn: Option[(String, Long)] = None,
+                   onDiagnostic: String => Unit = logDiagnostic)
+      : (Int, Int, Int) = {
     import spark.implicits._
     require(keyCols.nonEmpty && keyCols.distinct == keyCols,
       s"mergeCoW needs distinct key columns, got ${keyCols.mkString(", ")}")
@@ -1877,6 +1888,32 @@ object ManifestTable {
         .toSet
     }
     val affectedRels = boundedAffected ++ unboundedAffected
+    // PRUNING-DEGRADATION DIAGNOSTIC: keeping >90% of a multi-file
+    // table's bounded entries is only a MISCONFIGURATION when the
+    // per-file leading-key ranges overlap heavily (each file spans
+    // most of the domain — the table is clustered on something other
+    // than keyCols.head, so the interval stab can't prune). A
+    // correctly-clustered table whose changed keys genuinely span the
+    // domain (q191's shape: near-disjoint file ranges, all rewritten)
+    // stays silent — that rewrite is the work requested, not a layout
+    // problem.
+    if (bounded.size >= 4 &&
+        boundedAffected.size * 10 > bounded.size * 9) {
+      val domLo = bounded.map(_.lo.get).min
+      val domHi = bounded.map(_.hi.get).max
+      val domain = math.max(domHi - domLo + 1, 1L)
+      val avgSpan = bounded.map(e => e.hi.get - e.lo.get + 1).sum
+        .toDouble / bounded.size
+      if (avgSpan * 2 > domain.toDouble)
+        onDiagnostic(
+          s"mergeCoWKeys on $root: bounded pruning kept " +
+            s"${boundedAffected.size} of ${bounded.size} files and the " +
+            s"per-file ${keyCols.head} ranges overlap heavily (avg " +
+            f"span ${100 * avgSpan / domain}%.0f%% of the domain) — " +
+            s"the table is not clustered on the leading merge key; " +
+            s"cluster on ${keyCols.head} (optimize / repartitionByRange" +
+            s" + overwrite) to restore file pruning")
+    }
     val rewriteE = entries.filter(e => affectedRels.contains(e.rel))
     // carried lines: VERBATIM when the merge key is the table's primary
     // bounds column (extra stats pairs stay attributed under the kept

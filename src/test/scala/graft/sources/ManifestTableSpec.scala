@@ -1483,4 +1483,44 @@ class ManifestTableSpec extends SparkSpec {
     }
     assert(ex2.getMessage.contains("cannot sequence"))
   }
+
+  test("r19: pruning-degradation diagnostic fires on a table NOT " +
+      "clustered on the leading merge key, stays silent when " +
+      "near-disjoint file ranges legitimately all rewrite") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-prdiag")
+    // k2 is a scrambled bijection of k1 (NOT merely reversed — a
+    // reversal keeps per-range k1 spans narrow), so k2-ranged files
+    // each span ~the whole k1 domain
+    val rows = (0L until 512L).map(i => (i, (i * 131L) % 512L, s"t$i"))
+      .toDF("k1", "k2", "text")
+    // MIS-CLUSTERED: files cut by k2, bounds stamped for k1 — every
+    // file's k1 range spans ~the whole domain, so a handful of changed
+    // keys keeps all files and the diagnostic must name the cause
+    val bad = s"$base/bad"
+    ManifestTable.overwrite(spark, bad,
+      rows.repartitionByRange(8, col("k2")).sortWithinPartitions("k2"),
+      boundsCol = Some("k1"))
+    val heard = scala.collection.mutable.ArrayBuffer.empty[String]
+    ManifestTable.mergeCoWKeys(spark, bad, Seq("k1"),
+      removeKeys = Seq(5L, 100L, 200L, 300L, 400L, 500L).toDF("k1"),
+      upserts = Seq.empty[(Long, Long, String)].toDF("k1", "k2", "text"),
+      onDiagnostic = heard += _)
+    assert(heard.exists(m => m.contains("not clustered") &&
+      m.contains("k1")), s"diagnostic missing: $heard")
+    // WELL-CLUSTERED, all files affected (q191's shape: changed keys
+    // span the domain): pruning kept everything because the work IS
+    // everywhere — no diagnostic
+    val good = s"$base/good"
+    ManifestTable.overwrite(spark, good,
+      rows.repartitionByRange(8, col("k1")).sortWithinPartitions("k1"),
+      boundsCol = Some("k1"))
+    val heard2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    ManifestTable.mergeCoWKeys(spark, good, Seq("k1"),
+      removeKeys = (0L until 512L by 8L).toDF("k1"), // every file hit
+      upserts = Seq.empty[(Long, Long, String)].toDF("k1", "k2", "text"),
+      onDiagnostic = heard2 += _)
+    assert(heard2.isEmpty,
+      s"diagnostic fired on a correctly-clustered table: $heard2")
+  }
 }

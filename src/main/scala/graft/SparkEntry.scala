@@ -702,6 +702,13 @@ object SparkEntry {
     // rejections are spec-pinned.
     "q190_sql_merge" ->
       (graft.sources.GraftCatalog.q190SqlMerge _),
+    // q197 is streaming reads by TABLE NAME: readStream.table through
+    // the catalog onto the v1 manifest source (V2TableWithV1Fallback —
+    // Delta's shape), q164's thrice-resumed exactly-once gate re-run
+    // by name — q164's oracle verbatim; CDF/options-by-name and the
+    // pinned rejection are spec-pinned.
+    "q197_stream_table_by_name" ->
+      (graft.sources.GraftCatalog.q197StreamTableByName _),
     // q195 is composite-key MERGE INTO through SQL: the ON conjunction
     // folds to the (l_orderkey, l_linenumber) tuple onto mergeCoWKeys'
     // delete-sequencing commit — q191's oracle gates the SQL surface
@@ -4017,6 +4024,13 @@ object SparkEntry {
     // q177: q164's oracle verbatim — the compactions must be invisible
     // to the skipping tail.
     "q177_tail_across_optimize" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       sum(user_id)::BIGINT AS sum_user_id,
+        |       sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q197: q164's oracle verbatim — by-name and by-path resolution
+    // must serve the identical exactly-once tail.
+    "q197_stream_table_by_name" ->
       """SELECT event_type, count(*) AS n_events,
         |       sum(user_id)::BIGINT AS sum_user_id,
         |       sum(round(value * 100)::BIGINT)::BIGINT AS value_cents

@@ -879,6 +879,61 @@ object GraftCatalog {
       "ORDER BY doc_id")
   }
 
+  /** Q197: STREAMING READS BY TABLE NAME
+    * (`spark.readStream.table("cat.db.t")` via the
+    * `V2TableWithV1Fallback` lift onto [[graft.streaming
+    * .ManifestStreamProvider]] — the shape Delta ships), hash-gated —
+    * q164's thrice-resumed checkpointed streaming aggregation re-run
+    * with the source resolved BY NAME through the registered catalog
+    * instead of by path: the table lands in three commits, and between
+    * each an AvailableNow pass of a fresh query on the SAME checkpoint
+    * continues from the checkpointed VERSION offset (pass 2 reads only
+    * commit 2, pass 3 only commit 3 — exactly-once across restarts,
+    * by name), so the final complete-mode table must equal the
+    * one-shot batch aggregate — q164's oracle verbatim (one oracle,
+    * two resolution paths). Reader options through the name path
+    * (CDF mode, rewrite policies) and the pinned-relation rejection
+    * are GraftCatalogSpec's pins. */
+  def q197StreamTableByName(spark: SparkSession,
+                            sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, pmod, round, sum}
+    import org.apache.spark.sql.streaming.Trigger
+    val key = graft.Tables.dirKey(spark, sfDir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val db = s"sqlstr_$key"
+    val dbPath = new Path(wh, db)
+    val fs = dbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dbPath)) fs.delete(dbPath, true)
+    val root = new Path(dbPath, "events").toString
+    val qn = s"q197_agg_$key"
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        col("value"))
+    def slice(i: Int) = ev.where(pmod(col("event_id"), lit(3)) === i)
+    register(spark, "graft_tables", wh)
+    def drainOnce(): Unit = {
+      val q = spark.readStream
+        .table(s"graft_tables.`$db`.`events`")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("user_id")).as("sum_user_id"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .option("checkpointLocation", new Path(dbPath, "ck").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ManifestTable.overwrite(spark, root, slice(0))
+    drainOnce()
+    ManifestTable.append(spark, root, slice(1))
+    drainOnce()
+    ManifestTable.append(spark, root, slice(2))
+    drainOnce()
+    spark.table(qn).orderBy("event_type")
+  }
+
   /** Q181: METADATA TABLES THROUGH SQL (Iceberg's `db.t.history`
     * shape), hash-gated — the q159 three-commit history (overwrite,
     * append, optimize) rebuilt under the catalog warehouse, then its
@@ -969,7 +1024,45 @@ object GraftCatalog {
 private[sources] class GraftSqlTable(ident: String, root: String,
                                      pinned: Option[Int])
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+    with org.apache.spark.sql.graftbridge.V1FallbackTable {
+
+  /** STREAMING BY TABLE NAME (`spark.readStream.table("cat.db.t")`) —
+    * the shape Delta ships: instead of re-implementing the parquet
+    * reader inside a DSv2 `PartitionReader` (see the
+    * [[graft.streaming.ManifestStreamProvider]] scaladoc on why the v1
+    * tier is right here), this table names its v1 streaming source
+    * through Spark's `V2TableWithV1Fallback` and the engine routes the
+    * stream onto it, merging the reader's options with this location —
+    * so `readChangeFeed`, `onRewriteCommits`, `maxVersionsPerTrigger`,
+    * and `startingVersion` all work by NAME exactly as they do by
+    * path, version offsets, exactly-once restart, and the rewrite
+    * policies included. A time-travel-pinned relation rejects: a
+    * stream tails LIVE commits. */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog
+      .CatalogTable = {
+    require(pinned.isEmpty,
+      s"cannot stream $ident — it is pinned by time travel; stream " +
+        "the bare table identifier (optionally with startingVersion)")
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    // UnresolvedCatalogRelation asserts a db-qualified identifier;
+    // this one is diagnostic-only (the source resolves by location),
+    // so a namespace-less table borrows "default"
+    val parts = ident.split('.')
+    val tid =
+      if (parts.length >= 2)
+        org.apache.spark.sql.catalyst.TableIdentifier(parts.last,
+          Some(parts.dropRight(1).mkString(".")))
+      else org.apache.spark.sql.catalyst.TableIdentifier(ident,
+        Some("default"))
+    CatalogTable(
+      identifier = tid,
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new Path(root).toUri)),
+      schema = schema,
+      provider = Some("graft-manifest"))
+  }
 
   /** The table root / time-travel pin, for the row-level SQL rule
     * ([[GraftRowLevelSqlRule]]) that routes UPDATE / MERGE INTO onto

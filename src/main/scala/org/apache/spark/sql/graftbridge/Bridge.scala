@@ -36,3 +36,13 @@ object Bridge {
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 }
+
+/** Public re-export of the `private[sql]` `V2TableWithV1Fallback` —
+  * the analyzer hook that makes `spark.readStream.table("cat.db.t")`
+  * route onto a catalog table's v1 streaming source (the shape Delta's
+  * DeltaTableV2 implements; Delta can extend the trait directly only
+  * because it compiles inside the `org.apache.spark.sql` namespace —
+  * this one-line lift is the library equivalent, same pattern as the
+  * converters above). */
+trait V1FallbackTable
+    extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback

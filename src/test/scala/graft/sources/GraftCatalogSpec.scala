@@ -705,6 +705,77 @@ class GraftCatalogSpec extends SparkSpec {
     assert(exType.getMessage.contains("only ADD COLUMN"), exType.getMessage)
   }
 
+  test("r19: readStream.table resolves the manifest source by name — " +
+      "append tail with version offsets across a restart, CDF mode " +
+      "and maxVersionsPerTrigger through reader options, pinned " +
+      "rejection") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val b = java.nio.file.Files.createTempDirectory("graft-strm")
+    val root = s"$b/t"
+    GraftCatalog.register(spark, "gstr", b.toString)
+    def drain(): Unit = {
+      val q = spark.readStream.table("gstr.t")
+        .writeStream.format("parquet")
+        .option("path", s"$b/sink")
+        .option("checkpointLocation", s"$b/ck")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ManifestTable.overwrite(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"))
+    drain()
+    assert(spark.read.parquet(s"$b/sink").count() === 2)
+    // a second commit + a FRESH query on the SAME checkpoint: the
+    // version offset continues — the restarted by-name stream must
+    // deliver ONLY the new commit (exactly-once: 3 rows total, no
+    // re-delivered snapshot)
+    ManifestTable.append(spark, root,
+      Seq((3L, "c")).toDF("doc_id", "text"))
+    drain()
+    assert(spark.read.parquet(s"$b/sink").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L),
+      "restarted by-name stream must deliver ONLY v2's rows")
+    // reader options flow through the name path: CDF mode tags rows
+    ManifestTable.deleteWhereKeyIn(spark, root, "doc_id",
+      Seq(1L).toDF("doc_id"))
+    def drainCdf(): Unit = {
+      val q = spark.readStream
+        .option("readChangeFeed", "true")
+        .table("gstr.t")
+        .writeStream.format("parquet")
+        .option("path", s"$b/cdfsink")
+        .option("checkpointLocation", s"$b/ck_cdf")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainCdf()
+    val cdf = spark.read.parquet(s"$b/cdfsink")
+      .select("doc_id", "_change").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // the CDF stream starts fresh: the initial snapshot (the delete
+    // above already applied) arrives tagged 'insert'
+    assert(cdf === Set((2L, "insert"), (3L, "insert")),
+      s"CDF by name wrong: $cdf")
+    // ...and a LIVE delete observed by the continuing checkpoint
+    ManifestTable.deleteWhereKeyIn(spark, root, "doc_id",
+      Seq(2L).toDF("doc_id"))
+    drainCdf()
+    val cdf2 = spark.read.parquet(s"$b/cdfsink")
+      .select("doc_id", "_change").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(cdf2 === cdf + ((2L, "delete")),
+      s"CDF delta by name wrong: $cdf2")
+    // a time-travel-pinned relation rejects the streaming fallback
+    // (a stream tails LIVE commits)
+    val exPin = intercept[IllegalArgumentException] {
+      new GraftSqlTable("gstr.t@v1", root, pinned = Some(1)).v1Table
+    }
+    assert(exPin.getMessage.contains("pinned"), exPin.getMessage)
+  }
+
   test("range translation: conjunctions intersect, In spans, " +
       "non-integral columns never constrain") {
     import org.apache.spark.sql.sources._

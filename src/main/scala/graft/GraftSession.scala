@@ -110,6 +110,13 @@ object GraftSession {
       // count IS the scan time (object-store bandwidth-bound) and the
       // replication bill; codec is transparent to every reader
       .config("spark.sql.parquet.compression.codec", "zstd")
+      // FIELD-ID READS: manifest tables stamp stable column ids into
+      // their parquet files (ManifestTable's field-id block); this
+      // makes Spark resolve requested columns BY ID whenever the
+      // requested schema carries ids — the read side of header-only
+      // RENAME/DROP evolution. Inert for id-less schemas (raw
+      // testdata and legacy tables keep by-name resolution).
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -702,6 +702,15 @@ object SparkEntry {
     // rejections are spec-pinned.
     "q190_sql_merge" ->
       (graft.sources.GraftCatalog.q190SqlMerge _),
+    // q198 is field-id schema evolution: add → rename → drop as
+    // header-only commits over stable column ids (Iceberg's rename
+    // semantics on parquet's field-id mechanism), three regimes
+    // aggregated — time travel to post-add and post-rename (mixed
+    // namings merge by id), plus the current drop mask — against a
+    // rules-replay oracle; header-only pins, the fresh-id re-add rule,
+    // and rejections are spec-pinned.
+    "q198_field_id_evolution" ->
+      (graft.sources.ManifestTable.q198FieldIdEvolution _),
     // q197 is streaming reads by TABLE NAME: readStream.table through
     // the catalog onto the v1 manifest source (V2TableWithV1Fallback —
     // Delta's shape), q164's thrice-resumed exactly-once gate re-run
@@ -4075,6 +4084,35 @@ object SparkEntry {
     // q194: q158's oracle verbatim — SQL ALTER TABLE ADD COLUMN and
     // the Scala evolving append land the identical widened table.
     "q194_sql_add_column" -> schemaEvolutionOracle,
+    // q198: the three evolution regimes replayed from raw parquet —
+    // s1 = the post-add table (pre-evolution rows with NULL lang),
+    // s2 = s1 plus the negative-namespace rows appended under the
+    // renamed column, s3 = s2 with the dropped column masked (-1).
+    "q198_field_id_evolution" ->
+      """WITH s1 AS (
+        |  SELECT doc_id, text, NULL AS lang FROM documents
+        |  WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 = 0),
+        |s2 AS (
+        |  SELECT * FROM s1
+        |  UNION ALL
+        |  SELECT -(doc_id + 1), text, lang FROM documents
+        |  WHERE doc_id % 10 = 1)
+        |SELECT '1_added' AS stage, coalesce(lang, 'pre_evolution')
+        |         AS lang, count(*) AS n_docs,
+        |       sum(doc_id)::BIGINT AS sum_doc_id,
+        |       sum(length(text))::BIGINT AS n_chars
+        |FROM s1 GROUP BY 2
+        |UNION ALL
+        |SELECT '2_renamed', coalesce(lang, 'pre_evolution'), count(*),
+        |       sum(doc_id)::BIGINT, sum(length(text))::BIGINT
+        |FROM s2 GROUP BY 2
+        |UNION ALL
+        |SELECT '3_dropped', coalesce(lang, 'pre_evolution'), count(*),
+        |       sum(doc_id)::BIGINT, (-1)::BIGINT
+        |FROM s2 GROUP BY 2
+        |ORDER BY stage, lang""".stripMargin,
     // q185: the restored v1 slice recomputed from its rule.
     "q185_sql_procedures" ->
       """SELECT lang, count(*) AS n_docs,

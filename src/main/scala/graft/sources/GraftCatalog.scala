@@ -180,16 +180,33 @@ class GraftCatalog extends TableCatalog
     new GraftSqlTable(ident.toString, root, pinned = None)
   }
 
-  /** `ALTER TABLE ... ADD COLUMN(S)` → [[ManifestTable.addColumns]]'s
-    * header-only evolution commit (zero data IO; old files read the
-    * additions as null). Everything ELSE — rename, drop, retype,
-    * NOT NULL adds, positioned adds, defaults, property changes —
-    * rejects loudly with the workaround named: never a silent column
-    * drop / type flip through DDL. */
+  /** `ALTER TABLE ... ADD COLUMN(S)` → [[ManifestTable.addColumns]],
+    * `RENAME COLUMN` → [[ManifestTable.renameColumn]], `DROP COLUMN` →
+    * [[ManifestTable.dropColumn]] — all header-only evolution commits
+    * (zero data IO; renames/drops resolve by the stamped field ids).
+    * Everything ELSE — retype, NOT NULL adds, positioned adds,
+    * defaults, property changes — rejects loudly with the workaround
+    * named: never a silent type flip through DDL. */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     val root = rootOf(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
+    changes match {
+      case Seq(r: TableChange.RenameColumn) =>
+        require(r.fieldNames().length == 1,
+          s"ALTER TABLE $ident RENAME COLUMN: nested fields are not " +
+            s"supported, got ${r.fieldNames().mkString(".")}")
+        ManifestTable.renameColumn(spark, root, r.fieldNames()(0),
+          r.newName())
+        return new GraftSqlTable(ident.toString, root, pinned = None)
+      case Seq(d: TableChange.DeleteColumn) =>
+        require(d.fieldNames().length == 1,
+          s"ALTER TABLE $ident DROP COLUMN: nested fields are not " +
+            s"supported, got ${d.fieldNames().mkString(".")}")
+        ManifestTable.dropColumn(spark, root, d.fieldNames()(0))
+        return new GraftSqlTable(ident.toString, root, pinned = None)
+      case _ =>
+    }
     val adds = changes.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
@@ -211,10 +228,10 @@ class GraftCatalog extends TableCatalog
             "column as null; backfill with UPDATE")
         StructField(a.fieldNames()(0), a.dataType(), nullable = true)
       case other => throw new UnsupportedOperationException(
-        s"ALTER TABLE $ident: only ADD COLUMN is supported through " +
-          s"catalog $catalogName (got ${other.getClass.getSimpleName})" +
-          " — rename/drop/retype have no sound header-only rewrite " +
-          "without field ids; constraints ride " +
+        s"ALTER TABLE $ident: only ADD COLUMN / RENAME COLUMN / DROP " +
+          s"COLUMN are supported through catalog $catalogName (got " +
+          s"${other.getClass.getSimpleName}) — retyping has no sound " +
+          "header-only rewrite; constraints ride " +
           "ManifestTable.addConstraint/dropConstraint")
     }
     ManifestTable.addColumns(spark, root, adds)

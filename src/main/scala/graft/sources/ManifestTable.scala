@@ -342,7 +342,7 @@ object ManifestTable {
   private def carriedHeaders(hs: Map[String, String]): Map[String, String] =
     hs.filter { case (k, _) =>
       k.startsWith(TxnPrefix) || k.startsWith(ConstraintPrefix) ||
-        k.startsWith(TagPrefix) }
+        k.startsWith(TagPrefix) || k == MaxFieldIdKey }
 
   /** One committed manifest, parsed ONCE — every operation loads this
     * a single time and derives headers/entries/schema from it, instead
@@ -442,6 +442,57 @@ object ManifestTable {
 
   private def schemaHeader(s: StructType): (String, String) =
     SchemaKey -> asNullable(s).json
+
+  // -------------------------------------------------------------------
+  // FIELD IDS (Iceberg's stable-column-identity idea on parquet's own
+  // mechanism): every column of a table created from round 19 on
+  // carries a stable id in its field metadata under parquet's
+  // `parquet.field.id` key — Spark's writer stamps the ids into the
+  // files (spark.sql.parquet.fieldId.write.enabled, default on) and,
+  // with spark.sql.parquet.fieldId.read.enabled (set by
+  // [[graft.GraftSession]]), the reader resolves requested columns BY
+  // ID instead of by name. That makes RENAME a header-only commit (the
+  // committed schema changes the name, the id keeps pointing at the
+  // same physical column in every old file) and DROP a projection mask
+  // (the field leaves the schema; a later re-ADD of the same name gets
+  // a FRESH id, so the dropped column's old values never resurface).
+  // Ids are never reused: the high-water mark rides the
+  // `#maxfieldid=` header (max-of-schema would recycle the id of a
+  // dropped newest column). Tables created before field-id stamping
+  // (no ids in the committed schema) keep by-name resolution and
+  // reject rename/drop loudly.
+  // -------------------------------------------------------------------
+  private val FieldIdKey = "parquet.field.id"
+  private val MaxFieldIdKey = "maxfieldid"
+
+  private def hasFieldIds(s: StructType): Boolean =
+    s.fields.nonEmpty && s.fields.forall(_.metadata.contains(FieldIdKey))
+
+  private def withFieldId(f: StructField, id: Long): StructField =
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putLong(FieldIdKey, id).build())
+
+  private def stampFieldIds(s: StructType): StructType =
+    StructType(s.fields.zipWithIndex.map { case (f, i) =>
+      withFieldId(f, i + 1L) })
+
+  /** `df` re-expressed in `s`'s column order WITH `s`'s field metadata
+    * — the write-side half of field-id resolution: every staged data
+    * file must carry the ids the committed schema declares, whatever
+    * transformations (which drop metadata on replaced columns) built
+    * the frame. A no-op for id-less (legacy) schemas. */
+  private def alignToSchema(df: DataFrame, s: StructType): DataFrame =
+    df.select(s.fields.map(f =>
+      col(f.name).as(f.name, f.metadata)).toSeq: _*)
+
+  /** The table's field-id high-water mark (never decreases, never
+    * reused — see the block comment above). */
+  private def maxFieldIdOf(headers: Map[String, String],
+                           schema: Option[StructType]): Long =
+    headers.get(MaxFieldIdKey).flatMap(_.toLongOption)
+      .orElse(schema.filter(hasFieldIds).map(
+        _.fields.map(_.metadata.getLong(FieldIdKey)).max))
+      .getOrElse(0L)
 
   private def manifestEntries(fs: FileSystem, root: String,
                               v: Int): Seq[Entry] =
@@ -959,14 +1010,20 @@ object ManifestTable {
     // column must not burn a full table write and strand it as orphans
     boundsCol.foreach(k => requireIntegral(df.schema, k))
     (statsCols ++ bloomCols).foreach(k => statExpr(df.schema, k))
-    val staged = stage(spark, root, dir => df.write.parquet(dir),
+    // (re)creation stamps fresh field ids 1..n — the stable column
+    // identities every later rename/drop resolves against
+    val outSchema = stampFieldIds(asNullable(df.schema))
+    val dfOut = alignToSchema(df, outSchema)
+    val staged = stage(spark, root, dir => dfOut.write.parquet(dir),
       boundsCol = boundsCol, statsCols = statsCols, bloomCols = bloomCols)
     val headers = boundsHeader(boundsCol) ++
       (if (statsCols.nonEmpty) Map(StatsKey -> statsCols.mkString(","))
        else Map.empty[String, String]) ++
       (if (bloomCols.nonEmpty) Map(BloomKey -> bloomCols.mkString(","))
        else Map.empty[String, String]) +
-      schemaHeader(df.schema) + (KindKey -> "overwrite")
+      (SchemaKey -> outSchema.json) +
+      (MaxFieldIdKey -> outSchema.fields.length.toString) +
+      (KindKey -> "overwrite")
     if (!tryCommit(fs, root, base + 1, staged, headers))
       throw new java.util.ConcurrentModificationException(
         s"version ${base + 1} of $root was committed concurrently; " +
@@ -980,7 +1037,8 @@ object ManifestTable {
     * never a silent column drop / type flip), NEW columns append after
     * the stored ones (old files read them as null). */
   private def evolvedSchema(stored: StructType, incoming: StructType,
-                            root: String): StructType = {
+                            root: String,
+                            maxFieldId: Long = 0L): StructType = {
     val inByName = incoming.fields.map(f => f.name -> f.dataType).toMap
     val missing = stored.fields.map(_.name).filterNot(inByName.contains)
     require(missing.isEmpty,
@@ -994,10 +1052,32 @@ object ManifestTable {
         retyped.map(f => s"${f.name} ${f.dataType} -> ${inByName(f.name)}")
           .mkString(", ") +
         " — retyping is not supported (use overwrite to redefine the table)")
-    val newFields = incoming.fields.filterNot(f =>
+    val newFields0 = incoming.fields.filterNot(f =>
       stored.fieldNames.contains(f.name))
+    // new columns: FRESH ids off the high-water mark on an id-stamped
+    // table; on a legacy table any metadata riding in from a foreign
+    // read is STRIPPED (a stale foreign id would mis-resolve) — the
+    // evolved schema must be all-ids or no-ids, never mixed
+    val newFields =
+      if (hasFieldIds(stored))
+        newFields0.zipWithIndex.map { case (f, i) =>
+          withFieldId(f, maxFieldId + i + 1L) }
+      else newFields0.map(stripFieldId)
     asNullable(StructType(stored.fields ++ newFields))
   }
+
+  private def stripFieldId(f: StructField): StructField =
+    if (!f.metadata.contains(FieldIdKey)) f
+    else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).remove(FieldIdKey).build())
+
+  /** The schema with every field id removed — for reading DELETE files
+    * under the table shape: delete files are key-only and id-LESS
+    * (their key columns can never be renamed — requireIdEvolvable
+    * rejects), so they resolve by name; requesting ids over them would
+    * fail loudly for nothing. */
+  private def stripFieldIds(s: StructType): StructType =
+    StructType(s.fields.map(stripFieldId))
 
   /** Append `df`'s rows: new manifest = base manifest + this commit's
     * files. Staged files stay valid whatever the base becomes, so a lost
@@ -1029,10 +1109,23 @@ object ManifestTable {
         scala.util.Try(statExpr(df.schema, k)).isSuccess)
     // evolution contract and bounds-type gate checked BEFORE staging
     // (fail fast, no orphan files); the commit loop re-derives the
-    // evolution per attempt for races
+    // evolution per attempt for races. The evolved schema is resolved
+    // HERE because the staged files must carry ITS field ids — a
+    // creation-by-append stamps fresh ids exactly like overwrite.
     effBounds.foreach(k => requireIntegral(df.schema, k))
-    m0.flatMap(_.schema)
-      .foreach(stored => evolvedSchema(stored, df.schema, root))
+    def evolve(m: Option[ManifestData], noBase: Boolean)
+        : Option[(StructType, Long)] = m.flatMap(_.schema) match {
+      case Some(stored) =>
+        val mx = maxFieldIdOf(m.get.headers, Some(stored))
+        val s = evolvedSchema(stored, df.schema, root, mx)
+        Some((s, if (hasFieldIds(s))
+          mx + (s.fields.length - stored.fields.length) else 0L))
+      case None if noBase =>
+        val s = stampFieldIds(asNullable(df.schema))
+        Some((s, s.fields.length.toLong))
+      case None => None
+    }
+    val evolved0 = evolve(m0, v0.isEmpty)
     // RESURRECTION GUARD (format v6) + CHECK constraints, validated
     // against a SPECIFIC base manifest — the commit loop re-runs this
     // whenever it lands on a base OTHER than the one validated (a
@@ -1066,7 +1159,9 @@ object ManifestTable {
     }
     m0.foreach(validateAgainst)
     var validatedBase = v0
-    val staged = stage(spark, root, dir => df.write.parquet(dir),
+    val dfOut = evolved0.map { case (s, _) => alignToSchema(df, s) }
+      .getOrElse(df)
+    val staged = stage(spark, root, dir => dfOut.write.parquet(dir),
       boundsCol = effBounds, bloomCols = effBloom)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -1084,12 +1179,20 @@ object ManifestTable {
         if (effBounds.isEmpty || h == effBounds) staged
         else staged.map(l => parseEntry(l).copy(lo = None, hi = None).line)
       // schema evolution against the base's committed schema; a base
-      // without one (legacy table) stays schema-less
-      val outSchema = bm.flatMap(_.schema) match {
-        case Some(stored) => Some(evolvedSchema(stored, df.schema, root))
-        case None if base.isEmpty => Some(asNullable(df.schema))
-        case None => None
+      // without one (legacy table) stays schema-less. When field ids
+      // are in play the staged files were written with evolved0's ids
+      // — a racing commit that changed the id assignment (a different
+      // evolution landed first) makes those files WRONG for this
+      // base's schema: abort instead of committing misattributed ids.
+      val evolvedB = evolve(bm, base.isEmpty)
+      if (evolved0.exists(e => hasFieldIds(e._1)) || evolvedB.exists(e =>
+          hasFieldIds(e._1))) {
+        if (evolvedB.map(_._1.json) != evolved0.map(_._1.json))
+          throw new java.util.ConcurrentModificationException(
+            s"append to $root raced a schema change (field ids " +
+              "reassigned under the staged files); rerun the append")
       }
+      val outSchema = evolvedB.map(_._1)
       val baseLines = bm.map(_.entryLines).getOrElse(Seq.empty)
       val v = base.getOrElse(0) + 1
       val headers = boundsHeader(h) ++
@@ -1104,6 +1207,10 @@ object ManifestTable {
         // writer markers + constraints: an append must not amnesia a
         // sink's cursor or shed the table's invariants
         bm.map(m => carriedHeaders(m.headers)).getOrElse(Map.empty) ++
+        // the id high-water mark moves with the evolution (overrides
+        // the carried value; ids are never reused)
+        evolvedB.filter(e => hasFieldIds(e._1))
+          .map(e => MaxFieldIdKey -> e._2.toString).toMap ++
         outSchema.map(SchemaKey -> _.json).toMap + (KindKey -> "append")
       if (tryCommit(fs, root, v, baseLines ++ stagedOut, headers)) return v
       attempt += 1
@@ -1242,12 +1349,16 @@ object ManifestTable {
                          fromVersion: Int, toVersion: Int): DataFrame = {
     val fs = fsOf(spark, new Path(root))
     val (added, removed) = changedFiles(spark, root, fromVersion, toVersion)
-    def side(rels: Seq[String], v: Int, tag: String): DataFrame = {
+    def side(rels: Seq[String], v: Int, tag: String,
+             deleteSide: Boolean = false): DataFrame = {
       val m = loadManifest(fs, root, v)
+      // delete files are key-only and id-less: resolve them by NAME
+      // under the table shape (see stripFieldIds)
+      val s = if (deleteSide) m.schema.map(stripFieldIds) else m.schema
       val base =
         if (rels.nonEmpty)
           readFiles(spark,
-            rels.map(r => new Path(root, r).toString), m.schema)
+            rels.map(r => new Path(root, r).toString), s)
         else {
           // zero changed files on this side: an empty, correctly-typed
           // relation (schema from the version's header, or any file)
@@ -1255,7 +1366,7 @@ object ManifestTable {
             s"version $v of $root lists no data files")
           readFiles(spark,
             Seq(new Path(root, m.dataEntries.head.rel).toString),
-            m.schema).where(lit(false))
+            s).where(lit(false))
         }
       base.withColumn("_change", lit(tag))
     }
@@ -1277,7 +1388,8 @@ object ManifestTable {
     //    files included), so every semi-join key is genuinely live.
     def isDel(rel: String) = rel.startsWith("deletes/")
     val base = side(added.filterNot(isDel), toVersion, "insert")
-      .unionByName(side(added.filter(isDel), toVersion, "delete"),
+      .unionByName(side(added.filter(isDel), toVersion, "delete",
+          deleteSide = true),
         allowMissingColumns = true)
       .unionByName(side(removed.filterNot(isDel), fromVersion, "delete"),
         allowMissingColumns = true)
@@ -1601,12 +1713,125 @@ object ManifestTable {
       s"addColumns to $root: column(s) ${clash.mkString(", ")} " +
         "already exist (rename/retype is not supported — evolution " +
         "is add-only)")
-    val widened = asNullable(StructType(
-      stored.fields ++ cols.map(_.copy(nullable = true))))
+    // on an id-stamped table the additions get FRESH ids off the
+    // high-water mark (never a reused id — a re-added name must not
+    // resurface the dropped column's old values); legacy tables stay
+    // id-less (any foreign metadata stripped)
+    val mx = maxFieldIdOf(m.headers, Some(stored))
+    val added =
+      if (hasFieldIds(stored))
+        cols.zipWithIndex.map { case (f, i) =>
+          withFieldId(f.copy(nullable = true), mx + i + 1L) }
+      else cols.map(f => stripFieldId(f.copy(nullable = true)))
+    val widened = asNullable(StructType(stored.fields ++ added))
+    val maxHdr =
+      if (hasFieldIds(stored))
+        Map(MaxFieldIdKey -> (mx + cols.length).toString)
+      else Map.empty[String, String]
     if (!tryCommit(fs, root, v + 1, m.entryLines,
-        m.headers + (SchemaKey -> widened.json) + (KindKey -> "metadata")))
+        m.headers ++ maxHdr + (SchemaKey -> widened.json) +
+          (KindKey -> "metadata")))
       throw new java.util.ConcurrentModificationException(
         s"addColumns on $root lost the commit race; rerun")
+    v + 1
+  }
+
+  /** The shared gate for header-only RENAME/DROP: the table must be
+    * field-id-stamped (reads resolve by id — see the field-id block),
+    * the session must resolve by id, the column must exist and hold no
+    * pruning/delete ROLE (those headers attribute by NAME), and no
+    * CHECK constraint may reference it (constraint expressions are SQL
+    * text — a silent rewrite could change semantics). */
+  private def requireIdEvolvable(spark: SparkSession, root: String,
+                                 m: ManifestData, colName: String,
+                                 what: String): StructType = {
+    val stored = m.schema.getOrElse(
+      throw new UnsupportedOperationException(
+        s"$what on $root: no committed #schema= header (legacy " +
+          "table) — overwrite to re-create with field ids first"))
+    if (!hasFieldIds(stored)) throw new UnsupportedOperationException(
+      s"$what on $root: the table predates field-id stamping — reads " +
+        "resolve by NAME, so a header-only rename/drop would silently " +
+        "null the column; overwrite to re-create it with ids")
+    require(spark.conf.get("spark.sql.parquet.fieldId.read.enabled",
+        "false").equalsIgnoreCase("true"),
+      s"$what needs spark.sql.parquet.fieldId.read.enabled=true (set " +
+        "by GraftSession) — without id resolution a renamed column " +
+        "reads as null")
+    require(stored.fieldNames.contains(colName),
+      s"$what on $root: no column named $colName " +
+        s"(have ${stored.fieldNames.mkString(", ")})")
+    Seq("the bounds column" -> m.boundsCol.toSeq,
+      "a stats column" -> m.statsCols,
+      "a bloom column" -> m.bloomCols,
+      "a delete column" -> m.deleteCols).foreach { case (role, cols) =>
+      if (cols.contains(colName)) throw new UnsupportedOperationException(
+        s"$what on $root: $colName is $role — pruning/delete headers " +
+          "attribute by name; retire the role first (optimize / " +
+          "overwrite re-stamp), then evolve")
+    }
+    val token = ("(?i)(?<![A-Za-z0-9_])" +
+      java.util.regex.Pattern.quote(colName) + "(?![A-Za-z0-9_])").r
+    m.headers.foreach { case (k, v) =>
+      if (k.startsWith(ConstraintPrefix) && token.findFirstIn(v).isDefined)
+        throw new UnsupportedOperationException(
+          s"$what on $root: column $colName is referenced by CHECK " +
+            s"constraint ${k.stripPrefix(ConstraintPrefix)} ('$v') — " +
+            "drop the constraint, evolve, then re-declare it")
+    }
+    stored
+  }
+
+  /** RENAME AS A HEADER-ONLY COMMIT: the committed schema changes the
+    * field's NAME, its field id keeps pointing at the same physical
+    * column in every existing file (Iceberg's rename semantics on
+    * parquet's field-id mechanism) — zero data IO; files written after
+    * the rename carry the new name under the SAME id, so a history
+    * mixing both namings reads uniformly at every version. */
+  def renameColumn(spark: SparkSession, root: String,
+                   from: String, to: String): Int = {
+    require(to.nonEmpty && !to.exists(c => c == '\n' || c == '\t'),
+      s"renameColumn: invalid target name '$to'")
+    val fs = fsOf(spark, new Path(root))
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed version under $root"))
+    val m = loadManifest(fs, root, v)
+    val stored = requireIdEvolvable(spark, root, m, from, "renameColumn")
+    require(from == to ||
+      !stored.fieldNames.exists(n => n.equalsIgnoreCase(to) && n != from),
+      s"renameColumn on $root: a column named $to already exists")
+    val renamed = StructType(stored.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    if (!tryCommit(fs, root, v + 1, m.entryLines,
+        m.headers + (SchemaKey -> renamed.json) + (KindKey -> "metadata")))
+      throw new java.util.ConcurrentModificationException(
+        s"renameColumn on $root lost the commit race; rerun")
+    v + 1
+  }
+
+  /** DROP AS A PROJECTION MASK: the field leaves the committed schema
+    * (header-only, zero data IO) — every read projects it away; its id
+    * is RETIRED, never reused (the `#maxfieldid=` high-water mark), so
+    * a later re-ADD of the same name gets a fresh id and the dropped
+    * column's old values never resurface. Time travel to pre-drop
+    * versions still serves the column (each version reads with its own
+    * committed schema). */
+  def dropColumn(spark: SparkSession, root: String,
+                 name: String): Int = {
+    val fs = fsOf(spark, new Path(root))
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed version under $root"))
+    val m = loadManifest(fs, root, v)
+    val stored = requireIdEvolvable(spark, root, m, name, "dropColumn")
+    require(stored.fields.length > 1,
+      s"dropColumn on $root: cannot drop the last column")
+    val masked = StructType(stored.fields.filterNot(_.name == name))
+    if (!tryCommit(fs, root, v + 1, m.entryLines,
+        m.headers + (SchemaKey -> masked.json) + (KindKey -> "metadata")))
+      throw new java.util.ConcurrentModificationException(
+        s"dropColumn on $root lost the commit race; rerun")
     v + 1
   }
 
@@ -1974,8 +2199,12 @@ object ManifestTable {
     val bloomCs = m.bloomCols.filter(k =>
       rewritten.schema.fieldNames.contains(k) &&
         scala.util.Try(statExpr(rewritten.schema, k)).isSuccess)
+    // staged files must carry the committed schema's field ids —
+    // upsert frames come from user DataFrames with no id metadata
+    val rewrittenOut = tableSchema.map(alignToSchema(rewritten, _))
+      .getOrElse(rewritten)
     val staged = stage(spark, root,
-      dir => rewritten.write.parquet(dir), allowEmpty = true,
+      dir => rewrittenOut.write.parquet(dir), allowEmpty = true,
       boundsCol = stampCol, bloomCols = bloomCs)
     // delete sequencing, write side: changed keys leave the delete set
     // — carry the delete files VERBATIM when the merge touched none of
@@ -2160,8 +2389,13 @@ object ManifestTable {
     val stampCol = m.boundsCol.filter(k =>
       rewritten.schema.fieldNames.contains(k) &&
         isIntegral(rewritten.schema(k).dataType))
+    // re-align to the committed schema: the transform's replaced
+    // columns lost their field-id metadata (and the file tag is
+    // dropped here too)
+    val rewrittenOut = m.schema.map(alignToSchema(rewritten, _))
+      .getOrElse(rewritten.drop(fileTag))
     val staged = stage(spark, root,
-      dir => rewritten.write.parquet(dir), allowEmpty = true,
+      dir => rewrittenOut.write.parquet(dir), allowEmpty = true,
       boundsCol = stampCol, statsCols = m.statsCols.filter(stampable),
       bloomCols = m.bloomCols.filter(stampable))
     require(carryE.nonEmpty || staged.nonEmpty,
@@ -2652,6 +2886,60 @@ object ManifestTable {
         sum(col("doc_id")).as("sum_doc_id"),
         sum(length(col("text"))).as("n_chars"))
       .orderBy("lang")
+  }
+
+  /** Q198: FIELD-ID SCHEMA EVOLUTION ACROSS A FULL add → rename → drop
+    * HISTORY, hash-gated — the documents table evolves through six
+    * commits (create two-column → ADD lang header-only → append
+    * three-column rows → RENAME lang→language header-only → append
+    * rows written under the NEW name → DROP text header-only), so the
+    * final table mixes files written under THREE namings/widths; the
+    * query aggregates THREE regimes — post-add (v3, time travel),
+    * post-rename (v5, time travel: files named `lang` and `language`
+    * must merge BY FIELD ID under the renamed schema), and the
+    * current post-drop mask — and the oracle replays each regime's
+    * row set from raw parquet. A rename that nulled the old files'
+    * values, a drop that leaked, or a time travel serving the wrong
+    * regime shifts a group and is hash-fatal. The header-only pins
+    * (same files across ALTERs), the re-add-gets-fresh-id
+    * no-resurrection rule, and every rejection are
+    * ManifestTableSpec's pins. */
+  def q198FieldIdEvolution(spark: SparkSession,
+                           sfDir: String): DataFrame = {
+    val root = new Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      "manifest_fid_" + graft.Tables.dirKey(spark, sfDir)).toString
+    val fs = fsOf(spark, new Path(root))
+    if (fs.exists(new Path(root))) fs.delete(new Path(root), true)
+    val docs = graft.Tables.documents(spark, sfDir)
+    overwrite(spark, root,                                       // v1
+      docs.where(col("doc_id") % 3 =!= 0).select("doc_id", "text"))
+    addColumns(spark, root, Seq(StructField("lang",              // v2
+      org.apache.spark.sql.types.StringType)))
+    append(spark, root,                                          // v3
+      docs.where(col("doc_id") % 3 === 0)
+        .select("doc_id", "text", "lang"))
+    renameColumn(spark, root, "lang", "language")                // v4
+    append(spark, root,                                          // v5
+      docs.where(col("doc_id") % 10 === 1)
+        .select((-(col("doc_id") + 1)).as("doc_id"), col("text"),
+          col("lang").as("language")))
+    dropColumn(spark, root, "text")                              // v6
+    def regime(df: DataFrame, langCol: String, stage: String,
+               chars: org.apache.spark.sql.Column): DataFrame =
+      df.groupBy(coalesce(col(langCol), lit("pre_evolution"))
+          .as("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_doc_id"), chars.as("n_chars"))
+        .withColumn("stage", lit(stage))
+    regime(readAt(spark, root, 3), "lang", "1_added",
+        sum(length(col("text"))))
+      .unionByName(regime(readAt(spark, root, 5), "language",
+        "2_renamed", sum(length(col("text")))))
+      .unionByName(regime(read(spark, root), "language",
+        "3_dropped", max(lit(-1L))))
+      .select("stage", "lang", "n_docs", "sum_doc_id", "n_chars")
+      .orderBy("stage", "lang")
   }
 
   /** Q159: MANIFEST STATISTICS, hash-gated — per-version row counts of a

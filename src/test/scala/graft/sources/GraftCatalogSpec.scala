@@ -65,7 +65,7 @@ class GraftCatalogSpec extends SparkSpec {
   }
 
   test("a vacuumed version fails loudly at analysis; an unknown table " +
-      "raises NoSuchTableException; DROP TABLE drops; non-add ALTER " +
+      "raises NoSuchTableException; DROP TABLE drops; retype ALTER " +
       "and RENAME TABLE are rejected") {
     val root = mkTable("db2", "docs")
     registered()
@@ -84,7 +84,8 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SHOW TABLES IN gcat.db2").collect()
       .map(_.getString(1)).contains("docs"))
     intercept[Exception] {
-      spark.sql("ALTER TABLE gcat.db2.docs DROP COLUMN lang").collect()
+      spark.sql("ALTER TABLE gcat.db2.docs ALTER COLUMN doc_id TYPE INT")
+        .collect()
     }
     intercept[Exception] {
       spark.sql("ALTER TABLE gcat.db2.docs RENAME TO gcat.db2.d2")
@@ -694,15 +695,22 @@ class GraftCatalogSpec extends SparkSpec {
     val exDup = intercept[Exception] {
       spark.sql("ALTER TABLE galt.t ADD COLUMN LANG STRING") }
     assert(exDup.getMessage.contains("already exist"), exDup.getMessage)
-    val exRen = intercept[Exception] {
-      spark.sql("ALTER TABLE galt.t RENAME COLUMN text TO body") }
-    assert(exRen.getMessage.contains("only ADD COLUMN"), exRen.getMessage)
-    val exDrop = intercept[Exception] {
-      spark.sql("ALTER TABLE galt.t DROP COLUMN note") }
-    assert(exDrop.getMessage.contains("only ADD COLUMN"), exDrop.getMessage)
+    // RENAME COLUMN and DROP COLUMN are header-only commits riding
+    // the stamped field ids (r19): same files, values preserved by id
+    val filesPre = ManifestTable.fileStats(spark, root).map(_._1)
+    spark.sql("ALTER TABLE galt.t RENAME COLUMN text TO body")
+    assert(ManifestTable.fileStats(spark, root).map(_._1) === filesPre,
+      "RENAME COLUMN must not touch data files")
+    assert(spark.sql("SELECT body FROM galt.t WHERE doc_id = 1")
+      .head().getString(0) === "a",
+      "renamed column must serve the old files' values by field id")
+    spark.sql("ALTER TABLE galt.t DROP COLUMN note")
+    assert(spark.table("galt.t").columns.toSeq ===
+      Seq("doc_id", "body", "lang", "score"))
     val exType = intercept[Exception] {
       spark.sql("ALTER TABLE galt.t ALTER COLUMN score TYPE DOUBLE") }
-    assert(exType.getMessage.contains("only ADD COLUMN"), exType.getMessage)
+    assert(exType.getMessage.contains("only ADD COLUMN / RENAME"),
+      exType.getMessage)
   }
 
   test("r19: readStream.table resolves the manifest source by name — " +

@@ -1484,6 +1484,93 @@ class ManifestTableSpec extends SparkSpec {
     assert(ex2.getMessage.contains("cannot sequence"))
   }
 
+  test("r19: field-id evolution — rename is a header-only commit " +
+      "reading both namings by id, drop is a projection mask, a " +
+      "re-added name gets a fresh id (no resurrection), time travel " +
+      "serves each regime") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-fid")
+    val root = s"$base/t"
+    // v1: creation stamps ids 1..3
+    ManifestTable.overwrite(spark, root,
+      Seq((1L, "al", "x"), (2L, "bl", "y")).toDF("id", "lang", "text"))
+    val filesV1 = ManifestTable.fileStats(spark, root).map(_._1)
+    // v2: RENAME lang -> language (header-only: same files)
+    ManifestTable.renameColumn(spark, root, "lang", "language")
+    assert(ManifestTable.fileStats(spark, root).map(_._1) === filesV1,
+      "rename must not touch data files")
+    assert(ManifestTable.read(spark, root).columns.toSeq ===
+      Seq("id", "language", "text"))
+    // old files' values surface under the NEW name (id resolution)
+    assert(ManifestTable.read(spark, root)
+      .select("id", "language").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "al"), (2L, "bl")), "renamed column lost its values")
+    // v3: append written under the NEW name — both namings now coexist
+    // physically; the read merges them by id
+    ManifestTable.append(spark, root,
+      Seq((3L, "cl", "z")).toDF("id", "language", "text"))
+    assert(ManifestTable.read(spark, root)
+      .select("id", "language").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "al"), (2L, "bl"), (3L, "cl")))
+    // v4: DROP text (projection mask, header-only)
+    val filesV3 = ManifestTable.fileStats(spark, root).map(_._1)
+    ManifestTable.dropColumn(spark, root, "text")
+    assert(ManifestTable.fileStats(spark, root).map(_._1) === filesV3,
+      "drop must not touch data files")
+    assert(ManifestTable.read(spark, root).columns.toSeq ===
+      Seq("id", "language"))
+    // v5: RE-ADD a column named text — fresh id, so the dropped
+    // column's old values must NOT resurface
+    ManifestTable.addColumns(spark, root, Seq(
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val readdClean = ManifestTable.read(spark, root)
+      .where(col("text").isNotNull).count()
+    assert(readdClean === 0L,
+      "re-added column resurrected the dropped column's values")
+    // ...and a new append fills it under the fresh id
+    ManifestTable.append(spark, root,
+      Seq((4L, "dl", "new")).toDF("id", "language", "text"))
+    assert(ManifestTable.read(spark, root)
+      .where(col("text").isNotNull).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq === Seq((4L, "new")))
+    // time travel: each version reads with ITS committed schema
+    assert(ManifestTable.readAt(spark, root, 1).columns.toSeq ===
+      Seq("id", "lang", "text"))
+    assert(ManifestTable.readAt(spark, root, 1)
+      .select("lang").collect().map(_.getString(0)).toSet ===
+      Set("al", "bl"))
+    assert(ManifestTable.readAt(spark, root, 3).columns.toSeq ===
+      Seq("id", "language", "text"))
+    assert(ManifestTable.readAt(spark, root, 3)
+      .select("text").collect().map(_.getString(0)).toSet ===
+      Set("x", "y", "z"), "pre-drop time travel must serve the column")
+    // rejections: role columns, constraint references, last column,
+    // collision, legacy (id-less) tables
+    val exColl = intercept[IllegalArgumentException] {
+      ManifestTable.renameColumn(spark, root, "language", "ID") }
+    assert(exColl.getMessage.contains("already exists"))
+    ManifestTable.addConstraint(spark, root, "lang_ok",
+      "language IS NOT NULL OR id < 0")
+    val exCon = intercept[UnsupportedOperationException] {
+      ManifestTable.renameColumn(spark, root, "language", "lng") }
+    assert(exCon.getMessage.contains("constraint"), exCon.getMessage)
+    ManifestTable.dropConstraint(spark, root, "lang_ok")
+    val rootB = s"$base/bounds"
+    ManifestTable.overwrite(spark, rootB,
+      Seq((1L, "a")).toDF("id", "text"), boundsCol = Some("id"))
+    val exRole = intercept[UnsupportedOperationException] {
+      ManifestTable.dropColumn(spark, rootB, "id") }
+    assert(exRole.getMessage.contains("bounds"), exRole.getMessage)
+    val exLast = intercept[IllegalArgumentException] {
+      ManifestTable.dropColumn(spark, rootB, "text")
+      ManifestTable.dropColumn(spark, rootB, "text") }
+    assert(exLast.getMessage.toLowerCase.contains("no column named") ||
+      exLast.getMessage.contains("last column"), exLast.getMessage)
+  }
+
   test("r19: pruning-degradation diagnostic fires on a table NOT " +
       "clustered on the leading merge key, stays silent when " +
       "near-disjoint file ranges legitimately all rewrite") {

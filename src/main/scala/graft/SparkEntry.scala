@@ -702,6 +702,13 @@ object SparkEntry {
     // rejections are spec-pinned.
     "q190_sql_merge" ->
       (graft.sources.GraftCatalog.q190SqlMerge _),
+    // q199 is writable branches (write-audit-publish): a merge staged
+    // on a branch is invisible to main, audited via readBranch / SQL
+    // VERSION AS OF 'branch', then published as one main commit over
+    // append-only main movement — the concurrent append survives;
+    // conflict rejections + vacuum floors are spec-pinned.
+    "q199_branch_wap" ->
+      (graft.sources.ManifestTable.q199BranchWap _),
     // q198 is field-id schema evolution: add → rename → drop as
     // header-only commits over stable column ids (Iceberg's rename
     // semantics on parquet's field-id mechanism), three regimes
@@ -4084,6 +4091,29 @@ object SparkEntry {
     // q194: q158's oracle verbatim — SQL ALTER TABLE ADD COLUMN and
     // the Scala evolving append land the identical widened table.
     "q194_sql_add_column" -> schemaEvolutionOracle,
+    // q199: the three WAP stages replayed from the rules — pre-publish
+    // main (append visible, staged merge invisible), the branch audit
+    // (merge applied, append invisible), the published union.
+    "q199_branch_wap" ->
+      """WITH base AS (SELECT doc_id, lang, text FROM documents),
+        |neg AS (SELECT -(doc_id + 1) AS doc_id, lang, text
+        |        FROM documents WHERE doc_id % 10 = 1),
+        |aud AS (SELECT doc_id, lang,
+        |               CASE WHEN doc_id % 10 = 3 THEN text || ' v2'
+        |                    ELSE text END AS text
+        |        FROM base WHERE doc_id % 10 <> 7),
+        |st AS (
+        |  SELECT '1_main_pre' AS stage, * FROM
+        |    (SELECT * FROM base UNION ALL SELECT * FROM neg)
+        |  UNION ALL
+        |  SELECT '2_branch_audit', * FROM aud
+        |  UNION ALL
+        |  SELECT '3_published', * FROM
+        |    (SELECT * FROM aud UNION ALL SELECT * FROM neg))
+        |SELECT stage, lang, count(*) AS n_docs,
+        |       sum(doc_id)::BIGINT AS sum_doc_id,
+        |       sum(length(text))::BIGINT AS n_chars
+        |FROM st GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q198: the three evolution regimes replayed from raw parquet —
     // s1 = the post-add table (pre-evolution rows with NULL lang),
     // s2 = s1 plus the negative-namespace rows appended under the

@@ -132,11 +132,18 @@ class GraftCatalog extends TableCatalog
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = rootOf(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
+    // a live BRANCH name resolves to its head — the AUDIT read of
+    // write-audit-publish (read-only; writes go through the Scala
+    // branch API until published)
+    if (version.toIntOption.isEmpty &&
+        ManifestTable.branchBase(spark, root, version).isDefined)
+      return new GraftBranchTable(s"$ident@branch-$version", root,
+        version)
     val v = version.toIntOption.getOrElse {
       val t = ManifestTable.tags(spark, root)
       t.getOrElse(version, throw new IllegalArgumentException(
         s"VERSION AS OF on $ident: '$version' is neither an integer " +
-          "version nor a tag " +
+          "version nor a tag or branch " +
           s"(tags: ${t.keys.toSeq.sorted.mkString(", ")})"))
     }
     // resolve NOW: a vacuumed or never-committed version must fail at
@@ -1159,6 +1166,44 @@ private[sources] class GraftSqlTable(ident: String, root: String,
             }
           }
       }
+    }
+  }
+}
+
+/** A BRANCH HEAD served as a read-only SQL relation — the audit read
+  * of write-audit-publish (`VERSION AS OF '<branch>'`): resolved
+  * through [[ManifestTable.readBranch]]'s snapshot; no pushdown tier
+  * (audit reads are occasional and review-sized — the published main
+  * path keeps the full pruning stack), no writes (branch writes go
+  * through the Scala staging API until published). */
+private[sources] class GraftBranchTable(ident: String, tableRoot: String,
+                                        branchName: String)
+    extends Table with SupportsRead {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = ident
+
+  private def relation(): DataFrame =
+    ManifestTable.readBranch(spark, tableRoot, branchName)
+
+  override lazy val schema: StructType = relation().schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new V1Scan {
+      override def readSchema(): StructType = schema
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = GraftBranchTable.this.schema
+          override def buildScan(): org.apache.spark.rdd.RDD[Row] =
+            relation().rdd
+        }.asInstanceOf[T]
     }
   }
 }

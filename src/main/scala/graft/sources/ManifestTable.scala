@@ -161,8 +161,11 @@ object ManifestTable {
   /** The raw lines of a committed manifest (format-opaque — append
     * copies them verbatim so bounds/stats survive). */
   private def manifestLines(fs: FileSystem, root: String,
-                            v: Int): Seq[String] = {
-    val in = fs.open(manifestPath(root, v))
+                            v: Int): Seq[String] =
+    manifestLinesAt(fs, manifestPath(root, v))
+
+  private def manifestLinesAt(fs: FileSystem, path: Path): Seq[String] = {
+    val in = fs.open(path)
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().toList
     finally in.close()
@@ -310,9 +313,19 @@ object ManifestTable {
     * [[overwrite]] resets them with everything else. */
   private val TagPrefix = "tag-"
 
+  /** WRITABLE BRANCHES (Iceberg's write-audit-publish): a
+    * `#branch-<name>=<baseVersion>` header on the MAIN chain declares
+    * a branch forked at `baseVersion`; the branch's own commits live
+    * as `branch-<name>-v%08d.manifest` files the main version regex
+    * never matches — INVISIBLE to every main read until
+    * [[publishBranch]] lands them as one main commit. Vacuum treats a
+    * live branch like a tag (the base version is a retention floor,
+    * the branch manifests' files stay referenced). */
+  private val BranchPrefix = "branch-"
+
   /** COMMIT-KIND header: every commit stamps WHY it happened —
     * `append | overwrite | delete | compact | merge | restore |
-    * rowdelete | rowupdate | metadata` — the provenance the manifest
+    * rowdelete | rowupdate | metadata | publish` — the provenance the manifest
     * otherwise loses (a file diff says WHAT changed, never why). The
     * consumer that needs it is the streaming append tail's `skip`
     * policy ([[graft.streaming.RewriteCommitPolicy]]): a rewrite
@@ -342,7 +355,8 @@ object ManifestTable {
   private def carriedHeaders(hs: Map[String, String]): Map[String, String] =
     hs.filter { case (k, _) =>
       k.startsWith(TxnPrefix) || k.startsWith(ConstraintPrefix) ||
-        k.startsWith(TagPrefix) || k == MaxFieldIdKey }
+        k.startsWith(TagPrefix) || k.startsWith(BranchPrefix) ||
+        k == MaxFieldIdKey }
 
   /** One committed manifest, parsed ONCE — every operation loads this
     * a single time and derives headers/entries/schema from it, instead
@@ -390,8 +404,11 @@ object ManifestTable {
       m.deleteCols)
 
   private def loadManifest(fs: FileSystem, root: String,
-                           v: Int): ManifestData = {
-    val lines = manifestLines(fs, root, v)
+                           v: Int): ManifestData =
+    loadManifestAt(fs, manifestPath(root, v))
+
+  private def loadManifestAt(fs: FileSystem, path: Path): ManifestData = {
+    val lines = manifestLinesAt(fs, path)
     val (hs, es) = lines.partition(_.startsWith("#"))
     ManifestData(
       hs.flatMap { l =>
@@ -964,8 +981,12 @@ object ManifestTable {
     * stragglers as a backstop). */
   private def tryCommit(fs: FileSystem, root: String, v: Int,
                         relFiles: Seq[String],
-                        headers: Map[String, String]): Boolean = {
-    val target = manifestPath(root, v)
+                        headers: Map[String, String]): Boolean =
+    tryCommitPath(fs, root, manifestPath(root, v), relFiles, headers)
+
+  private def tryCommitPath(fs: FileSystem, root: String, target: Path,
+                            relFiles: Seq[String],
+                            headers: Map[String, String]): Boolean = {
     if (fs.exists(target)) return false
     val tmp = new Path(manifestDir(root),
       s".tmp-${UUID.randomUUID().toString.take(12)}")
@@ -1835,6 +1856,238 @@ object ManifestTable {
     v + 1
   }
 
+  // -------------------------------------------------------------------
+  // WRITABLE BRANCHES — write-audit-publish (see [[BranchPrefix]])
+  // -------------------------------------------------------------------
+
+  private def requireBranchName(name: String): Unit =
+    require(name.nonEmpty && !name.forall(_.isDigit) &&
+      name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"branch name must be [A-Za-z0-9_]+ with a non-digit, got '$name'")
+
+  private def branchManifestPath(root: String, name: String, v: Int) =
+    new Path(manifestDir(root), f"branch-$name-v$v%08d.manifest")
+
+  private val BranchManifestName =
+    """branch-([A-Za-z0-9_]+)-v(\d{8})\.manifest""".r
+
+  private def branchVersions(fs: FileSystem, root: String,
+                             name: String): Seq[Int] =
+    fs.listStatus(manifestDir(root)).toSeq.map(_.getPath.getName)
+      .collect { case BranchManifestName(n, d) if n == name => d.toInt }
+      .sorted
+
+  /** The base version branch `name` forked at; None = no such branch. */
+  def branchBase(spark: SparkSession, root: String,
+                 name: String): Option[Int] = {
+    val fs = fsOf(spark, new Path(root))
+    currentVersion(spark, root)
+      .flatMap(v => loadManifest(fs, root, v).headers
+        .get(BranchPrefix + name)).flatMap(_.toIntOption)
+  }
+
+  /** The branch head: its newest own commit, or (for a just-created
+    * branch) the base version's manifest. */
+  private def branchHeadOf(spark: SparkSession, fs: FileSystem,
+                           root: String, name: String)
+      : (Int, ManifestData) = {
+    val base = branchBase(spark, root, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no branch named $name on $root"))
+    branchVersions(fs, root, name).filter(_ > base).lastOption
+      .map(v => v -> loadManifestAt(fs,
+        branchManifestPath(root, name, v)))
+      .getOrElse {
+        require(versions(spark, root).contains(base),
+          s"branch $name's base version $base of $root is gone")
+        base -> loadManifest(fs, root, base)
+      }
+  }
+
+  /** Fork a branch at the current (or a retained) version — one
+    * header-only main commit declaring the pointer. */
+  def createBranch(spark: SparkSession, root: String, name: String,
+                   atVersion: Option[Int] = None): Int = {
+    requireBranchName(name)
+    val fs = fsOf(spark, new Path(root))
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed version under $root"))
+    val m = loadManifest(fs, root, v)
+    require(!m.headers.contains(BranchPrefix + name),
+      s"branch $name already exists on $root")
+    val target = atVersion.getOrElse(v)
+    require(versions(spark, root).contains(target),
+      s"cannot branch $root at $target — not a retained version")
+    if (!tryCommit(fs, root, v + 1, m.entryLines,
+        m.headers + ((BranchPrefix + name) -> target.toString) +
+          (KindKey -> "metadata")))
+      throw new java.util.ConcurrentModificationException(
+        s"createBranch on $root lost the commit race; rerun")
+    v + 1
+  }
+
+  /** Abandon a branch: remove the pointer (header-only commit), then
+    * best-effort delete its manifests (vacuum sweeps aged stragglers —
+    * their files stop being referenced the moment the pointer dies). */
+  def dropBranch(spark: SparkSession, root: String, name: String): Int = {
+    val fs = fsOf(spark, new Path(root))
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed version under $root"))
+    val m = loadManifest(fs, root, v)
+    require(m.headers.contains(BranchPrefix + name),
+      s"no branch named $name on $root")
+    if (!tryCommit(fs, root, v + 1, m.entryLines,
+        m.headers - (BranchPrefix + name) + (KindKey -> "metadata")))
+      throw new java.util.ConcurrentModificationException(
+        s"dropBranch on $root lost the commit race; rerun")
+    branchVersions(fs, root, name).foreach(bv =>
+      scala.util.Try(fs.delete(branchManifestPath(root, name, bv), false)))
+    v + 1
+  }
+
+  /** The branch head as a DataFrame — the AUDIT read (`VERSION AS OF
+    * '<branch>'` through the SQL catalog resolves here too). */
+  def readBranch(spark: SparkSession, root: String,
+                 name: String): DataFrame = {
+    val fs = fsOf(spark, new Path(root))
+    val (v, m) = branchHeadOf(spark, fs, root, name)
+    Snapshot(v, m.dataEntries.map(e => new Path(root, e.rel).toString),
+      m.schema,
+      m.deleteEntries.map(e => new Path(root, e.rel).toString),
+      m.deleteCols).read(spark)
+  }
+
+  /** Append to a BRANCH: stages data files in the shared `data/` dir
+    * (publish carries lines, never copies bytes) and commits a branch
+    * manifest. Exact-schema appends only — branch-side evolution would
+    * force publish to reconcile schemas against a moved main, so it
+    * rejects loudly (evolve on main, re-branch). The resurrection
+    * guard and CHECK constraints hold exactly as on main. */
+  def appendToBranch(spark: SparkSession, root: String, name: String,
+                     df: DataFrame): Int = {
+    val fs = fsOf(spark, new Path(root))
+    val (headV, m) = branchHeadOf(spark, fs, root, name)
+    m.schema.foreach { stored =>
+      require(stored.fieldNames.toSeq == df.schema.fieldNames.toSeq &&
+        stored.fields.map(_.dataType).toSeq ==
+          df.schema.fields.map(_.dataType).toSeq,
+        s"append to branch $name of $root must match the table " +
+          s"schema exactly (${stored.fieldNames.mkString(", ")}) — " +
+          "branch-side evolution is not supported; evolve on main " +
+          "and re-branch")
+    }
+    if (m.deleteEntries.nonEmpty && m.deleteCols.nonEmpty) {
+      val ks = m.deleteCols
+      val delKeys = spark.read.parquet(m.deleteEntries.map(e =>
+          new Path(root, e.rel).toString): _*)
+        .select(ks.map(col): _*).distinct()
+      require(df.join(delKeys, ks, "left_semi").take(1).isEmpty,
+        s"append to branch $name of $root would resurrect " +
+          s"equality-deleted (${ks.mkString(", ")}) tuples")
+    }
+    validateConstraints(df, m.headers.collect {
+      case (hk, hv) if hk.startsWith(ConstraintPrefix) =>
+        hk.stripPrefix(ConstraintPrefix) -> hv
+    }.toMap, s"append to branch $name of $root")
+    val effBounds = m.boundsCol.filter(b =>
+      df.schema.fieldNames.contains(b) &&
+        isIntegral(df.schema(b).dataType))
+    val effBloom = m.bloomCols.filter(k =>
+      df.schema.fieldNames.contains(k) &&
+        scala.util.Try(statExpr(df.schema, k)).isSuccess)
+    val dfOut = m.schema.map(alignToSchema(df, _)).getOrElse(df)
+    val staged = stage(spark, root, dir => dfOut.write.parquet(dir),
+      boundsCol = effBounds, bloomCols = effBloom)
+    // branch manifests never carry branch pointers (pointers live on
+    // the MAIN chain only — a published branch must not smuggle them)
+    val headers = m.headers.filterNot(_._1.startsWith(BranchPrefix)) +
+      (KindKey -> "append")
+    if (!tryCommitPath(fs, root,
+        branchManifestPath(root, name, headV + 1),
+        m.entryLines ++ staged, headers))
+      throw new java.util.ConcurrentModificationException(
+        s"append to branch $name of $root lost the commit race; rerun")
+    headV + 1
+  }
+
+  /** PUBLISH (the write-audit-publish promotion): the branch's net
+    * file-level change — lines it removed from its base, lines it
+    * added — lands on the CURRENT main head as ONE commit, so main
+    * appends that raced the branch's life are CARRIED, never lost
+    * (file-granularity rebase; a main append's rows survive even if
+    * they hold keys the branch merged — audit-then-publish workflows
+    * gate ingest elsewhere, stated honestly). Sound exactly when main
+    * only ADDED manifest lines since the base (appends, metadata,
+    * delete commits) — proven directly from the base and main
+    * manifests, so vacuumed intermediates never block: any rewrite
+    * that moved a base file, a schema change, or a constraint change
+    * rejects loudly — rebase by re-branching. The branch pointer dies
+    * with the publish commit. */
+  def publishBranch(spark: SparkSession, root: String,
+                    name: String): Int = {
+    val fs = fsOf(spark, new Path(root))
+    val base = branchBase(spark, root, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no branch named $name on $root"))
+    val mainV = currentVersion(spark, root).get
+    val mBase = loadManifest(fs, root, base)
+    val mMain = loadManifest(fs, root, mainV)
+    // SOUNDNESS PROOF, from base + main alone (vacuumed intermediate
+    // manifests never block an otherwise-sound publish): main may only
+    // have ADDED lines since the base — appends, metadata commits, and
+    // delete commits add lines and never remove one, while ANY rewrite
+    // that touched a base file removed its line and conflicts with the
+    // branch's diff against that same base.
+    val mainLines = mMain.entryLines.toSet
+    val movedAway = mBase.entryLines.filterNot(mainLines.contains)
+    require(movedAway.isEmpty,
+      s"publish of branch $name on $root: main rewrote or removed " +
+        s"${movedAway.size} of the branch base's file(s) since the " +
+        "fork (a compact/merge/rowdelete/restore moved the base out " +
+        "from under the staged diff) — re-branch from the new head " +
+        "and re-apply")
+    val (headV, mHead) = branchHeadOf(spark, fs, root, name)
+    require(headV > base,
+      s"branch $name of $root has no commits to publish")
+    require(mMain.headers.get(SchemaKey) == mBase.headers.get(SchemaKey),
+      s"publish of branch $name on $root: the main schema changed " +
+        "since the base — re-branch and re-apply")
+    def constraintsOf(h: Map[String, String]) =
+      h.filter(_._1.startsWith(ConstraintPrefix))
+    require(constraintsOf(mMain.headers) == constraintsOf(mBase.headers),
+      s"publish of branch $name on $root: constraints changed since " +
+        "the base — the branch's rows were never validated against " +
+        "them; re-branch and re-apply")
+    require(mMain.headers.get(DeleteKey) == mBase.headers.get(DeleteKey),
+      s"publish of branch $name on $root: the main delete declaration " +
+        "changed since the base; re-branch")
+    val baseLines = mBase.entryLines.toSet
+    val headLines = mHead.entryLines.toSet
+    // the branch's net diff against its base; base ⊆ main was proven
+    // above, so every branch-removed line is guaranteed still on main
+    val removed = baseLines -- headLines
+    val added = mHead.entryLines.filterNot(baseLines.contains)
+    val outLines = mMain.entryLines.filterNot(removed.contains) ++ added
+    val headers = (mMain.headers - (BranchPrefix + name)) ++
+      // the branch's delete declaration wins: its merge may have
+      // consolidated or cleared the delete set (lines flowed above)
+      (mHead.headers.get(DeleteKey).map(DeleteKey -> _) match {
+        case Some(kv) => Map(kv)
+        case None => Map.empty[String, String]
+      }) + (KindKey -> "publish")
+    val cleaned =
+      if (mHead.headers.get(DeleteKey).isEmpty) headers - DeleteKey
+      else headers
+    if (!tryCommit(fs, root, mainV + 1, outLines, cleaned))
+      throw new java.util.ConcurrentModificationException(
+        s"publish of branch $name on $root lost the commit race; rerun")
+    branchVersions(fs, root, name).foreach(bv =>
+      scala.util.Try(fs.delete(branchManifestPath(root, name, bv), false)))
+    mainV + 1
+  }
+
   /** One committed version's summary: when it landed (its MONOTONIZED
     * commit instant — see [[history]]), what it lists, and its metadata
     * row count when stats allow. */
@@ -2012,16 +2265,26 @@ object ManifestTable {
                    keyCols: Seq[String],
                    removeKeys: DataFrame, upserts: DataFrame,
                    txn: Option[(String, Long)] = None,
-                   onDiagnostic: String => Unit = logDiagnostic)
+                   onDiagnostic: String => Unit = logDiagnostic,
+                   branch: Option[String] = None)
       : (Int, Int, Int) = {
     import spark.implicits._
     require(keyCols.nonEmpty && keyCols.distinct == keyCols,
       s"mergeCoW needs distinct key columns, got ${keyCols.mkString(", ")}")
+    require(branch.isEmpty || txn.isEmpty,
+      "txn markers are a main-chain cursor; a staged branch merge " +
+        "takes its marker at publish time")
     val fs = fsOf(spark, new Path(root))
-    val baseVersion = currentVersion(spark, root)
-      .getOrElse(throw new IllegalArgumentException(
-        s"no committed version under $root"))
-    val m = loadManifest(fs, root, baseVersion)
+    // on a BRANCH the merge reads and commits against the branch head
+    // (write-audit-publish: invisible to main until publishBranch)
+    val (baseVersion, m) = branch match {
+      case Some(b) => branchHeadOf(spark, fs, root, b)
+      case None =>
+        val v = currentVersion(spark, root)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no committed version under $root"))
+        v -> loadManifest(fs, root, v)
+    }
     // DELETE SEQUENCING (the Iceberg per-snapshot-sequencing shape): a
     // merge over outstanding merge-on-read deletes is sound exactly
     // when the delete column-SET is the merge key-set — then (a)
@@ -2250,9 +2513,19 @@ object ManifestTable {
       txn.map { case (app, ver) =>
         requireTxnId(app); (TxnPrefix + app) -> ver.toString }.toMap ++
       tableSchema.map(SchemaKey -> _.json).toMap + (KindKey -> "merge")
-    if (!tryCommit(fs, root, baseVersion + 1, outLines, headers))
+    // branch manifests never carry branch pointers (main-chain only)
+    val outHeaders = branch.map(_ =>
+      headers.filterNot(_._1.startsWith(BranchPrefix))).getOrElse(headers)
+    val committed = branch match {
+      case Some(b) => tryCommitPath(fs, root,
+        branchManifestPath(root, b, baseVersion + 1), outLines, outHeaders)
+      case None => tryCommit(fs, root, baseVersion + 1, outLines,
+        outHeaders)
+    }
+    if (!committed)
       throw new java.util.ConcurrentModificationException(
-        s"merge into $root lost the commit race for version " +
+        s"merge into $root${branch.map(b => s" (branch $b)")
+          .getOrElse("")} lost the commit race for version " +
           s"${baseVersion + 1}; rerun against the new base")
     (baseVersion + 1, carryE.size, staged.size)
   }
@@ -2942,6 +3215,67 @@ object ManifestTable {
       .orderBy("stage", "lang")
   }
 
+  /** Q199: WRITABLE BRANCHES — WRITE-AUDIT-PUBLISH, hash-gated: a
+    * recrawl merge is STAGED on branch `audit` (commits invisible to
+    * every main read), audited through BOTH surfaces (Scala
+    * [[readBranch]] and SQL `VERSION AS OF 'audit'` — the spec pins
+    * they agree), and published as ONE main commit; a main-line append
+    * lands DURING the branch life and must survive the publish
+    * (file-granularity rebase over append-only main movement). Three
+    * stages gate the isolation story: `1_main_pre` (pre-publish main —
+    * the staged merge must be invisible, the concurrent append
+    * visible), `2_branch_audit` (the branch head — merge applied,
+    * concurrent append invisible: the audit sees exactly what it
+    * approves), `3_published` (merge + append together). The oracle
+    * replays all three from the rules; a leaked staged row, a lost
+    * concurrent append, or a publish that resurrected a removed row is
+    * hash-fatal. Conflict rejections (non-append main movement, schema
+    * /constraint drift, vacuumed gaps), the vacuum retention floor,
+    * and dropBranch are ManifestTableSpec's pins. */
+  def q199BranchWap(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = graft.Tables.dirKey(spark, sfDir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val root = new Path(wh, s"manifest_wap_$key").toString
+    val fs = fsOf(spark, new Path(root))
+    if (fs.exists(new Path(root))) fs.delete(new Path(root), true)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    overwrite(spark, root,                                        // v1
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      boundsCol = Some("doc_id"))
+    createBranch(spark, root, "audit")                            // v2
+    // a main-line append DURING the branch life (the negative
+    // namespace — disjoint from the staged merge's key ranges)
+    append(spark, root,                                           // v3
+      docs.where(pmod(col("doc_id"), lit(10)) === 1)
+        .select((-(col("doc_id") + 1)).as("doc_id"), col("lang"),
+          col("text")),
+      boundsCol = Some("doc_id"))
+    // the STAGED merge, on the branch: remove ≡7, edit ≡3 (mod 10)
+    mergeCoWKeys(spark, root, Seq("doc_id"),
+      removeKeys = docs.where(pmod(col("doc_id"), lit(10)) === 7)
+        .select("doc_id"),
+      upserts = docs.where(pmod(col("doc_id"), lit(10)) === 3)
+        .withColumn("text", concat(col("text"), lit(" v2"))),
+      branch = Some("audit"))
+    def agg(df: DataFrame, stage: String): DataFrame =
+      df.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_doc_id"),
+          sum(length(col("text"))).as("n_chars"))
+        .withColumn("stage", lit(stage))
+        .localCheckpoint() // pinned BEFORE publish mutates the table
+    val mainPre = agg(read(spark, root), "1_main_pre")
+    val auditRead = agg(readBranch(spark, root, "audit"),
+      "2_branch_audit")
+    publishBranch(spark, root, "audit")                           // v4
+    mainPre.unionByName(auditRead)
+      .unionByName(agg(read(spark, root), "3_published"))
+      .select("stage", "lang", "n_docs", "sum_doc_id", "n_chars")
+      .orderBy("stage", "lang")
+  }
+
   /** Q159: MANIFEST STATISTICS, hash-gated — per-version row counts of a
     * three-commit table (overwrite, append, optimize) answered FROM THE
     * MANIFEST'S v3 STATS ALONE: no data file is opened for the counts
@@ -3119,11 +3453,22 @@ object ManifestTable {
     // named tags are a retention FLOOR (Iceberg's ref-retention shape):
     // a tagged version's manifest and files survive whatever `retain`
     // says — a tag must never dangle
-    val tagged = loadManifest(fs, root, vs.last).headers.collect {
+    val newestHeaders = loadManifest(fs, root, vs.last).headers
+    val tagged = newestHeaders.collect {
       case (k, hv) if k.startsWith(TagPrefix) &&
           hv.toIntOption.isDefined => hv.toInt
     }.toSet
-    val keepSet = vs.takeRight(retain).toSet ++ tagged.filter(vs.contains)
+    // LIVE branches pin like tags: the base version is a retention
+    // floor (publish diffs against it) and every file a branch
+    // manifest lists stays referenced
+    val liveBranches = newestHeaders.collect {
+      case (k, hv) if k.startsWith(BranchPrefix) &&
+          hv.toIntOption.isDefined =>
+        k.stripPrefix(BranchPrefix) -> hv.toInt
+    }
+    val keepSet = vs.takeRight(retain).toSet ++
+      tagged.filter(vs.contains) ++
+      liveBranches.map(_._2).filter(vs.contains)
     val (drop, keep) = vs.partition(v => !keepSet.contains(v))
     // compare fully-QUALIFIED paths: listStatus returns scheme-qualified
     // paths (file:/..., hdfs://...) while manifests store root-relative
@@ -3131,8 +3476,29 @@ object ManifestTable {
     // unreferenced and delete live data
     def qualified(v: Int): Set[String] = manifestEntries(fs, root, v)
       .map(e => fs.makeQualified(new Path(root, e.rel)).toString).toSet
-    val referenced = keep.flatMap(qualified).toSet
+    val branchManifests: Seq[(String, Path)] =
+      fs.listStatus(manifestDir(root)).toSeq.map(_.getPath).flatMap(p =>
+        p.getName match {
+          case BranchManifestName(n, _) => Some(n -> p)
+          case _ => None
+        })
+    val liveNames = liveBranches.map(_._1).toSet
+    val branchReferenced = branchManifests.collect {
+      case (n, p) if liveNames.contains(n) =>
+        loadManifestAt(fs, p).entries.map(e =>
+          fs.makeQualified(new Path(root, e.rel)).toString).toSet
+    }.fold(Set.empty[String])(_ ++ _)
+    val referenced = keep.flatMap(qualified).toSet ++ branchReferenced
     val retired = drop.flatMap(qualified).toSet -- referenced
+    // ORPHANED branch manifests (pointer dropped/published but the
+    // best-effort cleanup died): sweep once aged — their files stop
+    // being referenced here and age out through the same cutoff
+    branchManifests.foreach { case (n, p) =>
+      if (!liveNames.contains(n) &&
+          fs.getFileStatus(p).getModificationTime <
+            System.currentTimeMillis() - math.max(0L, orphanRetentionMs))
+        fs.delete(p, false)
+    }
     drop.foreach(v => fs.delete(manifestPath(root, v), false))
     val cutoff = System.currentTimeMillis() - math.max(0L, orphanRetentionMs)
     // crashed-commit manifest temps: never referenced by anything, but a

@@ -8,9 +8,10 @@ import graft.SparkSpec
   * every table operation (append, equality delete — single-column or
   * COMPOSITE tuple per seed, delete-sequencing merge — tuple-keyed in
   * composite mode, row-level delete/update, optimize, restore, tag,
-  * VACUUM, SCHEMA EVOLUTION, constraint add/drop, and the SQL
-  * surface's UPDATE / DELETE FROM statements through a registered
-  * catalog) is applied in
+  * VACUUM, SCHEMA EVOLUTION incl. field-id RENAME/DROP of the evolved
+  * column, constraint add/drop, and the SQL surface's UPDATE /
+  * DELETE FROM / MERGE INTO statements plus CALL
+  * add_tag/remove_tag through a registered catalog) is applied in
   * parallel to the real manifest table AND to an in-memory reference
   * model (a plain Map with snapshot history); after EVERY commit the
   * table read must equal the model exactly, and time travel to any
@@ -60,11 +61,13 @@ class ManifestModelSpec extends SparkSpec {
              forceExtra: Boolean = false) = {
         import spark.implicits._
         val base = m.toSeq.toDF("doc_id", "text")
-        val evolved = forceExtra ||
-          ManifestTable.schemaAt(spark, root)
-            .exists(_.fieldNames.contains("extra"))
-        if (evolved) base.withColumn("extra", col("doc_id") * 2)
-        else base
+        // the evolved column may live under either name (a rename op
+        // may have moved it; a restore may have moved it back)
+        val evolvedName = ManifestTable.schemaAt(spark, root)
+          .flatMap(_.fieldNames.find(n => n == "extra" || n == "extra2"))
+          .orElse(if (forceExtra) Some("extra") else None)
+        evolvedName.map(n => base.withColumn(n, col("doc_id") * 2))
+          .getOrElse(base)
       }
       def delKeysDf(ts: Iterable[(Long, String)]) = {
         import spark.implicits._
@@ -90,7 +93,7 @@ class ManifestModelSpec extends SparkSpec {
       def liveKeys: Seq[Long] = model.keys.toSeq.sorted
 
       for (step <- 1 to 24) {
-        val op = rnd.nextInt(13)
+        val op = rnd.nextInt(16)
         op match {
           case 0 => // append fresh keys (never resurrecting)
             val fresh = (1 to 1 + rnd.nextInt(4)).map { _ =>
@@ -220,6 +223,73 @@ class ManifestModelSpec extends SparkSpec {
             spark.sql(s"DELETE FROM $sqlT WHERE doc_id % $m = 0")
             version = ManifestTable.currentVersion(spark, root).get
             model = model.filter { case (k, _) => k % m != 0 }
+          case 13 if liveKeys.size > 8 => // SQL MERGE INTO: the richer
+            // action matrix through the post-hoc rule onto the SAME
+            // keyed sequencing commit (single: delete+update+insert+
+            // keyed resurrection; composite: delete + exact-tuple
+            // resurrection — an update would re-key the text column)
+            val removeKeys = rnd.shuffle(liveKeys).take(rnd.nextInt(3))
+            val removes = tuplesOf(removeKeys)
+            val resurrect = rnd.shuffle(outstandingDeletes.toSeq)
+              .filterNot(t => removeKeys.contains(t._1))
+              .take(rnd.nextInt(2))
+              .map { case (k, t) =>
+                k -> (if (composite) t else s"doc-$k-q$step") }
+            val fresh = (1 to 1 + rnd.nextInt(2)).map { _ =>
+              nextKey += 1; nextKey -> s"doc-$nextKey-sqlins" }
+            val updates =
+              if (composite) Seq.empty
+              else rnd.shuffle(liveKeys).filterNot(removeKeys.contains)
+                .take(rnd.nextInt(3)).map(k => k -> s"doc-$k-q$step")
+            val view = s"model_mrg_${seed}_$step"
+            df(removes).withColumn("op", lit("del"))
+              .unionByName(df(resurrect ++ fresh ++ updates)
+                .withColumn("op", lit("ups")))
+              .createOrReplaceTempView(view)
+            val on =
+              if (composite)
+                "tg.doc_id = s.doc_id AND tg.text = s.text"
+              else "tg.doc_id = s.doc_id"
+            val matched =
+              if (composite) "WHEN MATCHED AND s.op = 'del' THEN DELETE "
+              else "WHEN MATCHED AND s.op = 'del' THEN DELETE " +
+                "WHEN MATCHED THEN UPDATE SET * "
+            spark.sql(s"MERGE INTO $sqlT AS tg USING $view AS s " +
+              s"ON $on $matched" +
+              "WHEN NOT MATCHED AND s.op = 'ups' THEN INSERT *")
+            version = ManifestTable.currentVersion(spark, root).get
+            model = model -- removeKeys ++ resurrect ++ fresh ++ updates
+            outstandingDeletes =
+              if (composite) outstandingDeletes -- resurrect
+              else outstandingDeletes.filterNot(t =>
+                removeKeys.contains(t._1) ||
+                  (resurrect ++ updates).map(_._1).contains(t._1))
+          case 14 => // tag lifecycle through SQL CALL: add_tag pins the
+            // current version; sometimes remove it again right away
+            val tn = s"ct$step"
+            spark.sql(s"CALL $catName.system.add_tag(" +
+              s"table => 'tbl', name => '$tn', version => $version)")
+              .collect()
+            version = ManifestTable.currentVersion(spark, root).get
+            if (rnd.nextBoolean()) {
+              spark.sql(s"CALL $catName.system.remove_tag(" +
+                s"table => 'tbl', name => '$tn')").collect()
+              version = ManifestTable.currentVersion(spark, root).get
+            } else taggedAt = Some(version - 1)
+          case 15 if ManifestTable.schemaAt(spark, root).exists(sc =>
+              sc.fieldNames.exists(n => n == "extra" || n == "extra2")) =>
+            // field-id RENAME/DROP of the evolved column (header-only;
+            // the doc_id/text core never evolves — text is a delete
+            // column in composite mode and constraint-referenced at
+            // times, both rejected by design)
+            val cur = ManifestTable.schemaAt(spark, root).get
+              .fieldNames.find(n => n == "extra" || n == "extra2").get
+            if (rnd.nextBoolean()) {
+              val to = if (cur == "extra") "extra2" else "extra"
+              version = ManifestTable.renameColumn(spark, root, cur, to)
+            } else {
+              version = ManifestTable.dropColumn(spark, root, cur)
+            }
           case _ => // skipped guard (too few rows): append instead
             nextKey += 1
             version = ManifestTable.append(spark, root,
@@ -231,6 +301,45 @@ class ManifestModelSpec extends SparkSpec {
         assert(tableState(root) === model,
           s"seed=$seed step=$step op=$op v$version " +
             s"(composite=$composite): table != model")
+      }
+      // SCRIPTED EPILOGUE on one composite seed: the named interaction
+      // merge-AFTER-composite-delete-AFTER-restore — a restore rolls
+      // the table (and its delete state) back, a fresh composite
+      // delete suppresses tuples, then one SQL MERGE must sequence
+      // them (exact-tuple resurrection + live delete + insert) on the
+      // rolled-back lineage.
+      if (composite && seed == 42) {
+        val candidates = ManifestTable.versions(spark, root)
+          .filter(v => history.contains(v) && v < version)
+        assert(candidates.nonEmpty, "epilogue needs a retained version")
+        val target = candidates.last
+        version = ManifestTable.restore(spark, root, target)
+        model = history(target)
+        history(version) = model
+        val victims = tuplesOf(liveKeys.take(3))
+        version = ManifestTable.deleteWhereKeysIn(spark, root, delCols,
+          delKeysDf(victims))
+        model --= victims.map(_._1)
+        history(version) = model
+        val dead = victims.head // resurrect exactly this tuple
+        val live = tuplesOf(liveKeys.take(1)) // delete this one
+        nextKey += 1
+        val fresh = Seq(nextKey -> s"doc-$nextKey-epi")
+        val view = s"model_epi_$seed"
+        df(live).withColumn("op", lit("del"))
+          .unionByName(df(Seq(dead) ++ fresh)
+            .withColumn("op", lit("ups")))
+          .createOrReplaceTempView(view)
+        spark.sql(s"MERGE INTO $sqlT AS tg USING $view AS s " +
+          "ON tg.doc_id = s.doc_id AND tg.text = s.text " +
+          "WHEN MATCHED AND s.op = 'del' THEN DELETE " +
+          "WHEN NOT MATCHED AND s.op = 'ups' THEN INSERT *")
+        version = ManifestTable.currentVersion(spark, root).get
+        model = model -- live.map(_._1) ++ Seq(dead) ++ fresh
+        history(version) = model
+        assert(tableState(root) === model,
+          s"seed=$seed epilogue: merge-after-composite-delete-after-" +
+            "restore drifted from the model")
       }
       // time travel: every retained version equals its model snapshot
       ManifestTable.versions(spark, root)

@@ -1484,6 +1484,81 @@ class ManifestTableSpec extends SparkSpec {
     assert(ex2.getMessage.contains("cannot sequence"))
   }
 
+  test("r19: writable branches (WAP) — staged commits invisible to " +
+      "main, audit reads agree across surfaces, publish rebases over " +
+      "appends, conflicts and vacuum floors enforced") {
+    import spark.implicits._
+    val b = java.nio.file.Files.createTempDirectory("graft-wap")
+    val root = s"$b/t"
+    def rows(n: Range, tag: String) = n.map(i => (i.toLong, s"$tag$i"))
+      .toDF("doc_id", "text")
+    ManifestTable.overwrite(spark, root,
+      rows(1 to 40, "d").repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions("doc_id"), boundsCol = Some("doc_id"))
+    ManifestTable.createBranch(spark, root, "audit")
+    // a concurrent main append during the branch life
+    ManifestTable.append(spark, root, rows(100 to 104, "m"),
+      boundsCol = Some("doc_id"))
+    // the staged merge: remove 1-5, upsert 6-8 edited
+    ManifestTable.mergeCoWKeys(spark, root, Seq("doc_id"),
+      removeKeys = (1L to 5L).toDF("doc_id"),
+      upserts = (6 to 8).map(i => (i.toLong, s"d$i-v2"))
+        .toDF("doc_id", "text"),
+      branch = Some("audit"))
+    // invisibility, both ways
+    val mainPre = ManifestTable.read(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(mainPre === ((1 to 40) ++ (100 to 104)).map(_.toLong).toSet,
+      "the staged merge leaked into the main read")
+    val audit = ManifestTable.readBranch(spark, root, "audit")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(audit.keySet === (6 to 40).map(_.toLong).toSet,
+      "branch audit wrong (concurrent append must be invisible)")
+    assert(audit(6L) === "d6-v2" && audit(40L) === "d40")
+    // the SQL audit surface agrees with the Scala one
+    GraftCatalog.register(spark, "gwap", b.toString)
+    val sqlAudit = spark.sql(
+      "SELECT doc_id, text FROM gwap.t VERSION AS OF 'audit'")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sqlAudit === audit, "SQL and Scala audit reads drifted")
+    // vacuum during the branch life: the base version and the branch
+    // manifests' files must survive a retain=1 sweep
+    ManifestTable.vacuum(spark, root, retain = 1, orphanRetentionMs = 0L)
+    assert(ManifestTable.readBranch(spark, root, "audit").count() === 35,
+      "vacuum collected files a live branch references")
+    // publish: merge + concurrent append together, one commit
+    val vPub = ManifestTable.publishBranch(spark, root, "audit")
+    assert(ManifestTable.commitKindOf(spark, root, vPub)
+      .contains("publish"))
+    val post = ManifestTable.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(post.keySet ===
+      ((6 to 40) ++ (100 to 104)).map(_.toLong).toSet,
+      "publish lost the concurrent append or resurrected removes")
+    assert(post(7L) === "d7-v2" && post(100L) === "m100")
+    assert(ManifestTable.branchBase(spark, root, "audit").isEmpty,
+      "the branch pointer must die with the publish")
+    // conflict: main moved by a NON-append (rowdelete) → publish rejects
+    ManifestTable.createBranch(spark, root, "audit2")
+    ManifestTable.mergeCoWKeys(spark, root, Seq("doc_id"),
+      removeKeys = Seq(6L).toDF("doc_id"),
+      upserts = Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      branch = Some("audit2"))
+    ManifestTable.deleteWhere(spark, root, col("doc_id") === 8L)
+    val exPub = intercept[IllegalArgumentException] {
+      ManifestTable.publishBranch(spark, root, "audit2") }
+    assert(exPub.getMessage.contains("rewrote or removed"),
+      exPub.getMessage)
+    // dropBranch abandons cleanly
+    ManifestTable.dropBranch(spark, root, "audit2")
+    assert(ManifestTable.branchBase(spark, root, "audit2").isEmpty)
+    // a publish with nothing staged rejects
+    ManifestTable.createBranch(spark, root, "empty")
+    val exEmpty = intercept[IllegalArgumentException] {
+      ManifestTable.publishBranch(spark, root, "empty") }
+    assert(exEmpty.getMessage.contains("no commits to publish"))
+  }
+
   test("r19: field-id evolution — rename is a header-only commit " +
       "reading both namings by id, drop is a projection mask, a " +
       "re-added name gets a fresh id (no resurrection), time travel " +

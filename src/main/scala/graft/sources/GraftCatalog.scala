@@ -132,19 +132,24 @@ class GraftCatalog extends TableCatalog
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = rootOf(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
-    // a live BRANCH name resolves to its head — the AUDIT read of
+    // name resolution order: TAGS WIN (the established immutable pin —
+    // a later-created branch must never silently change what a pinned
+    // query serves; createBranch also rejects tag-name collisions),
+    // then a live BRANCH name resolves to its head — the AUDIT read of
     // write-audit-publish (read-only; writes go through the Scala
-    // branch API until published)
-    if (version.toIntOption.isEmpty &&
-        ManifestTable.branchBase(spark, root, version).isDefined)
-      return new GraftBranchTable(s"$ident@branch-$version", root,
-        version)
+    // branch API until published). The branch probe runs only on a
+    // tag miss, so tag-pinned analysis pays no extra manifest read.
     val v = version.toIntOption.getOrElse {
       val t = ManifestTable.tags(spark, root)
-      t.getOrElse(version, throw new IllegalArgumentException(
-        s"VERSION AS OF on $ident: '$version' is neither an integer " +
-          "version nor a tag or branch " +
-          s"(tags: ${t.keys.toSeq.sorted.mkString(", ")})"))
+      t.getOrElse(version, {
+        if (ManifestTable.branchBase(spark, root, version).isDefined)
+          return new GraftBranchTable(s"$ident@branch-$version", root,
+            version)
+        throw new IllegalArgumentException(
+          s"VERSION AS OF on $ident: '$version' is neither an integer " +
+            "version nor a tag or branch " +
+            s"(tags: ${t.keys.toSeq.sorted.mkString(", ")})")
+      })
     }
     // resolve NOW: a vacuumed or never-committed version must fail at
     // analysis with the manifest layer's message, not at execution

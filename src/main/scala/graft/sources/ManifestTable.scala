@@ -457,9 +457,6 @@ object ManifestTable {
   private def asNullable(s: StructType): StructType =
     StructType(s.fields.map(_.copy(nullable = true)))
 
-  private def schemaHeader(s: StructType): (String, String) =
-    SchemaKey -> asNullable(s).json
-
   // -------------------------------------------------------------------
   // FIELD IDS (Iceberg's stable-column-identity idea on parquet's own
   // mechanism): every column of a table created from round 19 on
@@ -1916,6 +1913,19 @@ object ManifestTable {
     val m = loadManifest(fs, root, v)
     require(!m.headers.contains(BranchPrefix + name),
       s"branch $name already exists on $root")
+    require(!m.headers.contains(TagPrefix + name),
+      s"cannot create branch $name on $root: a TAG of that name " +
+        "exists — 'VERSION AS OF' resolution must stay unambiguous")
+    // stale manifests from a previously dropped/published same-named
+    // branch (best-effort cleanup can fail on a flaky store) would be
+    // picked up as the NEW branch's head — clean them, and refuse to
+    // fork until none survive
+    branchVersions(fs, root, name).foreach(bv =>
+      scala.util.Try(fs.delete(branchManifestPath(root, name, bv), false)))
+    require(branchVersions(fs, root, name).isEmpty,
+      s"stale branch-$name manifests survive under $root and could " +
+        "not be deleted — remove them (vacuum) before re-creating " +
+        "the branch")
     val target = atVersion.getOrElse(v)
     require(versions(spark, root).contains(target),
       s"cannot branch $root at $target — not a retained version")
@@ -2063,6 +2073,17 @@ object ManifestTable {
     require(mMain.headers.get(DeleteKey) == mBase.headers.get(DeleteKey),
       s"publish of branch $name on $root: the main delete declaration " +
         "changed since the base; re-branch")
+    // bounds/stats headers attribute the manifest lines' [lo, hi]
+    // slots BY NAME: a branch merge keyed on a different column
+    // re-resolved its lines for THAT key and rewrote the branch's
+    // bounds header — splicing those lines under main's header would
+    // misattribute every value (silently wrong pruning forever after)
+    require(mHead.headers.get(BoundsKey) == mBase.headers.get(BoundsKey)
+        && mHead.headers.get(StatsKey) == mBase.headers.get(StatsKey),
+      s"publish of branch $name on $root: the branch re-keyed the " +
+        "bounds/stats headers (a merge keyed off the table's bounds " +
+        "column) — its lines cannot splice under main's header; " +
+        "re-cluster on main after a bounds-compatible re-branch")
     val baseLines = mBase.entryLines.toSet
     val headLines = mHead.entryLines.toSet
     // the branch's net diff against its base; base ⊆ main was proven
@@ -2070,16 +2091,25 @@ object ManifestTable {
     val removed = baseLines -- headLines
     val added = mHead.entryLines.filterNot(baseLines.contains)
     val outLines = mMain.entryLines.filterNot(removed.contains) ++ added
-    val headers = (mMain.headers - (BranchPrefix + name)) ++
-      // the branch's delete declaration wins: its merge may have
-      // consolidated or cleared the delete set (lines flowed above)
-      (mHead.headers.get(DeleteKey).map(DeleteKey -> _) match {
-        case Some(kv) => Map(kv)
-        case None => Map.empty[String, String]
-      }) + (KindKey -> "publish")
-    val cleaned =
-      if (mHead.headers.get(DeleteKey).isEmpty) headers - DeleteKey
-      else headers
+    // the published delete DECLARATION must match the published delete
+    // LINES: the branch may have consolidated or cleared ITS deletes,
+    // but main may have added delete files since the fork (same
+    // column-set — the equality check above) whose lines survive in
+    // outLines; dropping the header then would brick every read
+    // (applyDeletes fails loudly on undeclared delete files). Keep the
+    // header iff any delete line remains, from whichever side declares
+    // it.
+    val outHasDeletes = outLines.exists(l =>
+      parseEntry(l).isDelete)
+    val deleteHdr: Map[String, String] =
+      if (!outHasDeletes) Map.empty
+      else Map(DeleteKey -> mMain.headers.get(DeleteKey)
+        .orElse(mHead.headers.get(DeleteKey))
+        .getOrElse(throw new IllegalStateException(
+          s"publish of branch $name on $root: delete files in the " +
+            "published manifest but neither side declares #deletecol")))
+    val cleaned = (mMain.headers - (BranchPrefix + name) - DeleteKey) ++
+      deleteHdr + (KindKey -> "publish")
     if (!tryCommit(fs, root, mainV + 1, outLines, cleaned))
       throw new java.util.ConcurrentModificationException(
         s"publish of branch $name on $root lost the commit race; rerun")
@@ -3460,12 +3490,20 @@ object ManifestTable {
     }.toSet
     // LIVE branches pin like tags: the base version is a retention
     // floor (publish diffs against it) and every file a branch
-    // manifest lists stays referenced
-    val liveBranches = newestHeaders.collect {
-      case (k, hv) if k.startsWith(BranchPrefix) &&
-          hv.toIntOption.isDefined =>
-        k.stripPrefix(BranchPrefix) -> hv.toInt
-    }
+    // manifest lists stays referenced. Pointers are read from EVERY
+    // retained version's headers, not just the newest: a restore to a
+    // pre-fork version rolls the pointer off the head (headers
+    // replicate verbatim — the tag doctrine), and reaping the staged
+    // branch work in the SAME breath would turn a recovery action
+    // into silent data loss; the branch stays protected for as long
+    // as any retained manifest still references it, and cleanup
+    // converges as those versions retire.
+    val liveBranches = vs.flatMap(v =>
+      loadManifest(fs, root, v).headers.collect {
+        case (k, hv) if k.startsWith(BranchPrefix) &&
+            hv.toIntOption.isDefined =>
+          k.stripPrefix(BranchPrefix) -> hv.toInt
+      }).distinct
     val keepSet = vs.takeRight(retain).toSet ++
       tagged.filter(vs.contains) ++
       liveBranches.map(_._2).filter(vs.contains)

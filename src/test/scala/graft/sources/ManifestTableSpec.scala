@@ -1559,6 +1559,109 @@ class ManifestTableSpec extends SparkSpec {
     assert(exEmpty.getMessage.contains("no commits to publish"))
   }
 
+  test("review r19: branch edges — publish keeps #deletecol when " +
+      "main's post-fork delete lines survive; re-keyed bounds reject; " +
+      "stale same-named manifests are cleaned at create; restore off " +
+      "the pointer does not let vacuum eat staged work; tag names " +
+      "collide loudly") {
+    import spark.implicits._
+    val b = java.nio.file.Files.createTempDirectory("graft-bredge")
+    val root = s"$b/t"
+    def rows(n: Range) = n.map(i => (i.toLong, s"d$i"))
+      .toDF("doc_id", "text")
+    ManifestTable.overwrite(spark, root,
+      rows(1 to 30).repartitionByRange(3, col("doc_id"))
+        .sortWithinPartitions("doc_id"), boundsCol = Some("doc_id"))
+    // base deletes on doc_id (v2)
+    ManifestTable.deleteWhereKeyIn(spark, root, "doc_id",
+      Seq(1L, 2L).toDF("doc_id"))
+    ManifestTable.createBranch(spark, root, "wap") // v3
+    // main adds MORE deletes after the fork (same column — passes the
+    // header-equality precondition; its delete line must survive)
+    ManifestTable.deleteWhereKeyIn(spark, root, "doc_id",
+      Seq(3L).toDF("doc_id")) // v4
+    // the branch merge touches BOTH base-deleted keys: its
+    // consolidated delete set empties and the branch head drops the
+    // declaration — publish must still declare #deletecol for main's
+    // surviving post-fork delete line
+    ManifestTable.mergeCoWKeys(spark, root, Seq("doc_id"),
+      removeKeys = Seq(10L).toDF("doc_id"),
+      upserts = Seq((1L, "d1-back"), (2L, "d2-back"))
+        .toDF("doc_id", "text"),
+      branch = Some("wap"))
+    ManifestTable.publishBranch(spark, root, "wap")
+    // the published table must READ (a dropped declaration with live
+    // delete files fails loudly) and serve exactly the right rows:
+    // 1,2 resurrected by the branch, 3 still suppressed by main's
+    // post-fork delete, 10 removed
+    val got = ManifestTable.read(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === ((1L to 30L).toSet - 3L - 10L),
+      s"published delete sequencing wrong: $got")
+    // re-keyed bounds: a branch merge keyed off the bounds column
+    // rewrites the bounds header — publish must reject, not splice
+    val root2 = s"$b/t2"
+    ManifestTable.overwrite(spark, root2,
+      (1L to 20L).map(i => (i, i * 7 % 20, s"x$i"))
+        .toDF("a", "b", "text"),
+      boundsCol = Some("a"))
+    ManifestTable.createBranch(spark, root2, "wap2")
+    ManifestTable.mergeCoWKeys(spark, root2, Seq("b"),
+      removeKeys = Seq(5L).toDF("b"),
+      upserts = Seq.empty[(Long, Long, String)].toDF("a", "b", "text"),
+      branch = Some("wap2"))
+    val exB = intercept[IllegalArgumentException] {
+      ManifestTable.publishBranch(spark, root2, "wap2") }
+    assert(exB.getMessage.contains("bounds"), exB.getMessage)
+    // stale same-named manifests from a dead branch are cleaned at
+    // create — the re-created branch starts from ITS base, not the
+    // abandoned head
+    val root3 = s"$b/t3"
+    ManifestTable.overwrite(spark, root3, rows(1 to 5))
+    ManifestTable.createBranch(spark, root3, "aud")
+    ManifestTable.appendToBranch(spark, root3, "aud",
+      rows(100 to 101))
+    ManifestTable.dropBranch(spark, root3, "aud")
+    // simulate a failed best-effort cleanup: plant a stale manifest
+    val fs3 = new org.apache.hadoop.fs.Path(root3).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val stale = new org.apache.hadoop.fs.Path(root3,
+      "_manifests/branch-aud-v00000077.manifest")
+    val out = fs3.create(stale, true)
+    out.write("#commit-kind=append\n".getBytes("UTF-8")); out.close()
+    ManifestTable.createBranch(spark, root3, "aud")
+    assert(ManifestTable.readBranch(spark, root3, "aud").count() === 5,
+      "re-created branch resumed a stale abandoned head")
+    // restore off the pointer: vacuum must NOT reap the staged work
+    // while a retained version still references the branch
+    val root4 = s"$b/t4"
+    ManifestTable.overwrite(spark, root4, rows(1 to 6))   // v1
+    ManifestTable.append(spark, root4, rows(7 to 8))      // v2
+    ManifestTable.createBranch(spark, root4, "keepme")    // v3
+    ManifestTable.appendToBranch(spark, root4, "keepme", rows(50 to 52))
+    ManifestTable.restore(spark, root4, 1)                // v4: pointer off
+    // the pointer rolled off the head (the restore doctrine: headers
+    // replicate verbatim, like tags) — but vacuum must NOT reap the
+    // staged manifests/files while a RETAINED version still references
+    // the branch, so a restore BACK recovers the staged work intact
+    ManifestTable.vacuum(spark, root4, retain = 3, orphanRetentionMs = 0L)
+    ManifestTable.restore(spark, root4, 3)                // pointer back
+    assert(ManifestTable.readBranch(spark, root4, "keepme")
+      .count() === 11,
+      "vacuum reaped a branch still referenced by a retained version")
+    // tag-name collision rejects at branch creation, and VERSION AS OF
+    // keeps serving the TAG
+    val root5 = s"$b/t5"
+    ManifestTable.overwrite(spark, root5, rows(1 to 4))
+    ManifestTable.addTag(spark, root5, "prod", 1)
+    val exTag = intercept[IllegalArgumentException] {
+      ManifestTable.createBranch(spark, root5, "prod") }
+    assert(exTag.getMessage.contains("TAG"), exTag.getMessage)
+    GraftCatalog.register(spark, "gbe", b.toString)
+    assert(spark.sql("SELECT count(*) AS n FROM gbe.t5 " +
+      "VERSION AS OF 'prod'").head().getLong(0) === 4L)
+  }
+
   test("r19: field-id evolution — rename is a header-only commit " +
       "reading both namings by id, drop is a projection mask, a " +
       "re-added name gets a fresh id (no resurrection), time travel " +

@@ -58,9 +58,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[ManifestTable.mergeCoW]] — the same FILE-PRUNED copy-on-write
   * commits the Scala API runs, never a whole-table rewrite (the rule's
   * scaladoc states why this beats `SupportsRowLevelOperations` here) —
-  * and `CALL cat.system.optimize/restore/vacuum/zorder` runs
-  * maintenance ([[GraftProcedures]]). `DROP TABLE` works (a catalog
-  * operation, not a commit); `ALTER`/`RENAME` reject loudly. */
+  * and `CALL cat.system.optimize/restore/vacuum/zorder/add_tag/
+  * remove_tag/create_branch/publish_branch/drop_branch` runs
+  * maintenance ([[GraftProcedures]]). `ALTER TABLE ADD/RENAME/DROP
+  * COLUMN` are header-only evolution commits (field ids); `DROP
+  * TABLE` works (a catalog operation, not a commit); retyping and
+  * `RENAME TABLE` reject loudly. */
 class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
@@ -303,7 +306,7 @@ private[sources] object GraftProcedures {
 
   val names: Seq[String] =
     Seq("optimize", "vacuum", "restore", "zorder", "add_tag",
-      "remove_tag")
+      "remove_tag", "create_branch", "publish_branch", "drop_branch")
 
   private def rootOf(warehouse: String, table: String): String =
     table.split('.').foldLeft(new Path(warehouse)) { (p, s) =>
@@ -417,6 +420,41 @@ private[sources] object GraftProcedures {
         StructType(Seq(
           StructField("new_version", DataTypes.IntegerType))),
         input => InternalRow(ManifestTable.removeTag(spark,
+          rootOf(warehouse, input.getUTF8String(0).toString),
+          input.getUTF8String(1).toString)))
+      // the write-audit-publish lifecycle through SQL: fork / promote /
+      // abandon (branch WRITES stay on the Scala staging API; the
+      // audit READ is `VERSION AS OF '<branch>'`)
+      case "create_branch" => proc("create_branch",
+        "fork a writable branch at the current version — one " +
+          "header-only commit declaring the pointer " +
+          "(ManifestTable.createBranch)",
+        Seq(in("table", DataTypes.StringType),
+          in("name", DataTypes.StringType)),
+        StructType(Seq(
+          StructField("new_version", DataTypes.IntegerType))),
+        input => InternalRow(ManifestTable.createBranch(spark,
+          rootOf(warehouse, input.getUTF8String(0).toString),
+          input.getUTF8String(1).toString)))
+      case "publish_branch" => proc("publish_branch",
+        "land the branch's net change on the current main head as ONE " +
+          "commit; sound only over append-only main movement " +
+          "(ManifestTable.publishBranch)",
+        Seq(in("table", DataTypes.StringType),
+          in("name", DataTypes.StringType)),
+        StructType(Seq(
+          StructField("new_version", DataTypes.IntegerType))),
+        input => InternalRow(ManifestTable.publishBranch(spark,
+          rootOf(warehouse, input.getUTF8String(0).toString),
+          input.getUTF8String(1).toString)))
+      case "drop_branch" => proc("drop_branch",
+        "abandon a branch: remove the pointer and its staged " +
+          "manifests (ManifestTable.dropBranch)",
+        Seq(in("table", DataTypes.StringType),
+          in("name", DataTypes.StringType)),
+        StructType(Seq(
+          StructField("new_version", DataTypes.IntegerType))),
+        input => InternalRow(ManifestTable.dropBranch(spark,
           rootOf(warehouse, input.getUTF8String(0).toString),
           input.getUTF8String(1).toString)))
     }

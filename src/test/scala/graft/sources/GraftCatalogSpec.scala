@@ -784,6 +784,41 @@ class GraftCatalogSpec extends SparkSpec {
     assert(exPin.getMessage.contains("pinned"), exPin.getMessage)
   }
 
+  test("r19: branch lifecycle through CALL — create_branch forks, " +
+      "the audit reads VERSION AS OF the name, publish_branch " +
+      "promotes, drop_branch abandons") {
+    import spark.implicits._
+    val b = java.nio.file.Files.createTempDirectory("graft-callbr")
+    val root = s"$b/t"
+    ManifestTable.overwrite(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"))
+    GraftCatalog.register(spark, "gcb", b.toString)
+    val r1 = spark.sql("CALL gcb.system.create_branch(" +
+      "table => 't', name => 'stage')").head()
+    assert(r1.getInt(0) === 2, s"create_branch diagnostics: $r1")
+    ManifestTable.appendToBranch(spark, root, "stage",
+      Seq((3L, "c")).toDF("doc_id", "text"))
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM gcb.t VERSION AS OF 'stage'")
+      .head().getLong(0) === 3L)
+    assert(spark.sql("SELECT count(*) AS n FROM gcb.t")
+      .head().getLong(0) === 2L, "staged append leaked to main")
+    val r2 = spark.sql("CALL gcb.system.publish_branch(" +
+      "table => 't', name => 'stage')").head()
+    assert(r2.getInt(0) === 3, s"publish_branch diagnostics: $r2")
+    assert(spark.sql("SELECT count(*) AS n FROM gcb.t")
+      .head().getLong(0) === 3L)
+    spark.sql("CALL gcb.system.create_branch(" +
+      "table => 't', name => 'junk')").collect()
+    ManifestTable.appendToBranch(spark, root, "junk",
+      Seq((9L, "z")).toDF("doc_id", "text"))
+    spark.sql("CALL gcb.system.drop_branch(" +
+      "table => 't', name => 'junk')").collect()
+    assert(ManifestTable.branchBase(spark, root, "junk").isEmpty)
+    assert(spark.sql("SELECT count(*) AS n FROM gcb.t")
+      .head().getLong(0) === 3L, "dropped branch leaked")
+  }
+
   test("range translation: conjunctions intersect, In spans, " +
       "non-integral columns never constrain") {
     import org.apache.spark.sql.sources._

@@ -111,6 +111,17 @@ class GraftCatalog extends TableCatalog
     * its rows. A real data table always wins the name. */
   private val MetaNames = Set("history", "files")
 
+  /** Branch-table suffix (Iceberg's `db.t.branch_<name>` shape): the
+    * WRITE face of write-audit-publish through SQL — `INSERT INTO
+    * cat.db.t.branch_stage` stages an append on the branch
+    * ([[ManifestTable.appendToBranch]]: schema contract, constraints
+    * and the resurrection guard enforced exactly as on main, invisible
+    * to every main read until publish), and `SELECT ... FROM` the same
+    * identifier is the audit read — the second resolution path beside
+    * `VERSION AS OF '<branch>'`. A real data table always wins the
+    * name; a suffix naming no live branch fails at analysis. */
+  private val BranchPrefix = "branch_"
+
   override def loadTable(ident: Identifier): Table = {
     val root = rootOf(ident)
     if (isTable(root))
@@ -118,10 +129,14 @@ class GraftCatalog extends TableCatalog
     else {
       val parentRoot = ident.namespace().foldLeft(new Path(warehouse)) {
         (p, s) => new Path(p, s) }.toString
-      if (MetaNames.contains(ident.name().toLowerCase) &&
-          isTable(parentRoot))
-        new GraftMetaTable(ident.toString, parentRoot,
-          ident.name().toLowerCase)
+      val name = ident.name().toLowerCase
+      if (MetaNames.contains(name) && isTable(parentRoot))
+        new GraftMetaTable(ident.toString, parentRoot, name)
+      else if (name.startsWith(BranchPrefix) && isTable(parentRoot) &&
+          ManifestTable.branchBase(spark, parentRoot,
+            ident.name().drop(BranchPrefix.length)).isDefined)
+        new GraftBranchTable(ident.toString, parentRoot,
+          ident.name().drop(BranchPrefix.length))
       else throw new NoSuchTableException(ident)
     }
   }
@@ -1213,15 +1228,23 @@ private[sources] class GraftSqlTable(ident: String, root: String,
   }
 }
 
-/** A BRANCH HEAD served as a read-only SQL relation — the audit read
-  * of write-audit-publish (`VERSION AS OF '<branch>'`): resolved
-  * through [[ManifestTable.readBranch]]'s snapshot; no pushdown tier
-  * (audit reads are occasional and review-sized — the published main
-  * path keeps the full pruning stack), no writes (branch writes go
-  * through the Scala staging API until published). */
+/** A BRANCH HEAD served as a SQL relation — the audit read of
+  * write-audit-publish (`VERSION AS OF '<branch>'` or the
+  * `db.t.branch_<name>` suffix identifier): resolved through
+  * [[ManifestTable.readBranch]]'s snapshot; no pushdown tier (audit
+  * reads are occasional and review-sized — the published main path
+  * keeps the full pruning stack). The suffix identifier is also the
+  * branch's WRITE face: `INSERT INTO cat.db.t.branch_<name>` stages
+  * one [[ManifestTable.appendToBranch]] commit (schema contract,
+  * constraints, resurrection guard — main's rules, staged invisibly).
+  * `INSERT OVERWRITE` rejects: a branch stages a NET CHANGE against
+  * its base and publish lands the file diff — truncating the branch
+  * would claim a whole-table rewrite, exactly what publish soundness
+  * forbids (re-branch instead). Branch merges stay on the Scala
+  * `mergeCoWKeys(branch = ...)` API. */
 private[sources] class GraftBranchTable(ident: String, tableRoot: String,
                                         branchName: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -1232,8 +1255,36 @@ private[sources] class GraftBranchTable(ident: String, tableRoot: String,
 
   override lazy val schema: StructType = relation().schema
 
+  // TRUNCATE is advertised ONLY so INSERT OVERWRITE reaches the
+  // builder and rejects with the domain reason below, not Spark's
+  // generic capability error
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // declared so the overwrite statement ANALYZES, then rejected
+      // with the domain reason instead of a generic capability error
+      override def truncate(): WriteBuilder =
+        throw new IllegalArgumentException(
+          s"INSERT OVERWRITE on $ident: a branch stages a net change " +
+            "against its base — publish lands the file diff, which a " +
+            "truncating rewrite would make unsound; drop the branch " +
+            "and re-fork instead")
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.Dataset[Row],
+                                ow: Boolean): Unit = {
+              require(!ow, s"overwrite of $ident is unsupported")
+              ManifestTable.appendToBranch(data.sparkSession, tableRoot,
+                branchName, data.toDF())
+              ()
+            }
+          }
+      }
+    }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new ScanBuilder {

@@ -819,6 +819,57 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) === 3L, "dropped branch leaked")
   }
 
+  test("r19: the branch_<name> suffix identifier — INSERT INTO " +
+      "stages on the branch, SELECT audits, overwrite and dead " +
+      "branches reject, a real table wins the name") {
+    import spark.implicits._
+    val b = java.nio.file.Files.createTempDirectory("graft-brsfx")
+    val root = s"$b/t"
+    ManifestTable.overwrite(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"))
+    GraftCatalog.register(spark, "gbsfx", b.toString)
+    spark.sql("CALL gbsfx.system.create_branch(" +
+      "table => 't', name => 'stage')").collect()
+    spark.sql("INSERT INTO gbsfx.t.branch_stage VALUES (3, 'c')")
+    // both audit surfaces agree; main saw nothing
+    assert(spark.sql("SELECT count(*) AS n FROM gbsfx.t.branch_stage")
+      .head().getLong(0) === 3L)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM gbsfx.t VERSION AS OF 'stage'")
+      .head().getLong(0) === 3L)
+    assert(spark.sql("SELECT count(*) AS n FROM gbsfx.t")
+      .head().getLong(0) === 2L, "suffix insert leaked to main")
+    // the staged append obeys main's schema contract
+    val exSchema = intercept[Exception] {
+      spark.sql("INSERT INTO gbsfx.t.branch_stage VALUES (4)")
+    }
+    assert(exSchema.getMessage.toLowerCase.matches(
+      "(?s).*(column|schema|match).*"), exSchema.getMessage)
+    // truncating the branch rejects — publish soundness forbids it
+    val exOw = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE gbsfx.t.branch_stage VALUES (9, 'z')")
+    }
+    assert(exOw.getMessage.contains("net change") ||
+      exOw.getMessage.contains("re-fork"), exOw.getMessage)
+    // publish lands the suffix-staged row on main
+    spark.sql("CALL gbsfx.system.publish_branch(" +
+      "table => 't', name => 'stage')").collect()
+    assert(spark.sql(
+      "SELECT sum(doc_id) AS s FROM gbsfx.t").head().getLong(0) === 6L)
+    // a suffix naming no live branch fails at analysis
+    val exDead = intercept[Exception] {
+      spark.sql("SELECT * FROM gbsfx.t.branch_nope").collect()
+    }
+    assert(exDead.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      exDead.getMessage.contains("branch_nope"), exDead.getMessage)
+    // a REAL data table named branch_x wins the suffix resolution
+    val realRoot = s"$b/t/branch_real"
+    ManifestTable.overwrite(spark, realRoot,
+      Seq((7L, "r")).toDF("doc_id", "text"))
+    assert(spark.sql("SELECT doc_id FROM gbsfx.t.branch_real")
+      .head().getLong(0) === 7L, "data table must win the name")
+  }
+
   test("range translation: conjunctions intersect, In spans, " +
       "non-integral columns never constrain") {
     import org.apache.spark.sql.sources._

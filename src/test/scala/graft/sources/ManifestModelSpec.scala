@@ -9,9 +9,13 @@ import graft.SparkSpec
   * COMPOSITE tuple per seed, delete-sequencing merge — tuple-keyed in
   * composite mode, row-level delete/update, optimize, restore, tag,
   * VACUUM, SCHEMA EVOLUTION incl. field-id RENAME/DROP of the evolved
-  * column, constraint add/drop, and the SQL surface's UPDATE /
+  * column, constraint add/drop, the SQL surface's UPDATE /
   * DELETE FROM / MERGE INTO statements plus CALL
-  * add_tag/remove_tag through a registered catalog) is applied in
+  * add_tag/remove_tag through a registered catalog, and the full
+  * WRITE-AUDIT-PUBLISH branch cycle — fork, stage via the Scala API
+  * or the SQL `branch_<name>` suffix face, audit both read surfaces,
+  * publish or drop, a concurrent main append sometimes landing
+  * mid-cycle) is applied in
   * parallel to the real manifest table AND to an in-memory reference
   * model (a plain Map with snapshot history); after EVERY commit the
   * table read must equal the model exactly, and time travel to any
@@ -93,7 +97,7 @@ class ManifestModelSpec extends SparkSpec {
       def liveKeys: Seq[Long] = model.keys.toSeq.sorted
 
       for (step <- 1 to 24) {
-        val op = rnd.nextInt(16)
+        val op = rnd.nextInt(17)
         op match {
           case 0 => // append fresh keys (never resurrecting)
             val fresh = (1 to 1 + rnd.nextInt(4)).map { _ =>
@@ -289,6 +293,47 @@ class ManifestModelSpec extends SparkSpec {
               version = ManifestTable.renameColumn(spark, root, cur, to)
             } else {
               version = ManifestTable.dropColumn(spark, root, cur)
+            }
+          case 16 => // WRITE-AUDIT-PUBLISH cycle: fork, stage (the
+            // Scala API or the SQL branch_<name> suffix face, per
+            // coin), audit both read surfaces, then publish or drop —
+            // with an optional CONCURRENT MAIN APPEND between stage
+            // and publish (publish soundness must carry it)
+            val bn = s"b$step"
+            version = ManifestTable.createBranch(spark, root, bn)
+            history(version) = model // pointer commit, content same
+            val staged = (1 to 1 + rnd.nextInt(2)).map { _ =>
+              nextKey += 1; nextKey -> s"doc-$nextKey-br" }
+            if (rnd.nextBoolean())
+              ManifestTable.appendToBranch(spark, root, bn, df(staged))
+            else {
+              val view = s"model_br_${seed}_$step"
+              df(staged).createOrReplaceTempView(view)
+              spark.sql(s"INSERT INTO $catName.`tbl`.`branch_$bn` " +
+                s"SELECT * FROM $view")
+            }
+            // audit: both surfaces see base+staged; main is untouched
+            // (the post-op assert proves main == model either way)
+            assert(ManifestTable.readBranch(spark, root, bn)
+              .count() === model.size + staged.size,
+              s"seed=$seed step=$step: branch audit lost rows")
+            assert(spark.sql(
+              s"SELECT count(*) AS n FROM $catName.`tbl`.`branch_$bn`")
+              .head().getLong(0) === model.size + staged.size,
+              s"seed=$seed step=$step: suffix audit disagrees")
+            if (rnd.nextBoolean()) { // concurrent main movement
+              nextKey += 1
+              val fresh = Seq(nextKey -> s"doc-$nextKey-c")
+              version = ManifestTable.append(spark, root, df(fresh),
+                boundsCol = Some("doc_id"))
+              model ++= fresh
+              history(version) = model
+            }
+            if (rnd.nextBoolean()) {
+              version = ManifestTable.publishBranch(spark, root, bn)
+              model ++= staged
+            } else {
+              version = ManifestTable.dropBranch(spark, root, bn)
             }
           case _ => // skipped guard (too few rows): append instead
             nextKey += 1

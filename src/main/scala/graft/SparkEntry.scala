@@ -745,6 +745,15 @@ object SparkEntry {
     // spec-pinned.
     "q194_sql_add_column" ->
       (graft.sources.GraftCatalog.q194SqlAddColumn _),
+    // q200 is TYPE WIDENING through SQL DDL: ALTER COLUMN int->bigint
+    // and float->double as header-only commits (same files, the old
+    // narrow physical columns upcast at read), a wide append beside
+    // them, and both regimes aggregated — time travel serves the
+    // narrow types, the current read unifies the mixed-width history;
+    // the oracle replays both stages from raw parquet where no
+    // widening ever happened.
+    "q200_type_widening" ->
+      (graft.sources.GraftCatalog.q200TypeWidening _),
     // q193 is N-dimensional Z-order: one optimizeZOrderCols commit
     // rewrites lineitem into the 3-D Morton layout on its independent
     // key triple (l_orderkey, l_partkey, l_suppkey — events' event_id
@@ -4091,6 +4100,25 @@ object SparkEntry {
     // q194: q158's oracle verbatim — SQL ALTER TABLE ADD COLUMN and
     // the Scala evolving append land the identical widened table.
     "q194_sql_add_column" -> schemaEvolutionOracle,
+    // q200: both widening regimes replayed from raw parquet — the
+    // narrow v1 slice and the mixed-width current table must carry
+    // the SAME integer-exact numbers (widening is metadata, not data).
+    "q200_type_widening" ->
+      """WITH narrow AS (
+        |  SELECT lang, length(text) AS len_i, (doc_id % 97) AS val_f
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |wide AS (
+        |  SELECT lang, length(text) AS len_i, (doc_id % 97) AS val_f
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |st AS (
+        |  SELECT '1_narrow' AS stage, * FROM narrow
+        |  UNION ALL
+        |  SELECT '2_mixed', * FROM
+        |    (SELECT * FROM narrow UNION ALL SELECT * FROM wide))
+        |SELECT stage, lang, count(*) AS n_docs,
+        |       sum(len_i)::BIGINT AS sum_len,
+        |       sum(val_f)::BIGINT AS sum_val
+        |FROM st GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q199: the three WAP stages replayed from the rules — pre-publish
     // main (append visible, staged merge invisible), the branch audit
     // (merge applied, append invisible), the published union.

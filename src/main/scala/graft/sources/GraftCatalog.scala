@@ -61,9 +61,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * and `CALL cat.system.optimize/restore/vacuum/zorder/add_tag/
   * remove_tag/create_branch/publish_branch/drop_branch` runs
   * maintenance ([[GraftProcedures]]). `ALTER TABLE ADD/RENAME/DROP
-  * COLUMN` are header-only evolution commits (field ids); `DROP
-  * TABLE` works (a catalog operation, not a commit); retyping and
-  * `RENAME TABLE` reject loudly. */
+  * COLUMN` and `ALTER COLUMN ... TYPE` (lossless widening) are
+  * header-only evolution commits (field ids); `DROP TABLE` works (a
+  * catalog operation, not a commit); narrowing/cross-family retypes
+  * and `RENAME TABLE` reject loudly. */
 class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
@@ -235,6 +236,16 @@ class GraftCatalog extends TableCatalog
             s"supported, got ${d.fieldNames().mkString(".")}")
         ManifestTable.dropColumn(spark, root, d.fieldNames()(0))
         return new GraftSqlTable(ident.toString, root, pinned = None)
+      case Seq(u: TableChange.UpdateColumnType) =>
+        // `ALTER COLUMN x TYPE t` — sound exactly when it's a lossless
+        // WIDENING (ManifestTable.widenColumn's allowlist); everything
+        // else rejects there with the rewrite workaround
+        require(u.fieldNames().length == 1,
+          s"ALTER TABLE $ident ALTER COLUMN TYPE: nested fields are " +
+            s"not supported, got ${u.fieldNames().mkString(".")}")
+        ManifestTable.widenColumn(spark, root, u.fieldNames()(0),
+          u.newDataType())
+        return new GraftSqlTable(ident.toString, root, pinned = None)
       case _ =>
     }
     val adds = changes.map {
@@ -259,9 +270,9 @@ class GraftCatalog extends TableCatalog
         StructField(a.fieldNames()(0), a.dataType(), nullable = true)
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE $ident: only ADD COLUMN / RENAME COLUMN / DROP " +
-          s"COLUMN are supported through catalog $catalogName (got " +
-          s"${other.getClass.getSimpleName}) — retyping has no sound " +
-          "header-only rewrite; constraints ride " +
+          s"COLUMN / ALTER COLUMN TYPE (lossless widening) are " +
+          s"supported through catalog $catalogName (got " +
+          s"${other.getClass.getSimpleName}); constraints ride " +
           "ManifestTable.addConstraint/dropConstraint")
     }
     ManifestTable.addColumns(spark, root, adds)
@@ -830,6 +841,62 @@ object GraftCatalog {
          |       count(*) AS n_docs, sum(doc_id) AS sum_doc_id,
          |       sum(length(text)) AS n_chars
          |FROM $t GROUP BY 1 ORDER BY lang""".stripMargin)
+  }
+
+  /** Q200: TYPE WIDENING AS A HEADER-ONLY COMMIT (`ALTER TABLE ...
+    * ALTER COLUMN x TYPE bigint/double` → [[ManifestTable
+    * .widenColumn]] — Iceberg/Delta's type-widening shape), hash-gated
+    * — the table is created NARROW (an INT length column, a FLOAT
+    * value column), both columns widen through SQL DDL (zero data IO —
+    * the old files keep their narrow physical encodings), a WIDE
+    * append lands beside them, and the gate aggregates BOTH regimes:
+    * time travel to v1 serves the NARROW types (each version reads
+    * with its own committed schema) while the current read upcasts the
+    * mixed-width history uniformly — a value lost or bent by the
+    * upcast shifts the integer-exact sums and is hash-fatal. The
+    * oracle replays both stages from raw parquet, where no widening
+    * ever happened — the mechanics must be invisible to the numbers.
+    * Narrowing and cross-family retypes reject (Spark's own upcast
+    * gate + the allowlist), spec-pinned. */
+  def q200TypeWidening(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{length, pmod}
+    val key = graft.Tables.dirKey(spark, sfDir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val db = s"sqlwide_$key"
+    val dbPath = new Path(wh, db)
+    val fs = dbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dbPath)) fs.delete(dbPath, true)
+    val root = new Path(dbPath, "docs").toString
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    ManifestTable.overwrite(spark, root,
+      docs.where(col("doc_id") % 3 =!= 0).select(
+        col("doc_id"), col("lang"),
+        length(col("text")).as("len_i"),
+        pmod(col("doc_id"), lit(97)).cast("float").as("val_f")))
+    register(spark, "graft_tables", wh)
+    val t = s"graft_tables.`$db`.`docs`"
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN len_i TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN val_f TYPE DOUBLE")
+    val view = s"q200_wide_$key"
+    docs.where(col("doc_id") % 3 === 0).select(
+      col("doc_id"), col("lang"),
+      length(col("text")).cast("long").as("len_i"),
+      pmod(col("doc_id"), lit(97)).cast("double").as("val_f"))
+      .createOrReplaceTempView(view)
+    spark.sql(s"INSERT INTO $t SELECT * FROM $view")
+    spark.sql(
+      s"""WITH st AS (
+         |  SELECT '1_narrow' AS stage, lang,
+         |         CAST(len_i AS BIGINT) AS len_i,
+         |         CAST(val_f AS DOUBLE) AS val_f
+         |  FROM $t VERSION AS OF 1
+         |  UNION ALL
+         |  SELECT '2_mixed', lang, len_i, val_f FROM $t)
+         |SELECT stage, lang, count(*) AS n_docs,
+         |       sum(len_i) AS sum_len,
+         |       sum(CAST(val_f AS BIGINT)) AS sum_val
+         |FROM st GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
   /** Q195: COMPOSITE-KEY MERGE INTO THROUGH SQL (`ON t.a = s.a AND

@@ -1707,9 +1707,9 @@ object ManifestTable {
     * them in. New columns are forced NULLABLE (no existing row carries
     * them). Name collisions — including case-insensitive ones, which
     * SQL resolution would conflate — schema-less legacy tables, and
-    * empty additions reject loudly; rename / drop / retype stay
-    * rejected everywhere (see [[evolvedSchema]] — field-id evolution
-    * is the known design for those, not shipped). */
+    * empty additions reject loudly; rename / drop ride field ids
+    * ([[renameColumn]]/[[dropColumn]]) and retyping is sound only as
+    * a lossless widening ([[widenColumn]]). */
   def addColumns(spark: SparkSession, root: String,
                  cols: Seq[StructField]): Int = {
     require(cols.nonEmpty, s"addColumns to $root needs a column")
@@ -1850,6 +1850,65 @@ object ManifestTable {
         m.headers + (SchemaKey -> masked.json) + (KindKey -> "metadata")))
       throw new java.util.ConcurrentModificationException(
         s"dropColumn on $root lost the commit race; rerun")
+    v + 1
+  }
+
+  /** The sound header-only type changes: parquet's physical encodings
+    * let the reader serve a NARROW stored column under a WIDER
+    * requested type losslessly (byte/short/int are all INT32 on disk;
+    * int64 and double strictly contain them) — Spark 4's vectorized
+    * reader upcasts these natively, which [[widenColumn]]'s spec pins
+    * empirically. Anything else (narrowing, cross-family, decimal,
+    * string) has no lossless header-only story and rejects. */
+  private val Widenable: Map[org.apache.spark.sql.types.DataType,
+      Set[org.apache.spark.sql.types.DataType]] = {
+    import org.apache.spark.sql.types._
+    Map(
+      ByteType -> Set(ShortType, IntegerType, LongType),
+      ShortType -> Set(IntegerType, LongType),
+      IntegerType -> Set(LongType),
+      FloatType -> Set(DoubleType))
+  }
+
+  /** TYPE WIDENING AS A HEADER-ONLY COMMIT (Iceberg/Delta's
+    * type-widening shape): the committed schema changes the field's
+    * TYPE to a strictly wider one — same name, same field id, zero
+    * data IO. Old files keep the narrow physical column and every
+    * read upcasts it losslessly (the requested-schema read path);
+    * files written after the widening carry the wide type under the
+    * SAME id, so a mixed-width history reads uniformly at every
+    * version, and time travel to pre-widening versions serves the
+    * narrow type (each version reads with its own committed schema).
+    * Shares [[requireIdEvolvable]]'s gate with rename/drop: id-stamped
+    * tables only, and pruning-role (bounds/stats/bloom/delete) or
+    * constraint-referenced columns reject — bloom sidecars hash the
+    * PHYSICAL values and stats attribute by name, so retire the role
+    * (optimize / re-stamp) before widening. Appends after the widening
+    * must send the WIDE type (the schema contract is exact — SQL
+    * INSERT casts automatically; Scala callers cast explicitly). */
+  def widenColumn(spark: SparkSession, root: String, name: String,
+                  to: org.apache.spark.sql.types.DataType): Int = {
+    val fs = fsOf(spark, new Path(root))
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed version under $root"))
+    val m = loadManifest(fs, root, v)
+    val stored = requireIdEvolvable(spark, root, m, name, "widenColumn")
+    val from = stored(name).dataType
+    if (from == to) return v // idempotent no-op, no empty commit
+    if (!Widenable.get(from).exists(_.contains(to)))
+      throw new UnsupportedOperationException(
+        s"widenColumn on $root: $name: ${from.simpleString} -> " +
+          s"${to.simpleString} is not a lossless widening (supported: " +
+          "byte/short/int up the integral chain to bigint, float -> " +
+          "double) — narrowing or cross-family retyping needs a " +
+          "rewrite: CREATE a new table from a cast SELECT")
+    val widened = StructType(stored.fields.map(f =>
+      if (f.name == name) f.copy(dataType = to) else f))
+    if (!tryCommit(fs, root, v + 1, m.entryLines,
+        m.headers + (SchemaKey -> widened.json) + (KindKey -> "metadata")))
+      throw new java.util.ConcurrentModificationException(
+        s"widenColumn on $root lost the commit race; rerun")
     v + 1
   }
 

@@ -707,9 +707,11 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("ALTER TABLE galt.t DROP COLUMN note")
     assert(spark.table("galt.t").columns.toSeq ===
       Seq("doc_id", "body", "lang", "score"))
+    // bigint -> double now ROUTES (round-19 widening) but stays
+    // rejected: cross-family, no lossless physical story
     val exType = intercept[Exception] {
       spark.sql("ALTER TABLE galt.t ALTER COLUMN score TYPE DOUBLE") }
-    assert(exType.getMessage.contains("only ADD COLUMN / RENAME"),
+    assert(exType.getMessage.contains("lossless"),
       exType.getMessage)
   }
 

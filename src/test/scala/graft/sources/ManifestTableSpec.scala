@@ -1749,6 +1749,111 @@ class ManifestTableSpec extends SparkSpec {
       exLast.getMessage.contains("last column"), exLast.getMessage)
   }
 
+  test("r19: type widening — int->long / float->double are " +
+      "header-only commits; old files upcast, mixed-width history " +
+      "reads uniformly, time travel serves the narrow type; " +
+      "narrowing/cross-family/role/legacy reject; SQL ALTER COLUMN " +
+      "TYPE routes") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-widen")
+    val root = s"$base/t"
+    // v1: creation stamps ids; n is INT, f is FLOAT
+    ManifestTable.overwrite(spark, root,
+      Seq((1, 1.5f, "a"), (2, 2.5f, "b")).toDF("n", "f", "text"))
+    val filesV1 = ManifestTable.fileStats(spark, root).map(_._1)
+    // v2: widen n int -> bigint (header-only: same files)
+    ManifestTable.widenColumn(spark, root, "n",
+      org.apache.spark.sql.types.LongType)
+    assert(ManifestTable.fileStats(spark, root).map(_._1) === filesV1,
+      "widening must not touch data files")
+    assert(ManifestTable.read(spark, root).schema("n").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(ManifestTable.read(spark, root).select("n").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L),
+      "narrow physical column lost values under the wide read")
+    // idempotent re-widen is a no-op (no empty commit)
+    val vBefore = ManifestTable.currentVersion(spark, root).get
+    assert(ManifestTable.widenColumn(spark, root, "n",
+      org.apache.spark.sql.types.LongType) === vBefore)
+    // v3: append WIDE rows — mixed-width history reads uniformly
+    ManifestTable.append(spark, root,
+      Seq((3L, 3.5f, "c")).toDF("n", "f", "text"))
+    assert(ManifestTable.read(spark, root).select("n").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    // a NARROW append after the widening rejects (exact contract)
+    val exNarrow = intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, root,
+        Seq((4, 4.5f, "d")).toDF("n", "f", "text")) }
+    assert(exNarrow.getMessage.contains("retyping"), exNarrow.getMessage)
+    // v4: widen f float -> double; both physical widths agree
+    ManifestTable.widenColumn(spark, root, "f",
+      org.apache.spark.sql.types.DoubleType)
+    assert(ManifestTable.read(spark, root).select("f").collect()
+      .map(_.getDouble(0)).toSet === Set(1.5d, 2.5d, 3.5d))
+    // widen THEN RENAME composes: the id carries both changes
+    ManifestTable.renameColumn(spark, root, "n", "num")
+    assert(ManifestTable.read(spark, root).select("num").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L, 3L),
+      "widened+renamed column lost its old files' values")
+    // time travel: v1 serves the NARROW type
+    assert(ManifestTable.readAt(spark, root, 1).schema("n").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(ManifestTable.readAt(spark, root, 1).select("n").collect()
+      .map(_.getInt(0)).toSet === Set(1, 2))
+    // rejections: narrowing, cross-family, string
+    val exNarrowing = intercept[UnsupportedOperationException] {
+      ManifestTable.widenColumn(spark, root, "num",
+        org.apache.spark.sql.types.IntegerType) }
+    assert(exNarrowing.getMessage.contains("lossless"),
+      exNarrowing.getMessage)
+    intercept[UnsupportedOperationException] {
+      ManifestTable.widenColumn(spark, root, "num",
+        org.apache.spark.sql.types.DoubleType) }
+    intercept[UnsupportedOperationException] {
+      ManifestTable.widenColumn(spark, root, "text",
+        org.apache.spark.sql.types.LongType) }
+    // a pruning-role column rejects (bounds attribute physical values)
+    val rootB = s"$base/bounds"
+    ManifestTable.overwrite(spark, rootB,
+      Seq((1, "a")).toDF("id", "text"), boundsCol = Some("id"))
+    val exRole = intercept[UnsupportedOperationException] {
+      ManifestTable.widenColumn(spark, rootB, "id",
+        org.apache.spark.sql.types.LongType) }
+    assert(exRole.getMessage.contains("bounds"), exRole.getMessage)
+  }
+
+  test("r19: SQL ALTER COLUMN TYPE — widening lands, narrowing and " +
+      "cross-family reject through the catalog route") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-widensql")
+    val root = s"$base/t"
+    ManifestTable.overwrite(spark, root,
+      Seq((1, "a"), (2, "b")).toDF("n", "text"))
+    GraftCatalog.register(spark, "gwsql", base.toString)
+    spark.sql("ALTER TABLE gwsql.t ALTER COLUMN n TYPE BIGINT")
+    assert(ManifestTable.read(spark, root).schema("n").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(spark.sql("SELECT sum(n) AS s FROM gwsql.t")
+      .head().getLong(0) === 3L)
+    // narrowing and string->number die in Spark's OWN analyzer
+    // (Cast.canUpCast) before the catalog sees them — loud either way
+    val exDn = intercept[Exception] {
+      spark.sql("ALTER TABLE gwsql.t ALTER COLUMN n TYPE INT") }
+    assert(exDn.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+      exDn.getMessage)
+    val exCf = intercept[Exception] {
+      spark.sql("ALTER TABLE gwsql.t ALTER COLUMN text TYPE BIGINT") }
+    assert(exCf.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+      exCf.getMessage)
+    // int -> double passes Spark's upcast gate but is CROSS-FAMILY
+    // here (no lossless physical story for every old file): OUR
+    // allowlist rejects it with the rewrite workaround
+    spark.sql("ALTER TABLE gwsql.t ADD COLUMN m INT")
+    val exXf = intercept[Exception] {
+      spark.sql("ALTER TABLE gwsql.t ALTER COLUMN m TYPE DOUBLE") }
+    assert(exXf.getMessage.contains("lossless"), exXf.getMessage)
+  }
+
   test("r19: pruning-degradation diagnostic fires on a table NOT " +
       "clustered on the leading merge key, stays silent when " +
       "near-disjoint file ranges legitimately all rewrite") {

@@ -120,7 +120,11 @@ class GraftCatalog extends TableCatalog
     * to every main read until publish), and `SELECT ... FROM` the same
     * identifier is the audit read — the second resolution path beside
     * `VERSION AS OF '<branch>'`. A real data table always wins the
-    * name; a suffix naming no live branch fails at analysis. */
+    * name; a suffix naming no live branch fails at analysis. The
+    * `branch_` PREFIX matches case-insensitively (a syntactic marker,
+    * like the metadata suffixes); the branch NAME after it is an
+    * identifier and resolves exactly as created (branch names are
+    * case-sensitive, like tags). */
   private val BranchPrefix = "branch_"
 
   override def loadTable(ident: Identifier): Table = {
@@ -155,9 +159,11 @@ class GraftCatalog extends TableCatalog
     // a later-created branch must never silently change what a pinned
     // query serves; createBranch also rejects tag-name collisions),
     // then a live BRANCH name resolves to its head — the AUDIT read of
-    // write-audit-publish (read-only; writes go through the Scala
-    // branch API until published). The branch probe runs only on a
-    // tag miss, so tag-pinned analysis pays no extra manifest read.
+    // write-audit-publish (SQL writes to a branch go through the
+    // `db.t.branch_<name>` suffix identifier, not VERSION AS OF —
+    // time-travel syntax has no INSERT form; merges stay on the Scala
+    // staging API). The branch probe runs only on a tag miss, so
+    // tag-pinned analysis pays no extra manifest read.
     val v = version.toIntOption.getOrElse {
       val t = ManifestTable.tags(spark, root)
       t.getOrElse(version, {
@@ -272,7 +278,10 @@ class GraftCatalog extends TableCatalog
         s"ALTER TABLE $ident: only ADD COLUMN / RENAME COLUMN / DROP " +
           s"COLUMN / ALTER COLUMN TYPE (lossless widening) are " +
           s"supported through catalog $catalogName (got " +
-          s"${other.getClass.getSimpleName}); constraints ride " +
+          s"${other.getClass.getSimpleName}); RENAME/DROP/TYPE route " +
+          "only as the statement's SOLE change — a compound clause " +
+          "(e.g. TYPE + COMMENT in one ALTER COLUMN) must split into " +
+          "one statement per change; constraints ride " +
           "ManifestTable.addConstraint/dropConstraint")
     }
     ManifestTable.addColumns(spark, root, adds)

@@ -1069,7 +1069,10 @@ object ManifestTable {
       s"append to $root changes column types: " +
         retyped.map(f => s"${f.name} ${f.dataType} -> ${inByName(f.name)}")
           .mkString(", ") +
-        " — retyping is not supported (use overwrite to redefine the table)")
+        " — the schema contract is exact: cast the frame to the " +
+        "committed types (after a widening, send the WIDE type); to " +
+        "change the TABLE's types use widenColumn (lossless) or " +
+        "overwrite (anything else)")
     val newFields0 = incoming.fields.filterNot(f =>
       stored.fieldNames.contains(f.name))
     // new columns: FRESH ids off the high-water mark on an id-stamped
@@ -1754,28 +1757,36 @@ object ManifestTable {
     v + 1
   }
 
-  /** The shared gate for header-only RENAME/DROP: the table must be
-    * field-id-stamped (reads resolve by id — see the field-id block),
-    * the session must resolve by id, the column must exist and hold no
-    * pruning/delete ROLE (those headers attribute by NAME), and no
-    * CHECK constraint may reference it (constraint expressions are SQL
-    * text — a silent rewrite could change semantics). */
+  /** The shared gate for header-only schema evolution: the column must
+    * exist and hold no pruning/delete ROLE (those headers attribute by
+    * NAME), and no CHECK constraint may reference it (constraint
+    * expressions are SQL text — a silent rewrite could change
+    * semantics). RENAME/DROP additionally require the table to be
+    * field-id-stamped and the session to resolve by id (`needIds` —
+    * a renamed column would silently null under by-name resolution);
+    * WIDENING does not (the name never changes, so by-name resolution
+    * of the narrow physical column under the wide requested type stays
+    * sound on legacy tables too). */
   private def requireIdEvolvable(spark: SparkSession, root: String,
                                  m: ManifestData, colName: String,
-                                 what: String): StructType = {
+                                 what: String,
+                                 needIds: Boolean = true): StructType = {
     val stored = m.schema.getOrElse(
       throw new UnsupportedOperationException(
         s"$what on $root: no committed #schema= header (legacy " +
-          "table) — overwrite to re-create with field ids first"))
-    if (!hasFieldIds(stored)) throw new UnsupportedOperationException(
-      s"$what on $root: the table predates field-id stamping — reads " +
-        "resolve by NAME, so a header-only rename/drop would silently " +
-        "null the column; overwrite to re-create it with ids")
-    require(spark.conf.get("spark.sql.parquet.fieldId.read.enabled",
-        "false").equalsIgnoreCase("true"),
-      s"$what needs spark.sql.parquet.fieldId.read.enabled=true (set " +
-        "by GraftSession) — without id resolution a renamed column " +
-        "reads as null")
+          "table) — any append/overwrite stamps one; evolve after " +
+          "that"))
+    if (needIds && !hasFieldIds(stored))
+      throw new UnsupportedOperationException(
+        s"$what on $root: the table predates field-id stamping — " +
+          "reads resolve by NAME, so a header-only rename/drop would " +
+          "silently null the column; overwrite to re-create it with ids")
+    if (needIds)
+      require(spark.conf.get("spark.sql.parquet.fieldId.read.enabled",
+          "false").equalsIgnoreCase("true"),
+        s"$what needs spark.sql.parquet.fieldId.read.enabled=true (set " +
+          "by GraftSession) — without id resolution a renamed column " +
+          "reads as null")
     require(stored.fieldNames.contains(colName),
       s"$what on $root: no column named $colName " +
         s"(have ${stored.fieldNames.mkString(", ")})")
@@ -1879,11 +1890,14 @@ object ManifestTable {
     * SAME id, so a mixed-width history reads uniformly at every
     * version, and time travel to pre-widening versions serves the
     * narrow type (each version reads with its own committed schema).
-    * Shares [[requireIdEvolvable]]'s gate with rename/drop: id-stamped
-    * tables only, and pruning-role (bounds/stats/bloom/delete) or
-    * constraint-referenced columns reject — bloom sidecars hash the
-    * PHYSICAL values and stats attribute by name, so retire the role
-    * (optimize / re-stamp) before widening. Appends after the widening
+    * Shares [[requireIdEvolvable]]'s role/constraint gate with
+    * rename/drop — pruning-role (bounds/stats/bloom/delete) and
+    * constraint-referenced columns reject (bloom sidecars hash the
+    * PHYSICAL values), so retire the role (optimize / re-stamp) before
+    * widening — but does NOT require field ids: the name never
+    * changes, so by-name resolution of the narrow physical column
+    * under the wide requested type stays sound on legacy tables too
+    * (spec-pinned). Appends after the widening
     * must send the WIDE type (the schema contract is exact — SQL
     * INSERT casts automatically; Scala callers cast explicitly). */
   def widenColumn(spark: SparkSession, root: String, name: String,
@@ -1893,7 +1907,8 @@ object ManifestTable {
       throw new IllegalArgumentException(
         s"no committed version under $root"))
     val m = loadManifest(fs, root, v)
-    val stored = requireIdEvolvable(spark, root, m, name, "widenColumn")
+    val stored = requireIdEvolvable(spark, root, m, name, "widenColumn",
+      needIds = false)
     val from = stored(name).dataType
     if (from == to) return v // idempotent no-op, no empty commit
     if (!Widenable.get(from).exists(_.contains(to)))

@@ -1784,7 +1784,8 @@ class ManifestTableSpec extends SparkSpec {
     val exNarrow = intercept[IllegalArgumentException] {
       ManifestTable.append(spark, root,
         Seq((4, 4.5f, "d")).toDF("n", "f", "text")) }
-    assert(exNarrow.getMessage.contains("retyping"), exNarrow.getMessage)
+    assert(exNarrow.getMessage.contains("cast the frame"),
+      exNarrow.getMessage)
     // v4: widen f float -> double; both physical widths agree
     ManifestTable.widenColumn(spark, root, "f",
       org.apache.spark.sql.types.DoubleType)
@@ -1820,6 +1821,30 @@ class ManifestTableSpec extends SparkSpec {
       ManifestTable.widenColumn(spark, rootB, "id",
         org.apache.spark.sql.types.LongType) }
     assert(exRole.getMessage.contains("bounds"), exRole.getMessage)
+  }
+
+  test("r19: every allowlisted widening pair is pinned empirically — " +
+      "byte->short/int/long and short->int/long upcast old files' " +
+      "values exactly (int->long, float->double pinned above)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-widenall")
+    val root = s"$base/t"
+    ManifestTable.overwrite(spark, root,
+      Seq((1.toByte, 2.toByte, 3.toByte, 10.toShort, 20.toShort, "x"),
+        (4.toByte, 5.toByte, 6.toByte, 30.toShort, 40.toShort, "y"))
+        .toDF("b1", "b2", "b3", "s1", "s2", "text"))
+    import org.apache.spark.sql.types._
+    ManifestTable.widenColumn(spark, root, "b1", ShortType)
+    ManifestTable.widenColumn(spark, root, "b2", IntegerType)
+    ManifestTable.widenColumn(spark, root, "b3", LongType)
+    ManifestTable.widenColumn(spark, root, "s1", IntegerType)
+    ManifestTable.widenColumn(spark, root, "s2", LongType)
+    val got = ManifestTable.read(spark, root).orderBy("b1").collect()
+    assert(got.map(_.getShort(0)).toSeq === Seq(1.toShort, 4.toShort))
+    assert(got.map(_.getInt(1)).toSeq === Seq(2, 5))
+    assert(got.map(_.getLong(2)).toSeq === Seq(3L, 6L))
+    assert(got.map(_.getInt(3)).toSeq === Seq(10, 30))
+    assert(got.map(_.getLong(4)).toSeq === Seq(20L, 40L))
   }
 
   test("r19: SQL ALTER COLUMN TYPE — widening lands, narrowing and " +

@@ -9,7 +9,9 @@ import graft.SparkSpec
   * COMPOSITE tuple per seed, delete-sequencing merge — tuple-keyed in
   * composite mode, row-level delete/update, optimize, restore, tag,
   * VACUUM, SCHEMA EVOLUTION incl. field-id RENAME/DROP of the evolved
-  * column, constraint add/drop, the SQL surface's UPDATE /
+  * column and TYPE WIDENING of the invariant column (int -> bigint,
+  * narrowed back by restores, every writer re-casting to the
+  * committed width), constraint add/drop, the SQL surface's UPDATE /
   * DELETE FROM / MERGE INTO statements plus CALL
   * add_tag/remove_tag through a registered catalog, and the full
   * WRITE-AUDIT-PUBLISH branch cycle — fork, stage via the Scala API
@@ -32,10 +34,20 @@ class ManifestModelSpec extends SparkSpec {
     java.nio.file.Files.createTempDirectory("graft-model").toString +
       "/tbl"
 
-  private def tableState(root: String): Map[Long, String] =
-    ManifestTable.read(spark, root)
-      .select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+  /** The differential read: doc_id -> text for the model compare,
+    * PLUS the invariant column `w` checked in passing — w is always
+    * doc_id % 127 by construction (every writer derives it), read
+    * CAST to BIGINT so the check is width-agnostic: the table starts
+    * w as INT, a widening op may take it to BIGINT, and a restore may
+    * narrow it back — the VALUES must never move. */
+  private def tableState(root: String): Map[Long, String] = {
+    val rows = ManifestTable.read(spark, root)
+      .selectExpr("doc_id", "text", "CAST(w AS BIGINT) AS wl")
+      .collect()
+    rows.foreach(r => assert(r.getLong(2) === r.getLong(0) % 127,
+      s"w invariant broken at doc_id=${r.getLong(0)}: ${r.getLong(2)}"))
+    rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+  }
 
   test("random operation interleavings: table == model after every " +
       "commit; time travel == the model's snapshot at that version; " +
@@ -70,8 +82,23 @@ class ManifestModelSpec extends SparkSpec {
         val evolvedName = ManifestTable.schemaAt(spark, root)
           .flatMap(_.fieldNames.find(n => n == "extra" || n == "extra2"))
           .orElse(if (forceExtra) Some("extra") else None)
-        evolvedName.map(n => base.withColumn(n, col("doc_id") * 2))
+        val withExtra = evolvedName
+          .map(n => base.withColumn(n, col("doc_id") * 2))
           .getOrElse(base)
+        // the invariant column, cast to the CURRENT committed width —
+        // the widening op may have taken it to BIGINT, a restore may
+        // have narrowed it back; the append contract is exact
+        val wType = ManifestTable.schemaAt(spark, root)
+          .flatMap(_.fields.find(_.name == "w")).map(_.dataType)
+          .getOrElse(org.apache.spark.sql.types.IntegerType)
+        val full = withExtra.withColumn("w",
+          pmod(col("doc_id"), lit(127)).cast(wType))
+        // committed-schema COLUMN ORDER: appendToBranch's contract is
+        // exact (main's append realigns, the branch path doesn't)
+        ManifestTable.schemaAt(spark, root)
+          .filter(_.fieldNames.toSet == full.columns.toSet)
+          .map(s => full.select(s.fieldNames.map(col).toSeq: _*))
+          .getOrElse(full)
       }
       def delKeysDf(ts: Iterable[(Long, String)]) = {
         import spark.implicits._
@@ -97,7 +124,7 @@ class ManifestModelSpec extends SparkSpec {
       def liveKeys: Seq[Long] = model.keys.toSeq.sorted
 
       for (step <- 1 to 24) {
-        val op = rnd.nextInt(17)
+        val op = rnd.nextInt(18)
         op match {
           case 0 => // append fresh keys (never resurrecting)
             val fresh = (1 to 1 + rnd.nextInt(4)).map { _ =>
@@ -335,6 +362,18 @@ class ManifestModelSpec extends SparkSpec {
             } else {
               version = ManifestTable.dropBranch(spark, root, bn)
             }
+          case 17 if ManifestTable.schemaAt(spark, root)
+              .exists(_.fields.exists(f => f.name == "w" &&
+                f.dataType ==
+                  org.apache.spark.sql.types.IntegerType)) =>
+            // TYPE WIDENING: header-only int -> bigint on the
+            // invariant column; a later RESTORE may narrow it back
+            // (the committed schema rolls with the manifest), and
+            // every subsequent writer re-casts to the committed width
+            // — tableState's width-agnostic w check gates the values
+            // through every transition
+            version = ManifestTable.widenColumn(spark, root, "w",
+              org.apache.spark.sql.types.LongType)
           case _ => // skipped guard (too few rows): append instead
             nextKey += 1
             version = ManifestTable.append(spark, root,

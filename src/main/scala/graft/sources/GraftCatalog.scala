@@ -823,9 +823,10 @@ object GraftCatalog {
     * pre-evolution files' rows with a NULL lang. q158's oracle gates
     * the DDL surface verbatim (one oracle, two surfaces — the
     * q189→q184 discipline). Rejections (NOT NULL / positioned /
-    * defaulted adds, rename, drop, retype, nested fields) and the
-    * header-only property (same data files across the ALTER) are
-    * GraftCatalogSpec's pins. */
+    * defaulted adds, nested fields; rename/drop route to the field-id
+    * commits — q198 — and retyping to the lossless widening — q200)
+    * and the header-only property (same data files across the ALTER)
+    * are GraftCatalogSpec's pins. */
   def q194SqlAddColumn(spark: SparkSession, sfDir: String): DataFrame = {
     val key = graft.Tables.dirKey(spark, sfDir)
     val wh = spark.conf.get("spark.sql.warehouse.dir")

@@ -109,8 +109,10 @@ class GraftCatalog extends TableCatalog
   /** Metadata-table suffixes (Iceberg's `db.t.history` shape): when
     * the identifier's NAMESPACE path resolves to a manifest table and
     * the name is one of these, serve the table's metadata instead of
-    * its rows. A real data table always wins the name. */
-  private val MetaNames = Set("history", "files")
+    * its rows. A real data table always wins the name. `tags` and
+    * `branches` list the ref state (Iceberg's `refs` shape) — the SQL
+    * face of discovering what `VERSION AS OF '<name>'` can resolve. */
+  private val MetaNames = Set("history", "files", "tags", "branches")
 
   /** Branch-table suffix (Iceberg's `db.t.branch_<name>` shape): the
     * WRITE face of write-audit-publish through SQL — `INSERT INTO
@@ -1406,6 +1408,12 @@ private[sources] class GraftMetaTable(ident: String, tableRoot: String,
           .map { case (rel, bounds, rows, bytes) =>
             (rel, rows, bytes, bounds.map(_._1), bounds.map(_._2)) }
           .toDF("file", "n_rows", "bytes", "lo", "hi")
+      case "tags" =>
+        ManifestTable.tags(spark, tableRoot).toSeq.sorted
+          .toDF("tag", "version")
+      case "branches" =>
+        ManifestTable.branches(spark, tableRoot)
+          .toDF("branch", "base_version", "staged_commits")
     }
   }
 

@@ -2269,6 +2269,25 @@ object ManifestTable {
       }.toMap).getOrElse(Map.empty)
   }
 
+  /** The table's live branches as declared on the CURRENT version:
+    * (name, base version, staged branch commits) — O(headers) + one
+    * manifest-dir listing, zero data IO (the `db.t.branches` metadata
+    * table's source; a restore may roll a pointer off the head, which
+    * correctly drops the branch from this listing until restored
+    * back). */
+  def branches(spark: SparkSession,
+               root: String): Seq[(String, Int, Int)] = {
+    val fs = fsOf(spark, new Path(root))
+    currentVersion(spark, root).toSeq.flatMap { v =>
+      loadManifest(fs, root, v).headers.collect {
+        case (k, b) if k.startsWith(BranchPrefix) &&
+            b.toIntOption.isDefined =>
+          val name = k.stripPrefix(BranchPrefix)
+          (name, b.toInt, branchVersions(fs, root, name).size)
+      }.toSeq.sortBy(_._1)
+    }
+  }
+
   /** Tag `version` as `name` — a header-only commit (entry lines
     * verbatim, zero data IO). The tagged version becomes a vacuum
     * retention floor until [[removeTag]]. Re-tagging an existing name

@@ -872,6 +872,36 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) === 7L, "data table must win the name")
   }
 
+  test("r19: the tags and branches metadata tables list the ref " +
+      "state — what VERSION AS OF '<name>' can resolve; drop/publish " +
+      "retire the branch row") {
+    import spark.implicits._
+    val b = java.nio.file.Files.createTempDirectory("graft-refs")
+    val root = s"$b/t"
+    ManifestTable.overwrite(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"))
+    ManifestTable.addTag(spark, root, "prod", 1)
+    ManifestTable.createBranch(spark, root, "stage")
+    ManifestTable.appendToBranch(spark, root, "stage",
+      Seq((3L, "c")).toDF("doc_id", "text"))
+    ManifestTable.appendToBranch(spark, root, "stage",
+      Seq((4L, "d")).toDF("doc_id", "text"))
+    GraftCatalog.register(spark, "grefs", b.toString)
+    assert(spark.sql("SELECT tag, version FROM grefs.t.tags").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq ===
+      Seq(("prod", 1)))
+    val br = spark.sql(
+      "SELECT branch, base_version, staged_commits " +
+        "FROM grefs.t.branches").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(br === Seq(("stage", 2, 2)), br.toString)
+    ManifestTable.publishBranch(spark, root, "stage")
+    assert(spark.sql("SELECT count(*) AS n FROM grefs.t.branches")
+      .head().getLong(0) === 0L, "published branch still listed")
+    assert(spark.sql("SELECT count(*) AS n FROM grefs.t.tags")
+      .head().getLong(0) === 1L, "publish must not disturb tags")
+  }
+
   test("range translation: conjunctions intersect, In spans, " +
       "non-integral columns never constrain") {
     import org.apache.spark.sql.sources._

@@ -902,6 +902,34 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) === 1L, "publish must not disturb tags")
   }
 
+  test("r19: CTAS and RTAS through the catalog — CREATE TABLE AS " +
+      "SELECT seeds and fills in one statement, REPLACE TABLE AS " +
+      "SELECT swaps the definition, both land id-stamped schemas") {
+    import spark.implicits._
+    val b = java.nio.file.Files.createTempDirectory("graft-ctas")
+    GraftCatalog.register(spark, "gctas", b.toString)
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql("CREATE TABLE gctas.t AS SELECT doc_id, text " +
+      "FROM ctas_src WHERE doc_id <= 2")
+    assert(spark.sql("SELECT count(*) AS n FROM gctas.t")
+      .head().getLong(0) === 2L)
+    // the CTAS-created table is a full citizen: id-stamped schema
+    // (evolution-ready), normal commits (INSERT appends atomically)
+    val root = s"$b/t"
+    assert(ManifestTable.schemaAt(spark, root).isDefined)
+    ManifestTable.renameColumn(spark, root, "text", "body") // needs ids
+    spark.sql("INSERT INTO gctas.t VALUES (9, 'z')")
+    assert(spark.sql("SELECT count(*) AS n FROM gctas.t")
+      .head().getLong(0) === 3L)
+    // RTAS: the definition swaps wholesale (new schema, new rows)
+    spark.sql("REPLACE TABLE gctas.t AS SELECT doc_id * 10 AS k " +
+      "FROM ctas_src")
+    assert(spark.sql("SELECT sum(k) AS s FROM gctas.t")
+      .head().getLong(0) === 60L)
+    assert(spark.table("gctas.t").columns.toSeq === Seq("k"))
+  }
+
   test("range translation: conjunctions intersect, In spans, " +
       "non-integral columns never constrain") {
     import org.apache.spark.sql.sources._

@@ -66,15 +66,20 @@ object GraphRank {
   /** `Iters` rounds of fixed-point PageRank over `(src, dst, w)`. */
   def pageRankExact(spark: SparkSession, edges: DataFrame): DataFrame = {
     val e = edges.localCheckpoint() // the one corpus-sized computation
-    val outw = e.groupBy("src").agg(sum("w").as("tw"))
+    // the out-weight join is LOOP-INVARIANT: fold it into the edge
+    // relation once, instead of re-running the groupBy + join inside
+    // every round (10× the work for byte-identical longs — guide §2.4,
+    // shared exchanges; at cluster scale this is also where edges get
+    // pre-partitioned by src so the per-round join is exchange-free)
+    val ew = e.join(e.groupBy("src").agg(sum("w").as("tw")), Seq("src"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
     var ranks = nodes.withColumn("r", lit(Scale))
     for (_ <- 1 to Iters) {
-      val contrib = e
+      val contrib = ew
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outw, Seq("src"))
         .select(col("dst").as("node"), expr("(r * w) div tw").as("c"))
         .groupBy("node").agg(sum("c").as("c"))
       ranks = nodes.join(contrib, Seq("node"), "left")

@@ -70,7 +70,7 @@ object TableProfile {
     * whose type has no integer-exact facet still profile counts with
     * null bounds. */
   def profile(spark: SparkSession, df: DataFrame): DataFrame =
-    profileWith(spark, df, c => countDistinct(col(c)))
+    profileWith(spark, df, c => countDistinct(col(c)), widen = true)
 
   /** The 100 TB shape of [[profile]]: `approx_count_distinct` (HLL++,
     * the q34 surface) instead of exact distincts, so the plan is ONE
@@ -91,11 +91,32 @@ object TableProfile {
     * the exact Expand's shuffle grows ×|cols| with the DATA, the
     * sketch pass doesn't. */
   def profileApprox(spark: SparkSession, df: DataFrame): DataFrame =
-    profileWith(spark, df, c => approx_count_distinct(col(c), 0.02))
+    profileWith(spark, df, c => approx_count_distinct(col(c), 0.02),
+      // NO widening here, MEASURED: the approx pass is bound by its
+      // per-task HLL buffers (11 columns × 2^12 registers of
+      // interpreted-path partial state — far past codegen's field
+      // cap), so multiplying partial buffers ×cores made it 3.2 →
+      // 29.6 s at sf0.1 while the exact pass improved. Constant-size
+      // sketches per TASK mean fewer, larger tasks win — the opposite
+      // trade from the exact Expand.
+      widen = false)
 
   private def profileWith(spark: SparkSession, df: DataFrame,
-                          distinctAgg: String => Column): DataFrame = {
+                          distinctAgg: String => Column,
+                          widen: Boolean): DataFrame = {
     val fields = df.schema.fields.toSeq
+    // SCAN-PARALLELISM FLOOR (guide §2.5 "input skew … repartition
+    // immediately after the read"): the exact profiler's heavy stage
+    // is the pre-shuffle ×|cols| Expand partial aggregation, which
+    // runs at the SCAN's parallelism. A small or single-file table
+    // splits into few input tasks (openCostInBytes floors the split
+    // size), leaving the cores idle exactly where the work is; a
+    // cheap row-count-preserving round-robin repartition restores
+    // full width. Adaptive, not local-tuned: at scale the scan
+    // already yields ≥ cores splits and this is a no-op.
+    val cores = spark.sparkContext.defaultParallelism
+    val wide = if (widen && df.rdd.getNumPartitions < cores)
+      df.repartition(cores) else df
     val aggs = fields.flatMap { f =>
       val fc = facetOf(f.dataType)
       Seq(
@@ -106,7 +127,7 @@ object TableProfile {
         fc.map(_.hiExpr(f.name)).getOrElse(lit(null).cast("long"))
           .as(s"_hi_${f.name}"))
     } :+ count(lit(1)).as("_n")
-    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val r = wide.agg(aggs.head, aggs.tail: _*).collect()(0)
     val n = r.getAs[Long]("_n")
     import spark.implicits._
     fields.map { f =>

@@ -944,12 +944,18 @@ object GraftCatalog {
     val root = new Path(dbPath, "lineitem").toString
     // ONE deterministic row per (l_orderkey, l_linenumber) tuple —
     // integer-exact aggregation, so the DuckDB oracle replays it
-    // bit-identically
+    // bit-identically. Materialized ONCE per invocation
+    // (localCheckpoint): the seed overwrite, the delete-key set and
+    // both delta-view branches all read this aggregate — recomputing
+    // the full-table groupBy per consumer paid the scan+shuffle four
+    // times (guide §1.2: don't compute things twice before tuning
+    // anything else)
     val li = graft.Tables.lineitem(spark, sfDir)
       .groupBy(col("l_orderkey"), col("l_linenumber"))
       .agg(max(col("l_returnflag")).as("l_returnflag"),
         sum(org.apache.spark.sql.functions.round(
           col("l_extendedprice") * 100).cast("long")).as("price_cents"))
+      .localCheckpoint()
     ManifestTable.overwrite(spark, root,
       li.repartitionByRange(8, col("l_orderkey"))
         .sortWithinPartitions("l_orderkey"),

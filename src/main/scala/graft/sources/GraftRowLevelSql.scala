@@ -302,9 +302,17 @@ case class GraftMergeCommand(root: String,
     val tableFields = target.output // the table's columns, in order
     val keySel = tKeys.map(k => Bridge.column(k).as(k.name))
     // frames built from the ANALYZED plans: every action expression's
-    // attribute IDs resolve against these exact outputs
+    // attribute IDs resolve against these exact outputs. The SOURCE is
+    // materialized ONCE (Delta's merge does the same): it is delta-
+    // sized by the merge contract and otherwise re-evaluates per
+    // consumer — the matched join, the not-matched anti-join, and the
+    // by-source anti-join each recompute whatever plan (aggregates,
+    // unions, views) produced it. localCheckpoint keeps the analyzed
+    // output attribute ids, so every action expression still resolves.
+    // The TARGET is deliberately NOT materialized — it is corpus-sized
+    // at scale and each consumer reads it as a plain file-pruned scan.
     val targetDF = Bridge.ofRows(spark, target)
-    val sourceDF = Bridge.ofRows(spark, source)
+    val sourceDF = Bridge.ofRows(spark, source).localCheckpoint()
     def condCol(c: Option[Expression]): Column =
       coalesce(c.map(Bridge.column).getOrElse(lit(true)), lit(false))
     // first-match-wins action index over a frame (-1 = untouched)
@@ -344,36 +352,43 @@ case class GraftMergeCommand(root: String,
     val matched = joinedAll.withColumn("__graft_action", mIdx)
       .where(col("__graft_action") >= 0)
     if (matchedActions.nonEmpty) {
-      // SQL MERGE cardinality rule: a target ROW updated/deleted by
-      // two source rows is an error, never a double apply
-      val dupRow = matched.groupBy(col("__graft_tid"))
-        .count().where(col("count") > 1).take(1)
-      require(dupRow.isEmpty,
-        s"MERGE cardinality violation on $root: a target row matches " +
-          "multiple source rows with an applicable WHEN MATCHED " +
-          "action — dedupe the source on the merge key")
-      // honest limit: duplicate merge-key rows IN THE TARGET are
-      // legal SQL (each row updates once) but the keyed rewrite
-      // replaces BY key and would collapse them — reject loudly.
-      // Probed over ALL join matches restricted to keys being
-      // rewritten, NOT over `matched` alone: a duplicate whose action
-      // condition fires for only ONE of the two rows leaves the other
-      // out of `matched`, yet the keyed rewrite would still remove
-      // both and insert one replacement — the non-firing duplicate
-      // must reject too, whichever duplicate's condition fired.
-      val dupKey = joinedAll
+      // BOTH cardinality probes in ONE aggregation job over the
+      // checkpointed join (they read the same frozen row ids):
+      // per merge key — matched-row count vs distinct matched target
+      // ids (a gap = one target row hit by several source rows with a
+      // firing action: the SQL cardinality violation), and distinct
+      // target ids over ALL join matches (>1 with any firing action on
+      // the key = a duplicate-keyed target being rewritten, which the
+      // keyed rewrite would collapse — probed over ALL matches, NOT
+      // `matched` alone: a duplicate whose action condition fires for
+      // only ONE of the two rows leaves the other out of `matched`,
+      // yet the rewrite would still remove both and insert one
+      // replacement; it must reject whichever duplicate's condition
+      // fired).
+      val probe = joinedAll
+        .withColumn("__graft_action", mIdx)
         .groupBy(keySel: _*)
-        .agg(countDistinct(col("__graft_tid")).as("__n"))
-        .where(col("__n") > 1)
-        .join(matched.select(keySel: _*).distinct(),
-          keyCols, "left_semi")
+        .agg(
+          count(when(col("__graft_action") >= 0, 1)).as("__m"),
+          countDistinct(when(col("__graft_action") >= 0,
+            col("__graft_tid"))).as("__mt"),
+          countDistinct(col("__graft_tid")).as("__t"))
+        .where(col("__m") > col("__mt") ||
+          (col("__t") > 1 && col("__m") > 0))
         .take(1)
-      if (dupKey.nonEmpty) throw new UnsupportedOperationException(
-        s"MERGE into $root: the target holds multiple rows with " +
-          s"merge key (${keyCols.mkString(", ")}) = " +
-          s"(${keyCols.indices.map(dupKey.head.get).mkString(", ")}) " +
-          "— the keyed copy-on-write rewrite replaces rows BY key " +
-          "and would collapse them; deduplicate the target first")
+      probe.headOption.foreach { r =>
+        val m = r.getAs[Long]("__m"); val mt = r.getAs[Long]("__mt")
+        if (m > mt) throw new IllegalArgumentException(
+          s"MERGE cardinality violation on $root: a target row " +
+            "matches multiple source rows with an applicable WHEN " +
+            "MATCHED action — dedupe the source on the merge key")
+        throw new UnsupportedOperationException(
+          s"MERGE into $root: the target holds multiple rows with " +
+            s"merge key (${keyCols.mkString(", ")}) = " +
+            s"(${keyCols.indices.map(r.get).mkString(", ")}) " +
+            "— the keyed copy-on-write rewrite replaces rows BY key " +
+            "and would collapse them; deduplicate the target first")
+      }
     }
     val deleteIdx = matchedActions.zipWithIndex.collect {
       case (_: DeleteAction, i) => i }
@@ -387,11 +402,16 @@ case class GraftMergeCommand(root: String,
           .select(rowOf(u.assignments, matchedUpdate = true,
             "WHEN MATCHED UPDATE"): _*)
     }
+    // delta-sized (⊆ source); materialized once when any insert action
+    // exists — its consumers (changed-key union, the rewrite's upsert
+    // arm) would otherwise each re-run the anti-join's target scan
     val srcOnly = sourceDF.join(targetDF,
       Bridge.column(mergeCondition), "left_anti")
     val insIdx = actionIdx(notMatchedActions)
-    val notMatched = srcOnly.withColumn("__graft_action", insIdx)
+    val notMatched0 = srcOnly.withColumn("__graft_action", insIdx)
       .where(col("__graft_action") >= 0)
+    val notMatched = if (notMatchedActions.isEmpty) notMatched0
+      else notMatched0.localCheckpoint()
     val insertUps = notMatchedActions.zipWithIndex.collect {
       case (ins: InsertAction, i) =>
         notMatched.where(col("__graft_action") === i)
@@ -401,14 +421,18 @@ case class GraftMergeCommand(root: String,
     // WHEN NOT MATCHED BY SOURCE: the target-side anti-join complement
     // evaluated first-match-wins on TARGET columns alone, folded into
     // the SAME remove/upsert pair — never a second statement, never a
-    // second commit. No checkpoint here: the frame is deterministic
-    // (no row ids), recomputed per consumer; the downstream merge
-    // bounds its own work from the delta-sized changedKeys.
+    // second commit. The action-HIT subset is materialized once when
+    // any by-source action exists: it feeds the dup-key probe, the
+    // removes and the upserts, and each consumer would otherwise
+    // re-run the full target×source anti-join (a corpus-sized scan
+    // per consumer at 100 TB — three passes folded into one).
     val bySrcAll = targetDF.join(sourceDF,
       Bridge.column(mergeCondition), "left_anti")
     val bsIdx = actionIdx(notMatchedBySourceActions)
-    val bySrcHit = bySrcAll.withColumn("__graft_action", bsIdx)
+    val bySrcHit0 = bySrcAll.withColumn("__graft_action", bsIdx)
       .where(col("__graft_action") >= 0)
+    val bySrcHit = if (notMatchedBySourceActions.isEmpty) bySrcHit0
+      else bySrcHit0.localCheckpoint()
     if (notMatchedBySourceActions.nonEmpty) {
       // same honest limit as the matched side: a duplicate-keyed
       // target row being rewritten would collapse under the keyed

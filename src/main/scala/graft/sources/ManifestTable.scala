@@ -852,6 +852,86 @@ object ManifestTable {
     * per-file [lo, hi] key bounds, `statsCols` one extra [lo, hi] pair
     * per column (format v4), `bloomCols` one per-file Bloom filter per
     * column in the commit dir's sidecars (format v5). */
+  /** Per-file ([lo, hi] stat pairs for `statNames`, row count) read
+    * from the parquet footers of just-written files — zero Spark jobs,
+    * zero data IO. Returns None (caller falls back to the aggregate
+    * pass) unless EVERY requested column in EVERY file is a stat shape
+    * the manifest stores exactly: signed INT32/INT64 (Spark
+    * byte/short/int/long) or INT64 TIMESTAMP(MICROS) (the engine's
+    * pinned parquet output type, whose footer min/max ARE `unix_micros`
+    * values). Chunks of an all-null column carry no min/max but a set
+    * null count — they contribute nothing, exactly like the old
+    * `min/max` aggregates; a chunk with statistics MISSING (not
+    * written) forces the fallback rather than guessing. Zero-row files
+    * are omitted from the map — the caller drops them from the
+    * manifest, as before. */
+  private def footerStats(fs: FileSystem, dir: Path, names: Seq[String],
+                          statNames: Seq[String])
+      : Option[Map[String, (Seq[Option[(Long, Long)]], Long)]] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    def servable(pt: org.apache.parquet.schema.PrimitiveType): Boolean =
+      pt.getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
+          pt.getLogicalTypeAnnotation match {
+            case null => true
+            case a: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+              a.isSigned
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              pt.getPrimitiveTypeName == PrimitiveTypeName.INT64 &&
+                t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+            case _ => false
+          }
+        case _ => false
+      }
+    def longOf(v: Any): Long = v match {
+      case i: java.lang.Integer => i.longValue
+      case l: java.lang.Long => l.longValue
+      case other => throw new IllegalStateException(
+        s"unexpected footer stat type ${other.getClass}")
+    }
+    val out = Map.newBuilder[String, (Seq[Option[(Long, Long)]], Long)]
+    for (name <- names) {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(dir, name), fs.getConf))
+      try {
+        val footer = reader.getFooter
+        import scala.jdk.CollectionConverters._
+        val blocks = footer.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        if (rows > 0) {
+          val fileSchema = footer.getFileMetaData.getSchema
+          val pairs: Seq[Option[(Long, Long)]] = statNames.map { k =>
+            // a column the file doesn't carry at top level must go
+            // through the aggregate pass's loud resolution error, not
+            // silently stamp unprunable (None) bounds
+            if (!fileSchema.containsField(k)) return None
+            var lo = Long.MaxValue; var hi = Long.MinValue; var seen = false
+            for (b <- blocks; cc <- b.getColumns.asScala
+                 if cc.getPath.size == 1 && cc.getPath.toArray.head == k) {
+              if (!servable(cc.getPrimitiveType)) return None
+              val st = cc.getStatistics
+              if (st != null && st.hasNonNullValue) {
+                lo = math.min(lo, longOf(st.genericGetMin))
+                hi = math.max(hi, longOf(st.genericGetMax))
+                seen = true
+              } else if (st == null || !st.isNumNullsSet ||
+                  st.getNumNulls != cc.getValueCount) {
+                // stats absent (vs. a provably all-null chunk) — don't
+                // guess; the aggregate pass recomputes them exactly
+                return None
+              }
+            }
+            if (seen) Some((lo, hi)) else None
+          }
+          out += name -> ((pairs, rows))
+        }
+      } finally reader.close()
+    }
+    Some(out.result())
+  }
+
   private def stage(spark: SparkSession, root: String,
                     write: String => Unit,
                     allowEmpty: Boolean = false,
@@ -868,23 +948,29 @@ object ManifestTable {
       .map(f => f.getPath.getName -> f.getLen).toMap
     require(allowEmpty || staged.nonEmpty, "commit staged zero data files")
     if (staged.isEmpty) return Seq.empty
-    // per-file stats for the manifest (formats v3/v4): ONE pass over the
-    // files JUST written — the price is paid once at write time so every
-    // later merge/range read can prune, and every count can answer, from
-    // the manifest alone, never scanning the snapshot. (A production
-    // format takes the same stats from the parquet footers the write
-    // already produced; this pass reads only the stats columns — or zero
-    // columns for a count — which parquet serves without touching the
-    // other column chunks.)
-    val justWritten = spark.read.parquet(dir.toString)
-    boundsCol.foreach(k => requireIntegral(justWritten.schema, k))
-    val statCols: Seq[(String, org.apache.spark.sql.Column)] =
-      boundsCol.map(k => k -> col(k).cast("long")).toSeq ++
-        statsCols.map(k => k -> statExpr(justWritten.schema, k))
-    val aggs = statCols.zipWithIndex.flatMap { case ((_, e), i) =>
-      Seq(min(e).as(s"_lo$i"), max(e).as(s"_hi$i"))
-    } :+ count(lit(1)).as("_n")
-    val perFile: Map[String, (Seq[Option[(Long, Long)]], Long)] =
+    // per-file stats for the manifest (formats v3/v4), taken from the
+    // parquet FOOTERS the write just produced (optimization guide §1/§6
+    // — the footers already hold exact typed min/max and row counts, so
+    // re-scanning the staged files was one full Spark job per commit,
+    // paid by EVERY write in the engine: append, merge, compaction,
+    // every streaming micro-batch apply). Footer min/max for signed
+    // INT32/INT64 and TIMESTAMP(MICROS) — the only stat shapes
+    // [[statExpr]] admits, and the engine pins TIMESTAMP_MICROS output
+    // — are bit-exact equals of the old `min(cast(k as long))`
+    // aggregates, so the manifest lines are byte-identical
+    // (ManifestFooterStatsSpec pins the equality). Any other shape, or
+    // a footer without statistics, falls back to the aggregate pass —
+    // which also owns the loud non-integral type rejection.
+    lazy val justWritten = spark.read.parquet(dir.toString)
+    val statNames: Seq[String] = boundsCol.toSeq ++ statsCols
+    def aggregateStats(): Map[String, (Seq[Option[(Long, Long)]], Long)] = {
+      boundsCol.foreach(k => requireIntegral(justWritten.schema, k))
+      val statCols: Seq[(String, org.apache.spark.sql.Column)] =
+        boundsCol.map(k => k -> col(k).cast("long")).toSeq ++
+          statsCols.map(k => k -> statExpr(justWritten.schema, k))
+      val aggs = statCols.zipWithIndex.flatMap { case ((_, e), i) =>
+        Seq(min(e).as(s"_lo$i"), max(e).as(s"_hi$i"))
+      } :+ count(lit(1)).as("_n")
       justWritten
         .groupBy(input_file_name().as("_f"))
         .agg(aggs.head, aggs.tail: _*)
@@ -896,6 +982,10 @@ object ManifestTable {
           new Path(r.getString(0)).getName ->
             ((pairs, r.getLong(1 + 2 * statCols.size)))
         }.toMap
+    }
+    val perFile: Map[String, (Seq[Option[(Long, Long)]], Long)] =
+      footerStats(fs, dir, staged.keys.toSeq, statNames)
+        .getOrElse(aggregateStats())
     // format v5: one Bloom filter per file per declared column. TWO
     // more passes reading only the bloom columns: a per-file DISTINCT
     // count (a filter holds a SET — sizing by row count would pay the
@@ -2600,16 +2690,20 @@ object ManifestTable {
     val deleteLines: Seq[String] = delKeys match {
       case None => Seq.empty
       case Some(dk) =>
-        val touched = dk.join(changedKeys, keyCols, "left_semi")
-          .take(1).nonEmpty
-        if (!touched) m.deleteEntries.map(_.line)
-        else {
-          val remaining = dk.join(changedKeys, keyCols, "left_anti")
-          if (remaining.take(1).isEmpty) Seq.empty
-          else stage(spark, root,
-            dir => remaining.coalesce(1).write.parquet(dir),
-            relPrefix = "deletes")
-        }
+        // ONE probe job for both decisions (touched? anything left?):
+        // changedKeys is distinct, so the outer join is row-preserving
+        // and count(__m) counts exactly the touched delete keys
+        val probe = dk.join(
+            changedKeys.withColumn("__m", lit(1)), keyCols, "left_outer")
+          .agg(count(lit(1)).as("_n"), count(col("__m")).as("_touched"))
+          .collect()(0)
+        val total = probe.getLong(0); val touched = probe.getLong(1)
+        if (touched == 0) m.deleteEntries.map(_.line)
+        else if (total == touched) Seq.empty
+        else stage(spark, root,
+          dir => dk.join(changedKeys, keyCols, "left_anti")
+            .coalesce(1).write.parquet(dir),
+          relPrefix = "deletes")
     }
     // a merge that would empty the table entirely (full-table delete
     // whose rewrite staged zero files) must not brick it with a

@@ -647,17 +647,22 @@ object DedupQueries {
         .join(labels.select(col("doc_id").as("doc_id_2"),
           col("label").as("nbr_label")), Seq("doc_id_2"), "left")
         .groupBy("doc_id")
+        // min(label) over the group is the node's OWN incoming label
+        // (the base row's label repeats across its edge rows), carried
+        // so the convergence check below needs no join back to `labels`
         .agg(least(min(col("label")), coalesce(min(col("nbr_label")),
-          min(col("label")))).as("label"))
+          min(col("label")))).as("label"),
+          min(col("label")).as("own"))
         .localCheckpoint() // read below (convergence count + jump)
       // convergence is checked on the PROPAGATION step: prop == labels
       // is the fixed point, where the jump is the identity — so the
       // final round skips the jump's self-join + checkpoint entirely
-      // (round-8 trim: one fewer job per cluster build)
-      changed = prop.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .where(col("label") =!= col("old")).count()
+      // (round-8 trim: one fewer job per cluster build). Labels are
+      // monotone non-increasing, so "changed" is label < own — read
+      // off the checkpointed frame, no join (r19 trim).
+      changed = prop.where(col("label") =!= col("own")).count()
       labels =
-        if (changed == 0) prop
+        if (changed == 0) prop.select(col("doc_id"), col("label"))
         else prop
           .join(prop.select(col("doc_id").as("jump_id"),
             col("label").as("jump_label")),

@@ -70,14 +70,27 @@ object SuffixQueries {
     * cap-bounded suffix prefix starting there). Shared with
     * [[SuffixRefresh]], whose delta rows must be EXACTLY the position
     * rows the stored index holds for those docs. */
-  private[operators] def positions(docs: DataFrame, cap: Int): DataFrame =
-    docs.select(col("doc_id"), col("text"))
+  private[operators] def positions(docs: DataFrame, cap: Int): DataFrame = {
+    // SCAN-PARALLELISM FLOOR before the ×|text| position explosion
+    // (guide §2.5): the corpus parquet is a single row group, so the
+    // explode — the operator's heaviest stage, one output row per
+    // character with a cap-length prefix string — would otherwise run
+    // at one task regardless of cores. Row-preserving round-robin;
+    // inert at scale (the scan already yields ≥ cores splits) and
+    // harmless to results: every consumer re-sorts (range partition +
+    // sortWithinPartitions) or aggregates.
+    val cores = docs.sparkSession.sparkContext.defaultParallelism
+    val base = docs.select(col("doc_id"), col("text"))
       .where(length(col("text")) > 0)
+    val wide = if (base.rdd.getNumPartitions < cores)
+      base.repartition(cores) else base
+    wide
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")))).as("pos"),
         col("text"))
       .select(col("doc_id"), col("pos"),
         col("text").substr(col("pos"), lit(cap)).as("pref"))
+  }
 
   /** Global sort order + contiguous dense index, without a
     * single-partition window: range-repartition by the sort key, sort

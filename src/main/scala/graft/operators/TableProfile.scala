@@ -101,9 +101,11 @@ object TableProfile {
       // trade from the exact Expand.
       widen = false)
 
-  private def profileWith(spark: SparkSession, df: DataFrame,
-                          distinctAgg: String => Column,
-                          widen: Boolean): DataFrame = {
+  /** The one-pass aggregation frame behind [[profileWith]], exposed
+    * for plan inspection (tools/plans deliverables). */
+  private[graft] def aggFrame(spark: SparkSession, df: DataFrame,
+                              distinctAgg: String => Column,
+                              widen: Boolean): DataFrame = {
     val fields = df.schema.fields.toSeq
     // SCAN-PARALLELISM FLOOR (guide §2.5 "input skew … repartition
     // immediately after the read"): the exact profiler's heavy stage
@@ -127,7 +129,14 @@ object TableProfile {
         fc.map(_.hiExpr(f.name)).getOrElse(lit(null).cast("long"))
           .as(s"_hi_${f.name}"))
     } :+ count(lit(1)).as("_n")
-    val r = wide.agg(aggs.head, aggs.tail: _*).collect()(0)
+    wide.agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def profileWith(spark: SparkSession, df: DataFrame,
+                          distinctAgg: String => Column,
+                          widen: Boolean): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    val r = aggFrame(spark, df, distinctAgg, widen).collect()(0)
     val n = r.getAs[Long]("_n")
     import spark.implicits._
     fields.map { f =>

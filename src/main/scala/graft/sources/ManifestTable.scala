@@ -2527,9 +2527,13 @@ object ManifestTable {
       .unionByName(upserts.select(keyCols.map(col): _*)).distinct()
       .localCheckpoint() // read thrice: two probes + rewrite anti-join
     // null keys cannot be merged: the anti-join would never match them
-    // (SQL null semantics), silently appending duplicates — fail fast
-    require(changedKeys.where(keyCols.map(col(_).isNull).reduce(_ || _))
-      .take(1).isEmpty,
+    // (SQL null semantics), silently appending duplicates — fail fast.
+    // The probe is FOLDED into the interval-stab job below when the
+    // table has bounded entries (one pass over the checkpointed keys
+    // answers both; a dedicated job otherwise) — every merge commit in
+    // the engine pays this path, so one job here is one job per
+    // commit, suite-wide.
+    def nullKeyError(): Nothing = throw new IllegalArgumentException(
       s"mergeCoW: null (${keyCols.mkString(", ")}) in removeKeys/" +
         "upserts is unsupported (an upsert of a null key could never " +
         "replace its row)")
@@ -2539,39 +2543,53 @@ object ManifestTable {
     // (appends), so the backward walk stops on the PREFIX-MAX of hi.
     val (bounded, unbounded) =
       entries.partition(e => e.lo.isDefined && e.hi.isDefined)
-    val boundedAffected: Set[String] = if (bounded.isEmpty) Set.empty
-    else {
+    val boundedAffected: Set[String] = if (bounded.isEmpty) {
+      if (changedKeys.where(keyCols.map(col(_).isNull).reduce(_ || _))
+          .take(1).nonEmpty) nullKeyError()
+      Set.empty
+    } else {
       val sorted = bounded.sortBy(_.lo.get)
       val bcLo = spark.sparkContext.broadcast(sorted.map(_.lo.get).toArray)
       val bcHi = spark.sparkContext.broadcast(sorted.map(_.hi.get).toArray)
       val bcPm = spark.sparkContext.broadcast(
         sorted.map(_.hi.get).scanLeft(Long.MinValue)(math.max).drop(1).toArray)
       val bcRel = spark.sparkContext.broadcast(sorted.map(_.rel).toArray)
-      changedKeys.select(col(keyCols.head).cast("long")).distinct()
-        .as[Long]
+      // "\t" can never be a staged rel (UUID alphabet) — safe sentinel
+      // for "a null key was seen in this partition"
+      val nullMark = "\t"
+      val stabbed = changedKeys.select(
+          keyCols.map(col(_).isNull).reduce(_ || _).as("_n"),
+          col(keyCols.head).cast("long").as("_k"))
+        .distinct()
         .mapPartitions { it =>
           val lo = bcLo.value; val hi = bcHi.value
           val pm = bcPm.value; val rel = bcRel.value
-          it.flatMap { k =>
-            // last file with lo <= k, then walk back while any earlier
-            // file can still reach k (prefix-max hi >= k)
-            var a = 0; var b = lo.length - 1; var idx = -1
-            if (lo(0) <= k) {
-              while (a < b) {
-                val mid = (a + b + 1) >>> 1
-                if (lo(mid) <= k) a = mid else b = mid - 1
+          it.flatMap { row =>
+            if (row.getBoolean(0)) Iterator.single(nullMark)
+            else {
+              val k = row.getLong(1)
+              // last file with lo <= k, then walk back while any
+              // earlier file can still reach k (prefix-max hi >= k)
+              var a = 0; var b = lo.length - 1; var idx = -1
+              if (lo(0) <= k) {
+                while (a < b) {
+                  val mid = (a + b + 1) >>> 1
+                  if (lo(mid) <= k) a = mid else b = mid - 1
+                }
+                idx = a
               }
-              idx = a
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              var i = idx
+              while (i >= 0 && pm(i) >= k) {
+                if (hi(i) >= k) out += rel(i)
+                i -= 1
+              }
+              out
             }
-            val out = scala.collection.mutable.ArrayBuffer.empty[String]
-            var i = idx
-            while (i >= 0 && pm(i) >= k) {
-              if (hi(i) >= k) out += rel(i)
-              i -= 1
-            }
-            out
           }
         }.distinct().collect().toSet
+      if (stabbed.contains(nullMark)) nullKeyError()
+      stabbed - nullMark
     }
     // (2) unbounded entries: key-column-only scan of just those files
     val unboundedAffected: Set[String] = if (unbounded.isEmpty) Set.empty

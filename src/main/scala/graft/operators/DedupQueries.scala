@@ -899,8 +899,9 @@ object DedupQueries {
     * read off the array, mirroring the probe. */
   def bloomMightContain(words: Seq[Long], key: String): Boolean = {
     val bits = words.length * 64
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val hex = graft.functions.Hex.lower(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")))
     Seq(0, 8).forall { off =>
       val p = (java.lang.Long.parseLong(hex.substring(off, off + 8), 16)
         % bits).toInt

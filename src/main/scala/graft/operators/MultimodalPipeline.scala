@@ -94,9 +94,9 @@ object MultimodalPipeline {
   def decodeImage(r: MediaRecord): MediaMeta = {
     val img = graft.functions.Bmp.decode(r.payload)
     val md = MessageDigest.getInstance("MD5")
-    val hex = img.pixels.map("%02x".format(_)).mkString
+    val hex = graft.functions.Hex.lower(img.pixels)
     MediaMeta(r.doc_id, r.payload.length, img.width, img.height,
-      3, md.digest(hex.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      3, graft.functions.Hex.lower(md.digest(hex.getBytes("UTF-8"))))
   }
 
   /** 64-bit average-hash of a decoded raster: 64 contiguous chunks of
@@ -213,8 +213,16 @@ object MultimodalPipeline {
     * itself is still ASCII-anchored by construction. */
   def mediaTableWide(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    // parallelism floor before the per-row payload render (guide §2.5):
+    // the corpus parquet is a single row group → one scan task, and
+    // every downstream frame/decode closure would inherit that width.
+    // Round-robin is row-preserving; consumers re-sort or aggregate.
+    val docs0 = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val cores = spark.sparkContext.defaultParallelism
+    val docs = if (docs0.rdd.getNumPartitions < cores)
+      docs0.repartition(cores) else docs0
+    docs.as[(Long, String)]
       .map { case (id, text) =>
         val bytes = new Array[Byte](text.length * 2)
         var i = 0
@@ -287,9 +295,9 @@ object MultimodalPipeline {
     sampleFrames(spark, sfDir)
       .map { f =>
         val md = MessageDigest.getInstance("MD5")
-        val hex = f.frame_bytes.map("%02x".format(_)).mkString
+        val hex = graft.functions.Hex.lower(f.frame_bytes)
         (f.doc_id, f.frame_idx, f.byte_offset, f.frame_bytes.length,
-          md.digest(hex.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+          graft.functions.Hex.lower(md.digest(hex.getBytes("UTF-8"))))
       }
       .toDF("doc_id", "frame_idx", "byte_offset", "frame_len", "frame_md5")
       .orderBy("doc_id", "frame_idx")

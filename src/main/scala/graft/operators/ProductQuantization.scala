@@ -105,14 +105,27 @@ object ProductQuantization {
   private def withCodes(df: DataFrame, cents: Seq[Seq[Seq[Long]]],
                         m: Int = M): DataFrame = {
     val sd = SimilarityQueries.Dims / m
-    val coded = (0 until m).foldLeft(df) { (d, mi) =>
-      d.withColumn(s"dists_$mi", distTable(col("r"), mi, cents, sd))
-        .withColumn(s"dist_$mi", array_min(col(s"dists_$mi")))
-        .withColumn(s"code_$mi",
-          (array_position(col(s"dists_$mi"), col(s"dist_$mi")) - 1)
-            .cast("int"))
-    }
-    coded.drop((0 until m).map(mi => s"dists_$mi"): _*)
+    // TWO selects instead of a 3m-deep withColumn fold: each withColumn
+    // re-analyzes the whole (growing) projection, so the fold's
+    // analyzer cost was quadratic in m — pure plan-compile time on a
+    // corpus pass that executes identically (the optimizer collapsed
+    // the fold to the same projections this writes directly).
+    val withDists = df.select(
+      (df.columns.map(col).toSeq ++
+        (0 until m).map(mi =>
+          distTable(col("r"), mi, cents, sd).as(s"dists_$mi"))): _*)
+    val codes = withDists.select(
+      (df.columns.map(col).toSeq ++
+        (0 until m).flatMap { mi =>
+          val dist = array_min(col(s"dists_$mi")).as(s"dist_$mi")
+          val code = (array_position(col(s"dists_$mi"),
+            array_min(col(s"dists_$mi"))) - 1).cast("int").as(s"code_$mi")
+          Seq(dist, code)
+        }): _*)
+    // column ORDER of the fold preserved (dist_0, code_0, dist_1, ...
+    // follow the input columns) — consumers select by name, but the
+    // csv rendering of the coded index concatenates in order
+    codes
   }
 
   /** Model cache — same session-scoped, weak-keyed contract as the IVF

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, sum}
 
 /** MULTI-TABLE TRANSACTIONS over manifest tables — the catalog-pointer
   * pattern (the Iceberg-catalog / Delta-log shape) lifted out of
@@ -214,8 +215,15 @@ object ManifestCatalog {
     val p = pins(spark, cat)
     val src = ManifestTable.read(spark, root)
     val cur = readAtPins(spark, cat, p, "cur")
-    require(cur.count() == src.count() &&
-      cur.unionByName(src).distinct().count() == src.distinct().count(),
+    // ONE multiset-equality probe (signed per-row counts) instead of
+    // the prior four count jobs; strictly stronger — empty exactly
+    // when cur equals src as a multiset
+    val drift = src.withColumn("_s", lit(1L))
+      .unionByName(cur.withColumn("_s", lit(-1L)))
+      .groupBy(src.columns.map(col).toSeq: _*)
+      .agg(sum(col("_s")).as("_d"))
+      .where(col("_d") =!= 0).take(1)
+    require(drift.isEmpty,
       "the mirror member drifted from the source")
     ManifestTable.presentScd2(readAtPins(spark, cat, p, "dim"))
   }

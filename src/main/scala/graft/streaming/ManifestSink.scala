@@ -185,12 +185,19 @@ object ManifestSink {
     require(!replayed &&
       ManifestTable.currentVersion(spark, dst) == vBefore,
       "a replayed CDC batch re-applied — the txn marker failed")
-    // the mirror IS the source, row for row
+    // the mirror IS the source, row for row — ONE multiset-equality
+    // probe (signed per-row counts summing to zero everywhere) instead
+    // of the prior four count jobs (union-distinct + distinct + two
+    // counts); strictly stronger, and empty exactly when the tables
+    // are equal as multisets
     val srcRows = ManifestTable.read(spark, src)
     val dstRows = ManifestTable.read(spark, dst)
-    require(dstRows.unionByName(srcRows).distinct().count() ==
-      srcRows.distinct().count() && dstRows.count() == srcRows.count(),
-      "mirror drifted from source")
+    val drift = srcRows.withColumn("_s", lit(1L))
+      .unionByName(dstRows.withColumn("_s", lit(-1L)))
+      .groupBy(srcRows.columns.map(col).toSeq: _*)
+      .agg(sum(col("_s")).as("_d"))
+      .where(col("_d") =!= 0).take(1)
+    require(drift.isEmpty, "mirror drifted from source")
     dstRows.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
       .orderBy("lang")

@@ -589,10 +589,14 @@ object DedupQueries {
     * the spec pins THIS plan (the checkpoint in [[computeClusters]]
     * makes the shipped build's plan opaque). */
   private[graft] def clusterEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    // pair-sized frames, each consumed TWICE by the symmetric union
+    // below — without the checkpoint the LSH banding join and the
+    // exact-dup join both re-execute for their swapped copy
     val near = q18MinhashLsh(spark, sfDir)
       .where(col("est_jaccard") >= 0.5)
       .select(col("doc_id_1"), col("doc_id_2"))
-    val exact = exactDupEdges(spark, sfDir)
+      .localCheckpoint()
+    val exact = exactDupEdges(spark, sfDir).localCheckpoint()
     near.union(exact)
       .union(near.select(col("doc_id_2").as("doc_id_1"),
         col("doc_id_1").as("doc_id_2")))

@@ -588,25 +588,35 @@ object DedupQueries {
     * confined to the dup-sized verify pass. Public to the package so
     * the spec pins THIS plan (the checkpoint in [[computeClusters]]
     * makes the shipped build's plan opaque). */
-  private[graft] def clusterEdges(spark: SparkSession, sfDir: String): DataFrame = {
-    // pair-sized frames, each consumed TWICE by the symmetric union
-    // below — without the checkpoint the LSH banding join and the
-    // exact-dup join both re-execute for their swapped copy
-    val near = q18MinhashLsh(spark, sfDir)
-      .where(col("est_jaccard") >= 0.5)
-      .select(col("doc_id_1"), col("doc_id_2"))
-      .localCheckpoint()
-    val exact = exactDupEdges(spark, sfDir).localCheckpoint()
+  private[graft] def clusterEdges(spark: SparkSession, sfDir: String): DataFrame =
+    symmetricClusterEdges(
+      q18MinhashLsh(spark, sfDir)
+        .where(col("est_jaccard") >= 0.5)
+        .select(col("doc_id_1"), col("doc_id_2")),
+      exactDupEdges(spark, sfDir))
+
+  /** Symmetric closure ∪ distinct over the two directed edge frames.
+    * Split out so [[computeClusters]] can checkpoint `near`/`exact`
+    * first (each is consumed TWICE by the union — forward + swapped —
+    * so without the checkpoint the LSH banding join and the exact-dup
+    * join both re-execute for their swapped copy) while
+    * [[clusterEdges]] stays checkpoint-free and its plan inspectable. */
+  private def symmetricClusterEdges(near: DataFrame,
+                                    exact: DataFrame): DataFrame =
     near.union(exact)
       .union(near.select(col("doc_id_2").as("doc_id_1"),
         col("doc_id_1").as("doc_id_2")))
       .union(exact.select(col("doc_id_2").as("doc_id_1"),
         col("doc_id_1").as("doc_id_2")))
       .distinct()
-  }
 
   private def computeClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = clusterEdges(spark, sfDir)
+    val near = q18MinhashLsh(spark, sfDir)
+      .where(col("est_jaccard") >= 0.5)
+      .select(col("doc_id_1"), col("doc_id_2"))
+      .localCheckpoint() // pair-sized; consumed twice by the union
+    val exact = exactDupEdges(spark, sfDir).localCheckpoint()
+    val edges = symmetricClusterEdges(near, exact)
       .localCheckpoint() // sever lineage: edges feed every iteration
     // 64 rounds with pointer jumping covers diameter ~2^64: no graph
     // addressable by 64-bit doc_ids can hit the cap — the hard-throw

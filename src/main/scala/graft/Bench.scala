@@ -14,8 +14,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val warmDir = "/root/testdata/sf0.001"
+    // shuffle partitions DERIVE from the core count (scale-adaptive,
+    // guide §2.2: a constant tuned for either local mode or the cluster
+    // is wrong at the other) — at the driver's 32-core bench this is the
+    // same 32 every committed record used, so totals stay comparable,
+    // while the lower-core scaling probe now runs a genuinely
+    // scaled-down config instead of 32 shuffle tasks on 8 cores
     val spark = GraftSession.create(
-      appName = "graft-bench", master = Some(s"local[$cpus]"))
+      appName = "graft-bench", master = Some(s"local[$cpus]"),
+      shufflePartitions = cpus.toIntOption.getOrElse(32))
     // NonFatal only: a swallowed OutOfMemoryError would leave the JVM
     // heap-exhausted and every later sample silently garbage
     SparkEntry.queries.foreach { case (_, fn) =>

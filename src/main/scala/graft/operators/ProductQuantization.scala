@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.graftbridge.Bridge
+
 import graft.{Artifacts, Tables}
 import graft.functions.Vectors
 
@@ -76,56 +78,55 @@ object ProductQuantization {
         when(col("cell") === c, typedlit(micros(cv))).otherwise(rest)
       }
     asg.withColumn("r",
-      zip_with(transform(col("v"), x => floor(x * lit(1e6))), cmArr,
-        (a, b) => a - b))
+      Bridge.column(graft.functions.PqMicroResidual(
+        Bridge.expression(col("v")), Bridge.expression(cmArr))))
   }
 
   /** Per-subspace distance TABLE: the K distances from subvector m of
-    * residual column `r` to the m-th sub-codebook, as one array
-    * expression over the codebook shipped as a 2-D literal — the FAISS
-    * lookup-table shape. (The first formulation unrolled K columns ×
-    * M subspaces of branch chains — 256 columns, >1000 branches — and
-    * Janino refused the generated method, so every invocation paid a
-    * failed multi-second codegen compile and then ran interpreted
-    * anyway: q77 benched 12.5 s for 2.5k candidate rows. The table
-    * formulation plans in milliseconds, and at production K=256 a
-    * literal table is the only viable shape regardless — the recall
-    * sweep runs it at K=256 unchanged.) */
+    * residual column `r` to the m-th sub-codebook — the FAISS
+    * lookup-table shape, as ONE native codegen expression
+    * ([[graft.functions.PqDistTable]], exact integer loops inside
+    * whole-stage codegen). The previous `transform(typedlit(codebook))`
+    * HOF was semantically identical but CodegenFallback: every row paid
+    * K·sd interpreted expression evaluations per subspace — 5.8 s
+    * executor time for one M256/K256 training pass at sf0.1
+    * (tools.PqTrainProbe). PqExpressionParitySpec pins bit-equality
+    * against the HOF form. (An even earlier formulation unrolled K
+    * columns × M subspaces of branch chains and Janino refused the
+    * generated method — the table shape is also the only viable one at
+    * production K=256.) */
   private def distTable(r: Column, m: Int, cents: Seq[Seq[Seq[Long]]],
                         sd: Int = SubDim): Column =
-    transform(typedlit(cents(m)), cv =>
-      (0 until sd).map { j =>
-        val t = element_at(r, m * sd + j + 1) - element_at(cv, j + 1)
-        t * t
-      }.reduce(_ + _))
+    Bridge.column(graft.functions.PqDistTable(
+      Bridge.expression(r), cents(m), m * sd))
 
-  /** Adds `code_m` (argmin centroid, ties → smallest code via
-    * array_position's first-match rule) and `dist_m` (that minimum)
-    * for every subspace m. */
+  /** Adds `code_m` (argmin centroid, ties → smallest code — the native
+    * expression's first-minimum rule, identical to array_position's
+    * first match) and `dist_m` (that minimum) for every subspace m, via
+    * the FUSED [[graft.functions.PqArgmin]]: one integer pass per
+    * subspace, no K-array materialization and no re-scan for the min
+    * and its position (the previous shape built the K-entry table per
+    * row and scanned it three times). */
   private def withCodes(df: DataFrame, cents: Seq[Seq[Seq[Long]]],
                         m: Int = M): DataFrame = {
     val sd = SimilarityQueries.Dims / m
-    // TWO selects instead of a 3m-deep withColumn fold: each withColumn
-    // re-analyzes the whole (growing) projection, so the fold's
-    // analyzer cost was quadratic in m — pure plan-compile time on a
-    // corpus pass that executes identically (the optimizer collapsed
-    // the fold to the same projections this writes directly).
-    val withDists = df.select(
+    // TWO selects, not a withColumn fold (quadratic analyzer cost —
+    // r19); the second only unpacks the structs.
+    val withArg = df.select(
       (df.columns.map(col).toSeq ++
         (0 until m).map(mi =>
-          distTable(col("r"), mi, cents, sd).as(s"dists_$mi"))): _*)
-    val codes = withDists.select(
+          Bridge.column(graft.functions.PqArgmin(
+            Bridge.expression(col("r")), cents(mi), mi * sd))
+            .as(s"am_$mi"))): _*)
+    // column ORDER of the original fold preserved (dist_0, code_0,
+    // dist_1, ... follow the input columns) — consumers select by name,
+    // but the csv rendering of the coded index concatenates in order
+    withArg.select(
       (df.columns.map(col).toSeq ++
         (0 until m).flatMap { mi =>
-          val dist = array_min(col(s"dists_$mi")).as(s"dist_$mi")
-          val code = (array_position(col(s"dists_$mi"),
-            array_min(col(s"dists_$mi"))) - 1).cast("int").as(s"code_$mi")
-          Seq(dist, code)
+          Seq(col(s"am_$mi").getField("dist").as(s"dist_$mi"),
+            col(s"am_$mi").getField("code").as(s"code_$mi"))
         }): _*)
-    // column ORDER of the fold preserved (dist_0, code_0, dist_1, ...
-    // follow the input columns) — consumers select by name, but the
-    // csv rendering of the coded index concatenates in order
-    codes
   }
 
   /** Model cache — same session-scoped, weak-keyed contract as the IVF
@@ -335,8 +336,8 @@ object ProductQuantization {
           .select(col("vec_id").as("query_id"), col("v").as("qv")),
         coarse, "qv")
         .withColumn("rq",
-          zip_with(transform(col("qv"), x => floor(x * lit(1e6))), cmArr,
-            (a, b) => a - b))) { (d, mi) =>
+          Bridge.column(graft.functions.PqMicroResidual(
+            Bridge.expression(col("qv")), Bridge.expression(cmArr))))) { (d, mi) =>
       d.withColumn(s"lut_$mi", distTable(col("rq"), mi, cents, sd))
     }.select(Seq(col("query_id"), col("cell")) ++
       (0 until m).map(mi => col(s"lut_$mi")): _*)
